@@ -1,0 +1,274 @@
+"""Category E — aggregations.
+
+Reference parity: the reference's only aggregation is
+ratings.groupby(['movieId','rating']).count() → pivot → fillna
+(challenge.py≈L187-195 [R]); the full Spark agg surface is declared per
+SURVEY.md §2.E. All double reductions use the decimal-exact helpers
+(functions/hashsafe.py) so results are order-independent at any
+partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions.hashsafe import DEC, davg, dsum, sql_davg, sql_dsum
+from .registry import query
+from .sources.fixtures import load_table
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@query(
+    "q_agg_hash",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {sql_davg('l_quantity', 'avg_qty')},
+           {sql_davg('l_extendedprice', 'avg_price')},
+           {sql_davg('l_discount', 'avg_disc')},
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_hash(spark, sf_dir):
+    """Multi-key hash aggregation, TPC-H Q1 shape (8 aggregates).
+
+    Reference: ratings.groupby(['movieId','rating']).count()
+    (challenge.py≈L187-189 [R]). Physical plan: partial HashAggregate
+    (map-side combine) -> shuffle on (returnflag, linestatus) -> final
+    HashAggregate, all inside whole-stage codegen. Shuffle volume is
+    O(#groups x #partitions), independent of row count — the canonical
+    100 TB-safe aggregation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '1998-09-02'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_custs,
+           round(cast(sum(DISTINCT cast(o_totalprice as {DEC})) as double), 4)
+             AS sum_distinct_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_distinct(spark, sf_dir):
+    """count(DISTINCT) + sum(DISTINCT) per group.
+
+    Reference: the drop_duplicates(subset='imdb_id') spirit
+    (challenge.py≈L85 [R]). Spark plans distinct aggs as an Expand +
+    two-phase aggregation; sum(DISTINCT) goes through decimal so the
+    reduction over the distinct set is order-independent.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.round(
+            F.sum_distinct(F.col("o_totalprice").cast(DEC)).cast("double"), 4
+        ).alias("sum_distinct_price"),
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle=f"""
+    SELECT c_mktsegment,
+           round(min(c_acctbal), 4) AS min_bal,
+           round(max(c_acctbal), 4) AS max_bal,
+           {sql_davg('c_acctbal', 'avg_bal')},
+           round(sqrt(greatest(
+             (cast(sum(cast(c_acctbal * c_acctbal as {DEC})) as double)
+              - cast(sum(cast(c_acctbal as {DEC})) as double) ^ 2 / count(c_acctbal))
+             / nullif(count(c_acctbal) - 1, 0), 0)), 4) AS stddev_bal,
+           round(greatest(
+             (cast(sum(cast(c_acctbal * c_acctbal as {DEC})) as double)
+              - cast(sum(cast(c_acctbal as {DEC})) as double) ^ 2 / count(c_acctbal))
+             / nullif(count(c_acctbal) - 1, 0), 0), 4) AS var_bal,
+           count(c_acctbal) AS n
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_agg_stats(spark, sf_dir):
+    """min/max/avg/stddev_samp/var_samp, rounded to 4 dp.
+
+    Reference: notebook .describe() exploration [R]. Hash-stability: the
+    engines' native single-pass stddev accumulates doubles in
+    partition order, so low bits differ run-to-run; instead both sides
+    compute the two-pass moment formula over *exact decimal sums*
+    (sum(x), sum(x^2) exact -> identical doubles -> identical variance).
+    At scale this is still one map-side-combined pass — two decimal
+    accumulators per group.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    x = F.col("c_acctbal")
+    sum_x = F.sum(x.cast(DEC)).cast("double")
+    sum_x2 = F.sum((x * x).cast(DEC)).cast("double")
+    n = F.count(x)
+    var = F.greatest(
+        (sum_x2 - F.pow(sum_x, 2) / n) / F.nullif(n - F.lit(1), F.lit(0)),
+        F.lit(0.0),
+    )
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.min(x), 4).alias("min_bal"),
+        F.round(F.max(x), 4).alias("max_bal"),
+        davg(x, "avg_bal"),
+        F.round(F.sqrt(var), 4).alias("stddev_bal"),
+        F.round(var, 4).alias("var_bal"),
+        n.alias("n"),
+    )
+
+
+@query("q_agg_approx")  # rows-only: HLL++ sketch differs from DuckDB's
+def q_agg_approx(spark, sf_dir):
+    """Approximate count-distinct (HyperLogLog++) with an exact twin.
+
+    No reference analog. Declared rows-only: the sketch estimate is
+    engine-specific. The exact countDistinct column rides along so the
+    row content is still sanity-checkable. At 100 TB the approx column
+    is the one you can afford: fixed-size sketch per group, no Expand.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@query(
+    "q_rollup",
+    oracle=f"""
+    SELECT r_name, n_name,
+           count(*) AS n_suppliers,
+           {sql_dsum('s_acctbal', 'sum_bal')},
+           cast(grouping(r_name) + 2 * grouping(n_name) as bigint) AS gid
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_rollup(spark, sf_dir):
+    """Hierarchical subtotals region -> nation -> grand total.
+
+    No reference analog (SURVEY.md §2.E). grouping() flags are encoded
+    explicitly (r + 2*n) so the subtotal rows hash identically across
+    engines regardless of native grouping_id bit conventions.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return j.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_suppliers"),
+        dsum("s_acctbal", "sum_bal"),
+        (F.grouping("r_name") + 2 * F.grouping("n_name")).cast("bigint").alias("gid"),
+    )
+
+
+@query(
+    "q_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'sum_price')},
+           cast(grouping(o_orderstatus) + 2 * grouping(o_orderpriority) as bigint)
+             AS gid
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark, sf_dir):
+    """All grouping combinations (CUBE)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice", "sum_price"),
+        (F.grouping("o_orderstatus") + 2 * F.grouping("o_orderpriority"))
+        .cast("bigint").alias("gid"),
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'sum_price')},
+           cast(grouping(o_orderstatus) + 2 * grouping(o_orderpriority) as bigint)
+             AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with grouping flags (SQL API path — Catalyst
+    parses the SQL string; same plan as the DataFrame cube/rollup)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(f"""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(cast(sum(cast(o_totalprice as {DEC})) as double), 4)
+                 AS sum_price,
+               cast(grouping(o_orderstatus) + 2 * grouping(o_orderpriority) as bigint)
+                 AS gid
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+def _pivot_oracle() -> str:
+    cases = ", ".join(
+        f"count(CASE WHEN event_type = '{v}' THEN 1 END) AS evt_{v}"
+        for v in EVENT_TYPES
+    )
+    return f"SELECT user_id, {cases} FROM events GROUP BY user_id"
+
+
+@query("q_pivot", oracle=_pivot_oracle())
+def q_pivot(spark, sf_dir):
+    """Pivot: per-user wide table of event_type counts, fillna 0.
+
+    Reference: the rating-counts pivot —
+    .pivot(index='movieId', columns='rating', values='count') + 'rating_'
+    prefix + fillna(0) (challenge.py≈L189-195 [R]). The pivot value list
+    is EXPLICIT (the 5 verified event types): without it Spark runs a
+    driver-side distinct scan to discover columns — a non-starter at
+    100 TB and a schema-stability hazard anywhere.
+    """
+    e = load_table(spark, sf_dir, "events")
+    wide = (e.groupBy("user_id")
+            .pivot("event_type", EVENT_TYPES)
+            .count()
+            .na.fill(0, [*EVENT_TYPES]))
+    renamed = wide.select(
+        "user_id",
+        *[F.col(v).cast("bigint").alias(f"evt_{v}") for v in EVENT_TYPES],
+    )
+    return renamed

@@ -1,0 +1,331 @@
+"""Category A (scans) + B (projection/filter/row-level cleaning) +
+G (sorts/limits/set ops) queries — the reference's core row-level surface.
+
+Reference parity notes cite the canonical public Movies-ETL assignment
+layout (challenge.py≈Lnn [R], SURVEY.md §0 legend — /root/reference was
+empty at survey time; semantics reconstructed from the published
+assignment, not copied code).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions.hashsafe import davg, dsum, sql_davg, sql_dsum
+from .registry import query
+from .sources.fixtures import load_table
+
+
+# --------------------------------------------------------------------------
+# A. Scans
+# --------------------------------------------------------------------------
+
+@query(
+    "q_scan_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS revenue
+    FROM lineitem
+    """,
+)
+def q_scan_project(spark, sf_dir):
+    """Parquet scan + projection + computed column.
+
+    Reference: the extract stage (pd.read_csv / json.load,
+    challenge.py≈L62-66 [R]) followed by column selection. Spark-first:
+    the select() prunes the parquet scan to 4 of 11 columns (check
+    ReadSchema in explain) — at 100 TB that is the difference between
+    reading ~36% and 100% of the table bytes.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B. Filters / row-level cleaning
+# --------------------------------------------------------------------------
+
+@query(
+    "q_filter_pred",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE (o_orderstatus = 'O' OR o_orderstatus = 'F')
+      AND o_totalprice BETWEEN 1000 AND 200000
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_orderdate IS NOT NULL
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+    """,
+)
+def q_filter_pred(spark, sf_dir):
+    """Compound predicate filter (AND/OR, range, IN, IS NOT NULL, date cmp).
+
+    Reference: the wiki-movies keep-filter — ('Director' in m or
+    'Directed by' in m) and 'imdb_link' in m and 'No. of episodes' not
+    in m (challenge.py≈L72-76 [R]). All predicates here are
+    parquet-pushdown-eligible (PushedFilters in explain): at 100 TB the
+    row groups that fail min/max never leave storage.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        ((F.col("o_orderstatus") == "O") | (F.col("o_orderstatus") == "F"))
+        & F.col("o_totalprice").between(1000, 200000)
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_orderdate").isNotNull()
+        & (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01'"))
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+             "o_orderpriority")
+
+
+@query(
+    "q_conditional_fill",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN kaggle_price = 0 THEN wiki_price ELSE kaggle_price END
+             AS filled_price
+    FROM (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 0.0 ELSE o_totalprice END
+               AS kaggle_price,
+             o_totalprice + 1000.0 AS wiki_price
+      FROM orders
+    )
+    """,
+)
+def q_conditional_fill(spark, sf_dir):
+    """Row-wise conditional coalesce: keep the kaggle value unless it is 0,
+    else take the wiki value.
+
+    Reference: fill_missing_kaggle_data(df, kaggle_col, wiki_col) done
+    with df.apply(axis=1) (challenge.py≈L160-170 [R]) — a per-row Python
+    lambda there; a native when/otherwise expression here (whole-stage
+    codegen, no Python boundary). The messy "two competing sources"
+    input is synthesized deterministically from orders so the oracle
+    constructs the identical input.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    synth = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(0.0))
+        .otherwise(F.col("o_totalprice")).alias("kaggle_price"),
+        (F.col("o_totalprice") + 1000.0).alias("wiki_price"),
+    )
+    return synth.select(
+        "o_orderkey",
+        F.when(F.col("kaggle_price") == 0, F.col("wiki_price"))
+        .otherwise(F.col("kaggle_price")).alias("filled_price"),
+    )
+
+
+@query(
+    "q_cast_funcs",
+    oracle="""
+    SELECT e.event_id,
+           CAST(trunc(e.value) AS BIGINT)  AS value_int,
+           CAST(e.user_id AS DOUBLE) AS user_double,
+           CAST(e.value AS VARCHAR)  AS value_str,
+           (e.event_type = 'click')  AS is_click,
+           to_timestamp(CAST(e.event_id % 2000000000 AS BIGINT)) AT TIME ZONE 'UTC'
+             AS ts_from_epoch
+    FROM events e
+    """,
+)
+def q_cast_funcs(spark, sf_dir):
+    """Numeric/bool/string casts + epoch-seconds -> timestamp.
+
+    Reference: the kaggle-metadata cast block — budget.astype(int),
+    pd.to_numeric(errors='raise'), video=='True',
+    to_datetime(ratings.timestamp, unit='s') (challenge.py≈L134-144 [R]).
+    """
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.col("value").cast("bigint").alias("value_int"),
+        F.col("user_id").cast("double").alias("user_double"),
+        F.col("value").cast("string").alias("value_str"),
+        (F.col("event_type") == "click").alias("is_click"),
+        F.timestamp_seconds(F.col("event_id") % 2000000000).alias("ts_from_epoch"),
+    )
+
+
+@query(
+    "q_null_ratio",
+    oracle="""
+    SELECT col_name, round(null_ratio, 4) AS null_ratio,
+           (null_ratio < 0.9) AS keep_col
+    FROM (
+      SELECT 'o_comment_synth' AS col_name,
+             avg(CASE WHEN o_orderkey % 10 < 9 THEN 1.0 ELSE 0.0 END) AS null_ratio
+      FROM orders
+      UNION ALL
+      SELECT 'o_clerk_synth',
+             avg(CASE WHEN o_orderkey % 10 < 2 THEN 1.0 ELSE 0.0 END)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', avg(CASE WHEN o_totalprice IS NULL THEN 1.0 ELSE 0.0 END)
+      FROM orders
+    )
+    ORDER BY col_name
+    """,
+)
+def q_null_ratio(spark, sf_dir):
+    """Column null-ratio profiling + '<90% null' keep/prune decision.
+
+    Reference: wiki_columns_to_keep = [c for c in df.columns if
+    df[c].isnull().sum() < len(df)*0.9] (challenge.py≈L86-88 [R]). Two
+    synthetic mostly-null columns are derived from o_orderkey so both
+    engines profile identical data. One aggregate-only pass over the
+    table — at 100 TB this is a single map-side-combined scan, not one
+    job per column.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    profiled = o.select(
+        F.when(F.col("o_orderkey") % 10 < 9, None)
+        .otherwise(F.lit("x")).alias("o_comment_synth"),
+        F.when(F.col("o_orderkey") % 10 < 2, None)
+        .otherwise(F.lit("y")).alias("o_clerk_synth"),
+        F.col("o_totalprice"),
+    )
+    ratios = profiled.agg(*[
+        F.avg(F.col(c).isNull().cast("double")).alias(c)
+        for c in profiled.columns
+    ])
+    long = ratios.selectExpr(
+        "stack(3, 'o_comment_synth', o_comment_synth, "
+        "'o_clerk_synth', o_clerk_synth, "
+        "'o_totalprice', o_totalprice) AS (col_name, ratio)"
+    )
+    return long.select(
+        "col_name",
+        F.round(F.col("ratio"), 4).alias("null_ratio"),
+        (F.col("ratio") < 0.9).alias("keep_col"),
+    ).orderBy("col_name")
+
+
+# --------------------------------------------------------------------------
+# G. Sorts / limits / top-k / set ops
+# --------------------------------------------------------------------------
+
+@query(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_topk(spark, sf_dir):
+    """Order-by-desc + limit 10 with a unique tie-break key.
+
+    Reference: notebook sort_values().head() exploration [R]. Spark
+    compiles this to TakeOrderedAndProject — per-partition top-k then a
+    k-row merge on the driver; no global sort, no full shuffle. That is
+    the 100 TB-safe plan: cost is O(n) scan + O(k) merge.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (o.select("o_orderkey", "o_totalprice")
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .limit(10))
+
+
+@query(
+    "q_union_all",
+    oracle="""
+    SELECT 'urgent' AS branch, o_orderkey, o_totalprice FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT 'big' AS branch, o_orderkey, o_totalprice FROM orders
+      WHERE o_totalprice > 100000
+    """,
+)
+def q_union_all(spark, sf_dir):
+    """UNION ALL with a branch tag (unionByName — name-resolved, not
+    positional)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+         .select(F.lit("urgent").alias("branch"), "o_orderkey", "o_totalprice"))
+    b = (o.filter(F.col("o_totalprice") > 100000)
+         .select(F.lit("big").alias("branch"), "o_orderkey", "o_totalprice"))
+    return a.unionByName(b)
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 50000
+    """,
+)
+def q_intersect(spark, sf_dir):
+    """INTERSECT (set semantics)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 50000).select("o_custkey")
+    return a.intersect(b)
+
+
+@query(
+    "q_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 50000
+    """,
+)
+def q_except(spark, sf_dir):
+    """EXCEPT (set semantics)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 50000).select("o_custkey")
+    return a.subtract(b)
+
+
+# --------------------------------------------------------------------------
+# E-adjacent exact dedup (declared under §2.E; row-level, so lives here)
+# --------------------------------------------------------------------------
+
+@query(
+    "q_distinct",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def q_distinct(spark, sf_dir):
+    """Exact dedup as SELECT DISTINCT projection.
+
+    Reference: drop_duplicates (challenge.py≈L85 [R]). Distinct on a
+    low-cardinality projection: partial (map-side) dedup before the
+    shuffle keeps shuffle bytes ~|distinct values|, not |rows| — the
+    reason this survives 100 TB.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@query(
+    "q_dropdup_key",
+    oracle="""
+    SELECT o_custkey,
+           min(o_orderkey) AS first_orderkey,
+           round(min(o_totalprice), 4) AS min_price
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_dropdup_key(spark, sf_dir):
+    """Deterministic dedup-by-key: keep min surrogate per key.
+
+    Reference: drop_duplicates(subset='imdb_id') (challenge.py≈L85 [R])
+    keeps the *first* row pandas happens to see; that is
+    partition-order-dependent on Spark, so the engine's dedup-by-key is
+    expressed as group-by + min — same cardinality contract, but
+    deterministic under any partitioning (hash-stable at any scale).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.min("o_orderkey").alias("first_orderkey"),
+        F.round(F.min("o_totalprice"), 4).alias("min_price"),
+    )

@@ -1,0 +1,53 @@
+"""Query registry — the single source of truth for the driver contract.
+
+Every operator in SURVEY.md §2 registers here as a named query
+``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible) the
+equivalent ANSI SQL the DuckDB oracle runs on identical parquet.
+``__spark_entry__.py`` re-exports ``QUERIES`` / ``ORACLE`` verbatim.
+
+Hash-stability conventions (SURVEY.md §2 / §7.3), applied throughout:
+
+- alias every computed column identically on both sides;
+- sums/avgs of doubles go through ``decimal(30,10)`` so the result is
+  exact and order-independent (double summation order differs between
+  Spark partial aggs and DuckDB — see functions/hashsafe.py);
+- every float produced by genuinely-float multi-step math (stddev,
+  cosine) is ``round(x, 4)`` on both sides;
+- every top-k carries a deterministic tie-break key;
+- dedup is expressed as DISTINCT or group-by+min, never a row-arbitrary
+  ``dropDuplicates``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register ``fn(spark, sf_dir) -> DataFrame`` under ``name``; attach
+    the DuckDB oracle SQL when the semantics are SQL-expressible (omit →
+    the driver records a weaker rows-only check)."""
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = " ".join(oracle.split())
+        return fn
+    return deco
+
+
+def load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    from . import queries_core  # noqa: F401
+    from . import queries_functions  # noqa: F401
+    from . import queries_joins  # noqa: F401
+    from . import queries_aggs  # noqa: F401
+    from . import queries_windows  # noqa: F401
+    from . import queries_llm  # noqa: F401
+    from . import queries_udf  # noqa: F401
+    from . import queries_streaming  # noqa: F401
+    from . import etl  # noqa: F401

@@ -1,0 +1,80 @@
+"""SparkSession factory for the engine.
+
+Local testing runs on ``local[N]`` (single JVM); the same configs are the
+100 TB-cluster defaults except parallelism knobs, which scale with the
+cluster (see ``tuned_conf`` notes inline).
+
+Reference parity: the reference (plin112/Challenge8_Movies-ETL,
+``challenge.py`` — pandas, single process) has no session/engine concept;
+this module is the engine bootstrap the reference never needed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# SQL confs that MUST hold for correctness against the driver fixtures,
+# regardless of who built the session (we defensively re-apply them at
+# fixture-load time because the verify driver may pass us its own session).
+RUNTIME_REQUIRED_CONF: dict[str, str] = {
+    # events.parquet stores TIMESTAMP(NANOS); Spark 4.x rejects it by default
+    # (PARQUET_TYPE_ILLEGAL). Read nanos as bigint, convert explicitly
+    # (integer division — see sources/fixtures.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Oracle (DuckDB) timestamps are UTC-naive; pin the session zone.
+    "spark.sql.session.timeZone": "UTC",
+    # Spark 4 ANSI mode makes malformed casts throw; the reference's pandas
+    # semantics (and our try_*-style parsers) want NULL-on-error. We use
+    # try_* functions explicitly where it matters, but keep ANSI off so
+    # reference-shaped messy-string parsing behaves permissively.
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "challenge8_movies_etl_spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a local SparkSession with scale-aware defaults.
+
+    At 100 TB the same logical plans run unchanged; only
+    ``spark.sql.shuffle.partitions`` (sized ~2-3x total cores; AQE
+    coalesces down) and memory knobs move to cluster values.
+    """
+    cpus = default_parallelism()
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime partition coalescing, skew-join splitting, broadcast
+        # demotion — the 100 TB safety net for every shuffle in this repo.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    for k, v in RUNTIME_REQUIRED_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    apply_required_conf(spark)
+    return spark
+
+
+def apply_required_conf(spark: SparkSession) -> None:
+    """Re-apply runtime-settable required confs on an externally built
+    session (the verify driver constructs its own)."""
+    for k, v in RUNTIME_REQUIRED_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # static conf on this build — builder path set it
+            pass

@@ -1,0 +1,142 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query on Spark and its oracle SQL on DuckDB over
+the same parquet (default sf0.01), then compares row count, column-name
+set, and order-insensitive canonicalized values (columns sorted by name,
+rows sorted lexicographically) — a stand-in for the driver's value-hash.
+
+Usage: python tools/check.py [--sf DIR] [qid ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import math
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import duckdb  # noqa: E402
+
+TABLES = ("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def canon_cell(v) -> str:
+    import numpy as np
+    import pandas as pd
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float) or isinstance(v, np.floating):
+        f = float(v)
+        if math.isnan(f):
+            return "NULL"
+        if f == 0.0:
+            f = 0.0  # normalize -0.0
+        return repr(f)
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, pd.Timestamp):
+        if pd.isna(v):
+            return "NULL"
+        return v.isoformat()
+    if isinstance(v, (dt.datetime, dt.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+
+def canon_frame(pdf):
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(canon_cell(row[c]) for c in cols)
+        for _, row in pdf[cols].iterrows()
+    ]
+    rows.sort()
+    return cols, rows
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("qids", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    from challenge8_movies_etl_spark.session import get_spark
+    spark = get_spark("oracle-check")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    qids = args.qids or sorted(queries)
+    n_pass = n_fail = n_rows_only = 0
+    failures: list[str] = []
+    for qid in qids:
+        t0 = time.time()
+        try:
+            sdf = queries[qid](spark, args.sf)
+            spd = sdf.toPandas()
+        except Exception as exc:  # noqa: BLE001
+            n_fail += 1
+            failures.append(qid)
+            print(f"FAIL  {qid}: Spark error: {type(exc).__name__}: {exc}")
+            continue
+        if qid not in oracles:
+            n_rows_only += 1
+            print(f"rows  {qid}: {len(spd)} rows (rows-only, no oracle) "
+                  f"[{time.time()-t0:.2f}s]")
+            continue
+        try:
+            opd = con.execute(oracles[qid]).df()
+        except Exception as exc:  # noqa: BLE001
+            n_fail += 1
+            failures.append(qid)
+            print(f"FAIL  {qid}: DuckDB error: {type(exc).__name__}: {exc}")
+            continue
+        scols, srows = canon_frame(spd)
+        ocols, orows = canon_frame(opd)
+        msg = None
+        if scols != ocols:
+            msg = f"columns differ: spark={scols} oracle={ocols}"
+        elif len(srows) != len(orows):
+            msg = f"row counts differ: spark={len(srows)} oracle={len(orows)}"
+        elif srows != orows:
+            diffs = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
+            msg = f"values differ; first diffs (spark vs oracle): {diffs}"
+        if msg:
+            n_fail += 1
+            failures.append(qid)
+            print(f"FAIL  {qid}: {msg}")
+        else:
+            n_pass += 1
+            print(f"PASS  {qid}: {len(srows)} rows [{time.time()-t0:.2f}s]")
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only"
+          + (f"  FAILURES: {failures}" if failures else ""))
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
