@@ -1,1 +1,273 @@
-"""Placeholder — filled in by subsequent milestones."""
+"""Category D — joins.
+
+The reference implements exactly two joins: inner wiki⋈kaggle on
+imdb_id (challenge.py≈L146-150 [R]) and left movies⋈pivoted-ratings on
+kaggle_id (≈L192-194 [R]); the full Spark join surface is declared per
+SURVEY.md §2.D. Scale notes per query: which side broadcasts, where the
+shuffle lands, and what AQE is expected to do at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions.hashsafe import dsum, sql_dsum
+from .registry import query
+from .sources.fixtures import load_table
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_join_inner(spark, sf_dir):
+    """Equi inner join (the wiki⋈kaggle-on-imdb_id analog,
+    challenge.py≈L146-150 [R]).
+
+    Left to Catalyst: at fixture scale AQE turns this into a broadcast
+    hash join (customer is tiny); at 100 TB with both sides large it
+    becomes a shuffled sort-merge join on the key — same code. Skewed
+    custkeys are split by AQE skew-join handling.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "inner")
+            .select("c_custkey", "c_name", "o_orderkey", "o_totalprice"))
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT c.c_custkey, n.n_name, r.r_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def q_join_broadcast(spark, sf_dir):
+    """Broadcast hash join on dimension tables, hinted explicitly.
+
+    nation (25 rows) and region (5 rows) are the canonical broadcast
+    dims: F.broadcast() pins the plan so the fact side never shuffles —
+    at 100 TB this is a map-side join over every customer partition
+    with zero exchange.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .select("c_custkey", "n_name", "r_name"))
+
+
+@query(
+    "q_join_left",
+    oracle=f"""
+    SELECT c.c_custkey,
+           coalesce(oc.n_orders, 0) AS n_orders,
+           coalesce(oc.sum_price, 0.0) AS sum_price
+    FROM customer c
+    LEFT JOIN (
+      SELECT o_custkey, count(*) AS n_orders,
+             {sql_dsum('o_totalprice', 'sum_price')}
+      FROM orders GROUP BY o_custkey
+    ) oc ON c.c_custkey = oc.o_custkey
+    """,
+)
+def q_join_left(spark, sf_dir):
+    """Left outer join + fillna(0) on the right-side columns — the
+    reference's ratings-merge (challenge.py≈L192-195 [R]: left merge
+    then fillna(0) for movies with no ratings).
+
+    Aggregating BEFORE the join keeps the join input at |customers| x
+    |distinct custkeys| instead of |customers| x |orders| — the
+    classic pre-aggregation that matters at 100 TB.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    oc = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice", "sum_price"),
+    )
+    return (c.join(oc, c.c_custkey == oc.o_custkey, "left")
+            .select(
+                "c_custkey",
+                F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+                F.coalesce("sum_price", F.lit(0.0)).alias("sum_price"),
+            ))
+
+
+@query(
+    "q_join_multi_5way",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           count(*) AS n_lineitems,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q_join_multi_5way(spark, sf_dir):
+    """5-way join lineitem⋈orders⋈customer⋈nation⋈region + aggregation
+    (TPC-H Q5 shape).
+
+    Join order follows fact-to-dim cardinality; nation/region are
+    explicitly broadcast, orders⋈customer is left to AQE (broadcast at
+    fixture scale, shuffle at 100 TB). The final agg reduces to 25
+    groups, so the last shuffle is negligible regardless of scale.
+    """
+    t = {n: load_table(spark, sf_dir, n)
+         for n in ("lineitem", "orders", "customer", "nation", "region")}
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_lineitems"), dsum(revenue, "revenue"))
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_semi(spark, sf_dir):
+    """Left semi join: customers WITH orders (EXISTS). The probe side
+    streams; only the key set of orders is built — no row multiplication,
+    no payload shuffle from the right side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_name"))
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def q_join_anti(spark, sf_dir):
+    """Left anti join: customers WITHOUT any urgent order (NOT EXISTS;
+    restricted to urgent so the result is non-empty at every sf)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    SELECT e1.event_id AS eid_a, e2.event_id AS eid_b, e1.user_id
+    FROM events e1
+    JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts >= e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+     AND e1.event_id < e2.event_id
+    """,
+)
+def q_join_range(spark, sf_dir):
+    """Theta/interval self-join: event pairs per user within 5 minutes.
+
+    Spark has no native interval join; the Spark-first expression is an
+    equi-join on user_id with the range as a residual predicate —
+    nested-loop only WITHIN each user's join partition, never globally
+    quadratic. At 100 TB the additional trick is bucketing ts into
+    5-minute bands and equi-joining on (user_id, band) ∪ (user_id,
+    band+1) so each row meets only ~2 bands of candidates (implemented
+    in operators/rangejoin.py; semantics identical, used when per-key
+    cardinality is large).
+    """
+    e = load_table(spark, sf_dir, "events")
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    return (
+        e1.join(
+            e2,
+            (F.col("e1.user_id") == F.col("e2.user_id"))
+            & (F.col("e2.ts") >= F.col("e1.ts"))
+            & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 5 MINUTES"))
+            & (F.col("e1.event_id") < F.col("e2.event_id")),
+        )
+        .select(
+            F.col("e1.event_id").alias("eid_a"),
+            F.col("e2.event_id").alias("eid_b"),
+            F.col("e1.user_id").alias("user_id"),
+        )
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    WITH pairs AS (
+      SELECT e.event_id AS err_id, e.ts AS err_ts, e.user_id,
+             c.ts AS click_ts, c.event_id AS click_id
+      FROM events e
+      JOIN events c
+        ON c.user_id = e.user_id AND c.event_type = 'click' AND c.ts <= e.ts
+      WHERE e.event_type = 'error'
+    ),
+    latest AS (
+      SELECT err_id, max(err_ts) AS err_ts, max(user_id) AS user_id,
+             max(click_ts) AS asof_click_ts
+      FROM pairs GROUP BY err_id
+    )
+    SELECT l.err_id, l.err_ts, l.user_id, l.asof_click_ts,
+           max(p.click_id) AS asof_click_id
+    FROM latest l
+    JOIN pairs p ON p.err_id = l.err_id AND p.click_ts = l.asof_click_ts
+    GROUP BY l.err_id, l.err_ts, l.user_id, l.asof_click_ts
+    """,
+)
+def q_join_asof(spark, sf_dir):
+    """As-of join: for each 'error' event, the latest prior 'click' by
+    the same user (deterministic: ties on ts broken by max event_id).
+
+    Spark-first expression: equi-join on user_id + ts<= predicate, then
+    argmax via max(struct(ts, event_id)) — lexicographic struct max
+    gives (latest ts, then highest id) in one hash aggregation, no
+    window sort. operators/asof.py carries the applyInPandas
+    merge_asof variant for wide payloads at scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    errors = (e.filter(F.col("event_type") == "error")
+              .select(F.col("event_id").alias("err_id"),
+                      F.col("ts").alias("err_ts"),
+                      "user_id"))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user_id"),
+                      F.col("ts").alias("click_ts"),
+                      F.col("event_id").alias("click_id")))
+    joined = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") <= F.col("err_ts")),
+        "inner",
+    )
+    best = F.max(F.struct("click_ts", "click_id")).alias("best")
+    return (joined.groupBy("err_id", "err_ts", "user_id").agg(best)
+            .select(
+                "err_id", "err_ts", "user_id",
+                F.col("best.click_ts").alias("asof_click_ts"),
+                F.col("best.click_id").alias("asof_click_id"),
+            ))
