@@ -1,1 +1,237 @@
-"""Placeholder — filled in by subsequent milestones."""
+"""Category K — q_flagship_etl: the full Movies-ETL pipeline
+re-expressed Spark-first over the fixture tables.
+
+Mirrors the reference's extract_transform_load stages
+(challenge.py≈L60-210 [R], SURVEY.md §3.1) one-for-one:
+
+  reference stage                     │ here
+  ────────────────────────────────────┼─────────────────────────────────
+  extract wiki JSON / kaggle CSV      │ parquet scans of orders (the
+                                      │ messy "wiki side" is synthesized
+                                      │ deterministically — synth.py)
+  wiki keep-filter (director present, │ filter(director NOT NULL AND
+    imdb link, no episodes) ≈L72-76   │   n_episodes IS NULL)
+  clean_movie alt-titles map ≈L12-22  │ F.create_map + element_at
+  imdb_id regex extract ≈L82-85       │ regexp_extract(url, tt\\d{7})
+  drop_duplicates(imdb_id) ≈L85       │ row_number()=1 per imdb_id
+                                      │   (deterministic: min movie_id)
+  parse $ / dates / runtime ≈L90-132  │ functions/parsing.py builders
+  kaggle casts+zero-fills ≈L134-144   │ when/otherwise casts
+  inner merge on key ≈L146-150        │ equi join (AQE picks strategy)
+  outlier row drop ≈L152-154          │ datediff compound predicate
+  conditional fills ≈L160-170         │ when(kaggle==0, wiki)
+  ratings pivot + left join ≈L187-195 │ explicit-values pivot + left
+                                      │   join + fillna(0)
+  final 31-col projection ≈L172-185   │ 25-col aliased projection
+
+Single lazy DataFrame graph end-to-end: Catalyst fuses the whole wiki
+side (synth → filter → regex parses) into one codegen'd stage over the
+parquet scan; only the dedup window, the join, and the pivot shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .functions.parsing import (
+    parse_date_multiformat_col,
+    parse_date_multiformat_sql,
+    parse_dollars_col,
+    parse_dollars_sql,
+    parse_runtime_col,
+    parse_runtime_sql,
+)
+from .functions.synth import (
+    DATE_SYNTH_DUCK,
+    DATE_SYNTH_SPARK,
+    DIRECTOR_SYNTH,
+    EPISODES_SYNTH,
+    IMDB_URL_SYNTH,
+    MONEY_SYNTH,
+    RUNTIME_SYNTH,
+)
+from .queries_aggs import EVENT_TYPES
+from .registry import query
+from .sources.fixtures import load_table
+
+_EVT_CASES = ", ".join(
+    f"count(CASE WHEN event_type = '{v}' THEN 1 END) AS evt_{v}"
+    for v in EVENT_TYPES
+)
+
+_FLAGSHIP_ORACLE = rf"""
+WITH wiki_raw AS (
+  SELECT o_orderkey AS movie_id,
+         'Movie ' || cast(o_orderkey as string) AS title,
+         {DIRECTOR_SYNTH} AS director,
+         {EPISODES_SYNTH} AS n_episodes,
+         {IMDB_URL_SYNTH} AS url,
+         {MONEY_SYNTH} AS box_office_str,
+         {DATE_SYNTH_DUCK} AS release_date_str,
+         {RUNTIME_SYNTH} AS runtime_str
+  FROM orders
+),
+wiki_kept AS (
+  SELECT * FROM wiki_raw
+  WHERE director IS NOT NULL AND url IS NOT NULL AND n_episodes IS NULL
+),
+wiki_parsed AS (
+  SELECT movie_id, title, director, url, box_office_str,
+         release_date_str, runtime_str,
+         regexp_extract(url, '(tt\d{{7}})', 1) AS imdb_id,
+         {parse_dollars_sql('box_office_str')} AS box_office_wiki,
+         {parse_date_multiformat_sql('release_date_str')} AS release_ts_wiki,
+         {parse_runtime_sql('runtime_str')} AS runtime_wiki,
+         'Pelicula ' || cast(movie_id as string) AS alt_title_es,
+         'Film ' || cast(movie_id as string) AS alt_title_fr
+  FROM wiki_kept
+),
+wiki AS (
+  SELECT * FROM wiki_parsed
+  QUALIFY row_number() OVER (PARTITION BY imdb_id ORDER BY movie_id) = 1
+),
+kaggle AS (
+  SELECT o_orderkey AS kaggle_id,
+         o_orderstatus AS status,
+         o_totalprice AS revenue,
+         o_orderpriority AS priority,
+         CASE WHEN o_orderkey % 7 = 0 THEN 0.0 ELSE o_totalprice END
+           AS budget_kaggle,
+         o_orderdate AS release_date_kaggle,
+         CASE WHEN o_orderkey % 11 = 0 THEN 0
+              ELSE o_orderkey % 180 + 60 END AS runtime_kaggle
+  FROM orders
+),
+merged AS (
+  SELECT * FROM wiki JOIN kaggle ON wiki.movie_id = kaggle.kaggle_id
+  WHERE date_diff('day', cast(release_ts_wiki as date),
+                  cast(release_date_kaggle as date)) <= 350
+),
+filled AS (
+  SELECT *,
+         CASE WHEN budget_kaggle = 0 THEN box_office_wiki
+              ELSE budget_kaggle END AS budget_filled,
+         CASE WHEN runtime_kaggle = 0 THEN runtime_wiki
+              ELSE runtime_kaggle END AS runtime_filled,
+         movie_id % 150 AS user_key
+  FROM merged
+),
+ratings AS (
+  SELECT user_id, {_EVT_CASES} FROM events GROUP BY user_id
+)
+SELECT f.movie_id, f.imdb_id, f.url, f.title, f.director,
+       f.alt_title_es, f.alt_title_fr,
+       f.box_office_str, f.box_office_wiki,
+       f.budget_kaggle, f.budget_filled,
+       f.release_date_str,
+       cast(cast(f.release_ts_wiki as date) as string) AS release_date_wiki,
+       f.release_date_kaggle,
+       f.runtime_str, f.runtime_wiki, f.runtime_kaggle, f.runtime_filled,
+       f.status, f.revenue, f.priority, f.user_key,
+       coalesce(r.evt_click, 0) AS evt_click,
+       coalesce(r.evt_view, 0) AS evt_view,
+       coalesce(r.evt_purchase, 0) AS evt_purchase,
+       coalesce(r.evt_signup, 0) AS evt_signup,
+       coalesce(r.evt_error, 0) AS evt_error
+FROM filled f LEFT JOIN ratings r ON f.user_key = r.user_id
+"""
+
+
+@query("q_flagship_etl", oracle=_FLAGSHIP_ORACLE)
+def q_flagship_etl(spark, sf_dir):
+    """The flagship end-to-end pipeline (SURVEY.md §2.K) — also the
+    driver's ``entry()`` smoke query at sf0.001."""
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+
+    # -- wiki side: synthesize messy records, filter, clean, parse ------
+    wiki_raw = orders.selectExpr(
+        "o_orderkey AS movie_id",
+        "'Movie ' || cast(o_orderkey as string) AS title",
+        f"{DIRECTOR_SYNTH} AS director",
+        f"{EPISODES_SYNTH} AS n_episodes",
+        f"{IMDB_URL_SYNTH} AS url",
+        f"{MONEY_SYNTH} AS box_office_str",
+        f"{DATE_SYNTH_SPARK} AS release_date_str",
+        f"{RUNTIME_SYNTH} AS runtime_str",
+    )
+    wiki_kept = wiki_raw.filter(
+        F.col("director").isNotNull()
+        & F.col("url").isNotNull()
+        & F.col("n_episodes").isNull()
+    )
+    # clean_movie's alt_titles fold: a real MapType column, projected
+    # back to scalar columns for the oracle compare (SURVEY.md §2.C map row)
+    alt_titles = F.create_map(
+        F.lit("es"), F.concat(F.lit("Pelicula "), F.col("movie_id").cast("string")),
+        F.lit("fr"), F.concat(F.lit("Film "), F.col("movie_id").cast("string")),
+    )
+    wiki_parsed = wiki_kept.select(
+        "movie_id", "title", "director", "url", "box_office_str",
+        "release_date_str", "runtime_str",
+        F.regexp_extract("url", r"(tt\d{7})", 1).alias("imdb_id"),
+        parse_dollars_col("box_office_str").alias("box_office_wiki"),
+        parse_date_multiformat_col("release_date_str").alias("release_ts_wiki"),
+        parse_runtime_col("runtime_str").alias("runtime_wiki"),
+        alt_titles.alias("alt_titles"),
+    ).withColumns({
+        "alt_title_es": F.element_at("alt_titles", "es"),
+        "alt_title_fr": F.element_at("alt_titles", "fr"),
+    }).drop("alt_titles")
+    # deterministic dedup: keep min movie_id per imdb_id
+    wiki = (wiki_parsed
+            .withColumn("_rn", F.row_number().over(
+                W.partitionBy("imdb_id").orderBy("movie_id")))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+    # -- kaggle side: typed columns + zero-fill synthesis ---------------
+    kaggle = orders.selectExpr(
+        "o_orderkey AS kaggle_id",
+        "o_orderstatus AS status",
+        "o_totalprice AS revenue",
+        "o_orderpriority AS priority",
+        "CASE WHEN o_orderkey % 7 = 0 THEN 0.0 ELSE o_totalprice END"
+        " AS budget_kaggle",
+        "o_orderdate AS release_date_kaggle",
+        "CASE WHEN o_orderkey % 11 = 0 THEN 0"
+        " ELSE o_orderkey % 180 + 60 END AS runtime_kaggle",
+    )
+
+    # -- merge + outlier drop (the Holiday/From-Here-to-Eternity row) ---
+    merged = wiki.join(kaggle, wiki.movie_id == kaggle.kaggle_id, "inner")
+    merged = merged.filter(
+        F.datediff(F.to_date("release_date_kaggle"), F.to_date("release_ts_wiki"))
+        <= 350
+    )
+
+    # -- conditional fills (fill_missing_kaggle_data analog) ------------
+    filled = merged.withColumns({
+        "budget_filled": F.when(F.col("budget_kaggle") == 0,
+                                F.col("box_office_wiki"))
+                          .otherwise(F.col("budget_kaggle")),
+        "runtime_filled": F.when(F.col("runtime_kaggle") == 0,
+                                 F.col("runtime_wiki"))
+                           .otherwise(F.col("runtime_kaggle")),
+        "user_key": F.col("movie_id") % 150,
+    })
+
+    # -- ratings analog: explicit-values pivot + left join + fillna 0 ---
+    ratings = (events.groupBy("user_id")
+               .pivot("event_type", EVENT_TYPES).count())
+    filled = filled.join(ratings, filled.user_key == ratings.user_id, "left")
+
+    return filled.select(
+        "movie_id", "imdb_id", "url", "title", "director",
+        "alt_title_es", "alt_title_fr",
+        "box_office_str", "box_office_wiki",
+        "budget_kaggle", "budget_filled",
+        "release_date_str",
+        F.col("release_ts_wiki").cast("date").cast("string")
+        .alias("release_date_wiki"),
+        "release_date_kaggle",
+        "runtime_str", "runtime_wiki", "runtime_kaggle", "runtime_filled",
+        "status", "revenue", "priority", "user_key",
+        *[F.coalesce(F.col(v), F.lit(0)).alias(f"evt_{v}")
+          for v in EVENT_TYPES],
+    )

@@ -1,86 +1,48 @@
 """Category C — string / regex / date / math / JSON / array scalar functions.
 
 This is the reference's heart: ``parse_dollars`` + the date/runtime
-regex parsers (challenge.py≈L90-132 [R], SURVEY.md §0 legend). All are
-implemented as NATIVE column expressions (regexp_replace /
-regexp_extract / when-otherwise arithmetic) — no Python UDF on the hot
+regex parsers (challenge.py≈L90-132 [R], SURVEY.md §0 legend). The
+parsers live in functions/parsing.py as reusable Column builders (plus
+their DuckDB-SQL twins); these queries wire them to deterministically
+synthesized messy inputs (functions/synth.py — integer-only string
+building so both engines construct identical data).
+
+All parsing is NATIVE column expressions — no Python UDF on the hot
 path, so the whole parse stays inside whole-stage codegen. The same
 semantics are additionally proven through the UDF path in
 queries_udf.py (q_udf_scalar), mirroring how the reference actually ran
 them (row-wise Python).
-
-Messy inputs are synthesized deterministically from ``orders`` using
-INTEGER-only string building (lpad/concat of ints): float→string
-formatting differs between engines, integer formatting does not, so
-both Spark and the DuckDB oracle construct bit-identical inputs.
-
-Regex dialect: Spark is java.util.regex, DuckDB is RE2 — patterns here
-stay in the shared subset (no lookarounds, no backrefs; SURVEY.md §7.3).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .functions.parsing import (
+    parse_date_multiformat_col,
+    parse_date_multiformat_sql,
+    parse_dollars_col,
+    parse_dollars_sql,
+    parse_runtime_col,
+    parse_runtime_sql,
+)
+from .functions.synth import (
+    DATE_SYNTH_DUCK,
+    DATE_SYNTH_SPARK,
+    IMDB_URL_SYNTH,
+    MONEY_SYNTH,
+    RUNTIME_SYNTH,
+)
 from .registry import query
 from .sources.fixtures import load_table
-
-# --- shared synthesis SQL (DuckDB dialect == Spark SQL for these) -------
-
-_MONEY_SYNTH = """
-    CASE o_orderkey % 6
-      WHEN 0 THEN '$' || cast(o_orderkey % 900 + 100 as string)
-                  || '.' || cast(o_orderkey % 10 as string) || ' million'
-      WHEN 1 THEN '$' || cast(o_orderkey % 9 + 1 as string)
-                  || '.' || cast(o_orderkey % 10 as string) || ' billion'
-      WHEN 2 THEN '$' || cast(o_orderkey % 900 + 100 as string)
-                  || ',' || lpad(cast((o_orderkey * 7) % 1000 as string), 3, '0')
-                  || ',' || lpad(cast((o_orderkey * 13) % 1000 as string), 3, '0')
-      WHEN 3 THEN '$' || cast(o_orderkey % 8 + 1 as string)
-                  || '.' || cast(o_orderkey % 10 as string)
-                  || '-' || cast(o_orderkey % 8 + 2 as string)
-                  || '.' || cast(o_orderkey % 10 as string) || ' million'
-      WHEN 4 THEN '$' || cast(o_orderkey % 900 + 100 as string)
-                  || '.' || cast(o_orderkey % 10 as string) || ' million['
-                  || cast(o_orderkey % 25 + 1 as string) || ']'
-      ELSE 'N/A'
-    END
-"""
-
-# parse_dollars pipeline, expressible identically in both SQL dialects:
-# 1. strip wiki citations [n]; 2. collapse "$lo-hi" ranges to "$hi";
-# 3. first-match-wins across the three money forms.
-_MONEY_PARSE = r"""
-    CASE
-      WHEN m_mill <> '' THEN cast(m_mill as double) * 1e6
-      WHEN m_bill <> '' THEN cast(m_bill as double) * 1e9
-      WHEN m_comma <> '' THEN cast(replace(m_comma, ',', '') as double)
-      ELSE NULL
-    END
-"""
-
-
-def _money_extract_sql(src: str) -> str:
-    return rf"""
-      SELECT o_orderkey, raw_money,
-             regexp_extract(cleaned, '\$\s*(\d+\.?\d*)\s*million', 1) AS m_mill,
-             regexp_extract(cleaned, '\$\s*(\d+\.?\d*)\s*billion', 1) AS m_bill,
-             regexp_extract(cleaned, '\$\s*(\d{{1,3}}(?:,\d{{3}})+)', 1) AS m_comma
-      FROM (
-        SELECT o_orderkey, raw_money,
-               regexp_replace(
-                 regexp_replace(raw_money, '\[\d+\]', ''),
-                 '\$\s*\d+\.?\d*\s*[-–—]\s*', '$') AS cleaned
-        FROM (SELECT o_orderkey, {_MONEY_SYNTH} AS raw_money FROM {src})
-      )
-    """
 
 
 @query(
     "q_dollar_parse",
     oracle=f"""
-    SELECT o_orderkey, raw_money, {_MONEY_PARSE} AS parsed_dollars
-    FROM ({_money_extract_sql('orders')})
+    SELECT o_orderkey, raw_money,
+           {parse_dollars_sql('raw_money')} AS parsed_dollars
+    FROM (SELECT o_orderkey, {MONEY_SYNTH} AS raw_money FROM orders)
     """,
 )
 def q_dollar_parse(spark, sf_dir):
@@ -90,66 +52,25 @@ def q_dollar_parse(spark, sf_dir):
     x1e6 / x1e9 / comma-strip), after collapsing '$lo-hi' ranges to the
     upper bound and stripping '[n]' citations
     (challenge.py≈L(module)+L90-115 [R]; forms form_one/form_two).
-    Reference ran this as a row-wise Python function over a pandas
-    Series; here it is one codegen'd expression tree — ~100x less
-    per-row overhead and trivially distributed.
+    The reference ran this as a row-wise Python function over a pandas
+    Series; here it is one codegen'd expression tree — no Python
+    boundary, trivially distributed.
     """
     o = load_table(spark, sf_dir, "orders")
-    # Synthesis SQL is backslash-free, so it is safe in selectExpr; the
-    # regex steps use the DataFrame API because Spark SQL string literals
-    # eat backslashes ('\d' -> 'd') while DuckDB's do not.
-    synth = o.selectExpr("o_orderkey", f"{_MONEY_SYNTH} AS raw_money")
-    cleaned = F.regexp_replace(
-        F.regexp_replace("raw_money", r"\[\d+\]", ""),
-        # Java replacement strings treat '$' as a group ref -> escape it
-        # (DuckDB's RE2 replacement takes '$' literally, so the oracle
-        # SQL keeps a bare '$').
-        r"\$\s*\d+\.?\d*\s*[-–—]\s*", r"\$")
-    ext = synth.select(
+    synth = o.selectExpr("o_orderkey", f"{MONEY_SYNTH} AS raw_money")
+    return synth.select(
         "o_orderkey", "raw_money",
-        F.regexp_extract(cleaned, r"\$\s*(\d+\.?\d*)\s*million", 1).alias("m_mill"),
-        F.regexp_extract(cleaned, r"\$\s*(\d+\.?\d*)\s*billion", 1).alias("m_bill"),
-        F.regexp_extract(cleaned, r"\$\s*(\d{1,3}(?:,\d{3})+)", 1).alias("m_comma"),
+        parse_dollars_col("raw_money").alias("parsed_dollars"),
     )
-    parsed = (
-        F.when(F.col("m_mill") != "", F.col("m_mill").cast("double") * 1e6)
-        .when(F.col("m_bill") != "", F.col("m_bill").cast("double") * 1e9)
-        .when(F.col("m_comma") != "",
-              F.replace(F.col("m_comma"), F.lit(","), F.lit("")).cast("double"))
-    )
-    return ext.select("o_orderkey", "raw_money", parsed.alias("parsed_dollars"))
-
-
-_DATE_SYNTH_SPARK = """
-    CASE o_orderkey % 4
-      WHEN 0 THEN date_format(o_orderdate, 'MMMM d, yyyy')
-      WHEN 1 THEN date_format(o_orderdate, 'yyyy-MM-dd')
-      WHEN 2 THEN date_format(o_orderdate, 'MMMM yyyy')
-      ELSE date_format(o_orderdate, 'yyyy')
-    END
-"""
-
-_DATE_SYNTH_DUCK = """
-    CASE o_orderkey % 4
-      WHEN 0 THEN strftime(o_orderdate, '%B %-d, %Y')
-      WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d')
-      WHEN 2 THEN strftime(o_orderdate, '%B %Y')
-      ELSE strftime(o_orderdate, '%Y')
-    END
-"""
 
 
 @query(
     "q_date_multiformat",
     oracle=f"""
     SELECT o_orderkey, date_str,
-           cast(cast(coalesce(
-             try_strptime(date_str, '%B %d, %Y'),
-             try_strptime(date_str, '%Y-%m-%d'),
-             try_strptime(date_str, '%B %Y'),
-             try_strptime(date_str, '%Y')
-           ) as date) as string) AS parsed_date
-    FROM (SELECT o_orderkey, {_DATE_SYNTH_DUCK} AS date_str FROM orders)
+           cast(cast({parse_date_multiformat_sql('date_str')} as date)
+                as string) AS parsed_date
+    FROM (SELECT o_orderkey, {DATE_SYNTH_DUCK} AS date_str FROM orders)
     """,
 )
 def q_date_multiformat(spark, sf_dir):
@@ -162,76 +83,31 @@ def q_date_multiformat(spark, sf_dir):
     ISO date *string* so both engines' type systems agree exactly.
     """
     o = load_table(spark, sf_dir, "orders")
-    synth = o.selectExpr("o_orderkey", f"{_DATE_SYNTH_SPARK} AS date_str")
-    parsed = F.coalesce(
-        F.try_to_timestamp(F.col("date_str"), F.lit("MMMM d, yyyy")),
-        F.try_to_timestamp(F.col("date_str"), F.lit("yyyy-MM-dd")),
-        F.try_to_timestamp(F.col("date_str"), F.lit("MMMM yyyy")),
-        F.try_to_timestamp(F.col("date_str"), F.lit("yyyy")),
-    )
+    synth = o.selectExpr("o_orderkey", f"{DATE_SYNTH_SPARK} AS date_str")
     return synth.select(
         "o_orderkey", "date_str",
-        parsed.cast("date").cast("string").alias("parsed_date"),
+        parse_date_multiformat_col("date_str")
+        .cast("date").cast("string").alias("parsed_date"),
     )
-
-
-_RUNTIME_SYNTH = """
-    CASE o_orderkey % 3
-      WHEN 0 THEN cast(o_orderkey % 4 + 1 as string) || 'h '
-                  || cast(o_orderkey % 60 as string) || 'm'
-      WHEN 1 THEN cast(o_orderkey % 240 as string) || ' m'
-      ELSE 'unknown'
-    END
-"""
-
-_RUNTIME_PARSE = r"""
-    CASE
-      WHEN h_part <> '' THEN
-        cast(h_part as bigint) * 60
-        + CASE WHEN hm_part <> '' THEN cast(hm_part as bigint) ELSE 0 END
-      WHEN lone_m <> '' THEN cast(lone_m as bigint)
-      ELSE 0
-    END
-"""
-
-
-def _runtime_extract_sql(src: str) -> str:
-    return rf"""
-      SELECT o_orderkey, raw_runtime,
-             regexp_extract(raw_runtime, '(\d+)\s*h', 1) AS h_part,
-             regexp_extract(raw_runtime, 'h\s*(\d+)\s*m', 1) AS hm_part,
-             regexp_extract(raw_runtime, '^(\d+)\s*m$', 1) AS lone_m
-      FROM (SELECT o_orderkey, {_RUNTIME_SYNTH} AS raw_runtime FROM {src})
-    """
 
 
 @query(
     "q_runtime_parse",
     oracle=f"""
-    SELECT o_orderkey, raw_runtime, {_RUNTIME_PARSE} AS runtime_minutes
-    FROM ({_runtime_extract_sql('orders')})
+    SELECT o_orderkey, raw_runtime,
+           {parse_runtime_sql('raw_runtime')} AS runtime_minutes
+    FROM (SELECT o_orderkey, {RUNTIME_SYNTH} AS raw_runtime FROM orders)
     """,
 )
 def q_runtime_parse(spark, sf_dir):
     """Running-time parse: '(d+)h (d*)m' → h*60+m, else '(d+) m' → m,
     unparseable → 0 (the reference's NaN→0, challenge.py≈L125-132 [R])."""
     o = load_table(spark, sf_dir, "orders")
-    synth = o.selectExpr("o_orderkey", f"{_RUNTIME_SYNTH} AS raw_runtime")
-    ext = synth.select(
+    synth = o.selectExpr("o_orderkey", f"{RUNTIME_SYNTH} AS raw_runtime")
+    return synth.select(
         "o_orderkey", "raw_runtime",
-        F.regexp_extract("raw_runtime", r"(\d+)\s*h", 1).alias("h_part"),
-        F.regexp_extract("raw_runtime", r"h\s*(\d+)\s*m", 1).alias("hm_part"),
-        F.regexp_extract("raw_runtime", r"^(\d+)\s*m$", 1).alias("lone_m"),
+        parse_runtime_col("raw_runtime").alias("runtime_minutes"),
     )
-    minutes = (
-        F.when(F.col("h_part") != "",
-               F.col("h_part").cast("bigint") * 60
-               + F.when(F.col("hm_part") != "",
-                        F.col("hm_part").cast("bigint")).otherwise(0))
-        .when(F.col("lone_m") != "", F.col("lone_m").cast("bigint"))
-        .otherwise(0)
-    )
-    return ext.select("o_orderkey", "raw_runtime", minutes.alias("runtime_minutes"))
 
 
 @query(
@@ -275,27 +151,16 @@ def q_string_funcs(spark, sf_dir):
 
 @query(
     "q_regex_extract",
-    oracle=r"""
-    SELECT o_orderkey, url, regexp_extract(url, '(tt\d{7})', 1) AS imdb_id
-    FROM (
-      SELECT o_orderkey,
-             'https://www.imdb.com/title/tt'
-               || lpad(cast(o_orderkey % 10000000 as string), 7, '0')
-               || '/' AS url
-      FROM orders
-    )
+    oracle=rf"""
+    SELECT o_orderkey, url, regexp_extract(url, '(tt\d{{7}})', 1) AS imdb_id
+    FROM (SELECT o_orderkey, {IMDB_URL_SYNTH} AS url FROM orders)
     """,
 )
 def q_regex_extract(spark, sf_dir):
     """imdb_id extraction from URL: str.extract(r'(tt\\d{7})')
     (challenge.py≈L82-85 [R])."""
     o = load_table(spark, sf_dir, "orders")
-    url = F.concat(
-        F.lit("https://www.imdb.com/title/tt"),
-        F.lpad((F.col("o_orderkey") % 10000000).cast("string"), 7, "0"),
-        F.lit("/"),
-    )
-    return (o.select("o_orderkey", url.alias("url"))
+    return (o.selectExpr("o_orderkey", f"{IMDB_URL_SYNTH} AS url")
             .withColumn("imdb_id", F.regexp_extract("url", r"(tt\d{7})", 1)))
 
 
