@@ -1,1 +1,169 @@
-"""Placeholder — filled in by subsequent milestones."""
+"""Category J — streaming operators over the ``events`` table.
+
+The reference's closest analog is its chunked 1M-row ratings load with
+progress printing (challenge.py≈L203-210 [R]) — incremental
+micro-batches, which is exactly Structured Streaming's model.
+
+Design (SURVEY.md §2.J): every windowed operator is built on the SAME
+expressions in batch and streaming mode — batch mode is what the DuckDB
+oracle checks; q_stream_replay_tumbling additionally runs the real
+Structured Streaming machinery (readStream → watermark → windowed agg →
+memory sink) inside the query and is held to the SAME oracle as the
+batch tumbling query, proving batch/stream equivalence end-to-end.
+Watermark late-data semantics are not batch-expressible and are covered
+by replay tests (tests/test_streaming.py), per SURVEY.md §7.3.
+
+Window alignment: Spark windows are epoch-aligned, start-inclusive /
+end-exclusive; oracles reproduce that with integer-microsecond floor
+arithmetic (no float timestamps anywhere).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from .registry import query
+from .sources.fixtures import load_table
+
+_US_30MIN = 30 * 60 * 1_000_000
+_US_5MIN = 5 * 60 * 1_000_000
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark, sf_dir):
+    """Tumbling 1-hour counts per event_type (batch mode of the
+    streaming aggregation; same plan incrementalizes under readStream).
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 hour"), "event_type")
+            .count()
+            .select(F.col("window.start").alias("window_start"),
+                    "event_type",
+                    F.col("count").alias("n")))
+
+
+@query(
+    "q_stream_sliding",
+    oracle=f"""
+    WITH b AS (
+      SELECT make_timestamp(
+               (epoch_us(ts) // {_US_30MIN}) * {_US_30MIN}) AS window_start,
+             event_type
+      FROM events
+      UNION ALL
+      SELECT make_timestamp(
+               (epoch_us(ts) // {_US_30MIN}) * {_US_30MIN} - {_US_30MIN}),
+             event_type
+      FROM events
+    )
+    SELECT window_start, event_type, count(*) AS n
+    FROM b GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark, sf_dir):
+    """Sliding 1-hour / 30-minute counts — every event lands in exactly
+    two windows; the oracle is the UNION ALL of the two 30-minute-aligned
+    bucketings (SURVEY.md §7.3)."""
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+            .count()
+            .select(F.col("window.start").alias("window_start"),
+                    "event_type",
+                    F.col("count").alias("n")))
+
+
+@query(
+    "q_session_window",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, us,
+             sum(CASE WHEN prev_us IS NULL
+                       OR us - prev_us >= {_US_5MIN} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess
+      FROM g
+    )
+    SELECT user_id,
+           make_timestamp(min(us)) AS session_start,
+           make_timestamp(max(us) + {_US_5MIN}) AS session_end,
+           count(*) AS n_events
+    FROM m GROUP BY user_id, sess
+    """,
+)
+def q_session_window(spark, sf_dir):
+    """5-minute-gap sessions per user via F.session_window (99,233
+    sessions at sf0.1, SURVEY.md §2.J). Oracle: gaps-and-islands (lag +
+    cumulative new-session flag). Boundary semantics matched exactly: a
+    gap of precisely 5 minutes starts a NEW session (Spark merges only
+    strictly-overlapping [ts, ts+gap) windows); session_end is last
+    event + gap."""
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy(F.session_window("ts", "5 minutes"), "user_id")
+            .count()
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                F.col("count").alias("n_events"),
+            ))
+
+
+@query(
+    "q_stream_replay_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_replay_tumbling(spark, sf_dir):
+    """REAL Structured Streaming run, oracle-checked: readStream over
+    the events parquet → 10-minute watermark → tumbling window counts →
+    in-memory sink in complete mode → final state returned as the
+    result DataFrame. Hash-equal to the batch tumbling oracle, proving
+    the incremental path computes the same answer as the batch path.
+
+    At scale this exact pipeline runs unbounded with a real source
+    (file/kafka) and RocksDB state store; complete-mode memory sink
+    here is the bounded-replay harness form.
+    """
+    from .session import apply_required_conf
+    apply_required_conf(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file stream source wants a directory; glob down to events
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    # same ts repair as the batch loader (TIMESTAMP(NANOS) → micros)
+    stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    agg = (stream.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "1 hour"), "event_type")
+           .count()
+           .select(F.col("window.start").alias("window_start"),
+                   "event_type",
+                   F.col("count").alias("n")))
+    name = f"replay_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    return spark.table(name)
