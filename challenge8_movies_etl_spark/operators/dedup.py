@@ -1,0 +1,136 @@
+"""Deduplication operators for training-data pipelines.
+
+No reference analog beyond drop_duplicates (challenge.py≈L85 [R]) —
+mandated by the north star (BASELINE.json:6). Ladder of fidelity:
+
+- exact / signature dedup  → hash-groupBy (oracle-checkable)
+- n-gram Jaccard           → exact pairwise within blocks (oracle-checkable)
+- MinHash + LSH            → probabilistic candidates, exact verify
+- SimHash                  → 64-bit sketch + hamming banding
+
+MinHash/SimHash use Spark's murmur3 (F.hash) — engine-specific, so
+their queries are declared rows-only; the exact variants carry the
+DuckDB oracles.
+
+Scale: every variant is blocked (signature / band / length) so the
+worst case is per-block quadratic, never global — the property that
+survives 100 TB (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# signatures
+# ---------------------------------------------------------------------------
+
+
+def tokenset_signature(text: Column) -> Column:
+    """Canonical token-bag signature: md5 of the sorted distinct token
+    list. md5 is identical across engines → oracle-checkable."""
+    toks = F.sort_array(F.array_distinct(F.split(text, " ")))
+    return F.md5(F.concat_ws(" ", toks))
+
+
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """Distinct word n-gram shingles (sorted for determinism)."""
+    toks = F.split(text, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1)
+                                     for j in range(n)]),
+    )
+    return F.sort_array(F.array_distinct(grams))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays (integer set
+    sizes → one double division, deterministic)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
+    return inter / union
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (scale path; rows-only)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
+    """n_hashes-wide MinHash signature: per seed, the min murmur3 hash
+    over the shingle set. array<int> column."""
+    return F.array(*[
+        F.array_min(F.transform(shingles, lambda s: F.hash(s, F.lit(seed))))
+        for seed in range(n_hashes)
+    ])
+
+
+def lsh_candidate_pairs(docs: DataFrame, id_col: str, shingle_col: str,
+                        n_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Banded LSH: split the signature into ``bands`` bands of
+    n_hashes/bands rows each; docs sharing any band bucket become
+    candidate pairs.
+
+    The band join is an equi-join on (band_idx, band_hash) — at 100 TB
+    this shuffles only (id, 64-bit bucket) pairs, and each bucket is a
+    small block; the quadratic step is per-bucket only. Returns
+    (id_a, id_b) with id_a < id_b, deduplicated across bands.
+    """
+    rows = n_hashes // bands
+    sig = docs.select(id_col, minhash_signature(F.col(shingle_col),
+                                                n_hashes).alias("sig"))
+    banded = sig.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[
+                    F.element_at("sig", b * rows + r + 1).cast("string")
+                    for r in range(rows)
+                ])).alias("bucket"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, (F.col(f"a.band") == F.col(f"b.band"))
+                   & (F.col(f"a.bucket") == F.col(f"b.bucket"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+
+
+# ---------------------------------------------------------------------------
+# SimHash (rows-only)
+# ---------------------------------------------------------------------------
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash over a token array: per bit, sign of the sum of
+    ±1 contributions from each token's 64-bit murmur hash (F.xxhash64).
+    Pure array expressions — no UDF, stays in codegen."""
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    bits = [
+        F.when(
+            F.aggregate(
+                hashes, F.lit(0).cast("long"),
+                lambda acc, h: (acc + F.when(
+                    h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0,
+                    F.lit(1)).otherwise(F.lit(-1))).cast("long"),
+            ) > 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

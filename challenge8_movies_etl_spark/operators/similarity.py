@@ -1,0 +1,121 @@
+"""Similarity-search operators over embedding columns (array<float>).
+
+No reference analog — mandated by the north star (BASELINE.json:6) as
+LLM-data-pipeline capability; design informed by top-k similarity work
+(PAPERS.md: EDBT'20 incremental top-k; ICDE'21 REPOSE distributed
+top-k with local reference points).
+
+Hash discipline: cosine is computed with exact decimal accumulation of
+per-element double products (element-order reductions of floats differ
+between engines otherwise), then one double division + sqrt — identical
+bits on Spark and DuckDB, rounded to 4 dp at the edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashsafe import DEC
+
+DIMS = 64  # fixture embedding dimensionality (FIXTURES.md)
+
+
+def _dec_sum(arr: Column) -> Column:
+    """Exact, order-independent sum of an array<double> via decimal."""
+    # re-cast after the add: Spark widens decimal(30,10)+decimal(30,10)
+    # to decimal(31,10), but aggregate() requires the merge lambda to
+    # return the accumulator's exact type
+    return F.aggregate(
+        arr, F.lit(0).cast(DEC),
+        lambda acc, x: (acc + x.cast(DEC)).cast(DEC),
+    ).cast("double")
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return _dec_sum(F.zip_with(a, b,
+                               lambda x, y: x.cast("double") * y.cast("double")))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """cos(a, b) as an exact-reduction double (un-rounded)."""
+    return dot_col(a, b) / F.sqrt(dot_col(a, a) * dot_col(b, b))
+
+
+def cosine_sql(ea: str, eb: str, pair_src: str, pair_keys: str,
+               dims: int = DIMS) -> str:
+    """DuckDB twin: exact-decimal cosine for every row of ``pair_src``
+    (a relation with embedding columns ``ea``/``eb``), keyed by
+    ``pair_keys``. Expands dims via a static range join."""
+    def dsum(x: str, y: str) -> str:
+        return (f"cast(sum(cast(cast({x}[gs.i] as double) * "
+                f"cast({y}[gs.i] as double) as {DEC})) as double)")
+    return f"""
+      SELECT {pair_keys},
+             {dsum(ea, eb)} / sqrt({dsum(ea, ea)} * {dsum(eb, eb)}) AS cos_raw
+      FROM {pair_src}, range(1, {dims + 1}) gs(i)
+      GROUP BY {pair_keys}
+    """
+
+
+def brute_force_topk(embeddings: DataFrame, probe_id: int, k: int = 10) -> DataFrame:
+    """Baseline exact top-k: broadcast the probe row against every
+    vector. One scan, no shuffle except the final TakeOrderedAndProject
+    — the right plan when there is ONE probe, at any corpus size.
+    Returns (vec_id, cos) with deterministic (cos desc, vec_id) order.
+    """
+    probe = (embeddings.filter(F.col("vec_id") == probe_id)
+             .select(F.col("embedding").alias("probe_emb")))
+    scored = (embeddings.filter(F.col("vec_id") != probe_id)
+              .join(F.broadcast(probe))
+              .select(
+                  "vec_id",
+                  F.round(cosine_col(F.col("embedding"),
+                                     F.col("probe_emb")), 4).alias("cos"),
+              ))
+    return scored.orderBy(F.col("cos").desc(), F.col("vec_id")).limit(k)
+
+
+def ivf_topk(embeddings: DataFrame, probe_id: int, k: int = 10,
+             n_cells: int = 8, n_probe_cells: int = 2) -> DataFrame:
+    """IVF-style approximate top-k — the 100 TB scale path.
+
+    Coarse quantizer: the ``n_cells`` lowest-vec_id vectors act as
+    deterministic centroids (a real deployment k-means them; determinism
+    matters more here). Every vector is assigned to its nearest centroid
+    (one broadcast join — embarrassingly parallel); the probe searches
+    only its ``n_probe_cells`` nearest cells, cutting the scanned
+    fraction to ~n_probe_cells/n_cells of the corpus. Same contract as
+    brute_force_topk but approximate → registered rows-only.
+    """
+    cents = (embeddings.orderBy("vec_id").limit(n_cells)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("embedding").alias("cent_emb")))
+    # assign every vector to its nearest centroid
+    assigned = (embeddings.join(F.broadcast(cents))
+                .select("vec_id", "embedding", "cent_id",
+                        cosine_col(F.col("embedding"),
+                                   F.col("cent_emb")).alias("cc")))
+    best = (assigned.groupBy("vec_id")
+            .agg(F.max(F.struct("cc", "cent_id", "embedding")).alias("b"))
+            .select("vec_id", F.col("b.cent_id").alias("cell"),
+                    F.col("b.embedding").alias("embedding")))
+    probe_cells = (best.filter(F.col("vec_id") == probe_id)
+                   .select(F.col("cell").alias("probe_cell")))
+    # probe its own cell plus the centroid-nearest cells
+    probe_emb = (embeddings.filter(F.col("vec_id") == probe_id)
+                 .select(F.col("embedding").alias("probe_emb")))
+    cell_rank = (cents.join(F.broadcast(probe_emb))
+                 .select("cent_id",
+                         cosine_col(F.col("cent_emb"),
+                                    F.col("probe_emb")).alias("pc"))
+                 .orderBy(F.col("pc").desc(), F.col("cent_id"))
+                 .limit(n_probe_cells)
+                 .select(F.col("cent_id").alias("cell")))
+    cand = best.join(F.broadcast(cell_rank), "cell").filter(
+        F.col("vec_id") != probe_id)
+    scored = (cand.join(F.broadcast(probe_emb))
+              .select("vec_id",
+                      F.round(cosine_col(F.col("embedding"),
+                                         F.col("probe_emb")), 4).alias("cos")))
+    return scored.orderBy(F.col("cos").desc(), F.col("vec_id")).limit(k)

@@ -1,1 +1,520 @@
-"""Placeholder — filled in by subsequent milestones."""
+"""Category H+ — LLM-data-pipeline extensions (SURVEY.md §2.H and the
+north star's dedup / similarity / multimodal / text-analysis mandate).
+
+Operators live in operators/{dedup,similarity,text,multimodal}.py;
+these queries wire them to the documents/embeddings fixtures with
+DuckDB oracles wherever the computation is engine-portable (md5,
+exact set arithmetic, decimal-exact cosine). Murmur/xxhash-based
+sketches (MinHash-LSH, SimHash) and approximate ANN are rows-only by
+nature — their hash functions are engine-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions.hashsafe import DEC
+from .operators import multimodal
+from .operators.dedup import (
+    jaccard,
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash64,
+    tokenset_signature,
+    word_ngrams,
+)
+from .operators.similarity import brute_force_topk, cosine_col, dot_col, ivf_topk
+from .operators.text import (
+    BPE_ISH,
+    EN_STOPWORDS,
+    NEGATIVE,
+    POSITIVE,
+    bpe_ish_count,
+    bpe_ish_count_sql,
+    fingerprint_exact,
+    fingerprint_tokenset,
+    lexicon_count,
+    lexicon_count_sql,
+    quality_score,
+    quality_score_sql,
+    sentiment_score,
+    stopword_count,
+    token_count,
+    tokens,
+)
+from .registry import query
+from .sources.fixtures import load_table
+
+# ---------------------------------------------------------------------------
+# shared oracle CTEs
+# ---------------------------------------------------------------------------
+
+# exact-decimal norms for every vector (embedding FLOAT[64])
+_NORMS_CTE = f"""
+norms AS (
+  SELECT vec_id, label, embedding,
+         cast(sum(cast(cast(embedding[gs.i] as double)
+                       * cast(embedding[gs.i] as double)
+                       as {DEC})) as double) AS nrm
+  FROM embeddings, range(1, 65) gs(i)
+  GROUP BY vec_id, label, embedding
+)
+"""
+
+# same-label pair cosines (a.vec_id < b.vec_id), decimal-exact
+_PAIR_COS_CTE = f"""
+{_NORMS_CTE},
+dots AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label,
+         cast(sum(cast(cast(a.embedding[gs.i] as double)
+                       * cast(b.embedding[gs.i] as double)
+                       as {DEC})) as double) AS dot,
+         max(a.nrm) AS na, max(b.nrm) AS nb
+  FROM norms a
+  JOIN norms b ON a.label = b.label AND a.vec_id < b.vec_id,
+       range(1, 65) gs(i)
+  GROUP BY a.vec_id, b.vec_id, a.label
+),
+paircos AS (
+  SELECT va, vb, label, dot / sqrt(na * nb) AS cos_raw FROM dots
+)
+"""
+
+
+def _norm(e):  # Spark twin of the norms CTE
+    return dot_col(e, e)
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_dedup_tokenset",
+    oracle="""
+    SELECT md5(array_to_string(list_sort(list_distinct(
+             string_split(text, ' '))), ' ')) AS sig,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_members
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_tokenset(spark, sf_dir):
+    """Exact near-dup dedup by canonical token-set signature: md5 of the
+    sorted distinct tokens; keep min doc_id per signature (SURVEY.md
+    §2.H). One hash-groupBy — shuffle carries (16-byte sig, id) pairs
+    only, never document text; the 100 TB-safe exact-dedup shape."""
+    d = load_table(spark, sf_dir, "documents")
+    return (d.select(tokenset_signature(F.col("text")).alias("sig"), "doc_id")
+            .groupBy("sig")
+            .agg(F.min("doc_id").alias("keep_doc_id"),
+                 F.count("*").alias("n_members")))
+
+
+@query(
+    "q_dedup_ngram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT d.doc_id, d.lang,
+             list_sort(list_distinct(list(d.t[gs.i] || ' ' || d.t[gs.i + 1])))
+               AS g
+      FROM toks d JOIN range(1, 100000) gs(i) ON gs.i <= len(d.t) - 1
+      GROUP BY d.doc_id, d.lang
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(cast(len(list_intersect(a.g, b.g)) as double)
+                 / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4)
+             AS jac
+    FROM grams a
+    JOIN grams b ON a.lang = b.lang AND a.doc_id < b.doc_id
+                AND abs(len(a.g) - len(b.g)) <= 10
+    WHERE cast(len(list_intersect(a.g, b.g)) as double)
+          / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.2
+    """,
+)
+def q_dedup_ngram(spark, sf_dir):
+    """Exact word-bigram Jaccard near-dup pairs, blocked by lang with a
+    shingle-count band (|Δ|≤10 — implied by Jaccard≥0.2 up to slack, and
+    part of the declared semantics so both engines agree exactly).
+
+    This is the exact ground truth the MinHash path approximates; the
+    lang+size blocking keeps the pairwise step per-block quadratic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select("doc_id", "lang",
+                 word_ngrams(F.col("text"), 2).alias("g"))
+    a, b = g.alias("a"), g.alias("b")
+    jac = jaccard(F.col("a.g"), F.col("b.g"))
+    return (a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id"))
+                   & (F.abs(F.size("a.g") - F.size("b.g")) <= 10))
+            .filter(jac >= 0.2)
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.round(jac, 4).alias("jac")))
+
+
+@query("q_dedup_minhash")  # rows-only: murmur3-based sketch
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash(16) + 4-band LSH candidate pairs, exact-Jaccard verified
+    at >= 0.2 — the scale path for q_dedup_ngram: candidate generation
+    is an equi-join on band buckets (shuffle = (id, bucket) pairs), the
+    quadratic step is per-bucket only. Rows-only: murmur3 seeds are
+    engine-specific; tests assert candidates ⊇ high-Jaccard truth
+    (tests/test_llm_ops.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select("doc_id", word_ngrams(F.col("text"), 2).alias("g"))
+    cand = lsh_candidate_pairs(g, "doc_id", "g", n_hashes=16, bands=4)
+    ga = g.select(F.col("doc_id").alias("id_a"), F.col("g").alias("g_a"))
+    gb = g.select(F.col("doc_id").alias("id_b"), F.col("g").alias("g_b"))
+    verified = (cand.join(ga, "id_a").join(gb, "id_b")
+                .select("id_a", "id_b",
+                        F.round(jaccard(F.col("g_a"), F.col("g_b")), 4)
+                        .alias("jac"))
+                .filter(F.col("jac") >= 0.2))
+    return verified.orderBy("id_a", "id_b")
+
+
+@query("q_dedup_simhash")  # rows-only: xxhash64-based sketch
+def q_dedup_simhash(spark, sf_dir):
+    """64-bit SimHash signatures per document (pure array expressions,
+    no UDF) + per-doc count of same-lang signatures within Hamming
+    distance 16 — the constant-size sketch that replaces pairwise
+    Jaccard when shingle sets are large."""
+    from .operators.dedup import hamming64
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select("doc_id", "lang",
+                 simhash64(tokens(F.col("text"))).alias("sh"))
+    a, b = s.alias("a"), s.alias("b")
+    close = (a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                    & (F.col("a.doc_id") != F.col("b.doc_id"))
+                    & (hamming64(F.col("a.sh"), F.col("b.sh")) <= 16))
+             .groupBy(F.col("a.doc_id").alias("doc_id"))
+             .agg(F.count("*").alias("n_close")))
+    return (s.join(close, "doc_id", "left")
+            .select("doc_id", "sh",
+                    F.coalesce("n_close", F.lit(0)).alias("n_close"))
+            .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_similarity_topk",
+    oracle=f"""
+    WITH {_NORMS_CTE},
+    probe AS (SELECT embedding AS p, nrm AS pn FROM norms WHERE vec_id = 0),
+    dots AS (
+      SELECT n.vec_id,
+             cast(sum(cast(cast(n.embedding[gs.i] as double)
+                           * cast(probe.p[gs.i] as double)
+                           as {DEC})) as double) AS dot,
+             max(n.nrm) AS na, max(probe.pn) AS pn
+      FROM norms n, probe, range(1, 65) gs(i)
+      WHERE n.vec_id <> 0
+      GROUP BY n.vec_id
+    )
+    SELECT vec_id, round(dot / sqrt(na * pn), 4) AS cos FROM dots
+    ORDER BY cos DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_similarity_topk(spark, sf_dir):
+    """Exact top-10 cosine neighbors of probe vec_id=0 (SURVEY.md §2.H).
+
+    Plan: broadcast the 1-row probe against the corpus — one scan, one
+    codegen'd cosine per row, TakeOrderedAndProject for the top-k. At
+    100 TB this stays a single pass with no shuffle; the approximate
+    escape hatch is q_similarity_ann (IVF cells)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, probe_id=0, k=10)
+
+
+@query(
+    "q_similarity_pairs",
+    oracle=f"""
+    WITH {_PAIR_COS_CTE}
+    SELECT label, count(*) AS n_pairs,
+           round(max(cos_raw), 4) AS max_cos
+    FROM paircos WHERE cos_raw >= 0.3
+    GROUP BY label
+    """,
+)
+def q_similarity_pairs(spark, sf_dir):
+    """Blocked similarity self-join: count same-label pairs with cosine
+    >= 0.3 (labels are the blocking key, so the pairwise step is
+    per-block quadratic — the REPOSE-style partitioned-candidates shape,
+    PAPERS.md ICDE'21). Norms are computed once per vector before the
+    join, not per pair."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", "label", "embedding",
+                 _norm(F.col("embedding")).alias("nrm"))
+    a, b = n.alias("a"), n.alias("b")
+    cos = (dot_col(F.col("a.embedding"), F.col("b.embedding"))
+           / F.sqrt(F.col("a.nrm") * F.col("b.nrm")))
+    return (a.join(b, (F.col("a.label") == F.col("b.label"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.label").alias("label"), cos.alias("cos_raw"))
+            .filter(F.col("cos_raw") >= 0.3)
+            .groupBy("label")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.round(F.max("cos_raw"), 4).alias("max_cos")))
+
+
+@query(
+    "q_embed_neardup",
+    oracle=f"""
+    WITH {_PAIR_COS_CTE},
+    hits AS (
+      SELECT va AS vec_id, vb AS other FROM paircos WHERE cos_raw >= 0.35
+      UNION ALL
+      SELECT vb AS vec_id, va AS other FROM paircos WHERE cos_raw >= 0.35
+    ),
+    agg AS (
+      SELECT vec_id, count(*) AS n_neighbors,
+             max(CASE WHEN other < vec_id THEN 1 ELSE 0 END) = 1 AS is_dup
+      FROM hits GROUP BY vec_id
+    )
+    SELECT e.vec_id,
+           coalesce(a.n_neighbors, 0) AS n_neighbors,
+           coalesce(a.is_dup, false) AS is_dup
+    FROM embeddings e LEFT JOIN agg a ON e.vec_id = a.vec_id
+    """,
+)
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup marking: per vector, the count of
+    same-label neighbors with cosine >= 0.35, and the greedy dedup flag
+    (is_dup ⇔ a lower-id neighbor exists — keep-first semantics, the
+    deterministic form of drop_duplicates)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", "label", "embedding",
+                 _norm(F.col("embedding")).alias("nrm"))
+    a, b = n.alias("a"), n.alias("b")
+    cos = (dot_col(F.col("a.embedding"), F.col("b.embedding"))
+           / F.sqrt(F.col("a.nrm") * F.col("b.nrm")))
+    pairs = (a.join(b, (F.col("a.label") == F.col("b.label"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .select(F.col("a.vec_id").alias("va"),
+                     F.col("b.vec_id").alias("vb"),
+                     cos.alias("cos_raw"))
+             .filter(F.col("cos_raw") >= 0.35))
+    hits = (pairs.select(F.col("va").alias("vec_id"), F.col("vb").alias("other"))
+            .unionByName(
+                pairs.select(F.col("vb").alias("vec_id"),
+                             F.col("va").alias("other"))))
+    agg = hits.groupBy("vec_id").agg(
+        F.count("*").alias("n_neighbors"),
+        (F.max(F.when(F.col("other") < F.col("vec_id"), 1).otherwise(0)) == 1)
+        .alias("is_dup"),
+    )
+    return (e.select("vec_id").join(agg, "vec_id", "left")
+            .select("vec_id",
+                    F.coalesce("n_neighbors", F.lit(0)).alias("n_neighbors"),
+                    F.coalesce("is_dup", F.lit(False)).alias("is_dup")))
+
+
+@query("q_similarity_ann")  # rows-only: approximate (IVF recall < 1)
+def q_similarity_ann(spark, sf_dir):
+    """IVF-bucketed approximate top-10 for probe vec_id=0 — the scale
+    path: assign vectors to coarse cells once, probe only the nearest
+    cells (~n_probe/n_cells of the corpus scanned). Rows-only; recall
+    vs the exact answer is asserted in tests/test_llm_ops.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(e, probe_id=0, k=10, n_cells=8, n_probe_cells=3)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_text_sentiment",
+    oracle=f"""
+    SELECT lang,
+           cast(sum({lexicon_count_sql('text', POSITIVE)}) as bigint) AS n_pos,
+           cast(sum({lexicon_count_sql('text', NEGATIVE)}) as bigint) AS n_neg,
+           cast(sum({lexicon_count_sql('text', POSITIVE)})
+             - sum({lexicon_count_sql('text', NEGATIVE)}) as bigint) AS sentiment
+    FROM documents GROUP BY lang
+    """,
+)
+def q_text_sentiment(spark, sf_dir):
+    """Lexicon sentiment per language: word-bounded counts of the
+    positive/negative lexicons, aggregated per lang (the EDBT'16
+    Spark-sentiment pattern, PAPERS.md)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (d.select(
+                "lang",
+                lexicon_count(F.col("text"), POSITIVE).alias("p"),
+                lexicon_count(F.col("text"), NEGATIVE).alias("n"))
+            .groupBy("lang")
+            .agg(F.sum("p").alias("n_pos"),
+                 F.sum("n").alias("n_neg"),
+                 (F.sum("p") - F.sum("n")).alias("sentiment")))
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           cast(sum(len(string_split(text, ' '))) as bigint) AS sum_tokens,
+           cast(sum(len(list_distinct(string_split(text, ' ')))) as bigint)
+             AS sum_distinct,
+           cast(sum(n_chars) as bigint) AS sum_chars,
+           round(cast(sum(len(string_split(text, ' '))) as double)
+                 / count(*), 4) AS avg_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    """Corpus stats per source: token/distinct-token/char totals (the
+    multimodal-column profiling row of SURVEY.md §2.H)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    return (d.select(
+                "source", "n_chars",
+                F.size(tok).cast("bigint").alias("nt"),
+                F.size(F.array_distinct(tok)).cast("bigint").alias("nd"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("nt").alias("sum_tokens"),
+                 F.sum("nd").alias("sum_distinct"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.round(F.sum("nt").cast("double") / F.count("*"), 4)
+                 .alias("avg_tokens")))
+
+
+@query(
+    "q_text_langid",
+    oracle=f"""
+    SELECT doc_id,
+           {lexicon_count_sql('text', EN_STOPWORDS)} AS n_stop,
+           len(string_split(text, ' ')) AS n_tokens,
+           CASE WHEN cast({lexicon_count_sql('text', EN_STOPWORDS)} as double)
+                     / len(string_split(text, ' ')) >= 0.05
+                THEN 'en' ELSE 'unknown' END AS pred_lang
+    FROM documents
+    """,
+)
+def q_text_langid(spark, sf_dir):
+    """Heuristic language ID: English function-word rate threshold —
+    the n-gram/stopword-profile classifier shape (real deployments swap
+    in per-language profiles; the operator structure — lexicon rate →
+    argmax/threshold — is what scales)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_stop = stopword_count(F.col("text"))
+    n_tok = token_count(F.col("text"))
+    return d.select(
+        "doc_id",
+        n_stop.alias("n_stop"),
+        n_tok.alias("n_tokens"),
+        F.when(n_stop.cast("double") / n_tok >= 0.05, "en")
+        .otherwise("unknown").alias("pred_lang"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           {quality_score_sql(
+               "len(string_split(text, ' '))",
+               "len(list_distinct(string_split(text, ' ')))",
+               "n_chars",
+               lexicon_count_sql('text', EN_STOPWORDS))} AS quality
+    FROM documents
+    """,
+)
+def q_text_quality(spark, sf_dir):
+    """Per-document quality score: type-token ratio + stopword rate +
+    length band (rational arithmetic only; the filter-threshold form of
+    training-data quality gates)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        quality_score(
+            F.size(tok), F.size(F.array_distinct(tok)),
+            F.col("n_chars"), stopword_count(F.col("text")),
+        ).alias("quality"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             AS fp_exact,
+           md5(array_to_string(list_sort(list_distinct(
+             string_split(lower(text), ' '))), ' ')) AS fp_tokenset
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: exact content hash (normalized text)
+    and order-insensitive token-set hash — the two cheap signatures a
+    dedup pipeline keys on before anything fuzzy."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint_exact(F.col("text")).alias("fp_exact"),
+        fingerprint_tokenset(F.col("text")).alias("fp_tokenset"),
+    )
+
+
+@query(
+    "q_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           {bpe_ish_count_sql('text')} AS n_bpe_ish
+    FROM documents
+    """,
+)
+def q_token_count(spark, sf_dir):
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    (letter runs | digit runs | single punctuation) — the budget
+    estimator for LLM training-token accounting."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
+        bpe_ish_count(F.col("text")).alias("n_bpe_ish"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           cast(octet_length(encode(text)) as bigint) AS n_bytes,
+           (cast(octet_length(encode(text)) as bigint) % 64) * 16
+             AS fake_width,
+           (cast(octet_length(encode(text)) as bigint) % 48) * 16
+             AS fake_height,
+           'fake/raw' AS fmt
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal column plumbing, end to end: text bytes stand in as
+    the opaque binary payload; an Arrow-batched mapInPandas 'decoder'
+    (operators/multimodal.py — decode stubbed, deterministic byte
+    arithmetic) emits typed metadata that the oracle reproduces in SQL.
+    Proves schema/batch/partitioning plumbing while the codec itself is
+    absent from the container."""
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_payload(d)
+    return multimodal.decode_features(media)
