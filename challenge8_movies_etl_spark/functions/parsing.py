@@ -71,6 +71,14 @@ def parse_dollars_sql(expr: str) -> str:
 
 _SPARK_DATE_FMTS = ("MMMM d, yyyy", "yyyy-MM-dd", "MMMM yyyy", "yyyy")
 _DUCK_DATE_FMTS = ("%B %d, %Y", "%Y-%m-%d", "%B %Y", "%Y")
+# shape guards, one per format (the reference's literal approach: four
+# date_form_* regexes). Performance is the other reason they exist
+# here: a bare coalesce(try_to_timestamp x4) costs ~1.5 FAILED parse
+# attempts per row, and failed JVM datetime parses are exception-driven
+# — the rlike dispatch parses each row exactly once (measured ~0.5 s
+# off the flagship at sf0.1).
+_DATE_SHAPES = (r"^[A-Za-z]+ \d{1,2}, \d{4}$", r"^\d{4}-\d{2}-\d{2}$",
+                r"^[A-Za-z]+ \d{4}$", r"^\d{4}$")
 
 
 def parse_date_multiformat_col(col: Column | str) -> Column:
@@ -78,9 +86,12 @@ def parse_date_multiformat_col(col: Column | str) -> Column:
     first match wins (reference's four date_form_* regexes +
     to_datetime, challenge.py≈L117-123 [R])."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.coalesce(
-        *[F.try_to_timestamp(c, F.lit(f)) for f in _SPARK_DATE_FMTS]
-    )
+    expr = None
+    for shape, fmt in zip(_DATE_SHAPES, _SPARK_DATE_FMTS):
+        branch = F.when(c.rlike(shape), F.try_to_timestamp(c, F.lit(fmt)))
+        expr = branch if expr is None else expr.when(
+            c.rlike(shape), F.try_to_timestamp(c, F.lit(fmt)))
+    return expr
 
 
 def parse_date_multiformat_sql(expr: str) -> str:

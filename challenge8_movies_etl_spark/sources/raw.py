@@ -1,0 +1,66 @@
+"""Raw sources & sinks beyond parquet — the reference's I/O surface
+(SURVEY.md §2.A): ragged JSON, CSV with explicit schema, chunked/
+partitioned sinks, JDBC.
+
+The fixtures are parquet-only, so these are exercised by unit tests on
+temp files (tests/test_sources.py), not by the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_json_ragged(spark: SparkSession, path: str,
+                     schema: T.StructType | None = None) -> DataFrame:
+    """JSON source for ragged records (the wikipedia.movies.json shape,
+    challenge.py≈L64 [R]): every key a nullable column.
+
+    With an explicit schema there is NO inference pass over the data —
+    mandatory at scale (schema inference = an extra full scan).
+    multiLine=False assumes JSON-lines; the reference's single big JSON
+    array needs multiLine=True (slower: file-at-a-time parsing).
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType,
+             header: bool = True) -> DataFrame:
+    """CSV with explicit schema — the pd.read_csv(low_memory=False)
+    analog (challenge.py≈L62 [R]) without the inference scan."""
+    return (spark.read.schema(schema)
+            .option("header", str(header).lower())
+            .option("mode", "PERMISSIVE")
+            .csv(path))
+
+
+def write_partitioned_parquet(df: DataFrame, path: str,
+                              partition_by: list[str] | None = None,
+                              mode: str = "overwrite") -> None:
+    """The engine's sink. The reference loaded ratings to PostgreSQL in
+    1M-row chunks with progress prints (≈L203-210 [R]); Spark's
+    executor-parallel partitioned write is the distributed equivalent —
+    'chunking' is the task partitioning itself."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_jdbc(df: DataFrame, url: str, table: str,
+               mode: str = "append", batchsize: int = 1_000_000,
+               **options: str) -> None:
+    """JDBC sink (the to_sql analog, ≈L197-201 [R]). No database exists
+    in this environment — wiring kept real, call sites must try/except.
+    batchsize mirrors the reference's 1M-row chunks."""
+    (df.write.mode(mode)
+     .format("jdbc")
+     .option("url", url)
+     .option("dbtable", table)
+     .option("batchsize", str(batchsize))
+     .options(**options)
+     .save())

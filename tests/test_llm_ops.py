@@ -1,0 +1,75 @@
+"""LLM-pipeline operator tests: sketch paths vs exact ground truth,
+ANN recall, deterministic signatures (SURVEY.md §5; deterministic
+fixtures make observed recall stable, so it is pinned, not fuzzy)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from challenge8_movies_etl_spark.operators.dedup import (
+    jaccard,
+    word_ngrams,
+)
+from challenge8_movies_etl_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+)
+from challenge8_movies_etl_spark.registry import QUERIES, load_all
+from challenge8_movies_etl_spark.sources.fixtures import load_table
+from tests.conftest import SF_SMOKE
+
+load_all()
+
+
+def test_minhash_candidates_are_true_near_dups(spark):
+    """Every verified MinHash pair must genuinely have Jaccard >= 0.2
+    (precision 1.0 by construction — the exact verify step), and the
+    exact blocked query's pairs within the size band must be a subset
+    of ngram truth computed independently here."""
+    verified = QUERIES["q_dedup_minhash"](spark, SF_SMOKE).collect()
+    for r in verified:
+        assert r["jac"] >= 0.2
+    d = load_table(spark, SF_SMOKE, "documents")
+    g = d.select("doc_id", word_ngrams(F.col("text"), 2).alias("g"))
+    a, b = g.alias("a"), g.alias("b")
+    truth = {
+        (r["ida"], r["idb"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("ida"),
+                F.col("b.doc_id").alias("idb"),
+                jaccard(F.col("a.g"), F.col("b.g")).alias("j"))
+        .filter(F.col("j") >= 0.2).collect()
+    }
+    got = {(r["id_a"], r["id_b"]) for r in verified}
+    assert got.issubset(truth)
+
+
+def test_ivf_recall_vs_exact(spark):
+    exact = [r["vec_id"]
+             for r in brute_force_topk(
+                 load_table(spark, SF_SMOKE, "embeddings"), 0, 10).collect()]
+    approx = [r["vec_id"]
+              for r in ivf_topk(load_table(spark, SF_SMOKE, "embeddings"),
+                                0, 10, n_cells=8, n_probe_cells=3).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    # deterministic fixtures → stable observed recall; 3/8 cells probed
+    assert recall >= 0.3, (recall, exact, approx)
+    assert len(approx) == 10
+
+
+def test_simhash_deterministic(spark):
+    a = {(r["doc_id"], r["sh"])
+         for r in QUERIES["q_dedup_simhash"](spark, SF_SMOKE).collect()}
+    b = {(r["doc_id"], r["sh"])
+         for r in QUERIES["q_dedup_simhash"](spark, SF_SMOKE).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_multimodal_batch_shapes(spark):
+    out = QUERIES["q_multimodal_meta"](spark, SF_SMOKE)
+    rows = out.collect()
+    d = load_table(spark, SF_SMOKE, "documents").count()
+    assert len(rows) == d
+    for r in rows[:20]:
+        assert r["fake_width"] == (r["n_bytes"] % 64) * 16
+        assert r["fmt"] == "fake/raw"

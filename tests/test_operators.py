@@ -1,0 +1,112 @@
+"""Operator-library equivalence and property tests (SURVEY.md §5.4):
+scale-path implementations must equal their declared/naive forms, and
+algebraic invariants must hold on the fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from challenge8_movies_etl_spark.operators.asof import asof_join_pandas
+from challenge8_movies_etl_spark.operators.rangejoin import banded_range_join
+from challenge8_movies_etl_spark.operators.schema_repair import (
+    consolidate_columns,
+    fold_to_map,
+    null_ratio_profile,
+    prune_mostly_null,
+)
+from challenge8_movies_etl_spark.registry import QUERIES, load_all
+from challenge8_movies_etl_spark.sources.fixtures import load_table
+from tests.conftest import SF_SMOKE
+
+load_all()
+
+
+def test_banded_range_join_equals_naive(spark):
+    naive = (QUERIES["q_join_range"](spark, SF_SMOKE)
+             .select("eid_a", "eid_b").collect())
+    e = load_table(spark, SF_SMOKE, "events")
+    banded = (banded_range_join(e, "user_id", "ts", "event_id", 300)
+              .select("eid_a", "eid_b").collect())
+    assert sorted(map(tuple, naive)) == sorted(map(tuple, banded))
+    assert len(naive) > 0
+
+
+def test_asof_pandas_equals_argmax(spark):
+    agg = {(r["err_id"], r["asof_click_ts"])
+           for r in QUERIES["q_join_asof"](spark, SF_SMOKE).collect()}
+    e = load_table(spark, SF_SMOKE, "events")
+    errors = (e.filter(F.col("event_type") == "error")
+              .select("user_id", F.col("event_id").alias("err_id"),
+                      F.col("ts").alias("err_ts")))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("click_ts"),
+                      F.col("event_id").alias("click_id")))
+    merged = asof_join_pandas(errors, clicks, key="user_id",
+                              left_ts="err_ts", right_ts="click_ts",
+                              right_cols=["click_ts", "click_id"])
+    pd_pairs = {(r["err_id"], r["click_ts"])
+                for r in merged.collect() if r["click_ts"] is not None}
+    assert pd_pairs == agg
+    assert len(pd_pairs) > 0
+
+
+def test_consolidate_and_fold(spark):
+    df = spark.createDataFrame(
+        [("A", None, "x", "t-es", None),
+         (None, "B", None, None, "t-fr"),
+         (None, None, "y", None, None)],
+        "director string, directed_by string, length string, "
+        "title_es string, title_fr string")
+    out = consolidate_columns(df, {"director": ["directed_by"]})
+    assert "directed_by" not in out.columns
+    assert [r["director"] for r in out.collect()] == ["A", "B", None]
+    folded = fold_to_map(out, ["title_es", "title_fr"], "alt_titles")
+    assert "title_es" not in folded.columns
+    maps = [r["alt_titles"] for r in folded.collect()]
+    assert maps[0] == {"title_es": "t-es"}
+    assert maps[1] == {"title_fr": "t-fr"}
+    assert maps[2] == {}
+
+
+def test_null_ratio_prune(spark):
+    df = spark.createDataFrame(
+        [(i, None if i < 95 else "x", "keep") for i in range(100)],
+        "id bigint, mostly_null string, full string")
+    ratios = null_ratio_profile(df)
+    assert ratios["mostly_null"] == 0.95
+    assert ratios["id"] == 0.0
+    pruned = prune_mostly_null(df, 0.9)
+    assert set(pruned.columns) == {"id", "full"}
+
+
+# --- algebraic invariants (SURVEY.md §5.4) -----------------------------
+
+def test_union_counts(spark):
+    o = load_table(spark, SF_SMOKE, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    b = o.filter(F.col("o_totalprice") > 100000)
+    assert a.unionAll(b).count() == a.count() + b.count()
+
+
+def test_semi_anti_partition(spark):
+    c = load_table(spark, SF_SMOKE, "customer")
+    o = load_table(spark, SF_SMOKE, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    semi = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+    anti = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+    assert semi.count() + anti.count() == c.count()
+    assert semi.intersect(anti).count() == 0
+
+
+def test_tumbling_counts_sum_to_total(spark):
+    e = load_table(spark, SF_SMOKE, "events")
+    windowed = QUERIES["q_stream_tumbling"](spark, SF_SMOKE)
+    assert windowed.agg(F.sum("n")).collect()[0][0] == e.count()
+
+
+def test_sessions_bounded_by_events(spark):
+    e = load_table(spark, SF_SMOKE, "events")
+    sessions = QUERIES["q_session_window"](spark, SF_SMOKE)
+    n_sessions = sessions.count()
+    assert 0 < n_sessions <= e.count()
+    assert sessions.agg(F.sum("n_events")).collect()[0][0] == e.count()

@@ -1,0 +1,32 @@
+"""Every registered query must run at sf0.001 with a stable schema and
+every oracle-checked query must have matching column names declared on
+both sides (the driver sorts columns by name before hashing — a name
+mismatch fails even with identical values)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from challenge8_movies_etl_spark.registry import ORACLE, QUERIES, load_all
+from tests.conftest import SF_SMOKE
+
+load_all()
+
+
+@pytest.mark.parametrize("qid", sorted(QUERIES))
+def test_query_runs_at_smoke_sf(spark, qid):
+    df = QUERIES[qid](spark, SF_SMOKE)
+    n = df.count()
+    assert n >= 0
+    assert len(df.columns) == len(set(df.columns)), "duplicate column names"
+
+
+def test_every_query_has_oracle_or_is_documented():
+    rows_only = set(QUERIES) - set(ORACLE)
+    # sketch/approx/streaming-machinery queries are legitimately
+    # rows-only; everything else must carry an oracle
+    allowed = {"q_agg_approx", "q_dedup_minhash", "q_dedup_simhash",
+               "q_similarity_ann"}
+    assert rows_only <= allowed, rows_only

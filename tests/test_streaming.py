@@ -1,0 +1,103 @@
+"""Streaming semantics only a replay can check (SURVEY.md §5.5):
+late-data drop under a watermark, and batch≡stream equivalence for the
+windowed aggregations (the oracle-checked q_stream_replay_tumbling
+covers tumbling; session windows replayed here)."""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import functions as F
+
+from challenge8_movies_etl_spark.registry import QUERIES, load_all
+from tests.conftest import SF_SMOKE
+
+load_all()
+
+
+def _write_batch(spark, rows, path):
+    (spark.createDataFrame(rows, "event_id bigint, ts timestamp, "
+                           "user_id bigint, event_type string")
+     .coalesce(1).write.mode("overwrite").parquet(path))
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Three micro-batches: recent events, then events 2 h late (beyond
+    the 10-minute watermark → dropped), then a far-future sentinel that
+    advances the watermark so closed windows emit in append mode."""
+    import datetime as dt
+    base = dt.datetime(2024, 6, 1, 0, 0, 0)
+    h2 = [(i, base + dt.timedelta(hours=2, minutes=5 + i), 1, "click")
+          for i in range(4)]
+    h0_late = [(10 + i, base + dt.timedelta(minutes=5 + i), 1, "click")
+               for i in range(3)]
+    sentinel = [(99, base + dt.timedelta(hours=5), 1, "click")]
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string")
+
+    out_dir = str(tmp_path / "sink_out")
+
+    def run_once() -> None:
+        """One availableNow run over the files currently in src; the
+        shared checkpoint persists source offsets AND the watermark
+        between runs, so each run is its own micro-batch epoch. The
+        parquet sink (unlike the memory sink) supports checkpoint
+        recovery."""
+        stream = (spark.readStream.schema(schema).parquet(str(src) + "/*"))
+        agg = (stream.withWatermark("ts", "10 minutes")
+               .groupBy(F.window("ts", "1 hour"))
+               .count()
+               .select(F.col("window.start").alias("ws"),
+                       F.col("count").alias("n")))
+        q = (agg.writeStream.outputMode("append")
+             .format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    _write_batch(spark, h2, str(src / "batch_0.parquet"))
+    run_once()                    # watermark advances to ~01:58
+    _write_batch(spark, h0_late, str(src / "batch_1.parquet"))
+    run_once()                    # late rows fall behind the watermark
+    _write_batch(spark, sentinel, str(src / "batch_2.parquet"))
+    run_once()                    # sentinel closes the 02:00 window
+
+    emitted = {r["ws"].hour: r["n"]
+               for r in spark.read.parquet(out_dir).collect()}
+    # the 02:00 window emits with ONLY the on-time events; the
+    # 2-hours-late batch was dropped, so hour 0 never appears
+    assert emitted.get(2) == 4, emitted
+    assert 0 not in emitted, emitted
+
+
+def test_session_window_stream_equals_batch(spark):
+    batch = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+             for r in QUERIES["q_session_window"](spark, SF_SMOKE).collect()}
+
+    raw_schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(SF_SMOKE)
+              .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)")))
+    agg = (stream.withWatermark("ts", "1 hour")
+           .groupBy(F.session_window("ts", "5 minutes"), "user_id")
+           .count()
+           .select("user_id",
+                   F.col("session_window.start").alias("session_start"),
+                   F.col("session_window.end").alias("session_end"),
+                   F.col("count").alias("n_events")))
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    streamed = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+                for r in spark.table(name).collect()}
+    assert streamed == batch
+    assert len(batch) > 0
