@@ -272,3 +272,25 @@ def q_pivot(spark, sf_dir):
         *[F.col(v).cast("bigint").alias(f"evt_{v}") for v in EVENT_TYPES],
     )
     return renamed
+
+
+def _unpivot_oracle() -> str:
+    selects = " UNION ALL ".join(
+        f"SELECT user_id, '{v}' AS event_type, evt_{v} AS n FROM wide"
+        for v in EVENT_TYPES
+    )
+    return f"WITH wide AS ({_pivot_oracle()}) {selects}"
+
+
+@query("q_unpivot", oracle=_unpivot_oracle())
+def q_unpivot(spark, sf_dir):
+    """Unpivot (stack) — the inverse of q_pivot: the wide per-user
+    event-count table back to (user_id, event_type, n) long form. Uses
+    the stack() table generator; zero-count cells are retained so
+    pivot->unpivot is lossless."""
+    wide = q_pivot(spark, sf_dir)
+    stack_args = ", ".join(f"'{v}', evt_{v}" for v in EVENT_TYPES)
+    return wide.selectExpr(
+        "user_id",
+        f"stack({len(EVENT_TYPES)}, {stack_args}) AS (event_type, n)",
+    )

@@ -271,3 +271,51 @@ def q_join_asof(spark, sf_dir):
                 F.col("best.click_ts").alias("asof_click_ts"),
                 F.col("best.click_id").alias("asof_click_id"),
             ))
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
+           coalesce(a.n_urgent, 0) AS n_urgent,
+           coalesce(b.n_big, 0) AS n_big
+    FROM (SELECT o_custkey, count(*) AS n_urgent FROM orders
+          WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) a
+    FULL JOIN (SELECT o_custkey, count(*) AS n_big FROM orders
+               WHERE o_totalprice > 150000 GROUP BY o_custkey) b
+      ON a.o_custkey = b.o_custkey
+    """,
+)
+def q_join_full(spark, sf_dir):
+    """Full outer join between two aggregates whose key sets only
+    partially overlap (urgent-order customers vs big-order customers) +
+    coalesced key and zero fills."""
+    o = load_table(spark, sf_dir, "orders")
+    a = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+         .groupBy("o_custkey").agg(F.count("*").alias("n_urgent")))
+    b = (o.filter(F.col("o_totalprice") > 150000)
+         .groupBy(F.col("o_custkey").alias("b_custkey"))
+         .agg(F.count("*").alias("n_big")))
+    return (a.join(b, a.o_custkey == b.b_custkey, "full")
+            .select(
+                F.coalesce("o_custkey", "b_custkey").alias("custkey"),
+                F.coalesce("n_urgent", F.lit(0)).alias("n_urgent"),
+                F.coalesce("n_big", F.lit(0)).alias("n_big"),
+            ))
+
+
+@query(
+    "q_cross_join",
+    oracle="""
+    SELECT r.r_name, n.n_name, r.r_name || '/' || n.n_name AS pair
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q_cross_join(spark, sf_dir):
+    """Cross join (O(n*m) guarded: both sides are bounded dimension
+    tables — the only safe shape for a cross join at any scale)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (r.crossJoin(n)
+            .select("r_name", "n_name",
+                    F.concat_ws("/", "r_name", "n_name").alias("pair")))

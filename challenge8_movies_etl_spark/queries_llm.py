@@ -518,3 +518,52 @@ def q_multimodal_meta(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_payload(d)
     return multimodal.decode_features(media)
+
+
+@query(
+    "q_knn_join",
+    oracle=f"""
+    WITH {_PAIR_COS_CTE},
+    both_dirs AS (
+      SELECT va AS vec_id, vb AS neighbor, cos_raw FROM paircos
+      UNION ALL
+      SELECT vb AS vec_id, va AS neighbor, cos_raw FROM paircos
+    )
+    SELECT vec_id, neighbor, round(cos_raw, 4) AS cos
+    FROM both_dirs
+    QUALIFY row_number() OVER (
+      PARTITION BY vec_id ORDER BY cos_raw DESC, neighbor) <= 3
+    """,
+)
+def q_knn_join(spark, sf_dir):
+    """kNN join: top-3 same-label cosine neighbors for EVERY vector —
+    the all-pairs generalization of q_similarity_topk (the shape of
+    near-dup clustering and retrieval-index bootstrap jobs).
+
+    Blocked by label, pair cosines computed once (a<b) and mirrored,
+    then one window per vec_id. Ordering uses the raw (un-rounded)
+    cosine — bit-identical across engines by the decimal-exact
+    construction — with the neighbor id as total-order tie-break.
+    """
+    from pyspark.sql import Window as W
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", "label", "embedding",
+                 _norm(F.col("embedding")).alias("nrm"))
+    a, b = n.alias("a"), n.alias("b")
+    cos = (dot_col(F.col("a.embedding"), F.col("b.embedding"))
+           / F.sqrt(F.col("a.nrm") * F.col("b.nrm")))
+    pairs = (a.join(b, (F.col("a.label") == F.col("b.label"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .select(F.col("a.vec_id").alias("va"),
+                     F.col("b.vec_id").alias("vb"),
+                     cos.alias("cos_raw")))
+    both = (pairs.select(F.col("va").alias("vec_id"),
+                         F.col("vb").alias("neighbor"), "cos_raw")
+            .unionByName(
+                pairs.select(F.col("vb").alias("vec_id"),
+                             F.col("va").alias("neighbor"), "cos_raw")))
+    w = W.partitionBy("vec_id").orderBy(F.col("cos_raw").desc(), "neighbor")
+    return (both.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 3)
+            .select("vec_id", "neighbor",
+                    F.round("cos_raw", 4).alias("cos")))
