@@ -1,0 +1,53 @@
+"""Streaming sinks & replay utilities — the reference's LOAD stage,
+distributed.
+
+The reference appended 26M rating rows to PostgreSQL in 1,000,000-row
+chunks, printing rows_imported and elapsed seconds per chunk
+(challenge.py≈L203-210 [R], SURVEY.md §3.1 — its only 'incremental'
+processing). Structured Streaming's foreachBatch is the engine
+equivalent: each micro-batch is a chunk, the sink write is
+executor-parallel, and progress reporting comes per epoch.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def chunked_load(stream_df: DataFrame, write_batch: Callable[[DataFrame, int], None],
+                 checkpoint_dir: str,
+                 progress: Callable[[str], None] = print):
+    """foreachBatch chunked ingest with the reference's progress
+    contract (rows_imported + elapsed per chunk). ``write_batch``
+    performs the actual sink write (parquet append, JDBC, ...) —
+    exactly-once when the sink write is idempotent per epoch_id."""
+    state = {"rows": 0, "t0": time.time()}
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        write_batch(batch_df, epoch_id)
+        state["rows"] += batch_df.count()
+        progress(f"epoch {epoch_id}: rows_imported={state['rows']} "
+                 f"elapsed={time.time() - state['t0']:.1f}s")
+
+    return (stream_df.writeStream
+            .foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events fixture with the TIMESTAMP(NANOS)
+    repair applied — the shared entry point for replay tests."""
+    from pyspark.sql import functions as F
+
+    from ..session import apply_required_conf
+    apply_required_conf(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return (spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)")))

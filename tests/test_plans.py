@@ -1,0 +1,80 @@
+"""Physical-plan quality gates (SURVEY.md §4 / the 100 TB posture),
+as executable regression tests: filters must reach the parquet scan,
+projections must prune the read schema, small dims must broadcast,
+top-k must compile to TakeOrderedAndProject, and aggregations must
+partial-aggregate before their exchange. A correctness-green query
+with a degraded plan fails HERE."""
+
+from __future__ import annotations
+
+import re
+
+from challenge8_movies_etl_spark.registry import QUERIES, load_all
+from tests.conftest import SF_SMOKE
+
+load_all()
+
+
+def n_shuffles(p: str) -> int:
+    """Count shuffle exchanges in a formatted plan (each node appears
+    once in the tree and once as a '(n) Exchange' detail header; count
+    the headers, exclude broadcasts)."""
+    return len(re.findall(r"^\(\d+\) Exchange$", p, re.M))
+
+
+def plan(spark, qid: str) -> str:
+    df = QUERIES[qid](spark, SF_SMOKE)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+
+
+def test_scan_project_prunes_columns(spark):
+    p = plan(spark, "q_scan_project")
+    # only the 4 needed of 11 lineitem columns may be read
+    assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," \
+           "l_extendedprice:double,l_discount:double>" in p, p
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = plan(spark, "q_filter_pred")
+    assert "PushedFilters: [" in p
+    assert "IsNotNull(o_totalprice)" in p or "GreaterThanOrEqual" in p, p
+
+
+def test_broadcast_join_is_broadcast(spark):
+    p = plan(spark, "q_join_broadcast")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_topk_is_take_ordered(spark):
+    p = plan(spark, "q_topk")
+    assert "TakeOrderedAndProject" in p, p
+    # no global sort node — the O(n log n) shuffle-sort plan is wrong
+    assert "Exchange rangepartitioning" not in p, p
+
+
+def test_agg_has_partial_phase(spark):
+    p = plan(spark, "q_agg_hash")
+    assert "partial_" in p, p          # map-side combine present
+    assert n_shuffles(p) == 1, p       # exactly the one agg shuffle
+
+
+def test_semi_join_no_right_payload(spark):
+    p = plan(spark, "q_join_semi")
+    assert "LeftSemi" in p, p
+
+
+def test_flagship_single_wide_exchange(spark):
+    """The flagship must keep exactly two shuffle exchanges: the dedup
+    window (wiki side) and the ratings aggregation — the
+    self-join-eliminated plan. A third means the orders self-join
+    regressed."""
+    p = plan(spark, "q_flagship_etl")
+    assert n_shuffles(p) == 2, p
+
+
+def test_events_scan_prunes_for_pivot(spark):
+    p = plan(spark, "q_pivot")
+    assert "ReadSchema: struct<user_id:bigint,event_type:string>" in p, p
