@@ -134,3 +134,41 @@ def simhash64(tokens: Column) -> Column:
 
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str, block_col: str,
+                        shingle_col: str, tau: float,
+                        size_band: int | None = None) -> DataFrame:
+    """Exact-Jaccard pair join via an inverted index (the all-pairs
+    similarity-join shape): explode shingles into postings, equi-join
+    postings on (block, shingle), count co-occurrences per pair, derive
+    Jaccard from |A∩B| = co-count and the per-doc set sizes.
+
+    Equivalent to the naive pairwise array_intersect join, but the work
+    is Σ|posting|² cheap codegen rows instead of per-pair array
+    intersections — measured ~20x at sf0.1 (126 s → ~6 s). At 100 TB
+    the posting join shuffles on (block, shingle): hot shingles are the
+    skew risk, which is why stopword-like shingles should be pruned
+    upstream (quality gates) or the band-blocking MinHash path used.
+
+    Returns (doc_a, doc_b, jac) with doc_a < doc_b, jac rounded 4dp.
+    """
+    sizes = docs.select(F.col(id_col), F.size(shingle_col).alias("sz"))
+    posts = docs.select(F.col(id_col), F.col(block_col).alias("_blk"),
+                        F.explode(shingle_col).alias("_sh"))
+    a, b = posts.alias("pa"), posts.alias("pb")
+    co = (a.join(b, (F.col(f"pa._blk") == F.col(f"pb._blk"))
+                 & (F.col(f"pa._sh") == F.col(f"pb._sh"))
+                 & (F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}")))
+          .groupBy(F.col(f"pa.{id_col}").alias("doc_a"),
+                   F.col(f"pb.{id_col}").alias("doc_b"))
+          .agg(F.count("*").alias("_c")))
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("_sza"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("_szb"))
+    j = (co.join(sa, "doc_a").join(sb, "doc_b")
+         .withColumn("_jac", F.col("_c").cast("double")
+                     / (F.col("_sza") + F.col("_szb") - F.col("_c"))))
+    if size_band is not None:
+        j = j.filter(F.abs(F.col("_sza") - F.col("_szb")) <= size_band)
+    return (j.filter(F.col("_jac") >= tau)
+            .select("doc_a", "doc_b", F.round("_jac", 4).alias("jac")))

@@ -16,19 +16,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashsafe import DEC
-
 DIMS = 64  # fixture embedding dimensionality (FIXTURES.md)
+
+# decimal(18,10): still exact and order-independent, but precision <= 18
+# keeps both Spark and DuckDB on long-backed decimals (no BigDecimal
+# allocation per element) — measured ~4x on pairwise-cosine queries.
+# Headroom: 8 integer digits; 64-dim dots of unit-ish embeddings stay
+# below 1e3. The wide money aggregates keep hashsafe.DEC (30,10).
+DEC_SIM = "decimal(18,10)"
 
 
 def _dec_sum(arr: Column) -> Column:
     """Exact, order-independent sum of an array<double> via decimal."""
-    # re-cast after the add: Spark widens decimal(30,10)+decimal(30,10)
-    # to decimal(31,10), but aggregate() requires the merge lambda to
-    # return the accumulator's exact type
+    # re-cast after the add: Spark widens the decimal on addition, but
+    # aggregate() requires the merge lambda to return the accumulator's
+    # exact type
     return F.aggregate(
-        arr, F.lit(0).cast(DEC),
-        lambda acc, x: (acc + x.cast(DEC)).cast(DEC),
+        arr, F.lit(0).cast(DEC_SIM),
+        lambda acc, x: (acc + x.cast(DEC_SIM)).cast(DEC_SIM),
     ).cast("double")
 
 
@@ -49,7 +54,7 @@ def cosine_sql(ea: str, eb: str, pair_src: str, pair_keys: str,
     ``pair_keys``. Expands dims via a static range join."""
     def dsum(x: str, y: str) -> str:
         return (f"cast(sum(cast(cast({x}[gs.i] as double) * "
-                f"cast({y}[gs.i] as double) as {DEC})) as double)")
+                f"cast({y}[gs.i] as double) as {DEC_SIM})) as double)")
     return f"""
       SELECT {pair_keys},
              {dsum(ea, eb)} / sqrt({dsum(ea, ea)} * {dsum(eb, eb)}) AS cos_raw

@@ -13,10 +13,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .functions.hashsafe import DEC
 from .operators import multimodal
+from .operators.similarity import DEC_SIM as DEC  # cosine CTE decimals
 from .operators.dedup import (
     jaccard,
+    ngram_jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signature,
     simhash64,
@@ -147,15 +148,8 @@ def q_dedup_ngram(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     g = d.select("doc_id", "lang",
                  word_ngrams(F.col("text"), 2).alias("g"))
-    a, b = g.alias("a"), g.alias("b")
-    jac = jaccard(F.col("a.g"), F.col("b.g"))
-    return (a.join(b, (F.col("a.lang") == F.col("b.lang"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id"))
-                   & (F.abs(F.size("a.g") - F.size("b.g")) <= 10))
-            .filter(jac >= 0.2)
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
-                    F.round(jac, 4).alias("jac")))
+    return ngram_jaccard_pairs(g, "doc_id", "lang", "g",
+                               tau=0.2, size_band=10)
 
 
 @query("q_dedup_minhash")  # rows-only: murmur3-based sketch
