@@ -294,3 +294,47 @@ def q_unpivot(spark, sf_dir):
         "user_id",
         f"stack({len(EVENT_TYPES)}, {stack_args}) AS (event_type, n)",
     )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+             AS statuses,
+           count(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_collect(spark, sf_dir):
+    """collect_set aggregation, made deterministic: the collected set is
+    sorted and joined to a string (collection order is partition-
+    dependent on any engine; sort-at-the-edge is the hash-stable form).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus")))
+        .alias("statuses"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+@query(
+    "q_agg_bool",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           count(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_over_200k
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_bool(spark, sf_dir):
+    """Boolean aggregates: every/any (bool_and/bool_or) + conditional
+    count."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_over_200k"),
+    )

@@ -246,3 +246,35 @@ def q_array_explode(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return (d.select(F.explode(F.split("text", " ")).alias("token"))
             .groupBy("token").count().withColumnRenamed("count", "n"))
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           array_to_string(map_keys(
+             map(['status', 'priority'], [o_orderstatus, o_orderpriority])
+           ), ',') AS keys_joined,
+           map(['status', 'priority'],
+               [o_orderstatus, o_orderpriority])['status'][1] AS status_val,
+           cardinality(map(['status', 'priority'],
+                           [o_orderstatus, o_orderpriority])) AS n_entries
+    FROM orders
+    """,
+)
+def q_map_funcs(spark, sf_dir):
+    """MapType surface (the alt_titles dict shape, clean_movie
+    ≈L12-22 [R]): construction, key listing, element access,
+    cardinality — projected to scalars for the oracle (map cell
+    encodings differ across engines; scalar projections do not)."""
+    o = load_table(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.concat_ws(",", F.map_keys(m)).alias("keys_joined"),
+        F.element_at(m, "status").alias("status_val"),
+        F.size(m).cast("bigint").alias("n_entries"),
+    )
