@@ -278,3 +278,44 @@ def q_map_funcs(spark, sf_dir):
         F.element_at(m, "status").alias("status_val"),
         F.size(m).cast("bigint").alias("n_entries"),
     )
+
+
+@query(
+    "q_datetime_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           cast(year(o_orderdate) as bigint) AS y,
+           cast(month(o_orderdate) as bigint) AS m,
+           cast(day(o_orderdate) as bigint) AS d,
+           cast(quarter(o_orderdate) as bigint) AS q,
+           cast(dayofweek(o_orderdate) + 1 as bigint) AS dow,
+           cast(weekofyear(o_orderdate) as bigint) AS woy,
+           date_trunc('month', o_orderdate) AS month_start,
+           cast(cast(o_orderdate as date) + 30 as string) AS plus30,
+           cast(last_day(cast(o_orderdate as date)) as string) AS month_end,
+           date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since
+    FROM orders
+    """,
+)
+def q_datetime_funcs(spark, sf_dir):
+    """Datetime battery: year/month/day/quarter/dayofweek/weekofyear,
+    date_trunc, date arithmetic, last_day, datediff. Convention traps
+    handled explicitly: Spark dayofweek is Sunday=1, DuckDB Sunday=0
+    (oracle adds 1); date outputs go through ISO strings."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("y"),
+        F.month(d).cast("bigint").alias("m"),
+        F.dayofmonth(d).cast("bigint").alias("d"),
+        F.quarter(d).cast("bigint").alias("q"),
+        F.dayofweek(d).cast("bigint").alias("dow"),
+        F.weekofyear(d).cast("bigint").alias("woy"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.date_add(d.cast("date"), 30).cast("string").alias("plus30"),
+        F.last_day(d.cast("date")).cast("string").alias("month_end"),
+        F.datediff(d.cast("date"),
+                   F.lit("1995-01-01").cast("date")).cast("bigint")
+        .alias("days_since"),
+    )

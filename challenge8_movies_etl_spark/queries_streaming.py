@@ -167,3 +167,31 @@ def q_stream_replay_tumbling(spark, sf_dir):
     if q.isActive:
         q.stop()
     return spark.table(name)
+
+
+@query(
+    "q_stream_stateful_counter",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, max(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_stateful_counter(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState,
+    streaming/stateful.py) run through the REAL streaming machinery and
+    held to a SQL oracle: the per-user running (count, last-ts) state
+    after replaying the fixture equals the batch aggregate. One
+    availableNow batch → the update-mode memory sink holds exactly the
+    final state snapshot."""
+    from .streaming.replay import replay_events_stream
+    from .streaming.stateful import running_user_counter
+    stream = replay_events_stream(spark, sf_dir)
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    q = (running_user_counter(stream)
+         .writeStream.outputMode("update")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    return spark.table(name)
