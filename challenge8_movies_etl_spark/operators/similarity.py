@@ -69,14 +69,21 @@ def brute_force_topk(embeddings: DataFrame, probe_id: int, k: int = 10) -> DataF
     — the right plan when there is ONE probe, at any corpus size.
     Returns (vec_id, cos) with deterministic (cos desc, vec_id) order.
     """
+    # probe norm computed once in the 1-row broadcast side, not per
+    # corpus row (halves the per-row decimal aggregation work)
     probe = (embeddings.filter(F.col("vec_id") == probe_id)
              .select(F.col("embedding").alias("probe_emb")))
+    probe = probe.select("probe_emb",
+                         dot_col(F.col("probe_emb"),
+                                 F.col("probe_emb")).alias("probe_nrm"))
     scored = (embeddings.filter(F.col("vec_id") != probe_id)
               .join(F.broadcast(probe))
               .select(
                   "vec_id",
-                  F.round(cosine_col(F.col("embedding"),
-                                     F.col("probe_emb")), 4).alias("cos"),
+                  F.round(
+                      dot_col(F.col("embedding"), F.col("probe_emb"))
+                      / F.sqrt(dot_col(F.col("embedding"), F.col("embedding"))
+                               * F.col("probe_nrm")), 4).alias("cos"),
               ))
     return scored.orderBy(F.col("cos").desc(), F.col("vec_id")).limit(k)
 

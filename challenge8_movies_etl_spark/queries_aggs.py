@@ -229,8 +229,10 @@ def q_cube(spark, sf_dir):
 def q_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS with grouping flags (SQL API path — Catalyst
     parses the SQL string; same plan as the DataFrame cube/rollup)."""
+    import uuid as _uuid
     o = load_table(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("orders_gs")
+    view = f"orders_gs_{_uuid.uuid4().hex[:8]}"
+    o.createOrReplaceTempView(view)
     return spark.sql(f"""
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n_orders,
@@ -238,7 +240,7 @@ def q_grouping_sets(spark, sf_dir):
                  AS sum_price,
                cast(grouping(o_orderstatus) + 2 * grouping(o_orderpriority) as bigint)
                  AS gid
-        FROM orders_gs
+        FROM {view}
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """)
 

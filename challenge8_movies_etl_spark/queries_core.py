@@ -329,3 +329,21 @@ def q_dropdup_key(spark, sf_dir):
         F.min("o_orderkey").alias("first_orderkey"),
         F.round(F.min("o_totalprice"), 4).alias("min_price"),
     )
+
+
+@query(
+    "q_value_counts",
+    oracle="""
+    SELECT o_orderpriority AS value, count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    ORDER BY n DESC, value
+    """,
+)
+def q_value_counts(spark, sf_dir):
+    """value_counts — the reference notebook's exploratory workhorse
+    (movies_etl.ipynb [R]: .value_counts() between transform cells):
+    group-count ordered by frequency with a deterministic tie-break."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy(F.col("o_orderpriority").alias("value"))
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("value")))

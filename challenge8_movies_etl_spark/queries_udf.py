@@ -137,10 +137,13 @@ def q_udtf(spark, sf_dir):
             for i, tok in enumerate(text.split(" ")):
                 yield tok, i + 1
 
-    spark.udtf.register("tokenize_udtf", Tokenize)
+    import uuid as _uuid
+    sfx = _uuid.uuid4().hex[:8]
+    spark.udtf.register(f"tokenize_udtf_{sfx}", Tokenize)
     d = load_table(spark, sf_dir, "documents")
-    d.createOrReplaceTempView("documents_udtf")
-    return spark.sql("""
+    view = f"documents_udtf_{sfx}"
+    d.createOrReplaceTempView(view)
+    return spark.sql(f"""
         SELECT d.doc_id, t.token, t.pos
-        FROM documents_udtf d, LATERAL tokenize_udtf(d.text) t
+        FROM {view} d, LATERAL tokenize_udtf_{sfx}(d.text) t
     """)
