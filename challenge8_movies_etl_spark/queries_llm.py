@@ -561,3 +561,70 @@ def q_knn_join(spark, sf_dir):
             .filter(F.col("_rn") <= 3)
             .select("vec_id", "neighbor",
                     F.round("cos_raw", 4).alias("cos")))
+
+
+@query(
+    "q_text_redact",
+    oracle=r"""
+    SELECT doc_id, raw,
+           regexp_replace(
+             regexp_replace(raw, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>',
+                            'g'),
+             '\d{3}-\d{4}', '<PHONE>', 'g') AS redacted
+    FROM (
+      SELECT doc_id,
+             'contact user' || cast(doc_id as string)
+               || '@example.com or ' || cast(doc_id % 900 + 100 as string)
+               || '-' || lpad(cast((doc_id * 7) % 10000 as string), 4, '0')
+               || ' re: ' || substring(text, 1, 40) AS raw
+      FROM documents
+    )
+    """,
+)
+def q_text_redact(spark, sf_dir):
+    """PII-style scrubbing: email and phone-shaped spans replaced with
+    typed placeholder tokens — the standard pre-training redaction pass.
+    Synthesized PII is embedded deterministically (integer-only) so
+    both engines construct identical inputs; patterns are global
+    regexp_replace (Spark replaces all matches by default, DuckDB needs
+    the 'g' flag)."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.selectExpr(
+        "doc_id",
+        "'contact user' || cast(doc_id as string)"
+        " || '@example.com or ' || cast(doc_id % 900 + 100 as string)"
+        " || '-' || lpad(cast((doc_id * 7) % 10000 as string), 4, '0')"
+        " || ' re: ' || substring(text, 1, 40) AS raw",
+    )
+    red = F.regexp_replace(
+        F.regexp_replace("raw", r"[A-Za-z0-9._]+@[A-Za-z0-9.]+", "<EMAIL>"),
+        r"\d{3}-\d{4}", "<PHONE>")
+    return raw.select("doc_id", "raw", red.alias("redacted"))
+
+
+@query(
+    "q_embed_normalize",
+    oracle=f"""
+    WITH {_NORMS_CTE}
+    SELECT vec_id,
+           round(sqrt(nrm), 4) AS l2_norm,
+           round(cast(embedding[1] as double) / sqrt(nrm), 4) AS unit_e0,
+           round(cast(embedding[64] as double) / sqrt(nrm), 4) AS unit_e63
+    FROM norms
+    """,
+)
+def q_embed_normalize(spark, sf_dir):
+    """L2 normalization — the preprocessing step every cosine-based
+    retrieval index wants done once at write time (then similarity is a
+    plain dot product). Projected to scalars (norm + first/last unit
+    components) for the oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(_norm(F.col("embedding")))
+    return e.select(
+        "vec_id",
+        F.round(nrm, 4).alias("l2_norm"),
+        F.round(F.element_at("embedding", 1).cast("double") / nrm, 4)
+        .alias("unit_e0"),
+        F.round(F.element_at("embedding", 64).cast("double") / nrm, 4)
+        .alias("unit_e63"),
+    )
