@@ -340,3 +340,27 @@ def q_agg_bool(spark, sf_dir):
         F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
         F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_over_200k"),
     )
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_percentiles(spark, sf_dir):
+    """Exact continuous percentiles (linear interpolation between order
+    statistics — the same definition in Spark's percentile() and
+    DuckDB's quantile_cont). The approximate sibling for 100 TB is
+    percentile_approx (bounded-memory sketch), exercised rows-only in
+    q_agg_approx's family."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )

@@ -628,3 +628,67 @@ def q_embed_normalize(spark, sf_dir):
         F.round(F.element_at("embedding", 64).cast("double") / nrm, 4)
         .alias("unit_e63"),
     )
+
+
+_NGRAM_PAIRS_SQL = """
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT d.doc_id, d.lang,
+             list_sort(list_distinct(list(d.t[gs.i] || ' ' || d.t[gs.i + 1])))
+               AS g
+      FROM toks d JOIN range(1, 100000) gs(i) ON gs.i <= len(d.t) - 1
+      GROUP BY d.doc_id, d.lang
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM grams a
+      JOIN grams b ON a.lang = b.lang AND a.doc_id < b.doc_id
+                  AND abs(len(a.g) - len(b.g)) <= 10
+      WHERE cast(len(list_intersect(a.g, b.g)) as double)
+            / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.2
+    )
+"""
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+    {_NGRAM_PAIRS_SQL.replace("WITH toks", "WITH RECURSIVE toks", 1)},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+    )
+    SELECT id AS doc_id, min(r) AS cluster,
+           (min(r) <> id) AS is_dup
+    FROM reach GROUP BY id
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: transitive closure of the exact n-gram
+    Jaccard pairs (q_dedup_ngram) via iterative min-label propagation
+    (operators/cluster.py) — every document labeled with the min doc_id
+    of its duplicate component; is_dup marks everything but the keeper.
+    The oracle computes the same components with a recursive CTE —
+    a genuinely iterative distributed algorithm, still hash-checked.
+    """
+    from .operators.cluster import connected_components
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select("doc_id", "lang", word_ngrams(F.col("text"), 2).alias("g"))
+    pairs = ngram_jaccard_pairs(g, "doc_id", "lang", "g",
+                                tau=0.2, size_band=10)
+    labels = connected_components(
+        d.select("doc_id"), pairs.select("doc_a", "doc_b"),
+        id_col="doc_id", src="doc_a", dst="doc_b")
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        "cluster",
+        (F.col("cluster") != F.col("id")).alias("is_dup"),
+    )
