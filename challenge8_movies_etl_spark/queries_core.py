@@ -347,3 +347,47 @@ def q_value_counts(spark, sf_dir):
     return (o.groupBy(F.col("o_orderpriority").alias("value"))
             .agg(F.count("*").alias("n"))
             .orderBy(F.col("n").desc(), F.col("value")))
+
+
+@query(
+    "q_try_cast",
+    oracle="""
+    SELECT o_orderkey, messy,
+           TRY_CAST(messy AS DOUBLE) AS coerced,
+           (TRY_CAST(messy AS DOUBLE) IS NULL) AS failed
+    FROM (
+      SELECT o_orderkey,
+             CASE o_orderkey % 4
+               WHEN 0 THEN cast(o_orderkey % 1000 as string)
+               WHEN 1 THEN cast(o_orderkey % 1000 as string) || '.'
+                           || cast(o_orderkey % 10 as string)
+               WHEN 2 THEN 'n/a'
+               ELSE '' END AS messy
+      FROM orders
+    )
+    """,
+)
+def q_try_cast(spark, sf_dir):
+    """Error-coercing numeric cast — pd.to_numeric(errors='coerce')
+    semantics (the reference ran errors='raise' as a sanity gate,
+    challenge.py≈L134-144 [R]; coerce is the production variant):
+    unparseable strings become NULL instead of failing the job. ANSI
+    mode makes plain casts throw; try_cast is the explicit none-throwing
+    form, so this works identically whatever the session's ANSI
+    setting."""
+    o = load_table(spark, sf_dir, "orders")
+    synth = o.selectExpr(
+        "o_orderkey",
+        "CASE o_orderkey % 4"
+        " WHEN 0 THEN cast(o_orderkey % 1000 as string)"
+        " WHEN 1 THEN cast(o_orderkey % 1000 as string) || '.'"
+        " || cast(o_orderkey % 10 as string)"
+        " WHEN 2 THEN 'n/a'"
+        " ELSE '' END AS messy",
+    )
+    coerced = F.expr("try_cast(messy as double)")
+    return synth.select(
+        "o_orderkey", "messy",
+        coerced.alias("coerced"),
+        coerced.isNull().alias("failed"),
+    )

@@ -692,3 +692,43 @@ def q_dedup_clusters(spark, sf_dir):
         "cluster",
         (F.col("cluster") != F.col("id")).alias("is_dup"),
     )
+
+
+@query(
+    "q_split_train_test",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id,
+             cast(('0x' || substring(md5(cast(doc_id as string) || ':split'),
+                                     1, 4)) as integer) % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'valid'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM assigned GROUP BY 1
+    """,
+)
+def q_split_train_test(spark, sf_dir):
+    """Deterministic train/valid/test assignment (90/5/5) by hashing the
+    stable document key — the reproducible-split primitive every
+    training pipeline needs (rand()-based sampling is neither
+    reproducible across runs nor engine-portable; keyed md5 buckets are
+    both). Spark conv() and DuckDB '0x' cast read the same hex nibble,
+    so assignments match bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+        1, 4), 16, 10).cast("int") % 100)
+    assigned = d.select("doc_id", bucket.alias("bucket"))
+    split = (F.when(F.col("bucket") < 90, "train")
+             .when(F.col("bucket") < 95, "valid")
+             .otherwise("test"))
+    return (assigned.select("doc_id", split.alias("split"))
+            .groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc")))
