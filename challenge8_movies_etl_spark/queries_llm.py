@@ -161,7 +161,14 @@ def q_dedup_minhash(spark, sf_dir):
     engine-specific; tests assert candidates ⊇ high-Jaccard truth
     (tests/test_llm_ops.py)."""
     d = load_table(spark, sf_dir, "documents")
-    g = d.select("doc_id", word_ngrams(F.col("text"), 2).alias("g"))
+    # the gram relation feeds three branches (signatures + both verify
+    # sides); persist so shingling runs once, not three times (measured
+    # 9.3s -> 2.6s at sf0.1). No unpersist: the returned DataFrame is
+    # lazy, and the cached relation is a few MB — LRU eviction handles
+    # it. At scale this is a persist-to-disk checkpoint of the shingle
+    # table, the standard shape for multi-pass dedup.
+    g = (d.select("doc_id", word_ngrams(F.col("text"), 2).alias("g"))
+         .persist())
     cand = lsh_candidate_pairs(g, "doc_id", "g", n_hashes=16, bands=4)
     ga = g.select(F.col("doc_id").alias("id_a"), F.col("g").alias("g_a"))
     gb = g.select(F.col("doc_id").alias("id_b"), F.col("g").alias("g_b"))
