@@ -136,6 +136,56 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_candidate_pairs(sigs: DataFrame, id_col: str, sig_col: str,
+                            block_col: str | None = None,
+                            max_dist: int = 3, bands: int = 4) -> DataFrame:
+    """Banded SimHash near-neighbor pairs (Manku et al., WWW'07 §3
+    fingerprint-block design). Split the 64-bit signature into
+    ``bands`` equal chunks; any pair within Hamming distance
+    ``max_dist`` <= bands-1 leaves at least one chunk untouched
+    (pigeonhole), so an equi-join on (band_idx, chunk_value[, block])
+    yields a candidate superset and the exact hamming test runs on
+    candidates only — never an all-pairs predicate join. With 4 bands
+    of 16 bits there are 2^16 buckets per band: the shuffle carries
+    (id, chunk) pairs and each bucket's quadratic step stays tiny at
+    any corpus size.
+
+    Returns (id_a, id_b, sig_a, sig_b) with id_a < id_b, exact-verified
+    ``hamming64 <= max_dist``, deduplicated across bands.
+    """
+    if max_dist >= bands:
+        raise ValueError(
+            f"pigeonhole guarantee needs bands > max_dist "
+            f"(got bands={bands}, max_dist={max_dist})")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    keep = [id_col, sig_col] + ([block_col] if block_col else [])
+    banded = sigs.select(
+        *keep,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col(sig_col), i * width)
+                .bitwiseAND(F.lit(mask)).alias("bval"),
+            )
+            for i in range(bands)
+        ])).alias("bb"),
+    ).select(*keep, "bb.band", "bb.bval")
+    a, b = banded.alias("sa"), banded.alias("sb")
+    cond = ((F.col("sa.band") == F.col("sb.band"))
+            & (F.col("sa.bval") == F.col("sb.bval"))
+            & (F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}")))
+    if block_col:
+        cond = cond & (F.col(f"sa.{block_col}") == F.col(f"sb.{block_col}"))
+    return (a.join(b, cond)
+            .select(F.col(f"sa.{id_col}").alias("id_a"),
+                    F.col(f"sb.{id_col}").alias("id_b"),
+                    F.col(f"sa.{sig_col}").alias("sig_a"),
+                    F.col(f"sb.{sig_col}").alias("sig_b"))
+            .distinct()
+            .filter(hamming64(F.col("sig_a"), F.col("sig_b")) <= max_dist))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str, block_col: str,
                         shingle_col: str, tau: float,
                         size_band: int | None = None) -> DataFrame:

@@ -178,7 +178,7 @@ def q_regex_extract(spark, sf_dir):
            o_orderkey % 97 AS modded,
            greatest(o_totalprice, 100000.0) AS hi,
            least(o_totalprice, 100000.0) AS lo,
-           sign(o_totalprice - 100000.0) AS sgn
+           cast(sign(o_totalprice - 100000.0) as bigint) AS sgn
     FROM orders
     """,
 )
@@ -203,7 +203,7 @@ def q_math_funcs(spark, sf_dir):
         (F.col("o_orderkey") % 97).alias("modded"),
         F.greatest(tp, F.lit(100000.0)).alias("hi"),
         F.least(tp, F.lit(100000.0)).alias("lo"),
-        F.signum(tp - 100000.0).alias("sgn"),
+        F.signum(tp - 100000.0).cast("bigint").alias("sgn"),
     )
 
 

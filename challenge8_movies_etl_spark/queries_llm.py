@@ -184,18 +184,21 @@ def q_dedup_minhash(spark, sf_dir):
 def q_dedup_simhash(spark, sf_dir):
     """64-bit SimHash signatures per document (pure array expressions,
     no UDF) + per-doc count of same-lang signatures within Hamming
-    distance 16 — the constant-size sketch that replaces pairwise
-    Jaccard when shingle sets are large."""
-    from .operators.dedup import hamming64
+    distance 3 — the constant-size sketch that replaces pairwise
+    Jaccard when shingle sets are large. Candidates come from the
+    Manku-banded equi-join (4 bands x 16 bits, pigeonhole-exact for
+    distance <= 3), NOT an all-pairs hamming predicate — the shuffle
+    carries (doc_id, 16-bit chunk) and per-bucket work is quadratic
+    only within 2^16-way buckets."""
+    from .operators.dedup import simhash_candidate_pairs
     d = load_table(spark, sf_dir, "documents")
     s = d.select("doc_id", "lang",
                  simhash64(tokens(F.col("text"))).alias("sh"))
-    a, b = s.alias("a"), s.alias("b")
-    close = (a.join(b, (F.col("a.lang") == F.col("b.lang"))
-                    & (F.col("a.doc_id") != F.col("b.doc_id"))
-                    & (hamming64(F.col("a.sh"), F.col("b.sh")) <= 16))
-             .groupBy(F.col("a.doc_id").alias("doc_id"))
-             .agg(F.count("*").alias("n_close")))
+    pairs = simhash_candidate_pairs(s, "doc_id", "sh", block_col="lang",
+                                    max_dist=3, bands=4)
+    both = (pairs.select(F.col("id_a").alias("doc_id"))
+            .unionAll(pairs.select(F.col("id_b").alias("doc_id"))))
+    close = both.groupBy("doc_id").agg(F.count("*").alias("n_close"))
     return (s.join(close, "doc_id", "left")
             .select("doc_id", "sh",
                     F.coalesce("n_close", F.lit(0)).alias("n_close"))

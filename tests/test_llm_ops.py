@@ -57,6 +57,29 @@ def test_ivf_recall_vs_exact(spark):
     assert len(approx) == 10
 
 
+def test_simhash_banding_matches_naive_predicate(spark):
+    """The Manku-banded candidate join must produce EXACTLY the pairs
+    the all-pairs hamming<=3 predicate finds (pigeonhole: 4 bands,
+    <=3 flipped bits -> one band intact) — banding is a plan change,
+    not a semantics change."""
+    from challenge8_movies_etl_spark.operators.dedup import (
+        hamming64, simhash64, simhash_candidate_pairs)
+    from challenge8_movies_etl_spark.operators.text import tokens
+    d = load_table(spark, SF_SMOKE, "documents")
+    s = d.select("doc_id", "lang",
+                 simhash64(tokens(F.col("text"))).alias("sh"))
+    banded = {(r["id_a"], r["id_b"]) for r in simhash_candidate_pairs(
+        s, "doc_id", "sh", block_col="lang", max_dist=3, bands=4).collect()}
+    a, b = s.alias("a"), s.alias("b")
+    naive = {(r["id_a"], r["id_b"])
+             for r in a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                             & (F.col("a.doc_id") < F.col("b.doc_id"))
+                             & (hamming64(F.col("a.sh"), F.col("b.sh")) <= 3))
+             .select(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b")).collect()}
+    assert banded == naive
+
+
 def test_simhash_deterministic(spark):
     a = {(r["doc_id"], r["sh"])
          for r in QUERIES["q_dedup_simhash"](spark, SF_SMOKE).collect()}

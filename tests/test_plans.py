@@ -78,3 +78,26 @@ def test_flagship_single_wide_exchange(spark):
 def test_events_scan_prunes_for_pivot(spark):
     p = plan(spark, "q_pivot")
     assert "ReadSchema: struct<user_id:bigint,event_type:string>" in p, p
+
+
+def test_simhash_candidates_equi_join(spark):
+    """SimHash neighbor generation must be a band equi-join, never an
+    all-pairs hamming-predicate nested loop (the 100 TB scale gate)."""
+    p = plan(spark, "q_dedup_simhash")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_minhash_candidates_equi_join(spark):
+    """MinHash-LSH candidate generation: band-bucket equi-join only."""
+    p = plan(spark, "q_dedup_minhash")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_similarity_ann_broadcasts_probe(spark):
+    """IVF probe side must broadcast — one scan of the corpus, no
+    corpus-sized shuffle for a 1-row probe."""
+    p = plan(spark, "q_similarity_ann")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+    assert "TakeOrderedAndProject" in p, p

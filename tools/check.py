@@ -62,11 +62,13 @@ def canon_cell(v) -> str:
 
 
 def canon_frame(pdf):
+    # Column-wise extraction (NOT iterrows): iterrows() coerces every
+    # all-numeric frame to a common float dtype, which masked exactly the
+    # int-vs-double drift the driver's value-hash catches (q_math_funcs
+    # sgn, round 1). Series.tolist() preserves each column's own dtype.
     cols = sorted(pdf.columns)
-    rows = [
-        tuple(canon_cell(row[c]) for c in cols)
-        for _, row in pdf[cols].iterrows()
-    ]
+    rows = list(zip(*([canon_cell(v) for v in pdf[c].tolist()]
+                      for c in cols))) if cols else []
     rows.sort()
     return cols, rows
 
