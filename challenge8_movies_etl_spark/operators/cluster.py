@@ -28,11 +28,19 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     nodes: one column ``id_col``; edges: ``src``/``dst`` (undirected —
     both directions generated here). Returns (id, cluster).
     """
+    # Materialize the edge list ONCE — upstream edge generation is
+    # typically an expensive similarity join, and without this the loop
+    # would re-execute it every iteration (and again in the convergence
+    # count).
     both = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
             .unionByName(
-                edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))))
-    labels = nodes.select(F.col(id_col).alias("id"),
-                          F.col(id_col).alias("cluster"))
+                edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+            .localCheckpoint(eager=True))
+    # Only edge-touched nodes need propagation; isolated nodes (the
+    # overwhelming majority of a deduped corpus) are their own cluster
+    # by definition and skip the iterative phase entirely.
+    touched = both.select(F.col("a").alias("id")).distinct()
+    labels = touched.select("id", F.col("id").alias("cluster"))
     for _ in range(max_iter):
         # each node adopts min(own label, neighbors' labels)
         neighbor_min = (both.join(labels, both.b == labels.id)
@@ -50,4 +58,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         labels = new_labels.localCheckpoint(eager=True)
         if changed == 0:
             break
-    return labels
+    isolated = (nodes.select(F.col(id_col).alias("id"))
+                .join(touched, "id", "left_anti")
+                .select("id", F.col("id").alias("cluster")))
+    return labels.unionByName(isolated)

@@ -88,6 +88,75 @@ def brute_force_topk(embeddings: DataFrame, probe_id: int, k: int = 10) -> DataF
     return scored.orderBy(F.col("cos").desc(), F.col("vec_id")).limit(k)
 
 
+def ivf_knn_join(embeddings: DataFrame, k: int = 3, n_cells: int = 8,
+                 n_assign: int = 2, label_col: str = "label") -> DataFrame:
+    """IVF-cell-blocked kNN join — the 100 TB scale path for the
+    pairwise-cosine family (q_knn_join / q_similarity_pairs /
+    q_embed_neardup compute exact per-label all-pairs, which is
+    O((N/|labels|)^2) and quadratic at corpus scale).
+
+    Every vector is assigned to its ``n_assign`` nearest of ``n_cells``
+    deterministic centroids (redundant assignment = multi-probe: two
+    vectors are candidates iff they share ANY cell, which bounds recall
+    loss at cell boundaries). Candidate pairs come from an equi-join on
+    (cell, label) — per-cell quadratic only, never global. A real
+    deployment sizes n_cells ~ sqrt(N) so each cell holds ~sqrt(N)
+    vectors and total candidate work is ~N^1.5, and k-means the
+    centroids; deterministic lowest-id centroids keep tests stable.
+
+    Returns (vec_id, neighbor, cos) — top-k per vector among
+    candidates; approximate, so registered rows-only with recall
+    asserted against the exact join in tests.
+    """
+    from pyspark.sql import Window as W
+    cents = (embeddings.orderBy("vec_id").limit(n_cells)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("embedding").alias("cent_emb")))
+    # Assignment ranks centroids per vector, so the vector's own norm is
+    # a constant factor and drops out; plain double arithmetic is fine
+    # here (deterministic: fixed element order within each row) — the
+    # decimal-exact path is reserved for the candidate cosines below.
+    fdot = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("cent_emb"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cent_nrm = F.sqrt(F.aggregate(
+        F.transform(F.col("cent_emb"),
+                    lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    scored = (embeddings.join(F.broadcast(cents))
+              .select("vec_id", label_col, "embedding", "cent_id",
+                      (fdot / cent_nrm).alias("cc")))
+    w = W.partitionBy("vec_id").orderBy(F.col("cc").desc(), "cent_id")
+    assigned = (scored.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= n_assign)
+                .select("vec_id", label_col, "embedding",
+                        F.col("cent_id").alias("cell")))
+    n = assigned.withColumn("nrm", dot_col(F.col("embedding"),
+                                           F.col("embedding")))
+    a, b = n.alias("a"), n.alias("b")
+    cos = (dot_col(F.col("a.embedding"), F.col("b.embedding"))
+           / F.sqrt(F.col("a.nrm") * F.col("b.nrm")))
+    # a pair sharing both assigned cells would appear twice -> max-dedup
+    pairs = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
+                    & (F.col(f"a.{label_col}") == F.col(f"b.{label_col}"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .select(F.col("a.vec_id").alias("va"),
+                     F.col("b.vec_id").alias("vb"),
+                     cos.alias("cos_raw"))
+             .groupBy("va", "vb").agg(F.max("cos_raw").alias("cos_raw")))
+    both = (pairs.select(F.col("va").alias("vec_id"),
+                         F.col("vb").alias("neighbor"), "cos_raw")
+            .unionByName(
+                pairs.select(F.col("vb").alias("vec_id"),
+                             F.col("va").alias("neighbor"), "cos_raw")))
+    wk = W.partitionBy("vec_id").orderBy(F.col("cos_raw").desc(), "neighbor")
+    return (both.withColumn("_rn", F.row_number().over(wk))
+            .filter(F.col("_rn") <= k)
+            .select("vec_id", "neighbor",
+                    F.round("cos_raw", 4).alias("cos")))
+
+
 def ivf_topk(embeddings: DataFrame, probe_id: int, k: int = 10,
              n_cells: int = 8, n_probe_cells: int = 2) -> DataFrame:
     """IVF-style approximate top-k — the 100 TB scale path.

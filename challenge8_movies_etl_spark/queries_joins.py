@@ -101,6 +101,28 @@ def q_join_left(spark, sf_dir):
 
 
 @query(
+    "q_join_right",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           o.o_orderkey, o.o_orderpriority
+    FROM (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_right(spark, sf_dir):
+    """Right outer join (closes the join matrix: inner/left/right/full/
+    semi/anti/cross all have dedicated qids). Semantically the mirror
+    of q_join_left; Spark plans it as the same shuffled hash/SMJ with
+    build side flipped, so it carries the same 100 TB posture."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT"))
+    return (o.join(c, o.o_custkey == c.c_custkey, "right")
+            .select("c_custkey", "c_mktsegment",
+                    "o_orderkey", "o_orderpriority"))
+
+
+@query(
     "q_join_multi_5way",
     oracle=f"""
     SELECT r.r_name, n.n_name,

@@ -573,6 +573,19 @@ def q_knn_join(spark, sf_dir):
                     F.round("cos_raw", 4).alias("cos")))
 
 
+@query("q_knn_join_blocked")  # rows-only: IVF-blocked approximation
+def q_knn_join_blocked(spark, sf_dir):
+    """Approximate kNN join: q_knn_join's scale path. Candidates come
+    from an equi-join on (IVF cell, label) with redundant top-3-cell
+    assignment — per-cell quadratic only — instead of the exact
+    per-label all-pairs join. Recall vs the exact join is pinned in
+    tests/test_llm_ops.py (0.92 observed at sf0.001 AND sf0.01 with
+    these parameters)."""
+    from .operators.similarity import ivf_knn_join
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_knn_join(e, k=3, n_cells=8, n_assign=3)
+
+
 @query(
     "q_text_redact",
     oracle=r"""

@@ -57,6 +57,21 @@ def test_ivf_recall_vs_exact(spark):
     assert len(approx) == 10
 
 
+def test_blocked_knn_recall_vs_exact(spark):
+    """The IVF-blocked kNN join must recover >=0.9 of the exact join's
+    (vec_id, neighbor) edges (deterministic fixtures -> stable observed
+    recall: 0.922 at sf0.001, 0.921 at sf0.01 with 8 cells / top-3
+    redundant assignment)."""
+    exact = {(r["vec_id"], r["neighbor"])
+             for r in QUERIES["q_knn_join"](spark, SF_SMOKE).collect()}
+    approx = {(r["vec_id"], r["neighbor"])
+              for r in QUERIES["q_knn_join_blocked"](spark, SF_SMOKE).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
+    # every vector still gets exactly k=3 neighbors
+    assert len(approx) == len(exact)
+
+
 def test_simhash_banding_matches_naive_predicate(spark):
     """The Manku-banded candidate join must produce EXACTLY the pairs
     the all-pairs hamming<=3 predicate finds (pigeonhole: 4 bands,

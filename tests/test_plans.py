@@ -101,3 +101,10 @@ def test_similarity_ann_broadcasts_probe(spark):
     p = plan(spark, "q_similarity_ann")
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_blocked_knn_equi_join(spark):
+    """The blocked kNN join's candidate generation must be an equi-join
+    on (cell, label) — no nested-loop/cartesian pair enumeration."""
+    p = plan(spark, "q_knn_join_blocked")
+    assert "CartesianProduct" not in p, p
