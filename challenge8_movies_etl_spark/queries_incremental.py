@@ -1,0 +1,224 @@
+"""Incremental-maintenance + pipeline-utility queries: MERGE-style
+upsert, SCD2 history, skew-salted aggregation, deterministic
+stratified sampling, vocabulary building, and streaming dedup.
+
+The reference's sink surface was to_sql(replace|append)
+(challenge.py≈L197-210 [R]); real dataset-versioning pipelines need
+the incremental forms, so they are first-class oracle-checked queries
+here (operators/{scd,skew}.py hold the algebra). All synthesized
+inputs follow the integer-only construction discipline
+(functions/synth.py) so both engines build bit-identical frames.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from .operators.scd import scd2_apply, upsert
+from .operators.skew import salted_agg
+from .registry import query
+from .sources.fixtures import load_table
+
+# ---------------------------------------------------------------------------
+# upsert / SCD2
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_upsert",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    updates AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'N', 1000.0
+      FROM orders WHERE o_orderkey % 1000 = 0
+    )
+    SELECT t.* FROM target t
+    WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    UNION ALL
+    SELECT * FROM updates
+    """,
+)
+def q_upsert(spark, sf_dir):
+    """Key-level MERGE (last-writer-wins upsert): existing keys
+    replaced, new keys inserted — anti-join + union algebra
+    (operators/scd.py). x2 on a double is exact in IEEE, so the
+    updated prices hash identically across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    target = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    updates = (o.filter(F.col("o_orderkey") % 10 == 0)
+               .select("o_orderkey",
+                       F.lit("U").alias("o_orderstatus"),
+                       (F.col("o_totalprice") * 2).alias("o_totalprice"))
+               .unionByName(
+                   o.filter(F.col("o_orderkey") % 1000 == 0)
+                   .select((F.col("o_orderkey") + 100000000)
+                           .alias("o_orderkey"),
+                           F.lit("N").alias("o_orderstatus"),
+                           F.lit(1000.0).alias("o_totalprice"))))
+    return upsert(target, updates, "o_orderkey")
+
+
+@query(
+    "q_scd2",
+    oracle="""
+    WITH hist AS (
+      SELECT c_custkey, c_mktsegment AS seg,
+             '2020-01-01' AS valid_from, '9999-12-31' AS valid_to
+      FROM customer
+    )
+    SELECT c_custkey, seg, valid_from, '2024-06-01' AS valid_to
+    FROM hist WHERE c_custkey % 5 = 0
+    UNION ALL
+    SELECT * FROM hist WHERE c_custkey % 5 <> 0
+    UNION ALL
+    SELECT c_custkey, 'CHANGED', '2024-06-01', '9999-12-31'
+    FROM hist WHERE c_custkey % 5 = 0
+    """,
+)
+def q_scd2(spark, sf_dir):
+    """Type-2 slowly-changing dimension: one change batch against an
+    all-open history — changed keys close at the change ts and re-open
+    with the new payload; unchanged rows pass through
+    (operators/scd.py scd2_apply)."""
+    c = load_table(spark, sf_dir, "customer")
+    hist = c.select("c_custkey",
+                    F.col("c_mktsegment").alias("seg"),
+                    F.lit("2020-01-01").alias("valid_from"),
+                    F.lit("9999-12-31").alias("valid_to"))
+    changes = (c.filter(F.col("c_custkey") % 5 == 0)
+               .select("c_custkey",
+                       F.lit("CHANGED").alias("seg"),
+                       F.lit("2024-06-01").alias("ts")))
+    return scd2_apply(hist, changes, "c_custkey", "ts")
+
+
+# ---------------------------------------------------------------------------
+# skew-salted aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_salted",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           cast(round(sum(cast(value as decimal(30,10))), 4) as double)
+             AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_salted(spark, sf_dir):
+    """Two-phase salted aggregation for skewed group keys (5 hot
+    event_types): phase 1 spreads each key over 16 salt reducers,
+    phase 2 re-aggregates the partials — semantics identical to the
+    plain GROUP BY the oracle runs, which is the point (salting is a
+    plan change, not a result change). Decimal partials keep the
+    double sum exact and order-independent across both phases."""
+    e = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        e, "event_type",
+        aggs=[F.count("*").alias("_n"),
+              F.sum(F.col("value").cast("decimal(30,10)")).alias("_s")],
+        reaggs=[F.sum("_n").alias("n_events"),
+                F.round(F.sum("_s"), 4).cast("double").alias("sum_value")],
+        n_salts=16,
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+    SELECT event_id, event_type, user_id
+    FROM events
+    WHERE cast(('0x' || substring(md5(cast(event_id as string) || ':samp'),
+                                  1, 4)) as integer) % 100
+          < CASE WHEN event_type = 'click' THEN 5 ELSE 20 END
+    """,
+)
+def q_sample_stratified(spark, sf_dir):
+    """Per-stratum deterministic sampling (5% of clicks, 20% of
+    everything else) by hashing the stable event key — reproducible
+    across runs AND engines, unlike rand()/TABLESAMPLE; the md5-bucket
+    construction is shared with q_split_train_test. Embarrassingly
+    parallel: a codegen'd filter, no shuffle, at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":samp"))),
+        1, 4), 16, 10).cast("int") % 100)
+    rate = F.when(F.col("event_type") == "click", 5).otherwise(20)
+    return (e.filter(bucket < rate)
+            .select("event_id", "event_type", "user_id"))
+
+
+# ---------------------------------------------------------------------------
+# vocabulary building
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_vocab_topk",
+    oracle="""
+    SELECT token, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY cnt DESC, token
+    LIMIT 50
+    """,
+)
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: explode whitespace tokens, count, top-50 with
+    the token as total-order tie-break — the tokenizer-training /
+    vocab-pruning primitive. Map-side partial counts make the shuffle
+    carry (token, partial) pairs, and the top-k compiles to
+    TakeOrderedAndProject (no global sort) — the same shape at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    return (d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+            .groupBy("token").agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "token")
+            .limit(50))
+
+
+# ---------------------------------------------------------------------------
+# streaming dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+)
+def q_stream_dedup(spark, sf_dir):
+    """Streaming deduplication through the REAL machinery: the events
+    stream unioned with itself (every event arrives twice) →
+    dropDuplicates on the key inside a replayed availableNow run →
+    exactly the distinct event set, held to a plain DISTINCT oracle.
+    Duplicate rows are bit-identical, so keep-first arbitrariness
+    cannot leak into the result. State is (key → seen) per event_id —
+    at scale, bound it with dropDuplicatesWithinWatermark."""
+    from .streaming.replay import replay_events_stream
+    stream = replay_events_stream(spark, sf_dir)
+    doubled = stream.unionByName(stream)
+    name = f"sdedup_{uuid.uuid4().hex[:8]}"
+    q = (doubled.dropDuplicates(["event_id"])
+         .select("event_id", "user_id", "event_type")
+         .writeStream.outputMode("append")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    return spark.table(name)

@@ -108,3 +108,17 @@ def test_blocked_knn_equi_join(spark):
     on (cell, label) — no nested-loop/cartesian pair enumeration."""
     p = plan(spark, "q_knn_join_blocked")
     assert "CartesianProduct" not in p, p
+
+
+def test_vocab_topk_take_ordered(spark):
+    """Vocab top-k: map-side partial counts + TakeOrderedAndProject —
+    never a global sort of the full vocabulary."""
+    p = plan(spark, "q_vocab_topk")
+    assert "TakeOrderedAndProject" in p, p
+    assert "partial_" in p, p
+
+
+def test_stratified_sample_no_shuffle(spark):
+    """Hash-bucket sampling is a pure filter — zero exchanges."""
+    p = plan(spark, "q_sample_stratified")
+    assert n_shuffles(p) == 0, p
