@@ -65,3 +65,31 @@ def decode_features(media: DataFrame) -> DataFrame:
             yield decode_stub(pdf)
 
     return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_len bigint"
+
+
+def frame_sample(media: DataFrame, frame_bytes: int = 32,
+                 every: int = 4) -> DataFrame:
+    """Video-style frame sampling over opaque payloads: chunk each
+    payload into ``frame_bytes`` frames, keep every ``every``-th one —
+    the mapInPandas row-EXPLODING shape (one input row → many output
+    rows) that real frame extractors use. Decode is the stub (byte
+    slicing); batch shape, schema, and fan-out are real. At 100 TB the
+    fan-out happens executor-side inside the Arrow batch, never on the
+    driver, and needs no shuffle."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc, idx, ln = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                n_frames = (n + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every):
+                    doc.append(doc_id)
+                    idx.append(i)
+                    ln.append(min(frame_bytes, n - i * frame_bytes))
+            yield pd.DataFrame({"doc_id": doc, "frame_idx": idx,
+                                "frame_len": ln})
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -525,6 +525,78 @@ def q_multimodal_meta(spark, sf_dir):
 
 
 @query(
+    "q_multimodal_framesample",
+    oracle="""
+    SELECT doc_id, i AS frame_idx,
+           least(32, nb - i * 32) AS frame_len
+    FROM (
+      SELECT doc_id,
+             cast(octet_length(encode(text)) as bigint) AS nb,
+             unnest(range(0, cast((octet_length(encode(text)) + 31) // 32
+                                  as bigint))) AS i
+      FROM documents
+    )
+    WHERE i % 4 = 0
+    """,
+)
+def q_multimodal_framesample(spark, sf_dir):
+    """Frame sampling over opaque media payloads: every 4th 32-byte
+    'frame' per document via a row-exploding mapInPandas
+    (operators/multimodal.py frame_sample) — the video-pipeline shape
+    where one input row fans out to many frames executor-side. The
+    oracle reproduces the fan-out with a lateral range()."""
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_payload(d)
+    return multimodal.frame_sample(media, frame_bytes=32, every=4)
+
+
+@query(
+    "q_quality_pipeline",
+    oracle=rf"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             {quality_score_sql(
+                 "len(string_split(text, ' '))",
+                 "len(list_distinct(string_split(text, ' ')))",
+                 "n_chars",
+                 lexicon_count_sql('text', EN_STOPWORDS))} AS quality,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, quality FROM scored
+    WHERE quality >= 1.0 AND n_tokens BETWEEN 5 AND 1000
+    QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    """,
+)
+def q_quality_pipeline(spark, sf_dir):
+    """The composite C4-style cleaning pass: quality-score gate +
+    token-length band + exact-fingerprint dedup (keep min doc_id), in
+    one declarative pipeline — the form a pre-training corpus filter
+    actually ships as. Everything stays codegen'd expressions + one
+    window; the filter prunes BEFORE the dedup exchange so the shuffle
+    carries survivors only."""
+    from pyspark.sql import Window as W
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        F.size(tok).alias("n_tokens"),
+        quality_score(
+            F.size(tok), F.size(F.array_distinct(tok)),
+            F.col("n_chars"), stopword_count(F.col("text")),
+        ).alias("quality"),
+        fingerprint_exact(F.col("text")).alias("fp"),
+    )
+    kept = scored.filter((F.col("quality") >= 1.0)
+                         & F.col("n_tokens").between(5, 1000))
+    w = W.partitionBy("fp").orderBy("doc_id")
+    return (kept.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("doc_id", "n_tokens", "quality"))
+
+
+@query(
     "q_knn_join",
     oracle=f"""
     WITH {_PAIR_COS_CTE},

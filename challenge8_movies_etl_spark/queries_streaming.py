@@ -170,6 +170,37 @@ def q_stream_replay_tumbling(spark, sf_dir):
 
 
 @query(
+    "q_stream_join_static",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def q_stream_join_static(spark, sf_dir):
+    """Stream-static enrichment join through the real machinery: the
+    replayed events stream joined to the customer dimension (broadcast
+    — the static side is re-read per micro-batch, so keeping it
+    broadcast-small or cached is the operational rule), held to the
+    batch-join oracle. The streaming planner needs no state for
+    stream-static inner joins — each batch joins independently."""
+    from .streaming.replay import replay_events_stream
+    stream = replay_events_stream(spark, sf_dir)
+    dim = (load_table(spark, sf_dir, "customer")
+           .select("c_custkey", "c_mktsegment"))
+    name = f"sjoin_{uuid.uuid4().hex[:8]}"
+    q = (stream.join(F.broadcast(dim),
+                     stream.user_id == F.col("c_custkey"), "inner")
+         .select("event_id", "user_id", "c_mktsegment")
+         .writeStream.outputMode("append")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    return spark.table(name)
+
+
+@query(
     "q_stream_stateful_counter",
     oracle="""
     SELECT user_id, count(*) AS n_events, max(ts) AS last_ts
