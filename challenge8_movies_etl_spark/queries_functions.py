@@ -319,3 +319,110 @@ def q_datetime_funcs(spark, sf_dir):
                    F.lit("1995-01-01").cast("date")).cast("bigint")
         .alias("days_since"),
     )
+
+
+@query(
+    "q_array_hof",
+    oracle="""
+    SELECT doc_id,
+           list_transform(string_split(text, ' '), t -> length(t))
+             AS token_lens,
+           len(list_filter(string_split(text, ' '),
+                           t -> length(t) >= 5)) AS n_long,
+           list_reduce(list_prepend(
+             0, list_transform(string_split(text, ' '),
+                               t -> length(t))), (a, b) -> a + b)
+             AS total_chars
+    FROM documents
+    """,
+)
+def q_array_hof(spark, sf_dir):
+    """Higher-order array functions — transform / filter / aggregate
+    lambdas (the engine's array-processing surface; these stay inside
+    codegen as Catalyst lambda expressions, never Python). Oracle:
+    DuckDB's list_transform / list_filter / list_reduce twins."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.transform(toks, lambda t: F.length(t)).alias("token_lens"),
+        F.size(F.filter(toks, lambda t: F.length(t) >= 5)).alias("n_long"),
+        F.aggregate(toks, F.lit(0),
+                    lambda acc, t: acc + F.length(t)).alias("total_chars"),
+    )
+
+
+@query(
+    "q_struct_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           {'status': o_orderstatus, 'price': o_totalprice}.status
+             AS s_status,
+           {'status': o_orderstatus, 'price': o_totalprice}.price
+             AS s_price,
+           o_orderstatus || ':' || cast(o_orderkey % 5 as string) AS packed
+    FROM orders
+    """,
+)
+def q_struct_funcs(spark, sf_dir):
+    """StructType surface: named_struct construction + field access +
+    scalar projection (nested records are how multimodal metadata and
+    parsed JSON travel through the engine)."""
+    o = load_table(spark, sf_dir, "orders")
+    st = F.struct(F.col("o_orderstatus").alias("status"),
+                  F.col("o_totalprice").alias("price"))
+    return o.select(
+        "o_orderkey",
+        st.getField("status").alias("s_status"),
+        st.getField("price").alias("s_price"),
+        F.concat_ws(":", "o_orderstatus",
+                    (F.col("o_orderkey") % 5).cast("string")).alias("packed"),
+    )
+
+
+@query(
+    "q_posexplode",
+    oracle="""
+    SELECT doc_id, i - 1 AS pos, toks[i] AS token
+    FROM (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+      FROM documents WHERE doc_id % 20 = 0
+    )
+    """,
+)
+def q_posexplode(spark, sf_dir):
+    """Positional explode — (pos, value) pairs per array element (the
+    ordinal-preserving fan-out used for n-gram windows and frame
+    indices)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0)
+    return (d.select("doc_id",
+                     F.posexplode(F.split("text", " "))
+                     .alias("pos", "token")))
+
+
+@query(
+    "q_schema_evolution",
+    oracle="""
+    SELECT o_orderkey AS k, o_totalprice AS price,
+           NULL AS segment FROM orders WHERE o_orderkey % 100 = 0
+    UNION ALL BY NAME
+    SELECT c_custkey AS k, NULL AS price, c_mktsegment AS segment
+    FROM customer WHERE c_custkey % 100 = 0
+    """,
+)
+def q_schema_evolution(spark, sf_dir):
+    """Schema-evolution union: two relations with partially-overlapping
+    columns merged by NAME with missing columns null-filled
+    (unionByName(allowMissingColumns=True)) — the batch form of
+    reading a dataset whose schema grew over time."""
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderkey") % 100 == 0)
+         .select(F.col("o_orderkey").alias("k"),
+                 F.col("o_totalprice").alias("price")))
+    c = (load_table(spark, sf_dir, "customer")
+         .filter(F.col("c_custkey") % 100 == 0)
+         .select(F.col("c_custkey").alias("k"),
+                 F.col("c_mktsegment").alias("segment")))
+    return o.unionByName(c, allowMissingColumns=True)

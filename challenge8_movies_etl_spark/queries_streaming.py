@@ -201,6 +201,54 @@ def q_stream_join_static(spark, sf_dir):
 
 
 @query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT a.event_id, a.user_id, b.event_type AS matched_type
+    FROM events a JOIN events b ON a.event_id = b.event_id
+    """,
+)
+def q_stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join through the real machinery: two
+    replays of the events stream joined on the key within a +/-1 hour
+    event-time range, watermarks on BOTH sides (what lets the state
+    store evict — the non-negotiable 100 TB requirement for
+    stream-stream joins). Replayed rows are identical on both sides,
+    so the oracle is the batch self-join."""
+    from .streaming.replay import replay_events_stream
+    left = (replay_events_stream(spark, sf_dir)
+            .withWatermark("ts", "1 hour"))
+    right = (replay_events_stream(spark, sf_dir)
+             .select(F.col("event_id").alias("r_event_id"),
+                     F.col("ts").alias("r_ts"),
+                     F.col("event_type").alias("matched_type"))
+             .withWatermark("r_ts", "1 hour"))
+    joined = (left.join(
+        right,
+        (F.col("event_id") == F.col("r_event_id"))
+        & (F.col("r_ts") >= F.col("ts") - F.expr("interval 1 hour"))
+        & (F.col("r_ts") <= F.col("ts") + F.expr("interval 1 hour")),
+        "inner")
+        .select("event_id", "user_id", "matched_type"))
+    name = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    # the state store spawns one instance per shuffle partition and the
+    # partition count is frozen at query start — 8 is right for the
+    # fixture volume (a real deployment sizes it to keyspace/executors);
+    # conf restored immediately after start
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (joined.writeStream.outputMode("append")
+             .format("memory").queryName(name)
+             .trigger(availableNow=True).start())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    return spark.table(name)
+
+
+@query(
     "q_stream_stateful_counter",
     oracle="""
     SELECT user_id, count(*) AS n_events, max(ts) AS last_ts
