@@ -364,3 +364,34 @@ def q_percentiles(spark, sf_dir):
         F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
         F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
     )
+
+
+@query(
+    "q_agg_argmax",
+    oracle="""
+    SELECT o_orderpriority,
+           (max(struct_pack(p := o_totalprice, k := o_orderkey))).k
+             AS max_key,
+           max(o_totalprice) AS max_price,
+           (min(struct_pack(p := o_totalprice, k := o_orderkey))).k
+             AS min_key,
+           min(o_totalprice) AS min_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_argmax(spark, sf_dir):
+    """argmax/argmin aggregation (max_by/min_by): the key of the
+    extreme row per group — one pass, no window, no self-join. The
+    ordering value is the (price, key) struct on both engines
+    (lexicographic comparison; DuckDB expresses argmax as
+    max-of-struct + field access), so ties on price resolve to the
+    same key deterministically."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey",
+                 F.struct("o_totalprice", "o_orderkey")).alias("max_key"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min_by("o_orderkey",
+                 F.struct("o_totalprice", "o_orderkey")).alias("min_key"),
+        F.min("o_totalprice").alias("min_price"),
+    )

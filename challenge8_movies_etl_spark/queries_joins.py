@@ -341,3 +341,42 @@ def q_cross_join(spark, sf_dir):
     return (r.crossJoin(n)
             .select("r_name", "n_name",
                     F.concat_ws("/", "r_name", "n_name").alias("pair")))
+
+
+@query(
+    "q_join_nullsafe",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderkey % 50 END AS grp
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    r AS (
+      SELECT CASE WHEN s_suppkey % 11 = 0 THEN NULL
+                  ELSE s_suppkey % 50 END AS grp,
+             count(*) AS n_sup
+      FROM supplier GROUP BY 1
+    )
+    SELECT l.o_orderkey, l.grp, r.n_sup
+    FROM l JOIN r ON l.grp IS NOT DISTINCT FROM r.grp
+    """,
+)
+def q_join_nullsafe(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics ETL key
+    reconciliation needs when 'unknown' is a legitimate key value.
+    Spark plans <=> as a hash-join key (EqualNullSafe is still an
+    equi-condition), so this stays a shuffled/broadcast hash join, not
+    a nested loop."""
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderkey") % 3 == 0)
+         .select("o_orderkey",
+                 F.when(F.col("o_orderkey") % 7 == 0, None)
+                 .otherwise(F.col("o_orderkey") % 50).alias("grp")))
+    s = (load_table(spark, sf_dir, "supplier")
+         .select(F.when(F.col("s_suppkey") % 11 == 0, None)
+                 .otherwise(F.col("s_suppkey") % 50).alias("grp"))
+         .groupBy("grp").agg(F.count("*").alias("n_sup")))
+    return (o.join(s, o.grp.eqNullSafe(s.grp))
+            .select("o_orderkey", o.grp.alias("grp"), "n_sup"))
