@@ -380,3 +380,40 @@ def q_join_nullsafe(spark, sf_dir):
          .groupBy("grp").agg(F.count("*").alias("n_sup")))
     return (o.join(s, o.grp.eqNullSafe(s.grp))
             .select("o_orderkey", o.grp.alias("grp"), "n_sup"))
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT s.s_nationkey AS s_nationkey,
+           count(*) AS n_items,
+           round(cast(sum(cast(l.l_extendedprice as decimal(30,10)))
+                      as double), 4) AS sum_price
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1
+    """,
+)
+def q_join_salted(spark, sf_dir):
+    """Skew-mitigated (salted) fact-dim join: the dim side is
+    replicated k=8 times with an explicit salt column and the fact side
+    deterministically picks a salt per row, so a hot supplier key fans
+    out over 8 reducers instead of melting one. The salt is dropped
+    before the aggregate, so the result is EXACTLY the plain join the
+    oracle runs — salting changes distribution, never semantics. (AQE
+    skew-join handles this adaptively when partition-size stats trip;
+    explicit salting is the belt-and-suspenders form for known-skewed
+    keys at 100 TB, and composes with the map-side-combinable agg
+    here.) Companion to q_agg_salted's aggregation-side salting."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    k = 8
+    dim = (s.select("s_suppkey", "s_nationkey")
+           .withColumn("salt", F.explode(F.array(
+               *[F.lit(i) for i in range(k)]))))
+    fact = li.select("l_suppkey", "l_extendedprice",
+                     (F.col("l_orderkey") % k).cast("int").alias("salt"))
+    joined = fact.join(dim, (fact.l_suppkey == dim.s_suppkey)
+                       & (fact.salt == dim.salt))
+    return (joined.groupBy("s_nationkey")
+            .agg(F.count("*").alias("n_items"),
+                 dsum("l_extendedprice", "sum_price")))

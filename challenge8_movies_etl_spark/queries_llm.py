@@ -827,3 +827,114 @@ def q_split_train_test(spark, sf_dir):
             .agg(F.count("*").alias("n_docs"),
                  F.min("doc_id").alias("min_doc"),
                  F.max("doc_id").alias("max_doc")))
+
+
+@query(
+    "q_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM tok WHERE term != '' GROUP BY 1, 2
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * cast(round(ln((n.n_docs + 1.0) / (df.df + 1.0)), 6)
+                          as decimal(18,6)) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tf, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tf,
+           round(cast(score as double), 4) AS tfidf, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def q_tfidf(spark, sf_dir):
+    """Top-3 terms per document by TF-IDF — the classic keyword/term-
+    weighting pass of a text-analysis pipeline. Shuffle shape: one
+    explode + groupBy (doc_id, term) for TF (map-side combinable), one
+    tiny re-agg of THAT relation for DF (vocab-sized, not corpus-
+    sized), broadcast back. Ranking is exact: idf is ln() rounded to
+    6dp then widened to decimal, so score = tf x idf6 is an exact
+    decimal — the per-doc top-3 ordering cannot be perturbed by float
+    summation order on either engine."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+           .filter(F.col("term") != ""))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    idf6 = F.round(
+        F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+    ).cast("decimal(18,6)")
+    scored = (tf.join(F.broadcast(df), "term")
+              .crossJoin(F.broadcast(n))
+              .select("doc_id", "term", "tf",
+                      (F.col("tf") * idf6).alias("score")))
+    rnk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.desc("score"), "term"))
+    return (scored.withColumn("rnk", rnk)
+            .filter(F.col("rnk") <= 3)
+            .select("doc_id", "term", "tf",
+                    F.round(F.col("score").cast("double"), 4).alias("tfidf"),
+                    "rnk"))
+
+
+@query(
+    "q_lm_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, term FROM tok WHERE term != ''),
+    vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+    tot AS (SELECT sum(cnt) AS total FROM vocab),
+    logp AS (
+      SELECT term,
+             cast(round(ln(cast(cnt as double) / cast(total as double)), 6)
+                  as decimal(18,6)) AS logp6
+      FROM vocab CROSS JOIN tot
+    )
+    SELECT t.doc_id AS doc_id, count(*) AS n_tokens,
+           round(cast(sum(l.logp6) as double) / count(*), 4) AS avg_logp
+    FROM toks t JOIN logp l USING (term)
+    GROUP BY 1
+    """,
+)
+def q_lm_score(spark, sf_dir):
+    """Unigram language-model scoring: corpus term frequencies define
+    p(w); each document gets its mean log-probability — the cheap
+    fluency / outlier signal used to filter pretraining corpora (a
+    gibberish or wrong-language doc scores far below the mode). The
+    vocabulary is corpus-global but vocab-sized, so it broadcasts; the
+    per-doc score is one explode + one groupBy(doc_id). Log-probs are
+    rounded to 6dp and summed as exact decimals, so the per-doc mean is
+    order-independent bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+            .filter(F.col("term") != ""))
+    vocab = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("total"))
+    logp = (vocab.crossJoin(F.broadcast(tot))
+            .select("term",
+                    F.round(F.log(F.col("cnt").cast("double")
+                                  / F.col("total").cast("double")), 6)
+                    .cast("decimal(18,6)").alias("logp6")))
+    return (toks.join(F.broadcast(logp), "term")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.round(F.sum("logp6").cast("double") / F.count("*"), 4)
+                 .alias("avg_logp")))

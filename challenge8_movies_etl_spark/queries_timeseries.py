@@ -1,0 +1,316 @@
+"""Time-series and data-quality compositions over the fixture tables:
+gap-fill/resample, time-range rolling windows, histogram binning,
+z-score anomaly flagging, snapshot diff (CDC classify), and
+distribution-drift scoring (PSI).
+
+These are the operational shapes a production data pipeline runs daily
+(the reference's closest analog is its ratings-load monitoring loop,
+challenge.py≈L203-210 [R]); each is expressed shuffle-minimal:
+aggregate-then-join, never raw-row × raw-row.
+
+Hash discipline: every float reduction goes through decimal(30,10)
+(functions/hashsafe.py); derived statistics (mean, stddev) are computed
+from exact decimal sums with the SAME IEEE expression tree on both
+engines, so they are bit-identical without rounding tricks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .functions.hashsafe import DEC, dsum
+from .registry import query
+from .sources.fixtures import load_table
+
+_US_30MIN = 30 * 60 * 1_000_000
+
+
+@query(
+    "q_gapfill_locf",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             count(*) AS n_events,
+             round(cast(sum(cast(value as decimal(30,10))) as double), 4)
+               AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT spine.h AS h, types.event_type AS event_type,
+           coalesce(agg.n_events, 0) AS n_events,
+           last_value(agg.sum_value IGNORE NULLS)
+             OVER (PARTITION BY types.event_type ORDER BY spine.h)
+             AS sum_value_locf
+    FROM spine CROSS JOIN types
+    LEFT JOIN agg ON agg.h = spine.h AND agg.event_type = types.event_type
+    """,
+)
+def q_gapfill_locf(spark, sf_dir):
+    """Time-series resample + gap-fill: hourly per-type counts on a
+    dense hour spine (empty hours appear as 0) with last-observation-
+    carried-forward for the value column. The spine is generated from
+    the aggregated min/max (sequence + explode — O(hours), never
+    O(rows)); events are reduced to per-hour rows BEFORE any join, so
+    the only full-data pass is the map-side partial agg. At 100 TB the
+    grid is still |hours|x|types| — trivially broadcastable."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+              .agg(F.count("*").alias("n_events"),
+                   dsum("value", "sum_value")))
+    spine = (e.agg(F.date_trunc("hour", F.min("ts")).alias("lo"),
+                   F.date_trunc("hour", F.max("ts")).alias("hi"))
+             .select(F.explode(
+                 F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h")))
+    types = e.select("event_type").distinct()
+    grid = spine.crossJoin(types)  # dims-only: |hours| x |types|
+    locf = W.partitionBy("event_type").orderBy("h")
+    return (grid.join(hourly, ["h", "event_type"], "left")
+            .select("h", "event_type",
+                    F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                    F.last("sum_value", ignorenulls=True).over(locf)
+                    .alias("sum_value_locf")))
+
+
+@query(
+    "q_window_time_range",
+    oracle="""
+    SELECT event_id,
+           round(cast(sum(cast(value as decimal(30,10))) OVER w as double), 4)
+             AS roll_sum_30m,
+           count(*) OVER w AS n_win_30m
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING
+                 AND CURRENT ROW)
+    """,
+)
+def q_window_time_range(spark, sf_dir):
+    """Time-RANGE window frame (vs the row-count frames of
+    q_window_frames): per-user rolling 30-minute sum/count. Spark range
+    frames need a numeric ordering key, so the frame is expressed over
+    unix_micros(ts) with an exact microsecond radius — integer
+    arithmetic, no float timestamps (the DuckDB twin orders by the
+    timestamp itself with an INTERVAL frame; both bounds inclusive).
+    Scales: one hash-partition by user, one sort per partition — the
+    same shuffle a groupBy(user) would pay."""
+    e = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id")
+         .orderBy(F.unix_micros("ts"))
+         .rangeBetween(-_US_30MIN, 0))
+    return e.select(
+        "event_id",
+        F.round(F.sum(F.col("value").cast(DEC)).over(w).cast("double"), 4)
+        .alias("roll_sum_30m"),
+        F.count("*").over(w).alias("n_win_30m"),
+    )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT least(9, cast(floor(o_totalprice / 50000.0) as bigint))
+             AS bucket,
+           count(*) AS n,
+           min(o_totalprice) AS lo_price,
+           max(o_totalprice) AS hi_price,
+           round(cast(sum(cast(o_totalprice as decimal(30,10))) as double), 4)
+             AS sum_price
+    FROM orders GROUP BY 1
+    """,
+)
+def q_histogram(spark, sf_dir):
+    """Fixed-width histogram binning (width_bucket semantics, spelled
+    as explicit floor arithmetic so both engines compute the identical
+    IEEE division -> floor -> clamp; DuckDB lacks width_bucket).
+    Single map-side-combinable aggregation — the scan emits (bucket,
+    partial) pairs, the shuffle carries ~10 rows per partition."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.lit(9).cast("bigint"),
+        F.floor(F.col("o_totalprice") / F.lit(50000.0)),
+    )
+    return (o.groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.min("o_totalprice").alias("lo_price"),
+                 F.max("o_totalprice").alias("hi_price"),
+                 dsum("o_totalprice", "sum_price")))
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, count(*) AS n,
+             cast(sum(cast(value as decimal(30,10))) as double) AS s1,
+             cast(sum(cast(value * value as decimal(30,10))) as double) AS s2
+      FROM events GROUP BY 1
+    ),
+    derived AS (
+      SELECT event_type, n, s1 / n AS mean,
+             sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd
+      FROM stats
+    )
+    SELECT d.event_type AS event_type, d.n AS n,
+           round(d.mean, 4) AS mean_value,
+           round(d.sd, 4) AS sd_value,
+           count(CASE WHEN e.value > d.mean + 2 * d.sd
+                        OR e.value < d.mean - 2 * d.sd
+                      THEN 1 END) AS n_anomalies
+    FROM events e JOIN derived d ON e.event_type = d.event_type
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_anomaly_zscore(spark, sf_dir):
+    """Per-group z-score anomaly counting — the outlier-row-drop stage
+    of the reference (challenge.py≈L152-154 [R]) generalized to a
+    statistical rule. The group stats come from ONE pass of exact
+    decimal sums (sum, sum-of-squares); mean/sd are then derived with
+    the same IEEE expression tree on both engines, so the >2sd
+    threshold compares bit-identically without rounding. The stats
+    relation is |event_type| rows — broadcast back onto the fact scan
+    (no second shuffle of raw events; the final count re-aggregates by
+    the same key)."""
+    e = load_table(spark, sf_dir, "events")
+    stats = (e.groupBy("event_type")
+             .agg(F.count("*").alias("n"),
+                  F.sum(F.col("value").cast(DEC)).cast("double").alias("s1"),
+                  F.sum((F.col("value") * F.col("value")).cast(DEC))
+                  .cast("double").alias("s2")))
+    derived = stats.select(
+        "event_type", "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+               / (F.col("n") - 1)).alias("sd"))
+    flagged = e.join(F.broadcast(derived), "event_type")
+    anom = ((F.col("value") > F.col("mean") + 2 * F.col("sd"))
+            | (F.col("value") < F.col("mean") - 2 * F.col("sd")))
+    return (flagged.groupBy("event_type", "n",
+                            F.round("mean", 4).alias("mean_value"),
+                            F.round("sd", 4).alias("sd_value"))
+            .agg(F.count(F.when(anom, 1)).alias("n_anomalies")))
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey AS key, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 10 != 0
+    ),
+    new AS (
+      SELECT o_orderkey AS key,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % 7 != 0
+    ),
+    classified AS (
+      SELECT coalesce(old.key, new.key) AS key,
+             CASE WHEN old.key IS NULL THEN 'added'
+                  WHEN new.key IS NULL THEN 'removed'
+                  WHEN old.price != new.price THEN 'changed'
+                  ELSE 'unchanged' END AS change
+      FROM old FULL OUTER JOIN new ON old.key = new.key
+    )
+    SELECT change, count(*) AS n,
+           min(key) AS min_key, max(key) AS max_key
+    FROM classified GROUP BY 1
+    """,
+)
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot diff / CDC classify: full-outer join of two table
+    versions on the primary key, each row labeled added / removed /
+    changed / unchanged — the change-data-capture primitive behind
+    incremental syncs (the reference re-runs its whole load;
+    diff-then-apply is the at-scale replacement). Key-partitioned
+    full-outer hash join: one co-partitioned shuffle of (key, price),
+    never full payloads."""
+    o = load_table(spark, sf_dir, "orders")
+    old = (o.filter(F.col("o_orderkey") % 10 != 0)
+           .select(F.col("o_orderkey").alias("key"),
+                   F.col("o_totalprice").alias("price")))
+    new = (o.filter(F.col("o_orderkey") % 7 != 0)
+           .select(F.col("o_orderkey").alias("key"),
+                   F.when(F.col("o_orderkey") % 3 == 0,
+                          F.col("o_totalprice") + 1000.0)
+                   .otherwise(F.col("o_totalprice")).alias("price")))
+    j = old.alias("o").join(new.alias("n"),
+                            F.col("o.key") == F.col("n.key"), "full_outer")
+    change = (F.when(F.col("o.key").isNull(), "added")
+              .when(F.col("n.key").isNull(), "removed")
+              .when(F.col("o.price") != F.col("n.price"), "changed")
+              .otherwise("unchanged"))
+    return (j.select(F.coalesce("o.key", "n.key").alias("key"),
+                     change.alias("change"))
+            .groupBy("change")
+            .agg(F.count("*").alias("n"),
+                 F.min("key").alias("min_key"),
+                 F.max("key").alias("max_key")))
+
+
+@query(
+    "q_drift_psi",
+    oracle="""
+    WITH binned AS (
+      SELECT least(9, cast(floor(value / 50.0) as bigint)) AS bucket,
+             count(CASE WHEN event_id % 2 = 0 THEN 1 END) AS n_ref,
+             count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_cur
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM binned
+    ),
+    terms AS (
+      SELECT bucket, n_ref, n_cur,
+             cast(round(
+               ((n_cur + 0.5) / (t_cur + 5.0) - (n_ref + 0.5) / (t_ref + 5.0))
+               * ln(((n_cur + 0.5) / (t_cur + 5.0))
+                    / ((n_ref + 0.5) / (t_ref + 5.0))), 6)
+               as decimal(18,6)) AS term
+      FROM binned CROSS JOIN tot
+    )
+    SELECT bucket, n_ref, n_cur,
+           round(cast(term as double), 6) AS psi_term,
+           round(cast(sum(term) OVER () as double), 4) AS psi_total
+    FROM terms
+    """,
+)
+def q_drift_psi(spark, sf_dir):
+    """Population-stability-index drift between two cohorts of the same
+    stream (reference split = even event ids, current = odd): fixed-
+    width binning, Laplace-smoothed proportions, per-bucket PSI term
+    and the exact total. One pass bins BOTH cohorts (conditional
+    counts — no second scan), the totals ride a 1-row broadcast, and
+    the cross-bucket sum is decimal-exact so partition order can't
+    perturb the hash. The per-bucket ln() is computed on identical
+    IEEE doubles on both engines and rounded to 6dp before the exact
+    summation."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.lit(9).cast("bigint"),
+                     F.floor(F.col("value") / F.lit(50.0)))
+    binned = (e.groupBy(bucket.alias("bucket"))
+              .agg(F.count(F.when(F.col("event_id") % 2 == 0, 1))
+                   .alias("n_ref"),
+                   F.count(F.when(F.col("event_id") % 2 == 1, 1))
+                   .alias("n_cur")))
+    tot = binned.agg(F.sum("n_ref").alias("t_ref"),
+                     F.sum("n_cur").alias("t_cur"))
+    p_ref = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 5.0)
+    p_cur = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 5.0)
+    terms = (binned.crossJoin(F.broadcast(tot))
+             .select("bucket", "n_ref", "n_cur",
+                     F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6)
+                     .cast("decimal(18,6)").alias("term")))
+    return terms.select(
+        "bucket", "n_ref", "n_cur",
+        F.round(F.col("term").cast("double"), 6).alias("psi_term"),
+        F.round(F.sum("term").over(
+            W.partitionBy(F.lit(1))).cast("double"), 4).alias("psi_total"))

@@ -1,0 +1,108 @@
+"""Semantic checks for the time-series / data-quality family
+(queries_timeseries.py) and the text-scoring additions — properties the
+DuckDB oracle can't express as a plain hash compare (density of the
+gap-filled spine, salted-join == plain-join equivalence, PSI
+non-negativity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from challenge8_movies_etl_spark.queries_joins import q_join_salted
+from challenge8_movies_etl_spark.queries_llm import q_lm_score, q_tfidf
+from challenge8_movies_etl_spark.queries_timeseries import (
+    q_anomaly_zscore,
+    q_drift_psi,
+    q_gapfill_locf,
+    q_histogram,
+    q_snapshot_diff,
+    q_window_time_range,
+)
+from challenge8_movies_etl_spark.sources.fixtures import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_gapfill_spine_is_dense_and_zero_filled(spark):
+    out = q_gapfill_locf(spark, SF_SMOKE).cache()
+    hours = out.select("h").distinct().count()
+    types = out.select("event_type").distinct().count()
+    # dense grid: every (hour, type) cell exists exactly once
+    assert out.count() == hours * types
+    # sf0.001 is sparse over 30 days -> real gaps must exist and be 0
+    assert out.filter(F.col("n_events") == 0).count() > 0
+    # LOCF: a null carried value can only occur before the first
+    # observation of its partition (leading nulls), never after one
+    first_obs = (out.filter(F.col("n_events") > 0)
+                 .groupBy("event_type").agg(F.min("h").alias("h0")))
+    late_nulls = (out.join(first_obs, "event_type")
+                  .filter((F.col("h") >= F.col("h0"))
+                          & F.col("sum_value_locf").isNull()))
+    assert late_nulls.count() == 0
+    out.unpersist()
+
+
+def test_time_range_window_includes_self(spark):
+    out = q_window_time_range(spark, SF_SMOKE)
+    assert out.filter(F.col("n_win_30m") < 1).count() == 0
+    assert out.filter(F.col("roll_sum_30m").isNull()).count() == 0
+
+
+def test_histogram_partitions_all_rows(spark):
+    out = q_histogram(spark, SF_SMOKE).collect()
+    orders_n = load_table(spark, SF_SMOKE, "orders").count()
+    assert sum(r["n"] for r in out) == orders_n
+    for r in out:
+        assert 0 <= r["bucket"] <= 9
+        assert r["lo_price"] <= r["hi_price"]
+
+
+def test_anomaly_zscore_bounds(spark):
+    for r in q_anomaly_zscore(spark, SF_SMOKE).collect():
+        assert 0 <= r["n_anomalies"] < r["n"]
+        assert r["sd_value"] > 0
+
+
+def test_snapshot_diff_classifies_every_key(spark):
+    rows = {r["change"]: r["n"]
+            for r in q_snapshot_diff(spark, SF_SMOKE).collect()}
+    assert set(rows) <= {"added", "removed", "changed", "unchanged"}
+    o = load_table(spark, SF_SMOKE, "orders")
+    n_keys = (o.filter((F.col("o_orderkey") % 10 != 0)
+                       | (F.col("o_orderkey") % 7 != 0)).count())
+    assert sum(rows.values()) == n_keys
+    assert rows.get("added", 0) > 0 and rows.get("removed", 0) > 0
+
+
+def test_psi_is_nonnegative_and_constant(spark):
+    rows = q_drift_psi(spark, SF_SMOKE).collect()
+    totals = {r["psi_total"] for r in rows}
+    assert len(totals) == 1  # window total repeated per bucket
+    assert totals.pop() >= 0.0  # PSI terms are individually >= 0
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    s = load_table(spark, SF_SMOKE, "supplier")
+    plain = (li.join(s, li.l_suppkey == s.s_suppkey)
+             .groupBy("s_nationkey").agg(F.count("*").alias("n_items")))
+    got = {(r["s_nationkey"], r["n_items"])
+           for r in q_join_salted(spark, SF_SMOKE).collect()}
+    want = {(r["s_nationkey"], r["n_items"]) for r in plain.collect()}
+    assert got == want
+
+
+def test_tfidf_topk_shape(spark):
+    out = q_tfidf(spark, SF_SMOKE).cache()
+    assert out.filter(F.col("rnk") > 3).count() == 0
+    # within a doc, rank order must follow score order
+    bad = (out.alias("a").join(out.alias("b"), "doc_id")
+           .filter((F.col("a.rnk") < F.col("b.rnk"))
+                   & (F.col("a.tfidf") < F.col("b.tfidf"))))
+    assert bad.count() == 0
+    out.unpersist()
+
+
+def test_lm_score_is_negative_log_space(spark):
+    out = q_lm_score(spark, SF_SMOKE)
+    assert out.filter(F.col("avg_logp") >= 0).count() == 0
+    assert out.filter(F.col("n_tokens") <= 0).count() == 0
