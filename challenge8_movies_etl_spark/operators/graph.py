@@ -1,0 +1,116 @@
+"""Iterative graph analytics: PageRank by fixed-iteration power
+method, hash-portable across engines.
+
+Companion to cluster.py's connected components (the other iterative
+operator): every iteration is one distributed join + one exact decimal
+aggregation over (node, rank) pairs — the shuffle never carries more
+than the rank vector. Fixed iteration count (not convergence polling)
+keeps the job count deterministic and the results bit-identical to the
+unrolled-CTE SQL oracle.
+
+Numeric discipline (functions/hashsafe.py rationale): per-edge
+contribution = round(rank/outdeg, 10) is a scalar IEEE op — identical
+on any engine; the per-node reduction sums those contributions as
+decimal(20,10) — exact, order-independent; the damped update is again
+scalar double math rounded back to 10dp. No step depends on partition
+or scan order, so a 1000-executor run hashes identically to local[1].
+
+At 100 TB: ranks are |V|-sized, edges |E|-sized; each round is an
+equi-join edges ⋈ ranks (shuffle on node id) + map-side-combinable
+sum. localCheckpoint per round bounds lineage growth exactly as in
+connected_components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEC_PR = "decimal(20,10)"
+
+
+def pagerank(edges: DataFrame, iterations: int = 5,
+             damping: float = 0.85, checkpoint_every: int = 6) -> DataFrame:
+    """Rank nodes of a directed edge list (``src``, ``dst``).
+
+    Every node is assumed to have out-degree >= 1 (callers with
+    undirected graphs pass both edge directions, which guarantees it;
+    true sink handling would redistribute sink mass and is not needed
+    for the bidirectional corpus graphs this engine builds).
+    Returns (node, rank) with rank as decimal(20,10).
+    """
+    edges = edges.select("src", "dst").distinct()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    # one checkpointed relation (src, dst, d): the per-iteration join
+    # is then a single equi-join against the rank vector
+    edges_d = edges.join(outdeg, "src").localCheckpoint(eager=True)
+    nodes = (edges_d.select(F.col("src").alias("node")).distinct()
+             .localCheckpoint(eager=True))
+    # one driver-side scalar (same license as the convergence counts in
+    # cluster.py): the teleport term needs |V| as a literal
+    n_nodes = nodes.count()
+    ranks = nodes.select(
+        "node",
+        F.round(F.lit(1.0) / F.lit(n_nodes), 10).cast(DEC_PR).alias("rank"))
+    for i in range(iterations):
+        contrib = (ranks.join(edges_d, ranks.node == edges_d.src)
+                   .select(F.col("dst"),
+                           F.round(F.col("rank").cast("double") / F.col("d"),
+                                   10).cast(DEC_PR).alias("contrib")))
+        ranks = (contrib.groupBy(F.col("dst").alias("node"))
+                 .agg(F.sum("contrib").alias("s"))
+                 .select("node",
+                         F.round(F.lit(1.0 - damping) / F.lit(n_nodes)
+                                 + F.lit(damping)
+                                 * F.col("s").cast("double"), 10)
+                         .cast(DEC_PR).alias("rank")))
+        # short fixed-k runs stay one lazy plan (each eager
+        # materialization costs a scheduled job — measured slower than
+        # the lineage it saves below ~6 rounds); long convergence loops
+        # bound lineage growth at this cadence
+        if (i + 1) % checkpoint_every == 0 and i != iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def pagerank_oracle_sql(edges_cte: str, iterations: int = 5,
+                        damping: float = 0.85) -> str:
+    """The DuckDB twin of :func:`pagerank`: the fixed iteration loop
+    unrolled into chained CTEs (aggregates are not allowed inside a
+    recursive CTE term), with the identical scalar/decimal expression
+    tree at every step."""
+    teleport = 1.0 - damping
+    steps = []
+    for i in range(1, iterations + 1):
+        prev = "r0" if i == 1 else f"r{i-1}"
+        steps.append(f"""
+    r{i} AS (
+      SELECT e.dst AS node,
+             cast(round(cast({teleport} as double) / max(nn.n_nodes)
+                        + cast({damping} as double)
+                          * cast(sum(cast(round(cast({prev}.rank as double)
+                                               / od.d, 10)
+                                         as {DEC_PR})) as double), 10)
+                  as {DEC_PR}) AS rank
+      FROM {prev}
+      JOIN edges e ON e.src = {prev}.node
+      JOIN outdeg od ON od.src = {prev}.node
+      CROSS JOIN nn
+      GROUP BY e.dst
+    )""")
+    return f"""
+    WITH {edges_cte},
+    outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+    nodes AS (
+      SELECT src AS node FROM edges
+      UNION
+      SELECT dst FROM edges
+    ),
+    nn AS (SELECT count(*) AS n_nodes FROM nodes),
+    r0 AS (
+      SELECT node,
+             cast(round(cast(1.0 as double) / nn.n_nodes, 10) as {DEC_PR})
+               AS rank
+      FROM nodes CROSS JOIN nn
+    ),{','.join(steps)}
+    """

@@ -395,3 +395,55 @@ def q_agg_argmax(spark, sf_dir):
                  F.struct("o_totalprice", "o_orderkey")).alias("min_key"),
         F.min("o_totalprice").alias("min_price"),
     )
+
+
+@query(
+    "q_agg_corr",
+    oracle="""
+    WITH sums AS (
+      SELECT l_returnflag, count(*) AS n,
+             cast(sum(cast(l_quantity as decimal(30,10))) as double) AS sx,
+             cast(sum(cast(l_extendedprice as decimal(30,10))) as double)
+               AS sy,
+             cast(sum(cast(l_quantity * l_quantity as decimal(30,10)))
+                  as double) AS sxx,
+             cast(sum(cast(l_extendedprice * l_extendedprice
+                           as decimal(30,10))) as double) AS syy,
+             cast(sum(cast(l_quantity * l_extendedprice as decimal(30,10)))
+                  as double) AS sxy
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           round((sxy - sx * sy / n) / (n - 1), 4) AS covar,
+           round(((sxy - sx * sy / n) / (n - 1))
+                 / (sqrt((sxx - sx * sx / n) / (n - 1))
+                    * sqrt((syy - sy * sy / n) / (n - 1))), 6) AS corr
+    FROM sums
+    """,
+)
+def q_agg_corr(spark, sf_dir):
+    """Per-group covariance and Pearson correlation, computed from ONE
+    pass of exact decimal moment sums (n, Sx, Sy, Sxx, Syy, Sxy) —
+    not the engines' covar_samp/corr built-ins, whose internal float
+    accumulation differs between Spark's partial-merge tree and
+    DuckDB's scan order. Deriving both statistics from order-
+    independent sums with an identical IEEE expression tree makes the
+    result bit-stable on any partitioning — the same one-pass moments
+    trick every distributed stats library uses at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    dec = "decimal(30,10)"
+    sums = (li.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"),
+                 F.sum(x.cast(dec)).cast("double").alias("sx"),
+                 F.sum(y.cast(dec)).cast("double").alias("sy"),
+                 F.sum((x * x).cast(dec)).cast("double").alias("sxx"),
+                 F.sum((y * y).cast(dec)).cast("double").alias("syy"),
+                 F.sum((x * y).cast(dec)).cast("double").alias("sxy")))
+    n = F.col("n")
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    sdx = F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1))
+    sdy = F.sqrt((F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1))
+    return sums.select("l_returnflag", "n",
+                       F.round(cov, 4).alias("covar"),
+                       F.round(cov / (sdx * sdy), 6).alias("corr"))

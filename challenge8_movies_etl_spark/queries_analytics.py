@@ -9,8 +9,10 @@ row per user, never raw events.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from .functions.hashsafe import dsum
 from .registry import query
 from .sources.fixtures import load_table
 
@@ -91,3 +93,58 @@ def q_retention_cohort(spark, sf_dir):
                     "user_id")
             .groupBy("cohort_day", "day_offset")
             .agg(F.countDistinct("user_id").alias("n_users")))
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             cast(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) as bigint)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+           round(cast(sum(cast(value as decimal(30,10))) as double), 4)
+             AS sum_value
+    FROM numbered GROUP BY 1, 2
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """Batch sessionization by inactivity gap (30 min): the lag ->
+    boundary-flag -> running-sum pattern that assigns contiguous
+    session ids, then per-session rollup. This is the BATCH twin of
+    q_session_window's session_window() operator — same semantics,
+    expressed with ordinary windows so it runs on any engine (the
+    oracle proves it). One shuffle: everything is partitioned by
+    user_id throughout (the two windows and the final groupBy reuse
+    the same partitioning — Catalyst plans a single Exchange)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    new_s = (F.when(F.lag("ts").over(w).isNull()
+                    | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                       > gap_us), 1)
+             .otherwise(0))
+    numbered = (e.withColumn("new_s", new_s)
+                .withColumn("session_id",
+                            F.sum("new_s").over(
+                                w.rowsBetween(W.unboundedPreceding, 0))))
+    return (numbered.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                 .alias("duration_us"),
+                 dsum("value", "sum_value")))

@@ -314,3 +314,80 @@ def q_drift_psi(spark, sf_dir):
         F.round(F.col("term").cast("double"), 6).alias("psi_term"),
         F.round(F.sum("term").over(
             W.partitionBy(F.lit(1))).cast("double"), 4).alias("psi_total"))
+
+
+@query(
+    "q_minmax_scale",
+    oracle="""
+    WITH stats AS (
+      SELECT o_orderpriority,
+             min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderkey AS o_orderkey,
+           o.o_orderpriority AS o_orderpriority,
+           round((o.o_totalprice - s.lo) / (s.hi - s.lo), 6) AS scaled
+    FROM orders o JOIN stats s ON o.o_orderpriority = s.o_orderpriority
+    """,
+)
+def q_minmax_scale(spark, sf_dir):
+    """Per-group min-max feature scaling to [0,1] — the normalization
+    pass of a feature pipeline. min/max are exact doubles (no
+    summation, so no reduction-order hazard); the scale expression is
+    a per-row IEEE op, identical on both engines. Group stats are
+    |groups| rows — broadcast back onto the fact scan, which therefore
+    stays shuffle-free."""
+    o = load_table(spark, sf_dir, "orders")
+    stats = (o.groupBy("o_orderpriority")
+             .agg(F.min("o_totalprice").alias("lo"),
+                  F.max("o_totalprice").alias("hi")))
+    return (o.join(F.broadcast(stats), "o_orderpriority")
+            .select("o_orderkey", "o_orderpriority",
+                    F.round((F.col("o_totalprice") - F.col("lo"))
+                            / (F.col("hi") - F.col("lo")), 6)
+                    .alias("scaled")))
+
+
+@query(
+    "q_entropy",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT user_id, cast(sum(cnt) as bigint) AS total
+      FROM counts GROUP BY 1
+    ),
+    terms AS (
+      SELECT c.user_id, t.total,
+             cast(round(-(cast(c.cnt as double) / cast(t.total as double))
+                        * ln(cast(c.cnt as double) / cast(t.total as double)),
+                        6) as decimal(18,6)) AS term
+      FROM counts c JOIN totals t ON c.user_id = t.user_id
+    )
+    SELECT user_id, max(total) AS n_events,
+           round(cast(sum(term) as double), 4) AS entropy
+    FROM terms GROUP BY 1
+    """,
+)
+def q_entropy(spark, sf_dir):
+    """Per-user Shannon entropy of the event-type mix — the diversity
+    score used to spot bots (near-zero entropy) and noise (max
+    entropy). Raw events collapse to (user, type) counts in one
+    map-side-combinable pass; everything after operates on that
+    |users|x|types| relation. The -p*ln(p) terms are rounded to 6dp
+    then summed as exact decimals: reduction order cannot move the
+    hash."""
+    e = load_table(spark, sf_dir, "events")
+    counts = (e.groupBy("user_id", "event_type")
+              .agg(F.count("*").alias("cnt")))
+    totals = counts.groupBy("user_id").agg(F.sum("cnt").alias("total"))
+    p = F.col("cnt").cast("double") / F.col("total").cast("double")
+    terms = (counts.join(totals, "user_id")
+             .select("user_id", "total",
+                     F.round(-p * F.log(p), 6).cast("decimal(18,6)")
+                     .alias("term")))
+    return (terms.groupBy("user_id")
+            .agg(F.max("total").alias("n_events"),
+                 F.round(F.sum("term").cast("double"), 4).alias("entropy")))

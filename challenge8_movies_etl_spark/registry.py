@@ -53,6 +53,7 @@ def load_all() -> None:
     from . import queries_incremental  # noqa: F401
     from . import queries_analytics  # noqa: F401
     from . import queries_timeseries  # noqa: F401
+    from . import queries_graph  # noqa: F401
     from . import queries_udf  # noqa: F401
     from . import queries_streaming  # noqa: F401
     from . import etl  # noqa: F401

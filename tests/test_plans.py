@@ -122,3 +122,28 @@ def test_stratified_sample_no_shuffle(spark):
     """Hash-bucket sampling is a pure filter — zero exchanges."""
     p = plan(spark, "q_sample_stratified")
     assert n_shuffles(p) == 0, p
+
+
+def test_minmax_scale_broadcasts_stats(spark):
+    p = plan(spark, "q_minmax_scale")
+    assert "BroadcastHashJoin" in p
+    # only the stats aggregation may shuffle; the fact scan stays in place
+    assert n_shuffles(p) == 1, p
+
+
+def test_anomaly_stats_broadcast_back(spark):
+    p = plan(spark, "q_anomaly_zscore")
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_tfidf_vocab_broadcasts(spark):
+    p = plan(spark, "q_tfidf")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_sessionize_single_user_exchange(spark):
+    # both windows and the final groupBy share the user_id partitioning:
+    # one data shuffle total
+    p = plan(spark, "q_sessionize")
+    assert n_shuffles(p) == 1, p

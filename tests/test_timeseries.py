@@ -106,3 +106,37 @@ def test_lm_score_is_negative_log_space(spark):
     out = q_lm_score(spark, SF_SMOKE)
     assert out.filter(F.col("avg_logp") >= 0).count() == 0
     assert out.filter(F.col("n_tokens") <= 0).count() == 0
+
+
+def test_sessionize_ids_contiguous(spark):
+    from challenge8_movies_etl_spark.queries_analytics import q_sessionize
+    out = q_sessionize(spark, SF_SMOKE).cache()
+    per_user = (out.groupBy("user_id")
+                .agg(F.max("session_id").alias("mx"),
+                     F.count("*").alias("n"),
+                     F.min("session_id").alias("mn")))
+    # ids are 1..n_sessions per user with no holes
+    assert per_user.filter((F.col("mn") != 1)
+                           | (F.col("mx") != F.col("n"))).count() == 0
+    assert out.filter(F.col("duration_us") < 0).count() == 0
+    out.unpersist()
+
+
+def test_corr_is_bounded(spark):
+    from challenge8_movies_etl_spark.queries_aggs import q_agg_corr
+    for r in q_agg_corr(spark, SF_SMOKE).collect():
+        assert -1.0 <= r["corr"] <= 1.0
+
+
+def test_minmax_scale_in_unit_interval(spark):
+    from challenge8_movies_etl_spark.queries_timeseries import q_minmax_scale
+    out = q_minmax_scale(spark, SF_SMOKE)
+    assert out.filter((F.col("scaled") < 0) | (F.col("scaled") > 1)).count() == 0
+
+
+def test_entropy_bounds(spark):
+    import math
+    from challenge8_movies_etl_spark.queries_timeseries import q_entropy
+    hi = math.log(5) + 1e-4  # 5 event types
+    for r in q_entropy(spark, SF_SMOKE).collect():
+        assert -1e-9 <= r["entropy"] <= hi
