@@ -35,6 +35,11 @@ EXTRA = [
     "q_dedup_tokenset",
     "q_stream_tumbling",
     "q_join_asof",
+    # round-2 second-wave families (no BASELINE rows; 2x gate reads
+    # against the closest-shape baseline query per BASELINE.md)
+    "q_tfidf",
+    "q_gapfill_locf",
+    "q_graph_pagerank",
 ]
 
 

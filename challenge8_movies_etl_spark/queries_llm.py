@@ -938,3 +938,45 @@ def q_lm_score(spark, sf_dir):
             .agg(F.count("*").alias("n_tokens"),
                  F.round(F.sum("logp6").cast("double") / F.count("*"), 4)
                  .alias("avg_logp")))
+
+
+@query(
+    "q_dedup_fuzzy",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang, n_chars // 20 AS band,
+             substring(text, 1, 40) AS pfx
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           a.lang AS lang,
+           levenshtein(a.pfx, c.pfx) AS edit_dist
+    FROM b a JOIN b c
+      ON a.lang = c.lang AND a.band = c.band AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.pfx, c.pfx) <= 15
+    """,
+)
+def q_dedup_fuzzy(spark, sf_dir):
+    """Edit-distance near-dup pairs — the fuzzy rung of the dedup
+    ladder (exact sig -> ngram Jaccard -> MinHash -> SimHash -> edit
+    distance), for the typo-level mutations token-set methods miss.
+    Levenshtein is O(len^2) per pair, so it NEVER runs all-pairs: docs
+    are blocked on (lang, 20-char length band) — edit distance <=15
+    forces near-equal lengths, so the band is a lossless-ish
+    prefilter — and the quadratic work happens only inside blocks on a
+    40-char prefix. Both engines implement classic unit-cost
+    Levenshtein, so the distances hash-match exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select("doc_id", "lang",
+                 F.expr("n_chars DIV 20").alias("band"),
+                 F.substring("text", 1, 40).alias("pfx"))
+    a, c = b.alias("a"), b.alias("c")
+    dist = F.levenshtein(F.col("a.pfx"), F.col("c.pfx"))
+    return (a.join(c, (F.col("a.lang") == F.col("c.lang"))
+                   & (F.col("a.band") == F.col("c.band"))
+                   & (F.col("a.doc_id") < F.col("c.doc_id")))
+            .filter(dist <= 15)
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("c.doc_id").alias("doc_b"),
+                    F.col("a.lang").alias("lang"),
+                    dist.alias("edit_dist")))

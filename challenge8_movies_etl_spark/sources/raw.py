@@ -64,3 +64,35 @@ def write_jdbc(df: DataFrame, url: str, table: str,
      .option("batchsize", str(batchsize))
      .options(**options)
      .save())
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — Spark-native columnar alternative to parquet, same
+    pushdown/pruning behavior (predicate pushdown + column pruning
+    reach the ORC reader exactly as they do the parquet one)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (executor-parallel, like the parquet sink)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_text(spark: SparkSession, path: str,
+              whole: bool = False) -> DataFrame:
+    """Line-oriented text source → one `value` string column; the raw
+    ingest shape for unstructured corpora before parsing (at scale:
+    line splitting is parallel per HDFS block, so a single huge file
+    still fans out). whole=True reads file-per-row instead
+    (wholetext) — for formats that cannot split."""
+    return spark.read.option("wholetext", str(whole).lower()).text(path)
+
+
+def write_text(df: DataFrame, path: str, mode: str = "overwrite",
+               compression: str | None = None) -> None:
+    """Text sink: df must be a single string column (the JSONL/plain
+    export path; callers to_json() structured rows first)."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)

@@ -111,3 +111,11 @@ def test_multimodal_batch_shapes(spark):
     for r in rows[:20]:
         assert r["fake_width"] == (r["n_bytes"] % 64) * 16
         assert r["fmt"] == "fake/raw"
+
+
+def test_fuzzy_dedup_pairs_well_formed(spark):
+    from challenge8_movies_etl_spark.queries_llm import q_dedup_fuzzy
+    rows = q_dedup_fuzzy(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0 <= r["edit_dist"] <= 15

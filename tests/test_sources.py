@@ -12,6 +12,7 @@ from challenge8_movies_etl_spark.sources.raw import (
     read_json_ragged,
     write_partitioned_parquet,
 )
+from tests.conftest import SF_SMOKE
 
 
 def test_json_ragged_keys(spark, tmp_path):
@@ -56,3 +57,34 @@ def test_partitioned_sink_roundtrip(spark, tmp_path):
     assert back.count() == 20
     assert {r["part"] for r in back.select("part").distinct().collect()} \
         == {"a", "b"}
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from challenge8_movies_etl_spark.sources.raw import read_orc, write_orc
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+    src = load_table(spark, SF_SMOKE, "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.count() == src.count()
+    assert set(back.columns) == set(src.columns)
+    # predicate pushdown reaches the ORC scan like the parquet one
+    plan = back.filter("n_nationkey > 10")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PushedFilters" in plan and "n_nationkey" in plan
+
+
+def test_text_jsonl_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from challenge8_movies_etl_spark.sources.raw import read_text, write_text
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+    src = load_table(spark, SF_SMOKE, "region")
+    path = str(tmp_path / "region_jsonl")
+    write_text(src.select(F.to_json(F.struct(*src.columns)).alias("value")),
+               path)
+    back = read_text(spark, path)
+    assert back.columns == ["value"]
+    parsed = back.select(
+        F.from_json("value", src.schema).alias("r")).select("r.*")
+    assert sorted(map(tuple, parsed.collect())) == \
+        sorted(map(tuple, src.collect()))
