@@ -447,3 +447,32 @@ def q_agg_corr(spark, sf_dir):
     return sums.select("l_returnflag", "n",
                        F.round(cov, 4).alias("covar"),
                        F.round(cov / (sdx * sdy), 6).alias("corr"))
+
+
+@query("q_agg_sketch_reagg")  # rows-only: datasketches HLL binary sketches
+def q_agg_sketch_reagg(spark, sf_dir):
+    """Re-aggregatable distinct-count sketches — the pattern that makes
+    100 TB rollup maintenance cheap: build an HLL sketch of customers
+    per nation ONCE (one pass over the fact table), then roll nation
+    sketches up to regions by MERGING sketches (hll_union_agg) — no
+    second scan of raw data, ever. The exact countDistinct twin rides
+    alongside for the error-bound test (tests/test_timeseries.py
+    asserts <5% relative error). Rows-only: the sketch binary is
+    engine-specific (Apache DataSketches HLL_4).
+
+    At scale the nation-level sketch relation is what you persist;
+    every re-slice (region, continent, global) is a merge over that
+    tiny relation instead of a distinct over the fact table."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per_nation = (c.groupBy("c_nationkey")
+                  .agg(F.expr("hll_sketch_agg(c_custkey)").alias("sk"),
+                       F.countDistinct("c_custkey").alias("exact_nation")))
+    with_region = per_nation.join(
+        F.broadcast(n.select("n_nationkey", "n_regionkey")),
+        per_nation.c_nationkey == F.col("n_nationkey"))
+    return (with_region.groupBy("n_regionkey")
+            .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+                 .alias("approx_customers"),
+                 F.sum("exact_nation").alias("exact_customers"))
+            .orderBy("n_regionkey"))

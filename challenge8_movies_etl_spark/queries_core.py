@@ -391,3 +391,40 @@ def q_try_cast(spark, sf_dir):
         coerced.alias("coerced"),
         coerced.isNull().alias("failed"),
     )
+
+
+# ONE SQL text executed verbatim by BOTH engines: Spark runs it via
+# spark.sql over temp views of the fixture tables, DuckDB runs it as
+# the oracle over the same parquet. Portability constraints that make
+# this possible: ANSI-89 join syntax, decimal-exact revenue sum,
+# timestamp literals, a 4dp round at the edge, and a total-order
+# tie-break under the LIMIT.
+_TPCH_Q3_SQL = """
+    SELECT l_orderkey,
+           round(cast(sum(cast(l_extendedprice * (1 - l_discount)
+                               as decimal(30,10))) as double), 4) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < timestamp '1998-03-15 00:00:00'
+      AND l_shipdate > timestamp '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """
+
+
+@query("q_sql_surface", oracle=_TPCH_Q3_SQL)
+def q_sql_surface(spark, sf_dir):
+    """The engine's textual-SQL surface: TPC-H Q3 (shipping-priority)
+    submitted as a raw SQL string — the exact same text the DuckDB
+    oracle executes — over session-local temp views of the fixture
+    tables. Proves a SQL-first user needs no DataFrame code at all:
+    Catalyst plans the 3-way join + agg + top-k from the text (AQE
+    broadcasts the filtered customer dim; the LIMIT compiles to
+    TakeOrderedAndProject exactly as in the DataFrame twin queries)."""
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q3_SQL)

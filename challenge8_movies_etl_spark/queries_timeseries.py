@@ -66,11 +66,19 @@ def q_gapfill_locf(spark, sf_dir):
     hourly = (e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
               .agg(F.count("*").alias("n_events"),
                    dsum("value", "sum_value")))
-    spine = (e.agg(F.date_trunc("hour", F.min("ts")).alias("lo"),
-                   F.date_trunc("hour", F.max("ts")).alias("hi"))
+    # bounds and the type dimension both derive from the AGGREGATED
+    # relation (min/max hour, types with >=1 event are identical either
+    # way) and that |hours|x|types| relation is persisted, so raw
+    # events are scanned exactly once no matter how many consumers —
+    # column pruning makes the three subplans non-identical, which
+    # defeats ReuseExchange; an explicit persist of the tiny aggregate
+    # is the production answer (same rationale as q_dedup_minhash's
+    # shingle persist). Asserted in test_plans.py.
+    hourly = hourly.persist()
+    spine = (hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
              .select(F.explode(
                  F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h")))
-    types = e.select("event_type").distinct()
+    types = hourly.select("event_type").distinct()
     grid = spine.crossJoin(types)  # dims-only: |hours| x |types|
     locf = W.partitionBy("event_type").orderBy("h")
     return (grid.join(hourly, ["h", "event_type"], "left")

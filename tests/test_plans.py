@@ -147,3 +147,10 @@ def test_sessionize_single_user_exchange(spark):
     # one data shuffle total
     p = plan(spark, "q_sessionize")
     assert n_shuffles(p) == 1, p
+
+
+def test_gapfill_scans_events_once(spark):
+    # spine + types derive from the persisted hourly aggregate, so the
+    # raw events table appears exactly once in the physical plan
+    p = plan(spark, "q_gapfill_locf")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1, p

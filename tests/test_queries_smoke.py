@@ -28,5 +28,6 @@ def test_every_query_has_oracle_or_is_documented():
     # sketch/approx/streaming-machinery queries are legitimately
     # rows-only; everything else must carry an oracle
     allowed = {"q_agg_approx", "q_dedup_minhash", "q_dedup_simhash",
-               "q_similarity_ann", "q_knn_join_blocked"}
+               "q_similarity_ann", "q_knn_join_blocked",
+               "q_agg_sketch_reagg"}
     assert rows_only <= allowed, rows_only

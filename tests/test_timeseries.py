@@ -140,3 +140,12 @@ def test_entropy_bounds(spark):
     hi = math.log(5) + 1e-4  # 5 event types
     for r in q_entropy(spark, SF_SMOKE).collect():
         assert -1e-9 <= r["entropy"] <= hi
+
+
+def test_sketch_reagg_error_bound(spark):
+    from challenge8_movies_etl_spark.queries_aggs import q_agg_sketch_reagg
+    for r in q_agg_sketch_reagg(spark, SF_SMOKE).collect():
+        # nations partition customers, so summed exacts == region exact;
+        # HLL_4 at default lgk=12 is well under 5% at these cardinalities
+        assert abs(r["approx_customers"] - r["exact_customers"]) \
+            <= max(1, 0.05 * r["exact_customers"])
