@@ -6,6 +6,7 @@ non-negativity)."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from challenge8_movies_etl_spark.queries_joins import q_join_salted
@@ -149,3 +150,27 @@ def test_sketch_reagg_error_bound(spark):
         # HLL_4 at default lgk=12 is well under 5% at these cardinalities
         assert abs(r["approx_customers"] - r["exact_customers"]) \
             <= max(1, 0.05 * r["exact_customers"])
+
+
+def test_sessionize_agrees_with_session_window_operator(spark):
+    """Two independent implementations of gap sessions — lag+cumsum
+    (q_sessionize) vs Spark's native session_window operator — must
+    produce the same per-user session multiset at the same 30-min gap.
+    They differ only on gaps of EXACTLY the gap width (> vs >=), so
+    first prove the fixture has none (making the comparison exact)."""
+    e = load_table(spark, SF_SMOKE, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    exact_boundary = (e.withColumn(
+        "gap", F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+        .filter(F.col("gap") == 30 * 60 * 1_000_000).count())
+    assert exact_boundary == 0
+    from challenge8_movies_etl_spark.queries_analytics import q_sessionize
+    ours = (q_sessionize(spark, SF_SMOKE)
+            .groupBy("user_id").agg(F.count("*").alias("n_sessions"),
+                                    F.sum("n_events").alias("n_ev")))
+    native = (e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+              .count()
+              .groupBy("user_id").agg(F.count("*").alias("n_sessions"),
+                                      F.sum("count").alias("n_ev")))
+    assert sorted(map(tuple, ours.collect())) == \
+        sorted(map(tuple, native.collect()))
