@@ -879,7 +879,11 @@ def q_tfidf(spark, sf_dir):
     idf6 = F.round(
         F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
     ).cast("decimal(18,6)")
-    scored = (tf.join(F.broadcast(df), "term")
+    # no broadcast hint on the DF relation: AQE broadcasts it while the
+    # vocabulary fits the threshold and falls back to a shuffled hash
+    # join for web-scale vocabularies — a forced hint would pin the
+    # wrong strategy at exactly the scale that needs the fallback
+    scored = (tf.join(df, "term")
               .crossJoin(F.broadcast(n))
               .select("doc_id", "term", "tf",
                       (F.col("tf") * idf6).alias("score")))
@@ -933,7 +937,8 @@ def q_lm_score(spark, sf_dir):
                     F.round(F.log(F.col("cnt").cast("double")
                                   / F.col("total").cast("double")), 6)
                     .cast("decimal(18,6)").alias("logp6")))
-    return (toks.join(F.broadcast(logp), "term")
+    # same rationale as q_tfidf: vocab-sized relation, AQE chooses
+    return (toks.join(logp, "term")
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_tokens"),
                  F.round(F.sum("logp6").cast("double") / F.count("*"), 4)
@@ -952,7 +957,8 @@ def q_lm_score(spark, sf_dir):
            a.lang AS lang,
            levenshtein(a.pfx, c.pfx) AS edit_dist
     FROM b a JOIN b c
-      ON a.lang = c.lang AND a.band = c.band AND a.doc_id < c.doc_id
+      ON a.lang = c.lang AND a.doc_id < c.doc_id
+     AND c.band BETWEEN a.band - 1 AND a.band + 1
     WHERE levenshtein(a.pfx, c.pfx) <= 15
     """,
 )
@@ -961,22 +967,30 @@ def q_dedup_fuzzy(spark, sf_dir):
     ladder (exact sig -> ngram Jaccard -> MinHash -> SimHash -> edit
     distance), for the typo-level mutations token-set methods miss.
     Levenshtein is O(len^2) per pair, so it NEVER runs all-pairs: docs
-    are blocked on (lang, 20-char length band) — edit distance <=15
-    forces near-equal lengths, so the band is a lossless-ish
-    prefilter — and the quadratic work happens only inside blocks on a
-    40-char prefix. Both engines implement classic unit-cost
-    Levenshtein, so the distances hash-match exactly."""
+    are blocked on (lang, 20-char length band) with ADJACENT-band
+    probing — each left row probes bands {b-1, b, b+1} via explode, so
+    the blocking stays a pure equi-join (shuffle on (lang, band)) yet
+    is lossless for any pair within 20 chars of each other (a pair
+    straddling a band boundary lands in adjacent bands and is still
+    probed; each qualifying pair matches exactly one probe, so no
+    dedup pass is needed). The quadratic work happens only inside
+    bands on a 40-char prefix. Both engines implement classic
+    unit-cost Levenshtein, so the distances hash-match exactly."""
     d = load_table(spark, sf_dir, "documents")
     b = d.select("doc_id", "lang",
                  F.expr("n_chars DIV 20").alias("band"),
                  F.substring("text", 1, 40).alias("pfx"))
-    a, c = b.alias("a"), b.alias("c")
-    dist = F.levenshtein(F.col("a.pfx"), F.col("c.pfx"))
-    return (a.join(c, (F.col("a.lang") == F.col("c.lang"))
-                   & (F.col("a.band") == F.col("c.band"))
-                   & (F.col("a.doc_id") < F.col("c.doc_id")))
+    a = (b.withColumn("probe", F.explode(F.array(
+            F.col("band") - 1, F.col("band"), F.col("band") + 1)))
+         .select(F.col("doc_id").alias("a_id"), F.col("lang").alias("a_lang"),
+                 F.col("pfx").alias("a_pfx"), "probe"))
+    c = b
+    dist = F.levenshtein(F.col("a_pfx"), F.col("pfx"))
+    return (a.join(c, (F.col("a_lang") == F.col("lang"))
+                   & (F.col("probe") == F.col("band"))
+                   & (F.col("a_id") < F.col("doc_id")))
             .filter(dist <= 15)
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("c.doc_id").alias("doc_b"),
-                    F.col("a.lang").alias("lang"),
+            .select(F.col("a_id").alias("doc_a"),
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("a_lang").alias("lang"),
                     dist.alias("edit_dist")))
