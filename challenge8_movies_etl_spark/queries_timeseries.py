@@ -399,3 +399,73 @@ def q_entropy(spark, sf_dir):
     return (terms.groupBy("user_id")
             .agg(F.max("total").alias("n_events"),
                  F.round(F.sum("term").cast("double"), 4).alias("entropy")))
+
+
+@query(
+    "q_spatial_join",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             cast(cast(c_custkey % 997 as decimal(10,4)) / 10 as decimal(10,4))
+               AS x,
+             cast(cast((c_custkey * 31) % 1009 as decimal(10,4)) / 10
+                  as decimal(10,4)) AS y
+      FROM customer
+    ),
+    cells AS (
+      SELECT id, x, y,
+             cast(floor(x / 5.0) as bigint) AS cx,
+             cast(floor(y / 5.0) as bigint) AS cy
+      FROM pts
+    )
+    SELECT a.id AS id_a, c.id AS id_b,
+           round(cast((a.x - c.x) * (a.x - c.x)
+                      + (a.y - c.y) * (a.y - c.y) as double), 4) AS dist2
+    FROM cells a JOIN cells c
+      ON a.id < c.id
+     AND c.cx BETWEEN a.cx - 1 AND a.cx + 1
+     AND c.cy BETWEEN a.cy - 1 AND a.cy + 1
+    WHERE (a.x - c.x) * (a.x - c.x) + (a.y - c.y) * (a.y - c.y)
+          <= cast(4.0 as decimal(12,8))
+    """,
+)
+def q_spatial_join(spark, sf_dir):
+    """Grid-bucketed spatial neighbor join: points (synthesized as
+    exact-decimal coordinates from customer keys) paired when within
+    euclidean distance 2, found via 5x5-unit grid cells with 3x3
+    neighbor-cell probing — the 2D generalization of the banded range
+    join. The left side explodes each point to its 9 probe cells, so
+    candidate generation is a pure EQUI-join on (cx, cy) (shuffle on
+    cell ids, never all-pairs); the radius is at most one cell width,
+    so probing adjacent cells is lossless, and each qualifying pair
+    matches exactly one probe cell (its partner's own cell — no dedup
+    pass). Coordinates and the distance predicate are exact decimal
+    arithmetic, so the boundary compare cannot drift between
+    engines."""
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") % 997).cast("decimal(10,4)") / F.lit(10))
+        .cast("decimal(10,4)").alias("x"),
+        (((F.col("c_custkey") * 31) % 1009).cast("decimal(10,4)") / F.lit(10))
+        .cast("decimal(10,4)").alias("y"))
+    cells = pts.select(
+        "id", "x", "y",
+        F.floor(F.col("x") / 5.0).alias("cx"),
+        F.floor(F.col("y") / 5.0).alias("cy"))
+    probes = (cells.withColumn("px", F.explode(F.array(
+                  F.col("cx") - 1, F.col("cx"), F.col("cx") + 1)))
+              .withColumn("py", F.explode(F.array(
+                  F.col("cy") - 1, F.col("cy"), F.col("cy") + 1)))
+              .select(F.col("id").alias("a_id"), F.col("x").alias("ax"),
+                      F.col("y").alias("ay"), "px", "py"))
+    dx = F.col("ax") - F.col("x")
+    dy = F.col("ay") - F.col("y")
+    dist2 = dx * dx + dy * dy
+    return (probes.join(cells, (F.col("px") == F.col("cx"))
+                        & (F.col("py") == F.col("cy"))
+                        & (F.col("a_id") < F.col("id")))
+            .filter(dist2 <= F.lit(4.0).cast("decimal(12,8)"))
+            .select(F.col("a_id").alias("id_a"),
+                    F.col("id").alias("id_b"),
+                    F.round(dist2.cast("double"), 4).alias("dist2")))

@@ -174,3 +174,30 @@ def test_sessionize_agrees_with_session_window_operator(spark):
                                       F.sum("count").alias("n_ev")))
     assert sorted(map(tuple, ours.collect())) == \
         sorted(map(tuple, native.collect()))
+
+
+def test_spatial_join_matches_brute_force(spark):
+    """Grid blocking + 3x3 probing must find EXACTLY the pairs a naive
+    all-pairs quadratic scan finds (radius <= cell width makes the
+    probing lossless). sf0.01: sf0.001's 150 points are too sparse to
+    yield any radius-2 pair, which would make the test vacuous."""
+    from challenge8_movies_etl_spark.queries_timeseries import q_spatial_join
+    sf = "/root/testdata/sf0.01"
+    got = {(r["id_a"], r["id_b"]) for r in
+           q_spatial_join(spark, sf).collect()}
+    c = load_table(spark, sf, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") % 997).cast("decimal(10,4)") / F.lit(10))
+        .cast("decimal(10,4)").alias("x"),
+        (((F.col("c_custkey") * 31) % 1009).cast("decimal(10,4)") / F.lit(10))
+        .cast("decimal(10,4)").alias("y"))
+    a, b = pts.alias("a"), pts.alias("b")
+    dx = F.col("a.x") - F.col("b.x")
+    dy = F.col("a.y") - F.col("b.y")
+    naive = (a.crossJoin(b)
+             .filter((F.col("a.id") < F.col("b.id"))
+                     & (dx * dx + dy * dy <= F.lit(4.0).cast("decimal(12,8)")))
+             .select(F.col("a.id"), F.col("b.id")))
+    want = {(r[0], r[1]) for r in naive.collect()}
+    assert got == want and len(want) > 0
