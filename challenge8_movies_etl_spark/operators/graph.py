@@ -31,7 +31,8 @@ DEC_PR = "decimal(20,10)"
 
 def pagerank(edges: DataFrame, iterations: int = 5,
              damping: float = 0.85, checkpoint_every: int = 6,
-             broadcast_ranks: bool = True) -> DataFrame:
+             broadcast_ranks: bool = True,
+             assume_distinct: bool = False) -> DataFrame:
     """Rank nodes of a directed edge list (``src``, ``dst``).
 
     Every node is assumed to have out-degree >= 1 (callers with
@@ -49,11 +50,21 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     the join then co-locates against the rank vector's hash
     partitioning round over round.
     """
-    edges = edges.select("src", "dst").distinct()
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    from pyspark.sql import Window as W
+
+    edges = edges.select("src", "dst")
+    # a duplicated edge would double-count its contribution, so dedup
+    # unless the caller's construction already guarantees uniqueness
+    # (assume_distinct skips a full |E| shuffle in that case)
+    if not assume_distinct:
+        edges = edges.distinct()
     # one checkpointed relation (src, dst, d): the per-iteration join
-    # is then a single equi-join against the rank vector
-    edges_d = edges.join(outdeg, "src").localCheckpoint(eager=True)
+    # is then a single equi-join against the rank vector. Out-degree
+    # rides a window count over the src partitioning (one shuffle)
+    # instead of a groupBy + join-back (two)
+    edges_d = (edges.withColumn(
+        "d", F.count("*").over(W.partitionBy("src")))
+        .localCheckpoint(eager=True))
     nodes = (edges_d.select(F.col("src").alias("node")).distinct()
              .localCheckpoint(eager=True))
     # one driver-side scalar (same license as the convergence counts in

@@ -417,3 +417,48 @@ def q_join_salted(spark, sf_dir):
     return (joined.groupBy("s_nationkey")
             .agg(F.count("*").alias("n_items"),
                  dsum("l_extendedprice", "sum_price")))
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH pairs AS (
+      SELECT e.event_id AS err_id, e.ts AS err_ts, e.user_id,
+             abs(epoch_us(e.ts) - epoch_us(c.ts)) AS diff_us,
+             c.ts AS click_ts, c.event_id AS click_id
+      FROM events e
+      JOIN events c ON c.user_id = e.user_id AND c.event_type = 'click'
+      WHERE e.event_type = 'error'
+    )
+    SELECT err_id, max(err_ts) AS err_ts, max(user_id) AS user_id,
+           (min(struct_pack(d := diff_us, t := click_ts,
+                            id := click_id))).id AS nearest_click_id,
+           min(diff_us) AS nearest_diff_us
+    FROM pairs GROUP BY err_id
+    """,
+)
+def q_join_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of join (the merge_asof direction='nearest'
+    twin of q_join_asof's backward default): for each 'error' event the
+    same-user 'click' minimizing |Δts|, ties to the EARLIER click then
+    lower id — argmin via one lexicographic struct-min aggregation
+    (|Δ| in exact integer microseconds), no window sort, exactly the
+    q_join_asof shape. Same scale posture too: user-equi join feeds the
+    argmin; operators/asof.py's cogrouped merge_asof is the declared
+    path when per-user event counts make the pair relation too wide."""
+    e = load_table(spark, sf_dir, "events")
+    errors = (e.filter(F.col("event_type") == "error")
+              .select(F.col("event_id").alias("err_id"),
+                      F.col("ts").alias("err_ts"), "user_id"))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user_id"),
+                      F.col("ts").alias("click_ts"),
+                      F.col("event_id").alias("click_id")))
+    diff = F.abs(F.unix_micros("err_ts") - F.unix_micros("click_ts"))
+    best = F.min(F.struct(diff.alias("d"), F.col("click_ts").alias("t"),
+                          F.col("click_id").alias("id"))).alias("best")
+    return (errors.join(clicks, F.col("user_id") == F.col("c_user_id"))
+            .groupBy("err_id", "err_ts", "user_id").agg(best)
+            .select("err_id", "err_ts", "user_id",
+                    F.col("best.id").alias("nearest_click_id"),
+                    F.col("best.d").alias("nearest_diff_us")))
