@@ -88,3 +88,54 @@ def test_text_jsonl_roundtrip(spark, tmp_path):
         F.from_json("value", src.schema).alias("r")).select("r.*")
     assert sorted(map(tuple, parsed.collect())) == \
         sorted(map(tuple, src.collect()))
+
+
+def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
+    """Hive-style partitionBy + a filter on the partition column must
+    prune at PLANNING time (PartitionFilters on the scan, only the
+    matching directory's files read) — the mechanism that turns a
+    100 TB scan into a 1-partition scan."""
+    from pyspark.sql import functions as F
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+    from challenge8_movies_etl_spark.sources.raw import (
+        write_partitioned_parquet,
+    )
+    src = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "events_by_type")
+    write_partitioned_parquet(src, path, partition_by=["event_type"])
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1][:200]
+    # only the click partition's files are touched
+    files = back.select(F.input_file_name()).distinct().collect()
+    assert files and all("event_type=click" in r[0] for r in files)
+    want = src.filter(F.col("event_type") == "click").count()
+    assert back.count() == want
+
+
+def test_json_corrupt_records_quarantined(spark, tmp_path):
+    """PERMISSIVE JSON ingest with an explicit _corrupt_record column:
+    malformed lines land in the quarantine column instead of failing
+    the job — the at-scale posture for messy feeds (a FAILFAST full
+    abort on one bad record in 100 TB is not an option; the quarantine
+    column makes bad rows auditable and re-processable)."""
+    p = tmp_path / "messy.jsonl"
+    p.write_text('{"id": 1, "name": "ok"}\n'
+                 'this is not json\n'
+                 '{"id": 2, "name": "also ok"}\n'
+                 '{"id": "NaN-ish", "name": 3}\n')
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ])
+    df = read_json_ragged(spark, str(p), schema=schema).cache()
+    assert df.count() == 4
+    bad = df.filter(df._corrupt_record.isNotNull())
+    # the plain-text line is quarantined whole; the type-mismatch row
+    # keeps its parseable fields and is quarantined too
+    assert bad.count() == 2
+    good = df.filter(df._corrupt_record.isNull())
+    assert sorted(r["id"] for r in good.collect()) == [1, 2]
+    df.unpersist()
