@@ -428,3 +428,66 @@ def q_sql_surface(spark, sf_dir):
     for t in ("customer", "orders", "lineitem"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_TPCH_Q3_SQL)
+
+
+_TPCH_Q5_SQL = """
+    SELECT n_name,
+           round(cast(sum(cast(l_extendedprice * (1 - l_discount)
+                               as decimal(30,10))) as double), 4) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= timestamp '1996-01-01 00:00:00'
+      AND o_orderdate < timestamp '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """
+
+
+@query("q_sql_local_volume", oracle=_TPCH_Q5_SQL)
+def q_sql_local_volume(spark, sf_dir):
+    """TPC-H Q5 (local-supplier volume) as shared SQL text: the 6-way
+    star join with two date predicates and a region filter, submitted
+    verbatim to both engines. The join graph gives Catalyst real
+    reordering work (region/nation are dims -> broadcast; the
+    customer=supplier nation equality closes the cycle); revenue uses
+    the decimal-exact reduction so ORDER BY cannot be perturbed."""
+    for t in ("customer", "orders", "lineitem", "supplier",
+              "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q5_SQL)
+
+
+_TPCH_Q10_SQL = """
+    SELECT c_custkey, c_name,
+           round(cast(sum(cast(l_extendedprice * (1 - l_discount)
+                               as decimal(30,10))) as double), 4) AS revenue,
+           n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate >= timestamp '1996-01-01 00:00:00'
+      AND o_orderdate < timestamp '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """
+
+
+@query("q_sql_returned_topk", oracle=_TPCH_Q10_SQL)
+def q_sql_returned_topk(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting) as shared SQL text: fact
+    join + quarter predicate + returnflag filter + revenue top-20 with
+    a key tie-break under the LIMIT. Completes the raw-SQL trio
+    (q_sql_surface Q3, q_sql_local_volume Q5) proving the textual
+    surface covers scan/filter/join/agg/top-k end-to-end."""
+    for t in ("customer", "orders", "lineitem", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q10_SQL)
