@@ -45,3 +45,39 @@ def test_citation_and_range_invariance(a, d, cite):
 def test_garbage_never_raises(s):
     out = parse_dollars_py(s)
     assert out is None or out >= 0
+
+
+def _grid_pairs(pts, cell, radius2):
+    """Pure-Python twin of q_spatial_join's 3x3 grid probe."""
+    from collections import defaultdict
+    cells = defaultdict(list)
+    for i, (x, y) in enumerate(pts):
+        cells[(int(x // cell), int(y // cell))].append(i)
+    out = set()
+    for i, (x, y) in enumerate(pts):
+        cx, cy = int(x // cell), int(y // cell)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for j in cells.get((cx + dx, cy + dy), ()):
+                    if i < j:
+                        px, py = pts[j]
+                        if (x - px) ** 2 + (y - py) ** 2 <= radius2:
+                            out.add((i, j))
+    return out
+
+
+def _brute_pairs(pts, radius2):
+    return {(i, j) for i in range(len(pts)) for j in range(i + 1, len(pts))
+            if (pts[i][0] - pts[j][0]) ** 2
+            + (pts[i][1] - pts[j][1]) ** 2 <= radius2}
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 400), st.integers(0, 400)),
+                min_size=2, max_size=40))
+def test_grid_probe_is_lossless(raw):
+    """3x3 neighbor-cell probing finds EXACTLY the brute-force pairs
+    whenever radius <= cell width (the q_spatial_join invariant),
+    including points exactly on cell boundaries."""
+    pts = [(x / 10, y / 10) for x, y in raw]  # 0.1 granularity, 0..40
+    assert _grid_pairs(pts, cell=5.0, radius2=4.0) == _brute_pairs(pts, 4.0)
