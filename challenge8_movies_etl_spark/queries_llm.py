@@ -994,3 +994,54 @@ def q_dedup_fuzzy(spark, sf_dir):
                     F.col("doc_id").alias("doc_b"),
                     F.col("a_lang").alias("lang"),
                     dist.alias("edit_dist")))
+
+
+@query(
+    "q_multimodal_chunk",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, hx,
+             unnest(range(0, cast(ceil(n_bytes / 64.0) as bigint)))
+               AS chunk_idx
+      FROM p
+    )
+    SELECT doc_id, chunk_idx,
+           cast(length(substring(hx, chunk_idx * 128 + 1, 128)) / 2
+                as bigint) AS chunk_bytes,
+           md5(substring(hx, chunk_idx * 128 + 1, 128)) AS chunk_md5
+    FROM idx
+    """,
+)
+def q_multimodal_chunk(spark, sf_dir):
+    """Fixed-size chunking of opaque binary payloads with per-chunk
+    content fingerprints — the content-addressable-storage primitive
+    (dedup at the CHUNK level is how petabyte media stores shrink:
+    identical 64-byte chunks share storage regardless of which blob
+    they sit in). Pure expressions end-to-end: sequence+explode makes
+    the chunk index (no UDF), substring slices the binary column
+    JVM-side, md5 fingerprints it — embarrassingly parallel, zero
+    shuffle. Companion to q_multimodal_meta's mapInPandas decode path:
+    chunking needs no Python at all."""
+    d = load_table(spark, sf_dir, "documents")
+    p = (multimodal.attach_payload(d)
+         # hex-encode once: DuckDB has no BLOB slicing/md5, so the
+         # cross-engine chunk identity is the lowercase hex rendering
+         # (injective — equal hex slices <=> equal byte chunks); Spark
+         # slices the binary's hex the same way, JVM-side
+         .select("doc_id",
+                 F.lower(F.hex("payload")).alias("hx"),
+                 F.octet_length("payload").alias("n_bytes")))
+    n_chunks = F.ceil(F.col("n_bytes") / F.lit(64.0)).cast("bigint")
+    sub = "substring(hx, cast(chunk_idx * 128 + 1 as int), 128)"
+    return (p.select("doc_id", "hx",
+                     F.explode(F.sequence(F.lit(0).cast("bigint"),
+                                          n_chunks - 1)).alias("chunk_idx"))
+            .select("doc_id", "chunk_idx",
+                    (F.length(F.expr(sub)) / 2).cast("bigint")
+                    .alias("chunk_bytes"),
+                    F.md5(F.expr(sub)).alias("chunk_md5")))
