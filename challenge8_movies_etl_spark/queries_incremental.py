@@ -222,3 +222,73 @@ def q_stream_dedup(spark, sf_dir):
     if q.isActive:
         q.stop()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# z-order data layout
+# ---------------------------------------------------------------------------
+
+def _z16_terms(x: str, y: str, shl, shr) -> str:
+    """Bit-interleave two 8-bit bucket ids into a 16-bit Morton (Z-order)
+    value, as a pure integer expression: x occupies odd bit positions,
+    y even ones. `shl`/`shr` render a shift for the target dialect."""
+    terms = [shl(f"({shr(x, i)} & 1)", 2 * i + 1) for i in range(8)]
+    terms += [shl(f"({shr(y, i)} & 1)", 2 * i) for i in range(8)]
+    return " + ".join(terms)
+
+
+_Z16_SPARK = _z16_terms(
+    "xb", "yb",
+    lambda e, k: f"shiftleft({e}, {k})",
+    lambda e, k: f"shiftright({e}, {k})")
+_Z16_DUCK = _z16_terms(
+    "xb", "yb",
+    lambda e, k: f"(({e}) << {k})",
+    lambda e, k: f"(({e}) >> {k})")
+
+
+@query(
+    "q_zorder_layout",
+    oracle=f"""
+    WITH b AS (
+      SELECT o_orderkey,
+             o_custkey % 256 AS xb,
+             (datediff('day', DATE '1992-01-01',
+                       cast(o_orderdate as date)) // 16) % 256 AS yb
+      FROM orders
+    ),
+    z AS (
+      SELECT o_orderkey, xb, yb, ({_Z16_DUCK}) // 256 AS file_id FROM b
+    )
+    SELECT file_id, count(*) AS n_rows,
+           min(xb) AS min_cb, max(xb) AS max_cb,
+           min(yb) AS min_db, max(yb) AS max_db
+    FROM z GROUP BY file_id
+    """,
+)
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton-curve) file layout with per-file skipping stats —
+    the multi-dimensional clustering trick behind Delta/Iceberg OPTIMIZE
+    ZORDER. Bucket two independent filter dimensions (customer hash
+    bucket, 16-day order-date band) to 8 bits each, interleave the bits
+    into a 16-bit Morton value, and range-partition rows into files of
+    256 consecutive z-values. Because the curve preserves locality in
+    BOTH dimensions, each file's (min,max) envelope is tight on both
+    columns — a predicate on either dimension prunes most files, which
+    a single-column sort can only give one dimension. The interleave is
+    16 shift-and-mask terms, all codegen'd integer ops; the layout
+    assignment itself needs no shuffle (the rollup here is one partial
+    agg to report the envelopes a writer would put in file footers)."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("xb"),
+        ((F.datediff(F.col("o_orderdate").cast("date"),
+                     F.lit("1992-01-01").cast("date"))
+          / F.lit(16)).cast("bigint") % 256).alias("yb"))
+    z = b.select("o_orderkey", "xb", "yb",
+                 F.expr(f"({_Z16_SPARK}) div 256").alias("file_id"))
+    return (z.groupBy("file_id")
+            .agg(F.count("*").alias("n_rows"),
+                 F.min("xb").alias("min_cb"), F.max("xb").alias("max_cb"),
+                 F.min("yb").alias("min_db"), F.max("yb").alias("max_db")))

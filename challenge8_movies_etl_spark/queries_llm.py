@@ -1045,3 +1045,101 @@ def q_multimodal_chunk(spark, sf_dir):
                     (F.length(F.expr(sub)) / 2).cast("bigint")
                     .alias("chunk_bytes"),
                     F.md5(F.expr(sub)).alias("chunk_md5")))
+
+
+@query(
+    "q_boilerplate_passages",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, w,
+             unnest(range(0, cast(ceil(len(w) / 4.0) as bigint))) AS i
+      FROM t
+    ),
+    p AS (
+      SELECT doc_id,
+             md5(array_to_string(w[(i*4+1):(i*4+4)], ' ')) AS h
+      FROM idx
+    ),
+    c AS (
+      SELECT h, count(distinct doc_id) AS nd FROM p GROUP BY h
+    )
+    SELECT p.doc_id,
+           count(*) AS n_passages,
+           cast(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) as bigint)
+             AS n_boiler,
+           cast(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) * 10000
+                as bigint) // count(*) AS boiler_bp
+    FROM p JOIN c USING (h)
+    GROUP BY p.doc_id
+    """,
+)
+def q_boilerplate_passages(spark, sf_dir):
+    """Cross-document boilerplate detection, C4/RefinedWeb-style: chop
+    every document into non-overlapping 4-token passages, count how
+    many DISTINCT documents each exact passage occurs in, and score
+    each document by its share of shared passages (headers, footers,
+    cookie banners at web scale). The global frequency table groups by
+    the passage's md5, so the shuffle carries (16-byte hash, doc_id) —
+    never passage text — and the per-doc rollup joins back on the same
+    hash. Both shuffles are plain hash exchanges on high-cardinality
+    keys; map-side partial counts keep the frequency agg skew-safe.
+    boiler_bp is integer basis points (exact div, engine-portable)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("w"))
+    n_pass = F.ceil(F.size("w") / F.lit(4.0)).cast("bigint")
+    p = (w.select("doc_id", "w",
+                  F.explode(F.sequence(F.lit(0).cast("bigint"),
+                                       n_pass - 1)).alias("i"))
+         .select("doc_id",
+                 F.md5(F.array_join(
+                     F.slice("w", (F.col("i") * 4 + 1).cast("int"), 4),
+                     " ")).alias("h")))
+    c = p.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    return (p.join(c, "h")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_passages"),
+                 F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+                 .cast("bigint").alias("n_boiler"))
+            .select("doc_id", "n_passages", "n_boiler",
+                    F.expr("n_boiler * 10000 div n_passages")
+                    .alias("boiler_bp")))
+
+
+@query(
+    "q_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             cast(len(string_split(text, ' ')) as bigint) AS n_tok
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tok,
+           (cast(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 as bigint) - n_tok) // 256 AS bin_id
+    FROM t
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing — the batch-assembly step of LLM
+    training: assign documents to fixed-budget bins (256 tokens) by
+    cumulative token count within each language stream, ordered by
+    doc_id. bin_id = floor(tokens_before_this_doc / budget) is the
+    standard streaming-concat packing (a doc may straddle its bin
+    boundary; the trainer's concat-then-chunk consumes exactly this
+    layout). One shuffle — the same partition-by-lang exchange any
+    per-lang groupBy pays — and the running sum is integer-exact, so
+    bin assignment is reproducible across engines and partitionings.
+    At 100 TB the window partitions by (lang, shard) to bound state."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", token_count(F.col("text")).alias("n_tok"))
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (t.withColumn("cum", F.sum("n_tok").over(w))
+            .select("doc_id", "lang", "n_tok",
+                    F.expr("(cum - n_tok) div 256").alias("bin_id")))

@@ -1,0 +1,90 @@
+"""Fourth-wave pipeline-layout operators: boilerplate passages,
+sequence packing, z-order file layout (SURVEY.md §5 conventions —
+deterministic fixtures, invariants pinned not fuzzy)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from challenge8_movies_etl_spark.registry import QUERIES, load_all
+from challenge8_movies_etl_spark.sources.fixtures import load_table
+from tests.conftest import SF_SMOKE
+
+load_all()
+
+
+def test_boilerplate_counts_bounded_and_consistent(spark):
+    """n_boiler <= n_passages; n_passages = ceil(tokens/4) per doc;
+    basis points recompute exactly from the two counts."""
+    rows = QUERIES["q_boilerplate_passages"](spark, SF_SMOKE).collect()
+    toks = {r["doc_id"]: r["n"] for r in
+            load_table(spark, SF_SMOKE, "documents")
+            .select("doc_id",
+                    F.size(F.split("text", " ")).alias("n")).collect()}
+    assert len(rows) == len(toks)
+    for r in rows:
+        assert 0 <= r["n_boiler"] <= r["n_passages"]
+        assert r["n_passages"] == -(-toks[r["doc_id"]] // 4)
+        assert r["boiler_bp"] == r["n_boiler"] * 10000 // r["n_passages"]
+
+
+def test_boilerplate_flags_injected_duplicate_passage(spark):
+    """Two crafted docs sharing one exact 4-token passage are both
+    flagged with exactly one boilerplate passage; the third is clean."""
+    d = spark.createDataFrame(
+        [(1, "common header line here alpha beta gamma delta"),
+         (2, "common header line here epsilon zeta eta theta"),
+         (3, "totally unrelated words one two three four five")],
+        "doc_id long, text string")
+    d.createOrReplaceTempView("_bp_docs")
+    w = d.select("doc_id", F.split("text", " ").alias("w"))
+    n_pass = F.ceil(F.size("w") / F.lit(4.0)).cast("bigint")
+    p = (w.select("doc_id",
+                  F.explode(F.sequence(F.lit(0).cast("bigint"),
+                                       n_pass - 1)).alias("i"), "w")
+         .select("doc_id", F.md5(F.array_join(
+             F.slice("w", (F.col("i") * 4 + 1).cast("int"), 4),
+             " ")).alias("h")))
+    c = p.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    out = {r["doc_id"]: r["nb"] for r in
+           p.join(c, "h").groupBy("doc_id")
+           .agg(F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+                .alias("nb")).collect()}
+    assert out == {1: 1, 2: 1, 3: 0}
+
+
+def test_pack_sequences_bins_monotone_and_budgeted(spark):
+    """Within each lang stream (ordered by doc_id) bin_id is
+    non-decreasing, starts at 0, and equals floor(prefix_tokens/256)."""
+    rows = QUERIES["q_pack_sequences"](spark, SF_SMOKE).collect()
+    by_lang: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r["lang"], r["doc_id"])):
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        prefix = 0
+        last_bin = 0
+        for r in rs:
+            assert r["bin_id"] == prefix // 256
+            assert r["bin_id"] >= last_bin
+            last_bin = r["bin_id"]
+            prefix += r["n_tok"]
+
+
+def test_zorder_envelopes_prune_both_dimensions(spark):
+    """The point of z-order vs a 1-D sort: a selective predicate on
+    EITHER bucketed dimension must prune most files. With 8-bit
+    buckets and 256-value files, a single-value predicate on xb or yb
+    can intersect at most 25% of file envelopes (for z-order it's far
+    less; a 1-D sort on xb alone would leave yb envelopes full-width,
+    pruning nothing on that dimension)."""
+    files = QUERIES["q_zorder_layout"](spark, SF_SMOKE).collect()
+    n = len(files)
+    assert n > 4
+    # rows conserved
+    total = sum(r["n_rows"] for r in files)
+    assert total == load_table(spark, SF_SMOKE, "orders").count()
+    for probe in (3, 97, 200):
+        hit_x = sum(1 for r in files if r["min_cb"] <= probe <= r["max_cb"])
+        hit_y = sum(1 for r in files if r["min_db"] <= probe <= r["max_db"])
+        assert hit_x <= n / 4
+        assert hit_y <= n / 4
