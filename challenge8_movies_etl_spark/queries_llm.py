@@ -1143,3 +1143,55 @@ def q_pack_sequences(spark, sf_dir):
     return (t.withColumn("cum", F.sum("n_tok").over(w))
             .select("doc_id", "lang", "n_tok",
                     F.expr("(cum - n_tok) div 256").alias("bin_id")))
+
+
+@query(
+    "q_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             list_distinct(list(t[gs.i] || ' ' || t[gs.i + 1]
+                                || ' ' || t[gs.i + 2])) AS g
+      FROM toks JOIN range(1, 100000) gs(i) ON gs.i <= len(t) - 2
+      GROUP BY doc_id, source
+    ),
+    x AS (SELECT doc_id, source, unnest(g) AS gram FROM grams),
+    bench AS (SELECT DISTINCT gram FROM x WHERE source = 'src0'),
+    tr AS (SELECT doc_id, gram FROM x WHERE source <> 'src0')
+    SELECT tr.doc_id, count(*) AS n_grams,
+           cast(sum(CASE WHEN bench.gram IS NOT NULL THEN 1 ELSE 0 END)
+                as bigint) AS n_hits,
+           cast(max(CASE WHEN bench.gram IS NOT NULL THEN 1 ELSE 0 END)
+                as bigint) AS contaminated
+    FROM tr LEFT JOIN bench ON tr.gram = bench.gram
+    GROUP BY tr.doc_id
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination — the eval-integrity gate every LLM
+    training pipeline runs before the dedup ladder: flag any training
+    document sharing an exact word 3-gram with the held-out benchmark
+    corpus (here: source 'src0' stands in for the eval set). Distinct
+    from near-dup detection: this is cross-corpus MEMBERSHIP, not
+    within-corpus similarity. The benchmark gram set is tiny relative
+    to the corpus (eval suites are ~1e5 docs even when training data
+    is 100 TB), so it broadcasts and the full-corpus side never
+    shuffles grams — the only exchange is the per-doc rollup of
+    (doc_id, partial counts). If the benchmark ever outgrows
+    broadcast, the same query degrades gracefully to a shuffled hash
+    join on the gram key."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select("doc_id", "source",
+                 F.explode(word_ngrams(F.col("text"), 3)).alias("gram"))
+    bench = (g.filter(F.col("source") == "src0")
+             .select("gram").distinct().withColumn("hit", F.lit(1)))
+    tr = g.filter(F.col("source") != "src0")
+    hit = F.coalesce(F.col("hit"), F.lit(0))
+    return (tr.join(F.broadcast(bench), "gram", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_grams"),
+                 F.sum(hit).cast("bigint").alias("n_hits"),
+                 F.max(hit).cast("bigint").alias("contaminated")))

@@ -469,3 +469,61 @@ def q_spatial_join(spark, sf_dir):
             .select(F.col("a_id").alias("id_a"),
                     F.col("id").alias("id_b"),
                     F.round(dist2.cast("double"), 4).alias("dist2")))
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing
+# ---------------------------------------------------------------------------
+
+_EWMA_K = 8
+_EWMA_W = [0.9 ** k for k in range(_EWMA_K)]  # literal weights: both
+# engines parse the SAME repr, so every product/sum is the same IEEE op
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"({w!r} * coalesce(lag(value, {k}) OVER w, 0.0))"
+        for k, w in enumerate(_EWMA_W))
+    den = " + ".join(
+        f"(CASE WHEN rn > {k} THEN {w!r} ELSE 0.0 END)"
+        for k, w in enumerate(_EWMA_W))
+    return f"""
+    WITH t AS (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             ts
+      FROM events
+    )
+    SELECT event_id, user_id, value,
+           round(({num}) / ({den}), 6) AS ewma
+    FROM t
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@query("q_ewma_smooth", oracle=_ewma_oracle())
+def q_ewma_smooth(spark, sf_dir):
+    """Exponentially-weighted moving average per user stream — the
+    denoising / trend primitive (pandas ``ewm(adjust=True)`` over a
+    truncated K=8 horizon). The recursive form doesn't distribute; the
+    truncated convolution does: K lag() terms over ONE per-user window
+    (a single exchange, same as any per-user op), weights are shared
+    float literals and the sum tree is identical text on both engines,
+    so the IEEE result matches bit-for-bit before the final round(6).
+    State per row is K scalars — independent of history length, so a
+    1000-executor run over years of events pays only the keyed
+    shuffle."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = load_table(spark, sf_dir, "events")
+    t = e.select("event_id", "user_id", "value", "ts",
+                 F.row_number().over(w).alias("rn"))
+    num = None
+    den = None
+    for k, wt in enumerate(_EWMA_W):
+        nterm = F.lit(wt) * F.coalesce(F.lag("value", k).over(w), F.lit(0.0))
+        dterm = F.when(F.col("rn") > k, F.lit(wt)).otherwise(F.lit(0.0))
+        num = nterm if num is None else num + nterm
+        den = dterm if den is None else den + dterm
+    return t.select("event_id", "user_id", "value",
+                    F.round(num / den, 6).alias("ewma"))

@@ -119,3 +119,31 @@ def test_fuzzy_dedup_pairs_well_formed(spark):
     for r in rows:
         assert r["doc_a"] < r["doc_b"]
         assert 0 <= r["edit_dist"] <= 15
+
+
+def test_decontaminate_invariants_and_injection(spark):
+    """Benchmark docs (src0) never appear in the output; n_hits is
+    bounded by n_grams; the flag is exactly n_hits>0. A doc sharing a
+    verbatim 3-gram with a src0 doc must be flagged: verify against an
+    independently-computed truth set."""
+    out = {r["doc_id"]: r for r in
+           QUERIES["q_decontaminate"](spark, SF_SMOKE).collect()}
+    d = load_table(spark, SF_SMOKE, "documents").collect()
+    src = {r["doc_id"]: r["source"] for r in d}
+    assert all(src[i] != "src0" for i in out)
+    assert len(out) == sum(1 for s in src.values() if s != "src0")
+    def grams(t):
+        w = t.split(" ")
+        return {" ".join(w[i:i+3]) for i in range(len(w) - 2)}
+    bench = set()
+    for r in d:
+        if r["source"] == "src0":
+            bench |= grams(r["text"])
+    for r in d:
+        if r["source"] == "src0":
+            continue
+        g = grams(r["text"])
+        o = out[r["doc_id"]]
+        assert o["n_grams"] == len(g)
+        assert o["n_hits"] == len(g & bench)
+        assert o["contaminated"] == (1 if g & bench else 0)

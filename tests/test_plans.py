@@ -154,3 +154,53 @@ def test_gapfill_scans_events_once(spark):
     # raw events table appears exactly once in the physical plan
     p = plan(spark, "q_gapfill_locf")
     assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1, p
+
+
+def test_ewma_single_user_exchange(spark):
+    # rn window + K lag windows share (user_id) partitioning and the
+    # (ts, event_id) sort: one data shuffle, one sort, K folded lags
+    p = plan(spark, "q_ewma_smooth")
+    assert n_shuffles(p) == 1, p
+
+
+def test_decontaminate_benchmark_broadcasts(spark):
+    # the benchmark gram set must broadcast — the training-corpus side
+    # of the membership probe never shuffles its grams
+    p = plan(spark, "q_decontaminate")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime row-level bloom pruning — the 100 TB shuffle-join saver:
+    with a selective dim filter, Spark builds a bloom filter over the
+    dim keys and applies might_contain() to the fact side BEFORE its
+    exchange, so pruned rows never shuffle. Verified by forcing the
+    injection thresholds down at fixture scale (the 100 TB defaults
+    trigger on real sizes)."""
+    saved = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": None,
+        "spark.sql.autoBroadcastJoinThreshold": None,
+    }
+    from pyspark.sql import functions as F
+    for k in saved:
+        saved[k] = spark.conf.get(k)
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold", "0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        from challenge8_movies_etl_spark.sources.fixtures import load_table
+        dim = (load_table(spark, SF_SMOKE, "orders")
+               .filter("o_orderpriority = '1-URGENT'"))
+        fact = load_table(spark, SF_SMOKE, "lineitem")
+        j = (fact.join(dim, fact.l_orderkey == dim.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        p = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+        assert "might_contain" in p, p
+        assert "bloom_filter_agg" in p, p
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

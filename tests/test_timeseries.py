@@ -201,3 +201,31 @@ def test_spatial_join_matches_brute_force(spark):
              .select(F.col("a.id"), F.col("b.id")))
     want = {(r[0], r[1]) for r in naive.collect()}
     assert got == want and len(want) > 0
+
+
+def test_ewma_first_row_and_recursion(spark):
+    """Row 1 of each stream equals its raw value (single-term window);
+    later rows equal the truncated adjusted-EWM recomputed in Python
+    from the ordered stream."""
+    from challenge8_movies_etl_spark.queries_timeseries import (
+        _EWMA_W,
+        q_ewma_smooth,
+    )
+    rows = q_ewma_smooth(spark, SF_SMOKE).collect()
+    e = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "value", "ts").collect()
+    streams: dict[int, list] = {}
+    for r in sorted(e, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        streams.setdefault(r["user_id"], []).append(r)
+    expect = {}
+    for uid, rs in streams.items():
+        for i, r in enumerate(rs):
+            num = sum(w * rs[i - k]["value"]
+                      for k, w in enumerate(_EWMA_W) if k <= i)
+            den = sum(w for k, w in enumerate(_EWMA_W) if k <= i)
+            expect[r["event_id"]] = num / den
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert abs(r["ewma"] - expect[r["event_id"]]) < 1e-5
+        if r["event_id"] == streams[r["user_id"]][0]["event_id"]:
+            assert abs(r["ewma"] - r["value"]) < 1e-5
