@@ -1195,3 +1195,71 @@ def q_decontaminate(spark, sf_dir):
             .agg(F.count("*").alias("n_grams"),
                  F.sum(hit).cast("bigint").alias("n_hits"),
                  F.max(hit).cast("bigint").alias("contaminated")))
+
+
+@query(
+    "q_token_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    big AS (
+      SELECT t[gs.i] AS w1, t[gs.i + 1] AS w2, count(*) AS c_ab
+      FROM toks JOIN range(1, 100000) gs(i) ON gs.i <= len(t) - 1
+      GROUP BY w1, w2
+    ),
+    uni AS (
+      SELECT u.w AS w, count(*) AS c
+      FROM (SELECT unnest(t) AS w FROM toks) u
+      GROUP BY u.w
+    ),
+    tot AS (
+      SELECT (SELECT cast(sum(c_ab) as bigint) FROM big) AS nb,
+             (SELECT cast(sum(c) as bigint) FROM uni) AS nu
+    )
+    SELECT w1, w2, c_ab,
+           round(ln((cast(c_ab as double) * nu * nu)
+                    / (cast(nb as double) * ua.c * ub.c)), 6) AS pmi
+    FROM big
+    JOIN uni ua ON ua.w = w1
+    JOIN uni ub ON ub.w = w2
+    CROSS JOIN tot
+    WHERE c_ab >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 40
+    """,
+)
+def q_token_pmi(spark, sf_dir):
+    """Pointwise mutual information over adjacent token pairs — the
+    collocation / phrase-mining primitive behind tokenizer merge rules
+    and multi-word-expression detection. All counts are exact bigints
+    from two map-side-combinable aggregations (positional bigrams via
+    sequence+explode, unigrams via explode); the PMI itself is ONE
+    ln() over a ratio of exact integers — both engines compute the
+    identical IEEE double before the 6dp edge rounding (hashsafe
+    discipline for transcendentals). Unigram totals broadcast back
+    onto the bigram relation; the top-40 cut orders by (pmi, w1, w2)
+    for a deterministic boundary, compiling to TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("t"))
+    big = (toks.select(
+        F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"), "t")
+        .select(F.element_at("t", F.col("i")).alias("w1"),
+                F.element_at("t", F.col("i") + 1).alias("w2"))
+        .groupBy("w1", "w2").agg(F.count("*").alias("c_ab")))
+    uni = (toks.select(F.explode("t").alias("w"))
+           .groupBy("w").agg(F.count("*").alias("c")))
+    tot = big.agg(F.sum("c_ab").cast("bigint").alias("nb")).crossJoin(
+        uni.agg(F.sum("c").cast("bigint").alias("nu")))
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("cb"))
+    pmi = F.round(F.log(
+        (F.col("c_ab").cast("double") * F.col("nu") * F.col("nu"))
+        / (F.col("nb").cast("double") * F.col("ca") * F.col("cb"))), 6)
+    return (big.filter(F.col("c_ab") >= 5)
+            .join(F.broadcast(ua), "w1")
+            .join(F.broadcast(ub), "w2")
+            .crossJoin(F.broadcast(tot))
+            .select("w1", "w2", "c_ab", pmi.alias("pmi"))
+            .orderBy(F.desc("pmi"), "w1", "w2")
+            .limit(40))
