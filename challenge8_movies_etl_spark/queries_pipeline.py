@@ -1,0 +1,461 @@
+"""Category L wave 4 — training-pipeline curation and ops primitives.
+
+Operators a 100 TB corpus-curation pipeline runs between raw ingest and
+tokenization: Gopher-style repetition gating, global heavy-hitter
+vocabulary, domain-mixture planning, deterministic weighted sampling,
+changelog application (CDC), interval-overlap joins, multi-hop graph
+reachability, and key-skew profiling. Everything is declarative
+DataFrame code (JVM codegen, no Python UDFs); every query carries a
+DuckDB oracle.
+
+Scale notes per query are inline; the shared discipline:
+
+- per-document metrics use array higher-order functions (row-local,
+  zero shuffle) instead of explode→groupBy where semantics allow;
+- global thresholds ride a broadcast 1-row aggregate, never a second
+  pass over the fact table;
+- the interval-overlap join is bucket-blocked (equi-join on week
+  buckets + residual predicate) so it never degenerates into the
+  inequality-only nested loop the oracle is allowed to run at sf0.01;
+- integer/rational arithmetic end-to-end — ratios are compared by
+  cross-multiplication, so no float rounding can flip a gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import query
+from .sources.fixtures import load_table
+
+
+# ---------------------------------------------------------------------------
+# text curation
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_quality_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    b AS (
+      SELECT doc_id, t,
+             CASE WHEN len(t) >= 2
+                  THEN list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i + 1])
+                  ELSE [] END AS big
+      FROM t
+    ),
+    m AS (
+      SELECT doc_id,
+             len(t) AS n_tok,
+             list_max(list_transform(list_distinct(t),
+                 x -> len(list_filter(t, e -> e = x)))) AS top1_cnt,
+             len(big) AS n_big,
+             coalesce(list_max(list_transform(list_distinct(big),
+                 x -> len(list_filter(big, e -> e = x)))), 0) AS topb_cnt
+      FROM b
+    )
+    SELECT doc_id, n_tok, top1_cnt, n_big, topb_cnt,
+           CASE WHEN top1_cnt * 5 > n_tok OR topb_cnt * 8 > n_big
+                THEN 1 ELSE 0 END AS repetitive
+    FROM m
+    """,
+)
+def q_quality_repetition(spark, sf_dir):
+    """Gopher-style repetition gate: per-document top-unigram and
+    top-bigram fractions (Rae et al. 2021's 'repetition removal'
+    signals). Thresholds (>20% top unigram, >12.5% top bigram) are
+    integer cross-multiplications, so the keep/drop flag is exact.
+
+    Scale: all metrics are array higher-order functions over the
+    already-loaded token array — row-local, whole-stage codegen, zero
+    shuffle; the classic explode→groupBy formulation would shuffle
+    every token of a 100 TB corpus on doc_id for a per-row answer."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("t"))
+    b = t.select(
+        "doc_id", "t",
+        F.expr("""
+          CASE WHEN size(t) >= 2
+               THEN transform(sequence(1, size(t) - 1),
+                              i -> concat(element_at(t, i), ' ',
+                                          element_at(t, i + 1)))
+               ELSE array() END
+        """).alias("big"),
+    )
+    m = b.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tok"),
+        F.expr("""
+          cast(array_max(transform(array_distinct(t),
+               x -> size(filter(t, e -> e = x)))) as bigint)
+        """).alias("top1_cnt"),
+        F.size("big").cast("bigint").alias("n_big"),
+        F.expr("""
+          cast(coalesce(array_max(transform(array_distinct(big),
+               x -> size(filter(big, e -> e = x)))), 0) as bigint)
+        """).alias("topb_cnt"),
+    )
+    rep = ((F.col("top1_cnt") * 5 > F.col("n_tok"))
+           | (F.col("topb_cnt") * 8 > F.col("n_big")))
+    return m.select("doc_id", "n_tok", "top1_cnt", "n_big", "topb_cnt",
+                    rep.cast("int").alias("repetitive"))
+
+
+@query(
+    "q_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    c AS (
+      SELECT token, count(*) AS cnt FROM tok
+      WHERE token != '' GROUP BY token
+    ),
+    tot AS (SELECT cast(sum(cnt) as bigint) AS n FROM c)
+    SELECT token, cnt FROM c, tot WHERE cnt * 200 >= n
+    """,
+)
+def q_heavy_hitters(spark, sf_dir):
+    """Corpus-global heavy hitters: every token whose frequency is
+    ≥0.5% of all tokens — the exact two-pass version of what
+    Misra-Gries / count-min approximate, and the vocabulary-pruning
+    primitive for tokenizer training.
+
+    Scale: one explode→groupBy(token) with map-side combine (partial
+    counts per partition, so the shuffle carries |vocab| rows per
+    partition, not |tokens|); the global total joins back as a
+    broadcast 1-row aggregate. Threshold is integer
+    cross-multiplication (cnt*200 >= n)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (d.select(F.explode(F.split("text", " ")).alias("token"))
+           .filter(F.col("token") != ""))
+    c = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    tot = c.agg(F.sum("cnt").cast("bigint").alias("n"))
+    return (c.crossJoin(F.broadcast(tot))
+            .filter(F.col("cnt") * 200 >= F.col("n"))
+            .select("token", "cnt"))
+
+
+@query(
+    "q_domain_mix",
+    oracle="""
+    WITH per AS (
+      SELECT source, count(*) AS src_cnt FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT cast(sum(src_cnt) as bigint) AS total,
+             count(*) AS n_src
+      FROM per
+    )
+    SELECT source, src_cnt,
+           least(src_cnt, total // n_src) AS planned_take
+    FROM per, tot
+    """,
+)
+def q_domain_mix(spark, sf_dir):
+    """Domain-mixture planning: per-source document counts and the
+    per-source take under a uniform target mix (capped at availability)
+    — the integer core of temperature-based corpus re-weighting.
+
+    Scale: groupBy(source) collapses the fact table to |domains| rows;
+    the global total is a broadcast 1-row aggregate over that tiny
+    relation. All-integer arithmetic (DIV), no float shares."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count("*").alias("src_cnt"))
+    tot = per.agg(F.sum("src_cnt").cast("bigint").alias("total"),
+                  F.count("*").alias("n_src"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("source", "src_cnt",
+                    F.least(F.col("src_cnt"),
+                            F.expr("total DIV n_src"))
+                    .alias("planned_take")))
+
+
+@query(
+    "q_sample_weighted",
+    oracle="""
+    WITH mx AS (SELECT max(o_totalprice) AS mx FROM orders)
+    SELECT o_orderkey, o_totalprice
+    FROM orders, mx
+    WHERE cast(('0x' || substring(md5(cast(o_orderkey as string) || ':w'),
+                                  1, 6)) as bigint) * mx
+          < o_totalprice * 16777216.0
+    """,
+)
+def q_sample_weighted(spark, sf_dir):
+    """Deterministic weighted Bernoulli sampling: accept row i with
+    probability weight_i / max_weight, driven by a keyed md5 hash, so
+    the sample is reproducible across runs AND engines (rand() is
+    neither). The acceptance test is a cross-multiplication of the
+    6-hex-digit hash against the weight — Spark conv() and DuckDB's
+    '0x' cast read the same nibbles (cf. q_split_train_test).
+
+    Scale: one scan with a broadcast 1-row max; per-row IEEE
+    multiplication is deterministic on both engines for the same
+    expression tree."""
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_totalprice").alias("mx"))
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":w"))),
+        1, 6), 16, 10).cast("bigint")
+    return (o.crossJoin(F.broadcast(mx))
+            .filter(h * F.col("mx")
+                    < F.col("o_totalprice") * F.lit(16777216.0))
+            .select("o_orderkey", "o_totalprice"))
+
+
+# ---------------------------------------------------------------------------
+# relational / ops primitives
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority,
+             cast(month(o_orderdate) as int) AS m,
+             count(*) AS cnt
+      FROM orders GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT o_orderpriority, m, cnt,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY cnt DESC, m) AS rn
+      FROM c
+    )
+    SELECT o_orderpriority, m AS mode_month, cnt
+    FROM r WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark, sf_dir):
+    """Mode aggregate: the most frequent order month per priority with
+    a deterministic smallest-value tie-break (engine mode() builtins
+    break ties arbitrarily, so they can never hash-match — the
+    count+rank formulation is the portable, and distributed, form).
+
+    Scale: groupBy collapses to |priorities|×12 rows before the window
+    touches anything; the window partitions by priority over that tiny
+    relation."""
+    from pyspark.sql import Window
+    o = load_table(spark, sf_dir, "orders")
+    c = (o.groupBy("o_orderpriority",
+                   F.month("o_orderdate").cast("int").alias("m"))
+         .agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("cnt"), F.asc("m"))
+    return (c.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_orderpriority", F.col("m").alias("mode_month"),
+                    "cnt"))
+
+
+@query(
+    "q_cdc_apply",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type, value, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type AS last_type, value AS last_value,
+           event_id AS last_event
+    FROM latest WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def q_cdc_apply(spark, sf_dir):
+    """Changelog application (CDC apply): collapse an event log to its
+    current snapshot by last-writer-wins per key, treating 'error'
+    events as delete markers — the batch core of a Debezium-style
+    upsert/delete stream materialization (complements q_upsert/q_scd2,
+    which apply a *batch* of changes; this collapses the log itself).
+
+    Scale: one shuffle on the merge key; row_number + the rn=1 filter
+    compiles to a WindowGroupLimit (top-1 per key) so no per-key sort
+    materializes more than the winner."""
+    from pyspark.sql import Window
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    return (e.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+            .select("user_id", F.col("event_type").alias("last_type"),
+                    F.col("value").alias("last_value"),
+                    F.col("event_id").alias("last_event")))
+
+
+_INTERVALS_SQL = """
+    a AS (
+      SELECT o_orderkey AS a_key, cast(o_orderdate as date) AS s,
+             cast(o_orderdate as date) + 14 AS e
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1995-02-01'
+    ),
+    b AS (
+      SELECT o_orderkey AS b_key, cast(o_orderdate as date) AS s,
+             cast(o_orderdate as date) + 14 AS e
+      FROM orders
+      WHERE o_orderpriority = '5-LOW'
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1995-03-01'
+    )
+"""
+
+
+@query(
+    "q_interval_overlap",
+    oracle=f"""
+    WITH {_INTERVALS_SQL}
+    SELECT a_key, b_key
+    FROM a JOIN b ON a.s <= b.e AND b.s <= a.e
+    """,
+)
+def q_interval_overlap(spark, sf_dir):
+    """Interval-overlap join: urgent-order fulfillment windows vs
+    low-priority windows ([orderdate, +14d] each), pairs that overlap.
+    The oracle runs the textbook inequality join; the Spark plan is
+    bucket-blocked — each interval explodes to its covered week
+    buckets, candidates equi-join on the bucket, the exact overlap
+    predicate filters residuals, and groupBy dedups intervals spanning
+    a shared bucket boundary.
+
+    Scale: the naive form is a broadcast-nested-loop (O(|A|·|B|));
+    bucketing makes it an equi-shuffle join whose per-bucket fan-out is
+    bounded by interval length / bucket width (here ≤3 buckets per
+    14-day interval), the same trick as the grid-blocked spatial join
+    (queries_joins.q_spatial_join)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+
+    def intervals(prio, lo, hi, key):
+        return (o.filter((F.col("o_orderpriority") == prio)
+                         & (F.col("o_orderdate") >= F.lit(lo))
+                         & (F.col("o_orderdate") < F.lit(hi)))
+                .select(F.col("o_orderkey").alias(key),
+                        d.alias("s"), F.date_add(d, 14).alias("e")))
+
+    a = intervals("1-URGENT", "1995-01-01", "1995-02-01", "a_key")
+    b = intervals("5-LOW", "1995-01-01", "1995-03-01", "b_key")
+    epoch = F.lit("1970-01-01").cast("date")
+
+    def bucketed(df):
+        wk = lambda c: F.floor(F.datediff(c, epoch) / 7)  # noqa: E731
+        return df.withColumn(
+            "bkt", F.explode(F.sequence(wk(F.col("s")), wk(F.col("e")))))
+
+    cand = (bucketed(a).alias("x")
+            .join(bucketed(b).alias("y"), on="bkt")
+            .filter((F.col("x.s") <= F.col("y.e"))
+                    & (F.col("y.s") <= F.col("x.e"))))
+    return cand.select("a_key", "b_key").distinct()
+
+
+_BFS_ORACLE = """
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION
+      SELECT s, c FROM pairs
+    ),
+    f0 AS (
+      SELECT DISTINCT c_custkey * 2 AS node
+      FROM customer WHERE c_nationkey = 0
+    ),
+    h1 AS (SELECT DISTINCT e.dst AS node
+           FROM edges e JOIN f0 ON e.src = f0.node),
+    h2 AS (SELECT DISTINCT e.dst AS node
+           FROM edges e JOIN h1 ON e.src = h1.node),
+    h3 AS (SELECT DISTINCT e.dst AS node
+           FROM edges e JOIN h2 ON e.src = h2.node),
+    lv AS (
+      SELECT node, 0 AS hop FROM f0
+      UNION ALL SELECT node, 1 FROM h1
+      UNION ALL SELECT node, 2 FROM h2
+      UNION ALL SELECT node, 3 FROM h3
+    ),
+    d AS (SELECT node, cast(min(hop) as int) AS hop FROM lv GROUP BY node)
+    SELECT hop, count(*) AS n_nodes FROM d GROUP BY hop
+"""
+
+
+@query("q_graph_bfs", oracle=_BFS_ORACLE)
+def q_graph_bfs(spark, sf_dir):
+    """Multi-hop reachability (3-round BFS): nodes at min-distance
+    0..3 from nation-0 customers over the bipartite customer-supplier
+    graph (same edge derivation as q_graph_pagerank), aggregated to
+    nodes-per-hop. The frontier expansion is unrolled to three
+    join+distinct rounds — the bounded-depth form every crawl-frontier
+    / contamination-spread query takes — and the oracle unrolls the
+    identical rounds as chained CTEs, so the result is value-checked,
+    not rows-only.
+
+    Scale: each round is one shuffle (join on src) + distinct; the
+    frontier relation never exceeds |V|, and min-hop dedup happens once
+    at the end instead of per-round."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cu = load_table(spark, sf_dir, "customer")
+    pairs = (o.join(li, o.o_orderkey == li.l_orderkey)
+             .select((F.col("o_custkey") * 2).alias("c"),
+                     (F.col("l_suppkey") * 2 + 1).alias("s"))
+             .distinct())
+    edges = (pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+             .unionByName(pairs.select(F.col("s").alias("src"),
+                                       F.col("c").alias("dst"))))
+    f0 = (cu.filter(F.col("c_nationkey") == 0)
+          .select((F.col("c_custkey") * 2).alias("node")).distinct())
+
+    def hop(frontier):
+        return (edges.join(frontier,
+                           edges.src == frontier.node)
+                .select(F.col("dst").alias("node")).distinct())
+
+    h1 = hop(f0)
+    h2 = hop(h1)
+    h3 = hop(h2)
+    lv = (f0.select("node", F.lit(0).alias("hop"))
+          .unionByName(h1.select("node", F.lit(1).alias("hop")))
+          .unionByName(h2.select("node", F.lit(2).alias("hop")))
+          .unionByName(h3.select("node", F.lit(3).alias("hop"))))
+    d = lv.groupBy("node").agg(F.min("hop").cast("int").alias("hop"))
+    return d.groupBy("hop").agg(F.count("*").alias("n_nodes"))
+
+
+@query(
+    "q_skew_profile",
+    oracle="""
+    WITH c AS (
+      SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey
+    ),
+    t AS (SELECT cnt FROM c ORDER BY cnt DESC, l_suppkey LIMIT 10)
+    SELECT (SELECT count(*) FROM c) AS n_keys,
+           (SELECT cast(sum(cnt) as bigint) FROM c) AS total_rows,
+           (SELECT max(cnt) FROM c) AS max_cnt,
+           (SELECT cast(sum(cnt) as bigint) FROM t) AS top10_cnt
+    """,
+)
+def q_skew_profile(spark, sf_dir):
+    """Key-skew profiler: cardinality, total, hottest key, and top-10
+    concentration of the lineitem→supplier key — the diagnostic you run
+    before choosing between a plain shuffle join and a salted one
+    (cf. q_join_salted / operators/skew.py). All integers, one row.
+
+    Scale: one map-side-combined groupBy to |keys| rows; the top-10 cut
+    is TakeOrderedAndProject over that small relation, and the final
+    single-row join of the two aggregates is trivially broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_suppkey").agg(F.count("*").alias("cnt"))
+    summary = c.agg(F.count("*").alias("n_keys"),
+                    F.sum("cnt").cast("bigint").alias("total_rows"),
+                    F.max("cnt").alias("max_cnt"))
+    top10 = (c.orderBy(F.desc("cnt"), F.asc("l_suppkey")).limit(10)
+             .agg(F.sum("cnt").cast("bigint").alias("top10_cnt")))
+    return summary.crossJoin(F.broadcast(top10))

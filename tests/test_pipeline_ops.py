@@ -1,0 +1,127 @@
+"""Wave-4 curation/ops primitives (queries_pipeline.py): semantic
+equivalence of the scale-path plans against their naive forms, plus
+plan-shape gates for the blocking strategies."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from challenge8_movies_etl_spark.registry import QUERIES, load_all
+from tests.conftest import SF_SMOKE
+from tests.test_plans import n_shuffles, plan
+
+load_all()
+
+SF_01 = "/root/testdata/sf0.01"
+
+
+def test_interval_overlap_bucketing_is_lossless(spark):
+    """The week-bucket equi-join must return exactly the pairs the
+    naive inequality join returns (bucket fan-out covers the whole
+    interval, residual predicate exact, distinct removes the
+    shared-boundary duplicates)."""
+    from challenge8_movies_etl_spark.queries_pipeline import (
+        q_interval_overlap,
+    )
+    got = {(r.a_key, r.b_key)
+           for r in q_interval_overlap(spark, SF_01).collect()}
+    o = spark.read.parquet(f"{SF_01}/orders.parquet")
+    d = F.col("o_orderdate").cast("date")
+
+    def side(prio, lo, hi, key):
+        return (o.filter((F.col("o_orderpriority") == prio)
+                         & (F.col("o_orderdate") >= F.lit(lo))
+                         & (F.col("o_orderdate") < F.lit(hi)))
+                .select(F.col("o_orderkey").alias(key),
+                        d.alias("s"), F.date_add(d, 14).alias("e")))
+
+    a = side("1-URGENT", "1995-01-01", "1995-02-01", "a_key")
+    b = side("5-LOW", "1995-01-01", "1995-03-01", "b_key")
+    naive = {(r.a_key, r.b_key)
+             for r in a.alias("x").crossJoin(b.alias("y"))
+             .filter((F.col("x.s") <= F.col("y.e"))
+                     & (F.col("y.s") <= F.col("x.e")))
+             .select("a_key", "b_key").collect()}
+    assert got == naive
+    assert len(got) > 0
+
+
+def test_interval_overlap_plan_is_equi_join(spark):
+    """The overlap join must hash/sort-merge on the week bucket — a
+    BroadcastNestedLoopJoin means the blocking key was lost and the
+    plan is the O(|A|x|B|) one that dies at scale."""
+    p = plan(spark, "q_interval_overlap")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_repetition_metrics_match_explode_groupby(spark):
+    """Row-local higher-order-function counts must equal the
+    explode->groupBy formulation (the distributed-correctness twin)."""
+    from challenge8_movies_etl_spark.queries_pipeline import (
+        q_quality_repetition,
+    )
+    got = {r.doc_id: (r.n_tok, r.top1_cnt)
+           for r in q_quality_repetition(spark, SF_SMOKE).collect()}
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    exploded = (d.select("doc_id", F.explode(F.split("text", " "))
+                         .alias("tok"))
+                .groupBy("doc_id", "tok").count()
+                .groupBy("doc_id")
+                .agg(F.sum("count").alias("n_tok"),
+                     F.max("count").alias("top1")))
+    for r in exploded.collect():
+        assert got[r.doc_id] == (r.n_tok, r.top1)
+
+
+def test_repetition_is_single_stage_no_shuffle(spark):
+    p = plan(spark, "q_quality_repetition")
+    assert n_shuffles(p) == 0, p
+
+
+def test_bfs_hops_nest(spark):
+    """Hop-h nodes must be absent from all hops < h (min-dedup), and
+    hop-0 must equal the seed set."""
+    from challenge8_movies_etl_spark.queries_pipeline import q_graph_bfs
+    rows = q_graph_bfs(spark, SF_01).collect()
+    by_hop = {r.hop: r.n_nodes for r in rows}
+    assert set(by_hop) <= {0, 1, 2, 3}
+    seeds = (spark.read.parquet(f"{SF_01}/customer.parquet")
+             .filter(F.col("c_nationkey") == 0).count())
+    assert by_hop.get(0) == seeds
+    # bipartite graph: hop 1 = suppliers, hop 2 = customers not in seed
+    assert by_hop.get(1, 0) > 0
+
+
+def test_sample_weighted_acceptance_is_monotone(spark):
+    """Higher-priced orders must be sampled at a higher rate (the
+    whole point of weighted sampling) — check by price quartile."""
+    from challenge8_movies_etl_spark.queries_pipeline import (
+        q_sample_weighted,
+    )
+    o = spark.read.parquet(f"{SF_01}/orders.parquet")
+    accepted = q_sample_weighted(spark, SF_01).select("o_orderkey")
+    qs = o.approxQuantile("o_totalprice", [0.25, 0.75], 0.0)
+    lo_rate = (o.filter(F.col("o_totalprice") <= qs[0])
+               .join(accepted, "o_orderkey").count()
+               / o.filter(F.col("o_totalprice") <= qs[0]).count())
+    hi_rate = (o.filter(F.col("o_totalprice") >= qs[1])
+               .join(accepted, "o_orderkey").count()
+               / o.filter(F.col("o_totalprice") >= qs[1]).count())
+    assert hi_rate > lo_rate
+
+
+def test_cdc_apply_drops_deleted_keys(spark):
+    """A user whose latest event is a delete marker must be absent
+    from the snapshot; everyone else present exactly once."""
+    from challenge8_movies_etl_spark.queries_pipeline import q_cdc_apply
+    snap = q_cdc_apply(spark, SF_01)
+    assert snap.groupBy("user_id").count().filter("count > 1").count() == 0
+    e = spark.read.parquet(f"{SF_01}/events.parquet")
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    latest = (e.withColumn("rn", F.row_number().over(w))
+              .filter("rn = 1"))
+    n_live = latest.filter("event_type <> 'error'").count()
+    assert snap.count() == n_live
