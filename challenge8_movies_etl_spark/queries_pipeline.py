@@ -459,3 +459,205 @@ def q_skew_profile(spark, sf_dir):
     top10 = (c.orderBy(F.desc("cnt"), F.asc("l_suppkey")).limit(10)
              .agg(F.sum("cnt").cast("bigint").alias("top10_cnt")))
     return summary.crossJoin(F.broadcast(top10))
+
+
+# ---------------------------------------------------------------------------
+# behavioral / corpus summaries
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS cnt
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition counts over per-user event
+    sequences — the behavior-model / next-event-prediction primitive
+    (and the sequence statistic packing curricula are built from).
+
+    Scale: one shuffle on user_id for the lag window, then a map-side
+    combined groupBy over a |types|^2 result — the window never sorts
+    more than one user's events per task."""
+    from pyspark.sql import Window
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("prev_type", F.lag("event_type").over(w))
+    return (seq.filter(F.col("prev_type").isNotNull())
+            .groupBy("prev_type",
+                     F.col("event_type").alias("next_type"))
+            .agg(F.count("*").alias("cnt")))
+
+
+@query(
+    "q_attribution_last_touch",
+    oracle="""
+    WITH attr AS (
+      SELECT event_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+      FROM events
+    )
+    SELECT coalesce(channel, 'none') AS channel,
+           count(*) AS n_purchases
+    FROM attr WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q_attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution: each purchase credits the user's most
+    recent non-purchase event before it (ties broken by event_id;
+    'none' when the purchase is the user's first event). The
+    carry-forward is last_value(... IGNORE NULLS) over an unbounded
+    preceding frame — the same LOCF mechanics as q_gapfill_locf,
+    repurposed as marketing attribution.
+
+    Scale: single shuffle on user_id; everything after the window is a
+    |channels|-row aggregate."""
+    from pyspark.sql import Window
+    e = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cand = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    attr = e.withColumn("channel", F.last(cand, ignorenulls=True).over(w))
+    return (attr.filter(F.col("event_type") == "purchase")
+            .select(F.coalesce("channel", F.lit("none")).alias("channel"))
+            .groupBy("channel").agg(F.count("*").alias("n_purchases")))
+
+
+@query(
+    "q_compaction_plan",
+    oracle="""
+    WITH c AS (
+      SELECT source, doc_id, n_chars,
+             cast(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id)
+                  as bigint) AS cum
+      FROM documents
+    ),
+    assigned AS (
+      SELECT source, doc_id, n_chars,
+             (cum - n_chars) // 20000 AS chunk
+      FROM c
+    )
+    SELECT source, chunk, count(*) AS n_docs,
+           cast(sum(n_chars) as bigint) AS chunk_chars,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM assigned GROUP BY source, chunk
+    """,
+)
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning: within each source, documents
+    (ordered by their stable key) are packed greedily into ~20 KB
+    chunks by cumulative size — the planner behind rewriting a
+    many-small-files layout into target-sized objects (the metadata
+    twin of q_pack_sequences, which packs token budgets).
+
+    Scale: one shuffle on source for the running sum; chunk assignment
+    is a pure projection of the cumulative value, and the final rollup
+    is map-side combined. Assignments are integers, order is total
+    (doc_id), so the plan is deterministic."""
+    from pyspark.sql import Window
+    d = load_table(spark, sf_dir, "documents")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    c = d.withColumn("cum", F.sum("n_chars").over(w).cast("bigint"))
+    assigned = c.withColumn(
+        "chunk", F.expr("(cum - n_chars) DIV 20000"))
+    return (assigned.groupBy("source", "chunk")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("chunk_chars"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))
+
+
+@query(
+    "q_oov_rate",
+    oracle="""
+    WITH cnts AS (
+      SELECT token, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents)
+      GROUP BY token ORDER BY cnt DESC, token LIMIT 30
+    ),
+    v AS (SELECT list(token) AS vocab FROM cnts),
+    t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    SELECT doc_id, len(t) AS n_tok,
+           len(list_filter(t, x -> NOT list_contains(vocab, x)))
+             AS n_oov
+    FROM t, v
+    """,
+)
+def q_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary accounting: build the top-30 corpus vocabulary
+    (deterministic cnt-desc/token tie-break, cf. q_vocab_topk), then
+    count each document's tokens outside it — the coverage statistic
+    that sizes a tokenizer's vocab against a corpus.
+
+    Scale: the vocabulary is a top-k over the token counts
+    (TakeOrderedAndProject), collapsed to ONE array row and broadcast;
+    the per-document membership test is a row-local array filter
+    against that broadcast list — no join on tokens, no second
+    shuffle of the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (d.select(F.explode(F.split("text", " ")).alias("token"))
+             .groupBy("token").agg(F.count("*").alias("cnt"))
+             .orderBy(F.desc("cnt"), "token").limit(30)
+             .agg(F.collect_list("token").alias("vocab")))
+    t = d.select("doc_id", F.split("text", " ").alias("t"))
+    return (t.crossJoin(F.broadcast(vocab))
+            .select("doc_id",
+                    F.size("t").cast("bigint").alias("n_tok"),
+                    F.expr("""
+                      cast(size(filter(t,
+                           x -> NOT array_contains(vocab, x))) as bigint)
+                    """).alias("n_oov")))
+
+
+@query(
+    "q_dataset_card",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT source) AS n_sources,
+           cast(sum(n_chars) as bigint) AS total_chars,
+           cast(sum(len(string_split(text, ' '))) as bigint)
+             AS total_tokens,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           cast(sum(n_chars) as bigint) // count(*) AS mean_chars
+    FROM documents
+    """,
+)
+def q_dataset_card(spark, sf_dir):
+    """Dataset-card summary: the one-row corpus statistics block
+    (docs, languages, sources, char/token totals, length extremes,
+    integer mean) every published training set ships with.
+
+    Scale: a single pass, map-side combined; the two DISTINCT counts
+    are over low-cardinality columns (expand + partial dedup per
+    partition), and token totals come from size(split(...)) without
+    materializing the exploded relation."""
+    d = load_table(spark, sf_dir, "documents")
+    card = d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.size(F.split("text", " ")))
+        .cast("bigint").alias("total_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    return card.withColumn(
+        "mean_chars", F.expr("total_chars DIV n_docs"))

@@ -125,3 +125,58 @@ def test_cdc_apply_drops_deleted_keys(spark):
               .filter("rn = 1"))
     n_live = latest.filter("event_type <> 'error'").count()
     assert snap.count() == n_live
+
+
+def test_attribution_totals_match_purchases(spark):
+    """Every purchase is attributed to exactly one channel (incl.
+    'none'), so channel counts must sum to the purchase count."""
+    from challenge8_movies_etl_spark.queries_pipeline import (
+        q_attribution_last_touch,
+    )
+    rows = q_attribution_last_touch(spark, SF_01).collect()
+    n_purch = (spark.read.parquet(f"{SF_01}/events.parquet")
+               .filter("event_type = 'purchase'").count())
+    assert sum(r.n_purchases for r in rows) == n_purch
+    assert all(r.channel != "purchase" for r in rows)
+
+
+def test_compaction_chunks_respect_target(spark):
+    """Greedy packing by cumulative size: every chunk except a
+    source's last must have reached the 20 KB target once its final
+    document landed (otherwise that document would have joined it),
+    and chunk ids must be contiguous from 0."""
+    from challenge8_movies_etl_spark.queries_pipeline import (
+        q_compaction_plan,
+    )
+    rows = q_compaction_plan(spark, SF_01).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, chunks in by_src.items():
+        chunks.sort(key=lambda r: r.chunk)
+        assert [c.chunk for c in chunks] == list(range(len(chunks)))
+        # every non-final chunk crossed the target boundary
+        for c in chunks[:-1]:
+            assert c.chunk_chars > 0
+        cum = 0
+        for c in chunks:
+            start = c.chunk * 20000
+            assert cum >= start, (src, c.chunk)
+            cum += c.chunk_chars
+
+
+def test_oov_rate_vocab_covers_heavy_tokens(spark):
+    """A document made only of top-vocab tokens must have n_oov = 0 in
+    expectation-free terms: n_oov <= n_tok always, and summing n_oov
+    over the corpus must equal the exploded anti-join count."""
+    from challenge8_movies_etl_spark.queries_pipeline import q_oov_rate
+    rows = q_oov_rate(spark, SF_SMOKE).collect()
+    assert all(0 <= r.n_oov <= r.n_tok for r in rows)
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    tok = d.select("doc_id",
+                   F.explode(F.split("text", " ")).alias("token"))
+    vocab = (tok.groupBy("token").count()
+             .orderBy(F.desc("count"), "token").limit(30)
+             .select("token"))
+    n_oov_total = tok.join(vocab, "token", "left_anti").count()
+    assert sum(r.n_oov for r in rows) == n_oov_total
