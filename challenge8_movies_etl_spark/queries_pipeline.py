@@ -661,3 +661,95 @@ def q_dataset_card(spark, sf_dir):
     )
     return card.withColumn(
         "mean_chars", F.expr("total_chars DIV n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# embedding storage/indexing transforms
+# ---------------------------------------------------------------------------
+
+def _jl_signs(n_in: int = 64, n_out: int = 8):
+    """Deterministic ±1 projection matrix from md5 — reproducible
+    across engines and runs (a seeded RNG would be neither), which is
+    what lets the oracle check a 'random' projection."""
+    import hashlib
+    return [[1 if int(hashlib.md5(f"{i},{j}".encode())
+                      .hexdigest()[0], 16) % 2 == 0 else -1
+             for i in range(n_in)] for j in range(n_out)]
+
+
+def _jl_oracle() -> str:
+    signs = _jl_signs()
+    cols = []
+    for j, row in enumerate(signs):
+        terms = " + ".join(
+            f"({s})*cast(embedding[{i + 1}] as double)"
+            for i, s in enumerate(row))
+        cols.append(f"({terms}) AS p{j}")
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
+
+
+@query("q_embed_project", oracle=_jl_oracle())
+def q_embed_project(spark, sf_dir):
+    """Johnson-Lindenstrauss sign projection 64→8 dims: each output
+    component is a ±1-weighted sum of the input (Achlioptas 2003's
+    database-friendly random projection), with the sign matrix derived
+    from md5 so both engines build the identical constant matrix. The
+    compression step before LSH bucketing or coarse ANN.
+
+    Scale: row-local fixed-size arithmetic, whole-stage codegen, zero
+    shuffle, no UDF; the per-row expression tree is identical on both
+    engines, so raw doubles hash-match without rounding."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cols = [F.col("vec_id")]
+    for j, row in enumerate(_jl_signs()):
+        terms = " + ".join(
+            f"({s})*cast(element_at(embedding, {i + 1}) as double)"
+            for i, s in enumerate(row))
+        cols.append(F.expr(terms).alias(f"p{j}"))
+    return e.select(*cols)
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                 x -> abs(cast(x as double)))) AS mx
+      FROM embeddings
+    )
+    SELECT vec_id,
+           cast(floor(cast(embedding[1] as double) * (127.0 / mx) + 0.5)
+                as bigint) AS q_first,
+           cast(floor(cast(embedding[64] as double) * (127.0 / mx) + 0.5)
+                as bigint) AS q_last,
+           cast(list_sum(list_transform(embedding,
+               x -> cast(floor(cast(x as double) * (127.0 / mx) + 0.5)
+                         as bigint))) as bigint) AS q_sum
+    FROM m
+    """,
+)
+def q_embed_quantize(spark, sf_dir):
+    """Symmetric int8 quantization: per-vector scale 127/max|x|, values
+    mapped by floor(x*scale + 0.5) — the 4× storage cut every serving
+    index applies. floor(+0.5) instead of round() because Spark and
+    DuckDB disagree on round-half ties; the checksum column (integer
+    sum of all 64 quantized values) is exact, so any per-component
+    drift would fail the hash.
+
+    Scale: row-local array transform, zero shuffle, no UDF."""
+    e = load_table(spark, sf_dir, "embeddings")
+    m = e.withColumn("mx", F.expr(
+        "array_max(transform(embedding, x -> abs(cast(x as double))))"))
+    qexpr = ("cast(floor(cast({v} as double) * (127.0 / mx) + 0.5) "
+             "as bigint)")
+    return m.select(
+        "vec_id",
+        F.expr(qexpr.format(v="element_at(embedding, 1)"))
+        .alias("q_first"),
+        F.expr(qexpr.format(v="element_at(embedding, 64)"))
+        .alias("q_last"),
+        F.expr("aggregate(transform(embedding, "
+               "x -> cast(floor(cast(x as double) * (127.0 / mx) + 0.5) "
+               "as bigint)), 0L, (acc, q) -> acc + q)").alias("q_sum"),
+    )

@@ -180,3 +180,24 @@ def test_oov_rate_vocab_covers_heavy_tokens(spark):
              .select("token"))
     n_oov_total = tok.join(vocab, "token", "left_anti").count()
     assert sum(r.n_oov for r in rows) == n_oov_total
+
+
+def test_embed_transforms_are_shuffle_free(spark):
+    for qid in ("q_embed_project", "q_embed_quantize"):
+        p = plan(spark, qid)
+        assert n_shuffles(p) == 0, (qid, p)
+        assert "BatchEvalPython" not in p, (qid, p)
+        assert "ArrowEvalPython" not in p, (qid, p)
+
+
+def test_quantize_range_and_peak(spark):
+    """Quantized components live in [-127, 127] and each vector's
+    max-|component| quantizes to ±127 by construction."""
+    from challenge8_movies_etl_spark.queries_pipeline import (
+        q_embed_quantize,
+    )
+    rows = q_embed_quantize(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert -127 <= r.q_first <= 127
+        assert -127 <= r.q_last <= 127
+        assert -127 * 64 <= r.q_sum <= 127 * 64
