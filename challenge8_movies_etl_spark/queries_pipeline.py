@@ -407,9 +407,14 @@ def q_graph_bfs(spark, sf_dir):
              .select((F.col("o_custkey") * 2).alias("c"),
                      (F.col("l_suppkey") * 2 + 1).alias("s"))
              .distinct())
+    # materialize the edge list once (same license as
+    # operators/cluster.connected_components): without it each of the
+    # three hop joins re-derives orders ⋈ lineitem → distinct, tripling
+    # the most expensive shuffle in the plan
     edges = (pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
              .unionByName(pairs.select(F.col("s").alias("src"),
-                                       F.col("c").alias("dst"))))
+                                       F.col("c").alias("dst")))
+             .localCheckpoint(eager=True))
     f0 = (cu.filter(F.col("c_nationkey") == 0)
           .select((F.col("c_custkey") * 2).alias("node")).distinct())
 
