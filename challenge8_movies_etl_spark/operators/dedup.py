@@ -222,3 +222,45 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str, block_col: str,
         j = j.filter(F.abs(F.col("_sza") - F.col("_szb")) <= size_band)
     return (j.filter(F.col("_jac") >= tau)
             .select("doc_a", "doc_b", F.round("_jac", 4).alias("jac")))
+
+
+def ngram_containment_pairs(docs: DataFrame, id_col: str, block_col: str,
+                            shingle_col: str, tau: float) -> DataFrame:
+    """Directed containment pairs |A∩B| / |A| >= tau via the same
+    inverted-index co-count as :func:`ngram_jaccard_pairs` — the
+    asymmetric dedup predicate that catches sub-document duplication
+    (a short doc quoted inside a long one), which symmetric Jaccard
+    misses because the union in its denominator is dominated by the
+    long side.
+
+    One posting equi-join on (block, shingle) computes the co-count for
+    each unordered pair; both directed containments derive from it by
+    dividing by the respective source size, so the quadratic step is
+    paid once, not twice. Returns (src_doc, dst_doc, cont) with
+    cont = |src∩dst| / |src| rounded 4dp.
+    """
+    sizes = docs.select(F.col(id_col), F.size(shingle_col).alias("sz"))
+    posts = docs.select(F.col(id_col), F.col(block_col).alias("_blk"),
+                        F.explode(shingle_col).alias("_sh"))
+    a, b = posts.alias("pa"), posts.alias("pb")
+    co = (a.join(b, (F.col("pa._blk") == F.col("pb._blk"))
+                 & (F.col("pa._sh") == F.col("pb._sh"))
+                 & (F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}")))
+          .groupBy(F.col(f"pa.{id_col}").alias("doc_a"),
+                   F.col(f"pb.{id_col}").alias("doc_b"))
+          .agg(F.count("*").alias("_c")))
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("_sza"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("_szb"))
+    j = co.join(sa, "doc_a").join(sb, "doc_b")
+    fwd = j.select(F.col("doc_a").alias("src_doc"),
+                   F.col("doc_b").alias("dst_doc"),
+                   (F.col("_c").cast("double") / F.col("_sza"))
+                   .alias("_cont"))
+    rev = j.select(F.col("doc_b").alias("src_doc"),
+                   F.col("doc_a").alias("dst_doc"),
+                   (F.col("_c").cast("double") / F.col("_szb"))
+                   .alias("_cont"))
+    return (fwd.unionByName(rev)
+            .filter(F.col("_cont") >= tau)
+            .select("src_doc", "dst_doc",
+                    F.round("_cont", 4).alias("cont")))

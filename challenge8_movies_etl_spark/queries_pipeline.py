@@ -758,3 +758,100 @@ def q_embed_quantize(spark, sf_dir):
                "x -> cast(floor(cast(x as double) * (127.0 / mx) + 0.5) "
                "as bigint)), 0L, (acc, q) -> acc + q)").alias("q_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# containment dedup + robust stats
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_dedup_containment",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT d.doc_id, d.lang,
+             list_sort(list_distinct(list(d.t[gs.i] || ' ' || d.t[gs.i + 1])))
+               AS g
+      FROM toks d JOIN range(1, 100000) gs(i) ON gs.i <= len(d.t) - 1
+      GROUP BY d.doc_id, d.lang
+    )
+    SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc,
+           round(cast(len(list_intersect(a.g, b.g)) as double)
+                 / len(a.g), 4) AS cont
+    FROM grams a
+    JOIN grams b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+    WHERE cast(len(list_intersect(a.g, b.g)) as double)
+          / len(a.g) >= 0.5
+    """,
+)
+def q_dedup_containment(spark, sf_dir):
+    """Directed containment dedup: |src∩dst| / |src| >= 0.5 over word
+    bigrams, lang-blocked — the asymmetric predicate that catches a
+    short document embedded in a long one (symmetric Jaccard's union
+    denominator hides exactly this case; cf. Broder's containment vs
+    resemblance distinction). Completes the dedup ladder: exact →
+    Jaccard → MinHash/SimHash → fuzzy → containment.
+
+    Scale: the inverted-index posting join pays the quadratic step once
+    per unordered pair; both directions derive from the same co-count
+    (operators/dedup.ngram_containment_pairs), so it costs the same as
+    the Jaccard pass it sits beside. The oracle runs the naive
+    per-pair list_intersect form."""
+    from .operators.dedup import ngram_containment_pairs, word_ngrams
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select("doc_id", "lang",
+                 word_ngrams(F.col("text"), 2).alias("g"))
+    return ngram_containment_pairs(g, "doc_id", "lang", "g", tau=0.5)
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.05) AS lo,
+             quantile_cont(o_totalprice, 0.95) AS hi
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           round(b.lo, 4) AS lo,
+           round(b.hi, 4) AS hi,
+           round(cast(sum(cast(
+             greatest(least(o.o_totalprice, b.hi), b.lo)
+             as decimal(30,10))) as double) / count(*), 4) AS wins_mean,
+           count(CASE WHEN o.o_totalprice < b.lo
+                        OR o.o_totalprice > b.hi THEN 1 END) AS n_clipped
+    FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority
+    GROUP BY o.o_orderpriority, b.lo, b.hi
+    """,
+)
+def q_winsorize(spark, sf_dir):
+    """Winsorized mean per group: exact p05/p95 boundaries (Spark
+    percentile() ≡ DuckDB quantile_cont, cf. q_percentiles), values
+    clipped into the band, decimal-exact mean, plus the clipped-row
+    count — the robust aggregate that tames heavy-tailed metrics
+    before drift monitoring.
+
+    Scale: boundaries are a per-group aggregate over the groups
+    relation (5 rows) joined back via broadcast; the clip + decimal
+    sum is one map-side-combined pass. Exact percentile sorts within
+    each group partition — at 100 TB swap in percentile_approx and the
+    rest of the plan is unchanged."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("hi"))
+    clipped = F.greatest(F.least(F.col("o_totalprice"), F.col("hi")),
+                         F.col("lo"))
+    out_of_band = ((F.col("o_totalprice") < F.col("lo"))
+                   | (F.col("o_totalprice") > F.col("hi")))
+    return (o.join(F.broadcast(b), "o_orderpriority")
+            .groupBy("o_orderpriority")
+            .agg(F.round(F.first("lo"), 4).alias("lo"),
+                 F.round(F.first("hi"), 4).alias("hi"),
+                 F.round(F.sum(clipped.cast("decimal(30,10)"))
+                         .cast("double") / F.count("*"), 4)
+                 .alias("wins_mean"),
+                 F.count(F.when(out_of_band, 1)).alias("n_clipped")))

@@ -201,3 +201,26 @@ def test_quantize_range_and_peak(spark):
         assert -127 <= r.q_first <= 127
         assert -127 <= r.q_last <= 127
         assert -127 * 64 <= r.q_sum <= 127 * 64
+
+
+def test_containment_matches_naive_intersection(spark):
+    """Inverted-index containment must equal the naive per-pair
+    array_intersect formulation, both directions."""
+    from challenge8_movies_etl_spark.operators.dedup import (
+        ngram_containment_pairs, word_ngrams,
+    )
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    g = d.select("doc_id", "lang", word_ngrams(F.col("text"), 2).alias("g"))
+    got = {(r.src_doc, r.dst_doc): r.cont
+           for r in ngram_containment_pairs(
+               g, "doc_id", "lang", "g", tau=0.3).collect()}
+    a, b = g.alias("a"), g.alias("b")
+    naive_rows = (a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                         & (F.col("a.doc_id") != F.col("b.doc_id")))
+                  .select(F.col("a.doc_id").alias("src_doc"),
+                          F.col("b.doc_id").alias("dst_doc"),
+                          (F.size(F.array_intersect("a.g", "b.g"))
+                           .cast("double") / F.size("a.g")).alias("c"))
+                  .filter(F.col("c") >= 0.3).collect())
+    naive = {(r.src_doc, r.dst_doc): round(r.c, 4) for r in naive_rows}
+    assert got == naive
