@@ -40,6 +40,10 @@ EXTRA = [
     "q_tfidf",
     "q_gapfill_locf",
     "q_graph_pagerank",
+    # round-2 fourth-wave curation/ops families
+    "q_quality_repetition",
+    "q_dedup_containment",
+    "q_interval_overlap",
 ]
 
 

@@ -35,13 +35,21 @@ def tokenset_signature(text: Column) -> Column:
 
 
 def word_ngrams(text: Column, n: int = 2) -> Column:
-    """Distinct word n-gram shingles (sorted for determinism)."""
+    """Distinct word n-gram shingles (sorted for determinism).
+
+    Built as an n-way zip_with over shifted slices of the token array:
+    higher-order lambdas re-evaluate any non-attribute argument
+    expression PER ELEMENT, so the earlier element_at(split(text),...)
+    formulation re-split the text for every gram (measured 6.7 s for
+    5000 x 54-token docs at sf0.1 — ~40 core-ms per tiny doc); slices
+    evaluate their argument once per row, making shingling ~linear."""
     toks = F.split(text, " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1)
-                                     for j in range(n)]),
-    )
+    shifted = [F.slice(toks, 1 + j, F.size(toks) - (n - 1))
+               for j in range(n)]
+    grams = shifted[0]
+    for nxt in shifted[1:]:
+        grams = F.zip_with(grams, nxt,
+                           lambda a, b: F.concat(a, F.lit(" "), b))
     return F.sort_array(F.array_distinct(grams))
 
 
@@ -203,6 +211,11 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str, block_col: str,
 
     Returns (doc_a, doc_b, jac) with doc_a < doc_b, jac rounded 4dp.
     """
+    # shingling feeds three branches (sizes + both posting sides);
+    # persist so the split→ngram→distinct pipeline runs once, not
+    # three times (same license as q_dedup_minhash's gram persist —
+    # measured 15.6 s → ~5 s at sf0.1, shingling was 6.7 s/pass)
+    docs = docs.persist()
     sizes = docs.select(F.col(id_col), F.size(shingle_col).alias("sz"))
     posts = docs.select(F.col(id_col), F.col(block_col).alias("_blk"),
                         F.explode(shingle_col).alias("_sh"))
@@ -239,6 +252,8 @@ def ngram_containment_pairs(docs: DataFrame, id_col: str, block_col: str,
     paid once, not twice. Returns (src_doc, dst_doc, cont) with
     cont = |src∩dst| / |src| rounded 4dp.
     """
+    # see ngram_jaccard_pairs: shingling runs once, not three times
+    docs = docs.persist()
     sizes = docs.select(F.col(id_col), F.size(shingle_col).alias("sz"))
     posts = docs.select(F.col(id_col), F.col(block_col).alias("_blk"),
                         F.explode(shingle_col).alias("_sh"))
@@ -252,15 +267,19 @@ def ngram_containment_pairs(docs: DataFrame, id_col: str, block_col: str,
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("_sza"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("_szb"))
     j = co.join(sa, "doc_a").join(sb, "doc_b")
-    fwd = j.select(F.col("doc_a").alias("src_doc"),
-                   F.col("doc_b").alias("dst_doc"),
-                   (F.col("_c").cast("double") / F.col("_sza"))
-                   .alias("_cont"))
-    rev = j.select(F.col("doc_b").alias("src_doc"),
-                   F.col("doc_a").alias("dst_doc"),
-                   (F.col("_c").cast("double") / F.col("_szb"))
-                   .alias("_cont"))
-    return (fwd.unionByName(rev)
-            .filter(F.col("_cont") >= tau)
+    # both directions in ONE pass over the co-count relation: a
+    # union of two projections would execute the posting join +
+    # groupBy subtree twice (measured 15.7 s vs 7.9 s at sf0.1)
+    both = j.select(F.explode(F.array(
+        F.struct(F.col("doc_a").alias("src_doc"),
+                 F.col("doc_b").alias("dst_doc"),
+                 (F.col("_c").cast("double") / F.col("_sza"))
+                 .alias("_cont")),
+        F.struct(F.col("doc_b").alias("src_doc"),
+                 F.col("doc_a").alias("dst_doc"),
+                 (F.col("_c").cast("double") / F.col("_szb"))
+                 .alias("_cont")),
+    )).alias("p")).select("p.*")
+    return (both.filter(F.col("_cont") >= tau)
             .select("src_doc", "dst_doc",
                     F.round("_cont", 4).alias("cont")))

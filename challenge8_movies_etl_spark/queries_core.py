@@ -491,3 +491,94 @@ def q_sql_returned_topk(spark, sf_dir):
     for t in ("customer", "orders", "lineitem", "nation"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_TPCH_Q10_SQL)
+
+
+_EXISTS_Q4_SQL = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= timestamp '1996-01-01 00:00:00'
+      AND o_orderdate < timestamp '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """
+
+
+@query("q_sql_exists", oracle=_EXISTS_Q4_SQL)
+def q_sql_exists(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking) as shared SQL text:
+    correlated EXISTS over the fact table (adapted to this schema's
+    returnflag, which stands in for Q4's commit/receipt lateness).
+    Catalyst decorrelates the subquery into a left-semi hash join —
+    the same plan q_join_semi pins — so the textual subquery surface
+    costs nothing over the explicit-join form at any scale.
+    Reference: challenge.py has no subquery surface; this is engine
+    scope (SURVEY.md §2.L)."""
+    for t in ("orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_EXISTS_Q4_SQL)
+
+
+_CORR_AVG_Q17_SQL = """
+    SELECT round(cast(sum(cast(l_extendedprice as decimal(30,10)))
+                      as double) / 7.0, 4) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#13'
+      AND l_quantity < (SELECT 0.2 * (sum(l2.l_quantity)
+                                      / count(l2.l_quantity))
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    GROUP BY p_brand
+    """
+
+
+@query("q_sql_correlated_avg", oracle=_CORR_AVG_Q17_SQL)
+def q_sql_correlated_avg(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue) as shared SQL:
+    a correlated scalar aggregate subquery (per-part mean quantity)
+    gating the outer fact rows. Catalyst decorrelates into an
+    aggregate + join on l_partkey instead of re-running the subquery
+    per row — the textbook decorrelation the engine must have for
+    100 TB (a per-row subquery execution would be O(rows) scans).
+    l_quantity is integer-valued, so sum/count is exact in double on
+    both engines and the 0.2x threshold comparison cannot drift; the
+    outer revenue sum uses the decimal reduction."""
+    for t in ("lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_CORR_AVG_Q17_SQL)
+
+
+_NOT_EXISTS_Q22_SQL = """
+    WITH avg_bal AS (
+      SELECT cast(sum(cast(c_acctbal as decimal(30,10))) as double)
+             / count(*) AS ab
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey, count(*) AS numcust,
+           round(cast(sum(cast(c_acctbal as decimal(30,10)))
+                      as double), 4) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_totalprice > 300000.0)
+    GROUP BY c_nationkey
+    """
+
+
+@query("q_sql_antijoin_subquery", oracle=_NOT_EXISTS_Q22_SQL)
+def q_sql_antijoin_subquery(spark, sf_dir):
+    """TPC-H Q22 shape (global-sales-opportunity) as shared SQL:
+    above-average-balance customers with no big-ticket order —
+    NOT EXISTS (→ left-anti hash join after decorrelation) composed
+    with an uncorrelated scalar subquery (the above-average balance
+    threshold, broadcast as a 1-row relation). The threshold derives
+    from a decimal-exact sum, so the > comparison is bit-identical on
+    both engines. Completes the subquery surface: EXISTS (q_sql_exists),
+    correlated scalar (q_sql_correlated_avg), uncorrelated scalar +
+    NOT EXISTS (here)."""
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_NOT_EXISTS_Q22_SQL)
