@@ -1,0 +1,220 @@
+"""Search / retrieval / market-basket operators: BM25 ranking, RAG
+sliding-window chunking, and item co-occurrence (association rules).
+
+These are the IR-side counterparts of the H-family dedup/similarity
+ladder (SURVEY.md §2 H): a training-data pipeline that dedups a corpus
+also needs to *rank* it (BM25 for retrieval-augmented curation), *chunk*
+it (fixed-token windows with overlap for context assembly), and mine
+co-occurrence structure (associations for negative-sampling /
+recommendation baselines). The reference has no IR surface; closest
+analog is its ratings aggregation (challenge.py≈L187-195 [R]).
+
+Scale notes (100 TB bar):
+- BM25: per-doc term frequencies are scan-local expressions (zero
+  shuffle); corpus statistics are ONE 1-row aggregate broadcast back;
+  ranking is TakeOrderedAndProject. No inverted index is materialized —
+  for a fixed small query-term set, a column-expression scan beats an
+  index build it would amortize over one query.
+- Chunking: pure per-row generator (sequence + explode) — embarrassingly
+  parallel, output fan-out bounded by doc length / stride.
+- Market basket: the self-join is per-basket quadratic, bounded by
+  basket size (TPC-H ~4 items/order), never corpus-quadratic; item
+  frequencies join via broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions.hashsafe import DEC
+from .registry import query
+from .sources.fixtures import load_table
+
+# BM25 hyperparameters (Robertson/Okapi defaults).
+_K1 = 1.2
+_B = 0.75
+
+
+def _tf(term: str) -> str:
+    """Spark-side exact term frequency over whitespace tokens."""
+    return f"size(filter(split(text, ' '), x -> x = '{term}'))"
+
+
+def _tf_duck(term: str) -> str:
+    return f"len(list_filter(string_split(text, ' '), x -> x = '{term}'))"
+
+
+def _bm25_part(tf: str, idf: str) -> str:
+    """One term's BM25 contribution; identical expression tree on both
+    engines so the double math is bit-identical (only reductions need
+    decimal, per functions/hashsafe.py)."""
+    return (f"({idf} * ({tf} * ({_K1} + 1.0)) / "
+            f"({tf} + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl)))")
+
+
+_IDF = "ln((n_docs - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0)"
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS dl,
+             {_tf_duck('fast')} AS tf_fast,
+             {_tf_duck('slow')} AS tf_slow
+      FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             cast(sum(cast(dl AS {DEC})) AS double) / count(*) AS avgdl,
+             sum(CASE WHEN tf_fast > 0 THEN 1 ELSE 0 END) AS df_fast,
+             sum(CASE WHEN tf_slow > 0 THEN 1 ELSE 0 END) AS df_slow
+      FROM d
+    )
+    SELECT doc_id,
+           round({_bm25_part('tf_fast', _IDF.format(t='fast'))}
+                 + {_bm25_part('tf_slow', _IDF.format(t='slow'))}, 4)
+             AS bm25
+    FROM d CROSS JOIN stats
+    WHERE tf_fast + tf_slow > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_bm25(spark, sf_dir):
+    """BM25 ranking of `documents` for the two-term query {fast, slow}
+    (the fixture's sentiment-lexicon tokens). Per-doc tf/dl are
+    higher-order-function expressions evaluated in the scan projection
+    (no explode, no shuffle); corpus stats (N, avgdl as exact
+    decimal-sum mean, per-term df) are one 1-row aggregate cross-joined
+    back (broadcast); the final ranking is orderBy+limit →
+    TakeOrderedAndProject. IDF uses the +1-inside-log Okapi form so
+    scores stay positive. At 100 TB this is one scan + one scalar
+    broadcast — no inverted index needed for a fixed query."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").alias("dl"),
+        F.expr(_tf("fast")).alias("tf_fast"),
+        F.expr(_tf("slow")).alias("tf_slow"),
+    )
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.col("dl").cast(DEC)).cast("double") / F.count("*"))
+        .alias("avgdl"),
+        F.sum(F.when(F.col("tf_fast") > 0, 1).otherwise(0)).alias("df_fast"),
+        F.sum(F.when(F.col("tf_slow") > 0, 1).otherwise(0)).alias("df_slow"),
+    )
+    scored = (d.crossJoin(F.broadcast(stats))
+              .where(F.col("tf_fast") + F.col("tf_slow") > 0)
+              .select("doc_id", F.round(
+                  F.expr(_bm25_part("tf_fast", _IDF.format(t="fast")))
+                  + F.expr(_bm25_part("tf_slow", _IDF.format(t="slow"))),
+                  4).alias("bm25")))
+    return scored.orderBy(F.desc("bm25"), "doc_id").limit(20)
+
+
+_CHUNK = 32   # tokens per chunk
+_STRIDE = 16  # tokens between chunk starts (50% overlap)
+
+
+@query(
+    "q_chunk_sliding",
+    oracle=f"""
+    SELECT doc_id,
+           s // {_STRIDE} AS chunk_idx,
+           len(tokens[s + 1 : s + {_CHUNK}]) AS n_chunk_tokens,
+           array_to_string(tokens[s + 1 : s + {_CHUNK}], ' ') AS chunk_text
+    FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+         unnest(range(0, greatest(len(tokens), 1), {_STRIDE})) AS t(s)
+    """,
+)
+def q_chunk_sliding(spark, sf_dir):
+    """RAG-style sliding-window chunking: split every document into
+    {_CHUNK}-token chunks with {_STRIDE}-token stride (50% overlap),
+    emitting (doc_id, chunk_idx, n_chunk_tokens, chunk_text). Pure
+    per-row generation — sequence() builds the start offsets from the
+    token count and explode() fans out, so the operator is
+    embarrassingly parallel with zero shuffle and output volume bounded
+    by len/stride per doc. (DuckDB's range() is stop-exclusive and
+    Spark's sequence() stop-inclusive; sequence to n-1 matches.)
+    The final chunk is allowed to be short (slice past the end
+    truncates in both engines)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tokens"))
+    return (d.select(
+        "doc_id", "tokens",
+        F.explode(F.expr(
+            f"sequence(0, greatest(size(tokens) - 1, 0), {_STRIDE})"))
+        .alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / _STRIDE).cast("bigint").alias("chunk_idx"),
+            F.expr(f"size(slice(tokens, s + 1, {_CHUNK}))")
+            .alias("n_chunk_tokens"),
+            F.expr(f"array_join(slice(tokens, s + 1, {_CHUNK}), ' ')")
+            .alias("chunk_text")))
+
+
+@query(
+    "q_market_basket",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM b),
+    item AS (SELECT l_partkey, count(*) AS n_item FROM b GROUP BY 1),
+    pair AS (
+      SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+             count(*) AS n_pair
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_pair,
+           round(cast(n_pair AS double) / ia.n_item, 4) AS confidence,
+           round(cast(n_pair AS double) * n_orders.n
+                 / (ia.n_item * ib.n_item), 4) AS lift
+    FROM pair
+    JOIN item ia ON ia.l_partkey = part_a
+    JOIN item ib ON ib.l_partkey = part_b
+    CROSS JOIN n_orders
+    ORDER BY n_pair DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def q_market_basket(spark, sf_dir):
+    """Market-basket co-occurrence over lineitem: top-20 part pairs
+    bought in the same order, with confidence (pair/item_a) and lift
+    (pair·N / (item_a·item_b)). The self-join is on the basket key, so
+    work is per-order quadratic bounded by basket size (~4 for TPC-H) —
+    never corpus-quadratic; the distinct basket relation is computed
+    once and persisted (3 consumers: totals, item counts, pair join).
+    Item frequencies are a parts-cardinality dim joined broadcast-side;
+    the final ranking is TakeOrderedAndProject. Same association-mining
+    shape as q_token_pmi (PMI over token windows) but keyed on a true
+    transaction id."""
+    b = (load_table(spark, sf_dir, "lineitem")
+         .select("l_orderkey", "l_partkey").distinct().persist())
+    n_orders = b.agg(
+        F.countDistinct("l_orderkey").alias("n"))
+    item = b.groupBy(F.col("l_partkey")).agg(F.count("*").alias("n_item"))
+    a, c = b.alias("a"), b.alias("c")
+    pair = (a.join(c, (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+                   & (F.col("a.l_partkey") < F.col("c.l_partkey")))
+            .groupBy(F.col("a.l_partkey").alias("part_a"),
+                     F.col("c.l_partkey").alias("part_b"))
+            .agg(F.count("*").alias("n_pair")))
+    ia = item.select(F.col("l_partkey").alias("part_a"),
+                     F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"),
+                     F.col("n_item").alias("n_b"))
+    return (pair
+            .join(F.broadcast(ia), "part_a")
+            .join(F.broadcast(ib), "part_b")
+            .crossJoin(F.broadcast(n_orders))
+            .select(
+                "part_a", "part_b", "n_pair",
+                F.round(F.col("n_pair").cast("double") / F.col("n_a"), 4)
+                .alias("confidence"),
+                F.round(F.col("n_pair").cast("double") * F.col("n")
+                        / (F.col("n_a") * F.col("n_b")), 4).alias("lift"))
+            .orderBy(F.desc("n_pair"), "part_a", "part_b").limit(20))

@@ -527,3 +527,119 @@ def q_ewma_smooth(spark, sf_dir):
         den = dterm if den is None else den + dterm
     return t.select("event_id", "user_id", "value",
                     F.round(num / den, 6).alias("ewma"))
+
+
+@query(
+    "q_outlier_iqr",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round(q.q1 - 1.5 * (q.q3 - q.q1), 4) AS lo_fence,
+           round(q.q3 + 1.5 * (q.q3 - q.q1), 4) AS hi_fence
+    FROM events e JOIN q ON e.event_type = q.event_type
+    WHERE e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+       OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+    """,
+)
+def q_outlier_iqr(spark, sf_dir):
+    """Tukey-fence (IQR) outlier detection per event type — the robust
+    companion to q_anomaly_zscore (z-scores chase the mean; quartile
+    fences don\'t move with the outliers themselves). Exact interpolated
+    quartiles (Spark `percentile` == DuckDB `quantile_cont`, identical
+    p*(n-1) linear interpolation) are ONE per-type aggregate (a
+    |event_type|-row relation) broadcast back onto the fact scan; the
+    fence comparison happens with the unrounded doubles on both engines
+    (identical expression tree) so boundary rows classify identically.
+    At 100 TB: one keyed agg + one broadcast — the exact-percentile agg
+    is the only sort, and it sorts per-type partitions, not globally."""
+    e = load_table(spark, sf_dir, "events")
+    q = (e.groupBy("event_type")
+         .agg(F.expr("percentile(value, 0.25)").alias("q1"),
+              F.expr("percentile(value, 0.75)").alias("q3")))
+    j = e.join(F.broadcast(q), "event_type")
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (j.where((F.col("value") < lo) | (F.col("value") > hi))
+            .select("event_id", "event_type", "value",
+                    F.round(lo, 4).alias("lo_fence"),
+                    F.round(hi, 4).alias("hi_fence")))
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle=f"""
+    WITH seg AS (
+      SELECT user_id, value,
+             lead(value) OVER w AS v_next,
+             epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           count(*) AS n_segments,
+           round(cast(sum(cast((value + v_next) * 0.5 * gap_us
+                               AS {DEC})) AS double)
+                 / cast(sum(gap_us) AS double), 4) AS twa_value
+    FROM seg WHERE gap_us IS NOT NULL AND gap_us > 0
+    GROUP BY 1
+    """,
+)
+def q_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average of `value` per user (trapezoidal rule over
+    irregular samples) — the correct mean for unevenly-spaced telemetry,
+    where the arithmetic mean over-weights bursts. One per-user window
+    (lead) computes segment durations in integer microseconds; the
+    weighted sum goes through exact decimal so partition order can't
+    perturb the hash; the duration denominator is a pure integer sum.
+    Zero-length segments (duplicate timestamps) are excluded on both
+    engines. Scale: one keyed exchange for the window, one keyed agg —
+    the same cost envelope as q_window_lag."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = e.select(
+        "user_id", "value",
+        F.lead("value").over(w).alias("v_next"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"))
+        .alias("gap_us"))
+    return (seg.where(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_segments"),
+                 F.round(
+                     F.sum(((F.col("value") + F.col("v_next")) * 0.5
+                            * F.col("gap_us")).cast(DEC)).cast("double")
+                     / F.sum("gap_us").cast("double"), 4)
+                 .alias("twa_value")))
+
+
+@query(
+    "q_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           round(median(value) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN 6 PRECEDING
+                                     AND CURRENT ROW), 4) AS med7
+    FROM events
+    """,
+)
+def q_rolling_median(spark, sf_dir):
+    """Exact rolling median over a trailing 7-row frame per user — the
+    robust smoother (median filters kill spikes that EWMA only damps;
+    see q_ewma_smooth for the linear twin). Spark's exact `percentile`
+    aggregate runs as a window function over the same rows-frame DuckDB
+    gives `median`; both engines define the 0.5 quantile by linear
+    interpolation, and a <=7-element median is either one element or
+    the midpoint of two — identical IEEE math. Cost: the ONE per-user
+    sort every windowed op pays; frame state is bounded (7 rows), so
+    executor memory is O(frame), not O(partition)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-6, 0))
+    return e.select(
+        "event_id", "user_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias("med7"))

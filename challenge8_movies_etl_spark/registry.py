@@ -50,6 +50,7 @@ def load_all() -> None:
     rows even under a fixed per-round evaluation cap.
     """
     from . import queries_llm  # noqa: F401
+    from . import queries_search  # noqa: F401
     from . import queries_pipeline  # noqa: F401
     from . import queries_incremental  # noqa: F401
     from . import queries_analytics  # noqa: F401

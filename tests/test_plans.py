@@ -204,3 +204,37 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_bm25_broadcast_stats_and_topk(spark):
+    """BM25: corpus stats are a 1-row broadcast (no corpus-sized
+    shuffle), ranking compiles to TakeOrderedAndProject, and per-doc
+    term frequencies stay scan-local (no explode-shuffle)."""
+    p = plan(spark, "q_bm25")
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    # the only exchange allowed is the 1-row stats aggregation
+    assert n_shuffles(p) <= 1, p
+
+
+def test_chunk_sliding_zero_shuffle(spark):
+    """Sliding-window chunking is a pure per-row generator."""
+    p = plan(spark, "q_chunk_sliding")
+    assert n_shuffles(p) == 0, p
+
+
+def test_market_basket_broadcasts_item_dims(spark):
+    """Pair counts join item frequencies broadcast-side; no cartesian
+    anywhere (the self-join is keyed on the basket id)."""
+    p = plan(spark, "q_market_basket")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_outlier_iqr_broadcasts_fences(spark):
+    """Quartile fences broadcast back onto the fact scan — the raw
+    events relation is never shuffled (one keyed agg exchange only)."""
+    p = plan(spark, "q_outlier_iqr")
+    assert "BroadcastHashJoin" in p, p
+    assert n_shuffles(p) <= 1, p

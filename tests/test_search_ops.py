@@ -1,0 +1,94 @@
+"""Invariant tests for the search/retrieval wave (queries_search.py,
+q_outlier_iqr/q_time_weighted_avg/q_rolling_median): algebraic
+properties that must hold regardless of fixture content."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from challenge8_movies_etl_spark.queries_search import (
+    _STRIDE,
+    q_bm25,
+    q_chunk_sliding,
+    q_market_basket,
+)
+from challenge8_movies_etl_spark.queries_timeseries import (
+    q_rolling_median,
+    q_time_weighted_avg,
+)
+from challenge8_movies_etl_spark.sources.fixtures import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_chunks_reconstruct_documents(spark):
+    """Concatenating the even-stride chunks (chunk_idx 0,2,4,... are
+    exactly the non-overlapping 32-token windows) must reproduce every
+    document's text verbatim — chunking loses nothing."""
+    chunks = q_chunk_sliding(spark, SF_SMOKE)
+    # collect_list has no order guarantee — rebuild via sort of structs
+    rebuilt = (chunks.where(F.col("chunk_idx") % 2 == 0)
+               .groupBy("doc_id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("chunk_idx", "chunk_text"))),
+                       lambda s: s["chunk_text"]), " ").alias("rebuilt")))
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    bad = (docs.join(rebuilt, "doc_id")
+           .where(F.col("text") != F.col("rebuilt")).count())
+    assert bad == 0
+
+
+def test_chunk_count_matches_formula(spark):
+    """Per doc: n_chunks == floor((n_tokens - 1) / stride) + 1."""
+    chunks = q_chunk_sliding(spark, SF_SMOKE)
+    per_doc = chunks.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.expr("size(split(text, ' '))").alias("n_tokens"))
+    bad = (docs.join(per_doc, "doc_id")
+           .where(F.col("n_chunks") !=
+                  F.floor((F.col("n_tokens") - 1) / _STRIDE) + 1).count())
+    assert bad == 0
+
+
+def test_bm25_scores_positive_and_ranked(spark):
+    rows = q_bm25(spark, SF_SMOKE).collect()
+    assert rows, "lexicon terms exist in fixtures, result can't be empty"
+    scores = [r.bm25 for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_market_basket_confidence_and_lift_bounds(spark):
+    rows = q_market_basket(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r.part_a < r.part_b          # canonical pair ordering
+        assert 0 < r.confidence <= 1.0      # pair <= item_a by definition
+        assert r.lift > 0
+
+
+def test_twa_bounded_by_value_range(spark):
+    """A time-weighted average is a convex combination of observed
+    values, so it must lie within each user's [min, max]."""
+    twa = q_time_weighted_avg(spark, SF_SMOKE)
+    bounds = (load_table(spark, SF_SMOKE, "events")
+              .groupBy("user_id")
+              .agg(F.min("value").alias("lo"), F.max("value").alias("hi")))
+    bad = (twa.join(bounds, "user_id")
+           .where((F.col("twa_value") < F.col("lo") - 1e-4)
+                  | (F.col("twa_value") > F.col("hi") + 1e-4)).count())
+    assert bad == 0
+
+
+def test_rolling_median_first_row_is_value(spark):
+    """Frame of one row (each user's first event) → median == value."""
+    e = load_table(spark, SF_SMOKE, "events")
+    first = (e.withColumn(
+        "rn", F.expr("row_number() OVER (PARTITION BY user_id "
+                     "ORDER BY ts, event_id)"))
+        .where(F.col("rn") == 1).select("event_id", F.round("value", 4)
+                                        .alias("expect")))
+    med = q_rolling_median(spark, SF_SMOKE)
+    bad = (first.join(med, "event_id")
+           .where(F.col("expect") != F.col("med7")).count())
+    assert bad == 0
