@@ -194,20 +194,78 @@ def simhash_candidate_pairs(sigs: DataFrame, id_col: str, sig_col: str,
             .filter(hamming64(F.col("sig_a"), F.col("sig_b")) <= max_dist))
 
 
+def _co_count_pairs(docs: DataFrame, id_col: str, block_col: str,
+                    shingle_col: str,
+                    max_df: int | None = None) -> tuple[DataFrame, bool]:
+    """Inverted-index co-occurrence counts per unordered doc pair: the
+    all-pairs similarity-join core shared by the Jaccard and
+    containment operators. Explode shingles into postings, equi-join
+    postings, count matches per (doc_a, doc_b).
+
+    Tokens are joined as ``xxhash64(block, shingle)`` int64 keys rather
+    than raw bigram strings: the shuffle carries 8 B per posting
+    instead of the ~16-20 B bigram text and the join/groupBy compare
+    longs, not strings. (A cross-token hash collision within one block
+    would overcount one pair's intersection; for vocab V the chance of
+    ANY collision is ~V²/2⁶⁵ — < 1e-12 for realistic shingle vocabs —
+    and the DuckDB value-hash oracle would catch it.)
+
+    ``max_df`` is the 100 TB skew valve (round-2 verdict item): with it
+    set, shingles whose document frequency exceeds ``max_df`` are
+    dropped from the POSTING JOIN ONLY, bounding every posting list —
+    the joined row count becomes Σ min(|posting|, max_df)² and a
+    stopword-like shingle can no longer produce an O(N²) hot key. The
+    co-count is then an UNDERCOUNT (second return value False); callers
+    must re-verify candidates on the full shingle arrays (the pair set
+    itself can only lose pairs whose overlap is ENTIRELY hot shingles —
+    see test_skew_and_load.py recall test).
+
+    Returns (pairs(doc_a, doc_b, _c), exact) with doc_a < doc_b.
+    """
+    posts = (docs.select(F.col(id_col),
+                         F.col(block_col).alias("_blk"),
+                         F.explode(shingle_col).alias("_sh"))
+             .select(F.col(id_col), F.xxhash64("_blk", "_sh").alias("_tk")))
+    exact = True
+    if max_df is not None:
+        dfreq = posts.groupBy("_tk").agg(F.count("*").alias("_df"))
+        posts = (posts.join(dfreq.filter(F.col("_df") <= max_df)
+                            .select("_tk"), "_tk"))
+        exact = False
+    a, b = posts.alias("pa"), posts.alias("pb")
+    co = (a.join(b, (F.col("pa._tk") == F.col("pb._tk"))
+                 & (F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}")))
+          .groupBy(F.col(f"pa.{id_col}").alias("doc_a"),
+                   F.col(f"pb.{id_col}").alias("doc_b"))
+          .agg(F.count("*").alias("_c")))
+    return co, exact
+
+
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str, block_col: str,
                         shingle_col: str, tau: float,
-                        size_band: int | None = None) -> DataFrame:
+                        size_band: int | None = None,
+                        max_df: int | None = None) -> DataFrame:
     """Exact-Jaccard pair join via an inverted index (the all-pairs
     similarity-join shape): explode shingles into postings, equi-join
-    postings on (block, shingle), count co-occurrences per pair, derive
-    Jaccard from |A∩B| = co-count and the per-doc set sizes.
+    postings on hashed (block, shingle), count co-occurrences per pair,
+    derive Jaccard from |A∩B| = co-count and the per-doc set sizes.
 
     Equivalent to the naive pairwise array_intersect join, but the work
     is Σ|posting|² cheap codegen rows instead of per-pair array
-    intersections — measured ~20x at sf0.1 (126 s → ~6 s). At 100 TB
-    the posting join shuffles on (block, shingle): hot shingles are the
-    skew risk, which is why stopword-like shingles should be pruned
-    upstream (quality gates) or the band-blocking MinHash path used.
+    intersections — measured ~20x at sf0.1 (126 s → ~6 s). (A
+    ppjoin-style prefix-filter+verify variant was measured in round 3
+    and REJECTED for the default path: this corpus's shingle vocab is
+    small/dense — 4.6k tokens over 256k postings at sf0.1 — so prefix
+    pruning left 2.4M candidates each paying an array_intersect, ~2x
+    slower than co-counting.)
+
+    At 100 TB the posting join shuffles on the token key: hot shingles
+    are the skew risk. ``max_df`` is the valve — it bounds every
+    posting list (see :func:`_co_count_pairs`), after which candidate
+    pairs are re-verified EXACTLY on the full shingle arrays, so
+    precision is unaffected and recall loses only pairs whose entire
+    overlap is df>max_df shingles (recall + skew test:
+    tests/test_skew_and_load.py).
 
     Returns (doc_a, doc_b, jac) with doc_a < doc_b, jac rounded 4dp.
     """
@@ -216,21 +274,28 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str, block_col: str,
     # three times (same license as q_dedup_minhash's gram persist —
     # measured 15.6 s → ~5 s at sf0.1, shingling was 6.7 s/pass)
     docs = docs.persist()
+    co, exact = _co_count_pairs(docs, id_col, block_col, shingle_col,
+                                max_df=max_df)
     sizes = docs.select(F.col(id_col), F.size(shingle_col).alias("sz"))
-    posts = docs.select(F.col(id_col), F.col(block_col).alias("_blk"),
-                        F.explode(shingle_col).alias("_sh"))
-    a, b = posts.alias("pa"), posts.alias("pb")
-    co = (a.join(b, (F.col(f"pa._blk") == F.col(f"pb._blk"))
-                 & (F.col(f"pa._sh") == F.col(f"pb._sh"))
-                 & (F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}")))
-          .groupBy(F.col(f"pa.{id_col}").alias("doc_a"),
-                   F.col(f"pb.{id_col}").alias("doc_b"))
-          .agg(F.count("*").alias("_c")))
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("_sza"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("_szb"))
-    j = (co.join(sa, "doc_a").join(sb, "doc_b")
-         .withColumn("_jac", F.col("_c").cast("double")
-                     / (F.col("_sza") + F.col("_szb") - F.col("_c"))))
+    if exact:
+        sa = sizes.select(F.col(id_col).alias("doc_a"),
+                          F.col("sz").alias("_sza"))
+        sb = sizes.select(F.col(id_col).alias("doc_b"),
+                          F.col("sz").alias("_szb"))
+        j = co.join(sa, "doc_a").join(sb, "doc_b")
+    else:
+        # max_df path: co-count is a lower bound — recompute the true
+        # intersection on the full arrays for the surviving candidates
+        ga = docs.select(F.col(id_col).alias("doc_a"),
+                         F.col(shingle_col).alias("_ga"))
+        gb = docs.select(F.col(id_col).alias("doc_b"),
+                         F.col(shingle_col).alias("_gb"))
+        j = (co.drop("_c").join(ga, "doc_a").join(gb, "doc_b")
+             .withColumn("_c", F.size(F.array_intersect("_ga", "_gb")))
+             .withColumn("_sza", F.size("_ga"))
+             .withColumn("_szb", F.size("_gb")))
+    j = j.withColumn("_jac", F.col("_c").cast("double")
+                     / (F.col("_sza") + F.col("_szb") - F.col("_c")))
     if size_band is not None:
         j = j.filter(F.abs(F.col("_sza") - F.col("_szb")) <= size_band)
     return (j.filter(F.col("_jac") >= tau)
@@ -238,7 +303,8 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str, block_col: str,
 
 
 def ngram_containment_pairs(docs: DataFrame, id_col: str, block_col: str,
-                            shingle_col: str, tau: float) -> DataFrame:
+                            shingle_col: str, tau: float,
+                            max_df: int | None = None) -> DataFrame:
     """Directed containment pairs |A∩B| / |A| >= tau via the same
     inverted-index co-count as :func:`ngram_jaccard_pairs` — the
     asymmetric dedup predicate that catches sub-document duplication
@@ -246,27 +312,34 @@ def ngram_containment_pairs(docs: DataFrame, id_col: str, block_col: str,
     misses because the union in its denominator is dominated by the
     long side.
 
-    One posting equi-join on (block, shingle) computes the co-count for
-    each unordered pair; both directed containments derive from it by
-    dividing by the respective source size, so the quadratic step is
-    paid once, not twice. Returns (src_doc, dst_doc, cont) with
-    cont = |src∩dst| / |src| rounded 4dp.
+    One posting equi-join on the hashed token computes the co-count
+    for each unordered pair; both directed containments derive from it
+    by dividing by the respective source size, so the quadratic step is
+    paid once, not twice. ``max_df`` (100 TB skew valve): see
+    :func:`ngram_jaccard_pairs` — bounded posting lists, exact
+    re-verification, recall documented + tested. Returns
+    (src_doc, dst_doc, cont) with cont = |src∩dst| / |src| rounded 4dp.
     """
     # see ngram_jaccard_pairs: shingling runs once, not three times
     docs = docs.persist()
-    sizes = docs.select(F.col(id_col), F.size(shingle_col).alias("sz"))
-    posts = docs.select(F.col(id_col), F.col(block_col).alias("_blk"),
-                        F.explode(shingle_col).alias("_sh"))
-    a, b = posts.alias("pa"), posts.alias("pb")
-    co = (a.join(b, (F.col("pa._blk") == F.col("pb._blk"))
-                 & (F.col("pa._sh") == F.col("pb._sh"))
-                 & (F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}")))
-          .groupBy(F.col(f"pa.{id_col}").alias("doc_a"),
-                   F.col(f"pb.{id_col}").alias("doc_b"))
-          .agg(F.count("*").alias("_c")))
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("_sza"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("_szb"))
-    j = co.join(sa, "doc_a").join(sb, "doc_b")
+    co, exact = _co_count_pairs(docs, id_col, block_col, shingle_col,
+                                max_df=max_df)
+    if exact:
+        sizes = docs.select(F.col(id_col), F.size(shingle_col).alias("sz"))
+        sa = sizes.select(F.col(id_col).alias("doc_a"),
+                          F.col("sz").alias("_sza"))
+        sb = sizes.select(F.col(id_col).alias("doc_b"),
+                          F.col("sz").alias("_szb"))
+        j = co.join(sa, "doc_a").join(sb, "doc_b")
+    else:
+        ga = docs.select(F.col(id_col).alias("doc_a"),
+                         F.col(shingle_col).alias("_ga"))
+        gb = docs.select(F.col(id_col).alias("doc_b"),
+                         F.col(shingle_col).alias("_gb"))
+        j = (co.drop("_c").join(ga, "doc_a").join(gb, "doc_b")
+             .withColumn("_c", F.size(F.array_intersect("_ga", "_gb")))
+             .withColumn("_sza", F.size("_ga"))
+             .withColumn("_szb", F.size("_gb")))
     # both directions in ONE pass over the co-count relation: a
     # union of two projections would execute the posting join +
     # groupBy subtree twice (measured 15.7 s vs 7.9 s at sf0.1)

@@ -150,8 +150,9 @@ def q_stream_replay_tumbling(spark, sf_dir):
     stream = (spark.readStream.schema(raw_schema)
               .option("pathGlobFilter", "events.parquet")
               .parquet(sf_dir))
-    # same ts repair as the batch loader (TIMESTAMP(NANOS) → micros)
-    stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    # same ts repair as the batch loader (nanos-bigint or NTZ → TIMESTAMP)
+    from .sources.fixtures import repair_events_ts
+    stream = repair_events_ts(stream)
     agg = (stream.withWatermark("ts", "10 minutes")
            .groupBy(F.window("ts", "1 hour"), "event_type")
            .count()

@@ -48,6 +48,14 @@ def get_spark(app_name: str = "challenge8_movies_etl_spark",
     cpus = default_parallelism()
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
+    # Shuffle/spill files default to /tmp, which sits on the container's
+    # overlay disk here; /dev/shm is a RAM-backed tmpfs sized to machine
+    # memory. On a real cluster this is the node-local NVMe scratch dirs
+    # (spark.local.dir is standard node config, not an app hack).
+    local_dir = None
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        local_dir = "/dev/shm/spark-local"
+        os.makedirs(local_dir, exist_ok=True)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -58,10 +66,12 @@ def get_spark(app_name: str = "challenge8_movies_etl_spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    if local_dir is not None:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in RUNTIME_REQUIRED_CONF.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -36,8 +36,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     apply_required_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if name == "events":
+        df = repair_events_ts(df)
+    return df
+
+
+def repair_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to TIMESTAMP regardless of the fixture
+    generation's physical parquet type (shared by the batch loader and
+    the streaming replay source):
+
+    - bigint — TIMESTAMP(NANOS) scanned under nanosAsLong: integer-
+      divide to micros (float division loses sub-µs bits).
+    - timestamp_ntz — round-3 regenerated fixtures store plain
+      timestamp[us] (no zone): cast NTZ -> TIMESTAMP under the pinned
+      UTC session zone — value-preserving, and downstream
+      unix_micros()/window() require TIMESTAMP (DuckDB reads the same
+      column as naive TIMESTAMP, so semantics match).
+    """
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -42,12 +42,11 @@ def chunked_load(stream_df: DataFrame, write_batch: Callable[[DataFrame, int], N
 def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events fixture with the TIMESTAMP(NANOS)
     repair applied — the shared entry point for replay tests."""
-    from pyspark.sql import functions as F
-
     from ..session import apply_required_conf
+    from ..sources.fixtures import repair_events_ts
     apply_required_conf(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return (spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)")))
+    return repair_events_ts(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir))

@@ -60,3 +60,69 @@ def test_chunked_load_sink(spark, tmp_path):
     n_src = load_table(spark, SF_SMOKE, "events").count()
     assert spark.read.parquet(out).count() == n_src
     assert logs and "rows_imported" in logs[-1]
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, g array<string>")
+
+
+def test_max_df_skew_valve_recall(spark):
+    """max_df (the 100 TB hot-shingle valve, round-2 verdict item):
+    returned pairs keep EXACT scores (verification recomputes the true
+    intersection on the full arrays), and recall loses only pairs whose
+    entire overlap is df>max_df shingles."""
+    from challenge8_movies_etl_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    hot = "the quick"  # appears in EVERY doc -> df = n_docs
+    rows = []
+    # two near-dup docs sharing plenty of light shingles (+ the hot one)
+    rows.append((1, "en", [hot, "a b", "b c", "c d", "d e"]))
+    rows.append((2, "en", [hot, "a b", "b c", "c d", "e f"]))
+    # a pair whose ONLY overlap is the hot shingle (each otherwise unique)
+    rows.append((3, "en", [hot, "x1 y1"]))
+    rows.append((4, "en", [hot, "x2 y2"]))
+    # filler docs so the hot shingle's df is clearly above the cap
+    for i in range(5, 25):
+        rows.append((i, "en", [hot, f"u{i} v{i}", f"v{i} w{i}"]))
+    docs = _mkdocs(spark, rows)
+
+    exact = {(r["doc_a"], r["doc_b"], r["jac"]) for r in
+             ngram_jaccard_pairs(docs, "doc_id", "lang", "g",
+                                 tau=0.3).collect()}
+    capped = {(r["doc_a"], r["doc_b"], r["jac"]) for r in
+              ngram_jaccard_pairs(docs, "doc_id", "lang", "g",
+                                  tau=0.3, max_df=5).collect()}
+    # the light-overlap near-dup pair survives with its EXACT score
+    # (intersection includes the hot shingle: 4 of union 6)
+    assert (1, 2, 0.6667) in exact and (1, 2, 0.6667) in capped
+    # the hot-only pair (jac = 1/3 >= tau) is found by the exact path
+    # but is the documented recall loss of the capped path
+    assert (3, 4, round(1 / 3, 4)) in exact
+    assert all(p[:2] != (3, 4) for p in capped)
+    # no other differences: precision unaffected, scores identical
+    assert capped <= exact
+
+    c_exact = {(r["src_doc"], r["dst_doc"], r["cont"]) for r in
+               ngram_containment_pairs(docs, "doc_id", "lang", "g",
+                                       tau=0.6).collect()}
+    c_capped = {(r["src_doc"], r["dst_doc"], r["cont"]) for r in
+                ngram_containment_pairs(docs, "doc_id", "lang", "g",
+                                        tau=0.6, max_df=5).collect()}
+    assert (1, 2, 0.8) in c_exact and (1, 2, 0.8) in c_capped
+    assert c_capped <= c_exact
+
+
+def test_max_df_bounds_posting_lists(spark):
+    """The capped posting relation contains no token with df > max_df —
+    the join's skew key is structurally bounded."""
+    from challenge8_movies_etl_spark.operators.dedup import _co_count_pairs
+
+    rows = [(i, "en", ["hot hot", f"a{i} b{i}"]) for i in range(1, 40)]
+    docs = _mkdocs(spark, rows)
+    co, exact_flag = _co_count_pairs(docs, "doc_id", "lang", "g", max_df=5)
+    assert exact_flag is False
+    # every doc pair shares ONLY the hot shingle -> zero candidates
+    assert co.count() == 0

@@ -80,11 +80,13 @@ def test_session_window_stream_equals_batch(spark):
     batch = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
              for r in QUERIES["q_session_window"](spark, SF_SMOKE).collect()}
 
+    from challenge8_movies_etl_spark.sources.fixtures import repair_events_ts
+
     raw_schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
-    stream = (spark.readStream.schema(raw_schema)
-              .option("pathGlobFilter", "events.parquet")
-              .parquet(SF_SMOKE)
-              .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)")))
+    stream = repair_events_ts(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_SMOKE))
     agg = (stream.withWatermark("ts", "1 hour")
            .groupBy(F.session_window("ts", "5 minutes"), "user_id")
            .count()
