@@ -42,6 +42,8 @@ from .operators.text import (
     stopword_count,
     token_count,
     tokens,
+    weighted_sentiment,
+    weighted_sentiment_sql,
 )
 from .registry import query
 from .sources.fixtures import load_table
@@ -361,6 +363,32 @@ def q_text_sentiment(spark, sf_dir):
             .agg(F.sum("p").alias("n_pos"),
                  F.sum("n").alias("n_neg"),
                  (F.sum("p") - F.sum("n")).alias("sentiment")))
+
+
+@query(
+    "q_text_sentiment_weighted",
+    oracle=f"""
+    SELECT lang,
+           cast(sum({weighted_sentiment_sql('text')}) as bigint)
+             AS valence,
+           round(cast(sum({weighted_sentiment_sql('text')}) as double)
+                 / count(*), 4) AS avg_valence
+    FROM documents GROUP BY lang
+    """,
+)
+def q_text_sentiment_weighted(spark, sf_dir):
+    """AFINN-weighted sentiment per language: per-document valence is a
+    literal-map token-fold (operators/text.weighted_sentiment — one
+    codegen pass over the token array, no regex/UDF/shuffle before the
+    final per-lang agg), summed and averaged per lang. The unweighted
+    q_text_sentiment counts lexicon hits; this is the valence-weighted
+    AFINN form the EDBT'16 pattern actually scores with."""
+    d = load_table(spark, sf_dir, "documents")
+    return (d.select("lang", weighted_sentiment(F.col("text")).alias("v"))
+            .groupBy("lang")
+            .agg(F.sum("v").alias("valence"),
+                 F.round(F.sum("v").cast("double") / F.count("*"), 4)
+                 .alias("avg_valence")))
 
 
 @query(
