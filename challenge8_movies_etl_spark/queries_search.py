@@ -192,6 +192,10 @@ def q_market_basket(spark, sf_dir):
     the final ranking is TakeOrderedAndProject. Same association-mining
     shape as q_token_pmi (PMI over token windows) but keyed on a true
     transaction id."""
+    # persisted, not unpersisted: the query returns a lazy plan, so the
+    # builder can't know when the caller is done with it (round-2
+    # ADVICE reviewed; repo convention — MEMORY_AND_DISK + Spark's LRU
+    # eviction bound the residency, same as queries_llm's gram persists)
     b = (load_table(spark, sf_dir, "lineitem")
          .select("l_orderkey", "l_partkey").distinct().persist())
     n_orders = b.agg(

@@ -542,19 +542,21 @@ def q_ewma_smooth(spark, sf_dir):
            round(q.q1 - 1.5 * (q.q3 - q.q1), 4) AS lo_fence,
            round(q.q3 + 1.5 * (q.q3 - q.q1), 4) AS hi_fence
     FROM events e JOIN q ON e.event_type = q.event_type
-    WHERE e.value < q.q1 - 1.5 * (q.q3 - q.q1)
-       OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+    WHERE e.value < round(q.q1 - 1.5 * (q.q3 - q.q1), 6)
+       OR e.value > round(q.q3 + 1.5 * (q.q3 - q.q1), 6)
     """,
 )
 def q_outlier_iqr(spark, sf_dir):
     """Tukey-fence (IQR) outlier detection per event type — the robust
     companion to q_anomaly_zscore (z-scores chase the mean; quartile
     fences don\'t move with the outliers themselves). Exact interpolated
-    quartiles (Spark `percentile` == DuckDB `quantile_cont`, identical
-    p*(n-1) linear interpolation) are ONE per-type aggregate (a
-    |event_type|-row relation) broadcast back onto the fact scan; the
-    fence comparison happens with the unrounded doubles on both engines
-    (identical expression tree) so boundary rows classify identically.
+    quartiles (Spark `percentile` == DuckDB `quantile_cont`, same
+    p*(n-1) rank) are ONE per-type aggregate (a |event_type|-row
+    relation) broadcast back onto the fact scan. The engines' midpoint
+    formulas differ ((1-f)*lo+f*hi vs lo+f*(hi-lo)) and can diverge by
+    1 ulp, so the DECLARED fence is the quartile expression rounded to
+    6 dp — both engines compare against the same 6-dp fence and
+    boundary rows classify identically (round-2 ADVICE item).
     At 100 TB: one keyed agg + one broadcast — the exact-percentile agg
     is the only sort, and it sorts per-type partitions, not globally."""
     e = load_table(spark, sf_dir, "events")
@@ -564,7 +566,8 @@ def q_outlier_iqr(spark, sf_dir):
     j = e.join(F.broadcast(q), "event_type")
     lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
     hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
-    return (j.where((F.col("value") < lo) | (F.col("value") > hi))
+    return (j.where((F.col("value") < F.round(lo, 6))
+                    | (F.col("value") > F.round(hi, 6)))
             .select("event_id", "event_type", "value",
                     F.round(lo, 4).alias("lo_fence"),
                     F.round(hi, 4).alias("hi_fence")))
@@ -634,7 +637,12 @@ def q_rolling_median(spark, sf_dir):
     aggregate runs as a window function over the same rows-frame DuckDB
     gives `median`; both engines define the 0.5 quantile by linear
     interpolation, and a <=7-element median is either one element or
-    the midpoint of two — identical IEEE math. Cost: the ONE per-user
+    the midpoint of two. Residual ulp risk (round-2 ADVICE, documented
+    by choice): the midpoint formulas differ ((1-f)*lo+f*hi vs
+    lo+f*(hi-lo)) and could land a median exactly on a round(.,4)
+    half-boundary 1 ulp apart; there is no comparison step to pin to a
+    declared precision here, so the risk is accepted and monitored by
+    the oracle gate. Cost: the ONE per-user
     sort every windowed op pays; frame state is bounded (7 rows), so
     executor memory is O(frame), not O(partition)."""
     e = load_table(spark, sf_dir, "events")
