@@ -553,6 +553,40 @@ def q_multimodal_meta(spark, sf_dir):
 
 
 @query(
+    "q_multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+           doc_id % 13 + 1 AS width,
+           doc_id % 7 + 1 AS height,
+           round(cast(doc_id % 256 as double), 4) AS mean_r,
+           round(cast((doc_id * 7) % 256 as double), 4) AS mean_g,
+           round(cast((doc_id * 13) % 256 as double), 4) AS mean_b
+    FROM documents
+    """,
+)
+def q_multimodal_decode(spark, sf_dir):
+    """REAL image decode, no codec libraries: deterministic BMP/P6-PPM
+    payloads are synthesized per doc (uniform color, dimensions
+    closed-form in doc_id), then an Arrow-batched mapInPandas decoder
+    parses headers, strides, bottom-up row order, padding and channel
+    order to emit (fmt, width, height, channel means)
+    (operators/multimodal.py encode_bmp/_decode_bmp/_decode_ppm). The
+    oracle knows the closed form, so any parsing mistake — stride
+    padding, BGR vs RGB, header offset — breaks the value hash.
+    Formats without a dependency-free decoder still raise
+    NotImplementedError (honest-stub policy)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_images(d)
+    feats = multimodal.decode_image_features(media)
+    return feats.select(
+        "doc_id", "fmt", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"))
+
+
+@query(
     "q_multimodal_framesample",
     oracle="""
     SELECT doc_id, i AS frame_idx,

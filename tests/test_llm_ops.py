@@ -147,3 +147,41 @@ def test_decontaminate_invariants_and_injection(spark):
         assert o["n_grams"] == len(g)
         assert o["n_hits"] == len(g & bench)
         assert o["contaminated"] == (1 if g & bench else 0)
+
+
+def test_image_decode_roundtrip_and_honest_failure(spark):
+    """BMP/PPM parsers recover exact dimensions and channel means
+    (incl. stride padding and BGR order); unknown formats raise
+    NotImplementedError rather than emitting fake features."""
+    import pytest
+
+    from challenge8_movies_etl_spark.operators.multimodal import (
+        _decode_bmp,
+        _decode_ppm,
+        decode_image_features,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    for w, h, r, g, b in [(1, 1, 0, 0, 0), (5, 3, 10, 20, 30),
+                          (13, 7, 255, 128, 1), (4, 2, 7, 49, 91)]:
+        assert _decode_bmp(encode_bmp(w, h, r, g, b)) == \
+            (w, h, float(r), float(g), float(b))
+        assert _decode_ppm(encode_ppm(w, h, r, g, b)) == \
+            (w, h, float(r), float(g), float(b))
+
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(3, 2, 9, 8, 7))),
+         (2, bytearray(encode_ppm(2, 2, 1, 2, 3)))],
+        "doc_id long, payload binary")
+    rows = {r["doc_id"]: r for r in decode_image_features(media).collect()}
+    assert rows[1]["fmt"] == "bmp" and rows[1]["width"] == 3
+    assert rows[1]["mean_r"] == 9.0 and rows[1]["mean_b"] == 7.0
+    assert rows[2]["fmt"] == "ppm" and rows[2]["height"] == 2
+
+    bad = spark.createDataFrame([(3, bytearray(b"\x89PNG fake"))],
+                                "doc_id long, payload binary")
+    with pytest.raises(Exception) as ei:
+        decode_image_features(bad).collect()
+    assert "NotImplementedError" in str(ei.value) or \
+        isinstance(ei.value, NotImplementedError)
