@@ -855,3 +855,71 @@ def q_winsorize(spark, sf_dir):
                          .cast("double") / F.count("*"), 4)
                  .alias("wins_mean"),
                  F.count(F.when(out_of_band, 1)).alias("n_clipped")))
+
+
+@query(
+    "q_embed_covariance",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, gs.i AS i, cast(embedding[gs.i] as double) AS v
+      FROM embeddings e JOIN range(1, 100000) gs(i)
+        ON gs.i <= len(embedding)
+    ),
+    nn AS (SELECT count(*) AS n FROM embeddings),
+    s AS (SELECT i, sum(cast(v as decimal(30,12))) AS si FROM x GROUP BY 1),
+    p AS (
+      SELECT a.i AS i, b.i AS j,
+             sum(cast(a.v * b.v as decimal(30,12))) AS sij
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    )
+    SELECT p.i, p.j,
+           round((cast(sij as double)
+                  - cast(sa.si as double) * cast(sb.si as double) / nn.n)
+                 / nn.n, 6) AS cov
+    FROM p
+    JOIN s sa ON sa.i = p.i
+    JOIN s sb ON sb.i = p.j
+    CROSS JOIN nn
+    """,
+)
+def q_embed_covariance(spark, sf_dir):
+    """Upper-triangle population covariance of the 64-d embedding
+    corpus — the distributed statistic under PCA / whitening / drift
+    detection. Decimal-exact reductions make the d(d+1)/2 entries
+    hash-identical across engines and partitionings
+    (operators/linalg.covariance_exact).
+
+    Scale: THIS plan (per-vector 64×64 pair fan-out, shuffle N·d²/2
+    product rows) is the oracle-checkable form; the 100 TB form is
+    operators/linalg.covariance_partials — one (n, Σx, ΣxxT) partial
+    per Arrow batch, shuffle O(partitions·d²), verified in tests
+    against this exact path."""
+    from .operators.linalg import covariance_exact
+    e = load_table(spark, sf_dir, "embeddings")
+    return covariance_exact(e)
+
+
+@query("q_embed_pca")  # rows-only: eigendecomposition has no SQL oracle
+def q_embed_pca(spark, sf_dir):
+    """Top-8 PCA eigenvalues + explained-variance ratios of the
+    embedding corpus. The N-sized work (covariance) runs distributed
+    via the partition-partial path (operators/linalg
+    .covariance_partials — shuffle O(partitions·d²)); the
+    eigendecomposition is a dim-bounded (64×64) driver-side scalar
+    step, same license as pagerank's n_nodes count. Rows-only by
+    design: eigensolvers aren't expressible in the DuckDB oracle;
+    correctness is pinned by tests (trace identity, PSD spectrum,
+    agreement of partial-path covariance with the decimal-exact
+    q_embed_covariance, and against numpy PCA of the full corpus)."""
+    import numpy as np
+
+    from .operators.linalg import covariance_partials, pca_eig
+    e = load_table(spark, sf_dir, "embeddings")
+    cov = covariance_partials(e)
+    w, _ = pca_eig(cov, k=8)
+    total = float(np.trace(cov))
+    rows = [(i + 1, round(float(w[i]), 6),
+             round(float(w[i]) / total, 6)) for i in range(len(w))]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, explained_ratio double")
