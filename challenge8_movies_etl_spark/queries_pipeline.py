@@ -923,3 +923,85 @@ def q_embed_pca(spark, sf_dir):
              round(float(w[i]) / total, 6)) for i in range(len(w))]
     return spark.createDataFrame(
         rows, "component int, eigenvalue double, explained_ratio double")
+
+
+@query(
+    "q_split_group_aware",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id, event_id,
+             cast(('0x' || substring(md5(cast(user_id as string)
+                                         || ':gsplit'), 1, 4))
+                  as integer) % 100 AS bucket
+      FROM events
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'valid'
+                ELSE 'test' END AS split,
+           count(DISTINCT user_id) AS n_groups,
+           count(*) AS n_rows,
+           min(event_id) AS min_row,
+           max(event_id) AS max_row
+    FROM assigned GROUP BY 1
+    """,
+)
+def q_split_group_aware(spark, sf_dir):
+    """Leakage-safe train/valid/test split: the hash bucket is computed
+    on the GROUP key (user_id), not the row key, so every row of a
+    group lands in the same split — the guard against correlated /
+    near-duplicate leakage across splits that row-hash splitting
+    (q_split_train_test) cannot give. Same md5-nibble bucketing, so
+    assignments are reproducible and engine-portable; the
+    no-group-straddles-splits invariant is asserted in
+    tests/test_pipeline_ops.py.
+
+    Scale: one scan + one keyed agg; the group hash is a per-row
+    expression (no join against a group table needed)."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":gsplit"))),
+        1, 4), 16, 10).cast("int") % 100)
+    split = (F.when(bucket < 90, "train")
+             .when(bucket < 95, "valid")
+             .otherwise("test"))
+    return (e.select("user_id", "event_id", split.alias("split"))
+            .groupBy("split")
+            .agg(F.countDistinct("user_id").alias("n_groups"),
+                 F.count("*").alias("n_rows"),
+                 F.min("event_id").alias("min_row"),
+                 F.max("event_id").alias("max_row")))
+
+
+@query(
+    "q_quantile_bucket",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, n_chars,
+             ntile(10) OVER (ORDER BY n_chars, doc_id) AS bucket
+      FROM documents
+    )
+    SELECT bucket, count(*) AS n_docs,
+           min(n_chars) AS lo_chars, max(n_chars) AS hi_chars
+    FROM b GROUP BY 1
+    """,
+)
+def q_quantile_bucket(spark, sf_dir):
+    """Curriculum binning: decile buckets over document length via
+    ntile — the equal-population binning used for difficulty-ordered
+    training schedules and stratified eval slices. The ORDER BY carries
+    doc_id as the tiebreak so both engines assign boundary ties
+    identically (ntile is rank-deterministic only under a total order).
+
+    Scale: ntile needs a total order — a single-partition sort at the
+    limit. For 100 TB swap in percentile_approx boundaries + a
+    broadcast range join (the q_winsorize pattern); the decile
+    semantics here are the exact declared form."""
+    from pyspark.sql import Window as W
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id", "n_chars",
+        F.ntile(10).over(W.orderBy("n_chars", "doc_id")).alias("bucket"))
+    return (b.groupBy("bucket")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("n_chars").alias("lo_chars"),
+                 F.max("n_chars").alias("hi_chars")))

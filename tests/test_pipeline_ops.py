@@ -224,3 +224,23 @@ def test_containment_matches_naive_intersection(spark):
                   .filter(F.col("c") >= 0.3).collect())
     naive = {(r.src_doc, r.dst_doc): round(r.c, 4) for r in naive_rows}
     assert got == naive
+
+
+def test_group_split_no_leakage(spark):
+    """Every group (user_id) lands in exactly ONE split — the invariant
+    q_split_group_aware exists to provide."""
+    from pyspark.sql import functions as F
+
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+    e = load_table(spark, SF_SMOKE, "events")
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":gsplit"))),
+        1, 4), 16, 10).cast("int") % 100)
+    split = (F.when(bucket < 90, "train")
+             .when(bucket < 95, "valid")
+             .otherwise("test"))
+    straddlers = (e.select("user_id", split.alias("split")).distinct()
+                  .groupBy("user_id").count().filter("count > 1").count())
+    assert straddlers == 0
+    n_splits = e.select(split.alias("split")).distinct().count()
+    assert n_splits >= 2  # the corpus is big enough to populate splits
