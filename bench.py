@@ -56,6 +56,9 @@ EXTRA = [
     "q_quality_repetition",
     "q_dedup_containment",
     "q_interval_overlap",
+    # round-3 wave: distributed linear algebra + real image decode
+    "q_embed_covariance",
+    "q_multimodal_decode",
 ]
 
 
