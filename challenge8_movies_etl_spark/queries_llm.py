@@ -1325,3 +1325,160 @@ def q_token_pmi(spark, sf_dir):
             .select("w1", "w2", "c_ab", pmi.alias("pmi"))
             .orderBy(F.desc("pmi"), "w1", "w2")
             .limit(40))
+
+
+@query(
+    "q_dedup_keep_best",
+    oracle="""
+    WITH sig AS (
+      SELECT doc_id, n_chars,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split(text, ' '))), ' ')) AS sig
+      FROM documents
+    ),
+    ranked AS (
+      SELECT sig, doc_id, n_chars,
+             row_number() OVER (PARTITION BY sig
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY sig) AS n_members
+      FROM sig
+    )
+    SELECT sig, doc_id AS keep_doc_id, n_chars AS keep_chars, n_members
+    FROM ranked WHERE rn = 1 AND n_members > 1
+    """,
+)
+def q_dedup_keep_best(spark, sf_dir):
+    """Dedup with a keep-BEST policy: within each exact token-set
+    duplicate group, survive the longest document (ties to the lowest
+    doc_id) — the curation form of q_dedup_tokenset, which keeps
+    min-id. One hash-groupBy with a struct-max aggregate
+    (max(struct(n_chars, -doc_id)) — lexicographic struct comparison
+    gives the deterministic argmax without a window sort); only
+    multi-member groups are emitted.
+
+    Scale: identical shuffle shape to q_dedup_tokenset — (16 B sig,
+    id, chars) triples, map-side-combinable aggregate, never document
+    text; the oracle uses the window formulation to prove the argmax
+    semantics match."""
+    d = load_table(spark, sf_dir, "documents")
+    best = F.max(F.struct(F.col("n_chars"),
+                          (-F.col("doc_id")).alias("neg_id")))
+    return (d.select(tokenset_signature(F.col("text")).alias("sig"),
+                     "doc_id", "n_chars")
+            .groupBy("sig")
+            .agg(best.alias("b"), F.count("*").alias("n_members"))
+            .filter(F.col("n_members") > 1)
+            .select("sig",
+                    (-F.col("b.neg_id")).alias("keep_doc_id"),
+                    F.col("b.n_chars").alias("keep_chars"),
+                    "n_members"))
+
+
+@query(
+    "q_text_normalize",
+    oracle="""
+    WITH norm AS (
+      SELECT lang, text, n_chars,
+             trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]+', '', 'g'), ' +', ' ', 'g')) AS ntext
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           count(CASE WHEN ntext <> text THEN 1 END) AS n_changed,
+           cast(sum(n_chars) as bigint) AS chars_before,
+           cast(sum(length(ntext)) as bigint) AS chars_after,
+           count(DISTINCT md5(ntext)) AS n_distinct_norm
+    FROM norm GROUP BY lang
+    """,
+)
+def q_text_normalize(spark, sf_dir):
+    """Text normalization pass (lowercase → strip non-alphanumerics →
+    collapse runs of spaces → trim) with per-lang change accounting and
+    the post-normalization distinct count — the canonicalization stage
+    that runs before exact dedup so near-identical casings/punctuation
+    collapse into one signature.
+
+    Scale: the normalization chain is pure codegen string expressions
+    (one scan, no UDF); the only shuffle is the per-lang agg, and the
+    distinct-count ships 16 B md5s, not text."""
+    d = load_table(spark, sf_dir, "documents")
+    ntext = F.trim(F.regexp_replace(F.regexp_replace(
+        F.lower(F.col("text")), "[^a-z0-9 ]+", ""), " +", " "))
+    n = d.select("lang", "text", "n_chars", ntext.alias("ntext"))
+    return (n.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.count(F.when(F.col("ntext") != F.col("text"), 1))
+                 .alias("n_changed"),
+                 F.sum("n_chars").alias("chars_before"),
+                 F.sum(F.length("ntext")).alias("chars_after"),
+                 F.countDistinct(F.md5("ntext")).alias("n_distinct_norm")))
+
+
+def _minhash_reagg_oracle(k: int = 16) -> str:
+    mins = ",\n             ".join(
+        f"min(cast(('0x' || substring(md5(g || ':{i}'), 1, 15)) as bigint))"
+        f" AS s{i}" for i in range(k))
+    matches = " + ".join(
+        f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END" for i in range(k))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT d.source, d.t[gs.i] || ' ' || d.t[gs.i + 1] AS g
+      FROM toks d JOIN range(1, 100000) gs(i) ON gs.i <= len(d.t) - 1
+    ),
+    sig AS (
+      SELECT source,
+             {mins}
+      FROM grams GROUP BY source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           round(({matches}) / {k}.0, 4) AS est_jaccard
+    FROM sig a JOIN sig b ON a.source < b.source
+    """
+
+
+def minhash_source_signatures(g, k: int = 16):
+    """16 md5-derived MinHash components per source over the distinct
+    (source, shingle) relation — ONE map-side-combinable groupBy, no
+    row multiplication (the per-component hash is an expression, not an
+    explode)."""
+    def h(i):
+        return F.conv(F.substring(
+            F.md5(F.concat(F.col("g"), F.lit(f":{i}"))), 1, 15),
+            16, 10).cast("bigint")
+    return g.groupBy("source").agg(
+        *[F.min(h(i)).alias(f"s{i}") for i in range(k)])
+
+
+@query("q_minhash_reagg", oracle=_minhash_reagg_oracle())
+def q_minhash_reagg(spark, sf_dir):
+    """Mergeable MinHash signatures, re-aggregated: a 16-component
+    md5-derived MinHash signature per SOURCE (over the union of its
+    docs' bigram shingles), then pairwise source similarity estimated
+    as the fraction of matching components — the sketch-rollup pattern
+    (cf. q_agg_sketch_reagg's HLL form): per-shard signatures combine
+    by elementwise min, so corpus-level similarity never rescans
+    documents. md5-derived hashing (unlike the murmur3 doc-level
+    q_dedup_minhash) makes every component engine-portable, so the
+    estimates hash-check exactly. Mergeability itself
+    (sig(A∪B) == elementwise_min(sig(A), sig(B))) is asserted in
+    tests/test_llm_ops.py.
+
+    Scale: distinct (source, shingle) relation → ONE map-side-
+    combinable groupBy producing 16 mins per source; the pair join
+    runs on the |sources|-row sketch relation, never the corpus."""
+    k = 16
+    d = load_table(spark, sf_dir, "documents")
+    g = (d.select("source", F.explode(word_ngrams(F.col("text"), 2))
+                  .alias("g")).distinct())
+    sig = minhash_source_signatures(g, k)
+    a, b = sig.alias("a"), sig.alias("b")
+    matches = " + ".join(
+        f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(k))
+    return (a.join(b, F.col("a.source") < F.col("b.source"))
+            .select(F.col("a.source").alias("source_a"),
+                    F.col("b.source").alias("source_b"),
+                    F.round(F.expr(matches) / k, 4).alias("est_jaccard")))

@@ -185,3 +185,26 @@ def test_image_decode_roundtrip_and_honest_failure(spark):
         decode_image_features(bad).collect()
     assert "NotImplementedError" in str(ei.value) or \
         isinstance(ei.value, NotImplementedError)
+
+
+def test_minhash_signature_mergeability(spark):
+    """sig(A ∪ B) == elementwise_min(sig(A), sig(B)) — the property
+    that lets per-shard signatures roll up without rescanning docs."""
+    from challenge8_movies_etl_spark.operators.dedup import word_ngrams
+    from challenge8_movies_etl_spark.queries_llm import (
+        minhash_source_signatures,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    g = (d.select("source", F.explode(word_ngrams(F.col("text"), 2))
+                  .alias("g")).distinct())
+    per_src = {r["source"]: [r[f"s{i}"] for i in range(16)]
+               for r in minhash_source_signatures(g).collect()}
+    srcs = sorted(per_src)[:2]
+    merged_rel = (g.filter(F.col("source").isin(*srcs))
+                  .withColumn("source", F.lit("UNION")).distinct())
+    merged = [r for r in minhash_source_signatures(merged_rel).collect()
+              if r["source"] == "UNION"][0]
+    expect = [min(per_src[srcs[0]][i], per_src[srcs[1]][i])
+              for i in range(16)]
+    assert [merged[f"s{i}"] for i in range(16)] == expect
