@@ -1482,3 +1482,61 @@ def q_minhash_reagg(spark, sf_dir):
             .select(F.col("a.source").alias("source_a"),
                     F.col("b.source").alias("source_b"),
                     F.round(F.expr(matches) / k, 4).alias("est_jaccard")))
+
+
+@query(
+    "q_dedup_semantic",
+    oracle=f"""
+    WITH RECURSIVE {_PAIR_COS_CTE.lstrip().removeprefix("WITH ") if _PAIR_COS_CTE.lstrip().startswith("WITH ") else _PAIR_COS_CTE},
+    sem_pairs AS (
+      SELECT va, vb FROM paircos WHERE cos_raw >= 0.35
+    ),
+    edges AS (
+      SELECT va AS a, vb AS b FROM sem_pairs
+      UNION ALL
+      SELECT vb AS a, va AS b FROM sem_pairs
+    ),
+    reach AS (
+      SELECT vec_id AS id, vec_id AS r FROM embeddings
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+    )
+    SELECT id AS vec_id, min(r) AS cluster,
+           (min(r) <> id) AS is_dup
+    FROM reach GROUP BY id
+    """,
+)
+def q_dedup_semantic(spark, sf_dir):
+    """SEMANTIC dedup, end to end: embedding-cosine near-dup pairs
+    (label-blocked, cos >= 0.35 — the q_embed_neardup predicate) closed
+    transitively into duplicate components (operators/cluster.py
+    min-label propagation), every vector labeled with its component's
+    min vec_id. The cluster form collapses similarity CHAINS (a~b~c
+    with cos(a,c) < tau) that the greedy pairwise flag in
+    q_embed_neardup cannot — this is the dedup actually applied before
+    training on embedding-near-duplicate corpora. Oracle: recursive-CTE
+    components over the same decimal-exact cosine pairs, hash-checked.
+
+    Scale: the pairwise step is the label-blocked exact form (ground
+    truth); at 100 TB swap in the IVF-blocked candidate pairs
+    (q_knn_join_blocked) and the component step is unchanged —
+    iteration-capped, localCheckpointed, shuffle = (id, label) pairs."""
+    from .operators.cluster import connected_components
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", "label", "embedding",
+                 _norm(F.col("embedding")).alias("nrm"))
+    a, b = n.alias("a"), n.alias("b")
+    cos = (dot_col(F.col("a.embedding"), F.col("b.embedding"))
+           / F.sqrt(F.col("a.nrm") * F.col("b.nrm")))
+    pairs = (a.join(b, (F.col("a.label") == F.col("b.label"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .select(F.col("a.vec_id").alias("va"),
+                     F.col("b.vec_id").alias("vb"),
+                     cos.alias("cos_raw"))
+             .filter(F.col("cos_raw") >= 0.35))
+    labels = connected_components(
+        e.select("vec_id"), pairs.select("va", "vb"),
+        id_col="vec_id", src="va", dst="vb")
+    return labels.select(
+        F.col("id").alias("vec_id"), "cluster",
+        (F.col("cluster") != F.col("id")).alias("is_dup"))
