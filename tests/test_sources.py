@@ -139,3 +139,30 @@ def test_json_corrupt_records_quarantined(spark, tmp_path):
     good = df.filter(df._corrupt_record.isNull())
     assert sorted(r["id"] for r in good.collect()) == [1, 2]
     df.unpersist()
+
+
+def test_jsonl_sharded_export_roundtrip(spark, tmp_path):
+    """JSONL shard export: manifest counts match, shards are balanced,
+    and a JSON read reconstructs every row."""
+    import glob
+    import json
+
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+    from challenge8_movies_etl_spark.sources.raw import write_jsonl_sharded
+
+    d = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", "n_chars")
+    out = str(tmp_path / "export")
+    manifest = write_jsonl_sharded(d, out, shard_rows=100)
+    assert manifest["n_rows"] == d.count()
+    assert manifest["n_shards"] == (manifest["n_rows"] + 99) // 100
+    files = glob.glob(out + "/part-*.txt.gz")
+    assert len(files) == manifest["n_shards"]
+    with open(out + "/_manifest.json") as fh:
+        assert json.load(fh)["columns"] == ["doc_id", "lang", "n_chars"]
+
+    back = spark.read.json(out + "/part-*.txt.gz")
+    assert back.count() == manifest["n_rows"]
+    src = {(r["doc_id"], r["lang"], r["n_chars"]) for r in d.collect()}
+    dst = {(r["doc_id"], r["lang"], r["n_chars"]) for r in back.collect()}
+    assert src == dst
