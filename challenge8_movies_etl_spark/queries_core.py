@@ -582,3 +582,30 @@ def q_sql_antijoin_subquery(spark, sf_dir):
     for t in ("customer", "orders"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_NOT_EXISTS_Q22_SQL)
+
+
+_LATERAL_SQL = """
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c.c_name, round(cast(c.c_acctbal as double), 2) AS c_acctbal
+      FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c.c_acctbal DESC, c.c_custkey
+      LIMIT 1
+    ) t
+    ORDER BY n.n_name
+    """
+
+
+@query("q_sql_lateral", oracle=_LATERAL_SQL)
+def q_sql_lateral(spark, sf_dir):
+    """Correlated LATERAL subquery — top customer per nation via a
+    per-row dependent subquery with ORDER BY + LIMIT, submitted as the
+    SAME raw SQL text to both engines (the q_sql_surface pattern).
+    Catalyst decorrelates the lateral into a ranked-window plan
+    (DomainJoin → window top-1) rather than executing |nation|
+    subqueries — the SQL-surface proof that dependent-join syntax gets
+    an efficient set-based physical plan at any scale."""
+    for t in ("nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)

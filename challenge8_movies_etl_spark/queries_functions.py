@@ -426,3 +426,31 @@ def q_schema_evolution(spark, sf_dir):
          .select(F.col("c_custkey").alias("k"),
                  F.col("c_mktsegment").alias("segment")))
     return o.unionByName(c, allowMissingColumns=True)
+
+
+@query(
+    "q_variant_json",
+    oracle="""
+    SELECT cast(json_extract_string(props, '$.k') as bigint) // 10
+             AS k_decade,
+           count(*) AS n,
+           cast(sum(cast(json_extract_string(props, '$.k') as bigint))
+             as bigint) AS k_sum
+    FROM events GROUP BY 1
+    """,
+)
+def q_variant_json(spark, sf_dir):
+    """Semi-structured fast path via Spark 4 VARIANT: props parsed ONCE
+    into the binary variant encoding (parse_json), then path access
+    with variant_get — repeated field reads skip re-tokenizing the JSON
+    text, which is the point of the type at 100 TB (parse once at
+    ingest, access many times downstream). Aggregates k into decades so
+    the oracle (DuckDB json_extract) checks values, not encodings."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(F.parse_json("props").alias("v"))
+    k = F.expr("variant_get(v, '$.k', 'bigint')")
+    return (v.select(F.floor(k / 10).cast("bigint").alias("k_decade"),
+                     k.alias("k"))
+            .groupBy("k_decade")
+            .agg(F.count("*").alias("n"),
+                 F.sum("k").alias("k_sum")))
