@@ -1474,7 +1474,10 @@ def q_minhash_reagg(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     g = (d.select("source", F.explode(word_ngrams(F.col("text"), 2))
                   .alias("g")).distinct())
-    sig = minhash_source_signatures(g, k)
+    # persist the |sources|-row sketch relation: without it the
+    # self-join re-shingles and re-aggregates the corpus on BOTH sides
+    # (plan gate: tests/test_plans.py)
+    sig = minhash_source_signatures(g, k).persist()
     a, b = sig.alias("a"), sig.alias("b")
     matches = " + ".join(
         f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(k))

@@ -238,3 +238,50 @@ def test_outlier_iqr_broadcasts_fences(spark):
     p = plan(spark, "q_outlier_iqr")
     assert "BroadcastHashJoin" in p, p
     assert n_shuffles(p) <= 1, p
+
+
+def test_covariance_broadcasts_size_relations(spark):
+    """q_embed_covariance: the 64-row coordinate-sum relations and the
+    1-row count must broadcast — a shuffle join against the 2080-row
+    pair relation would be the wrong plan at any scale."""
+    p = plan(spark, "q_embed_covariance")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "partial_" in p, p  # decimal sums combine map-side
+
+
+def test_minhash_reagg_single_agg_no_row_blowup(spark):
+    """q_minhash_reagg: the 16 signature components must come from ONE
+    map-side-combined groupBy over the distinct gram relation (computed
+    once — the persisted sketch relation feeds both self-join sides),
+    not an exploded per-component relation (16x rows) or a window."""
+    p = plan(spark, "q_minhash_reagg")
+    assert "Window" not in p, p
+    # both join sides read the cached sketch, not a re-shingled corpus
+    assert p.count("InMemoryTableScan") >= 2, p
+    assert "partial_min" in p, p
+
+
+def test_keep_best_is_single_groupby_argmax(spark):
+    """q_dedup_keep_best: struct-max argmax must stay one hash
+    aggregate — a window row_number plan (sort per group) is the shape
+    the operator deliberately avoids."""
+    p = plan(spark, "q_dedup_keep_best")
+    assert "Window" not in p, p
+    assert "partial_max" in p, p
+
+
+def test_sql_lateral_decorrelates_to_window(spark):
+    """q_sql_lateral: Catalyst must decorrelate the LATERAL LIMIT 1
+    subquery into a set-based ranked plan — per-row subquery execution
+    or a cartesian product would be wrong."""
+    p = plan(spark, "q_sql_lateral")
+    assert "Window" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_group_split_no_join(spark):
+    """q_split_group_aware: the group hash is a per-row expression —
+    any join in this plan means someone materialized a group table."""
+    p = plan(spark, "q_split_group_aware")
+    assert "Join" not in p, p
