@@ -476,3 +476,23 @@ def q_agg_sketch_reagg(spark, sf_dir):
                  .alias("approx_customers"),
                  F.sum("exact_nation").alias("exact_customers"))
             .orderBy("n_regionkey"))
+
+
+@query("q_percentile_approx")  # rows-only: sketch is engine-specific
+def q_percentile_approx(spark, sf_dir):
+    """Mergeable approximate percentiles — the percentile path that
+    actually runs at 100 TB: percentile_approx's partition summaries
+    merge associatively (one map-side-combinable agg, no per-group
+    sort), unlike the exact percentile() twin (q_percentiles) whose
+    within-group sort this query exists to replace at scale. accuracy
+    =10000 bounds rank error at n/10000. Rows-only by design: the
+    sketch layout is engine-specific; the error bound vs the exact
+    twin is pinned in tests/test_operators.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = F.expr("percentile_approx(l_extendedprice, "
+                "array(0.5, 0.9, 0.99), 10000)")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(pa[0], 2).alias("p50_approx"),
+                 F.round(pa[1], 2).alias("p90_approx"),
+                 F.round(pa[2], 2).alias("p99_approx"),
+                 F.count("*").alias("n")))

@@ -208,3 +208,30 @@ def test_minhash_signature_mergeability(spark):
     expect = [min(per_src[srcs[0]][i], per_src[srcs[1]][i])
               for i in range(16)]
     assert [merged[f"s{i}"] for i in range(16)] == expect
+
+
+def test_image_codec_roundtrip_property():
+    """Hypothesis: BMP and PPM encode->decode is the identity on
+    (width, height, r, g, b) across the full parameter space, including
+    the stride-padding widths (w % 4 != 0)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from challenge8_movies_etl_spark.operators.multimodal import (
+        _decode_bmp,
+        _decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(w=st.integers(1, 40), h=st.integers(1, 20),
+           r=st.integers(0, 255), g=st.integers(0, 255),
+           b=st.integers(0, 255))
+    def check(w, h, r, g, b):
+        assert _decode_bmp(encode_bmp(w, h, r, g, b)) == \
+            (w, h, float(r), float(g), float(b))
+        assert _decode_ppm(encode_ppm(w, h, r, g, b)) == \
+            (w, h, float(r), float(g), float(b))
+
+    check()

@@ -110,3 +110,31 @@ def test_sessions_bounded_by_events(spark):
     n_sessions = sessions.count()
     assert 0 < n_sessions <= e.count()
     assert sessions.agg(F.sum("n_events")).collect()[0][0] == e.count()
+
+
+def test_percentile_approx_error_bound(spark):
+    """approx percentiles stay within the documented rank-error bound
+    of the exact interpolated percentiles (accuracy=10000 over ~6k-row
+    groups at smoke scale -> near-exact)."""
+    from pyspark.sql import functions as F
+
+    from challenge8_movies_etl_spark.registry import QUERIES, load_all
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+    load_all()
+
+    approx = {r["l_returnflag"]: r for r in
+              QUERIES["q_percentile_approx"](spark, SF_SMOKE).collect()}
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    exact = {r["l_returnflag"]: r for r in
+             li.groupBy("l_returnflag")
+             .agg(F.expr("percentile(l_extendedprice, "
+                         "array(0.5, 0.9, 0.99))").alias("p"))
+             .collect()}
+    assert set(approx) == set(exact) and len(approx) >= 2
+    for flag, a in approx.items():
+        p50, p90, p99 = exact[flag]["p"]
+        # rank error n/accuracy translates to small relative value
+        # error on these smooth distributions; 2% is generous
+        assert abs(a["p50_approx"] - p50) / p50 < 0.02
+        assert abs(a["p90_approx"] - p90) / p90 < 0.02
+        assert abs(a["p99_approx"] - p99) / p99 < 0.02
