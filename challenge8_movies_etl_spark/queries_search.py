@@ -24,6 +24,7 @@ Scale notes (100 TB bar):
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .functions.hashsafe import DEC
@@ -222,3 +223,60 @@ def q_market_basket(spark, sf_dir):
                 F.round(F.col("n_pair").cast("double") * F.col("n")
                         / (F.col("n_a") * F.col("n_b")), 4).alias("lift"))
             .orderBy(F.desc("n_pair"), "part_a", "part_b").limit(20))
+
+
+@query(
+    "q_rank_fusion",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, n_chars,
+             len(list_filter(string_split(text, ' '), w -> w = 'join'))
+               AS hits
+      FROM documents
+    ),
+    r1 AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY hits DESC, doc_id) AS rnk
+      FROM tf
+    ),
+    r2 AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk
+      FROM tf
+    )
+    SELECT r1.doc_id AS doc_id,
+           r1.rnk AS rank_term, r2.rnk AS rank_length,
+           round(1.0 / (60 + r1.rnk) + 1.0 / (60 + r2.rnk), 6) AS rrf
+    FROM r1 JOIN r2 ON r1.doc_id = r2.doc_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q_rank_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (RRF, k=60 — Cormack et al.'s public
+    formula) of two retrieval rankings: term-frequency rank for the
+    query term and a document-length prior rank. The hybrid-retrieval
+    merge every BM25+embedding search stack runs; rankings carry doc_id
+    tiebreaks so row_number is total-ordered on both engines and the
+    fused score is exact rational arithmetic rounded 6dp.
+
+    Scale: each ranking is one ordered window (global order — at 100 TB
+    rankings come pre-truncated per shard top-k, the fusion join then
+    runs on candidate sets, not the corpus); the fusion itself joins
+    |candidates|-sized relations and TakeOrderedAndProject emits the
+    top-10."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = d.select(
+        "doc_id", "n_chars",
+        F.size(F.filter(F.split(F.col("text"), " "),
+                        lambda w: w == "join")).alias("hits"))
+    r1 = tf.select("doc_id", F.row_number().over(
+        W.orderBy(F.desc("hits"), "doc_id")).alias("rank_term"))
+    r2 = tf.select("doc_id", F.row_number().over(
+        W.orderBy(F.desc("n_chars"), "doc_id")).alias("rank_length"))
+    return (r1.join(r2, "doc_id")
+            .select("doc_id", "rank_term", "rank_length",
+                    F.round(1.0 / (60 + F.col("rank_term"))
+                            + 1.0 / (60 + F.col("rank_length")), 6)
+                    .alias("rrf"))
+            .orderBy(F.desc("rrf"), "doc_id").limit(10))

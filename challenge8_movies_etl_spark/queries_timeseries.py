@@ -651,3 +651,120 @@ def q_rolling_median(spark, sf_dir):
     return e.select(
         "event_id", "user_id",
         F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias("med7"))
+
+
+@query(
+    "q_outlier_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY 1
+    ),
+    mad AS (
+      SELECT e.event_type,
+             round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round(m.med, 4) AS med, round(d.mad, 4) AS mad
+    FROM events e
+    JOIN med m ON e.event_type = m.event_type
+    JOIN mad d ON e.event_type = d.event_type
+    WHERE abs(0.6745 * (e.value - m.med)) > 3.5 * d.mad
+    """,
+)
+def q_outlier_mad(spark, sf_dir):
+    """Modified-z-score outliers (Iglewicz-Hoaglin: 0.6745·(x−med)/MAD,
+    flag |z| > 3.5) — the robust companion to q_outlier_iqr with a
+    breakdown point of 50% (the MAD doesn't move until half the data
+    are outliers; quartile fences give up at 25%). Median and MAD are
+    pinned to a DECLARED 6-dp precision before the comparison (the
+    q_outlier_iqr ulp discipline: Spark and DuckDB interpolate medians
+    with different midpoint formulas).
+
+    Scale: two per-type exact-percentile aggregates (|event_type|-row
+    relations, broadcast back — the second pass computes |x−med| which
+    needs the first's result, inherent to MAD); the comparison is one
+    more fact scan. At 100 TB swap percentile→percentile_approx
+    (q_percentile_approx pattern) and the plan is unchanged."""
+    e = load_table(spark, sf_dir, "events")
+    med = (e.groupBy("event_type")
+           .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")))
+    j1 = e.join(F.broadcast(med), "event_type")
+    mad = (j1.groupBy("event_type")
+           .agg(F.round(F.expr(
+               "percentile(abs(value - med), 0.5)"), 6).alias("mad")))
+    return (j1.join(F.broadcast(mad), "event_type")
+            .where(F.abs(0.6745 * (F.col("value") - F.col("med")))
+                   > 3.5 * F.col("mad"))
+            .select("event_id", "event_type", "value",
+                    F.round("med", 4).alias("med"),
+                    F.round("mad", 4).alias("mad")))
+
+
+@query(
+    "q_ks_drift",
+    oracle="""
+    WITH pv AS (
+      SELECT event_type, value,
+             count(CASE WHEN event_id % 2 = 0 THEN 1 END) AS n_e,
+             count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_o
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, value,
+             sum(n_e) OVER w AS c_e, sum(n_o) OVER w AS c_o,
+             sum(n_e) OVER t AS t_e, sum(n_o) OVER t AS t_o
+      FROM pv
+      WINDOW w AS (PARTITION BY event_type ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             t AS (PARTITION BY event_type)
+    ),
+    d AS (
+      SELECT event_type, value,
+             round(abs(cast(c_e as double) / t_e
+                       - cast(c_o as double) / t_o), 6) AS diff
+      FROM cum
+    )
+    SELECT event_type,
+           max(diff) AS ks_stat,
+           min(CASE WHEN diff = md THEN value END) AS ks_at_value
+    FROM (SELECT *, max(diff) OVER (PARTITION BY event_type) AS md FROM d)
+    GROUP BY event_type
+    """,
+)
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift per event type (reference =
+    even event ids, current = odd, the q_drift_psi cohort split): the
+    KS statistic is the max absolute ECDF gap, with the value where the
+    max occurs (min such value — deterministic argmax). Complements PSI
+    with the binning-free distribution test.
+
+    Scale: both cohort ECDFs come from ONE pass — conditional counts
+    per (type, value), then a single per-type ordered window for the
+    cumulative sums (the sort every ECDF needs, partitioned by type,
+    never global). Integer cumulative counts are exact; the ratio diff
+    is identical IEEE math on both engines, rounded 6dp before the
+    max/argmax."""
+    e = load_table(spark, sf_dir, "events")
+    pv = (e.groupBy("event_type", "value")
+          .agg(F.count(F.when(F.col("event_id") % 2 == 0, 1)).alias("n_e"),
+               F.count(F.when(F.col("event_id") % 2 == 1, 1)).alias("n_o")))
+    w = (W.partitionBy("event_type").orderBy("value")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    t = W.partitionBy("event_type")
+    cum = pv.select(
+        "event_type", "value",
+        F.sum("n_e").over(w).alias("c_e"), F.sum("n_o").over(w).alias("c_o"),
+        F.sum("n_e").over(t).alias("t_e"), F.sum("n_o").over(t).alias("t_o"))
+    d = cum.select(
+        "event_type", "value",
+        F.round(F.abs(F.col("c_e").cast("double") / F.col("t_e")
+                      - F.col("c_o").cast("double") / F.col("t_o")), 6)
+        .alias("diff"))
+    d = d.withColumn("md", F.max("diff").over(t))
+    return (d.groupBy("event_type")
+            .agg(F.max("diff").alias("ks_stat"),
+                 F.min(F.when(F.col("diff") == F.col("md"),
+                              F.col("value"))).alias("ks_at_value")))
