@@ -47,3 +47,50 @@ def running_user_counter(stream_df: DataFrame) -> DataFrame:
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             ))
+
+
+def running_user_counter_tws(stream_df: DataFrame) -> DataFrame:
+    """Spark 4 transformWithStateInPandas twin of
+    :func:`running_user_counter` — the successor API: typed state
+    variables (ValueState) on a StatefulProcessor handle instead of a
+    single tuple, per-key timers, and state schema evolution. Same
+    semantics: per-user running (count, last-event-ts) snapshot emitted
+    each micro-batch; equivalence to the batch aggregate is asserted in
+    tests/test_stateful_streaming.py (skipped in this container: the
+    TWS driver worker requires the python protobuf package, which is
+    not installed and cannot be — the operator surface is real and the
+    test runs wherever protobuf exists).
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class Counter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("cnt", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, last_us = (self._state.get() if self._state.exists()
+                          else (0, 0))
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    last_us = max(
+                        last_us,
+                        int(pdf["ts"].astype("int64").max()) // 1000)
+            self._state.update((n, last_us))
+            yield pd.DataFrame({
+                "user_id": [key[0]],
+                "n_events": [n],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            })
+
+        def close(self) -> None:
+            pass
+
+    return (stream_df
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                Counter(),
+                outputStructType=OUTPUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            ))

@@ -59,3 +59,46 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     out = spark.table(name).collect()
     assert sorted(r["event_id"] for r in out) == [1, 2, 3]
+
+
+def _protobuf_available() -> bool:
+    # transformWithStateInPandas' driver worker speaks protobuf to the
+    # JVM state server; the container lacks the python protobuf package
+    # (no pip installs allowed), so the run crashes with
+    # "ImportError: cannot import name 'descriptor' from google.protobuf".
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+import pytest
+
+
+@pytest.mark.skipif(not _protobuf_available(), reason=(
+    "transformWithStateInPandas requires the python protobuf package, "
+    "absent from this container; operator surface kept real in "
+    "streaming/stateful.py, equivalence runs where protobuf exists"))
+def test_transform_with_state_counter(spark):
+    """transformWithStateInPandas (Spark 4 successor API) computes the
+    same per-user running counter as the batch aggregate."""
+    from challenge8_movies_etl_spark.streaming.stateful import (
+        running_user_counter_tws,
+    )
+
+    stream = replay_events_stream(spark, SF_SMOKE)
+    counted = running_user_counter_tws(stream)
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    q = (counted.writeStream.outputMode("update")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {r["user_id"]: (r["n_events"], r["last_ts"])
+           for r in spark.table(name).collect()}
+    e = load_table(spark, SF_SMOKE, "events")
+    want = {r["user_id"]: (r["n"], r["last_ts"])
+            for r in e.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.max("ts").alias("last_ts"))
+            .collect()}
+    assert got == want and len(got) > 0
