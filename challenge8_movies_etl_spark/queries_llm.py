@@ -1543,3 +1543,141 @@ def q_dedup_semantic(spark, sf_dir):
     return labels.select(
         F.col("id").alias("vec_id"), "cluster",
         (F.col("cluster") != F.col("id")).alias("is_dup"))
+
+
+@query(
+    "q_dedup_url",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://WWW.' || source || '.example.com/p/'
+               || cast(doc_id % 40 as varchar)
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '/?utm_source=feed&ref=' || cast(doc_id as varchar)
+                       WHEN doc_id % 3 = 1 THEN '/'
+                       ELSE '' END AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(lower(url), '^https?://(www\\.)?', ''),
+                 '[?#].*$', ''),
+               '/+$', '') AS curl
+      FROM urls
+    )
+    SELECT curl, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+    FROM canon GROUP BY curl HAVING count(*) > 1
+    """,
+)
+def q_dedup_url(spark, sf_dir):
+    """URL canonicalization dedup — the first pass of every web-corpus
+    pipeline: scheme/www-prefix strip, lowercase, query/fragment strip,
+    trailing-slash trim, then exact group on the canonical form (keep
+    min doc_id). Fixture docs carry no URL column, so deterministic
+    messy URLs (case, www, utm params, trailing slashes varying by
+    doc_id) are synthesized in-query from (source, doc_id) — both
+    engines build the identical strings, so the oracle checks the
+    CANONICALIZER, not the synthesis.
+
+    Scale: canonicalization is a codegen regex chain in the scan
+    projection; the group ships canonical-url + id only (same shuffle
+    shape as q_dedup_tokenset). Regexes stay in the Java∩RE2 subset."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://WWW."), F.col("source"), F.lit(".example.com/p/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("/?utm_source=feed&ref="),
+                        F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 3 == 1, F.lit("/"))
+        .otherwise(F.lit("")))
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(url), r"^https?://(www\.)?", ""),
+            r"[?#].*$", ""),
+        r"/+$", "")
+    return (d.select("doc_id", curl.alias("curl"))
+            .groupBy("curl")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("keep_doc_id"))
+            .filter(F.col("n_docs") > 1))
+
+
+@query(
+    "q_tfidf_cosine_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM tok WHERE term != '' GROUP BY 1, 2
+    ),
+    stats AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln((stats.n + 1.0) / (df.df + 1.0)) AS w
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats
+    ),
+    nrm AS (
+      SELECT doc_id,
+             sqrt(cast(sum(cast(w * w as {DEC})) as double)) AS nrm
+      FROM w GROUP BY 1
+    ),
+    u AS (
+      SELECT w.doc_id, w.term, w.w / nrm.nrm AS u
+      FROM w JOIN nrm ON w.doc_id = nrm.doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(cast(sum(cast(a.u * b.u as {DEC})) as double), 4) AS cos
+    FROM u a JOIN u b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING cast(sum(cast(a.u * b.u as {DEC})) as double) >= 0.9
+    """,
+)
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse TF-IDF cosine similarity join — the weighted-set rung of
+    the similarity ladder (dense embeddings: q_similarity_pairs; binary
+    token sets: q_dedup_ngram; THIS: tf-idf-weighted terms, the
+    classic sparse-vector near-dup/plagiarism detector). Per-doc
+    weights w = tf·ln((N+1)/(df+1)) are l2-normalized, pairwise cosine
+    is the posting equi-join on term summing u_a·u_b — the SAME
+    inverted-index economics as the co-count dedup (Σ|posting|² work,
+    hot terms down-weighted by idf exactly where they are posting-list
+    hot), with decimal-exact reductions so the scores hash-match.
+
+    Scale: idf needs one |vocab|-row aggregate; norms one |docs|-row
+    aggregate; the pair join shuffles (term, doc, weight) postings —
+    at 100 TB add the max_df valve (hot terms carry ~zero idf weight,
+    so dropping them from the join loses ~nothing of the score)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id",
+                   F.explode(F.split("text", " ")).alias("term"))
+    tf = (tok.filter(F.col("term") != "")
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    tf = tf.persist()
+    stats = tf.select(F.countDistinct("doc_id").alias("n"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = (tf.join(dfreq, "term").crossJoin(F.broadcast(stats))
+         .select("doc_id", "term",
+                 (F.col("tf") * F.log((F.col("n") + 1.0)
+                                      / (F.col("df") + 1.0))).alias("w")))
+    w = w.persist()
+    nrm = (w.groupBy("doc_id")
+           .agg(F.sqrt(F.sum((F.col("w") * F.col("w")).cast(DEC))
+                       .cast("double")).alias("nrm")))
+    u = (w.join(nrm, "doc_id")
+         .select("doc_id", "term", (F.col("w") / F.col("nrm")).alias("u")))
+    a, b = u.alias("ua"), u.alias("ub")
+    return (a.join(b, (F.col("ua.term") == F.col("ub.term"))
+                   & (F.col("ua.doc_id") < F.col("ub.doc_id")))
+            .groupBy(F.col("ua.doc_id").alias("doc_a"),
+                     F.col("ub.doc_id").alias("doc_b"))
+            .agg(F.sum((F.col("ua.u") * F.col("ub.u")).cast(DEC))
+                 .cast("double").alias("_c"))
+            .filter(F.col("_c") >= 0.9)
+            .select("doc_a", "doc_b", F.round("_c", 4).alias("cos")))
