@@ -496,3 +496,41 @@ def q_percentile_approx(spark, sf_dir):
                  F.round(pa[1], 2).alias("p90_approx"),
                  F.round(pa[2], 2).alias("p99_approx"),
                  F.count("*").alias("n")))
+
+
+@query("q_hll_intersection")  # rows-only: sketch estimates are engine-specific
+def q_hll_intersection(spark, sf_dir):
+    """Cross-cohort audience overlap from sketches alone: one HLL
+    sketch of user_id per event_type (map-side-combinable agg), then
+    every cohort pair's |A∩B| estimated by inclusion-exclusion
+    (est(A)+est(B)−est(A∪B)) where A∪B is an hll_union of the two
+    sketches — no rescan of the fact table for any of the
+    |types|²/2 pairs. The sketch-rollup family's intersection member
+    (cf. q_agg_sketch_reagg's union rollup, q_minhash_reagg's Jaccard).
+    Rows-only by design (sketch layouts are engine-specific); relative
+    error vs the exact distinct-intersection twin is pinned in
+    tests/test_operators.py.
+
+    Scale: the pair join runs on the |types|-row persisted sketch
+    relation; sketches are ~KB each regardless of cohort size."""
+    e = load_table(spark, sf_dir, "events")
+    sk = (e.groupBy("event_type")
+          .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"),
+               F.countDistinct("user_id").alias("n_exact"))
+          .persist())
+    a = sk.select(F.col("event_type").alias("type_a"),
+                  F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("event_type").alias("type_b"),
+                  F.col("sk").alias("sk_b"))
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    est = ("cast(round(hll_sketch_estimate(sk_a) "
+           "+ hll_sketch_estimate(sk_b) "
+           "- hll_sketch_estimate(hll_union(sk_a, sk_b))) as bigint)")
+    return (pairs.select(
+        "type_a", "type_b",
+        F.expr("cast(round(hll_sketch_estimate(sk_a)) as bigint)")
+        .alias("est_a"),
+        F.expr("cast(round(hll_sketch_estimate(sk_b)) as bigint)")
+        .alias("est_b"),
+        F.expr(est).alias("est_overlap"))
+        .orderBy("type_a", "type_b"))

@@ -164,3 +164,34 @@ def q_window_frames(spark, sf_dir):
         F.first("o_orderkey").over(w_date).alias("first_order"),
         F.last("o_orderkey").over(w_date).alias("last_order"),
     )
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey)
+               AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark, sf_dir):
+    """Top-3 orders per priority — the per-GROUP twin of q_topk's
+    global TakeOrderedAndProject. The rank filter compiles to Spark's
+    WindowGroupLimit: each partition keeps a 3-row heap per group
+    BEFORE the exchange, so the shuffle carries ≤ k·|groups| rows per
+    map task instead of the whole fact table — the optimization that
+    makes per-key top-k viable at 100 TB (plan-gated in
+    tests/test_plans.py). Total order (price desc, key) keeps both
+    engines' row_number deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (W.partitionBy("o_orderpriority")
+         .orderBy(F.desc("o_totalprice"), "o_orderkey"))
+    return (o.select("o_orderpriority", "o_orderkey", "o_totalprice",
+                     F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= 3)
+            .drop("rn"))

@@ -138,3 +138,32 @@ def test_percentile_approx_error_bound(spark):
         assert abs(a["p50_approx"] - p50) / p50 < 0.02
         assert abs(a["p90_approx"] - p90) / p90 < 0.02
         assert abs(a["p99_approx"] - p99) / p99 < 0.02
+
+
+def test_hll_intersection_error_bound(spark):
+    """Sketch-only overlap estimates stay within a few percent of the
+    exact distinct-intersection (inclusion-exclusion compounds the
+    ~0.4% HLL(14) error of three estimates; 5% is a safe gate)."""
+    from pyspark.sql import functions as F
+
+    from challenge8_movies_etl_spark.registry import QUERIES, load_all
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+    load_all()
+
+    est = {(r["type_a"], r["type_b"]): r["est_overlap"]
+           for r in QUERIES["q_hll_intersection"](spark, SF_SMOKE).collect()}
+    e = load_table(spark, SF_SMOKE, "events")
+    users = (e.select("event_type", "user_id").distinct())
+    ua = users.select(F.col("event_type").alias("type_a"),
+                      "user_id")
+    ub = users.select(F.col("event_type").alias("type_b"),
+                      "user_id")
+    exact = {(r["type_a"], r["type_b"]): r["n"]
+             for r in ua.join(ub, "user_id")
+             .filter(F.col("type_a") < F.col("type_b"))
+             .groupBy("type_a", "type_b")
+             .agg(F.count("*").alias("n")).collect()}
+    assert set(est) == set(exact) and len(est) >= 3
+    for pair, n_est in est.items():
+        n_true = exact[pair]
+        assert abs(n_est - n_true) <= max(0.05 * n_true, 5), (pair, n_est, n_true)

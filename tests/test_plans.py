@@ -285,3 +285,12 @@ def test_group_split_no_join(spark):
     any join in this plan means someone materialized a group table."""
     p = plan(spark, "q_split_group_aware")
     assert "Join" not in p, p
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    """q_topk_per_group: the rank<=k filter must push a per-partition
+    group limit below the exchange (WindowGroupLimit) — shuffling the
+    whole fact table to rank it is the plan this query exists to
+    avoid."""
+    p = plan(spark, "q_topk_per_group")
+    assert "WindowGroupLimit" in p, p

@@ -35,5 +35,5 @@ def test_every_query_has_oracle_or_is_documented():
                "q_embed_pca",
                # engine-specific sketch; error bound vs exact twin
                # pinned in tests/test_operators.py
-               "q_percentile_approx"}
+               "q_percentile_approx", "q_hll_intersection"}
     assert rows_only <= allowed, rows_only
