@@ -154,14 +154,66 @@ def q_dedup_ngram(spark, sf_dir):
                                tau=0.2, size_band=10)
 
 
-@query("q_dedup_minhash")  # rows-only: murmur3-based sketch
-def q_dedup_minhash(spark, sf_dir):
-    """MinHash(16) + 4-band LSH candidate pairs, exact-Jaccard verified
-    at >= 0.2 — the scale path for q_dedup_ngram: candidate generation
-    is an equi-join on band buckets (shuffle = (id, bucket) pairs), the
-    quadratic step is per-bucket only. Rows-only: murmur3 seeds are
-    engine-specific; tests assert candidates ⊇ high-Jaccard truth
-    (tests/test_llm_ops.py)."""
+_MINHASH_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT d.doc_id,
+             list_sort(list_distinct(list(d.t[gs.i] || ' ' || d.t[gs.i + 1])))
+               AS g
+      FROM toks d JOIN range(1, 100000) gs(i) ON gs.i <= len(d.t) - 1
+      GROUP BY d.doc_id
+    ),
+    gexp AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+    sig AS (
+      SELECT doc_id,
+             min(cast(('0x' || substring(md5(gram || ':0'), 1, 15)) as bigint)) AS s0,
+             min(cast(('0x' || substring(md5(gram || ':1'), 1, 15)) as bigint)) AS s1,
+             min(cast(('0x' || substring(md5(gram || ':2'), 1, 15)) as bigint)) AS s2,
+             min(cast(('0x' || substring(md5(gram || ':3'), 1, 15)) as bigint)) AS s3,
+             min(cast(('0x' || substring(md5(gram || ':4'), 1, 15)) as bigint)) AS s4,
+             min(cast(('0x' || substring(md5(gram || ':5'), 1, 15)) as bigint)) AS s5,
+             min(cast(('0x' || substring(md5(gram || ':6'), 1, 15)) as bigint)) AS s6,
+             min(cast(('0x' || substring(md5(gram || ':7'), 1, 15)) as bigint)) AS s7,
+             min(cast(('0x' || substring(md5(gram || ':8'), 1, 15)) as bigint)) AS s8,
+             min(cast(('0x' || substring(md5(gram || ':9'), 1, 15)) as bigint)) AS s9,
+             min(cast(('0x' || substring(md5(gram || ':10'), 1, 15)) as bigint)) AS s10,
+             min(cast(('0x' || substring(md5(gram || ':11'), 1, 15)) as bigint)) AS s11,
+             min(cast(('0x' || substring(md5(gram || ':12'), 1, 15)) as bigint)) AS s12,
+             min(cast(('0x' || substring(md5(gram || ':13'), 1, 15)) as bigint)) AS s13,
+             min(cast(('0x' || substring(md5(gram || ':14'), 1, 15)) as bigint)) AS s14,
+             min(cast(('0x' || substring(md5(gram || ':15'), 1, 15)) as bigint)) AS s15
+      FROM gexp GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, 0 AS band, md5(cast(s0 as varchar) || ',' || cast(s1 as varchar) || ',' || cast(s2 as varchar) || ',' || cast(s3 as varchar)) AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, md5(cast(s4 as varchar) || ',' || cast(s5 as varchar) || ',' || cast(s6 as varchar) || ',' || cast(s7 as varchar)) AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, 2 AS band, md5(cast(s8 as varchar) || ',' || cast(s9 as varchar) || ',' || cast(s10 as varchar) || ',' || cast(s11 as varchar)) AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, 3 AS band, md5(cast(s12 as varchar) || ',' || cast(s13 as varchar) || ',' || cast(s14 as varchar) || ',' || cast(s15 as varchar)) AS bucket FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(cast(len(list_intersect(ga.g, gb.g)) as double)
+                 / (len(ga.g) + len(gb.g)
+                    - len(list_intersect(ga.g, gb.g))), 4) AS jac
+    FROM cand c
+    JOIN grams ga ON ga.doc_id = c.id_a
+    JOIN grams gb ON gb.doc_id = c.id_b
+    WHERE cast(len(list_intersect(ga.g, gb.g)) as double)
+          / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))) >= 0.2
+    ORDER BY c.id_a, c.id_b
+    """
+
+
+def _minhash_lsh_verified(spark, sf_dir, portable: bool):
     d = load_table(spark, sf_dir, "documents")
     # the gram relation feeds three branches (signatures + both verify
     # sides); persist so shingling runs once, not three times (measured
@@ -171,7 +223,8 @@ def q_dedup_minhash(spark, sf_dir):
     # table, the standard shape for multi-pass dedup.
     g = (d.select("doc_id", word_ngrams(F.col("text"), 2).alias("g"))
          .persist())
-    cand = lsh_candidate_pairs(g, "doc_id", "g", n_hashes=16, bands=4)
+    cand = lsh_candidate_pairs(g, "doc_id", "g", n_hashes=16, bands=4,
+                               portable=portable)
     ga = g.select(F.col("doc_id").alias("id_a"), F.col("g").alias("g_a"))
     gb = g.select(F.col("doc_id").alias("id_b"), F.col("g").alias("g_b"))
     verified = (cand.join(ga, "id_a").join(gb, "id_b")
@@ -180,6 +233,31 @@ def q_dedup_minhash(spark, sf_dir):
                         .alias("jac"))
                 .filter(F.col("jac") >= 0.2))
     return verified.orderBy("id_a", "id_b")
+
+
+@query("q_dedup_minhash")  # rows-only: murmur3 sketch (production path)
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash(16) + 4-band LSH candidate pairs, exact-Jaccard verified
+    at >= 0.2 — the scale path for q_dedup_ngram: candidate generation
+    is an equi-join on band buckets (shuffle = (id, bucket) pairs), the
+    quadratic step is per-bucket only. Rows-only: murmur3 seeds are
+    engine-internal (~8x cheaper than the portable hash — 1.3 s vs
+    10 s at sf0.1); tests assert candidates ⊇ high-Jaccard truth
+    (tests/test_llm_ops.py), and the IDENTICAL pipeline is value-hash-
+    checked end-to-end via q_dedup_minhash_portable."""
+    return _minhash_lsh_verified(spark, sf_dir, portable=False)
+
+
+@query("q_dedup_minhash_portable", oracle=_MINHASH_ORACLE)
+def q_dedup_minhash_portable(spark, sf_dir):
+    """The q_dedup_minhash pipeline with the engine-PORTABLE md5-derived
+    per-seed hash (operators/dedup.minhash_signature portable=True):
+    signatures, band buckets, candidate set, and verified pairs are all
+    value-hash-checked against a DuckDB oracle computing the identical
+    sketch — the probabilistic dedup rung graduated from rows-only to
+    fully oracle-checked. The murmur3 twin stays the production path;
+    this one exists to PROVE the pipeline, at ~8x hash cost."""
+    return _minhash_lsh_verified(spark, sf_dir, portable=True)
 
 
 @query("q_dedup_simhash")  # rows-only: xxhash64-based sketch
