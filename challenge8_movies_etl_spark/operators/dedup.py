@@ -8,9 +8,11 @@ mandated by the north star (BASELINE.json:6). Ladder of fidelity:
 - MinHash + LSH            → probabilistic candidates, exact verify
 - SimHash                  → 64-bit sketch + hamming banding
 
-MinHash/SimHash use Spark's murmur3 (F.hash) — engine-specific, so
-their queries are declared rows-only; the exact variants carry the
-DuckDB oracles.
+MinHash/SimHash production paths use Spark's engine-internal hashes
+(murmur3 F.hash / F.xxhash64 — cheap, rows-only queries with
+candidates ⊇ truth tests); each has a PORTABLE md5-derived twin
+(q_dedup_minhash_portable / q_dedup_simhash_portable) whose entire
+sketch pipeline is value-hash-checked against the DuckDB oracle.
 
 Scale: every variant is blocked (signature / band / length) so the
 worst case is per-block quadratic, never global — the property that
@@ -135,8 +137,38 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str, shingle_col: str,
 
 
 # ---------------------------------------------------------------------------
-# SimHash (rows-only)
+# SimHash (rows-only; portable twin below is oracle-checked)
 # ---------------------------------------------------------------------------
+
+
+def md5_hash60(t: Column) -> Column:
+    """60-bit engine-portable token hash: first 15 hex nibbles of md5."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+
+
+def simhash_from_hashes(hashes_col: str, bits: int = 60) -> Column:
+    """SimHash signature from a PRE-MATERIALIZED hash array column
+    (named attribute): ONE aggregate with an array-of-counters
+    accumulator — per token, zip-add its ±1 bit contributions; then
+    fold the counter signs into the signature long. A per-bit-aggregate
+    formulation (``bits`` separate aggregates) was measured 10x slower
+    (6.5 s vs 0.6 s at sf0.01): each aggregate re-walks the array and
+    the 60-way expression tree blows up codegen. The hash array must be
+    a real column so the single pass reads an attribute, not a
+    re-hashed transform (SCALE.md HOF re-evaluation trap)."""
+    return F.expr(f"""
+        aggregate(
+          zip_with(
+            aggregate({hashes_col}, array_repeat(0L, {bits}),
+                      (acc, h) -> zip_with(acc,
+                          transform(sequence(0, {bits - 1}),
+                                    i -> CASE WHEN (h >> i) & 1 = 1
+                                         THEN 1L ELSE -1L END),
+                          (a, c) -> a + c)),
+            sequence(0, {bits - 1}),
+            (b, i) -> CASE WHEN b > 0 THEN shiftleft(1L, i) ELSE 0L END),
+          0L, (acc, x) -> acc + x)
+    """)
 
 
 def simhash64(tokens: Column) -> Column:
@@ -168,7 +200,8 @@ def hamming64(a: Column, b: Column) -> Column:
 
 def simhash_candidate_pairs(sigs: DataFrame, id_col: str, sig_col: str,
                             block_col: str | None = None,
-                            max_dist: int = 3, bands: int = 4) -> DataFrame:
+                            max_dist: int = 3, bands: int = 4,
+                            sig_bits: int = 64) -> DataFrame:
     """Banded SimHash near-neighbor pairs (Manku et al., WWW'07 §3
     fingerprint-block design). Split the 64-bit signature into
     ``bands`` equal chunks; any pair within Hamming distance
@@ -187,7 +220,7 @@ def simhash_candidate_pairs(sigs: DataFrame, id_col: str, sig_col: str,
         raise ValueError(
             f"pigeonhole guarantee needs bands > max_dist "
             f"(got bands={bands}, max_dist={max_dist})")
-    width = 64 // bands
+    width = sig_bits // bands
     mask = (1 << width) - 1
     keep = [id_col, sig_col] + ([block_col] if block_col else [])
     banded = sigs.select(

@@ -285,6 +285,150 @@ def q_dedup_simhash(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _simhash_portable_oracle() -> str:
+    return """
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, lang,
+             cast(('0x' || substring(md5(t), 1, 15)) as bigint) AS hv
+      FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, lang,
+             sum(CASE WHEN (hv >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS b0,
+             sum(CASE WHEN (hv >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS b1,
+             sum(CASE WHEN (hv >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS b2,
+             sum(CASE WHEN (hv >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS b3,
+             sum(CASE WHEN (hv >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS b4,
+             sum(CASE WHEN (hv >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS b5,
+             sum(CASE WHEN (hv >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS b6,
+             sum(CASE WHEN (hv >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS b7,
+             sum(CASE WHEN (hv >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS b8,
+             sum(CASE WHEN (hv >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS b9,
+             sum(CASE WHEN (hv >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS b10,
+             sum(CASE WHEN (hv >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS b11,
+             sum(CASE WHEN (hv >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS b12,
+             sum(CASE WHEN (hv >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS b13,
+             sum(CASE WHEN (hv >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS b14,
+             sum(CASE WHEN (hv >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS b15,
+             sum(CASE WHEN (hv >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS b16,
+             sum(CASE WHEN (hv >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS b17,
+             sum(CASE WHEN (hv >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS b18,
+             sum(CASE WHEN (hv >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS b19,
+             sum(CASE WHEN (hv >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS b20,
+             sum(CASE WHEN (hv >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS b21,
+             sum(CASE WHEN (hv >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS b22,
+             sum(CASE WHEN (hv >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS b23,
+             sum(CASE WHEN (hv >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS b24,
+             sum(CASE WHEN (hv >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS b25,
+             sum(CASE WHEN (hv >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS b26,
+             sum(CASE WHEN (hv >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS b27,
+             sum(CASE WHEN (hv >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS b28,
+             sum(CASE WHEN (hv >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS b29,
+             sum(CASE WHEN (hv >> 30) & 1 = 1 THEN 1 ELSE -1 END) AS b30,
+             sum(CASE WHEN (hv >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS b31,
+             sum(CASE WHEN (hv >> 32) & 1 = 1 THEN 1 ELSE -1 END) AS b32,
+             sum(CASE WHEN (hv >> 33) & 1 = 1 THEN 1 ELSE -1 END) AS b33,
+             sum(CASE WHEN (hv >> 34) & 1 = 1 THEN 1 ELSE -1 END) AS b34,
+             sum(CASE WHEN (hv >> 35) & 1 = 1 THEN 1 ELSE -1 END) AS b35,
+             sum(CASE WHEN (hv >> 36) & 1 = 1 THEN 1 ELSE -1 END) AS b36,
+             sum(CASE WHEN (hv >> 37) & 1 = 1 THEN 1 ELSE -1 END) AS b37,
+             sum(CASE WHEN (hv >> 38) & 1 = 1 THEN 1 ELSE -1 END) AS b38,
+             sum(CASE WHEN (hv >> 39) & 1 = 1 THEN 1 ELSE -1 END) AS b39,
+             sum(CASE WHEN (hv >> 40) & 1 = 1 THEN 1 ELSE -1 END) AS b40,
+             sum(CASE WHEN (hv >> 41) & 1 = 1 THEN 1 ELSE -1 END) AS b41,
+             sum(CASE WHEN (hv >> 42) & 1 = 1 THEN 1 ELSE -1 END) AS b42,
+             sum(CASE WHEN (hv >> 43) & 1 = 1 THEN 1 ELSE -1 END) AS b43,
+             sum(CASE WHEN (hv >> 44) & 1 = 1 THEN 1 ELSE -1 END) AS b44,
+             sum(CASE WHEN (hv >> 45) & 1 = 1 THEN 1 ELSE -1 END) AS b45,
+             sum(CASE WHEN (hv >> 46) & 1 = 1 THEN 1 ELSE -1 END) AS b46,
+             sum(CASE WHEN (hv >> 47) & 1 = 1 THEN 1 ELSE -1 END) AS b47,
+             sum(CASE WHEN (hv >> 48) & 1 = 1 THEN 1 ELSE -1 END) AS b48,
+             sum(CASE WHEN (hv >> 49) & 1 = 1 THEN 1 ELSE -1 END) AS b49,
+             sum(CASE WHEN (hv >> 50) & 1 = 1 THEN 1 ELSE -1 END) AS b50,
+             sum(CASE WHEN (hv >> 51) & 1 = 1 THEN 1 ELSE -1 END) AS b51,
+             sum(CASE WHEN (hv >> 52) & 1 = 1 THEN 1 ELSE -1 END) AS b52,
+             sum(CASE WHEN (hv >> 53) & 1 = 1 THEN 1 ELSE -1 END) AS b53,
+             sum(CASE WHEN (hv >> 54) & 1 = 1 THEN 1 ELSE -1 END) AS b54,
+             sum(CASE WHEN (hv >> 55) & 1 = 1 THEN 1 ELSE -1 END) AS b55,
+             sum(CASE WHEN (hv >> 56) & 1 = 1 THEN 1 ELSE -1 END) AS b56,
+             sum(CASE WHEN (hv >> 57) & 1 = 1 THEN 1 ELSE -1 END) AS b57,
+             sum(CASE WHEN (hv >> 58) & 1 = 1 THEN 1 ELSE -1 END) AS b58,
+             sum(CASE WHEN (hv >> 59) & 1 = 1 THEN 1 ELSE -1 END) AS b59
+      FROM h GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT doc_id, lang, CASE WHEN b0 > 0 THEN (1::BIGINT << 0) ELSE 0 END + CASE WHEN b1 > 0 THEN (1::BIGINT << 1) ELSE 0 END + CASE WHEN b2 > 0 THEN (1::BIGINT << 2) ELSE 0 END + CASE WHEN b3 > 0 THEN (1::BIGINT << 3) ELSE 0 END + CASE WHEN b4 > 0 THEN (1::BIGINT << 4) ELSE 0 END + CASE WHEN b5 > 0 THEN (1::BIGINT << 5) ELSE 0 END + CASE WHEN b6 > 0 THEN (1::BIGINT << 6) ELSE 0 END + CASE WHEN b7 > 0 THEN (1::BIGINT << 7) ELSE 0 END + CASE WHEN b8 > 0 THEN (1::BIGINT << 8) ELSE 0 END + CASE WHEN b9 > 0 THEN (1::BIGINT << 9) ELSE 0 END + CASE WHEN b10 > 0 THEN (1::BIGINT << 10) ELSE 0 END + CASE WHEN b11 > 0 THEN (1::BIGINT << 11) ELSE 0 END + CASE WHEN b12 > 0 THEN (1::BIGINT << 12) ELSE 0 END + CASE WHEN b13 > 0 THEN (1::BIGINT << 13) ELSE 0 END + CASE WHEN b14 > 0 THEN (1::BIGINT << 14) ELSE 0 END + CASE WHEN b15 > 0 THEN (1::BIGINT << 15) ELSE 0 END + CASE WHEN b16 > 0 THEN (1::BIGINT << 16) ELSE 0 END + CASE WHEN b17 > 0 THEN (1::BIGINT << 17) ELSE 0 END + CASE WHEN b18 > 0 THEN (1::BIGINT << 18) ELSE 0 END + CASE WHEN b19 > 0 THEN (1::BIGINT << 19) ELSE 0 END + CASE WHEN b20 > 0 THEN (1::BIGINT << 20) ELSE 0 END + CASE WHEN b21 > 0 THEN (1::BIGINT << 21) ELSE 0 END + CASE WHEN b22 > 0 THEN (1::BIGINT << 22) ELSE 0 END + CASE WHEN b23 > 0 THEN (1::BIGINT << 23) ELSE 0 END + CASE WHEN b24 > 0 THEN (1::BIGINT << 24) ELSE 0 END + CASE WHEN b25 > 0 THEN (1::BIGINT << 25) ELSE 0 END + CASE WHEN b26 > 0 THEN (1::BIGINT << 26) ELSE 0 END + CASE WHEN b27 > 0 THEN (1::BIGINT << 27) ELSE 0 END + CASE WHEN b28 > 0 THEN (1::BIGINT << 28) ELSE 0 END + CASE WHEN b29 > 0 THEN (1::BIGINT << 29) ELSE 0 END + CASE WHEN b30 > 0 THEN (1::BIGINT << 30) ELSE 0 END + CASE WHEN b31 > 0 THEN (1::BIGINT << 31) ELSE 0 END + CASE WHEN b32 > 0 THEN (1::BIGINT << 32) ELSE 0 END + CASE WHEN b33 > 0 THEN (1::BIGINT << 33) ELSE 0 END + CASE WHEN b34 > 0 THEN (1::BIGINT << 34) ELSE 0 END + CASE WHEN b35 > 0 THEN (1::BIGINT << 35) ELSE 0 END + CASE WHEN b36 > 0 THEN (1::BIGINT << 36) ELSE 0 END + CASE WHEN b37 > 0 THEN (1::BIGINT << 37) ELSE 0 END + CASE WHEN b38 > 0 THEN (1::BIGINT << 38) ELSE 0 END + CASE WHEN b39 > 0 THEN (1::BIGINT << 39) ELSE 0 END + CASE WHEN b40 > 0 THEN (1::BIGINT << 40) ELSE 0 END + CASE WHEN b41 > 0 THEN (1::BIGINT << 41) ELSE 0 END + CASE WHEN b42 > 0 THEN (1::BIGINT << 42) ELSE 0 END + CASE WHEN b43 > 0 THEN (1::BIGINT << 43) ELSE 0 END + CASE WHEN b44 > 0 THEN (1::BIGINT << 44) ELSE 0 END + CASE WHEN b45 > 0 THEN (1::BIGINT << 45) ELSE 0 END + CASE WHEN b46 > 0 THEN (1::BIGINT << 46) ELSE 0 END + CASE WHEN b47 > 0 THEN (1::BIGINT << 47) ELSE 0 END + CASE WHEN b48 > 0 THEN (1::BIGINT << 48) ELSE 0 END + CASE WHEN b49 > 0 THEN (1::BIGINT << 49) ELSE 0 END + CASE WHEN b50 > 0 THEN (1::BIGINT << 50) ELSE 0 END + CASE WHEN b51 > 0 THEN (1::BIGINT << 51) ELSE 0 END + CASE WHEN b52 > 0 THEN (1::BIGINT << 52) ELSE 0 END + CASE WHEN b53 > 0 THEN (1::BIGINT << 53) ELSE 0 END + CASE WHEN b54 > 0 THEN (1::BIGINT << 54) ELSE 0 END + CASE WHEN b55 > 0 THEN (1::BIGINT << 55) ELSE 0 END + CASE WHEN b56 > 0 THEN (1::BIGINT << 56) ELSE 0 END + CASE WHEN b57 > 0 THEN (1::BIGINT << 57) ELSE 0 END + CASE WHEN b58 > 0 THEN (1::BIGINT << 58) ELSE 0 END + CASE WHEN b59 > 0 THEN (1::BIGINT << 59) ELSE 0 END AS sh FROM bits
+    ),
+    banded AS (
+      SELECT doc_id, lang, sh, 0 AS band, (sh >> 0) & 32767 AS bv FROM sig
+      UNION ALL
+      SELECT doc_id, lang, sh, 1 AS band, (sh >> 15) & 32767 AS bv FROM sig
+      UNION ALL
+      SELECT doc_id, lang, sh, 2 AS band, (sh >> 30) & 32767 AS bv FROM sig
+      UNION ALL
+      SELECT doc_id, lang, sh, 3 AS band, (sh >> 45) & 32767 AS bv FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sh AS sh_a, b.sh AS sh_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bv = b.bv AND a.lang = b.lang
+       AND a.doc_id < b.doc_id
+    ),
+    close_pairs AS (
+      SELECT id_a, id_b FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    ),
+    cnt AS (
+      SELECT doc_id, count(*) AS n_close FROM (
+        SELECT id_a AS doc_id FROM close_pairs
+        UNION ALL
+        SELECT id_b AS doc_id FROM close_pairs
+      ) GROUP BY 1
+    )
+    SELECT s.doc_id, s.sh, coalesce(c.n_close, 0) AS n_close
+    FROM sig s LEFT JOIN cnt c ON s.doc_id = c.doc_id
+    ORDER BY s.doc_id
+    """
+
+
+@query("q_dedup_simhash_portable", oracle=_simhash_portable_oracle())
+def q_dedup_simhash_portable(spark, sf_dir):
+    """The q_dedup_simhash pipeline with a 60-bit md5-derived token
+    hash (operators/dedup.md5_hash60): signature bits, Manku band
+    buckets, candidate pairs, hamming verification and the per-doc
+    neighbor counts are all value-hash-checked against a DuckDB oracle
+    computing the identical sketch — the SimHash rung's portable twin
+    (cf. q_dedup_minhash_portable). The xxhash64 form stays the
+    production path (cheaper hash). The token-hash array is
+    pre-materialized as a real column so the 60 per-bit aggregates
+    read an attribute instead of re-hashing every token per bit
+    (SCALE.md HOF re-evaluation trap)."""
+    from .operators.dedup import (
+        md5_hash60,
+        simhash_candidate_pairs,
+        simhash_from_hashes,
+    )
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select("doc_id", "lang",
+                 F.transform(tokens(F.col("text")),
+                             md5_hash60).alias("hv"))
+    s = h.select("doc_id", "lang",
+                 simhash_from_hashes("hv", 60).alias("sh"))
+    pairs = simhash_candidate_pairs(s, "doc_id", "sh", block_col="lang",
+                                    max_dist=3, bands=4, sig_bits=60)
+    both = (pairs.select(F.col("id_a").alias("doc_id"))
+            .unionAll(pairs.select(F.col("id_b").alias("doc_id"))))
+    close = both.groupBy("doc_id").agg(F.count("*").alias("n_close"))
+    return (s.join(close, "doc_id", "left")
+            .select("doc_id", "sh",
+                    F.coalesce("n_close", F.lit(0)).alias("n_close"))
+            .orderBy("doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
