@@ -1903,3 +1903,69 @@ def q_tfidf_cosine_pairs(spark, sf_dir):
                  .cast("double").alias("_c"))
             .filter(F.col("_c") >= 0.9)
             .select("doc_a", "doc_b", F.round("_c", 4).alias("cos")))
+
+
+@query(
+    "q_text_winnowing",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+               i -> list_reduce(
+                 list_prepend(0::BIGINT,
+                   list_transform(range(0, 8),
+                     j -> ascii(substring(text, i + j, 1))::BIGINT)),
+                 (acc, x) -> (acc * 131 + x) % 1000000007)) AS hs
+      FROM documents WHERE length(text) >= 11
+    ),
+    fp AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(hs) - 2),
+               i -> list_min(hs[i:i+3]))) AS fps
+      FROM g
+    )
+    SELECT doc_id,
+           len(fps) AS n_fps,
+           list_min(fps) AS fp_min,
+           list_max(fps) AS fp_max,
+           cast(list_sum(fps) as bigint) AS fp_sum
+    FROM fp
+    """,
+)
+def q_text_winnowing(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS local fingerprinting algorithm): polynomial rolling-hash
+    values over character 8-grams (h = fold (acc·131 + code) mod 1e9+7
+    — the Karp-Rabin hash family), then the minimum hash of every
+    window of 4 consecutive gram hashes, deduplicated — the guarantee
+    is that any substring match of length >= w+k-1 = 11 shares at least
+    one selected fingerprint between documents. Exact integer
+    arithmetic end-to-end, so the fingerprint sets hash-match across
+    engines (summarized as count/min/max/checksum per doc).
+
+    Scale: pure per-row array expressions, zero shuffle. The per-gram
+    fold here is O(k) per position (columnar engines can't express the
+    O(1) rolling recurrence); the mapInPandas path would vectorize the
+    true O(n) prefix-hash recurrence when k grows — same fingerprints,
+    same downstream."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.filter(F.length("text") >= 11)
+    hs = F.expr("""
+        transform(sequence(1, greatest(length(text) - 7, 1)),
+          i -> aggregate(sequence(0, 7), 0L,
+                 (acc, j) -> (acc * 131
+                              + ascii(substring(text, i + j, 1)))
+                             % 1000000007))
+    """)
+    fps = F.expr("""
+        array_distinct(transform(sequence(1, size(hs) - 3),
+          i -> array_min(slice(hs, i, 4))))
+    """)
+    return (d.select("doc_id", hs.alias("hs"))
+            .select("doc_id", fps.alias("fps"))
+            .select("doc_id",
+                    F.size("fps").alias("n_fps"),
+                    F.array_min("fps").alias("fp_min"),
+                    F.array_max("fps").alias("fp_max"),
+                    F.expr("aggregate(fps, 0L, (a, x) -> a + x)")
+                    .alias("fp_sum")))

