@@ -1005,3 +1005,31 @@ def q_quantile_bucket(spark, sf_dir):
             .agg(F.count("*").alias("n_docs"),
                  F.min("n_chars").alias("lo_chars"),
                  F.max("n_chars").alias("hi_chars")))
+
+
+@query(
+    "q_sample_bottomk",
+    oracle="""
+    SELECT doc_id, lang,
+           md5(cast(doc_id as varchar) || ':bk') AS rk
+    FROM documents
+    ORDER BY rk, doc_id
+    LIMIT 100
+    """,
+)
+def q_sample_bottomk(spark, sf_dir):
+    """Deterministic uniform sample via bottom-k hashing: rank every
+    row by md5(key) and keep the k smallest — the reproducible,
+    engine-portable replacement for reservoir/rand() sampling (same
+    principle as bottom-k distinct sketches: a keyed hash IS a uniform
+    [0,1) draw). Unlike q_sample_weighted's Bernoulli form, the output
+    size is exactly k regardless of corpus size.
+
+    Scale: compiles to TakeOrderedAndProject — each partition keeps its
+    k smallest hashes, the driver merges; no global sort, no second
+    pass, and adding data only changes the sample incrementally (the
+    bottom-k property streaming samplers rely on)."""
+    d = load_table(spark, sf_dir, "documents")
+    rk = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":bk")))
+    return (d.select("doc_id", "lang", rk.alias("rk"))
+            .orderBy("rk", "doc_id").limit(100))
