@@ -609,3 +609,47 @@ def q_sql_lateral(spark, sf_dir):
     for t in ("nation", "customer"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_LATERAL_SQL)
+
+
+_RECURSIVE_SQL = """
+    WITH RECURSIVE edges AS (
+      SELECT 'R' || cast(n_regionkey as varchar(30)) AS parent,
+             'N' || cast(n_nationkey as varchar(30)) AS child
+      FROM nation
+      UNION ALL
+      SELECT 'N' || cast(c_nationkey as varchar(30)) AS parent,
+             'C' || cast(c_custkey as varchar(30)) AS child
+      FROM customer
+    ),
+    anc(root, node) AS (
+      SELECT parent, child FROM edges WHERE parent LIKE 'R%'
+      UNION ALL
+      SELECT a.root, e.child
+      FROM anc a JOIN edges e ON e.parent = a.node
+    )
+    SELECT a.root AS region_key,
+           count(*) AS n_customers,
+           round(cast(sum(cast(c.c_acctbal as decimal(30,10)))
+                 as double), 4) AS sum_acctbal
+    FROM anc a JOIN customer c
+      ON a.node = 'C' || cast(c.c_custkey as varchar(30))
+    GROUP BY a.root
+    ORDER BY a.root
+    """
+
+
+@query("q_sql_recursive", oracle=_RECURSIVE_SQL)
+def q_sql_recursive(spark, sf_dir):
+    """Recursive CTE surface (WITH RECURSIVE — new in Spark 4):
+    transitive descent of the region → nation → customer hierarchy as
+    ONE raw SQL text executed verbatim by both engines (the
+    q_sql_surface pattern), rolling every customer up to its region
+    with a decimal-exact balance sum. The recursion is over a TREE, so
+    the working set is bounded by |nodes|·depth — no path explosion —
+    and fixed-point termination needs no manual depth cap. The
+    driver-orchestrated iterative twins (q_graph_bfs, q_graph_pagerank,
+    q_dedup_clusters) remain the scale path for general graphs; this is
+    the declarative-recursion entry point a SQL-first user gets."""
+    for t in ("nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_RECURSIVE_SQL)
