@@ -287,7 +287,7 @@ def q_snapshot_diff(spark, sf_dir):
     )
     SELECT bucket, n_ref, n_cur,
            round(cast(term as double), 6) AS psi_term,
-           round(cast(sum(term) OVER () as double), 4) AS psi_total
+           cast(round(sum(term) OVER (), 4) as double) AS psi_total
     FROM terms
     """,
 )
@@ -320,8 +320,12 @@ def q_drift_psi(spark, sf_dir):
     return terms.select(
         "bucket", "n_ref", "n_cur",
         F.round(F.col("term").cast("double"), 6).alias("psi_term"),
+        # round the DECIMAL sum, then cast: both engines round decimals
+        # half-away-from-zero identically, while rounding the double
+        # cast flips exact .00005 ties differently (the q_entropy
+        # sf0.1 lesson — 6dp terms make such ties real)
         F.round(F.sum("term").over(
-            W.partitionBy(F.lit(1))).cast("double"), 4).alias("psi_total"))
+            W.partitionBy(F.lit(1))), 4).cast("double").alias("psi_total"))
 
 
 @query(
@@ -375,7 +379,7 @@ def q_minmax_scale(spark, sf_dir):
       FROM counts c JOIN totals t ON c.user_id = t.user_id
     )
     SELECT user_id, max(total) AS n_events,
-           round(cast(sum(term) as double), 4) AS entropy
+           cast(round(sum(term), 4) as double) AS entropy
     FROM terms GROUP BY 1
     """,
 )
@@ -386,7 +390,12 @@ def q_entropy(spark, sf_dir):
     map-side-combinable pass; everything after operates on that
     |users|x|types| relation. The -p*ln(p) terms are rounded to 6dp
     then summed as exact decimals: reduction order cannot move the
-    hash."""
+    hash. The final 4dp round happens ON THE DECIMAL sum (both engines
+    round decimals half-away-from-zero identically) — rounding the
+    double cast instead flips exact .00005 ties differently (Spark
+    HALF_UP on the decimal string vs DuckDB on the double), which a
+    6dp-term sum hits in practice: found by the sf0.1 oracle sweep,
+    user 535's sum landed exactly on 1.562450."""
     e = load_table(spark, sf_dir, "events")
     counts = (e.groupBy("user_id", "event_type")
               .agg(F.count("*").alias("cnt")))
@@ -398,7 +407,7 @@ def q_entropy(spark, sf_dir):
                      .alias("term")))
     return (terms.groupBy("user_id")
             .agg(F.max("total").alias("n_events"),
-                 F.round(F.sum("term").cast("double"), 4).alias("entropy")))
+                 F.round(F.sum("term"), 4).cast("double").alias("entropy")))
 
 
 @query(
