@@ -1139,7 +1139,7 @@ def q_split_train_test(spark, sf_dir):
       FROM scored
     )
     SELECT doc_id, term, tf,
-           round(cast(score as double), 4) AS tfidf, rnk
+           cast(round(score, 4) as double) AS tfidf, rnk
     FROM ranked WHERE rnk <= 3
     """,
 )
@@ -1176,7 +1176,12 @@ def q_tfidf(spark, sf_dir):
     return (scored.withColumn("rnk", rnk)
             .filter(F.col("rnk") <= 3)
             .select("doc_id", "term", "tf",
-                    F.round(F.col("score").cast("double"), 4).alias("tfidf"),
+                    # round the DECIMAL score, then cast (q_entropy
+                    # sf0.1 lesson): tf x idf6 can end exactly in
+                    # ...50, and rounding the double cast flips that
+                    # tie differently per engine
+                    F.round(F.col("score"), 4).cast("double")
+                    .alias("tfidf"),
                     "rnk"))
 
 
