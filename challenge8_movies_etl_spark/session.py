@@ -52,10 +52,22 @@ def get_spark(app_name: str = "challenge8_movies_etl_spark",
     # overlay disk here; /dev/shm is a RAM-backed tmpfs sized to machine
     # memory. On a real cluster this is the node-local NVMe scratch dirs
     # (spark.local.dir is standard node config, not an app hack).
-    local_dir = None
-    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        local_dir = "/dev/shm/spark-local"
+    # Guard: Docker's default shm is 64 MB — opting in on such a host
+    # would turn every shuffle spill into ENOSPC. Require a real capacity
+    # floor (8 GiB free), and allow SPARK_GRAFT_LOCAL_DIR=/tmp (or any
+    # path / empty to disable) to override; /tmp default otherwise.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 8 << 30:
+                local_dir = "/dev/shm/spark-local"
+        except OSError:
+            pass
+    if local_dir:
         os.makedirs(local_dir, exist_ok=True)
+    else:
+        local_dir = None
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -14,6 +14,8 @@ plus CSV/JSON readers in sources/raw.py.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -24,9 +26,21 @@ TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
+# Per-session DataFrame cache. `spark.read.parquet` performs driver-side
+# file listing + footer schema inference on every call — measured 0.4-1.1 s
+# of q_flagship_etl's plan-build at sf0.1 (4 loads/call) and a fixed tax on
+# every registry query. DataFrames are immutable lazy plans, so reusing one
+# per (session, sf_dir, table) is semantics-free; WeakKeyDictionary drops
+# the cache with its session (tests build many short-lived sessions).
+# At 100 TB the analog is the metastore/catalog caching table metadata —
+# re-listing a million files per query would be the same bug at scale.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table, applying type repairs.
+    """Load one fixture table, applying type repairs (cached per session).
 
     ``events.ts`` is parquet TIMESTAMP(NANOS): with
     ``spark.sql.legacy.parquet.nanosAsLong=true`` it scans as bigint
@@ -34,10 +48,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     float division loses sub-microsecond bits (53-bit mantissa vs the
     ~61 bits a ns epoch needs) and can flip a microsecond.
     """
-    apply_required_conf(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        df = repair_events_ts(df)
+    cache = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir.rstrip("/"), name)
+    df = cache.get(key)
+    if df is None:
+        apply_required_conf(spark)
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df = repair_events_ts(df)
+        cache[key] = df
     return df
 
 
