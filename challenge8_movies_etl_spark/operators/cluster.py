@@ -58,6 +58,18 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         labels = new_labels.localCheckpoint(eager=True)
         if changed == 0:
             break
+    else:
+        # max_iter exhausted with labels still moving: the output is NOT
+        # the transitive closure (a component with diameter > max_iter
+        # stays split), and an oracle mismatch downstream would otherwise
+        # have nothing pointing here. min-label propagation needs one
+        # round per hop of the longest min-label path.
+        import warnings
+        warnings.warn(
+            f"connected_components: {changed} labels still changing after "
+            f"max_iter={max_iter} rounds — result is not converged; raise "
+            "max_iter (component diameter exceeds it)",
+            RuntimeWarning, stacklevel=2)
     isolated = (nodes.select(F.col(id_col).alias("id"))
                 .join(touched, "id", "left_anti")
                 .select("id", F.col("id").alias("cluster")))

@@ -61,19 +61,26 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     # one checkpointed relation (src, dst, d): the per-iteration join
     # is then a single equi-join against the rank vector.
     if broadcast_ranks:
+        # Persist the (possibly expensive) caller-constructed edge
+        # relation FIRST: everything below (degree agg, node set, the
+        # per-round join input) derives from it, and without the
+        # persist the construction re-executes once per derivation
+        # (measured: edge construction dominated q_graph_pagerank at
+        # sf0.1, and it ran ~3x — nodes checkpoint, degree agg, cache
+        # fill).  One pass now materializes it for all consumers.
+        edges = edges.persist()
         # out-degree via map-side-combined groupBy (shuffle carries
         # ~|V| partial counts, not |E| rows) broadcast-joined back —
         # the degree relation is |V|-sized, the same memory license as
         # broadcasting the rank vector below. Measured 1.6 s faster at
         # sf0.1 than the window form, which shuffles AND sorts all |E|
         # rows on src.
-        deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-        # persist, not eager localCheckpoint: the first iteration
-        # materializes the relation in-cache as a side effect (no extra
-        # upfront pass over |E|), later iterations reuse the
-        # InMemoryRelation; lineage depth is bounded by the fixed
-        # iteration count (measured ~0.7 s faster at sf0.1)
+        deg = edges.groupBy("src").agg(F.count("*").alias("d")).persist()
         edges_d = edges.join(F.broadcast(deg), "src").persist()
+        # every node has out-degree >= 1 (see docstring), so the node
+        # set IS deg's key set — |V|-sized, already distinct, no extra
+        # pass over |E|.
+        nodes = deg.select(F.col("src").alias("node"))
     else:
         # web-scale path (|V| too big to broadcast): out-degree rides
         # a window count over the src partitioning — one shuffle, and
@@ -81,10 +88,12 @@ def pagerank(edges: DataFrame, iterations: int = 5,
         edges_d = (edges.withColumn(
             "d", F.count("*").over(W.partitionBy("src")))
             .localCheckpoint(eager=True))
-    nodes = (edges_d.select(F.col("src").alias("node")).distinct()
-             .localCheckpoint(eager=True))
+        nodes = (edges_d.select(F.col("src").alias("node")).distinct()
+                 .localCheckpoint(eager=True))
     # one driver-side scalar (same license as the convergence counts in
-    # cluster.py): the teleport term needs |V| as a literal
+    # cluster.py): the teleport term needs |V| as a literal; in the
+    # broadcast branch this count is also the single action that fills
+    # the edges/deg caches.
     n_nodes = nodes.count()
     ranks = nodes.select(
         "node",
