@@ -515,8 +515,7 @@ def q_hll_intersection(spark, sf_dir):
     relation; sketches are ~KB each regardless of cohort size."""
     e = load_table(spark, sf_dir, "events")
     sk = (e.groupBy("event_type")
-          .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"),
-               F.countDistinct("user_id").alias("n_exact"))
+          .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
           .persist())
     a = sk.select(F.col("event_type").alias("type_a"),
                   F.col("sk").alias("sk_a"))

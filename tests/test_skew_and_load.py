@@ -126,3 +126,33 @@ def test_max_df_bounds_posting_lists(spark):
     assert exact_flag is False
     # every doc pair shares ONLY the hot shingle -> zero candidates
     assert co.count() == 0
+
+
+def test_max_df_auto_valve_decision(spark):
+    """max_df="auto" (round-3 verdict item): the df-sketch engages the
+    valve only on a genuinely skewed df histogram (max >= 32x median
+    AND >= the 1024 absolute floor); a dense/uniform corpus keeps the
+    measured-best exact co-count."""
+    from challenge8_movies_etl_spark.operators.dedup import _co_count_pairs
+
+    # Zipf-shaped: one stopword shingle in all 1200 docs, everything
+    # else df=1 -> max=1200 >= 32*1 and >= 1024 -> valve ON, and the
+    # hot-only pairs vanish from the co-count (the documented recall
+    # trade re-verified downstream by the callers).
+    skewed = _mkdocs(spark, [
+        (i, "en", ["the of", f"a{i} b{i}"]) for i in range(1200)
+    ])
+    co, exact = _co_count_pairs(skewed, "doc_id", "lang", "g",
+                                max_df="auto")
+    assert exact is False
+    assert co.count() == 0
+    # Dense/uniform (fixture-like): every shingle df ~ n_docs/3 with a
+    # tiny vocab -> max is ~3x median, far under the floor -> exact path.
+    dense = _mkdocs(spark, [
+        (i, "en", [f"w{i % 3} x{i % 3}", f"y{i % 2} z{i % 2}"])
+        for i in range(60)
+    ])
+    co2, exact2 = _co_count_pairs(dense, "doc_id", "lang", "g",
+                                  max_df="auto")
+    assert exact2 is True
+    assert co2.count() > 0
