@@ -1,0 +1,345 @@
+"""Dependency-free baseline JPEG (grayscale) codec.
+
+Round-3 verdict item: JPEG is the one multimodal format a real corpus
+hits constantly, and the container has no image libraries — so this
+module implements the baseline-DCT grayscale subset of the public JPEG
+spec (ITU-T T.81) directly: marker parsing, DQT/DHT tables, canonical
+Huffman decode with byte unstuffing, DC prediction + amplitude
+"extend", AC run-length/EOB/ZRL, zigzag dequantization, float IDCT,
+level shift. Progressive (SOF2), multi-component (color), and
+restart-interval streams raise NotImplementedError (the honest-stub
+policy — no fake output for variants we cannot actually decode).
+
+The encoder is the minimal valid baseline stream used by fixtures and
+tests (standard Annex K luminance tables); the decoder is general for
+the grayscale baseline subset and is exercised on non-trivial AC
+patterns in tests/test_multimodal.py against a numpy IDCT reference.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: index = zigzag position, value = row-major position
+ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K (T.81 Tables K.1/K.3/K.5): luminance quant + Huffman tables
+QTABLE_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)  # natural (row-major) order
+
+DC_BITS = [0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+AC_BITS = [0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# orthonormal 8x8 DCT basis: C[u, x] = c(u)/2 * cos((2x+1) u pi / 16)
+_C = np.array([[(np.sqrt(0.125) if u == 0 else 0.5)
+                * np.cos((2 * x + 1) * u * np.pi / 16)
+                for x in range(8)] for u in range(8)])
+
+
+def idct2d(coef: np.ndarray) -> np.ndarray:
+    """8x8 inverse DCT (float), T.81 A.3.3 normalization."""
+    return _C.T @ coef @ _C
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman code map {(length, code) -> symbol}."""
+    out: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            out[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; stops at any other marker."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            byte = self.buf[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.buf[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError("hit marker inside entropy data")
+            self.acc = byte
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, count: int) -> int:
+        v = 0
+        for _ in range(count):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map s low bits to the signed amplitude."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_gray(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a baseline grayscale JPEG → (width, height, uint8 image).
+
+    Raises NotImplementedError for the variants outside the supported
+    subset (progressive, color, restart intervals, 16-bit quant).
+    """
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    width = height = -1
+    comp_q = comp_dc = comp_ac = 0
+    while pos < len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("EOI before SOS")
+        (seglen,) = struct.unpack_from(">H", buf, pos)
+        seg = buf[pos + 2: pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                zz = np.frombuffer(seg, np.uint8, 64, p + 1).astype(np.int64)
+                nat = np.zeros(64, np.int64)
+                nat[ZIGZAG] = zz  # DQT is stored in zigzag order
+                qtables[tq] = nat
+                p += 65
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"only baseline sequential (SOF0) supported, got SOF "
+                f"marker 0x{marker:02X}")
+        elif marker == 0xC0:  # SOF0
+            height, width = struct.unpack_from(">HH", seg, 1)
+            ncomp = seg[5]
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "only single-component (grayscale) JPEG supported")
+            if seg[7] != 0x11:
+                raise NotImplementedError("subsampled grayscale")
+            comp_q = seg[8]
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = [0] + list(seg[p + 1: p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17: p + 17 + nv])
+                (dc_tables if tc == 0 else ac_tables)[th] = _huff_codes(
+                    bits, vals)
+                p += 17 + nv
+        elif marker == 0xDD:  # DRI
+            raise NotImplementedError("restart intervals")
+        elif marker == 0xDA:  # SOS
+            comp_dc = seg[2] >> 4
+            comp_ac = seg[2] & 15
+            pos += seglen
+            break
+        pos += seglen
+    else:
+        raise ValueError("no SOS marker")
+    if width <= 0 or comp_q not in qtables:
+        raise ValueError("missing SOF0/DQT before SOS")
+    qt = qtables[comp_q]
+    dc_t, ac_t = dc_tables[comp_dc], ac_tables[comp_ac]
+
+    mcus_x, mcus_y = (width + 7) // 8, (height + 7) // 8
+    img = np.zeros((mcus_y * 8, mcus_x * 8), np.float64)
+    reader = _BitReader(buf, pos)
+    pred = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            zz = np.zeros(64, np.int64)
+            s = reader.decode_huff(dc_t)
+            pred += _extend(reader.read_bits(s), s)
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                rs = reader.decode_huff(ac_t)
+                r, s = rs >> 4, rs & 15
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += r
+                zz[k] = _extend(reader.read_bits(s), s)
+                k += 1
+            coef = np.zeros(64, np.float64)
+            coef[ZIGZAG] = (zz * qt[ZIGZAG]).astype(np.float64)
+            block = idct2d(coef.reshape(8, 8)) + 128.0
+            img[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = block
+    out = np.clip(np.round(img[:height, :width]), 0, 255).astype(np.uint8)
+    return width, height, out
+
+
+# ---------------------------------------------------------------------------
+# minimal baseline encoder (fixtures + tests)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write_bits(self, v: int, count: int) -> None:
+        for i in range(count - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write_bits((1 << (8 - self.n)) - 1, 8 - self.n)  # pad 1s
+        return bytes(self.out)
+
+
+def _emit(w: _BitWriter, codes: dict[tuple[int, int], int], sym: int) -> None:
+    for (length, code), s in codes.items():
+        if s == sym:
+            w.write_bits(code, length)
+            return
+    raise ValueError(f"symbol {sym} not in table")
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def encode_jpeg_blocks(width: int, height: int,
+                       blocks: "list[np.ndarray]") -> bytes:
+    """Encode pre-quantized coefficient blocks (zigzag int64[64] each,
+    row-major MCU order) as a baseline grayscale JPEG with the Annex K
+    tables. The test-facing seam: any coefficient pattern round-trips
+    through the real entropy/IDCT path."""
+    dc_codes = _huff_codes(DC_BITS, DC_VALS)
+    ac_codes = _huff_codes(AC_BITS, AC_VALS)
+    w = _BitWriter()
+    pred = 0
+    for zz in blocks:
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        s = _category(diff)
+        _emit(w, dc_codes, s)
+        if s:
+            w.write_bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                _emit(w, ac_codes, 0xF0)  # ZRL
+                run -= 16
+            s = _category(v)
+            _emit(w, ac_codes, (run << 4) | s)
+            w.write_bits(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            _emit(w, ac_codes, 0x00)  # EOB
+    entropy = w.flush()
+
+    qzz = QTABLE_LUM[ZIGZAG]  # natural -> zigzag for the DQT segment
+    parts = [b"\xff\xd8"]  # SOI
+    parts.append(b"\xff\xdb" + struct.pack(">HB", 67, 0)
+                 + bytes(int(x) for x in qzz))
+    parts.append(b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1)
+                 + bytes((1, 0x11, 0)))
+    dht = bytes(DC_BITS[1:]) + bytes(DC_VALS)
+    parts.append(b"\xff\xc4" + struct.pack(">HB", 3 + len(dht), 0x00) + dht)
+    dht = bytes(AC_BITS[1:]) + bytes(AC_VALS)
+    parts.append(b"\xff\xc4" + struct.pack(">HB", 3 + len(dht), 0x10) + dht)
+    parts.append(b"\xff\xda" + struct.pack(">HB", 8, 1)
+                 + bytes((1, 0x00, 0, 63, 0)))
+    parts.append(entropy)
+    parts.append(b"\xff\xd9")  # EOI
+    return b"".join(parts)
+
+
+def encode_jpeg_gray_uniform(width: int, height: int, gray: int) -> bytes:
+    """Uniform-gray baseline JPEG. With the Annex K table (q00=16) and
+    even ``gray``, DC quantization is exact — round(8*(gray-128)/16) =
+    (gray-128)/2 — so the decoded image is exactly ``gray`` everywhere
+    and the fixture oracle's closed form holds bit-for-bit."""
+    n_blocks = ((width + 7) // 8) * ((height + 7) // 8)
+    dc = int(round(8.0 * (gray - 128) / int(QTABLE_LUM[0])))
+    first = np.zeros(64, np.int64)
+    first[0] = dc
+    rest = np.zeros(64, np.int64)
+    rest[0] = dc  # same DC -> diff 0 for blocks after the first
+    return encode_jpeg_blocks(
+        width, height, [first] + [rest] * (n_blocks - 1))

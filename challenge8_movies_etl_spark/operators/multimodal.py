@@ -168,12 +168,17 @@ def _decode_ppm(buf: bytes) -> tuple[int, int, float, float, float]:
 def decode_image_features(media: DataFrame) -> DataFrame:
     """mapInPandas over binary image payloads → (fmt, dims, channel
     means). Magic-byte dispatch: BM → real BMP parse, P6 → real PPM
-    parse; any other format raises NotImplementedError naming the
-    missing codec (the honest-stub policy — no fake features on a
-    format we cannot actually decode).
+    parse, FFD8 → real baseline grayscale JPEG decode (operators/
+    jpeg.py: markers, Huffman, dequant, IDCT — no libraries); any
+    other format raises NotImplementedError naming the missing codec
+    (the honest-stub policy — no fake features on a format we cannot
+    actually decode; JPEG variants outside the baseline-grayscale
+    subset raise from the decoder itself).
 
     At 100 TB this runs one Arrow batch of payloads at a time per
     partition — no shuffle, decode parallelism == partition count."""
+    from .jpeg import decode_jpeg_gray
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "fmt", "width", "height",
@@ -186,10 +191,15 @@ def decode_image_features(media: DataFrame) -> DataFrame:
                 elif buf[:2] == b"P6":
                     fmt = "ppm"
                     w, h, r, g, b = _decode_ppm(buf)
+                elif buf[:2] == b"\xff\xd8":
+                    fmt = "jpeg"
+                    w, h, img = decode_jpeg_gray(buf)
+                    r = g = b = float(img.mean())
                 else:
                     raise NotImplementedError(
                         "no codec for this payload in container "
-                        "(only BMP/P6-PPM decode is dependency-free)")
+                        "(BMP/P6-PPM/baseline-grayscale-JPEG decode is "
+                        "dependency-free)")
                 out["doc_id"].append(doc_id)
                 out["fmt"].append(fmt)
                 out["width"].append(w)
@@ -204,19 +214,29 @@ def decode_image_features(media: DataFrame) -> DataFrame:
 
 def synthesize_images(docs: DataFrame) -> DataFrame:
     """Deterministic per-doc image payloads for the fixture corpus:
-    even doc_ids render as BMP, odd as PPM; dimensions and the uniform
-    channel color are closed-form in doc_id, so an engine-independent
-    oracle can verify the DECODED output without decoding anything
-    itself (the decoder must still parse headers, strides, padding and
-    channel order correctly to reproduce the closed form)."""
+    doc_id % 3 picks BMP / PPM / baseline grayscale JPEG; dimensions
+    and the uniform color are closed-form in doc_id, so an
+    engine-independent oracle can verify the DECODED output without
+    decoding anything itself (the decoder must still parse headers,
+    strides, padding, channel order — and for JPEG: Huffman codes,
+    DC prediction, dequantization, IDCT — to reproduce the closed
+    form). JPEG gray is even-valued, so Annex-K DC quantization
+    (q00=16) is exact and the decoded mean equals the closed form
+    bit-for-bit (operators/jpeg.py encode_jpeg_gray_uniform)."""
+    from .jpeg import encode_jpeg_gray_uniform
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 w, h = d % 13 + 1, d % 7 + 1
+                if d % 3 == 2:
+                    payloads.append(
+                        encode_jpeg_gray_uniform(w, h, (d * 5) % 128 * 2))
+                    continue
                 r, g, b = d % 256, (d * 7) % 256, (d * 13) % 256
-                enc = encode_bmp if d % 2 == 0 else encode_ppm
+                enc = encode_bmp if d % 3 == 0 else encode_ppm
                 payloads.append(enc(w, h, r, g, b))
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "payload": payloads})

@@ -778,25 +778,34 @@ def q_multimodal_meta(spark, sf_dir):
     "q_multimodal_decode",
     oracle="""
     SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+           CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                ELSE 'jpeg' END AS fmt,
            doc_id % 13 + 1 AS width,
            doc_id % 7 + 1 AS height,
-           round(cast(doc_id % 256 as double), 4) AS mean_r,
-           round(cast((doc_id * 7) % 256 as double), 4) AS mean_g,
-           round(cast((doc_id * 13) % 256 as double), 4) AS mean_b
+           round(cast(CASE WHEN doc_id % 3 = 2 THEN (doc_id * 5) % 128 * 2
+                           ELSE doc_id % 256 END as double), 4) AS mean_r,
+           round(cast(CASE WHEN doc_id % 3 = 2 THEN (doc_id * 5) % 128 * 2
+                           ELSE (doc_id * 7) % 256 END as double), 4)
+             AS mean_g,
+           round(cast(CASE WHEN doc_id % 3 = 2 THEN (doc_id * 5) % 128 * 2
+                           ELSE (doc_id * 13) % 256 END as double), 4)
+             AS mean_b
     FROM documents
     """,
 )
 def q_multimodal_decode(spark, sf_dir):
-    """REAL image decode, no codec libraries: deterministic BMP/P6-PPM
-    payloads are synthesized per doc (uniform color, dimensions
-    closed-form in doc_id), then an Arrow-batched mapInPandas decoder
-    parses headers, strides, bottom-up row order, padding and channel
-    order to emit (fmt, width, height, channel means)
-    (operators/multimodal.py encode_bmp/_decode_bmp/_decode_ppm). The
-    oracle knows the closed form, so any parsing mistake — stride
-    padding, BGR vs RGB, header offset — breaks the value hash.
-    Formats without a dependency-free decoder still raise
+    """REAL image decode, no codec libraries: deterministic
+    BMP / P6-PPM / baseline-grayscale-JPEG payloads are synthesized per
+    doc (uniform color, dimensions closed-form in doc_id), then an
+    Arrow-batched mapInPandas decoder parses them — BMP strides/
+    bottom-up rows/BGR, PPM headers, and for JPEG the full baseline
+    path: marker segments, canonical Huffman, DC prediction,
+    dequantization, IDCT (operators/multimodal.py + operators/jpeg.py).
+    The oracle knows the closed form, so any decode mistake — stride
+    padding, BGR vs RGB, a Huffman mis-read, a wrong IDCT constant —
+    breaks the value hash. JPEG gray values are even, making Annex-K DC
+    quantization exact (jpeg.py encode_jpeg_gray_uniform docstring).
+    Formats/variants without a dependency-free decoder still raise
     NotImplementedError (honest-stub policy)."""
     d = load_table(spark, sf_dir, "documents")
     media = multimodal.synthesize_images(d)

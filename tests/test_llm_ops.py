@@ -172,12 +172,19 @@ def test_image_decode_roundtrip_and_honest_failure(spark):
 
     media = spark.createDataFrame(
         [(1, bytearray(encode_bmp(3, 2, 9, 8, 7))),
-         (2, bytearray(encode_ppm(2, 2, 1, 2, 3)))],
+         (2, bytearray(encode_ppm(2, 2, 1, 2, 3))),
+         (3, bytearray(__import__(
+             "challenge8_movies_etl_spark.operators.jpeg",
+             fromlist=["encode_jpeg_gray_uniform"])
+             .encode_jpeg_gray_uniform(13, 7, 200)))],
         "doc_id long, payload binary")
     rows = {r["doc_id"]: r for r in decode_image_features(media).collect()}
     assert rows[1]["fmt"] == "bmp" and rows[1]["width"] == 3
     assert rows[1]["mean_r"] == 9.0 and rows[1]["mean_b"] == 7.0
     assert rows[2]["fmt"] == "ppm" and rows[2]["height"] == 2
+    assert rows[3]["fmt"] == "jpeg" and rows[3]["width"] == 13
+    assert rows[3]["height"] == 7
+    assert rows[3]["mean_r"] == 200.0 and rows[3]["mean_b"] == 200.0
 
     bad = spark.createDataFrame([(3, bytearray(b"\x89PNG fake"))],
                                 "doc_id long, payload binary")
@@ -185,6 +192,54 @@ def test_image_decode_roundtrip_and_honest_failure(spark):
         decode_image_features(bad).collect()
     assert "NotImplementedError" in str(ei.value) or \
         isinstance(ei.value, NotImplementedError)
+
+
+def test_jpeg_baseline_codec():
+    """The dependency-free baseline JPEG decoder (operators/jpeg.py):
+    exact uniform roundtrips (even gray -> exact Annex-K DC quant),
+    a non-trivial AC/ZRL coefficient pattern checked against a numpy
+    IDCT reference, and honest NotImplementedError on progressive."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from challenge8_movies_etl_spark.operators.jpeg import (
+        QTABLE_LUM,
+        ZIGZAG,
+        decode_jpeg_gray,
+        encode_jpeg_blocks,
+        encode_jpeg_gray_uniform,
+        idct2d,
+    )
+
+    for w, h, g in [(1, 1, 128), (8, 8, 64), (13, 7, 200), (16, 9, 2),
+                    (5, 20, 254)]:
+        ww, hh, img = decode_jpeg_gray(encode_jpeg_gray_uniform(w, h, g))
+        assert (ww, hh) == (w, h) and img.shape == (h, w)
+        assert (img == g).all()
+
+    rng = np.random.RandomState(7)
+    blocks = []
+    for _ in range(4):
+        zz = np.zeros(64, np.int64)
+        zz[0] = rng.randint(-40, 40)
+        for k in rng.choice(range(1, 64), 6, replace=False):
+            zz[k] = rng.randint(-8, 9)
+        blocks.append(zz)
+    _, _, img = decode_jpeg_gray(encode_jpeg_blocks(16, 16, blocks))
+    ref = np.zeros((16, 16))
+    for i, zz in enumerate(blocks):
+        coef = np.zeros(64)
+        coef[ZIGZAG] = (zz * QTABLE_LUM[ZIGZAG]).astype(float)
+        my, mx = divmod(i, 2)
+        ref[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
+            idct2d(coef.reshape(8, 8)) + 128
+    assert (img == np.clip(np.round(ref), 0, 255).astype(np.uint8)).all()
+
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_gray(b"\xff\xd8\xff\xc2" + struct.pack(">H", 8)
+                         + b"\x00" * 6)
 
 
 def test_minhash_signature_mergeability(spark):
