@@ -76,8 +76,27 @@ def canon_frame(pdf):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--both-scales", action="store_true",
+                    help="run the full sweep at sf0.01 AND sf0.1 — the "
+                    "standing pre-round-final gate (the sf0.1 sweep "
+                    "caught a round-half tie divergence sf0.01 missed)")
+    ap.add_argument("--json", metavar="PATH",
+                    help="also write results as JSON (LOCAL_CORRECTNESS "
+                    "record format)")
     ap.add_argument("qids", nargs="*")
     args = ap.parse_args()
+    if args.both_scales:
+        rc = 0
+        for sf_dir, suffix in (("/root/testdata/sf0.01", ""),
+                               ("/root/testdata/sf0.1", "_sf01")):
+            argv = [sys.argv[0], "--sf", sf_dir, *args.qids]
+            if args.json:
+                base = args.json.removesuffix(".json")
+                argv[1:1] = ["--json", f"{base}{suffix}.json"]
+            print(f"=== sweep at {sf_dir} ===")
+            sys.argv = argv
+            rc = max(rc, main())
+        return rc
 
     import __spark_entry__ as entrymod
     queries = entrymod.queries()
@@ -93,6 +112,7 @@ def main() -> int:
         )
 
     qids = args.qids or sorted(queries)
+    results: dict[str, dict] = {}
     n_pass = n_fail = n_rows_only = 0
     failures: list[str] = []
     for qid in qids:
@@ -103,10 +123,13 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             n_fail += 1
             failures.append(qid)
+            results[qid] = {"status": "fail",
+                            "err": f"Spark {type(exc).__name__}: {exc}"}
             print(f"FAIL  {qid}: Spark error: {type(exc).__name__}: {exc}")
             continue
         if qid not in oracles:
             n_rows_only += 1
+            results[qid] = {"status": "rows_only", "rows": len(spd)}
             print(f"rows  {qid}: {len(spd)} rows (rows-only, no oracle) "
                   f"[{time.time()-t0:.2f}s]")
             continue
@@ -115,6 +138,8 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             n_fail += 1
             failures.append(qid)
+            results[qid] = {"status": "fail",
+                            "err": f"DuckDB {type(exc).__name__}: {exc}"}
             print(f"FAIL  {qid}: DuckDB error: {type(exc).__name__}: {exc}")
             continue
         scols, srows = canon_frame(spd)
@@ -130,13 +155,23 @@ def main() -> int:
         if msg:
             n_fail += 1
             failures.append(qid)
+            results[qid] = {"status": "fail", "err": msg}
             print(f"FAIL  {qid}: {msg}")
         else:
             n_pass += 1
+            results[qid] = {"status": "pass", "rows": len(srows)}
             print(f"PASS  {qid}: {len(srows)} rows [{time.time()-t0:.2f}s]")
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only"
           + (f"  FAILURES: {failures}" if failures else ""))
+    if args.json:
+        import json
+        Path(args.json).write_text(json.dumps({
+            "sf_dir": args.sf,
+            "n_pass": n_pass, "n_fail": n_fail, "n_rows_only": n_rows_only,
+            "failures": failures,
+            "queries": results,
+        }, indent=1) + "\n")
     return 1 if n_fail else 0
 
 
