@@ -1,0 +1,470 @@
+"""Round-4 wave: ML-adjacent curation / audit / analytics operators.
+
+No reference analog (the canonical assignment is a pandas ETL); these
+are the operations a large-scale training-data pipeline layers on top
+(BASELINE.json:6 north star): series diagnostics (ACF), portable table
+audit fingerprints, k-anonymity suppression, deterministic epoch
+shuffling, bigram language-model scoring, the SQL PIVOT text surface,
+and integer-geohash spatial bucketing.
+
+Hash-stability follows registry.py conventions: integer/decimal
+arithmetic end-to-end where possible; floats only as a final
+round-then-cast; every computed column aliased identically on both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .registry import query
+from .sources.fixtures import load_table
+
+# ---------------------------------------------------------------------------
+# q_acf — autocorrelation of the daily event-count series
+# ---------------------------------------------------------------------------
+
+# ACF in n-scaled integer form: with S = Σx over the n daily counts,
+# r_h = Σ_t (n·x_t − S)(n·x_{t−h} − S) / Σ_t (n·x_t − S)² — every term
+# is exact bigint arithmetic (counts are integers), so both engines
+# reduce identically in any order; the single double division happens
+# once at the end. (The usual (x−x̄) form would put a rational mean
+# inside every product.)
+_ACF_ORACLE = """
+WITH daily AS (
+  SELECT event_type, cast(ts as date) AS d, count(*) AS x
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, count(*) AS n, sum(x) AS s
+  FROM daily GROUP BY 1
+),
+ctr AS (
+  SELECT d.event_type, d.d, st.n,
+         st.n * d.x - st.s AS c
+  FROM daily d JOIN st ON d.event_type = st.event_type
+),
+lagged AS (
+  SELECT event_type, n, c,
+         lag(c, 1) OVER w AS c1,
+         lag(c, 2) OVER w AS c2,
+         lag(c, 3) OVER w AS c3
+  FROM ctr
+  WINDOW w AS (PARTITION BY event_type ORDER BY d)
+),
+agg AS (
+  SELECT event_type,
+         sum(cast(c as decimal(18,0)) * cast(c as decimal(18,0))) AS den,
+         sum(cast(c as decimal(18,0)) * cast(c1 as decimal(18,0))) AS num1,
+         sum(cast(c as decimal(18,0)) * cast(c2 as decimal(18,0))) AS num2,
+         sum(cast(c as decimal(18,0)) * cast(c3 as decimal(18,0))) AS num3
+  FROM lagged GROUP BY 1
+)
+SELECT event_type, gs.lag AS lag,
+       round(cast(CASE gs.lag WHEN 1 THEN num1 WHEN 2 THEN num2
+                  ELSE num3 END as double)
+             / cast(den as double), 6) AS acf
+FROM agg JOIN (SELECT unnest([1, 2, 3]) AS lag) gs ON true
+"""
+
+
+@query("q_acf", oracle=_ACF_ORACLE)
+def q_acf(spark, sf_dir):
+    """Autocorrelation (lags 1–3) of each event type's daily count
+    series — the seasonality/burstiness diagnostic behind ingest
+    monitoring and time-based train/test splits. Computed in n-scaled
+    integer form (see oracle comment): all products are exact bigints,
+    so the reduction is order-independent and the only float op is the
+    final division.
+
+    Scale: the daily rollup is one map-side-combined groupBy over the
+    fact table; everything after runs on the |types|×|days| series
+    relation — thousands of rows at any corpus size."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.count("*").alias("x")))
+    st = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("x").alias("s"))
+    ctr = (daily.join(st, "event_type")
+           .select("event_type", "d",
+                   (F.col("n") * F.col("x") - F.col("s")).alias("c")))
+    w = W.partitionBy("event_type").orderBy("d")
+    lagged = ctr.select(
+        "event_type", "c",
+        F.lag("c", 1).over(w).alias("c1"),
+        F.lag("c", 2).over(w).alias("c2"),
+        F.lag("c", 3).over(w).alias("c3"))
+    cdec = F.col("c").cast("decimal(18,0)")
+    agg = lagged.groupBy("event_type").agg(
+        F.sum(cdec * F.col("c").cast("decimal(18,0)")).alias("den"),
+        F.sum(cdec * F.col("c1").cast("decimal(18,0)")).alias("num1"),
+        F.sum(cdec * F.col("c2").cast("decimal(18,0)")).alias("num2"),
+        F.sum(cdec * F.col("c3").cast("decimal(18,0)")).alias("num3"))
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag"))
+    num = (F.when(F.col("lag") == 1, F.col("num1"))
+           .when(F.col("lag") == 2, F.col("num2"))
+           .otherwise(F.col("num3")))
+    return (agg.crossJoin(F.broadcast(lags))
+            .select("event_type", "lag",
+                    F.round(num.cast("double")
+                            / F.col("den").cast("double"), 6).alias("acf")))
+
+
+# ---------------------------------------------------------------------------
+# q_table_fingerprint — portable content checksum per partition bucket
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_table_fingerprint",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           cast(sum(cast(cast(('0x' || substr(md5(
+                 cast(o_orderkey as varchar) || '|' ||
+                 cast(o_custkey as varchar) || '|' ||
+                 o_orderstatus || '|' || o_orderpriority), 1, 15))
+               as bigint) as decimal(38,0)))
+             % 1000000000000000000 as bigint) AS content_sum
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_table_fingerprint(spark, sf_dir):
+    """Order-independent table content fingerprint per priority bucket:
+    each row hashes to a 60-bit md5-derived integer over its key
+    columns; the bucket checksum is the exact decimal SUM of those
+    hashes (reduced mod 10¹⁸ so it stays a comparable bigint in any
+    client) plus the row count. Two tables (or two replicas, or the same
+    table before/after a migration) agree iff every bucket's
+    (n_rows, content_sum) pair agrees — the audit primitive for 100 TB
+    copies, where re-sorting for a diff is impossible but a
+    commutative checksum is one map-side-combined pass. md5 is
+    engine-portable (unlike xxhash64/murmur), so the fingerprint is
+    comparable across Spark, DuckDB, or any SQL engine."""
+    o = load_table(spark, sf_dir, "orders")
+    row_hash = F.conv(F.substring(F.md5(F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"))), 1, 15), 16, 10).cast("decimal(38,0)")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_rows"),
+                 (F.sum(row_hash) % F.lit(10 ** 18).cast("decimal(38,0)"))
+                 .cast("bigint").alias("content_sum")))
+
+
+# ---------------------------------------------------------------------------
+# q_k_anonymity — quasi-identifier suppression
+# ---------------------------------------------------------------------------
+
+_KANON_ORACLE = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS n,
+         round(cast(sum(cast(c_acctbal as decimal(30,10))) as double)
+               / count(*), 4) AS avg_bal
+  FROM customer GROUP BY 1, 2
+)
+SELECT cast(c_nationkey as varchar) AS nation, c_mktsegment AS segment,
+       n, avg_bal
+FROM g WHERE n >= 10
+UNION ALL
+SELECT '*' AS nation, '*' AS segment,
+       cast(sum(n) as bigint) AS n,
+       round(cast(sum(cast(avg_bal * n as decimal(30,10))) as double)
+             / sum(n), 4) AS avg_bal
+FROM g WHERE n < 10
+HAVING count(*) > 0
+"""
+
+
+@query("q_k_anonymity", oracle=_KANON_ORACLE)
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity enforcement over the (nation, segment)
+    quasi-identifier: groups with fewer than k=10 members are collapsed
+    into a single '*'-generalized row (count + weighted mean), so no
+    released row describes fewer than k individuals — the
+    privacy-governance gate a training-data release pipeline runs
+    before publishing per-cohort statistics.
+
+    Scale: one groupBy over the dimension table; the suppressed resid
+    is an aggregate of the already-aggregated group relation."""
+    c = load_table(spark, sf_dir, "customer")
+    g = (c.groupBy("c_nationkey", "c_mktsegment")
+         .agg(F.count("*").alias("n"),
+              F.round(F.sum(F.col("c_acctbal").cast("decimal(30,10)"))
+                      .cast("double") / F.count("*"), 4).alias("avg_bal"))
+         ).persist()
+    kept = g.filter(F.col("n") >= 10).select(
+        F.col("c_nationkey").cast("string").alias("nation"),
+        F.col("c_mktsegment").alias("segment"), "n", "avg_bal")
+    supp = (g.filter(F.col("n") < 10)
+            .agg(F.sum("n").alias("n"),
+                 F.round(F.sum((F.col("avg_bal") * F.col("n"))
+                               .cast("decimal(30,10)")).cast("double")
+                         / F.sum("n"), 4).alias("avg_bal"),
+                 F.count("*").alias("_g"))
+            .filter(F.col("_g") > 0)
+            .select(F.lit("*").alias("nation"), F.lit("*").alias("segment"),
+                    "n", "avg_bal"))
+    return kept.unionByName(supp)
+
+
+# ---------------------------------------------------------------------------
+# q_agg_string — deterministic ordered string aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_string",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ','
+                      ORDER BY o_orderstatus) AS statuses,
+           count(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders GROUP BY 1
+    """,
+)
+def q_agg_string(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG/STRING_AGG parity): the
+    distinct status set per priority, sorted then joined — determinism
+    comes from sorting the collected set, never from collection order
+    (collect_set order is partition-dependent; the sort makes the
+    result hash-stable at any parallelism)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.concat_ws(",", F.array_sort(
+                     F.collect_set("o_orderstatus"))).alias("statuses"),
+                 F.countDistinct("o_orderstatus").alias("n_statuses")))
+
+
+# ---------------------------------------------------------------------------
+# q_ngram_lm — bigram language-model scoring with add-1 smoothing
+# ---------------------------------------------------------------------------
+
+_NGRAM_LM_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, gs.i AS pos, t[gs.i] AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d
+  JOIN range(1, 100000) gs(i) ON gs.i <= len(t)
+  WHERE t[gs.i] != ''
+),
+big AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+c1 AS (SELECT w1, count(*) AS n1 FROM big GROUP BY 1),
+c2 AS (SELECT w1, w2, count(*) AS n12 FROM big GROUP BY 1, 2),
+v AS (SELECT count(DISTINCT w) AS vocab FROM tok),
+lp AS (
+  SELECT c2.w1, c2.w2,
+         cast(round(ln(cast(n12 + 1 as double)
+                       / cast(n1 + vocab as double)), 6)
+              as decimal(18,6)) AS logp6
+  FROM c2 JOIN c1 ON c2.w1 = c1.w1 CROSS JOIN v
+)
+SELECT b.doc_id, count(*) AS n_bigrams,
+       round(cast(sum(lp.logp6) as double) / count(*), 4) AS avg_logp
+FROM big b JOIN lp ON b.w1 = lp.w1 AND b.w2 = lp.w2
+GROUP BY 1
+"""
+
+
+@query("q_ngram_lm", oracle=_NGRAM_LM_ORACLE)
+def q_ngram_lm(spark, sf_dir):
+    """Bigram language-model scoring with add-1 smoothing: corpus
+    bigram/unigram counts define p(w2|w1) = (c12+1)/(c1+V); each doc
+    scores its mean log-probability — one rung above q_lm_score's
+    unigram model (context-sensitive: scrambled word order now scores
+    low even when the unigram mix is normal). Log-probs are 6dp-rounded
+    then decimal-summed (registry.py discipline), so the per-doc mean
+    is order-independent bit-for-bit.
+
+    Scale: bigram extraction is posexplode + a positional self-join
+    within each doc (doc-keyed, co-partitioned); the LM relation is
+    vocab²-bounded in principle but corpus-bigram-bounded in practice
+    and broadcastable; per-doc scoring is one groupBy(doc_id)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", F.posexplode(F.split("text", " "))
+                    .alias("pos", "w"))
+           .filter(F.col("w") != ""))
+    a, b = tok.alias("a"), tok.alias("b")
+    big = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                  & (F.col("b.pos") == F.col("a.pos") + 1))
+           .select(F.col("a.doc_id").alias("doc_id"),
+                   F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+           ).persist()
+    c1 = big.groupBy("w1").agg(F.count("*").alias("n1"))
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    v = tok.agg(F.countDistinct("w").alias("vocab"))
+    lp = (c2.join(c1, "w1").crossJoin(F.broadcast(v))
+          .select("w1", "w2",
+                  F.round(F.log((F.col("n12") + 1).cast("double")
+                                / (F.col("n1") + F.col("vocab"))
+                                .cast("double")), 6)
+                  .cast("decimal(18,6)").alias("logp6")))
+    return (big.join(lp, ["w1", "w2"])
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(F.sum("logp6").cast("double") / F.count("*"), 4)
+                 .alias("avg_logp")))
+
+
+# ---------------------------------------------------------------------------
+# q_shuffle_deterministic — seeded epoch shuffle + shard assignment
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_ORACLE = """
+WITH r AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY md5('s42:' || cast(doc_id as varchar)), doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id,
+       cast((rk - 1) // 64 as bigint) AS shard,
+       cast((rk - 1) % 64 as bigint) AS pos
+FROM r
+"""
+
+
+@query("q_shuffle_deterministic", oracle=_SHUFFLE_ORACLE)
+def q_shuffle_deterministic(spark, sf_dir):
+    """Seeded deterministic epoch shuffle: every doc ranks by
+    md5(seed || doc_id) (doc_id tie-break), then packs into fixed-size
+    shards of 64 with an intra-shard position — reproducible global
+    permutation for training-order randomization, identical on any
+    engine/parallelism (no rand(), no partition dependence; change the
+    seed string for the next epoch).
+
+    Scale: one global sort by the hash — at 100 TB this is a
+    range-partitioned sort (Spark's sort-shuffle machinery), the same
+    cost as any total ordering; shard/pos are then pure arithmetic on
+    the rank."""
+    d = load_table(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        W.orderBy(F.md5(F.concat(F.lit("s42:"),
+                                 F.col("doc_id").cast("string"))),
+                  "doc_id"))
+    return (d.select("doc_id", rk.alias("rk"))
+            .select("doc_id",
+                    F.expr("(rk - 1) DIV 64").alias("shard"),
+                    F.expr("cast((rk - 1) % 64 as bigint)").alias("pos")))
+
+
+# ---------------------------------------------------------------------------
+# q_sql_pivot — the textual PIVOT surface
+# ---------------------------------------------------------------------------
+
+_SQL_PIVOT_SPARK = """
+SELECT * FROM (
+  SELECT user_id % 50 AS cohort, event_type FROM events
+)
+PIVOT (
+  count(event_type) FOR event_type IN
+    ('click', 'view', 'purchase', 'signup', 'error')
+)
+ORDER BY cohort
+"""
+
+
+@query(
+    "q_sql_pivot",
+    oracle="""
+    SELECT user_id % 50 AS cohort,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+    FROM events
+    GROUP BY 1 ORDER BY cohort
+    """,
+)
+def q_sql_pivot(spark, sf_dir):
+    """The textual PIVOT clause (SQL-surface family, beside
+    q_sql_surface/_lateral/_recursive): Spark parses the PIVOT syntax
+    into the same two-phase pivot plan as the DataFrame API
+    (q_pivot); explicit IN-list values keep the plan single-pass (no
+    distinct-scan for column discovery) — the same reason q_pivot
+    passes `values=` at 100 TB. Oracle is the equivalent conditional
+    aggregation."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    df = spark.sql(_SQL_PIVOT_SPARK)
+    # PIVOT count(*) yields nullable counts for absent combos; align
+    # with the oracle's 0-valued conditional counts
+    return df.fillna(0, subset=[c for c in df.columns if c != "cohort"])
+
+
+# ---------------------------------------------------------------------------
+# q_spatial_geohash — integer z-order geohash bucketing
+# ---------------------------------------------------------------------------
+
+def _interleave_sql(xcol: str, ycol: str, bits: int = 12) -> str:
+    """Unrolled Morton interleave expression (portable SQL arithmetic:
+    shifts expressed as integer multiply/divide so the same text runs
+    on Spark and DuckDB)."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({xcol}) // {1 << b}) % 2) * {1 << (2 * b)}")
+        terms.append(f"((({ycol}) // {1 << b}) % 2) * {1 << (2 * b + 1)}")
+    return " + ".join(terms)
+
+
+_GEO_SYNTH = """
+  SELECT c_custkey,
+         (c_custkey * 37) % 18000 AS lat_c,
+         (c_custkey * 73) % 36000 AS lon_c
+  FROM customer
+"""
+
+_GEO_CELLS = f"""
+  SELECT c_custkey,
+         (lat_c * 4096) // 18000 AS ycell,
+         (lon_c * 4096) // 36000 AS xcell
+  FROM ({_GEO_SYNTH})
+"""
+
+_GEOHASH_ORACLE = f"""
+WITH cells AS ({_GEO_CELLS}),
+z AS (
+  SELECT c_custkey, {_interleave_sql('xcell', 'ycell')} AS zcell
+  FROM cells
+)
+SELECT zcell, count(*) AS n,
+       min(c_custkey) AS first_key
+FROM z
+GROUP BY 1
+ORDER BY n DESC, zcell
+LIMIT 20
+"""
+
+
+@query("q_spatial_geohash", oracle=_GEOHASH_ORACLE)
+def q_spatial_geohash(spark, sf_dir):
+    """Integer z-order (Morton) geohash bucketing: synthetic-but-
+    deterministic lat/lon per customer quantize to a 4096² grid whose
+    x/y bits interleave into one 24-bit cell id; top-20 densest cells.
+    The interleave is unrolled integer arithmetic — the same expression
+    text runs on both engines, all exact.
+
+    The z-cell is the standard spatial co-location key: range
+    predicates on the curve approximate 2-D windows (cf. the z-order
+    layout query q_zorder_layout), and a cell-equality join is the
+    blocked/bucketed form of spatial join (q_spatial_join's grid
+    blocking with one key instead of two). One groupBy on the cell id;
+    at 100 TB the curve key doubles as the partition/sort key so cell
+    scans prune."""
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.selectExpr(
+        "c_custkey",
+        "((c_custkey * 37) % 18000) * 4096 DIV 18000 AS ycell",
+        "((c_custkey * 73) % 36000) * 4096 DIV 36000 AS xcell")
+    z = cells.selectExpr(
+        "c_custkey",
+        _interleave_sql("xcell", "ycell").replace("//", "DIV") + " AS zcell")
+    return (z.groupBy("zcell")
+            .agg(F.count("*").alias("n"), F.min("c_custkey").alias("first_key"))
+            .orderBy(F.desc("n"), "zcell").limit(20))
