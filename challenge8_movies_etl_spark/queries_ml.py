@@ -468,3 +468,45 @@ def q_spatial_geohash(spark, sf_dir):
     return (z.groupBy("zcell")
             .agg(F.count("*").alias("n"), F.min("c_custkey").alias("first_key"))
             .orderBy(F.desc("n"), "zcell").limit(20))
+
+
+# ---------------------------------------------------------------------------
+# q_kmeans — fixed-iteration Lloyd's over the embedding corpus
+# ---------------------------------------------------------------------------
+
+from .operators.kmeans import kmeans, kmeans_oracle_sql  # noqa: E402
+
+
+@query("q_kmeans", oracle=kmeans_oracle_sql(k=4, iterations=2))
+def q_kmeans(spark, sf_dir):
+    """Distributed k-means (k=4, 2 Lloyd iterations, seeded by the 4
+    lowest-vec_id embeddings) — the corpus-clustering primitive behind
+    IVF index construction (operators/similarity.py), topic bucketing,
+    and diversity sampling. Fully value-hash-checked: the iterative
+    loop is deterministic enough to unroll into chained SQL CTEs
+    (operators/kmeans.py kmeans_oracle_sql, same construction as
+    pagerank's oracle) — distances are exact decimal sums of
+    10dp-rounded per-dim terms, assignments tie-break by centroid
+    index, centroid updates are decimal-sum/count means rounded 6dp.
+
+    Scale: assignment is zero-shuffle codegen against broadcast
+    centroids; each update shuffles only k x d partial sums
+    (map-side-combined); the driver holds nothing beyond the k x d
+    centroid matrix. Output: per-cluster size + final centroid norm."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", "embedding")
+    init_rows = (vecs.orderBy("vec_id").limit(4)
+                 .select("embedding").collect())
+    init = [[float(x) for x in r["embedding"]] for r in init_rows]
+    assigned, cents = kmeans(vecs, init, iterations=2)
+    cent_rows = [(idx, float(c)) for idx, cent in enumerate(cents)
+                 for c in cent]
+    cdf = spark.createDataFrame(cent_rows, "idx int, c double")
+    c6 = F.col("c").cast("decimal(12,6)")
+    norms = (cdf.groupBy("idx")
+             .agg(F.round(F.sum(c6 * c6).cast("double"), 6).alias("cnorm")))
+    return (assigned.groupBy("cluster")
+            .agg(F.count("*").alias("n"))
+            .join(norms, F.col("cluster") == F.col("idx"))
+            .select("cluster", "n", "cnorm")
+            .orderBy("cluster"))
