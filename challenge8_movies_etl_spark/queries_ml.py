@@ -510,3 +510,197 @@ def q_kmeans(spark, sf_dir):
             .join(norms, F.col("cluster") == F.col("idx"))
             .select("cluster", "n", "cnorm")
             .orderBy("cluster"))
+
+
+# ---------------------------------------------------------------------------
+# q_countmin_topk — count-min sketch frequency estimation
+# ---------------------------------------------------------------------------
+
+_CM_D, _CM_W = 4, 64
+
+_CM_HASH_DUCK = ("cast(('0x' || substr(md5(cast(user_id as varchar) "
+                 "|| ':{j}'), 1, 8)) as bigint) % 64")
+_CM_ORACLE = f"""
+WITH h AS (
+  SELECT user_id,
+         {", ".join(f"{_CM_HASH_DUCK.format(j=j)} AS b{j}"
+                    for j in range(_CM_D))}
+  FROM events
+),
+{", ".join(f'''cm{j} AS (
+  SELECT b{j} AS bucket, count(*) AS cnt FROM h GROUP BY 1
+)''' for j in range(_CM_D))},
+keys AS (
+  SELECT DISTINCT user_id,
+         {", ".join(f"b{j}" for j in range(_CM_D))}
+  FROM h
+)
+SELECT k.user_id,
+       least({", ".join(f"cm{j}.cnt" for j in range(_CM_D))}) AS est
+FROM keys k
+{" ".join(f"JOIN cm{j} ON cm{j}.bucket = k.b{j}" for j in range(_CM_D))}
+ORDER BY est DESC, k.user_id
+LIMIT 20
+"""
+
+
+@query("q_countmin_topk", oracle=_CM_ORACLE)
+def q_countmin_topk(spark, sf_dir):
+    """Count-min sketch frequency estimation: a 4x64 counter matrix
+    (md5-derived row hashes, so both engines build the identical
+    sketch) over event user_ids; every key's estimate is the min of its
+    4 counters, top-20 by estimate. Estimates overcount under
+    collisions by construction — deterministically, since the hash
+    family is fixed, so even the collision error is value-hash-checked.
+    Completes the mergeable-sketch family (q_minhash_reagg HLL/minhash
+    unions, q_percentile_approx KLL): count-min is the frequency
+    member — sketches of shards ADD cell-wise.
+
+    Scale: the sketch build is 4 map-side-combined groupBys on a
+    64-cell domain (or one pass with a 4x64 array accumulator); the
+    d x w matrix broadcasts for estimation — no shuffle touches the
+    fact table beyond the counter reduction."""
+    e = load_table(spark, sf_dir, "events")
+    def bucket(j):
+        return (F.conv(F.substring(F.md5(F.concat(
+            F.col("user_id").cast("string"), F.lit(f":{j}"))), 1, 8),
+            16, 10).cast("bigint") % _CM_W)
+    h = e.select("user_id", *[bucket(j).alias(f"b{j}")
+                              for j in range(_CM_D)]).persist()
+    keys = h.distinct()
+    est = None
+    out = keys
+    for j in range(_CM_D):
+        cm = (h.groupBy(F.col(f"b{j}").alias("bucket"))
+              .agg(F.count("*").alias(f"cnt{j}")))
+        out = out.join(F.broadcast(cm), out[f"b{j}"] == cm["bucket"]) \
+                 .drop("bucket")
+    est = F.least(*[F.col(f"cnt{j}") for j in range(_CM_D)])
+    return (out.select("user_id", est.alias("est"))
+            .orderBy(F.desc("est"), "user_id").limit(20))
+
+
+# ---------------------------------------------------------------------------
+# q_bloom_prefilter — explicit Bloom-filter runtime join filter
+# ---------------------------------------------------------------------------
+
+_BLOOM_M, _BLOOM_K = 2048, 3
+
+_BLOOM_HASH_DUCK = ("cast(('0x' || substr(md5(cast({key} as varchar) "
+                    "|| ':bf{j}'), 1, 8)) as bigint) % 2048")
+
+_BLOOM_ORACLE = f"""
+WITH hi AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000
+),
+bits AS (
+  {" UNION ".join(f"SELECT DISTINCT {_BLOOM_HASH_DUCK.format(key='o_custkey', j=j)} AS pos FROM hi"
+                  for j in range(_BLOOM_K))}
+),
+cand AS (
+  SELECT c.c_custkey FROM customer c
+  {" ".join(f"JOIN bits b{j} ON b{j}.pos = {_BLOOM_HASH_DUCK.format(key='c.c_custkey', j=j)}"
+            for j in range(_BLOOM_K))}
+)
+SELECT count(*) AS n_candidates,
+       count(CASE WHEN hi.o_custkey IS NOT NULL THEN 1 END) AS n_true,
+       count(CASE WHEN hi.o_custkey IS NULL THEN 1 END) AS n_false_pos
+FROM cand LEFT JOIN hi ON hi.o_custkey = cand.c_custkey
+"""
+
+
+@query("q_bloom_prefilter", oracle=_BLOOM_ORACLE)
+def q_bloom_prefilter(spark, sf_dir):
+    """Explicit Bloom-filter join prefilter: the distinct high-value
+    order custkeys set 3 md5-derived bits each in a 2048-bit filter;
+    customers whose 3 bits are all set become join candidates. Reports
+    candidate/true/false-positive counts — the false positives are
+    deterministic (fixed hash family), so the filter's soundness
+    (n_true == |actual matches|, candidates ⊇ matches) is value-hash-
+    checked, not just tested. This is Spark's runtime bloom-filter
+    pushdown (spark.sql.optimizer.runtime.bloomFilter) made explicit
+    and portable: at 100 TB the bit set (256 B here, KBs generally)
+    broadcasts to pre-filter the probe scan so the join shuffles only
+    ~matching rows.
+
+    Scale: bit positions are a distinct-agg over the build side; the
+    membership check is k broadcast semi-joins (equivalently one
+    broadcast bitmask map) — no fact-table shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def hpos(col, j):
+        return (F.conv(F.substring(F.md5(F.concat(
+            col.cast("string"), F.lit(f":bf{j}"))), 1, 8),
+            16, 10).cast("bigint") % _BLOOM_M)
+
+    hi = (o.filter(F.col("o_totalprice") > 400000)
+          .select("o_custkey").distinct().persist())
+    bits = None
+    for j in range(_BLOOM_K):
+        b = hi.select(hpos(F.col("o_custkey"), j).alias("pos")).distinct()
+        bits = b if bits is None else bits.unionByName(b)
+    bits = bits.distinct()
+    cand = c.select("c_custkey")
+    for j in range(_BLOOM_K):
+        bj = bits.select(F.col("pos").alias(f"pos{j}"))
+        cand = cand.join(F.broadcast(bj),
+                         hpos(F.col("c_custkey"), j) == F.col(f"pos{j}")) \
+                   .drop(f"pos{j}")
+    joined = cand.join(hi, cand.c_custkey == hi.o_custkey, "left")
+    return joined.agg(
+        F.count("*").alias("n_candidates"),
+        F.count(F.when(F.col("o_custkey").isNotNull(), 1)).alias("n_true"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n_false_pos"))
+
+
+# ---------------------------------------------------------------------------
+# q_markov_transitions — event-sequence transition mining
+# ---------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+t AS (
+  SELECT event_type AS src, next_type AS dst, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+),
+s AS (SELECT src, sum(n) AS tot FROM t GROUP BY 1)
+SELECT t.src, t.dst, t.n,
+       round(cast(t.n as double) / cast(s.tot as double), 6) AS p
+FROM t JOIN s ON t.src = s.src
+"""
+
+
+@query("q_markov_transitions", oracle=_MARKOV_ORACLE)
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of user event sequences:
+    per user, consecutive event pairs (ts then event_id ordering makes
+    the sequence deterministic under timestamp ties), aggregated to
+    global (src, dst) counts and row-normalized probabilities — the
+    sequence-mining/behavior-model primitive behind session
+    prediction and funnel anomaly detection (cf. q_funnel's fixed
+    pattern; this learns ALL transitions).
+
+    Scale: one window over the user partitioning (co-partitioned with
+    the sessionize/funnel family), then a |types|²-bounded aggregate —
+    the transition matrix is tiny at any corpus size; n and tot are
+    exact integers so p is a single deterministic division."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "event_type",
+                   F.lead("event_type").over(w).alias("next_type"))
+    t = (seq.filter(F.col("next_type").isNotNull())
+         .groupBy(F.col("event_type").alias("src"),
+                  F.col("next_type").alias("dst"))
+         .agg(F.count("*").alias("n")))
+    s = t.groupBy("src").agg(F.sum("n").alias("tot"))
+    return (t.join(s, "src")
+            .select("src", "dst", "n",
+                    F.round(F.col("n").cast("double")
+                            / F.col("tot").cast("double"), 6).alias("p")))
