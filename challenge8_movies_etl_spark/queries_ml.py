@@ -652,55 +652,3 @@ def q_bloom_prefilter(spark, sf_dir):
         F.count("*").alias("n_candidates"),
         F.count(F.when(F.col("o_custkey").isNotNull(), 1)).alias("n_true"),
         F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n_false_pos"))
-
-
-# ---------------------------------------------------------------------------
-# q_markov_transitions — event-sequence transition mining
-# ---------------------------------------------------------------------------
-
-_MARKOV_ORACLE = """
-WITH seq AS (
-  SELECT user_id, event_type,
-         lead(event_type) OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS next_type
-  FROM events
-),
-t AS (
-  SELECT event_type AS src, next_type AS dst, count(*) AS n
-  FROM seq WHERE next_type IS NOT NULL
-  GROUP BY 1, 2
-),
-s AS (SELECT src, sum(n) AS tot FROM t GROUP BY 1)
-SELECT t.src, t.dst, t.n,
-       round(cast(t.n as double) / cast(s.tot as double), 6) AS p
-FROM t JOIN s ON t.src = s.src
-"""
-
-
-@query("q_markov_transitions", oracle=_MARKOV_ORACLE)
-def q_markov_transitions(spark, sf_dir):
-    """First-order Markov transition matrix of user event sequences:
-    per user, consecutive event pairs (ts then event_id ordering makes
-    the sequence deterministic under timestamp ties), aggregated to
-    global (src, dst) counts and row-normalized probabilities — the
-    sequence-mining/behavior-model primitive behind session
-    prediction and funnel anomaly detection (cf. q_funnel's fixed
-    pattern; this learns ALL transitions).
-
-    Scale: one window over the user partitioning (co-partitioned with
-    the sessionize/funnel family), then a |types|²-bounded aggregate —
-    the transition matrix is tiny at any corpus size; n and tot are
-    exact integers so p is a single deterministic division."""
-    e = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = e.select("user_id", "event_type",
-                   F.lead("event_type").over(w).alias("next_type"))
-    t = (seq.filter(F.col("next_type").isNotNull())
-         .groupBy(F.col("event_type").alias("src"),
-                  F.col("next_type").alias("dst"))
-         .agg(F.count("*").alias("n")))
-    s = t.groupBy("src").agg(F.sum("n").alias("tot"))
-    return (t.join(s, "src")
-            .select("src", "dst", "n",
-                    F.round(F.col("n").cast("double")
-                            / F.col("tot").cast("double"), 6).alias("p")))

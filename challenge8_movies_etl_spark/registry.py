@@ -33,6 +33,13 @@ def query(name: str, oracle: str | None = None):
     the DuckDB oracle SQL when the semantics are SQL-expressible (omit →
     the driver records a weaker rows-only check)."""
     def deco(fn):
+        if name in QUERIES and QUERIES[name].__module__ != fn.__module__:
+            # a silent overwrite across modules re-defines an already-
+            # shipped qid's semantics (bit us in round 4: a new module
+            # re-registered q_markov_transitions over the round-2 one)
+            raise ValueError(
+                f"query {name!r} already registered by "
+                f"{QUERIES[name].__module__}; duplicate in {fn.__module__}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = " ".join(oracle.split())
