@@ -25,8 +25,11 @@ def _update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     for pdf in pdfs:
         n += len(pdf)
         if len(pdf):
-            last_us = max(last_us,
-                          int(pdf["ts"].astype("int64").max()) // 1000)
+            # normalize to ns first: Arrow->pandas may yield
+            # datetime64[us] (pandas 2.x), where a bare
+            # .astype('int64')//1000 would be scaled 1000x wrong
+            ts_ns = pdf["ts"].astype("datetime64[ns]").astype("int64")
+            last_us = max(last_us, int(ts_ns.max()) // 1000)
     state.update((n, last_us))
     yield pd.DataFrame({
         "user_id": [key[0]],
