@@ -1,0 +1,936 @@
+"""Round-4 wave: curation scoring, privacy/governance, audit
+statistics, and engine-internals operators.
+
+No reference analog (the canonical assignment is a pandas ETL); these
+extend the training-data-pipeline families (BASELINE.json:6 north
+star): model-free quality classification, the hashing trick,
+readability scoring, seeded differential-privacy noise, release
+auditing (Benford, Gini, zone maps), smoothed target encoding, RFM
+segmentation, l-diversity, survival analysis, change-point detection,
+day-of-week seasonality, robust scaling, and exact binary (image)
+deduplication over real encoded payloads.
+
+Hash-stability follows registry.py conventions: integer/decimal
+arithmetic end-to-end where possible; floats only behind declared
+rounding points; decimal sums rounded AS DECIMALS before the double
+cast (the q_entropy round-half-tie discipline); every computed column
+aliased identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .registry import query
+from .sources.fixtures import load_table
+
+# ---------------------------------------------------------------------------
+# q_quality_classifier — logistic quality scoring (fasttext-style inference)
+# ---------------------------------------------------------------------------
+
+# Fixed published-style model: score = b + w·features. The fixture corpus
+# has no natural stopwords, so the "filler" lexicon is its three
+# highest-frequency function-like tokens.
+_FILLERS = "('value', 'table', 'row')"
+
+_QC_ORACLE = f"""
+WITH feat AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> t != '')) AS nt,
+         len(list_filter(string_split(text, ' '),
+                         t -> t IN {_FILLERS})) AS n_fill,
+         n_chars
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-(
+             -2.0 + 0.9 * ln(1 + nt)
+             - 3.0 * (cast(n_fill as double) / nt)
+             + 0.1 * (cast(n_chars as double) / nt)))), 6) AS p
+  FROM feat WHERE nt > 0
+)
+SELECT CASE WHEN p >= 0.7 THEN 'keep'
+            WHEN p >= 0.4 THEN 'borderline'
+            ELSE 'drop' END AS bucket,
+       count(*) AS n_docs,
+       cast(round(sum(cast(p as decimal(8,6))), 4) as double) AS sum_p
+FROM scored GROUP BY 1
+"""
+
+
+@query("q_quality_classifier", oracle=_QC_ORACLE)
+def q_quality_classifier(spark, sf_dir):
+    """Model-free quality-classifier inference: a fixed logistic model
+    over three cheap doc features (log token count, filler-token ratio,
+    mean token length) scores every doc; docs bucket into
+    keep/borderline/drop — the fasttext-style quality gate of CCNet/
+    Gopher pipelines with the learned weights pinned as constants
+    (inference is what the 100 TB pass runs; training happens offline).
+    p is rounded 6dp; the bucket thresholds compare the ROUNDED p, so
+    boundary docs classify identically on both engines; sum_p is a
+    decimal sum rounded as a decimal (q_entropy tie discipline).
+
+    Scale: pure per-row codegen (higher-order-function token counts, no
+    explode) + one tiny groupBy — zero pre-agg shuffle, same envelope
+    as q_text_quality."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), t -> t != '')")
+    fills = F.expr(f"size(filter(split(text, ' '), t -> t IN {_FILLERS}))")
+    feat = d.select(
+        "doc_id", "n_chars",
+        F.size(toks).alias("nt"), fills.alias("n_fill"),
+    ).filter(F.col("nt") > 0)
+    score = (F.lit(-2.0) + 0.9 * F.log(1 + F.col("nt"))
+             - 3.0 * (F.col("n_fill").cast("double") / F.col("nt"))
+             + 0.1 * (F.col("n_chars").cast("double") / F.col("nt")))
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6)
+    scored = feat.select("doc_id", p.alias("p"))
+    bucket = (F.when(F.col("p") >= 0.7, "keep")
+              .when(F.col("p") >= 0.4, "borderline")
+              .otherwise("drop"))
+    return (scored.groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.sum(F.col("p").cast("decimal(8,6)")), 4)
+                 .cast("double").alias("sum_p")))
+
+
+# ---------------------------------------------------------------------------
+# q_feature_hashing — hashing-trick featurization
+# ---------------------------------------------------------------------------
+
+_FH_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, t.w AS w
+  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+  WHERE t.w != ''
+),
+hashed AS (
+  SELECT doc_id, w,
+         cast(('0x' || substr(md5(w || ':fh'), 1, 8)) as bigint)
+           % 1024 AS bucket
+  FROM tok
+)
+SELECT bucket,
+       count(*) AS n_tokens,
+       count(DISTINCT w) AS n_distinct,
+       count(DISTINCT doc_id) AS doc_freq
+FROM hashed
+GROUP BY 1
+ORDER BY n_tokens DESC, bucket
+LIMIT 30
+"""
+
+
+@query("q_feature_hashing", oracle=_FH_ORACLE)
+def q_feature_hashing(spark, sf_dir):
+    """The hashing trick: every token maps to md5(token)%1024 — the
+    fixed-width featurization that makes bag-of-words practical at
+    100 TB (no vocabulary dictionary to build, broadcast, or keep in
+    sync across shards). Reports the 30 hottest feature buckets with
+    their token count, distinct-token load (collision census — n_distinct
+    > 1 IS the hash collision, deterministic under the fixed md5 family
+    and therefore value-hash-checked), and document frequency.
+
+    Scale: explode → one map-side-combined groupBy on a 1024-value
+    domain; the feature space never grows with the corpus, which is the
+    whole point of the trick."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+           .filter(F.col("w") != ""))
+    bucket = (F.conv(F.substring(F.md5(F.concat(F.col("w"), F.lit(":fh"))),
+                                 1, 8), 16, 10).cast("bigint") % 1024)
+    return (tok.select("doc_id", "w", bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.countDistinct("w").alias("n_distinct"),
+                 F.countDistinct("doc_id").alias("doc_freq"))
+            .orderBy(F.desc("n_tokens"), "bucket").limit(30))
+
+
+# ---------------------------------------------------------------------------
+# q_readability — Flesch-style reading-ease scoring
+# ---------------------------------------------------------------------------
+
+_READ_ORACLE = """
+WITH feat AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> t != '')) AS words,
+         len(regexp_extract_all(text, '[aeiou]+')) AS syllables
+  FROM documents
+)
+SELECT doc_id, words, syllables,
+       round(206.835
+             - 1.015 * (cast(words as double)
+                        / greatest((words + 19) // 20, 1))
+             - 84.6 * (cast(syllables as double) / words), 4) AS flesch
+FROM feat WHERE words > 0
+"""
+
+
+@query("q_readability", oracle=_READ_ORACLE)
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease scoring — the classic readability quality
+    signal (word/sentence length + syllables/word). Syllables use the
+    standard vowel-group heuristic (one syllable per [aeiou]+ run); the
+    fixture corpus carries no sentence punctuation, so the sentence
+    count is a DECLARED fixed-width segmentation (20 words/sentence,
+    documented rather than guessed from absent periods). Integer
+    features; one double formula rounded 4dp.
+
+    Scale: per-row codegen (HOF word count + regexp_count) — zero
+    shuffle, the same envelope as q_text_quality/q_text_langid."""
+    d = load_table(spark, sf_dir, "documents")
+    feat = d.select(
+        "doc_id",
+        F.expr("size(filter(split(text, ' '), t -> t != ''))").alias("words"),
+        F.expr("regexp_count(text, '[aeiou]+')").alias("syllables"),
+    ).filter(F.col("words") > 0)
+    sentences = F.greatest(F.expr("(words + 19) DIV 20"), F.lit(1))
+    flesch = F.round(
+        F.lit(206.835)
+        - 1.015 * (F.col("words").cast("double") / sentences)
+        - 84.6 * (F.col("syllables").cast("double") / F.col("words")), 4)
+    return feat.select("doc_id", "words", "syllables",
+                       flesch.alias("flesch"))
+
+
+# ---------------------------------------------------------------------------
+# q_dp_noisy_counts — seeded Laplace differential-privacy release
+# ---------------------------------------------------------------------------
+
+_DP_ORACLE = """
+WITH c AS (
+  SELECT event_type, count(*) AS n FROM events GROUP BY 1
+),
+noised AS (
+  SELECT event_type, n,
+         (cast(('0x' || substr(md5(event_type || ':dp42'), 1, 12))
+               as bigint) % 999999 + 0.5) / 1000000.0 - 0.5 AS u
+  FROM c
+)
+SELECT event_type,
+       round(cast(n as double)
+             - 1.0 * sign(u) * ln(1 - 2 * abs(u)), 4) AS noisy_count
+FROM noised
+"""
+
+
+@query("q_dp_noisy_counts", oracle=_DP_ORACLE)
+def q_dp_noisy_counts(spark, sf_dir):
+    """Differentially-private count release: per-type event counts plus
+    Laplace(1/eps) noise (eps=1, sensitivity 1) drawn by inverse-CDF
+    from a SEEDED md5-derived uniform — reproducible-release DP, where
+    the noise is fixed per (key, seed) so re-running the release
+    pipeline yields the identical protected table (and the oracle can
+    verify it bit-for-bit; true counts never appear in the output).
+    u in (-0.5, 0.5) strictly (the +0.5/1e6 offset keeps ln's argument
+    positive); noise = -b*sign(u)*ln(1-2|u|).
+
+    Scale: one map-side-combined count; noise is per-GROUP codegen on
+    the tiny aggregate relation."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("event_type").agg(F.count("*").alias("n"))
+    u = ((F.conv(F.substring(F.md5(F.concat(F.col("event_type"),
+                                            F.lit(":dp42"))), 1, 12),
+                 16, 10).cast("bigint") % 999999 + 0.5) / 1000000.0 - 0.5)
+    noisy = F.round(F.col("n").cast("double")
+                    - 1.0 * F.signum(u) * F.log(1 - 2 * F.abs(u)), 4)
+    return c.select("event_type", noisy.alias("noisy_count"))
+
+
+# ---------------------------------------------------------------------------
+# q_benford — first-significant-digit audit
+# ---------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT cast(substr(cast(cast(floor(o_totalprice) as bigint) as varchar),
+              1, 1) as int) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+t AS (SELECT sum(n) AS total FROM c)
+SELECT digit, n,
+       round(cast(n as double) / total, 6) AS obs_frac,
+       round(log10(1.0 + 1.0 / digit), 6) AS exp_frac,
+       round(pow(n - total * log10(1.0 + 1.0 / digit), 2)
+             / (total * log10(1.0 + 1.0 / digit)), 4) AS chi2_term
+FROM c CROSS JOIN t
+ORDER BY digit
+"""
+
+
+@query("q_benford", oracle=_BENFORD_ORACLE)
+def q_benford(spark, sf_dir):
+    """Benford's-law first-digit audit over order totals: observed
+    first-significant-digit fractions vs the log10(1+1/d) expectation,
+    with per-digit chi-square terms — the forensic screen a data-release
+    / ingest-audit pipeline runs to flag fabricated or truncated numeric
+    feeds. Counts are exact; the three derived columns are declared-
+    rounded doubles of exact inputs.
+
+    Scale: one map-side-combined groupBy on a 9-value domain + a
+    broadcast one-row total — nothing grows with the corpus."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(F.floor("o_totalprice").cast("bigint")
+                        .cast("string"), 1, 1).cast("int")
+    c = (o.filter(F.col("o_totalprice") >= 1)
+         .groupBy(digit.alias("digit")).agg(F.count("*").alias("n")))
+    t = c.agg(F.sum("n").alias("total"))
+    exp_p = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (c.crossJoin(F.broadcast(t))
+            .select("digit", "n",
+                    F.round(F.col("n").cast("double") / F.col("total"), 6)
+                    .alias("obs_frac"),
+                    F.round(exp_p, 6).alias("exp_frac"),
+                    F.round(F.pow(F.col("n") - F.col("total") * exp_p, 2)
+                            / (F.col("total") * exp_p), 4)
+                    .alias("chi2_term"))
+            .orderBy("digit"))
+
+
+# ---------------------------------------------------------------------------
+# q_gini_concentration — Lorenz/Gini spend-concentration audit
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey,
+         cast(round(sum(cast(o_totalprice as decimal(30,10))), 2) * 100
+              as bigint) AS cents
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT c.c_nationkey, s.cents,
+         row_number() OVER (PARTITION BY c.c_nationkey
+                            ORDER BY s.cents, s.o_custkey) AS i
+  FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+),
+agg AS (
+  SELECT c_nationkey, count(*) AS n,
+         sum(cents) AS sx, sum(i * cents) AS six
+  FROM ranked GROUP BY 1
+)
+SELECT c_nationkey AS nation, n,
+       round(cast(sx as double) / 100, 2) AS total_spend,
+       round(cast(2 * six - (n + 1) * sx as double)
+             / (cast(n as double) * sx), 6) AS gini
+FROM agg
+"""
+
+
+@query("q_gini_concentration", oracle=_GINI_ORACLE)
+def q_gini_concentration(spark, sf_dir):
+    """Per-nation Gini coefficient of customer spend (Lorenz-curve
+    concentration): G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over
+    spend ranked ascending — the inequality/concentration audit behind
+    domain-mix and contributor-skew monitoring (a source where 1% of
+    contributors produce 99% of bytes is a dedup/poisoning flag).
+    Spend is pinned to exact integer cents (2dp decimal * 100), so
+    every sum/product is exact integer arithmetic; rank ties break on
+    custkey; the single double division is the last step.
+
+    Scale: one groupBy for spend, one per-nation window for ranks
+    (nation-keyed, co-partitioned with the following agg), one agg —
+    the rank window is the standard Lorenz sort, partitioned by the
+    report key rather than global."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = (o.groupBy("o_custkey")
+             .agg((F.round(F.sum(F.col("o_totalprice")
+                                 .cast("decimal(30,10)")), 2) * 100)
+                  .cast("bigint").alias("cents")))
+    ranked = (spend.join(c, spend.o_custkey == c.c_custkey)
+              .select("c_nationkey", "cents", "o_custkey")
+              .withColumn("i", F.row_number().over(
+                  W.partitionBy("c_nationkey")
+                  .orderBy("cents", "o_custkey"))))
+    agg = (ranked.groupBy("c_nationkey")
+           .agg(F.count("*").alias("n"), F.sum("cents").alias("sx"),
+                F.sum(F.col("i") * F.col("cents")).alias("six")))
+    return agg.select(
+        F.col("c_nationkey").alias("nation"), "n",
+        F.round(F.col("sx").cast("double") / 100, 2).alias("total_spend"),
+        F.round((2 * F.col("six") - (F.col("n") + 1) * F.col("sx"))
+                .cast("double")
+                / (F.col("n").cast("double") * F.col("sx")), 6)
+        .alias("gini"))
+
+
+# ---------------------------------------------------------------------------
+# q_target_encode — smoothed mean target encoding
+# ---------------------------------------------------------------------------
+
+_TE_ORACLE = """
+WITH lab AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+g AS (
+  SELECT o_orderpriority, count(*) AS n, cast(sum(y) as bigint) AS pos
+  FROM lab GROUP BY 1
+),
+t AS (SELECT cast(sum(n) as bigint) AS big_n,
+             cast(sum(pos) as bigint) AS big_pos FROM g)
+SELECT o_orderpriority, n, pos,
+       round(cast(pos * big_n + 10 * big_pos as double)
+             / (cast(big_n as double) * (n + 10)), 6) AS encoded
+FROM g CROSS JOIN t
+"""
+
+
+@query("q_target_encode", oracle=_TE_ORACLE)
+def q_target_encode(spark, sf_dir):
+    """Smoothed mean target encoding of a categorical feature
+    (priority -> P(high-value order)): enc = (pos + m*global_rate) /
+    (n + m) with m=10 — the leakage-prone-if-done-wrong featurization
+    step, here in its correct global-pass form. Kept exact as the
+    rational (pos*N + m*POS) / (N*(n+m)): integer numerator and
+    denominator, one declared-rounded double division.
+
+    Scale: one map-side-combined groupBy + a broadcast one-row global —
+    the encoding table is |categories| rows and broadcasts back onto
+    any downstream scan for application."""
+    o = load_table(spark, sf_dir, "orders")
+    lab = o.select(
+        "o_orderpriority",
+        F.when(F.col("o_totalprice") > 200000, 1).otherwise(0).alias("y"))
+    g = (lab.groupBy("o_orderpriority")
+         .agg(F.count("*").alias("n"), F.sum("y").alias("pos")))
+    t = g.agg(F.sum("n").alias("big_n"), F.sum("pos").alias("big_pos"))
+    return (g.crossJoin(F.broadcast(t))
+            .select("o_orderpriority", "n", "pos",
+                    F.round((F.col("pos") * F.col("big_n")
+                             + 10 * F.col("big_pos")).cast("double")
+                            / (F.col("big_n").cast("double")
+                               * (F.col("n") + 10)), 6).alias("encoded")))
+
+
+# ---------------------------------------------------------------------------
+# q_rfm_segment — recency/frequency/monetary quartile segmentation
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS freq,
+         cast(round(sum(cast(o_totalprice as decimal(30,10))), 2) * 100
+              as bigint) AS cents
+  FROM orders GROUP BY 1
+),
+anchor AS (SELECT max(o_orderdate) AS maxd FROM orders),
+rfm AS (
+  SELECT o_custkey,
+         date_diff('day', cast(last_order as date), cast(maxd as date))
+           AS recency,
+         freq, cents,
+         ntile(4) OVER (ORDER BY date_diff('day',
+             cast(last_order as date), cast(maxd as date)) DESC,
+             o_custkey) AS r_tile,
+         ntile(4) OVER (ORDER BY freq, o_custkey) AS f_tile,
+         ntile(4) OVER (ORDER BY cents, o_custkey) AS m_tile
+  FROM per_cust CROSS JOIN anchor
+)
+SELECT r_tile * 100 + f_tile * 10 + m_tile AS segment,
+       count(*) AS n_customers,
+       round(cast(sum(cents) as double) / (100 * count(*)), 2)
+         AS avg_monetary
+FROM rfm GROUP BY 1
+"""
+
+
+@query("q_rfm_segment", oracle=_RFM_ORACLE)
+def q_rfm_segment(spark, sf_dir):
+    """RFM segmentation: per-customer recency (days since last order,
+    vs the corpus max date), frequency, monetary (exact integer cents)
+    quartiled by ntile(4) each — recency DESC so tile 4 = most recent —
+    and combined into the classic 3-digit segment code with per-segment
+    counts and average spend. Every ntile ordering carries a custkey
+    tie-break, so tile boundaries are deterministic at any parallelism.
+
+    Scale: one groupBy builds the per-customer relation; the three
+    ntiles are global sorts over |customers| rows (range-partitioned
+    sorts at 100 TB — same machinery as q_shuffle_deterministic); the
+    final agg is on a 64-value domain."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (o.groupBy("o_custkey")
+                .agg(F.max("o_orderdate").alias("last_order"),
+                     F.count("*").alias("freq"),
+                     (F.round(F.sum(F.col("o_totalprice")
+                                    .cast("decimal(30,10)")), 2) * 100)
+                     .cast("bigint").alias("cents")))
+    anchor = o.agg(F.max("o_orderdate").alias("maxd"))
+    rfm = (per_cust.crossJoin(F.broadcast(anchor))
+           .withColumn("recency",
+                       F.datediff(F.col("maxd").cast("date"),
+                                  F.col("last_order").cast("date"))))
+    rfm = (rfm
+           .withColumn("r_tile", F.ntile(4).over(
+               W.orderBy(F.desc("recency"), "o_custkey")))
+           .withColumn("f_tile", F.ntile(4).over(
+               W.orderBy("freq", "o_custkey")))
+           .withColumn("m_tile", F.ntile(4).over(
+               W.orderBy("cents", "o_custkey"))))
+    return (rfm.groupBy((F.col("r_tile") * 100 + F.col("f_tile") * 10
+                         + F.col("m_tile")).alias("segment"))
+            .agg(F.count("*").alias("n_customers"),
+                 F.round(F.sum("cents").cast("double")
+                         / (100 * F.count("*")), 2).alias("avg_monetary")))
+
+
+# ---------------------------------------------------------------------------
+# q_l_diversity — sensitive-attribute diversity audit
+# ---------------------------------------------------------------------------
+
+_LDIV_ORACLE = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS n
+  FROM customer GROUP BY 1, 2
+),
+qi AS (
+  SELECT c_nationkey, cast(sum(n) as bigint) AS n_rows,
+         count(*) AS l_distinct,
+         max(n) AS max_sens
+  FROM g GROUP BY 1
+)
+SELECT c_nationkey AS nation, n_rows, l_distinct,
+       l_distinct >= 3 AS meets_l3,
+       round(cast(max_sens as double) / n_rows, 4) AS top_sens_frac
+FROM qi
+"""
+
+
+@query("q_l_diversity", oracle=_LDIV_ORACLE)
+def q_l_diversity(spark, sf_dir):
+    """l-diversity audit — the companion gate to q_k_anonymity: a
+    QI group that is k-large but where (nearly) every member shares one
+    sensitive value still leaks it. Per QI group (nation), reports the
+    distinct sensitive values (market segment), whether l>=3 holds, and
+    the top-value fraction (the homogeneity-attack surface). Exact
+    counts; one declared-rounded fraction.
+
+    Scale: two stacked map-side-combined groupBys — the second runs on
+    the |QI|x|sensitive| relation, never the fact table."""
+    c = load_table(spark, sf_dir, "customer")
+    g = (c.groupBy("c_nationkey", "c_mktsegment")
+         .agg(F.count("*").alias("n")))
+    qi = (g.groupBy("c_nationkey")
+          .agg(F.sum("n").alias("n_rows"),
+               F.count("*").alias("l_distinct"),
+               F.max("n").alias("max_sens")))
+    return qi.select(
+        F.col("c_nationkey").alias("nation"), "n_rows", "l_distinct",
+        (F.col("l_distinct") >= 3).alias("meets_l3"),
+        F.round(F.col("max_sens").cast("double") / F.col("n_rows"), 4)
+        .alias("top_sens_frac"))
+
+
+# ---------------------------------------------------------------------------
+# q_zonemap_prune — min/max zone-map pruning simulation
+# ---------------------------------------------------------------------------
+
+_ZM_ORACLE = """
+WITH laid AS (
+  SELECT o_totalprice,
+         o_orderkey // 1000 AS chunk_nat,
+         (row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1)
+           // 1000 AS chunk_clu
+  FROM orders
+),
+both_layouts AS (
+  SELECT 'natural' AS layout, chunk_nat AS chunk, o_totalprice FROM laid
+  UNION ALL
+  SELECT 'clustered' AS layout, chunk_clu AS chunk, o_totalprice FROM laid
+),
+chunks AS (
+  SELECT layout, chunk,
+         count(*) AS n,
+         count(CASE WHEN o_totalprice > 300000 THEN 1 END) AS n_match,
+         min(o_totalprice) AS mn, max(o_totalprice) AS mx
+  FROM both_layouts GROUP BY 1, 2
+)
+SELECT layout,
+       CASE WHEN mx <= 300000 THEN 'skip'
+            WHEN mn > 300000 THEN 'full'
+            ELSE 'partial' END AS status,
+       count(*) AS n_chunks,
+       cast(sum(n) as bigint) AS n_rows,
+       cast(sum(n_match) as bigint) AS n_matching
+FROM chunks GROUP BY 1, 2
+"""
+
+
+@query("q_zonemap_prune", oracle=_ZM_ORACLE)
+def q_zonemap_prune(spark, sf_dir):
+    """Zone-map (min/max statistics) pruning simulation under TWO
+    physical layouts: 1000-row chunks carry min/max of the filter
+    column; against `price > 300000` each chunk classifies skip (max
+    under the predicate — never read), full (min over — no per-row
+    filter needed), or partial — exactly the scan-pruning arithmetic
+    parquet row-group stats and Delta/Iceberg file stats perform, made
+    explicit and value-checked. The 'natural' (insertion-order) layout
+    prunes nothing — every chunk spans the price range — while the
+    'clustered' (price-sorted) layout skips ~all non-matching chunks:
+    the measured argument for why q_zorder_layout/q_compaction_plan
+    exist. The skip fraction IS the I/O a 100 TB scan avoids.
+
+    Scale: natural chunks are pure arithmetic on the key; the clustered
+    layout costs one global sort (range-partitioned at scale — a
+    one-time write-path cost, which is the actual trade-off); stats are
+    map-side-combined groupBys."""
+    o = load_table(spark, sf_dir, "orders")
+    laid = o.select(
+        "o_totalprice",
+        F.expr("o_orderkey DIV 1000").alias("chunk_nat"),
+        F.expr("(row_number() OVER (ORDER BY o_totalprice, o_orderkey)"
+               " - 1) DIV 1000").alias("chunk_clu"))
+    both = (laid.select(F.lit("natural").alias("layout"),
+                        F.col("chunk_nat").alias("chunk"), "o_totalprice")
+            .unionAll(laid.select(F.lit("clustered").alias("layout"),
+                                  F.col("chunk_clu").alias("chunk"),
+                                  "o_totalprice")))
+    chunks = (both.groupBy("layout", "chunk")
+              .agg(F.count("*").alias("n"),
+                   F.count(F.when(F.col("o_totalprice") > 300000, 1))
+                   .alias("n_match"),
+                   F.min("o_totalprice").alias("mn"),
+                   F.max("o_totalprice").alias("mx")))
+    status = (F.when(F.col("mx") <= 300000, "skip")
+              .when(F.col("mn") > 300000, "full")
+              .otherwise("partial"))
+    return (chunks.groupBy("layout", status.alias("status"))
+            .agg(F.count("*").alias("n_chunks"),
+                 F.sum("n").alias("n_rows"),
+                 F.sum("n_match").alias("n_matching")))
+
+
+# ---------------------------------------------------------------------------
+# q_survival_km — Kaplan-Meier estimator
+# ---------------------------------------------------------------------------
+
+_KM_ORACLE = """
+WITH durations AS (
+  SELECT date_diff('day', cast(o.o_orderdate as date),
+                   cast(l.l_shipdate as date)) AS t,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ev
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+per_t AS (
+  SELECT t, count(*) AS c, cast(sum(ev) as bigint) AS d
+  FROM durations GROUP BY 1
+),
+risk AS (
+  SELECT t, d,
+         cast(sum(c) OVER (ORDER BY t DESC) as bigint) AS n_risk
+  FROM per_t
+),
+terms AS (
+  SELECT t, d, n_risk,
+         cast(round(ln(cast(n_risk - d as double) / n_risk), 8)
+              as decimal(14,8)) AS lnterm
+  FROM risk WHERE d < n_risk
+)
+SELECT t, n_risk, d AS d_events,
+       round(exp(cast(sum(lnterm) OVER (ORDER BY t) as double)), 6)
+         AS survival
+FROM terms
+ORDER BY t
+LIMIT 25
+"""
+
+
+@query("q_survival_km", oracle=_KM_ORACLE)
+def q_survival_km(spark, sf_dir):
+    """Kaplan-Meier survival estimator over order-to-ship durations
+    (event = the line was returned; non-returned lines censor at their
+    ship time): S(t) = prod_{t_i<=t} (1 - d_i/n_i), the standard
+    time-to-event curve for churn/retention/failure analytics. Computed
+    as exp of a cumulative sum of 8dp-rounded log terms summed as exact
+    decimals (the q_entropy discipline applied to a product: reduction
+    order cannot move the hash); risk sets come from one reverse
+    cumulative count. First 25 time points.
+
+    Scale: the duration histogram is one map-side-combined groupBy on
+    the joined fact table (AQE picks broadcast for orders at small sf;
+    key-shuffle at 100 TB); everything after runs on the |distinct t|
+    relation (~hundreds of rows at any corpus size, single-partition
+    windows are fine there)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    dur = (l.join(o, l.l_orderkey == o.o_orderkey)
+           .select(F.datediff(F.col("l_shipdate").cast("date"),
+                              F.col("o_orderdate").cast("date")).alias("t"),
+                   F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+                   .alias("ev")))
+    per_t = dur.groupBy("t").agg(F.count("*").alias("c"),
+                                 F.sum("ev").alias("d"))
+    risk = per_t.select(
+        "t", "d",
+        F.sum("c").over(W.orderBy(F.desc("t"))).alias("n_risk"))
+    terms = (risk.filter(F.col("d") < F.col("n_risk"))
+             .select("t", "d", "n_risk",
+                     F.round(F.log((F.col("n_risk") - F.col("d"))
+                                   .cast("double") / F.col("n_risk")), 8)
+                     .cast("decimal(14,8)").alias("lnterm")))
+    surv = F.round(F.exp(F.sum("lnterm").over(W.orderBy("t"))
+                         .cast("double")), 6)
+    return (terms.select("t", "n_risk", F.col("d").alias("d_events"),
+                         surv.alias("survival"))
+            .orderBy("t").limit(25))
+
+
+# ---------------------------------------------------------------------------
+# q_changepoint — mean-shift change-point detection
+# ---------------------------------------------------------------------------
+
+_CP_ORACLE = """
+WITH daily AS (
+  SELECT cast(ts as date) AS d, count(*) AS x
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT d, x,
+         row_number() OVER (ORDER BY d) AS t,
+         sum(x) OVER (ORDER BY d) AS s,
+         sum(x) OVER () AS tot,
+         count(*) OVER () AS n
+  FROM daily
+),
+stats AS (
+  SELECT d, t, n, s, tot,
+         cast(s * (n - t) - (tot - s) * t as decimal(19,0)) AS num
+  FROM idx WHERE t < n
+),
+scored AS (
+  SELECT d, t, n, s, tot,
+         round(cast(num * num as double)
+               / (cast(t as double) * (n - t)), 6) AS stat
+  FROM stats
+)
+SELECT cast(d as varchar) AS split_day, stat,
+       round(cast(s as double) / t, 4) AS mean_left,
+       round(cast(tot - s as double) / (n - t), 4) AS mean_right
+FROM scored
+ORDER BY stat DESC, split_day
+LIMIT 1
+"""
+
+
+@query("q_changepoint", oracle=_CP_ORACLE)
+def q_changepoint(spark, sf_dir):
+    """Single change-point detection on the daily event-count series:
+    for every split t the between-segment statistic
+    num^2 / (t*(n-t)) with num = s_t*(n-t) - (S-s_t)*t (the n-scaled
+    CUSUM/mean-shift form: every num is exact integer arithmetic on
+    counts, so the argmax is engine-independent; decimal square guards
+    overflow) — the ingest-monitoring primitive that flags the day a
+    source's volume regime shifted. Ties break on the earlier day.
+
+    Scale: the daily rollup is one map-side-combined groupBy; the
+    split scan is windows over the |days| relation (hundreds of rows
+    at any corpus size)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("ts").cast("date").alias("d"))
+             .agg(F.count("*").alias("x")))
+    wd = W.orderBy("d")
+    idx = daily.select(
+        "d", "x",
+        F.row_number().over(wd).alias("t"),
+        F.sum("x").over(wd).alias("s"),
+        F.sum("x").over(W.partitionBy(F.lit(1))).alias("tot"),
+        F.count("*").over(W.partitionBy(F.lit(1))).alias("n"))
+    stats = (idx.filter(F.col("t") < F.col("n"))
+             .withColumn("num", (F.col("s") * (F.col("n") - F.col("t"))
+                                 - (F.col("tot") - F.col("s")) * F.col("t"))
+                         .cast("decimal(19,0)")))
+    scored = stats.withColumn(
+        "stat", F.round((F.col("num") * F.col("num")).cast("double")
+                        / (F.col("t").cast("double")
+                           * (F.col("n") - F.col("t"))), 6))
+    return (scored.select(F.col("d").cast("string").alias("split_day"),
+                          "stat",
+                          F.round(F.col("s").cast("double") / F.col("t"), 4)
+                          .alias("mean_left"),
+                          F.round((F.col("tot") - F.col("s")).cast("double")
+                                  / (F.col("n") - F.col("t")), 4)
+                          .alias("mean_right"))
+            .orderBy(F.desc("stat"), "split_day").limit(1))
+
+
+# ---------------------------------------------------------------------------
+# q_seasonal_dow — day-of-week seasonal index
+# ---------------------------------------------------------------------------
+
+_DOW_ORACLE = """
+WITH daily AS (
+  SELECT cast(ts as date) AS d, count(*) AS x
+  FROM events GROUP BY 1
+),
+dow AS (
+  SELECT date_diff('day', DATE '1970-01-01', d) % 7 AS dow,
+         count(*) AS n_days, cast(sum(x) as bigint) AS sx
+  FROM daily GROUP BY 1
+),
+t AS (SELECT cast(sum(n_days) as bigint) AS big_n,
+             cast(sum(sx) as bigint) AS big_s FROM dow)
+SELECT dow, n_days, sx AS n_events,
+       round(cast(sx * big_n as double)
+             / (cast(n_days as double) * big_s), 6) AS seasonal_index
+FROM dow CROSS JOIN t
+ORDER BY dow
+"""
+
+
+@query("q_seasonal_dow", oracle=_DOW_ORACLE)
+def q_seasonal_dow(spark, sf_dir):
+    """Day-of-week seasonal index of event volume: mean daily count per
+    weekday over the overall mean, in the n-scaled rational form
+    (sx*N)/(n_days*S) so both engines divide the same exact integers
+    once. Weekday = epoch-day mod 7 (engine-portable: Spark dayofweek
+    is 1-based-Sunday, DuckDB 0-based — the epoch arithmetic sidesteps
+    the convention gap). The seasonal profile is the denominator for
+    seasonally-adjusted anomaly gates (q_anomaly_zscore over x_t /
+    index_dow).
+
+    Scale: daily rollup groupBy, then a 7-value-domain agg + broadcast
+    one-row total."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("ts").cast("date").alias("d"))
+             .agg(F.count("*").alias("x")))
+    dow = (daily.groupBy((F.datediff("d", F.lit("1970-01-01")) % 7)
+                         .alias("dow"))
+           .agg(F.count("*").alias("n_days"), F.sum("x").alias("sx")))
+    t = dow.agg(F.sum("n_days").alias("big_n"), F.sum("sx").alias("big_s"))
+    return (dow.crossJoin(F.broadcast(t))
+            .select("dow", "n_days", F.col("sx").alias("n_events"),
+                    F.round((F.col("sx") * F.col("big_n")).cast("double")
+                            / (F.col("n_days").cast("double")
+                               * F.col("big_s")), 6)
+                    .alias("seasonal_index"))
+            .orderBy("dow"))
+
+
+# ---------------------------------------------------------------------------
+# q_robust_scale — median/IQR robust scaling
+# ---------------------------------------------------------------------------
+
+_RS_ORACLE = """
+WITH q AS (
+  SELECT c_nationkey,
+         round(quantile_cont(c_acctbal, 0.5), 6) AS med,
+         round(quantile_cont(c_acctbal, 0.75)
+               - quantile_cont(c_acctbal, 0.25), 6) AS iqr
+  FROM customer GROUP BY 1
+)
+SELECT c.c_nationkey AS nation,
+       count(*) AS n,
+       max(q.med) AS med, max(q.iqr) AS iqr,
+       count(CASE WHEN abs(c.c_acctbal - q.med) > 2 * q.iqr THEN 1 END)
+         AS n_extreme
+FROM customer c JOIN q ON c.c_nationkey = q.c_nationkey
+GROUP BY 1
+"""
+
+
+@query("q_robust_scale", oracle=_RS_ORACLE)
+def q_robust_scale(spark, sf_dir):
+    """Robust (median/IQR) scaling statistics per nation — the
+    outlier-insensitive alternative to q_minmax_scale's min/max (one
+    corrupt extreme row moves min/max arbitrarily; the median and IQR
+    don't). Reports the scaling parameters and how many rows land
+    beyond 2 IQRs from the median. Quantiles are pinned to a DECLARED
+    6dp before any comparison (the q_outlier_iqr ulp discipline: the
+    engines' interpolation formulas differ by 1 ulp).
+
+    Scale: one exact-percentile per-nation agg (per-key sort, not
+    global) broadcast back onto the dimension scan; at 100 TB swap in
+    percentile_approx (q_percentile_approx pattern), plan unchanged."""
+    c = load_table(spark, sf_dir, "customer")
+    q = (c.groupBy("c_nationkey")
+         .agg(F.round(F.expr("percentile(c_acctbal, 0.5)"), 6).alias("med"),
+              F.round(F.expr("percentile(c_acctbal, 0.75)"
+                             " - percentile(c_acctbal, 0.25)"), 6)
+              .alias("iqr")))
+    j = c.join(F.broadcast(q), "c_nationkey")
+    return (j.groupBy(F.col("c_nationkey").alias("nation"))
+            .agg(F.count("*").alias("n"),
+                 F.max("med").alias("med"), F.max("iqr").alias("iqr"),
+                 F.count(F.when(F.abs(F.col("c_acctbal") - F.col("med"))
+                                > 2 * F.col("iqr"), 1)).alias("n_extreme")))
+
+
+# ---------------------------------------------------------------------------
+# q_image_dedup_exact — exact binary dedup over real encoded payloads
+# ---------------------------------------------------------------------------
+
+# The corpus knob: payloads are synthesized from doc_id % 97, so every
+# ~97th doc carries a byte-identical image. The encoders are injective
+# over 0..96 (fmt = d%3; dims d%13+1 x d%7+1; BMP/PPM color r = d < 256;
+# JPEG gray = (d*5)%128*2 with 5 invertible mod 128), so md5-equality
+# groups == residue groups and the closed-form oracle can verify the
+# real binary-hash dedup without constructing a single byte.
+_IMG_DEDUP_ORACLE = """
+WITH g AS (
+  SELECT doc_id % 97 AS synth_id, min(doc_id) AS keeper,
+         count(*) AS n_copies
+  FROM documents GROUP BY 1
+)
+SELECT keeper, n_copies,
+       CASE synth_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+            ELSE 'jpeg' END AS fmt
+FROM g
+"""
+
+
+@query("q_image_dedup_exact", oracle=_IMG_DEDUP_ORACLE)
+def q_image_dedup_exact(spark, sf_dir):
+    """Exact binary deduplication of an image corpus: md5 over the raw
+    payload bytes groups byte-identical images; keep the min doc_id per
+    group with its copy count and container format (sniffed from magic
+    bytes, not trusted metadata) — the first rung of every multimodal
+    dedup ladder (byte-exact before perceptual). The Spark side hashes
+    REAL encoded BMP/PPM/JPEG payloads (operators/multimodal.py
+    encoders, doc_id%97 duplication knob); the oracle exploits encoder
+    injectivity to verify the md5 groups from the closed form — see
+    module comment.
+
+    Scale: payload synthesis/ingest is mapInPandas (no shuffle); the
+    dedup is one groupBy on the 128-bit digest — the exact-dedup plan
+    at any corpus size (hash, never pairwise)."""
+    from .operators.jpeg import encode_jpeg_gray_uniform
+    from .operators.multimodal import encode_bmp, encode_ppm
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def synth(batches):
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id) % 97
+                w, h = k % 13 + 1, k % 7 + 1
+                if k % 3 == 2:
+                    payloads.append(
+                        encode_jpeg_gray_uniform(w, h, (k * 5) % 128 * 2))
+                else:
+                    r, g, b = k % 256, (k * 7) % 256, (k * 13) % 256
+                    enc = encode_bmp if k % 3 == 0 else encode_ppm
+                    payloads.append(enc(w, h, r, g, b))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = d.select("doc_id").mapInPandas(
+        synth, schema="doc_id bigint, payload binary")
+    fmt = (F.when(F.expr("substring(payload, 1, 2)") == F.lit(b"BM"), "bmp")
+           .when(F.expr("substring(payload, 1, 2)") == F.lit(b"P6"), "ppm")
+           .otherwise("jpeg"))
+    return (media.select("doc_id", F.md5("payload").alias("sig"),
+                         fmt.alias("fmt"))
+            .groupBy("sig", "fmt")
+            .agg(F.min("doc_id").alias("keeper"),
+                 F.count("*").alias("n_copies"))
+            .select("keeper", "n_copies", "fmt"))
