@@ -1,0 +1,133 @@
+"""Round-4 curation/governance wave (queries_curation.py): semantic
+invariants beyond the DuckDB oracle agreement — the oracle proves both
+engines compute the same thing; these prove the thing computed has the
+properties the operator's contract claims."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from challenge8_movies_etl_spark.registry import QUERIES, load_all
+from tests.conftest import SF_SMOKE
+
+load_all()
+
+
+def test_gini_bounded_and_ordering(spark):
+    """Gini is in [0, 1); a nation's gini of 0 would mean perfectly
+    equal spend (impossible with TPC-H-ish prices but >= 0 always)."""
+    rows = QUERIES["q_gini_concentration"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["gini"] < 1.0
+        assert r["total_spend"] > 0
+
+
+def test_km_survival_monotone_nonincreasing(spark):
+    """Kaplan-Meier survival curves never increase in t."""
+    rows = (QUERIES["q_survival_km"](spark, SF_SMOKE)
+            .orderBy("t").collect())
+    assert rows
+    prev = 1.0 + 1e-9
+    for r in rows:
+        assert r["survival"] <= prev + 1e-9
+        assert 0.0 <= r["survival"] <= 1.0
+        assert r["d_events"] <= r["n_risk"]
+        prev = r["survival"]
+
+
+def test_benford_fractions_complete(spark):
+    """Observed fractions over digits 1-9 sum to 1; expected fractions
+    are the closed-form Benford distribution."""
+    rows = QUERIES["q_benford"](spark, SF_SMOKE).collect()
+    digits = {r["digit"] for r in rows}
+    assert digits <= set(range(1, 10))
+    assert abs(sum(r["obs_frac"] for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert abs(r["exp_frac"] - math.log10(1 + 1 / r["digit"])) < 1e-5
+
+
+def test_zonemap_layouts_agree_on_matches(spark):
+    """Zone-map pruning is lossless: both layouts see the same total
+    rows and the same total matching rows — pruning changes I/O, never
+    the answer. The clustered layout must prune at least as well
+    (fewer partial chunks) as natural."""
+    rows = QUERIES["q_zonemap_prune"](spark, SF_SMOKE).collect()
+    by_layout = {}
+    for r in rows:
+        d = by_layout.setdefault(r["layout"], {"rows": 0, "match": 0,
+                                               "partial": 0})
+        d["rows"] += r["n_rows"]
+        d["match"] += r["n_matching"]
+        if r["status"] == "partial":
+            d["partial"] += r["n_chunks"]
+    assert by_layout["natural"]["rows"] == by_layout["clustered"]["rows"]
+    assert by_layout["natural"]["match"] == by_layout["clustered"]["match"]
+    assert (by_layout["clustered"]["partial"]
+            <= by_layout["natural"]["partial"])
+
+
+def test_image_dedup_exact_covers_corpus(spark):
+    """Every doc lands in exactly one md5 group: group sizes sum to the
+    corpus size, keepers are distinct, and each group's format is one
+    of the three real containers."""
+    docs_n = (spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count())
+    rows = QUERIES["q_image_dedup_exact"](spark, SF_SMOKE).collect()
+    assert sum(r["n_copies"] for r in rows) == docs_n
+    keepers = [r["keeper"] for r in rows]
+    assert len(keepers) == len(set(keepers))
+    assert {r["fmt"] for r in rows} <= {"bmp", "ppm", "jpeg"}
+
+
+def test_rfm_tiles_partition_customers(spark):
+    """RFM segment counts sum to the number of customers with orders;
+    segment codes are valid 3-digit quartile combinations."""
+    seg = QUERIES["q_rfm_segment"](spark, SF_SMOKE).collect()
+    n_cust = (spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+              .select("o_custkey").distinct().count())
+    assert sum(r["n_customers"] for r in seg) == n_cust
+    for r in seg:
+        code = r["segment"]
+        rt, ft, mt = code // 100, code // 10 % 10, code % 10
+        assert all(1 <= t <= 4 for t in (rt, ft, mt))
+
+
+def test_target_encode_shrinks_toward_global(spark):
+    """Smoothed encodings lie between the category rate and the global
+    rate (the defining property of additive smoothing)."""
+    rows = QUERIES["q_target_encode"](spark, SF_SMOKE).collect()
+    big_n = sum(r["n"] for r in rows)
+    big_pos = sum(r["pos"] for r in rows)
+    g = big_pos / big_n
+    for r in rows:
+        raw = r["pos"] / r["n"]
+        lo, hi = sorted((raw, g))
+        assert lo - 1e-6 <= r["encoded"] <= hi + 1e-6
+
+
+def test_dp_noise_bounded_and_seeded(spark):
+    """Laplace(1) noise by inverse CDF from u in (-0.5, 0.5): |noise|
+    <= ln(1e6) ≈ 13.8; re-running yields identical noise (seeded)."""
+    a = {r["event_type"]: r["noisy_count"]
+         for r in QUERIES["q_dp_noisy_counts"](spark, SF_SMOKE).collect()}
+    b = {r["event_type"]: r["noisy_count"]
+         for r in QUERIES["q_dp_noisy_counts"](spark, SF_SMOKE).collect()}
+    assert a == b
+    truth = {r["event_type"]: r["n"]
+             for r in (spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+                       .groupBy("event_type").agg(F.count("*").alias("n"))
+                       .collect())}
+    for t, noisy in a.items():
+        assert abs(noisy - truth[t]) <= math.log(1e6) + 1e-6
+
+
+def test_quality_classifier_probabilities(spark):
+    """Bucket sums of p are consistent with bucket sizes (p in [0,1])
+    and every doc is bucketed exactly once."""
+    rows = QUERIES["q_quality_classifier"](spark, SF_SMOKE).collect()
+    docs_n = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == docs_n
+    for r in rows:
+        assert 0.0 <= r["sum_p"] <= r["n_docs"]
