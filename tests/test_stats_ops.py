@@ -1,0 +1,130 @@
+"""Round-4 wave B (queries_stats.py): semantic invariants beyond the
+oracle agreement."""
+
+from __future__ import annotations
+
+import math
+
+from challenge8_movies_etl_spark.registry import QUERIES, load_all
+from tests.conftest import SF_SMOKE
+
+load_all()
+
+
+def test_chisq_terms_sum_to_total(spark):
+    rows = QUERIES["q_chisq_independence"](spark, SF_SMOKE).collect()
+    assert rows
+    totals = {r["chi2_total"] for r in rows}
+    assert len(totals) == 1, "window total must be identical on every row"
+    s = sum(r["chi2_term"] for r in rows)
+    assert abs(s - totals.pop()) < 1e-3
+    for r in rows:
+        assert r["observed"] >= 0 and r["expected"] > 0
+
+
+def test_moments_match_numpy(spark):
+    """Skewness/kurtosis from power sums agree with a direct two-pass
+    computation over the same (3dp-pinned) values."""
+    import numpy as np
+
+    rows = QUERIES["q_agg_moments"](spark, SF_SMOKE).collect()
+    vals = (spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+            .select("event_type", "value").collect())
+    by_type: dict[str, list[float]] = {}
+    for r in vals:
+        by_type.setdefault(r["event_type"], []).append(round(r["value"], 3))
+    for r in rows:
+        x = np.array(by_type[r["event_type"]])
+        m = x.mean()
+        v = ((x - m) ** 2).mean()
+        skew = ((x - m) ** 3).mean() / v ** 1.5
+        kurt = ((x - m) ** 4).mean() / v ** 2 - 3
+        assert abs(r["mean"] - m) < 1e-3
+        assert abs(r["variance"] - v) < 1e-2
+        assert abs(r["skewness"] - skew) < 1e-3
+        assert abs(r["excess_kurt"] - kurt) < 1e-3
+
+
+def test_expectations_pass_on_clean_fixture(spark):
+    """The generated fixture satisfies every contract rule; a failing
+    rule here means either the fixture broke or a rule miscounts."""
+    rows = QUERIES["q_expectations"](spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_violations"] == 0 and r["passed"], r["rule"]
+        assert r["n_checked"] > 0
+
+
+def test_expectations_detect_injected_violations(spark):
+    """Contract rules actually fire: corrupt copies of the inputs must
+    produce nonzero violation counts (not-null, unique, accepted
+    values, range, referential integrity)."""
+    from pyspark.sql import functions as F
+
+    from challenge8_movies_etl_spark.queries_stats import q_expectations
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    bad_rows = o.limit(4).select(
+        F.lit(None).cast("bigint").alias("o_orderkey_new")).count()
+    assert bad_rows == 4  # fixture sanity
+    bad = o.limit(4).select(
+        o.o_orderkey,  # duplicate keys -> uniqueness violations
+        F.lit(None).cast("bigint").alias("o_custkey"),  # not-null
+        F.lit("X").alias("o_orderstatus"),  # accepted_values
+        F.lit(-5.0).alias("o_totalprice"),  # range
+        o.o_orderdate, o.o_orderpriority)
+    corrupt_o = o.unionByName(bad)
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    orphan = li.limit(3).withColumn("l_orderkey", F.lit(-999).cast("bigint"))
+    corrupt_l = li.unionByName(orphan)
+    import tempfile
+    with tempfile.TemporaryDirectory() as tmp:
+        corrupt_o.write.parquet(f"{tmp}/orders.parquet")
+        corrupt_l.write.parquet(f"{tmp}/lineitem.parquet")
+        rows = {r["rule"]: r for r in q_expectations(spark, tmp).collect()}
+    assert rows["orders.o_custkey not_null"]["n_violations"] == 4
+    assert rows["orders.o_orderkey unique"]["n_violations"] == 4
+    assert rows["orders.o_orderstatus accepted_values"]["n_violations"] == 4
+    assert rows["orders.o_totalprice positive_range"]["n_violations"] == 4
+    assert rows["lineitem.l_orderkey ref_integrity"]["n_violations"] == 3
+    assert not any(r["passed"] for r in rows.values())
+
+
+def test_wordpiece_matches_pure_python(spark):
+    """The pandas-UDF greedy fold equals an independent pure-python
+    greedy encoder on every doc."""
+    from challenge8_movies_etl_spark.queries_stats import _WP_VOCAB
+
+    by_len = sorted(_WP_VOCAB, key=len, reverse=True)
+
+    def encode(text: str) -> int:
+        total = 0
+        for w in text.split(" "):
+            while w:
+                for p in by_len:
+                    if w.startswith(p):
+                        w = w[len(p):]
+                        break
+                total += 1
+        return total
+
+    got = {r["doc_id"]: (r["n_words"], r["n_pieces"])
+           for r in QUERIES["q_wordpiece_encode"](spark, SF_SMOKE).collect()}
+    docs = (spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+            .select("doc_id", "text").collect())
+    for r in docs:
+        words = [w for w in r["text"].split(" ") if w]
+        if not words:
+            continue
+        assert got[r["doc_id"]] == (len(words), encode(r["text"]))
+        # pieces never fewer than words (every word >= 1 piece)
+        assert got[r["doc_id"]][1] >= got[r["doc_id"]][0]
+
+
+def test_bpe_census_consistency(spark):
+    """Class counts are nonnegative and n_pieces is their sum; alpha
+    runs can never exceed whitespace words + 1 per word boundary."""
+    rows = QUERIES["q_token_count_bpe"](spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r["n_pieces"] == r["n_alpha"] + r["n_num"] + r["n_other"]
+        assert min(r["n_alpha"], r["n_num"], r["n_other"]) >= 0
