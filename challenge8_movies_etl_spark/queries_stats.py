@@ -394,3 +394,245 @@ def q_wordpiece_encode(spark, sf_dir):
     return (d.select("doc_id", n_words.alias("n_words"),
                      wp_pieces("text").alias("n_pieces"))
             .filter(F.col("n_words") > 0))
+
+
+# ---------------------------------------------------------------------------
+# q_bootstrap_ci — deterministic hash-replica bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+_BOOT_ORACLE = """
+WITH reps AS (
+  SELECT gs.b,
+         count(*) AS n_rows,
+         cast(sum(cast(round(cast(o_totalprice as decimal(30,10)), 2) * 100
+                  as bigint)) as bigint) AS cents
+  FROM orders
+  CROSS JOIN range(0, 20) gs(b)
+  WHERE cast(('0x' || substr(md5(cast(o_orderkey as varchar)
+                             || ':b' || cast(gs.b as varchar)), 1, 8))
+             as bigint) % 2 = 0
+  GROUP BY 1
+),
+means AS (
+  SELECT b, n_rows,
+         round(cast(cents as double) / (100 * n_rows), 6) AS mean_b,
+         row_number() OVER (
+           ORDER BY round(cast(cents as double) / (100 * n_rows), 6), b
+         ) AS rk
+  FROM reps
+),
+full_s AS (
+  SELECT round(cast(cast(sum(cast(round(cast(o_totalprice as decimal(30,10)),
+                    2) * 100 as bigint)) as bigint) as double)
+               / (100 * count(*)), 6) AS est
+  FROM orders
+)
+SELECT (SELECT est FROM full_s) AS est,
+       max(CASE WHEN rk = 2 THEN mean_b END) AS ci_lo,
+       max(CASE WHEN rk = 19 THEN mean_b END) AS ci_hi,
+       count(*) AS n_replicas
+FROM means
+"""
+
+
+@query("q_bootstrap_ci", oracle=_BOOT_ORACLE)
+def q_bootstrap_ci(spark, sf_dir):
+    """Deterministic bootstrap confidence interval for the mean order
+    value: 20 half-sample replicas, each selecting rows where
+    md5(key, replica) is even (m-out-of-n bootstrap with a SEEDED hash
+    instead of rand() — reproducible on any engine/parallelism, the
+    q_sample_weighted discipline applied to resampling); the CI is the
+    [2nd, 19th] order statistic of the replica means (~90% interval).
+    Replica means are exact integer-cents sums behind one declared
+    6dp-rounded division, so the order statistics are engine-stable.
+
+    Scale: one scan fans out to 20 replica aggregates in a single
+    map-side-combined pass (the cross join is against a broadcast
+    20-row range — each input row emits its ~10 surviving replica
+    memberships at the mapper); no replica materializes rows. This is
+    the error-bar machinery q_ab_test-style jobs need at 100 TB where
+    a second full pass per replica is unaffordable."""
+    o = load_table(spark, sf_dir, "orders")
+    reps_dim = spark.range(0, 20).select(F.col("id").cast("int").alias("b"))
+    cents = (F.round(F.col("o_totalprice").cast("decimal(30,10)"), 2)
+             * 100).cast("bigint")
+    keep = (F.conv(F.substring(F.md5(F.concat(
+        F.col("o_orderkey").cast("string"), F.lit(":b"),
+        F.col("b").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % 2 == 0)
+    reps = (o.crossJoin(F.broadcast(reps_dim))
+            .filter(keep)
+            .groupBy("b")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(cents).alias("cents")))
+    mean_b = F.round(F.col("cents").cast("double")
+                     / (100 * F.col("n_rows")), 6)
+    means = (reps.select("b", "n_rows", mean_b.alias("mean_b"))
+             .withColumn("rk", F.row_number().over(
+                 W.orderBy("mean_b", "b"))))
+    est = o.agg(F.round(F.sum(cents).cast("double")
+                        / (100 * F.count("*")), 6).alias("est"))
+    ci = means.agg(
+        F.max(F.when(F.col("rk") == 2, F.col("mean_b"))).alias("ci_lo"),
+        F.max(F.when(F.col("rk") == 19, F.col("mean_b"))).alias("ci_hi"),
+        F.count("*").alias("n_replicas"))
+    return est.crossJoin(ci).select("est", "ci_lo", "ci_hi", "n_replicas")
+
+
+# ---------------------------------------------------------------------------
+# q_event_ngrams — sequential pattern (trigram) mining
+# ---------------------------------------------------------------------------
+
+_EVNG_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1 || '>' || e2 || '>' || e3 AS trigram,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, trigram
+LIMIT 20
+"""
+
+
+@query("q_event_ngrams", oracle=_EVNG_ORACLE)
+def q_event_ngrams(spark, sf_dir):
+    """Sequential trigram mining over per-user event streams: the top
+    20 three-step behavior patterns with occurrence and distinct-user
+    counts — one order beyond q_markov_transitions' first-order pairs
+    (funnels/Markov models miss third-order structure like
+    view>click>purchase vs click>view>purchase). Window leads keep the
+    extraction single-pass.
+
+    Scale: one user-keyed window exchange (co-partitioned with any
+    per-user downstream), one map-side-combined groupBy on the
+    |types|^3-bounded trigram domain."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"))
+    return (seq.filter(F.col("e3").isNotNull())
+            .groupBy(F.concat_ws(">", "e1", "e2", "e3").alias("trigram"))
+            .agg(F.count("*").alias("n"),
+                 F.countDistinct("user_id").alias("n_users"))
+            .orderBy(F.desc("n"), "trigram").limit(20))
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_threshold_curve — semantic-dedup operating curve
+# ---------------------------------------------------------------------------
+
+_CURVE_TAUS = (0.5, 0.35, 0.2, 0.1, 0.05)
+
+
+def _threshold_curve_oracle() -> str:
+    from .queries_llm import _PAIR_COS_CTE
+    per_tau = ",\n         ".join(
+        f"count(CASE WHEN round(cos_raw, 6) >= {t} THEN 1 END) AS np_{i},"
+        f" count(DISTINCT CASE WHEN round(cos_raw, 6) >= {t} THEN vb END)"
+        f" AS nd_{i}"
+        for i, t in enumerate(_CURVE_TAUS))
+    rows = "\n  UNION ALL\n".join(
+        f"  SELECT {t} AS tau, np_{i} AS n_pairs, nd_{i} AS n_dropped"
+        f" FROM agg" for i, t in enumerate(_CURVE_TAUS))
+    return f"""
+    WITH {_PAIR_COS_CTE},
+    agg AS (
+      SELECT {per_tau}
+      FROM paircos
+    ),
+    total AS (SELECT count(*) AS n_vecs FROM embeddings),
+    curve AS (
+    {rows}
+    )
+    SELECT tau, n_pairs, n_dropped,
+           round(cast(n_dropped as double)
+                 / (SELECT n_vecs FROM total), 4) AS drop_rate
+    FROM curve WHERE n_pairs > 0
+    ORDER BY tau
+    """
+
+
+@query("q_dedup_threshold_curve", oracle=_threshold_curve_oracle())
+def q_dedup_threshold_curve(spark, sf_dir):
+    """Semantic-dedup operating curve: for five cosine thresholds, the
+    candidate-pair count, the documents a keep-lowest-id policy would
+    drop, and the corpus drop rate — the tuning table an operator
+    reads BEFORE committing a threshold to a 100 TB dedup run (pick
+    tau where the curve's knee sits, not a folklore constant).
+
+    Plan: each pair's cosine is computed ONCE behind a DECLARED 6dp
+    round (both engines compare the same rounded value — the
+    q_outlier_iqr fence discipline), grouped to the tiny distinct-cos
+    relation, then bucketed against the threshold spine; the per-tau
+    distinct-dropped count collapses to one max-cos per vb because
+    the thresholds are nested. The naive forms all lose by an order
+    of magnitude at sf0.1: a 5x threshold-join fan-out re-shuffles
+    pairs x taus (38 s); five conditional countDistinct aggregates
+    trigger Spark's Expand, 5x row multiplication before the exchange.
+    What remains is the irreducible family cost: the decimal-exact
+    64-dim dot itself (~50 us/pair — the DEC_SIM portability
+    discipline, see operators/similarity.py), evaluated once under
+    the persist and shared by both branches.
+
+    Scale: the pair relation is the same label-blocked join as
+    q_embed_neardup (per-block quadratic — the exact-verification
+    tier; the IVF/LSH tiers bound candidates first); everything after
+    is bucket-domain arithmetic."""
+    from .queries_llm import _norm
+    from .operators.similarity import dot_col
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", "label", "embedding",
+                 _norm(F.col("embedding")).alias("nrm"))
+    a, b = n.alias("a"), n.alias("b")
+    cos = (dot_col(F.col("a.embedding"), F.col("b.embedding"))
+           / F.sqrt(F.col("a.nrm") * F.col("b.nrm")))
+    pairs = (a.join(b, (F.col("a.label") == F.col("b.label"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .select(F.col("b.vec_id").alias("vb"),
+                     F.round(cos, 6).alias("c6"))
+             # the decimal-exact 64-dim dot dominates (~50 us/pair);
+             # persist so the pair-count and per-vb branches (and the
+             # CacheManager, across identical rebuilds) evaluate it
+             # once, not per consumer
+             ).persist()
+
+    def bucket(col):  # index of the highest (first) threshold cleared
+        expr = F.lit(len(_CURVE_TAUS))
+        for i in range(len(_CURVE_TAUS) - 1, -1, -1):
+            expr = F.when(col >= _CURVE_TAUS[i], i).otherwise(expr)
+        return expr
+
+    # group on the rounded-cos COLUMN first so the 64-dim cosine
+    # evaluates once per pair; bucket() then runs on the small
+    # distinct-cos / per-vb relations only
+    pair_b = (pairs.groupBy("c6").agg(F.count("*").alias("cnt"))
+              .groupBy(bucket(F.col("c6")).alias("bk"))
+              .agg(F.sum("cnt").alias("pc")))
+    vb_b = (pairs.groupBy("vb").agg(F.max("c6").alias("mc"))
+            .groupBy(bucket(F.col("mc")).alias("bk"))
+            .agg(F.count("*").alias("vc")))
+    taus = spark.createDataFrame(
+        [(i, float(t)) for i, t in enumerate(_CURVE_TAUS)], "i int, tau double")
+    # nested thresholds: totals at tau_i = sum over buckets bk <= i
+    np_ = (taus.join(F.broadcast(pair_b), F.col("bk") <= F.col("i"))
+           .groupBy("i", "tau").agg(F.sum("pc").alias("n_pairs")))
+    nd_ = (taus.join(F.broadcast(vb_b), F.col("bk") <= F.col("i"))
+           .groupBy("i", "tau").agg(F.sum("vc").alias("n_dropped")))
+    total = e.agg(F.count("*").alias("n_vecs"))
+    return (np_.join(nd_, ["i", "tau"])
+            .filter(F.col("n_pairs") > 0)
+            .crossJoin(F.broadcast(total))
+            .select("tau", "n_pairs", "n_dropped",
+                    F.round(F.col("n_dropped").cast("double")
+                            / F.col("n_vecs"), 4).alias("drop_rate"))
+            .orderBy("tau"))

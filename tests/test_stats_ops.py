@@ -128,3 +128,39 @@ def test_bpe_census_consistency(spark):
     for r in rows:
         assert r["n_pieces"] == r["n_alpha"] + r["n_num"] + r["n_other"]
         assert min(r["n_alpha"], r["n_num"], r["n_other"]) >= 0
+
+
+def test_bootstrap_ci_brackets_estimate(spark):
+    rows = QUERIES["q_bootstrap_ci"](spark, SF_SMOKE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_replicas"] == 20
+    assert r["ci_lo"] <= r["ci_hi"]
+    # half-sample replica means straddle the full-sample mean on any
+    # non-degenerate fixture
+    assert r["ci_lo"] <= r["est"] <= r["ci_hi"]
+
+
+def test_event_trigrams_wellformed(spark):
+    rows = QUERIES["q_event_ngrams"](spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 20
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    for r in rows:
+        assert len(r["trigram"].split(">")) == 3
+        assert 1 <= r["n_users"] <= r["n"]
+
+
+def test_threshold_curve_monotone(spark):
+    rows = (QUERIES["q_dedup_threshold_curve"](spark, SF_SMOKE)
+            .orderBy("tau").collect())
+    assert rows
+    # lower tau admits at least as many pairs and drops
+    prev_pairs = prev_drop = None
+    for r in rows:  # ascending tau
+        assert 0.0 <= r["drop_rate"] <= 1.0
+        assert r["n_dropped"] <= r["n_pairs"]
+        if prev_pairs is not None:
+            assert r["n_pairs"] <= prev_pairs
+            assert r["n_dropped"] <= prev_drop
+        prev_pairs, prev_drop = r["n_pairs"], r["n_dropped"]
