@@ -294,3 +294,48 @@ def test_topk_per_group_uses_window_group_limit(spark):
     avoid."""
     p = plan(spark, "q_topk_per_group")
     assert "WindowGroupLimit" in p, p
+
+
+def test_threshold_curve_no_expand_no_fanout(spark):
+    """q_dedup_threshold_curve must keep its bucket-cumulative shape:
+    no Expand (the 5x countDistinct row multiplication) and no
+    threshold-join fan-out of the pair relation (the taus spine joins
+    6-row bucket aggregates, never pairs)."""
+    p = plan(spark, "q_dedup_threshold_curve")
+    assert "Expand" not in p, p
+    # the cosine pair join appears exactly twice (pair-count branch +
+    # per-vb branch off the persisted relation), not once per tau
+    assert p.count("SortMergeJoin") + p.count("BroadcastHashJoin") < 10, p
+
+
+def test_feature_hashing_single_combined_agg(spark):
+    """Hashing-trick census: one map-side-combined exchange on the
+    1024-bucket domain, distinct counts folded into the same agg."""
+    p = plan(spark, "q_feature_hashing")
+    assert "partial_" in p, p
+    assert "TakeOrderedAndProject" in p, p  # top-30 never global-sorts
+
+
+def test_bootstrap_replicas_broadcast_not_shuffled(spark):
+    """The 20-replica fan-out must be a broadcast nested loop against
+    the 20-row range, and the replica aggregate map-side-combines —
+    the fact table is scanned, never shuffled at pair width."""
+    p = plan(spark, "q_bootstrap_ci")
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "partial_count" in p, p
+
+
+def test_zonemap_natural_chunks_stay_mapside(spark):
+    """Both layout branches partial-aggregate; the only global sort is
+    the declared clustered-layout rank."""
+    p = plan(spark, "q_zonemap_prune")
+    assert "partial_" in p, p
+    assert p.count("Exchange rangepartitioning") <= 1, p
+
+
+def test_wordpiece_udf_is_arrow_batched(spark):
+    """The tokenizer must run as an Arrow-batched pandas UDF
+    (ArrowEvalPython), never row-at-a-time BatchEvalPython."""
+    p = plan(spark, "q_wordpiece_encode")
+    assert "ArrowEvalPython" in p, p
+    assert "BatchEvalPython" not in p, p
