@@ -62,6 +62,11 @@ EXTRA = [
     # round-3 wave: distributed linear algebra + real image decode
     "q_embed_covariance",
     "q_multimodal_decode",
+    # round-4 wave: python tokenizer surface, one-pass resampling,
+    # layout-dependent pruning
+    "q_wordpiece_encode",
+    "q_bootstrap_ci",
+    "q_zonemap_prune",
 ]
 
 
