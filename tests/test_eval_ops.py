@@ -1,0 +1,51 @@
+"""Round-4 wave D (queries_eval.py): semantic invariants."""
+
+from __future__ import annotations
+
+from challenge8_movies_etl_spark.registry import QUERIES, load_all
+from tests.conftest import SF_SMOKE
+
+load_all()
+
+
+def test_eval_langid_confusion_is_partition(spark):
+    r = QUERIES["q_eval_langid"](spark, SF_SMOKE).collect()[0]
+    docs_n = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == docs_n
+    for m in ("precision", "recall", "f1", "accuracy"):
+        assert 0.0 <= r[m] <= 1.0
+    # F1 is the harmonic mean of the reported P and R
+    p, rr = r["precision"], r["recall"]
+    if p + rr > 0:
+        assert abs(r["f1"] - 2 * p * rr / (p + rr)) < 1e-3
+
+
+def test_ndcg_bounds_and_idcg_dominance(spark):
+    r = QUERIES["q_ndcg"](spark, SF_SMOKE).collect()[0]
+    assert 0.0 <= r["ndcg_at_10"] <= 1.0 + 1e-9
+    assert 0.0 <= r["precision_at_10"] <= 1.0
+    assert r["dcg_at_10"] >= 0.0
+    assert r["n_rel_total"] >= 0
+
+
+def test_holt_forecast_identity_and_tracking(spark):
+    rows = (QUERIES["q_holt_smoothing"](spark, SF_SMOKE)
+            .orderBy("t").collect())
+    assert rows
+    xs = [r["x"] for r in rows]
+    lo, hi = min(xs), max(xs)
+    for r in rows:
+        assert abs(r["forecast_next"] - round(r["lvl"] + r["trd"], 6)) < 1e-6
+        # smoothed level stays inside the data envelope (alpha<1 mixes
+        # observations; the trend term can overshoot only the forecast)
+        assert lo * 0.5 - 1 <= r["lvl"] <= hi * 1.5 + 1
+
+
+def test_degree_dist_cumulates_to_one(spark):
+    rows = (QUERIES["q_graph_degree_dist"](spark, SF_SMOKE)
+            .orderBy("degree").collect())
+    assert rows
+    shares = [r["cum_share"] for r in rows]
+    assert shares == sorted(shares)
+    assert abs(shares[-1] - 1.0) < 1e-6
+    assert all(r["n_customers"] > 0 for r in rows)
