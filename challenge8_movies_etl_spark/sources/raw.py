@@ -136,3 +136,24 @@ def write_jsonl_sharded(df: DataFrame, path: str,
     with open(_os.path.join(path, "_manifest.json"), "w") as fh:
         _json.dump(manifest, fh)
     return manifest
+
+
+def read_binary_files(spark: SparkSession, path: str,
+                      glob: str | None = None) -> DataFrame:
+    """Raw-file ingest for multimodal corpora: Spark's `binaryFile`
+    source yields (path, modificationTime, length, content) per file —
+    the entry point that feeds operators/multimodal.py's decoders when
+    images/audio arrive as object-store files rather than a binary
+    parquet column. `glob` filters by pattern (e.g. ``*.bmp``) AT THE
+    LISTING, so non-matching files are never opened.
+
+    At 100 TB: file listing is driver-parallelized by the source;
+    content is read executor-side one file per row — pair with
+    `spark.sql.files.maxPartitionBytes` so a partition holds a bounded
+    byte budget of payloads, and repartition after reading tiny files
+    (the small-files problem is the real hazard; compaction —
+    q_compaction_plan — is the upstream fix)."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)

@@ -166,3 +166,33 @@ def test_jsonl_sharded_export_roundtrip(spark, tmp_path):
     src = {(r["doc_id"], r["lang"], r["n_chars"]) for r in d.collect()}
     dst = {(r["doc_id"], r["lang"], r["n_chars"]) for r in back.collect()}
     assert src == dst
+
+
+def test_binary_file_source_reads_real_payloads(spark, tmp_path):
+    """binaryFile ingest: encoded BMP/PPM files written to disk come
+    back byte-identical with correct lengths, and the glob filter
+    prunes at the listing (non-matching files are never surfaced)."""
+    from challenge8_movies_etl_spark.operators.multimodal import (
+        encode_bmp, encode_ppm)
+    from challenge8_movies_etl_spark.sources.raw import read_binary_files
+
+    payloads = {}
+    for i in range(4):
+        body = (encode_bmp if i % 2 == 0 else encode_ppm)(
+            i + 1, i + 2, i * 10, i * 20 % 256, i * 30 % 256)
+        ext = "bmp" if i % 2 == 0 else "ppm"
+        p = tmp_path / f"img_{i}.{ext}"
+        p.write_bytes(body)
+        payloads[p.name] = body
+    (tmp_path / "notes.txt").write_text("not an image")
+
+    df = read_binary_files(spark, str(tmp_path))
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == set(payloads) | {"notes.txt"}
+    for name, body in payloads.items():
+        assert bytes(rows[name]["content"]) == body
+        assert rows[name]["length"] == len(body)
+
+    only_bmp = read_binary_files(spark, str(tmp_path), glob="*.bmp")
+    names = {r["path"].rsplit("/", 1)[-1] for r in only_bmp.collect()}
+    assert names == {n for n in payloads if n.endswith(".bmp")}
