@@ -306,3 +306,168 @@ def q_graph_degree_dist(spark, sf_dir):
                             .cast("double") / F.col("n"), 6)
                     .alias("cum_share"))
             .orderBy("degree"))
+
+
+# ---------------------------------------------------------------------------
+# q_rolling_corr — rolling Pearson correlation between two series
+# ---------------------------------------------------------------------------
+
+_RCORR_ORACLE = """
+WITH daily AS (
+  SELECT cast(ts as date) AS d,
+         cast(count(CASE WHEN event_type = 'click' THEN 1 END)
+              as bigint) AS x,
+         cast(count(CASE WHEN event_type = 'view' THEN 1 END)
+              as bigint) AS y
+  FROM events GROUP BY 1
+),
+rolled AS (
+  SELECT d, x, y,
+         cast(count(*) OVER w as bigint) AS n,
+         cast(sum(x) OVER w as bigint) AS sx,
+         cast(sum(y) OVER w as bigint) AS sy,
+         cast(sum(x * x) OVER w as bigint) AS sxx,
+         cast(sum(y * y) OVER w as bigint) AS syy,
+         cast(sum(x * y) OVER w as bigint) AS sxy
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT cast(d as varchar) AS day, x, y,
+       round(cast(n * sxy - sx * sy as double)
+             / sqrt(cast(n * sxx - sx * sx as double)
+                    * cast(n * syy - sy * sy as double)), 6) AS corr7
+FROM rolled
+WHERE n = 7 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+ORDER BY day
+"""
+
+
+@query("q_rolling_corr", oracle=_RCORR_ORACLE)
+def q_rolling_corr(spark, sf_dir):
+    """7-day rolling Pearson correlation between two event series
+    (click vs view daily counts) — the co-movement drift signal behind
+    metric-coupling monitors (a feed whose click/view correlation
+    collapses is broken even when each volume looks normal). All six
+    rolling sums are exact integers over a ROWS frame; the closed form
+    (n*Sxy - SxSy)/sqrt(...) divides once behind a 6dp round.
+    Degenerate (zero-variance) windows are excluded on both engines.
+
+    Scale: one daily rollup, then windows over the |days| relation;
+    per-key rolling correlation at scale partitions the same frame by
+    the entity key."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("ts").cast("date").alias("d"))
+             .agg(F.count(F.when(F.col("event_type") == "click", 1))
+                  .alias("x"),
+                  F.count(F.when(F.col("event_type") == "view", 1))
+                  .alias("y")))
+    w = W.orderBy("d").rowsBetween(-6, 0)
+    r = daily.select(
+        "d", "x", "y",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"))
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (r.filter((F.col("n") == 7) & (vx > 0) & (vy > 0))
+            .select(F.col("d").cast("string").alias("day"), "x", "y",
+                    F.round(num.cast("double")
+                            / F.sqrt(vx.cast("double") * vy.cast("double")),
+                            6).alias("corr7"))
+            .orderBy("day"))
+
+
+# ---------------------------------------------------------------------------
+# q_corpus_divergence — per-source distribution drift vs the corpus
+# ---------------------------------------------------------------------------
+
+_JS_ORACLE = """
+WITH tok AS (
+  SELECT source, t.w AS w
+  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+  WHERE t.w != ''
+),
+sc AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+st AS (SELECT source, cast(sum(c) as bigint) AS n_s FROM sc GROUP BY 1),
+gc AS (SELECT w, cast(sum(c) as bigint) AS g FROM sc GROUP BY 1),
+gt AS (SELECT cast(sum(g) as bigint) AS n_g FROM gc),
+grid AS (
+  SELECT st.source, st.n_s, gc.w, gc.g, coalesce(sc.c, 0) AS c
+  FROM st CROSS JOIN gc
+  LEFT JOIN sc ON sc.source = st.source AND sc.w = gc.w
+),
+terms AS (
+  SELECT source, n_s, c, g, (SELECT n_g FROM gt) AS n_g,
+         CASE WHEN c > 0 THEN
+           cast(round((cast(c as double) / n_s)
+                * ln(2.0 * c * (SELECT n_g FROM gt)
+                     / (cast(c as double) * (SELECT n_g FROM gt)
+                        + cast(g as double) * n_s)), 8)
+                as decimal(16,8))
+         ELSE cast(0 as decimal(16,8)) END AS p_term,
+         cast(round((cast(g as double) / (SELECT n_g FROM gt))
+              * ln(2.0 * g * n_s
+                   / (cast(c as double) * (SELECT n_g FROM gt)
+                      + cast(g as double) * n_s)), 8)
+              as decimal(16,8)) AS q_term
+  FROM grid
+)
+SELECT source,
+       max(n_s) AS n_tokens,
+       cast(count(CASE WHEN c > 0 THEN 1 END) as bigint) AS vocab_used,
+       cast(count(*) as bigint) AS vocab_total,
+       cast(round(0.5 * sum(p_term) + 0.5 * sum(q_term), 4) as double)
+         AS js_divergence
+FROM terms GROUP BY source
+"""
+
+
+@query("q_corpus_divergence", oracle=_JS_ORACLE)
+def q_corpus_divergence(spark, sf_dir):
+    """Per-source Jensen-Shannon divergence of the unigram distribution
+    against the whole corpus, plus vocabulary coverage — the
+    source-drift ranking a data-mixing pipeline uses to flag feeds
+    whose content departed from the blend (q_domain_mix rebalances
+    volumes; this measures CONTENT). JS terms use exact rational
+    arguments inside ln (p=c/N_s, q=g/N_g cross-multiplied), 8dp-rounded
+    and decimal-summed (the q_entropy discipline); absent-word cells
+    contribute only their q-side term (p*ln(...)->0 as p->0).
+
+    Scale: token counts are one explode+groupBy; the grid is
+    |sources| x |vocab| (bounded by the vocab, not the corpus) built
+    from a broadcast vocab relation; each source's divergence is one
+    decimal sum."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (d.select("source", F.explode(F.split("text", " ")).alias("w"))
+           .filter(F.col("w") != ""))
+    sc = tok.groupBy("source", "w").agg(F.count("*").alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").alias("n_s"))
+    gc = sc.groupBy("w").agg(F.sum("c").alias("g"))
+    gt = gc.agg(F.sum("g").alias("n_g"))
+    grid = (st.crossJoin(F.broadcast(gc))
+            .join(sc, ["source", "w"], "left")
+            .withColumn("c", F.coalesce("c", F.lit(0)))
+            .crossJoin(F.broadcast(gt)))
+    denom = (F.col("c").cast("double") * F.col("n_g")
+             + F.col("g").cast("double") * F.col("n_s"))
+    p_term = F.when(
+        F.col("c") > 0,
+        F.round((F.col("c").cast("double") / F.col("n_s"))
+                * F.log(2.0 * F.col("c") * F.col("n_g") / denom), 8)
+        .cast("decimal(16,8)")).otherwise(F.lit(0).cast("decimal(16,8)"))
+    q_term = F.round(
+        (F.col("g").cast("double") / F.col("n_g"))
+        * F.log(2.0 * F.col("g") * F.col("n_s") / denom), 8) \
+        .cast("decimal(16,8)")
+    terms = grid.select("source", "n_s", "c",
+                        p_term.alias("p_term"), q_term.alias("q_term"))
+    return (terms.groupBy("source")
+            .agg(F.max("n_s").alias("n_tokens"),
+                 F.count(F.when(F.col("c") > 0, 1)).alias("vocab_used"),
+                 F.count("*").alias("vocab_total"),
+                 F.round(0.5 * F.sum("p_term") + 0.5 * F.sum("q_term"), 4)
+                 .cast("double").alias("js_divergence")))

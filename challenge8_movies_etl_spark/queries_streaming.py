@@ -275,3 +275,44 @@ def q_stream_stateful_counter(spark, sf_dir):
     if q.isActive:
         q.stop()
     return spark.table(name)
+
+
+@query(
+    "q_stream_topk",
+    oracle="""
+    WITH wc AS (
+      SELECT date_trunc('hour', ts) AS window_start, user_id,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT window_start, user_id, n,
+             row_number() OVER (PARTITION BY window_start
+                                ORDER BY n DESC, user_id) AS rk
+      FROM wc
+    )
+    SELECT window_start, user_id, n, rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def q_stream_topk(spark, sf_dir):
+    """Windowed top-k: the 3 most active users per tumbling hour —
+    the leaderboard/hot-key pattern of streaming analytics (batch mode
+    here; under readStream the window counts incrementalize and the
+    rank runs per closed window in foreachBatch, since raw window
+    functions aren't incremental — the same split this query's plan
+    shows: stateful agg, then a per-window-partition rank that only
+    touches |users-per-window| rows).
+
+    Scale: the count agg map-side-combines; the rank partitions by
+    window (thousands of independent partitions), never globally."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+    wc = (e.groupBy(F.window("ts", "1 hour"), "user_id")
+          .agg(F.count("*").alias("n")))
+    rk = F.row_number().over(
+        W.partitionBy("window").orderBy(F.desc("n"), "user_id"))
+    return (wc.withColumn("rk", rk)
+            .filter(F.col("rk") <= 3)
+            .select(F.col("window.start").alias("window_start"),
+                    "user_id", "n", "rk"))

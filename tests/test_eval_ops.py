@@ -49,3 +49,32 @@ def test_degree_dist_cumulates_to_one(spark):
     assert shares == sorted(shares)
     assert abs(shares[-1] - 1.0) < 1e-6
     assert all(r["n_customers"] > 0 for r in rows)
+
+
+def test_rolling_corr_bounded(spark):
+    rows = QUERIES["q_rolling_corr"](spark, SF_SMOKE).collect()
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["corr7"] <= 1.0 + 1e-9
+
+
+def test_corpus_divergence_bounds(spark):
+    """JS divergence (natural log) lies in [0, ln 2]; vocab coverage
+    never exceeds the corpus vocabulary."""
+    import math
+
+    rows = QUERIES["q_corpus_divergence"](spark, SF_SMOKE).collect()
+    assert rows
+    totals = {r["vocab_total"] for r in rows}
+    assert len(totals) == 1
+    for r in rows:
+        assert -1e-4 <= r["js_divergence"] <= math.log(2) + 1e-4
+        assert 0 < r["vocab_used"] <= r["vocab_total"]
+
+
+def test_stream_topk_at_most_three_per_window(spark):
+    rows = QUERIES["q_stream_topk"](spark, SF_SMOKE).collect()
+    from collections import Counter
+    per_win = Counter(r["window_start"] for r in rows)
+    assert per_win and max(per_win.values()) <= 3
+    for r in rows:
+        assert 1 <= r["rk"] <= 3
