@@ -471,3 +471,136 @@ def q_corpus_divergence(spark, sf_dir):
                  F.count("*").alias("vocab_total"),
                  F.round(0.5 * F.sum("p_term") + 0.5 * F.sum("q_term"), 4)
                  .cast("double").alias("js_divergence")))
+
+
+# ---------------------------------------------------------------------------
+# q_similarity_filtered — metadata-filtered vector retrieval
+# ---------------------------------------------------------------------------
+
+
+def _sim_filtered_oracle() -> str:
+    from .operators.similarity import DEC_SIM as DEC
+    from .queries_llm import _NORMS_CTE
+    return f"""
+    WITH {_NORMS_CTE},
+    probe AS (SELECT embedding AS p, nrm AS pn, label AS pl
+              FROM norms WHERE vec_id = 0),
+    dots AS (
+      SELECT n.vec_id, n.label,
+             cast(sum(cast(cast(n.embedding[gs.i] as double)
+                           * cast(probe.p[gs.i] as double)
+                           as {DEC})) as double) AS dot,
+             max(n.nrm) AS na, max(probe.pn) AS pn
+      FROM norms n, probe, range(1, 65) gs(i)
+      WHERE n.vec_id <> 0 AND n.label <> probe.pl
+      GROUP BY n.vec_id, n.label
+    )
+    SELECT vec_id, label, round(dot / sqrt(na * pn), 4) AS cos
+    FROM dots
+    ORDER BY cos DESC, vec_id
+    LIMIT 10
+    """
+
+
+@query("q_similarity_filtered", oracle=_sim_filtered_oracle())
+def q_similarity_filtered(spark, sf_dir):
+    """Filtered vector retrieval: top-10 cosine neighbors of probe
+    vec_id=0 RESTRICTED to vectors whose label differs from the
+    probe's — the pre-filtered search every production vector system
+    exposes (metadata predicate + ANN), in its exact form. The filter
+    composes BEFORE scoring, so non-matching vectors are never scored
+    (predicate pushdown into the scan — post-filtering a top-k is the
+    classic filtered-search bug: it returns < k rows).
+
+    Scale: identical plan to q_similarity_topk (broadcast probe, one
+    scan, TakeOrderedAndProject) — the predicate rides the scan; in
+    the IVF tier the same predicate applies per cell."""
+    from .operators.similarity import dot_col
+    from .queries_llm import _norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", "label", "embedding",
+                 _norm(F.col("embedding")).alias("nrm"))
+    probe = (n.filter(F.col("vec_id") == 0)
+             .select(F.col("embedding").alias("pe"),
+                     F.col("nrm").alias("pn"), F.col("label").alias("pl")))
+    return (n.filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(probe))
+            .filter(F.col("label") != F.col("pl"))
+            .select("vec_id", "label",
+                    F.round(dot_col(F.col("embedding"), F.col("pe"))
+                            / F.sqrt(F.col("nrm") * F.col("pn")), 4)
+                    .alias("cos"))
+            .orderBy(F.desc("cos"), "vec_id").limit(10))
+
+
+# ---------------------------------------------------------------------------
+# q_similarity_batch — batched multi-probe retrieval
+# ---------------------------------------------------------------------------
+
+
+def _sim_batch_oracle() -> str:
+    from .operators.similarity import DEC_SIM as DEC
+    from .queries_llm import _NORMS_CTE
+    return f"""
+    WITH {_NORMS_CTE},
+    probes AS (
+      SELECT vec_id AS probe_id, embedding AS p, nrm AS pn
+      FROM norms WHERE vec_id < 5
+    ),
+    dots AS (
+      SELECT probes.probe_id, n.vec_id,
+             cast(sum(cast(cast(n.embedding[gs.i] as double)
+                           * cast(probes.p[gs.i] as double)
+                           as {DEC})) as double) AS dot,
+             max(n.nrm) AS na, max(probes.pn) AS pn
+      FROM norms n CROSS JOIN probes, range(1, 65) gs(i)
+      WHERE n.vec_id <> probes.probe_id
+      GROUP BY probes.probe_id, n.vec_id
+    ),
+    ranked AS (
+      SELECT probe_id, vec_id, round(dot / sqrt(na * pn), 4) AS cos,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY round(dot / sqrt(na * pn), 4)
+                                           DESC, vec_id) AS rk
+      FROM dots
+    )
+    SELECT probe_id, vec_id, cos, rk
+    FROM ranked WHERE rk <= 5
+    """
+
+
+@query("q_similarity_batch", oracle=_sim_batch_oracle())
+def q_similarity_batch(spark, sf_dir):
+    """Batched retrieval: exact top-5 neighbors for FIVE probes
+    (vec_id < 5) in one plan — the query-batch shape real retrieval
+    runs (embedding a request batch, then one corpus pass for all of
+    them), not a per-probe loop. One scan scores |corpus| x |probes|
+    via the broadcast probe relation; per-probe ranking partitions by
+    probe_id.
+
+    Scale: corpus pass count is 1 regardless of batch size; the
+    broadcast probe matrix is |probes| x d (KBs for thousands of
+    probes); the rank shuffles only |probes| x |corpus| scored rows —
+    at 100 TB batch the probes to what executor memory holds and the
+    scored relation stays TakeOrdered-prunable per partition."""
+    from .operators.similarity import dot_col
+    from .queries_llm import _norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", "label", "embedding",
+                 _norm(F.col("embedding")).alias("nrm"))
+    probes = (n.filter(F.col("vec_id") < 5)
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("embedding").alias("pe"),
+                      F.col("nrm").alias("pn")))
+    scored = (n.crossJoin(F.broadcast(probes))
+              .filter(F.col("vec_id") != F.col("probe_id"))
+              .select("probe_id", "vec_id",
+                      F.round(dot_col(F.col("embedding"), F.col("pe"))
+                              / F.sqrt(F.col("nrm") * F.col("pn")), 4)
+                      .alias("cos")))
+    rk = F.row_number().over(
+        W.partitionBy("probe_id").orderBy(F.desc("cos"), "vec_id"))
+    return (scored.withColumn("rk", rk).filter(F.col("rk") <= 5)
+            .select("probe_id", "vec_id", "cos", "rk"))

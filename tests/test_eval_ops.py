@@ -78,3 +78,26 @@ def test_stream_topk_at_most_three_per_window(spark):
     assert per_win and max(per_win.values()) <= 3
     for r in rows:
         assert 1 <= r["rk"] <= 3
+
+
+def test_filtered_search_respects_predicate(spark):
+    """Every returned neighbor satisfies the metadata filter, and the
+    result still fills k (the post-filter-topk bug would return
+    fewer)."""
+    probe_label = (spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+                   .filter("vec_id = 0").collect()[0]["label"])
+    rows = QUERIES["q_similarity_filtered"](spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    assert all(r["label"] != probe_label for r in rows)
+
+
+def test_batch_retrieval_matches_single_probe(spark):
+    """Probe 0's batch ranking equals the single-probe q_similarity_topk
+    head (same metric, same tie-break) for the shared neighbors."""
+    batch = {(r["probe_id"], r["rk"]): r["vec_id"]
+             for r in QUERIES["q_similarity_batch"](spark, SF_SMOKE)
+             .collect()}
+    single = [r["vec_id"] for r in
+              QUERIES["q_similarity_topk"](spark, SF_SMOKE).collect()][:5]
+    got = [batch[(0, rk)] for rk in range(1, 6)]
+    assert got == single
