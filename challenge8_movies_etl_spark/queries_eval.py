@@ -604,3 +604,61 @@ def q_similarity_batch(spark, sf_dir):
         W.partitionBy("probe_id").orderBy(F.desc("cos"), "vec_id"))
     return (scored.withColumn("rk", rk).filter(F.col("rk") <= 5)
             .select("probe_id", "vec_id", "cos", "rk"))
+
+
+# ---------------------------------------------------------------------------
+# q_incremental_agg_merge — incremental view maintenance
+# ---------------------------------------------------------------------------
+
+_IVM_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       cast(round(sum(cast(round(cast(value as decimal(20,10)), 3) * 1000
+                     as bigint)) / 1000.0, 3)
+            as double) AS total_value,
+       max(cast(round(cast(value as decimal(20,10)), 3) as double))
+         AS max_value
+FROM events
+GROUP BY 1
+"""
+
+
+@query("q_incremental_agg_merge", oracle=_IVM_ORACLE)
+def q_incremental_agg_merge(spark, sf_dir):
+    """Incremental view maintenance: the per-type aggregate is
+    computed as BASE (events before the cutoff) merged with DELTA
+    (events after) — counts add, integer-milli value sums add, maxes
+    combine via greatest — while the oracle recomputes from scratch;
+    the value-hash equality IS the IVM correctness proof (merge(base,
+    delta) == recompute(all) for these distributive/algebraic
+    aggregates). This is the maintenance algebra a 100 TB nightly
+    pipeline runs: touch only the delta partition, merge summaries,
+    never rescan the base — the batch twin of what Structured
+    Streaming's stateful aggregation does per micro-batch.
+
+    Scale: two map-side-combined aggregates (the base one amortized /
+    pre-materialized in a real deployment) + a |groups|-sized
+    full-outer merge join. Median/distinct-style HOLISTIC aggregates
+    don't merge like this — they need the sketch family
+    (q_minhash_reagg / q_percentile_approx / q_agg_sketch_reagg)."""
+    e = load_table(spark, sf_dir, "events")
+    val3 = F.round(F.col("value").cast("decimal(20,10)"), 3)
+    milli = (val3 * 1000).cast("bigint")
+    cutoff = F.lit("2024-02-15").cast("date")
+
+    def agg(df, suffix):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias(f"n{suffix}"),
+            F.sum(milli).alias(f"s{suffix}"),
+            F.max(val3.cast("double")).alias(f"m{suffix}"))
+
+    base = agg(e.filter(F.col("ts").cast("date") < cutoff), "_b")
+    delta = agg(e.filter(F.col("ts").cast("date") >= cutoff), "_d")
+    merged = base.join(delta, "event_type", "full_outer")
+    z = F.lit(0).cast("bigint")
+    return merged.select(
+        "event_type",
+        (F.coalesce("n_b", z) + F.coalesce("n_d", z)).alias("n"),
+        F.round((F.coalesce("s_b", z) + F.coalesce("s_d", z)) / 1000.0, 3)
+        .cast("double").alias("total_value"),
+        F.greatest(F.col("m_b"), F.col("m_d")).alias("max_value"))

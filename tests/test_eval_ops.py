@@ -101,3 +101,26 @@ def test_batch_retrieval_matches_single_probe(spark):
               QUERIES["q_similarity_topk"](spark, SF_SMOKE).collect()][:5]
     got = [batch[(0, rk)] for rk in range(1, 6)]
     assert got == single
+
+
+def test_ivm_merge_equals_recompute(spark):
+    """The merged base+delta aggregate equals a direct full recompute
+    (the IVM contract, checked independently of the DuckDB oracle)."""
+    from pyspark.sql import functions as F
+
+    got = {r["event_type"]: r for r in
+           QUERIES["q_incremental_agg_merge"](spark, SF_SMOKE).collect()}
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    val3 = F.round(F.col("value").cast("decimal(20,10)"), 3)
+    full = {r["event_type"]: r for r in
+            (e.groupBy("event_type")
+             .agg(F.count("*").alias("n"),
+                  F.round(F.sum((val3 * 1000).cast("bigint")) / 1000.0, 3)
+                  .cast("double").alias("total_value"),
+                  F.max(val3.cast("double")).alias("max_value"))
+             .collect())}
+    assert set(got) == set(full)
+    for k in got:
+        assert got[k]["n"] == full[k]["n"]
+        assert abs(got[k]["total_value"] - full[k]["total_value"]) < 1e-9
+        assert got[k]["max_value"] == full[k]["max_value"]
