@@ -284,3 +284,202 @@ def q_ab_test(spark, sf_dir):
                        F.round(pa, 6).alias("p_a"),
                        F.round(pb, 6).alias("p_b"),
                        F.round(z, 6).alias("z"))
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave G: trend regression, linear attribution, cohort LTV
+# ---------------------------------------------------------------------------
+
+_OLS_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', cast(ts as date)) AS x,
+         cast(count(*) as bigint) AS y
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, count(*) AS n,
+         cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy,
+         cast(sum(x * x) as bigint) AS sxx,
+         cast(sum(x * y) as bigint) AS sxy,
+         cast(sum(y * y) as bigint) AS syy
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n,
+       round(cast(n * sxy - sx * sy as double)
+             / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (cast(n * sxy - sx * sy as double)
+                    / (n * sxx - sx * sx)) * sx)
+             / cast(n as double), 4) AS intercept,
+       round(cast(n * sxy - sx * sy as double)
+             * (n * sxy - sx * sy)
+             / (cast(n * sxx - sx * sx as double)
+                * (n * syy - sy * sy)), 6) AS r2
+FROM s
+"""
+
+
+@query("q_ols_regression", oracle=_OLS_ORACLE)
+def q_ols_regression(spark, sf_dir):
+    """Per-type OLS trend line of the daily volume series (y = counts,
+    x = days since the corpus epoch): slope / intercept / R² from
+    exact integer power sums — the capacity-forecast and
+    volume-drift-direction primitive, one rung beyond
+    q_rolling_corr's co-movement. Like q_agg_moments, the sums are
+    mergeable (shard sums add — the 100 TB rollup re-aggregates five
+    integers per group); every closed form divides exact integers
+    once behind a declared round.
+
+    Scale: one map-side-combined rollup, then arithmetic on
+    |types| rows."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type",
+                       F.datediff(F.col("ts").cast("date"),
+                                  F.lit("2024-01-01")).alias("x"))
+             .agg(F.count("*").alias("y")))
+    s = (daily.groupBy("event_type")
+         .agg(F.count("*").alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("y") * F.col("y")).alias("syy")))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    dxx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    dyy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    slope = num.cast("double") / dxx
+    return s.select(
+        "event_type", "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx"))
+                / F.col("n").cast("double"), 4).alias("intercept"),
+        F.round(num.cast("double") * num
+                / (dxx.cast("double") * dyy), 6).alias("r2"))
+
+
+_LINEAR_ATTR_ORACLE = """
+WITH stream AS (
+  SELECT user_id, event_id, ts, event_type,
+         min(CASE WHEN event_type = 'purchase' THEN event_id END)
+           OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS conv_id
+  FROM events
+),
+touches AS (
+  SELECT user_id, conv_id, event_type
+  FROM stream
+  WHERE conv_id IS NOT NULL
+    AND event_type IN ('click', 'view', 'signup')
+),
+journey AS (
+  SELECT user_id, conv_id, cast(count(*) as bigint) AS n_touch
+  FROM touches GROUP BY 1, 2
+)
+SELECT t.event_type,
+       cast(count(*) as bigint) AS n_touches,
+       cast(round(sum(cast(round(1.0 / j.n_touch, 8)
+                           as decimal(14,8))), 4) as double) AS credit
+FROM touches t
+JOIN journey j ON t.user_id = j.user_id AND t.conv_id = j.conv_id
+GROUP BY 1
+"""
+
+
+@query("q_attribution_linear", oracle=_LINEAR_ATTR_ORACLE)
+def q_attribution_linear(spark, sf_dir):
+    """Linear (equal-split) multi-touch attribution: every touch
+    (click/view/signup) preceding a user's next purchase shares that
+    conversion's credit equally — the fair-share companion to
+    q_attribution_last_touch (last-touch hands 100% to the final
+    click; linear exposes upper-funnel contribution). The
+    next-conversion id is one forward-looking window min per user;
+    per-touch credit 1/n is an 8dp decimal so the per-channel sum is
+    order-independent (q_entropy discipline).
+
+    Scale: one user-keyed window exchange + one journey-keyed groupBy
+    (both carry events once); the credit join is journey-keyed and
+    co-partitioned with the groupBy before it."""
+    e = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(0, W.unboundedFollowing))
+    stream = e.select(
+        "user_id", "event_type",
+        F.min(F.when(F.col("event_type") == "purchase",
+                     F.col("event_id"))).over(w).alias("conv_id"))
+    touches = stream.filter(
+        F.col("conv_id").isNotNull()
+        & F.col("event_type").isin("click", "view", "signup"))
+    journey = (touches.groupBy("user_id", "conv_id")
+               .agg(F.count("*").alias("n_touch")))
+    credit = F.round(F.lit(1.0) / F.col("n_touch"), 8).cast("decimal(14,8)")
+    return (touches.join(journey, ["user_id", "conv_id"])
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_touches"),
+                 F.round(F.sum(credit), 4).cast("double").alias("credit")))
+
+
+_LTV_ORACLE = """
+WITH first_m AS (
+  SELECT o_custkey,
+         min(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_m
+  FROM orders GROUP BY 1
+),
+rev AS (
+  SELECT f.cohort_m,
+         (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.cohort_m
+           AS age,
+         cast(round(cast(o.o_totalprice as decimal(30,10)), 2) * 100
+              as bigint) AS cents
+  FROM orders o JOIN first_m f ON o.o_custkey = f.o_custkey
+),
+sizes AS (
+  SELECT cohort_m, cast(count(*) as bigint) AS n_cust FROM first_m
+  GROUP BY 1
+),
+by_age AS (
+  SELECT cohort_m, age, cast(sum(cents) as bigint) AS cents
+  FROM rev GROUP BY 1, 2
+)
+SELECT b.cohort_m, b.age, s.n_cust,
+       floor(cast(cast(sum(b.cents) OVER (PARTITION BY b.cohort_m
+                                          ORDER BY b.age) as bigint)
+                  as double) / s.n_cust + 0.5) / 100 AS cum_ltv
+FROM by_age b JOIN sizes s ON b.cohort_m = s.cohort_m
+ORDER BY b.cohort_m, b.age
+"""
+
+
+@query("q_cohort_ltv", oracle=_LTV_ORACLE)
+def q_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curves: customers cohort by first-order
+    month; cumulative revenue per cohort member by cohort age (months
+    since acquisition) — the LTV companion to q_retention_cohort's
+    activity rates, and the payback-period readout growth analytics
+    runs. Month arithmetic is integer (year*12+month — portable, no
+    months_between float); revenue is exact integer cents; one
+    declared-rounded division at the end.
+
+    Scale: first-order month is one groupBy; the age rollup is
+    cohort-keyed; the cumulative runs per cohort over |ages| rows."""
+    o = load_table(spark, sf_dir, "orders")
+    month_i = (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+    first_m = (o.groupBy("o_custkey")
+               .agg(F.min(month_i).alias("cohort_m")))
+    cents = (F.round(F.col("o_totalprice").cast("decimal(30,10)"), 2)
+             * 100).cast("bigint")
+    rev = (o.join(first_m, "o_custkey")
+           .select("cohort_m", (month_i - F.col("cohort_m")).alias("age"),
+                   cents.alias("cents")))
+    sizes = first_m.groupBy("cohort_m").agg(F.count("*").alias("n_cust"))
+    by_age = rev.groupBy("cohort_m", "age").agg(F.sum("cents").alias("cents"))
+    cum = F.sum("cents").over(
+        W.partitionBy("cohort_m").orderBy("age"))
+    # explicit floor-based half-up round: round() on the double
+    # quotient flips exact .005 ties differently per engine (Spark
+    # HALF_UP vs DuckDB HALF_EVEN); floor(x*100+0.5)/100 is the same
+    # double arithmetic everywhere (cents/n IS exactly ltv*100)
+    ltv = F.floor(cum.cast("double") / F.col("n_cust") + 0.5) / 100
+    return (by_age.join(F.broadcast(sizes), "cohort_m")
+            .select("cohort_m", "age", "n_cust", ltv.alias("cum_ltv"))
+            .orderBy("cohort_m", "age"))

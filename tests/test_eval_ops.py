@@ -124,3 +124,70 @@ def test_ivm_merge_equals_recompute(spark):
         assert got[k]["n"] == full[k]["n"]
         assert abs(got[k]["total_value"] - full[k]["total_value"]) < 1e-9
         assert got[k]["max_value"] == full[k]["max_value"]
+
+
+def test_ols_matches_numpy(spark):
+    import numpy as np
+
+    rows = QUERIES["q_ols_regression"](spark, SF_SMOKE).collect()
+    e = (spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+         .selectExpr("event_type",
+                     "datediff(cast(ts as date), date'2024-01-01') AS x")
+         .groupBy("event_type", "x").count().collect())
+    series: dict[str, dict[int, int]] = {}
+    for r in e:
+        series.setdefault(r["event_type"], {})[r["x"]] = r["count"]
+    for r in rows:
+        xs = sorted(series[r["event_type"]])
+        ys = [series[r["event_type"]][x] for x in xs]
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert abs(r["slope"] - slope) < 1e-4
+        assert abs(r["intercept"] - intercept) < 1e-2
+        assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_linear_attribution_conserves_credit(spark):
+    """Each converting journey distributes exactly 1.0 credit across
+    its touches, so total credit == number of credited journeys."""
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["q_attribution_linear"](spark, SF_SMOKE).collect()
+    total_credit = sum(r["credit"] for r in rows)
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    from pyspark.sql import Window as W
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(0, W.unboundedFollowing))
+    stream = e.select(
+        "user_id", "event_type",
+        F.min(F.when(F.col("event_type") == "purchase",
+                     F.col("event_id"))).over(w).alias("conv_id"))
+    n_journeys = (stream.filter(
+        F.col("conv_id").isNotNull()
+        & F.col("event_type").isin("click", "view", "signup"))
+        .select("user_id", "conv_id").distinct().count())
+    assert abs(total_credit - n_journeys) < 0.01 * max(n_journeys, 1)
+
+
+def test_cohort_ltv_monotone_in_age(spark):
+    rows = QUERIES["q_cohort_ltv"](spark, SF_SMOKE).collect()
+    by_cohort: dict[int, list] = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_m"], []).append((r["age"], r["cum_ltv"]))
+    for ages in by_cohort.values():
+        ages.sort()
+        vals = [v for _, v in ages]
+        assert vals == sorted(vals), "cumulative LTV must be nondecreasing"
+
+
+def test_embed_lsh_verified_pairs_are_true_positives(spark):
+    """After exact re-verification every returned pair genuinely has
+    cos >= tau (precision 1.0 by construction), results are
+    deterministic across runs, and pairs are canonical (va < vb)."""
+    a = [(r["va"], r["vb"], r["cos"]) for r in
+         QUERIES["q_embed_lsh"](spark, SF_SMOKE).collect()]
+    b = [(r["va"], r["vb"], r["cos"]) for r in
+         QUERIES["q_embed_lsh"](spark, SF_SMOKE).collect()]
+    assert a == b
+    for va, vb, cos in a:
+        assert va < vb
+        assert cos >= 0.35
