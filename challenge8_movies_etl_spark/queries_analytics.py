@@ -483,3 +483,65 @@ def q_cohort_ltv(spark, sf_dir):
     return (by_age.join(F.broadcast(sizes), "cohort_m")
             .select("cohort_m", "age", "n_cust", ltv.alias("cum_ltv"))
             .orderBy("cohort_m", "age"))
+
+
+_SKYLINE_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         cast(count(*) as bigint) AS freq,
+         cast(round(sum(cast(o_totalprice as decimal(30,10))), 2) * 100
+              as bigint) AS cents
+  FROM orders GROUP BY 1
+),
+flagged AS (
+  SELECT o_custkey, freq, cents,
+         max(cents) OVER (ORDER BY freq DESC
+                          RANGE BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS best_higher,
+         max(cents) OVER (PARTITION BY freq) AS best_same
+  FROM per_cust
+)
+SELECT o_custkey, freq,
+       round(cast(cents as double) / 100, 2) AS monetary
+FROM flagged
+WHERE cents > coalesce(best_higher, -1) AND cents = best_same
+ORDER BY freq DESC, o_custkey
+"""
+
+
+@query("q_skyline", oracle=_SKYLINE_ORACLE)
+def q_skyline(spark, sf_dir):
+    """Skyline (Pareto frontier) of customers over (order frequency,
+    total spend), both maximized: a customer survives iff nobody has
+    >= on both dimensions with > on one — the classic multi-criteria
+    operator (BNL/SFS literature) behind "best trade-off" shortlists.
+    Computed in the sort-filter-skyline form: one sort by freq desc
+    and two window maxes replace the naive O(n²) dominance self-join —
+    a row survives iff its spend beats every strictly-higher-frequency
+    row (RANGE ... 1 PRECEDING excludes freq ties) and no same-freq
+    row spends strictly more. Exact integer cents; ties on both
+    dimensions are mutually non-dominating and both survive.
+
+    Scale: one groupBy + one range-partitioned sort over |customers|;
+    at 100 TB pre-filter with a coarse grid skyline per partition
+    (local skyline union is a superset of the global one), then run
+    this exact pass on the survivors."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (o.groupBy("o_custkey")
+                .agg(F.count("*").alias("freq"),
+                     (F.round(F.sum(F.col("o_totalprice")
+                                    .cast("decimal(30,10)")), 2) * 100)
+                     .cast("bigint").alias("cents")))
+    w_higher = (W.orderBy(F.desc("freq"))
+                .rangeBetween(W.unboundedPreceding, -1))
+    flagged = per_cust.select(
+        "o_custkey", "freq", "cents",
+        F.max("cents").over(w_higher).alias("best_higher"),
+        F.max("cents").over(W.partitionBy("freq")).alias("best_same"))
+    return (flagged.filter(
+                (F.col("cents") > F.coalesce("best_higher", F.lit(-1)))
+                & (F.col("cents") == F.col("best_same")))
+            .select("o_custkey", "freq",
+                    F.round(F.col("cents").cast("double") / 100, 2)
+                    .alias("monetary"))
+            .orderBy(F.desc("freq"), "o_custkey"))

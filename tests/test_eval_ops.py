@@ -191,3 +191,28 @@ def test_embed_lsh_verified_pairs_are_true_positives(spark):
     for va, vb, cos in a:
         assert va < vb
         assert cos >= 0.35
+
+
+def test_skyline_is_pareto_frontier(spark):
+    """No returned point dominates another, and every returned point is
+    undominated against the full per-customer relation (checked by
+    brute force on the smoke fixture)."""
+    from pyspark.sql import functions as F
+
+    sky = [(r["freq"], round(r["monetary"], 2)) for r in
+           QUERIES["q_skyline"](spark, SF_SMOKE).collect()]
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    allc = [(r["freq"], round(r["mon"], 2)) for r in
+            (o.groupBy("o_custkey")
+             .agg(F.count("*").alias("freq"),
+                  F.round(F.sum(F.col("o_totalprice")
+                                .cast("decimal(30,10)")), 2)
+                  .cast("double").alias("mon")).collect())]
+
+    def dominates(a, b):
+        return a[0] >= b[0] and a[1] >= b[1] and a != b
+
+    for s in sky:
+        assert not any(dominates(c, s) for c in allc), (s,)
+    for s in sky:
+        assert not any(dominates(t, s) for t in sky if t != s)
