@@ -401,16 +401,20 @@ def q_wordpiece_encode(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _BOOT_ORACLE = """
-WITH reps AS (
+WITH hashed AS (
+  SELECT cast(('0x' || substr(md5(cast(o_orderkey as varchar) || ':boot'),
+                              1, 15)) as bigint) AS h,
+         cast(round(cast(o_totalprice as decimal(30,10)), 2) * 100
+              as bigint) AS cents
+  FROM orders
+),
+reps AS (
   SELECT gs.b,
          count(*) AS n_rows,
-         cast(sum(cast(round(cast(o_totalprice as decimal(30,10)), 2) * 100
-                  as bigint)) as bigint) AS cents
-  FROM orders
+         cast(sum(cents) as bigint) AS cents
+  FROM hashed
   CROSS JOIN range(0, 20) gs(b)
-  WHERE cast(('0x' || substr(md5(cast(o_orderkey as varchar)
-                             || ':b' || cast(gs.b as varchar)), 1, 8))
-             as bigint) % 2 = 0
+  WHERE (h >> cast(gs.b as int)) % 2 = 0
   GROUP BY 1
 ),
 means AS (
@@ -438,10 +442,11 @@ FROM means
 @query("q_bootstrap_ci", oracle=_BOOT_ORACLE)
 def q_bootstrap_ci(spark, sf_dir):
     """Deterministic bootstrap confidence interval for the mean order
-    value: 20 half-sample replicas, each selecting rows where
-    md5(key, replica) is even (m-out-of-n bootstrap with a SEEDED hash
-    instead of rand() — reproducible on any engine/parallelism, the
-    q_sample_weighted discipline applied to resampling); the CI is the
+    value: 20 half-sample replicas — replica b keeps a row iff BIT b
+    of the row's single 60-bit md5 is 0 (a seeded hash instead of
+    rand(): reproducible on any engine/parallelism, and ONE digest per
+    row serves all 20 replicas — the per-(row, replica) re-hash form
+    measured 2.3 s vs ~0.9 s at sf0.1, 3M md5s vs 150k); the CI is the
     [2nd, 19th] order statistic of the replica means (~90% interval).
     Replica means are exact integer-cents sums behind one declared
     6dp-rounded division, so the order statistics are engine-stable.
@@ -456,15 +461,16 @@ def q_bootstrap_ci(spark, sf_dir):
     reps_dim = spark.range(0, 20).select(F.col("id").cast("int").alias("b"))
     cents = (F.round(F.col("o_totalprice").cast("decimal(30,10)"), 2)
              * 100).cast("bigint")
-    keep = (F.conv(F.substring(F.md5(F.concat(
-        F.col("o_orderkey").cast("string"), F.lit(":b"),
-        F.col("b").cast("string"))), 1, 8), 16, 10)
-        .cast("bigint") % 2 == 0)
-    reps = (o.crossJoin(F.broadcast(reps_dim))
+    h = (F.conv(F.substring(F.md5(F.concat(
+        F.col("o_orderkey").cast("string"), F.lit(":boot"))), 1, 15),
+        16, 10).cast("bigint"))
+    hashed = o.select(h.alias("h"), cents.alias("cents"))
+    keep = F.expr("shiftright(h, b) % 2 = 0")
+    reps = (hashed.crossJoin(F.broadcast(reps_dim))
             .filter(keep)
             .groupBy("b")
             .agg(F.count("*").alias("n_rows"),
-                 F.sum(cents).alias("cents")))
+                 F.sum("cents").alias("cents")))
     mean_b = F.round(F.col("cents").cast("double")
                      / (100 * F.col("n_rows")), 6)
     means = (reps.select("b", "n_rows", mean_b.alias("mean_b"))
