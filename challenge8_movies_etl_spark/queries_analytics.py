@@ -545,3 +545,180 @@ def q_skyline(spark, sf_dir):
                     F.round(F.col("cents").cast("double") / 100, 2)
                     .alias("monetary"))
             .orderBy(F.desc("freq"), "o_custkey"))
+
+
+_WMEDIAN_ORACLE = """
+WITH w AS (
+  SELECT l_returnflag,
+         cast(round(cast(l_extendedprice as decimal(30,10)), 2) * 100
+              as bigint) AS cents,
+         cast(l_quantity as bigint) AS wt,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+cum AS (
+  SELECT l_returnflag, cents, wt,
+         cast(sum(wt) OVER (PARTITION BY l_returnflag
+                            ORDER BY cents, l_orderkey, l_linenumber
+                            ROWS UNBOUNDED PRECEDING) as bigint) AS cw,
+         cast(sum(wt) OVER (PARTITION BY l_returnflag) as bigint) AS tw
+  FROM w
+)
+SELECT l_returnflag, max(tw) AS total_weight,
+       round(cast(min(CASE WHEN 2 * cw >= tw THEN cents END) as double)
+             / 100, 2) AS weighted_median
+FROM cum GROUP BY 1
+"""
+
+
+@query("q_weighted_percentile", oracle=_WMEDIAN_ORACLE)
+def q_weighted_percentile(spark, sf_dir):
+    """Quantity-weighted median price per return flag: the first price
+    (in deterministic (price, orderkey, linenumber) order) whose
+    cumulative weight reaches half the total — the lower-bound
+    weighted-median convention, which is pure integer arithmetic (the
+    2*cw >= tw compare avoids fractional halves entirely), unlike the
+    interpolated form whose midpoint math is engine-variant. Weighted
+    quantiles are what pricing/capacity analytics need when rows
+    represent unequal volumes (q_percentiles treats each row as
+    weight 1).
+
+    Scale: one per-flag sort window + per-flag aggregate — the same
+    envelope as any exact percentile; swap in a weighted sketch at
+    100 TB if the per-key sort becomes the bottleneck."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        (F.round(F.col("l_extendedprice").cast("decimal(30,10)"), 2) * 100)
+        .cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+        "l_orderkey", "l_linenumber")
+    win = (W.partitionBy("l_returnflag")
+           .orderBy("cents", "l_orderkey", "l_linenumber")
+           .rowsBetween(W.unboundedPreceding, 0))
+    cum = w.select(
+        "l_returnflag", "cents", "wt",
+        F.sum("wt").over(win).alias("cw"),
+        F.sum("wt").over(W.partitionBy("l_returnflag")).alias("tw"))
+    return (cum.groupBy("l_returnflag")
+            .agg(F.max("tw").alias("total_weight"),
+                 F.round(F.min(F.when(2 * F.col("cw") >= F.col("tw"),
+                                      F.col("cents"))).cast("double") / 100,
+                         2).alias("weighted_median")))
+
+
+_TEMPORAL_ORACLE = """
+WITH versions AS (
+  SELECT c_custkey, v.v AS version,
+         DATE '2024-01-01' + INTERVAL (v.v * 30 + c_custkey % 7) DAY
+           AS valid_from,
+         c_mktsegment || '-v' || cast(v.v as varchar) AS segment_version
+  FROM customer CROSS JOIN range(0, 3) v(v)
+),
+matched AS (
+  SELECT e.event_id, e.user_id, e.value, ver.segment_version,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY ver.valid_from DESC, ver.version DESC) AS rk
+  FROM events e
+  JOIN versions ver
+    ON ver.c_custkey = e.user_id
+   AND cast(ver.valid_from as date) <= cast(e.ts as date)
+)
+SELECT segment_version,
+       count(*) AS n_events,
+       cast(round(sum(cast(round(cast(value as decimal(20,10)), 3) * 1000
+                     as bigint)) / 1000.0, 3)
+            as double) AS sum_value
+FROM matched WHERE rk = 1
+GROUP BY 1
+"""
+
+
+@query("q_temporal_join", oracle=_TEMPORAL_ORACLE)
+def q_temporal_join(spark, sf_dir):
+    """Temporal (point-in-validity) dimension join — the SCD2 lookup:
+    each event joins the customer-dimension VERSION that was valid at
+    the event's date (three deterministic 30-day versions per customer
+    synthesized from custkey), resolved as the argmax valid_from <=
+    event_date — the as-of pattern (q_join_asof) applied to dimension
+    history (q_scd2 builds such histories; this query CONSUMES one).
+    Events before their first version drop out (inner semantics).
+
+    Scale: the version relation is |dims| x versions and broadcasts;
+    the per-event argmax is a window over <= 3 candidate rows — no
+    event-x-event work. At 100 TB the equivalent merge_asof cogroup
+    (operators/asof.py) takes over when dimension history is too deep
+    to broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    vs = spark.range(0, 3).select(F.col("id").cast("int").alias("v"))
+    versions = (c.crossJoin(F.broadcast(vs))
+                .select("c_custkey", F.col("v").alias("version"),
+                        F.date_add(F.lit("2024-01-01").cast("date"),
+                                   F.col("v") * 30
+                                   + (F.col("c_custkey") % 7).cast("int"))
+                        .alias("valid_from"),
+                        F.concat(F.col("c_mktsegment"), F.lit("-v"),
+                                 F.col("v").cast("string"))
+                        .alias("segment_version")))
+    j = (e.join(F.broadcast(versions),
+                (versions.c_custkey == e.user_id)
+                & (F.col("valid_from") <= F.col("ts").cast("date"))))
+    rk = F.row_number().over(
+        W.partitionBy("event_id").orderBy(F.desc("valid_from"),
+                                          F.desc("version")))
+    milli = (F.round(F.col("value").cast("decimal(20,10)"), 3)
+             * 1000).cast("bigint")
+    return (j.withColumn("rk", rk).filter(F.col("rk") == 1)
+            .groupBy("segment_version")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum(milli) / 1000.0, 3).cast("double")
+                 .alias("sum_value")))
+
+
+_ISLANDS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id,
+         event_id - row_number() OVER (PARTITION BY user_id
+                                       ORDER BY event_id) AS grp
+  FROM events
+),
+islands AS (
+  SELECT user_id, grp, count(*) AS run_len
+  FROM seq GROUP BY 1, 2
+)
+SELECT user_id,
+       count(*) AS n_islands,
+       cast(max(run_len) as bigint) AS longest_run,
+       cast(sum(run_len) as bigint) AS n_events
+FROM islands
+GROUP BY 1
+ORDER BY longest_run DESC, user_id
+LIMIT 20
+"""
+
+
+@query("q_gaps_islands", oracle=_ISLANDS_ORACLE)
+def q_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands: maximal runs of consecutive event_ids per
+    user via the classic id-minus-row_number grouping key (consecutive
+    ids share one key) — the sequence-integrity primitive behind
+    missing-data detection, delivery-gap audits, and contiguous-range
+    compaction (q_compaction_plan packs by size; this finds the
+    natural contiguous ranges). Top-20 users by longest run.
+
+    Scale: one user-keyed window + two stacked groupBys on the same
+    key — a single exchange end-to-end."""
+    e = load_table(spark, sf_dir, "events")
+    grp = (F.col("event_id")
+           - F.row_number().over(
+               W.partitionBy("user_id").orderBy("event_id")))
+    islands = (e.select("user_id", "event_id", grp.alias("grp"))
+               .groupBy("user_id", "grp")
+               .agg(F.count("*").alias("run_len")))
+    return (islands.groupBy("user_id")
+            .agg(F.count("*").alias("n_islands"),
+                 F.max("run_len").alias("longest_run"),
+                 F.sum("run_len").alias("n_events"))
+            .orderBy(F.desc("longest_run"), "user_id").limit(20))

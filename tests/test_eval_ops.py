@@ -216,3 +216,51 @@ def test_skyline_is_pareto_frontier(spark):
         assert not any(dominates(c, s) for c in allc), (s,)
     for s in sky:
         assert not any(dominates(t, s) for t in sky if t != s)
+
+
+def test_weighted_median_dominates_half_weight(spark):
+    """At least half the total weight sits at or below the weighted
+    median, and strictly less than half sits strictly below it."""
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["q_weighted_percentile"](spark, SF_SMOKE).collect()
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    for r in rows:
+        flag = r["l_returnflag"]
+        med = r["weighted_median"]
+        sub = li.filter(F.col("l_returnflag") == flag)
+        total = sub.agg(F.sum("l_quantity")).collect()[0][0]
+        at_or_below = (sub.filter(F.round("l_extendedprice", 2) <= med)
+                       .agg(F.sum("l_quantity")).collect()[0][0]) or 0
+        below = (sub.filter(F.round("l_extendedprice", 2) < med)
+                 .agg(F.sum("l_quantity")).collect()[0][0]) or 0
+        assert 2 * at_or_below >= total
+        assert 2 * below < total
+
+
+def test_temporal_join_resolves_unique_version(spark):
+    """Every event maps to at most one dimension version and versions
+    are date-consistent (v0 <= v1 <= v2 per customer by construction)."""
+    rows = QUERIES["q_temporal_join"](spark, SF_SMOKE).collect()
+    assert rows
+    n_events_total = sum(r["n_events"] for r in rows)
+    events_n = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    # inner semantics: some pre-first-version events may drop, never grow
+    assert n_events_total <= events_n
+    assert all(r["segment_version"].rsplit("-v", 1)[1] in "012"
+               for r in rows)
+
+
+def test_gaps_islands_partition_events(spark):
+    """Per reported user, island lengths sum to the user's event count
+    and the longest run never exceeds it."""
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["q_gaps_islands"](spark, SF_SMOKE).collect()
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    counts = {r["user_id"]: r["n"] for r in
+              e.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    for r in rows:
+        assert r["n_events"] == counts[r["user_id"]]
+        assert 1 <= r["longest_run"] <= r["n_events"]
+        assert 1 <= r["n_islands"] <= r["n_events"]
