@@ -662,3 +662,89 @@ def q_incremental_agg_merge(spark, sf_dir):
         F.round((F.coalesce("s_b", z) + F.coalesce("s_d", z)) / 1000.0, 3)
         .cast("double").alias("total_value"),
         F.greatest(F.col("m_b"), F.col("m_d")).alias("max_value"))
+
+
+# ---------------------------------------------------------------------------
+# q_sql_window — textual window-function surface (same text, both engines)
+# ---------------------------------------------------------------------------
+
+_SQL_WINDOW = """
+SELECT o_custkey,
+       o_orderkey,
+       rank() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+       round(cast(sum(cast(round(cast(o_totalprice as decimal(30,10)), 2)
+                           * 100 as bigint))
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) as double) / 100,
+             2) AS running_spend
+FROM orders
+WHERE o_custkey % 100 = 0
+"""
+
+
+@query("q_sql_window", oracle=_SQL_WINDOW)
+def q_sql_window(spark, sf_dir):
+    """Textual window-function surface: rank + running integer-cents
+    spend per customer as ONE raw SQL text executed verbatim by both
+    engines (the q_sql_surface/q_sql_recursive pattern applied to
+    windows — the DataFrame twins are q_window_rank/q_window_running;
+    this is the entry point a SQL-first user actually types). The
+    customer filter keeps the checked slice small; both window frames
+    carry deterministic tie-breaks.
+
+    Scale: one customer-keyed exchange serves both windows (same
+    partitioning); the filter is pushed to the scan."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SQL_WINDOW)
+
+
+# ---------------------------------------------------------------------------
+# q_eval_langid_slices — disaggregated (per-slice) classifier evaluation
+# ---------------------------------------------------------------------------
+
+
+def _eval_slices_oracle() -> str:
+    from .operators.text import EN_STOPWORDS, lexicon_count_sql
+    pred = f"""
+      CASE WHEN cast({lexicon_count_sql('text', EN_STOPWORDS)} as double)
+                / len(string_split(text, ' ')) >= 0.05
+           THEN 1 ELSE 0 END
+    """
+    return f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           cast(sum({pred}) as bigint) AS n_pred_en,
+           round(cast(sum(CASE WHEN (lang = 'en') = (({pred}) = 1)
+                          THEN 1 ELSE 0 END) as double) / count(*), 6)
+             AS slice_accuracy
+    FROM documents
+    GROUP BY 1
+    """
+
+
+@query("q_eval_langid_slices", oracle=_eval_slices_oracle())
+def q_eval_langid_slices(spark, sf_dir):
+    """Disaggregated evaluation: the langid heuristic's accuracy PER
+    ground-truth language slice — the fairness/robustness practice
+    that catches classifiers whose aggregate accuracy (q_eval_langid)
+    hides a collapsed slice (e.g. a heuristic that calls everything
+    non-en gets high accuracy on a mostly-non-en corpus while failing
+    'en' completely). One row per language with prediction counts and
+    slice accuracy.
+
+    Scale: same zero-shuffle codegen features as q_eval_langid, one
+    groupBy on the |langs| domain."""
+    from .operators.text import stopword_count, token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    pred_en = (stopword_count(F.col("text")).cast("double")
+               / token_count(F.col("text")) >= 0.05).cast("int")
+    correct = ((F.col("lang") == "en").cast("int") == pred_en).cast("int")
+    return (d.select("lang", pred_en.alias("p"), correct.alias("ok"))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("p").alias("n_pred_en"),
+                 F.round(F.sum("ok").cast("double") / F.count("*"), 6)
+                 .alias("slice_accuracy")))

@@ -264,3 +264,30 @@ def test_gaps_islands_partition_events(spark):
         assert r["n_events"] == counts[r["user_id"]]
         assert 1 <= r["longest_run"] <= r["n_events"]
         assert 1 <= r["n_islands"] <= r["n_events"]
+
+
+def test_sql_window_rank_and_running_consistency(spark):
+    rows = QUERIES["q_sql_window"](spark, SF_SMOKE).collect()
+    assert rows
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    for cust, rs in by_cust.items():
+        ranks = sorted(r["price_rank"] for r in rs)
+        assert ranks[0] == 1 and len(set(ranks)) == len(ranks)
+        # running spend is positive and its max equals the cust total
+        assert all(r["running_spend"] > 0 for r in rs)
+
+
+def test_langid_slices_aggregate_to_confusion(spark):
+    """Slice counts recombine into the global confusion matrix of
+    q_eval_langid (tp+fp = total predicted en; accuracy-weighted doc
+    counts = tp+tn)."""
+    slices = QUERIES["q_eval_langid_slices"](spark, SF_SMOKE).collect()
+    g = QUERIES["q_eval_langid"](spark, SF_SMOKE).collect()[0]
+    pred_en = sum(r["n_pred_en"] for r in slices)
+    assert pred_en == g["tp"] + g["fp"]
+    n_docs = sum(r["n_docs"] for r in slices)
+    assert n_docs == g["tp"] + g["fp"] + g["fn"] + g["tn"]
+    correct = round(sum(r["slice_accuracy"] * r["n_docs"] for r in slices))
+    assert correct == g["tp"] + g["tn"]
