@@ -748,3 +748,274 @@ def q_eval_langid_slices(spark, sf_dir):
                  F.sum("p").alias("n_pred_en"),
                  F.round(F.sum("ok").cast("double") / F.count("*"), 6)
                  .alias("slice_accuracy")))
+
+
+# ---------------------------------------------------------------------------
+# q_anomaly_seasonal — seasonally-adjusted volume anomalies
+# ---------------------------------------------------------------------------
+
+_SEAS_ANOM_ORACLE = """
+WITH daily AS (
+  SELECT cast(ts as date) AS d, cast(count(*) as bigint) AS x
+  FROM events GROUP BY 1
+),
+dow AS (
+  SELECT date_diff('day', DATE '1970-01-01', d) % 7 AS dow,
+         cast(count(*) as bigint) AS n_days,
+         cast(sum(x) as bigint) AS sx
+  FROM daily GROUP BY 1
+),
+tot AS (SELECT cast(sum(n_days) as bigint) AS big_n,
+               cast(sum(sx) as bigint) AS big_s FROM dow),
+adj AS (
+  SELECT d.d, d.x,
+         cast(round(cast(d.x as double) * w.n_days * t.big_s
+                    / (cast(w.sx as double) * t.big_n), 6)
+              as decimal(18,6)) AS a
+  FROM daily d
+  JOIN dow w ON date_diff('day', DATE '1970-01-01', d.d) % 7 = w.dow
+  CROSS JOIN tot t
+),
+stats AS (
+  SELECT count(*) AS n, sum(a) AS sa,
+         sum(cast(cast(a as decimal(19,6)) * a as decimal(38,12))) AS saa
+  FROM adj
+)
+SELECT cast(a.d as varchar) AS day, a.x,
+       round(cast(a.a as double), 2) AS adjusted,
+       round((cast(a.a as double) - cast(s.sa as double) / s.n)
+             / sqrt(cast(s.saa as double) / s.n
+                    - pow(cast(s.sa as double) / s.n, 2)), 4) AS z
+FROM adj a CROSS JOIN stats s
+WHERE abs((cast(a.a as double) - cast(s.sa as double) / s.n)
+          / sqrt(cast(s.saa as double) / s.n
+                 - pow(cast(s.sa as double) / s.n, 2))) > 2
+ORDER BY day
+"""
+
+
+@query("q_anomaly_seasonal", oracle=_SEAS_ANOM_ORACLE)
+def q_anomaly_seasonal(spark, sf_dir):
+    """Seasonally-adjusted anomaly detection — the follow-through
+    q_seasonal_dow promises: each day's count divides by the inverse
+    of its weekday's seasonal index (x * n_days*S / (sx*N), the same
+    n-scaled rationals), then days beyond 2 sigma of the ADJUSTED
+    series are flagged. A busy-Monday spike that q_anomaly_zscore
+    would flag disappears; a quiet-Sunday surge it would miss
+    surfaces. Adjusted values are 6dp decimals so the moment sums are
+    exact; the z comparison uses the same double expression on both
+    engines.
+
+    Scale: daily rollup + 7-row seasonal join + one moment aggregate —
+    everything after the first groupBy is |days|-sized."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("ts").cast("date").alias("d"))
+             .agg(F.count("*").alias("x")))
+    dow = (daily.groupBy((F.datediff("d", F.lit("1970-01-01")) % 7)
+                         .alias("dow"))
+           .agg(F.count("*").alias("n_days"), F.sum("x").alias("sx")))
+    tot = dow.agg(F.sum("n_days").alias("big_n"), F.sum("sx").alias("big_s"))
+    adj = (daily
+           .withColumn("dow", F.datediff("d", F.lit("1970-01-01")) % 7)
+           .join(F.broadcast(dow), "dow")
+           .crossJoin(F.broadcast(tot))
+           .select("d", "x",
+                   F.round(F.col("x").cast("double") * F.col("n_days")
+                           * F.col("big_s")
+                           / (F.col("sx").cast("double") * F.col("big_n")),
+                           6).cast("decimal(18,6)").alias("a")))
+    stats = adj.agg(
+        F.count("*").alias("n"), F.sum("a").alias("sa"),
+        F.sum((F.col("a") * F.col("a")).cast("decimal(38,12)")).alias("saa"))
+    j = adj.crossJoin(F.broadcast(stats))
+    mean = F.col("sa").cast("double") / F.col("n")
+    std = F.sqrt(F.col("saa").cast("double") / F.col("n") - F.pow(mean, 2))
+    z = (F.col("a").cast("double") - mean) / std
+    return (j.filter(F.abs(z) > 2)
+            .select(F.col("d").cast("string").alias("day"), "x",
+                    F.round(F.col("a").cast("double"), 2).alias("adjusted"),
+                    F.round(z, 4).alias("z"))
+            .orderBy("day"))
+
+
+# ---------------------------------------------------------------------------
+# q_audience_overlap — pairwise audience Jaccard between event types
+# ---------------------------------------------------------------------------
+
+_AUD_ORACLE = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+sizes AS (
+  SELECT event_type, cast(count(*) as bigint) AS n FROM ut GROUP BY 1
+),
+inter AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         cast(count(*) as bigint) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.ta, i.tb, sa.n AS n_a, sb.n AS n_b, i.n_both,
+       round(cast(i.n_both as double) / (sa.n + sb.n - i.n_both), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.ta
+JOIN sizes sb ON sb.event_type = i.tb
+"""
+
+
+@query("q_audience_overlap", oracle=_AUD_ORACLE)
+def q_audience_overlap(spark, sf_dir):
+    """Pairwise audience overlap: for every event-type pair, the
+    distinct-user intersection and Jaccard similarity — the audience/
+    cohort-overlap matrix behind segmentation and cross-sell analysis,
+    and the exact twin of what q_hll_intersection estimates with
+    sketches (run THIS where exact fits; sketches where only
+    summaries travel).
+
+    Scale: one distinct (user, type) projection (map-side combined),
+    then a user-keyed self-join whose per-user fan-out is bounded by
+    |types|² (25 here) — never user x user."""
+    e = load_table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("ta"))
+    b = ut.select("user_id", F.col("event_type").alias("tb"))
+    inter = (a.join(b, "user_id").filter(F.col("ta") < F.col("tb"))
+             .groupBy("ta", "tb").agg(F.count("*").alias("n_both")))
+    sa = sizes.select(F.col("event_type").alias("ta"),
+                      F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("tb"),
+                      F.col("n").alias("n_b"))
+    return (inter.join(F.broadcast(sa), "ta").join(F.broadcast(sb), "tb")
+            .select("ta", "tb", "n_a", "n_b", "n_both",
+                    F.round(F.col("n_both").cast("double")
+                            / (F.col("n_a") + F.col("n_b")
+                               - F.col("n_both")), 6).alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# q_cluster_quality — per-label centroid dispersion diagnostics
+# ---------------------------------------------------------------------------
+
+
+def _cluster_quality_oracle() -> str:
+    from .operators.similarity import DEC_SIM as DEC
+    return f"""
+    WITH elems AS (
+      SELECT label, vec_id, gs.i AS dim,
+             cast(embedding[gs.i] as double) AS v
+      FROM embeddings, range(1, 65) gs(i)
+    ),
+    cents AS (
+      SELECT label, dim,
+             cast(round(cast(sum(cast(v as {DEC})) as double)
+                        / count(*), 6) as decimal(12,6)) AS c
+      FROM elems GROUP BY 1, 2
+    ),
+    dists AS (
+      SELECT e.label, e.vec_id,
+             sqrt(cast(sum(cast((e.v - cast(c.c as double))
+                                * (e.v - cast(c.c as double))
+                                as {DEC})) as double)) AS dist
+      FROM elems e JOIN cents c ON e.label = c.label AND e.dim = c.dim
+      GROUP BY 1, 2
+    )
+    SELECT label, cast(count(*) as bigint) AS n,
+           cast(round(sum(cast(round(dist, 6) as decimal(16,6))), 4)
+                as double) AS sum_dist,
+           round(max(dist), 4) AS max_dist
+    FROM dists GROUP BY 1
+    """
+
+
+@query("q_cluster_quality", oracle=_cluster_quality_oracle())
+def q_cluster_quality(spark, sf_dir):
+    """Cluster-quality diagnostics per label: the 6dp-pinned centroid
+    (exact decimal mean per dimension) and each member's Euclidean
+    distance to it, reported as per-label member count, total and max
+    dispersion — the compactness readout that validates q_kmeans /
+    semantic-dedup cluster assignments (a label whose max_dist dwarfs
+    its mean is two clusters wearing one id). Distances follow the
+    DEC_SIM discipline (decimal-exact sums of per-dim doubles) and
+    are 6dp-rounded decimals before the dispersion sum.
+
+    Scale: centroids are one (label, dim) map-side-combined aggregate
+    (|labels| x 64 rows, broadcastable); distances are one
+    co-keyed join + per-vector aggregate — no pairwise work at all
+    (contrast the O(n²/labels) exact pair queries)."""
+    from .operators.similarity import DEC_SIM as DEC
+
+    e = load_table(spark, sf_dir, "embeddings")
+    elems = e.select(
+        "label", "vec_id",
+        F.posexplode("embedding").alias("dim0", "vf")) \
+        .select("label", "vec_id", (F.col("dim0") + 1).alias("dim"),
+                F.col("vf").cast("double").alias("v"))
+    cents = (elems.groupBy("label", "dim")
+             .agg(F.round(F.sum(F.col("v").cast(DEC)).cast("double")
+                          / F.count("*"), 6)
+                  .cast("decimal(12,6)").alias("c")))
+    diff = F.col("v") - F.col("c").cast("double")
+    dists = (elems.join(cents, ["label", "dim"])
+             .groupBy("label", "vec_id")
+             .agg(F.sqrt(F.sum((diff * diff).cast(DEC)).cast("double"))
+                  .alias("dist")))
+    return (dists.groupBy("label")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum(F.round("dist", 6).cast("decimal(16,6)")), 4)
+                 .cast("double").alias("sum_dist"),
+                 F.round(F.max("dist"), 4).alias("max_dist")))
+
+
+# ---------------------------------------------------------------------------
+# q_funnel_windowed — conversion within a bounded horizon
+# ---------------------------------------------------------------------------
+
+_FUNNEL_W_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+conv AS (
+  SELECT v.user_id
+  FROM v JOIN events e
+    ON e.user_id = v.user_id
+   AND e.event_type = 'purchase'
+   AND e.ts > v.t_view
+   AND e.ts <= v.t_view + INTERVAL 7 DAY
+  GROUP BY 1
+)
+SELECT (SELECT cast(count(*) as bigint) FROM v) AS n_view,
+       (SELECT cast(count(*) as bigint) FROM conv) AS n_converted_7d,
+       round(cast((SELECT count(*) FROM conv) as double)
+             / (SELECT count(*) FROM v), 6) AS cvr_7d
+"""
+
+
+@query("q_funnel_windowed", oracle=_FUNNEL_W_ORACLE)
+def q_funnel_windowed(spark, sf_dir):
+    """Time-bounded funnel: users whose first view converts to a
+    purchase WITHIN 7 days — q_funnel counts eventual conversion at
+    any horizon, which overstates attribution-relevant conversion;
+    the bounded form is what experiments and cohort comparisons
+    actually read (a conversion 6 months later is not the campaign's).
+
+    Scale: first-view is one per-user aggregate; the horizon check is
+    a user-keyed join against the survivor set with the interval
+    predicate fused into the join filter — never event x event."""
+    e = load_table(spark, sf_dir, "events")
+    v = (e.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    conv = (e.filter(F.col("event_type") == "purchase")
+            .join(v, "user_id")
+            .filter((F.col("ts") > F.col("t_view"))
+                    & (F.col("ts") <= F.col("t_view")
+                       + F.expr("INTERVAL 7 DAY")))
+            .select("user_id").distinct())
+    return (v.agg(F.count("*").alias("n_view"))
+            .crossJoin(conv.agg(F.count("*").alias("n_converted_7d")))
+            .select("n_view", "n_converted_7d",
+                    F.round(F.col("n_converted_7d").cast("double")
+                            / F.col("n_view"), 6).alias("cvr_7d")))

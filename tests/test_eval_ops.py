@@ -291,3 +291,34 @@ def test_langid_slices_aggregate_to_confusion(spark):
     assert n_docs == g["tp"] + g["fp"] + g["fn"] + g["tn"]
     correct = round(sum(r["slice_accuracy"] * r["n_docs"] for r in slices))
     assert correct == g["tp"] + g["tn"]
+
+
+def test_audience_overlap_bounds(spark):
+    rows = QUERIES["q_audience_overlap"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["n_both"] <= min(r["n_a"], r["n_b"])
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["ta"] < r["tb"]
+
+
+def test_cluster_quality_counts_cover_corpus(spark):
+    rows = QUERIES["q_cluster_quality"](spark, SF_SMOKE).collect()
+    n_vecs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    assert sum(r["n"] for r in rows) == n_vecs
+    for r in rows:
+        assert r["max_dist"] >= 0
+        assert r["sum_dist"] >= r["max_dist"] - 1e-6  # n>=1 members
+
+
+def test_funnel_windowed_subset_of_unbounded(spark):
+    w = QUERIES["q_funnel_windowed"](spark, SF_SMOKE).collect()[0]
+    assert 0 <= w["n_converted_7d"] <= w["n_view"]
+    assert 0.0 <= w["cvr_7d"] <= 1.0
+
+
+def test_seasonal_anomaly_zscores_exceed_threshold(spark):
+    rows = QUERIES["q_anomaly_seasonal"](spark, SF_SMOKE).collect()
+    for r in rows:
+        assert abs(r["z"]) > 2
+        assert r["adjusted"] > 0
