@@ -1019,3 +1019,85 @@ def q_funnel_windowed(spark, sf_dir):
             .select("n_view", "n_converted_7d",
                     F.round(F.col("n_converted_7d").cast("double")
                             / F.col("n_view"), 6).alias("cvr_7d")))
+
+
+# ---------------------------------------------------------------------------
+# q_lagged_crosscorr — lead-lag cross-correlation between two series
+# ---------------------------------------------------------------------------
+
+_XCORR_ORACLE = """
+WITH daily AS (
+  SELECT cast(ts as date) AS d,
+         cast(count(CASE WHEN event_type = 'click' THEN 1 END)
+              as bigint) AS x,
+         cast(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+              as bigint) AS y
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT gs.l AS lag, a.x, b.y
+  FROM range(-3, 4) gs(l)
+  JOIN daily a ON true
+  JOIN daily b ON b.d = a.d + to_days(cast(gs.l as int))
+),
+s AS (
+  SELECT lag, count(*) AS n,
+         cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy,
+         cast(sum(x * x) as bigint) AS sxx,
+         cast(sum(y * y) as bigint) AS syy,
+         cast(sum(x * y) as bigint) AS sxy
+  FROM pairs GROUP BY 1
+)
+SELECT lag, n,
+       round(cast(n * sxy - sx * sy as double)
+             / sqrt(cast(n * sxx - sx * sx as double)
+                    * cast(n * syy - sy * sy as double)), 6) AS xcorr
+FROM s
+ORDER BY lag
+"""
+
+
+@query("q_lagged_crosscorr", oracle=_XCORR_ORACLE)
+def q_lagged_crosscorr(spark, sf_dir):
+    """Lead-lag cross-correlation between the click and purchase daily
+    series at lags -3..+3 (corr of x_t against y_{t+lag}): the
+    which-leads-which diagnostic behind campaign-to-conversion delay
+    estimation — the cross-series member of the family that q_acf
+    (self), q_rolling_corr (contemporaneous windowed), and
+    q_ols_regression (trend) already cover. Pearson per lag from
+    exact integer sums over the aligned overlap; alignment is a
+    date-shift equi-join (window offsets must be constants on both
+    engines; the join realizes the variable offset and calendar gaps
+    drop out naturally).
+
+    Scale: everything after the daily rollup is |lags| x |days| rows;
+    per-entity versions partition the same windows by the entity
+    key."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("ts").cast("date").alias("d"))
+             .agg(F.count(F.when(F.col("event_type") == "click", 1))
+                  .alias("x"),
+                  F.count(F.when(F.col("event_type") == "purchase", 1))
+                  .alias("y")))
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select("d", "x")
+    b = daily.select(F.col("d").alias("d2"), "y")
+    # alignment by DATE SHIFT join (lag/lead offsets must be foldable
+    # in both engines; a date-arithmetic equi-join realizes the
+    # variable offset instead, and calendar gaps drop out naturally)
+    pairs = (lags.crossJoin(a)
+             .join(b, F.col("d2") == F.expr("date_add(d, lag)")))
+    s = (pairs.groupBy("lag")
+         .agg(F.count("*").alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).alias("syy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy")))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (s.select("lag", "n",
+                     F.round(num.cast("double")
+                             / F.sqrt(dx.cast("double") * dy.cast("double")),
+                             6).alias("xcorr"))
+            .orderBy("lag"))

@@ -322,3 +322,30 @@ def test_seasonal_anomaly_zscores_exceed_threshold(spark):
     for r in rows:
         assert abs(r["z"]) > 2
         assert r["adjusted"] > 0
+
+
+def test_lagged_crosscorr_bounds_and_zero_lag(spark):
+    """Cross-correlations are in [-1, 1]; lag 0 equals the plain
+    Pearson correlation of the two full series."""
+    import numpy as np
+
+    rows = {r["lag"]: r for r in
+            QUERIES["q_lagged_crosscorr"](spark, SF_SMOKE).collect()}
+    assert set(rows) == set(range(-3, 4))
+    for r in rows.values():
+        assert -1.0 - 1e-9 <= r["xcorr"] <= 1.0 + 1e-9
+    e = (spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+         .selectExpr("cast(ts as date) AS d", "event_type").collect())
+    from collections import Counter
+    cx, cy, alldays = Counter(), Counter(), set()
+    for row in e:
+        alldays.add(row["d"])  # daily rollup has a row for ANY event
+        if row["event_type"] == "click":
+            cx[row["d"]] += 1
+        elif row["event_type"] == "purchase":
+            cy[row["d"]] += 1
+    days = sorted(alldays)
+    xs = np.array([cx.get(d, 0) for d in days], dtype=float)
+    ys = np.array([cy.get(d, 0) for d in days], dtype=float)
+    expect = float(np.corrcoef(xs, ys)[0, 1])
+    assert abs(rows[0]["xcorr"] - expect) < 1e-4
