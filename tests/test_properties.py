@@ -81,3 +81,152 @@ def test_grid_probe_is_lossless(raw):
     including points exactly on cell boundaries."""
     pts = [(x / 10, y / 10) for x, y in raw]  # 0.1 granularity, 0..40
     assert _grid_pairs(pts, cell=5.0, radius2=4.0) == _brute_pairs(pts, 4.0)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 algorithm cores: pure-Python twins of the SQL/window forms,
+# property-tested against brute force (same arithmetic as the queries;
+# engine equality is separately proven by the DuckDB oracles).
+# ---------------------------------------------------------------------------
+
+
+def _skyline_windows(points):
+    """Twin of q_skyline's sort-filter form: survive iff cents beats
+    every strictly-higher-freq row and ties the same-freq max."""
+    out = []
+    for f, c in points:
+        best_higher = max((c2 for f2, c2 in points if f2 > f), default=-1)
+        best_same = max(c2 for f2, c2 in points if f2 == f)
+        if c > best_higher and c == best_same:
+            out.append((f, c))
+    return sorted(set(out))
+
+
+def _skyline_brute(points):
+    def dominated(p):
+        return any(q[0] >= p[0] and q[1] >= p[1] and q != p for q in points)
+    return sorted({p for p in points if not dominated(p)})
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 8), st.integers(0, 8)),
+                min_size=1, max_size=30))
+def test_skyline_window_form_equals_dominance_bruteforce(points):
+    """The two-window-max formulation is exactly the Pareto frontier,
+    including duplicate points and per-dimension ties."""
+    assert _skyline_windows(points) == _skyline_brute(points)
+
+
+def _islands_rank_trick(ids):
+    """Twin of q_gaps_islands: group key = id - rank."""
+    from collections import Counter
+    runs = Counter()
+    for rank, i in enumerate(sorted(ids), start=1):
+        runs[i - rank] += 1
+    return sorted(runs.values(), reverse=True)
+
+
+def _islands_brute(ids):
+    s = sorted(ids)
+    runs, cur = [], 1
+    for a, b in zip(s, s[1:]):
+        if b == a + 1:
+            cur += 1
+        else:
+            runs.append(cur)
+            cur = 1
+    runs.append(cur)
+    return sorted(runs, reverse=True)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.sets(st.integers(0, 200), min_size=1, max_size=60))
+def test_islands_rank_trick_equals_run_scan(ids):
+    assert _islands_rank_trick(ids) == _islands_brute(ids)
+
+
+def _changepoint_nscaled(xs):
+    """Twin of q_changepoint: argmax of num^2/(t(n-t)),
+    num = s_t(n-t) - (S-s_t)t; ties -> earliest t."""
+    n, S = len(xs), sum(xs)
+    best, s = None, 0
+    for t in range(1, n):
+        s += xs[t - 1]
+        num = s * (n - t) - (S - s) * t
+        stat = num * num / (t * (n - t))
+        if best is None or stat > best[0] + 1e-12:
+            best = (stat, t)
+    return best[1]
+
+
+def _changepoint_brute(xs):
+    """Direct between-segment sum-of-squares maximization."""
+    n = len(xs)
+    best = None
+    mean = sum(xs) / n
+    for t in range(1, n):
+        left, right = xs[:t], xs[t:]
+        ml, mr = sum(left) / t, sum(right) / (n - t)
+        stat = t * (ml - mean) ** 2 + (n - t) * (mr - mean) ** 2
+        if best is None or stat > best[0] + 1e-9:
+            best = (stat, t)
+    return best[1]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(0, 50), min_size=3, max_size=40))
+def test_changepoint_nscaled_equals_anova_bruteforce(xs):
+    """The integer n-scaled statistic picks the same split as the
+    direct between-segment ANOVA decomposition (they are proportional:
+    num^2/(t(n-t)) = n * SS_between)."""
+    assert _changepoint_nscaled(xs) == _changepoint_brute(xs)
+
+
+def test_lsh_signature_invariances():
+    """Random-hyperplane signatures are scale-invariant (positive
+    scaling never flips a sign bit) and antipodal vectors flip every
+    decisively-signed bit — the geometric contract of cosine LSH."""
+    from challenge8_movies_etl_spark.queries_lsh import _SIGNS
+
+    import random
+    rng = random.Random(7)
+    for trial in range(50):
+        v = [rng.uniform(-1, 1) for _ in range(64)]
+        projs = [sum(s * x for s, x in zip(signs, v)) for signs in _SIGNS]
+        bits = [p >= 0 for p in projs]
+        scaled = [[p * 3.5 >= 0 for p in projs],
+                  [sum(s * (2.0 * x) for s, x in zip(signs, v)) >= 0
+                   for signs in _SIGNS]]
+        for sb in scaled:
+            assert sb == bits
+        neg_bits = [sum(s * (-x) for s, x in zip(signs, v)) >= 0
+                    for signs in _SIGNS]
+        for b, nb, p in zip(bits, neg_bits, projs):
+            if abs(p) > 1e-12:
+                assert b != nb
+
+
+def _weighted_median_lower(vals_weights):
+    """Twin of q_weighted_percentile: first value (sorted) whose
+    doubled cumulative weight reaches the total."""
+    total = sum(w for _, w in vals_weights)
+    cw = 0
+    for v, w in sorted(vals_weights):
+        cw += w
+        if 2 * cw >= total:
+            return v
+    raise AssertionError("unreachable")
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 100), st.integers(1, 20)),
+                min_size=1, max_size=40))
+def test_weighted_median_dominance(vals_weights):
+    """Lower-bound weighted median: >= half the weight at/below, and
+    strictly below it strictly less than half."""
+    m = _weighted_median_lower(vals_weights)
+    total = sum(w for _, w in vals_weights)
+    at_or_below = sum(w for v, w in vals_weights if v <= m)
+    below = sum(w for v, w in vals_weights if v < m)
+    assert 2 * at_or_below >= total
+    assert 2 * below < total
