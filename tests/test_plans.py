@@ -339,3 +339,43 @@ def test_wordpiece_udf_is_arrow_batched(spark):
     p = plan(spark, "q_wordpiece_encode")
     assert "ArrowEvalPython" in p, p
     assert "BatchEvalPython" not in p, p
+
+
+def test_embed_lsh_no_cartesian_and_bounded_joins(spark):
+    """LSH candidates come from band-bucket equi-joins — never a
+    cartesian pair product; verification joins are keyed."""
+    p = plan(spark, "q_embed_lsh")
+    assert "CartesianProduct" not in p, p
+
+
+def test_temporal_join_broadcasts_version_history(spark):
+    """The SCD2 version relation is dims x 3 and must broadcast; the
+    per-event argmax is a window, not a second join."""
+    p = plan(spark, "q_temporal_join")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_audience_overlap_partial_aggregates(spark):
+    """Distinct (user, type) projection and the intersection count
+    both partial-aggregate before their exchanges."""
+    p = plan(spark, "q_audience_overlap")
+    assert "partial_" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_similarity_batch_broadcasts_probes(spark):
+    """The probe matrix rides a broadcast; the corpus is scanned
+    exactly once for all probes."""
+    p = plan(spark, "q_similarity_batch")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    # one parquet scan of embeddings per side-role (corpus + probes
+    # derive from the same cached fixture scan)
+    assert "CartesianProduct" not in p, p
+
+
+def test_weighted_percentile_single_sort_exchange(spark):
+    """Both windows and the final agg share the per-flag partitioning:
+    at most one shuffle exchange in the whole plan."""
+    p = plan(spark, "q_weighted_percentile")
+    assert n_shuffles(p) <= 1, p
