@@ -1,0 +1,87 @@
+"""Read a BENCH_r{N}.json against BASELINE.md's gates, normalized for
+host drift via the calibration fields.
+
+Usage: python tools/gates.py BENCH_r04.json [--strict-best]
+
+For each benched query: find its baseline (own table row, like-for-like
+round-4 row, or closest-shape mapping), scale the baseline by
+k = calib_spark_sec / CALIB_REF (host slower than calibration ⇒ gates
+loosen proportionally; faster hosts do NOT tighten them, min k = 1),
+and report the median-vs-gate ratio (best shown as the noise floor).
+Exit 1 if any query breaches 2x its normalized gate.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+CALIB_REF = 0.252  # BASELINE.md Calibration: calib_spark_sec at baseline
+
+# BASELINE.md explicit rows (best-of-3 seconds at sf0.1, calibration
+# parity). Like-for-like round-4 rows included.
+BASELINES = {
+    "q_agg_hash": 1.04,
+    "q_join_multi_5way": 2.30,
+    "q_window_rank": 0.44,
+    "q_pivot": 0.22,
+    "q_text_sentiment": 0.26,
+    "q_similarity_topk": 0.53,
+    "q_session_window": 0.65,
+    "q_flagship_etl": 0.76,        # shipped-scope re-measure (round 2)
+    "q_dedup_containment": 4.49,   # like-for-like co-count row (round 4)
+    "q_graph_pagerank": 3.09,      # solo-at-parity row (round 4)
+    "q_multimodal_decode": 0.56,   # like-for-like Arrow-decode row (r4)
+}
+
+# closest-shape mapping for everything else (BASELINE.md gate text)
+SHAPE = {
+    "q_scan_project": "q_agg_hash",
+    "q_dedup_tokenset": "q_join_multi_5way",
+    "q_stream_tumbling": "q_agg_hash",
+    "q_join_asof": "q_join_multi_5way",
+    "q_tfidf": "q_join_multi_5way",
+    "q_gapfill_locf": "q_window_rank",
+    "q_quality_repetition": "q_text_sentiment",
+    "q_interval_overlap": "q_join_multi_5way",
+    "q_embed_covariance": "q_agg_hash",
+    "q_wordpiece_encode": "q_text_sentiment",
+    "q_bootstrap_ci": "q_agg_hash",
+    "q_zonemap_prune": "q_agg_hash",
+}
+
+
+def main() -> int:
+    path = Path(sys.argv[1] if len(sys.argv) > 1 else "BENCH_r04.json")
+    use_best = "--strict-best" in sys.argv
+    b = json.loads(path.read_text())
+    k = max(1.0, b.get("calib_spark_sec", CALIB_REF) / CALIB_REF)
+    stats = b.get("queries_best_median") or {
+        q: [v, v] for q, v in b["queries"].items()}
+    print(f"calibration k = {k:.2f} (calib_spark "
+          f"{b.get('calib_spark_sec')} vs {CALIB_REF} reference)")
+    print(f"{'query':28} {'best':>7} {'median':>7} {'gate':>7} "
+          f"{'ratio':>6}  verdict")
+    breaches = []
+    for q, (best, median) in sorted(stats.items()):
+        base = BASELINES.get(q) or BASELINES.get(SHAPE.get(q, ""), None)
+        if base is None:
+            print(f"{q:28} {best:7.3f} {median:7.3f} {'—':>7} {'—':>6}  "
+                  "no gate (add a row or shape mapping)")
+            continue
+        gate = 2.0 * base * k
+        val = best if use_best else median
+        ratio = val / gate
+        verdict = "OK" if ratio <= 1.0 else "BREACH"
+        if ratio > 1.0:
+            breaches.append(q)
+        print(f"{q:28} {best:7.3f} {median:7.3f} {gate:7.2f} "
+              f"{ratio:6.2f}  {verdict}")
+    if breaches:
+        print(f"\nBREACHES: {breaches}")
+    return 1 if breaches else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
