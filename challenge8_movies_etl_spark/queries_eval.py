@@ -1101,3 +1101,121 @@ def q_lagged_crosscorr(spark, sf_dir):
                              / F.sqrt(dx.cast("double") * dy.cast("double")),
                              6).alias("xcorr"))
             .orderBy("lag"))
+
+
+# ---------------------------------------------------------------------------
+# q_slo_burn_rate — error-budget burn-rate monitor
+# ---------------------------------------------------------------------------
+
+_SLO_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         cast(count(*) as bigint) AS n,
+         cast(count(CASE WHEN event_type = 'error' THEN 1 END)
+              as bigint) AS n_err
+  FROM events GROUP BY 1
+),
+rolled AS (
+  SELECT h, n, n_err,
+         cast(sum(n) OVER w6 as bigint) AS n6,
+         cast(sum(n_err) OVER w6 as bigint) AS e6
+  FROM hourly
+  WINDOW w6 AS (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT cast(h as varchar) AS hour, n, n_err,
+       round(cast(n_err as double) / n, 6) AS rate,
+       round(cast(e6 as double) / n6, 6) AS rate_6h,
+       round(cast(e6 as double) / n6 / 0.25, 4) AS burn_6h,
+       cast(e6 as double) / n6 > 0.25 AS breach
+FROM rolled
+ORDER BY hour
+"""
+
+
+@query("q_slo_burn_rate", oracle=_SLO_ORACLE)
+def q_slo_burn_rate(spark, sf_dir):
+    """SLO error-budget burn-rate monitoring (the SRE multiwindow
+    alert shape): hourly error rate plus the 6-hour rolling rate,
+    expressed as a burn multiple of a 25% error budget, with the
+    breach flag — the ops-analytics readout an ingest pipeline runs
+    over its own event stream (the multiwindow form suppresses
+    single-hour blips while catching sustained burns). All rates are
+    exact-integer ratios behind declared rounds; the breach compare
+    uses the unrounded double identically on both engines.
+
+    Scale: one map-side-combined hourly rollup; the rolling window
+    runs over the |hours| relation. Per-service SLOs partition the
+    same windows by the service key."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (e.groupBy(F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.count("*").alias("n"),
+                   F.count(F.when(F.col("event_type") == "error", 1))
+                   .alias("n_err")))
+    w6 = W.orderBy("h").rowsBetween(-5, 0)
+    rolled = hourly.select(
+        "h", "n", "n_err",
+        F.sum("n").over(w6).alias("n6"),
+        F.sum("n_err").over(w6).alias("e6"))
+    r6 = F.col("e6").cast("double") / F.col("n6")
+    return (rolled.select(
+        F.col("h").cast("string").alias("hour"), "n", "n_err",
+        F.round(F.col("n_err").cast("double") / F.col("n"), 6)
+        .alias("rate"),
+        F.round(r6, 6).alias("rate_6h"),
+        F.round(r6 / 0.25, 4).alias("burn_6h"),
+        (r6 > 0.25).alias("breach"))
+        .orderBy("hour"))
+
+
+# ---------------------------------------------------------------------------
+# q_dp_histogram — seeded-DP histogram release with clamping
+# ---------------------------------------------------------------------------
+
+_DPH_ORACLE = """
+WITH bucketed AS (
+  SELECT least(greatest(cast(floor(value / 50) as bigint), 0), 10)
+           AS bucket
+  FROM events
+),
+c AS (SELECT bucket, cast(count(*) as bigint) AS n
+      FROM bucketed GROUP BY 1),
+noised AS (
+  SELECT bucket, n,
+         (cast(('0x' || substr(md5('dph:' || cast(bucket as varchar)
+                                    || ':s7'), 1, 12)) as bigint)
+          % 999999 + 0.5) / 1000000.0 - 0.5 AS u
+  FROM c
+)
+SELECT bucket,
+       round(cast(n as double)
+             - 1.0 * sign(u) * ln(1 - 2 * abs(u)), 4) AS noisy_count
+FROM noised
+ORDER BY bucket
+"""
+
+
+@query("q_dp_histogram", oracle=_DPH_ORACLE)
+def q_dp_histogram(spark, sf_dir):
+    """Differentially-private histogram release: values bucket at
+    width 50 with CLAMPING to [0, 10] (clamping bounds the sensitivity
+    — without it one outlier value creates an unbounded-domain bucket
+    that leaks its presence), then per-bucket Laplace(1/eps) noise by
+    the seeded inverse-CDF construction of q_dp_noisy_counts. A
+    histogram is the canonical DP release (each row affects exactly
+    one bucket, so buckets compose in parallel under one epsilon).
+
+    Scale: one map-side-combined groupBy on an 11-value domain; noise
+    is per-group codegen."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.greatest(F.floor(F.col("value") / 50)
+                                .cast("bigint"), F.lit(0)), F.lit(10))
+    c = (e.select(bucket.alias("bucket"))
+         .groupBy("bucket").agg(F.count("*").alias("n")))
+    u = ((F.conv(F.substring(F.md5(F.concat(
+        F.lit("dph:"), F.col("bucket").cast("string"), F.lit(":s7"))),
+        1, 12), 16, 10).cast("bigint") % 999999 + 0.5)
+        / 1000000.0 - 0.5)
+    noisy = F.round(F.col("n").cast("double")
+                    - 1.0 * F.signum(u) * F.log(1 - 2 * F.abs(u)), 4)
+    return (c.select("bucket", noisy.alias("noisy_count"))
+            .orderBy("bucket"))

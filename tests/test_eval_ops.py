@@ -349,3 +349,41 @@ def test_lagged_crosscorr_bounds_and_zero_lag(spark):
     ys = np.array([cy.get(d, 0) for d in days], dtype=float)
     expect = float(np.corrcoef(xs, ys)[0, 1])
     assert abs(rows[0]["xcorr"] - expect) < 1e-4
+
+
+def test_slo_burn_consistency(spark):
+    """burn = rate_6h / budget; breach iff the unrounded rolling rate
+    exceeds 0.25; rolling rate is always within [0, 1]."""
+    rows = QUERIES["q_slo_burn_rate"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["rate"] <= 1.0
+        assert 0.0 <= r["rate_6h"] <= 1.0
+        assert abs(r["burn_6h"] - round(r["rate_6h"] / 0.25, 2)) < 0.01
+        if r["rate_6h"] > 0.2501:
+            assert r["breach"]
+        if r["rate_6h"] < 0.2499:
+            assert not r["breach"]
+
+
+def test_dp_histogram_seeded_and_bounded(spark):
+    """Noise is seeded (two runs identical) and bounded by the Laplace
+    inverse-CDF ceiling; clamped buckets stay in [0, 10]."""
+    import math
+
+    a = {r["bucket"]: r["noisy_count"] for r in
+         QUERIES["q_dp_histogram"](spark, SF_SMOKE).collect()}
+    b = {r["bucket"]: r["noisy_count"] for r in
+         QUERIES["q_dp_histogram"](spark, SF_SMOKE).collect()}
+    assert a == b
+    from pyspark.sql import functions as F
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    truth = {r["bucket"]: r["n"] for r in
+             (e.select(F.least(F.greatest(F.floor(F.col("value") / 50)
+                                          .cast("bigint"), F.lit(0)),
+                               F.lit(10)).alias("bucket"))
+              .groupBy("bucket").agg(F.count("*").alias("n")).collect())}
+    assert set(a) == set(truth)
+    for k, noisy in a.items():
+        assert 0 <= k <= 10
+        assert abs(noisy - truth[k]) <= math.log(1e6) + 1e-6
