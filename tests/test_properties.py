@@ -230,3 +230,51 @@ def test_weighted_median_dominance(vals_weights):
     below = sum(w for v, w in vals_weights if v < m)
     assert 2 * at_or_below >= total
     assert 2 * below < total
+
+
+def _morton_interleave(x, y, bits=12):
+    """Twin of queries_ml._interleave_sql's unrolled arithmetic."""
+    z = 0
+    for b in range(bits):
+        z += ((x >> b) & 1) << (2 * b)
+        z += ((y >> b) & 1) << (2 * b + 1)
+    return z
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(0, 4095), st.integers(0, 4095))
+def test_morton_interleave_is_invertible(x, y):
+    """The unrolled integer Morton code is a bijection on the grid —
+    de-interleaving recovers (x, y) exactly."""
+    z = _morton_interleave(x, y)
+    rx = sum(((z >> (2 * b)) & 1) << b for b in range(12))
+    ry = sum(((z >> (2 * b + 1)) & 1) << b for b in range(12))
+    assert (rx, ry) == (x, y)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 40), st.booleans()),
+                min_size=1, max_size=60))
+def test_km_log_sum_matches_direct_product(events):
+    """Kaplan-Meier via 8dp-rounded log terms (the q_survival_km
+    construction) stays within 1e-5 of the direct product."""
+    import math
+    from collections import Counter
+
+    d = Counter()
+    c = Counter()
+    for t, ev in events:
+        c[t] += 1
+        if ev:
+            d[t] += 1
+    ts = sorted(c)
+    total = sum(c.values())
+    # risk set at t: everyone with duration >= t
+    direct, logsum, n_at_risk = 1.0, 0.0, total
+    for t in ts:
+        if d[t] < n_at_risk and d[t] > 0:
+            frac = (n_at_risk - d[t]) / n_at_risk
+            direct *= frac
+            logsum += round(math.log(frac), 8)
+        n_at_risk -= c[t]
+    assert abs(direct - math.exp(logsum)) < 1e-5
