@@ -50,8 +50,11 @@ def covariance_exact(embs: DataFrame, id_col: str = "vec_id",
     """Upper-triangle population covariance (i <= j) with decimal-exact
     reductions: cov = (Σ v_i·v_j − Σv_i·Σv_j/n)/n, every Σ an
     order-independent decimal sum, the final arithmetic scalar double
-    ops on exact inputs, rounded 6dp. Returns (i, j, cov).
-    """
+    ops on exact inputs, rounded 6dp. The trailing `+ 0.0` normalizes
+    IEEE -0.0 to +0.0 (a covariance cell that rounds to zero carries
+    an engine-dependent sign bit; DuckDB emitted -0.0 where Spark
+    emitted 0.0 at sf0.01 cell (6,10) — driver r4 hash-fail).
+    Returns (i, j, cov)."""
     x = coordinates(embs, id_col, vec_col).persist()
     n_rel = embs.select(F.count("*").alias("_n"))
     s = (x.groupBy("i")
@@ -69,10 +72,11 @@ def covariance_exact(embs: DataFrame, id_col: str = "vec_id",
             .crossJoin(F.broadcast(n_rel))
             .select(
                 "i", "j",
-                F.round((F.col("sij").cast("double")
-                         - F.col("_sa").cast("double")
-                         * F.col("_sb").cast("double") / F.col("_n"))
-                        / F.col("_n"), 6).alias("cov")))
+                (F.round((F.col("sij").cast("double")
+                          - F.col("_sa").cast("double")
+                          * F.col("_sb").cast("double") / F.col("_n"))
+                         / F.col("_n"), 6)
+                 + F.lit(0.0)).alias("cov")))
 
 
 def covariance_partials(embs: DataFrame, vec_col: str = "embedding",

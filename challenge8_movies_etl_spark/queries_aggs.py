@@ -97,7 +97,7 @@ def q_agg_distinct(spark, sf_dir):
     "q_agg_stats",
     oracle=f"""
     SELECT c_mktsegment,
-           round(min(c_acctbal), 4) AS min_bal,
+           round(min(c_acctbal), 4) + 0.0 AS min_bal,
            round(max(c_acctbal), 4) AS max_bal,
            {sql_davg('c_acctbal', 'avg_bal')},
            round(sqrt(greatest(
@@ -414,10 +414,10 @@ def q_agg_argmax(spark, sf_dir):
       FROM lineitem GROUP BY 1
     )
     SELECT l_returnflag, n,
-           round((sxy - sx * sy / n) / (n - 1), 4) AS covar,
+           round((sxy - sx * sy / n) / (n - 1), 4) + 0.0 AS covar,
            round(((sxy - sx * sy / n) / (n - 1))
                  / (sqrt((sxx - sx * sx / n) / (n - 1))
-                    * sqrt((syy - sy * sy / n) / (n - 1))), 6) AS corr
+                    * sqrt((syy - sy * sy / n) / (n - 1))), 6) + 0.0 AS corr
     FROM sums
     """,
 )

@@ -307,7 +307,7 @@ s AS (
 )
 SELECT event_type, n,
        round(cast(n * sxy - sx * sy as double)
-             / (n * sxx - sx * sx), 6) AS slope,
+             / (n * sxx - sx * sx), 6) + 0.0 AS slope,
        round((sy - (cast(n * sxy - sx * sy as double)
                     / (n * sxx - sx * sx)) * sx)
              / cast(n as double), 4) AS intercept,

@@ -229,12 +229,17 @@ holt AS (
                + 0.9 * h.trd, 6) AS trd
   FROM holt h JOIN idx s ON s.t = h.t + 1
 )
-SELECT t, day, x, lvl, trd,
-       round(lvl + trd, 6) AS forecast_next
+SELECT t, day, x, lvl,
+       trd + 0.0 AS trd,
+       round(lvl + trd, 6) + 0.0 AS forecast_next
 FROM holt
 ORDER BY t DESC
 LIMIT 10
 """
+# `+ 0.0` on trd/forecast_next normalizes IEEE sign-of-zero: even with
+# IDENTICAL SQL text on both engines, DuckDB's round() preserves -0.0
+# while Spark's (BigDecimal) emits +0.0 — the q_embed_covariance r4
+# hazard class applies to same-text queries too.
 
 
 @query("q_holt_smoothing", oracle=_HOLT_SQL)
@@ -335,7 +340,7 @@ rolled AS (
 SELECT cast(d as varchar) AS day, x, y,
        round(cast(n * sxy - sx * sy as double)
              / sqrt(cast(n * sxx - sx * sx as double)
-                    * cast(n * syy - sy * sy as double)), 6) AS corr7
+                    * cast(n * syy - sy * sy as double)), 6) + 0.0 AS corr7
 FROM rolled
 WHERE n = 7 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
 ORDER BY day
@@ -644,7 +649,12 @@ def q_incremental_agg_merge(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     val3 = F.round(F.col("value").cast("decimal(20,10)"), 3)
     milli = (val3 * 1000).cast("bigint")
-    cutoff = F.lit("2024-02-15").cast("date")
+    # Cutoff sits INSIDE the fixture's event range (2024-01-01..
+    # 2024-01-30 at every SF), so base AND delta are non-empty and
+    # the count/sum addition + greatest(max) merge paths are
+    # genuinely exercised (round-5 advice: the old 2024-02-15
+    # cutoff made the delta side vacuously empty).
+    cutoff = F.lit("2024-01-15").cast("date")
 
     def agg(df, suffix):
         return df.groupBy("event_type").agg(
@@ -1051,8 +1061,9 @@ s AS (
 SELECT lag, n,
        round(cast(n * sxy - sx * sy as double)
              / sqrt(cast(n * sxx - sx * sx as double)
-                    * cast(n * syy - sy * sy as double)), 6) AS xcorr
+                    * cast(n * syy - sy * sy as double)), 6) + 0.0 AS xcorr
 FROM s
+WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
 ORDER BY lag
 """
 
@@ -1096,10 +1107,15 @@ def q_lagged_crosscorr(spark, sf_dir):
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    return (s.select("lag", "n",
-                     F.round(num.cast("double")
+    # zero-variance guard (round-5 advice): a constant series over a
+    # lag's overlap makes dx or dy exactly 0 -> NaN / engine-divergent
+    # division; filter like q_rolling_corr does.  `+ 0.0` normalizes a
+    # possible -0.0 after round() (sign-of-zero hash hazard).
+    return (s.filter((dx > 0) & (dy > 0))
+            .select("lag", "n",
+                    (F.round(num.cast("double")
                              / F.sqrt(dx.cast("double") * dy.cast("double")),
-                             6).alias("xcorr"))
+                             6) + F.lit(0.0)).alias("xcorr"))
             .orderBy("lag"))
 
 
@@ -1188,7 +1204,7 @@ noised AS (
 )
 SELECT bucket,
        round(cast(n as double)
-             - 1.0 * sign(u) * ln(1 - 2 * abs(u)), 4) AS noisy_count
+             - 1.0 * sign(u) * ln(1 - 2 * abs(u)), 4) + 0.0 AS noisy_count
 FROM noised
 ORDER BY bucket
 """

@@ -594,7 +594,7 @@ def q_text_sentiment(spark, sf_dir):
            cast(sum({weighted_sentiment_sql('text')}) as bigint)
              AS valence,
            round(cast(sum({weighted_sentiment_sql('text')}) as double)
-                 / count(*), 4) AS avg_valence
+                 / count(*), 4) + 0.0 AS avg_valence
     FROM documents GROUP BY lang
     """,
 )
@@ -996,8 +996,8 @@ def q_text_redact(spark, sf_dir):
     WITH {_NORMS_CTE}
     SELECT vec_id,
            round(sqrt(nrm), 4) AS l2_norm,
-           round(cast(embedding[1] as double) / sqrt(nrm), 4) AS unit_e0,
-           round(cast(embedding[64] as double) / sqrt(nrm), 4) AS unit_e63
+           round(cast(embedding[1] as double) / sqrt(nrm), 4) + 0.0 AS unit_e0,
+           round(cast(embedding[64] as double) / sqrt(nrm), 4) + 0.0 AS unit_e63
     FROM norms
     """,
 )

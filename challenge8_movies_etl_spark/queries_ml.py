@@ -64,7 +64,7 @@ agg AS (
 SELECT event_type, gs.lag AS lag,
        round(cast(CASE gs.lag WHEN 1 THEN num1 WHEN 2 THEN num2
                   ELSE num3 END as double)
-             / cast(den as double), 6) AS acf
+             / cast(den as double), 6) + 0.0 AS acf
 FROM agg JOIN (SELECT unnest([1, 2, 3]) AS lag) gs ON true
 """
 

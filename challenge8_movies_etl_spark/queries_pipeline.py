@@ -876,7 +876,7 @@ def q_winsorize(spark, sf_dir):
     SELECT p.i, p.j,
            round((cast(sij as double)
                   - cast(sa.si as double) * cast(sb.si as double) / nn.n)
-                 / nn.n, 6) AS cov
+                 / nn.n, 6) + 0.0 AS cov
     FROM p
     JOIN s sa ON sa.i = p.i
     JOIN s sb ON sb.i = p.j

@@ -142,7 +142,8 @@ def q_agg_moments(spark, sf_dir):
     """Population skewness and excess kurtosis per event type from raw
     power sums — distribution-shape drift signals one moment beyond
     q_agg_stats. Values are pinned to exact integer thousandths
-    (decimal(7,0), max |value| < 10^4 checked by the cast), so
+    (decimal(7,0); the |value| < 10^4 range contract is enforced by an
+    explicit raise_error branch, matching the oracle cast's throw), so
     S1..S4 are exact decimal reductions in ANY order; the closed-form
     central-moment conversion happens once in doubles behind 4dp
     rounds. Built-in skewness()/kurtosis() are avoided deliberately:
@@ -153,9 +154,19 @@ def q_agg_moments(spark, sf_dir):
     Scale: one map-side-combined groupBy; four extra decimal
     accumulators per group."""
     e = load_table(spark, sf_dir, "events")
-    x = e.select(
-        "event_type",
-        (F.round("value", 3) * 1000).cast("decimal(7,0)").alias("xi"))
+    # Enforce the |value| < 10^4 range contract EXPLICITLY: Spark's
+    # non-ANSI decimal(7,0) cast silently NULLs on overflow while the
+    # DuckDB oracle's cast raises — a regenerated out-of-range fixture
+    # would otherwise produce a confusing divergence instead of a
+    # clear failure (round-5 advice).  raise_error fails the job fast
+    # on either engine-side breach.
+    v3 = F.round("value", 3)
+    xi_checked = F.when(F.abs(v3) < 10000,
+                        (v3 * 1000).cast("decimal(7,0)")).otherwise(
+        F.raise_error(F.concat(
+            F.lit("q_agg_moments data-contract breach: |value| >= 1e4: "),
+            v3.cast("string"))))
+    x = e.select("event_type", xi_checked.alias("xi"))
     p = x.withColumn("xi2", (F.col("xi") * F.col("xi")).cast("decimal(15,0)"))
     s = (p.groupBy("event_type")
          .agg(F.count("*").alias("n"),
@@ -343,8 +354,9 @@ enc AS (
   SELECT doc_id, pos, w AS rest, 0 AS n FROM tok
   UNION ALL
   SELECT doc_id, pos,
-         substr(rest, cast((SELECT max(len(p)) FROM vocab
-                            WHERE starts_with(rest, p)) as int) + 1),
+         substr(rest, cast(coalesce((SELECT max(len(p)) FROM vocab
+                                     WHERE starts_with(rest, p)), 1)
+                           as int) + 1),
          n + 1
   FROM enc WHERE rest != ''
 ),
@@ -367,8 +379,10 @@ def q_wordpiece_encode(spark, sf_dir):
     the greedy fold per word (the declared python surface — per-char
     loops are not expressible as codegen); oracle side: a recursive
     CTE computing the IDENTICAL greedy fold, so the cross-paradigm
-    agreement is value-hash-checked per document. Single letters are
-    all in-vocab, making the fold total (no OOV branch to diverge on).
+    agreement is value-hash-checked per document. A character outside
+    the vocab alphabet falls to an OOV branch that consumes exactly one
+    character and counts one piece (both engines), so the fold is total
+    on ANY input — not just the current [a-z ]-only fixtures.
 
     Scale: the UDF is stateless per row — zero shuffle before the
     per-doc counts; vocabulary broadcasts by closure (KBs). Real BPE
@@ -386,6 +400,12 @@ def q_wordpiece_encode(spark, sf_dir):
                         if w.startswith(p):
                             w = w[len(p):]
                             break
+                    else:
+                        # OOV char (outside the vocab alphabet): always
+                        # consume one character so the loop terminates,
+                        # counting one piece — mirrored by the oracle's
+                        # coalesce(max(len(p)), 1).
+                        w = w[1:]
                     total += 1
             return total
         return texts.map(encode)

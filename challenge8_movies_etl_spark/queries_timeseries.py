@@ -548,7 +548,7 @@ def q_ewma_smooth(spark, sf_dir):
       FROM events GROUP BY 1
     )
     SELECT e.event_id, e.event_type, e.value,
-           round(q.q1 - 1.5 * (q.q3 - q.q1), 4) AS lo_fence,
+           round(q.q1 - 1.5 * (q.q3 - q.q1), 4) + 0.0 AS lo_fence,
            round(q.q3 + 1.5 * (q.q3 - q.q1), 4) AS hi_fence
     FROM events e JOIN q ON e.event_type = q.event_type
     WHERE e.value < round(q.q1 - 1.5 * (q.q3 - q.q1), 6)

@@ -111,6 +111,12 @@ def test_ivm_merge_equals_recompute(spark):
     got = {r["event_type"]: r for r in
            QUERIES["q_incremental_agg_merge"](spark, SF_SMOKE).collect()}
     e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    # The cutoff must split the fixture non-trivially, else the merge
+    # path is vacuous (round-5 advice: a merge that ignored delta
+    # passed when the cutoff sat past the data's max date).
+    n_base = e.filter(F.col("ts").cast("date") < "2024-01-15").count()
+    n_delta = e.filter(F.col("ts").cast("date") >= "2024-01-15").count()
+    assert n_base > 0 and n_delta > 0, (n_base, n_delta)
     val3 = F.round(F.col("value").cast("decimal(20,10)"), 3)
     full = {r["event_type"]: r for r in
             (e.groupBy("event_type")

@@ -105,6 +105,8 @@ def test_wordpiece_matches_pure_python(spark):
                     if w.startswith(p):
                         w = w[len(p):]
                         break
+                else:
+                    w = w[1:]  # OOV: consume one char, one piece
                 total += 1
         return total
 
@@ -119,6 +121,37 @@ def test_wordpiece_matches_pure_python(spark):
         assert got[r["doc_id"]] == (len(words), encode(r["text"]))
         # pieces never fewer than words (every word >= 1 piece)
         assert got[r["doc_id"]][1] >= got[r["doc_id"]][0]
+
+
+def test_wordpiece_oov_terminates_and_matches_oracle(spark, tmp_path):
+    """Regression (round-5 advice): a word containing characters outside
+    the vocab alphabet (digits, uppercase, punctuation) must terminate —
+    the OOV branch consumes one char per piece — and the recursive-CTE
+    oracle must agree on the same input."""
+    import duckdb
+
+    from challenge8_movies_etl_spark.registry import ORACLE
+
+    texts = ["abc x9z HELLO a1b2c3", "only lower words here",
+             "punct!?; mid-word d@sh", "42", "mix3d CASE and plain"]
+    pdf = __import__("pandas").DataFrame(
+        {"doc_id": [f"oov{i}" for i in range(len(texts))], "text": texts,
+         "lang": ["en"] * len(texts), "url": [""] * len(texts)})
+    path = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(path)
+
+    got = {r["doc_id"]: (r["n_words"], r["n_pieces"])
+           for r in QUERIES["q_wordpiece_encode"](spark, str(tmp_path))
+           .collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    want = {r[0]: (r[1], r[2])
+            for r in con.execute(ORACLE["q_wordpiece_encode"]).fetchall()}
+    assert got == want
+    # every OOV char in "abc x9z ..." costs exactly one piece: "x9z" =
+    # greedy("x") + oov("9") + greedy("z") = 3 pieces minimum
+    assert got["oov3"] == (1, 2)  # "42" -> two OOV pieces, one word
 
 
 def test_bpe_census_consistency(spark):

@@ -36,8 +36,10 @@ def canon_cell(v) -> str:
         f = float(v)
         if math.isnan(f):
             return "NULL"
-        if f == 0.0:
-            f = 0.0  # normalize -0.0
+        # NOTE: -0.0 is NOT normalized here. The driver's value-hash
+        # distinguishes -0.0 from 0.0 (q_embed_covariance r4: local
+        # pass / driver fail); queries must normalize sign-of-zero
+        # themselves (`+ 0.0` after any round() that can yield -0.0).
         return repr(f)
     if isinstance(v, (bool, np.bool_)):
         return str(bool(v))

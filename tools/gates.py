@@ -56,6 +56,8 @@ def main() -> int:
     path = Path(sys.argv[1] if len(sys.argv) > 1 else "BENCH_r04.json")
     use_best = "--strict-best" in sys.argv
     b = json.loads(path.read_text())
+    # Driver BENCH_r{N}.json wraps the bench stdout under "parsed".
+    b = b.get("parsed", b)
     k = max(1.0, b.get("calib_spark_sec", CALIB_REF) / CALIB_REF)
     stats = b.get("queries_best_median") or {
         q: [v, v] for q, v in b["queries"].items()}
