@@ -134,3 +134,58 @@ def parse_runtime_sql(expr: str) -> str:
         + CASE WHEN {m} <> '' THEN cast({m} as bigint) ELSE 0 END
       WHEN {m} <> '' THEN cast({m} as bigint)
       ELSE 0 END"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-dialect SQL twins (round 5)
+#
+# The flagship pipeline is executed as ONE spark.sql() text: building
+# the same expressions through the Column API costs ~0.34 s of py4j
+# round-trips per fresh build at sf0.1 (profiled round 5) — pure
+# driver-side constant, the single biggest term in the flagship's
+# bench median. A single SQL string is one py4j call; the JVM parser
+# handles the whole tree in ~10 ms. Spark's default (non-ANSI) string
+# literals treat backslash as an escape, so regex backslashes are
+# doubled relative to the DuckDB twins.
+# ---------------------------------------------------------------------------
+
+def _spark_regex_literal(pat: str) -> str:
+    """Double backslashes for a Spark SQL single-quoted literal."""
+    return pat.replace("\\", "\\\\")
+
+
+def parse_dollars_spark_sql(expr: str) -> str:
+    """Spark SQL twin of :func:`parse_dollars_col` (same single regex
+    pass; Catalyst CSE dedups the repeated extract in codegen)."""
+    tok = f"regexp_extract({expr}, '{_spark_regex_literal(_MONEY_ONE)}', 1)"
+    num = f"trim(replace(replace({tok}, 'million', ''), 'billion', ''))"
+    return f"""CASE
+      WHEN contains({tok}, 'million') THEN cast({num} as double) * 1e6
+      WHEN contains({tok}, 'billion') THEN cast({num} as double) * 1e9
+      WHEN {tok} <> '' THEN cast(replace({tok}, ',', '') as double)
+      ELSE NULL END"""
+
+
+def parse_date_multiformat_spark_sql(expr: str) -> str:
+    """Spark SQL twin of :func:`parse_date_multiformat_col` — the same
+    structural-probe dispatch onto try_to_timestamp."""
+    return f"""CASE
+      WHEN length({expr}) = 4 THEN try_to_timestamp({expr}, 'yyyy')
+      WHEN length({expr}) = 10 AND substring({expr}, 5, 1) = '-'
+        THEN try_to_timestamp({expr}, 'yyyy-MM-dd')
+      WHEN contains({expr}, ',')
+        THEN try_to_timestamp({expr}, 'MMMM d, yyyy')
+      WHEN {expr} IS NOT NULL AND {expr} <> ''
+        THEN try_to_timestamp({expr}, 'MMMM yyyy')
+      ELSE NULL END"""
+
+
+def parse_runtime_spark_sql(expr: str) -> str:
+    """Spark SQL twin of :func:`parse_runtime_col`."""
+    h = f"regexp_extract({expr}, '(\\\\d+)\\\\s*h', 1)"
+    m = f"regexp_extract({expr}, '(\\\\d+)\\\\s*m$', 1)"
+    return f"""CASE
+      WHEN {h} <> '' THEN cast({h} as bigint) * 60
+        + CASE WHEN {m} <> '' THEN cast({m} as bigint) ELSE 0 END
+      WHEN {m} <> '' THEN cast({m} as bigint)
+      ELSE 0 END"""

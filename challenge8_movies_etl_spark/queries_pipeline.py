@@ -900,7 +900,67 @@ def q_embed_covariance(spark, sf_dir):
     return covariance_exact(e)
 
 
-@query("q_embed_pca")  # rows-only: eigendecomposition has no SQL oracle
+@query(
+    "q_embed_pca_check",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, gs.i AS i, cast(embedding[gs.i] as double) AS v
+      FROM embeddings e JOIN range(1, 100000) gs(i)
+        ON gs.i <= len(embedding)
+    ),
+    nn AS (SELECT count(*) AS n FROM embeddings),
+    s AS (SELECT i, sum(cast(v as decimal(30,12))) AS si FROM x GROUP BY 1),
+    p AS (
+      SELECT a.i AS i, b.i AS j,
+             sum(cast(a.v * b.v as decimal(30,12))) AS sij
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT p.i, p.j,
+             (cast(sij as double)
+              - cast(sa.si as double) * cast(sb.si as double) / nn.n)
+             / nn.n AS cov
+      FROM p
+      JOIN s sa ON sa.i = p.i
+      JOIN s sb ON sb.i = p.j
+      CROSS JOIN nn
+    )
+    SELECT round(sum(CASE WHEN i = j THEN cov END), 4) + 0.0 AS trace,
+           round(sum(CASE WHEN i = j THEN cov * cov
+                          ELSE 2 * cov * cov END), 4) + 0.0 AS frob_sq
+    FROM cells
+    """,
+)
+def q_embed_pca_check(spark, sf_dir):
+    """Hash-checked spectral-moment verification of the PCA eigensolver
+    (round-5 verdict item 6): the Spark side diagonalizes the
+    distributed covariance (operators/linalg.covariance_partials →
+    numpy eigh, ALL 64 eigenvalues) and emits Σλ and Σλ² — which must
+    equal trace(cov) and ‖cov‖²_F, two identities the DuckDB oracle
+    computes INDEPENDENTLY from the decimal-exact covariance cells
+    with no eigensolver at all. Upgrades q_embed_pca's evidence from
+    rows-only to a driver value-hash on the SQL-expressible part of
+    the spectrum; the top-8 list itself stays rows-only (an
+    eigendecomposition has no SQL form).
+
+    Scale: identical to q_embed_pca — N-sized work is the O(part·d²)
+    partial-covariance pass; eigh is d×d driver-side."""
+    import numpy as np
+
+    from .operators.linalg import covariance_partials
+    e = load_table(spark, sf_dir, "embeddings")
+    cov = covariance_partials(e)
+    w = np.linalg.eigh(cov)[0]
+    trace = round(float(w.sum()), 4) + 0.0
+    frob_sq = round(float((w * w).sum()), 4) + 0.0
+    return spark.createDataFrame([(trace, frob_sq)],
+                                 "trace double, frob_sq double")
+
+
+@query("q_embed_pca")  # rows-only: the top-8 eigenvalue LIST has no SQL
+# oracle; its spectral moments are driver-hash-checked by
+# q_embed_pca_check (trace + Frobenius identities).
 def q_embed_pca(spark, sf_dir):
     """Top-8 PCA eigenvalues + explained-variance ratios of the
     embedding corpus. The N-sized work (covariance) runs distributed

@@ -56,24 +56,34 @@ def query(name: str, oracle: str | None = None):
 # a driver row, then the remaining never-driver-sampled queries in registry
 # order.  DRIVER_COVERAGE.md tracks the sampled/never-sampled ledger.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    "q_math_funcs",
-    # §2 I (UDF) / J (streaming) / K (flagship) — never driver-sampled
-    "q_flagship_etl", "q_udf_scalar", "q_udaf_grouped", "q_udtf",
-    "q_stream_tumbling", "q_stream_sliding", "q_session_window",
-    # never-driver-sampled (r1∪r2∪r3), registry order
-    "q_dedup_containment", "q_winsorize", "q_embed_covariance",
-    "q_embed_pca", "q_split_group_aware", "q_quantile_bucket",
-    "q_sample_bottomk", "q_upsert", "q_scd2", "q_agg_salted",
-    "q_sample_stratified", "q_vocab_topk", "q_stream_dedup",
-    "q_zorder_layout", "q_funnel", "q_retention_cohort", "q_sessionize",
-    "q_rollup_time", "q_running_distinct", "q_ab_test", "q_gapfill_locf",
-    "q_window_time_range", "q_histogram", "q_anomaly_zscore",
-    "q_snapshot_diff", "q_drift_psi", "q_minmax_scale", "q_entropy",
-    "q_spatial_join", "q_ewma_smooth", "q_outlier_iqr",
-    "q_time_weighted_avg", "q_rolling_median", "q_outlier_mad",
-    "q_ks_drift", "q_graph_pagerank", "q_graph_triangles",
-    "q_stream_replay_tumbling", "q_stream_join_static",
-    "q_stream_stream_join", "q_stream_stateful_counter", "q_agg_argmax",
+    # round-5 rotation (DRIVER_COVERAGE.md): the r4 red first, then the
+    # r4 no_oracle row (upgraded to a partial hash oracle this round),
+    # then the 22 queries deferred from the r4 front, then 26 of the 61
+    # post-rotation additions — queries whose semantics changed this
+    # round (sign-of-zero sweep, wordpiece OOV, IVM cutoff, crosscorr
+    # guard) ranked first so the driver confirms the fixes.
+    "q_embed_covariance",   # r4 hash-FAIL, fixed (sign-of-zero)
+    "q_embed_pca",          # r4 err:no_oracle, partial oracle added r5
+    # --- the 22 deferred from the r4 front ---
+    "q_agg_corr", "q_agg_sketch_reagg", "q_percentile_approx",
+    "q_hll_intersection", "q_sql_surface", "q_sql_local_volume",
+    "q_sql_returned_topk", "q_sql_exists", "q_sql_correlated_avg",
+    "q_sql_antijoin_subquery", "q_sql_lateral", "q_sql_recursive",
+    "q_array_hof", "q_struct_funcs", "q_posexplode",
+    "q_schema_evolution", "q_variant_json", "q_join_right",
+    "q_join_nullsafe", "q_join_salted", "q_join_asof_nearest",
+    "q_topk_per_group",
+    # --- round-5-touched semantics (confirm the fixes) ---
+    "q_wordpiece_encode", "q_incremental_agg_merge",
+    "q_lagged_crosscorr", "q_agg_moments", "q_acf", "q_ols_regression",
+    "q_rolling_corr", "q_holt_smoothing", "q_dp_histogram",
+    # --- highest-value never-sampled additions ---
+    "q_embed_lsh", "q_image_dedup_exact", "q_quality_classifier",
+    "q_kmeans", "q_countmin_topk", "q_bloom_prefilter", "q_ngram_lm",
+    "q_readability", "q_eval_langid", "q_ndcg", "q_cluster_quality",
+    "q_eval_langid_slices", "q_similarity_filtered",
+    "q_similarity_batch", "q_zonemap_prune", "q_survival_km",
+    "q_embed_pca_check",
 )
 
 

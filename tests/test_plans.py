@@ -379,3 +379,21 @@ def test_weighted_percentile_single_sort_exchange(spark):
     at most one shuffle exchange in the whole plan."""
     p = plan(spark, "q_weighted_percentile")
     assert n_shuffles(p) <= 1, p
+
+
+def test_flagship_sql_text_equals_dataframe_twin(spark):
+    """The single-SQL-text flagship (shipped; ~0.3 s/build cheaper to
+    plan) and the Column-API construction must return identical rows —
+    the guard that the round-5 planning-constant rewrite changed no
+    semantics."""
+    from challenge8_movies_etl_spark.etl import q_flagship_etl_df
+    from challenge8_movies_etl_spark.registry import QUERIES
+
+    from tests.conftest import SF_SMOKE
+
+    a = QUERIES["q_flagship_etl"](spark, SF_SMOKE)
+    b = q_flagship_etl_df(spark, SF_SMOKE)
+    assert a.columns == b.columns
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert a.count() > 0
