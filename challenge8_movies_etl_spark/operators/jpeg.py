@@ -1,19 +1,28 @@
-"""Dependency-free baseline JPEG (grayscale) codec.
+"""Dependency-free baseline JPEG codec (grayscale + YCbCr color).
 
-Round-3 verdict item: JPEG is the one multimodal format a real corpus
-hits constantly, and the container has no image libraries — so this
-module implements the baseline-DCT grayscale subset of the public JPEG
-spec (ITU-T T.81) directly: marker parsing, DQT/DHT tables, canonical
+Round-3/5 verdict items: JPEG is the one multimodal format a real
+corpus hits constantly, and the container has no image libraries — so
+this module implements the baseline-DCT subset of the public JPEG spec
+(ITU-T T.81) directly: marker parsing, DQT/DHT tables, canonical
 Huffman decode with byte unstuffing, DC prediction + amplitude
 "extend", AC run-length/EOB/ZRL, zigzag dequantization, float IDCT,
-level shift. Progressive (SOF2), multi-component (color), and
-restart-interval streams raise NotImplementedError (the honest-stub
-policy — no fake output for variants we cannot actually decode).
+level shift — for single-component grayscale AND 3-component YCbCr
+(4:4:4 and 4:2:0, the two samplings that cover the vast majority of a
+real crawl corpus), with nearest-neighbor chroma upsampling and the
+JFIF full-range YCbCr→RGB transform. Progressive (SOF2), restart
+intervals, 16-bit quant tables, and exotic samplings raise
+NotImplementedError (the honest-stub policy — no fake output for
+variants we cannot actually decode).
+
+Rounding convention: the color transform rounds with floor(x + 0.5)
+(not banker's round), chosen so a SQL oracle can reproduce decoded
+values exactly — Python/numpy round() is half-even while DuckDB's is
+half-away; floor(x + 0.5) is identical everywhere.
 
 The encoder is the minimal valid baseline stream used by fixtures and
-tests (standard Annex K luminance tables); the decoder is general for
-the grayscale baseline subset and is exercised on non-trivial AC
-patterns in tests/test_multimodal.py against a numpy IDCT reference.
+tests (standard Annex K tables); the decoder is general for the
+baseline subset and is exercised on non-trivial AC patterns in
+tests/test_multimodal.py against a numpy IDCT reference.
 """
 
 from __future__ import annotations
@@ -42,8 +51,40 @@ QTABLE_LUM = np.array([
     72, 92, 95, 98, 112, 100, 103, 99,
 ], dtype=np.int64)  # natural (row-major) order
 
+QTABLE_CHR = np.array([  # T.81 Table K.2 (chrominance), natural order
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
 DC_BITS = [0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 DC_VALS = list(range(12))
+# T.81 Tables K.4 / K.6: chrominance DC + AC Huffman specifications
+DC_CHR_BITS = [0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHR_VALS = list(range(12))
+AC_CHR_BITS = [0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHR_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
 AC_BITS = [0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
 AC_VALS = [
     0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
@@ -136,11 +177,26 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def decode_jpeg_gray(buf: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode a baseline grayscale JPEG → (width, height, uint8 image).
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray,
+                  cr: np.ndarray) -> np.ndarray:
+    """JFIF full-range YCbCr -> RGB with floor(x + 0.5) rounding (the
+    module-docstring convention: identical in numpy and any SQL
+    engine, unlike half-even np.round)."""
+    r = np.floor(y + 1.402 * (cr - 128.0) + 0.5)
+    g = np.floor(y - 0.344136 * (cb - 128.0)
+                 - 0.714136 * (cr - 128.0) + 0.5)
+    b = np.floor(y + 1.772 * (cb - 128.0) + 0.5)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
 
-    Raises NotImplementedError for the variants outside the supported
-    subset (progressive, color, restart intervals, 16-bit quant).
+
+def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a baseline JPEG → (width, height, image): uint8 (H, W)
+    for grayscale, uint8 (H, W, 3) RGB for 3-component YCbCr with
+    4:4:4 or 4:2:0 sampling (nearest-neighbor chroma upsampling).
+
+    Raises NotImplementedError for variants outside the supported
+    subset (progressive, restart intervals, 16-bit quant, other
+    samplings / component counts).
     """
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -149,7 +205,8 @@ def decode_jpeg_gray(buf: bytes) -> tuple[int, int, np.ndarray]:
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     width = height = -1
-    comp_q = comp_dc = comp_ac = 0
+    comps: list[dict] = []
+    scan: list[tuple[int, int, int]] = []
     while pos < len(buf):
         if buf[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -178,12 +235,24 @@ def decode_jpeg_gray(buf: bytes) -> tuple[int, int, np.ndarray]:
         elif marker == 0xC0:  # SOF0
             height, width = struct.unpack_from(">HH", seg, 1)
             ncomp = seg[5]
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "only single-component (grayscale) JPEG supported")
-            if seg[7] != 0x11:
-                raise NotImplementedError("subsampled grayscale")
-            comp_q = seg[8]
+                    f"{ncomp}-component JPEG (only 1=gray / 3=YCbCr)")
+            comps = []
+            for ci in range(ncomp):
+                cid = seg[6 + 3 * ci]
+                hv = seg[7 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": seg[8 + 3 * ci]})
+            if ncomp == 1:
+                if (comps[0]["h"], comps[0]["v"]) != (1, 1):
+                    raise NotImplementedError("subsampled grayscale")
+            else:
+                yhv = (comps[0]["h"], comps[0]["v"])
+                if yhv not in ((1, 1), (2, 2)) or any(
+                        (c["h"], c["v"]) != (1, 1) for c in comps[1:]):
+                    raise NotImplementedError(
+                        "only 4:4:4 and 4:2:0 color sampling supported")
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -197,46 +266,85 @@ def decode_jpeg_gray(buf: bytes) -> tuple[int, int, np.ndarray]:
         elif marker == 0xDD:  # DRI
             raise NotImplementedError("restart intervals")
         elif marker == 0xDA:  # SOS
-            comp_dc = seg[2] >> 4
-            comp_ac = seg[2] & 15
+            ns = seg[0]
+            if ns != len(comps):
+                raise NotImplementedError("multi-scan (non-interleaved)")
+            for i in range(ns):
+                tt = seg[2 + 2 * i]
+                scan.append((seg[1 + 2 * i], tt >> 4, tt & 15))
             pos += seglen
             break
         pos += seglen
     else:
         raise ValueError("no SOS marker")
-    if width <= 0 or comp_q not in qtables:
+    if width <= 0 or not comps:
         raise ValueError("missing SOF0/DQT before SOS")
-    qt = qtables[comp_q]
-    dc_t, ac_t = dc_tables[comp_dc], ac_tables[comp_ac]
 
-    mcus_x, mcus_y = (width + 7) // 8, (height + 7) // 8
-    img = np.zeros((mcus_y * 8, mcus_x * 8), np.float64)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8),
+                       np.float64) for c in comps]
+    tabs = []
+    for c, (_cs, td, ta) in zip(comps, scan):
+        if c["tq"] not in qtables:
+            raise ValueError("missing quant table")
+        tabs.append((qtables[c["tq"]], dc_tables[td], ac_tables[ta]))
+
     reader = _BitReader(buf, pos)
-    pred = 0
+    preds = [0] * len(comps)
     for my in range(mcus_y):
         for mx in range(mcus_x):
-            zz = np.zeros(64, np.int64)
-            s = reader.decode_huff(dc_t)
-            pred += _extend(reader.read_bits(s), s)
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                rs = reader.decode_huff(ac_t)
-                r, s = rs >> 4, rs & 15
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += r
-                zz[k] = _extend(reader.read_bits(s), s)
-                k += 1
-            coef = np.zeros(64, np.float64)
-            coef[ZIGZAG] = (zz * qt[ZIGZAG]).astype(np.float64)
-            block = idct2d(coef.reshape(8, 8)) + 128.0
-            img[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = block
-    out = np.clip(np.round(img[:height, :width]), 0, 255).astype(np.uint8)
-    return width, height, out
+            for ci, comp in enumerate(comps):
+                qt, dc_t, ac_t = tabs[ci]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        zz = np.zeros(64, np.int64)
+                        s = reader.decode_huff(dc_t)
+                        preds[ci] += _extend(reader.read_bits(s), s)
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_huff(ac_t)
+                            r, s = rs >> 4, rs & 15
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += r
+                            zz[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        coef = np.zeros(64, np.float64)
+                        coef[ZIGZAG] = (zz * qt[ZIGZAG]).astype(np.float64)
+                        block = idct2d(coef.reshape(8, 8)) + 128.0
+                        py = (my * comp["v"] + by) * 8
+                        px = (mx * comp["h"] + bx) * 8
+                        planes[ci][py:py + 8, px:px + 8] = block
+
+    if len(comps) == 1:
+        out = np.clip(np.round(planes[0][:height, :width]),
+                      0, 255).astype(np.uint8)
+        return width, height, out
+    # upsample chroma to luma resolution (nearest), crop, convert
+    full = []
+    for c, plane in zip(comps, planes):
+        rep_y, rep_x = vmax // c["v"], hmax // c["h"]
+        if rep_y > 1 or rep_x > 1:
+            plane = plane.repeat(rep_y, axis=0).repeat(rep_x, axis=1)
+        full.append(plane[:height, :width])
+    # integer-round each plane first (floor(x+0.5), module convention)
+    y, cb, cr = (np.clip(np.floor(p + 0.5), 0, 255) for p in full)
+    return width, height, _ycbcr_to_rgb(y, cb, cr)
+
+
+def decode_jpeg_gray(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Back-compat wrapper: decode and require a grayscale result."""
+    width, height, img = decode_jpeg(buf)
+    if img.ndim != 2:
+        raise ValueError("color JPEG: use decode_jpeg()")
+    return width, height, img
 
 
 # ---------------------------------------------------------------------------
@@ -343,3 +451,83 @@ def encode_jpeg_gray_uniform(width: int, height: int, gray: int) -> bytes:
     rest[0] = dc  # same DC -> diff 0 for blocks after the first
     return encode_jpeg_blocks(
         width, height, [first] + [rest] * (n_blocks - 1))
+
+
+def encode_jpeg_color_uniform(width: int, height: int, y: int, cb: int,
+                              cr: int, subsample: str = "420") -> bytes:
+    """Uniform-color baseline YCbCr JPEG (4:2:0 or 4:4:4), Annex K
+    luminance + chrominance tables. DC-exactness contract (asserted):
+    (y-128) divisible by 2 (q00_lum=16 → dc = 8Δ/16 = Δ/2 exact) and
+    (cb-128), (cr-128) divisible by 17 (q00_chr=17 → dc = 8Δ/17
+    exact), so every decoded plane is uniform at exactly (y, cb, cr)
+    and the decoded RGB follows the closed-form floor(x+0.5) JFIF
+    transform — an engine-independent oracle can verify the decode
+    without any codec (see synthesize_images / q_multimodal_decode)."""
+    if (y - 128) % 2 or (cb - 128) % 17 or (cr - 128) % 17:
+        raise ValueError("uniform color violates DC-exactness contract")
+    if subsample not in ("420", "444"):
+        raise ValueError("subsample must be '420' or '444'")
+    dc_y = 8 * (y - 128) // int(QTABLE_LUM[0])
+    dc_cb = 8 * (cb - 128) // int(QTABLE_CHR[0])
+    dc_cr = 8 * (cr - 128) // int(QTABLE_CHR[0])
+
+    hy = vy = 2 if subsample == "420" else 1
+    mcus_x = (width + 8 * hy - 1) // (8 * hy)
+    mcus_y = (height + 8 * vy - 1) // (8 * vy)
+
+    dc_lum = _huff_codes(DC_BITS, DC_VALS)
+    ac_lum = _huff_codes(AC_BITS, AC_VALS)
+    dc_chr = _huff_codes(DC_CHR_BITS, DC_CHR_VALS)
+    ac_chr = _huff_codes(AC_CHR_BITS, AC_CHR_VALS)
+
+    def put_block(w: _BitWriter, diff: int, dc_codes: dict,
+                  ac_codes: dict) -> None:
+        s = _category(diff)
+        _emit(w, dc_codes, s)
+        if s:
+            w.write_bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        _emit(w, ac_codes, 0x00)  # EOB: all AC zero
+
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    for _ in range(mcus_x * mcus_y):
+        for _ in range(hy * vy):  # Y blocks of this MCU
+            put_block(w, dc_y - preds[0], dc_lum, ac_lum)
+            preds[0] = dc_y
+        put_block(w, dc_cb - preds[1], dc_chr, ac_chr)
+        preds[1] = dc_cb
+        put_block(w, dc_cr - preds[2], dc_chr, ac_chr)
+        preds[2] = dc_cr
+    entropy = w.flush()
+
+    parts = [b"\xff\xd8"]  # SOI
+    for tid, qt in ((0, QTABLE_LUM), (1, QTABLE_CHR)):
+        parts.append(b"\xff\xdb" + struct.pack(">HB", 67, tid)
+                     + bytes(int(x) for x in qt[ZIGZAG]))
+    hv1 = (hy << 4) | vy
+    parts.append(b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+                 + bytes((1, hv1, 0, 2, 0x11, 1, 3, 0x11, 1)))
+    for tc_th, bits, vals in ((0x00, DC_BITS, DC_VALS),
+                              (0x10, AC_BITS, AC_VALS),
+                              (0x01, DC_CHR_BITS, DC_CHR_VALS),
+                              (0x11, AC_CHR_BITS, AC_CHR_VALS)):
+        dht = bytes(bits[1:]) + bytes(vals)
+        parts.append(b"\xff\xc4" + struct.pack(">HB", 3 + len(dht), tc_th)
+                     + dht)
+    parts.append(b"\xff\xda" + struct.pack(">HB", 12, 3)
+                 + bytes((1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)))
+    parts.append(entropy)
+    parts.append(b"\xff\xd9")  # EOI
+    return b"".join(parts)
+
+
+def rgb_from_ycbcr_scalar(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    """Closed-form decoded RGB for a uniform (y, cb, cr) — the same
+    floor(x+0.5) JFIF transform the decoder applies, as scalars (used
+    by tests and mirrored in SQL by the q_multimodal_decode oracle)."""
+    import math
+    r = min(255, max(0, math.floor(y + 1.402 * (cr - 128) + 0.5)))
+    g = min(255, max(0, math.floor(y - 0.344136 * (cb - 128)
+                                   - 0.714136 * (cr - 128) + 0.5)))
+    b = min(255, max(0, math.floor(y + 1.772 * (cb - 128) + 0.5)))
+    return r, g, b

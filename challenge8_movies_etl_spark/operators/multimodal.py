@@ -177,7 +177,7 @@ def decode_image_features(media: DataFrame) -> DataFrame:
 
     At 100 TB this runs one Arrow batch of payloads at a time per
     partition — no shuffle, decode parallelism == partition count."""
-    from .jpeg import decode_jpeg_gray
+    from .jpeg import decode_jpeg
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -193,12 +193,17 @@ def decode_image_features(media: DataFrame) -> DataFrame:
                     w, h, r, g, b = _decode_ppm(buf)
                 elif buf[:2] == b"\xff\xd8":
                     fmt = "jpeg"
-                    w, h, img = decode_jpeg_gray(buf)
-                    r = g = b = float(img.mean())
+                    w, h, img = decode_jpeg(buf)
+                    if img.ndim == 2:  # grayscale
+                        r = g = b = float(img.mean())
+                    else:  # YCbCr color, decoded to RGB
+                        r = float(img[:, :, 0].mean())
+                        g = float(img[:, :, 1].mean())
+                        b = float(img[:, :, 2].mean())
                 else:
                     raise NotImplementedError(
                         "no codec for this payload in container "
-                        "(BMP/P6-PPM/baseline-grayscale-JPEG decode is "
+                        "(BMP/P6-PPM/baseline-JPEG gray+YCbCr decode is "
                         "dependency-free)")
                 out["doc_id"].append(doc_id)
                 out["fmt"].append(fmt)
@@ -238,6 +243,36 @@ def synthesize_images(docs: DataFrame) -> DataFrame:
                 r, g, b = d % 256, (d * 7) % 256, (d * 13) % 256
                 enc = encode_bmp if d % 3 == 0 else encode_ppm
                 payloads.append(enc(w, h, r, g, b))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="doc_id bigint, payload binary")
+
+
+def synthesize_color_images(docs: DataFrame) -> DataFrame:
+    """Deterministic per-doc COLOR JPEG payloads (round-5 verdict item
+    7): alternating 4:4:4 / 4:2:0 baseline YCbCr streams whose uniform
+    (y, cb, cr) satisfies the DC-exactness contract
+    (operators/jpeg.encode_jpeg_color_uniform), so the decoded RGB is
+    the closed-form floor(x+0.5) JFIF transform of values derived from
+    doc_id — an engine-independent SQL oracle verifies the full color
+    path (chroma tables, per-component Huffman/DC prediction, 2x2
+    upsampling, color transform) without any codec."""
+    from .jpeg import encode_jpeg_color_uniform
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 13 + 1, d % 7 + 1
+                y = 2 * ((d * 5) % 128)
+                cb = 128 + 17 * (d % 9 - 4)
+                cr = 128 + 17 * ((d * 3) % 9 - 4)
+                sub = "444" if d % 2 == 0 else "420"
+                payloads.append(
+                    encode_jpeg_color_uniform(w, h, y, cb, cr, sub))
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "payload": payloads})
 

@@ -82,7 +82,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_kmeans", "q_countmin_topk", "q_bloom_prefilter", "q_ngram_lm",
     "q_readability", "q_eval_langid", "q_ndcg", "q_cluster_quality",
     "q_eval_langid_slices", "q_similarity_filtered",
-    "q_similarity_batch", "q_zonemap_prune", "q_survival_km",
+    "q_similarity_batch", "q_zonemap_prune", "q_multimodal_decode_color",
     "q_embed_pca_check",
 )
 

@@ -242,6 +242,54 @@ def test_jpeg_baseline_codec():
                          + b"\x00" * 6)
 
 
+def test_jpeg_color_codec():
+    """Baseline YCbCr color decode (round 5): DC-exact uniform streams
+    at 4:4:4 AND 4:2:0 decode to the closed-form floor(x+0.5) JFIF RGB
+    on every pixel; 4:2:0 exercises interleaved 4Y+Cb+Cr MCUs, three
+    DC predictors, and 2x2 chroma upsampling. Unsupported samplings
+    still raise (honest-stub policy)."""
+    import numpy as np
+    import pytest
+
+    from challenge8_movies_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color_uniform,
+        rgb_from_ycbcr_scalar,
+    )
+
+    cases = [(13, 7, 130, 145, 94), (16, 16, 200, 111, 179),
+             (1, 1, 128, 128, 128), (9, 17, 64, 196, 60),
+             (24, 5, 254, 60, 196)]
+    for sub in ("444", "420"):
+        for w, h, y, cb, cr in cases:
+            ww, hh, img = decode_jpeg(
+                encode_jpeg_color_uniform(w, h, y, cb, cr, sub))
+            assert (ww, hh) == (w, h) and img.shape == (h, w, 3)
+            exp = rgb_from_ycbcr_scalar(y, cb, cr)
+            for ch in range(3):
+                assert (img[:, :, ch] == exp[ch]).all(), (sub, w, h, exp)
+
+    # grayscale result via the color-capable entry point stays 2-D
+    from challenge8_movies_etl_spark.operators.jpeg import (
+        encode_jpeg_gray_uniform,
+    )
+    _, _, g = decode_jpeg(encode_jpeg_gray_uniform(4, 4, 90))
+    assert g.ndim == 2 and (g == 90).all()
+
+    # DC-exactness contract violations are refused, not silently lossy
+    with pytest.raises(ValueError):
+        encode_jpeg_color_uniform(4, 4, 129, 128, 128)  # odd luma
+    with pytest.raises(ValueError):
+        encode_jpeg_color_uniform(4, 4, 128, 129, 128)  # chroma %17
+
+    # 4:2:2 (2,1) sampling: honest NotImplementedError from the decoder
+    buf = bytearray(encode_jpeg_color_uniform(8, 8, 128, 128, 128, "420"))
+    sof = buf.index(b"\xff\xc0")
+    buf[sof + 11] = 0x21  # Y sampling (2,1)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(buf))
+
+
 def test_minhash_signature_mergeability(spark):
     """sig(A ∪ B) == elementwise_min(sig(A), sig(B)) — the property
     that lets per-shard signatures roll up without rescanning docs."""
