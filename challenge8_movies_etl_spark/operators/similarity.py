@@ -200,3 +200,49 @@ def ivf_topk(embeddings: DataFrame, probe_id: int, k: int = 10,
                       F.round(cosine_col(F.col("embedding"),
                                          F.col("probe_emb")), 4).alias("cos")))
     return scored.orderBy(F.col("cos").desc(), F.col("vec_id")).limit(k)
+
+
+def cosine_topk_fast_sql(elem_e: str, elem_p: str, elem_p_self: str,
+                         dims: int = DIMS,
+                         probe_id: int = 0, k: int = 10) -> str:
+    """Generated fixed-order double-arithmetic cosine top-k (round 5).
+
+    The decimal-exact reduction in cosine_col exists to make SUMS
+    order-independent across shuffle partitionings — but a per-row
+    array fold has no ordering freedom at all, so generating the
+    64-term sums as explicit left-associated double expressions is
+    equally hash-stable (both engines execute the identical IEEE op
+    sequence) and several times faster than 128 decimal(38,_)
+    additions per row. `elem_e`/`elem_p` are dialect indexing formats
+    for the corpus row and the probe ('{i}' is the 1-based dim).
+    The trailing `+ 0.0` normalizes sign-of-zero (a cos rounding to
+    zero differs between DuckDB round(), which keeps -0.0, and
+    Spark's, which does not)."""
+    def dsum(ea: str, eb: str) -> str:
+        return " + ".join(
+            f"{ea.format(i=i)} * {eb.format(i=i)}"
+            for i in range(1, dims + 1))
+
+    return f"""
+    WITH probe AS (
+      SELECT embedding AS p,
+             {dsum(elem_p_self, elem_p_self)} AS pn
+      FROM embeddings WHERE vec_id = {probe_id}
+    )
+    SELECT e.vec_id,
+           round(({dsum(elem_e, elem_p)})
+                 / sqrt(({dsum(elem_e, elem_e)}) * probe.pn), 4)
+             + 0.0 AS cos
+    FROM embeddings e CROSS JOIN probe
+    WHERE e.vec_id <> {probe_id}
+    ORDER BY cos DESC, vec_id
+    LIMIT {k}
+    """
+
+
+ELEM_SPARK_E = "cast(element_at(e.embedding, {i}) as double)"
+ELEM_SPARK_P = "cast(element_at(probe.p, {i}) as double)"
+ELEM_SPARK_P_SELF = "cast(element_at(embedding, {i}) as double)"
+ELEM_DUCK_E = "cast(e.embedding[{i}] as double)"
+ELEM_DUCK_P = "cast(probe.p[{i}] as double)"
+ELEM_DUCK_P_SELF = "cast(embedding[{i}] as double)"

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .operators import multimodal
+from .operators import similarity
 from .operators.similarity import DEC_SIM as DEC  # cosine CTE decimals
 from .operators.dedup import (
     jaccard,
@@ -435,23 +436,9 @@ def q_dedup_simhash_portable(spark, sf_dir):
 
 @query(
     "q_similarity_topk",
-    oracle=f"""
-    WITH {_NORMS_CTE},
-    probe AS (SELECT embedding AS p, nrm AS pn FROM norms WHERE vec_id = 0),
-    dots AS (
-      SELECT n.vec_id,
-             cast(sum(cast(cast(n.embedding[gs.i] as double)
-                           * cast(probe.p[gs.i] as double)
-                           as {DEC})) as double) AS dot,
-             max(n.nrm) AS na, max(probe.pn) AS pn
-      FROM norms n, probe, range(1, 65) gs(i)
-      WHERE n.vec_id <> 0
-      GROUP BY n.vec_id
-    )
-    SELECT vec_id, round(dot / sqrt(na * pn), 4) AS cos FROM dots
-    ORDER BY cos DESC, vec_id
-    LIMIT 10
-    """,
+    oracle=similarity.cosine_topk_fast_sql(
+        similarity.ELEM_DUCK_E, similarity.ELEM_DUCK_P,
+        similarity.ELEM_DUCK_P_SELF),
 )
 def q_similarity_topk(spark, sf_dir):
     """Exact top-10 cosine neighbors of probe vec_id=0 (SURVEY.md §2.H).
@@ -459,9 +446,21 @@ def q_similarity_topk(spark, sf_dir):
     Plan: broadcast the 1-row probe against the corpus — one scan, one
     codegen'd cosine per row, TakeOrderedAndProject for the top-k. At
     100 TB this stays a single pass with no shuffle; the approximate
-    escape hatch is q_similarity_ann (IVF cells)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    return brute_force_topk(e, probe_id=0, k=10)
+    escape hatch is q_similarity_ann (IVF cells).
+
+    Round 5: the cosine is a GENERATED fixed-order double expression
+    (operators/similarity.cosine_topk_fast_sql) — the same left-
+    associated 64-term sums on both engines, hash-stable because a
+    per-row fold has no ordering freedom, ~2x faster than the decimal
+    reduction it replaces (which remains the right tool for sums
+    ACROSS rows, e.g. the norms in q_similarity_pairs). The
+    brute_force_topk Column-API form stays the library surface."""
+    load_table(spark, sf_dir, "embeddings") \
+        .createOrReplaceTempView("embeddings")
+    return spark.sql(similarity.cosine_topk_fast_sql(
+        similarity.ELEM_SPARK_E, similarity.ELEM_SPARK_P,
+        similarity.ELEM_SPARK_P_SELF))
+
 
 
 @query(
