@@ -531,3 +531,86 @@ def rgb_from_ycbcr_scalar(y: int, cb: int, cr: int) -> tuple[int, int, int]:
                                    - 0.714136 * (cr - 128) + 0.5)))
     b = min(255, max(0, math.floor(y + 1.772 * (cb - 128) + 0.5)))
     return r, g, b
+
+
+def encode_jpeg_color_blocks(width: int, height: int,
+                             y_blocks: "list[np.ndarray]",
+                             cb_blocks: "list[np.ndarray]",
+                             cr_blocks: "list[np.ndarray]",
+                             subsample: str = "420") -> bytes:
+    """Encode pre-quantized coefficient blocks (zigzag int64[64]) for
+    all three components as a baseline YCbCr JPEG. Y blocks are given
+    in MCU-interleave order (for 4:2:0: the 4 blocks of MCU 0
+    left-to-right top-to-bottom, then MCU 1, ...); chroma lists hold
+    one block per MCU. The test-facing seam for exercising chroma AC
+    coefficients, per-component DC prediction, and interleaving on the
+    real entropy path (the uniform encoder only ever emits DC)."""
+    if subsample not in ("420", "444"):
+        raise ValueError("subsample must be '420' or '444'")
+    hy = vy = 2 if subsample == "420" else 1
+    mcus = ((width + 8 * hy - 1) // (8 * hy)) \
+        * ((height + 8 * vy - 1) // (8 * vy))
+    if (len(y_blocks) != mcus * hy * vy or len(cb_blocks) != mcus
+            or len(cr_blocks) != mcus):
+        raise ValueError("block counts do not match MCU grid")
+
+    dc_lum = _huff_codes(DC_BITS, DC_VALS)
+    ac_lum = _huff_codes(AC_BITS, AC_VALS)
+    dc_chr = _huff_codes(DC_CHR_BITS, DC_CHR_VALS)
+    ac_chr = _huff_codes(AC_CHR_BITS, AC_CHR_VALS)
+
+    def put_block(w: _BitWriter, zz: np.ndarray, pred: int,
+                  dc_codes: dict, ac_codes: dict) -> int:
+        diff = int(zz[0]) - pred
+        s = _category(diff)
+        _emit(w, dc_codes, s)
+        if s:
+            w.write_bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                _emit(w, ac_codes, 0xF0)
+                run -= 16
+            s = _category(v)
+            _emit(w, ac_codes, (run << 4) | s)
+            w.write_bits(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            _emit(w, ac_codes, 0x00)
+        return int(zz[0])
+
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    yi = 0
+    for mi in range(mcus):
+        for _ in range(hy * vy):
+            preds[0] = put_block(w, y_blocks[yi], preds[0],
+                                 dc_lum, ac_lum)
+            yi += 1
+        preds[1] = put_block(w, cb_blocks[mi], preds[1], dc_chr, ac_chr)
+        preds[2] = put_block(w, cr_blocks[mi], preds[2], dc_chr, ac_chr)
+    entropy = w.flush()
+
+    parts = [b"\xff\xd8"]
+    for tid, qt in ((0, QTABLE_LUM), (1, QTABLE_CHR)):
+        parts.append(b"\xff\xdb" + struct.pack(">HB", 67, tid)
+                     + bytes(int(x) for x in qt[ZIGZAG]))
+    hv1 = (hy << 4) | vy
+    parts.append(b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+                 + bytes((1, hv1, 0, 2, 0x11, 1, 3, 0x11, 1)))
+    for tc_th, bits, vals in ((0x00, DC_BITS, DC_VALS),
+                              (0x10, AC_BITS, AC_VALS),
+                              (0x01, DC_CHR_BITS, DC_CHR_VALS),
+                              (0x11, AC_CHR_BITS, AC_CHR_VALS)):
+        dht = bytes(bits[1:]) + bytes(vals)
+        parts.append(b"\xff\xc4" + struct.pack(">HB", 3 + len(dht), tc_th)
+                     + dht)
+    parts.append(b"\xff\xda" + struct.pack(">HB", 12, 3)
+                 + bytes((1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)))
+    parts.append(entropy)
+    parts.append(b"\xff\xd9")
+    return b"".join(parts)

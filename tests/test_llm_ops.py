@@ -290,6 +290,84 @@ def test_jpeg_color_codec():
         decode_jpeg(bytes(buf))
 
 
+def test_jpeg_color_ac_patterns_match_reference():
+    """Color decode on NON-uniform streams: random AC coefficients in
+    all three components at 4:2:0 and 4:4:4, checked pixel-exact
+    against an independent numpy dequant→IDCT→upsample→transform
+    reference. Exercises chroma AC Huffman codes, ZRL/EOB in the
+    chroma tables, the three DC predictor chains, and MCU
+    interleaving — paths the DC-only uniform fixtures never touch."""
+    import numpy as np
+
+    from challenge8_movies_etl_spark.operators.jpeg import (
+        QTABLE_CHR,
+        QTABLE_LUM,
+        ZIGZAG,
+        decode_jpeg,
+        encode_jpeg_color_blocks,
+        idct2d,
+    )
+
+    rng = np.random.RandomState(11)
+
+    def rand_block(scale):
+        zz = np.zeros(64, np.int64)
+        zz[0] = rng.randint(-30, 31)
+        for k in rng.choice(range(1, 64), 5, replace=False):
+            zz[k] = rng.randint(-6, 7)
+        return zz
+
+    def plane_from_blocks(blocks, qt, bw, bh):
+        out = np.zeros((bh * 8, bw * 8))
+        for i, zz in enumerate(blocks):
+            coef = np.zeros(64)
+            coef[ZIGZAG] = (zz * qt[ZIGZAG]).astype(float)
+            my, mx = divmod(i, bw)
+            out[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
+                idct2d(coef.reshape(8, 8)) + 128
+        return out
+
+    for sub, w, h in (("420", 20, 13), ("444", 14, 10)):
+        hy = 2 if sub == "420" else 1
+        mcx = (w + 8 * hy - 1) // (8 * hy)
+        mcy = (h + 8 * hy - 1) // (8 * hy)
+        mcus = mcx * mcy
+        yb = [rand_block(1) for _ in range(mcus * hy * hy)]
+        cbb = [rand_block(1) for _ in range(mcus)]
+        crb = [rand_block(1) for _ in range(mcus)]
+        ww, hh, img = decode_jpeg(
+            encode_jpeg_color_blocks(w, h, yb, cbb, crb, sub))
+        assert (ww, hh, img.shape) == (w, h, (h, w, 3))
+
+        # reference: Y blocks arrive in MCU-interleave order — map
+        # them back to raster block positions first
+        ybw, ybh = mcx * hy, mcy * hy
+        raster = [None] * (ybw * ybh)
+        i = 0
+        for mi in range(mcus):
+            my, mx = divmod(mi, mcx)
+            for by in range(hy):
+                for bx in range(hy):
+                    raster[(my * hy + by) * ybw + (mx * hy + bx)] = yb[i]
+                    i += 1
+        ypl = plane_from_blocks(raster, QTABLE_LUM, ybw, ybh)
+        cbp = plane_from_blocks(cbb, QTABLE_CHR, mcx, mcy)
+        crp = plane_from_blocks(crb, QTABLE_CHR, mcx, mcy)
+        if hy == 2:
+            cbp = cbp.repeat(2, 0).repeat(2, 1)
+            crp = crp.repeat(2, 0).repeat(2, 1)
+        y = np.clip(np.floor(ypl[:h, :w] + 0.5), 0, 255)
+        cb = np.clip(np.floor(cbp[:h, :w] + 0.5), 0, 255)
+        cr = np.clip(np.floor(crp[:h, :w] + 0.5), 0, 255)
+        r = np.clip(np.floor(y + 1.402 * (cr - 128) + 0.5), 0, 255)
+        g = np.clip(np.floor(y - 0.344136 * (cb - 128)
+                             - 0.714136 * (cr - 128) + 0.5), 0, 255)
+        b = np.clip(np.floor(y + 1.772 * (cb - 128) + 0.5), 0, 255)
+        ref = np.stack([r, g, b], axis=-1).astype(np.uint8)
+        assert (img == ref).all(), (sub, np.abs(
+            img.astype(int) - ref.astype(int)).max())
+
+
 def test_minhash_signature_mergeability(spark):
     """sig(A ∪ B) == elementwise_min(sig(A), sig(B)) — the property
     that lets per-shard signatures roll up without rescanning docs."""
