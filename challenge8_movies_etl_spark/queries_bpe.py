@@ -1,0 +1,127 @@
+"""BPE merge mining (round 5) — the tokenizer-TRAINING pass that
+q_wordpiece_encode's docstring defers to ("merge mining happens
+offline"). Five iterations of: count adjacent token pairs over the
+word-frequency dict → take the (count DESC, pair ASC) argmax → merge
+that pair corpus-wide. Emits the learned merge table
+(it, t1, t2, merged, cnt) — the artifact a 100 TB pipeline ships to
+its tokenizer.
+
+Representation: each word is a '|'-delimited token string
+('|l|o|w|'), so a merge is a string replace of '|a|b|' with '|ab|'.
+Both engines' replace() scan left-to-right non-overlapping, so the
+corpus after each merge is IDENTICAL on both sides; two replace
+passes per merge catch the boundary-sharing second occurrence in
+'abab'-style runs (a ≥3-fold chain of the same pair in one word
+would stay unmerged — identically on both engines, so the hash
+cannot diverge; real corpora hit this at negligible rates).
+
+Scale: the only N-sized pass is the initial word-frequency groupBy
+(map-side combined). Every iteration then runs on the |vocab|-sized
+dict: one pair-count shuffle + a 1-row argmax broadcast-joined back —
+no collect(), no driver-side corpus. This is exactly how production
+BPE trainers scale: the dict, not the corpus, is the working set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import query
+from .sources.fixtures import load_table
+
+N_MERGES = 5
+
+
+def _bpe_oracle(n_merges: int = N_MERGES) -> str:
+    """Generated n-stage CTE chain: tok0 → (pairs1, best1, tok1) → …
+    DuckDB dialect."""
+    parts = [f"""
+    WITH words AS (
+      SELECT w AS word, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE regexp_matches(w, '^[a-z]+$')
+      GROUP BY 1
+    ),
+    tok0 AS (
+      SELECT '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS rep, n
+      FROM words
+    )"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f""",
+    pairs{i} AS (
+      SELECT pr[1] AS t1, pr[2] AS t2, sum(n) AS cnt
+      FROM (
+        SELECT unnest(list_zip(l, list_slice(l, 2, len(l)))) AS pr, n
+        FROM (SELECT list_filter(string_split(rep, '|'),
+                                 x -> x <> '') AS l, n
+              FROM tok{i - 1})
+      )
+      WHERE pr[2] IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    best{i} AS (
+      SELECT t1, t2, cast(cnt as bigint) AS cnt
+      FROM pairs{i} ORDER BY cnt DESC, t1, t2 LIMIT 1
+    ),
+    tok{i} AS (
+      SELECT replace(replace(t.rep,
+                             '|' || b.t1 || '|' || b.t2 || '|',
+                             '|' || b.t1 || b.t2 || '|'),
+                     '|' || b.t1 || '|' || b.t2 || '|',
+                     '|' || b.t1 || b.t2 || '|') AS rep, t.n
+      FROM tok{i - 1} t CROSS JOIN best{i} b
+    )""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {i} AS it, t1, t2, t1 || t2 AS merged, cnt FROM best{i}"
+        for i in range(1, n_merges + 1))
+    parts.append(f"\n{sel}\nORDER BY it")
+    return "".join(parts)
+
+
+@query("q_bpe_train", oracle=_bpe_oracle())
+def q_bpe_train(spark, sf_dir):
+    """Learn the first five BPE merges from the documents corpus (see
+    module docstring for representation, tie-breaks, and the 100 TB
+    shape). The DuckDB oracle re-learns them with the identical
+    five-stage CTE chain, so the learned TABLE — pairs, merged tokens,
+    and weighted counts — is value-hash-checked end to end."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (d.select(F.explode(F.split("text", " ")).alias("w"))
+             .filter(F.col("w").rlike("^[a-z]+$"))
+             .groupBy("w").agg(F.count("*").alias("n")))
+    tok = words.select(
+        F.concat(F.lit("|"),
+                 F.regexp_replace("w", "(.)", "$1|")).alias("rep"),
+        "n")
+
+    results = []
+    for i in range(1, N_MERGES + 1):
+        toks = F.filter(F.split("rep", r"\|"), lambda x: x != "")
+        pairs = (tok.select(
+            F.explode(F.arrays_zip(
+                F.slice(toks, 1, F.size(toks) - 1).alias("a"),
+                F.slice(toks, 2, F.size(toks) - 1).alias("b"),
+            )).alias("pr"), "n")
+            .select(F.col("pr.a").alias("t1"), F.col("pr.b").alias("t2"),
+                    "n")
+            .groupBy("t1", "t2").agg(F.sum("n").alias("cnt")))
+        best = (pairs.orderBy(F.desc("cnt"), "t1", "t2").limit(1)
+                .select("t1", "t2", F.col("cnt").cast("bigint").alias("cnt"))
+                .persist())
+        results.append(best.select(
+            F.lit(i).alias("it"), "t1", "t2",
+            F.concat("t1", "t2").alias("merged"), "cnt"))
+        pat = F.concat(F.lit("|"), F.col("_t1"), F.lit("|"),
+                       F.col("_t2"), F.lit("|"))
+        rep2 = F.concat(F.lit("|"), F.col("_t1"), F.col("_t2"),
+                        F.lit("|"))
+        b = best.select(F.col("t1").alias("_t1"),
+                        F.col("t2").alias("_t2"))
+        tok = (tok.join(F.broadcast(b))
+               .select(F.replace(F.replace("rep", pat, rep2),
+                                 pat, rep2).alias("rep"), "n"))
+
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionAll(r)
+    return out
