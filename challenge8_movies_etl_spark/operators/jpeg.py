@@ -215,6 +215,10 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
         if marker == 0xD9:  # EOI
             raise ValueError("EOI before SOS")
         (seglen,) = struct.unpack_from(">H", buf, pos)
+        if seglen < 2:
+            # a crafted zero/one-length segment would otherwise stall
+            # the `pos += seglen` marker walk forever — fail loudly
+            raise ValueError(f"malformed segment length {seglen}")
         seg = buf[pos + 2: pos + seglen]
         if marker == 0xDB:  # DQT
             p = 0
@@ -314,6 +318,8 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
                                 k += 16
                                 continue
                             k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
                             zz[k] = _extend(reader.read_bits(s), s)
                             k += 1
                         coef = np.zeros(64, np.float64)
