@@ -67,6 +67,12 @@ EXTRA = [
     "q_wordpiece_encode",
     "q_bootstrap_ci",
     "q_zonemap_prune",
+    # round-5 wave: tokenizer training, PQ vector compression,
+    # pointer-doubling components, color JPEG decode
+    "q_bpe_train",
+    "q_pq_encode",
+    "q_graph_components",
+    "q_multimodal_decode_color",
 ]
 
 

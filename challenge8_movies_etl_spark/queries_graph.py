@@ -174,3 +174,112 @@ def q_graph_triangles(spark, sf_dir):
             .unionByName(tri.select(F.col("b").alias("node")))
             .unionByName(tri.select(F.col("c").alias("node")))
             .groupBy("node").agg(F.count("*").alias("n_tri")))
+
+
+# ---------------------------------------------------------------------------
+# q_graph_components — connected components via pointer-doubling
+# ---------------------------------------------------------------------------
+
+_CC_EDGES = """
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS r
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    nn AS (SELECT cast(count(*) as bigint) AS n FROM ranked),
+    ring AS (
+      SELECT r AS src,
+             (r // 50) * 50
+             + ((r - (r // 50) * 50 + 1)
+                % (CASE WHEN n - (r // 50) * 50 < 50
+                        THEN n - (r // 50) * 50 ELSE 50 END)) AS dst
+      FROM ranked CROSS JOIN nn
+    ),
+    bridge AS (
+      SELECT r AS src, (r + 77) % n AS dst
+      FROM ranked CROSS JOIN nn WHERE r % 97 = 0
+    ),
+    edges AS (
+      SELECT src, dst FROM ring UNION SELECT dst, src FROM ring
+      UNION SELECT src, dst FROM bridge UNION SELECT dst, src FROM bridge
+    )"""
+
+_CC_ORACLE = f"""
+WITH RECURSIVE {_CC_EDGES},
+walk AS (
+  SELECT r AS src, r AS dst FROM ranked
+  UNION
+  SELECT w.src, e.dst FROM walk w JOIN edges e ON e.src = w.dst
+),
+comp AS (SELECT src AS v, min(dst) AS lab FROM walk GROUP BY src)
+SELECT cast(lab as bigint) AS component,
+       cast(count(*) as bigint) AS size,
+       cast(min(v) as bigint) AS min_node,
+       cast(max(v) as bigint) AS max_node
+FROM comp GROUP BY lab ORDER BY component
+"""
+
+
+@query("q_graph_components", oracle=_CC_ORACLE)
+def q_graph_components(spark, sf_dir):
+    """Connected components via label propagation WITH pointer doubling
+    (each round: neighbor-min prop, then the L(v) <- L(L(v)) shortcut)
+    — convergence in O(log D) rounds instead of O(D), the property
+    that makes components tractable on billion-edge graphs (the
+    small-star/large-star idea of Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14). The graph is a
+    deterministic rank-derived block-ring + sparse-bridge topology (offset 77, coprime to the block size so bridges never degenerate to self-loops at round node counts)
+    (dense ranks via row_number, so the closed form holds under ANY
+    fixture key distribution); the oracle computes the exact
+    fixpoint by recursive-CTE reachability — so the component labels,
+    sizes, and extents of an ITERATIVE distributed algorithm are
+    value-hash-checked against a declarative ground truth.
+
+    Scale: rounds = ceil(log2 n) + 1 (n collected once, a bounded
+    scalar like pagerank's node count); each round is two keyed
+    equi-joins on the n-sized label relation, persisted per round to
+    keep lineage flat. At 100 TB the same loop runs on the edge list
+    partitioned by src — no step is ever quadratic."""
+    import math
+
+    c = load_table(spark, sf_dir, "customer")
+    from pyspark.sql import Window as W
+    ranked = (c.filter(F.col("c_custkey") % 10 == 0)
+              .select((F.row_number().over(W.orderBy("c_custkey")) - 1)
+                      .alias("r")))
+    n = ranked.count()
+    blk = (F.col("r") / 50).cast("bigint") * 50
+    bs = F.least(F.lit(n) - blk, F.lit(50))
+    ring = ranked.select(F.col("r").alias("src"),
+                         (blk + (F.col("r") - blk + 1) % bs).alias("dst"))
+    bridge = (ranked.filter(F.col("r") % 97 == 0)
+              .select(F.col("r").alias("src"),
+                      ((F.col("r") + 77) % n).alias("dst")))
+    edges = (ring.union(ring.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+             .union(bridge)
+             .union(bridge.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+             .distinct().persist())
+
+    labels = ranked.select(F.col("r").alias("v"), F.col("r").alias("lab"))
+    rounds = max(1, int(math.ceil(math.log2(max(2, n)))) + 1)
+    for _ in range(rounds):
+        prop = (edges.join(labels, edges.dst == labels.v)
+                .groupBy("src").agg(F.min("lab").alias("nlab")))
+        labels = (labels.join(prop, labels.v == prop.src, "left")
+                  .select("v", F.least("lab", "nlab").alias("lab")))
+        lv = labels.select(F.col("v").alias("_v"),
+                           F.col("lab").alias("_lab"))
+        # eager localCheckpoint: the label relation feeds ITSELF twice
+        # per round (prop join + the L(L(v)) shortcut self-join), so
+        # without lineage truncation the logical plan doubles every
+        # round — 2^rounds analysis blowup that wedges Catalyst long
+        # before the data is big (lazy persist does NOT truncate).
+        labels = (labels.join(lv, labels.lab == lv._v)
+                  .select("v", F.col("_lab").alias("lab"))
+                  .localCheckpoint(eager=True))
+    return (labels.groupBy(F.col("lab").alias("component"))
+            .agg(F.count("*").alias("size"),
+                 F.min("v").alias("min_node"),
+                 F.max("v").alias("max_node"))
+            .orderBy("component"))

