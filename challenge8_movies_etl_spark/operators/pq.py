@@ -203,3 +203,154 @@ def recall_sql(dia: _Dialect, k_top: int = 10) -> str:
            round(count(*) / {float(k_top)!r}, 4) AS recall
     FROM exact_top JOIN pq_top USING (vec_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composition (round 5): coarse cells + residual PQ
+# ---------------------------------------------------------------------------
+
+N_CELLS = 8
+N_PROBE = 2
+
+
+def _cc_(j: int, d: int) -> float:
+    h = hashlib.md5(f"ivf:{j}:{d}".encode()).hexdigest()
+    return (int(h[:8], 16) % 1001 - 500) / 1000.0
+
+
+COARSE: list[list[float]] = [[_cc_(j, d) for d in range(DIM)]
+                             for j in range(N_CELLS)]
+
+# cells the fixed PROBE visits (nearest N_PROBE coarse centroids),
+# and one residual-ADC LUT per probed cell — all plain python floats,
+# identical literals on both engines
+_pdists = []
+for _j in range(N_CELLS):
+    _acc = 0.0
+    for _d in range(DIM):
+        _df = PROBE[_d] - COARSE[_j][_d]
+        _acc = _acc + _df * _df
+    _pdists.append(_acc)
+PROBE_CELLS: list[int] = sorted(range(N_CELLS),
+                                key=lambda j: (_pdists[j], j))[:N_PROBE]
+RESIDUAL_LUT: dict[int, list[list[float]]] = {}
+for _j in PROBE_CELLS:
+    _rp = [PROBE[_d] - COARSE[_j][_d] for _d in range(DIM)]
+    RESIDUAL_LUT[_j] = [
+        [sum((_rp[_m * D_SUB + _dd] - CODEBOOK[_m][_k][_dd]) ** 2
+             for _dd in range(D_SUB)) for _k in range(K_CODES)]
+        for _m in range(M_SUBSPACES)]
+
+
+def ivfpq_encode_batches(batches):
+    """IVF-PQ encode kernel: nearest coarse cell (ordered-accumulation
+    argmin over N_CELLS), then PQ codes of the RESIDUAL v − C_cell —
+    the classic inverted-file layout (Jégou'11 §IV): cells bound the
+    candidate set, residual quantization keeps the codebook error
+    centered. Accumulation order matches the oracle's left-assoc sums
+    exactly (see encode_batches)."""
+    import numpy as np
+    import pandas as pd
+
+    cb = np.array(CODEBOOK)
+    cc = np.array(COARSE)  # (N_CELLS, DIM)
+    for pdf in batches:
+        X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        n = len(X)
+        if n == 0:
+            continue
+        cd = np.empty((n, N_CELLS))
+        for j in range(N_CELLS):
+            acc = np.zeros(n)
+            for d in range(DIM):
+                diff = X[:, d] - cc[j, d]
+                acc = acc + diff * diff
+            cd[:, j] = acc
+        cell = np.argmin(cd, axis=1)
+        R = X - cc[cell]  # residuals
+        out = {"vec_id": pdf["vec_id"].to_numpy(),
+               "cell": cell.astype(np.int32)}
+        for m in range(M_SUBSPACES):
+            dmat = np.empty((n, K_CODES))
+            for k in range(K_CODES):
+                acc = np.zeros(n)
+                for d in range(D_SUB):
+                    diff = R[:, m * D_SUB + d] - cb[m, k, d]
+                    acc = acc + diff * diff
+                dmat[:, k] = acc
+            out[f"c{m}"] = np.argmin(dmat, axis=1).astype(np.int32)
+        yield pd.DataFrame(out)
+
+
+IVFPQ_SCHEMA = ("vec_id bigint, cell int, c0 int, c1 int, c2 int, "
+                "c3 int, c4 int, c5 int, c6 int, c7 int")
+
+
+def _cell_dist_expr(dia: _Dialect, j: int) -> str:
+    terms = []
+    for d in range(DIM):
+        e = dia.elem.format(i=d + 1)
+        c = f"({COARSE[j][d]:+.3f})"
+        terms.append(f"({e} - {c}) * ({e} - {c})")
+    return " + ".join(terms)
+
+
+def _residual_dist_expr(dia: _Dialect, j: int, m: int, k: int) -> str:
+    """||(v − C_j)_m − codebook[m][k]||² with the residual folded into
+    the literal: (e − C_jd) − cb = e − (C_jd + cb)... NOT folded —
+    the kernel computes (e − C) first then subtracts cb, and IEEE
+    subtraction is not associative, so the SQL must subtract in the
+    same two steps to stay bit-identical."""
+    terms = []
+    for d in range(D_SUB):
+        e = dia.elem.format(i=m * D_SUB + d + 1)
+        cj = f"({COARSE[j][m * D_SUB + d]:+.3f})"
+        cb = f"({CODEBOOK[m][k][d]:+.3f})"
+        terms.append(f"(({e} - {cj}) - {cb}) * (({e} - {cj}) - {cb})")
+    return " + ".join(terms)
+
+
+def ivfpq_topk_sql(dia: _Dialect, k_top: int = 10) -> str:
+    """Full IVF-PQ query as generated SQL (the oracle form): cell
+    argmin, residual PQ codes, probe-cell filter, per-cell residual
+    ADC, top-k."""
+    cell_arr = dia.arr.format(
+        xs=", ".join(_cell_dist_expr(dia, j) for j in range(N_CELLS)))
+    cell_pos = dia.apos.format(a="ca", x=dia.amin.format(a="ca"))
+    code_cols = []
+    for j in PROBE_CELLS:
+        for m in range(M_SUBSPACES):
+            xs = ", ".join(_residual_dist_expr(dia, j, m, k)
+                           for k in range(K_CODES))
+            code_cols.append(
+                f"CASE WHEN cell = {j} THEN "
+                + dia.apos.format(
+                    a=dia.arr.format(xs=xs),
+                    x=dia.amin.format(a=dia.arr.format(xs=xs)))
+                + f" - 1 END AS rc{j}_{m}")
+    luts = []
+    for j in PROBE_CELLS:
+        per_m = " + ".join(
+            "(CASE rc{j}_{m} {whens} END)".format(
+                j=j, m=m, whens=" ".join(
+                    f"WHEN {k} THEN {RESIDUAL_LUT[j][m][k]!r}"
+                    for k in range(K_CODES)))
+            for m in range(M_SUBSPACES))
+        luts.append(f"WHEN cell = {j} THEN {per_m}")
+    adc = "CASE " + " ".join(luts) + " END"
+    cells_in = ", ".join(str(j) for j in PROBE_CELLS)
+    return f"""
+    WITH assigned AS (
+      SELECT vec_id, embedding,
+             cast({cell_pos} - 1 as int) AS cell
+      FROM (SELECT vec_id, embedding, {cell_arr} AS ca FROM embeddings)
+    ),
+    coded AS (
+      SELECT vec_id, cell, {", ".join(code_cols)}
+      FROM assigned WHERE cell IN ({cells_in})
+    )
+    SELECT vec_id, cell, round({adc}, 6) AS adc
+    FROM coded
+    ORDER BY adc, vec_id
+    LIMIT {k_top}
+    """

@@ -92,3 +92,35 @@ def q_pq_recall(spark, sf_dir):
             .agg(F.lit(10).cast("int").alias("k"),
                  F.count("*").alias("n_overlap"),
                  F.round(F.count("*") / 10.0, 4).alias("recall")))
+
+
+@query("q_ivfpq_ann", oracle=pq.ivfpq_topk_sql(pq.DUCK))
+def q_ivfpq_ann(spark, sf_dir):
+    """IVF-PQ — the composition the serving stack actually deploys
+    (Jégou'11 §IV): nearest-of-8 md5-derived coarse cells bound the
+    candidate set (the probe visits its 2 nearest cells only), and PQ
+    codes of the RESIDUAL v − C_cell rank candidates by per-cell
+    asymmetric distance. Everything — cell argmin, residual codes,
+    LUTs — is deterministic and value-hash-checked against a
+    generated-SQL oracle that recomputes the identical arithmetic.
+
+    Scale: the scan prunes to (cell, code) columns; the cell filter is
+    partition-prunable when the index is written partitioned by cell
+    (the layout a 100 TB deployment uses); candidates ≈ N·(n_probe /
+    n_cells), never all vectors; ranking is TakeOrderedAndProject."""
+    e = load_table(spark, sf_dir, "embeddings")
+    enc = e.select("vec_id", "embedding").mapInPandas(
+        pq.ivfpq_encode_batches, schema=pq.IVFPQ_SCHEMA)
+    cand = enc.filter(F.col("cell").isin(*pq.PROBE_CELLS))
+    adc = None
+    for j in pq.PROBE_CELLS:
+        per_m = None
+        for m in range(pq.M_SUBSPACES):
+            lut = F.array(*[F.lit(v) for v in pq.RESIDUAL_LUT[j][m]])
+            term = F.element_at(lut, F.col(f"c{m}") + 1)
+            per_m = term if per_m is None else per_m + term
+        branch = F.when(F.col("cell") == j, per_m)
+        adc = branch if adc is None else adc.otherwise(
+            F.when(F.col("cell") == j, per_m))
+    return (cand.select("vec_id", "cell", F.round(adc, 6).alias("adc"))
+            .orderBy("adc", "vec_id").limit(10))

@@ -51,3 +51,51 @@ def test_pq_recall_bounds(spark):
     # PQ with 16 codes over 8 dims is coarse but must beat random on
     # a 500-vector corpus (random recall@10 ≈ 10/500)
     assert r["n_overlap"] >= 1
+
+
+def test_ivfpq_candidates_only_from_probed_cells(spark):
+    """Every returned candidate sits in one of the probe's 2 nearest
+    cells, distances ascend, and the ADC equals the per-cell LUT sum
+    of the row's own residual codes (recomputed independently)."""
+    from challenge8_movies_etl_spark.operators.pq import (
+        PROBE_CELLS,
+        RESIDUAL_LUT,
+        ivfpq_encode_batches,
+    )
+
+    rows = QUERIES["q_ivfpq_ann"](spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 10
+    prev = None
+    for r in rows:
+        assert r["cell"] in PROBE_CELLS
+        assert prev is None or r["adc"] >= prev
+        prev = r["adc"]
+
+    import pandas as pd
+    pdf = (spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+           .select("vec_id", "embedding").toPandas())
+    enc = pd.concat(list(ivfpq_encode_batches(iter([pdf]))))
+    enc = enc.set_index("vec_id")
+    for r in rows:
+        e = enc.loc[r["vec_id"]]
+        assert e["cell"] == r["cell"]
+        expect = sum(RESIDUAL_LUT[r["cell"]][m][e[f"c{m}"]]
+                     for m in range(8))
+        assert abs(r["adc"] - expect) < 1e-6
+
+
+def test_ivfpq_cells_cover_corpus(spark):
+    """Cell assignment is total and uses several cells (a degenerate
+    all-one-cell assignment would make IVF pointless)."""
+    from challenge8_movies_etl_spark.operators.pq import (
+        N_CELLS,
+        ivfpq_encode_batches,
+    )
+
+    import pandas as pd
+    pdf = (spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+           .select("vec_id", "embedding").toPandas())
+    enc = pd.concat(list(ivfpq_encode_batches(iter([pdf]))))
+    assert len(enc) == len(pdf)
+    assert enc["cell"].between(0, N_CELLS - 1).all()
+    assert enc["cell"].nunique() >= 3
