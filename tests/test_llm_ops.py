@@ -448,3 +448,24 @@ def test_winnowing_guarantee_shared_fingerprint(spark):
            .select("doc_id", fps.alias("fps")).collect()}
     assert got[1] & got[2], "docs sharing a >=11-char substring must share a fingerprint"
     assert not (got[1] & got[3])
+
+
+def test_weak_supervision_diagnostic_identities(spark):
+    """Counting identities of the LF grid: per-LF rows partition the
+    corpus; vote abstains ≥ all-LFs-abstain docs; agreement rows obey
+    agree + conflict <= jointly-voted <= n."""
+    rows = {r["name"]: r for r in
+            QUERIES["q_weak_supervision"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {"lf1", "lf2", "lf3", "vote",
+                         "agree_12", "agree_13", "agree_23"}
+    n = (spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count())
+    for lf in ("lf1", "lf2", "lf3", "vote"):
+        r = rows[lf]
+        assert r["n_pos"] + r["n_neg"] + r["n_abstain"] == n
+        assert abs(r["rate"] - round((n - r["n_abstain"]) / n, 4)) < 1e-9
+    for ag in ("agree_12", "agree_13", "agree_23"):
+        r = rows[ag]
+        joint = r["n_abstain"]  # column reuse: jointly-voted count
+        assert r["n_pos"] + r["n_neg"] <= joint <= n
+        if joint:
+            assert abs(r["rate"] - round(r["n_pos"] / joint, 4)) < 1e-9
