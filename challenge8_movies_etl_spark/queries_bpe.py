@@ -32,9 +32,9 @@ from .sources.fixtures import load_table
 N_MERGES = 5
 
 
-def _bpe_oracle(n_merges: int = N_MERGES) -> str:
-    """Generated n-stage CTE chain: tok0 → (pairs1, best1, tok1) → …
-    DuckDB dialect."""
+def _bpe_chain(n_merges: int = N_MERGES) -> str:
+    """Generated n-stage CTE chain (no final SELECT): tok0 →
+    (pairs1, best1, tok1) → … DuckDB dialect."""
     parts = [f"""
     WITH words AS (
       SELECT w AS word, count(*) AS n
@@ -71,11 +71,14 @@ def _bpe_oracle(n_merges: int = N_MERGES) -> str:
                      '|' || b.t1 || b.t2 || '|') AS rep, t.n
       FROM tok{i - 1} t CROSS JOIN best{i} b
     )""")
+    return "".join(parts)
+
+
+def _bpe_oracle(n_merges: int = N_MERGES) -> str:
     sel = "\nUNION ALL\n".join(
         f"SELECT {i} AS it, t1, t2, t1 || t2 AS merged, cnt FROM best{i}"
         for i in range(1, n_merges + 1))
-    parts.append(f"\n{sel}\nORDER BY it")
-    return "".join(parts)
+    return f"{_bpe_chain(n_merges)}\n{sel}\nORDER BY it"
 
 
 @query("q_bpe_train", oracle=_bpe_oracle())
@@ -125,3 +128,75 @@ def q_bpe_train(spark, sf_dir):
     for r in results[1:]:
         out = out.unionAll(r)
     return out
+
+
+def _bpe_apply_oracle(n_merges: int = N_MERGES) -> str:
+    """The training chain (same CTEs) plus a final compression-stats
+    stage over the fully merged dict."""
+    return f"""{_bpe_chain(n_merges)}
+    SELECT cast(sum(n) as bigint) AS n_words,
+           cast(sum(len(replace(rep, '|', '')) * n) as bigint) AS n_chars,
+           cast(sum(len(list_filter(string_split(rep, '|'),
+                                    x -> x <> '')) * n) as bigint)
+             AS n_tokens,
+           round(cast(sum(len(list_filter(string_split(rep, '|'),
+                                          x -> x <> '')) * n) as double)
+                 / sum(n), 4) AS tokens_per_word,
+           round(cast(sum(len(replace(rep, '|', '')) * n) as double)
+                 / sum(len(list_filter(string_split(rep, '|'),
+                                       x -> x <> '')) * n), 4)
+             AS chars_per_token
+    FROM tok{n_merges}
+    """
+
+
+@query("q_bpe_apply", oracle=_bpe_apply_oracle())
+def q_bpe_apply(spark, sf_dir):
+    """Apply the five learned merges corpus-wide and measure what a
+    tokenizer team actually tracks: tokens/word and chars/token
+    compression of the merged vocabulary vs raw characters. Shares
+    q_bpe_train's loop (same learned merges by construction); the
+    oracle re-learns AND re-applies in one CTE chain, so the
+    compression numbers are value-hash-checked.
+
+    Scale: identical to q_bpe_train + one final map-side-combined
+    aggregate over the |vocab|-sized dict."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (d.select(F.explode(F.split("text", " ")).alias("w"))
+             .filter(F.col("w").rlike("^[a-z]+$"))
+             .groupBy("w").agg(F.count("*").alias("n")))
+    tok = words.select(
+        F.concat(F.lit("|"),
+                 F.regexp_replace("w", "(.)", "$1|")).alias("rep"),
+        "n")
+    for _ in range(N_MERGES):
+        toks = F.filter(F.split("rep", r"\|"), lambda x: x != "")
+        pairs = (tok.select(
+            F.explode(F.arrays_zip(
+                F.slice(toks, 1, F.size(toks) - 1).alias("a"),
+                F.slice(toks, 2, F.size(toks) - 1).alias("b"),
+            )).alias("pr"), "n")
+            .select(F.col("pr.a").alias("t1"), F.col("pr.b").alias("t2"),
+                    "n")
+            .groupBy("t1", "t2").agg(F.sum("n").alias("cnt")))
+        b = (pairs.orderBy(F.desc("cnt"), "t1", "t2").limit(1)
+             .select(F.col("t1").alias("_t1"), F.col("t2").alias("_t2")))
+        pat = F.concat(F.lit("|"), F.col("_t1"), F.lit("|"),
+                       F.col("_t2"), F.lit("|"))
+        rep2 = F.concat(F.lit("|"), F.col("_t1"), F.col("_t2"),
+                        F.lit("|"))
+        tok = (tok.join(F.broadcast(b))
+               .select(F.replace(F.replace("rep", pat, rep2),
+                                 pat, rep2).alias("rep"), "n"))
+
+    toks = F.filter(F.split("rep", r"\|"), lambda x: x != "")
+    nch = F.length(F.replace("rep", F.lit("|"), F.lit("")))
+    return tok.agg(
+        F.sum("n").cast("bigint").alias("n_words"),
+        F.sum(nch * F.col("n")).cast("bigint").alias("n_chars"),
+        F.sum(F.size(toks) * F.col("n")).cast("bigint").alias("n_tokens"),
+        F.round(F.sum(F.size(toks) * F.col("n")).cast("double")
+                / F.sum("n"), 4).alias("tokens_per_word"),
+        F.round(F.sum(nch * F.col("n")).cast("double")
+                / F.sum(F.size(toks) * F.col("n")), 4)
+        .alias("chars_per_token"))
