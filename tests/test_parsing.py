@@ -88,3 +88,34 @@ def test_conditional_fill_zero_vs_null(spark):
         F.when(F.col("kaggle") == 0, F.col("wiki"))
         .otherwise(F.col("kaggle")).alias("filled")).collect()
     assert [r["filled"] for r in out] == [5.0, 3.0, None, None]
+
+
+def test_spark_sql_twins_match_goldens(spark):
+    """The round-5 Spark-dialect SQL twins (used by the single-text
+    flagship) hit the same goldens as the Column builders — dollars,
+    runtimes, and all four date shapes, including the regex-escaping
+    (backslash doubling) the SQL literals require."""
+    from challenge8_movies_etl_spark.functions.parsing import (
+        parse_date_multiformat_spark_sql,
+        parse_dollars_spark_sql,
+        parse_runtime_spark_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(v,) for v, _ in DOLLAR_GOLDENS + RUNTIME_GOLDENS + DATE_GOLDENS],
+        ["raw"])
+    df.createOrReplaceTempView("goldens")
+    got = {r["raw"]: r for r in spark.sql(f"""
+        SELECT raw,
+               {parse_dollars_spark_sql('raw')} AS dollars,
+               {parse_runtime_spark_sql('raw')} AS runtime,
+               cast({parse_date_multiformat_spark_sql('raw')} as date)
+                 AS dt
+        FROM goldens""").collect()}
+    for raw, want in DOLLAR_GOLDENS:
+        assert got[raw]["dollars"] == want, (raw, got[raw]["dollars"])
+    for raw, want in RUNTIME_GOLDENS:
+        assert got[raw]["runtime"] == want, (raw, got[raw]["runtime"])
+    for raw, want in DATE_GOLDENS:
+        d = got[raw]["dt"]
+        assert (str(d) if d is not None else None) == want, (raw, d)
