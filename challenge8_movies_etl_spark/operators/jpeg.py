@@ -115,8 +115,18 @@ def idct2d(coef: np.ndarray) -> np.ndarray:
     return _C.T @ coef @ _C
 
 
+_HUFF_CACHE: dict[tuple, dict] = {}
+
+
 def _huff_codes(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """Canonical JPEG Huffman code map {(length, code) -> symbol}."""
+    """Canonical JPEG Huffman code map {(length, code) -> symbol}.
+    Content-keyed cache: the standard Annex-K tables arrive in every
+    DHT segment, and rebuilding 174 entries per image dominated the
+    per-image decode cost on small images."""
+    key = (tuple(bits), tuple(vals))
+    cached = _HUFF_CACHE.get(key)
+    if cached is not None:
+        return cached
     out: dict[tuple[int, int], int] = {}
     code = 0
     k = 0
@@ -126,6 +136,7 @@ def _huff_codes(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
             k += 1
             code += 1
         code <<= 1
+    _HUFF_CACHE[key] = out
     return out
 
 
@@ -304,10 +315,9 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
                 qt, dc_t, ac_t = tabs[ci]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
-                        zz = np.zeros(64, np.int64)
                         s = reader.decode_huff(dc_t)
                         preds[ci] += _extend(reader.read_bits(s), s)
-                        zz[0] = preds[ci]
+                        zz = None
                         k = 1
                         while k < 64:
                             rs = reader.decode_huff(ac_t)
@@ -320,13 +330,25 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
                             k += r
                             if k > 63:
                                 raise ValueError("AC run past block end")
+                            if zz is None:
+                                zz = np.zeros(64, np.int64)
                             zz[k] = _extend(reader.read_bits(s), s)
                             k += 1
+                        py = (my * comp["v"] + by) * 8
+                        px = (mx * comp["h"] + bx) * 8
+                        if zz is None:
+                            # DC-only block: the IDCT of a lone DC
+                            # coefficient is a uniform fill at
+                            # dc*q00/8 — skip zigzag + 2 matmuls (the
+                            # common case in flat regions; every block
+                            # of the uniform fixtures)
+                            planes[ci][py:py + 8, px:px + 8] = (
+                                preds[ci] * int(qt[0]) / 8.0 + 128.0)
+                            continue
+                        zz[0] = preds[ci]
                         coef = np.zeros(64, np.float64)
                         coef[ZIGZAG] = (zz * qt[ZIGZAG]).astype(np.float64)
                         block = idct2d(coef.reshape(8, 8)) + 128.0
-                        py = (my * comp["v"] + by) * 8
-                        px = (mx * comp["h"] + bx) * 8
                         planes[ci][py:py + 8, px:px + 8] = block
 
     if len(comps) == 1:
@@ -381,12 +403,26 @@ class _BitWriter:
         return bytes(self.out)
 
 
-def _emit(w: _BitWriter, codes: dict[tuple[int, int], int], sym: int) -> None:
-    for (length, code), s in codes.items():
-        if s == sym:
-            w.write_bits(code, length)
-            return
-    raise ValueError(f"symbol {sym} not in table")
+_REV_CACHE: dict[tuple, dict] = {}
+
+
+def _rev_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (length, code): the encoder-side view of a table
+    (content-keyed cache, same rationale as _huff_codes)."""
+    key = (tuple(bits), tuple(vals))
+    cached = _REV_CACHE.get(key)
+    if cached is None:
+        cached = {s: lc for lc, s in _huff_codes(bits, vals).items()}
+        _REV_CACHE[key] = cached
+    return cached
+
+
+def _emit(w: _BitWriter, rev: dict[int, tuple[int, int]], sym: int) -> None:
+    try:
+        length, code = rev[sym]
+    except KeyError:
+        raise ValueError(f"symbol {sym} not in table") from None
+    w.write_bits(code, length)
 
 
 def _category(v: int) -> int:
@@ -399,8 +435,8 @@ def encode_jpeg_blocks(width: int, height: int,
     row-major MCU order) as a baseline grayscale JPEG with the Annex K
     tables. The test-facing seam: any coefficient pattern round-trips
     through the real entropy/IDCT path."""
-    dc_codes = _huff_codes(DC_BITS, DC_VALS)
-    ac_codes = _huff_codes(AC_BITS, AC_VALS)
+    dc_codes = _rev_codes(DC_BITS, DC_VALS)
+    ac_codes = _rev_codes(AC_BITS, AC_VALS)
     w = _BitWriter()
     pred = 0
     for zz in blocks:
@@ -481,10 +517,10 @@ def encode_jpeg_color_uniform(width: int, height: int, y: int, cb: int,
     mcus_x = (width + 8 * hy - 1) // (8 * hy)
     mcus_y = (height + 8 * vy - 1) // (8 * vy)
 
-    dc_lum = _huff_codes(DC_BITS, DC_VALS)
-    ac_lum = _huff_codes(AC_BITS, AC_VALS)
-    dc_chr = _huff_codes(DC_CHR_BITS, DC_CHR_VALS)
-    ac_chr = _huff_codes(AC_CHR_BITS, AC_CHR_VALS)
+    dc_lum = _rev_codes(DC_BITS, DC_VALS)
+    ac_lum = _rev_codes(AC_BITS, AC_VALS)
+    dc_chr = _rev_codes(DC_CHR_BITS, DC_CHR_VALS)
+    ac_chr = _rev_codes(AC_CHR_BITS, AC_CHR_VALS)
 
     def put_block(w: _BitWriter, diff: int, dc_codes: dict,
                   ac_codes: dict) -> None:
@@ -560,10 +596,10 @@ def encode_jpeg_color_blocks(width: int, height: int,
             or len(cr_blocks) != mcus):
         raise ValueError("block counts do not match MCU grid")
 
-    dc_lum = _huff_codes(DC_BITS, DC_VALS)
-    ac_lum = _huff_codes(AC_BITS, AC_VALS)
-    dc_chr = _huff_codes(DC_CHR_BITS, DC_CHR_VALS)
-    ac_chr = _huff_codes(AC_CHR_BITS, AC_CHR_VALS)
+    dc_lum = _rev_codes(DC_BITS, DC_VALS)
+    ac_lum = _rev_codes(AC_BITS, AC_VALS)
+    dc_chr = _rev_codes(DC_CHR_BITS, DC_CHR_VALS)
+    ac_chr = _rev_codes(AC_CHR_BITS, AC_CHR_VALS)
 
     def put_block(w: _BitWriter, zz: np.ndarray, pred: int,
                   dc_codes: dict, ac_codes: dict) -> int:
