@@ -316,3 +316,68 @@ def q_stream_topk(spark, sf_dir):
             .filter(F.col("rk") <= 3)
             .select(F.col("window.start").alias("window_start"),
                     "user_id", "n", "rk"))
+
+
+@query(
+    "q_stream_backfill",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           cast(count(CASE WHEN cast(ts as date) < '2024-01-15'
+                      THEN 1 END) as bigint) AS n_overlap,
+           cast(count(CASE WHEN cast(ts as date) >= '2024-01-15'
+                      THEN 1 END) as bigint) AS n_stream_only
+    FROM events GROUP BY 1
+    """,
+)
+def q_stream_backfill(spark, sf_dir):
+    """Kappa-architecture backfill reconciliation: a BATCH history
+    (events before 2024-01-15, the mid-range cutoff) and a FULL stream
+    replay (all events — so the pre-cutoff region is delivered TWICE,
+    once per path) are unioned and deduplicated by event_id with a
+    deterministic origin preference. The per-type counts must equal a
+    plain scan of the table — the exactly-once contract under
+    overlapping delivery that every backfill-then-switch-to-stream
+    migration depends on. Without the dedup the overlap region would
+    double-count; n_overlap counts rows that arrived via both paths.
+
+    Scale: the stream side is the real machinery (readStream →
+    availableNow → memory sink); reconciliation is one union + one
+    keyed row_number dedup — at 100 TB the same dedup runs as a
+    MERGE INTO the serving table keyed on event_id."""
+    from pyspark.sql import Window as W
+
+    from .streaming.replay import replay_events_stream
+
+    cutoff = F.lit("2024-01-15").cast("date")
+    batch_hist = (load_table(spark, sf_dir, "events")
+                  .filter(F.col("ts").cast("date") < cutoff)
+                  .select("event_id", "ts", "event_type",
+                          F.lit("batch").alias("origin")))
+
+    name = f"backfill_{uuid.uuid4().hex[:8]}"
+    q = (replay_events_stream(spark, sf_dir)
+         .select("event_id", "ts", "event_type",
+                 F.lit("stream").alias("origin"))
+         .writeStream.outputMode("append")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    streamed = spark.table(name)
+
+    merged = batch_hist.unionByName(streamed)
+    rn = F.row_number().over(
+        W.partitionBy("event_id").orderBy("origin"))  # 'batch' < 'stream'
+    origins = (merged.groupBy("event_id")
+               .agg(F.countDistinct("origin").alias("n_origins")))
+    deduped = (merged.withColumn("_rn", rn).filter(F.col("_rn") == 1)
+               .drop("_rn")
+               .join(origins, "event_id"))
+    return (deduped.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.when(F.col("n_origins") == 2, 1).otherwise(0))
+                 .cast("bigint").alias("n_overlap"),
+                 F.sum(F.when(F.col("n_origins") == 1, 1).otherwise(0))
+                 .cast("bigint").alias("n_stream_only")))

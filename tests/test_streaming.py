@@ -103,3 +103,25 @@ def test_session_window_stream_equals_batch(spark):
                 for r in spark.table(name).collect()}
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_backfill_dedup_is_exactly_once(spark):
+    """The reconciled union equals a plain scan (no double counting in
+    the overlap region), and the overlap split matches the cutoff."""
+    from pyspark.sql import functions as F
+
+    rows = {r["event_type"]: r for r in
+            QUERIES["q_stream_backfill"](spark, SF_SMOKE).collect()}
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    truth = {r["event_type"]: r for r in
+             (e.groupBy("event_type")
+              .agg(F.count("*").alias("n"),
+                   F.sum(F.when(F.col("ts").cast("date") < "2024-01-15",
+                                1).otherwise(0)).alias("pre"))
+              .collect())}
+    assert set(rows) == set(truth)
+    for t, r in rows.items():
+        assert r["n"] == truth[t]["n"]
+        assert r["n_overlap"] == truth[t]["pre"]
+        assert r["n_overlap"] + r["n_stream_only"] == r["n"]
+        assert r["n_overlap"] > 0 and r["n_stream_only"] > 0
