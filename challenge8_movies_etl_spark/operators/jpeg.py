@@ -9,10 +9,12 @@ Huffman decode with byte unstuffing, DC prediction + amplitude
 level shift — for single-component grayscale AND 3-component YCbCr
 (4:4:4 and 4:2:0, the two samplings that cover the vast majority of a
 real crawl corpus), with nearest-neighbor chroma upsampling and the
-JFIF full-range YCbCr→RGB transform. Progressive (SOF2), restart
-intervals, 16-bit quant tables, and exotic samplings raise
-NotImplementedError (the honest-stub policy — no fake output for
-variants we cannot actually decode).
+JFIF full-range YCbCr→RGB transform, and restart-interval (DRI/RSTn)
+streams — byte-realign + predictor reset per interval, the layout
+cameras emit for error resilience. Progressive (SOF2), 16-bit quant
+tables, and exotic samplings raise NotImplementedError (the
+honest-stub policy — no fake output for variants we cannot actually
+decode).
 
 Rounding convention: the color transform rounds with floor(x + 0.5)
 (not banker's round), chosen so a SQL oracle can reproduce decoded
@@ -180,6 +182,20 @@ class _BitReader:
                 return sym
         raise ValueError("invalid Huffman code")
 
+    def sync_restart(self, expect: int) -> None:
+        """Byte-align and consume the RSTn marker (T.81 F.2.1.3.1:
+        entropy data is padded to a byte boundary before each
+        restart)."""
+        self.n = 0  # discard partial bits
+        if self.buf[self.pos] != 0xFF:
+            raise ValueError("expected restart marker")
+        m = self.buf[self.pos + 1]
+        if m != 0xD0 + expect:
+            raise ValueError(
+                f"restart marker out of sequence: got 0x{m:02X}, "
+                f"want 0x{0xD0 + expect:02X}")
+        self.pos += 2
+
 
 def _extend(v: int, s: int) -> int:
     """T.81 F.2.2.1 EXTEND: map s low bits to the signed amplitude."""
@@ -216,6 +232,7 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     width = height = -1
+    restart_interval = 0
     comps: list[dict] = []
     scan: list[tuple[int, int, int]] = []
     while pos < len(buf):
@@ -279,7 +296,7 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
                     bits, vals)
                 p += 17 + nv
         elif marker == 0xDD:  # DRI
-            raise NotImplementedError("restart intervals")
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             if ns != len(comps):
@@ -309,8 +326,15 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
 
     reader = _BitReader(buf, pos)
     preds = [0] * len(comps)
+    mcu_i = 0
+    rst_i = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                reader.sync_restart(rst_i)
+                rst_i = (rst_i + 1) % 8
+                preds = [0] * len(comps)
+            mcu_i += 1
             for ci, comp in enumerate(comps):
                 qt, dc_t, ac_t = tabs[ci]
                 for by in range(comp["v"]):
@@ -579,7 +603,8 @@ def encode_jpeg_color_blocks(width: int, height: int,
                              y_blocks: "list[np.ndarray]",
                              cb_blocks: "list[np.ndarray]",
                              cr_blocks: "list[np.ndarray]",
-                             subsample: str = "420") -> bytes:
+                             subsample: str = "420",
+                             restart_interval: int = 0) -> bytes:
     """Encode pre-quantized coefficient blocks (zigzag int64[64]) for
     all three components as a baseline YCbCr JPEG. Y blocks are given
     in MCU-interleave order (for 4:2:0: the 4 blocks of MCU 0
@@ -625,17 +650,26 @@ def encode_jpeg_color_blocks(width: int, height: int,
             _emit(w, ac_codes, 0x00)
         return int(zz[0])
 
+    chunks = []
     w = _BitWriter()
     preds = [0, 0, 0]
     yi = 0
+    rst = 0
     for mi in range(mcus):
+        if restart_interval and mi and mi % restart_interval == 0:
+            chunks.append(w.flush())          # byte-align this chunk
+            chunks.append(bytes((0xFF, 0xD0 + rst)))
+            rst = (rst + 1) % 8
+            preds = [0, 0, 0]
+            w = _BitWriter()
         for _ in range(hy * vy):
             preds[0] = put_block(w, y_blocks[yi], preds[0],
                                  dc_lum, ac_lum)
             yi += 1
         preds[1] = put_block(w, cb_blocks[mi], preds[1], dc_chr, ac_chr)
         preds[2] = put_block(w, cr_blocks[mi], preds[2], dc_chr, ac_chr)
-    entropy = w.flush()
+    chunks.append(w.flush())
+    entropy = b"".join(chunks)
 
     parts = [b"\xff\xd8"]
     for tid, qt in ((0, QTABLE_LUM), (1, QTABLE_CHR)):
@@ -651,6 +685,8 @@ def encode_jpeg_color_blocks(width: int, height: int,
         dht = bytes(bits[1:]) + bytes(vals)
         parts.append(b"\xff\xc4" + struct.pack(">HB", 3 + len(dht), tc_th)
                      + dht)
+    if restart_interval:
+        parts.append(b"\xff\xdd" + struct.pack(">HH", 4, restart_interval))
     parts.append(b"\xff\xda" + struct.pack(">HB", 12, 3)
                  + bytes((1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)))
     parts.append(entropy)

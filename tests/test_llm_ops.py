@@ -469,3 +469,45 @@ def test_weak_supervision_diagnostic_identities(spark):
         assert r["n_pos"] + r["n_neg"] <= joint <= n
         if joint:
             assert abs(r["rate"] - round(r["n_pos"] / joint, 4)) < 1e-9
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn streams decode identically to the restart-free encoding
+    of the same coefficients: byte re-alignment, marker sequence
+    checking, and per-interval DC predictor resets are all exercised;
+    an out-of-sequence RST marker is a loud error."""
+    import numpy as np
+    import pytest
+
+    from challenge8_movies_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color_blocks,
+    )
+
+    rng = np.random.RandomState(23)
+
+    def rand_block():
+        zz = np.zeros(64, np.int64)
+        zz[0] = rng.randint(-25, 26)
+        for k in rng.choice(range(1, 64), 4, replace=False):
+            zz[k] = rng.randint(-5, 6)
+        return zz
+
+    w, h, sub = 40, 24, "420"   # 3x2 MCUs -> restarts mid-row and mid-image
+    mcus = 6
+    yb = [rand_block() for _ in range(mcus * 4)]
+    cbb = [rand_block() for _ in range(mcus)]
+    crb = [rand_block() for _ in range(mcus)]
+    plain = encode_jpeg_color_blocks(w, h, yb, cbb, crb, sub)
+    with_rst = encode_jpeg_color_blocks(w, h, yb, cbb, crb, sub,
+                                        restart_interval=2)
+    assert b"\xff\xdd" in with_rst and b"\xff\xd0" in with_rst
+    _, _, img_a = decode_jpeg(plain)
+    _, _, img_b = decode_jpeg(with_rst)
+    assert (img_a == img_b).all()
+
+    # corrupt the first RST marker's index -> out-of-sequence error
+    bad = bytearray(with_rst)
+    bad[bad.index(b"\xff\xd0") + 1] = 0xD5
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg(bytes(bad))
