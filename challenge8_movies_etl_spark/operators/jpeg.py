@@ -7,8 +7,9 @@ this module implements the baseline-DCT subset of the public JPEG spec
 Huffman decode with byte unstuffing, DC prediction + amplitude
 "extend", AC run-length/EOB/ZRL, zigzag dequantization, float IDCT,
 level shift — for single-component grayscale AND 3-component YCbCr
-(4:4:4 and 4:2:0, the two samplings that cover the vast majority of a
-real crawl corpus), with nearest-neighbor chroma upsampling and the
+(4:4:4, 4:2:0, 4:2:2, and 4:4:0 sampling — everything a real crawl
+corpus carries in practice), with nearest-neighbor chroma upsampling
+per axis and the
 JFIF full-range YCbCr→RGB transform, and restart-interval (DRI/RSTn)
 streams — byte-realign + predictor reset per interval, the layout
 cameras emit for error resilience. Progressive (SOF2), 16-bit quant
@@ -281,10 +282,11 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
                     raise NotImplementedError("subsampled grayscale")
             else:
                 yhv = (comps[0]["h"], comps[0]["v"])
-                if yhv not in ((1, 1), (2, 2)) or any(
+                if yhv not in ((1, 1), (2, 2), (2, 1), (1, 2)) or any(
                         (c["h"], c["v"]) != (1, 1) for c in comps[1:]):
                     raise NotImplementedError(
-                        "only 4:4:4 and 4:2:0 color sampling supported")
+                        "only 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 color "
+                        "sampling supported")
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -612,9 +614,12 @@ def encode_jpeg_color_blocks(width: int, height: int,
     one block per MCU. The test-facing seam for exercising chroma AC
     coefficients, per-component DC prediction, and interleaving on the
     real entropy path (the uniform encoder only ever emits DC)."""
-    if subsample not in ("420", "444"):
-        raise ValueError("subsample must be '420' or '444'")
-    hy = vy = 2 if subsample == "420" else 1
+    try:
+        hy, vy = {"444": (1, 1), "420": (2, 2),
+                  "422": (2, 1), "440": (1, 2)}[subsample]
+    except KeyError:
+        raise ValueError(
+            "subsample must be one of 444/420/422/440") from None
     mcus = ((width + 8 * hy - 1) // (8 * hy)) \
         * ((height + 8 * vy - 1) // (8 * vy))
     if (len(y_blocks) != mcus * hy * vy or len(cb_blocks) != mcus

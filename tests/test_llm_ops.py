@@ -282,10 +282,11 @@ def test_jpeg_color_codec():
     with pytest.raises(ValueError):
         encode_jpeg_color_uniform(4, 4, 128, 129, 128)  # chroma %17
 
-    # 4:2:2 (2,1) sampling: honest NotImplementedError from the decoder
+    # exotic sampling (3,1): honest NotImplementedError from the
+    # decoder (2,1)/(1,2) became real 4:2:2/4:4:0 support in round 5
     buf = bytearray(encode_jpeg_color_uniform(8, 8, 128, 128, 128, "420"))
     sof = buf.index(b"\xff\xc0")
-    buf[sof + 11] = 0x21  # Y sampling (2,1)
+    buf[sof + 11] = 0x31  # Y sampling (3,1)
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(buf))
 
@@ -511,3 +512,75 @@ def test_jpeg_restart_intervals_roundtrip():
     bad[bad.index(b"\xff\xd0") + 1] = 0xD5
     with pytest.raises(ValueError, match="out of sequence"):
         decode_jpeg(bytes(bad))
+
+
+def test_jpeg_422_440_sampling_match_reference():
+    """4:2:2 and 4:4:0 (asymmetric chroma subsampling) decode
+    pixel-exact against the numpy reference — the upsample factors
+    differ per axis, which 4:2:0/4:4:4 never exercise."""
+    import numpy as np
+
+    from challenge8_movies_etl_spark.operators.jpeg import (
+        QTABLE_CHR,
+        QTABLE_LUM,
+        ZIGZAG,
+        decode_jpeg,
+        encode_jpeg_color_blocks,
+        idct2d,
+    )
+
+    rng = np.random.RandomState(31)
+
+    def rand_block():
+        zz = np.zeros(64, np.int64)
+        zz[0] = rng.randint(-20, 21)
+        for k in rng.choice(range(1, 64), 4, replace=False):
+            zz[k] = rng.randint(-5, 6)
+        return zz
+
+    def plane_from_blocks(blocks, qt, bw, bh):
+        out = np.zeros((bh * 8, bw * 8))
+        for i, zz in enumerate(blocks):
+            coef = np.zeros(64)
+            coef[ZIGZAG] = (zz * qt[ZIGZAG]).astype(float)
+            my, mx = divmod(i, bw)
+            out[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
+                idct2d(coef.reshape(8, 8)) + 128
+        return out
+
+    for sub, (hx, vx), w, h in (("422", (2, 1), 30, 10),
+                                ("440", (1, 2), 14, 20)):
+        mcx = (w + 8 * hx - 1) // (8 * hx)
+        mcy = (h + 8 * vx - 1) // (8 * vx)
+        mcus = mcx * mcy
+        yb = [rand_block() for _ in range(mcus * hx * vx)]
+        cbb = [rand_block() for _ in range(mcus)]
+        crb = [rand_block() for _ in range(mcus)]
+        ww, hh, img = decode_jpeg(
+            encode_jpeg_color_blocks(w, h, yb, cbb, crb, sub))
+        assert (ww, hh, img.shape) == (w, h, (h, w, 3))
+
+        ybw, ybh = mcx * hx, mcy * vx
+        raster = [None] * (ybw * ybh)
+        i = 0
+        for mi in range(mcus):
+            my, mx = divmod(mi, mcx)
+            for by in range(vx):
+                for bx in range(hx):
+                    raster[(my * vx + by) * ybw + (mx * hx + bx)] = yb[i]
+                    i += 1
+        ypl = plane_from_blocks(raster, QTABLE_LUM, ybw, ybh)
+        cbp = plane_from_blocks(cbb, QTABLE_CHR, mcx, mcy)
+        crp = plane_from_blocks(crb, QTABLE_CHR, mcx, mcy)
+        cbp = cbp.repeat(vx, 0).repeat(hx, 1)
+        crp = crp.repeat(vx, 0).repeat(hx, 1)
+        y = np.clip(np.floor(ypl[:h, :w] + 0.5), 0, 255)
+        cb = np.clip(np.floor(cbp[:h, :w] + 0.5), 0, 255)
+        cr = np.clip(np.floor(crp[:h, :w] + 0.5), 0, 255)
+        r = np.clip(np.floor(y + 1.402 * (cr - 128) + 0.5), 0, 255)
+        g = np.clip(np.floor(y - 0.344136 * (cb - 128)
+                             - 0.714136 * (cr - 128) + 0.5), 0, 255)
+        b = np.clip(np.floor(y + 1.772 * (cb - 128) + 0.5), 0, 255)
+        ref = np.stack([r, g, b], axis=-1).astype(np.uint8)
+        assert (img == ref).all(), (sub, np.abs(
+            img.astype(int) - ref.astype(int)).max())
