@@ -397,3 +397,17 @@ def test_flagship_sql_text_equals_dataframe_twin(spark):
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
     assert a.count() > 0
+
+
+def test_pq_ann_is_takeordered(spark):
+    """PQ serving scan must rank via TakeOrderedAndProject (per-
+    partition top-k + k-row driver merge), never a global sort."""
+    p = plan(spark, "q_pq_ann")
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_color_decode_zero_shuffle(spark):
+    """The color decode pipeline is Arrow-streamed end to end: no
+    exchange anywhere (decode parallelism == partition count)."""
+    p = plan(spark, "q_multimodal_decode_color")
+    assert n_shuffles(p) == 0, p
