@@ -157,3 +157,29 @@ def read_binary_files(spark: SparkSession, path: str,
     if glob:
         r = r.option("pathGlobFilter", glob)
     return r.load(path)
+
+
+def read_json_with_quarantine(spark: SparkSession, path: str,
+                              schema: T.StructType) -> DataFrame:
+    """PERMISSIVE JSON ingestion with an explicit corrupt-record
+    quarantine column — the first line of defense of a real crawl
+    pipeline: malformed rows land whole in ``_corrupt_record`` instead
+    of killing the job (FAILFAST) or vanishing (DROPMALFORMED), so the
+    bad payloads can be counted, sampled, and re-driven.
+
+    The returned frame carries the declared columns plus
+    ``_corrupt_record`` (NULL for clean rows). Callers split:
+    ``df.filter("_corrupt_record IS NULL")`` is the clean feed,
+    the complement is the quarantine sink. At 100 TB the quarantine
+    fraction is the ingest health metric you alert on.
+
+    Spark caveat encoded here: a schema that wants the corrupt column
+    must INCLUDE it (Spark refuses to emit it otherwise), and
+    PERMISSIVE mode needs the column type to be string."""
+    full = T.StructType(
+        list(schema.fields)
+        + [T.StructField("_corrupt_record", T.StringType(), True)])
+    return (spark.read.schema(full)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(path))

@@ -196,3 +196,33 @@ def test_binary_file_source_reads_real_payloads(spark, tmp_path):
     only_bmp = read_binary_files(spark, str(tmp_path), glob="*.bmp")
     names = {r["path"].rsplit("/", 1)[-1] for r in only_bmp.collect()}
     assert names == {n for n in payloads if n.endswith(".bmp")}
+
+
+def test_json_quarantine_splits_clean_from_corrupt(spark, tmp_path):
+    """Malformed JSON lines land whole in _corrupt_record; clean rows
+    parse; neither kills the job. The quarantine fraction is exact."""
+    from challenge8_movies_etl_spark.sources.raw import (
+        read_json_with_quarantine,
+    )
+    from pyspark.sql import types as T
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text('\n'.join([
+        '{"id": 1, "name": "ok"}',
+        '{"id": 2, "name": "also ok"}',
+        '{"id": 3, "name": broken',          # malformed
+        'not json at all',                   # malformed
+        '{"id": 5, "name": "fine"}',
+    ]))
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("name", T.StringType())])
+    df = read_json_with_quarantine(spark, str(p), schema).cache()
+    clean = df.filter("_corrupt_record IS NULL")
+    quarantined = df.filter("_corrupt_record IS NOT NULL")
+    assert clean.count() == 3
+    assert quarantined.count() == 2
+    assert {r["id"] for r in clean.collect()} == {1, 2, 5}
+    # the corrupt payload is preserved verbatim for re-driving
+    bad = {r["_corrupt_record"] for r in quarantined.collect()}
+    assert "not json at all" in bad
+    df.unpersist()
