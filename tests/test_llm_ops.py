@@ -594,7 +594,7 @@ def test_corpus_pipeline_funnel_monotone(spark):
             QUERIES["q_corpus_pipeline"](spark, SF_SMOKE).collect()}
     order = ["1_input", "2_dedup", "3_langid", "4_quality",
              "5_decontaminated"]
-    assert list(rows) if set(rows) == set(order) else None is None
+    assert set(rows) == set(order)
     n = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
     assert rows["1_input"]["n_docs"] == n
     for a, b in zip(order, order[1:]):
