@@ -73,6 +73,8 @@ EXTRA = [
     "q_pq_encode",
     "q_graph_components",
     "q_multimodal_decode_color",
+    "q_ivfpq_ann",
+    "q_corpus_pipeline",
 ]
 
 

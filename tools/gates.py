@@ -54,6 +54,8 @@ SHAPE = {
     "q_pq_encode": "q_multimodal_decode",      # Arrow python kernel
     "q_graph_components": "q_graph_pagerank",  # iterative joins
     "q_multimodal_decode_color": "q_multimodal_decode",
+    "q_ivfpq_ann": "q_multimodal_decode",      # Arrow kernel + topk
+    "q_corpus_pipeline": "q_join_multi_5way",  # multi-stage funnel
 }
 
 
