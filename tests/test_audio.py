@@ -1,0 +1,55 @@
+"""Unit tests for the dependency-free RIFF/WAVE PCM16 codec
+(operators/audio.py) — round-trip exactness, chunk walking, stereo
+de-interleave, and honest-stub refusals on undecodable formats."""
+
+import numpy as np
+import pytest
+
+from challenge8_movies_etl_spark.operators.audio import (
+    decode_wav_pcm16,
+    encode_wav_pcm16,
+)
+
+
+def test_roundtrip_mono_exact():
+    s = np.array([0, 1, -1, 32767, -32768, 123], dtype=np.int64)
+    rate, n_ch, out = decode_wav_pcm16(
+        encode_wav_pcm16(16000, [s]))
+    assert (rate, n_ch) == (16000, 1)
+    assert out.tolist() == s.tolist()
+
+
+def test_stereo_deinterleave_returns_channel0():
+    a = np.arange(10, dtype=np.int64)
+    b = -np.arange(10, dtype=np.int64) * 3
+    rate, n_ch, out = decode_wav_pcm16(encode_wav_pcm16(8000, [a, b]))
+    assert n_ch == 2
+    assert out.tolist() == a.tolist()
+
+
+def test_list_chunk_is_walked_not_assumed():
+    s = np.array([5, -5, 7], dtype=np.int64)
+    plain = decode_wav_pcm16(encode_wav_pcm16(8000, [s]))
+    with_list = decode_wav_pcm16(
+        encode_wav_pcm16(8000, [s], with_list_chunk=True))
+    assert plain[2].tolist() == with_list[2].tolist() == s.tolist()
+
+
+def test_refuses_non_riff_and_non_pcm():
+    with pytest.raises(NotImplementedError):
+        decode_wav_pcm16(b"OggS" + b"\x00" * 40)
+    # a float-format (tag 3) WAV must refuse, not fake features
+    buf = bytearray(encode_wav_pcm16(8000,
+                                     [np.array([1, 2], dtype=np.int64)]))
+    # fmt chunk body starts at offset 20; format tag is its first u16
+    buf[20:22] = (3).to_bytes(2, "little")
+    with pytest.raises(NotImplementedError):
+        decode_wav_pcm16(bytes(buf))
+
+
+def test_zero_cross_int64_no_overflow():
+    # products of adjacent samples exceed int16/int32 range; the
+    # feature path must compute in int64
+    s = np.array([30000, -30000, 30000], dtype=np.int64)
+    _, _, out = decode_wav_pcm16(encode_wav_pcm16(8000, [s]))
+    assert int((out[1:] * out[:-1] < 0).sum()) == 2
