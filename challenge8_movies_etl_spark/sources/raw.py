@@ -78,6 +78,25 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 
 
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row",
+             schema: T.StructType | None = None) -> DataFrame:
+    """XML source — native in Spark 4 (the spark-xml package was
+    upstreamed): StAX row-boundary splitting keeps ingest
+    executor-parallel even on large files. Pass an explicit schema in
+    production; inference costs a full extra pass at 100 TB."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row",
+              root_tag: str = "rows", mode: str = "overwrite") -> None:
+    """XML sink (executor-parallel, one document per partition file)."""
+    (df.write.mode(mode).format("xml")
+     .option("rowTag", row_tag).option("rootTag", root_tag).save(path))
+
+
 def read_text(spark: SparkSession, path: str,
               whole: bool = False) -> DataFrame:
     """Line-oriented text source → one `value` string column; the raw

@@ -74,6 +74,17 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert "PushedFilters" in plan and "n_nationkey" in plan
 
 
+def test_xml_roundtrip_value_exact(spark, tmp_path):
+    from challenge8_movies_etl_spark.sources.raw import read_xml, write_xml
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+    src = load_table(spark, SF_SMOKE, "nation") \
+        .select("n_nationkey", "n_name", "n_regionkey")
+    path = str(tmp_path / "nation_xml")
+    write_xml(src, path, row_tag="nation")
+    back = read_xml(spark, path, row_tag="nation", schema=src.schema)
+    assert sorted(back.collect()) == sorted(src.collect())
+
+
 def test_text_jsonl_roundtrip(spark, tmp_path):
     from pyspark.sql import functions as F
     from challenge8_movies_etl_spark.sources.raw import read_text, write_text
