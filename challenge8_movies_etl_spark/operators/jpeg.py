@@ -12,10 +12,13 @@ corpus carries in practice), with nearest-neighbor chroma upsampling
 per axis and the
 JFIF full-range YCbCr→RGB transform, and restart-interval (DRI/RSTn)
 streams — byte-realign + predictor reset per interval, the layout
-cameras emit for error resilience. Progressive (SOF2), 16-bit quant
-tables, and exotic samplings raise NotImplementedError (the
-honest-stub policy — no fake output for variants we cannot actually
-decode).
+cameras emit for error resilience — AND progressive (SOF2, T.81
+Annex G): spectral-selection bands, successive approximation on DC
+and AC (first + refinement passes with correction bits and EOB runs),
+coefficients accumulated across scans and reconstructed once at EOI.
+16-bit quant tables and exotic samplings still raise
+NotImplementedError (the honest-stub policy — no fake output for
+variants we cannot actually decode).
 
 Rounding convention: the color transform rounds with floor(x + 0.5)
 (not banker's round), chosen so a SQL oracle can reproduce decoded
@@ -234,6 +237,7 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
     ac_tables: dict[int, dict] = {}
     width = height = -1
     restart_interval = 0
+    progressive = False
     comps: list[dict] = []
     scan: list[tuple[int, int, int]] = []
     while pos < len(buf):
@@ -260,12 +264,13 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
                 nat[ZIGZAG] = zz  # DQT is stored in zigzag order
                 qtables[tq] = nat
                 p += 65
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline sequential (SOF0) supported, got SOF "
-                f"marker 0x{marker:02X}")
-        elif marker == 0xC0:  # SOF0
+                f"only baseline (SOF0) and progressive (SOF2) "
+                f"supported, got SOF marker 0x{marker:02X}")
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             height, width = struct.unpack_from(">HH", seg, 1)
             ncomp = seg[5]
             if ncomp not in (1, 3):
@@ -300,6 +305,12 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
+            if progressive:
+                # hand the whole scan sequence (this SOS included) to
+                # the progressive path; pos-2 points at the SOS marker
+                return _decode_progressive(
+                    buf, pos - 2, comps, width, height, qtables,
+                    dc_tables, ac_tables, restart_interval)
             ns = seg[0]
             if ns != len(comps):
                 raise NotImplementedError("multi-scan (non-interleaved)")
@@ -399,6 +410,275 @@ def decode_jpeg_gray(buf: bytes) -> tuple[int, int, np.ndarray]:
     if img.ndim != 2:
         raise ValueError("color JPEG: use decode_jpeg()")
     return width, height, img
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decode — T.81 Annex G: spectral selection +
+# successive approximation.  Coefficients accumulate across scans in
+# per-component zigzag-order arrays; dequant + IDCT happen once at EOI.
+# ---------------------------------------------------------------------------
+
+
+def _decode_progressive(buf: bytes, pos: int, comps: list[dict],
+                        width: int, height: int,
+                        qtables: dict, dc_tables: dict, ac_tables: dict,
+                        restart_interval: int) -> tuple[int, int, np.ndarray]:
+    if width <= 0 or not comps:
+        raise ValueError("missing SOF2 before SOS")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    grids = []   # per comp: (full_bw, full_bh, used_bw, used_bh)
+    for c in comps:
+        cw = -(-(width * c["h"]) // hmax)
+        ch = -(-(height * c["v"]) // vmax)
+        grids.append((mcus_x * c["h"], mcus_y * c["v"],
+                      -(-cw // 8), -(-ch // 8)))
+    coefs = [np.zeros((g[1], g[0], 64), np.int64) for g in grids]
+
+    while pos + 1 < len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", buf, pos)
+        if seglen < 2:
+            raise ValueError(f"malformed segment length {seglen}")
+        seg = buf[pos + 2: pos + seglen]
+        if marker == 0xC4:  # DHT — progressive streams redefine per scan
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = [0] + list(seg[p + 1: p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17: p + 17 + nv])
+                (dc_tables if tc == 0 else ac_tables)[th] = _huff_codes(
+                    bits, vals)
+                p += 17 + nv
+        elif marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                zz = np.frombuffer(seg, np.uint8, 64, p + 1).astype(np.int64)
+                nat = np.zeros(64, np.int64)
+                nat[ZIGZAG] = zz
+                qtables[tq] = nat
+                p += 65
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — one progressive scan
+            pos = _decode_prog_scan(buf, pos + seglen, seg, comps, grids,
+                                    coefs, dc_tables, ac_tables,
+                                    restart_interval, mcus_x, mcus_y)
+            continue
+        pos += seglen
+
+    # reconstruct: dequant + IDCT every block, then the shared
+    # upsample/color tail (identical math to the baseline path)
+    planes = []
+    for c, g, cf in zip(comps, grids, coefs):
+        bw_full, bh_full = g[0], g[1]
+        qt = qtables[c["tq"]]
+        plane = np.zeros((bh_full * 8, bw_full * 8), np.float64)
+        for by in range(bh_full):
+            for bx in range(bw_full):
+                zz = cf[by, bx]
+                if not zz[1:].any():
+                    plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                        int(zz[0]) * int(qt[0]) / 8.0 + 128.0)
+                    continue
+                coef = np.zeros(64, np.float64)
+                coef[ZIGZAG] = (zz * qt[ZIGZAG]).astype(np.float64)
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    idct2d(coef.reshape(8, 8)) + 128.0
+        planes.append(plane)
+    if len(comps) == 1:
+        out = np.clip(np.round(planes[0][:height, :width]),
+                      0, 255).astype(np.uint8)
+        return width, height, out
+    full = []
+    for c, plane in zip(comps, planes):
+        rep_y, rep_x = vmax // c["v"], hmax // c["h"]
+        if rep_y > 1 or rep_x > 1:
+            plane = plane.repeat(rep_y, axis=0).repeat(rep_x, axis=1)
+        full.append(plane[:height, :width])
+    y, cb, cr = (np.clip(np.floor(p + 0.5), 0, 255) for p in full)
+    return width, height, _ycbcr_to_rgb(y, cb, cr)
+
+
+def _decode_prog_scan(buf: bytes, pos: int, seg: bytes, comps, grids,
+                      coefs, dc_tables, ac_tables, restart_interval,
+                      mcus_x, mcus_y) -> int:
+    """Decode one progressive scan's entropy data; return the position
+    of the next marker."""
+    ns = seg[0]
+    scomp = []
+    for i in range(ns):
+        cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+        ci = next((j for j, c in enumerate(comps) if c["id"] == cs), None)
+        if ci is None:
+            raise ValueError(f"scan references unknown component {cs}")
+        scomp.append((ci, tt >> 4, tt & 15))
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+    reader = _BitReader(buf, pos)
+    eobrun = 0
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        preds = [0] * len(comps)
+        if ns > 1:  # interleaved MCU order over all scan components
+            unit = 0
+            rst_i = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if (restart_interval and unit
+                            and unit % restart_interval == 0):
+                        reader.sync_restart(rst_i)
+                        rst_i = (rst_i + 1) % 8
+                        preds = [0] * len(comps)
+                    unit += 1
+                    for ci, td, _ta in scomp:
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blk = coefs[ci][my * c["v"] + by,
+                                                mx * c["h"] + bx]
+                                _dc_pass(reader, blk, dc_tables, td,
+                                         preds, ci, ah, al)
+        else:
+            ci, td, _ta = scomp[0]
+            _, _, bw_used, bh_used = grids[ci]
+            unit = 0
+            rst_i = 0
+            for by in range(bh_used):
+                for bx in range(bw_used):
+                    if (restart_interval and unit
+                            and unit % restart_interval == 0):
+                        reader.sync_restart(rst_i)
+                        rst_i = (rst_i + 1) % 8
+                        preds = [0] * len(comps)
+                    unit += 1
+                    _dc_pass(reader, coefs[ci][by, bx], dc_tables, td,
+                             preds, ci, ah, al)
+    else:
+        if ns != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        ci, _td, ta = scomp[0]
+        act = ac_tables[ta]
+        _, _, bw_used, bh_used = grids[ci]
+        cf = coefs[ci]
+        unit = 0
+        rst_i = 0
+        for by in range(bh_used):
+            for bx in range(bw_used):
+                if (restart_interval and unit
+                        and unit % restart_interval == 0):
+                    reader.sync_restart(rst_i)
+                    rst_i = (rst_i + 1) % 8
+                    eobrun = 0
+                unit += 1
+                if ah == 0:
+                    eobrun = _ac_first(reader, cf[by, bx], act,
+                                       ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine(reader, cf[by, bx], act,
+                                        ss, se, al, eobrun)
+    # byte-align and find the next marker (skip stuffed FF00s)
+    p = reader.pos
+    while p + 1 < len(buf):
+        if buf[p] == 0xFF and buf[p + 1] != 0x00:
+            break
+        p += 1
+    return p
+
+
+def _dc_pass(reader, blk, dc_tables, td, preds, ci, ah, al) -> None:
+    if ah == 0:  # first pass: Huffman diff, shifted up by Al
+        s = reader.decode_huff(dc_tables[td])
+        preds[ci] += _extend(reader.read_bits(s), s)
+        blk[0] = preds[ci] << al
+    else:        # refinement: one raw bit per block
+        if reader.read_bit():
+            blk[0] |= 1 << al
+
+
+def _ac_first(reader, blk, act, ss, se, al, eobrun) -> int:
+    """AC first pass for one block (history all-zero in this band):
+    run/size coding with EOB-run extension (T.81 G.1.2.2)."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = reader.decode_huff(act)
+        r, s = sym >> 4, sym & 15
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            eb = (1 << r) - 1
+            if r:
+                eb += reader.read_bits(r)
+            return eb
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(reader, blk, act, ss, se, al, eobrun) -> int:
+    """AC refinement pass for one block (T.81 G.1.2.3): place newly
+    significant ±1<<Al coefficients and append one correction bit to
+    every already-nonzero coefficient passed over."""
+    p1, m1 = 1 << al, -(1 << al)
+    if eobrun:
+        for k in range(ss, se + 1):
+            c = int(blk[k])
+            if c and reader.read_bit() and (c & p1) == 0:
+                blk[k] = c + (p1 if c >= 0 else m1)
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = reader.decode_huff(act)
+        r, s = sym >> 4, sym & 15
+        val = 0
+        if s == 0:
+            if r < 15:  # EOB-run: refine the rest of this band, then
+                eb = (1 << r) - 1  # skip eb further whole blocks
+                if r:
+                    eb += reader.read_bits(r)
+                while k <= se:
+                    c = int(blk[k])
+                    if c and reader.read_bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                    k += 1
+                return eb
+            # r == 15: skip 16 zero-history positions
+        else:
+            if s != 1:
+                raise ValueError("AC refine symbol with size != 1")
+            val = p1 if reader.read_bit() else m1
+        while k <= se:
+            c = int(blk[k])
+            if c != 0:
+                if reader.read_bit() and (c & p1) == 0:
+                    blk[k] = c + (p1 if c >= 0 else m1)
+            else:
+                if r == 0:
+                    if val:
+                        blk[k] = val
+                    k += 1
+                    break
+                r -= 1
+            k += 1
+    return 0
 
 
 # ---------------------------------------------------------------------------
@@ -697,3 +977,218 @@ def encode_jpeg_color_blocks(width: int, height: int,
     parts.append(entropy)
     parts.append(b"\xff\xd9")
     return b"".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (fixtures + tests) — emits a spectral-selection +
+# successive-approximation scan script so every Annex-G decode path
+# (DC first/refine, AC first with EOB runs, AC refine with correction
+# bits, ZRL-in-refinement) is exercised by round-trip tests.
+# ---------------------------------------------------------------------------
+
+# "Flat" Huffman table: every symbol 0x00..0xFE at 8 bits, 0xFF at 16
+# (the all-ones 8-bit code stays a prefix, as T.81 C.2 requires).
+# Progressive EOBn symbols (r<<4 | 0, r<15) are NOT in the Annex-K
+# baseline tables, so progressive streams need their own table anyway;
+# flat codes keep the encoder trivially correct.
+_FLAT_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 0, 0, 0, 0, 0, 0, 0, 1]
+_FLAT_VALS = list(range(255)) + [255]
+
+
+def _emit_val(w: _BitWriter, v: int, s: int) -> None:
+    if s:
+        w.write_bits(v if v >= 0 else v + (1 << s) - 1, s)
+
+
+def _enc_dc_first(w: _BitWriter, rev: dict, blocks, al: int) -> None:
+    pred = 0
+    for zz in blocks:
+        v = int(zz[0]) >> al
+        diff = v - pred
+        pred = v
+        s = _category(diff)
+        _emit(w, rev, s)
+        _emit_val(w, diff, s)
+
+
+def _enc_dc_refine(w: _BitWriter, blocks, al: int) -> None:
+    for zz in blocks:
+        w.write_bits((int(zz[0]) >> al) & 1, 1)
+
+
+class _EobState:
+    __slots__ = ("run", "bits")
+
+    def __init__(self):
+        self.run = 0
+        self.bits: list[int] = []
+
+    def flush(self, w: _BitWriter, rev: dict) -> None:
+        if self.run:
+            r = self.run.bit_length() - 1
+            _emit(w, rev, r << 4)
+            if r:
+                w.write_bits(self.run - (1 << r), r)
+        for b in self.bits:
+            w.write_bits(b, 1)
+        self.run = 0
+        self.bits = []
+
+
+def _enc_ac_first(w: _BitWriter, rev: dict, blocks, ss: int, se: int,
+                  al: int, eob: "_EobState") -> None:
+    for zz in blocks:
+        vals = []
+        for k in range(ss, se + 1):
+            c = int(zz[k])
+            mag = abs(c) >> al
+            vals.append(mag if c >= 0 else -mag)
+        nz = [i for i, v in enumerate(vals) if v]
+        if not nz:
+            eob.run += 1
+            if eob.run == 0x7FFF:
+                eob.flush(w, rev)
+            continue
+        eob.flush(w, rev)
+        run = 0
+        for i in range(nz[-1] + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                _emit(w, rev, 0xF0)
+                run -= 16
+            s = _category(v)
+            _emit(w, rev, (run << 4) | s)
+            _emit_val(w, v, s)
+            run = 0
+        if nz[-1] < se - ss:
+            eob.run += 1
+
+
+def _enc_ac_refine(w: _BitWriter, rev: dict, blocks, ss: int, se: int,
+                   al: int, eob: "_EobState") -> None:
+    """Encoder mirror of _ac_refine's walk: correction bits are
+    emitted positionally, exactly where the decoder's walk reads
+    them (T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine)."""
+    for zz in blocks:
+        cur = [int(zz[k]) for k in range(ss, se + 1)]
+        t = [abs(c) >> al for c in cur]
+        hist = [abs(c) >> (al + 1) for c in cur]
+        n = len(cur)
+        newsig = [i for i in range(n) if hist[i] == 0 and t[i] != 0]
+        if not newsig:  # whole band is run + corrections
+            eob.run += 1
+            eob.bits.extend(t[i] & 1 for i in range(n) if hist[i])
+            if eob.run == 0x7FFF:
+                eob.flush(w, rev)
+            continue
+        # (newly-significant values are 1 by construction: t<=1
+        # whenever hist == t>>1 == 0)
+        eob.flush(w, rev)
+        pos = 0
+        for j in newsig:
+            r = sum(1 for x in range(pos, j) if t[x] == 0)
+            while r > 15:
+                _emit(w, rev, 0xF0)
+                left = 16
+                while left:     # decoder consumes exactly 16 zeros,
+                    if hist[pos]:   # reading corrections in between
+                        w.write_bits(t[pos] & 1, 1)
+                    else:
+                        left -= 1
+                    pos += 1
+                r -= 16
+            _emit(w, rev, (r << 4) | 1)
+            w.write_bits(1 if cur[j] > 0 else 0, 1)
+            left = r
+            while True:         # consume r zeros + corrections, then
+                if hist[pos]:   # the placement position j itself
+                    w.write_bits(t[pos] & 1, 1)
+                    pos += 1
+                    continue
+                if left == 0:
+                    pos += 1
+                    break
+                left -= 1
+                pos += 1
+        if pos < n:             # trailing zeros/corrections → EOB run
+            eob.run += 1
+            eob.bits.extend(t[i] & 1 for i in range(pos, n) if hist[i])
+
+
+def encode_jpeg_progressive_blocks(width: int, height: int,
+                                   blocks: "list[np.ndarray]") -> bytes:
+    """Encode pre-quantized grayscale coefficient blocks (zigzag
+    int64[64], row-major) as a PROGRESSIVE (SOF2) JPEG with a
+    six-scan script: DC first (Al=1) → AC 1..5 first (Al=1) →
+    AC 6..63 first (Al=1) → DC refine (Al=0) → AC 1..5 refine →
+    AC 6..63 refine (Ah=1, Al=0).  Spectral selection, successive
+    approximation on both DC and AC, EOB runs, ZRL inside wide
+    refinement bands, and correction bits are all in the stream."""
+    rev = _rev_codes(_FLAT_BITS, _FLAT_VALS)
+
+    def scan(header: tuple, body: bytes) -> bytes:
+        cs, ss, se, ah, al = header
+        return (b"\xff\xda" + struct.pack(">HB", 8, 1)
+                + bytes((cs, 0x00, ss, se, (ah << 4) | al)) + body)
+
+    w = _BitWriter()
+    _enc_dc_first(w, rev, blocks, 1)
+    s1 = scan((1, 0, 0, 0, 1), w.flush())
+
+    w = _BitWriter()
+    eob = _EobState()
+    _enc_ac_first(w, rev, blocks, 1, 5, 1, eob)
+    eob.flush(w, rev)
+    s2 = scan((1, 1, 5, 0, 1), w.flush())
+
+    w = _BitWriter()
+    eob = _EobState()
+    _enc_ac_first(w, rev, blocks, 6, 63, 1, eob)
+    eob.flush(w, rev)
+    s3 = scan((1, 6, 63, 0, 1), w.flush())
+
+    w = _BitWriter()
+    _enc_dc_refine(w, blocks, 0)
+    s4 = scan((1, 0, 0, 1, 0), w.flush())
+
+    w = _BitWriter()
+    eob = _EobState()
+    _enc_ac_refine(w, rev, blocks, 1, 5, 0, eob)
+    eob.flush(w, rev)
+    s5 = scan((1, 1, 5, 1, 0), w.flush())
+
+    w = _BitWriter()
+    eob = _EobState()
+    _enc_ac_refine(w, rev, blocks, 6, 63, 0, eob)
+    eob.flush(w, rev)
+    s6 = scan((1, 6, 63, 1, 0), w.flush())
+
+    qzz = QTABLE_LUM[ZIGZAG]
+    parts = [b"\xff\xd8"]
+    parts.append(b"\xff\xdb" + struct.pack(">HB", 67, 0)
+                 + bytes(int(x) for x in qzz))
+    parts.append(b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, height, width, 1)
+                 + bytes((1, 0x11, 0)))
+    dht = bytes(_FLAT_BITS[1:]) + bytes(_FLAT_VALS)
+    parts.append(b"\xff\xc4" + struct.pack(">HB", 3 + len(dht), 0x00) + dht)
+    parts.append(b"\xff\xc4" + struct.pack(">HB", 3 + len(dht), 0x10) + dht)
+    parts.extend((s1, s2, s3, s4, s5, s6))
+    parts.append(b"\xff\xd9")
+    return b"".join(parts)
+
+
+def encode_jpeg_progressive_gray_uniform(width: int, height: int,
+                                         gray: int) -> bytes:
+    """Uniform-gray progressive JPEG — same DC-exactness contract as
+    encode_jpeg_gray_uniform (even ``gray`` → decoded plane exactly
+    ``gray``), but through the five-scan progressive script, so the
+    closed-form fixture oracle also verifies the Annex-G path."""
+    n_blocks = ((width + 7) // 8) * ((height + 7) // 8)
+    dc = int(round(8.0 * (gray - 128) / int(QTABLE_LUM[0])))
+    zz = np.zeros(64, np.int64)
+    zz[0] = dc
+    return encode_jpeg_progressive_blocks(width, height,
+                                          [zz] * n_blocks)

@@ -278,3 +278,26 @@ def synthesize_color_images(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id").mapInPandas(
         run, schema="doc_id bigint, payload binary")
+
+
+def synthesize_progressive_images(docs: DataFrame) -> DataFrame:
+    """Deterministic per-doc PROGRESSIVE (SOF2) grayscale JPEG
+    payloads: even gray keeps DC quantization exact, so the decoded
+    plane is uniform at the closed-form value and the SQL oracle
+    verifies the whole Annex-G path — six-scan spectral selection,
+    DC/AC successive approximation, EOB runs — without any codec
+    (operators/jpeg.encode_jpeg_progressive_gray_uniform)."""
+    from .jpeg import encode_jpeg_progressive_gray_uniform
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payloads.append(encode_jpeg_progressive_gray_uniform(
+                    d % 13 + 1, d % 7 + 1, 2 * ((d * 11) % 128)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="doc_id bigint, payload binary")
