@@ -75,6 +75,10 @@ EXTRA = [
     "q_multimodal_decode_color",
     "q_ivfpq_ann",
     "q_corpus_pipeline",
+    # round-5 third wave: real WAV audio decode, progressive JPEG
+    "q_audio_decode",
+    "q_multimodal_decode_progressive",
+    "q_video_framestats",
 ]
 
 
@@ -109,6 +113,14 @@ def main() -> None:
     from challenge8_movies_etl_spark.session import get_spark
 
     load_all()
+    # iteration aid: SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run
+    # to those rows (the driver never sets it; full run is the default)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = set(only.split(","))
+        global HEADLINE, EXTRA
+        HEADLINE = [q for q in HEADLINE if q in keep]
+        EXTRA = [q for q in EXTRA if q in keep]
     spark = get_spark("bench")
     # warmup: exercise scan + shuffle + python-worker paths once
     QUERIES["q_agg_hash"](spark, sf_dir).count()

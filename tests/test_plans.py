@@ -411,3 +411,23 @@ def test_color_decode_zero_shuffle(spark):
     exchange anywhere (decode parallelism == partition count)."""
     p = plan(spark, "q_multimodal_decode_color")
     assert n_shuffles(p) == 0, p
+
+
+def test_audio_decode_zero_shuffle(spark):
+    """WAV decode is Arrow-streamed end to end: no exchange anywhere
+    (decode parallelism == partition count)."""
+    p = plan(spark, "q_audio_decode")
+    assert n_shuffles(p) == 0, p
+
+
+def test_progressive_decode_zero_shuffle(spark):
+    """Progressive JPEG decode keeps the same zero-shuffle shape as
+    the baseline/color decode rows."""
+    p = plan(spark, "q_multimodal_decode_progressive")
+    assert n_shuffles(p) == 0, p
+
+
+def test_video_framestats_zero_shuffle(spark):
+    """Y4M decode + frame fan-out is Arrow-streamed end to end."""
+    p = plan(spark, "q_video_framestats")
+    assert n_shuffles(p) == 0, p

@@ -1,0 +1,50 @@
+"""Unit tests for the dependency-free Y4M codec (operators/video.py):
+round-trip exactness for both plane layouts, frame striding, and
+honest-stub refusals."""
+
+import numpy as np
+import pytest
+
+from challenge8_movies_etl_spark.operators.video import (
+    decode_y4m,
+    encode_y4m,
+)
+
+
+def test_roundtrip_420_uniform_frames():
+    frames = [(10, 20, 30), (40, 50, 60), (70, 80, 90)]
+    w, h, chroma, out = decode_y4m(encode_y4m(4, 2, frames, "420jpeg"))
+    assert (w, h, chroma) == (4, 2, "420jpeg")
+    assert len(out) == 3
+    for (y, cb, cr), (ey, ecb, ecr) in zip(out, frames):
+        assert y.shape == (2, 4) and cb.shape == (1, 2)
+        assert np.unique(y).tolist() == [ey]
+        assert np.unique(cb).tolist() == [ecb]
+        assert np.unique(cr).tolist() == [ecr]
+
+
+def test_roundtrip_444_plane_geometry():
+    _, _, chroma, out = decode_y4m(encode_y4m(3, 5, [(1, 2, 3)], "444"))
+    assert chroma == "444"
+    y, cb, cr = out[0]
+    assert y.shape == cb.shape == cr.shape == (5, 3)
+
+
+def test_frame_stride_not_shifted():
+    # distinct per-frame values: a wrong plane size would bleed one
+    # frame's bytes into the next and change later frames' content
+    frames = [(i, 255 - i, i * 3 % 256) for i in range(6)]
+    _, _, _, out = decode_y4m(encode_y4m(8, 4, frames, "420jpeg"))
+    assert [int(f[0][0, 0]) for f in out] == [f[0] for f in frames]
+    assert [int(f[2][0, 0]) for f in out] == [f[2] for f in frames]
+
+
+def test_refusals():
+    with pytest.raises(NotImplementedError):
+        decode_y4m(b"RIFF not a y4m stream\n")
+    with pytest.raises(NotImplementedError):  # 4:2:2 layout not built
+        decode_y4m(b"YUV4MPEG2 W4 H4 C422\nFRAME\n" + b"\x00" * 32)
+    with pytest.raises(ValueError):  # truncated frame payload
+        decode_y4m(b"YUV4MPEG2 W4 H4 C444\nFRAME\n" + b"\x00" * 10)
+    with pytest.raises(ValueError):  # odd dims cannot carry C420
+        encode_y4m(3, 3, [(0, 0, 0)], "420jpeg")

@@ -56,6 +56,9 @@ SHAPE = {
     "q_multimodal_decode_color": "q_multimodal_decode",
     "q_ivfpq_ann": "q_multimodal_decode",      # Arrow kernel + topk
     "q_corpus_pipeline": "q_join_multi_5way",  # multi-stage funnel
+    "q_audio_decode": "q_multimodal_decode",   # Arrow python decode
+    "q_multimodal_decode_progressive": "q_multimodal_decode",
+    "q_video_framestats": "q_multimodal_decode",  # Arrow Y4M decode
 }
 
 

@@ -37,6 +37,9 @@ UDF_SURFACE = {"q_udf_scalar", "q_udaf_grouped", "q_udtf",
                "q_wordpiece_encode",  # declared pandas-UDF tokenizer
                "q_image_dedup_exact",  # mapInPandas payload synthesis
                "q_multimodal_decode_color",  # Arrow color-decode surface
+               "q_multimodal_decode_progressive",  # Annex-G decode
+               "q_audio_decode",  # Arrow WAV/PCM decode surface
+               "q_video_framestats",  # Arrow Y4M decode surface
                # PQ family: declared Arrow encode kernels (the pure-
                # expression form exceeds janino's 64 KB codegen limit —
                # queries_pq.py module docstring)
