@@ -146,3 +146,42 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
+VAD_SCHEMA = ("doc_id bigint, n_segments bigint, active_samples bigint, "
+              "longest_run bigint, first_start bigint")
+
+
+def vad_segments(media: DataFrame, threshold_frac: int = 2) -> DataFrame:
+    """Energy-gate segmentation (the VAD shape ASR pipelines cut on):
+    a sample is ACTIVE when |s| >= amp_threshold, where the threshold
+    is the per-doc peak divided by ``threshold_frac`` — runs of active
+    samples are the segments.  Per-payload run-length analysis happens
+    in numpy inside the Arrow batch (the per-sample imperative work a
+    built-in operator cannot express row-wise); output is one
+    fixed-width feature row per doc, so downstream aggregation carries
+    features, never samples."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_segments",
+                                   "active_samples", "longest_run",
+                                   "first_start")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, _ch, s = decode_wav_pcm16(bytes(payload))
+                thr = int(np.abs(s).max()) // threshold_frac
+                mask = np.abs(s) >= thr
+                # run-length encode the activity mask
+                edges = np.flatnonzero(np.diff(
+                    np.concatenate(([0], mask.view(np.int8), [0]))))
+                starts, ends = edges[0::2], edges[1::2]
+                runs = ends - starts
+                out["doc_id"].append(doc_id)
+                out["n_segments"].append(len(runs))
+                out["active_samples"].append(int(runs.sum()))
+                out["longest_run"].append(
+                    int(runs.max()) if len(runs) else 0)
+                out["first_start"].append(
+                    int(starts[0]) if len(starts) else -1)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=VAD_SCHEMA)

@@ -78,3 +78,63 @@ def q_audio_decode(spark, sf_dir):
         "peak",
         F.round("mean_abs", 4).alias("mean_abs"),
         "zero_cross")
+
+
+@query(
+    "q_audio_vad",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id,
+             50 + doc_id % 97 AS n,
+             doc_id % 11 + 1 AS k,
+             1000 * (doc_id % 7 + 1) AS amp
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             unnest(generate_series(0, n - 1)) AS i,
+             k, amp
+      FROM params
+    ), act AS (
+      SELECT doc_id, i,
+             CASE WHEN abs((i * k) % (2 * amp) - amp) >= amp // 2
+                  THEN 1 ELSE 0 END AS a
+      FROM sig
+    ), flagged AS (
+      SELECT doc_id, i, a,
+             CASE WHEN a = 1 AND coalesce(lag(a) OVER
+                    (PARTITION BY doc_id ORDER BY i), 0) = 0
+                  THEN 1 ELSE 0 END AS startflag
+      FROM act
+    ), runs AS (
+      SELECT doc_id, i, a,
+             sum(startflag) OVER (PARTITION BY doc_id ORDER BY i) AS seg
+      FROM flagged
+    ), segs AS (
+      SELECT doc_id, seg, count(*) AS run_len, min(i) AS start_i
+      FROM runs WHERE a = 1 GROUP BY doc_id, seg
+    )
+    SELECT doc_id,
+           cast(count(*) as bigint) AS n_segments,
+           cast(sum(run_len) as bigint) AS active_samples,
+           cast(max(run_len) as bigint) AS longest_run,
+           cast(min(start_i) as bigint) AS first_start
+    FROM segs GROUP BY doc_id
+    """,
+)
+def q_audio_vad(spark, sf_dir):
+    """Energy-gate voice-activity segmentation over DECODED WAV
+    payloads — the cut-on-silence primitive ASR data pipelines run
+    before transcription: threshold at peak/2, run-length-encode the
+    activity mask in numpy (operators/audio.vad_segments), emit
+    per-doc segment statistics.  The oracle regenerates the exact
+    sample series and computes the same islands with windowed SQL
+    (lag flag + running sum), so a wrong threshold, an off-by-one at
+    run boundaries, or a mask/stride bug breaks the value hash.
+
+    Scale: zero shuffle — RLE happens per payload inside the Arrow
+    batch; only fixed-width feature rows leave the executor."""
+    d = load_table(spark, sf_dir, "documents")
+    media = audio.synthesize_audio(d)
+    return audio.vad_segments(media, threshold_frac=2).select(
+        "doc_id", "n_segments", "active_samples", "longest_run",
+        "first_start")

@@ -53,3 +53,32 @@ def test_zero_cross_int64_no_overflow():
     s = np.array([30000, -30000, 30000], dtype=np.int64)
     _, _, out = decode_wav_pcm16(encode_wav_pcm16(8000, [s]))
     assert int((out[1:] * out[:-1] < 0).sum()) == 2
+
+
+def test_vad_rle_matches_bruteforce():
+    import numpy as np
+    from challenge8_movies_etl_spark.operators.audio import (
+        encode_wav_pcm16, decode_wav_pcm16)
+    rng = np.random.RandomState(9)
+    for _ in range(50):
+        s = rng.randint(-100, 101, size=rng.randint(1, 60)).astype(np.int64)
+        _, _, out = decode_wav_pcm16(encode_wav_pcm16(8000, [s]))
+        thr = int(np.abs(out).max()) // 2
+        mask = np.abs(out) >= thr
+        edges = np.flatnonzero(np.diff(
+            np.concatenate(([0], mask.view(np.int8), [0]))))
+        starts, ends = edges[0::2], edges[1::2]
+        # brute-force islands
+        segs = []
+        i = 0
+        while i < len(mask):
+            if mask[i]:
+                j = i
+                while j < len(mask) and mask[j]:
+                    j += 1
+                segs.append((i, j - i))
+                i = j
+            else:
+                i += 1
+        assert list(starts) == [a for a, _ in segs]
+        assert list(ends - starts) == [b for _, b in segs]

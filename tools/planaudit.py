@@ -40,6 +40,7 @@ UDF_SURFACE = {"q_udf_scalar", "q_udaf_grouped", "q_udtf",
                "q_multimodal_decode_progressive",  # Annex-G decode
                "q_audio_decode",  # Arrow WAV/PCM decode surface
                "q_video_framestats",  # Arrow Y4M decode surface
+               "q_audio_vad",  # Arrow decode + numpy RLE surface
                # PQ family: declared Arrow encode kernels (the pure-
                # expression form exceeds janino's 64 KB codegen limit —
                # queries_pq.py module docstring)
