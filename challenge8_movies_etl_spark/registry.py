@@ -115,6 +115,7 @@ def load_all() -> None:
     from . import queries_bpe  # noqa: F401
     from . import queries_audio  # noqa: F401
     from . import queries_video  # noqa: F401
+    from . import queries_pysource  # noqa: F401
     from . import queries_weaksup  # noqa: F401
 
     front = [n for n in _DRIVER_PRIORITY if n in QUERIES]

@@ -30,6 +30,9 @@ RUNTIME_REQUIRED_CONF: dict[str, str] = {
     # try_* functions explicitly where it matters, but keep ANSI off so
     # reference-shaped messy-string parsing behaves permissively.
     "spark.sql.ansi.enabled": "false",
+    # Python DataSource filter pushdown (sources/pydatasource.py):
+    # readers implementing pushFilters() fail fast unless enabled.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 
