@@ -1,0 +1,245 @@
+"""Model-calibration operators over the quality-classifier surface:
+expected calibration error (ECE), split-conformal prediction
+thresholds, and isotonic (PAV) calibration curves.
+
+No reference analog — these are the eval-side companions a
+training-data pipeline needs once it scores documents with a model
+(q_quality_classifier): ECE tells you whether the scores are usable as
+probabilities, the conformal threshold converts them into a coverage
+guarantee for downstream filtering, and isotonic regression repairs a
+miscalibrated scorer without retraining.
+
+Synthesis discipline (FIXTURES.md / functions/synth.py): predictions
+and labels are built from `event_id` with INTEGER-only arithmetic so
+both engines construct bit-identical inputs; the only floats are
+single deterministic IEEE divisions, and every reduction over doubles
+goes through decimal (functions/hashsafe.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions.hashsafe import DEC
+from .registry import query
+from .sources.fixtures import load_table
+
+# p = (event_id % 1000) / 1000 — a deterministic "predicted probability";
+# label = 1 iff an independent integer hash lands under p's numerator, so
+# P(label=1 | p) ~ p with per-bin noise: realistic, nonzero ECE.
+_P_NUM = "event_id % 1000"
+_LABEL = f"CASE WHEN (event_id * 7919) % 1000 < {_P_NUM} THEN 1 ELSE 0 END"
+
+
+@query(
+    "q_calibration_ece",
+    oracle=f"""
+    WITH scored AS (
+      SELECT ({_P_NUM}) // 100 AS bin,
+             cast({_P_NUM} as double) / 1000.0 AS p,
+             {_LABEL} AS label
+      FROM events
+    ),
+    per_bin AS (
+      SELECT bin, count(*) AS n_events,
+             cast(sum(cast(p as {DEC})) as double) / count(*) AS conf_raw,
+             cast(sum(label) as double) / count(*) AS acc_raw
+      FROM scored GROUP BY bin
+    )
+    SELECT bin, n_events,
+           round(conf_raw, 6) AS confidence,
+           round(acc_raw, 6) AS accuracy,
+           round(abs(acc_raw - conf_raw), 6) AS gap,
+           round(cast(sum(cast(n_events * abs(acc_raw - conf_raw)
+                               as {DEC})) OVER () as double)
+                 / sum(n_events) OVER (), 6) AS ece
+    FROM per_bin
+    ORDER BY bin
+    """,
+)
+def q_calibration_ece(spark, sf_dir):
+    """Expected calibration error in one pass: bin predictions into 10
+    equal-width confidence bins (integer-derived bin id — no float
+    boundary ambiguity), per-bin confidence vs empirical accuracy, and
+    the n-weighted ECE as a whole-frame window aggregate.
+
+    Scale: one shuffle on the 10-value bin key (map-side combine does
+    almost all the work), then a 10-row window — the ECE of a 100 TB
+    eval set costs exactly one aggregation pass. The window's
+    cross-bin sum runs through decimal so the 10-term reduction is
+    order-independent (hashsafe discipline)."""
+    e = load_table(spark, sf_dir, "events")
+    num = F.col("event_id") % 1000
+    scored = e.select(
+        (num / F.lit(100)).cast("bigint").alias("bin"),
+        (num.cast("double") / F.lit(1000.0)).alias("p"),
+        F.when((F.col("event_id") * 7919) % 1000 < num, 1)
+         .otherwise(0).alias("label"))
+    per_bin = (scored.groupBy("bin")
+               .agg(F.count("*").alias("n_events"),
+                    (F.sum(F.col("p").cast(DEC)).cast("double")
+                     / F.count("*")).alias("conf_raw"),
+                    (F.sum("label").cast("double")
+                     / F.count("*")).alias("acc_raw")))
+    w = Window.partitionBy()
+    gap_raw = F.abs(F.col("acc_raw") - F.col("conf_raw"))
+    return (per_bin.select(
+        "bin", "n_events",
+        F.round("conf_raw", 6).alias("confidence"),
+        F.round("acc_raw", 6).alias("accuracy"),
+        F.round(gap_raw, 6).alias("gap"),
+        F.round(F.sum((F.col("n_events") * gap_raw).cast(DEC)).over(w)
+                 .cast("double") / F.sum("n_events").over(w), 6)
+         .alias("ece"))
+        .orderBy("bin"))
+
+
+# nonconformity score: deterministic integer in [0, 100] from an
+# independent multiplicative hash; calibration/test split 80/20 on
+# event_id so both engines partition identically.
+_SCORE = "abs(((event_id * 2654435761) % 201) - 100)"
+_IS_CAL = "event_id % 5 < 4"
+
+
+@query(
+    "q_conformal_threshold",
+    oracle=f"""
+    WITH scored AS (
+      SELECT event_type, {_SCORE} AS score, {_IS_CAL} AS is_cal
+      FROM events
+    ),
+    cal_ranked AS (
+      SELECT event_type, score,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY score) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n_cal
+      FROM scored WHERE is_cal
+    ),
+    thresholds AS (
+      SELECT event_type, n_cal, score AS threshold
+      FROM cal_ranked
+      WHERE rk = cast(ceil(0.9 * (n_cal + 1)) as bigint)
+    )
+    SELECT t.event_type, t.n_cal, count(*) AS n_test, t.threshold,
+           round(cast(sum(CASE WHEN s.score <= t.threshold
+                               THEN 1 ELSE 0 END) as double)
+                 / count(*), 6) AS coverage
+    FROM scored s JOIN thresholds t ON s.event_type = t.event_type
+    WHERE NOT s.is_cal
+    GROUP BY t.event_type, t.n_cal, t.threshold
+    ORDER BY t.event_type
+    """,
+)
+def q_conformal_threshold(spark, sf_dir):
+    """Split-conformal prediction per group: the ceil(0.9·(n+1))-th
+    smallest calibration nonconformity score becomes the group's
+    threshold, then empirical coverage is measured on the held-out 20%.
+    The rank-k VALUE is deterministic even under score ties (the sorted
+    value sequence is unique), so no tie-break key is needed.
+
+    Scale: one shuffle on event_type for the calibration ranking (a
+    sort within each group's partition), then the tiny threshold table
+    broadcasts back onto the test side — coverage is a plain
+    aggregation. At 100 TB the order-statistic would swap to
+    approx_percentile with a rank guarantee; the exact form here is
+    the oracle-checkable baseline."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        "event_type",
+        F.abs(((F.col("event_id") * F.lit(2654435761)) % 201) - 100)
+         .alias("score"),
+        (F.col("event_id") % 5 < 4).alias("is_cal"))
+    cal = scored.filter("is_cal")
+    w = Window.partitionBy("event_type")
+    ranked = cal.select(
+        "event_type", "score",
+        F.row_number().over(w.orderBy("score")).alias("rk"),
+        F.count("*").over(w).alias("n_cal"))
+    thresholds = (ranked
+                  .filter(F.col("rk") ==
+                          F.ceil(0.9 * (F.col("n_cal") + 1))
+                           .cast("bigint"))
+                  .select("event_type", "n_cal",
+                          F.col("score").alias("threshold")))
+    test = scored.filter(~F.col("is_cal"))
+    return (test.join(F.broadcast(thresholds), "event_type")
+            .groupBy("event_type", "n_cal", "threshold")
+            .agg(F.count("*").alias("n_test"),
+                 F.round(F.sum(F.when(F.col("score") <= F.col("threshold"),
+                                      1).otherwise(0)).cast("double")
+                         / F.count("*"), 6).alias("coverage"))
+            .select("event_type", "n_cal", "n_test", "threshold",
+                    "coverage")
+            .orderBy("event_type"))
+
+
+def pav_fit(xs, y_sums, ns):
+    """Pool-adjacent-violators on pre-aggregated (x, sum(y), n) rows
+    (xs strictly increasing). Returns the isotonic fitted rate for each
+    x. Pure python so the Spark UDF and the tests share one twin."""
+    # stack of blocks [sum, n]; merge while the left neighbor's mean
+    # exceeds the new block's mean
+    blocks: list[list[float]] = []
+    sizes: list[int] = []
+    for s, n in zip(y_sums, ns):
+        blocks.append([float(s), int(n)])
+        sizes.append(1)
+        while len(blocks) > 1 and (blocks[-2][0] * blocks[-1][1]
+                                   > blocks[-1][0] * blocks[-2][1]):
+            s2, n2 = blocks.pop()
+            k2 = sizes.pop()
+            blocks[-1][0] += s2
+            blocks[-1][1] += n2
+            sizes[-1] += k2
+    out: list[float] = []
+    for (s, n), k in zip(blocks, sizes):
+        out.extend([s / n] * k)
+    return out
+
+
+@query("q_isotonic_pav")  # no SQL oracle: PAV's pooling loop is
+# data-dependent and not SQL-expressible; correctness is pinned by
+# tests/test_calibration.py (monotonicity, mass preservation, exact
+# small-case fit) against the shared pure-python twin above.
+def q_isotonic_pav(spark, sf_dir):
+    """Isotonic calibration curve per event_type: PAV over the
+    (score-bucket → empirical rate) profile. The heavy reduction —
+    per-bucket label sums over the full corpus — is a plain Spark
+    aggregation; PAV itself runs in applyInPandas on ≤100 pre-pooled
+    rows per group (declared python surface, PLANS.md).
+
+    Scale: the grouped UDF input is bounded by distinct(group) ×
+    distinct(bucket), independent of corpus row count — at 100 TB the
+    shuffle carries only the pre-aggregated profile, and each PAV call
+    is microseconds."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    num = F.col("event_id") % 1000
+    prof = (e.select("event_type",
+                     (num / F.lit(100)).cast("bigint").alias("bucket"),
+                     F.when((F.col("event_id") * 7919) % 1000 < num, 1)
+                      .otherwise(0).alias("label"))
+            .groupBy("event_type", "bucket")
+            .agg(F.sum("label").alias("y_sum"),
+                 F.count("*").alias("n")))
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket").reset_index(drop=True)
+        iso = pav_fit(pdf["bucket"].tolist(), pdf["y_sum"].tolist(),
+                      pdf["n"].tolist())
+        return pd.DataFrame({
+            "event_type": pdf["event_type"],
+            "bucket": pdf["bucket"],
+            "n": pdf["n"],
+            "raw_rate": [round(s / n, 6)
+                         for s, n in zip(pdf["y_sum"], pdf["n"])],
+            "iso_rate": [round(v, 6) for v in iso],
+        })
+
+    return (prof.groupBy("event_type")
+            .applyInPandas(fit, "event_type string, bucket bigint, "
+                                "n bigint, raw_rate double, "
+                                "iso_rate double")
+            .orderBy("event_type", "bucket"))

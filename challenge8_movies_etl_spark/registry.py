@@ -117,6 +117,7 @@ def load_all() -> None:
     from . import queries_video  # noqa: F401
     from . import queries_pysource  # noqa: F401
     from . import queries_weaksup  # noqa: F401
+    from . import queries_calibration  # noqa: F401
 
     front = [n for n in _DRIVER_PRIORITY if n in QUERIES]
     rest = [n for n in QUERIES if n not in set(front)]

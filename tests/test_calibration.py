@@ -1,0 +1,74 @@
+"""Calibration operators (queries_calibration.py): ECE identity,
+conformal coverage guarantee, and the PAV twin that pins
+q_isotonic_pav (which ships without a SQL oracle)."""
+
+from __future__ import annotations
+
+import math
+
+from challenge8_movies_etl_spark.queries_calibration import (
+    pav_fit,
+    q_calibration_ece,
+    q_conformal_threshold,
+    q_isotonic_pav,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_ece_is_weighted_gap_sum(spark):
+    rows = q_calibration_ece(spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    n_total = sum(r.n_events for r in rows)
+    expect = sum(r.n_events * abs(r.accuracy - r.confidence)
+                 for r in rows) / n_total
+    # every row carries the same whole-frame ECE, equal to the
+    # n-weighted mean gap (up to the 6dp rounding of gap itself)
+    assert len({r.ece for r in rows}) == 1
+    assert math.isclose(rows[0].ece, expect, abs_tol=2e-6)
+    # the synthetic labels are calibrated-ish: per-bin accuracy tracks
+    # confidence within the binomial noise of an sf0.001 bin
+    assert all(r.gap < 0.2 for r in rows)
+
+
+def test_conformal_coverage_near_nominal(spark):
+    rows = q_conformal_threshold(spark, SF_SMOKE).collect()
+    assert {r.event_type for r in rows} >= {"click", "view"}
+    for r in rows:
+        # split-conformal guarantees P(score <= threshold) >= 0.9 in
+        # expectation; with exchangeable integer scores the empirical
+        # test coverage should sit near 0.9, never far below
+        assert r.coverage >= 0.8, r
+        assert r.coverage <= 1.0
+        assert 0 <= r.threshold <= 100
+        assert r.n_cal > r.n_test  # 80/20 split
+
+
+def test_pav_twin_exact_small_case():
+    # classic pooling example: means [1.0, 0.0, 0.5] -> first two pool
+    # to 0.5, already <= 0.5, so fit = [0.5, 0.5, 0.5]
+    assert pav_fit([0, 1, 2], [2, 0, 1], [2, 2, 2]) == [0.5, 0.5, 0.5]
+    # already isotone input is untouched
+    assert pav_fit([0, 1, 2], [0, 1, 2], [2, 2, 2]) == [0.0, 0.5, 1.0]
+    # single violator pools with exact weighted mean
+    out = pav_fit([0, 1], [3, 1], [4, 4])  # means 0.75, 0.25 -> 0.5
+    assert out == [0.5, 0.5]
+
+
+def test_isotonic_query_monotone_and_mass_preserving(spark):
+    rows = q_isotonic_pav(spark, SF_SMOKE).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert len(by_type) == 5
+    for rs in by_type.values():
+        rs.sort(key=lambda r: r.bucket)
+        iso = [r.iso_rate for r in rs]
+        # monotone nondecreasing (6dp rounding can flip by 1 ulp)
+        assert all(b >= a - 1e-6 for a, b in zip(iso, iso[1:]))
+        # PAV preserves the weighted mean of the raw rates
+        n = sum(r.n for r in rs)
+        raw_mass = sum(r.raw_rate * r.n for r in rs)
+        iso_mass = sum(r.iso_rate * r.n for r in rs)
+        assert math.isclose(raw_mass, iso_mass, rel_tol=1e-4), (
+            raw_mass, iso_mass)
+        assert all(0.0 <= v <= 1.0 for v in iso)
