@@ -280,3 +280,186 @@ def q_rank_fusion(spark, sf_dir):
                             + 1.0 / (60 + F.col("rank_length")), 6)
                     .alias("rrf"))
             .orderBy(F.desc("rrf"), "doc_id").limit(10))
+
+
+# ---------------------------------------------------------------------------
+# q_mmr_rerank — maximal-marginal-relevance diversified re-ranking
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA = "0.7"   # literal in BOTH dialects: 1-0.7 computed at runtime
+_MMR_MU = "0.3"       # differs from the 0.3 literal in the last double bit
+
+
+def _mmr_oracle() -> str:
+    from .operators.similarity import DEC_SIM
+    from .queries_llm import _NORMS_CTE
+    lam, mu = _MMR_LAMBDA, _MMR_MU
+    dot = (f"cast(sum(cast(cast(a.embedding[gs.i] as double)"
+           f" * cast(b.embedding[gs.i] as double)"
+           f" as {DEC_SIM})) as double)")
+    return f"""
+    WITH {_NORMS_CTE},
+    probes AS (
+      SELECT vec_id AS probe_id, embedding AS pe, nrm AS pn
+      FROM norms WHERE vec_id < 4
+    ),
+    scored AS (
+      SELECT probes.probe_id, n.vec_id, n.embedding, n.nrm,
+             round(cast(sum(cast(cast(n.embedding[gs.i] as double)
+                                 * cast(probes.pe[gs.i] as double)
+                                 as {DEC_SIM})) as double)
+                   / sqrt(max(n.nrm) * max(probes.pn)), 4) AS rel
+      FROM norms n CROSS JOIN probes, range(1, 65) gs(i)
+      WHERE n.vec_id <> probes.probe_id
+      GROUP BY probes.probe_id, n.vec_id, n.embedding, n.nrm
+    ),
+    cands AS (
+      SELECT probe_id, vec_id, embedding, nrm, rel,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY rel DESC, vec_id) AS crk
+      FROM scored QUALIFY crk <= 8
+    ),
+    sims AS (
+      SELECT a.probe_id, a.vec_id AS a_id, b.vec_id AS b_id,
+             round({dot} / sqrt(max(a.nrm) * max(b.nrm)), 4) AS sim
+      FROM cands a JOIN cands b
+        ON a.probe_id = b.probe_id AND a.vec_id <> b.vec_id,
+           range(1, 65) gs(i)
+      GROUP BY a.probe_id, a.vec_id, b.vec_id
+    ),
+    sel1 AS (
+      SELECT probe_id, vec_id, rel AS mmr FROM cands WHERE crk = 1
+    ),
+    step2 AS (
+      SELECT c.probe_id, c.vec_id, c.rel, max(s.sim) AS maxsim
+      FROM cands c
+      JOIN sims s ON s.probe_id = c.probe_id AND s.a_id = c.vec_id
+      JOIN sel1 t ON t.probe_id = s.probe_id AND t.vec_id = s.b_id
+      WHERE NOT EXISTS (SELECT 1 FROM sel1 u
+                        WHERE u.probe_id = c.probe_id
+                          AND u.vec_id = c.vec_id)
+      GROUP BY c.probe_id, c.vec_id, c.rel
+    ),
+    pick2 AS (
+      SELECT probe_id, vec_id, {lam} * rel - {mu} * maxsim AS mmr
+      FROM step2
+      QUALIFY row_number() OVER (
+        PARTITION BY probe_id
+        ORDER BY {lam} * rel - {mu} * maxsim DESC, vec_id) = 1
+    ),
+    sel12 AS (
+      SELECT * FROM sel1 UNION ALL SELECT * FROM pick2
+    ),
+    step3 AS (
+      SELECT c.probe_id, c.vec_id, c.rel, max(s.sim) AS maxsim
+      FROM cands c
+      JOIN sims s ON s.probe_id = c.probe_id AND s.a_id = c.vec_id
+      JOIN sel12 t ON t.probe_id = s.probe_id AND t.vec_id = s.b_id
+      WHERE NOT EXISTS (SELECT 1 FROM sel12 u
+                        WHERE u.probe_id = c.probe_id
+                          AND u.vec_id = c.vec_id)
+      GROUP BY c.probe_id, c.vec_id, c.rel
+    ),
+    pick3 AS (
+      SELECT probe_id, vec_id, {lam} * rel - {mu} * maxsim AS mmr
+      FROM step3
+      QUALIFY row_number() OVER (
+        PARTITION BY probe_id
+        ORDER BY {lam} * rel - {mu} * maxsim DESC, vec_id) = 1
+    ),
+    final AS (
+      SELECT probe_id, vec_id, mmr, 1 AS rk FROM sel1
+      UNION ALL SELECT probe_id, vec_id, mmr, 2 FROM pick2
+      UNION ALL SELECT probe_id, vec_id, mmr, 3 FROM pick3
+    )
+    SELECT probe_id, rk, vec_id, round(mmr, 4) + 0.0 AS mmr
+    FROM final ORDER BY probe_id, rk
+    """
+
+
+@query("q_mmr_rerank", oracle=_mmr_oracle())
+def q_mmr_rerank(spark, sf_dir):
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): for each of 4 probe queries, take the top-8 relevance
+    candidates, then greedily select 3 results maximizing
+    lambda*rel(c) - (1-lambda)*max_{s in selected} sim(c, s) — the
+    standard diversified-retrieval / few-shot-example-selection
+    operator a curation pipeline runs after similarity search.
+
+    Hash discipline: rel and all candidate-candidate sims are the
+    decimal-exact 4dp cosines used across the H family; the MMR linear
+    combination uses LITERAL 0.7/0.3 coefficients on both engines
+    (computing 1 - 0.7 at runtime yields a double one ulp away from
+    the 0.3 literal), so scores are bit-identical and the greedy
+    argmax (score desc, vec_id tie-break) picks identical items.
+
+    Scale: the corpus-sized work is exactly the batch retrieval pass
+    (one scan, broadcast probes, per-probe top-k); the MMR loop runs
+    on |probes| x 8 candidates — k bounded joins on candidate-sized
+    relations, never corpus-quadratic. At 100 TB the candidate pool
+    per query stays O(k'), so reranking cost is independent of corpus
+    size."""
+    from .operators.similarity import dot_col
+    from .queries_llm import _norm
+
+    lam, mu = float(_MMR_LAMBDA), float(_MMR_MU)
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", "embedding",
+                 _norm(F.col("embedding")).alias("nrm"))
+    probes = (n.filter(F.col("vec_id") < 4)
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("embedding").alias("pe"),
+                      F.col("nrm").alias("pn")))
+    scored = (n.crossJoin(F.broadcast(probes))
+              .filter(F.col("vec_id") != F.col("probe_id"))
+              .select("probe_id", "vec_id", "embedding", "nrm",
+                      F.round(dot_col(F.col("embedding"), F.col("pe"))
+                              / F.sqrt(F.col("nrm") * F.col("pn")), 4)
+                      .alias("rel")))
+    crk = F.row_number().over(
+        W.partitionBy("probe_id").orderBy(F.desc("rel"), "vec_id"))
+    cands = (scored.withColumn("crk", crk).filter(F.col("crk") <= 8)
+             .persist())
+
+    a = cands.select("probe_id", F.col("vec_id").alias("a_id"),
+                     F.col("embedding").alias("ae"),
+                     F.col("nrm").alias("an"))
+    b = cands.select("probe_id", F.col("vec_id").alias("b_id"),
+                     F.col("embedding").alias("be"),
+                     F.col("nrm").alias("bn"))
+    sims = (a.join(b, "probe_id")
+            .filter(F.col("a_id") != F.col("b_id"))
+            .select("probe_id", "a_id", "b_id",
+                    F.round(dot_col(F.col("ae"), F.col("be"))
+                            / F.sqrt(F.col("an") * F.col("bn")), 4)
+                    .alias("sim")))
+
+    sel = (cands.filter(F.col("crk") == 1)
+           .select("probe_id", "vec_id", F.col("rel").alias("mmr"),
+                   F.lit(1).alias("rk")))
+    for t in (2, 3):
+        # anti-join out already-selected candidates, then penalty =
+        # max sim against the selected set
+        rem = cands.join(sel.select("probe_id", "vec_id"),
+                         ["probe_id", "vec_id"], "left_anti")
+        pen = (rem.select("probe_id", "vec_id", "rel")
+               .join(sims, (sims.probe_id == rem.probe_id)
+                     & (sims.a_id == rem.vec_id), "inner")
+               .join(sel.select(F.col("probe_id").alias("sp"),
+                                F.col("vec_id").alias("sel_id")),
+                     (F.col("sp") == rem.probe_id)
+                     & (F.col("b_id") == F.col("sel_id")), "inner")
+               .groupBy(rem.probe_id.alias("probe_id"), "vec_id",
+                        "rel")
+               .agg(F.max("sim").alias("maxsim")))
+        score = F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("maxsim")
+        prk = F.row_number().over(
+            W.partitionBy("probe_id").orderBy(score.desc(), "vec_id"))
+        pick = (pen.withColumn("mmr", score).withColumn("prk", prk)
+                .filter(F.col("prk") == 1)
+                .select("probe_id", "vec_id", "mmr",
+                        F.lit(t).alias("rk")))
+        sel = sel.unionByName(pick)
+    return (sel.select("probe_id", "rk", "vec_id",
+                       (F.round("mmr", 4) + 0.0).alias("mmr"))
+            .orderBy("probe_id", "rk"))

@@ -92,3 +92,48 @@ def test_rolling_median_first_row_is_value(spark):
     bad = (first.join(med, "event_id")
            .where(F.col("expect") != F.col("med7")).count())
     assert bad == 0
+
+
+def test_mmr_rerank_diversifies(spark):
+    """MMR properties at smoke scale: rank-1 equals the relevance
+    argmax, the three picks are distinct, and the selected set is
+    never LESS diverse (higher avg pairwise cosine) than the plain
+    relevance top-3."""
+    from pyspark.sql import functions as F
+
+    from challenge8_movies_etl_spark.operators.similarity import dot_col
+    from challenge8_movies_etl_spark.queries_llm import _norm
+    from challenge8_movies_etl_spark.queries_search import q_mmr_rerank
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+
+    out = q_mmr_rerank(spark, SF_SMOKE).collect()
+    assert len(out) == 12  # 4 probes x 3 ranks
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r.probe_id, []).append(r)
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    n = e.select("vec_id", "embedding",
+                 _norm(F.col("embedding")).alias("nrm"))
+    emb = {r.vec_id: (r.embedding, r.nrm) for r in n.collect()}
+
+    def cos(i, j):
+        (ea, na), (eb, nb) = emb[i], emb[j]
+        d = sum(float(x) * float(y) for x, y in zip(ea, eb))
+        return d / (na * nb) ** 0.5
+
+    for pid, rs in by_probe.items():
+        rs.sort(key=lambda r: r.rk)
+        ids = [r.vec_id for r in rs]
+        assert len(set(ids)) == 3
+        rels = sorted(((cos(pid, v), -v) for v in emb if v != pid),
+                      reverse=True)
+        top3 = [-v for _, v in rels[:3]]
+        # rank 1 is the pure-relevance argmax
+        assert ids[0] == top3[0]
+
+        def avg_pairwise(s):
+            ps = [cos(a, b) for i, a in enumerate(s) for b in s[i + 1:]]
+            return sum(ps) / len(ps)
+
+        assert avg_pairwise(ids) <= avg_pairwise(top3) + 1e-9
