@@ -462,3 +462,45 @@ def q_join_asof_nearest(spark, sf_dir):
             .select("err_id", "err_ts", "user_id",
                     F.col("best.id").alias("nearest_click_id"),
                     F.col("best.d").alias("nearest_diff_us")))
+
+
+@query(
+    "q_join_bucketed",
+    oracle=f"""
+    SELECT c.c_mktsegment, count(*) AS n_orders,
+           {sql_dsum('o.o_totalprice', 'sum_price')}
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_join_bucketed(spark, sf_dir):
+    """Shuffle-free co-located join via bucketing: both sides are
+    written `bucketBy(8, key).sortBy(key)` into managed tables, then
+    joined with a sort-merge hint — Spark recognizes the matching
+    bucket specs and elides BOTH exchanges (asserted plan-level in
+    tests/test_bucketing.py).
+
+    This is the 100 TB pattern for repeated fact-fact joins on one
+    key: pay the partitioned write once, then every downstream join on
+    that key is a zero-shuffle merge of co-located buckets. The write
+    here is part of the measured operator (idempotent overwrite into
+    the gitignored warehouse, table names keyed by the sf dir so
+    scales don't collide); the only remaining shuffle is the final
+    8-partition rollup on c_mktsegment."""
+    import hashlib
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    ot, ct = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    (o.select("o_orderkey", "o_custkey", "o_totalprice")
+     .write.mode("overwrite").bucketBy(8, "o_custkey")
+     .sortBy("o_custkey").saveAsTable(ot))
+    (c.select("c_custkey", "c_mktsegment")
+     .write.mode("overwrite").bucketBy(8, "c_custkey")
+     .sortBy("c_custkey").saveAsTable(ct))
+    ob, cb = spark.table(ot), spark.table(ct)
+    return (ob.hint("merge")
+            .join(cb.hint("merge"), ob.o_custkey == cb.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_orders"),
+                 dsum("o_totalprice", "sum_price")))

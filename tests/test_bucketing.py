@@ -39,3 +39,23 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_q_join_bucketed_plan_joins_without_exchange(spark):
+    """The registered query's sort-merge join must consume the bucket
+    layout directly: no Exchange may feed the SortMergeJoin (the only
+    allowed exchange is the post-join rollup on c_mktsegment)."""
+    from challenge8_movies_etl_spark.queries_joins import q_join_bucketed
+
+    df = q_join_bucketed(spark, SF_SMOKE)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "SortMergeJoin" in p, p
+    # formatted plan lists operators top-down; everything at or below
+    # the SMJ must be exchange-free (bucketed scan feeds the sort)
+    below_smj = p.split("SortMergeJoin", 1)[1].split("\n\n", 1)[0]
+    join_inputs = [ln for ln in below_smj.splitlines()
+                   if "Exchange" in ln]
+    assert not join_inputs, below_smj
+    assert df.count() == 5
