@@ -653,3 +653,56 @@ def q_sql_recursive(spark, sf_dir):
     for t in ("nation", "customer"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_RECURSIVE_SQL)
+
+
+@query(
+    "q_observe_metrics",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                as bigint) AS n_errors,
+           round(cast(sum(cast(value as decimal(30,10))) as double), 4)
+             AS sum_value,
+           count(*) - count(props) AS n_null_props
+    FROM events
+    """,
+)
+def q_observe_metrics(spark, sf_dir):
+    """Pipeline-observability surface: `df.observe(Observation, ...)`
+    attaches named metrics to a CollectMetrics node that Spark computes
+    DURING an action's normal pass — the zero-extra-scan way a 100 TB
+    job exports row counts, error rates, and checksums to monitoring
+    without a second aggregation job.
+
+    Here the observed action is a count over the events scan; the
+    returned 1-row frame is rebuilt from `Observation.get` with an
+    explicit schema (driver-side by construction — the metrics dict is
+    O(metrics), never O(rows)). The decimal-exact sum keeps the metric
+    hash-stable across partitionings, same as any first-class
+    aggregate."""
+    from pyspark.sql import Observation
+    from pyspark.sql import types as T
+
+    from .functions.hashsafe import DEC
+
+    e = load_table(spark, sf_dir, "events")
+    obs = Observation(f"etl_metrics_{abs(hash(sf_dir)) % 10**6}")
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+         .alias("n_errors"),
+        F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 4)
+         .alias("sum_value"),
+        (F.count(F.lit(1)) - F.count("props")).alias("n_null_props"))
+    observed.count()  # the "real" job the metrics piggyback on
+    m = obs.get
+    schema = T.StructType([
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_errors", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("n_null_props", T.LongType()),
+    ])
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_errors"], m["sum_value"],
+          m["n_null_props"])], schema)

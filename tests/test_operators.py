@@ -167,3 +167,23 @@ def test_hll_intersection_error_bound(spark):
     for pair, n_est in est.items():
         n_true = exact[pair]
         assert abs(n_est - n_true) <= max(0.05 * n_true, 5), (pair, n_est, n_true)
+
+
+def test_observe_metrics_piggyback(spark):
+    """q_observe_metrics: metrics come from the CollectMetrics node of
+    ONE observed action, and equal a direct aggregation of the same
+    frame."""
+    from pyspark.sql import functions as F
+
+    from challenge8_movies_etl_spark.queries_core import q_observe_metrics
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+
+    row = q_observe_metrics(spark, SF_SMOKE).collect()[0]
+    e = load_table(spark, SF_SMOKE, "events")
+    direct = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+         .alias("errs")).collect()[0]
+    assert row.n_rows == direct.n == e.count()
+    assert row.n_errors == direct.errs
+    assert row.n_null_props >= 0
