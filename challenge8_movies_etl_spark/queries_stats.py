@@ -662,3 +662,77 @@ def q_dedup_threshold_curve(spark, sf_dir):
                     F.round(F.col("n_dropped").cast("double")
                             / F.col("n_vecs"), 4).alias("drop_rate"))
             .orderBy("tau"))
+
+
+# ---------------------------------------------------------------------------
+# q_quantile_normalize — cross-group distribution alignment
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_quantile_normalize",
+    oracle="""
+    WITH binned AS (
+      SELECT event_type,
+             ntile(100) OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS pctile,
+             value
+      FROM events
+    ),
+    group_bucket AS (
+      SELECT event_type, pctile, count(*) AS n,
+             cast(sum(cast(value as decimal(30,10))) as double)
+               / count(*) AS grp_mean_raw
+      FROM binned GROUP BY event_type, pctile
+    ),
+    reference AS (
+      SELECT pctile,
+             cast(sum(cast(grp_mean_raw as decimal(30,10))) as double)
+               / count(*) AS ref_raw
+      FROM group_bucket GROUP BY pctile
+    )
+    SELECT g.event_type, g.pctile, g.n,
+           round(g.grp_mean_raw, 4) AS grp_mean,
+           round(r.ref_raw, 4) AS normalized
+    FROM group_bucket g JOIN reference r ON g.pctile = r.pctile
+    ORDER BY g.event_type, g.pctile
+    """,
+)
+def q_quantile_normalize(spark, sf_dir):
+    """Quantile normalization across groups (the genomics/batch-effect
+    standard): rank each group's values into 100 within-group
+    percentile bins (total order via the event_id tiebreak), average
+    each bin within its group, then map every bin to the CROSS-group
+    mean of that percentile — after which all five event_type
+    distributions are identical by construction. The per-bin output is
+    the normalization lookup a scoring pipeline broadcasts to align
+    quality scores produced by different model versions.
+
+    Hash discipline: both reductions (within-bin mean, cross-group
+    reference mean) run through decimal; rounding happens only at the
+    projection edge, and value+event_id is a total order so ntile
+    assigns boundary ties identically on both engines.
+
+    Scale: one shuffle partitioned by event_type for the within-group
+    ranking (per-group sort — at 100 TB swap ntile for
+    percentile_approx boundaries + a broadcast range join, the
+    q_winsorize pattern), then the reference table is 100 rows:
+    broadcast. Nothing corpus-sized crosses groups."""
+    e = load_table(spark, sf_dir, "events")
+    from .functions.hashsafe import DEC
+    binned = e.select(
+        "event_type", "value",
+        F.ntile(100).over(W.partitionBy("event_type")
+                          .orderBy("value", "event_id")).alias("pctile"))
+    grp = (binned.groupBy("event_type", "pctile")
+           .agg(F.count("*").alias("n"),
+                (F.sum(F.col("value").cast(DEC)).cast("double")
+                 / F.count("*")).alias("grp_mean_raw")))
+    ref = (grp.groupBy("pctile")
+           .agg((F.sum(F.col("grp_mean_raw").cast(DEC)).cast("double")
+                 / F.count("*")).alias("ref_raw")))
+    return (grp.join(F.broadcast(ref), "pctile")
+            .select("event_type", "pctile", "n",
+                    F.round("grp_mean_raw", 4).alias("grp_mean"),
+                    F.round("ref_raw", 4).alias("normalized"))
+            .orderBy("event_type", "pctile"))

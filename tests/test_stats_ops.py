@@ -197,3 +197,31 @@ def test_threshold_curve_monotone(spark):
             assert r["n_pairs"] <= prev_pairs
             assert r["n_dropped"] <= prev_drop
         prev_pairs, prev_drop = r["n_pairs"], r["n_dropped"]
+
+
+def test_quantile_normalize_aligns_distributions(spark):
+    """After QN every group maps to the SAME normalized value per
+    percentile — the defining property — and the reference preserves
+    the cross-group grand mean of bin means."""
+    from challenge8_movies_etl_spark.queries_stats import (
+        q_quantile_normalize,
+    )
+
+    rows = q_quantile_normalize(spark, SF_SMOKE).collect()
+    by_pct = {}
+    for r in rows:
+        by_pct.setdefault(r.pctile, []).append(r)
+    assert len(by_pct) == 100
+    for pct, rs in by_pct.items():
+        assert len({r.normalized for r in rs}) == 1, pct
+        vals = [r.grp_mean for r in rs]
+        lo, hi = min(vals), max(vals)
+        assert lo - 1e-4 <= rs[0].normalized <= hi + 1e-4
+    # monotone in percentile within each group
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for rs in by_type.values():
+        rs.sort(key=lambda r: r.pctile)
+        means = [r.grp_mean for r in rs]
+        assert all(b >= a for a, b in zip(means, means[1:]))
