@@ -103,7 +103,8 @@ def frame_sample(media: DataFrame, frame_bytes: int = 32,
 # uncompressed) and binary PPM (P6) are fully specified by public
 # byte-layout docs and need no library: the parsers below do real
 # header parsing, row-padding arithmetic, and channel-order handling.
-# JPEG/PNG would still raise NotImplementedError (decode_stub docs).
+# JPEG (operators/jpeg.py) and PNG (operators/png.py) decode for real
+# too; anything else raises NotImplementedError (decode_stub docs).
 # ---------------------------------------------------------------------------
 
 IMAGE_SCHEMA = ("doc_id bigint, fmt string, width bigint, height bigint, "
@@ -178,6 +179,7 @@ def decode_image_features(media: DataFrame) -> DataFrame:
     At 100 TB this runs one Arrow batch of payloads at a time per
     partition — no shuffle, decode parallelism == partition count."""
     from .jpeg import decode_jpeg
+    from .png import decode_png
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -200,11 +202,20 @@ def decode_image_features(media: DataFrame) -> DataFrame:
                         r = float(img[:, :, 0].mean())
                         g = float(img[:, :, 1].mean())
                         b = float(img[:, :, 2].mean())
+                elif buf[:4] == b"\x89PNG":
+                    fmt = "png"
+                    w, h, img = decode_png(buf)
+                    if img.ndim == 2:
+                        r = g = b = float(img.mean())
+                    else:
+                        r = float(img[:, :, 0].mean())
+                        g = float(img[:, :, 1].mean())
+                        b = float(img[:, :, 2].mean())
                 else:
                     raise NotImplementedError(
                         "no codec for this payload in container "
-                        "(BMP/P6-PPM/baseline-JPEG gray+YCbCr decode is "
-                        "dependency-free)")
+                        "(BMP/P6-PPM/baseline-JPEG gray+YCbCr/PNG decode "
+                        "is dependency-free)")
                 out["doc_id"].append(doc_id)
                 out["fmt"].append(fmt)
                 out["width"].append(w)
@@ -296,6 +307,32 @@ def synthesize_progressive_images(docs: DataFrame) -> DataFrame:
                 d = int(doc_id)
                 payloads.append(encode_jpeg_progressive_gray_uniform(
                     d % 13 + 1, d % 7 + 1, 2 * ((d * 11) % 128)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="doc_id bigint, payload binary")
+
+
+def synthesize_png_images(docs: DataFrame) -> DataFrame:
+    """Deterministic per-doc PNG payloads (round-5: the zlib rung of
+    the real-decode ladder): an 8-bit RGB gradient pixel(x,y) =
+    (c0+x+y) per channel, rows filtered with rotating filter types
+    0..4 (operators/png.encode_png_gradient), so decode must run real
+    DEFLATE inflate + all five PNG unfilters. Channel means have the
+    closed form c0 + (w-1)/2 + (h-1)/2 — a dyadic rational, bit-exact
+    in double on both engines — so a SQL oracle verifies the decode
+    end to end with no codec on its side."""
+    from .png import encode_png_gradient
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payloads.append(encode_png_gradient(
+                    d % 13 + 1, d % 7 + 1,
+                    d % 200, (d * 7) % 200, (d * 13) % 200))
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "payload": payloads})
 

@@ -1,0 +1,181 @@
+"""Dependency-free PNG codec (round-5: extend the real-decode ladder
+BMP/PPM/JPEG with the other ubiquitous crawl format).
+
+Real decode path per the PNG spec (RFC 2083 / W3C PNG): signature,
+chunk walk with CRC-32 verification, IHDR validation, multi-IDAT
+concatenation, zlib inflate (stdlib zlib — DEFLATE is available
+without any imaging library), and scanline UNFILTERING for all five
+filter types (None/Sub/Up/Average/Paeth). The fixture encoder applies
+a rotating filter per row, so a decoder that mishandles any single
+filter type — or the Paeth predictor's tie-breaking order — produces
+wrong pixels and breaks the closed-form oracle.
+
+Honest-stub policy (operators/multimodal.py): variants without a real
+dependency-free path here — interlaced (Adam7), 16-bit, palette,
+alpha — raise NotImplementedError instead of faking output.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec 6.6): nearest of left/up/up-left to
+    a+b-c, ties broken left, then up."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _filter_row(ftype: int, raw: bytes, prev: bytes, bpp: int) -> bytes:
+    """Forward filter (encoder side)."""
+    out = bytearray(len(raw))
+    for i, x in enumerate(raw):
+        a = raw[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            out[i] = x
+        elif ftype == 1:
+            out[i] = (x - a) & 0xFF
+        elif ftype == 2:
+            out[i] = (x - b) & 0xFF
+        elif ftype == 3:
+            out[i] = (x - (a + b) // 2) & 0xFF
+        elif ftype == 4:
+            out[i] = (x - _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad filter {ftype}")
+    return bytes(out)
+
+
+def _unfilter_row(ftype: int, flt: bytes, prev: bytes, bpp: int) -> bytes:
+    """Inverse filter (decoder side) — reconstruction is sequential in
+    i because Sub/Average/Paeth reference the already-reconstructed
+    left neighbor."""
+    out = bytearray(len(flt))
+    for i, x in enumerate(flt):
+        a = out[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            out[i] = x
+        elif ftype == 1:
+            out[i] = (x + a) & 0xFF
+        elif ftype == 2:
+            out[i] = (x + b) & 0xFF
+        elif ftype == 3:
+            out[i] = (x + (a + b) // 2) & 0xFF
+        elif ftype == 4:
+            out[i] = (x + _paeth(a, b, c)) & 0xFF
+        else:
+            raise NotImplementedError(f"unknown PNG filter type {ftype}")
+    return bytes(out)
+
+
+def encode_png_gradient(width: int, height: int,
+                        r0: int, g0: int, b0: int) -> bytes:
+    """8-bit RGB PNG whose pixel (x, y) is (r0+x+y, g0+x+y, b0+x+y) —
+    callers must keep c0 + width + height <= 256 so there is no
+    wraparound and the channel mean has the closed form
+    c0 + (w-1)/2 + (h-1)/2 (a dyadic rational: bit-exact in double on
+    any engine). Each row uses filter type y % 5, so every decode
+    exercises all five filters once height >= 5."""
+    if max(r0, g0, b0) + width + height > 256:
+        raise ValueError("gradient would wrap modulo 256")
+    raw_rows = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            row += bytes(((r0 + x + y), (g0 + x + y), (b0 + x + y)))
+        raw_rows.append(bytes(row))
+    prev = b"\x00" * (3 * width)
+    stream = bytearray()
+    for y, raw in enumerate(raw_rows):
+        f = y % 5
+        stream.append(f)
+        stream += _filter_row(f, raw, prev, 3)
+        prev = raw
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + _chunk(b"IEND", b""))
+
+
+def decode_png(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode an 8-bit truecolor (or grayscale) non-interlaced PNG.
+    Returns (width, height, uint8 array h x w x 3 — or h x w for
+    grayscale). Raises ValueError on corruption (bad signature, CRC
+    mismatch, truncated stream) and NotImplementedError on valid PNGs
+    outside the supported subset."""
+    if buf[:8] != _SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    ended = False
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack_from(">I", buf, pos)
+        typ = buf[pos + 4:pos + 8]
+        data = buf[pos + 8:pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(buf):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", buf, pos + 8 + length)
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {typ!r} chunk")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            ended = True
+            break
+        pos += 12 + length
+    if ihdr is None or not ended:
+        raise ValueError("missing IHDR/IEND")
+    width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr)
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlaced PNG not supported")
+    if depth != 8:
+        raise NotImplementedError(f"bit depth {depth} not supported")
+    if ctype not in (0, 2):
+        raise NotImplementedError(
+            f"color type {ctype} (palette/alpha) not supported")
+    if comp != 0 or filt != 0:
+        raise ValueError("bad compression/filter method")
+    bpp = 3 if ctype == 2 else 1
+    try:
+        stream = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"IDAT inflate failed: {exc}") from exc
+    stride = bpp * width
+    if len(stream) != (stride + 1) * height:
+        raise ValueError("decompressed size mismatch")
+    rows = []
+    prev = b"\x00" * stride
+    for y in range(height):
+        off = y * (stride + 1)
+        raw = _unfilter_row(stream[off], stream[off + 1:off + 1 + stride],
+                            prev, bpp)
+        rows.append(np.frombuffer(raw, dtype=np.uint8))
+        prev = raw
+    px = np.stack(rows)
+    if ctype == 2:
+        px = px.reshape(height, width, 3)
+    return width, height, px

@@ -906,6 +906,53 @@ def q_multimodal_decode_progressive(spark, sf_dir):
 
 
 @query(
+    "q_multimodal_decode_png",
+    oracle="""
+    SELECT doc_id,
+           'png' AS fmt,
+           doc_id % 13 + 1 AS width,
+           doc_id % 7 + 1 AS height,
+           round(cast(doc_id % 200 as double)
+                 + (doc_id % 13) / 2.0 + (doc_id % 7) / 2.0, 4)
+             AS mean_r,
+           round(cast((doc_id * 7) % 200 as double)
+                 + (doc_id % 13) / 2.0 + (doc_id % 7) / 2.0, 4)
+             AS mean_g,
+           round(cast((doc_id * 13) % 200 as double)
+                 + (doc_id % 13) / 2.0 + (doc_id % 7) / 2.0, 4)
+             AS mean_b
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def q_multimodal_decode_png(spark, sf_dir):
+    """REAL PNG decode, no codec libraries (round 5: the zlib rung of
+    the decode ladder): 8-bit RGB gradient PNGs — pixel(x,y) = c0+x+y
+    per channel, each row forward-filtered with rotating filter types
+    0..4 — are synthesized per doc (operators/png.py), then the
+    Arrow-batched decoder walks chunks with CRC-32 verification,
+    inflates the multi-IDAT stream via stdlib zlib, and reverses all
+    five PNG scanline filters including the Paeth predictor. The
+    channel mean of the gradient is the closed form
+    c0 + (w-1)/2 + (h-1)/2 — a dyadic rational that double arithmetic
+    represents exactly on both engines, so any unfilter slip (wrong
+    left/up reference, Paeth tie-break, stride bug) breaks the value
+    hash. Interlaced/16-bit/palette PNGs raise NotImplementedError
+    (honest-stub policy).
+
+    Scale: identical shape to q_multimodal_decode — zero shuffle,
+    Arrow-streamed mapInPandas, decode parallelism == partitions."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 2)
+    media = multimodal.synthesize_png_images(d)
+    feats = multimodal.decode_image_features(media)
+    return feats.select(
+        "doc_id", "fmt", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"))
+
+
+@query(
     "q_multimodal_framesample",
     oracle="""
     SELECT doc_id, i AS frame_idx,

@@ -186,7 +186,9 @@ def test_image_decode_roundtrip_and_honest_failure(spark):
     assert rows[3]["height"] == 7
     assert rows[3]["mean_r"] == 200.0 and rows[3]["mean_b"] == 200.0
 
-    bad = spark.createDataFrame([(3, bytearray(b"\x89PNG fake"))],
+    # PNG is a real codec since round 5 (operators/png.py) — GIF is
+    # the representative format with no dependency-free decoder
+    bad = spark.createDataFrame([(3, bytearray(b"GIF89a junk"))],
                                 "doc_id long, payload binary")
     with pytest.raises(Exception) as ei:
         decode_image_features(bad).collect()

@@ -1,0 +1,117 @@
+"""PNG codec (operators/png.py): pixel-exact round-trip through all
+five scanline filters, CRC/truncation corruption detection, and the
+honest-stub refusals for unsupported variants."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from challenge8_movies_etl_spark.operators.png import (
+    _SIG,
+    _chunk,
+    _paeth,
+    decode_png,
+    encode_png_gradient,
+)
+
+
+def expected_gradient(w, h, r0, g0, b0):
+    xs = np.arange(w)[None, :, None]
+    ys = np.arange(h)[:, None, None]
+    c0 = np.array([r0, g0, b0])[None, None, :]
+    return (c0 + xs + ys).astype(np.uint8)
+
+
+def test_roundtrip_pixel_exact_all_filters():
+    # height 7 > 5 rows -> filter types 0,1,2,3,4,0,1 all exercised
+    w, h, r0, g0, b0 = 13, 7, 100, 50, 7
+    buf = encode_png_gradient(w, h, r0, g0, b0)
+    dw, dh, px = decode_png(buf)
+    assert (dw, dh) == (w, h)
+    assert px.shape == (h, w, 3)
+    np.testing.assert_array_equal(px, expected_gradient(w, h, r0, g0, b0))
+
+
+def test_roundtrip_1x1_and_wide():
+    for w, h in ((1, 1), (1, 6), (9, 1)):
+        buf = encode_png_gradient(w, h, 10, 20, 30)
+        dw, dh, px = decode_png(buf)
+        assert (dw, dh) == (w, h)
+        np.testing.assert_array_equal(
+            px, expected_gradient(w, h, 10, 20, 30))
+
+
+def test_paeth_predictor_spec_cases():
+    # spec 6.6: p = a+b-c; nearest wins, ties prefer left, then up
+    assert _paeth(1, 1, 1) == 1
+    assert _paeth(10, 20, 15) == 15  # pa=pb=5, pc=0 -> up-left
+    assert _paeth(10, 20, 30) == 10  # p=0: pa=10<pb=20<pc=30 -> left
+    assert _paeth(30, 20, 10) == 30  # p=40: pa=10<pb=20<pc=30 -> left
+    assert _paeth(0, 64, 128) == 0   # p=-64: pa=64, pb=128, pc=192
+
+
+def test_multi_idat_streams_concatenate():
+    w, h = 5, 5
+    buf = encode_png_gradient(w, h, 60, 70, 80)
+    # split the single IDAT into two chunks
+    pos = 8
+    parts = {}
+    order = []
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack_from(">I", buf, pos)
+        typ = buf[pos + 4:pos + 8]
+        parts[typ] = buf[pos + 8:pos + 8 + length]
+        order.append(typ)
+        pos += 12 + length
+        if typ == b"IEND":
+            break
+    idat = parts[b"IDAT"]
+    cut = len(idat) // 2
+    rebuilt = (_SIG + _chunk(b"IHDR", parts[b"IHDR"])
+               + _chunk(b"IDAT", idat[:cut])
+               + _chunk(b"IDAT", idat[cut:])
+               + _chunk(b"IEND", b""))
+    dw, dh, px = decode_png(rebuilt)
+    np.testing.assert_array_equal(px, expected_gradient(w, h, 60, 70, 80))
+
+
+def test_corruption_detected():
+    buf = bytearray(encode_png_gradient(4, 4, 1, 2, 3))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"\x00" * 20)
+    # flip one payload byte inside the IDAT chunk -> CRC mismatch
+    (ihdr_len,) = struct.unpack_from(">I", buf, 8)
+    idat_payload_off = 8 + 12 + ihdr_len + 8
+    buf[idat_payload_off + 2] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(buf))
+    with pytest.raises(ValueError, match="truncated|missing"):
+        decode_png(bytes(encode_png_gradient(4, 4, 1, 2, 3))[:-8])
+
+
+def test_unsupported_variants_refuse_honestly():
+    # interlaced: rebuild IHDR with interlace=1
+    def with_ihdr(depth=8, ctype=2, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0,
+                           interlace)
+        raw = b"\x00" + bytes(6) if ctype == 2 else b"\x00" + bytes(2)
+        stream = (raw) * 2
+        return (_SIG + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", zlib.compress(stream))
+                + _chunk(b"IEND", b""))
+
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png(with_ihdr(interlace=1))
+    with pytest.raises(NotImplementedError, match="depth"):
+        decode_png(with_ihdr(depth=16))
+    with pytest.raises(NotImplementedError, match="color type"):
+        decode_png(with_ihdr(ctype=6))
+
+
+def test_gradient_wraparound_guard():
+    with pytest.raises(ValueError, match="wrap"):
+        encode_png_gradient(13, 7, 250, 0, 0)
