@@ -1235,3 +1235,112 @@ def q_dp_histogram(spark, sf_dir):
                     - 1.0 * F.signum(u) * F.log(1 - 2 * F.abs(u)), 4)
     return (c.select("bucket", noisy.alias("noisy_count"))
             .orderBy("bucket"))
+
+
+# ---------------------------------------------------------------------------
+# q_crossval_ols — k-fold cross-validation via leave-one-fold-out
+# sufficient statistics
+# ---------------------------------------------------------------------------
+
+_CV_Y = "value * 3.0 + (event_id % 7)"  # deterministic target
+
+
+@query(
+    "q_crossval_ols",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id % 5 AS fold, value AS x, {_CV_Y} AS y
+      FROM events
+    ),
+    per_fold AS (
+      SELECT fold, count(*) AS n,
+             sum(cast(x as decimal(30,10))) AS sx,
+             sum(cast(y as decimal(30,10))) AS sy,
+             sum(cast(x * y as decimal(30,10))) AS sxy,
+             sum(cast(x * x as decimal(30,10))) AS sxx
+      FROM pts GROUP BY fold
+    ),
+    train AS (
+      SELECT fold, n AS n_test,
+             cast(sum(n) OVER () - n as double) AS tn,
+             cast(sum(sx) OVER () - sx as double) AS tsx,
+             cast(sum(sy) OVER () - sy as double) AS tsy,
+             cast(sum(sxy) OVER () - sxy as double) AS tsxy,
+             cast(sum(sxx) OVER () - sxx as double) AS tsxx
+      FROM per_fold
+    ),
+    coefs AS (
+      SELECT fold, n_test, cast(tn as bigint) AS n_train,
+             (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx)
+               AS slope,
+             (tsy - (tn * tsxy - tsx * tsy)
+                    / (tn * tsxx - tsx * tsx) * tsx) / tn AS icept
+      FROM train
+    )
+    SELECT p.fold, c.n_train, c.n_test,
+           round(c.slope, 6) + 0.0 AS slope,
+           round(c.icept, 6) + 0.0 AS intercept,
+           round(cast(sum(cast((p.y - c.icept - c.slope * p.x)
+                               * (p.y - c.icept - c.slope * p.x)
+                               as decimal(30,10))) as double)
+                 / c.n_test, 6) AS test_mse
+    FROM pts p JOIN coefs c ON p.fold = c.fold
+    GROUP BY p.fold, c.n_train, c.n_test, c.slope, c.icept
+    ORDER BY p.fold
+    """,
+)
+def q_crossval_ols(spark, sf_dir):
+    """5-fold cross-validated linear regression in TWO passes over the
+    data, never five: pass 1 aggregates per-fold sufficient statistics
+    (n, Σx, Σy, Σxy, Σx² — decimal-exact), the leave-one-fold-out
+    training sums are then just total − fold (a 5-row window, no
+    re-scan), and pass 2 joins the broadcast per-fold coefficients back
+    to score held-out MSE. This is how CV works at 100 TB: k-fold
+    costs 2 scans + a k-row broadcast regardless of k.
+
+    Hash discipline: sufficient statistics are exact decimal sums cast
+    to double before the (deterministic IEEE) slope/intercept algebra;
+    per-row residuals are doubles, their reduction decimal; rounding
+    only at the edge with the sign-of-zero guard."""
+    from .functions.hashsafe import DEC
+
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select((F.col("event_id") % 5).alias("fold"),
+                   F.col("value").alias("x"),
+                   (F.col("value") * 3.0
+                    + (F.col("event_id") % 7)).alias("y"))
+    per_fold = (pts.groupBy("fold")
+                .agg(F.count("*").alias("n"),
+                     F.sum(F.col("x").cast(DEC)).alias("sx"),
+                     F.sum(F.col("y").cast(DEC)).alias("sy"),
+                     F.sum((F.col("x") * F.col("y")).cast(DEC))
+                      .alias("sxy"),
+                     F.sum((F.col("x") * F.col("x")).cast(DEC))
+                      .alias("sxx")))
+    w = W.partitionBy()
+    train = per_fold.select(
+        "fold", F.col("n").alias("n_test"),
+        (F.sum("n").over(w) - F.col("n")).cast("double").alias("tn"),
+        (F.sum("sx").over(w) - F.col("sx")).cast("double").alias("tsx"),
+        (F.sum("sy").over(w) - F.col("sy")).cast("double").alias("tsy"),
+        (F.sum("sxy").over(w) - F.col("sxy")).cast("double")
+         .alias("tsxy"),
+        (F.sum("sxx").over(w) - F.col("sxx")).cast("double")
+         .alias("tsxx"))
+    slope = ((F.col("tn") * F.col("tsxy") - F.col("tsx") * F.col("tsy"))
+             / (F.col("tn") * F.col("tsxx") - F.col("tsx") * F.col("tsx")))
+    coefs = train.select(
+        "fold", "n_test", F.col("tn").cast("bigint").alias("n_train"),
+        slope.alias("slope"),
+        ((F.col("tsy") - slope * F.col("tsx")) / F.col("tn"))
+         .alias("icept"))
+    resid = F.col("y") - F.col("icept") - F.col("slope") * F.col("x")
+    return (pts.join(F.broadcast(coefs), "fold")
+            .groupBy("fold", "n_train", "n_test", "slope", "icept")
+            .agg(F.round(F.sum((resid * resid).cast(DEC)).cast("double")
+                         / F.first("n_test"), 6).alias("test_mse"))
+            .select("fold", "n_train", "n_test",
+                    (F.round("slope", 6) + 0.0).alias("slope"),
+                    (F.round("icept", 6) + 0.0).alias("intercept"),
+                    "test_mse")
+            .orderBy("fold"))

@@ -393,3 +393,20 @@ def test_dp_histogram_seeded_and_bounded(spark):
     for k, noisy in a.items():
         assert 0 <= k <= 10
         assert abs(noisy - truth[k]) <= math.log(1e6) + 1e-6
+
+
+def test_crossval_ols_recovers_generating_model(spark):
+    """y = 3x + (event_id%7): every fold's slope must sit near 3, the
+    intercept near E[event_id%7] = 3, and held-out MSE near the
+    variance of the uniform {0..6} noise (4.0) — and the
+    leave-one-fold-out sums must make n_train + n_test constant."""
+    from challenge8_movies_etl_spark.queries_eval import q_crossval_ols
+
+    rows = q_crossval_ols(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    total = rows[0].n_train + rows[0].n_test
+    for r in rows:
+        assert r.n_train + r.n_test == total
+        assert abs(r.slope - 3.0) < 0.05, r
+        assert abs(r.intercept - 3.0) < 0.6, r
+        assert 2.5 < r.test_mse < 5.5, r
