@@ -185,3 +185,39 @@ def vad_segments(media: DataFrame, threshold_frac: int = 2) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=VAD_SCHEMA)
+
+
+PITCH_SCHEMA = ("doc_id bigint, best_lag bigint, ac_peak bigint, "
+                "energy bigint")
+
+
+def autocorr_pitch(media: DataFrame, max_lag: int = 20) -> DataFrame:
+    """Autocorrelation pitch estimation over decoded channel-0 PCM16:
+    ac(L) = Σ s[i]·s[i+L] for L in 1..max_lag; the reported lag is the
+    argmax (ties → smallest lag, matched by iterating lags ascending).
+    Everything stays in int64 — PCM16 products are ≤ 2^30 and the
+    fixture signals are ≤ ~150 samples, so sums are exact integers and
+    the value-hash needs no float discipline at all. This is the
+    classic no-FFT pitch tracker; a spectral estimate would add
+    transcendental constants no cross-engine oracle can reproduce
+    bit-exactly, and for periodicity detection the time-domain
+    autocorrelation is the same information."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "best_lag", "ac_peak",
+                                   "energy")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, _ch, s = decode_wav_pcm16(bytes(payload))
+                s = s.astype(np.int64)
+                best_lag, ac_peak = 0, None
+                for lag in range(1, max_lag + 1):
+                    ac = int(np.dot(s[:-lag], s[lag:]))
+                    if ac_peak is None or ac > ac_peak:
+                        best_lag, ac_peak = lag, ac
+                out["doc_id"].append(doc_id)
+                out["best_lag"].append(best_lag)
+                out["ac_peak"].append(ac_peak)
+                out["energy"].append(int(np.dot(s, s)))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=PITCH_SCHEMA)

@@ -138,3 +138,60 @@ def q_audio_vad(spark, sf_dir):
     return audio.vad_segments(media, threshold_frac=2).select(
         "doc_id", "n_segments", "active_samples", "longest_run",
         "first_start")
+
+
+@query(
+    "q_audio_pitch",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id,
+             50 + doc_id % 97 AS n,
+             doc_id % 11 + 1 AS k,
+             1000 * (doc_id % 7 + 1) AS amp
+      FROM documents
+    ), sig AS (
+      SELECT doc_id, n,
+             unnest(generate_series(0, n - 1)) AS i,
+             k, amp
+      FROM params
+    ), s AS (
+      SELECT doc_id, i, cast((i * k) % (2 * amp) - amp as bigint) AS v
+      FROM sig
+    ), ac AS (
+      SELECT a.doc_id, l.lag,
+             cast(sum(a.v * b.v) as bigint) AS ac
+      FROM (SELECT unnest(generate_series(1, 20)) AS lag) l
+      CROSS JOIN s a
+      JOIN s b ON b.doc_id = a.doc_id AND b.i = a.i + l.lag
+      GROUP BY a.doc_id, l.lag
+    ), best AS (
+      SELECT doc_id, lag, ac,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY ac DESC, lag) AS rk
+      FROM ac
+    ), energy AS (
+      SELECT doc_id, cast(sum(v * v) as bigint) AS energy
+      FROM s GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.lag AS best_lag, b.ac AS ac_peak, e.energy
+    FROM best b JOIN energy e ON b.doc_id = e.doc_id
+    WHERE b.rk = 1
+    """,
+)
+def q_audio_pitch(spark, sf_dir):
+    """Autocorrelation pitch/periodicity estimation over DECODED WAV
+    payloads (operators/audio.autocorr_pitch): the argmax-lag of
+    Σ s[i]·s[i+L], L = 1..20, plus the peak autocorrelation and the
+    signal energy — ALL int64-exact, so the oracle (which regenerates
+    the closed-form sawtooth and runs the same lagged self-join in
+    SQL) matches bit-for-bit with no float discipline. A decoder slip
+    anywhere — chunk walk, de-interleave, sign extension — shifts the
+    integers and breaks the hash.
+
+    Scale: zero shuffle on the Spark side (per-payload numpy inside
+    mapInPandas, output one fixed-width row per doc); the oracle's
+    O(n·max_lag) lagged join exists only on the DuckDB side — Spark
+    never materializes per-sample rows."""
+    d = load_table(spark, sf_dir, "documents")
+    media = audio.synthesize_audio(d)
+    return audio.autocorr_pitch(media)

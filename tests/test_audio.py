@@ -82,3 +82,28 @@ def test_vad_rle_matches_bruteforce():
                 i += 1
         assert list(starts) == [a for a, _ in segs]
         assert list(ends - starts) == [b for _, b in segs]
+
+
+def test_autocorr_pitch_finds_sawtooth_period():
+    """For a pure sawtooth of period P <= max_lag, ac(L) peaks exactly
+    at L = P (the signal realigns with itself); verify against a
+    hand-built WAV outside the fixture synthesizer."""
+    import numpy as np
+
+    from challenge8_movies_etl_spark.operators.audio import (
+        autocorr_pitch,
+        encode_wav_pcm16,
+    )
+
+    # period-8 sawtooth: (i*250) % 2000 - 1000 repeats every 8 samples
+    i = np.arange(120, dtype=np.int64)
+    sig = (i * 250) % 2000 - 1000
+    from challenge8_movies_etl_spark.session import get_spark
+    spark = get_spark("pytest", shuffle_partitions=8)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_wav_pcm16(8000, [sig])))],
+        "doc_id long, payload binary")
+    row = autocorr_pitch(media).collect()[0]
+    assert row.best_lag == 8
+    assert row.energy == int(np.dot(sig, sig))
+    assert row.ac_peak <= row.energy  # Cauchy-Schwarz
