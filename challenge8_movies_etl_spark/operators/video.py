@@ -147,3 +147,38 @@ def frame_stats(media: DataFrame, every: int = 2) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=VIDEO_SCHEMA)
+
+
+SCENE_SCHEMA = ("doc_id bigint, n_frames bigint, n_cuts bigint, "
+                "first_cut bigint, max_diff bigint")
+
+
+def scene_cuts(media: DataFrame, threshold: int = 64) -> DataFrame:
+    """Scene-cut detection over decoded Y4M: the per-pixel mean
+    absolute luma difference between consecutive frames, thresholded —
+    the shot-boundary primitive video-curation pipelines cut on before
+    captioning/sampling. The fixture frames are uniform, so the
+    per-pixel mean diff is an exact integer and the oracle reproduces
+    it in closed form; the decoder still computes it from the real
+    decoded planes, so any plane-geometry bug breaks the hash."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_frames", "n_cuts",
+                                   "first_cut", "max_diff")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _w, _h, _chroma, frames = decode_y4m(bytes(payload))
+                diffs = []
+                for (y0, _, _), (y1, _, _) in zip(frames, frames[1:]):
+                    d = np.abs(y1.astype(np.int64)
+                               - y0.astype(np.int64)).mean()
+                    diffs.append(int(d))
+                cuts = [i + 1 for i, d in enumerate(diffs)
+                        if d >= threshold]
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(len(frames))
+                out["n_cuts"].append(len(cuts))
+                out["first_cut"].append(cuts[0] if cuts else -1)
+                out["max_diff"].append(max(diffs) if diffs else 0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=SCENE_SCHEMA)

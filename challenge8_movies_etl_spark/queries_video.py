@@ -61,3 +61,49 @@ def q_video_framestats(spark, sf_dir):
         F.round("mean_y", 4).alias("mean_y"),
         F.round("mean_cb", 4).alias("mean_cb"),
         F.round("mean_cr", 4).alias("mean_cr"))
+
+
+@query(
+    "q_video_scenecut",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 3 + doc_id % 5 AS n FROM documents
+    ), f AS (
+      SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+      FROM params
+    ), luma AS (
+      SELECT doc_id, n, i,
+             (doc_id * 7 + i * 31) % 256 AS y,
+             lag((doc_id * 7 + i * 31) % 256)
+               OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM f
+    ), diffs AS (
+      SELECT doc_id, n, i, abs(y - prev) AS d
+      FROM luma WHERE prev IS NOT NULL
+    )
+    SELECT doc_id,
+           cast(max(n) as bigint) AS n_frames,
+           cast(coalesce(sum(CASE WHEN d >= 64 THEN 1 END), 0)
+                as bigint) AS n_cuts,
+           cast(coalesce(min(CASE WHEN d >= 64 THEN i END), -1)
+                as bigint) AS first_cut,
+           cast(max(d) as bigint) AS max_diff
+    FROM diffs GROUP BY doc_id
+    """,
+)
+def q_video_scenecut(spark, sf_dir):
+    """Shot-boundary detection over DECODED Y4M frames
+    (operators/video.scene_cuts): per-pixel mean |ΔY| between
+    consecutive decoded luma planes, thresholded at 64 — the
+    shot-segmentation pass a video-curation pipeline runs before
+    frame sampling, so clips are sampled per shot rather than
+    uniformly across cuts. The fixture frames are uniform, making the
+    mean diff an exact integer the oracle reproduces from the closed
+    form; a plane-size / stride / chroma-layout mistake in the decoder
+    changes the luma bytes and breaks the hash.
+
+    Scale: zero shuffle — per-payload frame walk inside the Arrow
+    batch, one fixed-width row per clip out."""
+    d = load_table(spark, sf_dir, "documents")
+    media = video.synthesize_videos(d)
+    return video.scene_cuts(media)

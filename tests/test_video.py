@@ -48,3 +48,38 @@ def test_refusals():
         decode_y4m(b"YUV4MPEG2 W4 H4 C444\nFRAME\n" + b"\x00" * 10)
     with pytest.raises(ValueError):  # odd dims cannot carry C420
         encode_y4m(3, 3, [(0, 0, 0)], "420jpeg")
+
+
+def test_scene_cuts_hand_built_clip(spark):
+    """Frames [10, 10, 200, 200, 90]: cuts at frame 2 (|200-10|=190)
+    and frame 4 (|90-200|=110); first_cut=2, max_diff=190."""
+    import numpy as np
+
+    from challenge8_movies_etl_spark.operators.video import (
+        encode_y4m,
+        scene_cuts,
+    )
+
+    frames = [(v, 128, 128) for v in (10, 10, 200, 200, 90)]
+    media = spark.createDataFrame(
+        [(7, bytearray(encode_y4m(4, 4, frames, "444")))],
+        "doc_id long, payload binary")
+    row = scene_cuts(media).collect()[0]
+    assert row.n_frames == 5
+    assert row.n_cuts == 2
+    assert row.first_cut == 2
+    assert row.max_diff == 190
+
+
+def test_scene_cuts_no_cut_clip(spark):
+    from challenge8_movies_etl_spark.operators.video import (
+        encode_y4m,
+        scene_cuts,
+    )
+
+    frames = [(50 + i, 0, 0) for i in range(4)]  # |diff| = 1 each
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_y4m(2, 2, frames, "420jpeg")))],
+        "doc_id long, payload binary")
+    row = scene_cuts(media).collect()[0]
+    assert row.n_cuts == 0 and row.first_cut == -1 and row.max_diff == 1
