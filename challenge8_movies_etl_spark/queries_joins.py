@@ -488,8 +488,23 @@ def q_join_bucketed(spark, sf_dir):
     scales don't collide); the only remaining shuffle is the final
     8-partition rollup on c_mktsegment."""
     import hashlib
+    import shutil
+    from pathlib import Path
+    from urllib.parse import urlparse
+
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     ot, ct = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
+    # a table dropped from a FRESH session's in-memory catalog can
+    # leave an orphaned warehouse directory behind, which
+    # saveAsTable(overwrite) refuses (LOCATION_ALREADY_EXISTS) — clear
+    # both catalog entry and location (on a cluster: a filesystem rm
+    # against the shared warehouse)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in (ot, ct):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = Path(wh) / t
+        if loc.exists():
+            shutil.rmtree(loc)
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     (o.select("o_orderkey", "o_custkey", "o_totalprice")

@@ -44,7 +44,12 @@ UDF_SURFACE = {"q_udf_scalar", "q_udaf_grouped", "q_udtf",
                # PQ family: declared Arrow encode kernels (the pure-
                # expression form exceeds janino's 64 KB codegen limit —
                # queries_pq.py module docstring)
-               "q_pq_encode", "q_pq_ann", "q_pq_recall", "q_ivfpq_ann"}
+               "q_pq_encode", "q_pq_ann", "q_pq_recall", "q_ivfpq_ann",
+               "q_audio_pitch",  # Arrow decode + int64 autocorrelation
+               "q_video_scenecut",  # Arrow Y4M decode + luma diff
+               "q_multimodal_decode_png",  # Arrow PNG decode surface
+               "q_isotonic_pav",  # applyInPandas PAV on pooled profiles
+               "q_observe_metrics"}  # CollectMetrics + local result
 
 
 def audit(spark, qid, fn, sf_dir):
