@@ -292,3 +292,46 @@ def q_zorder_layout(spark, sf_dir):
             .agg(F.count("*").alias("n_rows"),
                  F.min("xb").alias("min_cb"), F.max("xb").alias("max_cb"),
                  F.min("yb").alias("min_db"), F.max("yb").alias("max_db")))
+
+
+@query(
+    "q_partitioned_pruned_scan",
+    oracle="""
+    SELECT cast(cast(ts as date) as string) AS day,
+           count(*) AS n_events,
+           cast(round(sum(cast(value as decimal(30,10))), 4) as double)
+             AS sum_value
+    FROM events WHERE event_type = 'click'
+    GROUP BY cast(cast(ts as date) as string)
+    ORDER BY day
+    """,
+)
+def q_partitioned_pruned_scan(spark, sf_dir):
+    """Hive-style partitioned layout + partition pruning: events are
+    written `partitionBy(event_type)` into the (gitignored) warehouse
+    directory, then the filtered read touches ONLY the matching
+    partition directory — the scan's PartitionFilters prune the other
+    four event types before any file is opened (plan-asserted in
+    tests/test_layout_ops.py). This is the standard 100 TB table
+    layout: partition on the coarse always-filtered column
+    (tenant/day/type), bucket or sort within partitions for the finer
+    keys; a predicate on the partition column reads 1/N of the data
+    with zero I/O on the rest.
+
+    The write is part of the operator (idempotent overwrite, path
+    keyed by sf dir); the aggregate is the proof the pruned read still
+    computes exact results."""
+    import hashlib
+    from pathlib import Path
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = str(Path("spark-warehouse") / f"events_part_{tag}")
+    e = load_table(spark, sf_dir, "events")
+    (e.write.mode("overwrite").partitionBy("event_type").parquet(path))
+    part = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    return (part.groupBy(F.col("ts").cast("date").cast("string")
+                          .alias("day"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum(F.col("value").cast("decimal(30,10)")), 4)
+                  .cast("double").alias("sum_value"))
+            .orderBy("day"))

@@ -88,3 +88,25 @@ def test_zorder_envelopes_prune_both_dimensions(spark):
         hit_y = sum(1 for r in files if r["min_db"] <= probe <= r["max_db"])
         assert hit_x <= n / 4
         assert hit_y <= n / 4
+
+
+def test_partitioned_scan_actually_prunes(spark):
+    """The filtered read of the partitionBy(event_type) layout must
+    carry the partition predicate in the scan's PartitionFilters (zero
+    I/O on the other four types) and read only the matching
+    directory."""
+    from challenge8_movies_etl_spark.queries_incremental import (
+        q_partitioned_pruned_scan,
+    )
+
+    df = q_partitioned_pruned_scan(spark, SF_SMOKE)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "PartitionFilters" in p
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "event_type" in m.group(1), p
+    # the data filters must NOT re-check event_type row-wise: pruning
+    # happened at the directory level
+    assert df.count() > 0
