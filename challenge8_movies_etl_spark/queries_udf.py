@@ -147,3 +147,83 @@ def q_udtf(spark, sf_dir):
         SELECT d.doc_id, t.token, t.pos
         FROM {view} d, LATERAL tokenize_udtf_{sfx}(d.text) t
     """)
+
+
+@query(
+    "q_cogroup_asof",
+    oracle="""
+    WITH thr AS (
+      SELECT t.event_type, k.k AS thr_k,
+             TIMESTAMP '2024-01-01' + INTERVAL (k.k * 7) DAY AS thr_ts,
+             (k.k + 1) * 10 AS thr
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT unnest(generate_series(0, 4)) AS k) k
+    )
+    SELECT e.event_type, t.thr_k, t.thr,
+           count(*) AS n_events,
+           cast(coalesce(sum(CASE WHEN e.value > t.thr THEN 1 END), 0)
+                as bigint) AS n_above
+    FROM events e ASOF JOIN thr t
+      ON e.event_type = t.event_type AND e.ts >= t.thr_ts
+    GROUP BY e.event_type, t.thr_k, t.thr
+    ORDER BY e.event_type, t.thr_k
+    """,
+)
+def q_cogroup_asof(spark, sf_dir):
+    """Cogrouped applyInPandas — the per-key two-sided pandas surface
+    (`df.groupBy(k).cogroup(other.groupBy(k)).applyInPandas`): each
+    event_type's events and its 5-row threshold schedule meet in ONE
+    pandas callback that runs merge_asof (latest threshold at or
+    before each event) and returns the per-(type, threshold-epoch)
+    aggregate — the canonical Spark-docs shape for per-key as-of
+    enrichment when the right-side logic is genuinely frame-wise.
+    The declarative twins (q_join_asof / q_join_asof_nearest) remain
+    the scale path for plain as-of joins; THIS surface is for when
+    the per-key merge needs imperative pandas logic.
+
+    Hash discipline: thresholds and counts are all integers; the only
+    float op is the value>thr comparison of a parquet double against
+    an int — deterministic on both engines. The oracle runs DuckDB's
+    native ASOF JOIN against the identical generated schedule.
+
+    Scale: cogroup shuffles both sides once on the key; each pandas
+    call sees one key's rows. Skewed keys bound the batch — for a
+    100 TB skewed key, pre-aggregate or salt before the cogroup
+    (q_agg_salted pattern); output here is O(keys × epochs)."""
+    import datetime as dt
+
+    e = load_table(spark, sf_dir, "events")
+    # the schedule side derives from the same cached events frame —
+    # project its key under a NEW name (fresh exprId) so the cogroup
+    # doesn't trip the ambiguous-self-join check; cogroup matches
+    # grouping keys positionally, names may differ
+    types = (e.select(F.col("event_type").alias("et")).distinct())
+    thr = (types.crossJoin(F.broadcast(
+              spark.range(5).select(F.col("id").alias("thr_k"))))
+           .select("et", "thr_k",
+                   (F.lit(dt.datetime(2024, 1, 1))
+                    + F.make_interval(days=F.col("thr_k") * 7))
+                    .alias("thr_ts"),
+                   ((F.col("thr_k") + 1) * 10).alias("thr")))
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(columns=["event_type", "thr_k", "thr",
+                                         "n_events", "n_above"])
+        left = left.sort_values("ts")
+        right = right.sort_values("thr_ts")
+        m = pd.merge_asof(left, right, left_on="ts", right_on="thr_ts",
+                          direction="backward")
+        g = (m.groupby(["thr_k", "thr"], as_index=False)
+             .agg(n_events=("value", "size"),
+                  n_above=("value", lambda v: int(
+                      (v > m.loc[v.index, "thr"]).sum()))))
+        g.insert(0, "event_type", left["event_type"].iloc[0])
+        return g
+
+    out = (e.select("event_type", "ts", "value").groupBy("event_type")
+           .cogroup(thr.groupBy("et"))
+           .applyInPandas(merge, "event_type string, thr_k bigint, "
+                                 "thr bigint, n_events bigint, "
+                                 "n_above bigint"))
+    return out.orderBy("event_type", "thr_k")

@@ -187,3 +187,23 @@ def test_observe_metrics_piggyback(spark):
     assert row.n_rows == direct.n == e.count()
     assert row.n_errors == direct.errs
     assert row.n_null_props >= 0
+
+
+def test_cogroup_asof_epoch_boundaries(spark):
+    """Every event lands in the epoch floor((day-1)/7); per-type event
+    counts must re-sum to the type's total, and thr must equal
+    (thr_k+1)*10."""
+    from challenge8_movies_etl_spark.queries_udf import q_cogroup_asof
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+
+    rows = q_cogroup_asof(spark, SF_SMOKE).collect()
+    e = load_table(spark, SF_SMOKE, "events")
+    totals = {r.event_type: r.n for r in
+              e.groupBy("event_type").count()
+              .withColumnRenamed("count", "n").collect()}
+    by_type = {}
+    for r in rows:
+        assert r.thr == (r.thr_k + 1) * 10
+        assert 0 <= r.n_above <= r.n_events
+        by_type[r.event_type] = by_type.get(r.event_type, 0) + r.n_events
+    assert by_type == totals
