@@ -381,3 +381,115 @@ def q_stream_backfill(spark, sf_dir):
                  .cast("bigint").alias("n_overlap"),
                  F.sum(F.when(F.col("n_origins") == 1, 1).otherwise(0))
                  .cast("bigint").alias("n_stream_only")))
+
+
+@query(
+    "q_stream_late_data",
+    oracle="""
+    WITH marked AS (
+      SELECT ts,
+             CASE WHEN cast(ts as date) < DATE '2024-01-10'
+                       AND event_id % 7 <> 0 THEN 'a'
+                  WHEN cast(ts as date) < DATE '2024-01-20'
+                       AND event_id % 7 <> 0 THEN 'b'
+                  ELSE 'c' END AS batch
+      FROM events
+    ),
+    wm AS (
+      SELECT max(CASE WHEN batch = 'a' THEN ts END)
+               - INTERVAL 1 HOUR AS wm1,
+             max(ts) - INTERVAL 1 HOUR AS wm_final
+      FROM marked
+    ),
+    admitted AS (
+      SELECT m.ts FROM marked m, wm
+      WHERE m.batch IN ('a', 'b')
+         OR date_trunc('hour', m.ts) + INTERVAL 1 HOUR > wm.wm1
+    )
+    SELECT date_trunc('hour', a.ts) AS window_start,
+           count(*) AS n
+    FROM admitted a, wm
+    WHERE date_trunc('hour', a.ts) + INTERVAL 1 HOUR <= wm.wm_final
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_stream_late_data(spark, sf_dir):
+    """Watermark LATE-DATA semantics, made exactly replayable: events
+    split into three files — batch A (days 1-9, event_id % 7 != 0),
+    batch B (days 10-19, % 7 != 0), batch C (the tail plus ALL the
+    % 7 == 0 stragglers withheld from A/B) — written with pinned
+    modification times so the file source (maxFilesPerTrigger=1,
+    availableNow) replays them as three ordered micro-batches.
+
+    Spark >= 3.4 runs SPLIT watermarks (SPARK-40925): the late-event
+    filter of batch N uses the PREVIOUS batch's watermark, eviction
+    uses the current one (verified empirically this round:
+    numRowsDroppedByWatermark fires in batch C exactly for windows
+    whose end <= wm_after_A). So: B is fully admitted (filter wm is
+    -inf), C's stragglers are dropped iff their hour-window end <=
+    wm1 = max(ts in A) - 1h, and append mode ultimately emits every
+    window whose end <= wm_final = max(all ts) - 1h (availableNow
+    appends a final empty batch that flushes with the last watermark).
+    The oracle reproduces precisely this protocol in SQL; boundary
+    ties are impossible because watermarks carry microsecond offsets
+    while window ends are exact hours.
+
+    Scale: watermark eviction is what bounds the window store at
+    100 TB; the dropped-late accounting demonstrated here is the
+    audit a real ingest alerts on (pair with q_observe_metrics)."""
+    import hashlib
+    import os
+    import shutil
+    import time as _time
+    from pathlib import Path
+
+    from .session import apply_required_conf
+    apply_required_conf(spark)
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = Path("spark-warehouse") / f"late_stream_{tag}"
+    if root.exists():
+        shutil.rmtree(root)
+    (root / "in").mkdir(parents=True)
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type")
+    d = F.col("ts").cast("date")
+    straggler = F.col("event_id") % 7 == 0
+    splits = (
+        ("00_a", (d < F.lit("2024-01-10").cast("date")) & ~straggler),
+        ("01_b", (d >= F.lit("2024-01-10").cast("date"))
+         & (d < F.lit("2024-01-20").cast("date")) & ~straggler),
+        ("02_c", (d >= F.lit("2024-01-20").cast("date")) | straggler),
+    )
+    t0 = _time.time() - 100
+    for i, (name_, pred) in enumerate(splits):
+        part_dir = root / f"tmp_{name_}"
+        e.filter(pred).coalesce(1).write.parquet(str(part_dir))
+        src = next(part_dir.glob("part-*.parquet"))
+        dst = root / "in" / f"{name_}.parquet"
+        shutil.move(str(src), dst)
+        shutil.rmtree(part_dir)
+        # the file source orders batches by modification time — pin it
+        os.utime(dst, (t0 + 10 * i, t0 + 10 * i))
+
+    schema = spark.read.parquet(str(root / "in")).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(root / "in")))
+    agg = (stream.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour"))
+           .count()
+           .select(F.col("window.start").alias("window_start"),
+                   F.col("count").alias("n")))
+    qname = f"late_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("append")
+         .format("memory").queryName(qname)
+         .option("checkpointLocation", str(root / "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    return spark.table(qname).orderBy("window_start")

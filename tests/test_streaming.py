@@ -125,3 +125,39 @@ def test_backfill_dedup_is_exactly_once(spark):
         assert r["n_overlap"] == truth[t]["pre"]
         assert r["n_overlap"] + r["n_stream_only"] == r["n"]
         assert r["n_overlap"] > 0 and r["n_stream_only"] > 0
+
+
+def test_late_data_drops_are_real(spark):
+    """The three-batch replay must actually DROP batch-C stragglers
+    for windows closed by wm1 = max(ts in A) - 1h: the emitted count
+    for any pre-Jan-10 window equals the A-side count alone, while a
+    window in the (wm1, wm2] band includes its admitted stragglers."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from challenge8_movies_etl_spark.queries_streaming import (
+        q_stream_late_data,
+    )
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+
+    out = {r.window_start: r.n
+           for r in q_stream_late_data(spark, SF_SMOKE).collect()}
+    e = load_table(spark, SF_SMOKE, "events")
+    d = F.col("ts").cast("date")
+    straggler = F.col("event_id") % 7 == 0
+    a = e.filter((d < F.lit("2024-01-10").cast("date")) & ~straggler)
+    wm1 = a.agg(F.max("ts")).collect()[0][0] - dt.timedelta(hours=1)
+
+    hours = sorted(h for h in out
+                   if h + dt.timedelta(hours=1) <= wm1)
+    assert hours, "no fully-closed windows emitted"
+    dropped_any = 0
+    for h in hours[:20]:
+        hi = h + dt.timedelta(hours=1)
+        in_w = (F.col("ts") >= F.lit(h)) & (F.col("ts") < F.lit(hi))
+        n_a = a.filter(in_w).count()
+        n_all = e.filter(in_w).count()
+        assert out[h] == n_a, (h, out[h], n_a, n_all)
+        dropped_any += n_all - n_a
+    assert dropped_any > 0, "fixture produced no stragglers to drop"

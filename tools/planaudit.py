@@ -28,7 +28,8 @@ ITERATIVE = {"q_dedup_clusters", "q_graph_pagerank", "q_graph_bfs",
              "q_kmeans"}
 STREAMING = {"q_stream_replay_tumbling", "q_stream_join_static",
              "q_stream_stream_join", "q_stream_stateful_counter",
-             "q_stream_dedup", "q_stream_backfill"}
+             "q_stream_dedup", "q_stream_backfill",
+             "q_stream_late_data"}
 # the mandated row-wise UDF surface — PythonUDF/Arrow eval expected
 UDF_SURFACE = {"q_udf_scalar", "q_udaf_grouped", "q_udtf",
                "q_multimodal_meta", "q_multimodal_framesample",
