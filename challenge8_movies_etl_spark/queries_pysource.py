@@ -62,3 +62,65 @@ def q_pysource_scan(spark, sf_dir):
         F.sum("quality_bucket").alias("bucket_sum"),
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"))
+
+
+@query(
+    "q_pysource_stream",
+    oracle="""
+    WITH d AS (
+      SELECT unnest(generate_series(0, 4999)) AS doc_id
+    ), src AS (
+      SELECT doc_id,
+             CASE doc_id % 5 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                  WHEN 2 THEN 'fr' WHEN 3 THEN 'es' ELSE 'it' END
+               AS lang,
+             doc_id % 97 AS quality_bucket
+      FROM d
+    )
+    SELECT lang,
+           cast(count(*) as bigint) AS n_docs,
+           cast(sum(quality_bucket) as bigint) AS bucket_sum,
+           cast(min(doc_id) as bigint) AS min_id,
+           cast(max(doc_id) as bigint) AS max_id
+    FROM src GROUP BY lang
+    """,
+)
+def q_pysource_stream(spark, sf_dir):
+    """STREAM from the custom Python DataSource
+    (`spark.readStream.format("synthcorpus")`) — the Spark 4
+    DataSourceStreamReader surface: row-id offsets advance 1000 rows
+    per micro-batch, each batch's range splits into executor-parallel
+    partitions, and the engine's offset checkpointing makes delivery
+    exactly-once. All 5000 docs arrive over 5 micro-batches into a
+    memory sink; the final per-language aggregate must be value-hash
+    identical to the closed-form corpus — any dropped, duplicated, or
+    re-ordered offset range breaks count/min/max/sum.
+
+    Scale: this is the skeleton of a custom ingest connector (queue,
+    API, change feed) — offsets bound replay, partitions bound
+    parallelism, and the aggregation below is ordinary Catalyst."""
+    import uuid as _uuid
+
+    apply_required_conf(spark)
+    register(spark)
+    stream = (spark.readStream.format("synthcorpus")
+              .option("n_docs", 5000).option("batch_rows", 1000)
+              .option("numPartitions", 4).load())
+    name = f"pystream_{_uuid.uuid4().hex[:8]}"
+    q = (stream.writeStream.outputMode("append")
+         .format("memory").queryName(name)
+         .trigger(processingTime="0 seconds")
+         .start())
+    import time as _time
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        q.processAllAvailable()
+        if spark.table(name).count() >= 5000:
+            break
+        _time.sleep(0.2)
+    q.stop()
+    return (spark.table(name).groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("quality_bucket").alias("bucket_sum"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id")))

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -117,7 +118,52 @@ class SynthCorpusDataSource(DataSource):
     def reader(self, schema):
         return SynthCorpusReader(self.options)
 
+    def streamReader(self, schema):
+        return SynthCorpusStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent registration: spark.read.format('synthcorpus')."""
     spark.dataSource.register(SynthCorpusDataSource)
+
+
+class SynthCorpusStreamReader(DataSourceStreamReader):
+    """`DataSourceStreamReader` for the same synthetic corpus — the
+    Spark 4 STREAMING source-extension surface. Offsets are row ids:
+    `latestOffset` advances by `batch_rows` per micro-batch until
+    `n_docs`, `partitions(start, end)` splits each micro-batch range
+    into executor-parallel slices, and exactly-once delivery falls out
+    of the offset bookkeeping (the engine checkpoints the committed
+    offset; replay after failure re-reads the same deterministic
+    range). Real deployments swap the closed-form row for a poll of
+    an external system and keep the offset/partition skeleton."""
+
+    def __init__(self, options):
+        self.n_docs = int(options.get("n_docs", 1000))
+        self.batch_rows = int(options.get("batch_rows", 250))
+        self.n_parts = int(options.get("numPartitions", 4))
+        self._current = 0
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def latestOffset(self):
+        self._current = min(self._current + self.batch_rows, self.n_docs)
+        return {"offset": self._current}
+
+    def partitions(self, start, end):
+        lo, hi = start["offset"], end["offset"]
+        n = max(1, self.n_parts)
+        step = max(1, (hi - lo + n - 1) // n)
+        return [_RangePartition(s, min(s + step - 1, hi - 1))
+                for s in range(lo, hi, step)]
+
+    def read(self, partition):
+        for d in range(partition.start, partition.end + 1):
+            yield SynthCorpusReader.expected_row(d)
+
+    def commit(self, end):
+        pass
+
+    def stop(self):
+        pass
