@@ -79,6 +79,13 @@ EXTRA = [
     "q_audio_decode",
     "q_multimodal_decode_progressive",
     "q_video_framestats",
+    # round-5 close wave: bucketed join layout, MMR rerank, PNG decode,
+    # integer-exact audio DSP, two-pass cross-validation
+    "q_join_bucketed",
+    "q_mmr_rerank",
+    "q_multimodal_decode_png",
+    "q_audio_pitch",
+    "q_crossval_ols",
 ]
 
 

@@ -59,6 +59,12 @@ SHAPE = {
     "q_audio_decode": "q_multimodal_decode",   # Arrow python decode
     "q_multimodal_decode_progressive": "q_multimodal_decode",
     "q_video_framestats": "q_multimodal_decode",  # Arrow Y4M decode
+    # round-5 close wave
+    "q_join_bucketed": "q_join_multi_5way",    # write + co-located SMJ
+    "q_mmr_rerank": "q_similarity_topk",       # batch retrieval + greedy
+    "q_multimodal_decode_png": "q_multimodal_decode",
+    "q_audio_pitch": "q_multimodal_decode",    # Arrow decode + int DSP
+    "q_crossval_ols": "q_agg_hash",            # two-pass sufficient stats
 }
 
 
