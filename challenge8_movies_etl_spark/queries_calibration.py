@@ -48,12 +48,12 @@ _LABEL = f"CASE WHEN (event_id * 7919) % 1000 < {_P_NUM} THEN 1 ELSE 0 END"
       FROM scored GROUP BY bin
     )
     SELECT bin, n_events,
-           round(conf_raw, 6) AS confidence,
-           round(acc_raw, 6) AS accuracy,
-           round(abs(acc_raw - conf_raw), 6) AS gap,
+           round(conf_raw, 8) AS confidence,
+           round(acc_raw, 8) AS accuracy,
+           round(abs(acc_raw - conf_raw), 8) AS gap,
            round(cast(sum(cast(n_events * abs(acc_raw - conf_raw)
                                as {DEC})) OVER () as double)
-                 / sum(n_events) OVER (), 6) AS ece
+                 / sum(n_events) OVER (), 8) AS ece
     FROM per_bin
     ORDER BY bin
     """,
@@ -86,11 +86,11 @@ def q_calibration_ece(spark, sf_dir):
     gap_raw = F.abs(F.col("acc_raw") - F.col("conf_raw"))
     return (per_bin.select(
         "bin", "n_events",
-        F.round("conf_raw", 6).alias("confidence"),
-        F.round("acc_raw", 6).alias("accuracy"),
-        F.round(gap_raw, 6).alias("gap"),
+        F.round("conf_raw", 8).alias("confidence"),
+        F.round("acc_raw", 8).alias("accuracy"),
+        F.round(gap_raw, 8).alias("gap"),
         F.round(F.sum((F.col("n_events") * gap_raw).cast(DEC)).over(w)
-                 .cast("double") / F.sum("n_events").over(w), 6)
+                 .cast("double") / F.sum("n_events").over(w), 8)
          .alias("ece"))
         .orderBy("bin"))
 

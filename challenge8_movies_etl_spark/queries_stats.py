@@ -692,8 +692,8 @@ def q_dedup_threshold_curve(spark, sf_dir):
       FROM group_bucket GROUP BY pctile
     )
     SELECT g.event_type, g.pctile, g.n,
-           round(g.grp_mean_raw, 4) AS grp_mean,
-           round(r.ref_raw, 4) AS normalized
+           round(g.grp_mean_raw, 6) AS grp_mean,
+           round(r.ref_raw, 6) AS normalized
     FROM group_bucket g JOIN reference r ON g.pctile = r.pctile
     ORDER BY g.event_type, g.pctile
     """,
@@ -709,9 +709,16 @@ def q_quantile_normalize(spark, sf_dir):
     quality scores produced by different model versions.
 
     Hash discipline: both reductions (within-bin mean, cross-group
-    reference mean) run through decimal; rounding happens only at the
-    projection edge, and value+event_id is a total order so ntile
-    assigns boundary ties identically on both engines.
+    reference mean) run through decimal; value+event_id is a total
+    order so ntile assigns boundary ties identically on both engines.
+    Rounding is at SIX decimals — the identity precision: bucket means
+    are exact multiples of 0.01/n (n = 2/20/200 at the fixture
+    scales), so 6dp never sits on a half-boundary. round(x, 4) did:
+    at sf0.1 a mean of exactly 26.04115 rounded 26.0412 on Spark
+    (BigDecimal HALF_UP over the binary expansion) but 26.0411 on
+    DuckDB (multiply/nearbyint) — same double, different rounding
+    algorithms. Round at a precision where the true value is exactly
+    representable and both algorithms become the identity.
 
     Scale: one shuffle partitioned by event_type for the within-group
     ranking (per-group sort — at 100 TB swap ntile for
@@ -733,6 +740,6 @@ def q_quantile_normalize(spark, sf_dir):
                  / F.count("*")).alias("ref_raw")))
     return (grp.join(F.broadcast(ref), "pctile")
             .select("event_type", "pctile", "n",
-                    F.round("grp_mean_raw", 4).alias("grp_mean"),
-                    F.round("ref_raw", 4).alias("normalized"))
+                    F.round("grp_mean_raw", 6).alias("grp_mean"),
+                    F.round("ref_raw", 6).alias("normalized"))
             .orderBy("event_type", "pctile"))
