@@ -13,6 +13,14 @@ Hash-stability conventions (SURVEY.md §2 / §7.3), applied throughout:
   Spark partial aggs and DuckDB — see functions/hashsafe.py);
 - every float produced by genuinely-float multi-step math (stddev,
   cosine) is ``round(x, 4)`` on both sides;
+- BUT when a quantity has exact decimal granularity (an integer-cent
+  sum divided by a power-of-ten-friendly count), round at or beyond
+  its IDENTITY precision: the true value then never sits on a round()
+  half-boundary, where Spark (BigDecimal HALF_UP over the exact
+  binary expansion) and DuckDB (multiply + nearbyint) disagree on the
+  SAME double. q_quantile_normalize hit this at sf0.1 (bucket means
+  are multiples of 0.01/200; 26.04115 rounded 26.0412 vs 26.0411) —
+  the dual-scale sweep is the detector for this class;
 - every top-k carries a deterministic tie-break key;
 - dedup is expressed as DISTINCT or group-by+min, never a row-arbitrary
   ``dropDuplicates``.
