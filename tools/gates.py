@@ -33,6 +33,7 @@ BASELINES = {
     "q_dedup_containment": 4.49,   # like-for-like co-count row (round 4)
     "q_graph_pagerank": 3.09,      # solo-at-parity row (round 4)
     "q_multimodal_decode": 0.56,   # like-for-like Arrow-decode row (r4)
+    "q_mmr_rerank": 1.30,          # like-for-like skeleton row (r5)
 }
 
 # closest-shape mapping for everything else (BASELINE.md gate text)
@@ -61,7 +62,6 @@ SHAPE = {
     "q_video_framestats": "q_multimodal_decode",  # Arrow Y4M decode
     # round-5 close wave
     "q_join_bucketed": "q_join_multi_5way",    # write + co-located SMJ
-    "q_mmr_rerank": "q_similarity_topk",       # batch retrieval + greedy
     "q_multimodal_decode_png": "q_multimodal_decode",
     "q_audio_pitch": "q_multimodal_decode",    # Arrow decode + int DSP
     "q_crossval_ols": "q_agg_hash",            # two-pass sufficient stats
