@@ -722,3 +722,86 @@ def q_gaps_islands(spark, sf_dir):
                  F.max("run_len").alias("longest_run"),
                  F.sum("run_len").alias("n_events"))
             .orderBy(F.desc("longest_run"), "user_id").limit(20))
+
+
+# ---------------------------------------------------------------------------
+# q_bitmap_index — packed-bitmap audience segments (exact twin of the
+# HLL overlap in q_audience_overlap)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_bitmap_index",
+    oracle="""
+    WITH bm AS (
+      SELECT event_type, user_id // 63 AS bucket,
+             bit_or(cast(1 as bigint) << cast(user_id % 63 as int))
+               AS bits
+      FROM events GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT event_type, cast(sum(bit_count(bits)) as bigint) AS n_users
+      FROM bm GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             cast(sum(bit_count(a.bits & b.bits)) as bigint) AS n_common
+      FROM bm a JOIN bm b
+        ON a.bucket = b.bucket AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, sa.n_users AS n_a, sb.n_users AS n_b,
+           i.n_common
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    ORDER BY i.type_a, i.type_b
+    """,
+)
+def q_bitmap_index(spark, sf_dir):
+    """Packed-bitmap audience segments: each (segment, 63-user bucket)
+    folds its members into ONE int64 via bit_or(1 << user%63) —
+    63 ids per word, not 64, because DuckDB raises on a shift into
+    the sign bit while Spark wraps (the one semantic asymmetry in the
+    two engines' int64 bit algebra); segment
+    cardinalities are popcount sums and every pairwise segment
+    intersection is a bucket-aligned join + popcount(a & b) — the
+    roaring-bitmap-index pattern, as pure codegen integer ops. This is
+    the EXACT twin of q_audience_overlap's HLL estimate: bitmaps when
+    the id space is dense enough to afford |ids|/8 bits of state,
+    sketches when it is not.
+
+    Scale: the shuffle carries one int64 per (segment, 63 ids) —
+    a 63x reduction before the join; intersections join on the bucket
+    key only where both segments have members. At 100 TB with sparse
+    id spaces the same query swaps the dense int64 for a roaring
+    container per bucket range; the algebra (OR to build, AND+popcount
+    to intersect) is unchanged. Only popcounts ever
+    leave the query, so no sign-bit representation issue can reach
+    the value hash."""
+    e = load_table(spark, sf_dir, "events")
+    bm = (e.groupBy("event_type",
+                    (F.col("user_id") / 63).cast("bigint").alias("bucket"))
+          .agg(F.bit_or(F.expr(
+                   "shiftleft(cast(1 as bigint), "
+                   "cast(user_id % 63 as int))")).alias("bits")))
+    sizes = (bm.groupBy("event_type")
+             .agg(F.sum(F.bit_count("bits")).alias("n_users")))
+    a = bm.select(F.col("event_type").alias("type_a"), "bucket",
+                  F.col("bits").alias("bits_a"))
+    b = bm.select(F.col("event_type").alias("type_b"), "bucket",
+                  F.col("bits").alias("bits_b"))
+    inter = (a.join(b, "bucket")
+             .filter(F.col("type_a") < F.col("type_b"))
+             .groupBy("type_a", "type_b")
+             .agg(F.sum(F.bit_count(F.col("bits_a")
+                                    .bitwiseAND(F.col("bits_b"))))
+                  .alias("n_common")))
+    sa = sizes.select(F.col("event_type").alias("type_a"),
+                      F.col("n_users").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"),
+                      F.col("n_users").alias("n_b"))
+    return (inter.join(F.broadcast(sa), "type_a")
+            .join(F.broadcast(sb), "type_b")
+            .select("type_a", "type_b", "n_a", "n_b", "n_common")
+            .orderBy("type_a", "type_b"))

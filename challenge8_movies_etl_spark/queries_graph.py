@@ -283,3 +283,73 @@ def q_graph_components(spark, sf_dir):
                  F.min("v").alias("min_node"),
                  F.max("v").alias("max_node"))
             .orderBy("component"))
+
+
+# ---------------------------------------------------------------------------
+# q_graph_link_predict — common-neighbor / Jaccard link scoring
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_graph_link_predict",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    deg AS (
+      SELECT l_suppkey, count(*) AS d FROM ps GROUP BY 1
+    ),
+    cn AS (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+             count(*) AS common
+      FROM ps a JOIN ps b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+    )
+    SELECT cn.u, cn.v, cn.common,
+           du.d AS deg_u, dv.d AS deg_v,
+           cn.common * 1000000 // (du.d + dv.d - cn.common)
+             AS jaccard_ppm
+    FROM cn
+    JOIN deg du ON du.l_suppkey = cn.u
+    JOIN deg dv ON dv.l_suppkey = cn.v
+    ORDER BY jaccard_ppm DESC, cn.u, cn.v
+    LIMIT 25
+    """,
+)
+def q_graph_link_predict(spark, sf_dir):
+    """Link prediction on the supplier-part bipartite graph: score
+    every supplier pair by common parts (common-neighbor count) and
+    Jaccard overlap of their part sets — the collaborative-filtering /
+    entity-resolution primitive ("these two nodes behave alike, a
+    link is likely"). Jaccard is emitted as integer PARTS-PER-MILLION
+    (common·10^6 div union) so the output is pure integers — no float
+    rounding can reach the hash — and ordering ties break on (u, v).
+
+    Scale: the pair generation is per-part bounded (suppliers sharing
+    one part), never all-pairs over suppliers — the same blocked
+    shape as q_graph_triangles' edge builder; degrees join via two
+    broadcast-sized lookups, and the final ranking is
+    TakeOrderedAndProject. At 100 TB the per-part fan-out is the skew
+    valve to watch: a hub part with s suppliers contributes s²/2
+    pairs, so a max_df-style cap (q_dedup_containment's valve) caps
+    the quadratic term before it materializes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    deg = ps.groupBy("l_suppkey").agg(F.count("*").alias("d"))
+    a, b = ps.alias("a"), ps.alias("b")
+    cn = (a.join(b, (F.col("a.l_partkey") == F.col("b.l_partkey"))
+                 & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+          .groupBy(F.col("a.l_suppkey").alias("u"),
+                   F.col("b.l_suppkey").alias("v"))
+          .agg(F.count("*").alias("common")))
+    du = deg.select(F.col("l_suppkey").alias("u"),
+                    F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("l_suppkey").alias("v"),
+                    F.col("d").alias("deg_v"))
+    return (cn.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+            .select("u", "v", "common", "deg_u", "deg_v",
+                    F.expr("common * 1000000 div "
+                           "(deg_u + deg_v - common)")
+                    .alias("jaccard_ppm"))
+            .orderBy(F.desc("jaccard_ppm"), "u", "v").limit(25))

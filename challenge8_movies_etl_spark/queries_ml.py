@@ -652,3 +652,183 @@ def q_bloom_prefilter(spark, sf_dir):
         F.count("*").alias("n_candidates"),
         F.count(F.when(F.col("o_custkey").isNotNull(), 1)).alias("n_true"),
         F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n_false_pos"))
+
+
+# ---------------------------------------------------------------------------
+# q_naive_bayes — Bernoulli NB: distributed training + inference
+# ---------------------------------------------------------------------------
+
+_NB_VOCAB = ("fast", "slow", "table", "value", "the",
+             "a", "data", "join", "row", "spark")
+
+
+def _nb_score(prefix: str) -> str:
+    """Fixed-order log-likelihood sum; `prefix` resolves the model
+    columns (dialect-neutral). Left-associated additions of lns of
+    integer-derived doubles — identical IEEE sequence on both
+    engines."""
+    terms = [f"ln(cast({prefix}n_l as double) / n_train)"]
+    for i in range(len(_NB_VOCAB)):
+        p = f"(({prefix}df_{i} + 1.0) / ({prefix}n_l + 2.0))"
+        terms.append(f"(CASE WHEN has_{i} = 1 THEN ln({p}) "
+                     f"ELSE ln(1.0 - {p}) END)")
+    return " + ".join(terms)
+
+
+def _nb_oracle() -> str:
+    has = ",\n             ".join(
+        f"CASE WHEN list_contains(string_split(text, ' '), "
+        f"'{t}') THEN 1 ELSE 0 END AS has_{i}"
+        for i, t in enumerate(_NB_VOCAB))
+    dfs = ",\n             ".join(
+        f"sum(has_{i}) AS df_{i}" for i in range(len(_NB_VOCAB)))
+    return f"""
+    WITH feat AS (
+      SELECT doc_id, lang, doc_id % 5 = 4 AS is_test,
+             {has}
+      FROM documents
+    ),
+    model AS (
+      SELECT lang AS m_lang, count(*) AS n_l,
+             {dfs},
+             sum(count(*)) OVER () AS n_train
+      FROM feat WHERE NOT is_test GROUP BY lang
+    ),
+    scored AS (
+      SELECT f.doc_id, f.lang AS true_lang, m.m_lang,
+             row_number() OVER (
+               PARTITION BY f.doc_id
+               ORDER BY ({_nb_score('m.')}) DESC, m.m_lang) AS rk
+      FROM feat f CROSS JOIN model m
+      WHERE f.is_test
+    )
+    SELECT true_lang, m_lang AS pred_lang,
+           cast(count(*) as bigint) AS n
+    FROM scored WHERE rk = 1
+    GROUP BY true_lang, m_lang
+    ORDER BY true_lang, pred_lang
+    """
+
+
+@query("q_naive_bayes", oracle=_nb_oracle())
+def q_naive_bayes(spark, sf_dir):
+    """Bernoulli Naive Bayes, trained AND applied in one plan: token-
+    presence features over a fixed 10-token vocabulary, per-class
+    document frequencies from the 80% train split (ONE aggregation —
+    the sufficient statistics of NB), Laplace-smoothed log-likelihood
+    scoring of the 20% test split against the broadcast 5-row model,
+    argmax with a class tie-break, and the confusion matrix out.
+
+    Training a model at 100 TB is exactly this shape: sufficient
+    statistics by aggregation, model broadcast back for inference —
+    no parameter server needed for count-based models. The fixture
+    corpus draws tokens language-independently, so the learned model
+    is honestly close to a prior classifier here; the query verifies
+    the COMPUTATION (the oracle re-derives the same model and argmax;
+    outputs are pure integers, so the hash carries no float-rounding
+    exposure — the only float is the ln-sum ORDER, generated
+    left-associated on both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    feat = d.select(
+        "doc_id", "lang", (F.col("doc_id") % 5 == 4).alias("is_test"),
+        *[F.array_contains(F.split("text", " "), t).cast("int")
+          .alias(f"has_{i}") for i, t in enumerate(_NB_VOCAB)])
+    train = feat.filter(~F.col("is_test"))
+    w = W.partitionBy()
+    model = (train.groupBy(F.col("lang").alias("m_lang"))
+             .agg(F.count("*").alias("n_l"),
+                  *[F.sum(f"has_{i}").alias(f"df_{i}")
+                    for i in range(len(_NB_VOCAB))])
+             .withColumn("n_train", F.sum("n_l").over(w)))
+    test = feat.filter("is_test")
+    scored = (test.crossJoin(F.broadcast(model))
+              .withColumn("score", F.expr(_nb_score(""))))
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.desc("score"), "m_lang"))
+    return (scored.withColumn("rk", rk).filter(F.col("rk") == 1)
+            .groupBy(F.col("lang").alias("true_lang"),
+                     F.col("m_lang").alias("pred_lang"))
+            .agg(F.count("*").alias("n"))
+            .orderBy("true_lang", "pred_lang"))
+
+
+# ---------------------------------------------------------------------------
+# q_ridge_2feat — closed-form ridge regression via Gram sufficient stats
+# ---------------------------------------------------------------------------
+
+_RIDGE_LAM = "100.0"
+
+
+@query(
+    "q_ridge_2feat",
+    oracle=f"""
+    WITH pts AS (
+      SELECT value AS x1,
+             cast(event_id % 100 as double) AS x2,
+             value * 2.0 + (event_id % 100) * 0.5
+               + (event_id % 9) AS y
+      FROM events
+    ),
+    g AS (
+      SELECT count(*) AS n,
+             cast(sum(cast(x1 * x1 as decimal(30,10))) as double) AS g11,
+             cast(sum(cast(x1 * x2 as decimal(30,10))) as double) AS g12,
+             cast(sum(cast(x2 * x2 as decimal(30,10))) as double) AS g22,
+             cast(sum(cast(x1 * y as decimal(30,10))) as double) AS b1,
+             cast(sum(cast(x2 * y as decimal(30,10))) as double) AS b2
+      FROM pts
+    )
+    SELECT n,
+           round((b1 * (g22 + {_RIDGE_LAM})
+                  - g12 * b2)
+                 / ((g11 + {_RIDGE_LAM}) * (g22 + {_RIDGE_LAM})
+                    - g12 * g12), 6) + 0.0 AS w1,
+           round((b2 * (g11 + {_RIDGE_LAM})
+                  - g12 * b1)
+                 / ((g11 + {_RIDGE_LAM}) * (g22 + {_RIDGE_LAM})
+                    - g12 * g12), 6) + 0.0 AS w2
+    FROM g
+    """,
+)
+def q_ridge_2feat(spark, sf_dir):
+    """Closed-form ridge regression (no intercept, 2 features): ONE
+    aggregation pass collects the Gram matrix and moment vector as
+    decimal-exact sums, then w = (G + λI)⁻¹ b via the explicit 2x2
+    inverse — identical double algebra on both engines from identical
+    exact sums. This is the sketch-and-solve template every
+    linear-model fit at 100 TB follows: sufficient statistics by
+    map-side-combining aggregation (d² + d values total, independent
+    of row count), solve on the driver-sized result. The y synthesis
+    (2·x1 + 0.5·x2 + uniform{0..8} noise) gives a well-conditioned
+    system whose recovered weights the tests pin near truth; λ = 100
+    is large enough to measurably shrink w1 (test-asserted) so the
+    regularization path is exercised, not decorative."""
+    e = load_table(spark, sf_dir, "events")
+    lam = float(_RIDGE_LAM)
+    DEC = "decimal(30,10)"
+    pts = e.select(
+        F.col("value").alias("x1"),
+        (F.col("event_id") % 100).cast("double").alias("x2"),
+        (F.col("value") * 2.0 + (F.col("event_id") % 100) * 0.5
+         + (F.col("event_id") % 9)).alias("y"))
+    g = pts.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("x1") * F.col("x1")).cast(DEC)).cast("double")
+         .alias("g11"),
+        F.sum((F.col("x1") * F.col("x2")).cast(DEC)).cast("double")
+         .alias("g12"),
+        F.sum((F.col("x2") * F.col("x2")).cast(DEC)).cast("double")
+         .alias("g22"),
+        F.sum((F.col("x1") * F.col("y")).cast(DEC)).cast("double")
+         .alias("b1"),
+        F.sum((F.col("x2") * F.col("y")).cast(DEC)).cast("double")
+         .alias("b2"))
+    det = ((F.col("g11") + lam) * (F.col("g22") + lam)
+           - F.col("g12") * F.col("g12"))
+    w1 = (F.col("b1") * (F.col("g22") + lam)
+          - F.col("g12") * F.col("b2")) / det
+    w2 = (F.col("b2") * (F.col("g11") + lam)
+          - F.col("g12") * F.col("b1")) / det
+    return g.select("n",
+                    (F.round(w1, 6) + 0.0).alias("w1"),
+                    (F.round(w2, 6) + 0.0).alias("w2"))

