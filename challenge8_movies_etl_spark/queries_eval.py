@@ -1440,3 +1440,98 @@ def q_matryoshka_recall(spark, sf_dir):
             .agg(F.count("*").alias("n_overlap"),
                  F.round(F.count("*") / 10.0, 4).alias("recall_at_10"))
             .orderBy("probe_id"))
+
+
+# ---------------------------------------------------------------------------
+# q_offpolicy_ips — inverse-propensity off-policy evaluation
+# ---------------------------------------------------------------------------
+
+# Logged bandit synthesis, all integer-derived: 3 arms; the logging
+# policy is a known epsilon-ish distribution over arms conditioned on
+# a context bucket, the target policy is deterministic argmax on the
+# context, reward is a deterministic integer function of (context,
+# arm). Propensities are k/10 — exact decimal, identical doubles.
+_IPS_CTX = "event_id % 4"
+_IPS_ARM = "(event_id * 2654435761) % 10"   # 0-9 drives the logged arm
+_IPS_SYNTH = f"""
+      SELECT {_IPS_CTX} AS ctx,
+             CASE WHEN {_IPS_ARM} < 6 THEN ({_IPS_CTX}) % 3
+                  WHEN {_IPS_ARM} < 8 THEN (({_IPS_CTX}) + 1) % 3
+                  ELSE (({_IPS_CTX}) + 2) % 3 END AS logged_arm,
+             CASE WHEN {_IPS_ARM} < 6 THEN 0.6
+                  WHEN {_IPS_ARM} < 8 THEN 0.2
+                  ELSE 0.2 END AS propensity,
+             CASE WHEN {_IPS_ARM} < 6 THEN 1
+                  WHEN {_IPS_ARM} < 8 THEN 0 ELSE 0 END
+               AS logged_is_argmax
+      FROM events
+"""
+
+
+@query(
+    "q_offpolicy_ips",
+    oracle=f"""
+    WITH logs AS ({_IPS_SYNTH}),
+    rewarded AS (
+      SELECT ctx, logged_arm, propensity,
+             CASE WHEN logged_arm = ctx % 3 THEN 2 ELSE 1 END AS reward,
+             CASE WHEN logged_arm = ctx % 3 THEN 1.0 / propensity
+                  ELSE 0.0 END AS w
+      FROM logs
+    )
+    SELECT ctx, count(*) AS n,
+           cast(sum(reward) as bigint) AS logged_reward,
+           round(cast(sum(cast(w * reward as decimal(30,10)))
+                      as double) / count(*), 6) AS ips_value,
+           round(cast(sum(cast(least(w, 3.0) * reward
+                               as decimal(30,10)))
+                      as double) / count(*), 6) AS clipped_ips
+    FROM rewarded GROUP BY ctx ORDER BY ctx
+    """,
+)
+def q_offpolicy_ips(spark, sf_dir):
+    """Off-policy evaluation by inverse propensity scoring: logged
+    bandit rounds (context, arm, propensity, reward — synthesized
+    integer-deterministically, propensities exact tenths) are
+    re-weighted by 1/propensity wherever the logged arm matches the
+    TARGET policy's deterministic choice, estimating the target's
+    expected reward without deploying it; the 3.0-clipped variant is
+    the variance-bounded estimator production uses. Per-context
+    output: rounds, logged reward, IPS and clipped-IPS value — the
+    counterfactual-eval primitive behind every 'would the new ranking
+    model have done better on last month's logs' question.
+
+    Scale: one scan, one keyed aggregation — both estimators are
+    plain weighted sums with decimal-exact reductions (weights are
+    exact binary doubles: 1/0.6 and 1/0.2 are computed by one IEEE
+    division on both engines)."""
+    e = load_table(spark, sf_dir, "events")
+    arm = (F.col("event_id") * 2654435761) % 10
+    ctx = (F.col("event_id") % 4).alias("ctx")
+    logs = e.select(
+        ctx,
+        F.when(arm < 6, F.col("event_id") % 4 % 3)
+         .when(arm < 8, (F.col("event_id") % 4 + 1) % 3)
+         .otherwise((F.col("event_id") % 4 + 2) % 3).alias("logged_arm"),
+        F.when(arm < 6, 0.6).when(arm < 8, 0.2).otherwise(0.2)
+         .alias("propensity"))
+    target = F.col("ctx") % 3
+    rewarded = logs.select(
+        "ctx", "logged_arm", "propensity",
+        F.when(F.col("logged_arm") == target, 2).otherwise(1)
+         .alias("reward"),
+        F.when(F.col("logged_arm") == target,
+               F.lit(1.0) / F.col("propensity"))
+         .otherwise(0.0).alias("w"))
+    DECS = "decimal(30,10)"
+    return (rewarded.groupBy("ctx")
+            .agg(F.count("*").alias("n"),
+                 F.sum("reward").alias("logged_reward"),
+                 F.round(F.sum((F.col("w") * F.col("reward"))
+                               .cast(DECS)).cast("double")
+                         / F.count("*"), 6).alias("ips_value"),
+                 F.round(F.sum((F.least(F.col("w"), F.lit(3.0))
+                                * F.col("reward")).cast(DECS))
+                         .cast("double") / F.count("*"), 6)
+                  .alias("clipped_ips"))
+            .orderBy("ctx"))

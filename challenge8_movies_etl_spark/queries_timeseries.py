@@ -777,3 +777,94 @@ def q_ks_drift(spark, sf_dir):
             .agg(F.max("diff").alias("ks_stat"),
                  F.min(F.when(F.col("diff") == F.col("md"),
                               F.col("value"))).alias("ks_at_value")))
+
+
+# ---------------------------------------------------------------------------
+# q_seasonal_decompose — additive trend / day-of-week / residual split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, cast(ts as date) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, day, n,
+             CASE WHEN count(*) OVER w = 7
+                  THEN cast(sum(n) OVER w as double) / 7 END AS trend
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT event_type, day, n, trend,
+             dayofweek(day) AS dow,
+             n - trend AS detrended
+      FROM tr WHERE trend IS NOT NULL
+    ),
+    seas AS (
+      SELECT event_type, dow,
+             cast(sum(cast(detrended as decimal(30,10))) as double)
+               / count(*) AS seasonal
+      FROM det GROUP BY 1, 2
+    )
+    SELECT d.event_type, cast(d.day as string) AS day, d.n,
+           round(d.trend, 6) + 0.0 AS trend,
+           round(s.seasonal, 6) + 0.0 AS seasonal,
+           round(d.detrended - s.seasonal, 6) + 0.0 AS residual
+    FROM det d JOIN seas s
+      ON d.event_type = s.event_type AND d.dow = s.dow
+    ORDER BY d.event_type, day
+    """,
+)
+def q_seasonal_decompose(spark, sf_dir):
+    """Additive seasonal decomposition (the STL shape, moving-average
+    flavor): per event_type, daily counts split into a centered 7-day
+    moving-average TREND (full windows only — edge days drop rather
+    than emit a biased partial mean), a day-of-week SEASONAL profile
+    (decimal-exact mean of the detrended series per dow), and the
+    RESIDUAL — the decomposition every capacity-planning / anomaly
+    pipeline runs before alerting on the residual (pair with
+    q_anomaly_zscore on the residual column).
+
+    Float discipline: daily counts are integers, the MA is one IEEE
+    division of an integer sum, detrended values are identical doubles
+    on both engines, and the per-dow mean reduces through decimal —
+    so all three emitted components are bit-identical pre-round.
+
+    Scale: one corpus-sized aggregation to daily grain, then all
+    windows run over |types| x |days| rows — at 100 TB the heavy
+    lifting is the first groupBy (map-side combined); the
+    decomposition itself is dashboard-sized. DuckDB dayofweek ==
+    Spark dayofweek modulo the 1-vs-0 base, handled by matching
+    dayofweek() to Spark's dayofweek() - 1... both engines here use
+    the grouping VALUE only as a join key, so any consistent per-
+    engine encoding works — no cross-engine dow constant is ever
+    compared."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type",
+                       F.col("ts").cast("date").alias("day"))
+             .agg(F.count("*").alias("n")))
+    w = (W.partitionBy("event_type").orderBy("day")
+         .rowsBetween(-3, 3))
+    tr = daily.select(
+        "event_type", "day", "n",
+        F.when(F.count("*").over(w) == 7,
+               F.sum("n").over(w).cast("double") / 7).alias("trend"))
+    det = (tr.filter(F.col("trend").isNotNull())
+           .withColumn("dow", F.dayofweek("day"))
+           .withColumn("detrended", F.col("n") - F.col("trend")))
+    seas = (det.groupBy("event_type", "dow")
+            .agg((F.sum(F.col("detrended").cast("decimal(30,10)"))
+                  .cast("double") / F.count("*")).alias("seasonal")))
+    return (det.join(seas, ["event_type", "dow"])
+            .select("event_type",
+                    F.col("day").cast("string").alias("day"), "n",
+                    (F.round("trend", 6) + 0.0).alias("trend"),
+                    (F.round("seasonal", 6) + 0.0).alias("seasonal"),
+                    (F.round(F.col("detrended") - F.col("seasonal"), 6)
+                     + 0.0).alias("residual"))
+            .orderBy("event_type", "day"))

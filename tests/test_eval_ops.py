@@ -501,3 +501,20 @@ def test_link_predict_scores_are_exact_jaccard(spark):
         if prev is not None:
             assert r.jaccard_ppm <= prev
         prev = r.jaccard_ppm
+
+
+def test_ips_estimates_target_reward(spark):
+    """The target policy always plays the argmax arm (reward 2), so
+    the IPS estimate must land near 2.0 per context while the logged
+    policy's average reward is ~1.6 (it plays argmax 60% of the
+    time); clipping at 3.0 clips the 1/0.2 weights so clipped_ips
+    <= ips_value."""
+    from challenge8_movies_etl_spark.queries_eval import q_offpolicy_ips
+
+    rows = q_offpolicy_ips(spark, SF_SMOKE).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert abs(r.ips_value - 2.0) < 0.4, r
+        assert r.clipped_ips <= r.ips_value + 1e-9
+        logged_avg = r.logged_reward / r.n
+        assert 1.4 < logged_avg < 1.8, r

@@ -229,3 +229,23 @@ def test_ewma_first_row_and_recursion(spark):
         assert abs(r["ewma"] - expect[r["event_id"]]) < 1e-5
         if r["event_id"] == streams[r["user_id"]][0]["event_id"]:
             assert abs(r["ewma"] - r["value"]) < 1e-5
+
+
+def test_seasonal_decompose_identity_and_coverage(spark):
+    """n == trend + seasonal + residual (up to 6dp rounding) on every
+    emitted day; edge days without a full 7-day window are dropped;
+    per-type seasonal components sum to ~0 across the window."""
+    from challenge8_movies_etl_spark.queries_timeseries import (
+        q_seasonal_decompose,
+    )
+
+    rows = q_seasonal_decompose(spark, SF_SMOKE).collect()
+    by_type = {}
+    for r in rows:
+        assert abs(r.n - (r.trend + r.seasonal + r.residual)) < 5e-6, r
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        # 30 days of data, 3 dropped per edge
+        assert len(rs) == 24, (t, len(rs))
+        mean_resid = sum(r.residual for r in rs) / len(rs)
+        assert abs(mean_resid) < 2.0, (t, mean_resid)
