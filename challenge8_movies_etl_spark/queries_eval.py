@@ -1535,3 +1535,179 @@ def q_offpolicy_ips(spark, sf_dir):
                          .cast("double") / F.count("*"), 6)
                   .alias("clipped_ips"))
             .orderBy("ctx"))
+
+
+# ---------------------------------------------------------------------------
+# q_diff_in_diff — two-period, two-group causal estimate
+# ---------------------------------------------------------------------------
+
+_DID_TREAT = "user_id % 2 = 0"          # stable unit assignment
+_DID_POST = "cast(ts as date) >= DATE '2024-01-16'"
+# treatment effect is injected post-period for the treated group only:
+# lift = +5 on the value metric, deterministic
+_DID_Y = (f"value + CASE WHEN ({_DID_TREAT}) AND ({_DID_POST}) "
+          f"THEN 5.0 ELSE 0.0 END")
+
+
+@query(
+    "q_diff_in_diff",
+    oracle=f"""
+    WITH obs AS (
+      SELECT CASE WHEN {_DID_TREAT} THEN 1 ELSE 0 END AS treated,
+             CASE WHEN {_DID_POST} THEN 1 ELSE 0 END AS post,
+             {_DID_Y} AS y
+      FROM events
+    ),
+    cells AS (
+      SELECT treated, post, count(*) AS n,
+             cast(sum(cast(y as decimal(30,10))) as double) / count(*)
+               AS mean_y
+      FROM obs GROUP BY treated, post
+    )
+    SELECT treated, post, n, round(mean_y, 6) AS mean_y,
+           round((max(CASE WHEN treated = 1 AND post = 1
+                           THEN mean_y END) OVER ()
+                  - max(CASE WHEN treated = 1 AND post = 0
+                             THEN mean_y END) OVER ())
+                 - (max(CASE WHEN treated = 0 AND post = 1
+                             THEN mean_y END) OVER ()
+                    - max(CASE WHEN treated = 0 AND post = 0
+                               THEN mean_y END) OVER ()), 6) + 0.0
+             AS did_estimate
+    FROM cells ORDER BY treated, post
+    """,
+)
+def q_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences: the 2x2 (treated x post) cell means
+    of a metric with a KNOWN injected post-treatment lift (+5.0 on
+    the treated group after Jan 16 — integer-deterministic
+    assignment), and the DiD estimate ΔΔ = (T,post − T,pre) −
+    (C,post − C,pre), which must recover ~5.0 net of sampling noise
+    (test-pinned). The four-cell window algebra mirrors exactly on
+    both engines from decimal-exact cell means.
+
+    Scale: one scan, one 4-group aggregation, a 4-row window — the
+    experimentation readout costs one pass no matter the log volume;
+    unit-level clustering of errors (the real-world refinement) rides
+    the same sufficient statistics plus a per-unit pre-aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    treated = F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)
+    post = F.when(F.col("ts").cast("date")
+                  >= F.lit("2024-01-16").cast("date"), 1).otherwise(0)
+    y = (F.col("value")
+         + F.when((F.col("user_id") % 2 == 0)
+                  & (F.col("ts").cast("date")
+                     >= F.lit("2024-01-16").cast("date")), 5.0)
+            .otherwise(0.0))
+    obs = e.select(treated.alias("treated"), post.alias("post"),
+                   y.alias("y"))
+    cells = (obs.groupBy("treated", "post")
+             .agg(F.count("*").alias("n"),
+                  (F.sum(F.col("y").cast("decimal(30,10)"))
+                   .cast("double") / F.count("*")).alias("mean_y")))
+    w = W.partitionBy()
+
+    def cell(t, p):
+        return F.max(F.when((F.col("treated") == t)
+                            & (F.col("post") == p),
+                            F.col("mean_y"))).over(w)
+
+    did = (cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0))
+    return (cells.select("treated", "post", "n",
+                         F.round("mean_y", 6).alias("mean_y"),
+                         (F.round(did, 6) + 0.0).alias("did_estimate"))
+            .orderBy("treated", "post"))
+
+
+# ---------------------------------------------------------------------------
+# q_uplift_qini — decile uplift (Qini-style) curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_uplift_qini",
+    oracle="""
+    WITH scored AS (
+      SELECT event_id % 100 AS score,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated,
+             CASE WHEN (event_id * 7919) % 100
+                       < (event_id % 100) // 2
+                       + CASE WHEN user_id % 2 = 0
+                              THEN (event_id % 100) // 4 ELSE 0 END
+                  THEN 1 ELSE 0 END AS converted
+      FROM events
+    ),
+    deciles AS (
+      SELECT 9 - (score // 10) AS decile, treated, converted
+      FROM scored
+    ),
+    agg AS (
+      SELECT decile,
+             sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS n_t,
+             sum(CASE WHEN treated = 1 AND converted = 1
+                      THEN 1 ELSE 0 END) AS c_t,
+             sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS n_c,
+             sum(CASE WHEN treated = 0 AND converted = 1
+                      THEN 1 ELSE 0 END) AS c_c
+      FROM deciles GROUP BY decile
+    )
+    SELECT decile,
+           cast(n_t as bigint) AS n_t, cast(c_t as bigint) AS c_t,
+           cast(n_c as bigint) AS n_c, cast(c_c as bigint) AS c_c,
+           round(cast(c_t as double) / n_t
+                 - cast(c_c as double) / n_c, 6) + 0.0 AS uplift,
+           round(cast(sum(c_t) OVER (ORDER BY decile) as double)
+                 - cast(sum(c_c) OVER (ORDER BY decile) as double)
+                   * sum(n_t) OVER (ORDER BY decile)
+                   / sum(n_c) OVER (ORDER BY decile), 6) + 0.0
+             AS qini
+    FROM agg ORDER BY decile
+    """,
+)
+def q_uplift_qini(spark, sf_dir):
+    """Uplift-model evaluation: units are ranked by a model score into
+    deciles (decile 0 = highest score), and each decile reports the
+    incremental conversion rate (treated minus control) plus the
+    cumulative Qini statistic — treated conversions minus
+    control conversions scaled to the treated volume. The synthetic
+    response has genuine heterogeneous uplift concentrated at high
+    scores (integer construction), so the curve is decreasing in
+    decile and the Qini accumulates early (both test-pinned) — the
+    shape a real uplift model evaluation must detect.
+
+    Scale: one scan into a 10 x 2 x 2 contingency aggregation, then
+    10-row window math — model evaluation over any log volume is one
+    pass; all emitted floats derive from integer counts by identical
+    single IEEE ops."""
+    e = load_table(spark, sf_dir, "events")
+    score = F.col("event_id") % 100
+    treated = F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)
+    conv_thresh = (score / F.lit(2)).cast("bigint") + \
+        F.when(F.col("user_id") % 2 == 0,
+               (score / F.lit(4)).cast("bigint")).otherwise(0)
+    converted = F.when((F.col("event_id") * 7919) % 100
+                       < conv_thresh, 1).otherwise(0)
+    deciles = e.select(
+        (9 - (score / F.lit(10)).cast("bigint")).alias("decile"),
+        treated.alias("treated"), converted.alias("converted"))
+    agg = (deciles.groupBy("decile")
+           .agg(F.sum(F.when(F.col("treated") == 1, 1).otherwise(0))
+                .alias("n_t"),
+                F.sum(F.when((F.col("treated") == 1)
+                             & (F.col("converted") == 1), 1)
+                      .otherwise(0)).alias("c_t"),
+                F.sum(F.when(F.col("treated") == 0, 1).otherwise(0))
+                .alias("n_c"),
+                F.sum(F.when((F.col("treated") == 0)
+                             & (F.col("converted") == 1), 1)
+                      .otherwise(0)).alias("c_c")))
+    wc = W.orderBy("decile")
+    uplift = (F.col("c_t").cast("double") / F.col("n_t")
+              - F.col("c_c").cast("double") / F.col("n_c"))
+    qini = (F.sum("c_t").over(wc).cast("double")
+            - F.sum("c_c").over(wc).cast("double")
+              * F.sum("n_t").over(wc) / F.sum("n_c").over(wc))
+    return (agg.select("decile", "n_t", "c_t", "n_c", "c_c",
+                       (F.round(uplift, 6) + 0.0).alias("uplift"),
+                       (F.round(qini, 6) + 0.0).alias("qini"))
+            .orderBy("decile"))

@@ -518,3 +518,31 @@ def test_ips_estimates_target_reward(spark):
         assert r.clipped_ips <= r.ips_value + 1e-9
         logged_avg = r.logged_reward / r.n
         assert 1.4 < logged_avg < 1.8, r
+
+
+def test_did_recovers_injected_lift(spark):
+    from challenge8_movies_etl_spark.queries_eval import q_diff_in_diff
+
+    rows = q_diff_in_diff(spark, SF_SMOKE).collect()
+    assert len(rows) == 4
+    assert len({r.did_estimate for r in rows}) == 1
+    # injected lift is exactly +5.0; residual is parallel-trends noise
+    assert abs(rows[0].did_estimate - 5.0) < 1.0, rows[0]
+
+
+def test_qini_curve_shape(spark):
+    """Uplift concentrates at high scores (low decile index): decile-0
+    uplift must exceed decile-9 uplift, the qini column must be
+    cumulative-consistent, and its final value equals total
+    incremental conversions scaled to treated volume."""
+    from challenge8_movies_etl_spark.queries_eval import q_uplift_qini
+
+    rows = sorted(q_uplift_qini(spark, SF_SMOKE).collect(),
+                  key=lambda r: r.decile)
+    assert len(rows) == 10
+    assert rows[0].uplift > rows[-1].uplift
+    ct = cc = nt = nc = 0
+    for r in rows:
+        ct += r.c_t; cc += r.c_c; nt += r.n_t; nc += r.n_c
+        expect = ct - cc * nt / nc
+        assert abs(r.qini - expect) < 1e-4, (r.decile, r.qini, expect)
