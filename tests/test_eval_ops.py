@@ -526,8 +526,11 @@ def test_did_recovers_injected_lift(spark):
     rows = q_diff_in_diff(spark, SF_SMOKE).collect()
     assert len(rows) == 4
     assert len({r.did_estimate for r in rows}) == 1
-    # injected lift is exactly +5.0; residual is parallel-trends noise
-    assert abs(rows[0].did_estimate - 5.0) < 1.0, rows[0]
+    # injected lift is exactly +5.0; at sf0.001 each cell holds ~250
+    # draws of a sigma~30 metric, so the DiD noise sd is ~3.8 — bound
+    # at one sd (the estimate is deterministic per fixture, but the
+    # driver regenerates fixtures between rounds)
+    assert abs(rows[0].did_estimate - 5.0) < 4.0, rows[0]
 
 
 def test_qini_curve_shape(spark):
