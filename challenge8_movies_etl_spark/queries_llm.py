@@ -2238,3 +2238,75 @@ def q_corpus_pipeline(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@query(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH {_NORMS_CTE},
+    probes AS (
+      SELECT vec_id AS probe_id, label AS probe_label,
+             embedding AS pe, nrm AS pn
+      FROM norms WHERE vec_id < 8
+    )
+    SELECT probe_id, vec_id, cos, rk FROM (
+      SELECT probes.probe_id, n.vec_id,
+             round(cast(sum(cast(cast(n.embedding[gs.i] as double)
+                                 * cast(probes.pe[gs.i] as double)
+                                 as decimal(18,10))) as double)
+                   / sqrt(max(n.nrm) * max(probes.pn)), 4) AS cos,
+             row_number() OVER (
+               PARTITION BY probes.probe_id
+               ORDER BY round(cast(sum(cast(cast(n.embedding[gs.i]
+                                   as double)
+                                 * cast(probes.pe[gs.i] as double)
+                                 as decimal(18,10))) as double)
+                   / sqrt(max(n.nrm) * max(probes.pn)), 4)
+                 DESC, n.vec_id) AS rk
+      FROM norms n CROSS JOIN probes, range(1, 65) gs(i)
+      WHERE n.vec_id <> probes.probe_id
+        AND n.label <> probes.probe_label
+      GROUP BY probes.probe_id, n.vec_id
+    ) WHERE rk <= 5
+    ORDER BY probe_id, rk
+    """,
+)
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each of 8
+    anchor vectors, the 5 highest-cosine corpus vectors with a
+    DIFFERENT label — the near-miss negatives that make embedding
+    models actually learn boundaries (random negatives are too easy).
+    The label filter sits below the similarity ranking, so candidates
+    are pruned before the top-k, and the cosine is the H-family
+    decimal-exact 4dp form with vec_id tie-breaks.
+
+    Scale: identical shape to q_similarity_batch — one corpus scan
+    against a broadcast anchor set, per-anchor TakeOrdered; at 100 TB
+    the mining pass typically runs per training epoch over the
+    freshest embedding snapshot, and this plan's cost is one scan
+    regardless of anchor count until the broadcast outgrows memory
+    (then: IVF cells per anchor, q_similarity_ann)."""
+    from pyspark.sql import Window as W
+
+    from .operators.similarity import dot_col
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", "label", "embedding",
+                 _norm(F.col("embedding")).alias("nrm"))
+    probes = (n.filter(F.col("vec_id") < 8)
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("label").alias("probe_label"),
+                      F.col("embedding").alias("pe"),
+                      F.col("nrm").alias("pn")))
+    scored = (n.crossJoin(F.broadcast(probes))
+              .filter((F.col("vec_id") != F.col("probe_id"))
+                      & (F.col("label") != F.col("probe_label")))
+              .select("probe_id", "vec_id",
+                      F.round(dot_col(F.col("embedding"), F.col("pe"))
+                              / F.sqrt(F.col("nrm") * F.col("pn")), 4)
+                      .alias("cos")))
+    rk = F.row_number().over(
+        W.partitionBy("probe_id").orderBy(F.desc("cos"), "vec_id"))
+    return (scored.withColumn("rk", rk).filter(F.col("rk") <= 5)
+            .select("probe_id", "vec_id", "cos", "rk")
+            .orderBy("probe_id", "rk"))

@@ -182,3 +182,76 @@ def test_update_mode_emits_multiple_updates_per_window(spark):
     truth = {r["event_type"]: r["count"]
              for r in e.groupBy("event_type").count().collect()}
     assert {t: r.n_events for t, r in out.items()} == truth
+
+
+def test_checkpoint_recovery_is_exactly_once(spark):
+    """Kill a file-source stream after its first micro-batch, restart
+    from the SAME checkpoint into the same sink table: committed
+    offsets must not replay (no duplicate event_ids) and the union of
+    both runs must equal the full input — the recovery contract every
+    production stream depends on."""
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from challenge8_movies_etl_spark.session import apply_required_conf
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+
+    apply_required_conf(spark)
+    root = Path("spark-warehouse") / f"ckpt_recovery_{uuid.uuid4().hex[:6]}"
+    (root / "in").mkdir(parents=True)
+    e = load_table(spark, SF_SMOKE, "events").select("event_id", "ts")
+    # two files -> two micro-batches at maxFilesPerTrigger=1
+    import os
+    import time as _t
+    t0 = _t.time() - 50
+    for i, pred in enumerate((F.col("event_id") % 2 == 0,
+                              F.col("event_id") % 2 == 1)):
+        d = root / f"tmp{i}"
+        e.filter(pred).coalesce(1).write.parquet(str(d))
+        dst = root / "in" / f"{i:02d}.parquet"
+        shutil.move(str(next(d.glob("part-*.parquet"))), dst)
+        shutil.rmtree(d)
+        os.utime(dst, (t0 + 10 * i, t0 + 10 * i))
+
+    schema = spark.read.parquet(str(root / "in")).schema
+    out = root / "out"
+
+    def start():
+        # parquet FILE sink: transactional via the sink's commit log,
+        # and it supports checkpoint recovery (memory sink does not)
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(root / "in"))
+                .writeStream.outputMode("append")
+                .format("parquet").option("path", str(out))
+                .option("checkpointLocation", str(root / "ckpt"))
+                .trigger(availableNow=True).start())
+
+    q = start()
+    # stop as soon as the first batch has committed
+    deadline = _t.time() + 60
+    while _t.time() < deadline:
+        if any(p["batchId"] >= 0 and p["numInputRows"] > 0
+               for p in q.recentProgress):
+            break
+        _t.sleep(0.1)
+    q.stop()
+    q.awaitTermination(30)
+    n_after_kill = (spark.read.parquet(str(out)).count()
+                    if any(out.glob("*.parquet")) else 0)
+
+    q2 = start()  # resume from checkpoint
+    q2.awaitTermination(60)
+    if q2.isActive:
+        q2.stop()
+
+    total = e.count()
+    got = spark.read.parquet(str(out))
+    # exactly-once on event_id across BOTH runs: committed batches
+    # must not replay after the restart
+    assert got.count() == total, (got.count(), total, n_after_kill)
+    assert got.select("event_id").distinct().count() == total
+    shutil.rmtree(root, ignore_errors=True)
