@@ -162,3 +162,32 @@ def pagerank_oracle_sql(edges_cte: str, iterations: int = 5,
       FROM nodes CROSS JOIN nn
     ),{','.join(steps)}
     """
+
+
+def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) with a
+    self-vote and smallest-label tie-break, so every round is
+    deterministic: label(v) <- mode({label(u) : u->v edges} +
+    {label(v)}), ties to the minimum label. Returns (node, label)
+    after the fixed iteration count.
+
+    Scale: each round is one shuffle-join of the |V| label relation
+    against the edge list plus a (node,label)-keyed count with
+    map-side partials and a per-node top-1 window — O(|E|) per round.
+    localCheckpoint per round keeps the self-referencing lineage flat
+    (same reasoning as q_graph_components)."""
+    from pyspark.sql import Window as W
+
+    labels = edges.select(F.col("src").alias("node"),
+                          F.col("src").alias("label")).distinct()
+    for _ in range(iterations):
+        msgs = (edges.join(labels, labels.node == edges.src)
+                .select(F.col("dst").alias("node"), "label")
+                .unionByName(labels.select("node", "label")))
+        cnt = msgs.groupBy("node", "label").agg(F.count("*").alias("c"))
+        rn = F.row_number().over(
+            W.partitionBy("node").orderBy(F.desc("c"), "label"))
+        labels = (cnt.withColumn("rn", rn).filter(F.col("rn") == 1)
+                  .select("node", "label")
+                  .localCheckpoint(eager=True))
+    return labels

@@ -113,3 +113,39 @@ def test_components_rounds_suffice_on_long_ring(spark):
     # exactly one component of size n
     if sum(r["size"] for r in rows) <= 50:
         assert len(rows) == 1
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by one bridge edge must resolve to two
+    communities labeled by each clique's minimum node, matching an
+    independent pure-python recompute of the same deterministic rule
+    (self-vote mode, min-label tie-break)."""
+    from challenge8_movies_etl_spark.operators.graph import (
+        label_propagation)
+
+    und = [(0, 1), (0, 2), (1, 2), (10, 11), (10, 12), (11, 12), (2, 10)]
+    e = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(e, "src long, dst long")
+
+    def py_lpa(edges_list, iters):
+        from collections import Counter, defaultdict
+        nb = defaultdict(list)
+        for s, d in edges_list:
+            nb[d].append(s)
+        lab = {v: v for v in nb}
+        for _ in range(iters):
+            new = {}
+            for v in lab:
+                c = Counter(lab[u] for u in nb[v])
+                c[lab[v]] += 1
+                best = min(c, key=lambda k: (-c[k], k))
+                new[v] = best
+            lab = new
+        return lab
+
+    for iters in (1, 2, 3):
+        got = {r.node: r.label
+               for r in label_propagation(edges, iters).collect()}
+        assert got == py_lpa(e, iters), f"iteration {iters}"
+    final = py_lpa(e, 3)
+    assert sorted(set(final.values())) == [0, 10]
