@@ -743,3 +743,103 @@ def q_quantile_normalize(spark, sf_dir):
                     F.round("grp_mean_raw", 6).alias("grp_mean"),
                     F.round("ref_raw", 6).alias("normalized"))
             .orderBy("event_type", "pctile"))
+
+
+# ---------------------------------------------------------------------------
+# q_mannwhitney_u — nonparametric rank-sum two-sample test
+# ---------------------------------------------------------------------------
+
+_MWU_ORACLE = """
+WITH x AS (
+  SELECT event_type,
+         cast(round(value, 3) * 1000 as decimal(7,0)) AS v
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+g AS (
+  SELECT v,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS na_v,
+         count(*) AS n_v
+  FROM x GROUP BY v
+),
+rk AS (
+  SELECT v, na_v, n_v, sum(n_v) OVER (ORDER BY v) AS cum
+  FROM g
+),
+agg AS (
+  SELECT cast(sum(na_v * (2 * cum - n_v + 1)) as bigint) AS ra2,
+         cast(sum(n_v * n_v * n_v - n_v) as bigint) AS ties,
+         cast(sum(na_v) as bigint) AS n_a,
+         cast(sum(n_v) - sum(na_v) as bigint) AS n_b,
+         cast(sum(n_v) as bigint) AS n
+  FROM rk
+),
+u AS (
+  SELECT *, ra2 - n_a * (n_a + 1) AS u2 FROM agg
+)
+SELECT n_a, n_b,
+       cast(u2 as double) / 2 AS u_stat,
+       cast(u2 - n_a * n_b as double) / cast(n_a * n_b as double)
+         AS rank_biserial,
+       round((cast(u2 as double) / 2 - cast(n_a as double) * n_b / 2)
+             / sqrt(cast(n_a as double) * n_b / 12
+                    * ((n + 1) - cast(ties as double)
+                                 / (cast(n as double) * (n - 1)))), 4)
+         AS z_score
+FROM u
+"""
+
+
+@query("q_mannwhitney_u", oracle=_MWU_ORACLE)
+def q_mannwhitney_u(spark, sf_dir):
+    """Mann-Whitney U rank-sum test: does the `value` distribution of
+    'click' events stochastically dominate 'purchase' events? The
+    nonparametric two-sample location test beside q_chisq_independence
+    (categorical) and q_ks_drift (distributional) — the robust A/B
+    readout when values are heavy-tailed and a t-test's normality
+    assumption fails. Rank arithmetic is EXACT integers throughout:
+    values key as milli-units via the decimal(7,0) cast (q_agg_moments
+    discipline), tied ranks enter as DOUBLED average ranks
+    (2*cum - n_v + 1, always an integer), so U arrives as an integer
+    u2 = 2U and only the final z (tie-corrected sigma, one sqrt) and
+    the rank-biserial effect size (one IEEE division of two exact
+    integers — deterministic without rounding) are floats.
+
+    Scale: one map-side-combined groupBy on the value key, one
+    ordered-window cumsum over the distinct-value relation (bounded by
+    value cardinality, not row count), one scalar reduce. At extreme
+    corpus sizes the n_a*n_b product outgrows bigint around n ~ 3e9
+    per side — lift those two factors to decimal(38,0) then."""
+    e = load_table(spark, sf_dir, "events")
+    x = (e.filter(F.col("event_type").isin("click", "purchase"))
+         .select("event_type",
+                 (F.round("value", 3) * 1000)
+                 .cast("decimal(7,0)").alias("v")))
+    g = (x.groupBy("v")
+         .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                    .otherwise(0)).alias("na_v"),
+              F.count("*").alias("n_v")))
+    rk = g.select("v", "na_v", "n_v",
+                  F.sum("n_v").over(
+                      W.orderBy("v")
+                      .rangeBetween(W.unboundedPreceding, W.currentRow))
+                  .alias("cum"))
+    agg = rk.agg(
+        F.sum(F.col("na_v") * (2 * F.col("cum") - F.col("n_v") + 1))
+        .cast("long").alias("ra2"),
+        F.sum(F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v"))
+        .cast("long").alias("ties"),
+        F.sum("na_v").cast("long").alias("n_a"),
+        (F.sum("n_v") - F.sum("na_v")).cast("long").alias("n_b"),
+        F.sum("n_v").cast("long").alias("n"))
+    u = agg.withColumn("u2", F.expr("ra2 - n_a * (n_a + 1)"))
+    return u.select(
+        "n_a", "n_b",
+        F.expr("cast(u2 as double) / 2").alias("u_stat"),
+        F.expr("cast(u2 - n_a * n_b as double)"
+               " / cast(n_a * n_b as double)").alias("rank_biserial"),
+        F.expr("round((cast(u2 as double) / 2"
+               "       - cast(n_a as double) * n_b / 2)"
+               " / sqrt(cast(n_a as double) * n_b / 12"
+               "        * ((n + 1) - cast(ties as double)"
+               "                     / (cast(n as double) * (n - 1)))), 4)")
+        .alias("z_score"))

@@ -225,3 +225,45 @@ def test_quantile_normalize_aligns_distributions(spark):
         rs.sort(key=lambda r: r.pctile)
         means = [r.grp_mean for r in rs]
         assert all(b >= a for a, b in zip(means, means[1:]))
+
+
+def test_mannwhitney_matches_python_twin(spark):
+    """U, rank-biserial, and tie-corrected z recomputed from scratch
+    with python rank arithmetic (average ranks, tie correction) on the
+    smoke fixture must match the distributed query."""
+    import math
+
+    import pandas as pd
+
+    from challenge8_movies_etl_spark.queries_stats import q_mannwhitney_u
+    from tests.conftest import SF_SMOKE
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    pdf = pdf[pdf.event_type.isin(["click", "purchase"])]
+    # same milli-unit keying as the query (decimal(7,0) HALF_UP)
+    vals = [(t, int(round(round(v, 3) * 1000)))
+            for t, v in zip(pdf.event_type, pdf.value)]
+    ordered = sorted(v for _, v in vals)
+    rank_of, i = {}, 0
+    while i < len(ordered):
+        j = i
+        while j < len(ordered) and ordered[j] == ordered[i]:
+            j += 1
+        rank_of[ordered[i]] = (i + 1 + j) / 2  # average rank, 1-based
+        i = j
+    ra = sum(rank_of[v] for t, v in vals if t == "click")
+    n_a = sum(1 for t, _ in vals if t == "click")
+    n_b = len(vals) - n_a
+    u = ra - n_a * (n_a + 1) / 2
+    n = n_a + n_b
+    from collections import Counter
+    ties = sum(c ** 3 - c for c in Counter(v for _, v in vals).values())
+    sigma = math.sqrt(n_a * n_b / 12 * ((n + 1) - ties / (n * (n - 1))))
+    z = (u - n_a * n_b / 2) / sigma
+    r = (2 * u - n_a * n_b) / (n_a * n_b)
+
+    row = q_mannwhitney_u(spark, SF_SMOKE).collect()[0]
+    assert (row.n_a, row.n_b) == (n_a, n_b)
+    assert row.u_stat == u
+    assert abs(row.rank_biserial - r) < 1e-12
+    assert abs(row.z_score - round(z, 4)) < 5e-5
