@@ -832,3 +832,158 @@ def q_ridge_2feat(spark, sf_dir):
     return g.select("n",
                     (F.round(w1, 6) + 0.0).alias("w1"),
                     (F.round(w2, 6) + 0.0).alias("w2"))
+
+
+# ---------------------------------------------------------------------------
+# q_logistic_train — distributed Newton/IRLS logistic regression
+# ---------------------------------------------------------------------------
+
+_LOGIT_ITERS = 3
+# per-row sigmoid quantization (q_quality_classifier discipline) with
+# an epsilon clamp so the log-loss never sees ln(0)
+_LOGIT_P = ("least(greatest(cast(round(1.0 / (1.0 + exp(-({z}))), 6)"
+            " as decimal(8,6)), cast(0.000001 as decimal(8,6))),"
+            " cast(0.999999 as decimal(8,6)))")
+
+
+def _logit_newton_sql(prev: str, step: str) -> str:
+    """One unrolled Newton step: sufficient statistics over feat with
+    beta from CTE `prev`, closed-form 2x2 solve, 6dp-rounded update."""
+    z = f"b.b0 + b.b1 * cast(t.xd as double)"
+    return f"""
+s{step} AS (
+  SELECT
+    sum(y - p) AS g0, sum((y - p) * xd) AS g1,
+    sum(p * (1 - p)) AS h00,
+    sum(p * (1 - p) * xd) AS h01,
+    sum(p * (1 - p) * xd * xd) AS h11,
+    max(b0) AS b0, max(b1) AS b1
+  FROM (SELECT t.xd, t.y, b.b0, b.b1,
+               {_LOGIT_P.format(z=z)} AS p
+        FROM feat t CROSS JOIN {prev} b) q
+),
+b{step} AS (
+  SELECT
+    round(b0 + (cast(h11 as double) * cast(g0 as double)
+                - cast(h01 as double) * cast(g1 as double))
+               / (cast(h00 as double) * cast(h11 as double)
+                  - cast(h01 as double) * cast(h01 as double)), 6) AS b0,
+    round(b1 + (cast(h00 as double) * cast(g1 as double)
+                - cast(h01 as double) * cast(g0 as double))
+               / (cast(h00 as double) * cast(h11 as double)
+                  - cast(h01 as double) * cast(h01 as double)), 6) AS b1
+  FROM s{step}
+)"""
+
+
+def _logit_oracle() -> str:
+    steps = ",".join(_logit_newton_sql(f"b{i - 1}" if i > 1 else "b0", i)
+                     for i in range(1, _LOGIT_ITERS + 1))
+    zf = f"b.b0 + b.b1 * cast(t.xd as double)"
+    return f"""
+WITH feat AS (
+  SELECT cast(round((l_quantity - 25) / 25, 4) as decimal(8,4)) AS xd,
+         CASE WHEN l_extendedprice % 100 < 2 * l_quantity
+              THEN 1 ELSE 0 END AS y
+  FROM lineitem
+),
+b0 AS (SELECT cast(0.0 as double) AS b0, cast(0.0 as double) AS b1),
+{steps},
+scored AS (
+  SELECT t.y, b.b0, b.b1, {_LOGIT_P.format(z=zf)} AS p
+  FROM feat t CROSS JOIN b{_LOGIT_ITERS} b
+)
+SELECT cast(count(*) as bigint) AS n,
+       cast(sum(y) as bigint) AS n_pos,
+       max(b0) AS beta0, max(b1) AS beta1,
+       cast(round(sum(cast(round(CASE WHEN y = 1
+                                      THEN -ln(cast(p as double))
+                                      ELSE -ln(1 - cast(p as double)) END, 6)
+                          as decimal(14,6))), 4) as double) AS log_loss,
+       cast(sum(CASE WHEN (p >= 0.5) = (y = 1) THEN 1 ELSE 0 END)
+            as bigint) AS n_correct
+FROM scored
+"""
+
+
+@query("q_logistic_train", oracle=_logit_oracle())
+def q_logistic_train(spark, sf_dir):
+    """TRAIN a logistic-regression classifier inside the engine —
+    3 Newton/IRLS iterations for p(y | quantity), where the label is
+    1 iff the price's uniform last-two-digits fall under 2*quantity —
+    i.e. TRUE P(y=1|q) = q/50, a monotone signal the fixture's
+    independent columns don't otherwise offer (fmod on doubles is
+    IEEE-exact, so the label is deterministic on both engines) — the
+    distributed trainer behind CCNet/GPT-3-style quality classifiers
+    (q_quality_classifier runs inference with pinned weights; this is
+    where such weights come from). Each iteration is ONE aggregate
+    pass collecting the five sufficient statistics (gradient + 2x2
+    Hessian) followed by a closed-form solve on the driver — the
+    classic "statistics to the driver, never the data" pattern (same
+    bounded-collect contract as kmeans' k centroids: 5 scalars/round).
+
+    Hash-safety: the per-row sigmoid is quantized to decimal(8,6)
+    (the q_quality_classifier discipline) and every SUM runs over
+    exact decimals, so both engines reduce identical rationals in any
+    order; the Newton solve consumes those exact sums as doubles with
+    an identical operation tree, and each beta is 6dp-rounded before
+    re-entering the data pass. The oracle unrolls the same 3 steps as
+    chained CTEs — an ITERATIVE trainer, value-hash-checked.
+
+    Scale: 3 aggregate-only passes + 1 metrics pass, all map-side
+    partials over exact decimals; nothing but 7 scalars ever leaves
+    the executors, and nothing is ever quadratic. At 100 TB you'd
+    persist `feat` columnar once and reuse it across passes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    feat = li.select(
+        F.round((F.col("l_quantity") - 25) / 25, 4)
+        .cast("decimal(8,4)").alias("xd"),
+        F.when(F.col("l_extendedprice") % 100 < 2 * F.col("l_quantity"), 1)
+        .otherwise(0).alias("y")).persist()
+
+    def p_col(b0: float, b1: float):
+        z = F.lit(b0) + F.lit(b1) * F.col("xd").cast("double")
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6) \
+             .cast("decimal(8,6)")
+        return F.least(F.greatest(p, F.lit(0.000001).cast("decimal(8,6)")),
+                       F.lit(0.999999).cast("decimal(8,6)"))
+
+    b0, b1 = 0.0, 0.0
+    for _ in range(_LOGIT_ITERS):
+        s = (feat.withColumn("p", p_col(b0, b1))
+             .agg(F.sum(F.col("y") - F.col("p")).alias("g0"),
+                  F.sum((F.col("y") - F.col("p")) * F.col("xd")).alias("g1"),
+                  F.sum(F.col("p") * (1 - F.col("p"))).alias("h00"),
+                  F.sum(F.col("p") * (1 - F.col("p")) * F.col("xd"))
+                  .alias("h01"),
+                  F.sum(F.col("p") * (1 - F.col("p")) * F.col("xd")
+                        * F.col("xd")).alias("h11"))
+             .collect()[0])
+        g0, g1 = float(s.g0), float(s.g1)
+        h00, h01, h11 = float(s.h00), float(s.h01), float(s.h11)
+        det = h00 * h11 - h01 * h01
+        # SQL round() is HALF_UP, python's is banker's — they only
+        # differ on exact half-boundary doubles, unreachable from a
+        # Newton step's irrational-valued update (registry convention)
+        b0 = _half_up6(b0 + (h11 * g0 - h01 * g1) / det)
+        b1 = _half_up6(b1 + (h00 * g1 - h01 * g0) / det)
+
+    scored = feat.withColumn("p", p_col(b0, b1))
+    ll_t = F.round(
+        F.when(F.col("y") == 1, -F.log(F.col("p").cast("double")))
+        .otherwise(-F.log(1 - F.col("p").cast("double"))), 6) \
+        .cast("decimal(14,6)")
+    return scored.agg(
+        F.count("*").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.lit(b0).alias("beta0"), F.lit(b1).alias("beta1"),
+        F.round(F.sum(ll_t), 4).cast("double").alias("log_loss"),
+        F.sum(F.when((F.col("p") >= 0.5) == (F.col("y") == 1), 1)
+              .otherwise(0)).cast("long").alias("n_correct"))
+
+
+def _half_up6(x: float) -> float:
+    """HALF_UP 6dp round matching SQL round() semantics on doubles."""
+    import decimal
+    return float(decimal.Decimal(repr(x)).quantize(
+        decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP))

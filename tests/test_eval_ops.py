@@ -549,3 +549,48 @@ def test_qini_curve_shape(spark):
         ct += r.c_t; cc += r.c_c; nt += r.n_t; nc += r.n_c
         expect = ct - cc * nt / nc
         assert abs(r.qini - expect) < 1e-4, (r.decile, r.qini, expect)
+
+
+def test_logistic_train_matches_numpy_newton(spark):
+    """The distributed 3-step Newton trainer must land on the same
+    betas as an independent numpy IRLS with the identical per-step
+    quantization (6dp sigmoid, 6dp beta), and the unquantized numpy
+    fit it approximates must sit within 1e-3 — i.e. the quantization
+    discipline is hash-insurance, not a semantics change."""
+    import numpy as np
+    import pandas as pd
+
+    from challenge8_movies_etl_spark.queries_ml import (
+        _LOGIT_ITERS, _half_up6, q_logistic_train)
+    from tests.conftest import SF_SMOKE
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    xd = np.round((li.l_quantity.to_numpy() - 25) / 25, 4)
+    y = (np.fmod(li.l_extendedprice.to_numpy(), 100)
+         < 2 * li.l_quantity.to_numpy()).astype(float)
+
+    def newton(quantize: bool):
+        b0 = b1 = 0.0
+        for _ in range(_LOGIT_ITERS):
+            p = 1.0 / (1.0 + np.exp(-(b0 + b1 * xd)))
+            if quantize:
+                p = np.clip(np.round(p, 6), 1e-6, 1 - 1e-6)
+            w = p * (1 - p)
+            g0, g1 = np.sum(y - p), np.sum((y - p) * xd)
+            h00, h01, h11 = np.sum(w), np.sum(w * xd), np.sum(w * xd * xd)
+            det = h00 * h11 - h01 * h01
+            b0 = b0 + (h11 * g0 - h01 * g1) / det
+            b1 = b1 + (h00 * g1 - h01 * g0) / det
+            if quantize:
+                b0, b1 = _half_up6(b0), _half_up6(b1)
+        return b0, b1
+
+    row = q_logistic_train(spark, SF_SMOKE).collect()[0]
+    qb0, qb1 = newton(quantize=True)
+    # numpy float64 sums vs exact decimal sums differ below 6dp only
+    assert abs(row.beta0 - qb0) < 2e-6 and abs(row.beta1 - qb1) < 2e-6
+    fb0, fb1 = newton(quantize=False)
+    assert abs(row.beta0 - fb0) < 1e-3 and abs(row.beta1 - fb1) < 1e-3
+    assert row.n == len(y) and row.n_pos == int(y.sum())
+    assert row.beta1 > 1.5, "the q/50 signal must be learned"
+    assert row.n_correct / row.n > 0.6
