@@ -48,18 +48,23 @@ def _distances(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
     return out.drop(*[f"_c{i}" for i in range(len(centroids))])
 
 
-def assign_clusters(vecs: DataFrame,
-                    centroids: list[list[float]]) -> DataFrame:
+def assign_clusters(vecs: DataFrame, centroids: list[list[float]],
+                    keep_dist: bool = False) -> DataFrame:
     """(vec_id, embedding) + centroids → (vec_id, embedding, cluster);
-    argmin with lowest-index tie-break via exact decimal equality."""
+    argmin with lowest-index tie-break via exact decimal equality.
+    With ``keep_dist`` the exact-decimal squared distance to the
+    assigned centroid is retained as ``cdist`` (SemDeDup's keep
+    priority orders on it)."""
     k = len(centroids)
     d = _distances(vecs, centroids)
     m = F.least(*[F.col(f"_d{i}") for i in range(k)])
     cl = F.when(F.col("_d0") == m, 0)
     for i in range(1, k):
         cl = cl.when(F.col(f"_d{i}") == m, i)
-    return (d.withColumn("cluster", cl.cast("int"))
-            .drop(*[f"_d{i}" for i in range(k)]))
+    d = d.withColumn("cluster", cl.cast("int"))
+    if keep_dist:
+        d = d.withColumn("cdist", m)
+    return d.drop(*[f"_d{i}" for i in range(k)])
 
 
 def update_centroids(assigned: DataFrame, k: int, dim: int) -> list[list[float]]:
@@ -102,8 +107,27 @@ def kmeans_oracle_sql(k: int = 4, iterations: int = 2,
     """The DuckDB twin: the fixed iteration loop unrolled into chained
     CTEs with the identical decimal/rounding expression tree (same
     construction as graph.pagerank_oracle_sql)."""
+    return (f"WITH {kmeans_cte_chain(k, iterations)}" + f"""
+SELECT a.cluster,
+       cast(count(*) as bigint) AS n,
+       round(cast(nrm.s as double), 6) AS cnorm
+FROM a{iterations} a
+JOIN (
+  SELECT idx, sum(cast(cast(c as decimal(12,6)) as decimal(12,6))
+                  * cast(c as decimal(12,6))) AS s
+  FROM c{iterations} GROUP BY 1
+) nrm ON nrm.idx = a.cluster
+GROUP BY a.cluster, nrm.s
+ORDER BY a.cluster""")
+
+
+def kmeans_cte_chain(k: int = 4, iterations: int = 2) -> str:
+    """The WITH-body of the unrolled loop (x, c0, then per-iteration
+    d{i}/a{i}/c{i}) so composite oracles — e.g. SemDeDup — can build on
+    the assignment CTE a{iterations}, which carries the exact-decimal
+    distance to the assigned centroid."""
     parts = [f"""
-WITH x AS (
+x AS (
   SELECT vec_id, gs.i AS i, cast(embedding[gs.i] as double) AS v
   FROM embeddings e JOIN range(1, 100000) gs(i)
     ON gs.i <= len(embedding)
@@ -125,8 +149,8 @@ d{it} AS (
   GROUP BY 1, 2
 ),
 a{it} AS (
-  SELECT vec_id, idx AS cluster FROM (
-    SELECT vec_id, idx,
+  SELECT vec_id, idx AS cluster, dist FROM (
+    SELECT vec_id, idx, dist,
            row_number() OVER (PARTITION BY vec_id
                               ORDER BY dist, idx) AS rn
     FROM d{it}
@@ -140,16 +164,4 @@ c{it} AS (
   GROUP BY 1, 2
 )""")
         prev = f"c{it}"
-    parts.append(f"""
-SELECT a.cluster,
-       cast(count(*) as bigint) AS n,
-       round(cast(nrm.s as double), 6) AS cnorm
-FROM a{iterations} a
-JOIN (
-  SELECT idx, sum(cast(cast(c as decimal(12,6)) as decimal(12,6))
-                  * cast(c as decimal(12,6))) AS s
-  FROM c{iterations} GROUP BY 1
-) nrm ON nrm.idx = a.cluster
-GROUP BY a.cluster, nrm.s
-ORDER BY a.cluster""")
     return "".join(parts)

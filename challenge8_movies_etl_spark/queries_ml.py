@@ -987,3 +987,111 @@ def _half_up6(x: float) -> float:
     import decimal
     return float(decimal.Decimal(repr(x)).quantize(
         decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP))
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_semdedup — SemDeDup: kmeans-bucketed greedy semantic dedup
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.35
+
+
+def _semdedup_oracle() -> str:
+    from .operators.kmeans import kmeans_cte_chain
+    dec = "decimal(18,10)"
+
+    def dsum(x: str, y: str) -> str:
+        return (f"cast(sum(cast(cast({x}[gs.i] as double) * "
+                f"cast({y}[gs.i] as double) as {dec})) as double)")
+
+    return f"""
+WITH {kmeans_cte_chain(4, 2)},
+memb AS (
+  SELECT a.vec_id, a.cluster, a.dist, e.embedding
+  FROM a2 a JOIN embeddings e USING (vec_id)
+),
+nrms AS (
+  SELECT vec_id, {dsum('embedding', 'embedding')} AS nv
+  FROM memb, range(1, 65) gs(i)
+  GROUP BY vec_id, embedding
+),
+cand AS (
+  SELECT x.vec_id AS kept, y.vec_id AS v,
+         x.embedding AS ea, y.embedding AS eb
+  FROM memb x JOIN memb y ON x.cluster = y.cluster
+   AND (x.dist > y.dist OR (x.dist = y.dist AND x.vec_id < y.vec_id))
+),
+dots AS (
+  SELECT kept, v, {dsum('ea', 'eb')} AS dot
+  FROM cand, range(1, 65) gs(i)
+  GROUP BY kept, v
+),
+dups AS (
+  SELECT DISTINCT d.v
+  FROM dots d
+  JOIN nrms nx ON nx.vec_id = d.kept
+  JOIN nrms ny ON ny.vec_id = d.v
+  WHERE d.dot / sqrt(nx.nv * ny.nv) >= {_SEMDEDUP_TAU}
+)
+SELECT m.vec_id, m.cluster,
+       (m.vec_id IN (SELECT v FROM dups)) AS is_dup
+FROM memb m
+"""
+
+
+@query("q_dedup_semdedup", oracle=_semdedup_oracle())
+def q_dedup_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means-cluster the
+    embeddings, then WITHIN each cluster mark a vector duplicate when
+    it is cosine-similar (tau=0.35) to any higher-priority member —
+    priority = farther from the assigned centroid first (the paper
+    keeps low-centroid-similarity extremes), ties toward the lower
+    vec_id. The clustering makes the quadratic step per-cluster local:
+    this is the published algorithm LAION/DataComp-scale pipelines
+    run, sitting between q_dedup_semantic (transitive components over
+    exact pairs) and q_embed_lsh (data-independent buckets) on the
+    ladder. Assignment and priority reuse q_kmeans' exact-decimal
+    distances (operators/kmeans.py), cosines the exact-decimal
+    reduction (operators/similarity.py), so an iterative clustering
+    FEEDING a pairwise dedup is still value-hash-checked end to end.
+
+    Scale: assignment is zero-shuffle codegen against broadcast
+    centroids; the pair join is cluster-blocked (k buckets bound the
+    quadratic term at n_c^2, the paper's own scaling argument — k
+    grows with corpus so n_c stays bounded); the dup test is one
+    semi-join. The oracle chains the kmeans CTEs into the pair pass —
+    one SQL statement replays the whole algorithm."""
+    from .operators.kmeans import assign_clusters, kmeans
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", "embedding")
+    init_rows = (vecs.orderBy("vec_id").limit(4)
+                 .select("embedding").collect())
+    init = [[float(x) for x in r["embedding"]] for r in init_rows]
+    from .operators.kmeans import update_centroids
+    # one update round, then re-assign with kept distance: identical
+    # to the oracle's a2 (assignment under the c1 centroids)
+    cents = update_centroids(assign_clusters(vecs, init), 4, len(init[0]))
+    from .operators.similarity import dot_col
+    # per-vector norm ONCE (the q_dedup_semantic shape) — computing
+    # cosine_col per pair would re-reduce both self-norms 500k times
+    memb = (assign_clusters(vecs, cents, keep_dist=True)
+            .withColumn("nrm", dot_col(F.col("embedding"),
+                                       F.col("embedding")))
+            .persist())
+
+    x, y = memb.alias("x"), memb.alias("y")
+    before = ((F.col("x.cdist") > F.col("y.cdist"))
+              | ((F.col("x.cdist") == F.col("y.cdist"))
+                 & (F.col("x.vec_id") < F.col("y.vec_id"))))
+    cos = (dot_col(F.col("x.embedding"), F.col("y.embedding"))
+           / F.sqrt(F.col("x.nrm") * F.col("y.nrm")))
+    dups = (x.join(y, (F.col("x.cluster") == F.col("y.cluster")) & before)
+            .filter(cos >= _SEMDEDUP_TAU)
+            .select(F.col("y.vec_id").alias("vec_id"))
+            .distinct()
+            .withColumn("d", F.lit(True)))
+    return (memb.join(dups, "vec_id", "left")
+            .select("vec_id", "cluster",
+                    F.coalesce(F.col("d"), F.lit(False)).alias("is_dup")))

@@ -14,3 +14,50 @@ def test_components_on_known_graph(spark):
     got = {r["id"]: r["cluster"]
            for r in connected_components(nodes, edges).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6, 7: 7}
+
+
+def test_semdedup_matches_numpy_twin(spark):
+    """Full SemDeDup recomputed in plain numpy (Lloyd k=4 x2 with the
+    same 6dp centroid rounding, farthest-from-centroid-first greedy,
+    cos >= tau) must produce identical dup flags on the smoke fixture
+    — the engine's decimal discipline is hash-insurance, not a
+    semantics change (all decisions sit far from float error)."""
+    import numpy as np
+    import pandas as pd
+
+    from challenge8_movies_etl_spark.queries_ml import (
+        _SEMDEDUP_TAU, q_dedup_semdedup)
+    from tests.conftest import SF_SMOKE
+
+    pdf = (pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+           .sort_values("vec_id").reset_index(drop=True))
+    X = np.array([np.asarray(e, dtype=float) for e in pdf.embedding])
+    ids = pdf.vec_id.to_numpy()
+
+    cents = X[:4].copy()
+    for it in range(2):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        if it == 0:
+            cents = np.array([np.round(X[assign == c].mean(axis=0), 6)
+                              for c in range(4)])
+    cdist = d[np.arange(len(X)), assign]
+
+    nrm = np.sqrt((X * X).sum(axis=1))
+    cos = (X @ X.T) / np.outer(nrm, nrm)
+    is_dup = np.zeros(len(X), dtype=bool)
+    for c in range(4):
+        idx = np.where(assign == c)[0]
+        order = idx[np.lexsort((ids[idx], -cdist[idx]))]
+        for pos, j in enumerate(order):
+            for i in order[:pos]:
+                if cos[i, j] >= _SEMDEDUP_TAU:
+                    is_dup[j] = True
+                    break
+
+    got = {r.vec_id: (r.cluster, r.is_dup)
+           for r in q_dedup_semdedup(spark, SF_SMOKE).collect()}
+    expect = {int(v): (int(c), bool(f))
+              for v, c, f in zip(ids, assign, is_dup)}
+    assert got == expect
+    assert 0 < sum(f for _, f in got.values()) < len(got)
