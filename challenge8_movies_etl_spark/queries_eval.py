@@ -1711,3 +1711,142 @@ def q_uplift_qini(spark, sf_dir):
                        (F.round(uplift, 6) + 0.0).alias("uplift"),
                        (F.round(qini, 6) + 0.0).alias("qini"))
             .orderBy("decile"))
+
+
+# ---------------------------------------------------------------------------
+# q_propensity_match — stratified (subclassification) causal ATT
+# ---------------------------------------------------------------------------
+
+# Deterministic confounded world on the user panel: the confounder is
+# pre-period activity n_pre; treatment propensity RISES with it
+# ((uid*7919) % 60 < n_pre - 10), and the outcome also rises with it
+# (+0.5 * n_pre) on top of a true +5.0 treatment effect — so the naive
+# treated-vs-control difference is biased upward and only the
+# within-stratum comparison recovers ~5.
+_PSM_PRE = "cast(ts as date) < DATE '2024-01-16'"
+
+
+@query(
+    "q_propensity_match",
+    oracle=f"""
+    WITH users AS (
+      SELECT user_id,
+             sum(CASE WHEN {_PSM_PRE} THEN 1 ELSE 0 END) AS n_pre,
+             count(*) FILTER (NOT ({_PSM_PRE})) AS n_post,
+             cast(sum(cast(value as decimal(30,10)))
+                    FILTER (NOT ({_PSM_PRE})) as double)
+               / nullif(count(*) FILTER (NOT ({_PSM_PRE})), 0) AS base_y
+      FROM events GROUP BY user_id
+    ),
+    panel AS (
+      SELECT user_id, n_pre,
+             CASE WHEN (user_id * 7919) % 60 < n_pre - 10
+                  THEN 1 ELSE 0 END AS treated,
+             round(base_y + 0.5 * n_pre
+                   + CASE WHEN (user_id * 7919) % 60 < n_pre - 10
+                          THEN 5.0 ELSE 0.0 END, 6) AS y
+      FROM users WHERE n_post > 0
+    ),
+    naive AS (
+      SELECT cast(sum(cast(y as decimal(14,6))) FILTER (treated = 1)
+                  as double) / sum(treated)
+             - cast(sum(cast(y as decimal(14,6))) FILTER (treated = 0)
+                    as double) / sum(1 - treated) AS naive_diff,
+             count(*) AS n_users, sum(treated) AS n_treated
+      FROM panel
+    ),
+    strata AS (
+      SELECT n_pre,
+             sum(treated) AS nt, sum(1 - treated) AS nc,
+             cast(sum(cast(y as decimal(14,6))) FILTER (treated = 1)
+                  as double) / nullif(sum(treated), 0) AS yt,
+             cast(sum(cast(y as decimal(14,6))) FILTER (treated = 0)
+                  as double) / nullif(sum(1 - treated), 0) AS yc
+      FROM panel GROUP BY n_pre
+    ),
+    matched AS (
+      SELECT cast(sum(cast(round(nt * (yt - yc), 8) as decimal(24,8)))
+                  as double)
+               / sum(nt) AS att,
+             count(*) AS n_strata, cast(sum(nt) as bigint) AS nt_matched
+      FROM strata WHERE nt > 0 AND nc > 0
+    )
+    SELECT cast(n_users as bigint) AS n_users,
+           cast(n_treated as bigint) AS n_treated,
+           cast(n_strata as bigint) AS n_strata_matched,
+           nt_matched AS n_treated_matched,
+           round(naive_diff, 6) + 0.0 AS naive_diff,
+           round(att, 6) + 0.0 AS att_stratified
+    FROM naive CROSS JOIN matched
+    """,
+)
+def q_propensity_match(spark, sf_dir):
+    """Propensity-stratified causal effect (Cochran subclassification,
+    the matching estimator that actually scales): users stratify on
+    the integer confounder (pre-period activity), ATT = the
+    treated-weighted mean of within-stratum outcome differences over
+    common-support strata. A deterministic confounded world is
+    synthesized on the user panel — treatment probability AND outcome
+    both rise with the confounder — so naive_diff must overstate the
+    true +5.0 effect while att_stratified recovers it (test-pinned);
+    the pair completes the causal family (q_diff_in_diff uses time,
+    q_uplift_qini uses scores, this uses cross-sectional matching).
+
+    Stratum means are decimal-exact; per-stratum terms round 8dp into
+    decimals before the cross-strata sum (order-independent), and both
+    final estimates carry the `+ 0.0` sign-of-zero guard.
+
+    Scale: one event scan -> per-user aggregate -> per-stratum
+    aggregate (integer key, bounded cardinality) -> scalar reduce;
+    nearest-neighbor matching's quadratic search is exactly what this
+    estimator avoids — at 100 TB, exact integer strata (or quantized
+    propensity bins) keep the match a group-by."""
+    e = load_table(spark, sf_dir, "events")
+    pre = F.col("ts").cast("date") < F.lit("2024-01-16").cast("date")
+    users = (e.groupBy("user_id")
+             .agg(F.sum(F.when(pre, 1).otherwise(0)).alias("n_pre"),
+                  F.sum(F.when(~pre, 1).otherwise(0)).alias("n_post"),
+                  (F.sum(F.when(~pre, F.col("value").cast("decimal(30,10)")))
+                   .cast("double")
+                   / F.nullif(F.sum(F.when(~pre, 1).otherwise(0)),
+                              F.lit(0))).alias("base_y")))
+    treated = F.when((F.col("user_id") * 7919) % 60
+                     < F.col("n_pre") - 10, 1).otherwise(0)
+    panel = (users.filter(F.col("n_post") > 0)
+             .select("user_id", "n_pre", treated.alias("treated"),
+                     F.round(F.col("base_y") + 0.5 * F.col("n_pre")
+                             + F.when(treated == 1, 5.0).otherwise(0.0), 6)
+                     .alias("y")))
+    ydec = F.col("y").cast("decimal(14,6)")
+    naive = panel.agg(
+        (F.sum(F.when(F.col("treated") == 1, ydec)).cast("double")
+         / F.sum("treated")
+         - F.sum(F.when(F.col("treated") == 0, ydec)).cast("double")
+         / F.sum(1 - F.col("treated"))).alias("naive_diff"),
+        F.count("*").alias("n_users"),
+        F.sum("treated").alias("n_treated"))
+    strata = (panel.groupBy("n_pre")
+              .agg(F.sum("treated").alias("nt"),
+                   F.sum(1 - F.col("treated")).alias("nc"),
+                   (F.sum(F.when(F.col("treated") == 1, ydec))
+                    .cast("double")
+                    / F.nullif(F.sum("treated"), F.lit(0))).alias("yt"),
+                   (F.sum(F.when(F.col("treated") == 0, ydec))
+                    .cast("double")
+                    / F.nullif(F.sum(1 - F.col("treated")), F.lit(0)))
+                   .alias("yc")))
+    matched = (strata.filter((F.col("nt") > 0) & (F.col("nc") > 0))
+               .agg((F.sum(F.round(F.col("nt") * (F.col("yt")
+                                                  - F.col("yc")), 8)
+                           .cast("decimal(24,8)")).cast("double")
+                     / F.sum("nt")).alias("att"),
+                    F.count("*").alias("n_strata"),
+                    F.sum("nt").cast("long").alias("nt_matched")))
+    return (naive.crossJoin(matched)
+            .select(F.col("n_users").cast("long").alias("n_users"),
+                    F.col("n_treated").cast("long").alias("n_treated"),
+                    F.col("n_strata").cast("long")
+                    .alias("n_strata_matched"),
+                    F.col("nt_matched").alias("n_treated_matched"),
+                    (F.round("naive_diff", 6) + 0.0).alias("naive_diff"),
+                    (F.round("att", 6) + 0.0).alias("att_stratified")))

@@ -594,3 +594,18 @@ def test_logistic_train_matches_numpy_newton(spark):
     assert row.n == len(y) and row.n_pos == int(y.sum())
     assert row.beta1 > 1.5, "the q/50 signal must be learned"
     assert row.n_correct / row.n > 0.6
+
+
+def test_propensity_match_recovers_injected_effect(spark):
+    """The stratified ATT must recover the injected +5.0 effect within
+    sampling noise at sf0.01 (per-user outcome noise sd ~5, effective
+    n ~40 matched strata-pairs => ~3 sd bound), while the confounded
+    naive difference is allowed to drift but not collapse (its bias
+    term is positive in expectation)."""
+    from challenge8_movies_etl_spark.queries_eval import q_propensity_match
+
+    row = q_propensity_match(spark, "/root/testdata/sf0.01").collect()[0]
+    assert row.n_users > row.n_treated > 0
+    assert 0 < row.n_treated_matched <= row.n_treated
+    assert abs(row.att_stratified - 5.0) < 2.5
+    assert row.naive_diff - row.att_stratified > -1.0
