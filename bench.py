@@ -86,6 +86,12 @@ EXTRA = [
     "q_multimodal_decode_png",
     "q_audio_pitch",
     "q_crossval_ols",
+    # round-5 fourth wave: exact-substring dedup, SemDeDup, Newton
+    # logistic training, label-propagation communities
+    "q_dedup_substring",
+    "q_dedup_semdedup",
+    "q_logistic_train",
+    "q_graph_label_prop",
 ]
 
 

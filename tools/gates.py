@@ -65,6 +65,11 @@ SHAPE = {
     "q_multimodal_decode_png": "q_multimodal_decode",
     "q_audio_pitch": "q_multimodal_decode",    # Arrow decode + int DSP
     "q_crossval_ols": "q_agg_hash",            # two-pass sufficient stats
+    # round-5 fourth wave
+    "q_dedup_substring": "q_join_multi_5way",  # gram group + semi-join
+    "q_dedup_semdedup": "q_join_multi_5way",   # cluster-blocked pairs
+    "q_logistic_train": "q_graph_pagerank",    # fixed-iteration passes
+    "q_graph_label_prop": "q_graph_pagerank",  # iterative joins
 }
 
 
