@@ -465,3 +465,74 @@ def q_graph_label_prop(spark, sf_dir):
                  .alias("n_suppliers"))
             .orderBy(F.desc("size"), "community")
             .limit(20))
+
+
+# ---------------------------------------------------------------------------
+# q_textrank_keywords — TextRank keyword extraction (PageRank reuse)
+# ---------------------------------------------------------------------------
+
+_TEXTRANK_EDGES_CTE = """
+    toks AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+    ),
+    adj AS (
+      SELECT t[i] AS wa, t[i + 1] AS wb
+      FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
+      WHERE t[i] <> t[i + 1]
+    ),
+    und AS (
+      SELECT least(wa, wb) AS a, greatest(wa, wb) AS b
+      FROM adj GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst FROM und
+      UNION ALL
+      SELECT b, a FROM und
+    )"""
+
+_TEXTRANK_ORACLE = pagerank_oracle_sql(_TEXTRANK_EDGES_CTE,
+                                       iterations=5) + """
+    SELECT node AS word,
+           round(cast(rank as double), 8) AS score
+    FROM r5
+    ORDER BY rank DESC, node
+    LIMIT 15
+    """
+
+
+@query("q_textrank_keywords", oracle=_TEXTRANK_ORACLE)
+def q_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence graph — nodes are corpus words, an
+    undirected edge links words ever ADJACENT in a document (window 2,
+    canonicalized a<b so both directions are distinct by
+    construction), top-15 words by rank. The same
+    operators/graph.pagerank that ranks the customer-supplier graph
+    ranks this VARCHAR-keyed graph untouched — node type is just a
+    join key — which is the point: graph centrality as a reusable
+    operator, here serving corpus keyword/glossary extraction.
+
+    Scale: adjacency pairs are one generator in the scan projection;
+    the undirected canonical group-by bounds the edge relation by
+    vocabulary², and the rank loop is |E|-per-round with the
+    broadcast-rank shape (vocabulary always fits; for web-scale
+    vocabularies flip broadcast_ranks=False). Ranks are decimal-exact
+    so the top-15 cut (rank desc, word) is deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("t"))
+    adj = toks.select(F.explode(F.arrays_zip(
+        F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+        F.expr("slice(t, 2, greatest(size(t) - 1, 0))"))).alias("p")) \
+        .select(F.col("p.0").alias("wa"), F.col("p.1").alias("wb")) \
+        .filter(F.col("wa") != F.col("wb"))
+    und = (adj.select(F.least("wa", "wb").alias("a"),
+                      F.greatest("wa", "wb").alias("b"))
+           .distinct())
+    edges = (und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+             .unionByName(und.select(F.col("b").alias("src"),
+                                     F.col("a").alias("dst"))))
+    ranks = pagerank(edges, iterations=5, assume_distinct=True)
+    return (ranks.orderBy(F.desc("rank"), "node").limit(15)
+            .select(F.col("node").alias("word"),
+                    F.round(F.col("rank").cast("double"), 8)
+                    .alias("score")))

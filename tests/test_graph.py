@@ -149,3 +149,41 @@ def test_label_propagation_two_cliques(spark):
         assert got == py_lpa(e, iters), f"iteration {iters}"
     final = py_lpa(e, 3)
     assert sorted(set(final.values())) == [0, 10]
+
+
+def test_textrank_matches_python_pagerank(spark):
+    """Top-15 TextRank keywords on the smoke fixture must match an
+    independent python PageRank over the same adjacency graph (plain
+    float arithmetic — the engine's 10dp decimal discipline differs
+    from float error only far below the 8dp output rounding)."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from challenge8_movies_etl_spark.queries_graph import (
+        q_textrank_keywords)
+    from tests.conftest import SF_SMOKE
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    und = set()
+    for text in pdf.text:
+        t = text.split(" ")
+        for a, b in zip(t, t[1:]):
+            if a != b:
+                und.add((min(a, b), max(a, b)))
+    nb = defaultdict(set)
+    for a, b in und:
+        nb[a].add(b)
+        nb[b].add(a)
+    n = len(nb)
+    rank = {w: 1.0 / n for w in nb}
+    for _ in range(5):
+        rank = {w: 0.15 / n + 0.85 * sum(rank[u] / len(nb[u])
+                                         for u in nb[w])
+                for w in nb}
+    expect = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = [(r.word, r.score)
+           for r in q_textrank_keywords(spark, SF_SMOKE).collect()]
+    assert [w for w, _ in got] == [w for w, _ in expect]
+    for (_, gs), (_, es) in zip(got, expect):
+        assert abs(gs - es) < 1e-7
