@@ -934,3 +934,80 @@ def q_image_dedup_exact(spark, sf_dir):
             .agg(F.min("doc_id").alias("keeper"),
                  F.count("*").alias("n_copies"))
             .select("keeper", "n_copies", "fmt"))
+
+
+# ---------------------------------------------------------------------------
+# q_t_closeness — sensitive-distribution distance audit
+# ---------------------------------------------------------------------------
+
+_TCLOSE_ORACLE = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS n
+  FROM customer GROUP BY 1, 2
+),
+seg AS (
+  SELECT c_mktsegment, cast(sum(n) as bigint) AS n_i FROM g GROUP BY 1
+),
+grp AS (
+  SELECT c_nationkey, cast(sum(n) as bigint) AS n_g FROM g GROUP BY 1
+),
+tot AS (
+  SELECT cast(sum(n) as bigint) AS n_tot FROM g
+),
+cells AS (
+  SELECT grp.c_nationkey, grp.n_g, seg.c_mktsegment, seg.n_i,
+         coalesce(g.n, 0) AS n_gi
+  FROM grp CROSS JOIN seg
+  LEFT JOIN g ON g.c_nationkey = grp.c_nationkey
+             AND g.c_mktsegment = seg.c_mktsegment
+)
+SELECT c.c_nationkey AS nation,
+       max(c.n_g) AS n_rows,
+       cast(sum(abs(c.n_gi * t.n_tot - c.n_i * c.n_g)) as double)
+         / cast(2 * max(c.n_g) * max(t.n_tot) as double) AS tvd,
+       (cast(sum(abs(c.n_gi * t.n_tot - c.n_i * c.n_g)) as double)
+         / cast(2 * max(c.n_g) * max(t.n_tot) as double)) <= 0.2
+         AS meets_t02
+FROM cells c CROSS JOIN tot t
+GROUP BY c.c_nationkey
+"""
+
+
+@query("q_t_closeness", oracle=_TCLOSE_ORACLE)
+def q_t_closeness(spark, sf_dir):
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    third rung of the privacy ladder: k-anonymity bounds group SIZE
+    (q_k_anonymity), l-diversity bounds distinct sensitive VALUES
+    (q_l_diversity), t-closeness bounds how far a QI group's whole
+    sensitive DISTRIBUTION sits from the corpus distribution. For a
+    categorical sensitive attribute EMD reduces to total variation
+    distance 0.5*sum|p_i - q_i|; clearing denominators makes every
+    numerator |n_gi*N - N_i*n_g| an exact integer, so tvd is one IEEE
+    division of two exact integers — deterministic with no rounding
+    at all (the q_graph_link_predict ppm trick, float edition).
+
+    Scale: one fact-table groupBy to the |QI|x|sensitive| cell
+    relation; everything after (marginals, the dense cell cross-join
+    including zero cells, the distance) runs on that tiny relation.
+    The bigint numerator product overflows around N ~ 3e9 rows —
+    lift to decimal(38,0) there."""
+    c = load_table(spark, sf_dir, "customer")
+    g = (c.groupBy("c_nationkey", "c_mktsegment")
+         .agg(F.count("*").alias("n")))
+    g = g.persist()
+    seg = g.groupBy("c_mktsegment").agg(F.sum("n").alias("n_i"))
+    grp = g.groupBy("c_nationkey").agg(F.sum("n").alias("n_g"))
+    tot = g.agg(F.sum("n").alias("n_tot"))
+    cells = (grp.crossJoin(F.broadcast(seg))
+             .join(g, ["c_nationkey", "c_mktsegment"], "left")
+             .select("c_nationkey", "n_g", "n_i",
+                     F.coalesce(F.col("n"), F.lit(0)).alias("n_gi")))
+    num = F.abs(F.col("n_gi") * F.col("n_tot")
+                - F.col("n_i") * F.col("n_g"))
+    tvd = (F.sum(num).cast("double")
+           / (2 * F.max("n_g") * F.max("n_tot")).cast("double"))
+    return (cells.crossJoin(F.broadcast(tot))
+            .groupBy(F.col("c_nationkey").alias("nation"))
+            .agg(F.max("n_g").cast("long").alias("n_rows"),
+                 tvd.alias("tvd"),
+                 (tvd <= 0.2).alias("meets_t02")))

@@ -131,3 +131,28 @@ def test_quality_classifier_probabilities(spark):
     assert sum(r["n_docs"] for r in rows) == docs_n
     for r in rows:
         assert 0.0 <= r["sum_p"] <= r["n_docs"]
+
+
+def test_t_closeness_matches_python_twin(spark):
+    """TVD per nation recomputed with python Counters (exact rational
+    via integers) must equal the query's output bit-for-bit."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from challenge8_movies_etl_spark.queries_curation import q_t_closeness
+    from tests.conftest import SF_SMOKE
+
+    c = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    seg_tot = Counter(c.c_mktsegment)
+    n_tot = len(c)
+    got = {r.nation: (r.n_rows, r.tvd, r.meets_t02)
+           for r in q_t_closeness(spark, SF_SMOKE).collect()}
+    for nation, sub in c.groupby("c_nationkey"):
+        cnt = Counter(sub.c_mktsegment)
+        n_g = len(sub)
+        num = sum(abs(cnt.get(s, 0) * n_tot - seg_tot[s] * n_g)
+                  for s in seg_tot)
+        tvd = num / float(2 * n_g * n_tot)
+        assert got[nation] == (n_g, tvd, tvd <= 0.2)
+    assert len(got) == c.c_nationkey.nunique()
