@@ -1011,3 +1011,96 @@ def q_t_closeness(spark, sf_dir):
             .agg(F.max("n_g").cast("long").alias("n_rows"),
                  tvd.alias("tvd"),
                  (tvd <= 0.2).alias("meets_t02")))
+
+
+# ---------------------------------------------------------------------------
+# q_coverage_select — greedy maximum-coverage data selection
+# ---------------------------------------------------------------------------
+
+_COVER_ROUNDS = 5
+
+
+def _cover_oracle() -> str:
+    """Unroll the greedy rounds: pick the doc with the most uncovered
+    bigrams (ties to the lowest doc_id), remove its bigrams, repeat."""
+    parts = ["""
+WITH toks0 AS (
+  SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i + 1] AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS t,
+               unnest(range(1, len(string_split(text, ' ')))) AS i
+        FROM documents)
+)"""]
+    prev = "toks0"
+    for r in range(1, _COVER_ROUNDS + 1):
+        parts.append(f""",
+p{r} AS (
+  SELECT doc_id, count(*) AS gain
+  FROM {prev} GROUP BY doc_id
+  ORDER BY gain DESC, doc_id LIMIT 1
+),
+toks{r} AS (
+  SELECT t.doc_id, t.tok FROM {prev} t
+  WHERE t.tok NOT IN (SELECT tok FROM {prev}
+                      WHERE doc_id = (SELECT doc_id FROM p{r}))
+    AND t.doc_id <> (SELECT doc_id FROM p{r})
+)""")
+        prev = f"toks{r}"
+    picks = " UNION ALL ".join(
+        f"SELECT {r} AS round, doc_id, gain FROM p{r}"
+        for r in range(1, _COVER_ROUNDS + 1))
+    parts.append(f"""
+SELECT round, doc_id, cast(gain as bigint) AS gain,
+       cast(sum(gain) OVER (ORDER BY round) as bigint) AS covered_total
+FROM ({picks})
+ORDER BY round""")
+    return "".join(parts)
+
+
+@query("q_coverage_select", oracle=_cover_oracle())
+def q_coverage_select(spark, sf_dir):
+    """Greedy maximum-coverage subset selection — the submodular
+    data-selection primitive (Kirchhoff & Bilmes 2014) behind "pick
+    the K documents that together cover the most vocabulary":
+    5 greedy rounds, each selecting the document with the most
+    not-yet-covered bigrams (ties to the lowest doc_id), then
+    retiring those bigrams. Classic (1 - 1/e) greedy guarantee;
+    reported gain per round is exactly the marginal coverage, so
+    covered_total is its running sum. The selection loop is
+    driver-orchestrated like kmeans/pagerank (one 1-row collect per
+    round); the oracle unrolls all 5 rounds into chained CTEs.
+
+    Scale: the doc->bigram relation shrinks monotonically each round
+    (anti-join on the covered set); per round it's one
+    map-side-combined groupBy + a TakeOrdered(1). At 100 TB the
+    covered set broadcasts while it fits, then flips to a shuffle
+    anti-join — both are one exchange; nothing is quadratic."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    toks = (d.select("doc_id", F.explode(F.arrays_zip(
+                F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                F.expr("slice(split(text, ' '), 2,"
+                       " greatest(size(split(text, ' ')) - 1, 0))")))
+             .alias("p"))
+            .select("doc_id",
+                    F.concat(F.col("p.0"), F.lit(" "), F.col("p.1"))
+                    .alias("tok"))
+            .distinct()
+            .persist())
+
+    picks = []
+    cur = toks
+    for r in range(1, _COVER_ROUNDS + 1):
+        top = (cur.groupBy("doc_id").agg(F.count("*").alias("gain"))
+               .orderBy(F.desc("gain"), "doc_id").limit(1).collect())[0]
+        picks.append((r, int(top.doc_id), int(top.gain)))
+        covered = cur.filter(F.col("doc_id") == top.doc_id).select("tok")
+        cur = (cur.join(F.broadcast(covered), "tok", "left_anti")
+               .filter(F.col("doc_id") != top.doc_id)
+               .localCheckpoint(eager=True))
+    out = spark.createDataFrame(picks, "round int, doc_id long, gain long")
+    return out.select(
+        "round", "doc_id", "gain",
+        F.sum("gain").over(
+            W.orderBy("round").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long").alias("covered_total"))

@@ -156,3 +156,32 @@ def test_t_closeness_matches_python_twin(spark):
         tvd = num / float(2 * n_g * n_tot)
         assert got[nation] == (n_g, tvd, tvd <= 0.2)
     assert len(got) == c.c_nationkey.nunique()
+
+
+def test_coverage_select_matches_python_greedy(spark):
+    """The 5 greedy picks, marginal gains, and running coverage must
+    match an independent python set-cover greedy on the smoke fixture,
+    and gains must be non-increasing (submodularity of coverage)."""
+    import pandas as pd
+
+    from challenge8_movies_etl_spark.queries_curation import (
+        _COVER_ROUNDS, q_coverage_select)
+    from tests.conftest import SF_SMOKE
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    sets = {}
+    for r in pdf.itertuples():
+        t = r.text.split(" ")
+        sets[int(r.doc_id)] = {f"{a} {b}" for a, b in zip(t, t[1:])}
+    covered, expect, total = set(), [], 0
+    for rnd in range(1, _COVER_ROUNDS + 1):
+        best = min(((d, len(s - covered)) for d, s in sets.items()),
+                   key=lambda kv: (-kv[1], kv[0]))
+        total += best[1]
+        expect.append((rnd, best[0], best[1], total))
+        covered |= sets.pop(best[0])
+    got = [(r.round, r.doc_id, r.gain, r.covered_total)
+           for r in q_coverage_select(spark, SF_SMOKE).collect()]
+    assert got == expect
+    gains = [g for _, _, g, _ in got]
+    assert gains == sorted(gains, reverse=True)
