@@ -1850,3 +1850,97 @@ def q_propensity_match(spark, sf_dir):
                     F.col("nt_matched").alias("n_treated_matched"),
                     (F.round("naive_diff", 6) + 0.0).alias("naive_diff"),
                     (F.round("att", 6) + 0.0).alias("att_stratified")))
+
+
+# ---------------------------------------------------------------------------
+# q_mrr — mean reciprocal rank over a probe panel
+# ---------------------------------------------------------------------------
+
+
+def _mrr_oracle() -> str:
+    from .operators.similarity import DEC_SIM as DEC
+    from .queries_llm import _NORMS_CTE
+    return f"""
+    WITH {_NORMS_CTE},
+    probes AS (
+      SELECT vec_id AS pv, embedding AS pe, label AS pl, nrm AS pn
+      FROM norms WHERE vec_id < 10
+    ),
+    cands AS (
+      SELECT p.pv, n.vec_id,
+             CASE WHEN n.label = p.pl THEN 1 ELSE 0 END AS rel,
+             cast(sum(cast(cast(n.embedding[gs.i] as double)
+                           * cast(p.pe[gs.i] as double) as {DEC}))
+                  as double) / sqrt(max(n.nrm) * max(p.pn)) AS cos
+      FROM norms n JOIN probes p ON n.vec_id != p.pv,
+           range(1, 65) gs(i)
+      GROUP BY p.pv, n.vec_id, n.label, p.pl
+    ),
+    ranked AS (
+      SELECT pv, rel,
+             row_number() OVER (PARTITION BY pv
+                                ORDER BY cos DESC, vec_id) AS i
+      FROM cands
+    ),
+    firsts AS (
+      SELECT pv, cast(min(CASE WHEN rel = 1 THEN i END) as bigint)
+               AS first_rel_rank
+      FROM ranked GROUP BY pv
+    )
+    SELECT pv AS probe_vec,
+           first_rel_rank,
+           round(1.0 / first_rel_rank, 6) AS rr,
+           round(cast(sum(cast(round(1.0 / first_rel_rank, 6)
+                               as decimal(10,6))) OVER () as double)
+                 / count(*) OVER (), 6) AS mrr
+    FROM firsts
+    ORDER BY probe_vec
+    """
+
+
+@query("q_mrr", oracle=_mrr_oracle())
+def q_mrr(spark, sf_dir):
+    """Mean reciprocal rank over a 10-probe panel: for each probe
+    (vec_id < 10) rank the whole corpus by exact cosine and find the
+    first same-label hit; RR = 1/rank, MRR = panel mean — the
+    first-relevant-result metric that complements q_ndcg (order
+    quality over the top-k) and q_matryoshka_recall (set recall).
+    Per-probe RR is 6dp-rounded into decimals before the panel mean,
+    so the aggregate is order-independent; ranks tie-break on vec_id.
+
+    Scale: probe panel broadcasts against the corpus (the
+    q_similarity_batch shape); per-probe ranking is one window on the
+    probe partition; the panel mean is a 10-row window. Corpus size
+    scales the cosine pass linearly, never quadratically."""
+    from .operators.similarity import dot_col
+    from .queries_llm import _norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", "label", "embedding",
+                 _norm(F.col("embedding")).alias("nrm"))
+    probes = (n.filter(F.col("vec_id") < 10)
+              .select(F.col("vec_id").alias("pv"),
+                      F.col("embedding").alias("pe"),
+                      F.col("label").alias("pl"),
+                      F.col("nrm").alias("pn")))
+    cos = (dot_col(F.col("embedding"), F.col("pe"))
+           / F.sqrt(F.col("nrm") * F.col("pn")))
+    cands = (n.join(F.broadcast(probes), F.col("vec_id") != F.col("pv"))
+             .select("pv", "vec_id",
+                     F.when(F.col("label") == F.col("pl"), 1).otherwise(0)
+                     .alias("rel"),
+                     cos.alias("cos")))
+    i = F.row_number().over(
+        W.partitionBy("pv").orderBy(F.desc("cos"), "vec_id"))
+    firsts = (cands.withColumn("i", i)
+              .groupBy("pv")
+              .agg(F.min(F.when(F.col("rel") == 1, F.col("i")))
+                   .cast("long").alias("first_rel_rank")))
+    rr = F.round(1.0 / F.col("first_rel_rank"), 6)
+    w = W.partitionBy()
+    return (firsts.select(
+        F.col("pv").alias("probe_vec"), "first_rel_rank",
+        rr.alias("rr"),
+        F.round(F.sum(rr.cast("decimal(10,6)")).over(w).cast("double")
+                / F.count("*").over(w), 6).alias("mrr"))
+        .orderBy("probe_vec"))

@@ -609,3 +609,36 @@ def test_propensity_match_recovers_injected_effect(spark):
     assert 0 < row.n_treated_matched <= row.n_treated
     assert abs(row.att_stratified - 5.0) < 2.5
     assert row.naive_diff - row.att_stratified > -1.0
+
+
+def test_mrr_matches_numpy_twin(spark):
+    """Per-probe first-relevant ranks and the panel MRR recomputed
+    with plain numpy cosine ranking must match the query."""
+    import numpy as np
+    import pandas as pd
+
+    from challenge8_movies_etl_spark.queries_eval import q_mrr
+    from tests.conftest import SF_SMOKE
+
+    pdf = (pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+           .sort_values("vec_id").reset_index(drop=True))
+    X = np.array([np.asarray(v, dtype=float) for v in pdf.embedding])
+    labels = pdf.label.to_numpy()
+    ids = pdf.vec_id.to_numpy()
+    nrm = np.sqrt((X * X).sum(axis=1))
+
+    expect = {}
+    for p in range(10):
+        cos = (X @ X[p]) / (nrm * nrm[p])
+        mask = ids != ids[p]
+        order = sorted(np.where(mask)[0],
+                       key=lambda j: (-cos[j], ids[j]))
+        first = next(i + 1 for i, j in enumerate(order)
+                     if labels[j] == labels[p])
+        expect[ids[p]] = first
+    mrr = round(sum(round(1.0 / f, 6) for f in expect.values())
+                / len(expect), 6)
+
+    rows = q_mrr(spark, SF_SMOKE).collect()
+    assert {r.probe_vec: r.first_rel_rank for r in rows} == expect
+    assert all(abs(r.mrr - mrr) < 1e-9 for r in rows)
