@@ -480,9 +480,13 @@ _TEXTRANK_EDGES_CTE = """
       FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
       WHERE t[i] <> t[i + 1]
     ),
-    und AS (
-      SELECT least(wa, wb) AS a, greatest(wa, wb) AS b
+    cnts AS (
+      SELECT least(wa, wb) AS a, greatest(wa, wb) AS b, count(*) AS c
       FROM adj GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(c) AS s, count(*) AS np FROM cnts),
+    und AS (
+      SELECT a, b FROM cnts CROSS JOIN tot WHERE c * np > s
     ),
     edges AS (
       SELECT a AS src, b AS dst FROM und
@@ -504,9 +508,13 @@ _TEXTRANK_ORACLE = pagerank_oracle_sql(_TEXTRANK_EDGES_CTE,
 def q_textrank_keywords(spark, sf_dir):
     """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
     over the word co-occurrence graph — nodes are corpus words, an
-    undirected edge links words ever ADJACENT in a document (window 2,
-    canonicalized a<b so both directions are distinct by
-    construction), top-15 words by rank. The same
+    undirected edge links words whose window-2 adjacency count exceeds
+    the corpus-mean pair count (an integer-only cut, c*n_pairs > total;
+    without it this fixture's 30-word vocabulary saturates into a
+    complete graph whose PageRank is uniform — the threshold keeps the
+    salience signal the binary-adjacency form loses), canonicalized
+    a<b so both directions stay distinct by construction; top-15 words
+    by rank. The same
     operators/graph.pagerank that ranks the customer-supplier graph
     ranks this VARCHAR-keyed graph untouched — node type is just a
     join key — which is the point: graph centrality as a reusable
@@ -525,9 +533,13 @@ def q_textrank_keywords(spark, sf_dir):
         F.expr("slice(t, 2, greatest(size(t) - 1, 0))"))).alias("p")) \
         .select(F.col("p.0").alias("wa"), F.col("p.1").alias("wb")) \
         .filter(F.col("wa") != F.col("wb"))
-    und = (adj.select(F.least("wa", "wb").alias("a"),
-                      F.greatest("wa", "wb").alias("b"))
-           .distinct())
+    cnts = (adj.select(F.least("wa", "wb").alias("a"),
+                       F.greatest("wa", "wb").alias("b"))
+            .groupBy("a", "b").agg(F.count("*").alias("c")))
+    tot = cnts.agg(F.sum("c").alias("s"), F.count("*").alias("np"))
+    und = (cnts.crossJoin(F.broadcast(tot))
+           .filter(F.col("c") * F.col("np") > F.col("s"))
+           .select("a", "b"))
     edges = (und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
              .unionByName(und.select(F.col("b").alias("src"),
                                      F.col("a").alias("dst"))))
