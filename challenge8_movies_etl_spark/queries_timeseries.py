@@ -868,3 +868,239 @@ def q_seasonal_decompose(spark, sf_dir):
                     (F.round(F.col("detrended") - F.col("seasonal"), 6)
                      + 0.0).alias("residual"))
             .orderBy("event_type", "day"))
+
+
+# ---------------------------------------------------------------------------
+# Nonparametric trend & rank-correlation trio: Mann-Kendall, Theil-Sen,
+# Kendall tau-b — all over the bounded daily relation, so every pair
+# join is days², never corpus-sized.
+# ---------------------------------------------------------------------------
+
+_MK_ORACLE = """
+WITH daily AS (
+  SELECT event_type, cast(ts as date) AS d, cast(count(*) as bigint) AS x
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+),
+s AS (
+  SELECT event_type, cast(sum(sgn) as bigint) AS s_stat
+  FROM pairs GROUP BY 1
+),
+ties AS (
+  SELECT event_type,
+         cast(sum(t * (t - 1) * (2 * t + 5)) as bigint) AS tie_term
+  FROM (SELECT event_type, x, count(*) AS t FROM daily GROUP BY 1, 2)
+  GROUP BY 1
+),
+nn AS (
+  SELECT event_type, cast(count(*) as bigint) AS n FROM daily GROUP BY 1
+)
+SELECT s.event_type, nn.n, s.s_stat,
+       cast(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term
+            as bigint) AS var18,
+       round(CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                  WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                  ELSE 0 END
+             / sqrt((nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term)
+                    / 18.0), 4) + 0.0 AS z_score,
+       CASE WHEN s.s_stat > 0 THEN 'increasing'
+            WHEN s.s_stat < 0 THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM s JOIN ties USING (event_type) JOIN nn USING (event_type)
+ORDER BY event_type
+"""
+
+
+@query("q_mann_kendall", oracle=_MK_ORACLE)
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test per event type's daily count series:
+    S = sum of pairwise signs (exact integer), tie-corrected variance
+    reported as the integer numerator var18 = 18*Var(S), and the
+    continuity-corrected z — the standard monotone-trend detector for
+    ingest monitoring, beside q_ks_drift (distributional) and
+    q_anomaly_zscore (pointwise). Everything is integer until the one
+    final sqrt (round 4, sign-of-zero guarded).
+
+    Scale: the fact scan collapses to the (type, day) relation first;
+    the sign join is days² per type — bounded by the calendar, not the
+    corpus, the same license as q_acf's lag windows."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.count("*").cast("long").alias("x"))
+             .persist())
+    a, b = daily.alias("a"), daily.alias("b")
+    sgn = (F.when(F.col("b.x") > F.col("a.x"), 1)
+           .when(F.col("b.x") < F.col("a.x"), -1).otherwise(0))
+    s = (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+                & (F.col("a.d") < F.col("b.d")))
+         .groupBy(F.col("a.event_type").alias("event_type"))
+         .agg(F.sum(sgn).cast("long").alias("s_stat")))
+    t = F.col("t")
+    ties = (daily.groupBy("event_type", "x").agg(F.count("*").alias("t"))
+            .groupBy("event_type")
+            .agg(F.sum(t * (t - 1) * (2 * t + 5)).cast("long")
+                 .alias("tie_term")))
+    nn = daily.groupBy("event_type").agg(F.count("*").cast("long")
+                                         .alias("n"))
+    j = s.join(ties, "event_type").join(nn, "event_type")
+    var18 = (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+             - F.col("tie_term"))
+    corrected = (F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+                 .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+                 .otherwise(0))
+    return (j.select(
+        "event_type", "n", "s_stat",
+        var18.cast("long").alias("var18"),
+        (F.round(corrected / F.sqrt(var18 / 18.0), 4) + 0.0)
+        .alias("z_score"),
+        F.when(F.col("s_stat") > 0, "increasing")
+        .when(F.col("s_stat") < 0, "decreasing")
+        .otherwise("no_trend").alias("trend"))
+        .orderBy("event_type"))
+
+
+_KT_ORACLE = """
+WITH daily AS (
+  SELECT cast(ts as date) AS d,
+         cast(count(*) FILTER (event_type = 'click') as bigint) AS x,
+         cast(count(*) FILTER (event_type = 'purchase') as bigint) AS y
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END AS con,
+         CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END AS dis,
+         CASE WHEN b.x = a.x AND b.y <> a.y THEN 1 ELSE 0 END AS tx,
+         CASE WHEN b.y = a.y AND b.x <> a.x THEN 1 ELSE 0 END AS ty
+  FROM daily a JOIN daily b ON a.d < b.d
+)
+SELECT (SELECT cast(count(*) as bigint) FROM daily) AS n_days,
+       cast(sum(con) as bigint) AS concordant,
+       cast(sum(dis) as bigint) AS discordant,
+       cast(sum(tx) as bigint) AS ties_x,
+       cast(sum(ty) as bigint) AS ties_y,
+       round((sum(con) - sum(dis))
+             / sqrt((sum(con) + sum(dis) + sum(tx)) * 1.0
+                    * (sum(con) + sum(dis) + sum(ty))), 6) + 0.0 AS tau_b
+FROM pairs
+"""
+
+
+@query("q_kendall_tau", oracle=_KT_ORACLE)
+def q_kendall_tau(spark, sf_dir):
+    """Kendall tau-b rank correlation between the daily click and
+    purchase count series — the robust monotone-association measure
+    (Pearson assumes linearity, q_mannwhitney_u compares two samples;
+    tau asks "do the two SERIES move together"). Concordant /
+    discordant / tie pair counts are exact integers; tau-b is one
+    sqrt over integer products (round 6, sign-of-zero guarded).
+
+    Scale: days² pair join over the calendar-bounded daily relation;
+    the corpus is touched once by the pivot aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("ts").cast("date").alias("d"))
+             .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                        .otherwise(0)).cast("long").alias("x"),
+                  F.sum(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).cast("long").alias("y"))
+             .persist())
+    a, b = daily.alias("a"), daily.alias("b")
+    dx = F.col("b.x") - F.col("a.x")
+    dy = F.col("b.y") - F.col("a.y")
+    pairs = (a.join(b, F.col("a.d") < F.col("b.d"))
+             .select(F.when(dx * dy > 0, 1).otherwise(0).alias("con"),
+                     F.when(dx * dy < 0, 1).otherwise(0).alias("dis"),
+                     F.when((dx == 0) & (dy != 0), 1).otherwise(0)
+                     .alias("tx"),
+                     F.when((dy == 0) & (dx != 0), 1).otherwise(0)
+                     .alias("ty")))
+    n_days = daily.count()
+    return pairs.agg(
+        F.lit(n_days).cast("long").alias("n_days"),
+        F.sum("con").cast("long").alias("concordant"),
+        F.sum("dis").cast("long").alias("discordant"),
+        F.sum("tx").cast("long").alias("ties_x"),
+        F.sum("ty").cast("long").alias("ties_y"),
+        (F.round((F.sum("con") - F.sum("dis"))
+                 / F.sqrt((F.sum("con") + F.sum("dis") + F.sum("tx"))
+                          * 1.0
+                          * (F.sum("con") + F.sum("dis") + F.sum("ty"))),
+                 6) + 0.0).alias("tau_b"))
+
+
+_TS_ORACLE = """
+WITH daily AS (
+  SELECT event_type, cast(ts as date) AS d, cast(count(*) as bigint) AS x
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
+  FROM daily
+),
+slopes AS (
+  SELECT a.event_type,
+         (b.x - a.x) / cast(b.i - a.i as double) AS m
+  FROM idx a JOIN idx b
+    ON a.event_type = b.event_type AND a.i < b.i
+),
+ranked AS (
+  SELECT event_type, m,
+         row_number() OVER (PARTITION BY event_type ORDER BY m) AS r,
+         count(*) OVER (PARTITION BY event_type) AS np
+  FROM slopes
+)
+SELECT event_type, cast(max(np) as bigint) AS n_pairs,
+       round(cast(sum(CASE WHEN r * 2 IN (np, np + 1, np + 2)
+                           THEN m END) as double)
+             / count(CASE WHEN r * 2 IN (np, np + 1, np + 2)
+                          THEN 1 END), 6) + 0.0 AS sen_slope
+FROM ranked GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("q_theil_sen", oracle=_TS_ORACLE)
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend slope per event type: the median of all
+    pairwise day-index slopes — the estimator that shrugs off the
+    outlier days that wreck an OLS fit (q_ols_regression is the
+    parametric sibling; q_mann_kendall tests the trend this
+    estimates). Median = mean of the middle-rank slopes (r*2 in
+    {np, np+1, np+2} covers both parities without branching); each
+    slope is one IEEE division of exact integers, so ordering and the
+    median are deterministic.
+
+    Scale: slopes are days²-per-type over the calendar-bounded daily
+    relation; the median is a window rank over that bounded set. At
+    the fact level nothing beyond the initial aggregate ever scans."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.count("*").cast("long").alias("x")))
+    idx = daily.select(
+        "event_type", "x",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy("d")).alias("i"))
+    a, b = idx.alias("a"), idx.alias("b")
+    slopes = (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+                     & (F.col("a.i") < F.col("b.i")))
+              .select(F.col("a.event_type").alias("event_type"),
+                      ((F.col("b.x") - F.col("a.x"))
+                       / (F.col("b.i") - F.col("a.i")).cast("double"))
+                      .alias("m")))
+    ranked = slopes.select(
+        "event_type", "m",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy("m")).alias("r"),
+        F.count("*").over(W.partitionBy("event_type")).alias("np"))
+    mid = (F.col("r") * 2).isin(F.col("np"), F.col("np") + 1,
+                                F.col("np") + 2)
+    return (ranked.groupBy("event_type")
+            .agg(F.max("np").cast("long").alias("n_pairs"),
+                 (F.round(F.sum(F.when(mid, F.col("m"))).cast("double")
+                          / F.count(F.when(mid, F.lit(1))), 6) + 0.0)
+                 .alias("sen_slope"))
+            .orderBy("event_type"))

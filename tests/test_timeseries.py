@@ -249,3 +249,67 @@ def test_seasonal_decompose_identity_and_coverage(spark):
         assert len(rs) == 24, (t, len(rs))
         mean_resid = sum(r.residual for r in rs) / len(rs)
         assert abs(mean_resid) < 2.0, (t, mean_resid)
+
+
+def test_trend_trio_matches_python_twins(spark):
+    """Mann-Kendall S/var/z, Kendall tau-b, and the Theil-Sen median
+    slope recomputed with brute-force python pair loops on the smoke
+    fixture must match the distributed queries."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from challenge8_movies_etl_spark.queries_timeseries import (
+        q_kendall_tau, q_mann_kendall, q_theil_sen)
+    from tests.conftest import SF_SMOKE
+
+    e = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    e["d"] = e.ts.dt.date
+    daily = (e.groupby(["event_type", "d"]).size()
+             .rename("x").reset_index())
+
+    mk = {r.event_type: r for r in q_mann_kendall(spark, SF_SMOKE).collect()}
+    ts_rows = {r.event_type: r for r in q_theil_sen(spark, SF_SMOKE).collect()}
+    for et, sub in daily.groupby("event_type"):
+        xs = [int(x) for _, x in
+              sorted(zip(sub.d, sub.x), key=lambda p: p[0])]
+        n = len(xs)
+        s = sum((xs[j] > xs[i]) - (xs[j] < xs[i])
+                for i in range(n) for j in range(i + 1, n))
+        tie = sum(t * (t - 1) * (2 * t + 5)
+                  for t in Counter(xs).values())
+        var18 = n * (n - 1) * (2 * n + 5) - tie
+        corr = s - 1 if s > 0 else (s + 1 if s < 0 else 0)
+        z = round(corr / math.sqrt(var18 / 18.0), 4) + 0.0
+        r = mk[et]
+        assert (r.n, r.s_stat, r.var18) == (n, s, var18)
+        assert abs(r.z_score - z) < 5e-5
+        slopes = sorted((xs[j] - xs[i]) / (j - i)
+                        for i in range(n) for j in range(i + 1, n))
+        np_ = len(slopes)
+        mid = [m for k, m in enumerate(slopes, 1)
+               if 2 * k in (np_, np_ + 1, np_ + 2)]
+        assert ts_rows[et].n_pairs == np_
+        assert abs(ts_rows[et].sen_slope
+                   - (round(sum(mid) / len(mid), 6) + 0.0)) < 2e-6
+
+    piv = daily.pivot_table(index="d", columns="event_type", values="x",
+                            fill_value=0)
+    x, y = list(piv["click"]), list(piv["purchase"])
+    n = len(x)
+    con = dis = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            p = (x[j] - x[i]) * (y[j] - y[i])
+            con += p > 0
+            dis += p < 0
+            tx += x[j] == x[i] and y[j] != y[i]
+            ty += y[j] == y[i] and x[j] != x[i]
+    tau = round((con - dis)
+                / math.sqrt((con + dis + tx) * 1.0 * (con + dis + ty)),
+                6) + 0.0
+    r = q_kendall_tau(spark, SF_SMOKE).collect()[0]
+    assert (r.n_days, r.concordant, r.discordant, r.ties_x, r.ties_y) \
+        == (n, con, dis, tx, ty)
+    assert abs(r.tau_b - tau) < 2e-6
