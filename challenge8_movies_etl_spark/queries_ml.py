@@ -1095,3 +1095,130 @@ def q_dedup_semdedup(spark, sf_dir):
     return (memb.join(dups, "vec_id", "left")
             .select("vec_id", "cluster",
                     F.coalesce(F.col("d"), F.lit(False)).alias("is_dup")))
+
+
+# ---------------------------------------------------------------------------
+# q_dbscan — density-based clustering (label-blocked exact form)
+# ---------------------------------------------------------------------------
+
+_DB_EPS2 = "1.65"   # squared-L2 radius (decimal literal, exact compare)
+_DB_MINPTS = 4      # neighborhood size INCLUDING the point itself
+
+
+def _dbscan_oracle() -> str:
+    from .operators.kmeans import DEC_D
+    diff = ("(cast(a.embedding[gs.i] as double)"
+            " - cast(b.embedding[gs.i] as double))")
+    return f"""
+WITH RECURSIVE d2 AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         sum(cast(round({diff} * {diff}, 10) as {DEC_D})) AS d2
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id,
+       range(1, 65) gs(i)
+  GROUP BY 1, 2
+),
+neigh AS (SELECT va, vb FROM d2 WHERE d2 <= {_DB_EPS2}),
+sym AS (
+  SELECT va AS u, vb AS v FROM neigh
+  UNION ALL
+  SELECT vb, va FROM neigh
+),
+cnt AS (SELECT u, count(*) AS c FROM sym GROUP BY 1),
+core AS (SELECT u FROM cnt WHERE c + 1 >= {_DB_MINPTS}),
+core_edges AS (
+  SELECT s.u AS a, s.v AS b FROM sym s
+  JOIN core c1 ON c1.u = s.u
+  JOIN core c2 ON c2.u = s.v
+),
+reach AS (
+  SELECT u AS id, u AS r FROM core
+  UNION
+  SELECT e.a, reach.r FROM core_edges e JOIN reach ON reach.id = e.b
+),
+comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+border AS (
+  SELECT s.u AS id, min(comp.cluster) AS cluster
+  FROM sym s JOIN comp ON comp.id = s.v
+  WHERE s.u NOT IN (SELECT u FROM core)
+  GROUP BY s.u
+)
+SELECT e.vec_id,
+       CASE WHEN comp.id IS NOT NULL THEN 'core'
+            WHEN border.id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       cast(coalesce(comp.cluster, border.cluster, -1) as bigint)
+         AS cluster
+FROM embeddings e
+LEFT JOIN comp ON comp.id = e.vec_id
+LEFT JOIN border ON border.id = e.vec_id
+"""
+
+
+@query("q_dbscan", oracle=_dbscan_oracle())
+def q_dbscan(spark, sf_dir):
+    """DBSCAN (Ester et al. 1996) over the embedding corpus,
+    label-blocked exact form: points with >= {minPts}-sized
+    eps-neighborhoods (squared L2, exact-decimal per-dim reduction like
+    kmeans') are CORE; core points within eps of each other merge into
+    clusters via the same connected-components operator the dedup
+    ladder uses; non-core points adjacent to a core become BORDER
+    (assigned the minimum adjacent cluster — deterministic), the rest
+    are NOISE. The density complement to q_kmeans (centroidal) and
+    q_dedup_semdedup (greedy threshold): DBSCAN finds arbitrary-shape
+    clusters and, unlike both, an explicit outlier set — the "weird
+    embeddings" audit for corpus curation.
+
+    Scale: the pair pass is label-blocked exactly like
+    q_dedup_semantic's (ground-truth form; at 100 TB the IVF/LSH
+    bucketed candidate pairs of q_knn_join_blocked/q_embed_lsh slot in
+    unchanged); components run iteration-capped pointer hops on the
+    core-core edge list; everything else is group-bys on the
+    |V|-sized neighbor relation."""
+    from .operators.cluster import connected_components
+    from .operators.kmeans import DEC_D
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    term = F.zip_with(
+        F.col("a.embedding"), F.col("b.embedding"),
+        lambda x, y: F.round((x.cast("double") - y.cast("double"))
+                             * (x.cast("double") - y.cast("double")), 10)
+        .cast(DEC_D))
+    d2 = F.aggregate(term, F.lit(0).cast(DEC_D),
+                     lambda acc, x: (acc + x).cast(DEC_D))
+    neigh = (a.join(b, (F.col("a.label") == F.col("b.label"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .select(F.col("a.vec_id").alias("va"),
+                     F.col("b.vec_id").alias("vb"),
+                     d2.alias("d2"))
+             .filter(F.col("d2") <= F.lit(_DB_EPS2).cast(DEC_D)))
+    sym = (neigh.select(F.col("va").alias("u"), F.col("vb").alias("v"))
+           .unionByName(neigh.select(F.col("vb").alias("u"),
+                                     F.col("va").alias("v")))
+           .persist())
+    core = (sym.groupBy("u").agg(F.count("*").alias("c"))
+            .filter(F.col("c") + 1 >= _DB_MINPTS).select("u")
+            .persist())
+    c1 = core.select(F.col("u").alias("cu"))
+    c2 = core.select(F.col("u").alias("cv"))
+    core_edges = (sym.join(c1, sym.u == F.col("cu"))
+                  .join(c2, sym.v == F.col("cv"))
+                  .select(F.col("u").alias("va"), F.col("v").alias("vb")))
+    comp = connected_components(
+        core.select(F.col("u").alias("vec_id")), core_edges,
+        id_col="vec_id", src="va", dst="vb")
+    comp = comp.select(F.col("id").alias("cid"), "cluster")
+    border = (sym.join(comp, sym.v == F.col("cid"))
+              .join(core, sym.u == core.u, "left_anti")
+              .groupBy(sym.u.alias("bid"))
+              .agg(F.min("cluster").alias("bcluster")))
+    return (e.select("vec_id")
+            .join(comp, F.col("vec_id") == F.col("cid"), "left")
+            .join(border, F.col("vec_id") == F.col("bid"), "left")
+            .select("vec_id",
+                    F.when(F.col("cid").isNotNull(), "core")
+                    .when(F.col("bid").isNotNull(), "border")
+                    .otherwise("noise").alias("role"),
+                    F.coalesce(F.col("cluster"), F.col("bcluster"),
+                               F.lit(-1)).cast("long").alias("cluster")))

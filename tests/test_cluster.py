@@ -61,3 +61,54 @@ def test_semdedup_matches_numpy_twin(spark):
               for v, c, f in zip(ids, assign, is_dup)}
     assert got == expect
     assert 0 < sum(f for _, f in got.values()) < len(got)
+
+
+def test_dbscan_matches_python_twin(spark):
+    """Roles and cluster labels recomputed with a brute-force python
+    DBSCAN (same eps/minPts, same min-label components, same
+    min-adjacent-cluster border rule, label-blocked) must match."""
+    from collections import defaultdict
+
+    import numpy as np
+    import pandas as pd
+
+    from challenge8_movies_etl_spark.queries_ml import (
+        _DB_EPS2, _DB_MINPTS, q_dbscan)
+    from tests.conftest import SF_SMOKE
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    X = {int(r.vec_id): np.asarray(r.embedding, dtype=float)
+         for r in pdf.itertuples()}
+    lab = {int(r.vec_id): r.label for r in pdf.itertuples()}
+    eps2 = float(_DB_EPS2)
+    ids = sorted(X)
+    nb = defaultdict(set)
+    for i, u in enumerate(ids):
+        for v in ids[i + 1:]:
+            if lab[u] == lab[v] and ((X[u] - X[v]) ** 2).sum() <= eps2:
+                nb[u].add(v)
+                nb[v].add(u)
+    core = {u for u in ids if len(nb[u]) + 1 >= _DB_MINPTS}
+    # components over core-core edges (min-label fixpoint)
+    cl = {u: u for u in core}
+    changed = True
+    while changed:
+        changed = False
+        for u in core:
+            for v in nb[u] & core:
+                m = min(cl[u], cl[v])
+                if cl[u] != m or cl[v] != m:
+                    cl[u] = cl[v] = m
+                    changed = True
+    expect = {}
+    for u in ids:
+        if u in core:
+            expect[u] = ("core", cl[u])
+        else:
+            adj = [cl[v] for v in nb[u] if v in core]
+            expect[u] = ("border", min(adj)) if adj else ("noise", -1)
+    got = {r.vec_id: (r.role, r.cluster)
+           for r in q_dbscan(spark, SF_SMOKE).collect()}
+    assert got == expect
+    roles = {r for r, _ in got.values()}
+    assert roles == {"core", "border", "noise"}, roles
