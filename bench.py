@@ -92,6 +92,10 @@ EXTRA = [
     "q_dedup_semdedup",
     "q_logistic_train",
     "q_graph_label_prop",
+    # round-5 fifth wave: NMF topics, greedy coverage, DBSCAN
+    "q_topic_nmf",
+    "q_coverage_select",
+    "q_dbscan",
 ]
 
 

@@ -70,6 +70,9 @@ SHAPE = {
     "q_dedup_semdedup": "q_join_multi_5way",   # cluster-blocked pairs
     "q_logistic_train": "q_graph_pagerank",    # fixed-iteration passes
     "q_graph_label_prop": "q_graph_pagerank",  # iterative joins
+    "q_topic_nmf": "q_graph_pagerank",         # iterative factor joins
+    "q_coverage_select": "q_graph_pagerank",   # greedy driver rounds
+    "q_dbscan": "q_dedup_containment",         # blocked pair pass
 }
 
 
