@@ -227,3 +227,171 @@ def q_cogroup_asof(spark, sf_dir):
                                  "thr bigint, n_events bigint, "
                                  "n_above bigint"))
     return out.orderBy("event_type", "thr_k")
+
+
+# ---------------------------------------------------------------------------
+# q_burst_detect — two-state burst DP over daily series (applyInPandas)
+# ---------------------------------------------------------------------------
+
+# Deterministic burst injection (the q_diff_in_diff discipline: a known
+# effect the detector must recover): days 10-14 of every type's series
+# gain 3x the base rate. Rates/penalty derive integer-only from the
+# series itself, so the whole DP is exact int64 arithmetic.
+_BURST_LO, _BURST_HI = 10, 14
+
+_BURST_ORACLE = f"""
+WITH RECURSIVE raw AS (
+  SELECT event_type, cast(ts as date) AS d, cast(count(*) as bigint) AS x0
+  FROM events GROUP BY 1, 2
+),
+idxd AS (
+  SELECT event_type, d, x0,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS idx,
+         cast(sum(x0) OVER (PARTITION BY event_type)
+              // count(*) OVER (PARTITION BY event_type) as bigint) AS r0
+  FROM raw
+),
+days AS (
+  SELECT event_type, d, idx, r0,
+         x0 + CASE WHEN idx BETWEEN {_BURST_LO} AND {_BURST_HI}
+                   THEN 3 * r0 ELSE 0 END AS x
+  FROM idxd
+),
+em AS (
+  SELECT event_type, d, idx, x, r0,
+         (x - r0) * (x - r0) AS e0,
+         (x - 2 * r0) * (x - 2 * r0) AS e1,
+         r0 * r0 AS gam
+  FROM days
+),
+dp AS (
+  SELECT event_type, idx, x, e0 AS c0, e1 + gam AS c1, gam
+  FROM em WHERE idx = 1
+  UNION ALL
+  SELECT e.event_type, e.idx, e.x,
+         least(dp.c0, dp.c1) + e.e0,
+         least(dp.c0 + dp.gam, dp.c1) + e.e1,
+         dp.gam
+  FROM dp JOIN em e
+    ON e.event_type = dp.event_type AND e.idx = dp.idx + 1
+),
+labeled AS (
+  SELECT event_type, idx, x,
+         CASE WHEN c1 < c0 THEN 1 ELSE 0 END AS burst,
+         c0, c1
+  FROM dp
+),
+isl AS (
+  SELECT event_type, idx,
+         idx - row_number() OVER (PARTITION BY event_type
+                                  ORDER BY idx) AS grp
+  FROM labeled WHERE burst = 1
+),
+runs AS (
+  SELECT event_type, count(*) AS run_len
+  FROM isl GROUP BY event_type, grp
+)
+SELECT l.event_type,
+       cast(count(*) as bigint) AS n_days,
+       cast(sum(l.burst) as bigint) AS n_burst_days,
+       cast(coalesce((SELECT max(run_len) FROM runs r
+                      WHERE r.event_type = l.event_type), 0) as bigint)
+         AS longest_burst,
+       cast(min(CASE WHEN l.burst = 1 THEN l.idx END) as bigint)
+         AS first_burst_day,
+       cast(max(CASE WHEN l.idx = (SELECT max(idx) FROM labeled x
+                                   WHERE x.event_type = l.event_type)
+                     THEN least(l.c0, l.c1) END) as bigint) AS final_cost
+FROM labeled l
+GROUP BY l.event_type
+ORDER BY l.event_type
+"""
+
+
+@query("q_burst_detect", oracle=_BURST_ORACLE)
+def q_burst_detect(spark, sf_dir):
+    """Burst detection on daily event series — Kleinberg's two-state
+    automaton with integer squared-error emissions: state 0 emits at
+    the base rate r0 (= integer mean), state 1 at 2*r0, entering a
+    burst costs an integer penalty r0² (big enough that a single noisy
+    day never opens a burst at smoke-scale rates); each day is labeled by the
+    cheaper forward-DP prefix state. A known burst (+3*r0 on days
+    10-14) is injected deterministically, and the detector must
+    recover exactly that window (test-pinned, the q_diff_in_diff
+    injected-effect discipline). The per-series DP runs in
+    applyInPandas over the bounded daily relation — the declared
+    python surface for sequential state machines SQL can't vectorize —
+    while the oracle replays the identical integer recursion as a
+    RECURSIVE CTE carrying both state costs as columns, so even a
+    stateful python operator is value-hash-checked.
+
+    Scale: the fact scan collapses to |types| x |days| first; the UDF
+    sees only bounded series (one Arrow batch per type). Everything
+    is int64-exact; no float ever enters the DP."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+    raw = (e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+           .agg(F.count("*").cast("long").alias("x0")))
+    wt = W.partitionBy("event_type")
+    idxd = raw.select(
+        "event_type", "d", "x0",
+        F.row_number().over(wt.orderBy("d")).alias("idx"),
+        (F.sum("x0").over(wt) / F.count("*").over(wt))
+        .cast("long").alias("r0"))
+    days = idxd.select(
+        "event_type", "idx", "r0",
+        (F.col("x0") + F.when(F.col("idx").between(_BURST_LO, _BURST_HI),
+                              3 * F.col("r0")).otherwise(0)).alias("x"))
+
+    schema = ("event_type string, idx long, x long, burst int, "
+              "c0 long, c1 long")
+
+    def dp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("idx")
+        x = pdf.x.to_numpy(dtype=np.int64)
+        r0 = int(pdf.r0.iloc[0])
+        gam = r0 * r0
+        c0 = c1 = 0
+        rows = []
+        for i, xi in enumerate(x, start=1):
+            e0, e1 = (int(xi) - r0) ** 2, (int(xi) - 2 * r0) ** 2
+            if i == 1:
+                c0, c1 = e0, e1 + gam
+            else:
+                c0, c1 = (min(c0, c1) + e0,
+                          min(c0 + gam, c1) + e1)
+            rows.append((pdf.event_type.iloc[0], i, int(xi),
+                         int(c1 < c0), c0, c1))
+        return pd.DataFrame(rows, columns=["event_type", "idx", "x",
+                                           "burst", "c0", "c1"])
+
+    labeled = (days.groupBy("event_type").applyInPandas(dp, schema)
+               .persist())
+    isl = (labeled.filter(F.col("burst") == 1)
+           .select("event_type", "idx",
+                   (F.col("idx") - F.row_number().over(
+                       wt.orderBy("idx"))).alias("grp")))
+    runs = (isl.groupBy("event_type", "grp")
+            .agg(F.count("*").alias("run_len"))
+            .groupBy("event_type")
+            .agg(F.max("run_len").alias("longest")))
+    last = labeled.groupBy("event_type").agg(F.max("idx").alias("mi"))
+    fin = (labeled.join(last, "event_type")
+           .filter(F.col("idx") == F.col("mi"))
+           .select("event_type",
+                   F.least("c0", "c1").alias("final_cost")))
+    return (labeled.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_days"),
+                 F.sum("burst").cast("long").alias("n_burst_days"),
+                 F.min(F.when(F.col("burst") == 1, F.col("idx")))
+                 .cast("long").alias("first_burst_day"))
+            .join(runs, "event_type", "left")
+            .join(fin, "event_type")
+            .select("event_type", "n_days", "n_burst_days",
+                    F.coalesce(F.col("longest"), F.lit(0)).cast("long")
+                    .alias("longest_burst"),
+                    "first_burst_day",
+                    F.col("final_cost").cast("long").alias("final_cost"))
+            .orderBy("event_type"))

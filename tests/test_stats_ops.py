@@ -267,3 +267,30 @@ def test_mannwhitney_matches_python_twin(spark):
     assert row.u_stat == u
     assert abs(row.rank_biserial - r) < 1e-12
     assert abs(row.z_score - round(z, 4)) < 5e-5
+
+
+def test_burst_detect_recovers_injected_window(spark):
+    """At sf0.01 (daily rate ~67, noise ~±8) the injected +3*r0 burst
+    on days 10-14 must be recovered EXACTLY for every event type: 5
+    burst days, one contiguous 5-run, starting at day 10. At smoke
+    scale (rate ~6) Poisson-scale noise legitimately flags a few extra
+    days, so only the structural invariants are pinned there."""
+    from challenge8_movies_etl_spark.queries_udf import (
+        _BURST_HI, _BURST_LO, q_burst_detect)
+    from tests.conftest import SF_SMOKE
+
+    want = _BURST_HI - _BURST_LO + 1
+    for r in q_burst_detect(spark, "/root/testdata/sf0.01").collect():
+        assert r.n_burst_days == want, r
+        assert r.longest_burst == want, r
+        assert r.first_burst_day == _BURST_LO, r
+        assert r.final_cost > 0
+
+    rows = q_burst_detect(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # the injected run is always the longest, and nothing shorter
+        # than the injection can beat it
+        assert r.longest_burst == want, r
+        assert want <= r.n_burst_days <= r.n_days // 2, r
+        assert r.first_burst_day <= _BURST_LO, r
