@@ -52,7 +52,8 @@ UDF_SURFACE = {"q_udf_scalar", "q_udaf_grouped", "q_udtf",
                "q_multimodal_decode_png",  # Arrow PNG decode surface
                "q_isotonic_pav",  # applyInPandas PAV on pooled profiles
                "q_observe_metrics",  # CollectMetrics + local result
-               "q_cogroup_asof"}  # cogrouped applyInPandas surface
+               "q_cogroup_asof",  # cogrouped applyInPandas surface
+               "q_burst_detect"}  # applyInPandas DP on bounded series
 
 
 def audit(spark, qid, fn, sf_dir):
