@@ -1104,3 +1104,77 @@ def q_theil_sen(spark, sf_dir):
                           / F.count(F.when(mid, F.lit(1))), 6) + 0.0)
                  .alias("sen_slope"))
             .orderBy("event_type"))
+
+
+_SPEARMAN_ORACLE = """
+WITH daily AS (
+  SELECT cast(ts as date) AS d,
+         cast(count(*) FILTER (event_type = 'click') as bigint) AS x,
+         cast(count(*) FILTER (event_type = 'purchase') as bigint) AS y
+  FROM events GROUP BY 1
+),
+rk AS (
+  SELECT d,
+         2 * rank() OVER (ORDER BY x)
+           + count(*) OVER (PARTITION BY x) - 1 AS rx2,
+         2 * rank() OVER (ORDER BY y)
+           + count(*) OVER (PARTITION BY y) - 1 AS ry2
+  FROM daily
+),
+s AS (
+  SELECT cast(count(*) as bigint) AS n,
+         cast(sum(rx2) as bigint) AS sx,
+         cast(sum(ry2) as bigint) AS sy,
+         cast(sum(rx2 * ry2) as bigint) AS sxy,
+         cast(sum(rx2 * rx2) as bigint) AS sxx,
+         cast(sum(ry2 * ry2) as bigint) AS syy
+  FROM rk
+)
+SELECT n,
+       round((n * sxy - sx * sy)
+             / sqrt(cast(n * sxx - sx * sx as double)
+                    * cast(n * syy - sy * sy as double)), 6) + 0.0
+         AS spearman_rho
+FROM s
+"""
+
+
+@query("q_spearman_corr", oracle=_SPEARMAN_ORACLE)
+def q_spearman_corr(spark, sf_dir):
+    """Spearman rank correlation between the daily click and purchase
+    series: Pearson over tie-averaged ranks, carried as DOUBLED ranks
+    (2*min_rank + tie_count - 1, always integer — the q_mannwhitney_u
+    device), so all five sufficient statistics are exact bigints and
+    the only float ops are the final sqrt and division (round 6,
+    sign-of-zero guarded). Completes the correlation ladder: Pearson
+    (q_rolling_corr) for linear, Kendall (q_kendall_tau) for pair
+    concordance, Spearman for monotone rank association.
+
+    Scale: one fact-scan pivot to the calendar-bounded daily relation,
+    two rank windows over it, one scalar reduce."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("ts").cast("date").alias("d"))
+             .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                        .otherwise(0)).cast("long").alias("x"),
+                  F.sum(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).cast("long").alias("y")))
+    rx2 = (2 * F.rank().over(W.orderBy("x"))
+           + F.count("*").over(W.partitionBy("x")) - 1)
+    ry2 = (2 * F.rank().over(W.orderBy("y"))
+           + F.count("*").over(W.partitionBy("y")) - 1)
+    rk = daily.select(rx2.alias("rx2"), ry2.alias("ry2"))
+    s = rk.agg(F.count("*").cast("long").alias("n"),
+               F.sum("rx2").cast("long").alias("sx"),
+               F.sum("ry2").cast("long").alias("sy"),
+               F.sum(F.col("rx2") * F.col("ry2")).cast("long")
+               .alias("sxy"),
+               F.sum(F.col("rx2") * F.col("rx2")).cast("long")
+               .alias("sxx"),
+               F.sum(F.col("ry2") * F.col("ry2")).cast("long")
+               .alias("syy"))
+    rho = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+           / F.sqrt((F.col("n") * F.col("sxx")
+                     - F.col("sx") * F.col("sx")).cast("double")
+                    * (F.col("n") * F.col("syy")
+                       - F.col("sy") * F.col("sy")).cast("double")))
+    return s.select("n", (F.round(rho, 6) + 0.0).alias("spearman_rho"))

@@ -313,3 +313,41 @@ def test_trend_trio_matches_python_twins(spark):
     assert (r.n_days, r.concordant, r.discordant, r.ties_x, r.ties_y) \
         == (n, con, dis, tx, ty)
     assert abs(r.tau_b - tau) < 2e-6
+
+
+def test_spearman_matches_python_twin(spark):
+    """rho recomputed with python average-rank Pearson must match."""
+    import math
+
+    import pandas as pd
+
+    from challenge8_movies_etl_spark.queries_timeseries import (
+        q_spearman_corr)
+    from tests.conftest import SF_SMOKE
+
+    e = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    e["d"] = e.ts.dt.date
+    piv = (e.assign(c=(e.event_type == "click").astype(int),
+                    p=(e.event_type == "purchase").astype(int))
+           .groupby("d")[["c", "p"]].sum())
+
+    def avg_ranks(vals):
+        out = []
+        for v in vals:
+            less = sum(1 for u in vals if u < v)
+            eq = sum(1 for u in vals if u == v)
+            out.append(less + (eq + 1) / 2)
+        return out
+
+    rx = avg_ranks(list(piv.c))
+    ry = avg_ranks(list(piv.p))
+    n = len(rx)
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    rho = ((n * sxy - sx * sy)
+           / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    row = q_spearman_corr(spark, SF_SMOKE).collect()[0]
+    assert row.n == n
+    assert abs(row.spearman_rho - (round(rho, 6) + 0.0)) < 2e-6
