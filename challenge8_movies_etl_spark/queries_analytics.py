@@ -805,3 +805,214 @@ def q_bitmap_index(spark, sf_dir):
             .join(F.broadcast(sb), "type_b")
             .select("type_a", "type_b", "n_a", "n_b", "n_common")
             .orderBy("type_a", "type_b"))
+
+
+# ---------------------------------------------------------------------------
+# q_markov_attribution — removal-effect multi-touch attribution
+# ---------------------------------------------------------------------------
+
+_MK_STEPS = 12
+_MK_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _markov_oracle() -> str:
+    scen = ", ".join(f"('{c}')" for c in ("full",) + _MK_CHANNELS)
+    steps = []
+    prev = "v0"
+    for i in range(1, _MK_STEPS + 1):
+        steps.append(f""",
+v{i} AS (
+  SELECT v.scenario, p.dst AS state,
+         cast(round(cast(sum(v.mass * p.p) as double), 8)
+              as decimal(10,8)) AS mass
+  FROM {prev} v JOIN sprobs p
+    ON p.scenario = v.scenario AND p.src = v.state
+  GROUP BY 1, 2
+)""")
+        prev = f"v{i}"
+    return f"""
+WITH conv_ts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS cts,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN event_id END) AS cid
+  FROM events GROUP BY user_id
+),
+pre AS (
+  SELECT e.user_id, e.event_type, e.ts, e.event_id,
+         (c.cts IS NOT NULL) AS converts
+  FROM events e JOIN conv_ts c ON c.user_id = e.user_id
+  WHERE c.cts IS NULL OR (e.ts, e.event_id) < (c.cts, c.cid)
+),
+seq AS (
+  SELECT user_id, event_type, converts,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         lead(event_type) OVER w AS nxt
+  FROM pre
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+trans AS (
+  SELECT 'S' AS src, event_type AS dst FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT event_type, coalesce(nxt, CASE WHEN converts THEN 'C'
+                                        ELSE 'N' END)
+  FROM seq
+  UNION ALL
+  SELECT 'S', 'C'
+  FROM conv_ts c
+  WHERE c.cts IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM pre WHERE pre.user_id = c.user_id)
+),
+cnt AS (SELECT src, dst, count(*) AS n FROM trans GROUP BY 1, 2),
+probs AS (
+  SELECT src, dst,
+         cast(round(n / cast(sum(n) OVER (PARTITION BY src) as double),
+                    6) as decimal(8,6)) AS p
+  FROM cnt
+),
+scen AS (SELECT * FROM (VALUES {scen}) s(scenario)),
+sprobs AS (
+  SELECT scenario, src, dst, cast(sum(p) as decimal(8,6)) AS p
+  FROM (
+    SELECT s.scenario, p.src,
+           CASE WHEN p.dst = s.scenario THEN 'N' ELSE p.dst END AS dst,
+           p.p
+    FROM probs p CROSS JOIN scen s
+    UNION ALL
+    SELECT s.scenario, a.state, a.state, cast(1 as decimal(8,6))
+    FROM (VALUES ('C'), ('N')) a(state) CROSS JOIN scen s
+  ) GROUP BY 1, 2, 3
+),
+v0 AS (
+  SELECT scenario, 'S' AS state, cast(1 as decimal(10,8)) AS mass
+  FROM scen
+){''.join(steps)},
+conv AS (
+  SELECT scenario,
+         round(cast(coalesce(max(CASE WHEN state = 'C'
+                                      THEN mass END), 0) as double), 6)
+           AS p_conv
+  FROM v{_MK_STEPS} GROUP BY scenario
+),
+eff AS (
+  SELECT c.scenario AS channel,
+         (SELECT p_conv FROM conv WHERE scenario = 'full') AS p_full,
+         c.p_conv AS removal_conv,
+         round((SELECT p_conv FROM conv WHERE scenario = 'full')
+               - c.p_conv, 6) + 0.0 AS removal_effect
+  FROM conv c WHERE c.scenario <> 'full'
+)
+SELECT channel, p_full AS p_conv_full, removal_conv, removal_effect,
+       round(removal_effect
+             / nullif(sum(removal_effect) OVER (), 0), 6) + 0.0
+         AS attribution_share
+FROM eff
+ORDER BY channel
+"""
+
+
+@query("q_markov_attribution", oracle=_markov_oracle())
+def q_markov_attribution(spark, sf_dir):
+    """Markov-chain removal-effect attribution (the third rung after
+    q_attribution_last_touch / _linear): build the first-order channel
+    transition model from pre-conversion journeys (start -> channels
+    -> purchase-conversion or null), then credit each channel by how
+    much the {K}-step conversion probability DROPS when its node is
+    removed (transitions into it leak to null) — the standard
+    data-driven alternative to positional credit. All five scenarios
+    (full + 4 removals) propagate in ONE unrolled chain over a
+    (scenario, state) vector; per-step masses are 8dp decimals and the
+    6dp-quantized transition matrix is identical on both engines, so
+    an absorbing-chain computation is value-hash-checked end to end.
+
+    Scale: journeys cost one user-keyed window pass over the fact
+    table; everything after runs on the ~30-cell transition matrix and
+    a 5x6 state vector — the attribution math is corpus-size
+    independent, exactly like kmeans' centroid updates. K=12 bounds
+    truncation error below the 6dp readout (journeys here are ~5
+    steps)."""
+    e = load_table(spark, sf_dir, "events")
+    isconv = F.col("event_type") == "purchase"
+    conv = (e.groupBy("user_id")
+            .agg(F.min(F.when(isconv, F.col("ts"))).alias("cts"),
+                 F.min(F.when(isconv, F.col("event_id"))).alias("cid")))
+    j = e.join(conv, "user_id")
+    pre = (j.filter(F.col("cts").isNull()
+                    | (F.struct("ts", "event_id")
+                       < F.struct(F.col("cts").alias("ts"),
+                                  F.col("cid").alias("event_id"))))
+           .select("user_id", "event_type", "ts", "event_id",
+                   F.col("cts").isNotNull().alias("converts")))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = pre.select(
+        "user_id", "event_type", "converts",
+        F.row_number().over(w).alias("rn"),
+        F.lead("event_type").over(w).alias("nxt"))
+    first = (seq.filter(F.col("rn") == 1)
+             .select(F.lit("S").alias("src"),
+                     F.col("event_type").alias("dst")))
+    mids = seq.select(
+        F.col("event_type").alias("src"),
+        F.coalesce(F.col("nxt"),
+                   F.when(F.col("converts"), "C").otherwise("N"))
+        .alias("dst"))
+    direct = (conv.filter(F.col("cts").isNotNull())
+              .join(pre.select("user_id").distinct(), "user_id",
+                    "left_anti")
+              .select(F.lit("S").alias("src"), F.lit("C").alias("dst")))
+    cnt = (first.unionByName(mids).unionByName(direct)
+           .groupBy("src", "dst").agg(F.count("*").alias("n")))
+    probs = cnt.select(
+        "src", "dst",
+        F.round(F.col("n")
+                / F.sum("n").over(W.partitionBy("src")).cast("double"),
+                6).cast("decimal(8,6)").alias("p"))
+    scen = spark.createDataFrame(
+        [(s,) for s in ("full",) + _MK_CHANNELS], "scenario string")
+    redirected = (probs.crossJoin(F.broadcast(scen))
+                  .select("scenario", "src",
+                          F.when(F.col("dst") == F.col("scenario"), "N")
+                          .otherwise(F.col("dst")).alias("dst"), "p"))
+    absorbing = (spark.createDataFrame([("C",), ("N",)], "state string")
+                 .crossJoin(F.broadcast(scen))
+                 .select("scenario", F.col("state").alias("src"),
+                         F.col("state").alias("dst"),
+                         F.lit(1).cast("decimal(8,6)").alias("p")))
+    sprobs = (redirected.unionByName(absorbing)
+              .groupBy("scenario", "src", "dst")
+              .agg(F.sum("p").cast("decimal(8,6)").alias("p"))
+              .persist())
+    v = scen.select("scenario", F.lit("S").alias("state"),
+                    F.lit(1).cast("decimal(10,8)").alias("mass"))
+    for i in range(_MK_STEPS):
+        vv, pp = v.alias("vv"), sprobs.alias("pp")
+        v = (vv.join(pp, (F.col("pp.scenario") == F.col("vv.scenario"))
+                     & (F.col("pp.src") == F.col("vv.state")))
+             .groupBy(F.col("pp.scenario").alias("scenario"),
+                      F.col("pp.dst").alias("state"))
+             .agg(F.round(F.sum(F.col("vv.mass") * F.col("pp.p"))
+                          .cast("double"), 8).cast("decimal(10,8)")
+                  .alias("mass")))
+        if (i + 1) % 4 == 0:
+            v = v.localCheckpoint(eager=True)
+    pc = (v.groupBy("scenario")
+          .agg(F.round(F.coalesce(
+              F.max(F.when(F.col("state") == "C", F.col("mass"))),
+              F.lit(0)).cast("double"), 6).alias("p_conv")))
+    full = pc.filter(F.col("scenario") == "full") \
+             .select(F.col("p_conv").alias("p_full"))
+    eff = (pc.filter(F.col("scenario") != "full")
+           .crossJoin(F.broadcast(full))
+           .select(F.col("scenario").alias("channel"),
+                   F.col("p_full").alias("p_conv_full"),
+                   F.col("p_conv").alias("removal_conv"),
+                   (F.round(F.col("p_full") - F.col("p_conv"), 6) + 0.0)
+                   .alias("removal_effect")))
+    return (eff.select(
+        "channel", "p_conv_full", "removal_conv", "removal_effect",
+        (F.round(F.col("removal_effect")
+                 / F.nullif(F.sum("removal_effect")
+                            .over(W.partitionBy()), F.lit(0.0)), 6)
+         + 0.0).alias("attribution_share"))
+        .orderBy("channel"))

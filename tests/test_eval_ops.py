@@ -642,3 +642,64 @@ def test_mrr_matches_numpy_twin(spark):
     rows = q_mrr(spark, SF_SMOKE).collect()
     assert {r.probe_vec: r.first_rel_rank for r in rows} == expect
     assert all(abs(r.mrr - mrr) < 1e-9 for r in rows)
+
+
+def test_markov_attribution_matches_python_twin(spark):
+    """Journey extraction, 6dp transition quantization, 12-step
+    truncated propagation, removal effects, and shares recomputed in
+    pure python must match the distributed query at smoke scale."""
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    from challenge8_movies_etl_spark.queries_analytics import (
+        _MK_CHANNELS, _MK_STEPS, q_markov_attribution)
+    from tests.conftest import SF_SMOKE
+
+    e = (pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+         .sort_values(["user_id", "ts", "event_id"]))
+    trans = Counter()
+    for uid, g in e.groupby("user_id"):
+        rows = list(g.itertuples())
+        cut = next((i for i, r in enumerate(rows)
+                    if r.event_type == "purchase"), None)
+        converts = cut is not None
+        pre = [r.event_type for r in (rows[:cut] if converts else rows)]
+        if not pre:
+            trans[("S", "C")] += 1
+            continue
+        trans[("S", pre[0])] += 1
+        for a, b in zip(pre, pre[1:]):
+            trans[(a, b)] += 1
+        trans[(pre[-1], "C" if converts else "N")] += 1
+    outs = defaultdict(int)
+    for (a, _), n in trans.items():
+        outs[a] += n
+    probs = {k: round(n / outs[k[0]], 6) for k, n in trans.items()}
+
+    def conv(removed):
+        p = defaultdict(float)
+        for (a, b), pr in probs.items():
+            p[(a, "N" if b == removed else b)] += pr
+        p[("C", "C")] = p[("N", "N")] = 1.0
+        mass = {"S": 1.0}
+        for _ in range(_MK_STEPS):
+            nxt = defaultdict(float)
+            for a, m in mass.items():
+                for (x, b), pr in p.items():
+                    if x == a:
+                        nxt[b] += m * pr
+            mass = {s: round(m, 8) for s, m in nxt.items()}
+        return round(mass.get("C", 0.0), 6)
+
+    p_full = conv(None)
+    effects = {c: round(p_full - conv(c), 6) + 0.0 for c in _MK_CHANNELS}
+    tot = sum(effects.values())
+    rows = q_markov_attribution(spark, SF_SMOKE).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert abs(r.p_conv_full - p_full) < 2e-6, r
+        assert abs(r.removal_effect - effects[r.channel]) < 2e-6, r
+        assert abs(r.attribution_share
+                   - (round(effects[r.channel] / tot, 6) + 0.0)) < 2e-6
+        assert r.removal_conv <= r.p_conv_full + 1e-9
