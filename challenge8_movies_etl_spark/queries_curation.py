@@ -1104,3 +1104,65 @@ def q_coverage_select(spark, sf_dir):
         F.sum("gain").over(
             W.orderBy("round").rowsBetween(W.unboundedPreceding, 0))
         .cast("long").alias("covered_total"))
+
+
+# ---------------------------------------------------------------------------
+# q_erasure_purge — right-to-be-forgotten purge with tombstone audit
+# ---------------------------------------------------------------------------
+
+_ERASE_ORACLE = """
+WITH erase AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+),
+audit AS (
+  SELECT e.event_type,
+         count(*) AS n_before,
+         sum(CASE WHEN x.user_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS n_purged
+  FROM events e LEFT JOIN erase x ON x.user_id = e.user_id
+  GROUP BY 1
+)
+SELECT event_type,
+       cast(n_before as bigint) AS n_before,
+       cast(n_purged as bigint) AS n_purged,
+       cast(n_before - n_purged as bigint) AS n_after,
+       cast((SELECT count(*) FROM erase) as bigint) AS n_users_erased
+FROM audit ORDER BY event_type
+"""
+
+
+@query("q_erasure_purge", oracle=_ERASE_ORACLE)
+def q_erasure_purge(spark, sf_dir):
+    """Right-to-be-forgotten purge audit: given a deterministic
+    erasure list (user_id % 97 = 0 stands in for the DSAR queue),
+    report per event type how many rows existed, how many the purge
+    removes, and how many remain — the tombstone record data
+    governance requires BEFORE the destructive rewrite runs (the
+    rewrite itself is the same anti-join feeding
+    write_partitioned_parquet; q_upsert/q_cdc_apply own the
+    mutation mechanics). Completes the governance family beside
+    q_k_anonymity / q_l_diversity / q_t_closeness / q_dp_*.
+
+    Scale: erasure lists are small relative to the fact table —
+    broadcast the anti-join side; beyond broadcast size, prefilter
+    with the bloom pass (q_bloom_prefilter) so only candidate rows
+    shuffle. Either way the audit is ONE scan with map-side
+    aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    erase = (e.filter(F.col("user_id") % 97 == 0)
+             .select("user_id").distinct().persist())
+    n_erased = erase.count()
+    audit = (e.join(F.broadcast(erase.withColumn("hit", F.lit(1))),
+                    "user_id", "left")
+             .groupBy("event_type")
+             .agg(F.count("*").alias("n_before"),
+                  F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                  .alias("n_purged")))
+    return (audit.select(
+        "event_type",
+        F.col("n_before").cast("long").alias("n_before"),
+        F.col("n_purged").cast("long").alias("n_purged"),
+        (F.col("n_before") - F.col("n_purged")).cast("long")
+        .alias("n_after"),
+        F.lit(n_erased).cast("long").alias("n_users_erased"))
+        .orderBy("event_type"))

@@ -185,3 +185,25 @@ def test_coverage_select_matches_python_greedy(spark):
     assert got == expect
     gains = [g for _, _, g, _ in got]
     assert gains == sorted(gains, reverse=True)
+
+
+def test_erasure_purge_is_complete_and_exact(spark):
+    """Purged + remaining must reconcile to the original counts, and
+    no erased user may survive the purge anti-join."""
+    import pandas as pd
+
+    from challenge8_movies_etl_spark.queries_curation import (
+        q_erasure_purge)
+    from tests.conftest import SF_SMOKE
+
+    e = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    erased_users = {u for u in e.user_id.unique() if u % 97 == 0}
+    rows = q_erasure_purge(spark, SF_SMOKE).collect()
+    by_type = e.groupby("event_type").size()
+    purged_by_type = (e[e.user_id.isin(erased_users)]
+                      .groupby("event_type").size())
+    for r in rows:
+        assert r.n_before == by_type[r.event_type]
+        assert r.n_purged == purged_by_type.get(r.event_type, 0)
+        assert r.n_after == r.n_before - r.n_purged
+        assert r.n_users_erased == len(erased_users)
