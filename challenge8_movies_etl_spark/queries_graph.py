@@ -12,6 +12,7 @@ iterative algorithm is value-hash-checked, not rows-only.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .operators.graph import label_propagation, pagerank, pagerank_oracle_sql
@@ -548,3 +549,118 @@ def q_textrank_keywords(spark, sf_dir):
             .select(F.col("node").alias("word"),
                     F.round(F.col("rank").cast("double"), 8)
                     .alias("score")))
+
+
+# ---------------------------------------------------------------------------
+# q_graph_hits — HITS hubs & authorities on the order graph
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 5
+_DEC_HA = "decimal(20,10)"
+
+
+def _hits_oracle() -> str:
+    steps = []
+    ph, pa = "h0", None
+    for i in range(1, _HITS_ITERS + 1):
+        steps.append(f""",
+ar{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum({ph}.s) AS raw
+  FROM edges e JOIN {ph} ON {ph}.node = e.src
+  GROUP BY 1
+),
+a{i} AS MATERIALIZED (
+  SELECT node, cast(round(cast(raw as double)
+                          / (SELECT cast(sum(raw) as double) FROM ar{i}),
+                          10) as {_DEC_HA}) AS s
+  FROM ar{i}
+),
+hr{i} AS MATERIALIZED (
+  SELECT e.src AS node, sum(a{i}.s) AS raw
+  FROM edges e JOIN a{i} ON a{i}.node = e.dst
+  GROUP BY 1
+),
+h{i} AS MATERIALIZED (
+  SELECT node, cast(round(cast(raw as double)
+                          / (SELECT cast(sum(raw) as double) FROM hr{i}),
+                          10) as {_DEC_HA}) AS s
+  FROM hr{i}
+)""")
+        ph, pa = f"h{i}", f"a{i}"
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS (SELECT c AS src, s AS dst FROM pairs),
+h0 AS (
+  SELECT src AS node, cast(1 as {_DEC_HA}) AS s
+  FROM edges GROUP BY src
+){''.join(steps)},
+ranked AS (
+  SELECT 'hub' AS role, node, s FROM {ph}
+  UNION ALL
+  SELECT 'authority', node, s FROM {pa}
+)
+SELECT role, node, round(cast(s as double), 8) AS score
+FROM (SELECT role, node, s,
+             row_number() OVER (PARTITION BY role
+                                ORDER BY s DESC, node) AS rn
+      FROM ranked)
+WHERE rn <= 10
+ORDER BY role, score DESC, node
+"""
+
+
+@query("q_graph_hits", oracle=_hits_oracle())
+def q_graph_hits(spark, sf_dir):
+    """HITS (Kleinberg 1999) on the directed customer->supplier order
+    graph: authorities are suppliers pulled by many strong hubs,
+    hubs are customers pointing at strong authorities — 5 alternating
+    update rounds, each sum-normalized (L1) and 10dp-quantized so the
+    mutually-recursive scores stay decimal-exact across engines; the
+    oracle unrolls all 10 half-steps into chained CTEs. Complements
+    q_graph_pagerank (single-score centrality) with the two-sided
+    endorsement structure bipartite marketplaces actually have.
+    Output: top-10 hubs + top-10 authorities.
+
+    Scale: per half-step one equi-join of the score vector against
+    the edge list + a map-side-combined sum, exactly the pagerank
+    shape; the L1 normalizer is a 1-row broadcast aggregate. Fixed
+    rounds bound lineage (localCheckpoint every other round)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (o.join(li, o.o_orderkey == li.l_orderkey)
+             .select(F.col("o_custkey").alias("src"),
+                     F.col("l_suppkey").alias("dst"))
+             .distinct().persist())
+    h = (edges.select(F.col("src").alias("node")).distinct()
+         .select("node", F.lit(1).cast(_DEC_HA).alias("s")))
+
+    def norm(raw):
+        tot = raw.agg(F.sum("raw").cast("double").alias("t"))
+        return (raw.crossJoin(F.broadcast(tot))
+                .select("node",
+                        F.round(F.col("raw").cast("double") / F.col("t"),
+                                10).cast(_DEC_HA).alias("s")))
+
+    a = None
+    for i in range(_HITS_ITERS):
+        a = norm(edges.join(h, h.node == edges.src)
+                 .groupBy(F.col("dst").alias("node"))
+                 .agg(F.sum("s").alias("raw")))
+        h = norm(edges.join(a, a.node == edges.dst)
+                 .groupBy(F.col("src").alias("node"))
+                 .agg(F.sum("s").alias("raw")))
+        if i % 2 == 1:
+            h = h.localCheckpoint(eager=True)
+            a = a.localCheckpoint(eager=True)
+    ranked = (h.select(F.lit("hub").alias("role"), "node", "s")
+              .unionByName(a.select(F.lit("authority").alias("role"),
+                                    "node", "s")))
+    rn = F.row_number().over(
+        W.partitionBy("role").orderBy(F.desc("s"), "node"))
+    return (ranked.withColumn("rn", rn).filter(F.col("rn") <= 10)
+            .select("role", "node",
+                    F.round(F.col("s").cast("double"), 8).alias("score"))
+            .orderBy("role", F.desc("score"), "node"))

@@ -194,3 +194,42 @@ def test_textrank_matches_python_pagerank(spark):
     for (_, gs), (_, es) in zip(got, expect):
         assert abs(gs - es) < 1e-6
     assert len({s for _, s in got}) > 1, "ranks must differentiate"
+
+
+def test_hits_matches_python_twin(spark):
+    """Top-10 hubs/authorities must match an independent python HITS
+    with the same L1 normalization and 10dp per-step quantization."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from challenge8_movies_etl_spark.queries_graph import (
+        _HITS_ITERS, q_graph_hits)
+    from tests.conftest import SF_SMOKE
+
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    edges = sorted({(int(r.o_custkey), int(r.l_suppkey))
+                    for r in m.itertuples()})
+    out_, in_ = defaultdict(list), defaultdict(list)
+    for c, s in edges:
+        out_[c].append(s)
+        in_[s].append(c)
+
+    def l1norm(raw):
+        t = sum(raw.values())
+        return {k: round(v / t, 10) for k, v in raw.items()}
+
+    h = {c: 1.0 for c in out_}
+    for _ in range(_HITS_ITERS):
+        a = l1norm({s: sum(h[c] for c in in_[s]) for s in in_})
+        h = l1norm({c: sum(a[s] for s in out_[c]) for c in out_})
+
+    rows = q_graph_hits(spark, SF_SMOKE).collect()
+    for role, scores in (("hub", h), ("authority", a)):
+        expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        got = [(r.node, r.score) for r in rows if r.role == role]
+        assert [n for n, _ in got] == [n for n, _ in expect], role
+        for (_, gs), (_, es) in zip(got, expect):
+            assert abs(gs - round(es, 8)) < 1e-7
