@@ -1944,3 +1944,123 @@ def q_mrr(spark, sf_dir):
         F.round(F.sum(rr.cast("decimal(10,6)")).over(w).cast("double")
                 / F.count("*").over(w), 6).alias("mrr"))
         .orderBy("probe_vec"))
+
+
+# ---------------------------------------------------------------------------
+# q_iv_wald — instrumental-variable (Wald) causal estimate
+# ---------------------------------------------------------------------------
+
+# Deterministic confounded world on the user panel (q_propensity_match
+# discipline): instrument z = md5(uid) low-byte parity — genuinely
+# as-if random w.r.t. every fixture column, unlike uid%2, which IS the
+# DiD treatment axis and correlates with activity; exposure x
+# rises with BOTH z (+2.0 — the first stage) and the confounder n_pre
+# (+0.1/unit); the outcome gains the true effect 3.0 per unit of x
+# PLUS 0.5 per unit of confounder — so the naive y-on-x slope is
+# biased and only the Wald ratio (y-diff over x-diff across
+# instrument arms) recovers ~3.
+
+
+@query(
+    "q_iv_wald",
+    oracle="""
+    WITH users AS (
+      SELECT user_id,
+             count(*) AS n_pre,
+             cast(sum(cast(value as decimal(30,10))) as double)
+               / count(*) AS base_y
+      FROM events GROUP BY user_id
+    ),
+    panel AS (
+      SELECT user_id,
+             cast(('0x' || substr(md5(cast(user_id as varchar)), 1, 2))
+                  as bigint) % 2 AS z,
+             round(2.0 * (cast(('0x' || substr(md5(cast(user_id as varchar)),
+                                               1, 2)) as bigint) % 2)
+                   + 0.1 * n_pre
+                   + ((user_id * 7919) % 10) / 10.0, 6) AS x,
+             n_pre, base_y
+      FROM users
+    ),
+    py AS (
+      SELECT user_id, z, x,
+             round(3.0 * x + 0.5 * n_pre + base_y, 6) AS y
+      FROM panel
+    ),
+    arms AS (
+      SELECT z, count(*) AS n,
+             cast(sum(cast(x as decimal(16,6))) as double) / count(*)
+               AS mx,
+             cast(sum(cast(y as decimal(16,6))) as double) / count(*)
+               AS my
+      FROM py GROUP BY z
+    ),
+    wald AS (
+      SELECT
+        (SELECT n FROM arms WHERE z = 1) AS n_z1,
+        (SELECT n FROM arms WHERE z = 0) AS n_z0,
+        (SELECT my FROM arms WHERE z = 1)
+          - (SELECT my FROM arms WHERE z = 0) AS dy,
+        (SELECT mx FROM arms WHERE z = 1)
+          - (SELECT mx FROM arms WHERE z = 0) AS dx
+      FROM (SELECT 1)
+    )
+    SELECT cast(n_z1 as bigint) AS n_z1, cast(n_z0 as bigint) AS n_z0,
+           round(dx, 6) + 0.0 AS first_stage_dx,
+           round(dy, 6) + 0.0 AS reduced_form_dy,
+           round(dy / dx, 6) + 0.0 AS iv_wald_effect
+    FROM wald
+    """,
+)
+def q_iv_wald(spark, sf_dir):
+    """Instrumental-variable causal effect, Wald form: with a binary
+    as-if-random instrument, effect = (mean outcome difference across
+    instrument arms) / (mean exposure difference across arms) — the
+    two-group special case of 2SLS, and the estimator to reach for
+    when treatment itself is confounded (here the exposure loads on
+    the same pre-activity confounder that drives the outcome, so the
+    naive slope is biased upward while Wald recovers the true +3.0;
+    test-pinned). Completes the causal kit: time (DiD), matching
+    (propensity strata), scores (Qini), logs (IPS), and now
+    instruments. Arm means are decimal-exact; the three readouts are
+    rounded, sign-of-zero-guarded doubles.
+
+    Scale: one fact-table groupBy to the user panel, one 2-group
+    aggregate, a 2-row reduce — instrument analysis costs one pass no
+    matter the log volume."""
+    e = load_table(spark, sf_dir, "events")
+    users = (e.groupBy("user_id")
+             .agg(F.count("*").alias("n_pre"),
+                  (F.sum(F.col("value").cast("decimal(30,10)"))
+                   .cast("double") / F.count("*")).alias("base_y")))
+    z = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                            1, 2), 16, 10).cast("long") % 2)
+    x = F.round(2.0 * z + 0.1 * F.col("n_pre")
+                + ((F.col("user_id") * 7919) % 10) / 10.0, 6)
+    panel = users.select("user_id", z.alias("z"), x.alias("x"), "n_pre",
+                         "base_y")
+    y = F.round(3.0 * F.col("x") + 0.5 * F.col("n_pre")
+                + F.col("base_y"), 6)
+    py = panel.select("z", "x", y.alias("y"))
+    arms = (py.groupBy("z")
+            .agg(F.count("*").alias("n"),
+                 (F.sum(F.col("x").cast("decimal(16,6)")).cast("double")
+                  / F.count("*")).alias("mx"),
+                 (F.sum(F.col("y").cast("decimal(16,6)")).cast("double")
+                  / F.count("*")).alias("my")))
+    a1 = arms.filter(F.col("z") == 1).select(
+        F.col("n").alias("n_z1"), F.col("mx").alias("mx1"),
+        F.col("my").alias("my1"))
+    a0 = arms.filter(F.col("z") == 0).select(
+        F.col("n").alias("n_z0"), F.col("mx").alias("mx0"),
+        F.col("my").alias("my0"))
+    return (a1.crossJoin(a0)
+            .select(F.col("n_z1").cast("long").alias("n_z1"),
+                    F.col("n_z0").cast("long").alias("n_z0"),
+                    (F.round(F.col("mx1") - F.col("mx0"), 6) + 0.0)
+                    .alias("first_stage_dx"),
+                    (F.round(F.col("my1") - F.col("my0"), 6) + 0.0)
+                    .alias("reduced_form_dy"),
+                    (F.round((F.col("my1") - F.col("my0"))
+                             / (F.col("mx1") - F.col("mx0")), 6) + 0.0)
+                    .alias("iv_wald_effect")))

@@ -703,3 +703,16 @@ def test_markov_attribution_matches_python_twin(spark):
         assert abs(r.attribution_share
                    - (round(effects[r.channel] / tot, 6) + 0.0)) < 2e-6
         assert r.removal_conv <= r.p_conv_full + 1e-9
+
+
+def test_iv_wald_recovers_effect_at_scale(spark):
+    """The Wald ratio must recover the injected +3.0 exposure effect
+    within sampling noise at sf0.1 (arm means over ~750 users), with
+    a first stage near the injected +2.0 arm shift."""
+    from challenge8_movies_etl_spark.queries_eval import q_iv_wald
+
+    r = q_iv_wald(spark, "/root/testdata/sf0.1").collect()[0]
+    assert r.n_z1 + r.n_z0 == 1500
+    assert min(r.n_z1, r.n_z0) > 600, "md5 parity must roughly balance"
+    assert abs(r.first_stage_dx - 2.0) < 0.4
+    assert abs(r.iv_wald_effect - 3.0) < 0.6
