@@ -664,3 +664,264 @@ def q_graph_hits(spark, sf_dir):
             .select("role", "node",
                     F.round(F.col("s").cast("double"), 8).alias("score"))
             .orderBy("role", F.desc("score"), "node"))
+
+
+# ---------------------------------------------------------------------------
+# q_graph_sssp — weighted single-source shortest paths (Bellman-Ford)
+# ---------------------------------------------------------------------------
+
+_SSSP_ITERS = 4
+
+_SSSP_EDGES_CTE = """
+ps AS MATERIALIZED (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+pairs AS MATERIALIZED (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS shared
+  FROM ps a JOIN ps b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY a.l_suppkey, b.l_suppkey
+),
+edges AS MATERIALIZED (
+  SELECT u AS src, v AS dst, shared % 7 + 1 AS w FROM pairs
+  UNION ALL
+  SELECT v, u, shared % 7 + 1 FROM pairs
+)"""
+
+
+def _sssp_oracle() -> str:
+    steps = []
+    for i in range(1, _SSSP_ITERS + 1):
+        steps.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM edges e JOIN d{i - 1} d ON d.node = e.src
+  ) GROUP BY node
+)""")
+    return f"""
+WITH {_SSSP_EDGES_CTE},
+d0 AS (
+  SELECT min(src) AS node, 0 AS dist FROM edges
+){''.join(steps)}
+SELECT node, dist FROM d{_SSSP_ITERS} ORDER BY node
+"""
+
+
+@query("q_graph_sssp", oracle=_sssp_oracle())
+def q_graph_sssp(spark, sf_dir):
+    """Weighted single-source shortest paths by bounded Bellman-Ford
+    (4 relaxation rounds) on the supplier co-occurrence graph:
+    suppliers sharing a part are linked with integer cost
+    ``shared %% 7 + 1`` (deterministic, relationally derived), source
+    = the smallest supplier key. All distances are exact integers, so
+    the result hash-matches the oracle's unrolled 4-round relaxation
+    CTEs with no float discipline needed. 4 rounds bound the frontier
+    like an iteration-capped Pregel superstep sequence — nodes beyond
+    4 hops simply stay unreached (omitted), which is the honest
+    bounded-propagation contract.
+
+    Scale: each round is edges ⋈ dist (shuffle on node id) + a
+    map-side-combinable min — the pagerank shape; the edge relation
+    is bounded by co-occurring supplier pairs, the dist vector by
+    |V|. No per-round growth: the union re-aggregates to one row per
+    node before the next join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    pairs = (a.join(b, (F.col("a.l_partkey") == F.col("b.l_partkey"))
+                    & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+             .groupBy(F.col("a.l_suppkey").alias("u"),
+                      F.col("b.l_suppkey").alias("v"))
+             .agg(F.count("*").alias("shared"))
+             .withColumn("w", F.col("shared") % 7 + 1))
+    edges = (pairs.select(F.col("u").alias("src"), F.col("v").alias("dst"),
+                          "w")
+             .unionByName(pairs.select(F.col("v").alias("src"),
+                                       F.col("u").alias("dst"), "w"))
+             .persist())
+    dist = (edges.agg(F.min("src").alias("node"))
+            .withColumn("dist", F.lit(0).cast("bigint")))
+    for _ in range(_SSSP_ITERS):
+        cand = (edges.join(dist, dist.node == edges.src)
+                .select(F.col("dst").alias("node"),
+                        (F.col("dist") + F.col("w")).alias("dist")))
+        dist = (dist.unionByName(cand)
+                .groupBy("node").agg(F.min("dist").alias("dist")))
+    return dist.orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# q_graph_kcore — k-core decomposition by iterative peeling
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 8
+_KCORE_ROUNDS = 4
+
+_KCORE_EDGES_CTE = """
+pairs AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+e0 AS MATERIALIZED (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s, c FROM pairs
+)"""
+
+
+def _kcore_oracle() -> str:
+    steps = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        steps.append(f""",
+n{i} AS MATERIALIZED (
+  SELECT src AS node FROM e{i - 1}
+  GROUP BY src HAVING count(*) >= {_KCORE_K}
+),
+e{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{i - 1} e
+  JOIN n{i} a ON a.node = e.src
+  JOIN n{i} b ON b.node = e.dst
+)""")
+    return f"""
+WITH {_KCORE_EDGES_CTE}{''.join(steps)}
+SELECT src AS node,
+       CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       count(*) AS deg
+FROM e{_KCORE_ROUNDS}
+GROUP BY src
+ORDER BY node
+"""
+
+
+@query("q_graph_kcore", oracle=_kcore_oracle())
+def q_graph_kcore(spark, sf_dir):
+    """k-core decomposition (k=8) of the bipartite customer-supplier
+    graph by 4 peeling rounds: each round drops every node whose
+    residual degree is below k, then restricts the edge list to
+    surviving endpoints — the standard iterative-peeling fixpoint,
+    iteration-capped so the oracle can unroll it into chained CTEs.
+    Survivors are the densely-connected trade core (the community
+    backbone dedup/influence passes start from); output is each core
+    node with its residual in-core degree — all integers, hash-exact.
+
+    Scale: a round is one degree group-by (map-side combinable) + two
+    semi-join-shaped edge restrictions on node id; edge volume only
+    shrinks round over round. The peel count is fixed, so job count
+    and lineage are bounded; at true 100 TB scale the same loop runs
+    until fixpoint with a convergence counter."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (o.join(li, o.o_orderkey == li.l_orderkey)
+             .select((F.col("o_custkey") * 2).alias("c"),
+                     (F.col("l_suppkey") * 2 + 1).alias("s"))
+             .distinct())
+    e = (pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+         .unionByName(pairs.select(F.col("s").alias("src"),
+                                   F.col("c").alias("dst"))))
+    for i in range(_KCORE_ROUNDS):
+        keep = (e.groupBy("src").agg(F.count("*").alias("d"))
+                .filter(F.col("d") >= _KCORE_K)
+                .select(F.col("src").alias("node")))
+        e = (e.join(keep.withColumnRenamed("node", "src"), "src")
+             .join(keep.withColumnRenamed("node", "dst"), "dst")
+             .select("src", "dst"))
+        if i % 2 == 1:
+            e = e.localCheckpoint(eager=True)
+    kind = F.when(F.col("node") % 2 == 0, "customer").otherwise("supplier")
+    return (e.groupBy(F.col("src").alias("node"))
+            .agg(F.count("*").alias("deg"))
+            .select("node", kind.alias("kind"), "deg")
+            .orderBy("node"))
+
+
+# ---------------------------------------------------------------------------
+# q_graph_random_walks — md5-deterministic random walks (DeepWalk-style)
+# ---------------------------------------------------------------------------
+
+_WALK_STEPS = 3
+_WALK_SEEDS = 10
+
+
+def _walk_oracle() -> str:
+    steps = []
+    for t in range(1, _WALK_STEPS + 1):
+        steps.append(f""",
+w{t} AS MATERIALIZED (
+  SELECT w.walk_id, n.dst AS node, {t} AS step
+  FROM w{t - 1} w JOIN nbr n
+    ON n.src = w.node
+   AND n.rk = 1 + (cast(('0x' || substr(md5(
+         cast(w.walk_id as varchar) || ':{t}:' ||
+         cast(w.node as varchar)), 1, 8)) as bigint) % n.deg)
+)""")
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT walk_id, step, node FROM w{t}"
+        for t in range(_WALK_STEPS + 1))
+    return f"""
+WITH {_KCORE_EDGES_CTE},
+nbr AS MATERIALIZED (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) AS rk,
+         count(*) OVER (PARTITION BY src) AS deg
+  FROM (SELECT DISTINCT src, dst FROM e0)
+),
+w0 AS (
+  SELECT c AS walk_id, c AS node, 0 AS step
+  FROM (SELECT DISTINCT c FROM pairs ORDER BY c LIMIT {_WALK_SEEDS})
+){''.join(steps)}
+SELECT walk_id, step, node FROM (
+  {union}
+) ORDER BY walk_id, step
+"""
+
+
+@query("q_graph_random_walks", oracle=_walk_oracle())
+def q_graph_random_walks(spark, sf_dir):
+    """DeepWalk/node2vec-style walk sampling (Perozzi 2014), made
+    reproducible: 3-step walks from the 10 smallest customer nodes of
+    the bipartite trade graph, where step t from node u picks the
+    ``1 + md5(walk||':'||t||':'||u) %% deg(u)``-th neighbor in (src,
+    dst)-sorted order — the seeded-hash substitute for an RNG, so the
+    sampled corpus is identical on any engine, partitioning, or rerun
+    (the property embedding-training pipelines need for resumable
+    walk generation). Output: every (walk_id, step, node) visit.
+
+    Scale: the neighbor ranking is one window over the edge list
+    (partitioned by src — the natural key), then each step is an
+    equi-join of the walk frontier (bounded: seeds count) against the
+    ranked adjacency; frontier never grows, so 100 TB cost is
+    step-count × one hash-join probe over the adjacency relation."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (o.join(li, o.o_orderkey == li.l_orderkey)
+             .select((F.col("o_custkey") * 2).alias("c"),
+                     (F.col("l_suppkey") * 2 + 1).alias("s"))
+             .distinct())
+    edges = (pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+             .unionByName(pairs.select(F.col("s").alias("src"),
+                                       F.col("c").alias("dst"))))
+    wsrc = W.partitionBy("src")
+    nbr = (edges.distinct()
+           .select("src", "dst",
+                   F.row_number().over(wsrc.orderBy("dst")).alias("rk"),
+                   F.count("*").over(wsrc).alias("deg"))
+           .persist())
+    frontier = (pairs.select(F.col("c").alias("walk_id")).distinct()
+                .orderBy("walk_id").limit(_WALK_SEEDS)
+                .select("walk_id", F.col("walk_id").alias("node"),
+                        F.lit(0).alias("step")))
+    path = frontier
+    for t in range(1, _WALK_STEPS + 1):
+        idx = 1 + F.conv(F.substring(F.md5(F.concat(
+            F.col("walk_id").cast("string"), F.lit(f":{t}:"),
+            F.col("node").cast("string"))), 1, 8), 16, 10) \
+            .cast("bigint") % F.col("deg")
+        frontier = (frontier.join(nbr, nbr.src == frontier.node)
+                    .filter(F.col("rk") == idx)
+                    .select("walk_id", F.col("dst").alias("node"),
+                            F.lit(t).alias("step")))
+        path = path.unionByName(frontier)
+    return path.select("walk_id", "step", "node").orderBy("walk_id", "step")

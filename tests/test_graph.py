@@ -233,3 +233,102 @@ def test_hits_matches_python_twin(spark):
         assert [n for n, _ in got] == [n for n, _ in expect], role
         for (_, gs), (_, es) in zip(got, expect):
             assert abs(gs - round(es, 8)) < 1e-7
+
+
+def _smoke_bipartite_edges(spark):
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    pairs = (o.join(li, o.o_orderkey == li.l_orderkey)
+             .select((F.col("o_custkey") * 2).alias("c"),
+                     (F.col("l_suppkey") * 2 + 1).alias("s"))
+             .distinct().collect())
+    und = {(r["c"], r["s"]) for r in pairs}
+    return und | {(s, c) for c, s in und}
+
+
+def test_sssp_matches_python_bellman_ford(spark):
+    from challenge8_movies_etl_spark.queries_graph import q_graph_sssp
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    ps = {(r["l_partkey"], r["l_suppkey"])
+          for r in li.select("l_partkey", "l_suppkey").distinct().collect()}
+    from collections import defaultdict
+    shared = defaultdict(int)
+    by_part = defaultdict(list)
+    for p, s in ps:
+        by_part[p].append(s)
+    for p, ss in by_part.items():
+        ss = sorted(set(ss))
+        for i, u in enumerate(ss):
+            for v in ss[i + 1:]:
+                shared[(u, v)] += 1
+    edges = {}
+    for (u, v), c in shared.items():
+        w = c % 7 + 1
+        edges.setdefault(u, []).append((v, w))
+        edges.setdefault(v, []).append((u, w))
+    src = min(edges)
+    dist = {src: 0}
+    for _ in range(4):
+        nxt = dict(dist)
+        for u, d in dist.items():
+            for v, w in edges[u]:
+                if d + w < nxt.get(v, 1 << 60):
+                    nxt[v] = d + w
+        dist = nxt
+    got = {r["node"]: r["dist"]
+           for r in q_graph_sssp(spark, SF_SMOKE).collect()}
+    assert got == dist
+    assert got[src] == 0
+
+
+def test_kcore_matches_python_peeling(spark):
+    from challenge8_movies_etl_spark.queries_graph import (
+        _KCORE_K, _KCORE_ROUNDS, q_graph_kcore)
+
+    e = _smoke_bipartite_edges(spark)
+    for _ in range(_KCORE_ROUNDS):
+        from collections import Counter
+        deg = Counter(u for u, _ in e)
+        keep = {n for n, d in deg.items() if d >= _KCORE_K}
+        e = {(u, v) for u, v in e if u in keep and v in keep}
+    from collections import Counter
+    deg = Counter(u for u, _ in e)
+    rows = q_graph_kcore(spark, SF_SMOKE).collect()
+    got = {r["node"]: r["deg"] for r in rows}
+    assert got == dict(deg)
+    # survivors are a strict, non-empty subgraph of the smoke graph
+    assert 0 < len(got)
+    kinds = {r["kind"] for r in rows}
+    assert kinds <= {"customer", "supplier"}
+
+
+def test_random_walks_follow_md5_choices(spark):
+    """Every step must move along a real edge, to exactly the neighbor
+    the md5 counter selects in dst-sorted order — the python twin
+    recomputes the whole walk set from hashlib."""
+    import hashlib
+
+    from challenge8_movies_etl_spark.queries_graph import (
+        _WALK_SEEDS, _WALK_STEPS, q_graph_random_walks)
+
+    e = _smoke_bipartite_edges(spark)
+    nbrs = {}
+    for u, v in sorted(e):
+        nbrs.setdefault(u, []).append(v)
+    seeds = sorted({u for u, _ in e if u % 2 == 0})[:_WALK_SEEDS]
+    expect = set()
+    for w in seeds:
+        node = w
+        expect.add((w, 0, node))
+        for t in range(1, _WALK_STEPS + 1):
+            ns = nbrs[node]
+            h = hashlib.md5(f"{w}:{t}:{node}".encode()).hexdigest()
+            node = ns[int(h[:8], 16) % len(ns)]
+            expect.add((w, t, node))
+    got = {(r["walk_id"], r["step"], r["node"])
+           for r in q_graph_random_walks(spark, SF_SMOKE).collect()}
+    assert got == expect
