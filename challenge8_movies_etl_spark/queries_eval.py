@@ -2064,3 +2064,194 @@ def q_iv_wald(spark, sf_dir):
                     (F.round((F.col("my1") - F.col("my0"))
                              / (F.col("mx1") - F.col("mx0")), 6) + 0.0)
                     .alias("iv_wald_effect")))
+
+
+# ---------------------------------------------------------------------------
+# q_regression_discontinuity — local-linear RDD estimator at a cutoff
+# ---------------------------------------------------------------------------
+
+# Running variable: event_id % 100 (0..99 at every scale — user_id
+# only spans 0..14 at sf0.001); cutoff 50, bandwidth 20. Outcome
+# carries a smooth slope (0.05 * x) plus a KNOWN +6.0 jump at the
+# cutoff, injected deterministically on top of the value metric so
+# the estimator has ground truth to recover (test-pinned).
+_RDD_X = "event_id % 100"
+_RDD_Y = (f"0.1 * value + 0.05 * ({_RDD_X}) + "
+          f"CASE WHEN ({_RDD_X}) >= 50 THEN 6.0 ELSE 0.0 END")
+
+
+@query(
+    "q_regression_discontinuity",
+    oracle=f"""
+    WITH obs AS (
+      SELECT ({_RDD_X}) - 50 AS x, {_RDD_Y} AS y,
+             CASE WHEN ({_RDD_X}) >= 50 THEN 1 ELSE 0 END AS side
+      FROM events
+      WHERE ({_RDD_X}) >= 30 AND ({_RDD_X}) < 70
+    ),
+    fits AS (
+      SELECT side, count(*) AS n,
+             cast(sum(x) as double) AS sx,
+             cast(sum(x * x) as double) AS sxx,
+             cast(sum(cast(y as decimal(30,10))) as double) AS sy,
+             cast(sum(cast(x * y as decimal(30,10))) as double) AS sxy
+      FROM obs GROUP BY side
+    ),
+    coefs AS (
+      SELECT side, n,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+               AS intercept
+      FROM fits
+    )
+    SELECT side, n,
+           round(slope, 6) + 0.0 AS slope,
+           round(intercept, 6) + 0.0 AS intercept_at_cutoff,
+           round(max(CASE WHEN side = 1 THEN intercept END) OVER ()
+                 - max(CASE WHEN side = 0 THEN intercept END) OVER (),
+                 6) + 0.0 AS rdd_effect
+    FROM coefs ORDER BY side
+    """,
+)
+def q_regression_discontinuity(spark, sf_dir):
+    """Sharp regression-discontinuity estimate: units within a
+    +/-20 bandwidth of the cutoff (running variable = event_id %% 100,
+    cutoff 50) get separate local-linear fits on each side, and the
+    causal effect is the gap between the two intercepts AT the
+    cutoff — which must recover the +6.0 jump injected on the
+    outcome (net of slope, test-pinned). Both OLS fits are
+    closed-form from decimal-exact sufficient statistics (Sx, Sxx
+    integer; Sy, Sxy exact decimal sums), so slope/intercept algebra
+    runs on identical doubles in both engines; round(...,6) + 0.0
+    normalizes any sign-of-zero.
+
+    Scale: one bandwidth-filtered scan (the predicate pushes to the
+    parquet scan) + a 2-group aggregation; the estimator itself is
+    O(1) window algebra over two rows — the experimentation-readout
+    shape, same as q_diff_in_diff."""
+    e = load_table(spark, sf_dir, "events")
+    xraw = F.col("event_id") % 100
+    x = (xraw - 50).alias("x")
+    y = (0.1 * F.col("value") + 0.05 * xraw
+         + F.when(xraw >= 50, 6.0).otherwise(0.0)).alias("y")
+    side = F.when(xraw >= 50, 1).otherwise(0).alias("side")
+    obs = (e.filter((xraw >= 30) & (xraw < 70)).select(x, y, side))
+    DECS = "decimal(30,10)"
+    fits = (obs.groupBy("side")
+            .agg(F.count("*").alias("n"),
+                 F.sum("x").cast("double").alias("sx"),
+                 F.sum(F.col("x") * F.col("x")).cast("double")
+                  .alias("sxx"),
+                 F.sum(F.col("y").cast(DECS)).cast("double").alias("sy"),
+                 F.sum((F.col("x") * F.col("y")).cast(DECS))
+                  .cast("double").alias("sxy")))
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    coefs = fits.select("side", "n", slope.alias("slope"),
+                        intercept.alias("intercept"))
+    w = W.partitionBy()
+    eff = (F.max(F.when(F.col("side") == 1, F.col("intercept"))).over(w)
+           - F.max(F.when(F.col("side") == 0, F.col("intercept"))).over(w))
+    return (coefs.select(
+        "side", "n",
+        (F.round("slope", 6) + 0.0).alias("slope"),
+        (F.round("intercept", 6) + 0.0).alias("intercept_at_cutoff"),
+        (F.round(eff, 6) + 0.0).alias("rdd_effect"))
+        .orderBy("side"))
+
+
+# ---------------------------------------------------------------------------
+# q_offpolicy_dr — doubly-robust off-policy evaluation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_offpolicy_dr",
+    oracle=f"""
+    WITH logs AS ({_IPS_SYNTH}),
+    rewarded AS (
+      SELECT ctx, logged_arm, propensity,
+             CASE WHEN logged_arm = ctx % 3 THEN 2 ELSE 1 END AS reward,
+             CASE WHEN logged_arm = ctx % 3 THEN 1.0 / propensity
+                  ELSE 0.0 END AS w
+      FROM logs
+    ),
+    qhat AS (
+      SELECT ctx, logged_arm AS arm,
+             round(cast(sum(cast(reward as decimal(30,10))) as double)
+                   / count(*), 10) AS q
+      FROM rewarded GROUP BY ctx, logged_arm
+    ),
+    terms AS (
+      SELECT r.ctx,
+             round(qt.q + r.w * (r.reward - qa.q), 10) AS t
+      FROM rewarded r
+      JOIN qhat qa ON qa.ctx = r.ctx AND qa.arm = r.logged_arm
+      JOIN qhat qt ON qt.ctx = r.ctx AND qt.arm = r.ctx % 3
+    )
+    SELECT ctx, count(*) AS n,
+           round(cast(sum(cast(t as decimal(30,10))) as double)
+                 / count(*), 6) + 0.0 AS dr_value
+    FROM terms GROUP BY ctx ORDER BY ctx
+    """,
+)
+def q_offpolicy_dr(spark, sf_dir):
+    """Doubly-robust off-policy evaluation (Dudik, Langford & Li
+    2011) over the same logged-bandit synthesis as q_offpolicy_ips:
+    a direct model q̂(ctx, arm) — per-cell mean reward fitted from
+    the logs themselves by one group-by — is evaluated at the target
+    policy's arm, then corrected by the propensity-weighted residual
+    w·(r − q̂(ctx, a_logged)). Unbiased if EITHER the model or the
+    propensities are right; the estimator the counterfactual-eval
+    stack actually ships. Per-context n and DR value; q̂ and the
+    per-round terms are 10dp-quantized so both engines sum identical
+    doubles, and the final mean is decimal-exact then rounded.
+
+    Scale: one scan to fit q̂ (ctx x arm cells — tiny), broadcast it
+    back over the log scan for the correction term, one keyed
+    aggregation. Two passes total, no shuffle wider than the cell
+    table."""
+    e = load_table(spark, sf_dir, "events")
+    arm = (F.col("event_id") * 2654435761) % 10
+    ctx = (F.col("event_id") % 4).alias("ctx")
+    logs = e.select(
+        ctx,
+        F.when(arm < 6, F.col("event_id") % 4 % 3)
+         .when(arm < 8, (F.col("event_id") % 4 + 1) % 3)
+         .otherwise((F.col("event_id") % 4 + 2) % 3).alias("logged_arm"),
+        F.when(arm < 6, 0.6).when(arm < 8, 0.2).otherwise(0.2)
+         .alias("propensity"))
+    target = F.col("ctx") % 3
+    DECS = "decimal(30,10)"
+    rewarded = logs.select(
+        "ctx", "logged_arm", "propensity",
+        F.when(F.col("logged_arm") == target, 2).otherwise(1)
+         .alias("reward"),
+        F.when(F.col("logged_arm") == target,
+               F.lit(1.0) / F.col("propensity"))
+         .otherwise(0.0).alias("w"))
+    qhat = (rewarded.groupBy("ctx", F.col("logged_arm").alias("arm"))
+            .agg(F.round(F.sum(F.col("reward").cast(DECS))
+                         .cast("double") / F.count("*"), 10).alias("q")))
+    qa = qhat.select(F.col("ctx").alias("qa_ctx"),
+                     F.col("arm").alias("qa_arm"), F.col("q").alias("q_a"))
+    qt = qhat.select(F.col("ctx").alias("qt_ctx"),
+                     F.col("arm").alias("qt_arm"), F.col("q").alias("q_t"))
+    terms = (rewarded
+             .join(F.broadcast(qa),
+                   (F.col("qa_ctx") == F.col("ctx"))
+                   & (F.col("qa_arm") == F.col("logged_arm")))
+             .join(F.broadcast(qt),
+                   (F.col("qt_ctx") == F.col("ctx"))
+                   & (F.col("qt_arm") == F.col("ctx") % 3))
+             .select("ctx",
+                     F.round(F.col("q_t")
+                             + F.col("w") * (F.col("reward")
+                                             - F.col("q_a")), 10)
+                     .alias("t")))
+    return (terms.groupBy("ctx")
+            .agg(F.count("*").alias("n"),
+                 (F.round(F.sum(F.col("t").cast(DECS)).cast("double")
+                          / F.count("*"), 6) + 0.0).alias("dr_value"))
+            .orderBy("ctx"))

@@ -716,3 +716,44 @@ def test_iv_wald_recovers_effect_at_scale(spark):
     assert min(r.n_z1, r.n_z0) > 600, "md5 parity must roughly balance"
     assert abs(r.first_stage_dx - 2.0) < 0.4
     assert abs(r.iv_wald_effect - 3.0) < 0.6
+
+
+def test_rdd_recovers_injected_jump(spark):
+    """The sharp-RDD intercept gap must recover the +6.0 injected
+    discontinuity (the smooth 0.05x slope and the value metric's own
+    mean cancel across the cutoff up to sampling noise), and both
+    local fits must see the injected slope."""
+    from challenge8_movies_etl_spark.queries_eval import (
+        q_regression_discontinuity)
+    from tests.conftest import SF_SMOKE
+
+    rows = {r["side"]: r
+            for r in q_regression_discontinuity(spark, SF_SMOKE).collect()}
+    assert set(rows) == {0, 1}
+    eff = rows[0]["rdd_effect"]
+    assert rows[1]["rdd_effect"] == eff
+    assert 4.5 < eff < 7.5
+    for side in (0, 1):
+        assert -0.2 < rows[side]["slope"] - 0.05 < 0.2
+
+
+def test_dr_between_model_and_ips_and_near_truth(spark):
+    """Under this synthesis the target policy's true per-round reward
+    is exactly 2 (it always picks the argmax arm). Both the DR value
+    and the plain IPS value are unbiased, so at smoke scale each must
+    sit near 2; DR must also beat-or-match IPS in absolute error per
+    context on average (its variance-reduction claim)."""
+    from challenge8_movies_etl_spark.queries_eval import (
+        q_offpolicy_dr, q_offpolicy_ips)
+    from tests.conftest import SF_SMOKE
+
+    dr = {r["ctx"]: r["dr_value"]
+          for r in q_offpolicy_dr(spark, SF_SMOKE).collect()}
+    ips = {r["ctx"]: r["ips_value"]
+           for r in q_offpolicy_ips(spark, SF_SMOKE).collect()}
+    assert set(dr) == set(ips)
+    for ctx, v in dr.items():
+        assert 1.6 < v < 2.4, (ctx, v)
+    mean_abs_dr = sum(abs(v - 2.0) for v in dr.values()) / len(dr)
+    mean_abs_ips = sum(abs(v - 2.0) for v in ips.values()) / len(ips)
+    assert mean_abs_dr <= mean_abs_ips + 0.05
