@@ -1222,3 +1222,127 @@ def q_dbscan(spark, sf_dir):
                     .otherwise("noise").alias("role"),
                     F.coalesce(F.col("cluster"), F.col("bcluster"),
                                F.lit(-1)).cast("long").alias("cluster")))
+
+
+# ---------------------------------------------------------------------------
+# q_pacf — partial autocorrelation via Durbin-Levinson (lags 1-3)
+# ---------------------------------------------------------------------------
+
+_PACF_ORACLE = """
+WITH daily AS (
+  SELECT event_type, cast(ts as date) AS d, count(*) AS x
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, count(*) AS n, sum(x) AS s
+  FROM daily GROUP BY 1
+),
+ctr AS (
+  SELECT d.event_type, d.d, st.n * d.x - st.s AS c
+  FROM daily d JOIN st ON d.event_type = st.event_type
+),
+lagged AS (
+  SELECT event_type, c,
+         lag(c, 1) OVER w AS c1,
+         lag(c, 2) OVER w AS c2,
+         lag(c, 3) OVER w AS c3
+  FROM ctr
+  WINDOW w AS (PARTITION BY event_type ORDER BY d)
+),
+agg AS (
+  SELECT event_type,
+         sum(cast(c as decimal(18,0)) * cast(c as decimal(18,0))) AS den,
+         sum(cast(c as decimal(18,0)) * cast(c1 as decimal(18,0))) AS num1,
+         sum(cast(c as decimal(18,0)) * cast(c2 as decimal(18,0))) AS num2,
+         sum(cast(c as decimal(18,0)) * cast(c3 as decimal(18,0))) AS num3
+  FROM lagged GROUP BY 1
+),
+r AS (
+  SELECT event_type,
+         round(cast(num1 as double) / cast(den as double), 6) AS r1,
+         round(cast(num2 as double) / cast(den as double), 6) AS r2,
+         round(cast(num3 as double) / cast(den as double), 6) AS r3
+  FROM agg
+),
+dl AS (
+  SELECT event_type, r1, r2, r3,
+         (r2 - r1 * r1) / (1 - r1 * r1) AS p22
+  FROM r
+),
+dl2 AS (
+  SELECT event_type, r1, r2, r3, p22,
+         r1 * (1 - p22) AS p21
+  FROM dl
+),
+dl3 AS (
+  SELECT event_type, r1, p22,
+         (r3 - p21 * r2 - p22 * r1)
+           / (1 - p21 * r1 - p22 * r2) AS p33
+  FROM dl2
+)
+SELECT event_type, gs.lag AS lag,
+       round(CASE gs.lag WHEN 1 THEN r1 WHEN 2 THEN p22
+             ELSE p33 END, 6) + 0.0 AS pacf
+FROM dl3 JOIN (SELECT unnest([1, 2, 3]) AS lag) gs ON true
+"""
+
+
+@query("q_pacf", oracle=_PACF_ORACLE)
+def q_pacf(spark, sf_dir):
+    """Partial autocorrelation (lags 1-3) of each event type's daily
+    count series by the Durbin-Levinson recursion — the AR-order
+    diagnostic that separates direct lag effects from ones inherited
+    through shorter lags (the companion plot to q_acf when picking
+    AR(p) features for forecast models). The acf inputs r1..r3 are
+    the same n-scaled exact-integer ratios as q_acf, quantized to
+    6dp BEFORE the recursion so both engines run the identical
+    float expression tree: phi11 = r1, phi22 = (r2-r1^2)/(1-r1^2),
+    phi33 from the k=3 step with phi21 = r1(1-phi22).
+
+    Scale: identical to q_acf — one map-side-combined daily rollup,
+    then |types|-row algebra; the recursion adds no shuffle (it is
+    pure column math on the aggregated row)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.count("*").alias("x")))
+    st = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("x").alias("s"))
+    ctr = (daily.join(st, "event_type")
+           .select("event_type", "d",
+                   (F.col("n") * F.col("x") - F.col("s")).alias("c")))
+    w = W.partitionBy("event_type").orderBy("d")
+    lagged = ctr.select(
+        "event_type", "c",
+        F.lag("c", 1).over(w).alias("c1"),
+        F.lag("c", 2).over(w).alias("c2"),
+        F.lag("c", 3).over(w).alias("c3"))
+    cdec = F.col("c").cast("decimal(18,0)")
+    agg = lagged.groupBy("event_type").agg(
+        F.sum(cdec * F.col("c").cast("decimal(18,0)")).alias("den"),
+        F.sum(cdec * F.col("c1").cast("decimal(18,0)")).alias("num1"),
+        F.sum(cdec * F.col("c2").cast("decimal(18,0)")).alias("num2"),
+        F.sum(cdec * F.col("c3").cast("decimal(18,0)")).alias("num3"))
+    r = agg.select(
+        "event_type",
+        F.round(F.col("num1").cast("double")
+                / F.col("den").cast("double"), 6).alias("r1"),
+        F.round(F.col("num2").cast("double")
+                / F.col("den").cast("double"), 6).alias("r2"),
+        F.round(F.col("num3").cast("double")
+                / F.col("den").cast("double"), 6).alias("r3"))
+    p22 = ((F.col("r2") - F.col("r1") * F.col("r1"))
+           / (1 - F.col("r1") * F.col("r1")))
+    dl = r.withColumn("p22", p22).withColumn(
+        "p21", F.col("r1") * (1 - F.col("p22")))
+    p33 = ((F.col("r3") - F.col("p21") * F.col("r2")
+            - F.col("p22") * F.col("r1"))
+           / (1 - F.col("p21") * F.col("r1")
+              - F.col("p22") * F.col("r2")))
+    dl = dl.withColumn("p33", p33)
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag"))
+    val = (F.when(F.col("lag") == 1, F.col("r1"))
+           .when(F.col("lag") == 2, F.col("p22"))
+           .otherwise(F.col("p33")))
+    return (dl.crossJoin(F.broadcast(lags))
+            .select("event_type", "lag",
+                    F.round(val, 6).alias("pacf")))

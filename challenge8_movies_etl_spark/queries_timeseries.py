@@ -1178,3 +1178,155 @@ def q_spearman_corr(spark, sf_dir):
                     * (F.col("n") * F.col("syy")
                        - F.col("sy") * F.col("sy")).cast("double")))
     return s.select("n", (F.round(rho, 6) + 0.0).alias("spearman_rho"))
+
+
+# ---------------------------------------------------------------------------
+# q_dtw_distance — dynamic time warping between daily series (exact int DP)
+# ---------------------------------------------------------------------------
+
+_DTW_LEN = 12          # 12-day prefix of each series (exists at every sf)
+_DTW_BIG = 1 << 60
+
+
+def _dtw_oracle() -> str:
+    """Unrolled anti-diagonal DP: diagonal k holds cells i+j=k, each
+    needing (i-1,j) and (i,j-1) from diagonal k-1 and (i-1,j-1) from
+    k-2 — so a chain of per-diagonal CTEs (the HITS/NMF unrolling
+    discipline) replays the exact integer recursion SQL-side."""
+    L, BIG = _DTW_LEN, _DTW_BIG
+    steps = []
+    for k in range(3, 2 * L + 1):
+        # diagonal k-2 doesn't exist at k=3 (no valid (i-1,j-1) cells);
+        # join g2 there instead — its only cell (1,1) can never match
+        # (i-1,j-1) of a k=3 cell, so pc stays NULL -> coalesce(BIG)
+        kk2 = max(k - 2, 2)
+        steps.append(f""",
+g{k} AS MATERIALIZED (
+  SELECT sa.pair_id, sa.i, sb.j,
+         abs(sa.x - sb.x) + least(
+           coalesce(pa.c, {BIG}), coalesce(pb.c, {BIG}),
+           coalesce(pc.c, {BIG})) AS c
+  FROM sa JOIN sb ON sb.pair_id = sa.pair_id AND sa.i + sb.j = {k}
+  LEFT JOIN g{k - 1} pa ON pa.pair_id = sa.pair_id
+        AND pa.i = sa.i - 1 AND pa.j = sb.j
+  LEFT JOIN g{k - 1} pb ON pb.pair_id = sa.pair_id
+        AND pb.i = sa.i AND pb.j = sb.j - 1
+  LEFT JOIN g{kk2} pc ON pc.pair_id = sa.pair_id
+        AND pc.i = sa.i - 1 AND pc.j = sb.j - 1
+)""")
+    return f"""
+WITH ranked AS (
+  SELECT event_type,
+         dense_rank() OVER (ORDER BY event_type) AS rk
+  FROM (SELECT DISTINCT event_type FROM events)
+),
+t3 AS (SELECT event_type, rk FROM ranked WHERE rk <= 3),
+pairs AS (
+  SELECT a.rk * 10 + b.rk AS pair_id,
+         a.event_type AS ta, b.event_type AS tb
+  FROM t3 a JOIN t3 b ON a.rk < b.rk
+),
+daily AS (
+  SELECT event_type, cast(ts as date) AS d,
+         cast(count(*) as bigint) AS x
+  FROM events GROUP BY 1, 2
+),
+ser AS (
+  SELECT event_type, i, x FROM (
+    SELECT event_type, x,
+           row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
+    FROM daily
+  ) WHERE i <= {L}
+),
+sa AS MATERIALIZED (
+  SELECT p.pair_id, s.i, s.x FROM pairs p
+  JOIN ser s ON s.event_type = p.ta
+),
+sb AS MATERIALIZED (
+  SELECT p.pair_id, s.i AS j, s.x FROM pairs p
+  JOIN ser s ON s.event_type = p.tb
+),
+g2 AS MATERIALIZED (
+  SELECT sa.pair_id, sa.i, sb.j, abs(sa.x - sb.x) AS c
+  FROM sa JOIN sb ON sb.pair_id = sa.pair_id
+  WHERE sa.i = 1 AND sb.j = 1
+){''.join(steps)}
+SELECT p.ta AS type_a, p.tb AS type_b, g.c AS dtw
+FROM g{2 * L} g JOIN pairs p ON p.pair_id = g.pair_id
+WHERE g.i = {L} AND g.j = {L}
+ORDER BY type_a, type_b
+"""
+
+
+@query("q_dtw_distance", oracle=_dtw_oracle())
+def q_dtw_distance(spark, sf_dir):
+    """Dynamic time warping distance between the 12-day daily-count
+    series of the first three event types (all three pairs): the
+    elastic alignment metric behind series clustering, template
+    matching and near-duplicate sequence detection, where Euclidean
+    distance fails on phase-shifted patterns. The DP runs per pair
+    in applyInPandas (the declared python surface for sequential
+    recursions, exactly q_burst_detect's shape) on all-integer |a-b|
+    costs, so the distance is int64-exact; the oracle replays the
+    recursion as 23 unrolled anti-diagonal CTEs and hash-matches.
+
+    Scale: the fact scan collapses to |types| x |days| rows before
+    anything quadratic; each pandas group sees one bounded (L=12)
+    pair, and P pairs parallelize as P independent groups. For long
+    series this operator takes a Sakoe-Chiba band parameter; the
+    bounded-prefix contract here is the honest fixed-cost form."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    types = (e.select("event_type").distinct()
+             .select("event_type",
+                     F.dense_rank().over(
+                         W.orderBy("event_type")).alias("rk"))
+             .filter(F.col("rk") <= 3))
+    ta = types.select(F.col("event_type").alias("ta"),
+                      F.col("rk").alias("ra"))
+    tb = types.select(F.col("event_type").alias("tb"),
+                      F.col("rk").alias("rb"))
+    pairs = (ta.join(tb, F.col("ra") < F.col("rb"))
+             .select((F.col("ra") * 10 + F.col("rb")).alias("pair_id"),
+                     "ta", "tb"))
+    daily = (e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.count("*").cast("long").alias("x")))
+    ser = (daily.select(
+        "event_type", "x",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy("d")).alias("i"))
+        .filter(F.col("i") <= _DTW_LEN))
+    sa = (pairs.join(ser, ser.event_type == pairs.ta)
+          .select("pair_id", "ta", "tb", "i", F.col("x").alias("ax")))
+    sb = (pairs.join(ser, ser.event_type == pairs.tb)
+          .select(F.col("pair_id").alias("pb_id"), "i",
+                  F.col("x").alias("bx")))
+    aligned = sa.join(sb, (F.col("pb_id") == F.col("pair_id"))
+                      & (sa.i == sb.i)).select(
+        "pair_id", "ta", "tb", sa.i.alias("idx"), "ax", "bx")
+
+    schema = "type_a string, type_b string, dtw long"
+
+    def dp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("idx")
+        a = pdf.ax.to_numpy()
+        b = pdf.bx.to_numpy()
+        n = len(a)
+        big = _DTW_BIG
+        prev = [big] * (n + 1)
+        for i in range(1, n + 1):
+            cur = [big] * (n + 1)
+            for j in range(1, n + 1):
+                c = abs(int(a[i - 1]) - int(b[j - 1]))
+                if i == 1 and j == 1:
+                    cur[j] = c
+                else:
+                    cur[j] = c + min(prev[j], cur[j - 1], prev[j - 1])
+            prev = cur
+        return pd.DataFrame(
+            [(pdf.ta.iloc[0], pdf.tb.iloc[0], int(prev[n]))],
+            columns=["type_a", "type_b", "dtw"])
+
+    return (aligned.groupBy("pair_id").applyInPandas(dp, schema)
+            .orderBy("type_a", "type_b"))

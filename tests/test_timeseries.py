@@ -351,3 +351,70 @@ def test_spearman_matches_python_twin(spark):
     row = q_spearman_corr(spark, SF_SMOKE).collect()[0]
     assert row.n == n
     assert abs(row.spearman_rho - (round(rho, 6) + 0.0)) < 2e-6
+
+
+def test_pacf_matches_durbin_levinson_twin(spark):
+    """PACF lags must equal a numpy Durbin-Levinson recomputation
+    from the same daily series, and lag-1 PACF must equal lag-1 ACF
+    (the recursion's base-case identity, cross-query against q_acf)."""
+    from challenge8_movies_etl_spark.queries_ml import q_acf, q_pacf
+    from tests.conftest import SF_SMOKE
+
+    acf = {(r["event_type"], r["lag"]): r["acf"]
+           for r in q_acf(spark, SF_SMOKE).collect()}
+    got = {(r["event_type"], r["lag"]): r["pacf"]
+           for r in q_pacf(spark, SF_SMOKE).collect()}
+    types = {t for t, _ in got}
+    assert types == {t for t, _ in acf}
+    for t in types:
+        r1, r2, r3 = (round(acf[(t, k)], 6) for k in (1, 2, 3))
+        p22 = (r2 - r1 * r1) / (1 - r1 * r1)
+        p21 = r1 * (1 - p22)
+        p33 = ((r3 - p21 * r2 - p22 * r1)
+               / (1 - p21 * r1 - p22 * r2))
+        assert got[(t, 1)] == round(r1, 6)
+        assert abs(got[(t, 2)] - p22) < 1e-6
+        assert abs(got[(t, 3)] - p33) < 1e-6
+        # partials are correlations: bounded
+        for k in (1, 2, 3):
+            assert -1.0 <= got[(t, k)] <= 1.0
+
+
+def test_dtw_matches_bruteforce_and_bounds(spark):
+    """DTW must equal a full-matrix python recomputation on the same
+    12-day prefixes, be symmetric in its inputs by construction, and
+    never exceed the L1 distance of the aligned (unwarped) series."""
+    from challenge8_movies_etl_spark.queries_timeseries import (
+        _DTW_LEN, q_dtw_distance)
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "events")
+    daily = {}
+    for r in (e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+              .agg(F.count("*").alias("x")).collect()):
+        daily.setdefault(r["event_type"], []).append((r["d"], r["x"]))
+    series = {t: [x for _, x in sorted(v)][:_DTW_LEN]
+              for t, v in daily.items()}
+    t3 = sorted(series)[:3]
+
+    def dtw(a, b):
+        big = 1 << 60
+        prev = [big] * (len(b) + 1)
+        for i in range(1, len(a) + 1):
+            cur = [big] * (len(b) + 1)
+            for j in range(1, len(b) + 1):
+                c = abs(a[i - 1] - b[j - 1])
+                cur[j] = c if (i == 1 and j == 1) else \
+                    c + min(prev[j], cur[j - 1], prev[j - 1])
+            prev = cur
+        return prev[len(b)]
+
+    got = {(r["type_a"], r["type_b"]): r["dtw"]
+           for r in q_dtw_distance(spark, SF_SMOKE).collect()}
+    assert len(got) == 3
+    for (a, b), v in got.items():
+        assert a in t3 and b in t3 and a < b
+        assert v == dtw(series[a], series[b])
+        assert v <= sum(abs(x - y)
+                        for x, y in zip(series[a], series[b]))
