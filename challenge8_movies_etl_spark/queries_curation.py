@@ -1166,3 +1166,113 @@ def q_erasure_purge(spark, sf_dir):
         .alias("n_after"),
         F.lit(n_erased).cast("long").alias("n_users_erased"))
         .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# q_rake_keywords — RAKE keyphrase extraction (integer-degree variant)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_rake_keywords",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, u.pos, u.w,
+             CASE WHEN u.w IN ('the', 'a') THEN 1 ELSE 0 END AS st
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS w,
+                           generate_subscripts(
+                             string_split(text, ' '), 1) AS pos) u
+    ),
+    cand AS (
+      SELECT doc_id, pos, w,
+             pos - row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS grp
+      FROM words WHERE st = 0
+    ),
+    chunked AS (
+      SELECT doc_id, grp, w, pos,
+             (row_number() OVER (PARTITION BY doc_id, grp
+                                 ORDER BY pos) - 1) // 3 AS chunk,
+             (row_number() OVER (PARTITION BY doc_id, grp
+                                 ORDER BY pos) - 1) % 3 + 1 AS k
+      FROM cand
+    ),
+    plen AS (
+      SELECT doc_id, grp, chunk, count(*) AS len
+      FROM chunked GROUP BY 1, 2, 3
+    ),
+    wdeg AS (
+      SELECT c.w, sum(p.len) AS deg
+      FROM chunked c
+      JOIN plen p ON p.doc_id = c.doc_id AND p.grp = c.grp
+                 AND p.chunk = c.chunk
+      GROUP BY c.w
+    ),
+    phrases AS (
+      SELECT c.doc_id, c.grp, c.chunk,
+             concat_ws(' ',
+               max(CASE WHEN c.k = 1 THEN c.w END),
+               max(CASE WHEN c.k = 2 THEN c.w END),
+               max(CASE WHEN c.k = 3 THEN c.w END)) AS phrase,
+             cast(sum(d.deg) as bigint) AS score
+      FROM chunked c JOIN wdeg d ON d.w = c.w
+      GROUP BY c.doc_id, c.grp, c.chunk
+    ),
+    uniq AS (
+      SELECT phrase, max(score) AS score, count(*) AS n_occur
+      FROM phrases GROUP BY phrase
+    )
+    SELECT phrase, score, n_occur FROM uniq
+    ORDER BY score DESC, phrase LIMIT 15
+    """,
+)
+def q_rake_keywords(spark, sf_dir):
+    """RAKE keyphrase extraction (Rose et al. 2010), integer-degree
+    variant: candidate phrases are stopword-delimited word runs
+    capped at 3 words (the common length-capped RAKE variant — this
+    corpus's 2-word stopword list would otherwise yield
+    document-length runs), each word is scored by its RAKE degree
+    (sum of the lengths of every phrase occurrence containing it —
+    co-occurrence including self), and a phrase scores the sum of
+    its words' degrees. Integer-only scoring keeps every value
+    hash-exact; deg/freq (the float variant) rides the same
+    sufficient statistics. Output: top-15 distinct phrases by
+    (score, phrase) with occurrence counts — the zero-training
+    keyphrase baseline next to q_textrank_keywords' graph ranking.
+
+    Scale: one scan explodes to word-position rows; run/chunk ids
+    are two windows partitioned by doc (bounded rows per doc); the
+    degree table is vocabulary-sized and broadcast back; top-15 is
+    TakeOrderedAndProject, never a full sort."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (d.select("doc_id", F.posexplode(F.split("text", " "))
+                      .alias("pos", "w"))
+             .withColumn("st", F.col("w").isin("the", "a")))
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    cand = (words.filter(~F.col("st"))
+            .select("doc_id", "pos", "w",
+                    (F.col("pos") - F.row_number().over(wd)).alias("grp")))
+    wg = W.partitionBy("doc_id", "grp").orderBy("pos")
+    rn = F.row_number().over(wg) - 1
+    chunked = cand.select(
+        "doc_id", "grp", "w", "pos",
+        (rn / 3).cast("long").alias("chunk"),
+        (rn % 3 + 1).alias("k"))
+    plen = (chunked.groupBy("doc_id", "grp", "chunk")
+            .agg(F.count("*").alias("len")))
+    wdeg = (chunked.join(plen, ["doc_id", "grp", "chunk"])
+            .groupBy("w").agg(F.sum("len").alias("deg")))
+    phrases = (chunked.join(F.broadcast(wdeg), "w")
+               .groupBy("doc_id", "grp", "chunk")
+               .agg(F.concat_ws(
+                        " ",
+                        F.max(F.when(F.col("k") == 1, F.col("w"))),
+                        F.max(F.when(F.col("k") == 2, F.col("w"))),
+                        F.max(F.when(F.col("k") == 3, F.col("w"))))
+                    .alias("phrase"),
+                    F.sum("deg").cast("long").alias("score")))
+    return (phrases.groupBy("phrase")
+            .agg(F.max("score").alias("score"),
+                 F.count("*").alias("n_occur"))
+            .orderBy(F.desc("score"), "phrase").limit(15))

@@ -1093,3 +1093,74 @@ def q_sample_bottomk(spark, sf_dir):
     rk = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":bk")))
     return (d.select("doc_id", "lang", rk.alias("rk"))
             .orderBy("rk", "doc_id").limit(100))
+
+
+# ---------------------------------------------------------------------------
+# q_embed_random_projection — Johnson-Lindenstrauss sign projection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_embed_random_projection",
+    oracle="""
+    WITH comp AS (
+      SELECT vec_id, u.i,
+             cast(floor(cast(u.x as double) * 1000 + 0.5) as bigint)
+               AS q
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS i) u
+    ),
+    signs AS (
+      SELECT i.i, j.j,
+             CASE WHEN cast(('0x' || substr(md5(
+                    cast(i.i as varchar) || ':' ||
+                    cast(j.j as varchar) || ':jl'), 1, 8)) as bigint)
+                  % 2 = 0 THEN 1 ELSE -1 END AS s
+      FROM generate_series(1, 64) i(i)
+      CROSS JOIN generate_series(0, 7) j(j)
+    )
+    SELECT c.vec_id, s.j AS dim,
+           cast(sum(c.q * s.s) as bigint) AS proj
+    FROM comp c JOIN signs s ON s.i = c.i
+    GROUP BY c.vec_id, s.j
+    ORDER BY vec_id, dim
+    """,
+)
+def q_embed_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss dimensionality reduction 64 -> 8 by a
+    seeded Rademacher (+/-1) sign matrix (Achlioptas 2003): each
+    output dim is a signed sum of the 3dp-quantized components, with
+    the sign s(i,j) drawn from md5(i:j:jl) parity — the same
+    engine-portable derandomization as q_embed_lsh's hyperplanes, so
+    index build and query-time projection agree bit-for-bit on any
+    engine or cluster. Quantization uses floor(x+0.5) (the
+    q_embed_quantize tie discipline), making every projection an
+    exact int64. The cheap-projection companion to q_embed_pca:
+    data-independent, zero-pass, streaming-friendly.
+
+    Scale: explode -> broadcast-join the 512-cell sign matrix ->
+    one keyed sum; no shuffle wider than (vec, dim) partial
+    aggregates, and the sign matrix is a compile-time constant at
+    any corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("i0", "x")).select(
+        "vec_id", (F.col("i0") + 1).alias("i"),
+        F.floor(F.col("x") * 1000 + 0.5).cast("bigint").alias("q"))
+    ii = spark.range(1, 65).select(F.col("id").cast("int").alias("i"))
+    jj = spark.range(0, 8).select(F.col("id").cast("int").alias("j"))
+    sgn = (ii.crossJoin(jj)
+           .select("i", "j",
+                   F.when(F.conv(F.substring(F.md5(F.concat(
+                       F.col("i").cast("string"), F.lit(":"),
+                       F.col("j").cast("string"), F.lit(":jl"))),
+                       1, 8), 16, 10).cast("bigint") % 2 == 0, 1)
+                   .otherwise(-1).alias("s")))
+    return (comp.join(F.broadcast(sgn), "i")
+            .groupBy("vec_id", F.col("j").alias("dim"))
+            .agg(F.sum(F.col("q") * F.col("s")).cast("bigint")
+                 .alias("proj"))
+            .orderBy("vec_id", "dim"))

@@ -463,3 +463,74 @@ def q_mmr_rerank(spark, sf_dir):
     return (sel.select("probe_id", "rk", "vec_id",
                        (F.round("mmr", 4) + 0.0).alias("mmr"))
             .orderBy("probe_id", "rk"))
+
+
+# ---------------------------------------------------------------------------
+# q_inverted_index — postings-list materialization (distributed index build)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_inverted_index",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT w AS term, doc_id, count(*) AS tf
+      FROM words WHERE w NOT IN ('the', 'a')
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT term, doc_id, tf,
+             row_number() OVER (PARTITION BY term
+                                ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY term) AS df,
+             sum(tf) OVER (PARTITION BY term) AS cf
+      FROM tf
+    )
+    SELECT term, df, cast(cf as bigint) AS cf,
+           string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)
+             AS postings_head
+    FROM top WHERE rn <= 10
+    GROUP BY term, df, cf
+    ORDER BY term
+    """,
+)
+def q_inverted_index(spark, sf_dir):
+    """Distributed inverted-index build: per term, document frequency,
+    collection frequency, and the head of its postings list as
+    '<doc_id>:<tf>' entries (first 10 docs by id — the bounded
+    representative of a full postings segment). The index-segment
+    materialization behind BM25/TF-IDF serving; emitting postings as
+    a deterministic doc-ordered string makes the artifact itself
+    value-hash-checkable across engines. Stopwords excluded.
+
+    Scale: one scan -> (term, doc) partial counts (map-side
+    combinable), one shuffle on term to assemble each postings run —
+    exactly how a segment build shards at 100 TB (terms are the
+    partition key; skewed hot terms are bounded here by the head cap,
+    and a full build would range-split long postings)."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+          .filter(~F.col("w").isin("the", "a"))
+          .groupBy(F.col("w").alias("term"), "doc_id")
+          .agg(F.count("*").alias("tf")))
+    wt = W.partitionBy("term")
+    top = tf.select(
+        "term", "doc_id", "tf",
+        F.row_number().over(wt.orderBy("doc_id")).alias("rn"),
+        F.count("*").over(wt).alias("df"),
+        F.sum("tf").over(wt).alias("cf"))
+    return (top.filter(F.col("rn") <= 10)
+            .groupBy("term", "df", F.col("cf").cast("long").alias("cf"))
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("doc_id", "tf"))),
+                    lambda x: F.concat_ws(
+                        ":", x.doc_id.cast("string"),
+                        x.tf.cast("string"))), ",")
+                .alias("postings_head"))
+            .orderBy("term"))

@@ -207,3 +207,42 @@ def test_erasure_purge_is_complete_and_exact(spark):
         assert r.n_purged == purged_by_type.get(r.event_type, 0)
         assert r.n_after == r.n_before - r.n_purged
         assert r.n_users_erased == len(erased_users)
+
+
+def test_rake_matches_python_twin(spark):
+    """Top-15 RAKE phrases must equal a full python recomputation
+    (stopword-run split, 3-word cap, integer degree scoring)."""
+    from collections import Counter, defaultdict
+
+    from challenge8_movies_etl_spark.queries_curation import (
+        q_rake_keywords)
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents") \
+        .select("doc_id", "text").collect()
+    stop = {"the", "a"}
+    chunks = []
+    for r in docs:
+        run = []
+        for w in r["text"].split(" ") + ["the"]:
+            if w in stop:
+                for c in range(0, len(run), 3):
+                    chunks.append(run[c:c + 3])
+                run = []
+            else:
+                run.append(w)
+    deg = Counter()
+    for ch in chunks:
+        for w in ch:
+            deg[w] += len(ch)
+    scored = defaultdict(lambda: [0, 0])
+    for ch in chunks:
+        p = " ".join(ch)
+        scored[p][0] = sum(deg[w] for w in ch)
+        scored[p][1] += 1
+    expect = sorted(((p, s, n) for p, (s, n) in scored.items()),
+                    key=lambda t: (-t[1], t[0]))[:15]
+    got = [(r["phrase"], r["score"], r["n_occur"])
+           for r in q_rake_keywords(spark, SF_SMOKE).collect()]
+    assert got == expect

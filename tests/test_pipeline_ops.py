@@ -244,3 +244,39 @@ def test_group_split_no_leakage(spark):
     assert straddlers == 0
     n_splits = e.select(split.alias("split")).distinct().count()
     assert n_splits >= 2  # the corpus is big enough to populate splits
+
+
+def test_random_projection_exact_and_jl_property(spark):
+    """Projections must equal a hashlib/numpy twin exactly (int64),
+    and the Johnson-Lindenstrauss norm estimate ||p||^2 / 8 must
+    concentrate around ||q||^2 (within 3x for >=80% of vectors)."""
+    import hashlib
+
+    from challenge8_movies_etl_spark.queries_pipeline import (
+        q_embed_random_projection)
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMOKE
+
+    import math
+
+    emb = {r["vec_id"]: r["embedding"]
+           for r in load_table(spark, SF_SMOKE, "embeddings").collect()}
+    sign = {}
+    for i in range(1, 65):
+        for j in range(8):
+            h = hashlib.md5(f"{i}:{j}:jl".encode()).hexdigest()
+            sign[(i, j)] = 1 if int(h[:8], 16) % 2 == 0 else -1
+    got = {}
+    for r in q_embed_random_projection(spark, SF_SMOKE).collect():
+        got.setdefault(r["vec_id"], {})[r["dim"]] = r["proj"]
+    ok = 0
+    for vid, v in emb.items():
+        q = [math.floor(float(x) * 1000 + 0.5) for x in v]
+        for j in range(8):
+            expect = sum(q[i] * sign[(i + 1, j)] for i in range(64))
+            assert got[vid][j] == expect
+        nq = sum(x * x for x in q)
+        np_ = sum(p * p for p in got[vid].values()) / 8.0
+        if nq and 1 / 3 <= np_ / nq <= 3:
+            ok += 1
+    assert ok >= 0.8 * len(emb)

@@ -137,3 +137,33 @@ def test_mmr_rerank_diversifies(spark):
             return sum(ps) / len(ps)
 
         assert avg_pairwise(ids) <= avg_pairwise(top3) + 1e-9
+
+
+def test_inverted_index_matches_python_twin(spark):
+    """df/cf and the doc-ordered postings head must equal a python
+    recount; postings are capped at 10 and strictly doc-ordered."""
+    from collections import Counter
+
+    from challenge8_movies_etl_spark.queries_search import (
+        q_inverted_index)
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents") \
+        .select("doc_id", "text").collect()
+    tf = Counter()
+    for r in docs:
+        for w in r["text"].split(" "):
+            if w not in ("the", "a"):
+                tf[(w, r["doc_id"])] += 1
+    terms = {}
+    for (w, d), c in tf.items():
+        terms.setdefault(w, []).append((d, c))
+    rows = q_inverted_index(spark, SF_SMOKE).collect()
+    assert [r["term"] for r in rows] == sorted(terms)
+    for r in rows:
+        post = sorted(terms[r["term"]])
+        assert r["df"] == len(post)
+        assert r["cf"] == sum(c for _, c in post)
+        head = ",".join(f"{d}:{c}" for d, c in post[:10])
+        assert r["postings_head"] == head
