@@ -1016,3 +1016,136 @@ def q_markov_attribution(spark, sf_dir):
                             .over(W.partitionBy()), F.lit(0.0)), 6)
          + 0.0).alias("attribution_share"))
         .orderBy("channel"))
+
+
+# ---------------------------------------------------------------------------
+# q_attribution_shapley — exact Shapley values over channel coalitions
+# ---------------------------------------------------------------------------
+
+_SHAP_BITS = {"click": 1, "error": 2, "signup": 4, "view": 8}
+
+
+def _shapley_expr(bit: int) -> str:
+    """24*phi subset-sum for one channel over v0..v15 cells, terms in
+    fixed ascending-subset order so both engines run the identical
+    float expression tree. Weights |S|!*(3-|S|)! for n=4 channels."""
+    fact = [1, 1, 2, 6]
+    others = [b for b in _SHAP_BITS.values() if b != bit]
+    terms = []
+    for s in range(16):
+        if s & bit or (s | sum(others)) != sum(others):
+            continue
+        w = fact[bin(s).count("1")] * fact[3 - bin(s).count("1")]
+        terms.append(f"{w} * (v{s | bit} - v{s})")
+    return "(" + " + ".join(terms) + ") / 24.0"
+
+
+def _shapley_cells_sql() -> str:
+    vcols = ", ".join(
+        f"coalesce(max(CASE WHEN mask = {k} THEN v END), 0.0) AS v{k}"
+        for k in range(16))
+    return f"""
+cnt AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, c AS m FROM (
+    SELECT event_type, c,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY c, user_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM cnt
+  ) WHERE rn = (n + 1) // 2
+),
+expo AS (
+  SELECT c.user_id, c.event_type
+  FROM cnt c JOIN med m ON m.event_type = c.event_type
+  WHERE c.c > m.m
+),
+umask AS (
+  SELECT u.user_id,
+         coalesce(sum(CASE e.event_type
+                      WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                      WHEN 'signup' THEN 4 WHEN 'view' THEN 8
+                      ELSE 0 END), 0) AS mask,
+         coalesce(max(CASE WHEN e.event_type = 'purchase'
+                           THEN 1 ELSE 0 END), 0) AS conv
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN expo e ON e.user_id = u.user_id
+  GROUP BY 1
+),
+cells AS (
+  SELECT mask, round(sum(conv) * 1.0 / count(*), 10) AS v
+  FROM umask GROUP BY mask
+),
+vrow AS (SELECT {vcols} FROM cells)
+"""
+
+
+@query(
+    "q_attribution_shapley",
+    oracle="WITH " + _shapley_cells_sql() + "\n"
+    + "SELECT channel, round(phi, 6) + 0.0 AS shapley FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{ch}' AS channel, {_shapley_expr(b)} AS phi FROM vrow"
+        for ch, b in sorted(_SHAP_BITS.items()))
+    + "\n) ORDER BY channel",
+)
+def q_attribution_shapley(spark, sf_dir):
+    """Exact Shapley-value channel attribution (Shapley 1953 as
+    applied to marketing coalitions, Zhao et al. 2018): users'
+    exposed-channel sets form coalitions (exposure = per-type event
+    count above that type's across-user median — deterministic and
+    scale-free), the coalition value v(S) is the conversion rate
+    (above-median purchase activity) of users exposed to exactly S,
+    and each of the 4 channels gets its factorial-weighted average
+    marginal contribution over all 2^3 sub-coalitions. The 16 cell
+    values are 10dp-quantized and the subset-sum runs in one fixed
+    ascending order, so both engines evaluate the identical float
+    tree; completes the attribution ladder (last-touch / linear /
+    Markov removal-effect) with the game-theoretic member.
+
+    Scale: one (user, type) count aggregation, a 5-row median
+    broadcast, one user-mask aggregation, then a 16-cell pivot —
+    the Shapley algebra itself is O(n·2^n) on ONE row, constant at
+    any log volume. For n >> 10 channels production switches to
+    sampled permutations; exact enumeration is the right call at 4."""
+    e = load_table(spark, sf_dir, "events")
+    cnt = (e.groupBy("user_id", "event_type")
+           .agg(F.count("*").alias("c")))
+    wt = W.partitionBy("event_type")
+    med = (cnt.select("event_type", "c",
+                      F.row_number().over(wt.orderBy("c", "user_id"))
+                      .alias("rn"),
+                      F.count("*").over(wt).alias("n"))
+           .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+           .select("event_type", F.col("c").alias("m")))
+    expo = (cnt.join(med, "event_type")
+            .filter(F.col("c") > F.col("m"))
+            .select("user_id", "event_type"))
+    users = e.select("user_id").distinct()
+    bit = (F.when(F.col("event_type") == "click", 1)
+           .when(F.col("event_type") == "error", 2)
+           .when(F.col("event_type") == "signup", 4)
+           .when(F.col("event_type") == "view", 8).otherwise(0))
+    umask = (users.join(expo, "user_id", "left")
+             .groupBy("user_id")
+             .agg(F.coalesce(F.sum(bit), F.lit(0)).alias("mask"),
+                  F.coalesce(F.max(
+                      (F.col("event_type") == "purchase").cast("int")),
+                      F.lit(0)).alias("conv")))
+    cells = (umask.groupBy("mask")
+             .agg(F.round(F.sum("conv") / F.count("*"), 10).alias("v")))
+    vrow = cells.agg(*[
+        F.coalesce(F.max(F.when(F.col("mask") == k, F.col("v"))),
+                   F.lit(0.0)).alias(f"v{k}")
+        for k in range(16)])
+    stacked = vrow.select(F.expr(
+        "stack(4, " + ", ".join(
+            f"'{ch}', {_shapley_expr(b)}"
+            for ch, b in sorted(_SHAP_BITS.items()))
+        + ") as (channel, phi)"))
+    return (stacked.select("channel",
+                           (F.round("phi", 6) + 0.0).alias("shapley"))
+            .orderBy("channel"))

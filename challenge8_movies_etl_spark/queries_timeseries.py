@@ -1330,3 +1330,162 @@ def q_dtw_distance(spark, sf_dir):
 
     return (aligned.groupBy("pair_id").applyInPandas(dp, schema)
             .orderBy("type_a", "type_b"))
+
+
+# ---------------------------------------------------------------------------
+# q_holtwinters — additive Holt-Winters with weekly seasonality
+# ---------------------------------------------------------------------------
+
+# One recursive SQL text executed verbatim by BOTH engines (the
+# q_holt_smoothing discipline): the 9-column state (level, trend,
+# 7-slot seasonal queue) at t is a declared-6dp function of the state
+# at t-1, so the recursion is bit-identical everywhere. newlvl must be
+# inlined wherever it feeds trend/seasonal updates — recursive SELECTs
+# cannot reference their own computed columns laterally.
+_HW_NEWLVL = "round(0.3 * (s.x - h.s1) + 0.7 * (h.lvl + h.trd), 6)"
+_HW_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT cast(ts as date) AS d, count(*) AS x
+  FROM events GROUP BY cast(ts as date)
+),
+idx AS (
+  SELECT row_number() OVER (ORDER BY d) AS t,
+         cast(d as string) AS day,
+         cast(x as double) AS x
+  FROM daily
+),
+hw AS (
+  SELECT t, day, x,
+         round(x, 6) AS lvl,
+         cast(0.0 as double) AS trd,
+         cast(0.0 as double) AS s1, cast(0.0 as double) AS s2,
+         cast(0.0 as double) AS s3, cast(0.0 as double) AS s4,
+         cast(0.0 as double) AS s5, cast(0.0 as double) AS s6,
+         cast(0.0 as double) AS s7
+  FROM idx WHERE t = 1
+  UNION ALL
+  SELECT s.t, s.day, s.x,
+         {_HW_NEWLVL} AS lvl,
+         round(0.1 * ({_HW_NEWLVL} - h.lvl) + 0.9 * h.trd, 6) AS trd,
+         h.s2 AS s1, h.s3 AS s2, h.s4 AS s3, h.s5 AS s4,
+         h.s6 AS s5, h.s7 AS s6,
+         round(0.2 * (s.x - {_HW_NEWLVL}) + 0.8 * h.s1, 6) AS s7
+  FROM hw h JOIN idx s ON s.t = h.t + 1
+)
+SELECT t, day, x, lvl,
+       trd + 0.0 AS trd,
+       s7 + 0.0 AS season_new,
+       round(lvl + trd + s1, 6) + 0.0 AS forecast_next
+FROM hw
+ORDER BY t DESC
+LIMIT 10
+"""
+
+
+@query("q_holtwinters", oracle=_HW_SQL)
+def q_holtwinters(spark, sf_dir):
+    """Additive Holt-Winters triple exponential smoothing (alpha=0.3,
+    beta=0.1, gamma=0.2, season length 7) over the daily event-count
+    series: level and trend as in q_holt_smoothing plus a rotating
+    7-slot seasonal queue, so the one-step forecast lvl + trd + s_next
+    carries the day-of-week shape — the full seasonal forecaster the
+    capacity-planning ladder (ewma -> holt -> holt-winters) tops out
+    at. Cold-start seasonals are zero (the recursion warms them over
+    the first weeks), documented rather than hidden. Emits the last
+    10 days' state and forecast; every rounded output carries + 0.0
+    (DuckDB round() preserves -0.0, Spark's BigDecimal never emits
+    it).
+
+    Scale: identical to q_holt_smoothing — the recursion runs on the
+    |days|-sized rollup after one map-side-combined aggregation;
+    per-entity seasonality maps the same 9-column recursion over a
+    keyed series."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_HW_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q_spatial_knn — k-nearest-neighbor probe over synthesized points
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_spatial_knn",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             cast(cast(c_custkey % 997 as decimal(10,4)) / 10
+                  as decimal(10,4)) AS x,
+             cast(cast((c_custkey * 31) % 1009 as decimal(10,4)) / 10
+                  as decimal(10,4)) AS y
+      FROM customer
+    ),
+    probes AS (
+      SELECT s_suppkey AS probe_id,
+             cast(cast(s_suppkey * 13 % 997 as decimal(10,4)) / 10
+                  as decimal(10,4)) AS px,
+             cast(cast(s_suppkey * 41 % 1009 as decimal(10,4)) / 10
+                  as decimal(10,4)) AS py
+      FROM supplier WHERE s_suppkey < 8
+    ),
+    scored AS (
+      SELECT p.probe_id, t.id,
+             (t.x - p.px) * (t.x - p.px)
+               + (t.y - p.py) * (t.y - p.py) AS d2
+      FROM probes p CROSS JOIN pts t
+    ),
+    ranked AS (
+      SELECT probe_id, id, d2,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY d2, id) AS rk
+      FROM scored
+    )
+    SELECT probe_id, rk, id,
+           round(cast(d2 as double), 4) AS dist2
+    FROM ranked WHERE rk <= 3
+    ORDER BY probe_id, rk
+    """,
+)
+def q_spatial_knn(spark, sf_dir):
+    """Spatial k-nearest-neighbor probe: for each of 8 query points
+    (supplier-key-synthesized exact-decimal coordinates, the
+    q_spatial_join family), the 3 closest customer points by squared
+    euclidean distance with (d2, id) tie-break. Distances are exact
+    decimal products, so the top-3 cut is engine-identical — the
+    geo-retrieval twin of q_similarity_topk (embedding space ->
+    coordinate space).
+
+    Scale: probes broadcast over one corpus scan; per-probe top-k is
+    TakeOrderedAndProject via the rank window (partitions = probes),
+    never a global sort. For probe sets beyond broadcast size, the
+    q_spatial_join grid (cell equi-join + expanding-ring probing)
+    replaces the scan — this query is the exact-verification tier
+    above it."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") % 997).cast("decimal(10,4)") / F.lit(10))
+        .cast("decimal(10,4)").alias("x"),
+        (((F.col("c_custkey") * 31) % 1009).cast("decimal(10,4)")
+         / F.lit(10)).cast("decimal(10,4)").alias("y"))
+    probes = (s.filter(F.col("s_suppkey") < 8)
+              .select(F.col("s_suppkey").alias("probe_id"),
+                      ((F.col("s_suppkey") * 13 % 997)
+                       .cast("decimal(10,4)") / F.lit(10))
+                      .cast("decimal(10,4)").alias("px"),
+                      ((F.col("s_suppkey") * 41 % 1009)
+                       .cast("decimal(10,4)") / F.lit(10))
+                      .cast("decimal(10,4)").alias("py")))
+    dx = F.col("x") - F.col("px")
+    dy = F.col("y") - F.col("py")
+    d2 = (dx * dx + dy * dy).alias("d2")
+    scored = pts.crossJoin(F.broadcast(probes)).select(
+        "probe_id", "id", d2)
+    rk = F.row_number().over(
+        W.partitionBy("probe_id").orderBy("d2", "id"))
+    return (scored.withColumn("rk", rk).filter(F.col("rk") <= 3)
+            .select("probe_id", "rk", "id",
+                    F.round(F.col("d2").cast("double"), 4)
+                    .alias("dist2"))
+            .orderBy("probe_id", "rk"))

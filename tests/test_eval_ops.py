@@ -757,3 +757,54 @@ def test_dr_between_model_and_ips_and_near_truth(spark):
     mean_abs_dr = sum(abs(v - 2.0) for v in dr.values()) / len(dr)
     mean_abs_ips = sum(abs(v - 2.0) for v in ips.values()) / len(ips)
     assert mean_abs_dr <= mean_abs_ips + 0.05
+
+
+def test_shapley_efficiency_and_twin(spark):
+    """Shapley values must match a python recomputation of the exact
+    coalition game and satisfy efficiency: sum(phi) = v(all) - v(none)
+    (up to the 6dp output rounding)."""
+    from collections import Counter, defaultdict
+
+    from challenge8_movies_etl_spark.queries_analytics import (
+        q_attribution_shapley)
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events") \
+        .select("user_id", "event_type").collect()
+    cnt = Counter((r["user_id"], r["event_type"]) for r in ev)
+    by_type = defaultdict(list)
+    for (u, t), c in cnt.items():
+        by_type[t].append((c, u))
+    med = {t: sorted(v)[(len(v) + 1) // 2 - 1][0]
+           for t, v in by_type.items()}
+    bits = {"click": 1, "error": 2, "signup": 4, "view": 8}
+    users = {u for u, _ in cnt}
+    mask, conv = {}, {}
+    for u in users:
+        m = sum(b for t, b in bits.items()
+                if cnt.get((u, t), 0) > med[t])
+        mask[u] = m
+        conv[u] = 1 if cnt.get((u, "purchase"), 0) > med["purchase"] \
+            else 0
+    cells_n, cells_c = Counter(), Counter()
+    for u in users:
+        cells_n[mask[u]] += 1
+        cells_c[mask[u]] += conv[u]
+    v = {k: round(cells_c[k] / cells_n[k], 10) if cells_n[k] else 0.0
+         for k in range(16)}
+    fact = [1, 1, 2, 6]
+    expect = {}
+    for ch, b in bits.items():
+        others = [x for x in bits.values() if x != b]
+        tot = 0.0
+        for s in range(16):
+            if s & b or (s | sum(others)) != sum(others):
+                continue
+            w = fact[bin(s).count("1")] * fact[3 - bin(s).count("1")]
+            tot += w * (v[s | b] - v[s])
+        expect[ch] = round(tot / 24.0, 6) + 0.0
+    got = {r["channel"]: r["shapley"]
+           for r in q_attribution_shapley(spark, SF_SMOKE).collect()}
+    assert got == expect
+    assert abs(sum(got.values()) - (v[15] - v[0])) < 5e-6

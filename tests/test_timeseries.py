@@ -418,3 +418,77 @@ def test_dtw_matches_bruteforce_and_bounds(spark):
         assert v == dtw(series[a], series[b])
         assert v <= sum(abs(x - y)
                         for x, y in zip(series[a], series[b]))
+
+
+def test_holtwinters_python_twin_and_seasonal_learning(spark):
+    """State recursion must equal a python twin with per-step 6dp
+    rounding; after 4 weeks the seasonal queue must be non-trivial
+    (the recursion actually learns day-of-week shape)."""
+    from challenge8_movies_etl_spark.queries_timeseries import (
+        q_holtwinters)
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "events")
+    daily = sorted(
+        (r["d"], r["x"]) for r in
+        e.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count("*").alias("x")).collect())
+    xs = [float(x) for _, x in daily]
+    lvl, trd = round(xs[0], 6), 0.0
+    seas = [0.0] * 7
+    states = [(1, lvl, trd, list(seas))]
+    for t, x in enumerate(xs[1:], start=2):
+        nl = round(0.3 * (x - seas[0]) + 0.7 * (lvl + trd), 6)
+        trd = round(0.1 * (nl - lvl) + 0.9 * trd, 6)
+        snew = round(0.2 * (x - nl) + 0.8 * seas[0], 6)
+        seas = seas[1:] + [snew]
+        lvl = nl
+        states.append((t, lvl, trd, list(seas)))
+    rows = q_holtwinters(spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    by_t = {s[0]: s for s in states}
+    for r in rows:
+        t, lvl_e, trd_e, seas_e = by_t[r["t"]]
+        assert r["lvl"] == lvl_e
+        assert r["trd"] == trd_e + 0.0
+        assert r["season_new"] == seas_e[-1] + 0.0
+        assert r["forecast_next"] == round(
+            lvl_e + trd_e + seas_e[0], 6) + 0.0
+    # 30 days = 4+ weeks: the learned seasonal queue isn't all-zero
+    final = by_t[len(xs)][3]
+    assert any(abs(s) > 1e-9 for s in final)
+
+
+def test_spatial_knn_matches_bruteforce(spark):
+    """Top-3 per probe must equal an exact python brute force with
+    the same (d2, id) tie-break."""
+    from fractions import Fraction
+
+    from challenge8_movies_etl_spark.queries_timeseries import (
+        q_spatial_knn)
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMOKE
+
+    c = [r["c_custkey"]
+         for r in load_table(spark, SF_SMOKE, "customer")
+         .select("c_custkey").collect()]
+    s = [r["s_suppkey"]
+         for r in load_table(spark, SF_SMOKE, "supplier")
+         .filter(F.col("s_suppkey") < 8).select("s_suppkey").collect()]
+
+    def pt(k, mx, my):
+        return (Fraction(k * mx % 997, 10), Fraction(k * my % 1009, 10))
+
+    expect = {}
+    for p in s:
+        px, py = pt(p, 13, 41)
+        scored = []
+        for cid in c:
+            x, y = pt(cid, 1, 31)
+            scored.append(((x - px) ** 2 + (y - py) ** 2, cid))
+        for rk, (d2, cid) in enumerate(sorted(scored)[:3], start=1):
+            expect[(p, rk)] = (cid, round(float(d2), 4))
+    got = {(r["probe_id"], r["rk"]): (r["id"], r["dist2"])
+           for r in q_spatial_knn(spark, SF_SMOKE).collect()}
+    assert got == expect
