@@ -1149,3 +1149,169 @@ def q_attribution_shapley(spark, sf_dir):
     return (stacked.select("channel",
                            (F.round("phi", 6) + 0.0).alias("shapley"))
             .orderBy("channel"))
+
+
+# ---------------------------------------------------------------------------
+# q_huber_regression — robust IRLS regression with Huber weights
+# ---------------------------------------------------------------------------
+
+# Synthetic regression task with KNOWN coefficients and gross outliers:
+# y = 3 + 2x + noise((value-50)/10), every 37th point +80. OLS is
+# dragged by the outliers; 3 IRLS rounds with Huber delta=5 must
+# recover (3, 2) (test-pinned).
+_HUBER_OBS = """
+obs AS MATERIALIZED (
+  SELECT event_id % 50 AS x,
+         3.0 + 2.0 * (event_id % 50) + (value - 50.0) / 10.0
+           + CASE WHEN event_id % 37 = 0 THEN 80.0 ELSE 0.0 END AS y
+  FROM events
+)"""
+_HUBER_ITERS = 3
+
+
+def _huber_oracle() -> str:
+    steps = []
+    for k in range(1, _HUBER_ITERS + 1):
+        steps.append(f""",
+w{k} AS (
+  SELECT x, y,
+         round(CASE WHEN abs(y - b0 - b1 * x) <= 5.0 THEN 1.0
+               ELSE 5.0 / abs(y - b0 - b1 * x) END, 10) AS w
+  FROM obs CROSS JOIN i{k - 1}
+),
+s{k} AS (
+  SELECT cast(sum(cast(w as decimal(30,10))) as double) AS sw,
+         cast(sum(cast(round(w * x, 10) as decimal(30,10)))
+              as double) AS swx,
+         cast(sum(cast(round(w * y, 10) as decimal(30,10)))
+              as double) AS swy,
+         cast(sum(cast(round((w * x) * x, 10) as decimal(30,10)))
+              as double) AS swxx,
+         cast(sum(cast(round((w * x) * y, 10) as decimal(30,10)))
+              as double) AS swxy
+  FROM w{k}
+),
+i{k} AS (
+  SELECT round((sw * swxy - swx * swy)
+               / (sw * swxx - swx * swx), 10) AS b1,
+         round((swy - round((sw * swxy - swx * swy)
+                            / (sw * swxx - swx * swx), 10) * swx)
+               / sw, 10) AS b0
+  FROM s{k}
+)""")
+    last = f"i{_HUBER_ITERS}"
+    return f"""
+WITH {_HUBER_OBS},
+s0 AS (
+  SELECT count(*) AS n,
+         cast(sum(x) as double) AS sx,
+         cast(sum(x * x) as double) AS sxx,
+         cast(sum(cast(y as decimal(30,10))) as double) AS sy,
+         cast(sum(cast(x * y as decimal(30,10))) as double) AS sxy
+  FROM obs
+),
+i0 AS (
+  SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 10) AS b1,
+         round((sy - round((n * sxy - sx * sy)
+                           / (n * sxx - sx * sx), 10) * sx) / n, 10)
+           AS b0
+  FROM s0
+){''.join(steps)},
+dw AS (
+  SELECT count(*) AS n_downweighted
+  FROM obs CROSS JOIN {last}
+  WHERE abs(y - b0 - b1 * x) > 5.0
+)
+SELECT method, round(b0, 6) + 0.0 AS intercept,
+       round(b1, 6) + 0.0 AS slope, n_downweighted
+FROM (
+  SELECT 'huber' AS method, b0, b1,
+         (SELECT n_downweighted FROM dw) AS n_downweighted
+  FROM {last}
+  UNION ALL
+  SELECT 'ols', b0, b1, 0 FROM i0
+) ORDER BY method
+"""
+
+
+@query("q_huber_regression", oracle=_huber_oracle())
+def q_huber_regression(spark, sf_dir):
+    """Robust regression by iteratively-reweighted least squares with
+    Huber weights (w = 1 inside delta=5, delta/|r| outside), 3
+    rounds from an OLS start, on a series with deterministic gross
+    outliers (+80 on every 37th point) — OLS is dragged off the true
+    (intercept 3, slope 2), Huber recovers them (test-pinned): the
+    robust-fit primitive quality pipelines use when metrics carry
+    heavy-tailed corruption. Each round's weights and weighted
+    products are 10dp-quantized before decimal-exact summation, and
+    every closed form divides identically-built doubles, so all 3
+    rounds hash-match the oracle's unrolled CTE chain. Outputs both
+    fits plus the final downweighted-point count.
+
+    Scale: each IRLS round is one full scan with a broadcast 1-row
+    coefficient join and a map-side-combined 5-sum aggregation —
+    3 rounds = 3 scans, no shuffle wider than the sufficient
+    statistics; the q_logistic_train Newton shape with cheaper
+    per-round math."""
+    e = load_table(spark, sf_dir, "events")
+    DECS = "decimal(30,10)"
+    obs = e.select(
+        (F.col("event_id") % 50).alias("x"),
+        (3.0 + 2.0 * (F.col("event_id") % 50)
+         + (F.col("value") - 50.0) / 10.0
+         + F.when(F.col("event_id") % 37 == 0, 80.0).otherwise(0.0))
+        .alias("y")).persist()
+    s0 = obs.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y").cast(DECS)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(DECS)).cast("double")
+        .alias("sxy"))
+    b1_0 = F.round((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                   / (F.col("n") * F.col("sxx")
+                      - F.col("sx") * F.col("sx")), 10)
+    coef = s0.select(
+        b1_0.alias("b1"),
+        F.round((F.col("sy") - b1_0 * F.col("sx")) / F.col("n"), 10)
+        .alias("b0"))
+    ols = coef
+    for _ in range(_HUBER_ITERS):
+        r = F.col("y") - F.col("b0") - F.col("b1") * F.col("x")
+        w = F.round(F.when(F.abs(r) <= 5.0, 1.0)
+                    .otherwise(5.0 / F.abs(r)), 10)
+        wk = obs.crossJoin(F.broadcast(coef)).select("x", "y",
+                                                     w.alias("w"))
+        sk = wk.agg(
+            F.sum(F.col("w").cast(DECS)).cast("double").alias("sw"),
+            F.sum(F.round(F.col("w") * F.col("x"), 10).cast(DECS))
+            .cast("double").alias("swx"),
+            F.sum(F.round(F.col("w") * F.col("y"), 10).cast(DECS))
+            .cast("double").alias("swy"),
+            F.sum(F.round((F.col("w") * F.col("x")) * F.col("x"), 10)
+                  .cast(DECS)).cast("double").alias("swxx"),
+            F.sum(F.round((F.col("w") * F.col("x")) * F.col("y"), 10)
+                  .cast(DECS)).cast("double").alias("swxy"))
+        b1k = F.round((F.col("sw") * F.col("swxy")
+                       - F.col("swx") * F.col("swy"))
+                      / (F.col("sw") * F.col("swxx")
+                         - F.col("swx") * F.col("swx")), 10)
+        coef = sk.select(
+            b1k.alias("b1"),
+            F.round((F.col("swy") - b1k * F.col("swx")) / F.col("sw"),
+                    10).alias("b0"))
+    rfin = F.col("y") - F.col("b0") - F.col("b1") * F.col("x")
+    dw = (obs.crossJoin(F.broadcast(coef))
+          .filter(F.abs(rfin) > 5.0)
+          .agg(F.count("*").alias("n_downweighted")))
+    hub = (coef.crossJoin(F.broadcast(dw))
+           .select(F.lit("huber").alias("method"), "b0", "b1",
+                   "n_downweighted"))
+    olsrow = ols.select(F.lit("ols").alias("method"), "b0", "b1",
+                        F.lit(0).cast("long").alias("n_downweighted"))
+    return (hub.unionByName(olsrow)
+            .select("method",
+                    (F.round("b0", 6) + 0.0).alias("intercept"),
+                    (F.round("b1", 6) + 0.0).alias("slope"),
+                    "n_downweighted")
+            .orderBy("method"))

@@ -1346,3 +1346,128 @@ def q_pacf(spark, sf_dir):
     return (dl.crossJoin(F.broadcast(lags))
             .select("event_type", "lag",
                     F.round(val, 6).alias("pacf")))
+
+
+# ---------------------------------------------------------------------------
+# q_decision_stump — exact best-split search (depth-1 CART, Gini)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_decision_stump",
+    oracle="""
+    WITH obs AS (
+      SELECT l_quantity AS f_quantity, l_discount AS f_discount,
+             l_extendedprice AS f_price,
+             CASE WHEN l_extendedprice * (1 - l_discount) > 50000
+                  THEN 1 ELSE 0 END AS label
+      FROM lineitem
+    ),
+    long AS (
+      SELECT 'quantity' AS feature, f_quantity AS v, label FROM obs
+      UNION ALL
+      SELECT 'discount', f_discount, label FROM obs
+      UNION ALL
+      SELECT 'price', f_price, label FROM obs
+    ),
+    grp AS (
+      SELECT feature, v, count(*) AS c, sum(label) AS a
+      FROM long GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT feature, v,
+             sum(c) OVER w AS nl, sum(a) OVER w AS al,
+             sum(c) OVER (PARTITION BY feature) AS n,
+             sum(a) OVER (PARTITION BY feature) AS atot
+      FROM grp
+      WINDOW w AS (PARTITION BY feature ORDER BY v
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    scored AS (
+      SELECT feature, v, nl, n - nl AS nr,
+             cast(((cast(nl as hugeint) * nl
+                    - cast(al as hugeint) * al
+                    - cast(nl - al as hugeint) * (nl - al)) * (n - nl)
+                   + (cast(n - nl as hugeint) * (n - nl)
+                      - cast(atot - al as hugeint) * (atot - al)
+                      - cast((n - nl) - (atot - al) as hugeint)
+                        * ((n - nl) - (atot - al))) * nl) as double)
+               / cast(cast(n as hugeint) * nl * (n - nl) as double)
+               AS gini,
+             greatest(al, nl - al)
+               + greatest(atot - al, (n - nl) - (atot - al))
+               AS n_correct
+      FROM cum WHERE nl < n
+    )
+    SELECT feature, v AS threshold, round(gini, 6) AS gini,
+           cast(n_correct as bigint) AS n_correct
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY feature
+                                   ORDER BY gini, v) AS rk
+      FROM scored
+    ) WHERE rk = 1
+    ORDER BY feature
+    """,
+)
+def q_decision_stump(spark, sf_dir):
+    """Exact depth-1 CART split search: for each candidate feature
+    (quantity, discount, price) find the threshold minimizing
+    weighted Gini impurity of the split <=t / >t against a derived
+    revenue label (net revenue > 50000). The real distributed tree
+    algorithm: per-feature value histogram, ONE cumulative window
+    per feature turns every distinct value into a candidate split
+    with exact integer class counts — O(n log n), never
+    candidate x rows. Gini numerators/denominators are exact wide
+    integers (decimal/hugeint) divided once into identical doubles,
+    so the per-feature argmin and its majority-vote accuracy count
+    are engine-identical. Output: best (threshold, gini, n_correct)
+    per feature — the price feature must dominate (it nearly
+    determines the label; test-pinned).
+
+    Scale: one scan -> 3x unpivot -> value-keyed partial counts
+    (map-side combinable), then windows over |distinct values| rows
+    per feature. Tree ensembles at 100 TB run exactly this per
+    (node, feature) with binned values; the exact form here is the
+    verification tier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    label = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+             > 50000).cast("int").alias("label")
+    obs = li.select(F.col("l_quantity").alias("f_quantity"),
+                    F.col("l_discount").alias("f_discount"),
+                    F.col("l_extendedprice").alias("f_price"), label)
+    long = None
+    for feat, col in [("quantity", "f_quantity"),
+                      ("discount", "f_discount"),
+                      ("price", "f_price")]:
+        part = obs.select(F.lit(feat).alias("feature"),
+                          F.col(col).alias("v"), "label")
+        long = part if long is None else long.unionByName(part)
+    grp = (long.groupBy("feature", "v")
+           .agg(F.count("*").alias("c"), F.sum("label").alias("a")))
+    wf = W.partitionBy("feature")
+    wcum = wf.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = grp.select(
+        "feature", "v",
+        F.sum("c").over(wcum).alias("nl"),
+        F.sum("a").over(wcum).alias("al"),
+        F.sum("c").over(wf).alias("n"),
+        F.sum("a").over(wf).alias("atot"))
+    D = "decimal(38,0)"
+    nl, al, n, atot = (F.col(c) for c in ("nl", "al", "n", "atot"))
+    nr, ar = n - nl, atot - al
+    bl, br = nl - al, nr - ar
+    num = ((nl.cast(D) * nl - al.cast(D) * al - bl.cast(D) * bl) * nr
+           + (nr.cast(D) * nr - ar.cast(D) * ar - br.cast(D) * br) * nl)
+    den = n.cast(D) * nl * nr
+    scored = (cum.filter(nl < n)
+              .select("feature", "v", 
+                      (num.cast("double") / den.cast("double"))
+                      .alias("gini"),
+                      (F.greatest(al, bl) + F.greatest(ar, br))
+                      .alias("n_correct")))
+    rk = F.row_number().over(wf.orderBy("gini", "v"))
+    return (scored.withColumn("rk", rk).filter(F.col("rk") == 1)
+            .select("feature", F.col("v").alias("threshold"),
+                    F.round("gini", 6).alias("gini"),
+                    F.col("n_correct").cast("long").alias("n_correct"))
+            .orderBy("feature"))

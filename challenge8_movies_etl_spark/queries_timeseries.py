@@ -1489,3 +1489,90 @@ def q_spatial_knn(spark, sf_dir):
                     F.round(F.col("d2").cast("double"), 4)
                     .alias("dist2"))
             .orderBy("probe_id", "rk"))
+
+
+# ---------------------------------------------------------------------------
+# q_haar_wavelet — unnormalized Haar decomposition of the daily series
+# ---------------------------------------------------------------------------
+
+_HAAR_LEVELS = 5          # 32 = 2^5 padded positions
+
+
+def _haar_oracle() -> str:
+    steps = []
+    for lv in range(1, _HAAR_LEVELS + 1):
+        steps.append(f""",
+lvl{lv} AS MATERIALIZED (
+  SELECT (i + 1) // 2 AS i,
+         cast(sum(x) as bigint) AS x,
+         cast(sum(CASE WHEN i % 2 = 1 THEN x ELSE -x END) as bigint)
+           AS d
+  FROM lvl{lv - 1} GROUP BY (i + 1) // 2
+)""")
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT {lv} AS level, i AS idx, 'detail' AS kind, d AS coef "
+        f"FROM lvl{lv}" for lv in range(1, _HAAR_LEVELS + 1))
+    return f"""
+WITH daily AS (
+  SELECT cast(ts as date) AS d, cast(count(*) as bigint) AS x
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT row_number() OVER (ORDER BY d) AS i, x FROM daily
+),
+lvl0 AS MATERIALIZED (
+  SELECT g.i, coalesce(idx.x, 0) AS x
+  FROM generate_series(1, 32) g(i)
+  LEFT JOIN idx ON idx.i = g.i
+){''.join(steps)}
+SELECT level, idx, kind, coef FROM (
+  {union}
+  UNION ALL
+  SELECT {_HAAR_LEVELS}, 1, 'approx', x FROM lvl{_HAAR_LEVELS}
+) ORDER BY level, kind, idx
+"""
+
+
+@query("q_haar_wavelet", oracle=_haar_oracle())
+def q_haar_wavelet(spark, sf_dir):
+    """Full unnormalized Haar wavelet decomposition of the daily
+    event-count series (zero-padded to 32 positions): 5 levels of
+    pairwise sums (approximation) and differences (detail), emitting
+    all 31 detail coefficients plus the coarsest approximation (= the
+    series total). The multi-resolution feature extractor behind
+    series compression, burst localization (large |detail| at level
+    l ~ change at 2^l-day scale) and wavelet-domain similarity; the
+    unnormalized integer form (no /sqrt(2)) keeps every coefficient
+    int64-exact, so the whole transform hash-matches the oracle's
+    chained per-level CTEs.
+
+    Scale: the scan collapses to |days| rows first; each level is a
+    group-by on i//2 over a halving relation (32 -> 16 -> ... -> 1
+    rows). Per-entity wavelets at 100 TB map the same 5 group-bys
+    partitioned by key — every level stays map-side combinable."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("ts").cast("date").alias("d"))
+             .agg(F.count("*").cast("long").alias("x")))
+    idx = daily.select(
+        F.row_number().over(W.orderBy("d")).alias("i"), "x")
+    pad = spark.range(1, 33).select(F.col("id").cast("int").alias("i"))
+    lvl = (pad.join(idx, "i", "left")
+           .select("i", F.coalesce(F.col("x"), F.lit(0)).alias("x")))
+    out = None
+    for lv in range(1, _HAAR_LEVELS + 1):
+        nxt = (lvl.groupBy(((F.col("i") + 1) / 2).cast("long")
+                           .alias("i"))
+               .agg(F.sum("x").alias("x"),
+                    F.sum(F.when(F.col("i") % 2 == 1, F.col("x"))
+                          .otherwise(-F.col("x"))).alias("d")))
+        det = nxt.select(F.lit(lv).alias("level"),
+                         F.col("i").alias("idx"),
+                         F.lit("detail").alias("kind"),
+                         F.col("d").alias("coef"))
+        out = det if out is None else out.unionByName(det)
+        lvl = nxt.select("i", "x")
+    approx = lvl.select(F.lit(_HAAR_LEVELS).alias("level"),
+                        F.lit(1).cast("long").alias("idx"),
+                        F.lit("approx").alias("kind"),
+                        F.col("x").alias("coef"))
+    return out.unionByName(approx).orderBy("level", "kind", "idx")

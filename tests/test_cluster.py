@@ -112,3 +112,82 @@ def test_dbscan_matches_python_twin(spark):
     assert got == expect
     roles = {r for r, _ in got.values()}
     assert roles == {"core", "border", "noise"}, roles
+
+
+def test_decision_stump_twin_and_price_dominates(spark):
+    """Best splits must equal an exact python candidate sweep; the
+    price feature (which nearly determines the revenue label) must
+    have the lowest gini of the three."""
+    from challenge8_movies_etl_spark.queries_ml import q_decision_stump
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem") \
+        .select("l_quantity", "l_discount", "l_extendedprice").collect()
+    feats = {"quantity": [], "discount": [], "price": []}
+    for r in li:
+        lab = 1 if r["l_extendedprice"] * (1 - r["l_discount"]) > 50000 \
+            else 0
+        feats["quantity"].append((r["l_quantity"], lab))
+        feats["discount"].append((r["l_discount"], lab))
+        feats["price"].append((r["l_extendedprice"], lab))
+
+    expect = {}
+    for f, pts in feats.items():
+        from collections import Counter
+        cnt, pos = Counter(), Counter()
+        for v, lab in pts:
+            cnt[v] += 1
+            pos[v] += lab
+        n = len(pts)
+        atot = sum(lab for _, lab in pts)
+        nl = al = 0
+        best = None
+        for v in sorted(cnt):
+            nl += cnt[v]
+            al += pos[v]
+            if nl == n:
+                continue
+            nr, ar = n - nl, atot - al
+            bl, br = nl - al, nr - ar
+            num = ((nl * nl - al * al - bl * bl) * nr
+                   + (nr * nr - ar * ar - br * br) * nl)
+            g = num / (n * nl * nr)
+            corr = max(al, bl) + max(ar, br)
+            if best is None or (g, v) < (best[0], best[1]):
+                best = (g, v, corr)
+        expect[f] = (best[1], round(best[0], 6), best[2])
+    got = {r["feature"]: (r["threshold"], r["gini"], r["n_correct"])
+           for r in q_decision_stump(spark, SF_SMOKE).collect()}
+    assert got == expect
+    assert got["price"][1] < got["quantity"][1]
+    assert got["price"][1] < got["discount"][1]
+    # near-perfect split on the dominating feature
+    n = len(li)
+    assert got["price"][2] / n > 0.97
+
+
+def test_huber_resists_outliers(spark):
+    """The IRLS fit must land near the true (3, 2) despite the +80
+    outliers, strictly closer than OLS on both coefficients, and
+    downweight roughly 1/37 of the points."""
+    from challenge8_movies_etl_spark.queries_analytics import (
+        q_huber_regression)
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {r["method"]: r
+            for r in q_huber_regression(spark, SF_SMOKE).collect()}
+    hub, ols = rows["huber"], rows["ols"]
+    assert abs(hub["slope"] - 2.0) < 0.1
+    assert abs(hub["intercept"] - 3.0) < 1.0
+    # the uniform-in-x outliers bias the OLS INTERCEPT (+80/37 ~ +2.2
+    # mean shift) while leaving its slope nearly unbiased — so the
+    # robustness claim is about the intercept
+    assert abs(hub["intercept"] - 3.0) < abs(ols["intercept"] - 3.0)
+    assert abs(ols["intercept"] - 3.0) > 1.0
+    n = load_table(spark, SF_SMOKE, "events").count()
+    # every gross outlier plus the heavy tail of the value noise is
+    # outside delta=5; the gate is that downweighting is a strict
+    # minority, not the near-half a delta-misconfigured fit would show
+    assert n / 37 * 0.5 < hub["n_downweighted"] < 0.35 * n

@@ -492,3 +492,37 @@ def test_spatial_knn_matches_bruteforce(spark):
     got = {(r["probe_id"], r["rk"]): (r["id"], r["dist2"])
            for r in q_spatial_knn(spark, SF_SMOKE).collect()}
     assert got == expect
+
+
+def test_haar_invertibility_and_total(spark):
+    """Reconstructing from (approx, details) must recover the exact
+    padded daily series — the transform loses nothing — and the
+    coarsest approximation must equal the total event count."""
+    from challenge8_movies_etl_spark.queries_timeseries import (
+        q_haar_wavelet)
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = q_haar_wavelet(spark, SF_SMOKE).collect()
+    det = {(r["level"], r["idx"]): r["coef"]
+           for r in rows if r["kind"] == "detail"}
+    approx = [r["coef"] for r in rows if r["kind"] == "approx"]
+    assert len(approx) == 1 and len(det) == 31
+    e = load_table(spark, SF_SMOKE, "events")
+    assert approx[0] == e.count()
+    # invert: walk levels downward (a_{2i-1} = (a+d)/2, a_{2i} = (a-d)/2)
+    a = {1: approx[0]}
+    for lv in range(5, 0, -1):
+        nxt = {}
+        for i, av in a.items():
+            d = det[(lv, i)]
+            assert (av + d) % 2 == 0
+            nxt[2 * i - 1] = (av + d) // 2
+            nxt[2 * i] = (av - d) // 2
+        a = nxt
+    daily = sorted(
+        (r["d"], r["x"]) for r in
+        e.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count("*").alias("x")).collect())
+    series = [x for _, x in daily] + [0] * (32 - len(daily))
+    assert [a[i] for i in range(1, 33)] == series
