@@ -96,6 +96,12 @@ EXTRA = [
     "q_topic_nmf",
     "q_coverage_select",
     "q_dbscan",
+    # round-5 eighth wave: heaviest members — iterative graph ops,
+    # IRLS regression, exact split search, DTW pandas DP
+    "q_graph_sssp",
+    "q_huber_regression",
+    "q_decision_stump",
+    "q_dtw_distance",
 ]
 
 

@@ -925,3 +925,160 @@ def q_graph_random_walks(spark, sf_dir):
                             F.lit(t).alias("step")))
         path = path.unionByName(frontier)
     return path.select("walk_id", "step", "node").orderBy("walk_id", "step")
+
+
+# ---------------------------------------------------------------------------
+# q_graph_betweenness — sampled-source Brandes betweenness centrality
+# ---------------------------------------------------------------------------
+
+_BC_SOURCES = 4
+_BC_DEPTH = 3
+
+
+def _bc_oracle() -> str:
+    """Per sampled source: layered BFS with exact integer path counts
+    (sigma), then the Brandes dependency back-propagation with
+    10dp-quantized sigma-ratio terms — all unrolled as CTEs."""
+    parts = []
+    for r in range(1, _BC_SOURCES + 1):
+        parts.append(f""",
+l0_{r} AS MATERIALIZED (
+  SELECT node, cast(1 as bigint) AS sig
+  FROM seeds WHERE rk = {r}
+)""")
+        for k in range(1, _BC_DEPTH + 1):
+            earlier = " UNION ALL ".join(
+                f"SELECT node FROM l{j}_{r}" for j in range(k))
+            parts.append(f""",
+l{k}_{r} AS MATERIALIZED (
+  SELECT e.dst AS node, cast(sum(p.sig) as bigint) AS sig
+  FROM e0 e JOIN l{k - 1}_{r} p ON p.node = e.src
+  WHERE e.dst NOT IN ({earlier})
+  GROUP BY e.dst
+)""")
+        parts.append(f""",
+d{_BC_DEPTH}_{r} AS (
+  SELECT node, sig, cast(0.0 as double) AS delta
+  FROM l{_BC_DEPTH}_{r}
+)""")
+        for k in range(_BC_DEPTH - 1, 0, -1):
+            parts.append(f""",
+d{k}_{r} AS MATERIALIZED (
+  SELECT v.node, v.sig,
+         cast(coalesce(sum(cast(round(
+           (cast(v.sig as double) / w.sig) * (1.0 + w.delta), 10)
+           as decimal(28,10))), 0.0) as double) AS delta
+  FROM l{k}_{r} v
+  LEFT JOIN e0 ON e0.src = v.node
+  LEFT JOIN d{k + 1}_{r} w ON w.node = e0.dst
+  GROUP BY v.node, v.sig
+)""")
+    deltas = "\n  UNION ALL\n  ".join(
+        f"SELECT node, delta FROM d{k}_{r}"
+        for r in range(1, _BC_SOURCES + 1)
+        for k in range(1, _BC_DEPTH))
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+e0 AS MATERIALIZED (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s, c FROM pairs
+),
+seeds AS (
+  SELECT c AS node, row_number() OVER (ORDER BY c) AS rk
+  FROM (SELECT DISTINCT c FROM pairs)
+  ORDER BY c LIMIT {_BC_SOURCES}
+){''.join(parts)},
+acc AS (
+  SELECT node,
+         cast(sum(cast(round(delta, 10) as decimal(28,10)))
+              as double) AS bc
+  FROM ({deltas}) GROUP BY node
+)
+SELECT node,
+       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         AS kind,
+       round(bc, 6) + 0.0 AS betweenness
+FROM acc
+ORDER BY bc DESC, node
+LIMIT 20
+"""
+
+
+@query("q_graph_betweenness", oracle=_bc_oracle())
+def q_graph_betweenness(spark, sf_dir):
+    """Betweenness centrality (Brandes 2001), sampled-source variant:
+    exact layered-BFS shortest-path counts (depth 3) from the 4
+    smallest customer nodes, then the dependency back-propagation
+    delta(v) = sum_w (sigma_v/sigma_w)(1+delta_w) over successor
+    layers — the bridge/broker detector complementing PageRank
+    (volume) and HITS (two-sidedness). Source sampling is THE
+    standard scale play for betweenness (exact all-sources is
+    O(V*E)); path counts are exact int64 and every ratio term is
+    10dp-quantized before decimal-exact accumulation, so the top-20
+    ranking hash-matches the oracle's fully-unrolled per-source CTE
+    pyramid (4 sources x 3 forward + 2 backward layers).
+
+    Scale: each BFS layer is one frontier ⋈ edges shuffle + an
+    integer sum, each back-prop layer the same join shape reversed;
+    sources are embarrassingly parallel (independent BFS trees) and
+    at 100 TB run as one batched frontier keyed by (source, node)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (o.join(li, o.o_orderkey == li.l_orderkey)
+             .select((F.col("o_custkey") * 2).alias("c"),
+                     (F.col("l_suppkey") * 2 + 1).alias("s"))
+             .distinct())
+    edges = (pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+             .unionByName(pairs.select(F.col("s").alias("src"),
+                                       F.col("c").alias("dst")))
+             .persist())
+    seeds = (pairs.select("c").distinct().orderBy("c")
+             .limit(_BC_SOURCES).collect())
+    deltas = None
+    for row in seeds:
+        src = row["c"]
+        layers = [None] * (_BC_DEPTH + 1)
+        layers[0] = (edges.sparkSession.range(1)
+                     .select(F.lit(src).alias("node"),
+                             F.lit(1).cast("bigint").alias("sig")))
+        seen = layers[0].select("node")
+        for k in range(1, _BC_DEPTH + 1):
+            nxt = (edges.join(layers[k - 1]
+                              .withColumnRenamed("node", "src"), "src")
+                   .join(seen.withColumnRenamed("node", "dst"),
+                         "dst", "left_anti")
+                   .groupBy(F.col("dst").alias("node"))
+                   .agg(F.sum("sig").cast("bigint").alias("sig"))
+                   .localCheckpoint(eager=True))
+            layers[k] = nxt
+            seen = seen.unionByName(nxt.select("node"))
+        dl = layers[_BC_DEPTH].select(
+            "node", "sig", F.lit(0.0).alias("delta"))
+        for k in range(_BC_DEPTH - 1, 0, -1):
+            succ = dl.select(F.col("node").alias("w_node"),
+                             F.col("sig").alias("w_sig"),
+                             F.col("delta").alias("w_delta"))
+            term = F.round((F.col("sig").cast("double") / F.col("w_sig"))
+                           * (1.0 + F.col("w_delta")), 10)
+            dl = (layers[k]
+                  .join(edges, edges.src == layers[k].node, "left")
+                  .join(succ, F.col("w_node") == F.col("dst"), "left")
+                  .groupBy("node", "sig")
+                  .agg(F.coalesce(F.sum(term.cast("decimal(28,10)"))
+                                  .cast("double"), F.lit(0.0))
+                       .alias("delta"))
+                  .localCheckpoint(eager=True))
+            part = dl.select("node", "delta")
+            deltas = part if deltas is None else deltas.unionByName(part)
+        # layers 1..DEPTH-1 carry delta; the deepest layer's delta is 0
+    acc = (deltas.groupBy("node")
+           .agg(F.sum(F.round("delta", 10).cast("decimal(28,10)"))
+                .cast("double").alias("bc")))
+    kind = F.when(F.col("node") % 2 == 0, "customer").otherwise("supplier")
+    return (acc.orderBy(F.desc("bc"), "node").limit(20)
+            .select("node", kind.alias("kind"),
+                    (F.round("bc", 6) + 0.0).alias("betweenness")))

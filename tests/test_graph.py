@@ -332,3 +332,54 @@ def test_random_walks_follow_md5_choices(spark):
     got = {(r["walk_id"], r["step"], r["node"])
            for r in q_graph_random_walks(spark, SF_SMOKE).collect()}
     assert got == expect
+
+
+def test_betweenness_matches_python_brandes(spark):
+    """Top-20 must equal a python twin running the same depth-capped
+    Brandes accumulation with identical 10dp quantization."""
+    from collections import defaultdict
+
+    from challenge8_movies_etl_spark.queries_graph import (
+        _BC_DEPTH, _BC_SOURCES, q_graph_betweenness)
+
+    e = _smoke_bipartite_edges(spark)
+    adj = defaultdict(set)
+    for u, v in e:
+        adj[u].add(v)
+    seeds = sorted({u for u, _ in e if u % 2 == 0})[:_BC_SOURCES]
+    acc = defaultdict(float)
+    for s in seeds:
+        layers = [{s: 1}]
+        seen = {s}
+        for _ in range(_BC_DEPTH):
+            nxt = defaultdict(int)
+            for u, sig in layers[-1].items():
+                for v in adj[u]:
+                    if v not in seen:
+                        nxt[v] += sig
+            layers.append(dict(nxt))
+            seen |= set(nxt)
+        delta = {v: 0.0 for v in layers[_BC_DEPTH]}
+        for k in range(_BC_DEPTH - 1, 0, -1):
+            dk = {}
+            for v, sig in layers[k].items():
+                tot = 0.0
+                for w in sorted(adj[v]):
+                    if w in layers[k + 1]:
+                        tot += round((sig / layers[k + 1][w])
+                                     * (1.0 + delta[w]), 10)
+                dk[v] = tot
+            for v, d in dk.items():
+                acc[v] += round(d, 10)
+            delta = dk
+    expect = sorted(((round(bc, 6) + 0.0, n) for n, bc in acc.items()),
+                    key=lambda t: (-t[0], t[1]))[:20]
+    got = [(r["betweenness"], r["node"])
+           for r in q_graph_betweenness(spark, SF_SMOKE).collect()]
+    # float association: python sums in sorted-w order, spark in
+    # arbitrary order — both quantize terms to 10dp first, so sums of
+    # the same terms agree exactly after the decimal accumulation
+    assert got == expect
+    # in a bipartite graph the suppliers bridge customer pairs: the
+    # top broker must be a supplier
+    assert got[0][1] % 2 == 1

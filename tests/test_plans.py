@@ -431,3 +431,36 @@ def test_video_framestats_zero_shuffle(spark):
     """Y4M decode + frame fan-out is Arrow-streamed end to end."""
     p = plan(spark, "q_video_framestats")
     assert n_shuffles(p) == 0, p
+
+
+def test_spatial_knn_broadcasts_probes_and_takeordered(spark):
+    """The probe side must broadcast (never shuffle the corpus
+    against 8 points) and no cartesian product may appear — the
+    crossJoin is the broadcast-probe idiom."""
+    p = plan(spark, "q_spatial_knn")
+    assert "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_decision_stump_no_cartesian_single_wide_shuffle_chain(spark):
+    """Split search is histogram + windows: no cartesian
+    candidate x rows blowup, and the plan stays fully JVM-side."""
+    p = plan(spark, "q_decision_stump")
+    assert "CartesianProduct" not in p, p
+    assert "PythonUDF" not in p and "ArrowEval" not in p, p
+
+
+def test_inverted_index_single_term_shuffle(spark):
+    """Postings assembly shuffles on term once (partial-agg counts),
+    plus the window rank — never a doc x term cartesian."""
+    p = plan(spark, "q_inverted_index")
+    assert "CartesianProduct" not in p, p
+    assert n_shuffles(p) <= 3, p
+
+
+def test_random_projection_broadcasts_sign_matrix(spark):
+    """The 512-cell JL sign matrix must broadcast over the exploded
+    component stream."""
+    p = plan(spark, "q_embed_random_projection")
+    assert "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p

@@ -73,6 +73,11 @@ SHAPE = {
     "q_topic_nmf": "q_graph_pagerank",         # iterative factor joins
     "q_coverage_select": "q_graph_pagerank",   # greedy driver rounds
     "q_dbscan": "q_dedup_containment",         # blocked pair pass
+    # round-5 eighth wave
+    "q_graph_sssp": "q_graph_pagerank",        # iterative relax joins
+    "q_huber_regression": "q_graph_pagerank",  # fixed-iteration passes
+    "q_decision_stump": "q_join_multi_5way",   # unpivot + windows
+    "q_dtw_distance": "q_multimodal_decode",   # pandas DP kernel
 }
 
 

@@ -53,7 +53,8 @@ UDF_SURFACE = {"q_udf_scalar", "q_udaf_grouped", "q_udtf",
                "q_isotonic_pav",  # applyInPandas PAV on pooled profiles
                "q_observe_metrics",  # CollectMetrics + local result
                "q_cogroup_asof",  # cogrouped applyInPandas surface
-               "q_burst_detect"}  # applyInPandas DP on bounded series
+               "q_burst_detect",  # applyInPandas DP on bounded series
+               "q_dtw_distance"}  # applyInPandas DP on bounded pairs
 
 
 def audit(spark, qid, fn, sf_dir):
