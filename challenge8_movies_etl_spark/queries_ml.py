@@ -1471,3 +1471,266 @@ def q_decision_stump(spark, sf_dir):
                     F.round("gini", 6).alias("gini"),
                     F.col("n_correct").cast("long").alias("n_correct"))
             .orderBy("feature"))
+
+
+# ---------------------------------------------------------------------------
+# q_mutual_information — MI feature ranking against a derived label
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_mutual_information",
+    oracle="""
+    WITH obs AS (
+      SELECT l_quantity AS f_quantity, l_discount AS f_discount,
+             l_extendedprice AS f_price,
+             CASE WHEN l_extendedprice * (1 - l_discount) > 50000
+                  THEN 1 ELSE 0 END AS label
+      FROM lineitem
+    ),
+    long AS (
+      SELECT 'quantity' AS feature, f_quantity AS f, label FROM obs
+      UNION ALL
+      SELECT 'discount', f_discount, label FROM obs
+      UNION ALL
+      SELECT 'price', f_price, label FROM obs
+    ),
+    rng AS (
+      SELECT feature, min(f) AS lo, max(f) AS hi, count(*) AS n
+      FROM long GROUP BY 1
+    ),
+    binned AS (
+      SELECT l.feature, l.label,
+             least(cast(floor((l.f - r.lo) * 10 / (r.hi - r.lo))
+                        as bigint), 9) AS b,
+             r.n
+      FROM long l JOIN rng r ON r.feature = l.feature
+    ),
+    joint AS (
+      SELECT feature, b, label, count(*) AS c_bl, max(n) AS n
+      FROM binned GROUP BY 1, 2, 3
+    ),
+    margb AS (
+      SELECT feature, b, sum(c_bl) AS c_b FROM joint GROUP BY 1, 2
+    ),
+    margl AS (
+      SELECT feature, label, sum(c_bl) AS c_l FROM joint GROUP BY 1, 2
+    ),
+    terms AS (
+      SELECT j.feature,
+             cast(round((cast(j.c_bl as double) / j.n)
+                        * ln(cast(j.c_bl as double) * j.n
+                             / (cast(mb.c_b as double) * ml.c_l)), 10)
+                  as decimal(20,10)) AS term
+      FROM joint j
+      JOIN margb mb ON mb.feature = j.feature AND mb.b = j.b
+      JOIN margl ml ON ml.feature = j.feature AND ml.label = j.label
+    )
+    SELECT feature,
+           cast(round(sum(term), 6) as double) + 0.0 AS mi_nats
+    FROM terms GROUP BY feature
+    ORDER BY mi_nats DESC, feature
+    """,
+)
+def q_mutual_information(spark, sf_dir):
+    """Mutual-information feature ranking: each candidate feature is
+    equi-width binned to 10 buckets and scored by I(bin; label) =
+    sum p(b,l)·ln(p(b,l)/(p(b)p(l))) against the derived revenue
+    label — the filter-method feature selector beside
+    q_decision_stump's wrapper-style split search (price must top
+    both rankings; test-pinned, with MI >= 0 and bounded by label
+    entropy). The q_entropy float discipline: each term's log runs
+    on identically-built doubles (exact integer count ratios), terms
+    are 10dp-quantized into decimal sums, the final round happens ON
+    the decimal.
+
+    Scale: one scan -> 3x unpivot -> (feature, bin, label) counts,
+    all map-side combinable; marginals re-aggregate the joint table
+    (30 x 2 rows per feature), so the MI algebra is constant-cost at
+    any corpus size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    label = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+             > 50000).cast("int").alias("label")
+    obs = li.select(F.col("l_quantity").alias("f_quantity"),
+                    F.col("l_discount").alias("f_discount"),
+                    F.col("l_extendedprice").alias("f_price"), label)
+    long = None
+    for feat, col in [("quantity", "f_quantity"),
+                      ("discount", "f_discount"),
+                      ("price", "f_price")]:
+        part = obs.select(F.lit(feat).alias("feature"),
+                          F.col(col).alias("f"), "label")
+        long = part if long is None else long.unionByName(part)
+    rng = (long.groupBy("feature")
+           .agg(F.min("f").alias("lo"), F.max("f").alias("hi"),
+                F.count("*").alias("n")))
+    binned = (long.join(F.broadcast(rng), "feature")
+              .select("feature", "label", "n",
+                      F.least(F.floor((F.col("f") - F.col("lo")) * 10
+                                      / (F.col("hi") - F.col("lo")))
+                              .cast("bigint"), F.lit(9)).alias("b")))
+    joint = (binned.groupBy("feature", "b", "label")
+             .agg(F.count("*").alias("c_bl"), F.max("n").alias("n")))
+    margb = (joint.groupBy("feature", "b")
+             .agg(F.sum("c_bl").alias("c_b")))
+    margl = (joint.groupBy("feature", "label")
+             .agg(F.sum("c_bl").alias("c_l")))
+    term = F.round(
+        (F.col("c_bl").cast("double") / F.col("n"))
+        * F.log(F.col("c_bl").cast("double") * F.col("n")
+                / (F.col("c_b").cast("double") * F.col("c_l"))), 10) \
+        .cast("decimal(20,10)")
+    terms = (joint.join(F.broadcast(margb), ["feature", "b"])
+             .join(F.broadcast(margl), ["feature", "label"])
+             .select("feature", term.alias("term")))
+    return (terms.groupBy("feature")
+            .agg((F.round(F.sum("term"), 6).cast("double") + 0.0)
+                 .alias("mi_nats"))
+            .orderBy(F.desc("mi_nats"), "feature"))
+
+
+# ---------------------------------------------------------------------------
+# q_outlier_isoforest — isolation-forest-style leaf-occupancy outliers
+# ---------------------------------------------------------------------------
+
+_ISO_TREES = 4
+_ISO_DEPTH = 4
+
+def _iso_nodes_values() -> str:
+    rows = []
+    for t in range(1, _ISO_TREES + 1):
+        rows.append(f"({t}, '')")
+        for d in range(1, _ISO_DEPTH):
+            for i in range(2 ** d):
+                rows.append(f"({t}, '{format(i, f'0{d}b')}')")
+    return ", ".join(rows)
+
+
+def _iso_oracle() -> str:
+    steps = []
+    for d in range(1, _ISO_DEPTH + 1):
+        steps.append(f""",
+a{d} AS MATERIALIZED (
+  SELECT a.event_id, a.f1, a.f2, a.t,
+         a.path || CASE WHEN (CASE WHEN np.feat = 0 THEN a.f1
+                              ELSE a.f2 END) > np.thr
+                        THEN '1' ELSE '0' END AS path
+  FROM a{d - 1} a
+  JOIN nodep np ON np.t = a.t AND np.path = a.path
+)""")
+    return f"""
+WITH pts AS MATERIALIZED (
+  SELECT event_id,
+         value + CASE WHEN event_id % 211 = 0
+                      THEN 500.0 ELSE 0.0 END AS f1,
+         cast((event_id * 7919) % 1000 as double) AS f2
+  FROM events
+),
+rng AS (
+  SELECT min(f1) AS lo1, max(f1) AS hi1,
+         min(f2) AS lo2, max(f2) AS hi2
+  FROM pts
+),
+nodes(t, path) AS (VALUES {_iso_nodes_values()}),
+nodep AS MATERIALIZED (
+  SELECT t, path,
+         cast(('0x' || substr(md5(t || ':' || path || ':f'), 1, 8))
+              as bigint) % 2 AS feat,
+         CASE WHEN cast(('0x' || substr(md5(t || ':' || path || ':f'),
+                                        1, 8)) as bigint) % 2 = 0
+              THEN r.lo1 + (cast(('0x' || substr(md5(
+                     t || ':' || path || ':t'), 1, 8)) as bigint)
+                     / 4294967296.0) * (r.hi1 - r.lo1)
+              ELSE r.lo2 + (cast(('0x' || substr(md5(
+                     t || ':' || path || ':t'), 1, 8)) as bigint)
+                     / 4294967296.0) * (r.hi2 - r.lo2)
+         END AS thr
+  FROM nodes CROSS JOIN rng r
+),
+a0 AS MATERIALIZED (
+  SELECT p.event_id, p.f1, p.f2, t.t, '' AS path
+  FROM pts p CROSS JOIN (SELECT DISTINCT t FROM nodes) t
+){''.join(steps)},
+occ AS (
+  SELECT t, path, count(*) AS c FROM a{_ISO_DEPTH} GROUP BY 1, 2
+),
+score AS (
+  SELECT a.event_id, cast(sum(o.c) as bigint) AS isolation_score
+  FROM a{_ISO_DEPTH} a JOIN occ o ON o.t = a.t AND o.path = a.path
+  GROUP BY a.event_id
+)
+SELECT event_id, isolation_score,
+       CASE WHEN event_id % 211 = 0 THEN 1 ELSE 0 END AS injected
+FROM score
+ORDER BY isolation_score, event_id LIMIT 20
+"""
+
+
+@query("q_outlier_isoforest", oracle=_iso_oracle())
+def q_outlier_isoforest(spark, sf_dir):
+    """Isolation-forest-style outlier detection (Liu et al. 2008),
+    derandomized and leaf-occupancy-scored: 4 random binary trees of
+    depth 4 over two features (the value metric with +500 injected
+    rare outliers, and a uniform hash feature), where each node's
+    split feature and threshold derive from md5(tree:path) — the
+    engine-portable RNG substitute — with thresholds uniform over the
+    feature's global range. A point's score is the total population
+    of the leaves it lands in across trees: mass-isolated extremes
+    land in near-empty leaves and surface first. All scores are exact
+    integer counts, so the top-20 anomaly cut is hash-identical; the
+    injected % 211 points must dominate it (test-pinned).
+
+    Scale: the node-parameter table is 60 rows broadcast against the
+    point stream; each depth is one broadcast join (no shuffle until
+    the leaf-occupancy count, which is map-side combinable on
+    (tree, leaf)). Real iForests subsample per tree; the global-range
+    simplification is documented, keeps the operator one-pass, and
+    preserves the isolation signal this fixture needs."""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_id",
+        (F.col("value") + F.when(F.col("event_id") % 211 == 0, 500.0)
+         .otherwise(0.0)).alias("f1"),
+        ((F.col("event_id") * 7919) % 1000).cast("double").alias("f2"))
+    rng = pts.agg(F.min("f1").alias("lo1"), F.max("f1").alias("hi1"),
+                  F.min("f2").alias("lo2"), F.max("f2").alias("hi2"))
+    rows = []
+    for t in range(1, _ISO_TREES + 1):
+        rows.append((t, ""))
+        for d in range(1, _ISO_DEPTH):
+            for i in range(2 ** d):
+                rows.append((t, format(i, f"0{d}b")))
+    nodes = e.sparkSession.createDataFrame(rows, "t int, path string")
+    h = lambda suf: F.conv(F.substring(F.md5(F.concat(  # noqa: E731
+        F.col("t").cast("string"), F.lit(":"), F.col("path"),
+        F.lit(suf))), 1, 8), 16, 10).cast("bigint")
+    frac = h(":t") / F.lit(4294967296.0)
+    nodep = (nodes.crossJoin(F.broadcast(rng))
+             .select("t", "path", (h(":f") % 2).alias("feat"),
+                     F.when(h(":f") % 2 == 0,
+                            F.col("lo1") + frac
+                            * (F.col("hi1") - F.col("lo1")))
+                     .otherwise(F.col("lo2") + frac
+                                * (F.col("hi2") - F.col("lo2")))
+                     .alias("thr")))
+    trees = nodes.select("t").distinct()
+    a = (pts.crossJoin(F.broadcast(trees))
+         .withColumn("path", F.lit("")))
+    for _ in range(_ISO_DEPTH):
+        np_ = nodep.withColumnRenamed("path", "npath")
+        bit = F.when(F.when(F.col("feat") == 0, F.col("f1"))
+                     .otherwise(F.col("f2")) > F.col("thr"), "1") \
+            .otherwise("0")
+        a = (a.join(F.broadcast(np_), (np_.t == a.t)
+                    & (F.col("npath") == F.col("path")))
+             .select(a.event_id, a.f1, a.f2, a.t,
+                     F.concat(a.path, bit).alias("path")))
+    occ = a.groupBy("t", "path").agg(F.count("*").alias("c"))
+    score = (a.join(occ, ["t", "path"])
+             .groupBy("event_id")
+             .agg(F.sum("c").cast("bigint").alias("isolation_score")))
+    return (score.select(
+        "event_id", "isolation_score",
+        F.when(F.col("event_id") % 211 == 0, 1).otherwise(0)
+        .alias("injected"))
+        .orderBy("isolation_score", "event_id").limit(20))

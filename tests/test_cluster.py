@@ -191,3 +191,76 @@ def test_huber_resists_outliers(spark):
     # outside delta=5; the gate is that downweighting is a strict
     # minority, not the near-half a delta-misconfigured fit would show
     assert n / 37 * 0.5 < hub["n_downweighted"] < 0.35 * n
+
+
+def test_mutual_information_ranking_and_bounds(spark):
+    """MI must be non-negative, bounded by the label entropy, match a
+    python twin, and rank price (which nearly determines the label)
+    first."""
+    import math
+    from collections import Counter
+
+    from challenge8_movies_etl_spark.queries_ml import (
+        q_mutual_information)
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem") \
+        .select("l_quantity", "l_discount", "l_extendedprice").collect()
+    feats = {"quantity": [], "discount": [], "price": []}
+    for r in li:
+        lab = 1 if r["l_extendedprice"] * (1 - r["l_discount"]) > 50000 \
+            else 0
+        feats["quantity"].append((r["l_quantity"], lab))
+        feats["discount"].append((r["l_discount"], lab))
+        feats["price"].append((r["l_extendedprice"], lab))
+    n = len(li)
+    expect = {}
+    for f, pts in feats.items():
+        lo = min(v for v, _ in pts)
+        hi = max(v for v, _ in pts)
+        joint = Counter()
+        for v, lab in pts:
+            b = min(int(math.floor((v - lo) * 10 / (hi - lo))), 9)
+            joint[(b, lab)] += 1
+        cb = Counter()
+        cl = Counter()
+        for (b, lab), c in joint.items():
+            cb[b] += c
+            cl[lab] += c
+        from decimal import Decimal
+        tot = Decimal(0)
+        for (b, lab), c in sorted(joint.items()):
+            t = round((c / n) * math.log(c * n / (cb[b] * cl[lab])), 10)
+            tot += Decimal(str(f"{t:.10f}"))
+        expect[f] = float(round(tot, 6)) + 0.0
+    got = {r["feature"]: r["mi_nats"]
+           for r in q_mutual_information(spark, SF_SMOKE).collect()}
+    assert got == expect
+    lab_counts = Counter(l for _, l in feats["price"])
+    h_label = -sum((c / n) * math.log(c / n)
+                   for c in lab_counts.values())
+    for f, mi in got.items():
+        assert -1e-9 <= mi <= h_label + 1e-6
+    assert max(got, key=got.get) == "price"
+
+
+def test_isoforest_flags_injected_outliers(spark):
+    """The injected +500 extremes must fill the top-20 anomaly list,
+    and every score must be a positive leaf-population sum bounded by
+    trees * n."""
+    from challenge8_movies_etl_spark.queries_ml import (
+        q_outlier_isoforest)
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = q_outlier_isoforest(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    n = load_table(spark, SF_SMOKE, "events").count()
+    assert sum(r["injected"] for r in rows) >= 3  # all ~4 injected at smoke
+    scores = [r["isolation_score"] for r in rows]
+    assert scores == sorted(scores)
+    assert all(4 <= s <= 4 * n for s in scores)
+    # injected points must score strictly below the list's tail
+    inj = [r["isolation_score"] for r in rows if r["injected"]]
+    assert min(inj) == scores[0]
