@@ -1276,3 +1276,90 @@ def q_rake_keywords(spark, sf_dir):
             .agg(F.max("score").alias("score"),
                  F.count("*").alias("n_occur"))
             .orderBy(F.desc("score"), "phrase").limit(15))
+
+
+# ---------------------------------------------------------------------------
+# q_survival_nelson_aalen — cumulative-hazard estimator
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_survival_nelson_aalen",
+    oracle="""
+    WITH durations AS (
+      SELECT date_diff('day', cast(o.o_orderdate as date),
+                       cast(l.l_shipdate as date)) AS t,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ev
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    per_t AS (
+      SELECT t, count(*) AS c, cast(sum(ev) as bigint) AS d
+      FROM durations GROUP BY 1
+    ),
+    risk AS (
+      SELECT t, d,
+             cast(sum(c) OVER (ORDER BY t DESC) as bigint) AS n_risk
+      FROM per_t
+    ),
+    terms AS (
+      SELECT t, d, n_risk,
+             cast(round(cast(d as double) / n_risk, 10)
+                  as decimal(16,10)) AS hterm,
+             cast(round(cast(d as double) / (cast(n_risk as double)
+                                             * n_risk), 10)
+                  as decimal(16,10)) AS vterm
+      FROM risk WHERE d > 0
+    )
+    SELECT t, n_risk, d AS d_events,
+           round(cast(sum(hterm) OVER (ORDER BY t) as double), 6)
+             AS cum_hazard,
+           round(cast(sum(vterm) OVER (ORDER BY t) as double), 8)
+             AS hazard_var
+    FROM terms
+    ORDER BY t
+    LIMIT 25
+    """,
+)
+def q_survival_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative-hazard estimator over the same
+    order-to-ship time-to-return data as q_survival_km: H(t) =
+    sum_{t_i<=t} d_i/n_i with its standard variance estimate
+    sum d_i/n_i² — the hazard-scale companion the survival pair
+    needs (KM answers 'what fraction survives', Nelson-Aalen 'how
+    fast does risk accumulate', and -ln(KM) ~ H is the classic
+    cross-check, test-pinned). Each increment is one IEEE division
+    10dp-quantized into exact-decimal running sums, so every output
+    row hash-matches.
+
+    Scale: identical shape to q_survival_km — one joined histogram
+    pass, then windows over the |distinct t| relation."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    dur = (l.join(o, l.l_orderkey == o.o_orderkey)
+           .select(F.datediff(F.col("l_shipdate").cast("date"),
+                              F.col("o_orderdate").cast("date"))
+                   .alias("t"),
+                   F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+                   .alias("ev")))
+    per_t = dur.groupBy("t").agg(F.count("*").alias("c"),
+                                 F.sum("ev").alias("d"))
+    risk = per_t.select(
+        "t", "d",
+        F.sum("c").over(W.orderBy(F.desc("t"))).alias("n_risk"))
+    terms = (risk.filter(F.col("d") > 0)
+             .select("t", "d", "n_risk",
+                     F.round(F.col("d").cast("double")
+                             / F.col("n_risk"), 10)
+                     .cast("decimal(16,10)").alias("hterm"),
+                     F.round(F.col("d").cast("double")
+                             / (F.col("n_risk").cast("double")
+                                * F.col("n_risk")), 10)
+                     .cast("decimal(16,10)").alias("vterm")))
+    wcum = W.orderBy("t")
+    return (terms.select(
+        "t", "n_risk", F.col("d").alias("d_events"),
+        F.round(F.sum("hterm").over(wcum).cast("double"), 6)
+        .alias("cum_hazard"),
+        F.round(F.sum("vterm").over(wcum).cast("double"), 8)
+        .alias("hazard_var"))
+        .orderBy("t").limit(25))

@@ -246,3 +246,25 @@ def test_rake_matches_python_twin(spark):
     got = [(r["phrase"], r["score"], r["n_occur"])
            for r in q_rake_keywords(spark, SF_SMOKE).collect()]
     assert got == expect
+
+
+def test_nelson_aalen_crosschecks_km(spark):
+    """H(t) must be nondecreasing, its variance positive and smaller,
+    and -ln(KM survival) must approximate H (the classical identity,
+    tight while d_i << n_i)."""
+    import math
+
+    from challenge8_movies_etl_spark.queries_curation import (
+        q_survival_km, q_survival_nelson_aalen)
+    from tests.conftest import SF_SMOKE
+
+    na = q_survival_nelson_aalen(spark, SF_SMOKE).collect()
+    km = {r["t"]: r["survival"]
+          for r in q_survival_km(spark, SF_SMOKE).collect()}
+    hz = [r["cum_hazard"] for r in na]
+    assert hz == sorted(hz) and hz[0] > 0
+    for r in na:
+        assert 0 < r["hazard_var"] < r["cum_hazard"]
+        if r["t"] in km and km[r["t"]] > 0:
+            assert abs(-math.log(km[r["t"]]) - r["cum_hazard"]) \
+                < 0.05 * r["cum_hazard"] + 0.01
