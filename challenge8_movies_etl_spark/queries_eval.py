@@ -2255,3 +2255,158 @@ def q_offpolicy_dr(spark, sf_dir):
                  (F.round(F.sum(F.col("t").cast(DECS)).cast("double")
                           / F.count("*"), 6) + 0.0).alias("dr_value"))
             .orderBy("ctx"))
+
+
+# ---------------------------------------------------------------------------
+# q_roc_auc — exact tie-corrected ROC-AUC per weekly slice
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_roc_auc",
+    oracle="""
+    WITH scored AS (
+      SELECT cast(floor((date_part('day', ts) - 1) / 7) as integer)
+               AS week_slice,
+             cast(round(value, 3) * 1000 as decimal(7,0)) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events
+    ),
+    g AS (
+      SELECT week_slice, v,
+             cast(sum(pos) as bigint) AS np_v,
+             cast(count(*) as bigint) AS n_v
+      FROM scored GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT week_slice, np_v, n_v,
+             sum(n_v) OVER (PARTITION BY week_slice ORDER BY v) AS cum
+      FROM g
+    ),
+    agg AS (
+      SELECT week_slice,
+             cast(sum(np_v * (2 * cum - n_v + 1)) as bigint) AS rp2,
+             cast(sum(np_v) as bigint) AS n_pos,
+             cast(sum(n_v) - sum(np_v) as bigint) AS n_neg
+      FROM rk GROUP BY 1
+    )
+    SELECT week_slice, n_pos, n_neg,
+           round(cast(rp2 - n_pos * (n_pos + 1) as double)
+                 / (2.0 * n_pos * n_neg), 6) AS auc
+    FROM agg ORDER BY week_slice
+    """,
+)
+def q_roc_auc(spark, sf_dir):
+    """Exact tie-corrected ROC-AUC of `value` as a classifier score for
+    purchase events, per weekly slice — the rank-statistic identity
+    AUC = (R_pos - n1(n1+1)/2) / (n1*n0) with AVERAGE ranks for ties,
+    i.e. exactly the Mann-Whitney U normalization (q_mannwhitney_u's
+    doubled-rank integer discipline reused: tied doubled average rank
+    2*cum - n_v + 1 is always an integer, so the whole statistic is
+    exact integers until one final IEEE division). No threshold sweep,
+    no trapezoid: the rank form IS the area, exactly.
+
+    Scale: one map-side-combined groupBy on (slice, milli-value key),
+    one windowed cumsum over the distinct-value relation per slice
+    (bounded by value cardinality, not row count), one scalar agg per
+    slice. Slices partition the rank windows, so nothing is global."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        F.floor((F.dayofmonth("ts") - 1) / 7).cast("int")
+        .alias("week_slice"),
+        (F.round("value", 3) * 1000).cast("decimal(7,0)").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        .alias("pos"))
+    g = (scored.groupBy("week_slice", "v")
+         .agg(F.sum("pos").cast("long").alias("np_v"),
+              F.count("*").alias("n_v")))
+    rk = g.select(
+        "week_slice", "np_v", "n_v",
+        F.sum("n_v").over(
+            W.partitionBy("week_slice").orderBy("v")
+            .rangeBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"))
+    agg = (rk.groupBy("week_slice")
+           .agg(F.sum(F.col("np_v") * (2 * F.col("cum") - F.col("n_v") + 1))
+                .cast("long").alias("rp2"),
+                F.sum("np_v").cast("long").alias("n_pos"),
+                (F.sum("n_v") - F.sum("np_v")).cast("long").alias("n_neg")))
+    return (agg.select(
+        "week_slice", "n_pos", "n_neg",
+        F.round(F.expr("cast(rp2 - n_pos * (n_pos + 1) as double)")
+                / (2.0 * F.col("n_pos") * F.col("n_neg")), 6)
+        .alias("auc"))
+        .orderBy("week_slice"))
+
+
+# ---------------------------------------------------------------------------
+# q_average_precision — exact AP (area under the PR curve) per day
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_average_precision",
+    oracle="""
+    WITH scored AS (
+      SELECT cast(date_part('day', ts) as integer) AS day,
+             event_id,
+             cast(round(value, 3) * 1000 as decimal(7,0)) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel
+      FROM events
+    ),
+    ranked AS (
+      SELECT day, rel,
+             row_number() OVER (PARTITION BY day
+                                ORDER BY v DESC, event_id) AS k,
+             sum(rel) OVER (PARTITION BY day
+                            ORDER BY v DESC, event_id) AS cum_rel
+      FROM scored
+    ),
+    terms AS (
+      SELECT day,
+             cast(round(cast(cum_rel as double) / k, 10)
+                  as decimal(16,10)) AS prec_at_k
+      FROM ranked WHERE rel = 1
+    )
+    SELECT day, cast(count(*) as bigint) AS n_rel,
+           round(cast(sum(prec_at_k) as double) / count(*), 6) AS ap
+    FROM terms GROUP BY day ORDER BY day
+    """,
+)
+def q_average_precision(spark, sf_dir):
+    """Exact average precision (the step-function area under the
+    precision-recall curve) of `value` ranking purchase events, per
+    day: AP = mean over relevant items of precision@k at each hit,
+    with the deterministic (score desc, event_id) tie-break every
+    top-k in the repo carries. The PR-space companion to q_roc_auc —
+    AUC is insensitive to class imbalance, AP is exactly what moves
+    when positives are rare (the retrieval/filtering regime an LLM
+    data pipeline lives in). Each precision@k is one IEEE division of
+    exact integers, 10dp-quantized into an exact-decimal mean.
+
+    Scale: rank windows are partitioned by day — no global ordering;
+    at corpus scale the slice key is whatever bounds an eval set."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        F.dayofmonth("ts").cast("int").alias("day"),
+        "event_id",
+        (F.round("value", 3) * 1000).cast("decimal(7,0)").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        .alias("rel"))
+    w = W.partitionBy("day").orderBy(F.desc("v"), "event_id")
+    ranked = scored.select(
+        "day", "rel",
+        F.row_number().over(w).alias("k"),
+        F.sum("rel").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum_rel"))
+    terms = (ranked.filter(F.col("rel") == 1)
+             .select("day",
+                     F.round(F.col("cum_rel").cast("double") / F.col("k"),
+                             10).cast("decimal(16,10)")
+                     .alias("prec_at_k")))
+    return (terms.groupBy("day")
+            .agg(F.count("*").alias("n_rel"),
+                 F.round(F.sum("prec_at_k").cast("double") / F.count("*"),
+                         6).alias("ap"))
+            .orderBy("day"))

@@ -808,3 +808,44 @@ def test_shapley_efficiency_and_twin(spark):
            for r in q_attribution_shapley(spark, SF_SMOKE).collect()}
     assert got == expect
     assert abs(sum(got.values()) - (v[15] - v[0])) < 5e-6
+
+
+def test_roc_auc_matches_pairwise_bruteforce(spark):
+    """The rank-form AUC must equal the brute-force P(score_pos >
+    score_neg) + 0.5 P(tie) over all pos/neg pairs, per slice."""
+    rows = QUERIES["q_roc_auc"](spark, SF_SMOKE).collect()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    by_slice = {}
+    for r in ev:
+        s = (r["ts"].day - 1) // 7
+        v = round(round(r["value"], 3) * 1000)
+        by_slice.setdefault(s, []).append(
+            (v, 1 if r["event_type"] == "purchase" else 0))
+    for r in rows:
+        pts = by_slice[r["week_slice"]]
+        pos = sorted(v for v, p in pts if p)
+        neg = sorted(v for v, p in pts if not p)
+        assert r["n_pos"] == len(pos) and r["n_neg"] == len(neg)
+        wins = sum(1.0 if vp > vn else (0.5 if vp == vn else 0.0)
+                   for vp in pos for vn in neg)
+        assert abs(r["auc"] - wins / (len(pos) * len(neg))) < 1e-6
+
+
+def test_average_precision_matches_python_twin(spark):
+    rows = QUERIES["q_average_precision"](spark, SF_SMOKE).collect()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    by_day = {}
+    for r in ev:
+        by_day.setdefault(r["ts"].day, []).append(
+            (-round(round(r["value"], 3) * 1000), r["event_id"],
+             1 if r["event_type"] == "purchase" else 0))
+    for r in rows:
+        ranked = sorted(by_day[r["day"]])
+        cum = 0
+        terms = []
+        for k, (_, _, rel) in enumerate(ranked, 1):
+            cum += rel
+            if rel:
+                terms.append(round(cum / k, 10))
+        assert r["n_rel"] == len(terms)
+        assert abs(r["ap"] - sum(terms) / len(terms)) < 1e-6
