@@ -1576,3 +1576,155 @@ def q_haar_wavelet(spark, sf_dir):
                         F.lit("approx").alias("kind"),
                         F.col("x").alias("coef"))
     return out.unionByName(approx).orderBy("level", "kind", "idx")
+
+
+# ---------------------------------------------------------------------------
+# q_ohlc_bars — open/high/low/close resampling (finance-style bars)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ohlc_bars",
+    oracle="""
+    WITH ranked AS (
+      SELECT cast(date_part('day', ts) as integer) AS day,
+             event_type, value,
+             row_number() OVER (PARTITION BY date_part('day', ts),
+                                  event_type
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY date_part('day', ts),
+                                  event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_z
+      FROM events
+    )
+    SELECT day, event_type,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN rn_z = 1 THEN value END) AS close,
+           cast(count(*) as bigint) AS volume,
+           round(cast(sum(cast(value as decimal(30,10))) as double), 4)
+             AS turnover
+    FROM ranked GROUP BY day, event_type
+    ORDER BY day, event_type
+    """,
+)
+def q_ohlc_bars(spark, sf_dir):
+    """Classic downsample-to-bars resample: per (day, event_type),
+    open = first value in time order (event_id tie-break), close =
+    last, high/low = extremes, volume = row count, turnover =
+    exact-decimal value sum. The first/last selection is expressed as
+    row_number-over-window + conditional agg — identical semantics on
+    both engines (no reliance on engine-specific first()/arg_min
+    ordering guarantees, which ARE the portability trap here: Spark's
+    first() is nondeterministic under shuffle and DuckDB's arg_min has
+    its own tie rule).
+
+    Scale: two windows + one groupBy, all partitioned by the bar key —
+    each is one shuffle on (day, event_type) and AQE coalesces them;
+    open/close never collect, the conditional agg keeps it columnar.
+    At 100 TB the bar key is (symbol, bucket) with thousands of
+    symbols — the same partitioned shape, no global ordering."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(F.dayofmonth("ts").cast("int").alias("day"),
+                    "event_type", "value", "ts", "event_id")
+    wa = W.partitionBy("day", "event_type").orderBy("ts", "event_id")
+    wz = W.partitionBy("day", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    ranked = base.select(
+        "day", "event_type", "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wz).alias("rn_z"))
+    return (ranked.groupBy("day", "event_type")
+            .agg(F.max(F.when(F.col("rn_a") == 1, F.col("value")))
+                 .alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max(F.when(F.col("rn_z") == 1, F.col("value")))
+                 .alias("close"),
+                 F.count("*").alias("volume"),
+                 dsum("value", "turnover"))
+            .orderBy("day", "event_type"))
+
+
+# ---------------------------------------------------------------------------
+# q_max_drawdown — running-peak drawdown over daily cumulative series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, cast(date_part('day', ts) as integer) AS day,
+             sum(cast(value * CASE WHEN event_type = 'error'
+                                   THEN -1 ELSE 1 END
+                      as decimal(30,10))) AS net
+      FROM events GROUP BY 1, 2
+    ),
+    curve AS (
+      SELECT event_type, day,
+             sum(net) OVER (PARTITION BY event_type ORDER BY day)
+               AS equity
+      FROM daily
+    ),
+    dd AS (
+      SELECT event_type, day, equity,
+             max(equity) OVER (PARTITION BY event_type ORDER BY day)
+               - equity AS drawdown
+      FROM curve
+    ),
+    ranked AS (
+      SELECT event_type, day AS trough_day, equity, drawdown,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY drawdown DESC, day) AS rn
+      FROM dd
+    )
+    SELECT event_type,
+           round(cast(drawdown as double), 4) AS max_drawdown,
+           trough_day,
+           round(cast(equity as double), 4) AS trough_equity
+    FROM ranked WHERE rn = 1
+    ORDER BY event_type
+    """,
+)
+def q_max_drawdown(spark, sf_dir):
+    """Maximum drawdown of the per-type daily cumulative value series
+    (errors signed negative so the curve actually dips): drawdown(t) =
+    running-peak(equity) - equity(t); report the deepest trough per
+    series with its day (earliest-day tie-break). The whole curve —
+    daily net, cumulative equity, running peak, drawdown — stays in
+    exact decimal(30,10); doubles appear only in the final rounded
+    projection, so the hash is stable by construction.
+
+    Scale: one groupBy to days, then two ordered windows partitioned
+    per series over the |days| relation — window state is bounded by
+    days-per-series, never raw rows; the argmax is row_number + filter
+    with a pinned tie-break, not a collect."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.select("event_type",
+                      F.dayofmonth("ts").cast("int").alias("day"),
+                      (F.col("value")
+                       * F.when(F.col("event_type") == "error", -1)
+                       .otherwise(1)).cast(DEC).alias("signed"))
+             .groupBy("event_type", "day")
+             .agg(F.sum("signed").alias("net")))
+    wc = W.partitionBy("event_type").orderBy("day")
+    curve = daily.select("event_type", "day",
+                         F.sum("net").over(wc).alias("equity"))
+    dd = curve.select(
+        "event_type", "day", "equity",
+        (F.max("equity").over(wc) - F.col("equity")).alias("drawdown"))
+    ranked = dd.select(
+        "event_type", F.col("day").alias("trough_day"), "equity",
+        "drawdown",
+        F.row_number().over(
+            W.partitionBy("event_type")
+            .orderBy(F.desc("drawdown"), "day")).alias("rn"))
+    return (ranked.filter(F.col("rn") == 1)
+            .select("event_type",
+                    F.round(F.col("drawdown").cast("double"), 4)
+                    .alias("max_drawdown"),
+                    "trough_day",
+                    F.round(F.col("equity").cast("double"), 4)
+                    .alias("trough_equity"))
+            .orderBy("event_type"))

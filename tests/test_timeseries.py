@@ -526,3 +526,51 @@ def test_haar_invertibility_and_total(spark):
         .agg(F.count("*").alias("x")).collect())
     series = [x for _, x in daily] + [0] * (32 - len(daily))
     assert [a[i] for i in range(1, 33)] == series
+
+
+def test_ohlc_bars_invariants_and_twin(spark):
+    from challenge8_movies_etl_spark.registry import QUERIES
+    from tests.conftest import SF_SMOKE
+    rows = QUERIES["q_ohlc_bars"](spark, SF_SMOKE).collect()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    assert sum(r["volume"] for r in rows) == len(ev)
+    by_bar = {}
+    for r in ev:
+        by_bar.setdefault((r["ts"].day, r["event_type"]), []).append(
+            (r["ts"], r["event_id"], r["value"]))
+    for r in rows:
+        pts = sorted(by_bar[(r["day"], r["event_type"])])
+        vals = [v for _, _, v in pts]
+        assert r["open"] == pts[0][2] and r["close"] == pts[-1][2]
+        assert r["high"] == max(vals) and r["low"] == min(vals)
+        assert r["low"] <= min(r["open"], r["close"])
+        assert r["high"] >= max(r["open"], r["close"])
+
+
+def test_max_drawdown_twin(spark):
+    from decimal import Decimal
+
+    from challenge8_movies_etl_spark.registry import QUERIES
+    from tests.conftest import SF_SMOKE
+    rows = {r["event_type"]: r
+            for r in QUERIES["q_max_drawdown"](spark, SF_SMOKE).collect()}
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    daily = {}
+    for r in ev:
+        sign = -1 if r["event_type"] == "error" else 1
+        key = (r["event_type"], r["ts"].day)
+        daily[key] = daily.get(key, Decimal(0)) \
+            + Decimal(repr(r["value"])).quantize(Decimal("0.0000000001")) \
+            * sign
+    for et in rows:
+        days = sorted(d for t, d in daily if t == et)
+        eq, peak, best = Decimal(0), Decimal("-Infinity"), None
+        for d in days:
+            eq += daily[(et, d)]
+            peak = max(peak, eq)
+            dd = peak - eq
+            if best is None or dd > best[0]:
+                best = (dd, d, eq)
+        assert rows[et]["trough_day"] == best[1]
+        assert abs(rows[et]["max_drawdown"] - float(best[0])) < 1e-4
+        assert rows[et]["max_drawdown"] >= 0
