@@ -1734,3 +1734,111 @@ def q_outlier_isoforest(spark, sf_dir):
         F.when(F.col("event_id") % 211 == 0, 1).otherwise(0)
         .alias("injected"))
         .orderBy("isolation_score", "event_id").limit(20))
+
+
+# ---------------------------------------------------------------------------
+# q_kmv_distinct — K-Minimum-Values cardinality sketch with exact merge
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_SPACE = float(1 << 60)
+
+
+@query(
+    "q_kmv_distinct",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT l_returnflag AS grp,
+             cast(('0x' || substr(md5('kmv:' || cast(l_partkey as varchar)),
+                                  1, 15)) as bigint) AS h
+      FROM lineitem
+    ),
+    kept AS (
+      SELECT grp, h,
+             row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+      FROM hashed
+    ),
+    groups AS (
+      SELECT grp, max(h) AS h_k, cast(count(*) as bigint) AS k_used
+      FROM kept WHERE rn <= {_KMV_K} GROUP BY grp
+    ),
+    merged_kept AS (
+      SELECT h, row_number() OVER (ORDER BY h) AS rn
+      FROM (SELECT DISTINCT h FROM kept WHERE rn <= {_KMV_K})
+    ),
+    merged AS (
+      SELECT 'ALL' AS grp, max(h) AS h_k, cast(count(*) as bigint) AS k_used
+      FROM merged_kept WHERE rn <= {_KMV_K}
+    ),
+    exact AS (
+      SELECT l_returnflag AS grp,
+             cast(count(DISTINCT l_partkey) as bigint) AS exact_distinct
+      FROM lineitem GROUP BY 1
+      UNION ALL
+      SELECT 'ALL', cast(count(DISTINCT l_partkey) as bigint)
+      FROM lineitem
+    )
+    SELECT s.grp, s.k_used,
+           round((s.k_used - 1) * {_KMV_SPACE!r} / s.h_k, 2)
+             AS est_distinct,
+           e.exact_distinct,
+           round(abs((s.k_used - 1) * {_KMV_SPACE!r} / s.h_k
+                     - e.exact_distinct) / e.exact_distinct, 4)
+             AS rel_err
+    FROM (SELECT * FROM groups UNION ALL SELECT * FROM merged) s
+    JOIN exact e ON s.grp = e.grp
+    ORDER BY s.grp
+    """,
+)
+def q_kmv_distinct(spark, sf_dir):
+    """K-Minimum-Values distinct-count sketch (Bar-Yossef et al. 2002):
+    per group keep the k smallest 60-bit md5 hashes of the key; the
+    kth minimum h_k estimates cardinality as (k-1)/(h_k/2^60). The
+    third mergeable-sketch rung beside HLL (q_hll_intersection) and
+    MinHash (q_minhash_reagg) — and unlike HLL's register maxima, a
+    KMV merge is EXACTLY set-union-then-retruncate, shown here: the
+    'ALL' row is built only from the per-group sketches, never from
+    the raw data, which is precisely the two-level re-aggregation a
+    100 TB rollup runs (partition sketches -> region sketches ->
+    global). md5 keys both engines identically (portable-hash house
+    rule), so estimates hash-match exactly; exact counts ride along
+    so the oracle also pins the error the sketch actually makes.
+
+    Scale: DISTINCT on (group, hash) with map-side combine, then a
+    bounded window over at most k rows per group — the kept-set
+    relation is k*|groups| rows regardless of corpus size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hashed = (li.select(F.col("l_returnflag").alias("grp"),
+                        F.conv(F.substring(
+                            F.md5(F.concat(F.lit("kmv:"),
+                                           F.col("l_partkey")
+                                           .cast("string"))), 1, 15),
+                            16, 10).cast("bigint").alias("h"))
+              .distinct())
+    kept = hashed.select(
+        "grp", "h",
+        F.row_number().over(
+            W.partitionBy("grp").orderBy("h")).alias("rn")) \
+        .filter(F.col("rn") <= _KMV_K)
+    groups = kept.groupBy("grp").agg(F.max("h").alias("h_k"),
+                                     F.count("*").alias("k_used"))
+    merged = (kept.select("h").distinct()
+              .select("h", F.row_number().over(W.orderBy("h")).alias("rn"))
+              .filter(F.col("rn") <= _KMV_K)
+              .agg(F.max("h").alias("h_k"), F.count("*").alias("k_used"))
+              .select(F.lit("ALL").alias("grp"), "h_k", "k_used"))
+    sketches = groups.unionByName(merged)
+    exact = (li.groupBy(F.col("l_returnflag").alias("grp"))
+             .agg(F.countDistinct("l_partkey").alias("exact_distinct"))
+             .unionByName(
+                 li.agg(F.countDistinct("l_partkey")
+                        .alias("exact_distinct"))
+                 .select(F.lit("ALL").alias("grp"), "exact_distinct")))
+    est = (F.col("k_used") - 1) * F.lit(_KMV_SPACE) / F.col("h_k")
+    return (sketches.join(exact, "grp")
+            .select("grp", "k_used",
+                    F.round(est, 2).alias("est_distinct"),
+                    "exact_distinct",
+                    F.round(F.abs(est - F.col("exact_distinct"))
+                            / F.col("exact_distinct"), 4).alias("rel_err"))
+            .orderBy("grp"))

@@ -264,3 +264,32 @@ def test_isoforest_flags_injected_outliers(spark):
     # injected points must score strictly below the list's tail
     inj = [r["isolation_score"] for r in rows if r["injected"]]
     assert min(inj) == scores[0]
+
+
+def test_kmv_distinct_merge_is_union_and_error_bounded(spark):
+    """The ALL sketch must equal union-then-retruncate of the group
+    sketches (python twin), and every estimate must sit inside the
+    ~2/sqrt(k) KMV error envelope."""
+    import hashlib
+
+    from challenge8_movies_etl_spark.queries_ml import _KMV_K
+    from challenge8_movies_etl_spark.registry import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = {r["grp"]: r
+            for r in QUERIES["q_kmv_distinct"](spark, SF_SMOKE).collect()}
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet") \
+        .select("l_returnflag", "l_partkey").collect()
+    sketches = {}
+    for r in li:
+        h = int(hashlib.md5(
+            f"kmv:{r['l_partkey']}".encode()).hexdigest()[:15], 16)
+        sketches.setdefault(r["l_returnflag"], set()).add(h)
+    kept = {g: sorted(s)[:_KMV_K] for g, s in sketches.items()}
+    merged = sorted(set().union(*kept.values()))[:_KMV_K]
+    assert rows["ALL"]["k_used"] == len(merged)
+    est = (len(merged) - 1) * float(1 << 60) / merged[-1]
+    assert abs(rows["ALL"]["est_distinct"] - round(est, 2)) < 1e-6
+    for g, r in rows.items():
+        if r["exact_distinct"] >= _KMV_K:
+            assert r["rel_err"] < 2.5 / (_KMV_K ** 0.5)
