@@ -1315,3 +1315,128 @@ def q_huber_regression(spark, sf_dir):
                     (F.round("b1", 6) + 0.0).alias("slope"),
                     "n_downweighted")
             .orderBy("method"))
+
+
+# ---------------------------------------------------------------------------
+# q_cuped — pre-experiment covariate variance reduction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cuped",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, cast(user_id % 2 as integer) AS variant,
+             cast(sum(CASE WHEN date_part('day', ts) <= 15
+                           THEN cast(value as decimal(30,10))
+                           ELSE cast(0 as decimal(30,10)) END)
+                  as double) AS x,
+             cast(sum(CASE WHEN date_part('day', ts) > 15
+                           THEN cast(value as decimal(30,10))
+                           ELSE cast(0 as decimal(30,10)) END)
+                  as double) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    moments AS (
+      SELECT cast(count(*) as bigint) AS n,
+             cast(sum(cast(x as decimal(30,10))) as double) AS sx,
+             cast(sum(cast(y as decimal(30,10))) as double) AS sy,
+             cast(sum(cast(x * y as decimal(30,10))) as double) AS sxy,
+             cast(sum(cast(x * x as decimal(30,10))) as double) AS sxx
+      FROM per_user
+    ),
+    params AS (
+      SELECT round((sxy - sx * sy / n) / (sxx - sx * sx / n), 10)
+               AS theta,
+             round(sx / n, 10) AS mx
+      FROM moments
+    ),
+    adjusted AS (
+      SELECT variant, y,
+             round(y - theta * (x - mx), 8) AS y_adj
+      FROM per_user, params
+    )
+    SELECT variant, cast(count(*) as bigint) AS n_users,
+           round(cast(sum(cast(y as decimal(30,10))) as double)
+                 / count(*), 4) AS mean_y,
+           round(cast(sum(cast(y_adj as decimal(30,10))) as double)
+                 / count(*), 4) AS mean_y_adj,
+           round((cast(sum(cast(round(y * y, 6) as decimal(30,10)))
+                       as double)
+                  - cast(sum(cast(y as decimal(30,10))) as double)
+                    * sum(cast(y as decimal(30,10))) / count(*))
+                 / count(*), 2) AS var_y,
+           round((cast(sum(cast(round(y_adj * y_adj, 6)
+                                as decimal(30,10))) as double)
+                  - cast(sum(cast(y_adj as decimal(30,10))) as double)
+                    * sum(cast(y_adj as decimal(30,10))) / count(*))
+                 / count(*), 2) AS var_y_adj
+    FROM adjusted GROUP BY variant ORDER BY variant
+    """,
+)
+def q_cuped(spark, sf_dir):
+    """CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
+    al. WSDM'13): adjust each user's experiment-period metric Y by the
+    pooled regression on their pre-period metric X — Y' = Y -
+    theta(X - mean X), theta = cov(X,Y)/var(X) — which removes the
+    between-user variance X explains and shrinks the A/B confidence
+    interval at identical sample size. Days 1-15 are the pre-period,
+    16-30 the experiment; variant = user_id % 2 (the md5-free split is
+    fine here: the point is the variance accounting, and user_id is
+    the unit of randomization either way). All reductions are exact
+    decimal; theta and mean-X are 10dp-pinned scalars broadcast into
+    the per-user adjustment, and per-row squares are 6dp-quantized
+    before the decimal variance sums so both engines hash-match.
+
+    Scale: one groupBy(user) pass, one 5-double scalar agg, one
+    broadcast of the 1-row params into the per-user relation, one
+    groupBy(variant) — no window, no global sort; at 100 TB the
+    per-user pass is the only real shuffle and it is map-side
+    combinable."""
+    e = load_table(spark, sf_dir, "events")
+    dec = "decimal(30,10)"
+    zero = F.lit(0).cast(dec)
+    per_user = (e.groupBy("user_id",
+                          (F.col("user_id") % 2).cast("int")
+                          .alias("variant"))
+                .agg(F.sum(F.when(F.dayofmonth("ts") <= 15,
+                                  F.col("value").cast(dec))
+                           .otherwise(zero)).cast("double").alias("x"),
+                     F.sum(F.when(F.dayofmonth("ts") > 15,
+                                  F.col("value").cast(dec))
+                           .otherwise(zero)).cast("double").alias("y")))
+    moments = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double")
+        .alias("sxx"))
+    params = moments.select(
+        F.round((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+                / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")),
+                10).alias("theta"),
+        F.round(F.col("sx") / F.col("n"), 10).alias("mx"))
+    adjusted = (per_user.join(F.broadcast(params))
+                .select("variant", "y",
+                        F.round(F.col("y") - F.col("theta")
+                                * (F.col("x") - F.col("mx")), 8)
+                        .alias("y_adj")))
+
+    def var_of(c: str, alias: str):
+        s = F.sum(F.col(c).cast(dec)).cast("double")
+        sq = F.sum(F.round(F.col(c) * F.col(c), 6).cast(dec)) \
+            .cast("double")
+        return F.round((sq - s * F.sum(F.col(c).cast(dec)) / F.count("*"))
+                       / F.count("*"), 2).alias(alias)
+
+    return (adjusted.groupBy("variant")
+            .agg(F.count("*").alias("n_users"),
+                 F.round(F.sum(F.col("y").cast(dec)).cast("double")
+                         / F.count("*"), 4).alias("mean_y"),
+                 F.round(F.sum(F.col("y_adj").cast(dec)).cast("double")
+                         / F.count("*"), 4).alias("mean_y_adj"),
+                 var_of("y", "var_y"),
+                 var_of("y_adj", "var_y_adj"))
+            .orderBy("variant"))

@@ -849,3 +849,21 @@ def test_average_precision_matches_python_twin(spark):
                 terms.append(round(cum / k, 10))
         assert r["n_rel"] == len(terms)
         assert abs(r["ap"] - sum(terms) / len(terms)) < 1e-6
+
+
+def test_cuped_preserves_pooled_mean_and_reduces_variance(spark):
+    """Pooled over both variants, the CUPED adjustment must leave the
+    mean untouched (sum of theta*(x - mean x) is zero by construction)
+    and must not increase pooled variance — the whole point of the
+    estimator."""
+    rows = QUERIES["q_cuped"](spark, SF_SMOKE).collect()
+    assert len(rows) == 2
+    n = sum(r["n_users"] for r in rows)
+    pooled_y = sum(r["mean_y"] * r["n_users"] for r in rows) / n
+    pooled_adj = sum(r["mean_y_adj"] * r["n_users"] for r in rows) / n
+    assert abs(pooled_y - pooled_adj) < 1e-2
+    pooled_var = sum(r["var_y"] * r["n_users"] for r in rows)
+    pooled_var_adj = sum(r["var_y_adj"] * r["n_users"] for r in rows)
+    assert pooled_var_adj <= pooled_var
+    for r in rows:
+        assert r["var_y_adj"] > 0
