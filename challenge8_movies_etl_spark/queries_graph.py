@@ -1082,3 +1082,110 @@ def q_graph_betweenness(spark, sf_dir):
     return (acc.orderBy(F.desc("bc"), "node").limit(20)
             .select("node", kind.alias("kind"),
                     (F.round("bc", 6) + 0.0).alias("betweenness")))
+
+
+# ---------------------------------------------------------------------------
+# q_graph_closeness — bounded harmonic closeness centrality (multi-source)
+# ---------------------------------------------------------------------------
+
+_CLOSE_HOPS = 4
+_CLOSE_SOURCES = 10
+
+
+def _closeness_oracle() -> str:
+    steps = []
+    for i in range(1, _CLOSE_HOPS + 1):
+        steps.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT s, node, min(dist) AS dist FROM (
+    SELECT s, node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT d.s, e.dst AS node, d.dist + 1 AS dist
+    FROM edges e JOIN d{i - 1} d ON d.node = e.src
+  ) GROUP BY s, node
+)""")
+    return f"""
+WITH {_SSSP_EDGES_CTE},
+deg AS (
+  SELECT src, count(*) AS degree FROM edges GROUP BY src
+),
+sources AS (
+  SELECT src AS s FROM (
+    SELECT src, row_number() OVER (ORDER BY degree DESC, src) AS rn
+    FROM deg
+  ) WHERE rn <= {_CLOSE_SOURCES}
+),
+d0 AS (
+  SELECT s, s AS node, 0 AS dist FROM sources
+){''.join(steps)}
+SELECT s AS source,
+       cast(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END) as bigint) AS n1,
+       cast(sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END) as bigint) AS n2,
+       cast(sum(CASE WHEN dist = 3 THEN 1 ELSE 0 END) as bigint) AS n3,
+       cast(sum(CASE WHEN dist = 4 THEN 1 ELSE 0 END) as bigint) AS n4,
+       round(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END)
+             + sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END) / 2.0
+             + sum(CASE WHEN dist = 3 THEN 1 ELSE 0 END) / 3.0
+             + sum(CASE WHEN dist = 4 THEN 1 ELSE 0 END) / 4.0, 6)
+         AS harmonic
+FROM d{_CLOSE_HOPS} WHERE dist > 0
+GROUP BY s ORDER BY s
+"""
+
+
+@query("q_graph_closeness", oracle=_closeness_oracle())
+def q_graph_closeness(spark, sf_dir):
+    """Bounded harmonic closeness centrality: from the 10
+    highest-degree suppliers (degree-desc, key-asc tie-break), run 4
+    rounds of multi-source BFS over the supplier co-occurrence graph
+    keyed by (source, node), then score each source as sum over
+    reached nodes of 1/dist. Harmonic (not classic 1/sum-dist)
+    closeness is the right form under a hop bound — unreached nodes
+    contribute 0 instead of poisoning the denominator (Boldi &
+    Vigna's argument for harmonic on disconnected graphs). Distances
+    are exact integers; the final score is ONE IEEE expression over
+    the four per-distance integer counts, identical on both engines
+    with plain rounding.
+
+    Scale: the landmark pattern — closeness for a pinned source set,
+    not all-pairs; the BFS state is |sources| x |reached| rows keyed
+    by (s, node), each round one join-shuffle + map-side min, the
+    SSSP/pagerank shape. Source count and hop bound cap both state
+    and rounds; at 100 TB you'd sample sources (Eppstein-Wang) with
+    exactly this loop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    pairs = (a.join(b, (F.col("a.l_partkey") == F.col("b.l_partkey"))
+                    & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+             .groupBy(F.col("a.l_suppkey").alias("u"),
+                      F.col("b.l_suppkey").alias("v"))
+             .agg(F.count("*").alias("shared")))
+    edges = (pairs.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+             .unionByName(pairs.select(F.col("v").alias("src"),
+                                       F.col("u").alias("dst")))
+             .persist())
+    deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+    sources = (deg.select("src",
+                          F.row_number().over(
+                              W.orderBy(F.desc("degree"), "src"))
+                          .alias("rn"))
+               .filter(F.col("rn") <= _CLOSE_SOURCES)
+               .select(F.col("src").alias("s")))
+    dist = sources.select("s", F.col("s").alias("node"),
+                          F.lit(0).cast("bigint").alias("dist"))
+    for _ in range(_CLOSE_HOPS):
+        cand = (edges.join(dist, dist.node == edges.src)
+                .select("s", F.col("dst").alias("node"),
+                        (F.col("dist") + 1).alias("dist")))
+        dist = (dist.unionByName(cand)
+                .groupBy("s", "node").agg(F.min("dist").alias("dist")))
+    reached = dist.filter(F.col("dist") > 0)
+    cnt = [F.sum(F.when(F.col("dist") == d, 1).otherwise(0))
+           .cast("long").alias(f"n{d}") for d in (1, 2, 3, 4)]
+    out = reached.groupBy(F.col("s").alias("source")).agg(*cnt)
+    return (out.select(
+        "source", "n1", "n2", "n3", "n4",
+        F.round(F.col("n1") + F.col("n2") / 2.0 + F.col("n3") / 3.0
+                + F.col("n4") / 4.0, 6).alias("harmonic"))
+        .orderBy("source"))
