@@ -383,3 +383,46 @@ def test_betweenness_matches_python_brandes(spark):
     # in a bipartite graph the suppliers bridge customer pairs: the
     # top broker must be a supplier
     assert got[0][1] % 2 == 1
+
+
+def test_closeness_matches_python_bfs(spark):
+    """Harmonic closeness must equal a pure-python bounded BFS from
+    the same top-degree sources over the same co-occurrence graph."""
+    from collections import deque
+
+    from challenge8_movies_etl_spark.queries_graph import (
+        _CLOSE_HOPS, _CLOSE_SOURCES)
+    from challenge8_movies_etl_spark.registry import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = {r["source"]: r
+            for r in QUERIES["q_graph_closeness"](spark, SF_SMOKE)
+            .collect()}
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet") \
+        .select("l_partkey", "l_suppkey").distinct().collect()
+    by_part = {}
+    for r in li:
+        by_part.setdefault(r["l_partkey"], set()).add(r["l_suppkey"])
+    adj = {}
+    for supps in by_part.values():
+        for u in supps:
+            for v in supps:
+                if u != v:
+                    adj.setdefault(u, set()).add(v)
+    deg = {u: len(vs) for u, vs in adj.items()}
+    srcs = sorted(deg, key=lambda u: (-deg[u], u))[:_CLOSE_SOURCES]
+    assert sorted(rows) == sorted(srcs)
+    for s in srcs:
+        seen = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if seen[u] >= _CLOSE_HOPS:
+                continue
+            for v in adj.get(u, ()):
+                if v not in seen:
+                    seen[v] = seen[u] + 1
+                    q.append(v)
+        h = sum(1.0 / d for d in seen.values() if d > 0)
+        assert abs(rows[s]["harmonic"] - round(h, 6)) < 1e-6
+        assert rows[s]["n1"] == deg.get(s, 0)
