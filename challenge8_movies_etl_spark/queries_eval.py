@@ -2410,3 +2410,133 @@ def q_average_precision(spark, sf_dir):
                  F.round(F.sum("prec_at_k").cast("double") / F.count("*"),
                          6).alias("ap"))
             .orderBy("day"))
+
+
+# ---------------------------------------------------------------------------
+# q_rouge_n — ROUGE-1/2 overlap F1 between paired documents
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_rouge_n",
+    oracle="""
+    WITH paired AS (
+      SELECT source, doc_id AS pid, text AS cand,
+             lead(text) OVER (PARTITION BY source ORDER BY doc_id)
+               AS ref
+      FROM documents
+    ),
+    pairs AS (
+      SELECT source, pid, string_split(cand, ' ') AS ct,
+             string_split(ref, ' ') AS rt
+      FROM paired WHERE ref IS NOT NULL
+    ),
+    grams AS (
+      SELECT source, pid, 1 AS n, len(ct) AS n_cand, len(rt) AS n_ref,
+             ct AS cg, rt AS rg FROM pairs
+      UNION ALL
+      SELECT source, pid, 2,
+             greatest(len(ct) - 1, 0), greatest(len(rt) - 1, 0),
+             [ct[i] || ' ' || ct[i + 1]
+              FOR i IN range(1, greatest(len(ct), 1))],
+             [rt[i] || ' ' || rt[i + 1]
+              FOR i IN range(1, greatest(len(rt), 1))]
+      FROM pairs
+    ),
+    cc AS (
+      SELECT source, pid, n, u.g AS g, count(*) AS c
+      FROM grams, unnest(cg) u(g) GROUP BY 1, 2, 3, 4
+    ),
+    rc AS (
+      SELECT source, pid, n, u.g AS g, count(*) AS c
+      FROM grams, unnest(rg) u(g) GROUP BY 1, 2, 3, 4
+    ),
+    ov AS (
+      SELECT cc.source, cc.pid, cc.n,
+             cast(sum(least(cc.c, rc.c)) as bigint) AS overlap
+      FROM cc JOIN rc ON cc.pid = rc.pid AND cc.n = rc.n
+                     AND cc.g = rc.g
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT g.source, g.n,
+             cast(round(CASE
+               WHEN coalesce(o.overlap, 0) = 0 THEN 0.0
+               ELSE 2.0 * o.overlap / (g.n_cand + g.n_ref)
+             END, 10) as decimal(16,10)) AS f1
+      FROM grams g LEFT JOIN ov o
+        ON o.pid = g.pid AND o.n = g.n
+    )
+    SELECT source, n AS gram_n, cast(count(*) as bigint) AS n_pairs,
+           round(cast(sum(f1) as double) / count(*), 6) AS mean_f1
+    FROM scored GROUP BY 1, 2 ORDER BY source, gram_n
+    """,
+)
+def q_rouge_n(spark, sf_dir):
+    """ROUGE-1 and ROUGE-2 F1 between each document and its successor
+    within the same source (lead-over-doc_id pairing — the repo's
+    deterministic stand-in for candidate/reference summary pairs):
+    clipped n-gram overlap sum_g min(c_cand(g), c_ref(g)), and the
+    standard identity F1 = 2*overlap/(|cand|+|ref|), which needs no
+    separate P and R divisions (they share the overlap numerator).
+    Per-pair F1 is one IEEE division 10dp-quantized into exact-decimal
+    per-source means. A zero-overlap or empty-side pair scores 0 by
+    the CASE guard — no divide-by-zero, no NULL drift.
+
+    Scale: gram counting is explode -> map-side-combined groupBy per
+    (pair, gram); the overlap join is keyed (pair, n, gram) — never
+    doc x doc; pair construction is one lead() window partitioned by
+    source. 100 TB eval sets pair by an explicit key instead of lead,
+    same downstream shape."""
+    d = load_table(spark, sf_dir, "documents")
+    wsrc = W.partitionBy("source").orderBy("doc_id")
+    paired = (d.select("source", F.col("doc_id").alias("pid"),
+                       F.split("text", " ").alias("ct"),
+                       F.split(F.lead("text").over(wsrc), " ")
+                       .alias("rt"))
+              .filter(F.col("rt").isNotNull()))
+
+    def bigrams(name: str):
+        return F.expr(
+            f"zip_with(slice({name}, 1, greatest(size({name}) - 1, 0)),"
+            f" slice({name}, 2, greatest(size({name}) - 1, 0)),"
+            " (a, b) -> concat(a, ' ', b))")
+
+    uni = paired.select("source", "pid", F.lit(1).alias("n"),
+                        F.size("ct").alias("n_cand"),
+                        F.size("rt").alias("n_ref"),
+                        F.col("ct").alias("cg"), F.col("rt").alias("rg"))
+    big = paired.select(
+        "source", "pid", F.lit(2).alias("n"),
+        F.greatest(F.size("ct") - 1, F.lit(0)).alias("n_cand"),
+        F.greatest(F.size("rt") - 1, F.lit(0)).alias("n_ref"),
+        bigrams("ct").alias("cg"),
+        bigrams("rt").alias("rg"))
+    grams = uni.unionByName(big)
+    cc = (grams.select("source", "pid", "n",
+                       F.explode("cg").alias("g"))
+          .groupBy("source", "pid", "n", "g").agg(F.count("*").alias("c")))
+    rc = (grams.select("pid", "n", F.explode("rg").alias("g"))
+          .groupBy("pid", "n", "g").agg(F.count("*").alias("c"))
+          .withColumnsRenamed({"pid": "rpid", "n": "rn", "g": "rg",
+                               "c": "rc"}))
+    ov = (cc.join(rc, (F.col("pid") == F.col("rpid"))
+                  & (F.col("n") == F.col("rn"))
+                  & (F.col("g") == F.col("rg")))
+          .groupBy("pid", "n")
+          .agg(F.sum(F.least("c", "rc")).cast("long").alias("overlap"))
+          .withColumnsRenamed({"pid": "opid", "n": "on"}))
+    scored = (grams.join(ov, (F.col("pid") == F.col("opid"))
+                         & (F.col("n") == F.col("on")), "left")
+              .select("source", "n",
+                      F.round(F.when(F.coalesce("overlap", F.lit(0)) == 0,
+                                     0.0)
+                              .otherwise(2.0 * F.col("overlap")
+                                         / (F.col("n_cand")
+                                            + F.col("n_ref"))), 10)
+                      .cast("decimal(16,10)").alias("f1")))
+    return (scored.groupBy("source", F.col("n").alias("gram_n"))
+            .agg(F.count("*").alias("n_pairs"),
+                 F.round(F.sum("f1").cast("double") / F.count("*"), 6)
+                 .alias("mean_f1"))
+            .orderBy("source", "gram_n"))

@@ -867,3 +867,36 @@ def test_cuped_preserves_pooled_mean_and_reduces_variance(spark):
     assert pooled_var_adj <= pooled_var
     for r in rows:
         assert r["var_y_adj"] > 0
+
+
+def test_rouge_matches_python_twin(spark):
+    """Per-source mean ROUGE-1/2 F1 must equal a pure-python clipped
+    n-gram overlap over the same lead-pairing."""
+    from collections import Counter
+
+    rows = {(r["source"], r["gram_n"]): r
+            for r in QUERIES["q_rouge_n"](spark, SF_SMOKE).collect()}
+    docs = sorted(spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+                  .collect(), key=lambda r: (r["source"], r["doc_id"]))
+    by_src = {}
+    for r in docs:
+        by_src.setdefault(r["source"], []).append(r["text"])
+
+    def grams(toks, n):
+        return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+    for src, texts in by_src.items():
+        for n in (1, 2):
+            f1s = []
+            for cand, ref in zip(texts, texts[1:]):
+                cg = Counter(grams(cand.split(" "), n))
+                rg = Counter(grams(ref.split(" "), n))
+                ov = sum(min(c, rg[g]) for g, c in cg.items())
+                tot = sum(cg.values()) + sum(rg.values())
+                f1s.append(round(0.0 if ov == 0 else 2.0 * ov / tot, 10))
+            if not f1s:
+                continue
+            r = rows[(src, n)]
+            assert r["n_pairs"] == len(f1s)
+            assert abs(r["mean_f1"] - round(sum(f1s) / len(f1s), 6)) \
+                < 1e-6
