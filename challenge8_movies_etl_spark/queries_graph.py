@@ -1189,3 +1189,232 @@ def q_graph_closeness(spark, sf_dir):
         F.round(F.col("n1") + F.col("n2") / 2.0 + F.col("n3") / 3.0
                 + F.col("n4") / 4.0, 6).alias("harmonic"))
         .orderBy("source"))
+
+# ---------------------------------------------------------------------------
+# q_graph_clustering_coeff — per-node local clustering coefficient
+# ---------------------------------------------------------------------------
+#
+# Both queries below run on the TOP-5000 supplier co-occurrence graph:
+# the 5000 supplier pairs sharing the most distinct parts, ties broken
+# by (u, v). Unlike the relative 7.5%-of-parts cut q_graph_triangles
+# uses (which is intentionally aggressive and yields an empty edge set
+# at sf0.1), a fixed top-K keeps the graph non-degenerate at every
+# scale factor while staying a single TakeOrdered over the bounded
+# per-part co-occurrence relation — the "strongest-K-edges backbone"
+# construction used for similarity-graph sparsification at corpus
+# scale.
+
+_TOPK_EDGE_CTE = """
+ps AS MATERIALIZED (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+e AS MATERIALIZED (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM ps a JOIN ps b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY a.l_suppkey, b.l_suppkey
+  ORDER BY count(*) DESC, a.l_suppkey, b.l_suppkey
+  LIMIT 5000
+)"""
+
+
+def _topk_edges(spark, sf_dir):
+    """Spark twin of _TOPK_EDGE_CTE: strongest-5000 co-occurrence
+    edges (u < v), deterministic under ties."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    pa, pb = ps.alias("pa"), ps.alias("pb")
+    return (pa.join(pb, (F.col("pa.l_partkey") == F.col("pb.l_partkey"))
+                    & (F.col("pa.l_suppkey") < F.col("pb.l_suppkey")))
+            .groupBy(F.col("pa.l_suppkey").alias("u"),
+                     F.col("pb.l_suppkey").alias("v"))
+            .agg(F.count("*").alias("shared"))
+            .orderBy(F.desc("shared"), "u", "v")
+            .limit(5000)
+            .select("u", "v"))
+
+
+_CC_COEFF_ORACLE = f"""
+WITH {_TOPK_EDGE_CTE},
+deg AS (
+  SELECT node, cast(count(*) as bigint) AS d FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+  ) GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS s,
+         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS t,
+         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+              THEN dv.d ELSE du.d END AS dt
+  FROM e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+),
+tri AS (
+  SELECT o1.s AS a, o1.t AS b, o2.t AS c
+  FROM o o1
+  JOIN o o2 ON o1.s = o2.s
+           AND ((o1.dt < o2.dt) OR (o1.dt = o2.dt AND o1.t < o2.t))
+  JOIN o o3 ON o3.s = o1.t AND o3.t = o2.t
+),
+pt AS (
+  SELECT node, cast(count(*) as bigint) AS n_tri FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b AS node FROM tri
+    UNION ALL SELECT c AS node FROM tri
+  ) GROUP BY node
+)
+SELECT deg.node, deg.d, coalesce(pt.n_tri, 0) AS n_tri,
+       CASE WHEN deg.d >= 2
+            THEN round(2.0 * coalesce(pt.n_tri, 0)
+                       / (deg.d * (deg.d - 1)), 6) + 0.0
+            ELSE 0.0 END AS coeff
+FROM deg LEFT JOIN pt ON pt.node = deg.node
+ORDER BY coeff DESC, deg.node
+LIMIT 25
+"""
+
+
+@query("q_graph_clustering_coeff", oracle=_CC_COEFF_ORACLE)
+def q_graph_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient c_i = 2*T_i / (d_i*(d_i-1)) per
+    node of the top-5000 supplier co-occurrence backbone, top-25 by
+    (coeff desc, node) — the community-density score that separates
+    tight supplier cliques from hub-and-spoke stars.
+
+    Triangle counting is the degree-ordered orientation of
+    q_graph_triangles (each triangle generated once, as the wedge at
+    its lowest-degree vertex, closed by one equi-join; out-degree
+    O(sqrt(|E|)) even on power-law graphs). Hash discipline: T_i and
+    d_i are exact bigints; the coefficient is one double division
+    rounded 6dp with the sign-of-zero guard. Nodes with degree >= 2
+    but zero closed wedges surface with coeff 0 via the left join, so
+    the output is a total function of the degree relation, not just
+    of the triangle survivors.
+
+    Scale: per-part-bounded co-occurrence join, one global top-K
+    (TakeOrdered, no full sort shuffle), then joins over a fixed-K
+    edge list — the expensive stages are all bounded."""
+    e = _topk_edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg = (e.select(F.col("u").alias("node"))
+           .unionByName(e.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").cast("long").alias("d"))
+           .localCheckpoint(eager=True))  # orientation + final join
+    du, dv = deg.alias("du"), deg.alias("dv")
+    fwd = ((F.col("du.d") < F.col("dv.d"))
+           | ((F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))))
+    o = (e.join(du, F.col("du.node") == F.col("u"))
+         .join(dv, F.col("dv.node") == F.col("v"))
+         .select(F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+                 F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+                 F.when(fwd, F.col("dv.d")).otherwise(F.col("du.d"))
+                 .alias("dt"))
+         .localCheckpoint(eager=True))  # three wedge-join consumers
+    o1, o2, o3 = o.alias("o1"), o.alias("o2"), o.alias("o3")
+    wedge_ord = ((F.col("o1.dt") < F.col("o2.dt"))
+                 | ((F.col("o1.dt") == F.col("o2.dt"))
+                    & (F.col("o1.t") < F.col("o2.t"))))
+    tri = (o1.join(o2, (F.col("o1.s") == F.col("o2.s")) & wedge_ord)
+           .join(o3, (F.col("o3.s") == F.col("o1.t"))
+                 & (F.col("o3.t") == F.col("o2.t")))
+           .select(F.col("o1.s").alias("a"), F.col("o1.t").alias("b"),
+                   F.col("o2.t").alias("c")))
+    pt = (tri.select(F.col("a").alias("node"))
+          .unionByName(tri.select(F.col("b").alias("node")))
+          .unionByName(tri.select(F.col("c").alias("node")))
+          .groupBy("node").agg(F.count("*").cast("long").alias("n_tri")))
+    n_tri = F.coalesce(F.col("n_tri"), F.lit(0).cast("long"))
+    coeff = F.when(
+        F.col("d") >= 2,
+        F.round(2.0 * n_tri / (F.col("d") * (F.col("d") - 1)), 6)
+        + 0.0).otherwise(F.lit(0.0))
+    return (deg.join(pt, "node", "left")
+            .select("node", "d", n_tri.alias("n_tri"),
+                    coeff.alias("coeff"))
+            .orderBy(F.desc("coeff"), "node").limit(25))
+
+
+# ---------------------------------------------------------------------------
+# q_graph_assortativity — degree assortativity coefficient (scalar)
+# ---------------------------------------------------------------------------
+
+_ASSORT_ORACLE = f"""
+WITH {_TOPK_EDGE_CTE},
+de AS (
+  SELECT src, dst FROM (
+    SELECT u AS src, v AS dst FROM e
+    UNION ALL SELECT v AS src, u AS dst FROM e
+  )
+),
+deg AS (
+  SELECT src AS node, cast(count(*) as bigint) AS d
+  FROM de GROUP BY src
+),
+js AS (
+  SELECT ds.d AS dj, dd.d AS dk
+  FROM de
+  JOIN deg ds ON ds.node = de.src
+  JOIN deg dd ON dd.node = de.dst
+),
+s AS (
+  SELECT cast(count(*) as bigint) AS m,
+         cast(sum(dj * dk) as bigint) AS sjk,
+         cast(sum(dj) as bigint) AS sj,
+         cast(sum(dk) as bigint) AS sk,
+         cast(sum(dj * dj) as bigint) AS sjj,
+         cast(sum(dk * dk) as bigint) AS skk
+  FROM js
+)
+SELECT m,
+       CASE WHEN m * sjj - sj * sj > 0 AND m * skk - sk * sk > 0
+            THEN round((m * sjk - sj * sk)
+                       / sqrt(cast(m * sjj - sj * sj as double)
+                              * cast(m * skk - sk * sk as double)), 6)
+                 + 0.0
+            END AS assortativity
+FROM s
+"""
+
+
+@query("q_graph_assortativity", oracle=_ASSORT_ORACLE)
+def q_graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the top-5000 supplier co-occurrence
+    backbone: the Pearson correlation of the degrees at either end of
+    every directed edge (each undirected edge counted in both
+    directions, the standard Newman convention). Positive = hubs link
+    to hubs; negative = hub-and-spoke. All six sufficient statistics
+    are exact bigints over integer degrees — the q_spearman_corr
+    device — so the only float ops are the final sqrt and division
+    (round 6, sign-of-zero guarded).
+
+    Scale: bounded co-occurrence join + one global top-K, then two
+    |V|-sized equi-joins to annotate endpoint degrees and one scalar
+    reduce. No quadratic stage at all."""
+    e = _topk_edges(spark, sf_dir)
+    de = (e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+          .unionByName(e.select(F.col("v").alias("src"),
+                                F.col("u").alias("dst")))
+          .localCheckpoint(eager=True))  # degree + two endpoint joins
+    deg = (de.groupBy(F.col("src").alias("node"))
+           .agg(F.count("*").cast("long").alias("d")))
+    ds, dd = deg.alias("ds"), deg.alias("dd")
+    js = (de.join(ds, F.col("ds.node") == F.col("src"))
+          .join(dd, F.col("dd.node") == F.col("dst"))
+          .select(F.col("ds.d").alias("dj"), F.col("dd.d").alias("dk")))
+    s = js.agg(F.count("*").cast("long").alias("m"),
+               F.sum(F.col("dj") * F.col("dk")).cast("long").alias("sjk"),
+               F.sum("dj").cast("long").alias("sj"),
+               F.sum("dk").cast("long").alias("sk"),
+               F.sum(F.col("dj") * F.col("dj")).cast("long").alias("sjj"),
+               F.sum(F.col("dk") * F.col("dk")).cast("long").alias("skk"))
+    vx = F.col("m") * F.col("sjj") - F.col("sj") * F.col("sj")
+    vy = F.col("m") * F.col("skk") - F.col("sk") * F.col("sk")
+    r = ((F.col("m") * F.col("sjk") - F.col("sj") * F.col("sk"))
+         / F.sqrt(vx.cast("double") * vy.cast("double")))
+    # zero endpoint-degree variance (a regular backbone, e.g. the
+    # complete graph sf0.001 yields) makes r 0/0 — pin it to NULL on
+    # both engines rather than inherit engine NaN semantics
+    guarded = F.when((vx > 0) & (vy > 0), F.round(r, 6) + 0.0)
+    return s.select("m", guarded.alias("assortativity"))

@@ -426,3 +426,76 @@ def test_closeness_matches_python_bfs(spark):
         h = sum(1.0 / d for d in seen.values() if d > 0)
         assert abs(rows[s]["harmonic"] - round(h, 6)) < 1e-6
         assert rows[s]["n1"] == deg.get(s, 0)
+
+
+def _topk_backbone_edges(spark):
+    """Python twin of the top-5000 co-occurrence backbone at SF_SMOKE."""
+    from collections import Counter
+    rows = (spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+            .select("l_partkey", "l_suppkey").distinct().collect())
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r.l_partkey, []).append(r.l_suppkey)
+    shared = Counter()
+    for supps in by_part.values():
+        ss = sorted(set(supps))
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                shared[(ss[i], ss[j])] += 1
+    ranked = sorted(shared.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [uv for uv, _ in ranked[:5000]]
+
+
+def test_clustering_coeff_matches_python_twin(spark):
+    from challenge8_movies_etl_spark.registry import QUERIES
+    edges = _topk_backbone_edges(spark)
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    expect = {}
+    for n, nbrs in adj.items():
+        d = len(nbrs)
+        t = sum(1 for a in nbrs for b in nbrs
+                if a < b and b in adj.get(a, ()))
+        expect[n] = (d, t, round(2.0 * t / (d * (d - 1)), 6) + 0.0
+                     if d >= 2 else 0.0)
+    out = QUERIES["q_graph_clustering_coeff"](spark, SF_SMOKE).collect()
+    assert out, "non-empty at smoke scale"
+    for r in out:
+        d, t, c = expect[r["node"]]
+        assert (r["d"], r["n_tri"]) == (d, t)
+        assert abs(r["coeff"] - c) < 1e-9
+        assert 0.0 <= r["coeff"] <= 1.0
+    # ordered by coeff desc, node asc
+    keys = [(-r["coeff"], r["node"]) for r in out]
+    assert keys == sorted(keys)
+
+
+def test_assortativity_matches_python_twin(spark):
+    from challenge8_movies_etl_spark.registry import QUERIES
+    import math
+    edges = _topk_backbone_edges(spark)
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    js = [(deg[u], deg[v]) for u, v in edges]
+    js += [(dk, dj) for dj, dk in js[:len(edges)]]
+    m = len(js)
+    sjk = sum(j * k for j, k in js)
+    sj = sum(j for j, _ in js)
+    sk = sum(k for _, k in js)
+    sjj = sum(j * j for j, _ in js)
+    skk = sum(k * k for _, k in js)
+    vx, vy = m * sjj - sj * sj, m * skk - sk * sk
+    r = QUERIES["q_graph_assortativity"](spark, SF_SMOKE).collect()[0]
+    assert r["m"] == m
+    if vx > 0 and vy > 0:
+        expect = round((m * sjk - sj * sk)
+                       / math.sqrt(float(vx) * float(vy)), 6) + 0.0
+        assert abs(r["assortativity"] - expect) < 1e-9
+        assert -1.0 - 1e-9 <= r["assortativity"] <= 1.0 + 1e-9
+    else:
+        # regular backbone (sf0.001 is the complete K10): pinned NULL
+        assert r["assortativity"] is None
