@@ -843,3 +843,343 @@ def q_mannwhitney_u(spark, sf_dir):
                "        * ((n + 1) - cast(ties as double)"
                "                     / (cast(n as double) * (n - 1)))), 4)")
         .alias("z_score"))
+
+
+# ---------------------------------------------------------------------------
+# q_anova_oneway — one-way ANOVA F over event_type groups
+# ---------------------------------------------------------------------------
+#
+# The classical-inference ladder beside q_mannwhitney_u (two-sample
+# rank), q_kruskal_wallis (k-sample rank) and q_levene_bf (variance
+# homogeneity): does mean(value) differ across the five event types?
+#
+# Exactness device (shared by all three): values key as integer
+# milli-units (decimal(7,0) cast, the q_agg_moments discipline), so
+# every per-group sufficient statistic (n, sum, sum-of-squares) is an
+# exact bigint. The per-group term s1_g^2/n_g is ONE double division of
+# exactly-cast integers — bit-identical on both engines — and the k=5
+# per-group terms are rounded to 6dp and summed as decimal(30,10), so
+# the cross-group addition is exact and order-independent (a plain
+# double sum over groups would inherit Spark-vs-DuckDB summation
+# order). Everything after is scalar double arithmetic on identical
+# operands.
+
+_ANOVA_ORACLE = """
+WITH x AS (
+  SELECT event_type,
+         cast(cast(round(value, 3) * 1000 as decimal(7,0)) as bigint)
+           AS xi
+  FROM events
+),
+g AS (
+  SELECT event_type,
+         cast(count(*) as bigint) AS n_g,
+         cast(sum(xi) as bigint) AS s1,
+         cast(sum(xi * xi) as bigint) AS s2
+  FROM x GROUP BY event_type
+),
+t AS (
+  SELECT n_g, s1, s2,
+         cast(round(cast(s1 as double) * cast(s1 as double) / n_g, 6)
+              as decimal(30,10)) AS tg
+  FROM g
+),
+s AS (
+  SELECT cast(count(*) as bigint) AS k,
+         cast(sum(n_g) as bigint) AS n,
+         cast(sum(s1) as bigint) AS s1_all,
+         cast(sum(s2) as bigint) AS s2_all,
+         cast(sum(tg) as decimal(30,10)) AS t_all
+  FROM t
+)
+SELECT k, n,
+       round((cast(t_all as double)
+              - cast(s1_all as double) * cast(s1_all as double) / n)
+             / 1e6, 4) + 0.0 AS ssb,
+       round((cast(s2_all as double) - cast(t_all as double)) / 1e6, 4)
+         + 0.0 AS ssw,
+       round(((cast(t_all as double)
+               - cast(s1_all as double) * cast(s1_all as double) / n)
+              / (k - 1))
+             / ((cast(s2_all as double) - cast(t_all as double))
+                / (n - k)), 6) + 0.0 AS f_stat,
+       round((cast(t_all as double)
+              - cast(s1_all as double) * cast(s1_all as double) / n)
+             / (cast(s2_all as double)
+                - cast(s1_all as double) * cast(s1_all as double) / n),
+             6) + 0.0 AS eta_sq
+FROM s
+"""
+
+
+@query("q_anova_oneway", oracle=_ANOVA_ORACLE)
+def q_anova_oneway(spark, sf_dir):
+    """One-way ANOVA over event_type: F = (SSB/(k-1)) / (SSW/(N-k))
+    plus the eta-squared effect size, on milli-unit integer values.
+    SSB/SSW are reported in original units^2 (the /1e6 undoes the
+    milli-unit scaling). See the ladder note above for the exactness
+    device; the only floats are per-group s1^2/n (one division),
+    rounded and decimal-summed, then scalar combinations.
+
+    Scale: one map-side-combined groupBy(event_type) over the fact
+    scan, then a k-row reduce — nothing grows with N except the
+    bigint sums (lift s2 to decimal(38,0) past ~1e18 milli-units^2,
+    i.e. ~1e6x this fixture)."""
+    e = load_table(spark, sf_dir, "events")
+    x = e.select("event_type",
+                 (F.round("value", 3) * 1000).cast("decimal(7,0)")
+                 .cast("long").alias("xi"))
+    g = (x.groupBy("event_type")
+         .agg(F.count("*").cast("long").alias("n_g"),
+              F.sum("xi").cast("long").alias("s1"),
+              F.sum(F.col("xi") * F.col("xi")).cast("long").alias("s2")))
+    t = g.select(
+        "n_g", "s1", "s2",
+        F.round(F.col("s1").cast("double") * F.col("s1").cast("double")
+                / F.col("n_g"), 6).cast("decimal(30,10)").alias("tg"))
+    s = t.agg(F.count("*").cast("long").alias("k"),
+              F.sum("n_g").cast("long").alias("n"),
+              F.sum("s1").cast("long").alias("s1_all"),
+              F.sum("s2").cast("long").alias("s2_all"),
+              F.sum("tg").cast("decimal(30,10)").alias("t_all"))
+    td = F.col("t_all").cast("double")
+    s1d = F.col("s1_all").cast("double")
+    s2d = F.col("s2_all").cast("double")
+    ssb = td - s1d * s1d / F.col("n")
+    ssw = s2d - td
+    sst = s2d - s1d * s1d / F.col("n")
+    f = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return s.select(
+        "k", "n",
+        (F.round(ssb / 1e6, 4) + 0.0).alias("ssb"),
+        (F.round(ssw / 1e6, 4) + 0.0).alias("ssw"),
+        (F.round(f, 6) + 0.0).alias("f_stat"),
+        (F.round(ssb / sst, 6) + 0.0).alias("eta_sq"))
+
+
+# ---------------------------------------------------------------------------
+# q_kruskal_wallis — k-sample rank test (tie-corrected H)
+# ---------------------------------------------------------------------------
+
+_KW_ORACLE = """
+WITH x AS (
+  SELECT event_type,
+         cast(round(value, 3) * 1000 as decimal(7,0)) AS v
+  FROM events
+),
+gv AS (
+  SELECT event_type, v, cast(count(*) as bigint) AS c
+  FROM x GROUP BY event_type, v
+),
+nv AS (
+  SELECT v, cast(sum(c) as bigint) AS n_v FROM gv GROUP BY v
+),
+rk AS (
+  SELECT v, n_v,
+         2 * sum(n_v) OVER (ORDER BY v) - n_v + 1 AS r2
+  FROM nv
+),
+grp AS (
+  SELECT gv.event_type,
+         cast(sum(gv.c) as bigint) AS n_g,
+         cast(sum(gv.c * rk.r2) as bigint) AS r2_g
+  FROM gv JOIN rk ON rk.v = gv.v
+  GROUP BY gv.event_type
+),
+term AS (
+  SELECT n_g, r2_g,
+         cast(round(cast(r2_g as double) * cast(r2_g as double)
+                    / (4 * n_g), 6) as decimal(30,10)) AS tg
+  FROM grp
+),
+ties AS (
+  SELECT cast(sum(n_v * n_v * n_v - n_v) as bigint) AS tie3
+  FROM nv
+),
+s AS (
+  SELECT cast(count(*) as bigint) AS k,
+         cast(sum(n_g) as bigint) AS n,
+         cast(sum(tg) as decimal(30,10)) AS t_all,
+         (SELECT tie3 FROM ties) AS tie3
+  FROM term
+)
+SELECT k, n,
+       round((12.0 * cast(t_all as double)
+              / (cast(n as double) * (n + 1)) - 3.0 * (n + 1))
+             / (1.0 - cast(tie3 as double)
+                      / (cast(n as double) * cast(n as double)
+                         * cast(n as double) - cast(n as double))),
+             6) + 0.0 AS h_stat
+FROM s
+"""
+
+
+@query("q_kruskal_wallis", oracle=_KW_ORACLE)
+def q_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis tie-corrected H across all five event types —
+    the k-sample generalization of q_mannwhitney_u, the rank-based
+    sibling of q_anova_oneway for heavy-tailed values. Doubled
+    average ranks (2*cum - n_v + 1, always integer) make every
+    rank-sum an exact bigint; per-group R2_g^2/(4*n_g) is one double
+    division, rounded and decimal-summed across the k groups; the tie
+    term sum(n_v^3 - n_v) is exact. H = [12*T/(N(N+1)) - 3(N+1)] /
+    (1 - ties/(N^3-N)), computed scalar-side.
+
+    Scale: the rank window runs over the DISTINCT-value relation
+    (bounded by value cardinality, not N); one groupBy(event_type,v),
+    one bounded join, one k-row reduce."""
+    e = load_table(spark, sf_dir, "events")
+    x = e.select("event_type",
+                 (F.round("value", 3) * 1000).cast("decimal(7,0)")
+                 .alias("v"))
+    gv = (x.groupBy("event_type", "v")
+          .agg(F.count("*").cast("long").alias("c")))
+    nv = gv.groupBy("v").agg(F.sum("c").cast("long").alias("n_v"))
+    rk = nv.select(
+        "v", "n_v",
+        (2 * F.sum("n_v").over(
+            W.orderBy("v")
+            .rangeBetween(W.unboundedPreceding, W.currentRow))
+         - F.col("n_v") + 1).alias("r2"))
+    grp = (gv.join(rk.select("v", "r2"), "v")
+           .groupBy("event_type")
+           .agg(F.sum("c").cast("long").alias("n_g"),
+                F.sum(F.col("c") * F.col("r2")).cast("long")
+                .alias("r2_g")))
+    term = grp.select(
+        "n_g",
+        F.round(F.col("r2_g").cast("double")
+                * F.col("r2_g").cast("double")
+                / (4 * F.col("n_g")), 6).cast("decimal(30,10)")
+        .alias("tg"))
+    tie3 = nv.agg(
+        F.sum(F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v"))
+        .cast("long").alias("tie3"))
+    s = (term.agg(F.count("*").cast("long").alias("k"),
+                  F.sum("n_g").cast("long").alias("n"),
+                  F.sum("tg").cast("decimal(30,10)").alias("t_all"))
+         .crossJoin(F.broadcast(tie3)))
+    nd = F.col("n").cast("double")
+    h = ((12.0 * F.col("t_all").cast("double") / (nd * (F.col("n") + 1))
+          - 3.0 * (F.col("n") + 1))
+         / (1.0 - F.col("tie3").cast("double") / (nd * nd * nd - nd)))
+    return s.select("k", "n", (F.round(h, 6) + 0.0).alias("h_stat"))
+
+
+# ---------------------------------------------------------------------------
+# q_levene_bf — Brown-Forsythe variance-homogeneity test
+# ---------------------------------------------------------------------------
+
+_LEVENE_ORACLE = """
+WITH x AS (
+  SELECT event_type,
+         cast(cast(round(value, 3) * 1000 as decimal(7,0)) as bigint)
+           AS xi
+  FROM events
+),
+gv AS (
+  SELECT event_type, xi, cast(count(*) as bigint) AS c
+  FROM x GROUP BY event_type, xi
+),
+cum AS (
+  SELECT event_type, xi, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY xi) AS cm,
+         sum(c) OVER (PARTITION BY event_type) AS n_g
+  FROM gv
+),
+med AS (
+  SELECT event_type,
+         min(CASE WHEN 2 * cm >= n_g THEN xi END)
+         + min(CASE WHEN 2 * cm >= n_g + 1 THEN xi END) AS m2
+  FROM cum GROUP BY event_type
+),
+z AS (
+  SELECT x.event_type, abs(2 * x.xi - med.m2) AS z2
+  FROM x JOIN med ON med.event_type = x.event_type
+),
+g AS (
+  SELECT event_type,
+         cast(count(*) as bigint) AS n_g,
+         cast(sum(z2) as bigint) AS s1,
+         cast(sum(z2 * z2) as bigint) AS s2
+  FROM z GROUP BY event_type
+),
+t AS (
+  SELECT n_g, s1, s2,
+         cast(round(cast(s1 as double) * cast(s1 as double) / n_g, 6)
+              as decimal(30,10)) AS tg
+  FROM g
+),
+s AS (
+  SELECT cast(count(*) as bigint) AS k,
+         cast(sum(n_g) as bigint) AS n,
+         cast(sum(s1) as bigint) AS s1_all,
+         cast(sum(s2) as bigint) AS s2_all,
+         cast(sum(tg) as decimal(30,10)) AS t_all
+  FROM t
+)
+SELECT k, n,
+       round(((cast(t_all as double)
+               - cast(s1_all as double) * cast(s1_all as double) / n)
+              / (k - 1))
+             / ((cast(s2_all as double) - cast(t_all as double))
+                / (n - k)), 6) + 0.0 AS w_stat
+FROM s
+"""
+
+
+@query("q_levene_bf", oracle=_LEVENE_ORACLE)
+def q_levene_bf(spark, sf_dir):
+    """Brown-Forsythe test (Levene with group MEDIANS): one-way ANOVA
+    F computed over z_ij = |x_ij - median_g| — are value variances
+    homogeneous across event types? The robust pre-check that decides
+    whether q_anova_oneway's equal-variance assumption holds.
+
+    Median device: per-group medians over integer milli-units are
+    carried DOUBLED (m2 = lo + hi from the cumulative-count relation,
+    always an integer), so z2 = |2x - m2| is an exact integer = 2z and
+    the doubling cancels in F. Sufficient statistics and the
+    cross-group sum follow the q_anova_oneway device exactly.
+
+    Scale: two groupBys over the (event_type, value-key) relation
+    (bounded by per-group value cardinality), one broadcast-sized
+    k-row median join back onto the fact scan, one k-row reduce."""
+    e = load_table(spark, sf_dir, "events")
+    x = e.select("event_type",
+                 (F.round("value", 3) * 1000).cast("decimal(7,0)")
+                 .cast("long").alias("xi"))
+    gv = (x.groupBy("event_type", "xi")
+          .agg(F.count("*").cast("long").alias("c")))
+    win = (W.partitionBy("event_type").orderBy("xi")
+           .rangeBetween(W.unboundedPreceding, W.currentRow))
+    cum = gv.select(
+        "event_type", "xi",
+        F.sum("c").over(win).alias("cm"),
+        F.sum("c").over(W.partitionBy("event_type")).alias("n_g"))
+    med = (cum.groupBy("event_type")
+           .agg((F.min(F.when(2 * F.col("cm") >= F.col("n_g"),
+                              F.col("xi")))
+                 + F.min(F.when(2 * F.col("cm") >= F.col("n_g") + 1,
+                                F.col("xi")))).alias("m2")))
+    z = (x.join(F.broadcast(med), "event_type")
+         .select("event_type",
+                 F.abs(2 * F.col("xi") - F.col("m2")).alias("z2")))
+    g = (z.groupBy("event_type")
+         .agg(F.count("*").cast("long").alias("n_g"),
+              F.sum("z2").cast("long").alias("s1"),
+              F.sum(F.col("z2") * F.col("z2")).cast("long").alias("s2")))
+    t = g.select(
+        "n_g", "s1", "s2",
+        F.round(F.col("s1").cast("double") * F.col("s1").cast("double")
+                / F.col("n_g"), 6).cast("decimal(30,10)").alias("tg"))
+    s = t.agg(F.count("*").cast("long").alias("k"),
+              F.sum("n_g").cast("long").alias("n"),
+              F.sum("s1").cast("long").alias("s1_all"),
+              F.sum("s2").cast("long").alias("s2_all"),
+              F.sum("tg").cast("decimal(30,10)").alias("t_all"))
+    td = F.col("t_all").cast("double")
+    s1d = F.col("s1_all").cast("double")
+    ssb = td - s1d * s1d / F.col("n")
+    ssw = F.col("s2_all").cast("double") - td
+    w = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return s.select("k", "n", (F.round(w, 6) + 0.0).alias("w_stat"))

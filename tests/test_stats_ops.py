@@ -294,3 +294,78 @@ def test_burst_detect_recovers_injected_window(spark):
         assert r.longest_burst == want, r
         assert want <= r.n_burst_days <= r.n_days // 2, r
         assert r.first_burst_day <= _BURST_LO, r
+
+
+def _event_values_by_type(spark):
+    rows = (spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+            .select("event_type", "value").collect())
+    by = {}
+    for r in rows:
+        by.setdefault(r.event_type, []).append(
+            int(round(round(r.value, 3) * 1000)))
+    return by
+
+
+def test_anova_oneway_matches_python_twin(spark):
+    from challenge8_movies_etl_spark.registry import QUERIES
+    by = _event_values_by_type(spark)
+    k = len(by)
+    n = sum(len(v) for v in by.values())
+    t_all = sum(round(float(sum(v)) * float(sum(v)) / len(v), 6)
+                for v in by.values())
+    s1 = sum(sum(v) for v in by.values())
+    s2 = sum(sum(x * x for x in v) for v in by.values())
+    ssb = t_all - float(s1) * float(s1) / n
+    ssw = float(s2) - t_all
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    r = QUERIES["q_anova_oneway"](spark, SF_SMOKE).collect()[0]
+    assert (r["k"], r["n"]) == (k, n)
+    assert abs(r["f_stat"] - round(f, 6)) < 1e-6
+    assert abs(r["eta_sq"] - round(ssb / (ssb + ssw), 6)) < 1e-6
+    assert r["ssb"] >= 0 and r["ssw"] > 0
+
+
+def test_kruskal_wallis_matches_python_twin(spark):
+    from collections import Counter
+    from challenge8_movies_etl_spark.registry import QUERIES
+    by = _event_values_by_type(spark)
+    allv = sorted(v for vs in by.values() for v in vs)
+    n = len(allv)
+    # doubled tie-averaged rank per distinct value
+    cnt = Counter(allv)
+    r2 = {}
+    cum = 0
+    for v in sorted(cnt):
+        cum += cnt[v]
+        r2[v] = 2 * cum - cnt[v] + 1
+    t_all = sum(round((float(sum(r2[x] for x in vs)) ** 2)
+                      / (4 * len(vs)), 6) for vs in by.values())
+    tie3 = sum(c ** 3 - c for c in cnt.values())
+    h = ((12.0 * t_all / (float(n) * (n + 1)) - 3.0 * (n + 1))
+         / (1.0 - tie3 / (float(n) ** 3 - n)))
+    r = QUERIES["q_kruskal_wallis"](spark, SF_SMOKE).collect()[0]
+    assert (r["k"], r["n"]) == (len(by), n)
+    assert abs(r["h_stat"] - round(h, 6)) < 1e-6
+
+
+def test_levene_bf_matches_python_twin(spark):
+    from challenge8_movies_etl_spark.registry import QUERIES
+    by = _event_values_by_type(spark)
+    zs = {}
+    for g, vs in by.items():
+        sv = sorted(vs)
+        m = len(sv)
+        m2 = sv[(m - 1) // 2] + sv[m // 2]  # doubled median
+        zs[g] = [abs(2 * x - m2) for x in vs]
+    k = len(zs)
+    n = sum(len(v) for v in zs.values())
+    t_all = sum(round(float(sum(v)) * float(sum(v)) / len(v), 6)
+                for v in zs.values())
+    s1 = sum(sum(v) for v in zs.values())
+    s2 = sum(sum(x * x for x in v) for v in zs.values())
+    ssb = t_all - float(s1) * float(s1) / n
+    ssw = float(s2) - t_all
+    w = (ssb / (k - 1)) / (ssw / (n - k))
+    r = QUERIES["q_levene_bf"](spark, SF_SMOKE).collect()[0]
+    assert (r["k"], r["n"]) == (k, n)
+    assert abs(r["w_stat"] - round(w, 6)) < 1e-6
