@@ -2540,3 +2540,102 @@ def q_rouge_n(spark, sf_dir):
                  F.round(F.sum("f1").cast("double") / F.count("*"), 6)
                  .alias("mean_f1"))
             .orderBy("source", "gram_n"))
+
+
+# ---------------------------------------------------------------------------
+# q_knn_classify — k-nearest-neighbor majority-vote classification
+# ---------------------------------------------------------------------------
+
+
+def _knn_classify_oracle() -> str:
+    from .operators.similarity import DEC_SIM as DEC
+    from .queries_llm import _NORMS_CTE
+    return f"""
+    WITH {_NORMS_CTE},
+    probes AS (
+      SELECT vec_id AS probe_id, embedding AS p, nrm AS pn,
+             label AS true_label
+      FROM norms WHERE vec_id % 25 = 0
+    ),
+    train AS (
+      SELECT * FROM norms WHERE vec_id % 25 <> 0
+    ),
+    dots AS (
+      SELECT probes.probe_id, train.vec_id, train.label,
+             cast(sum(cast(cast(train.embedding[gs.i] as double)
+                           * cast(probes.p[gs.i] as double)
+                           as {DEC})) as double) AS dot,
+             max(train.nrm) AS na, max(probes.pn) AS pn
+      FROM train CROSS JOIN probes, range(1, 65) gs(i)
+      GROUP BY probes.probe_id, train.vec_id, train.label
+    ),
+    ranked AS (
+      SELECT probe_id, label,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY round(dot / sqrt(na * pn), 4)
+                                           DESC, vec_id) AS rk
+      FROM dots
+    ),
+    votes AS (
+      SELECT probe_id, label, cast(count(*) as bigint) AS v
+      FROM ranked WHERE rk <= 7
+      GROUP BY probe_id, label
+    ),
+    winner AS (
+      SELECT probe_id, label AS pred_label, v AS votes,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY v DESC, label) AS wr
+      FROM votes
+    )
+    SELECT w.probe_id, w.pred_label, w.votes, p.true_label,
+           CASE WHEN w.pred_label = p.true_label THEN 1 ELSE 0 END
+             AS correct
+    FROM winner w JOIN probes p ON p.probe_id = w.probe_id
+    WHERE w.wr = 1
+    """
+
+
+@query("q_knn_classify", oracle=_knn_classify_oracle())
+def q_knn_classify(spark, sf_dir):
+    """kNN classification: every 25th vector is held out and labeled
+    by the majority vote of its k=7 cosine-nearest neighbors among
+    the rest — the label-propagation / weak-supervision primitive on
+    top of the retrieval stack (q_similarity_batch is the neighbor
+    stage; this adds the vote + deterministic tie-break: higher vote
+    count, then smaller label id). Cosine follows the house
+    exact-decimal reduction, rounded 4dp before ranking with vec_id
+    tie-break, so neighbor sets are engine-identical.
+
+    Scale: one corpus pass scores |held-out| x |train| via the
+    broadcast probe matrix (probes batch to executor memory at 100 TB,
+    same argument as q_similarity_batch); the vote is a bounded
+    groupBy over k rows per probe."""
+    from .operators.similarity import dot_col
+    from .queries_llm import _norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", "label", "embedding",
+                 _norm(F.col("embedding")).alias("nrm"))
+    probes = (n.filter(F.col("vec_id") % 25 == 0)
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("embedding").alias("pe"),
+                      F.col("nrm").alias("pn"),
+                      F.col("label").alias("true_label")))
+    train = n.filter(F.col("vec_id") % 25 != 0)
+    scored = (train.crossJoin(F.broadcast(probes))
+              .select("probe_id", "vec_id", "label", "true_label",
+                      F.round(dot_col(F.col("embedding"), F.col("pe"))
+                              / F.sqrt(F.col("nrm") * F.col("pn")), 4)
+                      .alias("cos")))
+    rk = F.row_number().over(
+        W.partitionBy("probe_id").orderBy(F.desc("cos"), "vec_id"))
+    votes = (scored.withColumn("rk", rk).filter(F.col("rk") <= 7)
+             .groupBy("probe_id", "true_label", "label")
+             .agg(F.count("*").cast("long").alias("v")))
+    wr = F.row_number().over(
+        W.partitionBy("probe_id").orderBy(F.desc("v"), "label"))
+    return (votes.withColumn("wr", wr).filter(F.col("wr") == 1)
+            .select("probe_id", F.col("label").alias("pred_label"),
+                    F.col("v").alias("votes"), "true_label",
+                    F.when(F.col("label") == F.col("true_label"), 1)
+                    .otherwise(0).alias("correct")))

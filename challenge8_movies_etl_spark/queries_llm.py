@@ -11,6 +11,7 @@ nature — their hash functions are engine-specific.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .operators import multimodal
@@ -2310,3 +2311,98 @@ def q_hard_negatives(spark, sf_dir):
     return (scored.withColumn("rk", rk).filter(F.col("rk") <= 5)
             .select("probe_id", "vec_id", "cos", "rk")
             .orderBy("probe_id", "rk"))
+
+
+# ---------------------------------------------------------------------------
+# q_zipf_slope — power-law fit of the token frequency distribution
+# ---------------------------------------------------------------------------
+
+_ZIPF_ORACLE = """
+WITH freq AS (
+  SELECT token, cast(count(*) as bigint) AS f
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+),
+ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, token) AS r
+  FROM freq
+),
+top AS (SELECT r, f FROM ranked WHERE r <= 500),
+terms AS (
+  SELECT cast(round(ln(cast(r as double)), 8) as decimal(30,10)) AS x,
+         cast(round(ln(cast(f as double)), 8) as decimal(30,10)) AS y,
+         cast(round(ln(cast(r as double)) * ln(cast(r as double)), 8)
+              as decimal(30,10)) AS xx,
+         cast(round(ln(cast(r as double)) * ln(cast(f as double)), 8)
+              as decimal(30,10)) AS xy,
+         cast(round(ln(cast(f as double)) * ln(cast(f as double)), 8)
+              as decimal(30,10)) AS yy
+  FROM top
+),
+s AS (
+  SELECT cast(count(*) as bigint) AS n,
+         cast(sum(x) as double) AS sx, cast(sum(y) as double) AS sy,
+         cast(sum(xx) as double) AS sxx, cast(sum(xy) as double) AS sxy,
+         cast(sum(yy) as double) AS syy
+  FROM terms
+)
+SELECT n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0
+         AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+             4) + 0.0 AS intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) + 0.0
+         AS r_sq
+FROM s
+"""
+
+
+@query("q_zipf_slope", oracle=_ZIPF_ORACLE)
+def q_zipf_slope(spark, sf_dir):
+    """Zipf power-law fit over the corpus vocabulary: OLS of
+    ln(frequency) on ln(rank) across the top-500 tokens (rank ties
+    broken by token, the q_vocab_topk order). A natural-language
+    corpus sits near slope -1; a synthetic or template-spammed corpus
+    doesn't — the distributional health check beside q_entropy and
+    q_token_pmi in the curation suite.
+
+    Hash discipline: ln() is the only transcendental — each per-row
+    term is rounded to 8dp and accumulated as decimal(30,10), so the
+    cross-row sums are exact and order-independent (a raw double sum
+    would inherit engine summation order); slope/intercept/R^2 are
+    scalar double combinations of those exact sums, rounded 4dp with
+    the sign-of-zero guard.
+
+    Scale: token counting is the map-side-combined vocab build; the
+    rank window runs over the vocabulary relation (not the corpus) and
+    the fit reduces 500 rows. At 100 TB the vocab groupBy is the only
+    real shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+            .groupBy("token").agg(F.count("*").cast("long").alias("f")))
+    r = F.row_number().over(W.orderBy(F.desc("f"), "token"))
+    top = (freq.withColumn("r", r).filter(F.col("r") <= 500)
+           .select("r", "f"))
+    lx = F.log(F.col("r").cast("double"))
+    ly = F.log(F.col("f").cast("double"))
+    dec = lambda c: F.round(c, 8).cast("decimal(30,10)")  # noqa: E731
+    terms = top.select(dec(lx).alias("x"), dec(ly).alias("y"),
+                       dec(lx * lx).alias("xx"), dec(lx * ly).alias("xy"),
+                       dec(ly * ly).alias("yy"))
+    s = terms.agg(F.count("*").cast("long").alias("n"),
+                  F.sum("x").cast("double").alias("sx"),
+                  F.sum("y").cast("double").alias("sy"),
+                  F.sum("xx").cast("double").alias("sxx"),
+                  F.sum("xy").cast("double").alias("sxy"),
+                  F.sum("yy").cast("double").alias("syy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "n",
+        (F.round(slope, 4) + 0.0).alias("slope"),
+        (F.round((sy - slope * sx) / n, 4) + 0.0).alias("intercept"),
+        (F.round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+         + 0.0).alias("r_sq"))

@@ -1183,3 +1183,110 @@ def q_levene_bf(spark, sf_dir):
     ssw = F.col("s2_all").cast("double") - td
     w = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
     return s.select("k", "n", (F.round(w, 6) + 0.0).alias("w_stat"))
+
+
+# ---------------------------------------------------------------------------
+# q_fdr_bh — Benjamini-Hochberg step-up multiple-testing control
+# ---------------------------------------------------------------------------
+
+_FDR_ORACLE = """
+WITH x AS (
+  SELECT event_type, cast(ts as date) AS d,
+         cast(cast(round(value, 3) * 1000 as decimal(7,0)) as bigint)
+           AS xi
+  FROM events
+),
+gstats AS (
+  SELECT cast(count(*) as bigint) AS n,
+         cast(sum(xi) as bigint) AS s1,
+         cast(sum(xi * xi) as bigint) AS s2
+  FROM x
+),
+cell AS (
+  SELECT event_type, d,
+         cast(count(*) as bigint) AS n_c,
+         cast(sum(xi) as bigint) AS s1_c
+  FROM x GROUP BY event_type, d
+),
+pv AS (
+  SELECT event_type, d,
+         cast(round(2.0 / (1.0 + exp(abs(
+           (cast(s1_c as double) / n_c - cast(s1 as double) / n)
+           / sqrt(((cast(s2 as double)
+                    - cast(s1 as double) * cast(s1 as double) / n)
+                   / (n - 1)) / n_c)))), 6) as decimal(8,6)) AS p
+  FROM cell CROSS JOIN gstats
+),
+ranked AS (
+  SELECT p, row_number() OVER (ORDER BY p, event_type, d) AS i,
+         cast(count(*) OVER () as bigint) AS m
+  FROM pv
+),
+kstar AS (
+  SELECT max(CASE WHEN p * 20 * m <= i THEN i END) AS k,
+         max(m) AS m
+  FROM ranked
+)
+SELECT m,
+       coalesce(k, 0) AS n_rejected,
+       (SELECT max(p) FROM ranked
+        WHERE i <= (SELECT k FROM kstar)) AS p_cutoff
+FROM kstar
+"""
+
+
+@query("q_fdr_bh", oracle=_FDR_ORACLE)
+def q_fdr_bh(spark, sf_dir):
+    """Benjamini-Hochberg step-up at alpha = 0.05 over the m =
+    (event_type x day) cells: each cell tests its mean value against
+    the global mean. The multiple-testing controller every metrics
+    platform needs once it slices by segment — reject the k* smallest
+    p-values where k* = max{i : p_(i) <= alpha*i/m}, i.e. everything
+    at or below the adaptive cutoff.
+
+    The per-cell p is a LOGISTIC tail proxy 2/(1+exp(|z|)) of the
+    z-score (monotone in |z|, in (0,1]) — erf/normal CDF isn't
+    portable across both engines, and BH only consumes p's order and
+    magnitude, so any p-source plugs in; the proxy is documented, not
+    hidden. Hash discipline: z comes from exact bigint milli-unit
+    sums; p is rounded to decimal(8,6) BEFORE the BH comparison, and
+    the step-up inequality p*20*m <= i is evaluated in exact decimal
+    x integer arithmetic, so the rejection set is engine-identical.
+
+    Scale: one fact scan feeding one global and one per-cell reduce;
+    the BH sort runs over the m-cell relation (segments, not rows)."""
+    e = load_table(spark, sf_dir, "events")
+    x = e.select("event_type", F.col("ts").cast("date").alias("d"),
+                 (F.round("value", 3) * 1000).cast("decimal(7,0)")
+                 .cast("long").alias("xi"))
+    glob = x.agg(F.count("*").cast("long").alias("n"),
+                 F.sum("xi").cast("long").alias("s1"),
+                 F.sum(F.col("xi") * F.col("xi")).cast("long").alias("s2"))
+    cell = (x.groupBy("event_type", "d")
+            .agg(F.count("*").cast("long").alias("n_c"),
+                 F.sum("xi").cast("long").alias("s1_c")))
+    nd = F.col("n").cast("double")
+    mean_g = F.col("s1").cast("double") / nd
+    var_g = ((F.col("s2").cast("double")
+              - F.col("s1").cast("double") * F.col("s1").cast("double")
+              / nd) / (F.col("n") - 1))
+    z = ((F.col("s1_c").cast("double") / F.col("n_c") - mean_g)
+         / F.sqrt(var_g / F.col("n_c")))
+    pv = (cell.crossJoin(F.broadcast(glob))
+          .select("event_type", "d",
+                  F.round(2.0 / (1.0 + F.exp(F.abs(z))), 6)
+                  .cast("decimal(8,6)").alias("p")))
+    ranked = pv.select(
+        "p",
+        F.row_number().over(W.orderBy("p", "event_type", "d")).alias("i"),
+        F.count("*").over(W.partitionBy()).cast("long").alias("m"))
+    kstar = ranked.agg(
+        F.max(F.when(F.col("p") * 20 * F.col("m") <= F.col("i"),
+                     F.col("i"))).alias("k"),
+        F.max("m").alias("m"))
+    cutoff = (ranked.join(F.broadcast(kstar.select("k")),
+                          F.col("i") <= F.col("k"))
+              .agg(F.max("p").alias("p_cutoff")))
+    return (kstar.crossJoin(F.broadcast(cutoff))
+            .select("m", F.coalesce(F.col("k"), F.lit(0).cast("long"))
+                    .cast("long").alias("n_rejected"), "p_cutoff"))

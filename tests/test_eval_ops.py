@@ -900,3 +900,19 @@ def test_rouge_matches_python_twin(spark):
             assert r["n_pairs"] == len(f1s)
             assert abs(r["mean_f1"] - round(sum(f1s) / len(f1s), 6)) \
                 < 1e-6
+
+
+def test_knn_classify_votes_and_tiebreak(spark):
+    rows = QUERIES["q_knn_classify"](spark, SF_SMOKE).collect()
+    probes = (spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+              .filter("vec_id % 25 = 0").count())
+    assert len(rows) == probes  # every held-out vector classified
+    for r in rows:
+        assert 1 <= r["votes"] <= 7
+        assert r["correct"] == (1 if r["pred_label"] == r["true_label"]
+                                else 0)
+    # winner takes a plurality: votes >= ceil(7 / n_labels)
+    labels = (spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+              .select("label").distinct().count())
+    for r in rows:
+        assert r["votes"] * labels >= 7 - labels + 1

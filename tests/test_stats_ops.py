@@ -369,3 +369,69 @@ def test_levene_bf_matches_python_twin(spark):
     r = QUERIES["q_levene_bf"](spark, SF_SMOKE).collect()[0]
     assert (r["k"], r["n"]) == (k, n)
     assert abs(r["w_stat"] - round(w, 6)) < 1e-6
+
+
+def test_fdr_bh_matches_python_twin(spark):
+    from challenge8_movies_etl_spark.registry import QUERIES
+    rows = (spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+            .selectExpr("event_type", "cast(ts as date) AS d", "value")
+            .collect())
+    xs = [(r.event_type, str(r.d), int(round(round(r.value, 3) * 1000)))
+          for r in rows]
+    n = len(xs)
+    s1 = sum(x for _, _, x in xs)
+    s2 = sum(x * x for _, _, x in xs)
+    mean_g = s1 / n
+    var_g = (s2 - s1 * s1 / n) / (n - 1)
+    cells = {}
+    for et, d, x in xs:
+        c = cells.setdefault((et, d), [0, 0])
+        c[0] += 1
+        c[1] += x
+    pv = []
+    for (et, d), (n_c, s1_c) in cells.items():
+        z = (s1_c / n_c - mean_g) / math.sqrt(var_g / n_c)
+        pv.append((round(2.0 / (1.0 + math.exp(abs(z))), 6), et, d))
+    pv.sort()
+    m = len(pv)
+    kstar = 0
+    for i, (p, _, _) in enumerate(pv, start=1):
+        # decimal-exact comparison: p has 6dp, p*20*m vs i
+        if round(p * 1_000_000) * 20 * m <= i * 1_000_000:
+            kstar = i
+    r = QUERIES["q_fdr_bh"](spark, SF_SMOKE).collect()[0]
+    assert r["m"] == m
+    assert r["n_rejected"] == kstar
+    if kstar:
+        assert abs(float(r["p_cutoff"]) - pv[kstar - 1][0]) < 1e-9
+    else:
+        assert r["p_cutoff"] is None
+    # BH rejects at least as much as Bonferroni, at most everything
+    bonf = sum(1 for p, _, _ in pv
+               if round(p * 1_000_000) * 20 * m <= 1_000_000)
+    assert bonf <= r["n_rejected"] <= m
+
+
+def test_zipf_slope_matches_python_twin(spark):
+    from collections import Counter
+    from challenge8_movies_etl_spark.registry import QUERIES
+    docs = (spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+            .select("text").collect())
+    cnt = Counter(t for r in docs for t in r.text.split(" "))
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:500]
+    n = len(ranked)
+    sx = sy = sxx = sxy = syy = 0.0
+    for i, (_, f) in enumerate(ranked, start=1):
+        lx, ly = math.log(i), math.log(f)
+        sx += round(lx, 8)
+        sy += round(ly, 8)
+        sxx += round(lx * lx, 8)
+        sxy += round(lx * ly, 8)
+        syy += round(ly * ly, 8)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r = QUERIES["q_zipf_slope"](spark, SF_SMOKE).collect()[0]
+    assert r["n"] == n
+    assert abs(r["slope"] - round(slope, 4)) < 1e-6
+    assert r["slope"] < 0  # frequency falls with rank
+    assert 0.0 <= r["r_sq"] <= 1.0
+    assert abs(r["intercept"] - round((sy - slope * sx) / n, 4)) < 1e-6
