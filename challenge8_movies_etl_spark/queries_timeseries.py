@@ -1728,3 +1728,197 @@ def q_max_drawdown(spark, sf_dir):
                     F.round(F.col("equity").cast("double"), 4)
                     .alias("trough_equity"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# q_point_in_polygon — crossing-number containment join (exact integers)
+# ---------------------------------------------------------------------------
+
+# Three fixture polygons in the deci-unit plane the spatial family
+# synthesizes points into (x = custkey % 997, y = custkey*31 % 1009,
+# both in [0, ~1008]): a convex pentagon, a concave arrow (exercises
+# the even-odd rule where a ray crosses the hull twice), a triangle.
+_PIP_POLYGONS = {
+    1: [(100, 100), (500, 50), (900, 300), (600, 800), (150, 600)],
+    2: [(200, 200), (800, 200), (800, 700), (500, 400), (200, 700)],
+    3: [(50, 700), (450, 950), (50, 950)],
+}
+
+
+def _pip_edges():
+    rows = []
+    for pid, verts in _PIP_POLYGONS.items():
+        for i, (x1, y1) in enumerate(verts):
+            x2, y2 = verts[(i + 1) % len(verts)]
+            rows.append((pid, x1, y1, x2, y2))
+    return rows
+
+
+_PIP_EDGE_VALUES = ", ".join(f"({p}, {a}, {b}, {c}, {d})"
+                             for p, a, b, c, d in _pip_edges())
+
+_PIP_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         cast(c_custkey % 997 as bigint) AS px,
+         cast((c_custkey * 31) % 1009 as bigint) AS py
+  FROM customer
+),
+ed(poly_id, x1, y1, x2, y2) AS (VALUES {_PIP_EDGE_VALUES}),
+crossings AS (
+  SELECT pts.id, ed.poly_id, count(*) AS c
+  FROM pts CROSS JOIN ed
+  WHERE ((y1 <= py AND py < y2) OR (y2 <= py AND py < y1))
+    AND (CASE WHEN y2 > y1
+              THEN (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1) > 0
+              ELSE (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1) < 0
+         END)
+  GROUP BY pts.id, ed.poly_id
+),
+inside AS (
+  SELECT id, poly_id FROM crossings WHERE c % 2 = 1
+)
+SELECT poly_id,
+       cast(count(*) as bigint) AS n_inside,
+       cast(sum(id) as bigint) AS id_sum,
+       cast(min(id) as bigint) AS min_id,
+       cast(max(id) as bigint) AS max_id
+FROM inside GROUP BY poly_id ORDER BY poly_id
+"""
+
+
+@query("q_point_in_polygon", oracle=_PIP_ORACLE)
+def q_point_in_polygon(spark, sf_dir):
+    """Point-in-polygon containment join: customers (as deterministic
+    integer deci-unit points, the q_spatial_join synthesis) against
+    three literal polygons, by the even-odd crossing-number rule — the
+    geofencing primitive beside the distance (q_spatial_join) and
+    grid (q_spatial_geohash) rungs of the spatial family.
+
+    Exactness: a horizontal ray from (px, py) crosses edge
+    (x1,y1)-(x2,y2) iff the half-open rule y1 <= py < y2 (or reversed)
+    holds AND the 2x2 cross product (x2-x1)(py-y1) - (px-x1)(y2-y1)
+    has the sign of (y2-y1) — NO division, pure int64 arithmetic, so
+    vertex-on-ray and boundary cases are engine-identical by
+    construction. Output is per-polygon count plus id checksums.
+
+    Scale: the edge list is a broadcast literal (any real polygon set
+    is dim-sized); the probe is one codegen'd scan — at 100 TB add the
+    polygon-bbox grid cell as a pre-join key so each point meets only
+    its cell's polygons (the q_spatial_join probing device)."""
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (F.col("c_custkey") % 997).cast("long").alias("px"),
+        ((F.col("c_custkey") * 31) % 1009).cast("long").alias("py"))
+    ed = F.broadcast(pts.sparkSession.createDataFrame(
+        _pip_edges(), "poly_id int, x1 long, y1 long, x2 long, y2 long"))
+    py, px = F.col("py"), F.col("px")
+    y1, y2, x1 = F.col("y1"), F.col("y2"), F.col("x1")
+    spans = ((y1 <= py) & (py < y2)) | ((y2 <= py) & (py < y1))
+    cross = (F.col("x2") - x1) * (py - y1) - (px - x1) * (y2 - y1)
+    hits = F.when(y2 > y1, cross > 0).otherwise(cross < 0)
+    crossings = (pts.crossJoin(ed)
+                 .filter(spans & hits)
+                 .groupBy("id", "poly_id").agg(F.count("*").alias("c")))
+    inside = crossings.filter(F.col("c") % 2 == 1)
+    return (inside.groupBy("poly_id")
+            .agg(F.count("*").cast("long").alias("n_inside"),
+                 F.sum("id").cast("long").alias("id_sum"),
+                 F.min("id").cast("long").alias("min_id"),
+                 F.max("id").cast("long").alias("max_id"))
+            .orderBy("poly_id"))
+
+
+# ---------------------------------------------------------------------------
+# q_sax_encode — symbolic aggregate approximation of daily series
+# ---------------------------------------------------------------------------
+
+_SAX_ORACLE = """
+WITH daily AS (
+  SELECT event_type, cast(ts as date) AS d, cast(count(*) as bigint) AS c
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) - 1 AS i
+  FROM daily
+),
+frames AS (
+  SELECT event_type, i // 3 AS frame, cast(sum(c) as bigint) AS s,
+         cast(count(*) as bigint) AS w
+  FROM idx GROUP BY event_type, i // 3
+),
+full_frames AS (SELECT * FROM frames WHERE w = 3),
+stats AS (
+  SELECT event_type,
+         cast(count(*) as bigint) AS nf,
+         cast(sum(s) as bigint) AS s1,
+         cast(sum(s * s) as bigint) AS s2
+  FROM full_frames GROUP BY event_type
+),
+thresh AS (
+  SELECT event_type,
+         cast(s1 as double) / nf AS mu,
+         sqrt((cast(s2 as double) - cast(s1 as double) * s1 / nf)
+              / (nf - 1)) AS sd
+  FROM stats
+)
+SELECT f.event_type, f.frame, f.s,
+       CASE WHEN cast(f.s as double) < mu - 0.6745 * sd THEN 'a'
+            WHEN cast(f.s as double) < mu THEN 'b'
+            WHEN cast(f.s as double) < mu + 0.6745 * sd THEN 'c'
+            ELSE 'd' END AS symbol
+FROM full_frames f JOIN thresh USING (event_type)
+ORDER BY f.event_type, f.frame
+"""
+
+
+@query("q_sax_encode", oracle=_SAX_ORACLE)
+def q_sax_encode(spark, sf_dir):
+    """SAX (symbolic aggregate approximation): each event type's daily
+    count series is piecewise-aggregated into 3-day frames, and each
+    frame is mapped to one of four symbols by the standard Gaussian
+    quartile breakpoints (-0.6745, 0, +0.6745) around the per-series
+    frame distribution — the discretization that turns similarity
+    search over raw series into string algorithms (q_text_winnowing /
+    q_dedup_ngram apply downstream).
+
+    Exactness: frame sums are exact bigints; the breakpoint compare is
+    `int < mu + b*sd` with mu/sd derived scalar-side from exact integer
+    sums — an integer never equals the irrational threshold, and both
+    engines compute the identical double, so the symbolization cannot
+    drift. Trailing partial frames (w < 3) are excluded to keep frame
+    statistics commensurate.
+
+    Scale: one map-side daily rollup (calendar-bounded), one frame
+    group-by over it, one broadcast per-series threshold join."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.count("*").cast("long").alias("c")))
+    idx = daily.select(
+        "event_type", "c",
+        (F.row_number().over(
+            W.partitionBy("event_type").orderBy("d")) - 1).alias("i"))
+    frames = (idx.groupBy("event_type",
+                          (F.col("i") / 3).cast("long").alias("frame"))
+              .agg(F.sum("c").cast("long").alias("s"),
+                   F.count("*").cast("long").alias("w"))
+              .filter(F.col("w") == 3))
+    stats = (frames.groupBy("event_type")
+             .agg(F.count("*").cast("long").alias("nf"),
+                  F.sum("s").cast("long").alias("s1"),
+                  F.sum(F.col("s") * F.col("s")).cast("long").alias("s2")))
+    mu = F.col("s1").cast("double") / F.col("nf")
+    sd = F.sqrt((F.col("s2").cast("double")
+                 - F.col("s1").cast("double") * F.col("s1") / F.col("nf"))
+                / (F.col("nf") - 1))
+    thresh = stats.select("event_type", mu.alias("mu"), sd.alias("sd"))
+    sdub = F.col("s").cast("double")
+    symbol = (F.when(sdub < F.col("mu") - 0.6745 * F.col("sd"), "a")
+              .when(sdub < F.col("mu"), "b")
+              .when(sdub < F.col("mu") + 0.6745 * F.col("sd"), "c")
+              .otherwise("d"))
+    return (frames.join(F.broadcast(thresh), "event_type")
+            .select("event_type", "frame", "s", symbol.alias("symbol"))
+            .orderBy("event_type", "frame"))

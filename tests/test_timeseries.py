@@ -574,3 +574,70 @@ def test_max_drawdown_twin(spark):
         assert rows[et]["trough_day"] == best[1]
         assert abs(rows[et]["max_drawdown"] - float(best[0])) < 1e-4
         assert rows[et]["max_drawdown"] >= 0
+
+
+def test_point_in_polygon_matches_python_twin(spark):
+    from challenge8_movies_etl_spark.queries_timeseries import (
+        _PIP_POLYGONS)
+    from challenge8_movies_etl_spark.registry import QUERIES
+
+    def inside(px, py, verts):
+        c = 0
+        n = len(verts)
+        for i in range(n):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % n]
+            if (y1 <= py < y2) or (y2 <= py < y1):
+                cross = (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1)
+                if (cross > 0) if y2 > y1 else (cross < 0):
+                    c += 1
+        return c % 2 == 1
+
+    keys = [r.c_custkey for r in
+            spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+            .select("c_custkey").collect()]
+    expect = {}
+    for pid, verts in _PIP_POLYGONS.items():
+        ids = [k for k in keys
+               if inside(k % 997, (k * 31) % 1009, verts)]
+        if ids:
+            expect[pid] = (len(ids), sum(ids), min(ids), max(ids))
+    out = {r["poly_id"]: (r["n_inside"], r["id_sum"], r["min_id"],
+                          r["max_id"])
+           for r in QUERIES["q_point_in_polygon"](spark, SF_SMOKE)
+           .collect()}
+    assert out == expect
+    assert expect, "fixture polygons must contain points at smoke scale"
+
+
+def test_sax_symbols_match_python_twin(spark):
+    import math
+    from collections import defaultdict
+    from challenge8_movies_etl_spark.registry import QUERIES
+    rows = (spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+            .selectExpr("event_type", "cast(ts as date) AS d").collect())
+    daily = defaultdict(int)
+    for r in rows:
+        daily[(r.event_type, str(r.d))] += 1
+    series = defaultdict(list)
+    for (et, d), c in sorted(daily.items()):
+        series[et].append(c)
+    expect = {}
+    for et, cs in series.items():
+        frames = [sum(cs[i:i + 3]) for i in range(0, len(cs) - 2, 3)
+                  if len(cs[i:i + 3]) == 3]
+        nf = len(frames)
+        mu = sum(frames) / nf
+        sd = math.sqrt((sum(s * s for s in frames)
+                        - sum(frames) ** 2 / nf) / (nf - 1))
+        for fi, s in enumerate(frames):
+            sym = ("a" if s < mu - 0.6745 * sd else
+                   "b" if s < mu else
+                   "c" if s < mu + 0.6745 * sd else "d")
+            expect[(et, fi)] = (s, sym)
+    out = {(r["event_type"], r["frame"]): (r["s"], r["symbol"])
+           for r in QUERIES["q_sax_encode"](spark, SF_SMOKE).collect()}
+    assert out == expect
+    # all four symbols are reachable given enough frames; at minimum
+    # the alphabet is a subset of {a,b,c,d}
+    assert {s for _, s in out.values()} <= set("abcd")
