@@ -23,6 +23,7 @@ Scale notes per query are inline; the shared discipline:
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .registry import query
@@ -1164,3 +1165,94 @@ def q_embed_random_projection(spark, sf_dir):
             .agg(F.sum(F.col("q") * F.col("s")).cast("bigint")
                  .alias("proj"))
             .orderBy("vec_id", "dim"))
+
+
+# ---------------------------------------------------------------------------
+# q_mixture_temperature — temperature-scaled corpus mixing weights
+# ---------------------------------------------------------------------------
+
+_MIXTEMP_ORACLE = """
+WITH per AS (
+  SELECT source, cast(count(*) as bigint) AS c
+  FROM documents GROUP BY source
+),
+sq AS (
+  SELECT source, c,
+         cast(round(sqrt(cast(c as double)), 8) as decimal(20,8)) AS s
+  FROM per
+),
+tot AS (
+  SELECT cast(sum(c) as bigint) AS total,
+         cast(sum(s) as decimal(30,8)) AS ssum
+  FROM sq
+),
+quota AS (
+  SELECT source, c,
+         round(cast(s as double) / cast(ssum as double), 6) + 0.0 AS w,
+         (total // 2) * cast(s as double) / cast(ssum as double) AS q,
+         total // 2 AS budget
+  FROM sq CROSS JOIN tot
+),
+base AS (
+  SELECT source, c, w, budget,
+         cast(floor(q) as bigint) AS b,
+         q - floor(q) AS frac
+  FROM quota
+),
+seats AS (
+  SELECT source, c, w, b,
+         CASE WHEN row_number() OVER (ORDER BY frac DESC, source)
+                   <= budget - sum(b) OVER ()
+              THEN 1 ELSE 0 END AS extra
+  FROM base
+)
+SELECT source, c AS src_cnt, w, b + extra AS take
+FROM seats ORDER BY source
+"""
+
+
+@query("q_mixture_temperature", oracle=_MIXTEMP_ORACLE)
+def q_mixture_temperature(spark, sf_dir):
+    """Temperature-scaled mixture sampling plan (T5/UnifiedQA-style,
+    alpha = 0.5): per-source weight w_i proportional to sqrt(count_i)
+    — up-weighting small sources relative to raw proportions — and an
+    integer document budget of total/2 apportioned by the
+    largest-remainder method, so takes sum EXACTLY to the budget (a
+    floor-only plan undershoots). The temperature rung above
+    q_domain_mix's uniform cap plan.
+
+    Hash discipline: sqrt(c) is rounded 8dp per source and summed as
+    decimal (exact, order-free); quotas are scalar doubles of exact
+    inputs; the remainder seats rank by (frac desc, source) — fully
+    deterministic.
+
+    Scale: groupBy(source) collapses the corpus to |domains| rows;
+    everything downstream is dim-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count("*").cast("long").alias("c"))
+    sq = per.select(
+        "source", "c",
+        F.round(F.sqrt(F.col("c").cast("double")), 8)
+        .cast("decimal(20,8)").alias("s"))
+    tot = sq.agg(F.sum("c").cast("long").alias("total"),
+                 F.sum("s").cast("decimal(30,8)").alias("ssum"))
+    quota = (sq.crossJoin(F.broadcast(tot))
+             .select("source", "c",
+                     (F.round(F.col("s").cast("double")
+                              / F.col("ssum").cast("double"), 6) + 0.0)
+                     .alias("w"),
+                     ((F.col("total") / 2).cast("long")
+                      * F.col("s").cast("double")
+                      / F.col("ssum").cast("double")).alias("q"),
+                     (F.col("total") / 2).cast("long").alias("budget")))
+    base = quota.select(
+        "source", "c", "w", "budget",
+        F.floor("q").cast("long").alias("b"),
+        (F.col("q") - F.floor("q")).alias("frac"))
+    wall = W.partitionBy()
+    extra = F.when(
+        F.row_number().over(W.orderBy(F.desc("frac"), "source"))
+        <= F.col("budget") - F.sum("b").over(wall), 1).otherwise(0)
+    return (base.select("source", F.col("c").alias("src_cnt"), "w",
+                        (F.col("b") + extra).alias("take"))
+            .orderBy("source"))

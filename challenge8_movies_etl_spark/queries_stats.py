@@ -1290,3 +1290,89 @@ def q_fdr_bh(spark, sf_dir):
     return (kstar.crossJoin(F.broadcast(cutoff))
             .select("m", F.coalesce(F.col("k"), F.lit(0).cast("long"))
                     .cast("long").alias("n_rejected"), "p_cutoff"))
+
+
+# ---------------------------------------------------------------------------
+# q_friedman — blocked rank test (tie-corrected Friedman Q)
+# ---------------------------------------------------------------------------
+
+_FRIEDMAN_ORACLE = """
+WITH daily AS (
+  SELECT cast(ts as date) AS d, event_type,
+         cast(count(*) as bigint) AS c
+  FROM events GROUP BY 1, 2
+),
+rk AS (
+  SELECT d, event_type,
+         2 * rank() OVER (PARTITION BY d ORDER BY c)
+           + cast(count(*) OVER (PARTITION BY d, c) as bigint) - 1 AS r2
+  FROM daily
+),
+col AS (
+  SELECT event_type,
+         cast(sum(r2) as bigint) AS r2_j,
+         cast(count(*) as bigint) AS n
+  FROM rk GROUP BY event_type
+),
+a AS (
+  SELECT cast(sum(r2 * r2) as bigint) AS sr22 FROM rk
+),
+s AS (
+  SELECT cast(count(*) as bigint) AS k,
+         max(n) AS n,
+         cast(sum((r2_j - n * (k_all + 1))
+                  * (r2_j - n * (k_all + 1))) as bigint) AS dev2,
+         max(sr22) AS sr22
+  FROM col CROSS JOIN a
+  CROSS JOIN (SELECT cast(count(*) as bigint) AS k_all FROM col) kk
+)
+SELECT n, k,
+       round((k - 1) * cast(dev2 as double)
+             / (cast(sr22 as double)
+                - cast(n as double) * k * (k + 1) * (k + 1)), 6) + 0.0
+         AS q_stat
+FROM s
+"""
+
+
+@query("q_friedman", oracle=_FRIEDMAN_ORACLE)
+def q_friedman(spark, sf_dir):
+    """Tie-corrected Friedman test: within each day (block), the five
+    event types' daily counts are rank-ordered; Q asks whether any
+    event type systematically out-ranks the others across days — the
+    repeated-measures companion of q_kruskal_wallis (which pools all
+    rows and loses the day blocking).
+
+    Exactness: within-block tie-averaged ranks are carried DOUBLED
+    (2*rank + ties - 1, always integer), which makes every term of the
+    tie-corrected statistic Q = (k-1)*sum_j(R2_j - n(k+1))^2 /
+    (sum r2^2 - n*k*(k+1)^2) an exact bigint — the doubling cancels
+    between numerator and denominator, so ONE double division rounded
+    6dp is the only float op.
+
+    Scale: the rank window partitions by day over the calendar-bounded
+    daily relation; two tiny reduces follow."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("ts").cast("date").alias("d"), "event_type")
+             .agg(F.count("*").cast("long").alias("c")))
+    r2 = (2 * F.rank().over(W.partitionBy("d").orderBy("c"))
+          + F.count("*").over(W.partitionBy("d", "c")).cast("long") - 1)
+    rk = daily.select("d", "event_type", r2.alias("r2"))
+    col = (rk.groupBy("event_type")
+           .agg(F.sum("r2").cast("long").alias("r2_j"),
+                F.count("*").cast("long").alias("n")))
+    a = rk.agg(F.sum(F.col("r2") * F.col("r2")).cast("long")
+               .alias("sr22"))
+    kk = col.agg(F.count("*").cast("long").alias("k_all"))
+    s = (col.crossJoin(F.broadcast(a)).crossJoin(F.broadcast(kk))
+         .agg(F.count("*").cast("long").alias("k"),
+              F.max("n").alias("n"),
+              F.sum((F.col("r2_j") - F.col("n") * (F.col("k_all") + 1))
+                    * (F.col("r2_j") - F.col("n") * (F.col("k_all") + 1)))
+              .cast("long").alias("dev2"),
+              F.max("sr22").alias("sr22")))
+    q = ((F.col("k") - 1) * F.col("dev2").cast("double")
+         / (F.col("sr22").cast("double")
+            - F.col("n").cast("double") * F.col("k") * (F.col("k") + 1)
+            * (F.col("k") + 1)))
+    return s.select("n", "k", (F.round(q, 6) + 0.0).alias("q_stat"))

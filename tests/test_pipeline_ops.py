@@ -280,3 +280,19 @@ def test_random_projection_exact_and_jl_property(spark):
         if nq and 1 / 3 <= np_ / nq <= 3:
             ok += 1
     assert ok >= 0.8 * len(emb)
+
+
+def test_mixture_temperature_apportionment_exact(spark):
+    from challenge8_movies_etl_spark.registry import QUERIES
+    rows = QUERIES["q_mixture_temperature"](spark, SF_SMOKE).collect()
+    total = sum(r["src_cnt"] for r in rows)
+    budget = total // 2
+    assert sum(r["take"] for r in rows) == budget  # largest-remainder
+    assert abs(sum(r["w"] for r in rows) - 1.0) < 1e-3
+    # temperature flattens: smallest source gets a larger share than
+    # its raw proportion, largest gets a smaller one
+    smallest = min(rows, key=lambda r: r["src_cnt"])
+    largest = max(rows, key=lambda r: r["src_cnt"])
+    if smallest["src_cnt"] != largest["src_cnt"]:
+        assert smallest["w"] > smallest["src_cnt"] / total - 1e-12
+        assert largest["w"] < largest["src_cnt"] / total + 1e-12

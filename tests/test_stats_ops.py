@@ -435,3 +435,34 @@ def test_zipf_slope_matches_python_twin(spark):
     assert r["slope"] < 0  # frequency falls with rank
     assert 0.0 <= r["r_sq"] <= 1.0
     assert abs(r["intercept"] - round((sy - slope * sx) / n, 4)) < 1e-6
+
+
+def test_friedman_matches_python_twin(spark):
+    from collections import defaultdict
+    from challenge8_movies_etl_spark.registry import QUERIES
+    rows = (spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+            .selectExpr("cast(ts as date) AS d", "event_type").collect())
+    daily = defaultdict(int)
+    for r in rows:
+        daily[(str(r.d), r.event_type)] += 1
+    blocks = defaultdict(dict)
+    for (d, et), c in daily.items():
+        blocks[d][et] = c
+    r2 = {}
+    for d, row in blocks.items():
+        vals = sorted(row.values())
+        for et, c in row.items():
+            lo = sum(1 for v in vals if v < c)
+            t = sum(1 for v in vals if v == c)
+            r2[(d, et)] = 2 * (lo + 1) + t - 1
+    ets = sorted({et for _, et in r2})
+    k = len(ets)
+    n = len(blocks)
+    r2_j = {et: sum(v for (d, e), v in r2.items() if e == et)
+            for et in ets}
+    dev2 = sum((r2_j[et] - n * (k + 1)) ** 2 for et in ets)
+    sr22 = sum(v * v for v in r2.values())
+    q = (k - 1) * dev2 / (sr22 - n * k * (k + 1) ** 2)
+    r = QUERIES["q_friedman"](spark, SF_SMOKE).collect()[0]
+    assert (r["n"], r["k"]) == (n, k)
+    assert abs(r["q_stat"] - round(q, 6)) < 1e-6
