@@ -338,3 +338,105 @@ def synthesize_png_images(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id").mapInPandas(
         run, schema="doc_id bigint, payload binary")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (pHash): box-pool -> 2D DCT-II -> median threshold.
+# Real DCT arithmetic in numpy; used by q_image_phash with a fixture
+# whose hash CLASSES have a closed form (see queries_curation.py).
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp_vsplit(width: int, height: int, ta: int, tb: int) -> bytes:
+    """24-bit uncompressed BMP, left half gray tone ``ta``, right half
+    gray tone ``tb`` (same layout rules as encode_bmp)."""
+    half = width // 2
+    row = bytes((ta, ta, ta)) * half + bytes((tb, tb, tb)) * (width - half)
+    pad = (4 - (3 * width) % 4) % 4
+    pixels = (row + b"\x00" * pad) * height
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(pixels), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0,
+                         14 + 40)
+    return header + info + pixels
+
+
+def _decode_bmp_pixels(buf: bytes) -> "np.ndarray":
+    """Full-pixel BMP decode (top-down uint8 (H, W, 3) RGB array) —
+    the pixel-level sibling of _decode_bmp's channel means."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack_from("<I", buf, 10)
+    hdr_size, width, height = struct.unpack_from("<Iii", buf, 14)
+    (bpp,) = struct.unpack_from("<H", buf, 28)
+    if bpp != 24 or hdr_size < 40:
+        raise ValueError(f"unsupported BMP variant: bpp={bpp}")
+    flipped = height < 0
+    height = abs(height)
+    stride = (3 * width + 3) // 4 * 4
+    px = np.frombuffer(buf, dtype=np.uint8, count=stride * height,
+                       offset=data_off)
+    px = px.reshape(height, stride)[:, :3 * width].reshape(height, width, 3)
+    if not flipped:
+        px = px[::-1]
+    return px[:, :, ::-1]  # BGR -> RGB
+
+
+_DCT8 = None
+
+
+def _dct8_matrix() -> "np.ndarray":
+    """Orthonormal 8-point DCT-II basis (the JPEG/pHash transform)."""
+    global _DCT8
+    if _DCT8 is None:
+        x = np.arange(8)
+        c = np.cos(np.pi * (2 * x[None, :] + 1) * x[:, None] / 16.0)
+        c[0] *= np.sqrt(1.0 / 8.0)
+        c[1:] *= np.sqrt(2.0 / 8.0)
+        _DCT8 = c
+    return _DCT8
+
+
+def phash64(buf: bytes) -> str:
+    """Perceptual hash of a BMP payload: grayscale, exact box-pool to
+    8x8 (dims must be multiples of 8), 2D DCT-II, drop the DC term,
+    threshold the 63 AC coefficients at their MEAN, pack the bit
+    pattern as 16 hex chars. Scale- and contrast-invariant by
+    construction (pooling removes resolution; the relative threshold
+    removes gain), which is exactly the near-dup equivalence the
+    fixture's closed form predicts. Coefficients are quantized to 6dp
+    before the compare: the DCT of a piecewise-constant image is
+    sparse, so unquantized ~1e-13 matmul noise would otherwise feed
+    the threshold sign bits (the classic pHash median degenerates on
+    sparse spectra for the same reason — hence the mean)."""
+    px = _decode_bmp_pixels(buf).astype(np.float64)
+    gray = px.mean(axis=2)
+    h, w = gray.shape
+    if h % 8 or w % 8:
+        raise ValueError("phash fixture requires dims that are "
+                         "multiples of 8")
+    pooled = gray.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+    c = _dct8_matrix()
+    coef = c @ pooled @ c.T
+    ac = np.round(coef.ravel()[1:], 6)
+    bits = ac > ac.mean()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return f"{val:016x}"
+
+
+def encode_bmp_hsplit(width: int, height: int, ta: int, tb: int) -> bytes:
+    """24-bit uncompressed BMP, TOP half gray tone ``ta``, bottom half
+    ``tb`` (rows stored bottom-up per the BMP layout)."""
+    pad = (4 - (3 * width) % 4) % 4
+    row_a = bytes((ta, ta, ta)) * width + b"\x00" * pad
+    row_b = bytes((tb, tb, tb)) * width + b"\x00" * pad
+    half = height // 2
+    # bottom-up: bottom rows (tb) first, then top rows (ta)
+    pixels = row_b * (height - half) + row_a * half
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(pixels), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0,
+                         14 + 40)
+    return header + info + pixels

@@ -1363,3 +1363,73 @@ def q_survival_nelson_aalen(spark, sf_dir):
         F.round(F.sum("vterm").over(wcum).cast("double"), 8)
         .alias("hazard_var"))
         .orderBy("t").limit(25))
+
+
+# ---------------------------------------------------------------------------
+# q_image_phash — perceptual near-duplicate image grouping
+# ---------------------------------------------------------------------------
+
+_PHASH_ORACLE = """
+WITH k AS (
+  SELECT doc_id, doc_id % 97 AS kk FROM documents
+),
+cls AS (
+  SELECT doc_id,
+         CASE WHEN (kk * 11) % 200 = (kk * 17) % 200 THEN 'z'
+              WHEN kk % 2 = 0 AND (kk * 11) % 200 > (kk * 17) % 200
+                THEN 'v+'
+              WHEN kk % 2 = 0 THEN 'v-'
+              WHEN (kk * 11) % 200 > (kk * 17) % 200 THEN 'h+'
+              ELSE 'h-' END AS c
+  FROM k
+)
+SELECT cast(min(doc_id) as bigint) AS rep,
+       cast(count(*) as bigint) AS n_members
+FROM cls GROUP BY c ORDER BY rep
+"""
+
+
+@query("q_image_phash", oracle=_PHASH_ORACLE)
+def q_image_phash(spark, sf_dir):
+    """Perceptual-hash image dedup — the near-duplicate rung above
+    q_image_dedup_exact's byte-exact md5: REAL BMP payloads (split-tone
+    fixtures at varying sizes and tone pairs) are decoded, box-pooled
+    to 8x8, 2D-DCT'd, and thresholded into a 64-bit pHash
+    (operators/multimodal.py:phash64); images that differ in
+    resolution and contrast but share perceptual structure collapse to
+    one group. The oracle exploits the fixture's closed form: pooling
+    + relative thresholding quotient the (width, height, ta, tb)
+    fixture space down to exactly (orientation x tone-order) classes —
+    'v+/v-/h+/h-' splits and 'z' uniforms — so DuckDB can derive the
+    same groups from doc_id arithmetic alone, without running a DCT.
+
+    Scale: synthesis+hash is one Arrow-batched mapInPandas pass (no
+    shuffle); grouping is a hash groupBy on the 64-bit digest — the
+    same plan as exact dedup, at any corpus size. Real-corpus caveat
+    goes the other way: pHash grouping at 100 TB stays a single
+    groupBy because the hash IS the bucket (no pairwise stage, unlike
+    threshold-based hamming matching, which would LSH the 64 bits)."""
+    from .operators.multimodal import (encode_bmp_hsplit,
+                                       encode_bmp_vsplit, phash64)
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def synth_hash(batches):
+        import pandas as pd
+        for pdf in batches:
+            hashes = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id) % 97
+                w, h = 8 * (k % 3 + 1), 8 * ((k // 3) % 3 + 1)
+                ta, tb = (k * 11) % 200, (k * 17) % 200
+                enc = encode_bmp_vsplit if k % 2 == 0 else encode_bmp_hsplit
+                hashes.append(phash64(enc(w, h, ta, tb)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "ph": hashes})
+
+    hashed = d.select("doc_id").mapInPandas(
+        synth_hash, schema="doc_id bigint, ph string")
+    return (hashed.groupBy("ph")
+            .agg(F.min("doc_id").cast("long").alias("rep"),
+                 F.count("*").cast("long").alias("n_members"))
+            .select("rep", "n_members")
+            .orderBy("rep"))

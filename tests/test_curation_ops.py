@@ -268,3 +268,31 @@ def test_nelson_aalen_crosschecks_km(spark):
         if r["t"] in km and km[r["t"]] > 0:
             assert abs(-math.log(km[r["t"]]) - r["cum_hazard"]) \
                 < 0.05 * r["cum_hazard"] + 0.01
+
+
+def test_phash_invariance_properties():
+    """pHash collapses resolution/contrast but separates structure."""
+    from challenge8_movies_etl_spark.operators.multimodal import (
+        encode_bmp_hsplit, encode_bmp_vsplit, phash64)
+    # same structure, different resolution and tone pair -> same hash
+    assert (phash64(encode_bmp_vsplit(8, 8, 10, 200))
+            == phash64(encode_bmp_vsplit(24, 16, 50, 90)))
+    assert (phash64(encode_bmp_hsplit(16, 24, 3, 250))
+            == phash64(encode_bmp_hsplit(8, 8, 30, 40)))
+    # orientation, tone order, and uniformity all separate
+    hs = {phash64(encode_bmp_vsplit(16, 16, 10, 200)),
+          phash64(encode_bmp_vsplit(16, 16, 200, 10)),
+          phash64(encode_bmp_hsplit(16, 16, 10, 200)),
+          phash64(encode_bmp_hsplit(16, 16, 200, 10)),
+          phash64(encode_bmp_vsplit(16, 16, 99, 99))}
+    assert len(hs) == 5
+
+
+def test_image_phash_groups_partition_corpus(spark):
+    from challenge8_movies_etl_spark.registry import QUERIES
+    rows = QUERIES["q_image_phash"](spark, SF_SMOKE).collect()
+    docs_n = (spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+              .count())
+    assert sum(r["n_members"] for r in rows) == docs_n
+    reps = [r["rep"] for r in rows]
+    assert reps == sorted(reps) and len(set(reps)) == len(reps)
