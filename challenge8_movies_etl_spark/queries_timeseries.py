@@ -1922,3 +1922,130 @@ def q_sax_encode(spark, sf_dir):
     return (frames.join(F.broadcast(thresh), "event_type")
             .select("event_type", "frame", "s", symbol.alias("symbol"))
             .orderBy("event_type", "frame"))
+
+
+# ---------------------------------------------------------------------------
+# q_granger_causality — lag-1 Granger F-test, both directions
+# ---------------------------------------------------------------------------
+
+_GRANGER_ORACLE = """
+WITH daily AS (
+  SELECT cast(ts as date) AS d,
+         cast(count(*) FILTER (event_type = 'click') as bigint) AS x,
+         cast(count(*) FILTER (event_type = 'purchase') as bigint) AS y
+  FROM events GROUP BY 1
+),
+lagged AS (
+  SELECT x, y,
+         lag(x) OVER (ORDER BY d) AS xl,
+         lag(y) OVER (ORDER BY d) AS yl
+  FROM daily
+),
+pairs AS (
+  SELECT 'x->y' AS direction, y AS t, yl AS a, xl AS b
+  FROM lagged WHERE xl IS NOT NULL
+  UNION ALL
+  SELECT 'y->x', x, xl, yl FROM lagged WHERE xl IS NOT NULL
+),
+s AS (
+  SELECT direction,
+         cast(count(*) as bigint) AS n,
+         cast(sum(t) as bigint) AS st, cast(sum(a) as bigint) AS sa,
+         cast(sum(b) as bigint) AS sb,
+         cast(sum(t * t) as bigint) AS stt,
+         cast(sum(a * a) as bigint) AS saa,
+         cast(sum(b * b) as bigint) AS sbb,
+         cast(sum(a * t) as bigint) AS sat,
+         cast(sum(b * t) as bigint) AS sbt,
+         cast(sum(a * b) as bigint) AS sab
+  FROM pairs GROUP BY direction
+),
+c AS (
+  SELECT direction, n,
+         cast(stt as double) - cast(st as double) * st / n AS cyy,
+         cast(saa as double) - cast(sa as double) * sa / n AS caa,
+         cast(sbb as double) - cast(sb as double) * sb / n AS cbb,
+         cast(sat as double) - cast(sa as double) * st / n AS cay,
+         cast(sbt as double) - cast(sb as double) * st / n AS cby,
+         cast(sab as double) - cast(sa as double) * sb / n AS cab
+  FROM s
+),
+f AS (
+  SELECT direction, n,
+         cyy - cay * cay / caa AS rss_r,
+         cyy - ((cay * cbb - cby * cab) * cay
+                + (cby * caa - cay * cab) * cby)
+               / (caa * cbb - cab * cab) AS rss_u
+  FROM c
+)
+SELECT direction, n,
+       round((rss_r - rss_u) * (n - 3) / rss_u, 6) + 0.0 AS f_stat,
+       round(1.0 - rss_u / rss_r, 6) + 0.0 AS r2_gain
+FROM f ORDER BY direction
+"""
+
+
+@query("q_granger_causality", oracle=_GRANGER_ORACLE)
+def q_granger_causality(spark, sf_dir):
+    """Lag-1 Granger causality between the daily click and purchase
+    series, both directions: does adding yesterday's clicks to an
+    AR(1) model of purchases cut the residual sum of squares (and
+    vice versa)? F = (RSS_r - RSS_u)*(n-3)/RSS_u with the closed-form
+    two-regressor OLS — the lead-lag screen beside q_lagged_crosscorr
+    (which measures association, not incremental predictivity).
+
+    Exactness: all ten sufficient statistics are exact bigints over
+    integer daily counts; centered second moments, the 2x2 normal
+    equations, and both RSS values are scalar double combinations —
+    identical operand order on both engines — rounded 6dp with the
+    sign-of-zero guard.
+
+    Scale: one calendar-bounded daily pivot, one lag window over it,
+    one 10-sum reduce per direction."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("ts").cast("date").alias("d"))
+             .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                        .otherwise(0)).cast("long").alias("x"),
+                  F.sum(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).cast("long").alias("y")))
+    w = W.orderBy("d")
+    lagged = (daily.select("x", "y",
+                           F.lag("x").over(w).alias("xl"),
+                           F.lag("y").over(w).alias("yl"))
+              .filter(F.col("xl").isNotNull()))
+    fwd = lagged.select(F.lit("x->y").alias("direction"),
+                        F.col("y").alias("t"), F.col("yl").alias("a"),
+                        F.col("xl").alias("b"))
+    rev = lagged.select(F.lit("y->x").alias("direction"),
+                        F.col("x").alias("t"), F.col("xl").alias("a"),
+                        F.col("yl").alias("b"))
+    pairs = fwd.unionByName(rev)
+    s = (pairs.groupBy("direction")
+         .agg(F.count("*").cast("long").alias("n"),
+              F.sum("t").cast("long").alias("st"),
+              F.sum("a").cast("long").alias("sa"),
+              F.sum("b").cast("long").alias("sb"),
+              F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+              F.sum(F.col("a") * F.col("a")).cast("long").alias("saa"),
+              F.sum(F.col("b") * F.col("b")).cast("long").alias("sbb"),
+              F.sum(F.col("a") * F.col("t")).cast("long").alias("sat"),
+              F.sum(F.col("b") * F.col("t")).cast("long").alias("sbt"),
+              F.sum(F.col("a") * F.col("b")).cast("long").alias("sab")))
+    nd = F.col("n").cast("double")
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    cyy = dd("stt") - dd("st") * F.col("st") / nd
+    caa = dd("saa") - dd("sa") * F.col("sa") / nd
+    cbb = dd("sbb") - dd("sb") * F.col("sb") / nd
+    cay = dd("sat") - dd("sa") * F.col("st") / nd
+    cby = dd("sbt") - dd("sb") * F.col("st") / nd
+    cab = dd("sab") - dd("sa") * F.col("sb") / nd
+    rss_r = cyy - cay * cay / caa
+    det = caa * cbb - cab * cab
+    rss_u = cyy - ((cay * cbb - cby * cab) * cay
+                   + (cby * caa - cay * cab) * cby) / det
+    f = (rss_r - rss_u) * (F.col("n") - 3) / rss_u
+    return s.select(
+        "direction", "n",
+        (F.round(f, 6) + 0.0).alias("f_stat"),
+        (F.round(1.0 - rss_u / rss_r, 6) + 0.0).alias("r2_gain")
+    ).orderBy("direction")

@@ -641,3 +641,39 @@ def test_sax_symbols_match_python_twin(spark):
     # all four symbols are reachable given enough frames; at minimum
     # the alphabet is a subset of {a,b,c,d}
     assert {s for _, s in out.values()} <= set("abcd")
+
+
+def test_granger_matches_numpy_twin(spark):
+    import numpy as np
+    from collections import defaultdict
+    from challenge8_movies_etl_spark.registry import QUERIES
+    rows = (spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+            .selectExpr("cast(ts as date) AS d", "event_type").collect())
+    daily = defaultdict(lambda: [0, 0])
+    for r in rows:
+        if r.event_type == "click":
+            daily[str(r.d)][0] += 1
+        elif r.event_type == "purchase":
+            daily[str(r.d)][1] += 1
+    days = sorted(daily)
+    x = np.array([daily[d][0] for d in days], dtype=float)
+    y = np.array([daily[d][1] for d in days], dtype=float)
+
+    def f_stat(t, a, b):
+        n = len(t)
+        X_r = np.column_stack([np.ones(n), a])
+        X_u = np.column_stack([np.ones(n), a, b])
+        rss = lambda X: float(  # noqa: E731
+            ((t - X @ np.linalg.lstsq(X, t, rcond=None)[0]) ** 2).sum())
+        rss_r, rss_u = rss(X_r), rss(X_u)
+        return (rss_r - rss_u) * (n - 3) / rss_u, 1.0 - rss_u / rss_r
+
+    exp_fwd = f_stat(y[1:], y[:-1], x[:-1])
+    exp_rev = f_stat(x[1:], x[:-1], y[:-1])
+    out = {r["direction"]: r for r in
+           QUERIES["q_granger_causality"](spark, SF_SMOKE).collect()}
+    assert out["x->y"]["n"] == len(x) - 1
+    assert abs(out["x->y"]["f_stat"] - exp_fwd[0]) < 1e-3
+    assert abs(out["x->y"]["r2_gain"] - exp_fwd[1]) < 1e-4
+    assert abs(out["y->x"]["f_stat"] - exp_rev[0]) < 1e-3
+    assert out["x->y"]["f_stat"] >= 0 and out["y->x"]["f_stat"] >= 0
