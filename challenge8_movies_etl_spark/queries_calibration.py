@@ -243,3 +243,148 @@ def q_isotonic_pav(spark, sf_dir):
                                 "n bigint, raw_rate double, "
                                 "iso_rate double")
             .orderBy("event_type", "bucket"))
+
+
+# ---------------------------------------------------------------------------
+# q_brier_murphy — Brier score with the Murphy decomposition
+# ---------------------------------------------------------------------------
+
+_BRIER_ORACLE = """
+WITH scored AS (
+  SELECT (event_id % 1000) // 100 AS bin,
+         event_id % 1000 AS pm,
+         CASE WHEN (event_id * 7919) % 1000 < event_id % 1000
+              THEN 1 ELSE 0 END AS label
+  FROM events
+),
+g AS (
+  SELECT cast(count(*) as bigint) AS n,
+         cast(sum((pm - 1000 * label) * (pm - 1000 * label)) as bigint)
+           AS sq,
+         cast(sum(label) as bigint) AS y1
+  FROM scored
+),
+per_bin AS (
+  SELECT bin,
+         cast(count(*) as bigint) AS n_b,
+         cast(sum(pm) as bigint) AS s1,
+         cast(sum(label) as bigint) AS yb,
+         cast(sum(pm * pm) as bigint) AS spp,
+         cast(sum(pm * label) as bigint) AS spy
+  FROM scored GROUP BY bin
+),
+res_parts AS (
+  SELECT
+    cast(round(cast((s1 - 1000 * yb) * (s1 - 1000 * yb) as double)
+               / (cast(n_b as double) * 1000000), 8)
+         as decimal(30,10)) AS rel_t,
+    cast(round(cast(n_b as double)
+               * (cast(yb as double) / n_b - cast(g.y1 as double) / g.n)
+               * (cast(yb as double) / n_b - cast(g.y1 as double) / g.n),
+               8) as decimal(30,10)) AS res_t,
+    cast(round((cast(spp as double)
+                - cast(s1 as double) * s1 / n_b) / 1000000, 8)
+         as decimal(30,10)) AS wbv_t,
+    cast(round((cast(spy as double)
+                - cast(s1 as double) * yb / n_b) / 1000, 8)
+         as decimal(30,10)) AS wbc_t
+  FROM per_bin CROSS JOIN g
+)
+SELECT g.n,
+       round(cast(g.sq as double) / (cast(g.n as double) * 1000000), 6)
+         + 0.0 AS brier,
+       round(cast(sum(rp.rel_t) as double) / g.n, 6) + 0.0
+         AS reliability,
+       round(cast(sum(rp.res_t) as double) / g.n, 6) + 0.0
+         AS resolution,
+       round(cast(g.y1 as double) / g.n
+             * (1.0 - cast(g.y1 as double) / g.n), 6) + 0.0
+         AS uncertainty,
+       round(cast(sum(rp.wbv_t) as double) / g.n, 6) + 0.0 AS wb_var,
+       round(cast(sum(rp.wbc_t) as double) / g.n, 6) + 0.0 AS wb_cov
+FROM res_parts rp CROSS JOIN g
+GROUP BY g.n, g.sq, g.y1
+"""
+
+
+@query("q_brier_murphy", oracle=_BRIER_ORACLE)
+def q_brier_murphy(spark, sf_dir):
+    """Brier score with the GENERALIZED Murphy decomposition over the
+    same 10 confidence bins as q_calibration_ece: brier = reliability
+    - resolution + uncertainty + wb_var - 2*wb_cov, where the last two
+    are the within-bin variance/covariance terms that appear whenever
+    continuous predictions are binned (the textbook three-term
+    identity only holds for discrete forecasts — pinned exactly by a
+    test here, not waved at). Reliability isolates mis-calibration,
+    which recalibration (q_isotonic_pav) can fix; resolution isolates
+    discrimination, which it cannot.
+
+    Exactness: with milli-unit predictions pm and 0/1 labels, N*1e6 *
+    brier = sum((pm - 1000*label)^2) is an exact bigint; each bin's
+    reliability/resolution term is one double expression of exact
+    integer sums, rounded 8dp and decimal-summed (10 bins), then
+    scaled scalar-side. The decomposition identity is pinned by a
+    test, not trusted.
+
+    Scale: one pass for the global sums, one 10-bin groupBy — same
+    cost envelope as q_calibration_ece."""
+    e = load_table(spark, sf_dir, "events")
+    num = F.col("event_id") % 1000
+    scored = e.select(
+        (num / F.lit(100)).cast("bigint").alias("bin"),
+        num.cast("long").alias("pm"),
+        F.when((F.col("event_id") * 7919) % 1000 < num, 1)
+         .otherwise(0).alias("label"))
+    g = scored.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("pm") - 1000 * F.col("label"))
+              * (F.col("pm") - 1000 * F.col("label"))).cast("long")
+        .alias("sq"),
+        F.sum("label").cast("long").alias("y1"))
+    per_bin = (scored.groupBy("bin")
+               .agg(F.count("*").cast("long").alias("n_b"),
+                    F.sum("pm").cast("long").alias("s1"),
+                    F.sum("label").cast("long").alias("yb"),
+                    F.sum(F.col("pm") * F.col("pm")).cast("long")
+                    .alias("spp"),
+                    F.sum(F.col("pm") * F.col("label")).cast("long")
+                    .alias("spy")))
+    joined = per_bin.crossJoin(F.broadcast(g))
+    ybar = F.col("y1").cast("double") / F.col("n")
+    rel_t = F.round(
+        ((F.col("s1") - 1000 * F.col("yb"))
+         * (F.col("s1") - 1000 * F.col("yb"))).cast("double")
+        / (F.col("n_b").cast("double") * 1e6), 8).cast("decimal(30,10)")
+    acc_b = F.col("yb").cast("double") / F.col("n_b")
+    res_t = F.round(F.col("n_b").cast("double")
+                    * (acc_b - ybar) * (acc_b - ybar), 8)\
+        .cast("decimal(30,10)")
+    wbv_t = F.round((F.col("spp").cast("double")
+                     - F.col("s1").cast("double") * F.col("s1")
+                     / F.col("n_b")) / 1e6, 8).cast("decimal(30,10)")
+    wbc_t = F.round((F.col("spy").cast("double")
+                     - F.col("s1").cast("double") * F.col("yb")
+                     / F.col("n_b")) / 1e3, 8).cast("decimal(30,10)")
+    s = (joined.select("n", "sq", "y1",
+                       rel_t.alias("rel_t"), res_t.alias("res_t"),
+                       wbv_t.alias("wbv_t"), wbc_t.alias("wbc_t"))
+         .groupBy("n", "sq", "y1")
+         .agg(F.sum("rel_t").cast("decimal(30,10)").alias("rel"),
+              F.sum("res_t").cast("decimal(30,10)").alias("res"),
+              F.sum("wbv_t").cast("decimal(30,10)").alias("wbv"),
+              F.sum("wbc_t").cast("decimal(30,10)").alias("wbc")))
+    nd = F.col("n").cast("double")
+    yb_all = F.col("y1").cast("double") / nd
+    return s.select(
+        "n",
+        (F.round(F.col("sq").cast("double") / (nd * 1e6), 6) + 0.0)
+        .alias("brier"),
+        (F.round(F.col("rel").cast("double") / nd, 6) + 0.0)
+        .alias("reliability"),
+        (F.round(F.col("res").cast("double") / nd, 6) + 0.0)
+        .alias("resolution"),
+        (F.round(yb_all * (1.0 - yb_all), 6) + 0.0).alias("uncertainty"),
+        (F.round(F.col("wbv").cast("double") / nd, 6) + 0.0)
+        .alias("wb_var"),
+        (F.round(F.col("wbc").cast("double") / nd, 6) + 0.0)
+        .alias("wb_cov"))

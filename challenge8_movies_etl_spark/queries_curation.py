@@ -1433,3 +1433,133 @@ def q_image_phash(spark, sf_dir):
                  F.count("*").cast("long").alias("n_members"))
             .select("rep", "n_members")
             .orderBy("rep"))
+
+
+# ---------------------------------------------------------------------------
+# q_survival_logrank — two-sample log-rank test
+# ---------------------------------------------------------------------------
+
+_LOGRANK_ORACLE = """
+WITH dur AS (
+  SELECT datediff('day', cast(o.o_orderdate as date),
+                  cast(l.l_shipdate as date)) AS t,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ev,
+         CASE WHEN l.l_quantity > 25 THEN 1 ELSE 0 END AS grp
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+per_t AS (
+  SELECT t,
+         cast(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) as bigint) AS a1,
+         cast(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) as bigint) AS a0,
+         cast(sum(CASE WHEN grp = 1 AND ev = 1 THEN 1 ELSE 0 END)
+              as bigint) AS d1,
+         cast(sum(CASE WHEN grp = 0 AND ev = 1 THEN 1 ELSE 0 END)
+              as bigint) AS d0
+  FROM dur GROUP BY t
+),
+risk AS (
+  SELECT t, d1, d0,
+         sum(a1) OVER (ORDER BY t DESC) AS n1,
+         sum(a0) OVER (ORDER BY t DESC) AS n0
+  FROM per_t
+),
+terms AS (
+  SELECT d1,
+         cast(round(cast(d1 + d0 as double) * n1 / (n1 + n0), 8)
+              as decimal(30,10)) AS e1,
+         cast(round(CASE WHEN n1 + n0 > 1
+                    THEN cast(d1 + d0 as double) * n1 * n0
+                         * (n1 + n0 - d1 - d0)
+                         / (cast(n1 + n0 as double) * (n1 + n0)
+                            * (n1 + n0 - 1))
+                    ELSE 0.0 END, 8) as decimal(30,10)) AS v
+  FROM risk WHERE d1 + d0 > 0
+),
+s AS (
+  SELECT cast(sum(d1) as bigint) AS o1,
+         cast(sum(e1) as decimal(30,10)) AS e1,
+         cast(sum(v) as decimal(30,10)) AS v
+  FROM terms
+),
+sizes AS (
+  SELECT cast(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) as bigint) AS n1,
+         cast(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) as bigint) AS n0
+  FROM dur
+)
+SELECT n1, n0, o1,
+       round(cast(e1 as double), 4) + 0.0 AS e1,
+       round(cast(v as double), 4) + 0.0 AS v,
+       round((o1 - cast(e1 as double)) * (o1 - cast(e1 as double))
+             / cast(v as double), 6) + 0.0 AS chi2
+FROM s CROSS JOIN sizes
+"""
+
+
+@query("q_survival_logrank", oracle=_LOGRANK_ORACLE)
+def q_survival_logrank(spark, sf_dir):
+    """Two-sample log-rank test completing the survival family
+    (q_survival_km estimates the curve, q_survival_nelson_aalen the
+    hazard; this TESTS whether two curves differ): do high-quantity
+    line items (qty > 25) get returned on a different time-to-ship
+    schedule than low-quantity ones? O1/E1/V accumulate the standard
+    hypergeometric moments at each event time; chi2 = (O1-E1)^2/V.
+
+    Exactness: risk sets are reverse cumulative bigint counts over the
+    duration histogram; each per-time expectation/variance is one
+    double expression of exact integers, rounded 8dp and summed as
+    decimal(30,10) (the q_survival_km discipline), so the reduce is
+    order-free.
+
+    Scale: one fact-join histogram groupBy (the same shape as
+    q_survival_km), then windows over the |distinct t| relation."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    dur = (l.join(o, l.l_orderkey == o.o_orderkey)
+           .select(F.datediff(F.col("l_shipdate").cast("date"),
+                              F.col("o_orderdate").cast("date")).alias("t"),
+                   F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+                   .alias("ev"),
+                   F.when(F.col("l_quantity") > 25, 1).otherwise(0)
+                   .alias("grp")))
+    per_t = (dur.groupBy("t")
+             .agg(F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+                  .cast("long").alias("a1"),
+                  F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+                  .cast("long").alias("a0"),
+                  F.sum(F.when((F.col("grp") == 1) & (F.col("ev") == 1),
+                               1).otherwise(0)).cast("long").alias("d1"),
+                  F.sum(F.when((F.col("grp") == 0) & (F.col("ev") == 1),
+                               1).otherwise(0)).cast("long").alias("d0")))
+    wdesc = (W.orderBy(F.desc("t"))
+             .rangeBetween(W.unboundedPreceding, W.currentRow))
+    risk = per_t.select(
+        "t", "d1", "d0",
+        F.sum("a1").over(wdesc).alias("n1"),
+        F.sum("a0").over(wdesc).alias("n0"))
+    nt = (F.col("n1") + F.col("n0")).cast("double")
+    dt = (F.col("d1") + F.col("d0")).cast("double")
+    e1_t = F.round(dt * F.col("n1") / nt, 8).cast("decimal(30,10)")
+    v_t = F.round(
+        F.when(F.col("n1") + F.col("n0") > 1,
+               dt * F.col("n1") * F.col("n0")
+               * (nt - dt) / (nt * nt * (nt - 1)))
+        .otherwise(0.0), 8).cast("decimal(30,10)")
+    terms = (risk.filter(F.col("d1") + F.col("d0") > 0)
+             .select("d1", e1_t.alias("e1"), v_t.alias("v")))
+    s = terms.agg(F.sum("d1").cast("long").alias("o1"),
+                  F.sum("e1").cast("decimal(30,10)").alias("e1"),
+                  F.sum("v").cast("decimal(30,10)").alias("v"))
+    sizes = dur.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long")
+        .alias("n0"))
+    e1d = F.col("e1").cast("double")
+    return (s.crossJoin(F.broadcast(sizes))
+            .select("n1", "n0", "o1",
+                    (F.round(e1d, 4) + 0.0).alias("e1"),
+                    (F.round(F.col("v").cast("double"), 4) + 0.0)
+                    .alias("v"),
+                    (F.round((F.col("o1") - e1d) * (F.col("o1") - e1d)
+                             / F.col("v").cast("double"), 6) + 0.0)
+                    .alias("chi2")))

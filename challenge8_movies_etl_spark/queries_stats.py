@@ -1376,3 +1376,81 @@ def q_friedman(spark, sf_dir):
             - F.col("n").cast("double") * F.col("k") * (F.col("k") + 1)
             * (F.col("k") + 1)))
     return s.select("n", "k", (F.round(q, 6) + 0.0).alias("q_stat"))
+
+
+# ---------------------------------------------------------------------------
+# q_hodges_lehmann — robust two-sample shift estimator
+# ---------------------------------------------------------------------------
+
+_HL_ORACLE = """
+WITH daily AS (
+  SELECT cast(ts as date) AS d,
+         cast(count(*) FILTER (event_type = 'click') as bigint) AS x,
+         cast(count(*) FILTER (event_type = 'purchase') as bigint) AS y
+  FROM events GROUP BY 1
+),
+diffs AS (
+  SELECT a.x - b.y AS delta
+  FROM daily a CROSS JOIN daily b
+),
+cum AS (
+  SELECT delta, cast(count(*) as bigint) AS c,
+         sum(count(*)) OVER (ORDER BY delta) AS cm,
+         sum(count(*)) OVER () AS np
+  FROM diffs GROUP BY delta
+),
+med AS (
+  SELECT cast(max(np) as bigint) AS n_pairs,
+         min(CASE WHEN 2 * cm >= np THEN delta END)
+         + min(CASE WHEN 2 * cm >= np + 1 THEN delta END) AS m2
+  FROM cum
+)
+SELECT n_pairs,
+       cast(m2 as double) / 2 AS hl_shift
+FROM med
+"""
+
+
+@query("q_hodges_lehmann", oracle=_HL_ORACLE)
+def q_hodges_lehmann(spark, sf_dir):
+    """Hodges-Lehmann two-sample shift estimator: the median of all
+    pairwise differences x_i - y_j between the daily click and
+    purchase count series — the robust effect-size companion of
+    q_mannwhitney_u (it inverts the same rank statistic) that a mean
+    difference can't match under heavy tails.
+
+    Exactness: differences are exact integers; the median comes from
+    the doubled-median device over the grouped difference relation
+    (m2 = lo + hi, one final /2 of an exact integer — a terminating
+    double). The cross join is CALENDAR x CALENDAR (30 x 30 rows at
+    every sf — the series length, not the corpus), never row-pairs.
+
+    Scale: the daily pivot is the only fact-scan stage; the pairwise
+    stage is bounded by the square of the series length, so at 100 TB
+    it is still ~10^3 rows (for long series, subsample time points or
+    use the q_theil_sen windowed-pair device)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("ts").cast("date").alias("d"))
+             .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                        .otherwise(0)).cast("long").alias("x"),
+                  F.sum(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).cast("long").alias("y")))
+    a = daily.select(F.col("x").alias("ax"))
+    b = daily.select(F.col("y").alias("by"))
+    diffs = (a.crossJoin(b)
+             .select((F.col("ax") - F.col("by")).alias("delta")))
+    grouped = diffs.groupBy("delta").agg(F.count("*").cast("long")
+                                         .alias("c"))
+    cum = grouped.select(
+        "delta",
+        F.sum("c").over(
+            W.orderBy("delta")
+            .rangeBetween(W.unboundedPreceding, W.currentRow)).alias("cm"),
+        F.sum("c").over(W.partitionBy()).alias("np"))
+    med = cum.agg(
+        F.max("np").cast("long").alias("n_pairs"),
+        (F.min(F.when(2 * F.col("cm") >= F.col("np"), F.col("delta")))
+         + F.min(F.when(2 * F.col("cm") >= F.col("np") + 1,
+                        F.col("delta")))).alias("m2"))
+    return med.select("n_pairs",
+                      (F.col("m2").cast("double") / 2).alias("hl_shift"))

@@ -72,3 +72,37 @@ def test_isotonic_query_monotone_and_mass_preserving(spark):
         assert math.isclose(raw_mass, iso_mass, rel_tol=1e-4), (
             raw_mass, iso_mass)
         assert all(0.0 <= v <= 1.0 for v in iso)
+
+
+def test_brier_murphy_identity(spark):
+    from challenge8_movies_etl_spark.registry import QUERIES
+    from tests.conftest import SF_SMOKE
+    r = QUERIES["q_brier_murphy"](spark, SF_SMOKE).collect()[0]
+    # generalized Murphy identity (exact for binned continuous p)
+    assert abs(r["brier"] - (r["reliability"] - r["resolution"]
+                             + r["uncertainty"] + r["wb_var"]
+                             - 2 * r["wb_cov"])) < 5e-6
+    assert 0.0 <= r["brier"] <= 1.0
+    assert r["reliability"] >= 0.0 and r["resolution"] >= 0.0
+    assert 0.0 <= r["uncertainty"] <= 0.25 + 1e-12
+
+
+def test_brier_matches_python_twin(spark):
+    from challenge8_movies_etl_spark.registry import QUERIES
+    from tests.conftest import SF_SMOKE
+    rows = (spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+            .select("event_id").collect())
+    sq = n = 0
+    for row in rows:
+        pm = row.event_id % 1000
+        label = 1 if (row.event_id * 7919) % 1000 < pm else 0
+        sq += (pm - 1000 * label) ** 2
+        n += 1
+    r = QUERIES["q_brier_murphy"](spark, SF_SMOKE).collect()[0]
+    assert r["n"] == n
+    # Spark rounds HALF_UP; Python round() is half-to-even — emulate
+    from decimal import ROUND_HALF_UP, Decimal
+    expect = float((Decimal(sq) / (Decimal(n) * 1_000_000))
+                   .quantize(Decimal("0.000001"),
+                             rounding=ROUND_HALF_UP))
+    assert abs(r["brier"] - expect) < 1e-12

@@ -296,3 +296,46 @@ def test_image_phash_groups_partition_corpus(spark):
     assert sum(r["n_members"] for r in rows) == docs_n
     reps = [r["rep"] for r in rows]
     assert reps == sorted(reps) and len(set(reps)) == len(reps)
+
+
+def test_logrank_matches_python_twin(spark):
+    from collections import defaultdict
+    from challenge8_movies_etl_spark.registry import QUERIES
+    li = (spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+          .selectExpr("l_orderkey", "l_shipdate", "l_returnflag",
+                      "l_quantity"))
+    od = (spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+          .selectExpr("o_orderkey", "o_orderdate"))
+    rows = (li.join(od, li.l_orderkey == od.o_orderkey)
+            .selectExpr(
+                "datediff(cast(l_shipdate as date), "
+                "cast(o_orderdate as date)) AS t",
+                "case when l_returnflag = 'R' then 1 else 0 end AS ev",
+                "case when l_quantity > 25 then 1 else 0 end AS grp")
+            .collect())
+    per_t = defaultdict(lambda: [0, 0, 0, 0])  # a1 a0 d1 d0
+    for r in rows:
+        c = per_t[r.t]
+        c[0 if r.grp else 1] += 1
+        if r.ev:
+            c[2 if r.grp else 3] += 1
+    o1 = e1 = v = 0.0
+    n1 = sum(c[0] for c in per_t.values())
+    n0 = sum(c[1] for c in per_t.values())
+    r1, r0 = n1, n0
+    for t in sorted(per_t):
+        a1, a0, d1, d0 = per_t[t]
+        nt, dt = r1 + r0, d1 + d0
+        if dt > 0:
+            o1 += d1
+            e1 += round(dt * r1 / nt, 8)
+            if nt > 1:
+                v += round(dt * r1 * r0 * (nt - dt) / (nt * nt * (nt - 1)),
+                           8)
+        r1 -= a1
+        r0 -= a0
+    out = QUERIES["q_survival_logrank"](spark, SF_SMOKE).collect()[0]
+    assert (out["n1"], out["n0"], out["o1"]) == (n1, n0, int(o1))
+    assert abs(out["e1"] - round(e1, 4)) < 1e-9
+    assert abs(out["v"] - round(v, 4)) < 1e-9
+    assert abs(out["chi2"] - round((o1 - e1) ** 2 / v, 6)) < 1e-5

@@ -466,3 +466,24 @@ def test_friedman_matches_python_twin(spark):
     r = QUERIES["q_friedman"](spark, SF_SMOKE).collect()[0]
     assert (r["n"], r["k"]) == (n, k)
     assert abs(r["q_stat"] - round(q, 6)) < 1e-6
+
+
+def test_hodges_lehmann_matches_python_twin(spark):
+    from collections import defaultdict
+    from challenge8_movies_etl_spark.registry import QUERIES
+    rows = (spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+            .selectExpr("cast(ts as date) AS d", "event_type").collect())
+    daily = defaultdict(lambda: [0, 0])
+    for r in rows:
+        if r.event_type == "click":
+            daily[str(r.d)][0] += 1
+        elif r.event_type == "purchase":
+            daily[str(r.d)][1] += 1
+    xs = [v[0] for v in daily.values()]
+    ys = [v[1] for v in daily.values()]
+    diffs = sorted(x - y for x in xs for y in ys)
+    m = len(diffs)
+    hl = (diffs[(m - 1) // 2] + diffs[m // 2]) / 2
+    r = QUERIES["q_hodges_lehmann"](spark, SF_SMOKE).collect()[0]
+    assert r["n_pairs"] == m
+    assert r["hl_shift"] == hl
