@@ -1842,3 +1842,107 @@ def q_kmv_distinct(spark, sf_dir):
                     F.round(F.abs(est - F.col("exact_distinct"))
                             / F.col("exact_distinct"), 4).alias("rel_err"))
             .orderBy("grp"))
+
+
+# ---------------------------------------------------------------------------
+# q_ljung_box — portmanteau whiteness test on the ACF
+# ---------------------------------------------------------------------------
+
+_LJUNG_ORACLE = """
+WITH daily AS (
+  SELECT event_type, cast(ts as date) AS d, count(*) AS x
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, count(*) AS n, sum(x) AS s
+  FROM daily GROUP BY 1
+),
+ctr AS (
+  SELECT d.event_type, d.d, st.n, st.n * d.x - st.s AS c
+  FROM daily d JOIN st ON d.event_type = st.event_type
+),
+lagged AS (
+  SELECT event_type, n, c,
+         lag(c, 1) OVER w AS c1,
+         lag(c, 2) OVER w AS c2,
+         lag(c, 3) OVER w AS c3
+  FROM ctr
+  WINDOW w AS (PARTITION BY event_type ORDER BY d)
+),
+agg AS (
+  SELECT event_type, max(n) AS n,
+         sum(cast(c as decimal(18,0)) * cast(c as decimal(18,0))) AS den,
+         sum(cast(c as decimal(18,0)) * cast(c1 as decimal(18,0))) AS num1,
+         sum(cast(c as decimal(18,0)) * cast(c2 as decimal(18,0))) AS num2,
+         sum(cast(c as decimal(18,0)) * cast(c3 as decimal(18,0))) AS num3
+  FROM lagged GROUP BY 1
+),
+terms AS (
+  SELECT event_type, n,
+         cast(round((cast(num1 as double) / cast(den as double))
+                    * (cast(num1 as double) / cast(den as double))
+                    / (n - 1), 8) as decimal(30,10))
+         + cast(round((cast(num2 as double) / cast(den as double))
+                      * (cast(num2 as double) / cast(den as double))
+                      / (n - 2), 8) as decimal(30,10))
+         + cast(round((cast(num3 as double) / cast(den as double))
+                      * (cast(num3 as double) / cast(den as double))
+                      / (n - 3), 8) as decimal(30,10)) AS t3
+  FROM agg
+)
+SELECT event_type, cast(n as bigint) AS n,
+       round(cast(n as double) * (n + 2) * cast(t3 as double), 6) + 0.0
+         AS q_stat
+FROM terms ORDER BY event_type
+"""
+
+
+@query("q_ljung_box", oracle=_LJUNG_ORACLE)
+def q_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau test (lags 1-3) per event type: is the
+    daily count series white noise, or does autocorrelation survive?
+    Q = n(n+2) * sum_h r_h^2/(n-h) — the formal companion of q_acf
+    (which reports the r_h themselves) used to gate ARIMA residuals
+    and detect seasonality worth modeling.
+
+    Exactness: r_h reuses q_acf's n-scaled integer form (exact decimal
+    numerators/denominator); each of the three r_h^2/(n-h) terms is a
+    deterministic double expression rounded 8dp and added as decimals
+    (a 3-term float sum would still be engine-ordered inside sum()),
+    then one scalar multiply, rounded 6dp.
+
+    Scale: identical plan to q_acf — daily rollup shuffle, then
+    series-relation windows."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.count("*").alias("x")))
+    st = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("x").alias("s"))
+    ctr = (daily.join(st, "event_type")
+           .select("event_type", "d", "n",
+                   (F.col("n") * F.col("x") - F.col("s")).alias("c")))
+    w = W.partitionBy("event_type").orderBy("d")
+    lagged = ctr.select(
+        "event_type", "n", "c",
+        F.lag("c", 1).over(w).alias("c1"),
+        F.lag("c", 2).over(w).alias("c2"),
+        F.lag("c", 3).over(w).alias("c3"))
+    cdec = F.col("c").cast("decimal(18,0)")
+    agg = lagged.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(cdec * F.col("c").cast("decimal(18,0)")).alias("den"),
+        F.sum(cdec * F.col("c1").cast("decimal(18,0)")).alias("num1"),
+        F.sum(cdec * F.col("c2").cast("decimal(18,0)")).alias("num2"),
+        F.sum(cdec * F.col("c3").cast("decimal(18,0)")).alias("num3"))
+
+    def term(num_col, h):
+        r = num_col.cast("double") / F.col("den").cast("double")
+        return F.round(r * r / (F.col("n") - h), 8).cast("decimal(30,10)")
+
+    t3 = (term(F.col("num1"), 1) + term(F.col("num2"), 2)
+          + term(F.col("num3"), 3))
+    return (agg.select(
+        "event_type", F.col("n").cast("long").alias("n"),
+        (F.round(F.col("n").cast("double") * (F.col("n") + 2)
+                 * t3.cast("double"), 6) + 0.0).alias("q_stat"))
+        .orderBy("event_type"))

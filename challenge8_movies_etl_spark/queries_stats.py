@@ -1454,3 +1454,83 @@ def q_hodges_lehmann(spark, sf_dir):
                         F.col("delta")))).alias("m2"))
     return med.select("n_pairs",
                       (F.col("m2").cast("double") / 2).alias("hl_shift"))
+
+
+# ---------------------------------------------------------------------------
+# q_signflip_test — derandomized paired randomization test
+# ---------------------------------------------------------------------------
+
+_SIGNFLIP_ORACLE = """
+WITH daily AS (
+  SELECT cast(ts as date) AS d,
+         cast(count(*) FILTER (event_type = 'click') as bigint)
+         - cast(count(*) FILTER (event_type = 'purchase') as bigint)
+           AS delta
+  FROM events GROUP BY 1
+),
+obs AS (
+  SELECT abs(cast(sum(delta) as bigint)) AS t_obs,
+         cast(count(*) as bigint) AS n_days
+  FROM daily
+),
+flips AS (
+  SELECT b.b,
+         abs(cast(sum(CASE WHEN ('0x' || substring(
+                    md5(cast(daily.d as string) || ':' ||
+                        cast(b.b as string)), 1, 1))::int % 2 = 0
+                    THEN daily.delta ELSE -daily.delta END) as bigint))
+           AS t_b
+  FROM daily CROSS JOIN (SELECT unnest(range(1, 201)) AS b) b
+  GROUP BY b.b
+)
+SELECT obs.n_days, obs.t_obs,
+       cast(count(*) FILTER (flips.t_b >= obs.t_obs) as bigint) AS n_ge,
+       round((1.0 + count(*) FILTER (flips.t_b >= obs.t_obs))
+             / 201.0, 6) + 0.0 AS p_value
+FROM flips CROSS JOIN obs
+GROUP BY obs.n_days, obs.t_obs
+"""
+
+
+@query("q_signflip_test", oracle=_SIGNFLIP_ORACLE)
+def q_signflip_test(spark, sf_dir):
+    """Derandomized paired randomization (sign-flip) test: under H0
+    the daily click-purchase difference is symmetric around zero, so
+    flipping each day's sign is distribution-preserving; the p-value
+    is the fraction of 200 md5-derived sign assignments whose
+    |sum| >= |observed sum| (with the +1 add-one correction). The
+    assumption-free sibling of q_mannwhitney_u for PAIRED designs —
+    and, like q_sample_stratified, the "randomness" is a hash of
+    (day, replicate), so both engines enumerate the identical flip
+    matrix: exact bigint sums, zero Monte-Carlo drift.
+
+    Scale: the flip relation is |days| x B (calendar x constant —
+    6,000 rows here), generated AFTER the fact-scan rollup; B scales
+    the small side only."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("ts").cast("date").alias("d"))
+             .agg((F.sum(F.when(F.col("event_type") == "click", 1)
+                         .otherwise(0))
+                   - F.sum(F.when(F.col("event_type") == "purchase", 1)
+                           .otherwise(0))).cast("long").alias("delta")))
+    obs = daily.agg(
+        F.abs(F.sum("delta")).cast("long").alias("t_obs"),
+        F.count("*").cast("long").alias("n_days"))
+    bs = daily.sparkSession.range(1, 201).select(
+        F.col("id").cast("int").alias("b"))
+    flip = F.when(
+        F.conv(F.substring(
+            F.md5(F.concat(F.col("d").cast("string"), F.lit(":"),
+                           F.col("b").cast("string"))), 1, 1),
+            16, 10).cast("int") % 2 == 0,
+        F.col("delta")).otherwise(-F.col("delta"))
+    flips = (daily.crossJoin(F.broadcast(bs))
+             .groupBy("b")
+             .agg(F.abs(F.sum(flip)).cast("long").alias("t_b")))
+    return (flips.crossJoin(F.broadcast(obs))
+            .groupBy("n_days", "t_obs")
+            .agg(F.sum(F.when(F.col("t_b") >= F.col("t_obs"), 1)
+                       .otherwise(0)).cast("long").alias("n_ge"))
+            .select("n_days", "t_obs", "n_ge",
+                    (F.round((1.0 + F.col("n_ge")) / 201.0, 6) + 0.0)
+                    .alias("p_value")))

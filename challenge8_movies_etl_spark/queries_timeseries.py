@@ -2049,3 +2049,95 @@ def q_granger_causality(spark, sf_dir):
         (F.round(f, 6) + 0.0).alias("f_stat"),
         (F.round(1.0 - rss_u / rss_r, 6) + 0.0).alias("r2_gain")
     ).orderBy("direction")
+
+
+# ---------------------------------------------------------------------------
+# q_cusum — CUSUM mean-shift detector via the prefix-sum identity
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type, cast(ts as date) AS d, count(*) AS x
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type,
+         cast(count(*) as bigint) AS n,
+         cast(sum(x) as bigint) AS s,
+         cast(sum(x * x) as bigint) AS s2
+  FROM daily GROUP BY 1
+),
+pref AS (
+  SELECT d.event_type, d.d, st.n, st.s, st.s2,
+         sum(st.n * d.x - st.s)
+           OVER (PARTITION BY d.event_type ORDER BY d.d) AS p
+  FROM daily d JOIN st ON d.event_type = st.event_type
+),
+cus AS (
+  SELECT event_type, d, n, s, s2, p,
+         p - least(min(p) OVER (PARTITION BY event_type ORDER BY d), 0)
+           AS s_plus,
+         greatest(max(p) OVER (PARTITION BY event_type ORDER BY d), 0)
+           - p AS s_minus
+  FROM pref
+)
+SELECT event_type, cast(d as string) AS day,
+       cast(s_plus as bigint) AS s_plus,
+       cast(s_minus as bigint) AS s_minus,
+       CASE WHEN greatest(s_plus, s_minus)
+                 > 4.0 * n * sqrt((cast(s2 as double)
+                                   - cast(s as double) * s / n)
+                                  / (n - 1))
+            THEN 1 ELSE 0 END AS alarm
+FROM cus ORDER BY event_type, day
+"""
+
+
+@query("q_cusum", oracle=_CUSUM_ORACLE)
+def q_cusum(spark, sf_dir):
+    """Two-sided CUSUM mean-shift detector per event type, computed
+    WITHOUT the textbook recursion: S+_t = max(0, S+_{t-1} + dev_t)
+    equals P_t - min_{i<=t} P_i where P is the prefix sum of
+    deviations — so the sequential detector becomes two plain running
+    windows (the q_max_drawdown identity, pointed at change
+    detection). Deviations are n-scaled integers (n*x - S, the q_acf
+    device), making every S+/S- an exact bigint; the only float is
+    the 4-sigma alarm threshold, one deterministic double compared
+    against an exact integer.
+
+    Scale: one daily rollup shuffle, two cumulative windows over the
+    calendar-bounded series — the 100 TB cost is the rollup, not the
+    detector."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.count("*").alias("x")))
+    st = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"))
+    w = (W.partitionBy("event_type").orderBy("d")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    pref = (daily.join(st, "event_type")
+            .select("event_type", "d", "n", "s", "s2",
+                    F.sum(F.col("n") * F.col("x") - F.col("s")).over(w)
+                    .alias("p")))
+    # the running extremum must include the EMPTY prefix (P_0 = 0),
+    # otherwise S_1 would be forced to 0 even when dev_1 > 0
+    cus = pref.select(
+        "event_type", "d", "n", "s", "s2",
+        (F.col("p") - F.least(F.min("p").over(w), F.lit(0)))
+        .alias("s_plus"),
+        (F.greatest(F.max("p").over(w), F.lit(0)) - F.col("p"))
+        .alias("s_minus"))
+    sd = F.sqrt((F.col("s2").cast("double")
+                 - F.col("s").cast("double") * F.col("s") / F.col("n"))
+                / (F.col("n") - 1))
+    alarm = F.when(
+        F.greatest(F.col("s_plus"), F.col("s_minus")).cast("double")
+        > 4.0 * F.col("n") * sd, 1).otherwise(0)
+    return (cus.select("event_type",
+                       F.col("d").cast("string").alias("day"),
+                       F.col("s_plus").cast("long").alias("s_plus"),
+                       F.col("s_minus").cast("long").alias("s_minus"),
+                       alarm.alias("alarm"))
+            .orderBy("event_type", "day"))

@@ -487,3 +487,31 @@ def test_hodges_lehmann_matches_python_twin(spark):
     r = QUERIES["q_hodges_lehmann"](spark, SF_SMOKE).collect()[0]
     assert r["n_pairs"] == m
     assert r["hl_shift"] == hl
+
+
+def test_signflip_p_value_bounds_and_twin(spark):
+    import hashlib
+    from collections import defaultdict
+    from challenge8_movies_etl_spark.registry import QUERIES
+    rows = (spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+            .selectExpr("cast(ts as date) AS d", "event_type").collect())
+    daily = defaultdict(int)
+    for r in rows:
+        if r.event_type == "click":
+            daily[str(r.d)] += 1
+        elif r.event_type == "purchase":
+            daily[str(r.d)] -= 1
+    t_obs = abs(sum(daily.values()))
+    n_ge = 0
+    for b in range(1, 201):
+        tb = 0
+        for d, delta in daily.items():
+            h = hashlib.md5(f"{d}:{b}".encode()).hexdigest()
+            tb += delta if int(h[0], 16) % 2 == 0 else -delta
+        if abs(tb) >= t_obs:
+            n_ge += 1
+    r = QUERIES["q_signflip_test"](spark, SF_SMOKE).collect()[0]
+    assert r["n_days"] == len(daily)
+    assert (r["t_obs"], r["n_ge"]) == (t_obs, n_ge)
+    assert abs(r["p_value"] - round((1 + n_ge) / 201, 6)) < 1e-9
+    assert 1 / 201 <= r["p_value"] <= 1.0

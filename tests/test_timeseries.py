@@ -677,3 +677,50 @@ def test_granger_matches_numpy_twin(spark):
     assert abs(out["x->y"]["r2_gain"] - exp_fwd[1]) < 1e-4
     assert abs(out["y->x"]["f_stat"] - exp_rev[0]) < 1e-3
     assert out["x->y"]["f_stat"] >= 0 and out["y->x"]["f_stat"] >= 0
+
+
+def test_cusum_prefix_identity_equals_recursion(spark):
+    """S+ via prefix-min must equal the textbook max(0, S+prev+dev)."""
+    from collections import defaultdict
+    from challenge8_movies_etl_spark.registry import QUERIES
+    rows = (spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+            .selectExpr("event_type", "cast(ts as date) AS d").collect())
+    daily = defaultdict(int)
+    for r in rows:
+        daily[(r.event_type, str(r.d))] += 1
+    series = defaultdict(list)
+    for (et, d), c in sorted(daily.items()):
+        series[et].append(c)
+    expect = {}
+    for et, xs in series.items():
+        n, s = len(xs), sum(xs)
+        sp = sm = 0
+        for t, x in enumerate(xs):
+            dev = n * x - s
+            sp = max(0, sp + dev)
+            sm = max(0, sm - dev)
+            expect[(et, t)] = (sp, sm)
+    out = (QUERIES["q_cusum"](spark, SF_SMOKE)
+           .orderBy("event_type", "day").collect())
+    seen = defaultdict(int)
+    for r in out:
+        t = seen[r["event_type"]]
+        seen[r["event_type"]] += 1
+        assert (r["s_plus"], r["s_minus"]) == expect[(r["event_type"], t)]
+        assert r["alarm"] in (0, 1)
+
+
+def test_ljung_box_from_acf(spark):
+    from challenge8_movies_etl_spark.registry import QUERIES
+    acf = {}
+    for r in QUERIES["q_acf"](spark, SF_SMOKE).collect():
+        acf[(r["event_type"], r["lag"])] = r["acf"]
+    for r in QUERIES["q_ljung_box"](spark, SF_SMOKE).collect():
+        n = r["n"]
+        q = n * (n + 2) * sum(
+            round(acf[(r["event_type"], h)] ** 2 / (n - h), 8)
+            for h in (1, 2, 3))
+        # q_acf rounds r_h to 6dp; the Ljung-Box path keeps full
+        # precision, so agreement is to the propagated tolerance
+        assert abs(r["q_stat"] - q) < n * (n + 2) * 3 * 1e-5
+        assert r["q_stat"] >= 0
