@@ -195,3 +195,85 @@ def q_audio_pitch(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     media = audio.synthesize_audio(d)
     return audio.autocorr_pitch(media)
+
+
+# ---------------------------------------------------------------------------
+# q_audio_resample — integer-ratio decimation with boxcar anti-alias
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_audio_resample",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id,
+             8000 + doc_id % 3 * 4000 AS rate,
+             50 + doc_id % 97 AS n,
+             doc_id % 11 + 1 AS k,
+             1000 * (doc_id % 7 + 1) AS amp
+      FROM documents
+    ), frames AS (
+      SELECT doc_id, rate, n,
+             unnest(generate_series(0, n // 2 - 1)) AS j,
+             k, amp
+      FROM params
+    ), res AS (
+      SELECT doc_id, rate, n,
+             cast(floor(
+               ((((2 * j) * k) % (2 * amp) - amp)
+                + (((2 * j + 1) * k) % (2 * amp) - amp)) / 2.0)
+               as bigint) AS y
+      FROM frames
+    )
+    SELECT doc_id,
+           rate // 2 AS out_rate,
+           cast(count(*) as bigint) AS n_out,
+           cast(max(abs(y)) as bigint) AS peak,
+           round(cast(sum(abs(y)) as bigint) * 1.0 / count(*), 4)
+             AS mean_abs
+    FROM res
+    GROUP BY doc_id, rate, n
+    """,
+)
+def q_audio_resample(spark, sf_dir):
+    """2:1 audio decimation with boxcar anti-aliasing: decode the WAV
+    payload (REAL RIFF chunk walk), average adjacent channel-0 sample
+    pairs with floor division (pure integer — no resampler library
+    rounding to disagree about), and report the resampled stream's
+    rate/length/peak/mean-abs. The sample-rate-normalization stage an
+    audio corpus pipeline runs before featurization; the closed-form
+    oracle regenerates the decimated series from doc_id and recomputes
+    every feature, so a stride or off-by-one in the pair average
+    breaks the hash.
+
+    Scale: one Arrow-batched mapInPandas pass, no shuffle; output rows
+    are |docs|-sized aggregates, not samples."""
+    import numpy as np
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    media = audio.synthesize_audio(d)
+
+    def run(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "out_rate": [], "n_out": [],
+                   "peak": [], "mean_abs": []}
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                rate, _channels, ch0 = audio.decode_wav_pcm16(
+                    bytes(buf))
+                m = len(ch0) // 2
+                # numpy // FLOORS negative halves; the oracle
+                # mirrors with floor(sum/2.0) since DuckDB's
+                # integer // truncates toward zero instead
+                y = (ch0[:2 * m:2] + ch0[1:2 * m:2]) // 2
+                out["doc_id"].append(int(doc_id))
+                out["out_rate"].append(rate // 2)
+                out["n_out"].append(m)
+                out["peak"].append(int(np.abs(y).max()))
+                out["mean_abs"].append(
+                    round(float(int(np.abs(y).sum())) / m, 4))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run, schema=("doc_id bigint, out_rate bigint, n_out bigint, "
+                     "peak bigint, mean_abs double"))

@@ -2639,3 +2639,99 @@ def q_knn_classify(spark, sf_dir):
                     F.col("v").alias("votes"), "true_label",
                     F.when(F.col("label") == F.col("true_label"), 1)
                     .otherwise(0).alias("correct")))
+
+
+# ---------------------------------------------------------------------------
+# q_embed_drift — centroid shift between two corpus halves
+# ---------------------------------------------------------------------------
+
+
+def _embed_drift_oracle() -> str:
+    from .operators.similarity import DEC_SIM as DEC
+    return f"""
+    WITH dims AS (
+      SELECT vec_id % 2 AS half, gs.i AS dim,
+             cast(sum(cast(cast(embedding[gs.i] as double) as {DEC}))
+                  as {DEC}) AS s,
+             cast(count(*) as bigint) AS n
+      FROM embeddings, range(1, 65) gs(i)
+      GROUP BY vec_id % 2, gs.i
+    ),
+    paired AS (
+      SELECT a.dim,
+             cast(a.s as double) AS sa, a.n AS na,
+             cast(b.s as double) AS sb, b.n AS nb
+      FROM dims a JOIN dims b ON a.dim = b.dim
+      WHERE a.half = 0 AND b.half = 1
+    ),
+    terms AS (
+      SELECT
+        cast(round(sa * sb, 6) as decimal(30,10)) AS dot_t,
+        cast(round(sa * sa, 6) as decimal(30,10)) AS naa_t,
+        cast(round(sb * sb, 6) as decimal(30,10)) AS nbb_t,
+        cast(round((sa / na - sb / nb) * (sa / na - sb / nb), 10)
+             as decimal(30,12)) AS shift_t,
+        na, nb
+      FROM paired
+    )
+    SELECT max(na) AS n_even, max(nb) AS n_odd,
+           round(cast(sum(dot_t) as double)
+                 / sqrt(cast(sum(naa_t) as double)
+                        * cast(sum(nbb_t) as double)), 6) + 0.0
+             AS centroid_cos,
+           round(sqrt(cast(sum(shift_t) as double)), 6) + 0.0
+             AS centroid_l2
+    FROM terms
+    """
+
+
+@query("q_embed_drift", oracle=_embed_drift_oracle())
+def q_embed_drift(spark, sf_dir):
+    """Embedding-space drift monitor: split the corpus into two halves
+    (vec_id parity — in production, yesterday vs today), compare their
+    centroids by cosine and L2 — the cheap canary that catches an
+    encoder change, a data-mix shift, or a pipeline bug re-embedding a
+    corpus, long before any downstream metric moves. Cosine is
+    computed on the per-dimension SUM vectors (scaling by 1/n cancels
+    in cosine), so its inputs are exact decimal reductions; the L2
+    uses per-dimension mean differences, each one double expression
+    rounded 10dp and decimal-summed over the 64 dims.
+
+    Scale: one pass, one (half, dim)-keyed aggregation (128 groups at
+    any corpus size), then a 64-row reduce. The 100 TB plan is the
+    same two map-side-combined shuffles."""
+    from .operators.similarity import DEC_SIM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = (e.select((F.col("vec_id") % 2).alias("half"),
+                     F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("half", "pos")
+            .agg(F.sum(F.col("x").cast("double").cast(DEC_SIM))
+                 .cast(DEC_SIM).alias("s"),
+                 F.count("*").cast("long").alias("n")))
+    a = dims.filter(F.col("half") == 0).select(
+        "pos", F.col("s").cast("double").alias("sa"),
+        F.col("n").alias("na"))
+    b = dims.filter(F.col("half") == 1).select(
+        "pos", F.col("s").cast("double").alias("sb"),
+        F.col("n").alias("nb"))
+    paired = a.join(b, "pos")
+    mean_d = (F.col("sa") / F.col("na") - F.col("sb") / F.col("nb"))
+    terms = paired.select(
+        F.round(F.col("sa") * F.col("sb"), 6).cast("decimal(30,10)")
+        .alias("dot_t"),
+        F.round(F.col("sa") * F.col("sa"), 6).cast("decimal(30,10)")
+        .alias("naa_t"),
+        F.round(F.col("sb") * F.col("sb"), 6).cast("decimal(30,10)")
+        .alias("nbb_t"),
+        F.round(mean_d * mean_d, 10).cast("decimal(30,12)")
+        .alias("shift_t"),
+        "na", "nb")
+    return terms.agg(
+        F.max("na").alias("n_even"), F.max("nb").alias("n_odd"),
+        (F.round(F.sum("dot_t").cast("double")
+                 / F.sqrt(F.sum("naa_t").cast("double")
+                          * F.sum("nbb_t").cast("double")), 6) + 0.0)
+        .alias("centroid_cos"),
+        (F.round(F.sqrt(F.sum("shift_t").cast("double")), 6) + 0.0)
+        .alias("centroid_l2"))

@@ -744,12 +744,19 @@ def q_graph_sssp(spark, sf_dir):
              .persist())
     dist = (edges.agg(F.min("src").alias("node"))
             .withColumn("dist", F.lit(0).cast("bigint")))
+    # dist is |V|-bounded (tiny): broadcast it into every relax join
+    # so the 1M-row edge relation never shuffles, and localCheckpoint
+    # per round — without it the union+groupBy lineage references dist
+    # twice per round and the DAG re-evaluates 2^rounds times (the
+    # q_graph_components flattening rationale, measured 6.3s -> fixed)
+    dist = dist.localCheckpoint(eager=True)
     for _ in range(_SSSP_ITERS):
-        cand = (edges.join(dist, dist.node == edges.src)
+        cand = (edges.join(F.broadcast(dist), dist.node == edges.src)
                 .select(F.col("dst").alias("node"),
                         (F.col("dist") + F.col("w")).alias("dist")))
         dist = (dist.unionByName(cand)
-                .groupBy("node").agg(F.min("dist").alias("dist")))
+                .groupBy("node").agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True))
     return dist.orderBy("node")
 
 
@@ -1418,3 +1425,97 @@ def q_graph_assortativity(spark, sf_dir):
     # both engines rather than inherit engine NaN semantics
     guarded = F.when((vx > 0) & (vy > 0), F.round(r, 6) + 0.0)
     return s.select("m", guarded.alias("assortativity"))
+
+
+# ---------------------------------------------------------------------------
+# q_graph_modularity — partition quality of the nation grouping
+# ---------------------------------------------------------------------------
+
+_MODULARITY_ORACLE = f"""
+WITH {_TOPK_EDGE_CTE},
+com AS (
+  SELECT s_suppkey AS node, s_nationkey AS c FROM supplier
+),
+m AS (SELECT cast(count(*) as bigint) AS m FROM e),
+inner_e AS (
+  SELECT ca.c, cast(count(*) as bigint) AS e_in
+  FROM e
+  JOIN com ca ON ca.node = e.u
+  JOIN com cb ON cb.node = e.v
+  WHERE ca.c = cb.c
+  GROUP BY ca.c
+),
+deg AS (
+  SELECT node, cast(count(*) as bigint) AS d FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+  ) GROUP BY node
+),
+dc AS (
+  SELECT com.c, cast(sum(deg.d) as bigint) AS d_c,
+         cast(count(*) as bigint) AS n_nodes
+  FROM deg JOIN com ON com.node = deg.node
+  GROUP BY com.c
+),
+parts AS (
+  SELECT dc.c, dc.n_nodes, dc.d_c,
+         coalesce(ie.e_in, 0) AS e_in,
+         4 * m.m * coalesce(ie.e_in, 0) - dc.d_c * dc.d_c AS num_c
+  FROM dc LEFT JOIN inner_e ie ON ie.c = dc.c CROSS JOIN m
+)
+SELECT (SELECT m FROM m) AS m,
+       cast(count(*) as bigint) AS n_communities,
+       round(cast(sum(num_c) as double)
+             / (4.0 * (SELECT m FROM m) * (SELECT m FROM m)), 6) + 0.0
+         AS q_modularity
+FROM parts
+"""
+
+
+@query("q_graph_modularity", oracle=_MODULARITY_ORACLE)
+def q_graph_modularity(spark, sf_dir):
+    """Newman modularity of the supplier-nation partition on the
+    top-5000 co-occurrence backbone: Q = sum_c [e_c/m - (d_c/2m)^2] —
+    do co-occurrence edges concentrate within nations? The partition-
+    quality score that turns q_graph_label_prop/q_graph_components
+    output from "a clustering" into "a clustering worth keeping"
+    (here evaluated on the exogenous nation labels, so the oracle
+    needs no iterative unrolling).
+
+    Exactness: Q*4m^2 = sum_c [4m*e_c - d_c^2] is an exact bigint
+    (edge counts and degree sums are integers); one double division,
+    rounded 6dp, sign-of-zero guarded (near-random partitions sit at
+    Q ~ 0, where -0.0 is a live hazard).
+
+    Scale: the backbone build dominates; community annotation is two
+    dim-table joins and a |communities|-row reduce."""
+    e = _topk_edges(spark, sf_dir).localCheckpoint(eager=True)
+    s = load_table(spark, sf_dir, "supplier")
+    com = s.select(F.col("s_suppkey").alias("node"),
+                   F.col("s_nationkey").alias("c"))
+    m = e.agg(F.count("*").cast("long").alias("m"))
+    ca, cb = com.alias("ca"), com.alias("cb")
+    inner_e = (e.join(ca, F.col("ca.node") == F.col("u"))
+               .join(cb, F.col("cb.node") == F.col("v"))
+               .filter(F.col("ca.c") == F.col("cb.c"))
+               .groupBy(F.col("ca.c").alias("c"))
+               .agg(F.count("*").cast("long").alias("e_in")))
+    deg = (e.select(F.col("u").alias("node"))
+           .unionByName(e.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").cast("long").alias("d")))
+    dc = (deg.join(com, "node")
+          .groupBy("c")
+          .agg(F.sum("d").cast("long").alias("d_c"),
+               F.count("*").cast("long").alias("n_nodes")))
+    parts = (dc.join(inner_e, "c", "left")
+             .crossJoin(F.broadcast(m))
+             .select("c", "n_nodes", "d_c",
+                     F.coalesce(F.col("e_in"), F.lit(0)).alias("e_in"),
+                     (4 * F.col("m") * F.coalesce(F.col("e_in"), F.lit(0))
+                      - F.col("d_c") * F.col("d_c")).alias("num_c"),
+                     "m"))
+    return (parts.groupBy("m")
+            .agg(F.count("*").cast("long").alias("n_communities"),
+                 (F.round(F.sum("num_c").cast("double")
+                          / (4.0 * F.max("m") * F.max("m")), 6) + 0.0)
+                 .alias("q_modularity"))
+            .select("m", "n_communities", "q_modularity"))
