@@ -107,3 +107,18 @@ def test_autocorr_pitch_finds_sawtooth_period():
     assert row.best_lag == 8
     assert row.energy == int(np.dot(sig, sig))
     assert row.ac_peak <= row.energy  # Cauchy-Schwarz
+
+
+def test_resample_halves_rate_and_antialiases(spark):
+    from challenge8_movies_etl_spark.registry import QUERIES
+    from tests.conftest import SF_SMOKE
+    dec = {r["doc_id"]: r for r in
+           QUERIES["q_audio_decode"](spark, SF_SMOKE).collect()}
+    res = QUERIES["q_audio_resample"](spark, SF_SMOKE).collect()
+    assert len(res) == len(dec)
+    for r in res:
+        d = dec[r["doc_id"]]
+        assert r["out_rate"] * 2 == d["sample_rate"]
+        assert r["n_out"] == d["n_samples"] // 2
+        # a pairwise boxcar can never raise the peak
+        assert r["peak"] <= d["peak"]

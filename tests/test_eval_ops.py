@@ -916,3 +916,11 @@ def test_knn_classify_votes_and_tiebreak(spark):
               .select("label").distinct().count())
     for r in rows:
         assert r["votes"] * labels >= 7 - labels + 1
+
+
+def test_embed_drift_self_consistency(spark):
+    r = QUERIES["q_embed_drift"](spark, SF_SMOKE).collect()[0]
+    n = (spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count())
+    assert r["n_even"] + r["n_odd"] == n
+    assert -1.0 - 1e-9 <= r["centroid_cos"] <= 1.0 + 1e-9
+    assert r["centroid_l2"] >= 0.0

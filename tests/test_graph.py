@@ -499,3 +499,11 @@ def test_assortativity_matches_python_twin(spark):
     else:
         # regular backbone (sf0.001 is the complete K10): pinned NULL
         assert r["assortativity"] is None
+
+
+def test_modularity_bounds_and_nontrivial(spark):
+    from challenge8_movies_etl_spark.registry import QUERIES
+    r = QUERIES["q_graph_modularity"](spark, SF_SMOKE).collect()[0]
+    assert r["m"] > 0
+    assert 1 <= r["n_communities"] <= 25  # TPC-H nations
+    assert -0.5 - 1e-9 <= r["q_modularity"] <= 1.0
