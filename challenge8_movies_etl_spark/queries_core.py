@@ -706,3 +706,72 @@ def q_observe_metrics(spark, sf_dir):
     return spark.createDataFrame(
         [(m["n_rows"], m["n_errors"], m["sum_value"],
           m["n_null_props"])], schema)
+
+
+# ---------------------------------------------------------------------------
+# q_schema_profile — one-shot multi-table column profiler
+# ---------------------------------------------------------------------------
+
+_PROFILE_ORACLE = """
+SELECT 'customer' AS tbl, 'c_acctbal' AS col,
+       cast(count(*) as bigint) AS n,
+       cast(count(*) - count(c_acctbal) as bigint) AS n_null,
+       cast(count(DISTINCT c_acctbal) as bigint) AS n_distinct,
+       cast(min(c_acctbal) as string) AS min_s,
+       cast(max(c_acctbal) as string) AS max_s
+FROM customer
+UNION ALL
+SELECT 'orders', 'o_orderstatus', count(*),
+       count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus),
+       min(o_orderstatus), max(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'lineitem', 'l_quantity', count(*),
+       count(*) - count(l_quantity), count(DISTINCT l_quantity),
+       cast(min(l_quantity) as string), cast(max(l_quantity) as string)
+FROM lineitem
+UNION ALL
+SELECT 'events', 'event_type', count(*),
+       count(*) - count(event_type), count(DISTINCT event_type),
+       min(event_type), max(event_type)
+FROM events
+UNION ALL
+SELECT 'documents', 'lang', count(*),
+       count(*) - count(lang), count(DISTINCT lang),
+       min(lang), max(lang)
+FROM documents
+ORDER BY tbl, col
+"""
+
+
+@query("q_schema_profile", oracle=_PROFILE_ORACLE)
+def q_schema_profile(spark, sf_dir):
+    """One-shot data-profiling sweep across five tables: row count,
+    null count, distinct cardinality, and string-cast min/max per
+    profiled column — the onboarding report every ingest runs before
+    trusting a new feed (q_null_ratio and q_value_counts are the
+    per-table deep dives; this is the fleet overview). Numeric
+    min/max are cast to string at the EDGE so one relation carries
+    heterogeneous column types without loss.
+
+    Scale: each table contributes one map-side-combined aggregate
+    (count-distinct is the only shuffle-bound term — swap in
+    approx_count_distinct when exactness stops mattering); the union
+    is five 1-row relations. Tables profile independently, so a 100 TB
+    sweep parallelizes per table."""
+    parts = []
+    for tbl, col in (("customer", "c_acctbal"), ("orders", "o_orderstatus"),
+                     ("lineitem", "l_quantity"), ("events", "event_type"),
+                     ("documents", "lang")):
+        t = load_table(spark, sf_dir, tbl)
+        parts.append(t.agg(
+            F.lit(tbl).alias("tbl"), F.lit(col).alias("col"),
+            F.count("*").cast("long").alias("n"),
+            (F.count("*") - F.count(col)).cast("long").alias("n_null"),
+            F.count_distinct(F.col(col)).cast("long").alias("n_distinct"),
+            F.min(col).cast("string").alias("min_s"),
+            F.max(col).cast("string").alias("max_s")))
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out.orderBy("tbl", "col")

@@ -2406,3 +2406,91 @@ def q_zipf_slope(spark, sf_dir):
         (F.round((n * sxy - sx * sy) * (n * sxy - sx * sy)
                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
          + 0.0).alias("r_sq"))
+
+
+# ---------------------------------------------------------------------------
+# q_bigram_entropy — conditional entropy rate of the token stream
+# ---------------------------------------------------------------------------
+
+_BIGRAM_H_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bigrams AS (
+  SELECT t[i] AS a, t[i + 1] AS b
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+),
+ab AS (
+  SELECT a, b, cast(count(*) as bigint) AS c_ab
+  FROM bigrams GROUP BY a, b
+),
+ag AS (
+  SELECT a, cast(sum(c_ab) as bigint) AS c_a FROM ab GROUP BY a
+),
+tot AS (SELECT cast(sum(c_ab) as bigint) AS n FROM ab),
+terms AS (
+  SELECT cast(round(cast(ab.c_ab as double)
+                    * ln(cast(ag.c_a as double) / ab.c_ab), 9)
+              as decimal(30,12)) AS h_t,
+         cast(round(cast(ab.c_ab as double)
+                    * ln(cast(tot.n as double) / ab.c_ab), 9)
+              as decimal(30,12)) AS hj_t
+  FROM ab JOIN ag ON ag.a = ab.a CROSS JOIN tot
+)
+SELECT (SELECT n FROM tot) AS n_bigrams,
+       round(cast(sum(h_t) as double) / (SELECT n FROM tot), 6) + 0.0
+         AS cond_entropy,
+       round(cast(sum(hj_t) as double) / (SELECT n FROM tot), 6) + 0.0
+         AS joint_entropy
+FROM terms
+"""
+
+
+@query("q_bigram_entropy", oracle=_BIGRAM_H_ORACLE)
+def q_bigram_entropy(spark, sf_dir):
+    """Conditional entropy rate of the corpus token stream,
+    H(next | current) = sum_ab c_ab/N * ln(c_a/c_ab), plus the joint
+    bigram entropy — the predictability score that separates natural
+    text (low rate) from shuffled or template-generated text, sitting
+    between q_entropy (unigram, per-user) and q_ngram_lm (scoring) in
+    the distributional suite; q_zipf_slope checks the marginal, this
+    checks the transitions.
+
+    Exactness: bigram and unigram-context counts are exact bigints;
+    each count's c*ln(ratio) term is one deterministic double
+    expression rounded 9dp and decimal-summed over the bigram
+    vocabulary, so the reduction is order-free; two scalar divisions
+    close it out.
+
+    Scale: one zip_with bigram generation per doc (array-slice pairing
+    in the scan projection, exploded once), then two map-side-combined
+    groupBys on (a, b) and (a) — vocabulary-sized relations, not
+    corpus-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("t"))
+    bigrams = toks.select(
+        F.explode(F.zip_with(
+            F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+            F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b"))))
+        .alias("p")).select("p.a", "p.b")
+    ab = (bigrams.groupBy("a", "b")
+          .agg(F.count("*").cast("long").alias("c_ab")))
+    ag = ab.groupBy("a").agg(F.sum("c_ab").cast("long").alias("c_a"))
+    tot = ab.agg(F.sum("c_ab").cast("long").alias("n"))
+    joined = ab.join(ag, "a").crossJoin(F.broadcast(tot))
+    h_t = F.round(F.col("c_ab").cast("double")
+                  * F.log(F.col("c_a").cast("double") / F.col("c_ab")),
+                  9).cast("decimal(30,12)")
+    hj_t = F.round(F.col("c_ab").cast("double")
+                   * F.log(F.col("n").cast("double") / F.col("c_ab")),
+                   9).cast("decimal(30,12)")
+    terms = joined.select(F.col("n"), h_t.alias("h_t"),
+                          hj_t.alias("hj_t"))
+    return (terms.groupBy("n")
+            .agg((F.round(F.sum("h_t").cast("double") / F.max("n"), 6)
+                  + 0.0).alias("cond_entropy"),
+                 (F.round(F.sum("hj_t").cast("double") / F.max("n"), 6)
+                  + 0.0).alias("joint_entropy"))
+            .select(F.col("n").alias("n_bigrams"), "cond_entropy",
+                    "joint_entropy"))

@@ -534,3 +534,80 @@ def q_inverted_index(spark, sf_dir):
                         x.tf.cast("string"))), ",")
                 .alias("postings_head"))
             .orderBy("term"))
+
+
+# ---------------------------------------------------------------------------
+# q_query_likelihood — Dirichlet-smoothed language-model retrieval
+# ---------------------------------------------------------------------------
+
+_QL_MU = 2000.0
+
+
+def _ql_part(tf: str, cf: str) -> str:
+    """One term's Dirichlet query-likelihood contribution — identical
+    expression tree on both engines (cf/coll_len are exact ints; one
+    ln of a deterministic double)."""
+    return (f"ln(({tf} + {_QL_MU} * (cast({cf} as double) / coll_len))"
+            f" / (dl + {_QL_MU}))")
+
+
+@query(
+    "q_query_likelihood",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS dl,
+             {_tf_duck('fast')} AS tf_fast,
+             {_tf_duck('slow')} AS tf_slow
+      FROM documents
+    ),
+    stats AS (
+      SELECT cast(sum(dl) as bigint) AS coll_len,
+             cast(sum(tf_fast) as bigint) AS cf_fast,
+             cast(sum(tf_slow) as bigint) AS cf_slow
+      FROM d
+    )
+    SELECT doc_id,
+           round({_ql_part('tf_fast', 'cf_fast')}
+                 + {_ql_part('tf_slow', 'cf_slow')}, 4) + 0.0
+             AS ql_score
+    FROM d CROSS JOIN stats
+    WHERE tf_fast + tf_slow > 0
+    ORDER BY ql_score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_query_likelihood(spark, sf_dir):
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty,
+    mu = 2000) for the {fast, slow} query — the language-modeling
+    counterpart of q_bm25 (probabilistic ranking vs tf-idf saturation;
+    a hybrid stack fuses both via q_rank_fusion). Smoothing backs off
+    each term to its collection frequency, so documents missing a
+    query term still score — but the top-20 cut keeps the match set.
+
+    Exactness: tf/dl/cf/collection length are exact integers from the
+    same HOF token counting as q_bm25 (no explode); each term's score
+    is ONE ln of a deterministic double, and the two-term sum is two
+    identically-ordered double adds on both engines, rounded 4dp with
+    the sign-of-zero guard (scores are negative log-probs, so zero is
+    unreachable, but the guard is house style).
+
+    Scale: scan-projection token counts, one broadcast stats row, and
+    TakeOrderedAndProject — zero explodes, one pass."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.selectExpr(
+        "doc_id",
+        "size(split(text, ' ')) AS dl",
+        f"{_tf('fast')} AS tf_fast",
+        f"{_tf('slow')} AS tf_slow")
+    stats = base.selectExpr(
+        "cast(sum(dl) as long) AS coll_len",
+        "cast(sum(tf_fast) as long) AS cf_fast",
+        "cast(sum(tf_slow) as long) AS cf_slow")
+    part = (f"round({_ql_part('tf_fast', 'cf_fast')}"
+            f" + {_ql_part('tf_slow', 'cf_slow')}, 4) + 0.0")
+    return (base.crossJoin(F.broadcast(stats))
+            .filter("tf_fast + tf_slow > 0")
+            .selectExpr("doc_id", f"{part} AS ql_score")
+            .orderBy(F.desc("ql_score"), "doc_id")
+            .limit(20))

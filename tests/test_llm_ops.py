@@ -603,3 +603,35 @@ def test_corpus_pipeline_funnel_monotone(spark):
         assert rows[b]["n_docs"] <= rows[a]["n_docs"]
         assert rows[b]["n_tokens"] <= rows[a]["n_tokens"]
     assert 0 < rows["5_decontaminated"]["n_docs"] < n
+
+
+def test_bigram_entropy_bounds(spark):
+    from tests.conftest import SF_SMOKE
+    from challenge8_movies_etl_spark.registry import QUERIES
+    r = QUERIES["q_bigram_entropy"](spark, SF_SMOKE).collect()[0]
+    # conditioning can only reduce entropy: H(b|a) <= H(a,b), both >= 0
+    assert 0.0 <= r["cond_entropy"] <= r["joint_entropy"] + 1e-9
+    assert r["n_bigrams"] > 0
+
+
+def test_bigram_entropy_matches_python_twin(spark):
+    import math
+    from collections import Counter
+    from tests.conftest import SF_SMOKE
+    from challenge8_movies_etl_spark.registry import QUERIES
+    docs = (spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+            .select("text").collect())
+    ab = Counter()
+    for r in docs:
+        t = r.text.split(" ")
+        for x, y in zip(t, t[1:]):
+            ab[(x, y)] += 1
+    a = Counter()
+    for (x, _), c in ab.items():
+        a[x] += c
+    n = sum(ab.values())
+    cond = sum(round(c * math.log(a[x] / c), 9)
+               for (x, _), c in ab.items()) / n
+    r = QUERIES["q_bigram_entropy"](spark, SF_SMOKE).collect()[0]
+    assert r["n_bigrams"] == n
+    assert abs(r["cond_entropy"] - round(cond, 6)) < 1e-6

@@ -41,3 +41,14 @@ def test_every_query_has_oracle_or_is_documented():
                # tests/test_calibration.py against a pure-python twin
                "q_isotonic_pav"}
     assert rows_only <= allowed, rows_only
+
+
+def test_schema_profile_consistency(spark):
+    from tests.conftest import SF_SMOKE
+    from challenge8_movies_etl_spark.registry import QUERIES
+    rows = QUERIES["q_schema_profile"](spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["n_null"] <= r["n"]
+        assert 1 <= r["n_distinct"] <= r["n"]
+        assert r["min_s"] <= r["max_s"] or r["n_distinct"] == 1
