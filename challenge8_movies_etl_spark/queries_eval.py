@@ -2609,7 +2609,10 @@ def q_knn_classify(spark, sf_dir):
     Scale: one corpus pass scores |held-out| x |train| via the
     broadcast probe matrix (probes batch to executor memory at 100 TB,
     same argument as q_similarity_batch); the vote is a bounded
-    groupBy over k rows per probe."""
+    groupBy over k rows per probe. Cost note: the exact-decimal dot
+    is the hash-parity discipline, ~10x a float dot — a production
+    kNN would use the float path (rank ties this avoids are harmless
+    when no oracle must agree bit-for-bit)."""
     from .operators.similarity import dot_col
     from .queries_llm import _norm
 

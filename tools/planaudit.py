@@ -54,7 +54,9 @@ UDF_SURFACE = {"q_udf_scalar", "q_udaf_grouped", "q_udtf",
                "q_observe_metrics",  # CollectMetrics + local result
                "q_cogroup_asof",  # cogrouped applyInPandas surface
                "q_burst_detect",  # applyInPandas DP on bounded series
-               "q_dtw_distance"}  # applyInPandas DP on bounded pairs
+               "q_dtw_distance",  # applyInPandas DP on bounded pairs
+               "q_image_phash",  # Arrow DCT pHash surface (ninth wave)
+               "q_audio_resample"}  # Arrow decode + boxcar decimation
 
 
 def audit(spark, qid, fn, sf_dir):
