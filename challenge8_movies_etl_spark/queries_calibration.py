@@ -388,3 +388,94 @@ def q_brier_murphy(spark, sf_dir):
         .alias("wb_var"),
         (F.round(F.col("wbc").cast("double") / nd, 6) + 0.0)
         .alias("wb_cov"))
+
+
+# ---------------------------------------------------------------------------
+# q_label_noise — confident-joint label-noise estimate
+# ---------------------------------------------------------------------------
+
+_NOISE_ORACLE = """
+WITH scored AS (
+  SELECT event_id % 1000 AS pm,
+         CASE WHEN (event_id * 7919) % 1000 < event_id % 1000
+              THEN 1 ELSE 0 END AS label
+  FROM events
+),
+th AS (
+  SELECT
+    cast(sum(CASE WHEN label = 1 THEN pm END) as bigint) AS s1,
+    cast(count(*) FILTER (label = 1) as bigint) AS n1,
+    cast(sum(CASE WHEN label = 0 THEN 1000 - pm END) as bigint) AS s0,
+    cast(count(*) FILTER (label = 0) as bigint) AS n0
+  FROM scored
+),
+cj AS (
+  SELECT
+    cast(count(*) FILTER (label = 1 AND pm * n1 >= s1) as bigint)
+      AS c11,
+    cast(count(*) FILTER (label = 0 AND pm * n1 >= s1) as bigint)
+      AS c01,
+    cast(count(*) FILTER (label = 0 AND (1000 - pm) * n0 >= s0)
+         as bigint) AS c00,
+    cast(count(*) FILTER (label = 1 AND (1000 - pm) * n0 >= s0)
+         as bigint) AS c10
+  FROM scored CROSS JOIN th
+)
+SELECT c00, c01, c10, c11,
+       round(cast(c01 + c10 as double) / (c00 + c01 + c10 + c11), 6)
+         + 0.0 AS noise_rate
+FROM cj
+"""
+
+
+@query("q_label_noise", oracle=_NOISE_ORACLE)
+def q_label_noise(spark, sf_dir):
+    """Confident-joint label-noise estimate (the confident-learning
+    construction): per class j, the confidence threshold t_j is the
+    mean predicted probability of class j among examples LABELED j;
+    C[i][j] counts examples labeled i whose class-j probability clears
+    t_j — off-diagonal mass is the estimated label-noise rate, the
+    signal that drives relabel-or-drop curation of a weakly-labeled
+    corpus (q_weak_supervision builds such labels; this audits them).
+
+    Exactness: with milli-unit probabilities, the threshold compare
+    p_j >= t_j becomes the INTEGER inequality pm * n_j >= sum_pm_j
+    (and (1000-pm) * n_0 >= s_0 for the negative class) — no division
+    ever happens, so the confident joint is bit-exact on both engines;
+    the noise rate is one rounded scalar division.
+
+    Scale: one pass for thresholds, one for the joint (both map-side
+    combinable); the 100 TB plan is two scans or one with a broadcast
+    re-use of the threshold row."""
+    e = load_table(spark, sf_dir, "events")
+    num = F.col("event_id") % 1000
+    scored = e.select(
+        num.cast("long").alias("pm"),
+        F.when((F.col("event_id") * 7919) % 1000 < num, 1)
+         .otherwise(0).alias("label"))
+    th = scored.agg(
+        F.sum(F.when(F.col("label") == 1, F.col("pm"))).cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("label") == 0, 1000 - F.col("pm")))
+        .cast("long").alias("s0"),
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).cast("long")
+        .alias("n0"))
+    j = scored.crossJoin(F.broadcast(th))
+    conf1 = F.col("pm") * F.col("n1") >= F.col("s1")
+    conf0 = (1000 - F.col("pm")) * F.col("n0") >= F.col("s0")
+    cj = j.agg(
+        F.sum(F.when((F.col("label") == 1) & conf1, 1).otherwise(0))
+        .cast("long").alias("c11"),
+        F.sum(F.when((F.col("label") == 0) & conf1, 1).otherwise(0))
+        .cast("long").alias("c01"),
+        F.sum(F.when((F.col("label") == 0) & conf0, 1).otherwise(0))
+        .cast("long").alias("c00"),
+        F.sum(F.when((F.col("label") == 1) & conf0, 1).otherwise(0))
+        .cast("long").alias("c10"))
+    total = (F.col("c00") + F.col("c01") + F.col("c10") + F.col("c11"))
+    return cj.select(
+        "c00", "c01", "c10", "c11",
+        (F.round((F.col("c01") + F.col("c10")).cast("double") / total, 6)
+         + 0.0).alias("noise_rate"))

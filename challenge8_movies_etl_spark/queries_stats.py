@@ -1534,3 +1534,365 @@ def q_signflip_test(spark, sf_dir):
             .select("n_days", "t_obs", "n_ge",
                     (F.round((1.0 + F.col("n_ge")) / 201.0, 6) + 0.0)
                     .alias("p_value")))
+
+
+# ---------------------------------------------------------------------------
+# q_welch_ttest — unequal-variance two-sample t
+# ---------------------------------------------------------------------------
+
+_WELCH_ORACLE = """
+WITH x AS (
+  SELECT event_type,
+         cast(cast(round(value, 3) * 1000 as decimal(7,0)) as bigint)
+           AS xi
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+g AS (
+  SELECT event_type,
+         cast(count(*) as bigint) AS n,
+         cast(sum(xi) as bigint) AS s1,
+         cast(sum(xi * xi) as bigint) AS s2
+  FROM x GROUP BY event_type
+),
+p AS (
+  SELECT max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+         max(CASE WHEN event_type = 'click' THEN s1 END) AS sa1,
+         max(CASE WHEN event_type = 'click' THEN s2 END) AS sa2,
+         max(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
+         max(CASE WHEN event_type = 'purchase' THEN s1 END) AS sb1,
+         max(CASE WHEN event_type = 'purchase' THEN s2 END) AS sb2
+  FROM g
+),
+c AS (
+  SELECT n1, n2,
+         cast(sa1 as double) / n1 - cast(sb1 as double) / n2 AS md,
+         ((cast(sa2 as double) - cast(sa1 as double) * sa1 / n1)
+          / (n1 - 1)) / n1 AS va,
+         ((cast(sb2 as double) - cast(sb1 as double) * sb1 / n2)
+          / (n2 - 1)) / n2 AS vb
+  FROM p
+)
+SELECT n1, n2,
+       round(md / sqrt(va + vb) / 1000, 4) + 0.0 AS t_stat,
+       round((va + vb) * (va + vb)
+             / (va * va / (n1 - 1) + vb * vb / (n2 - 1)), 2) + 0.0
+         AS df_welch
+FROM c
+"""
+
+
+@query("q_welch_ttest", oracle=_WELCH_ORACLE)
+def q_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-test between click and purchase
+    values, with the Welch-Satterthwaite effective degrees of freedom
+    — the parametric rung the inference ladder was missing between
+    q_mannwhitney_u (rank) and q_anova_oneway (k-sample, pooled
+    variance). t is reported in original units (the /1000 undoes the
+    milli-unit keying — note t is actually scale-free, but dividing
+    the mean difference keeps the intermediate readable).
+
+    Exactness: five exact bigint sufficient statistics; mean
+    difference, both standard errors, t, and df are scalar double
+    combinations with identical operand order on both engines.
+
+    Scale: one filtered map-side-combined groupBy, then a 2-row
+    pivot and scalar math."""
+    e = load_table(spark, sf_dir, "events")
+    x = (e.filter(F.col("event_type").isin("click", "purchase"))
+         .select("event_type",
+                 (F.round("value", 3) * 1000).cast("decimal(7,0)")
+                 .cast("long").alias("xi")))
+    g = (x.groupBy("event_type")
+         .agg(F.count("*").cast("long").alias("n"),
+              F.sum("xi").cast("long").alias("s1"),
+              F.sum(F.col("xi") * F.col("xi")).cast("long").alias("s2")))
+    pick = lambda et, c: F.max(F.when(F.col("event_type") == et,  # noqa: E731
+                                      F.col(c)))
+    p = g.agg(pick("click", "n").alias("n1"),
+              pick("click", "s1").alias("sa1"),
+              pick("click", "s2").alias("sa2"),
+              pick("purchase", "n").alias("n2"),
+              pick("purchase", "s1").alias("sb1"),
+              pick("purchase", "s2").alias("sb2"))
+    md = (F.col("sa1").cast("double") / F.col("n1")
+          - F.col("sb1").cast("double") / F.col("n2"))
+    va = ((F.col("sa2").cast("double")
+           - F.col("sa1").cast("double") * F.col("sa1") / F.col("n1"))
+          / (F.col("n1") - 1)) / F.col("n1")
+    vb = ((F.col("sb2").cast("double")
+           - F.col("sb1").cast("double") * F.col("sb1") / F.col("n2"))
+          / (F.col("n2") - 1)) / F.col("n2")
+    return p.select(
+        "n1", "n2",
+        (F.round(md / F.sqrt(va + vb) / 1000, 4) + 0.0).alias("t_stat"),
+        (F.round((va + vb) * (va + vb)
+                 / (va * va / (F.col("n1") - 1)
+                    + vb * vb / (F.col("n2") - 1)), 2) + 0.0)
+        .alias("df_welch"))
+
+
+# ---------------------------------------------------------------------------
+# q_xi_correlation — Chatterjee's rank correlation (ties-corrected)
+# ---------------------------------------------------------------------------
+
+_XI_ORACLE = """
+WITH daily AS (
+  SELECT cast(ts as date) AS d,
+         cast(count(*) FILTER (event_type = 'click') as bigint) AS x,
+         cast(count(*) FILTER (event_type = 'purchase') as bigint) AS y
+  FROM daily_src GROUP BY 1
+),
+ranked AS (
+  SELECT y,
+         row_number() OVER (ORDER BY x, d) AS i,
+         cast(count(*) OVER () as bigint) AS n
+  FROM daily
+),
+rr AS (
+  SELECT a.i, a.n,
+         cast((SELECT count(*) FROM ranked b WHERE b.y <= a.y)
+              as bigint) AS r,
+         cast((SELECT count(*) FROM ranked b WHERE b.y >= a.y)
+              as bigint) AS l
+  FROM ranked a
+),
+diffs AS (
+  SELECT n, l, abs(r - lag(r) OVER (ORDER BY i)) AS dr
+  FROM rr
+),
+num AS (
+  SELECT max(n) AS n,
+         cast(sum(dr) as bigint) AS s,
+         cast(sum(l * (n - l)) as bigint) AS den2
+  FROM diffs
+)
+SELECT n,
+       round(1.0 - cast(n as double) * s / (2.0 * den2), 6) + 0.0
+         AS xi_xy
+FROM num
+"""
+
+
+@query("q_xi_correlation",
+       oracle=_XI_ORACLE.replace("daily_src", "events"))
+def q_xi_correlation(spark, sf_dir):
+    """Chatterjee's xi rank correlation (JASA 2021, ties-corrected
+    form) from daily clicks to daily purchases: xi ~ 0 for
+    independence, ~ 1 when y is a measurable FUNCTION of x — unlike
+    Pearson/Spearman/Kendall it detects non-monotone dependence, which
+    completes the correlation ladder (q_rolling_corr / q_spearman_corr
+    / q_kendall_tau). The usual random tie-break on x is derandomized
+    by (x, date) ordering, so both engines walk the same permutation.
+
+    Exactness: r_i = #{y_j <= y_i} and l_i = #{y_j >= y_i} are exact
+    integer ranks; xi = 1 - n*sum|r_{i+1}-r_i| / (2*sum l_i(n-l_i))
+    is ONE double division of exact bigints, rounded 6dp.
+
+    Scale: the daily pivot bounds everything; rank counts are windows
+    over the calendar relation."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("ts").cast("date").alias("d"))
+             .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                        .otherwise(0)).cast("long").alias("x"),
+                  F.sum(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).cast("long").alias("y")))
+    ranked = daily.select(
+        "y",
+        F.row_number().over(W.orderBy("x", "d")).alias("i"),
+        F.count("*").over(W.partitionBy()).cast("long").alias("n"))
+    # exact y-ranks via the cumulative device over grouped y values
+    yc = ranked.groupBy("y").agg(F.count("*").cast("long").alias("c"))
+    cum = yc.select(
+        "y",
+        F.sum("c").over(W.orderBy("y")
+                        .rangeBetween(W.unboundedPreceding,
+                                      W.currentRow)).alias("r"),
+        (F.sum("c").over(W.partitionBy())
+         - F.sum("c").over(W.orderBy("y")
+                           .rangeBetween(W.unboundedPreceding,
+                                         W.currentRow))
+         + F.col("c")).alias("l"))
+    rr = ranked.join(cum, "y").select("i", "n", "r", "l")
+    s = rr.select(
+        "n", "l",
+        F.abs(F.col("r") - F.lag("r").over(W.orderBy("i"))).alias("dr"))
+    num = s.agg(F.max("n").alias("n"),
+                F.sum("dr").cast("long").alias("s"),
+                F.sum(F.col("l") * (F.col("n") - F.col("l")))
+                .cast("long").alias("den2"))
+    return num.select(
+        "n",
+        (F.round(1.0 - F.col("n").cast("double") * F.col("s")
+                 / (2.0 * F.col("den2")), 6) + 0.0).alias("xi_xy"))
+
+
+# ---------------------------------------------------------------------------
+# q_cronbach_alpha — internal-consistency reliability
+# ---------------------------------------------------------------------------
+
+_CRONBACH_ORACLE = """
+WITH daily AS (
+  SELECT cast(ts as date) AS d, event_type,
+         cast(count(*) as bigint) AS x
+  FROM events GROUP BY 1, 2
+),
+items AS (
+  SELECT event_type,
+         cast(count(*) as bigint) AS n,
+         cast(sum(x) as bigint) AS s1,
+         cast(sum(x * x) as bigint) AS s2
+  FROM daily GROUP BY event_type
+),
+tot AS (
+  SELECT cast(count(*) as bigint) AS n,
+         cast(sum(t) as bigint) AS s1,
+         cast(sum(t * t) as bigint) AS s2
+  FROM (SELECT d, sum(x) AS t FROM daily GROUP BY d)
+),
+s AS (
+  SELECT cast(count(*) as bigint) AS k,
+         cast(sum(items.n * items.s2 - items.s1 * items.s1) as bigint)
+           AS var_items,
+         max(tot.n * tot.s2 - tot.s1 * tot.s1) AS var_total
+  FROM items CROSS JOIN tot
+)
+SELECT k,
+       round((cast(k as double) / (k - 1))
+             * (1.0 - cast(var_items as double) / var_total), 6) + 0.0
+         AS alpha
+FROM s
+"""
+
+
+@query("q_cronbach_alpha", oracle=_CRONBACH_ORACLE)
+def q_cronbach_alpha(spark, sf_dir):
+    """Cronbach's alpha treating the five event types' daily count
+    series as items of one 'activity' scale: alpha = k/(k-1) *
+    (1 - sum(var_i)/var(total)) — the internal-consistency readout
+    that tells a metrics platform whether its component signals can be
+    summed into one index or move independently.
+
+    Exactness: every variance enters as the n-scaled integer
+    n*sum(x^2) - (sum x)^2 — the common n cancels in the ratio, so
+    alpha is ONE double division of exact bigints, rounded 6dp.
+
+    Scale: one daily rollup shuffle; items and totals are two reduces
+    over the calendar-bounded relation."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("ts").cast("date").alias("d"), "event_type")
+             .agg(F.count("*").cast("long").alias("x")))
+    items = (daily.groupBy("event_type")
+             .agg(F.count("*").cast("long").alias("n"),
+                  F.sum("x").cast("long").alias("s1"),
+                  F.sum(F.col("x") * F.col("x")).cast("long").alias("s2")))
+    tot = (daily.groupBy("d").agg(F.sum("x").alias("t"))
+           .agg(F.count("*").cast("long").alias("tn"),
+                F.sum("t").cast("long").alias("ts1"),
+                F.sum(F.col("t") * F.col("t")).cast("long").alias("ts2")))
+    s = (items.crossJoin(F.broadcast(tot))
+         .agg(F.count("*").cast("long").alias("k"),
+              F.sum(F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+              .cast("long").alias("var_items"),
+              F.max(F.col("tn") * F.col("ts2")
+                    - F.col("ts1") * F.col("ts1")).alias("var_total")))
+    return s.select(
+        "k",
+        (F.round((F.col("k").cast("double") / (F.col("k") - 1))
+                 * (1.0 - F.col("var_items").cast("double")
+                    / F.col("var_total")), 6) + 0.0).alias("alpha"))
+
+
+# ---------------------------------------------------------------------------
+# q_partial_corr — partial correlation controlling a confounder
+# ---------------------------------------------------------------------------
+
+_PARTIAL_ORACLE = """
+WITH daily AS (
+  SELECT cast(ts as date) AS d,
+         cast(count(*) FILTER (event_type = 'click') as bigint) AS x,
+         cast(count(*) FILTER (event_type = 'purchase') as bigint) AS y,
+         cast(count(*) FILTER (event_type = 'view') as bigint) AS z
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT cast(count(*) as bigint) AS n,
+         cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy,
+         cast(sum(z) as bigint) AS sz,
+         cast(sum(x * x) as bigint) AS sxx,
+         cast(sum(y * y) as bigint) AS syy,
+         cast(sum(z * z) as bigint) AS szz,
+         cast(sum(x * y) as bigint) AS sxy,
+         cast(sum(x * z) as bigint) AS sxz,
+         cast(sum(y * z) as bigint) AS syz
+  FROM daily
+),
+r AS (
+  SELECT n,
+         (n * sxy - sx * sy)
+           / sqrt(cast(n * sxx - sx * sx as double)
+                  * cast(n * syy - sy * sy as double)) AS rxy,
+         (n * sxz - sx * sz)
+           / sqrt(cast(n * sxx - sx * sx as double)
+                  * cast(n * szz - sz * sz as double)) AS rxz,
+         (n * syz - sy * sz)
+           / sqrt(cast(n * syy - sy * sy as double)
+                  * cast(n * szz - sz * sz as double)) AS ryz
+  FROM s
+)
+SELECT n,
+       round(rxy, 6) + 0.0 AS r_xy,
+       round((rxy - rxz * ryz)
+             / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6) + 0.0
+         AS r_xy_given_z
+FROM r
+"""
+
+
+@query("q_partial_corr", oracle=_PARTIAL_ORACLE)
+def q_partial_corr(spark, sf_dir):
+    """Partial correlation of daily clicks and purchases CONTROLLING
+    for daily views: r_xy.z = (r_xy - r_xz*r_yz) /
+    sqrt((1-r_xz^2)(1-r_yz^2)) — the confound check that separates 'do
+    clicks drive purchases' from 'busy days have more of everything',
+    the first-order version of what q_iv_wald/q_diff_in_diff answer
+    with designs.
+
+    Exactness: all ten sufficient statistics are exact bigints; the
+    three pairwise correlations and the partial are scalar double
+    combinations with identical operand order on both engines.
+
+    Scale: one calendar-bounded pivot, one 10-sum reduce."""
+    e = load_table(spark, sf_dir, "events")
+    cnt = lambda et: F.sum(F.when(F.col("event_type") == et, 1)  # noqa: E731
+                           .otherwise(0)).cast("long")
+    daily = (e.groupBy(F.col("ts").cast("date").alias("d"))
+             .agg(cnt("click").alias("x"), cnt("purchase").alias("y"),
+                  cnt("view").alias("z")))
+    s = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("szz"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).cast("long").alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).cast("long").alias("syz"))
+
+    def corr(sab, sa, sb, saa, sbb):
+        return ((F.col("n") * F.col(sab) - F.col(sa) * F.col(sb))
+                / F.sqrt((F.col("n") * F.col(saa)
+                          - F.col(sa) * F.col(sa)).cast("double")
+                         * (F.col("n") * F.col(sbb)
+                            - F.col(sb) * F.col(sb)).cast("double")))
+
+    rxy = corr("sxy", "sx", "sy", "sxx", "syy")
+    rxz = corr("sxz", "sx", "sz", "sxx", "szz")
+    ryz = corr("syz", "sy", "sz", "syy", "szz")
+    return s.select(
+        "n",
+        (F.round(rxy, 6) + 0.0).alias("r_xy"),
+        (F.round((rxy - rxz * ryz)
+                 / F.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+         + 0.0).alias("r_xy_given_z"))

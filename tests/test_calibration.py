@@ -106,3 +106,16 @@ def test_brier_matches_python_twin(spark):
                    .quantize(Decimal("0.000001"),
                              rounding=ROUND_HALF_UP))
     assert abs(r["brier"] - expect) < 1e-12
+
+
+def test_label_noise_confident_joint_partition(spark):
+    from challenge8_movies_etl_spark.registry import QUERIES
+    from tests.conftest import SF_SMOKE
+    r = QUERIES["q_label_noise"](spark, SF_SMOKE).collect()[0]
+    n = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    total = r["c00"] + r["c01"] + r["c10"] + r["c11"]
+    # every example clears at least one class threshold only if its
+    # probability is extreme; the joint counts each (label, cleared
+    # class) pair, so total <= 2n and >= the confident subset
+    assert 0 < total <= 2 * n
+    assert 0.0 <= r["noise_rate"] < 0.5  # fixture labels track p

@@ -515,3 +515,73 @@ def test_signflip_p_value_bounds_and_twin(spark):
     assert (r["t_obs"], r["n_ge"]) == (t_obs, n_ge)
     assert abs(r["p_value"] - round((1 + n_ge) / 201, 6)) < 1e-9
     assert 1 / 201 <= r["p_value"] <= 1.0
+
+
+def test_welch_matches_python_twin(spark):
+    from challenge8_movies_etl_spark.registry import QUERIES
+    by = _event_values_by_type(spark)
+    a, b = by["click"], by["purchase"]
+    n1, n2 = len(a), len(b)
+    m1, m2 = sum(a) / n1, sum(b) / n2
+    va = (sum(x * x for x in a) - sum(a) ** 2 / n1) / (n1 - 1) / n1
+    vb = (sum(x * x for x in b) - sum(b) ** 2 / n2) / (n2 - 1) / n2
+    t = (m1 - m2) / math.sqrt(va + vb) / 1000
+    df = (va + vb) ** 2 / (va ** 2 / (n1 - 1) + vb ** 2 / (n2 - 1))
+    r = QUERIES["q_welch_ttest"](spark, SF_SMOKE).collect()[0]
+    assert (r["n1"], r["n2"]) == (n1, n2)
+    assert abs(r["t_stat"] - round(t, 4)) < 1e-6
+    assert abs(r["df_welch"] - round(df, 2)) < 0.05
+    assert min(n1, n2) - 1 <= r["df_welch"] <= n1 + n2 - 2
+
+
+def test_xi_correlation_matches_python_twin(spark):
+    from collections import defaultdict
+    from challenge8_movies_etl_spark.registry import QUERIES
+    rows = (spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+            .selectExpr("cast(ts as date) AS d", "event_type").collect())
+    daily = defaultdict(lambda: [0, 0])
+    for r in rows:
+        if r.event_type == "click":
+            daily[str(r.d)][0] += 1
+        elif r.event_type == "purchase":
+            daily[str(r.d)][1] += 1
+    seq = sorted(daily.items(), key=lambda kv: (kv[1][0], kv[0]))
+    ys = [y for _, (_, y) in seq]
+    ally = sorted(ys)
+    n = len(ys)
+    r_ = [sum(1 for v in ally if v <= y) for y in ys]
+    l_ = [sum(1 for v in ally if v >= y) for y in ys]
+    s = sum(abs(r_[i + 1] - r_[i]) for i in range(n - 1))
+    den2 = sum(li * (n - li) for li in l_)
+    xi = 1.0 - n * s / (2.0 * den2)
+    r = QUERIES["q_xi_correlation"](spark, SF_SMOKE).collect()[0]
+    assert r["n"] == n
+    assert abs(r["xi_xy"] - round(xi, 6)) < 1e-9
+    # ties-corrected xi is bounded (asymmetric lower bound is fine)
+    assert -1.0 <= r["xi_xy"] <= 1.0
+
+
+def test_cronbach_alpha_matches_python_twin(spark):
+    from collections import defaultdict
+    from challenge8_movies_etl_spark.registry import QUERIES
+    rows = (spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+            .selectExpr("cast(ts as date) AS d", "event_type").collect())
+    daily = defaultdict(int)
+    for r in rows:
+        daily[(r.event_type, str(r.d))] += 1
+    items = defaultdict(list)
+    for (et, d), c in sorted(daily.items()):
+        items[et].append((d, c))
+    k = len(items)
+    # n-scaled variances: n*sum(x^2) - (sum x)^2 (common n cancels)
+    def nv(xs):
+        return len(xs) * sum(x * x for x in xs) - sum(xs) ** 2
+    var_items = sum(nv([c for _, c in v]) for v in items.values())
+    by_day = defaultdict(int)
+    for (et, d), c in daily.items():
+        by_day[d] += c
+    var_total = nv(list(by_day.values()))
+    alpha = (k / (k - 1)) * (1.0 - var_items / var_total)
+    r = QUERIES["q_cronbach_alpha"](spark, SF_SMOKE).collect()[0]
+    assert r["k"] == k
+    assert abs(r["alpha"] - round(alpha, 6)) < 1e-9
