@@ -2738,3 +2738,89 @@ def q_embed_drift(spark, sf_dir):
         .alias("centroid_cos"),
         (F.round(F.sqrt(F.sum("shift_t").cast("double")), 6) + 0.0)
         .alias("centroid_l2"))
+
+
+# ---------------------------------------------------------------------------
+# q_agreement_metrics — Cohen's kappa, MCC, balanced accuracy
+# ---------------------------------------------------------------------------
+
+
+def _agreement_oracle() -> str:
+    from .operators.text import EN_STOPWORDS, lexicon_count_sql
+    pred = f"""
+      CASE WHEN cast({lexicon_count_sql('text', EN_STOPWORDS)} as double)
+                / len(string_split(text, ' ')) >= 0.05
+           THEN 1 ELSE 0 END
+    """
+    return f"""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t,
+             ({pred}) AS p
+      FROM documents
+    ),
+    cm AS (
+      SELECT cast(sum(t * p) as bigint) AS tp,
+             cast(sum((1 - t) * p) as bigint) AS fp,
+             cast(sum(t * (1 - p)) as bigint) AS fn,
+             cast(sum((1 - t) * (1 - p)) as bigint) AS tn
+      FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           round(cast(2 * (tp * tn - fp * fn) as double)
+                 / ((tp + fp) * (fp + tn) + (tp + fn) * (fn + tn)), 6)
+             + 0.0 AS kappa,
+           round(cast(tp * tn - fp * fn as double)
+                 / sqrt(cast((tp + fp) * (tp + fn) as double)
+                        * cast((tn + fp) * (tn + fn) as double)), 6)
+             + 0.0 AS mcc,
+           round((cast(tp as double) / (tp + fn)
+                  + cast(tn as double) / (tn + fp)) / 2, 6) + 0.0
+             AS balanced_acc
+    FROM cm
+    """
+
+
+@query("q_agreement_metrics", oracle=_agreement_oracle())
+def q_agreement_metrics(spark, sf_dir):
+    """Chance-corrected agreement metrics over the langid confusion:
+    Cohen's kappa (2(tp*tn - fp*fn) / ((tp+fp)(fp+tn) + (tp+fn)(fn+tn))),
+    Matthews correlation, and balanced accuracy — the metrics that
+    stay honest under class imbalance, where q_eval_langid's raw
+    accuracy inflates (call everything majority-class and accuracy
+    still looks fine; kappa and MCC go to 0). The annotator-agreement
+    readout a labeling pipeline runs between model and human passes.
+
+    Exactness: all three statistics are scalar expressions of the four
+    exact bigint confusion cells — integer products in the numerators,
+    one division (+ one sqrt for MCC) at the edge, rounded 6dp with
+    the sign-of-zero guard (agreement AT chance is exactly the -0.0
+    hazard).
+
+    Scale: identical single-aggregate plan to q_eval_langid."""
+    from .operators.text import stopword_count, token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    pred_en = (stopword_count(F.col("text")).cast("double")
+               / token_count(F.col("text")) >= 0.05).cast("int")
+    truth_en = (F.col("lang") == "en").cast("int")
+    scored = d.select(truth_en.alias("t"), pred_en.alias("p"))
+    cm = scored.agg(
+        F.sum(F.col("t") * F.col("p")).cast("long").alias("tp"),
+        F.sum((1 - F.col("t")) * F.col("p")).cast("long").alias("fp"),
+        F.sum(F.col("t") * (1 - F.col("p"))).cast("long").alias("fn"),
+        F.sum((1 - F.col("t")) * (1 - F.col("p"))).cast("long")
+        .alias("tn"))
+    tp, fp = F.col("tp"), F.col("fp")
+    fn, tn = F.col("fn"), F.col("tn")
+    kappa = (2 * (tp * tn - fp * fn)).cast("double") \
+        / ((tp + fp) * (fp + tn) + (tp + fn) * (fn + tn))
+    mcc = ((tp * tn - fp * fn).cast("double")
+           / F.sqrt(((tp + fp) * (tp + fn)).cast("double")
+                    * ((tn + fp) * (tn + fn)).cast("double")))
+    bacc = (tp.cast("double") / (tp + fn)
+            + tn.cast("double") / (tn + fp)) / 2
+    return cm.select(
+        "tp", "fp", "fn", "tn",
+        (F.round(kappa, 6) + 0.0).alias("kappa"),
+        (F.round(mcc, 6) + 0.0).alias("mcc"),
+        (F.round(bacc, 6) + 0.0).alias("balanced_acc"))

@@ -1896,3 +1896,99 @@ def q_partial_corr(spark, sf_dir):
         (F.round((rxy - rxz * ryz)
                  / F.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
          + 0.0).alias("r_xy_given_z"))
+
+
+# ---------------------------------------------------------------------------
+# q_chisq_residuals — adjusted Pearson residuals + Cramer's V
+# ---------------------------------------------------------------------------
+
+_CHISQ_RES_ORACLE = """
+WITH obs AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', cast(ts as date)) % 7 AS dow,
+         count(*) AS o
+  FROM events GROUP BY 1, 2
+),
+margins AS (
+  SELECT o.event_type, o.dow, o.o,
+         cast(sum(o.o) OVER (PARTITION BY o.event_type) as bigint) AS rt,
+         cast(sum(o.o) OVER (PARTITION BY o.dow) as bigint) AS ct,
+         cast(sum(o.o) OVER () as bigint) AS n
+  FROM obs o
+),
+terms AS (
+  SELECT event_type, dow, o, rt, ct, n,
+         cast(round(pow(cast(o * n - rt * ct as double), 2)
+                    / (cast(n as double) * rt * ct * n), 6)
+              as decimal(18,6)) AS term
+  FROM margins
+),
+dims AS (
+  SELECT cast(count(DISTINCT event_type) as bigint) AS nr,
+         cast(count(DISTINCT dow) as bigint) AS nc
+  FROM obs
+)
+SELECT event_type, dow, o AS observed,
+       round((o - cast(rt as double) * ct / n)
+             / sqrt(cast(rt as double) * ct / n
+                    * (1.0 - cast(rt as double) / n)
+                    * (1.0 - cast(ct as double) / n)), 4) + 0.0
+         AS adj_residual,
+       round(sqrt(cast(sum(term) OVER () as double)
+                  / (cast(n as double)
+                     * least(nr - 1, nc - 1))), 6) + 0.0 AS cramers_v
+FROM terms CROSS JOIN dims
+ORDER BY event_type, dow
+"""
+
+
+@query("q_chisq_residuals", oracle=_CHISQ_RES_ORACLE)
+def q_chisq_residuals(spark, sf_dir):
+    """Cell-level diagnosis of the q_chisq_independence table: the
+    ADJUSTED Pearson residual (o-e)/sqrt(e(1-rt/n)(1-ct/n)) per
+    (event_type, day-of-week) cell — approximately N(0,1) under
+    independence, so |r| > 2 points at exactly WHICH cells drive the
+    dependence — plus Cramer's V as the bounded effect size the raw
+    chi2 lacks. The drill-down every 'chi2 says significant' readout
+    needs next.
+
+    Exactness: margins are exact bigints; each residual is one scalar
+    double expression; V reuses the chi2 decimal-summed terms (order-
+    free) and one sqrt. Sign-of-zero guarded — balanced cells sit at
+    residual ~ 0 exactly where -0.0 lives.
+
+    Scale: identical plan to q_chisq_independence (one cell rollup,
+    margin windows over the |cells| relation)."""
+    e = load_table(spark, sf_dir, "events")
+    obs = (e.groupBy("event_type",
+                     (F.datediff(F.col("ts").cast("date"),
+                                 F.lit("1970-01-01").cast("date")) % 7)
+                     .alias("dow"))
+           .agg(F.count("*").alias("o")))
+    margins = obs.select(
+        "event_type", "dow", "o",
+        F.sum("o").over(W.partitionBy("event_type")).cast("long")
+        .alias("rt"),
+        F.sum("o").over(W.partitionBy("dow")).cast("long").alias("ct"),
+        F.sum("o").over(W.partitionBy()).cast("long").alias("n"))
+    term = F.round(
+        F.pow((F.col("o") * F.col("n")
+               - F.col("rt") * F.col("ct")).cast("double"), 2)
+        / (F.col("n").cast("double") * F.col("rt") * F.col("ct")
+           * F.col("n")), 6).cast("decimal(18,6)")
+    terms = margins.withColumn("term", term)
+    dims = obs.agg(
+        F.count_distinct("event_type").cast("long").alias("nr"),
+        F.count_distinct("dow").cast("long").alias("nc"))
+    ed = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    adj = ((F.col("o") - ed)
+           / F.sqrt(ed * (1.0 - F.col("rt").cast("double") / F.col("n"))
+                    * (1.0 - F.col("ct").cast("double") / F.col("n"))))
+    v = F.sqrt(F.sum("term").over(W.partitionBy()).cast("double")
+               / (F.col("n").cast("double")
+                  * F.least(F.col("nr") - 1, F.col("nc") - 1)))
+    return (terms.crossJoin(F.broadcast(dims))
+            .select("event_type", "dow", F.col("o").alias("observed"),
+                    (F.round(adj, 4) + 0.0).alias("adj_residual"),
+                    (F.round(v, 6) + 0.0).alias("cramers_v"))
+            .orderBy("event_type", "dow"))

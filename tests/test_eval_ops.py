@@ -924,3 +924,16 @@ def test_embed_drift_self_consistency(spark):
     assert r["n_even"] + r["n_odd"] == n
     assert -1.0 - 1e-9 <= r["centroid_cos"] <= 1.0 + 1e-9
     assert r["centroid_l2"] >= 0.0
+
+
+def test_agreement_metrics_match_confusion(spark):
+    cm = QUERIES["q_eval_langid"](spark, SF_SMOKE).collect()[0]
+    r = QUERIES["q_agreement_metrics"](spark, SF_SMOKE).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (
+        cm["tp"], cm["fp"], cm["fn"], cm["tn"])
+    tp, fp, fn, tn = r["tp"], r["fp"], r["fn"], r["tn"]
+    kappa = 2 * (tp * tn - fp * fn) / (
+        (tp + fp) * (fp + tn) + (tp + fn) * (fn + tn))
+    assert abs(r["kappa"] - round(kappa, 6)) < 1e-9
+    assert -1.0 <= r["kappa"] <= 1.0 and -1.0 <= r["mcc"] <= 1.0
+    assert 0.0 <= r["balanced_acc"] <= 1.0

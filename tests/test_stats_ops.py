@@ -585,3 +585,21 @@ def test_cronbach_alpha_matches_python_twin(spark):
     r = QUERIES["q_cronbach_alpha"](spark, SF_SMOKE).collect()[0]
     assert r["k"] == k
     assert abs(r["alpha"] - round(alpha, 6)) < 1e-9
+
+
+def test_chisq_residuals_consistency(spark):
+    from challenge8_movies_etl_spark.registry import QUERIES
+    rows = QUERIES["q_chisq_residuals"](spark, SF_SMOKE).collect()
+    chi = QUERIES["q_chisq_independence"](spark, SF_SMOKE).collect()
+    assert len(rows) == len(chi)
+    vs = {r["cramers_v"] for r in rows}
+    assert len(vs) == 1  # V is a global constant column
+    v = vs.pop()
+    chi2 = chi[0]["chi2_total"]
+    n = sum(r["observed"] for r in rows)
+    k = min(len({r["event_type"] for r in rows}) - 1,
+            len({r["dow"] for r in rows}) - 1)
+    assert abs(v - round(math.sqrt(chi2 / (n * k)), 6)) < 1e-4
+    # adjusted residuals: sum over a row of raw e-weighted residuals
+    # is 0; sanity-check magnitudes instead (N(0,1)-ish)
+    assert all(abs(r["adj_residual"]) < 50 for r in rows)
