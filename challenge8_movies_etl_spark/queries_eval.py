@@ -2824,3 +2824,76 @@ def q_agreement_metrics(spark, sf_dir):
         (F.round(kappa, 6) + 0.0).alias("kappa"),
         (F.round(mcc, 6) + 0.0).alias("mcc"),
         (F.round(bacc, 6) + 0.0).alias("balanced_acc"))
+
+
+# ---------------------------------------------------------------------------
+# q_mcnemar_test — paired comparison of two classifiers
+# ---------------------------------------------------------------------------
+
+
+def _mcnemar_oracle() -> str:
+    from .operators.text import EN_STOPWORDS, lexicon_count_sql
+    rate = (f"cast({lexicon_count_sql('text', EN_STOPWORDS)} as double)"
+            " / len(string_split(text, ' '))")
+    return f"""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t,
+             CASE WHEN {rate} >= 0.05 THEN 1 ELSE 0 END AS pa,
+             CASE WHEN {rate} >= 0.03 THEN 1 ELSE 0 END AS pb
+      FROM documents
+    ),
+    cm AS (
+      SELECT cast(count(*) FILTER (pa = t AND pb <> t) as bigint) AS b,
+             cast(count(*) FILTER (pa <> t AND pb = t) as bigint) AS c,
+             cast(count(*) FILTER (pa = t AND pb = t) as bigint)
+               AS both_right,
+             cast(count(*) FILTER (pa <> t AND pb <> t) as bigint)
+               AS both_wrong
+      FROM scored
+    )
+    SELECT b, c, both_right, both_wrong,
+           round(CASE WHEN b + c > 0
+                      THEN cast((b - c) * (b - c) as double) / (b + c)
+                      ELSE 0.0 END, 6) + 0.0 AS chi2_mcnemar
+    FROM cm
+    """
+
+
+@query("q_mcnemar_test", oracle=_mcnemar_oracle())
+def q_mcnemar_test(spark, sf_dir):
+    """McNemar's test comparing two langid thresholds (stopword rate
+    >= 0.05 vs the laxer >= 0.03) on the SAME documents: only the
+    discordant cells matter — b = strict right where lax wrong, c =
+    reverse — chi2 = (b-c)^2/(b+c). THE correct way to compare two
+    classifiers on one eval set (two independent accuracy readings
+    double-count the shared easy mass; q_agreement_metrics scores one
+    model, this arbitrates between two).
+
+    Exactness: four exact bigint cells; one guarded scalar division.
+    Scale: identical single-aggregate plan to q_eval_langid."""
+    from .operators.text import stopword_count, token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    rate = (stopword_count(F.col("text")).cast("double")
+            / token_count(F.col("text")))
+    t = (F.col("lang") == "en").cast("int")
+    scored = d.select(t.alias("t"),
+                      (rate >= 0.05).cast("int").alias("pa"),
+                      (rate >= 0.03).cast("int").alias("pb"))
+    agree_a = F.col("pa") == F.col("t")
+    agree_b = F.col("pb") == F.col("t")
+    cm = scored.agg(
+        F.sum(F.when(agree_a & ~agree_b, 1).otherwise(0)).cast("long")
+        .alias("b"),
+        F.sum(F.when(~agree_a & agree_b, 1).otherwise(0)).cast("long")
+        .alias("c"),
+        F.sum(F.when(agree_a & agree_b, 1).otherwise(0)).cast("long")
+        .alias("both_right"),
+        F.sum(F.when(~agree_a & ~agree_b, 1).otherwise(0)).cast("long")
+        .alias("both_wrong"))
+    chi2 = F.when(
+        F.col("b") + F.col("c") > 0,
+        ((F.col("b") - F.col("c")) * (F.col("b") - F.col("c")))
+        .cast("double") / (F.col("b") + F.col("c"))).otherwise(0.0)
+    return cm.select("b", "c", "both_right", "both_wrong",
+                     (F.round(chi2, 6) + 0.0).alias("chi2_mcnemar"))

@@ -1992,3 +1992,166 @@ def q_chisq_residuals(spark, sf_dir):
                     (F.round(adj, 4) + 0.0).alias("adj_residual"),
                     (F.round(v, 6) + 0.0).alias("cramers_v"))
             .orderBy("event_type", "dow"))
+
+
+# ---------------------------------------------------------------------------
+# q_effect_size — Cohen's d / Hedges' g standardized mean difference
+# ---------------------------------------------------------------------------
+
+_EFFECT_ORACLE = """
+WITH x AS (
+  SELECT event_type,
+         cast(cast(round(value, 3) * 1000 as decimal(7,0)) as bigint)
+           AS xi
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+g AS (
+  SELECT event_type,
+         cast(count(*) as bigint) AS n,
+         cast(sum(xi) as bigint) AS s1,
+         cast(sum(xi * xi) as bigint) AS s2
+  FROM x GROUP BY event_type
+),
+p AS (
+  SELECT max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+         max(CASE WHEN event_type = 'click' THEN s1 END) AS sa1,
+         max(CASE WHEN event_type = 'click' THEN s2 END) AS sa2,
+         max(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
+         max(CASE WHEN event_type = 'purchase' THEN s1 END) AS sb1,
+         max(CASE WHEN event_type = 'purchase' THEN s2 END) AS sb2
+  FROM g
+),
+c AS (
+  SELECT n1, n2,
+         cast(sa1 as double) / n1 - cast(sb1 as double) / n2 AS md,
+         sqrt(((cast(sa2 as double) - cast(sa1 as double) * sa1 / n1)
+               + (cast(sb2 as double) - cast(sb1 as double) * sb1 / n2))
+              / (n1 + n2 - 2)) AS sp
+  FROM p
+)
+SELECT n1, n2,
+       round(md / sp, 6) + 0.0 AS cohens_d,
+       round((md / sp)
+             * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6) + 0.0
+         AS hedges_g
+FROM c
+"""
+
+
+@query("q_effect_size", oracle=_EFFECT_ORACLE)
+def q_effect_size(spark, sf_dir):
+    """Standardized mean difference between click and purchase values:
+    Cohen's d over the pooled SD, plus Hedges' g (the small-sample
+    bias correction 1 - 3/(4N-9)) — the effect-size companion that
+    turns q_welch_ttest's 'is it significant' into 'does it matter'.
+    Scale-free, so the milli-unit keying cancels.
+
+    Exactness: the same five exact bigint sufficient statistics as
+    q_welch_ttest; pooled SD, d, and g are scalar double
+    combinations, rounded 6dp with the sign-of-zero guard.
+
+    Scale: one filtered map-side-combined groupBy, a 2-row pivot,
+    scalar math."""
+    e = load_table(spark, sf_dir, "events")
+    x = (e.filter(F.col("event_type").isin("click", "purchase"))
+         .select("event_type",
+                 (F.round("value", 3) * 1000).cast("decimal(7,0)")
+                 .cast("long").alias("xi")))
+    g = (x.groupBy("event_type")
+         .agg(F.count("*").cast("long").alias("n"),
+              F.sum("xi").cast("long").alias("s1"),
+              F.sum(F.col("xi") * F.col("xi")).cast("long").alias("s2")))
+    pick = lambda et, c: F.max(F.when(F.col("event_type") == et,  # noqa: E731
+                                      F.col(c)))
+    p = g.agg(pick("click", "n").alias("n1"),
+              pick("click", "s1").alias("sa1"),
+              pick("click", "s2").alias("sa2"),
+              pick("purchase", "n").alias("n2"),
+              pick("purchase", "s1").alias("sb1"),
+              pick("purchase", "s2").alias("sb2"))
+    md = (F.col("sa1").cast("double") / F.col("n1")
+          - F.col("sb1").cast("double") / F.col("n2"))
+    sp = F.sqrt(((F.col("sa2").cast("double")
+                  - F.col("sa1").cast("double") * F.col("sa1")
+                  / F.col("n1"))
+                 + (F.col("sb2").cast("double")
+                    - F.col("sb1").cast("double") * F.col("sb1")
+                    / F.col("n2")))
+                / (F.col("n1") + F.col("n2") - 2))
+    d_ = md / sp
+    corr = 1.0 - 3.0 / (4.0 * (F.col("n1") + F.col("n2")) - 9.0)
+    return p.select("n1", "n2",
+                    (F.round(d_, 6) + 0.0).alias("cohens_d"),
+                    (F.round(d_ * corr, 6) + 0.0).alias("hedges_g"))
+
+
+# ---------------------------------------------------------------------------
+# q_inequality_indices — Theil T, HHI, top-share concentration
+# ---------------------------------------------------------------------------
+
+_INEQ_ORACLE = """
+WITH per AS (
+  SELECT source, cast(count(*) as bigint) AS c
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT cast(sum(c) as bigint) AS n,
+         cast(count(*) as bigint) AS k,
+         cast(max(c) as bigint) AS cmax,
+         cast(sum(c * c) as bigint) AS c2
+  FROM per
+),
+terms AS (
+  SELECT cast(round(cast(per.c as double) / tot.n
+                    * ln(cast(per.c as double) * tot.k / tot.n), 9)
+              as decimal(30,12)) AS theil_t
+  FROM per CROSS JOIN tot
+)
+SELECT (SELECT k FROM tot) AS k,
+       round(cast(sum(theil_t) as double), 6) + 0.0 AS theil,
+       round((SELECT cast(c2 as double) / (cast(n as double) * n)
+              FROM tot), 6) + 0.0 AS hhi,
+       round((SELECT cast(cmax as double) / n FROM tot), 6) + 0.0
+         AS top_share
+FROM terms
+"""
+
+
+@query("q_inequality_indices", oracle=_INEQ_ORACLE)
+def q_inequality_indices(spark, sf_dir):
+    """Source-concentration indices over the corpus: Theil T entropy
+    index (0 = perfectly even, ln k = one source owns everything),
+    Herfindahl-Hirschman index (sum of squared shares), and the
+    single largest source share — the contributor-skew audit beside
+    q_gini_concentration (Lorenz form) that data-mix planning
+    (q_domain_mix / q_mixture_temperature) consumes.
+
+    Exactness: counts and the HHI numerator are exact bigints (HHI =
+    sum(c^2)/n^2 — one division); Theil's per-source c/N*ln(c*k/N)
+    terms are rounded 9dp and decimal-summed so the k-term reduction
+    is order-free.
+
+    Scale: one groupBy(source) to a |domains|-row relation; all
+    indices reduce that."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count("*").cast("long").alias("c"))
+    tot = per.agg(F.sum("c").cast("long").alias("n"),
+                  F.count("*").cast("long").alias("k"),
+                  F.max("c").cast("long").alias("cmax"),
+                  F.sum(F.col("c") * F.col("c")).cast("long").alias("c2"))
+    j = per.crossJoin(F.broadcast(tot))
+    theil_t = F.round(
+        F.col("c").cast("double") / F.col("n")
+        * F.log(F.col("c").cast("double") * F.col("k") / F.col("n")),
+        9).cast("decimal(30,12)")
+    terms = j.select("k", "n", "c2", "cmax", theil_t.alias("theil_t"))
+    return (terms.groupBy("k", "n", "c2", "cmax")
+            .agg(F.sum("theil_t").cast("decimal(30,12)").alias("tt"))
+            .select("k",
+                    (F.round(F.col("tt").cast("double"), 6) + 0.0)
+                    .alias("theil"),
+                    (F.round(F.col("c2").cast("double")
+                             / (F.col("n").cast("double") * F.col("n")),
+                             6) + 0.0).alias("hhi"),
+                    (F.round(F.col("cmax").cast("double") / F.col("n"),
+                             6) + 0.0).alias("top_share")))

@@ -937,3 +937,15 @@ def test_agreement_metrics_match_confusion(spark):
     assert abs(r["kappa"] - round(kappa, 6)) < 1e-9
     assert -1.0 <= r["kappa"] <= 1.0 and -1.0 <= r["mcc"] <= 1.0
     assert 0.0 <= r["balanced_acc"] <= 1.0
+
+
+def test_mcnemar_discordant_only(spark):
+    r = QUERIES["q_mcnemar_test"](spark, SF_SMOKE).collect()[0]
+    docs_n = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert (r["b"] + r["c"] + r["both_right"] + r["both_wrong"]
+            == docs_n)
+    # lax threshold predicts 'en' strictly more often: every strict
+    # 'en' is also lax 'en', so discordance is one-sided per truth
+    if r["b"] + r["c"] > 0:
+        exp = (r["b"] - r["c"]) ** 2 / (r["b"] + r["c"])
+        assert abs(r["chi2_mcnemar"] - round(exp, 6)) < 1e-9

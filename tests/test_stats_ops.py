@@ -603,3 +603,29 @@ def test_chisq_residuals_consistency(spark):
     # adjusted residuals: sum over a row of raw e-weighted residuals
     # is 0; sanity-check magnitudes instead (N(0,1)-ish)
     assert all(abs(r["adj_residual"]) < 50 for r in rows)
+
+
+def test_effect_size_matches_welch_inputs(spark):
+    from challenge8_movies_etl_spark.registry import QUERIES
+    by = _event_values_by_type(spark)
+    a, b = by["click"], by["purchase"]
+    n1, n2 = len(a), len(b)
+    md = sum(a) / n1 - sum(b) / n2
+    sp = math.sqrt(((sum(x * x for x in a) - sum(a) ** 2 / n1)
+                    + (sum(x * x for x in b) - sum(b) ** 2 / n2))
+                   / (n1 + n2 - 2))
+    d = md / sp
+    r = QUERIES["q_effect_size"](spark, SF_SMOKE).collect()[0]
+    assert (r["n1"], r["n2"]) == (n1, n2)
+    assert abs(r["cohens_d"] - round(d, 6)) < 1e-9
+    # Hedges' g shrinks d toward zero
+    assert abs(r["hedges_g"]) <= abs(r["cohens_d"]) + 1e-12
+
+
+def test_inequality_indices_bounds(spark):
+    from challenge8_movies_etl_spark.registry import QUERIES
+    r = QUERIES["q_inequality_indices"](spark, SF_SMOKE).collect()[0]
+    k = r["k"]
+    assert 0.0 <= r["theil"] <= math.log(k) + 1e-9
+    assert 1.0 / k - 1e-9 <= r["hhi"] <= 1.0
+    assert 1.0 / k - 1e-9 <= r["top_share"] <= 1.0
