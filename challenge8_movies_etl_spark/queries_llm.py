@@ -2494,3 +2494,68 @@ def q_bigram_entropy(spark, sf_dir):
                   + 0.0).alias("joint_entropy"))
             .select(F.col("n").alias("n_bigrams"), "cond_entropy",
                     "joint_entropy"))
+
+
+# ---------------------------------------------------------------------------
+# q_chao1_richness — unseen-vocabulary estimate
+# ---------------------------------------------------------------------------
+
+_CHAO1_ORACLE = """
+WITH freq AS (
+  SELECT token, cast(count(*) as bigint) AS f
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+),
+s AS (
+  SELECT cast(count(*) as bigint) AS d,
+         cast(count(*) FILTER (f = 1) as bigint) AS f1,
+         cast(count(*) FILTER (f = 2) as bigint) AS f2,
+         cast(sum(f) as bigint) AS n_tokens
+  FROM freq
+)
+SELECT d, f1, f2, n_tokens,
+       round(d + CASE WHEN f2 > 0
+                      THEN cast(f1 * f1 as double) / (2 * f2)
+                      ELSE cast(f1 * (f1 - 1) as double) / 2 END, 4)
+         + 0.0 AS chao1,
+       round(1.0 - cast(f1 as double) / n_tokens, 6) + 0.0
+         AS coverage_good_turing
+FROM s
+"""
+
+
+@query("q_chao1_richness", oracle=_CHAO1_ORACLE)
+def q_chao1_richness(spark, sf_dir):
+    """Chao1 species-richness estimate of the corpus vocabulary —
+    observed distinct tokens D plus the f1^2/(2 f2) correction from
+    singleton/doubleton counts (bias-corrected form when f2 = 0) —
+    with Good-Turing sample coverage (1 - f1/N). Answers 'how much
+    vocabulary has this crawl NOT seen yet', the saturation signal
+    that tells a collection pipeline whether more of the same source
+    still adds diversity (q_zipf_slope checks shape; this checks
+    completeness).
+
+    Exactness: D, f1, f2, N are exact bigints over the vocabulary
+    relation; both estimates are one guarded scalar division each.
+
+    Scale: the vocab groupBy is the only corpus-sized stage; the
+    frequency-of-frequencies reduce runs on the vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+            .groupBy("token").agg(F.count("*").cast("long").alias("f")))
+    s = freq.agg(
+        F.count("*").cast("long").alias("d"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("f") == 2, 1).otherwise(0)).cast("long")
+        .alias("f2"),
+        F.sum("f").cast("long").alias("n_tokens"))
+    corr = F.when(
+        F.col("f2") > 0,
+        (F.col("f1") * F.col("f1")).cast("double") / (2 * F.col("f2"))
+    ).otherwise((F.col("f1") * (F.col("f1") - 1)).cast("double") / 2)
+    return s.select(
+        "d", "f1", "f2", "n_tokens",
+        (F.round(F.col("d") + corr, 4) + 0.0).alias("chao1"),
+        (F.round(1.0 - F.col("f1").cast("double") / F.col("n_tokens"),
+                 6) + 0.0).alias("coverage_good_turing"))

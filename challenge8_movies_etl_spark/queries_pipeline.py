@@ -1256,3 +1256,76 @@ def q_mixture_temperature(spark, sf_dir):
     return (base.select("source", F.col("c").alias("src_cnt"), "w",
                         (F.col("b") + extra).alias("take"))
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# q_pps_systematic — probability-proportional-to-size systematic sample
+# ---------------------------------------------------------------------------
+
+_PPS_K = 20
+
+_PPS_ORACLE = f"""
+WITH sized AS (
+  SELECT c_custkey AS id,
+         cast(round(c_acctbal * 100) as bigint) + 100000 AS w
+  FROM customer
+),
+cum AS (
+  SELECT id, w,
+         sum(w) OVER (ORDER BY id) AS hi,
+         sum(w) OVER (ORDER BY id) - w AS lo,
+         sum(w) OVER () AS tot
+  FROM sized
+),
+picks AS (SELECT unnest(range(0, {_PPS_K})) AS j)
+SELECT picks.j,
+       cum.id, cum.w,
+       cast(cum.tot as bigint) AS total_w
+FROM cum JOIN picks
+  ON lo * 2 * {_PPS_K} <= (2 * picks.j + 1) * cum.tot
+ AND (2 * picks.j + 1) * cum.tot < hi * 2 * {_PPS_K}
+ORDER BY picks.j
+"""
+
+
+@query("q_pps_systematic", oracle=_PPS_ORACLE)
+def q_pps_systematic(spark, sf_dir):
+    """Systematic probability-proportional-to-size sampling (the
+    classic survey design): customers sized by account balance (cents,
+    floored at a positive base so zero-balance units keep nonzero
+    inclusion probability), k = 20 equally-spaced positions at
+    (2j+1)/(2k) of the total weight, each mapped to the unit whose
+    cumulative-weight interval contains it. One unit can win multiple
+    positions (that IS the PPS semantics for dominant units). The
+    deterministic mid-offset replaces the textbook random start, so
+    both engines pick identical units — the q_sample_stratified
+    derandomization philosophy applied to PPS.
+
+    Exactness: the interval test lo*2k <= (2j+1)*W < hi*2k is pure
+    bigint cross-multiplication — no division ever happens.
+
+    Scale: one cumulative window over the sized relation and a
+    broadcast k-row join. At 100 TB, bucket the cumsum per partition
+    and offset by partition prefix totals (two passes), the standard
+    distributed-cumsum device."""
+    c = load_table(spark, sf_dir, "customer")
+    sized = c.select(
+        F.col("c_custkey").alias("id"),
+        (F.round(F.col("c_acctbal") * 100).cast("long") + 100000)
+        .alias("w"))
+    wcum = W.orderBy("id").rangeBetween(W.unboundedPreceding,
+                                        W.currentRow)
+    cum = sized.select(
+        "id", "w",
+        F.sum("w").over(wcum).alias("hi"),
+        (F.sum("w").over(wcum) - F.col("w")).alias("lo"),
+        F.sum("w").over(W.partitionBy()).alias("tot"))
+    picks = c.sparkSession.range(0, _PPS_K).select(
+        F.col("id").cast("long").alias("j"))
+    pos = (2 * F.col("j") + 1) * F.col("tot")
+    return (cum.join(F.broadcast(picks),
+                     (F.col("lo") * 2 * _PPS_K <= pos)
+                     & (pos < F.col("hi") * 2 * _PPS_K))
+            .select("j", "id", "w", F.col("tot").cast("long")
+                    .alias("total_w"))
+            .orderBy("j"))

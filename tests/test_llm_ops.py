@@ -635,3 +635,22 @@ def test_bigram_entropy_matches_python_twin(spark):
     r = QUERIES["q_bigram_entropy"](spark, SF_SMOKE).collect()[0]
     assert r["n_bigrams"] == n
     assert abs(r["cond_entropy"] - round(cond, 6)) < 1e-6
+
+
+def test_chao1_matches_python_twin(spark):
+    from collections import Counter
+    from tests.conftest import SF_SMOKE
+    from challenge8_movies_etl_spark.registry import QUERIES
+    docs = (spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+            .select("text").collect())
+    cnt = Counter(t for r in docs for t in r.text.split(" "))
+    d = len(cnt)
+    f1 = sum(1 for c in cnt.values() if c == 1)
+    f2 = sum(1 for c in cnt.values() if c == 2)
+    n = sum(cnt.values())
+    chao1 = d + (f1 * f1 / (2 * f2) if f2 else f1 * (f1 - 1) / 2)
+    r = QUERIES["q_chao1_richness"](spark, SF_SMOKE).collect()[0]
+    assert (r["d"], r["f1"], r["f2"], r["n_tokens"]) == (d, f1, f2, n)
+    assert abs(r["chao1"] - round(chao1, 4)) < 1e-9
+    assert r["chao1"] >= d  # estimator never shrinks observed richness
+    assert 0.0 <= r["coverage_good_turing"] <= 1.0

@@ -296,3 +296,21 @@ def test_mixture_temperature_apportionment_exact(spark):
     if smallest["src_cnt"] != largest["src_cnt"]:
         assert smallest["w"] > smallest["src_cnt"] / total - 1e-12
         assert largest["w"] < largest["src_cnt"] / total + 1e-12
+
+
+def test_pps_systematic_properties(spark):
+    from challenge8_movies_etl_spark.registry import QUERIES
+    rows = QUERIES["q_pps_systematic"](spark, SF_SMOKE).collect()
+    assert len(rows) == 20  # every position maps to exactly one unit
+    assert [r["j"] for r in rows] == list(range(20))
+    # inclusion tracks size: a unit heavier than W/k MUST be selected
+    tot = rows[0]["total_w"]
+    picked = {r["id"] for r in rows}
+    sized = {r.id: r.w for r in
+             (spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+              .selectExpr("c_custkey AS id",
+                          "cast(round(c_acctbal * 100) as long)"
+                          " + 100000 AS w").collect())}
+    for uid, w in sized.items():
+        if w * 20 > tot:
+            assert uid in picked
