@@ -1440,3 +1440,65 @@ def q_cuped(spark, sf_dir):
                  var_of("y", "var_y"),
                  var_of("y_adj", "var_y_adj"))
             .orderBy("variant"))
+
+
+# ---------------------------------------------------------------------------
+# q_capture_recapture — Lincoln-Petersen population estimate
+# ---------------------------------------------------------------------------
+
+_CAPTURE_ORACLE = """
+WITH presence AS (
+  SELECT user_id,
+         max(CASE WHEN cast(ts as date) < DATE '2024-01-15'
+             THEN 1 ELSE 0 END) AS w1,
+         max(CASE WHEN cast(ts as date) >= DATE '2024-01-15'
+             THEN 1 ELSE 0 END) AS w2
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT cast(sum(w1) as bigint) AS n1,
+         cast(sum(w2) as bigint) AS n2,
+         cast(sum(w1 * w2) as bigint) AS m,
+         cast(count(*) as bigint) AS observed
+  FROM presence
+)
+SELECT n1, n2, m, observed,
+       round((cast(n1 + 1 as double) * (n2 + 1)) / (m + 1) - 1, 2)
+         + 0.0 AS chapman_estimate
+FROM s
+"""
+
+
+@query("q_capture_recapture", oracle=_CAPTURE_ORACLE)
+def q_capture_recapture(spark, sf_dir):
+    """Capture-recapture (Chapman's bias-corrected Lincoln-Petersen)
+    estimate of the TOTAL user population from two observation
+    windows (first vs second half of the month): N-hat =
+    (n1+1)(n2+1)/(m+1) - 1, where m users appear in both. The
+    coverage-estimation trick ecology gave analytics — how many users
+    (or crawlable documents: run it on two crawl snapshots) exist that
+    NEITHER window saw; q_chao1_richness answers the same question
+    for vocabulary from one sample's frequency profile.
+
+    Exactness: all four counts are exact bigints from one per-user
+    collapse; Chapman is one scalar division rounded 2dp.
+
+    Scale: one map-side-combined groupBy(user_id), one 4-sum
+    reduce."""
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("date")
+    presence = (e.groupBy("user_id")
+                .agg(F.max(F.when(F.col("ts").cast("date") < cutoff, 1)
+                           .otherwise(0)).alias("w1"),
+                     F.max(F.when(F.col("ts").cast("date") >= cutoff, 1)
+                           .otherwise(0)).alias("w2")))
+    s = presence.agg(
+        F.sum("w1").cast("long").alias("n1"),
+        F.sum("w2").cast("long").alias("n2"),
+        F.sum(F.col("w1") * F.col("w2")).cast("long").alias("m"),
+        F.count("*").cast("long").alias("observed"))
+    chapman = ((F.col("n1") + 1).cast("double") * (F.col("n2") + 1)
+               / (F.col("m") + 1) - 1)
+    return s.select("n1", "n2", "m", "observed",
+                    (F.round(chapman, 2) + 0.0)
+                    .alias("chapman_estimate"))

@@ -2141,3 +2141,144 @@ def q_cusum(spark, sf_dir):
                        F.col("s_minus").cast("long").alias("s_minus"),
                        alarm.alias("alarm"))
             .orderBy("event_type", "day"))
+
+
+# ---------------------------------------------------------------------------
+# q_runs_test — Wald-Wolfowitz runs test on daily up/down moves
+# ---------------------------------------------------------------------------
+
+_RUNS_ORACLE = """
+WITH daily AS (
+  SELECT cast(ts as date) AS d, cast(count(*) as bigint) AS x
+  FROM events GROUP BY 1
+),
+moves AS (
+  SELECT d, x - lag(x) OVER (ORDER BY d) AS dx
+  FROM daily
+),
+signs AS (
+  SELECT d, CASE WHEN dx > 0 THEN 1 ELSE 0 END AS s
+  FROM moves WHERE dx IS NOT NULL AND dx <> 0
+),
+runs AS (
+  SELECT s, CASE WHEN lag(s) OVER (ORDER BY d) IS NULL
+                   OR lag(s) OVER (ORDER BY d) <> s
+            THEN 1 ELSE 0 END AS new_run
+  FROM signs
+),
+agg AS (
+  SELECT cast(sum(new_run) as bigint) AS r,
+         cast(sum(s) as bigint) AS n1,
+         cast(count(*) - sum(s) as bigint) AS n2
+  FROM runs
+)
+SELECT r, n1, n2,
+       round((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+             / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                    / ((cast(n1 + n2 as double)) * (n1 + n2)
+                       * (n1 + n2 - 1))), 4) + 0.0 AS z_score
+FROM agg
+"""
+
+
+@query("q_runs_test", oracle=_RUNS_ORACLE)
+def q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test on the signs of day-over-day total
+    event count changes (zero moves dropped): too FEW runs = trending
+    / sticky regime, too MANY = oscillation — the randomness screen
+    that complements q_acf (linear memory) and q_mann_kendall
+    (monotone trend) with a distribution-free readout.
+
+    Exactness: run count and sign totals are exact integers from one
+    lag + one change-flag window; the normal approximation z is one
+    scalar double expression, rounded 4dp, sign-of-zero guarded.
+
+    Scale: calendar-bounded series relation; the fact scan rollup is
+    the only corpus-sized stage."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("ts").cast("date").alias("d"))
+             .agg(F.count("*").cast("long").alias("x")))
+    moves = daily.select(
+        "d", (F.col("x") - F.lag("x").over(W.orderBy("d"))).alias("dx"))
+    signs = (moves.filter(F.col("dx").isNotNull() & (F.col("dx") != 0))
+             .select("d", F.when(F.col("dx") > 0, 1).otherwise(0)
+                     .alias("s")))
+    prev = F.lag("s").over(W.orderBy("d"))
+    runs = signs.select(
+        "s", F.when(prev.isNull() | (prev != F.col("s")), 1)
+        .otherwise(0).alias("new_run"))
+    agg = runs.agg(F.sum("new_run").cast("long").alias("r"),
+                   F.sum("s").cast("long").alias("n1"),
+                   (F.count("*") - F.sum("s")).cast("long").alias("n2"))
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    n = n1 + n2
+    mu = 2.0 * n1 * n2 / n + 1
+    sig = F.sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                 / (n.cast("double") * n * (n - 1)))
+    return agg.select("r", "n1", "n2",
+                      (F.round((r - mu) / sig, 4) + 0.0)
+                      .alias("z_score"))
+
+
+# ---------------------------------------------------------------------------
+# q_poisson_dispersion — overdispersion index of daily counts
+# ---------------------------------------------------------------------------
+
+_DISPERSION_ORACLE = """
+WITH daily AS (
+  SELECT event_type, cast(ts as date) AS d,
+         cast(count(*) as bigint) AS x
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type,
+         cast(count(*) as bigint) AS n,
+         cast(sum(x) as bigint) AS s1,
+         cast(sum(x * x) as bigint) AS s2
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n,
+       round(cast(s1 as double) / n, 4) + 0.0 AS mean_daily,
+       round((cast(s2 as double) - cast(s1 as double) * s1 / n)
+             / (n - 1) / (cast(s1 as double) / n), 6) + 0.0
+         AS dispersion,
+       round(cast(n * s2 - s1 * s1 as double) / s1, 4) + 0.0
+         AS chi2_poisson
+FROM s ORDER BY event_type
+"""
+
+
+@query("q_poisson_dispersion", oracle=_DISPERSION_ORACLE)
+def q_poisson_dispersion(spark, sf_dir):
+    """Poisson overdispersion screen per event type: the variance/mean
+    ratio of daily counts (1 under a pure Poisson arrival process;
+    >> 1 = bursty/clumped traffic, << 1 = rate-limited) plus the
+    dispersion chi2 = sum((x-mean)^2)/mean = (n*s2 - s1^2)/s1 — the
+    arrival-model check that decides whether q_anomaly_zscore's
+    Gaussian thresholds or a negative-binomial model fit the feed
+    (q_burst_detect finds the bursts; this says whether bursts are
+    even anomalous).
+
+    Exactness: chi2's numerator n*s2 - s1^2 is an exact bigint; the
+    ratio and dispersion are scalar doubles of exact integers.
+
+    Scale: one daily rollup, one per-type reduce."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.count("*").cast("long").alias("x")))
+    s = (daily.groupBy("event_type")
+         .agg(F.count("*").cast("long").alias("n"),
+              F.sum("x").cast("long").alias("s1"),
+              F.sum(F.col("x") * F.col("x")).cast("long").alias("s2")))
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    var = ((F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1") / nd)
+           / (F.col("n") - 1))
+    chi2 = (F.col("n") * F.col("s2")
+            - F.col("s1") * F.col("s1")).cast("double") / F.col("s1")
+    return (s.select("event_type", "n",
+                     (F.round(mean, 4) + 0.0).alias("mean_daily"),
+                     (F.round(var / mean, 6) + 0.0).alias("dispersion"),
+                     (F.round(chi2, 4) + 0.0).alias("chi2_poisson"))
+            .orderBy("event_type"))

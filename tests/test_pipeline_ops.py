@@ -314,3 +314,13 @@ def test_pps_systematic_properties(spark):
     for uid, w in sized.items():
         if w * 20 > tot:
             assert uid in picked
+
+
+def test_capture_recapture_bounds(spark):
+    from challenge8_movies_etl_spark.registry import QUERIES
+    r = QUERIES["q_capture_recapture"](spark, SF_SMOKE).collect()[0]
+    # observed = union of the two windows (every user hits >= 1)
+    assert max(r["n1"], r["n2"]) <= r["observed"] <= r["n1"] + r["n2"]
+    assert r["m"] <= min(r["n1"], r["n2"])
+    # Chapman estimate is at least the larger single-window count
+    assert r["chapman_estimate"] >= max(r["n1"], r["n2"]) - 1

@@ -6,6 +6,8 @@ non-negativity)."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -724,3 +726,35 @@ def test_ljung_box_from_acf(spark):
         # precision, so agreement is to the propagated tolerance
         assert abs(r["q_stat"] - q) < n * (n + 2) * 3 * 1e-5
         assert r["q_stat"] >= 0
+
+
+def test_runs_test_matches_python_twin(spark):
+    from collections import defaultdict
+    from challenge8_movies_etl_spark.registry import QUERIES
+    rows = (spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+            .selectExpr("cast(ts as date) AS d").collect())
+    daily = defaultdict(int)
+    for r in rows:
+        daily[str(r.d)] += 1
+    xs = [daily[d] for d in sorted(daily)]
+    signs = [1 if b > a else 0 for a, b in zip(xs, xs[1:]) if b != a]
+    runs = sum(1 for i, s in enumerate(signs)
+               if i == 0 or signs[i - 1] != s)
+    n1 = sum(signs)
+    n2 = len(signs) - n1
+    r = QUERIES["q_runs_test"](spark, SF_SMOKE).collect()[0]
+    assert (r["r"], r["n1"], r["n2"]) == (runs, n1, n2)
+    n = n1 + n2
+    mu = 2 * n1 * n2 / n + 1
+    sig = math.sqrt(2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1)))
+    assert abs(r["z_score"] - round((runs - mu) / sig, 4)) < 1e-9
+
+
+def test_poisson_dispersion_identities(spark):
+    from challenge8_movies_etl_spark.registry import QUERIES
+    for r in QUERIES["q_poisson_dispersion"](spark, SF_SMOKE).collect():
+        assert r["mean_daily"] > 0
+        assert r["dispersion"] > 0
+        # chi2 = (n-1) * dispersion (same numerator, def. of each)
+        assert abs(r["chi2_poisson"]
+                   - (r["n"] - 1) * r["dispersion"]) < 0.05
