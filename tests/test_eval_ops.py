@@ -949,3 +949,48 @@ def test_mcnemar_discordant_only(spark):
     if r["b"] + r["c"] > 0:
         exp = (r["b"] - r["c"]) ** 2 / (r["b"] + r["c"])
         assert abs(r["chi2_mcnemar"] - round(exp, 6)) < 1e-9
+
+
+def test_embed_drift_matches_numpy_twin(spark):
+    import numpy as np
+    rows = (spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+            .select("vec_id", "embedding").collect())
+    a = np.array([r.embedding for r in rows if r.vec_id % 2 == 0],
+                 dtype=np.float64)
+    b = np.array([r.embedding for r in rows if r.vec_id % 2 == 1],
+                 dtype=np.float64)
+    sa, sb = a.sum(axis=0), b.sum(axis=0)
+    cos = float(sa @ sb / np.sqrt((sa @ sa) * (sb @ sb)))
+    l2 = float(np.sqrt(((a.mean(axis=0) - b.mean(axis=0)) ** 2).sum()))
+    r = QUERIES["q_embed_drift"](spark, SF_SMOKE).collect()[0]
+    assert (r["n_even"], r["n_odd"]) == (len(a), len(b))
+    # engine uses decimal-exact sums + per-dim rounding; numpy is the
+    # independent recompute, agreement to the rounding tolerance
+    assert abs(r["centroid_cos"] - cos) < 1e-4
+    assert abs(r["centroid_l2"] - l2) < 1e-4
+
+
+def test_query_likelihood_matches_python_twin(spark):
+    import math
+    docs = (spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+            .select("doc_id", "text").collect())
+    toks = {r.doc_id: r.text.split(" ") for r in docs}
+    coll_len = sum(len(t) for t in toks.values())
+    cf = {q: sum(t.count(q) for t in toks.values())
+          for q in ("fast", "slow")}
+    mu = 2000.0
+    scored = []
+    for doc_id, t in toks.items():
+        tfs = {q: t.count(q) for q in ("fast", "slow")}
+        if sum(tfs.values()) == 0:
+            continue
+        s = sum(math.log((tfs[q] + mu * (cf[q] / coll_len))
+                         / (len(t) + mu)) for q in ("fast", "slow"))
+        scored.append((round(round(s, 4) + 0.0, 4), doc_id))
+    scored.sort(key=lambda kv: (-kv[0], kv[1]))
+    expect = scored[:20]
+    got = [(r["ql_score"], r["doc_id"]) for r in
+           QUERIES["q_query_likelihood"](spark, SF_SMOKE).collect()]
+    assert [d for _, d in got] == [d for _, d in expect]
+    for (gs, _), (es, _) in zip(got, expect):
+        assert abs(gs - es) < 1e-9

@@ -507,3 +507,28 @@ def test_modularity_bounds_and_nontrivial(spark):
     assert r["m"] > 0
     assert 1 <= r["n_communities"] <= 25  # TPC-H nations
     assert -0.5 - 1e-9 <= r["q_modularity"] <= 1.0
+
+
+def test_modularity_matches_python_twin(spark):
+    from challenge8_movies_etl_spark.registry import QUERIES
+    edges = _topk_backbone_edges(spark)
+    nation = {r.s_suppkey: r.s_nationkey for r in
+              spark.read.parquet(f"{SF_SMOKE}/supplier.parquet")
+              .select("s_suppkey", "s_nationkey").collect()}
+    m = len(edges)
+    deg = {}
+    e_in = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+        if nation[u] == nation[v]:
+            e_in[nation[u]] = e_in.get(nation[u], 0) + 1
+    d_c = {}
+    for node, d in deg.items():
+        d_c[nation[node]] = d_c.get(nation[node], 0) + d
+    num = sum(4 * m * e_in.get(c, 0) - dc * dc for c, dc in d_c.items())
+    q = num / (4.0 * m * m)
+    r = QUERIES["q_graph_modularity"](spark, SF_SMOKE).collect()[0]
+    assert r["m"] == m
+    assert r["n_communities"] == len(d_c)
+    assert abs(r["q_modularity"] - (round(q, 6) + 0.0)) < 1e-9
