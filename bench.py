@@ -187,6 +187,9 @@ def main() -> None:
     stats = {q: [round(min(t), 3), round(median(t), 3)]
              for q, t in samples.items()}
     total = round(sum(timings[q] for q in HEADLINE), 3)
+    calib1 = min(c1, c1_end)
+    calibs = min(cs, cs_end)
+    # Line 1: the FULL payload (repo artifacts + gates.py read this).
     print(json.dumps({
         "metric": "headline_total_best_of_3",
         "value": total,
@@ -194,10 +197,31 @@ def main() -> None:
         "queries": timings,
         "queries_best_median": stats,
         "sf": sf,
-        "calib_1core_sec": min(c1, c1_end),
-        "calib_spark_sec": min(cs, cs_end),
+        "calib_1core_sec": calib1,
+        "calib_spark_sec": calibs,
         "calib_note": "see BASELINE.md 'Calibration' — normalize vs recorded values on host drift",
     }))
+    # Line 2 (LAST, compact): the driver's tail capture keeps only the
+    # final ~2000 chars of stdout, so the full line above got truncated
+    # to "parsed": null in BENCH_r05.json once the registry outgrew it.
+    # This second line repeats the load-bearing fields — headline total,
+    # the explicitly-gated BASELINE.md rows, calibration — and is kept
+    # small enough (<~1.5 kB) to always survive the tail capture intact.
+    gate_rows = HEADLINE + ["q_graph_pagerank", "q_dedup_containment",
+                            "q_multimodal_decode", "q_mmr_rerank"]
+    print(json.dumps({
+        "metric": "headline_total_best_of_3",
+        "value": total,
+        "unit": "sec",
+        "queries": {q: timings[q] for q in gate_rows if q in timings},
+        "queries_best_median": {q: stats[q] for q in gate_rows
+                                if q in stats},
+        "sf": sf,
+        "calib_1core_sec": calib1,
+        "calib_spark_sec": calibs,
+        "compact": True,
+        "n_benched": len(timings),
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

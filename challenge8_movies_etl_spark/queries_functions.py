@@ -325,7 +325,8 @@ def q_datetime_funcs(spark, sf_dir):
     "q_array_hof",
     oracle="""
     SELECT doc_id,
-           list_transform(string_split(text, ' '), t -> length(t))
+           array_to_string(
+             list_transform(string_split(text, ' '), t -> length(t)), ',')
              AS token_lens,
            len(list_filter(string_split(text, ' '),
                            t -> length(t) >= 5)) AS n_long,
@@ -340,12 +341,20 @@ def q_array_hof(spark, sf_dir):
     """Higher-order array functions — transform / filter / aggregate
     lambdas (the engine's array-processing surface; these stay inside
     codegen as Catalyst lambda expressions, never Python). Oracle:
-    DuckDB's list_transform / list_filter / list_reduce twins."""
+    DuckDB's list_transform / list_filter / list_reduce twins.
+
+    Output contract: every registry query must emit scalar-only
+    columns (the driver's pandas canonicalizer cannot hash list
+    cells — r5 driver err "unhashable type: 'list'"), so the
+    transform() result is serialized via concat_ws(',') on both
+    engines. The HOF itself still runs as a Catalyst lambda."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     return d.select(
         "doc_id",
-        F.transform(toks, lambda t: F.length(t)).alias("token_lens"),
+        F.concat_ws(
+            ",", F.transform(toks, lambda t: F.length(t).cast("string"))
+        ).alias("token_lens"),
         F.size(F.filter(toks, lambda t: F.length(t) >= 5)).alias("n_long"),
         F.aggregate(toks, F.lit(0),
                     lambda acc, t: acc + F.length(t)).alias("total_chars"),

@@ -21,6 +21,16 @@ def test_query_runs_at_smoke_sf(spark, qid):
     n = df.count()
     assert n >= 0
     assert len(df.columns) == len(set(df.columns)), "duplicate column names"
+    # Driver contract: output columns must be scalar. The driver's
+    # pandas canonicalizer hashes cells via factorize, which raises
+    # "unhashable type: 'list'" on array/map/struct cells
+    # (q_array_hof, driver r5 err). Serialize containers with
+    # concat_ws / to_json before returning.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+    for f in df.schema.fields:
+        assert not isinstance(f.dataType, (ArrayType, MapType, StructType)), (
+            f"{qid}.{f.name} is non-scalar ({f.dataType.simpleString()}); "
+            "the driver harness cannot hash container cells")
 
 
 def test_every_query_has_oracle_or_is_documented():

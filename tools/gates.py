@@ -85,8 +85,46 @@ def main() -> int:
     path = Path(sys.argv[1] if len(sys.argv) > 1 else "BENCH_r04.json")
     use_best = "--strict-best" in sys.argv
     b = json.loads(path.read_text())
-    # Driver BENCH_r{N}.json wraps the bench stdout under "parsed".
-    b = b.get("parsed", b)
+    # Driver BENCH_r{N}.json wraps the bench stdout under "parsed" —
+    # which is sometimes literally null (r5: the single JSON line
+    # outgrew the driver's 2000-char tail capture), so `or b`, then
+    # fall back to recovering the last complete JSON line from the
+    # captured tail (bench.py prints a compact summary line LAST for
+    # exactly this reason).
+    b = b.get("parsed") or b
+    if "queries" not in b and "tail" in b:
+        recovered = None
+        for line in str(b["tail"]).splitlines():
+            line = line.strip()
+            if line.startswith("{") and line.endswith("}"):
+                try:
+                    cand = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if "queries" in cand:
+                    recovered = cand
+        if recovered is None:
+            # Last resort: the tail truncated the line START (r5). The
+            # queries_best_median map and calib fields sit at the END
+            # of the payload, so they usually survive — regex them out.
+            import re
+            tail = str(b["tail"])
+            m = re.search(r'"queries_best_median":\s*(\{.*?\})\s*,\s*"sf"',
+                          tail, re.DOTALL)
+            c = re.search(r'"calib_spark_sec":\s*([0-9.]+)', tail)
+            if m:
+                try:
+                    recovered = {"queries_best_median": json.loads(m.group(1))}
+                    if c:
+                        recovered["calib_spark_sec"] = float(c.group(1))
+                except json.JSONDecodeError:
+                    recovered = None
+        if recovered is None:
+            print(f"ERROR: {path} has no parsed payload and no "
+                  "recoverable JSON line in its tail")
+            return 2
+        print(f"(recovered compact payload from {path} tail)")
+        b = recovered
     k = max(1.0, b.get("calib_spark_sec", CALIB_REF) / CALIB_REF)
     stats = b.get("queries_best_median") or {
         q: [v, v] for q, v in b["queries"].items()}
