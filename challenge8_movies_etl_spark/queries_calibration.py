@@ -174,12 +174,15 @@ def q_conformal_threshold(spark, sf_dir):
             .orderBy("event_type"))
 
 
-def pav_fit(xs, y_sums, ns):
-    """Pool-adjacent-violators on pre-aggregated (x, sum(y), n) rows
-    (xs strictly increasing). Returns the isotonic fitted rate for each
-    x. Pure python so the Spark UDF and the tests share one twin."""
-    # stack of blocks [sum, n]; merge while the left neighbor's mean
-    # exceeds the new block's mean
+def pav_blocks(y_sums, ns):
+    """Pool-adjacent-violators block structure on pre-aggregated
+    (sum(y), n) rows in x order. Returns (blocks, sizes): blocks is a
+    list of [sum, n] pooled pairs (exact when inputs are ints ≤ 2^53),
+    sizes the number of input rows pooled into each block. Merging is
+    STRICT (left mean > right mean), so adjacent equal-mean blocks stay
+    separate — which makes the first block exactly the shortest argmin
+    prefix and the last block the shortest argmax suffix (the
+    SQL-expressible identities q_isotonic_check pins)."""
     blocks: list[list[float]] = []
     sizes: list[int] = []
     for s, n in zip(y_sums, ns):
@@ -192,6 +195,14 @@ def pav_fit(xs, y_sums, ns):
             blocks[-1][0] += s2
             blocks[-1][1] += n2
             sizes[-1] += k2
+    return blocks, sizes
+
+
+def pav_fit(xs, y_sums, ns):
+    """Pool-adjacent-violators on pre-aggregated (x, sum(y), n) rows
+    (xs strictly increasing). Returns the isotonic fitted rate for each
+    x. Pure python so the Spark UDF and the tests share one twin."""
+    blocks, sizes = pav_blocks(y_sums, ns)
     out: list[float] = []
     for (s, n), k in zip(blocks, sizes):
         out.extend([s / n] * k)
@@ -243,6 +254,111 @@ def q_isotonic_pav(spark, sf_dir):
                                 "n bigint, raw_rate double, "
                                 "iso_rate double")
             .orderBy("event_type", "bucket"))
+
+
+_ISO_CHECK_ORACLE = """
+WITH prof AS (
+  SELECT event_type,
+         (event_id % 1000) // 100 AS bucket,
+         cast(sum(CASE WHEN (event_id * 7919) % 1000 < event_id % 1000
+                       THEN 1 ELSE 0 END) as bigint) AS y_sum,
+         cast(count(*) as bigint) AS n
+  FROM events GROUP BY 1, 2
+),
+pre AS (
+  SELECT event_type,
+         sum(y_sum) OVER w AS cy, sum(n) OVER w AS cn
+  FROM prof WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+),
+suf AS (
+  SELECT event_type,
+         sum(y_sum) OVER w AS sy, sum(n) OVER w AS sn
+  FROM prof WINDOW w AS (PARTITION BY event_type ORDER BY bucket DESC)
+),
+firsts AS (
+  SELECT event_type, cast(cy as bigint) AS iso_first_num,
+         cast(cn as bigint) AS iso_first_den
+  FROM pre
+  QUALIFY row_number() OVER (PARTITION BY event_type
+            ORDER BY cast(cy as double) / cn ASC, cn ASC) = 1
+),
+lasts AS (
+  SELECT event_type, cast(sy as bigint) AS iso_last_num,
+         cast(sn as bigint) AS iso_last_den
+  FROM suf
+  QUALIFY row_number() OVER (PARTITION BY event_type
+            ORDER BY cast(sy as double) / sn DESC, sn ASC) = 1
+),
+stats AS (
+  SELECT event_type, cast(count(*) as bigint) AS n_buckets,
+         cast(sum(n) as bigint) AS n_total,
+         cast(sum(y_sum) as bigint) AS y_total,
+         cast(sum((bucket + 1) * (y_sum * 1000003 + n)) as bigint)
+           AS profile_checksum
+  FROM prof GROUP BY 1
+)
+SELECT stats.*, iso_first_num, iso_first_den, iso_last_num, iso_last_den
+FROM stats
+JOIN firsts USING (event_type)
+JOIN lasts USING (event_type)
+"""
+
+
+@query("q_isotonic_check", oracle=_ISO_CHECK_ORACLE)
+def q_isotonic_check(spark, sf_dir):
+    """Hash-checked companion of q_isotonic_pav (the q_embed_pca_check
+    pattern, VERDICT r5 item 4): PAV's pooling loop is not
+    SQL-expressible, but its BOUNDARY blocks are — with strict merging
+    the first PAV block is exactly the shortest prefix minimizing the
+    prefix mean, and the last block the shortest suffix maximizing the
+    suffix mean (every proper prefix of a pooled block has mean ≥ the
+    block mean, so ties resolve to the shorter span on both engines).
+    Emitting those blocks as exact (numerator, denominator) bigint
+    pairs — no float rounding anywhere — lets DuckDB recompute them
+    with window cumsums while Spark reads them off the ACTUAL python
+    PAV block structure, converting the PAV surface from rows-only to
+    hash-checked. A pooled-profile checksum additionally pins the
+    (event_type, bucket, y_sum, n) input that feeds PAV.
+
+    Scale: identical to q_isotonic_pav — the grouped-UDF input is the
+    pre-aggregated profile (groups × ≤10 buckets), never corpus rows."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    num = F.col("event_id") % 1000
+    prof = (e.select("event_type",
+                     (num / F.lit(100)).cast("bigint").alias("bucket"),
+                     F.when((F.col("event_id") * 7919) % 1000 < num, 1)
+                      .otherwise(0).alias("label"))
+            .groupBy("event_type", "bucket")
+            .agg(F.sum("label").cast("long").alias("y_sum"),
+                 F.count("*").cast("long").alias("n")))
+
+    def boundary(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket").reset_index(drop=True)
+        blocks, _ = pav_blocks(pdf["y_sum"].tolist(), pdf["n"].tolist())
+        return pd.DataFrame({
+            "event_type": [pdf["event_type"].iloc[0]],
+            "iso_first_num": [int(round(blocks[0][0]))],
+            "iso_first_den": [int(blocks[0][1])],
+            "iso_last_num": [int(round(blocks[-1][0]))],
+            "iso_last_den": [int(blocks[-1][1])],
+        })
+
+    fl = (prof.groupBy("event_type")
+          .applyInPandas(boundary,
+                         "event_type string, iso_first_num bigint, "
+                         "iso_first_den bigint, iso_last_num bigint, "
+                         "iso_last_den bigint"))
+    stats = (prof.groupBy("event_type")
+             .agg(F.count("*").cast("long").alias("n_buckets"),
+                  F.sum("n").cast("long").alias("n_total"),
+                  F.sum("y_sum").cast("long").alias("y_total"),
+                  F.sum((F.col("bucket") + 1)
+                        * (F.col("y_sum") * F.lit(1000003) + F.col("n")))
+                  .cast("long").alias("profile_checksum")))
+    return (stats.join(F.broadcast(fl), "event_type")
+            .orderBy("event_type"))
 
 
 # ---------------------------------------------------------------------------

@@ -1297,10 +1297,17 @@ def q_fdr_bh(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _FRIEDMAN_ORACLE = """
-WITH daily AS (
+WITH daily0 AS (
   SELECT cast(ts as date) AS d, event_type,
          cast(count(*) as bigint) AS c
   FROM events GROUP BY 1, 2
+),
+complete AS (
+  SELECT d FROM daily0 GROUP BY d
+  HAVING count(*) = (SELECT count(DISTINCT event_type) FROM daily0)
+),
+daily AS (
+  SELECT daily0.* FROM daily0 JOIN complete USING (d)
 ),
 rk AS (
   SELECT d, event_type,
@@ -1350,11 +1357,23 @@ def q_friedman(spark, sf_dir):
     between numerator and denominator, so ONE double division rounded
     6dp is the only float op.
 
+    Balanced-panel guard (ADVICE r5): the statistic's n-cancellation
+    assumes every block contains every treatment, so blocks (days)
+    missing any event type are dropped — the standard complete-blocks
+    restriction. The fixture is balanced, so this is a no-op there,
+    but an unbalanced panel now yields the correct statistic over the
+    complete blocks instead of a silently wrong one.
+
     Scale: the rank window partitions by day over the calendar-bounded
     daily relation; two tiny reduces follow."""
     e = load_table(spark, sf_dir, "events")
-    daily = (e.groupBy(F.col("ts").cast("date").alias("d"), "event_type")
-             .agg(F.count("*").cast("long").alias("c")))
+    daily0 = (e.groupBy(F.col("ts").cast("date").alias("d"), "event_type")
+              .agg(F.count("*").cast("long").alias("c")))
+    ktot = daily0.agg(F.countDistinct("event_type").alias("kt"))
+    complete = (daily0.groupBy("d").agg(F.count("*").alias("kb"))
+                .crossJoin(F.broadcast(ktot))
+                .filter(F.col("kb") == F.col("kt")).select("d"))
+    daily = daily0.join(F.broadcast(complete), "d")
     r2 = (2 * F.rank().over(W.partitionBy("d").orderBy("c"))
           + F.count("*").over(W.partitionBy("d", "c")).cast("long") - 1)
     rk = daily.select("d", "event_type", r2.alias("r2"))
@@ -1573,7 +1592,7 @@ c AS (
   FROM p
 )
 SELECT n1, n2,
-       round(md / sqrt(va + vb) / 1000, 4) + 0.0 AS t_stat,
+       round(md / sqrt(va + vb), 4) + 0.0 AS t_stat,
        round((va + vb) * (va + vb)
              / (va * va / (n1 - 1) + vb * vb / (n2 - 1)), 2) + 0.0
          AS df_welch
@@ -1587,9 +1606,11 @@ def q_welch_ttest(spark, sf_dir):
     values, with the Welch-Satterthwaite effective degrees of freedom
     — the parametric rung the inference ladder was missing between
     q_mannwhitney_u (rank) and q_anova_oneway (k-sample, pooled
-    variance). t is reported in original units (the /1000 undoes the
-    milli-unit keying — note t is actually scale-free, but dividing
-    the mean difference keeps the intermediate readable).
+    variance). The t statistic is dimensionless: the milli-unit keying
+    scales the mean difference and the standard error identically, so
+    no unit correction is applied (a /1000 here — ADVICE r5 — would
+    report t a thousandfold too small against t-distribution critical
+    values).
 
     Exactness: five exact bigint sufficient statistics; mean
     difference, both standard errors, t, and df are scalar double
@@ -1624,7 +1645,7 @@ def q_welch_ttest(spark, sf_dir):
           / (F.col("n2") - 1)) / F.col("n2")
     return p.select(
         "n1", "n2",
-        (F.round(md / F.sqrt(va + vb) / 1000, 4) + 0.0).alias("t_stat"),
+        (F.round(md / F.sqrt(va + vb), 4) + 0.0).alias("t_stat"),
         (F.round((va + vb) * (va + vb)
                  / (va * va / (F.col("n1") - 1)
                     + vb * vb / (F.col("n2") - 1)), 2) + 0.0)
@@ -1731,10 +1752,17 @@ def q_xi_correlation(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _CRONBACH_ORACLE = """
-WITH daily AS (
+WITH daily0 AS (
   SELECT cast(ts as date) AS d, event_type,
          cast(count(*) as bigint) AS x
   FROM events GROUP BY 1, 2
+),
+complete AS (
+  SELECT d FROM daily0 GROUP BY d
+  HAVING count(*) = (SELECT count(DISTINCT event_type) FROM daily0)
+),
+daily AS (
+  SELECT daily0.* FROM daily0 JOIN complete USING (d)
 ),
 items AS (
   SELECT event_type,
@@ -1776,11 +1804,21 @@ def q_cronbach_alpha(spark, sf_dir):
     n*sum(x^2) - (sum x)^2 — the common n cancels in the ratio, so
     alpha is ONE double division of exact bigints, rounded 6dp.
 
+    Balanced-panel guard (ADVICE r5): the n-cancellation between
+    item variances and total variance requires every item observed on
+    every day, so incomplete days (any missing event type) are dropped
+    — a no-op on the balanced fixture, correct on sparse panels.
+
     Scale: one daily rollup shuffle; items and totals are two reduces
     over the calendar-bounded relation."""
     e = load_table(spark, sf_dir, "events")
-    daily = (e.groupBy(F.col("ts").cast("date").alias("d"), "event_type")
-             .agg(F.count("*").cast("long").alias("x")))
+    daily0 = (e.groupBy(F.col("ts").cast("date").alias("d"), "event_type")
+              .agg(F.count("*").cast("long").alias("x")))
+    ktot = daily0.agg(F.countDistinct("event_type").alias("kt"))
+    complete = (daily0.groupBy("d").agg(F.count("*").alias("kb"))
+                .crossJoin(F.broadcast(ktot))
+                .filter(F.col("kb") == F.col("kt")).select("d"))
+    daily = daily0.join(F.broadcast(complete), "d")
     items = (daily.groupBy("event_type")
              .agg(F.count("*").cast("long").alias("n"),
                   F.sum("x").cast("long").alias("s1"),

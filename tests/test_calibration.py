@@ -119,3 +119,55 @@ def test_label_noise_confident_joint_partition(spark):
     # class) pair, so total <= 2n and >= the confident subset
     assert 0 < total <= 2 * n
     assert 0.0 <= r["noise_rate"] < 0.5  # fixture labels track p
+
+
+def test_pav_blocks_boundary_identities():
+    """The SQL identities q_isotonic_check relies on: with STRICT
+    merging the first block is the shortest argmin-prefix and the last
+    block the shortest argmax-suffix — including when adjacent blocks
+    tie on mean (equal means must NOT pool)."""
+    from challenge8_movies_etl_spark.queries_calibration import pav_blocks
+
+    # equal-mean adjacent blocks stay separate: [0],[0] then [1],[1]
+    blocks, sizes = pav_blocks([0, 0, 1, 1], [1, 1, 1, 1])
+    assert [list(map(int, b)) for b in blocks] == [[0, 1], [0, 1],
+                                                   [1, 1], [1, 1]]
+    assert sizes == [1, 1, 1, 1]
+    # shortest argmin prefix (0,1), NOT the pooled (0,2)
+    assert (int(blocks[0][0]), blocks[0][1]) == (0, 1)
+    assert (int(blocks[-1][0]), blocks[-1][1]) == (1, 1)
+
+    # a violating sequence pools left-heavy: y=[1,1,0] all pools
+    blocks, sizes = pav_blocks([1, 1, 0], [1, 1, 1])
+    assert len(blocks) == 1 and sizes == [3]
+    assert (int(blocks[0][0]), blocks[0][1]) == (2, 3)
+
+    # brute-force the identities on every 0/1 sequence of length <= 8
+    from itertools import product
+    for m in range(1, 9):
+        for ys in product((0, 1), repeat=m):
+            blocks, _ = pav_blocks(list(ys), [1] * m)
+            pre = [(sum(ys[:k]), k) for k in range(1, m + 1)]
+            want_first = min(pre, key=lambda p: (p[0] / p[1], p[1]))
+            suf = [(sum(ys[k:]), m - k) for k in range(m)]
+            want_last = min(suf, key=lambda p: (-p[0] / p[1], p[1]))
+            assert (int(blocks[0][0]), blocks[0][1]) == want_first, ys
+            assert (int(blocks[-1][0]), blocks[-1][1]) == want_last, ys
+
+
+def test_isotonic_check_agrees_with_pav_query(spark):
+    """The boundary pairs in q_isotonic_check must be the first/last
+    fitted rates of the actual q_isotonic_pav output."""
+    from challenge8_movies_etl_spark.registry import QUERIES
+    from tests.conftest import SF_SMOKE
+    iso = {}
+    for r in QUERIES["q_isotonic_pav"](spark, SF_SMOKE).collect():
+        iso.setdefault(r["event_type"], []).append(
+            (r["bucket"], r["iso_rate"]))
+    for r in QUERIES["q_isotonic_check"](spark, SF_SMOKE).collect():
+        rates = [v for _, v in sorted(iso[r["event_type"]])]
+        assert abs(r["iso_first_num"] / r["iso_first_den"]
+                   - rates[0]) < 1e-6
+        assert abs(r["iso_last_num"] / r["iso_last_den"]
+                   - rates[-1]) < 1e-6
+        assert r["y_total"] <= r["n_total"]

@@ -525,7 +525,10 @@ def test_welch_matches_python_twin(spark):
     m1, m2 = sum(a) / n1, sum(b) / n2
     va = (sum(x * x for x in a) - sum(a) ** 2 / n1) / (n1 - 1) / n1
     vb = (sum(x * x for x in b) - sum(b) ** 2 / n2) / (n2 - 1) / n2
-    t = (m1 - m2) / math.sqrt(va + vb) / 1000
+    # t is dimensionless (milli-keying cancels between mean diff and
+    # SE) — no unit rescale (the r5-advice /1000 bug reported t 1000x
+    # too small vs t critical values)
+    t = (m1 - m2) / math.sqrt(va + vb)
     df = (va + vb) ** 2 / (va ** 2 / (n1 - 1) + vb ** 2 / (n2 - 1))
     r = QUERIES["q_welch_ttest"](spark, SF_SMOKE).collect()[0]
     assert (r["n1"], r["n2"]) == (n1, n2)
@@ -629,3 +632,77 @@ def test_inequality_indices_bounds(spark):
     assert 0.0 <= r["theil"] <= math.log(k) + 1e-9
     assert 1.0 / k - 1e-9 <= r["hhi"] <= 1.0
     assert 1.0 / k - 1e-9 <= r["top_share"] <= 1.0
+
+
+def test_friedman_cronbach_unbalanced_panel_uses_complete_blocks(
+        spark, tmp_path):
+    """Regression (round-5 advice): with a (day, event_type) cell
+    missing, both statistics silently broke their n-cancellation
+    identities. The fix restricts to complete blocks (days carrying
+    every event type); this pins that semantics on an UNBALANCED
+    synthetic panel, on both engines, against a python twin computed
+    over the complete blocks only."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from challenge8_movies_etl_spark.registry import ORACLE
+
+    # 4 days x 3 types, with (day4, 'c') absent -> day4 is incomplete
+    counts = {("2024-01-01", "a"): 3, ("2024-01-01", "b"): 5,
+              ("2024-01-01", "c"): 2,
+              ("2024-01-02", "a"): 7, ("2024-01-02", "b"): 1,
+              ("2024-01-02", "c"): 4,
+              ("2024-01-03", "a"): 2, ("2024-01-03", "b"): 6,
+              ("2024-01-03", "c"): 6,
+              ("2024-01-04", "a"): 9, ("2024-01-04", "b"): 2}
+    rows = [(dt.datetime.fromisoformat(d + "T00:00:00"), et)
+            for (d, et), c in counts.items() for _ in range(c)]
+    pdf = pd.DataFrame(rows, columns=["ts", "event_type"])
+    path = str(tmp_path / "events.parquet")
+    pdf.to_parquet(path)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}')")
+
+    # ---- python twin over the 3 COMPLETE days ----
+    complete = {d for d in {"2024-01-01", "2024-01-02", "2024-01-03",
+                            "2024-01-04"}
+                if all((d, et) in counts for et in "abc")}
+    assert complete == {"2024-01-01", "2024-01-02", "2024-01-03"}
+    ets, n, k = ["a", "b", "c"], len(complete), 3
+    # friedman doubled tie-averaged ranks
+    r2 = {}
+    for d in complete:
+        vals = sorted(counts[(d, et)] for et in ets)
+        for et in ets:
+            c = counts[(d, et)]
+            lo = sum(1 for v in vals if v < c)
+            t = sum(1 for v in vals if v == c)
+            r2[(d, et)] = 2 * (lo + 1) + t - 1
+    r2_j = {et: sum(v for (d, e), v in r2.items() if e == et) for et in ets}
+    dev2 = sum((r2_j[et] - n * (k + 1)) ** 2 for et in ets)
+    sr22 = sum(v * v for v in r2.values())
+    q_want = (k - 1) * dev2 / (sr22 - n * k * (k + 1) ** 2)
+
+    got = QUERIES["q_friedman"](spark, str(tmp_path)).collect()[0]
+    assert (got["n"], got["k"]) == (n, k)
+    assert abs(got["q_stat"] - round(q_want, 6)) < 1e-9
+    o = con.execute(ORACLE["q_friedman"]).fetchone()
+    assert (o[0], o[1]) == (n, k) and abs(o[2] - got["q_stat"]) < 1e-12
+
+    # cronbach over complete days: n-scaled integer variances
+    def nv(xs):
+        return len(xs) * sum(x * x for x in xs) - sum(xs) ** 2
+    var_items = sum(nv([counts[(d, et)] for d in sorted(complete)])
+                    for et in ets)
+    var_total = nv([sum(counts[(d, et)] for et in ets)
+                    for d in sorted(complete)])
+    a_want = (k / (k - 1)) * (1.0 - var_items / var_total)
+    got = QUERIES["q_cronbach_alpha"](spark, str(tmp_path)).collect()[0]
+    assert got["k"] == k
+    assert abs(got["alpha"] - round(a_want, 6)) < 1e-9
+    o = con.execute(ORACLE["q_cronbach_alpha"]).fetchone()
+    assert o[0] == k and abs(o[1] - got["alpha"]) < 1e-12
