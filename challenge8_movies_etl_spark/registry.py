@@ -64,34 +64,36 @@ def query(name: str, oracle: str | None = None):
 # a driver row, then the remaining never-driver-sampled queries in registry
 # order.  DRIVER_COVERAGE.md tracks the sampled/never-sampled ledger.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-5 rotation (DRIVER_COVERAGE.md): the r4 red first, then the
-    # r4 no_oracle row (upgraded to a partial hash oracle this round),
-    # then the 22 queries deferred from the r4 front, then 26 of the 61
-    # post-rotation additions — queries whose semantics changed this
-    # round (sign-of-zero sweep, wordpiece OOV, IVM cutoff, crosscorr
-    # guard) ranked first so the driver confirms the fixes.
-    "q_embed_covariance",   # r4 hash-FAIL, fixed (sign-of-zero)
-    "q_embed_pca",          # r4 err:no_oracle, partial oracle added r5
-    # --- the 22 deferred from the r4 front ---
-    "q_agg_corr", "q_agg_sketch_reagg", "q_percentile_approx",
-    "q_hll_intersection", "q_sql_surface", "q_sql_local_volume",
-    "q_sql_returned_topk", "q_sql_exists", "q_sql_correlated_avg",
-    "q_sql_antijoin_subquery", "q_sql_lateral", "q_sql_recursive",
-    "q_array_hof", "q_struct_funcs", "q_posexplode",
-    "q_schema_evolution", "q_variant_json", "q_join_right",
-    "q_join_nullsafe", "q_join_salted", "q_join_asof_nearest",
-    "q_topk_per_group",
-    # --- round-5-touched semantics (confirm the fixes) ---
-    "q_wordpiece_encode", "q_incremental_agg_merge",
-    "q_lagged_crosscorr", "q_agg_moments", "q_acf", "q_ols_regression",
-    "q_rolling_corr", "q_holt_smoothing", "q_dp_histogram",
-    # --- highest-value never-sampled additions ---
-    "q_embed_lsh", "q_image_dedup_exact", "q_quality_classifier",
-    "q_kmeans", "q_countmin_topk", "q_bloom_prefilter", "q_ngram_lm",
-    "q_readability", "q_eval_langid", "q_ndcg", "q_cluster_quality",
-    "q_eval_langid_slices", "q_similarity_filtered",
-    "q_similarity_batch", "q_zonemap_prune", "q_multimodal_decode_color",
-    "q_embed_pca_check",
+    # round-6 rotation (DRIVER_COVERAGE.md): the r5 red first (the
+    # scalar-output fix must be driver-confirmed), then the queries
+    # whose semantics changed this round (welch /1000 cut, friedman/
+    # cronbach complete-blocks guard, the new hash-checked isotonic
+    # boundary companion), then the never-driver-sampled mass in
+    # VERDICT r5 priority order: the ninth wave (classical inference,
+    # pHash, point-in-polygon), the codec/tokenizer/PQ families, and
+    # the heaviest eighth-wave members.
+    "q_array_hof",          # r5 err (non-scalar output), serialized r6
+    "q_isotonic_check",     # new hash-checked PAV boundary companion
+    "q_isotonic_pav",       # rows-only by design; re-sample beside it
+    "q_welch_ttest", "q_friedman", "q_cronbach_alpha",  # r6-touched
+    # --- ninth wave: classical inference / graph descriptive ---
+    "q_anova_oneway", "q_kruskal_wallis", "q_levene_bf", "q_fdr_bh",
+    "q_signflip_test", "q_hodges_lehmann", "q_survival_logrank",
+    "q_granger_causality", "q_ljung_box", "q_sax_encode", "q_cusum",
+    "q_query_likelihood", "q_zipf_slope", "q_bigram_entropy",
+    "q_knn_classify", "q_mixture_temperature", "q_embed_drift",
+    "q_image_phash", "q_audio_resample", "q_point_in_polygon",
+    "q_brier_murphy", "q_schema_profile", "q_graph_clustering_coeff",
+    "q_graph_assortativity", "q_graph_modularity",
+    # --- codec / tokenizer / PQ / substring-dedup families ---
+    "q_multimodal_decode_png", "q_multimodal_decode_progressive",
+    "q_audio_decode", "q_audio_vad", "q_audio_pitch",
+    "q_video_framestats", "q_video_scenecut",
+    "q_bpe_train", "q_bpe_apply",
+    "q_pq_encode", "q_pq_ann", "q_pq_recall", "q_ivfpq_ann",
+    "q_dedup_substring", "q_dedup_substring_pairs", "q_corpus_pipeline",
+    # --- heaviest eighth-wave members ---
+    "q_graph_sssp", "q_dtw_distance", "q_holtwinters",
 )
 
 
