@@ -1067,14 +1067,20 @@ def q_coverage_select(spark, sf_dir):
     retiring those bigrams. Classic (1 - 1/e) greedy guarantee;
     reported gain per round is exactly the marginal coverage, so
     covered_total is its running sum. The selection loop is
-    driver-orchestrated like kmeans/pagerank (one 1-row collect per
-    round); the oracle unrolls all 5 rounds into chained CTEs.
+    driver-orchestrated like kmeans/pagerank; the oracle unrolls all
+    5 rounds into chained CTEs.
 
-    Scale: the doc->bigram relation shrinks monotonically each round
-    (anti-join on the covered set); per round it's one
-    map-side-combined groupBy + a TakeOrdered(1). At 100 TB the
-    covered set broadcasts while it fits, then flips to a shuffle
-    anti-join — both are one exchange; nothing is quadratic."""
+    Scale: the covered vocabulary after K rounds is at most K x (one
+    document's bigrams) — driver-held and broadcast back each round
+    (BENCH_r05 fix: the previous formulation localCheckpoint-ed the
+    full shrinking doc->bigram relation every round, re-materializing
+    N-sized data 5x and giving the widest best/median spread of the
+    round; now every round is a map-side-combined groupBy +
+    TakeOrdered(1) over the ONE persisted relation with a tiny
+    broadcast anti-join, nothing N-sized ever revisits the driver or
+    disk). At 100 TB the per-doc token collect is still doc-bounded;
+    if K grows to where K x doc_len outgrows broadcast, flip the
+    covered set to a shuffle anti-join — still one exchange."""
     d = load_table(spark, sf_dir, "documents")
     t = F.split("text", " ")
     toks = (d.select("doc_id", F.explode(F.arrays_zip(
@@ -1089,15 +1095,23 @@ def q_coverage_select(spark, sf_dir):
             .persist())
 
     picks = []
-    cur = toks
+    covered: set[str] = set()
+    picked_ids: list[int] = []
     for r in range(1, _COVER_ROUNDS + 1):
-        top = (cur.groupBy("doc_id").agg(F.count("*").alias("gain"))
+        cand = toks
+        if picked_ids:
+            cov_df = spark.createDataFrame(
+                [(t,) for t in sorted(covered)], "tok string")
+            cand = (cand.join(F.broadcast(cov_df), "tok", "left_anti")
+                    .filter(~F.col("doc_id").isin(picked_ids)))
+        top = (cand.groupBy("doc_id").agg(F.count("*").alias("gain"))
                .orderBy(F.desc("gain"), "doc_id").limit(1).collect())[0]
         picks.append((r, int(top.doc_id), int(top.gain)))
-        covered = cur.filter(F.col("doc_id") == top.doc_id).select("tok")
-        cur = (cur.join(F.broadcast(covered), "tok", "left_anti")
-               .filter(F.col("doc_id") != top.doc_id)
-               .localCheckpoint(eager=True))
+        picked_ids.append(int(top.doc_id))
+        covered.update(
+            row.tok for row in
+            toks.filter(F.col("doc_id") == top.doc_id)
+                .select("tok").collect())
     out = spark.createDataFrame(picks, "round int, doc_id long, gain long")
     return out.select(
         "round", "doc_id", "gain",
