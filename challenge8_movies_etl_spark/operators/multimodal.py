@@ -366,6 +366,91 @@ def synthesize_palette_images(docs: DataFrame) -> DataFrame:
         run, schema="doc_id bigint, payload binary")
 
 
+def synthesize_png16_images(docs: DataFrame) -> DataFrame:
+    """Deterministic per-doc 16-bit grayscale PNG payloads (round 6):
+    sample (x, y) = base + x + y with base = (doc_id * 11) % 50000, so
+    the mean has the closed form base + (w-1)/2 + (h-1)/2 — exact in
+    double — while the decoder must run the byte-level unfilters at
+    bpp=2 and reassemble big-endian u16 samples."""
+    from .png import encode_png_gradient16
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payloads.append(encode_png_gradient16(
+                    d % 13 + 1, d % 7 + 1, (d * 11) % 50000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="doc_id bigint, payload binary")
+
+
+def synthesize_adam7_images(docs: DataFrame) -> DataFrame:
+    """Deterministic per-doc Adam7-interlaced RGB PNG payloads
+    (round 6): the same gradient pixels as synthesize_png_images but
+    stored as seven interlace passes, each with its own scanline
+    filter chain — decode must walk the pass grid and scatter samples
+    back to (x, y)."""
+    from .png import encode_png_adam7
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payloads.append(encode_png_adam7(
+                    d % 13 + 1, d % 7 + 1,
+                    d % 200, (d * 7) % 200, (d * 13) % 200))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="doc_id bigint, payload binary")
+
+
+PROBE_SCHEMA = ("doc_id bigint, fmt string, width bigint, "
+                "height bigint, mean_r double, mean_g double, "
+                "px_tl bigint, px_br bigint, px_center_g bigint")
+
+
+def decode_image_probes(media: DataFrame) -> DataFrame:
+    """Like decode_image_features but additionally reads PROBE PIXELS
+    — top-left R, bottom-right R, center G — because channel means are
+    invariant under pixel PERMUTATION: an interlace decoder that
+    unfilters every pass correctly but scatters passes to wrong
+    offsets would still pass a mean-only oracle. The probes pin the
+    (x, y) placement itself (PNG payloads only; used by
+    q_multimodal_decode_adam7)."""
+    from .png import decode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "fmt", "width", "height",
+                                   "mean_r", "mean_g", "px_tl",
+                                   "px_br", "px_center_g")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                if buf[:4] != b"\x89PNG":
+                    raise NotImplementedError(
+                        "probe decode supports PNG payloads only")
+                w, h, img = decode_png(buf)
+                out["doc_id"].append(doc_id)
+                out["fmt"].append("png")
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(float(img[:, :, 0].mean()))
+                out["mean_g"].append(float(img[:, :, 1].mean()))
+                out["px_tl"].append(int(img[0, 0, 0]))
+                out["px_br"].append(int(img[h - 1, w - 1, 0]))
+                out["px_center_g"].append(int(img[h // 2, w // 2, 1]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=PROBE_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Perceptual hashing (pHash): box-pool -> 2D DCT-II -> median threshold.
 # Real DCT arithmetic in numpy; used by q_image_phash with a fixture

@@ -10,13 +10,17 @@ a rotating filter per row, so a decoder that mishandles any single
 filter type — or the Paeth predictor's tie-breaking order — produces
 wrong pixels and breaks the closed-form oracle.
 
-Round 6 adds color-type 3 (palette): PLTE chunk parse + index
-expansion on the same inflate/unfilter core — the most common
-real-crawl PNG variant (VERDICT r5 item 5).
+Round 6 closes the named refusal list: color-type 3 (palette — PLTE
+parse + index expansion, the most common real-crawl variant, VERDICT
+r5 item 5), 16-bit samples (big-endian u16 pairs through the same
+byte-level unfilter with bpp=2/6), and Adam7 interlacing (the seven
+sub-image passes, each with its own scanline filter chain, scattered
+back into place).
 
 Honest-stub policy (operators/multimodal.py): variants without a real
-dependency-free path here — interlaced (Adam7), 16-bit, alpha — raise
-NotImplementedError instead of faking output.
+dependency-free path here — alpha channels (color types 4/6),
+sub-byte depths (1/2/4-bit) — raise NotImplementedError instead of
+faking output.
 """
 
 from __future__ import annotations
@@ -121,6 +125,63 @@ def encode_png_gradient(width: int, height: int,
             + _chunk(b"IEND", b""))
 
 
+def encode_png_gradient16(width: int, height: int, base: int) -> bytes:
+    """16-bit grayscale PNG whose sample (x, y) is base + x + y —
+    callers keep base + width + height <= 65536 so there is no
+    wraparound and the mean has the closed form
+    base + (w-1)/2 + (h-1)/2. Samples are big-endian u16; rows rotate
+    filter types y % 5, so the byte-level filters run with bpp=2
+    (hi/lo bytes reference their own counterparts two bytes left)."""
+    if base + width + height > 65536:
+        raise ValueError("16-bit gradient would wrap modulo 65536")
+    prev = b"\x00" * (2 * width)
+    stream = bytearray()
+    for y in range(height):
+        raw = b"".join(struct.pack(">H", base + x + y)
+                       for x in range(width))
+        f = y % 5
+        stream.append(f)
+        stream += _filter_row(f, raw, prev, 2)
+        prev = raw
+    ihdr = struct.pack(">IIBBBBB", width, height, 16, 0, 0, 0, 0)
+    return (_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + _chunk(b"IEND", b""))
+
+
+def encode_png_adam7(width: int, height: int,
+                     r0: int, g0: int, b0: int) -> bytes:
+    """8-bit RGB PNG with the SAME gradient pixels as
+    encode_png_gradient — pixel (x, y) = (c0+x+y) per channel — but
+    stored Adam7-INTERLACED: seven sub-image passes, each row filtered
+    with rotating types, so a decoder must walk the pass grid, keep an
+    independent prev-row per pass, and scatter samples back to (x, y).
+    Channel means keep the closed form c0 + (w-1)/2 + (h-1)/2, and
+    probe pixels (corners/center) pin the scatter itself."""
+    if max(r0, g0, b0) + width + height > 256:
+        raise ValueError("gradient would wrap modulo 256")
+    stream = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sw = (width - x0 + dx - 1) // dx if x0 < width else 0
+        sh = (height - y0 + dy - 1) // dy if y0 < height else 0
+        if sw == 0 or sh == 0:
+            continue
+        prev = b"\x00" * (3 * sw)
+        for ry in range(sh):
+            y = y0 + ry * dy
+            row = bytearray()
+            for x in range(x0, width, dx):
+                row += bytes((r0 + x + y, g0 + x + y, b0 + x + y))
+            f = ry % 5
+            stream.append(f)
+            stream += _filter_row(f, bytes(row), prev, 3)
+            prev = bytes(row)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 1)
+    return (_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + _chunk(b"IEND", b""))
+
+
 def encode_png_palette(width: int, height: int,
                        r0: int, g0: int, b0: int) -> bytes:
     """8-bit palette (color-type 3) PNG: pixel (x, y) stores the
@@ -152,14 +213,21 @@ def encode_png_palette(width: int, height: int,
             + _chunk(b"IEND", b""))
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step), PNG spec 8.2.
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
 def decode_png(buf: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode an 8-bit truecolor, grayscale, or palette (color-type 3)
-    non-interlaced PNG. Returns (width, height, uint8 array h x w x 3
-    — or h x w for grayscale; palette images are expanded through
-    their PLTE to h x w x 3). Raises ValueError on corruption (bad
+    """Decode a truecolor, grayscale, or palette (color-type 3) PNG at
+    8- or 16-bit depth, non-interlaced or Adam7. Returns (width,
+    height, array h x w x 3 — or h x w for grayscale; uint8 for 8-bit,
+    uint16 for 16-bit; palette images are expanded through their PLTE
+    to h x w x 3 uint8). Raises ValueError on corruption (bad
     signature, CRC mismatch, truncated stream, missing/short PLTE,
     out-of-range index) and NotImplementedError on valid PNGs outside
-    the supported subset (Adam7, 16-bit, alpha)."""
+    the supported subset (alpha color types, sub-byte depths, 16-bit
+    palette)."""
     if buf[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
@@ -194,37 +262,55 @@ def decode_png(buf: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("missing IHDR/IEND")
     width, height, depth, ctype, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr)
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlaced PNG not supported")
-    if depth != 8:
+    if interlace not in (0, 1):
+        raise ValueError(f"bad interlace method {interlace}")
+    if depth not in (8, 16):
         raise NotImplementedError(f"bit depth {depth} not supported")
     if ctype not in (0, 2, 3):
         raise NotImplementedError(
             f"color type {ctype} (alpha) not supported")
-    if ctype == 3 and plte is None:
-        raise ValueError("palette PNG missing PLTE chunk")
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        if depth == 16:
+            raise NotImplementedError("16-bit palette PNG not supported")
     if comp != 0 or filt != 0:
         raise ValueError("bad compression/filter method")
-    bpp = 3 if ctype == 2 else 1
+    channels = 3 if ctype == 2 else 1
+    sbytes = depth // 8
+    bpp = channels * sbytes  # filter distance in BYTES (PNG spec 6.2)
     try:
         stream = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"IDAT inflate failed: {exc}") from exc
-    stride = bpp * width
-    if len(stream) != (stride + 1) * height:
+    dt = np.uint16 if depth == 16 else np.uint8
+    out = np.zeros((height, width, channels), dtype=dt)
+    passes = _ADAM7 if interlace == 1 else ((0, 0, 1, 1),)
+    off = 0
+    for x0, y0, dx, dy in passes:
+        sw = (width - x0 + dx - 1) // dx if x0 < width else 0
+        sh = (height - y0 + dy - 1) // dy if y0 < height else 0
+        if sw == 0 or sh == 0:
+            continue  # empty pass contributes no scanlines
+        stride = bpp * sw
+        prev = b"\x00" * stride
+        for ry in range(sh):
+            if off + 1 + stride > len(stream):
+                raise ValueError("decompressed size mismatch")
+            raw = _unfilter_row(stream[off],
+                                stream[off + 1:off + 1 + stride],
+                                prev, bpp)
+            off += 1 + stride
+            arr = np.frombuffer(raw, dtype=np.uint8)
+            if depth == 16:
+                arr = ((arr[0::2].astype(np.uint16) << 8)
+                       | arr[1::2].astype(np.uint16))
+            out[y0 + ry * dy, x0::dx, :] = arr.reshape(sw, channels)
+            prev = raw
+    if off != len(stream):
         raise ValueError("decompressed size mismatch")
-    rows = []
-    prev = b"\x00" * stride
-    for y in range(height):
-        off = y * (stride + 1)
-        raw = _unfilter_row(stream[off], stream[off + 1:off + 1 + stride],
-                            prev, bpp)
-        rows.append(np.frombuffer(raw, dtype=np.uint8))
-        prev = raw
-    px = np.stack(rows)
-    if ctype == 2:
-        px = px.reshape(height, width, 3)
-    elif ctype == 3:
+    px = out if channels == 3 else out[:, :, 0]
+    if ctype == 3:
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         if int(px.max()) >= pal.shape[0]:
             raise ValueError("palette index out of range")

@@ -998,6 +998,84 @@ def q_multimodal_decode_palette(spark, sf_dir):
 
 
 @query(
+    "q_multimodal_decode_png16",
+    oracle="""
+    SELECT doc_id,
+           'png' AS fmt,
+           doc_id % 13 + 1 AS width,
+           doc_id % 7 + 1 AS height,
+           round(cast((doc_id * 11) % 50000 as double)
+                 + (doc_id % 13) / 2.0 + (doc_id % 7) / 2.0, 4)
+             AS mean_gray
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+)
+def q_multimodal_decode_png16(spark, sf_dir):
+    """REAL 16-bit PNG decode (round 6: closing the named refusal
+    list): grayscale gradients with samples base + x + y, base up to
+    ~50k, stored as big-endian u16 pairs. The byte-level scanline
+    filters run at bpp=2 — Sub/Average/Paeth reference the
+    counterpart byte two positions left — so any 8-bit assumption
+    (bpp=1, wrong stride, little-endian reassembly) corrupts samples
+    and breaks the closed-form mean base + (w-1)/2 + (h-1)/2.
+
+    Scale: identical shape to q_multimodal_decode — zero shuffle,
+    Arrow-streamed mapInPandas."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 1)
+    media = multimodal.synthesize_png16_images(d)
+    feats = multimodal.decode_image_features(media)
+    return feats.select(
+        "doc_id", "fmt", "width", "height",
+        F.round("mean_r", 4).alias("mean_gray"))
+
+
+@query(
+    "q_multimodal_decode_adam7",
+    oracle="""
+    SELECT doc_id,
+           'png' AS fmt,
+           doc_id % 13 + 1 AS width,
+           doc_id % 7 + 1 AS height,
+           round(cast(doc_id % 200 as double)
+                 + (doc_id % 13) / 2.0 + (doc_id % 7) / 2.0, 4)
+             AS mean_r,
+           round(cast((doc_id * 7) % 200 as double)
+                 + (doc_id % 13) / 2.0 + (doc_id % 7) / 2.0, 4)
+             AS mean_g,
+           doc_id % 200 AS px_tl,
+           doc_id % 200 + (doc_id % 13) + (doc_id % 7) AS px_br,
+           (doc_id * 7) % 200 + (doc_id % 7 + 1) // 2
+                              + (doc_id % 13 + 1) // 2 AS px_center_g
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def q_multimodal_decode_adam7(spark, sf_dir):
+    """REAL Adam7-interlaced PNG decode (round 6): the same RGB
+    gradient as q_multimodal_decode_png but stored as seven interlace
+    passes, each with an independent scanline filter chain. Channel
+    means alone are permutation-invariant — a decoder that unfilters
+    every pass correctly but scatters them to wrong (x, y) offsets
+    would still produce the right means — so the oracle additionally
+    pins PROBE PIXELS: top-left R (= r0, pass 1's first sample),
+    bottom-right R (= r0 + (w-1) + (h-1)), and center G
+    (= g0 + w//2 + h//2; note width = d%13+1 so w//2 =
+    (d%13+1)//2). Any pass-origin or stride slip moves a probe.
+
+    Scale: identical shape to q_multimodal_decode — zero shuffle,
+    Arrow-streamed mapInPandas."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 2)
+    media = multimodal.synthesize_adam7_images(d)
+    feats = multimodal.decode_image_probes(media)
+    return feats.select(
+        "doc_id", "fmt", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        "px_tl", "px_br", "px_center_g")
+
+
+@query(
     "q_multimodal_framesample",
     oracle="""
     SELECT doc_id, i AS frame_idx,

@@ -104,12 +104,24 @@ def test_unsupported_variants_refuse_honestly():
                 + _chunk(b"IDAT", zlib.compress(stream))
                 + _chunk(b"IEND", b""))
 
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_png(with_ihdr(interlace=1))
+    # round 6: interlace + 16-bit are now REAL decode paths; the
+    # remaining honest refusals are alpha color types, sub-byte
+    # depths, and 16-bit palette
     with pytest.raises(NotImplementedError, match="depth"):
-        decode_png(with_ihdr(depth=16))
+        decode_png(with_ihdr(depth=4))
     with pytest.raises(NotImplementedError, match="color type"):
         decode_png(with_ihdr(ctype=6))
+    pal16 = (_SIG
+             + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 3,
+                                           0, 0, 0))
+             + _chunk(b"PLTE", b"\x01\x02\x03")
+             + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00"))
+             + _chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="16-bit palette"):
+        decode_png(pal16)
+    # a malformed interlace method is corruption, not a refusal
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(with_ihdr(interlace=2))
 
 
 def test_gradient_wraparound_guard():
@@ -176,3 +188,46 @@ def test_palette_wraparound_guard():
         encode_png_palette(13, 7, 240, 0, 0)   # r0 + npal > 256
     with pytest.raises(ValueError, match="wrap"):
         encode_png_palette(13, 7, 0, 220, 0)   # g0 + 2(npal-1) > 255
+
+
+def test_gradient16_roundtrip_and_refusals():
+    from challenge8_movies_etl_spark.operators.png import (
+        encode_png_gradient16)
+    for w, h, base in [(13, 7, 50000), (1, 1, 0), (16, 9, 300)]:
+        dw, dh, px = decode_png(encode_png_gradient16(w, h, base))
+        assert (dw, dh) == (w, h) and px.dtype == np.uint16
+        want = base + np.arange(w)[None, :] + np.arange(h)[:, None]
+        assert (px == want).all()
+        assert px.mean() == base + (w - 1) / 2 + (h - 1) / 2
+    with pytest.raises(ValueError, match="wrap"):
+        encode_png_gradient16(13, 7, 65530)
+
+
+def test_adam7_matches_noninterlaced_pixel_exact():
+    """Every size 1..17 x 1..11 — covers empty passes (w or h < 8),
+    single-pixel images, and pass sub-grids of every shape."""
+    from challenge8_movies_etl_spark.operators.png import (
+        encode_png_adam7)
+    for w in range(1, 18):
+        for h in range(1, 12):
+            a = decode_png(encode_png_adam7(w, h, 5, 10, 20))[2]
+            b = decode_png(encode_png_gradient(w, h, 5, 10, 20))[2]
+            assert (a == b).all(), (w, h)
+
+
+def test_adam7_truncated_pass_detected():
+    from challenge8_movies_etl_spark.operators.png import (
+        encode_png_adam7)
+    buf = bytearray(encode_png_adam7(9, 9, 1, 2, 3))
+    # re-deflate a truncated scanline stream under intact chunk CRCs:
+    # decode must fail on size mismatch, not scatter garbage
+    import zlib as z
+    (length,) = struct.unpack_from(">I", buf, 8)
+    ihdr_end = 8 + 12 + length
+    (ilen,) = struct.unpack_from(">I", bytes(buf), ihdr_end)
+    stream = z.decompress(bytes(buf[ihdr_end + 8:ihdr_end + 8 + ilen]))
+    short = z.compress(stream[:-4])
+    rebuilt = (bytes(buf[:ihdr_end]) + _chunk(b"IDAT", short)
+               + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(rebuilt)
