@@ -86,6 +86,121 @@ def decode_wav_pcm16(buf: bytes) -> tuple[int, int, np.ndarray]:
     return rate, n_ch, samples[::n_ch].astype(np.int64)
 
 
+# ---------------------------------------------------------------------------
+# Round 6: the named non-PCM refusals become real decode paths —
+# IEEE float32 (format tag 3) and G.711 mu-law (format tag 7), the
+# two non-PCM encodings that need no codec library (float is raw
+# samples; mu-law is a 256-entry companding law from the G.711 spec).
+# ---------------------------------------------------------------------------
+
+def _ulaw_encode(x: int) -> int:
+    """G.711 mu-law compress one linear sample (int16 range) to a
+    code byte. Values of the form ±8m (m 0..15, segment 0) round-trip
+    exactly — the fixture signals live there so the oracle needs no
+    companding table on its side."""
+    BIAS = 0x84
+    sign = 0x80 if x < 0 else 0x00
+    mag = min((-x if x < 0 else x) + BIAS, 0x7FFF)
+    exp = 7
+    while exp > 0 and mag < (1 << (exp + 7)):
+        exp -= 1
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant)) & 0xFF
+
+
+def _ulaw_decode(c: int) -> int:
+    """G.711 mu-law expand one code byte to the linear sample."""
+    c = (~c) & 0xFF
+    sign = c & 0x80
+    exp = (c >> 4) & 0x07
+    mant = c & 0x0F
+    val = (((mant << 3) + 0x84) << exp) - 0x84
+    return -val if sign else val
+
+
+_ULAW_TABLE = np.array([_ulaw_decode(c) for c in range(256)],
+                       dtype=np.int64)
+
+
+def encode_wav_float32(rate: int, channels: list[np.ndarray]) -> bytes:
+    """RIFF/WAVE writer for IEEE float32 (format tag 3): 18-byte fmt
+    with cbSize=0 plus the fact chunk real float WAVs carry — so a
+    decoder that assumes the 16-byte PCM fmt layout or chokes on fact
+    fails loudly."""
+    n_ch = len(channels)
+    n = len(channels[0])
+    inter = np.empty(n * n_ch, dtype="<f4")
+    for c, ch in enumerate(channels):
+        inter[c::n_ch] = ch.astype("<f4")
+    data = inter.tobytes()
+    block_align = n_ch * 4
+    fmt = struct.pack("<HHIIHHH", 3, n_ch, rate, rate * block_align,
+                      block_align, 32, 0)
+    fact = struct.pack("<I", n)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", len(fact)) + fact
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_mulaw(rate: int, channels: list[np.ndarray]) -> bytes:
+    """RIFF/WAVE writer for G.711 mu-law (format tag 7, 8-bit codes):
+    linear int samples are companded through the real encoder."""
+    n_ch = len(channels)
+    n = len(channels[0])
+    inter = np.empty(n * n_ch, dtype=np.uint8)
+    for c, ch in enumerate(channels):
+        inter[c::n_ch] = np.array([_ulaw_encode(int(x)) for x in ch],
+                                  dtype=np.uint8)
+    data = inter.tobytes()
+    fmt = struct.pack("<HHIIHHH", 7, n_ch, rate, rate * n_ch, n_ch, 8, 0)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", 4) + struct.pack("<I", n)
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(buf: bytes) -> tuple[int, int, int, np.ndarray]:
+    """General RIFF/WAVE parse → (format_tag, sample_rate, n_channels,
+    channel-0 samples). Tags: 1 = PCM16 (int64 samples), 3 = IEEE
+    float32 (float64 samples), 7 = G.711 mu-law (int64 samples
+    expanded through the real companding table). Anything else —
+    ADPCM, a-law, extensible — raises NotImplementedError (honest-stub
+    policy). Chunk walk is word-aligned and skips unknown chunks
+    (LIST, fact, ...)."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE stream")
+    pos, end = 12, 8 + struct.unpack("<I", buf[4:8])[0]
+    tag = rate = n_ch = bits = None
+    raw = None
+    while pos + 8 <= end:
+        cid = buf[pos:pos + 4]
+        size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+        body = buf[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            tag, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH",
+                                                        body[:16])
+            if (tag, bits) not in ((1, 16), (3, 32), (7, 8)):
+                raise NotImplementedError(
+                    f"WAV format tag {tag} at {bits}-bit not decodable "
+                    "without codecs (PCM16 / IEEE-float32 / mu-law only)")
+        elif cid == b"data":
+            if tag is None:
+                raise NotImplementedError("data chunk before fmt")
+            raw = body
+        pos += 8 + size + (size & 1)
+    if raw is None or tag is None:
+        raise NotImplementedError("no data chunk in WAVE stream")
+    if tag == 1:
+        s = np.frombuffer(raw, dtype="<i2")[::n_ch].astype(np.int64)
+    elif tag == 3:
+        s = np.frombuffer(raw, dtype="<f4")[::n_ch].astype(np.float64)
+    else:  # mu-law: expand codes through the real G.711 table
+        s = _ULAW_TABLE[np.frombuffer(raw, dtype=np.uint8)[::n_ch]]
+    return tag, rate, n_ch, s
+
+
 AUDIO_SCHEMA = ("doc_id bigint, sample_rate bigint, channels bigint, "
                 "n_samples bigint, duration_ms double, peak bigint, "
                 "mean_abs double, zero_cross bigint")
@@ -221,3 +336,132 @@ def autocorr_pitch(media: DataFrame, max_lag: int = 20) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=PITCH_SCHEMA)
+
+
+FLOAT_SCHEMA = ("doc_id bigint, fmt_tag bigint, sample_rate bigint, "
+                "channels bigint, n_samples bigint, peak double, "
+                "mean_abs double, zero_cross bigint")
+
+
+def synthesize_audio_float(docs: DataFrame) -> DataFrame:
+    """Deterministic IEEE-float32 WAV payloads (format tag 3): channel
+    0 is the PCM sawtooth divided by 1024 — a dyadic rational, exactly
+    representable in float32 AND in the f64 arithmetic both engines
+    use — so peak and mean|s| have closed forms the oracle recomputes
+    from the integer sawtooth with two exact divisions. Stereo docs
+    interleave a different sawtooth on channel 1 (stride check)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rate = 8000 + d % 3 * 4000
+                n = 50 + d % 97
+                k, amp = d % 11 + 1, 1000 * (d % 7 + 1)
+                i = np.arange(n, dtype=np.int64)
+                chans = [((i * k) % (2 * amp) - amp) / 1024.0]
+                if d % 2:
+                    chans.append(((i * (k + 1)) % (2 * amp) - amp)
+                                 / 1024.0)
+                payloads.append(encode_wav_float32(rate, chans))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="doc_id bigint, payload binary")
+
+
+def decode_audio_features_float(media: DataFrame) -> DataFrame:
+    """Float-WAV feature extractor: every sample is a dyadic rational
+    with denominator 1024 and the |sum| stays far below 2^53, so the
+    f64 sum is EXACT and the single final division matches the
+    oracle's bit for bit."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "fmt_tag", "sample_rate",
+                                   "channels", "n_samples", "peak",
+                                   "mean_abs", "zero_cross")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                tag, rate, n_ch, s = decode_wav(bytes(payload))
+                if tag != 3:
+                    raise NotImplementedError(
+                        f"expected float32 WAV, got tag {tag}")
+                n = len(s)
+                a = np.abs(s)
+                out["doc_id"].append(doc_id)
+                out["fmt_tag"].append(tag)
+                out["sample_rate"].append(rate)
+                out["channels"].append(n_ch)
+                out["n_samples"].append(n)
+                out["peak"].append(float(a.max()))
+                # no python round here: the dyadic sums make exact
+                # .xxxx5 ties COMMON, and python rounds half-to-even
+                # while both engines' SQL round is HALF_UP — the
+                # query applies F.round instead
+                out["mean_abs"].append(float(a.sum()) / n)
+                out["zero_cross"].append(int((s[1:] * s[:-1] < 0).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FLOAT_SCHEMA)
+
+
+MULAW_SCHEMA = ("doc_id bigint, fmt_tag bigint, sample_rate bigint, "
+                "channels bigint, n_samples bigint, peak bigint, "
+                "sum_abs bigint, zero_cross bigint")
+
+
+def synthesize_audio_mulaw(docs: DataFrame) -> DataFrame:
+    """Deterministic G.711 mu-law WAV payloads (format tag 7, the
+    telephony codec — 8 kHz): channel-0 samples are
+    ±8·((i·k) mod 16) with alternating sign — segment-0 mu-law values
+    that COMPAND EXACTLY (companding is lossy in general; these lie on
+    the quantizer's representable points), so decode returns the
+    closed-form signal and the oracle recomputes integer features with
+    no companding table on its side. A wrong table, bias, or segment
+    shift in the decoder lands off the representable grid and breaks
+    peak/sum_abs."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 40 + d % 61
+                k = d % 7 + 1
+                i = np.arange(n, dtype=np.int64)
+                sign = np.where(i % 2 == 0, 1, -1)
+                chans = [sign * 8 * ((i * k) % 16)]
+                if d % 2:
+                    chans.append(sign * 8 * ((i * (k + 1)) % 16))
+                payloads.append(encode_wav_mulaw(8000, chans))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="doc_id bigint, payload binary")
+
+
+def decode_audio_features_mulaw(media: DataFrame) -> DataFrame:
+    """mu-law feature extractor — all-integer output (sum_abs instead
+    of mean), so the value hash needs no float discipline at all."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "fmt_tag", "sample_rate",
+                                   "channels", "n_samples", "peak",
+                                   "sum_abs", "zero_cross")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                tag, rate, n_ch, s = decode_wav(bytes(payload))
+                if tag != 7:
+                    raise NotImplementedError(
+                        f"expected mu-law WAV, got tag {tag}")
+                a = np.abs(s)
+                out["doc_id"].append(doc_id)
+                out["fmt_tag"].append(tag)
+                out["sample_rate"].append(rate)
+                out["channels"].append(n_ch)
+                out["n_samples"].append(len(s))
+                out["peak"].append(int(a.max()))
+                out["sum_abs"].append(int(a.sum()))
+                out["zero_cross"].append(int((s[1:] * s[:-1] < 0).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=MULAW_SCHEMA)

@@ -277,3 +277,130 @@ def q_audio_resample(spark, sf_dir):
     return media.mapInPandas(
         run, schema=("doc_id bigint, out_rate bigint, n_out bigint, "
                      "peak bigint, mean_abs double"))
+
+
+# ---------------------------------------------------------------------------
+# Round 6: the non-PCM refusals become real decode paths — IEEE
+# float32 (format tag 3) and G.711 mu-law (format tag 7).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_audio_decode_float",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id,
+             8000 + doc_id % 3 * 4000 AS rate,
+             50 + doc_id % 97 AS n,
+             1 + doc_id % 2 AS channels,
+             doc_id % 11 + 1 AS k,
+             1000 * (doc_id % 7 + 1) AS amp
+      FROM documents WHERE doc_id % 4 = 1
+    ), samples AS (
+      SELECT doc_id, rate, n, channels,
+             unnest(generate_series(0, n - 1)) AS i,
+             k, amp
+      FROM params
+    ), sig AS (
+      SELECT doc_id, rate, n, channels, amp,
+             (i * k) % (2 * amp) - amp AS s,
+             lag((i * k) % (2 * amp) - amp)
+               OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM samples
+    )
+    SELECT doc_id,
+           3 AS fmt_tag,
+           rate AS sample_rate,
+           channels,
+           n AS n_samples,
+           amp / 1024.0 AS peak,
+           round(cast(sum(abs(s)) as bigint) / 1024.0 / n, 4)
+             AS mean_abs,
+           cast(coalesce(sum(CASE WHEN s * prev < 0 THEN 1 END), 0)
+                as bigint) AS zero_cross
+    FROM sig
+    GROUP BY doc_id, rate, channels, n, amp
+    """,
+)
+def q_audio_decode_float(spark, sf_dir):
+    """REAL IEEE-float32 WAV decode (format tag 3 — round 6, closing
+    the non-PCM refusal): fixtures carry the PCM sawtooth divided by
+    1024 as float32 behind an 18-byte fmt chunk plus the fact chunk
+    real float WAVs include, so the decoder must parse the extended
+    fmt layout and skip fact in the chunk walk. Every sample is a
+    dyadic rational exactly representable in f32 and f64 — the |sum|
+    is EXACT in double — so peak and mean|s| match the oracle's
+    integer-sawtooth recomputation bit for bit. Stereo docs carry a
+    different sawtooth on channel 1 (de-interleave stride check at
+    4-byte samples).
+
+    Scale: identical shape to q_audio_decode — zero shuffle,
+    Arrow-batched mapInPandas."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 1)
+    media = audio.synthesize_audio_float(d)
+    feats = audio.decode_audio_features_float(media)
+    return feats.select(
+        "doc_id", "fmt_tag", "sample_rate", "channels", "n_samples",
+        "peak",
+        F.round("mean_abs", 4).alias("mean_abs"),
+        "zero_cross")
+
+
+@query(
+    "q_audio_decode_mulaw",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id,
+             40 + doc_id % 61 AS n,
+             1 + doc_id % 2 AS channels,
+             doc_id % 7 + 1 AS k
+      FROM documents WHERE doc_id % 4 = 3
+    ), samples AS (
+      SELECT doc_id, n, channels,
+             unnest(generate_series(0, n - 1)) AS i,
+             k
+      FROM params
+    ), sig AS (
+      SELECT doc_id, n, channels,
+             (CASE WHEN i % 2 = 0 THEN 1 ELSE -1 END)
+               * 8 * ((i * k) % 16) AS s,
+             lag((CASE WHEN i % 2 = 0 THEN 1 ELSE -1 END)
+                 * 8 * ((i * k) % 16))
+               OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM samples
+    )
+    SELECT doc_id,
+           7 AS fmt_tag,
+           8000 AS sample_rate,
+           channels,
+           n AS n_samples,
+           cast(max(abs(s)) as bigint) AS peak,
+           cast(sum(abs(s)) as bigint) AS sum_abs,
+           cast(coalesce(sum(CASE WHEN s * prev < 0 THEN 1 END), 0)
+                as bigint) AS zero_cross
+    FROM sig
+    GROUP BY doc_id, channels, n
+    """,
+)
+def q_audio_decode_mulaw(spark, sf_dir):
+    """REAL G.711 mu-law WAV decode (format tag 7, the telephony
+    codec — round 6): fixture signals are ±8·((i·k) mod 16) with
+    alternating sign — segment-0 values that lie exactly on the
+    mu-law quantizer grid, so compress→expand through the REAL
+    companding law is lossless for them and the oracle recomputes
+    all-integer features (peak, sum|s|, zero crossings) from the
+    closed form with no companding table on its side. A wrong table
+    inversion, bias, or segment shift in the decoder lands off the
+    grid and breaks peak/sum_abs; a de-interleave stride slip pulls
+    channel-1 codes into channel 0.
+
+    Scale: identical shape to q_audio_decode — zero shuffle,
+    Arrow-batched mapInPandas."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 3)
+    media = audio.synthesize_audio_mulaw(d)
+    feats = audio.decode_audio_features_mulaw(media)
+    return feats.select(
+        "doc_id", "fmt_tag", "sample_rate", "channels", "n_samples",
+        "peak", "sum_abs", "zero_cross")

@@ -110,8 +110,9 @@ def test_autocorr_pitch_finds_sawtooth_period():
 
 
 def test_resample_halves_rate_and_antialiases(spark):
-    from challenge8_movies_etl_spark.registry import QUERIES
+    from challenge8_movies_etl_spark.registry import QUERIES, load_all
     from tests.conftest import SF_SMOKE
+    load_all()  # standalone-run safety: don't rely on sibling modules
     dec = {r["doc_id"]: r for r in
            QUERIES["q_audio_decode"](spark, SF_SMOKE).collect()}
     res = QUERIES["q_audio_resample"](spark, SF_SMOKE).collect()
@@ -122,3 +123,59 @@ def test_resample_halves_rate_and_antialiases(spark):
         assert r["n_out"] == d["n_samples"] // 2
         # a pairwise boxcar can never raise the peak
         assert r["peak"] <= d["peak"]
+
+
+def test_ulaw_companding_law():
+    """G.711 mu-law properties: 256 distinct codes, odd symmetry,
+    segment-0 values ±8m round-trip exactly, and every int16 value
+    re-encodes to its own decoded value's code (quantizer idempotence:
+    encode(decode(c)) == c for all 256 codes)."""
+    from challenge8_movies_etl_spark.operators.audio import (
+        _ulaw_decode, _ulaw_encode)
+    decoded = [_ulaw_decode(c) for c in range(256)]
+    # idempotence over the full code space
+    for c in range(256):
+        assert _ulaw_encode(decoded[c]) == c or decoded[c] == 0, c
+    # segment-0 grid is exact
+    for m in range(16):
+        assert _ulaw_decode(_ulaw_encode(8 * m)) == 8 * m
+        assert _ulaw_decode(_ulaw_encode(-8 * m)) == -8 * m
+    # quantization error bounded by half the local step size
+    for x in range(-32000, 32001, 257):
+        err = abs(_ulaw_decode(_ulaw_encode(x)) - x)
+        seg_step = 8 << max(0, (abs(x) + 0x84).bit_length() - 8)
+        assert err <= seg_step, (x, err, seg_step)
+
+
+def test_decode_wav_general_tags():
+    import numpy as np
+    from challenge8_movies_etl_spark.operators.audio import (
+        decode_wav, encode_wav_float32, encode_wav_mulaw,
+        encode_wav_pcm16)
+    s = np.array([0, 8, -16, 120, -120, 0], dtype=np.int64)
+    tag, rate, ch, out = decode_wav(encode_wav_pcm16(8000, [s]))
+    assert (tag, rate, ch) == (1, 8000, 1) and (out == s).all()
+    tag, rate, ch, out = decode_wav(encode_wav_mulaw(8000, [s]))
+    assert (tag, ch) == (7, 1) and (out == s).all()  # on-grid values
+    f = s / 1024.0
+    tag, rate, ch, out = decode_wav(encode_wav_float32(16000, [f]))
+    assert (tag, rate, ch) == (3, 16000, 1) and (out == f).all()
+    # stereo de-interleave picks channel 0
+    s2 = np.array([8, 16, 24, 32], dtype=np.int64)
+    tag, _, ch, out = decode_wav(encode_wav_mulaw(8000, [s, s2[:6]]))\
+        if False else decode_wav(
+            encode_wav_mulaw(8000, [s2, s2 * 0]))
+    assert ch == 2 and (out == s2).all()
+
+
+def test_decode_wav_refuses_unknown_tags():
+    import struct
+
+    import pytest
+    from challenge8_movies_etl_spark.operators.audio import decode_wav
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)  # ADPCM
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    buf = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError, match="format tag 2"):
+        decode_wav(buf)
