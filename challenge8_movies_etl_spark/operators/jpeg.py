@@ -803,23 +803,26 @@ def encode_jpeg_gray_uniform(width: int, height: int, gray: int) -> bytes:
 
 def encode_jpeg_color_uniform(width: int, height: int, y: int, cb: int,
                               cr: int, subsample: str = "420") -> bytes:
-    """Uniform-color baseline YCbCr JPEG (4:2:0 or 4:4:4), Annex K
-    luminance + chrominance tables. DC-exactness contract (asserted):
-    (y-128) divisible by 2 (q00_lum=16 → dc = 8Δ/16 = Δ/2 exact) and
-    (cb-128), (cr-128) divisible by 17 (q00_chr=17 → dc = 8Δ/17
-    exact), so every decoded plane is uniform at exactly (y, cb, cr)
-    and the decoded RGB follows the closed-form floor(x+0.5) JFIF
-    transform — an engine-independent oracle can verify the decode
-    without any codec (see synthesize_images / q_multimodal_decode)."""
+    """Uniform-color baseline YCbCr JPEG (4:4:4, 4:2:0, 4:2:2, or
+    4:4:0), Annex K luminance + chrominance tables. DC-exactness
+    contract (asserted): (y-128) divisible by 2 (q00_lum=16 → dc =
+    8Δ/16 = Δ/2 exact) and (cb-128), (cr-128) divisible by 17
+    (q00_chr=17 → dc = 8Δ/17 exact), so every decoded plane is uniform
+    at exactly (y, cb, cr) and the decoded RGB follows the closed-form
+    floor(x+0.5) JFIF transform — an engine-independent oracle can
+    verify the decode without any codec (see synthesize_images /
+    q_multimodal_decode / q_multimodal_decode_chroma422)."""
     if (y - 128) % 2 or (cb - 128) % 17 or (cr - 128) % 17:
         raise ValueError("uniform color violates DC-exactness contract")
-    if subsample not in ("420", "444"):
-        raise ValueError("subsample must be '420' or '444'")
+    try:
+        hy, vy = {"444": (1, 1), "420": (2, 2),
+                  "422": (2, 1), "440": (1, 2)}[subsample]
+    except KeyError:
+        raise ValueError(
+            "subsample must be one of 444/420/422/440") from None
     dc_y = 8 * (y - 128) // int(QTABLE_LUM[0])
     dc_cb = 8 * (cb - 128) // int(QTABLE_CHR[0])
     dc_cr = 8 * (cr - 128) // int(QTABLE_CHR[0])
-
-    hy = vy = 2 if subsample == "420" else 1
     mcus_x = (width + 8 * hy - 1) // (8 * hy)
     mcus_y = (height + 8 * vy - 1) // (8 * vy)
 

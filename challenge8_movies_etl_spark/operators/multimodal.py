@@ -291,6 +291,33 @@ def synthesize_color_images(docs: DataFrame) -> DataFrame:
         run, schema="doc_id bigint, payload binary")
 
 
+def synthesize_color_images_422(docs: DataFrame) -> DataFrame:
+    """Deterministic per-doc color JPEGs with the RECTANGULAR chroma
+    samplings (round 6): alternating 4:2:2 (2x1) / 4:4:0 (1x2) —
+    MCUs are 2Y+Cb+Cr with chroma stretched along one axis only, so
+    the decoder's per-axis replication factors and MCU geometry are
+    exercised independently of the square 4:2:0 path."""
+    from .jpeg import encode_jpeg_color_uniform
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 13 + 1, d % 7 + 1
+                y = 2 * ((d * 5) % 128)
+                cb = 128 + 17 * (d % 9 - 4)
+                cr = 128 + 17 * ((d * 3) % 9 - 4)
+                sub = "422" if d % 2 == 0 else "440"
+                payloads.append(
+                    encode_jpeg_color_uniform(w, h, y, cb, cr, sub))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="doc_id bigint, payload binary")
+
+
 def synthesize_progressive_images(docs: DataFrame) -> DataFrame:
     """Deterministic per-doc PROGRESSIVE (SOF2) grayscale JPEG
     payloads: even gray keeps DC quantization exact, so the decoded

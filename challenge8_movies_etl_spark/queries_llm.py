@@ -872,6 +872,57 @@ def q_multimodal_decode_color(spark, sf_dir):
 
 
 @query(
+    "q_multimodal_decode_chroma422",
+    oracle="""
+    WITH ycc AS (
+      SELECT doc_id,
+             'jpeg' AS fmt,
+             doc_id % 13 + 1 AS width,
+             doc_id % 7 + 1 AS height,
+             cast(2 * ((doc_id * 5) % 128) as double) AS y,
+             cast(128 + 17 * (doc_id % 9 - 4) as double) AS cb,
+             cast(128 + 17 * ((doc_id * 3) % 9 - 4) as double) AS cr
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT doc_id, fmt, width, height,
+           round(least(255.0, greatest(0.0,
+             floor(y + 1.402 * (cr - 128) + 0.5))), 4) AS mean_r,
+           round(least(255.0, greatest(0.0,
+             floor(y - 0.344136 * (cb - 128)
+                     - 0.714136 * (cr - 128) + 0.5))), 4) AS mean_g,
+           round(least(255.0, greatest(0.0,
+             floor(y + 1.772 * (cb - 128) + 0.5))), 4) AS mean_b
+    FROM ycc
+    """,
+)
+def q_multimodal_decode_chroma422(spark, sf_dir):
+    """REAL rectangular-chroma JPEG decode (round 6): baseline YCbCr
+    streams alternating 4:2:2 (2x1) and 4:4:0 (1x2) subsampling — the
+    remaining chroma geometries after q_multimodal_decode_color's
+    4:4:4/4:2:0 — with the same uniform DC-exact colors, so the oracle
+    reuses the closed-form floor(x+0.5) JFIF transform. 4:2:2 MCUs
+    interleave 2 Y blocks + Cb + Cr across a 16x8 region with chroma
+    replicated horizontally only; 4:4:0 is the transpose. Any per-axis
+    replication or MCU-geometry slip decodes the wrong pixels and
+    breaks the hash (uniform color makes means subsampling-invariant
+    — what the oracle checks is that the decode SUCCEEDS and lands on
+    the exact transform, incl. per-component predictors and chroma
+    table selection at the rectangular MCU layout).
+
+    Scale: identical shape to q_multimodal_decode — zero shuffle,
+    Arrow-streamed mapInPandas."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 1)
+    media = multimodal.synthesize_color_images_422(d)
+    feats = multimodal.decode_image_features(media)
+    return feats.select(
+        "doc_id", "fmt", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"))
+
+
+@query(
     "q_multimodal_decode_progressive",
     oracle="""
     SELECT doc_id,
