@@ -1,0 +1,267 @@
+"""Crawl-ingest queries (round 6): the byte-level front door of a
+web-corpus pipeline — structured URL parsing, mixed-codec shard
+decompression, TAR archive walking, and UTF-8 validation — each with
+a closed-form DuckDB oracle. documents.text is pure ASCII at every
+fixture scale (octet_length == length, verified in-commit), which the
+gzip/tar/utf8 closed forms rely on.
+
+Scale: the three byte-level ops are zero-shuffle Arrow-batched
+mapInPandas (decode parallelism == partitions, one batch resident per
+task); URL parsing is pure codegen in the scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from .operators.containers import (
+    compress_payload,
+    decode_tar,
+    encode_tar,
+    sniff_decompress,
+    utf8_scan,
+)
+from .registry import query
+from .sources.fixtures import load_table
+
+
+# ---------------------------------------------------------------------------
+# q_url_parse — structured URL extraction (Spark parse_url surface)
+# ---------------------------------------------------------------------------
+
+_URL_EXPR_SQL = ("'https://' || lower(source) || '.example.com:8080/p/' "
+                 "|| cast(doc_id % 40 as varchar) || '?q=' || lang "
+                 "|| '&page=' || cast(doc_id % 5 as varchar) "
+                 "|| '#s' || cast(doc_id % 3 as varchar)")
+
+
+@query(
+    "q_url_parse",
+    oracle=f"""
+    WITH urls AS (
+      SELECT doc_id, {_URL_EXPR_SQL} AS url FROM documents
+    )
+    SELECT doc_id,
+           'https' AS protocol,
+           regexp_extract(url, '^https://([^/:]+)', 1) AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]q=([^&#]*)', 1) AS q_param,
+           regexp_extract(url, '[?&]page=([^&#]*)', 1) AS page_param,
+           regexp_extract(url, '#(.*)$', 1) AS fragment
+    FROM urls
+    """,
+)
+def q_url_parse(spark, sf_dir):
+    """Structured URL extraction — protocol/host/path, two named query
+    parameters, and the fragment — via Spark's parse_url (the JVM
+    java.net.URI-backed builtin a crawl pipeline uses for host-level
+    grouping and parameter stripping). Both engines synthesize the
+    identical messy URL from (source, lang, doc_id); the oracle
+    re-extracts with anchored regexes, so the check pins parse_url's
+    component semantics (host excludes the port, path excludes query
+    and fragment, QUERY takes the named key).
+
+    Scale: pure codegen in the scan — no shuffle, no python."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.lower("source"),
+        F.lit(".example.com:8080/p/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit("?q="), F.col("lang"),
+        F.lit("&page="), (F.col("doc_id") % 5).cast("string"),
+        F.lit("#s"), (F.col("doc_id") % 3).cast("string"))
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("q")).alias("q_param"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("page"))
+        .alias("page_param"),
+        F.parse_url(url, F.lit("REF")).alias("fragment"))
+
+
+# ---------------------------------------------------------------------------
+# q_text_decompress — mixed-codec shard decompression
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_text_decompress",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'gzip' WHEN 1 THEN 'bz2'
+                ELSE 'xz' END AS codec,
+           cast(length(text) as bigint) AS n_chars,
+           md5(text) AS digest
+    FROM documents
+    """,
+)
+def q_text_decompress(spark, sf_dir):
+    """Mixed-codec crawl-shard decompression: per doc the text is
+    stored gzip / bz2 / xz (real stdlib containers with their own
+    integrity trailers — gzip's CRC32+ISIZE are verified by zlib
+    itself), the decoder magic-sniffs and decompresses, and the QUERY
+    hashes the round-tripped text with Spark's md5 against the
+    oracle's md5 of the original — end-to-end proof the decompressed
+    bytes are identical, with no decompressor on the oracle side.
+
+    Scale: compress+decompress run in one fused zero-shuffle
+    mapInPandas chain; at 100 TB this is the per-shard ingest path
+    (one shard per task, no driver involvement)."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codec = ("gzip", "bz2", "xz")[int(doc_id) % 3]
+                payloads.append(compress_payload(text.encode(), codec))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "codec": [], "decoded": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                codec, data = sniff_decompress(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["codec"].append(codec)
+                out["decoded"].append(data.decode())
+            yield pd.DataFrame(out)
+
+    media = d.select("doc_id", "text").mapInPandas(
+        pack, schema="doc_id bigint, payload binary")
+    dec = media.mapInPandas(
+        unpack, schema="doc_id bigint, codec string, decoded string")
+    return dec.select(
+        "doc_id", "codec",
+        F.length("decoded").cast("long").alias("n_chars"),
+        F.md5(F.encode("decoded", "utf-8")).alias("digest"))
+
+
+# ---------------------------------------------------------------------------
+# q_archive_extract — ustar TAR walk (the WARC-adjacent record shape)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_archive_extract",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, lang, 1 + doc_id % 3 AS m FROM documents
+    )
+    SELECT doc_id,
+           m AS n_members,
+           5 * m * (m + 1) AS total_bytes,
+           'doc' || cast(doc_id as varchar) || '/part'
+             || cast(m - 1 as varchar) || '.txt' AS last_name,
+           repeat(lang, m) AS head_concat
+    FROM params
+    """,
+)
+def q_archive_extract(spark, sf_dir):
+    """TAR (ustar) archive walk — the "many records in one blob"
+    container shape of WARC/shard ingest: per doc an archive with
+    1 + doc_id%3 members is synthesized (member j named
+    doc{id}/part{j}.txt, content = lang repeated 5(j+1) times, so
+    sizes are the closed form 10(j+1)), then the decoder walks
+    512-byte header blocks, VERIFIES each header checksum (computed
+    with the checksum field spaced out, per the tar spec), parses
+    octal sizes, and slices members across block padding. Reported
+    features — member count, total payload bytes, last member name,
+    and the concatenation of each member's first 2 chars — are all
+    closed-form; a checksum, octal-parse, or padding slip breaks them.
+
+    Scale: zero-shuffle mapInPandas; archives never leave the task."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, lang in zip(pdf["doc_id"], pdf["lang"]):
+                did = int(doc_id)
+                m = 1 + did % 3
+                members = [(f"doc{did}/part{j}.txt",
+                            (lang * (5 * (j + 1))).encode())
+                           for j in range(m)]
+                payloads.append(encode_tar(members))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_members": [], "total_bytes": [],
+                   "last_name": [], "head_concat": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                members = decode_tar(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["n_members"].append(len(members))
+                out["total_bytes"].append(
+                    sum(len(c) for _, c in members))
+                out["last_name"].append(members[-1][0])
+                out["head_concat"].append(
+                    "".join(c[:2].decode() for _, c in members))
+            yield pd.DataFrame(out)
+
+    media = d.select("doc_id", "lang").mapInPandas(
+        pack, schema="doc_id bigint, payload binary")
+    return media.mapInPandas(
+        walk, schema=("doc_id bigint, n_members bigint, "
+                      "total_bytes bigint, last_name string, "
+                      "head_concat string"))
+
+
+# ---------------------------------------------------------------------------
+# q_text_utf8_validate — real UTF-8 DFA with maximal-subpart resync
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_text_utf8_validate",
+    oracle="""
+    SELECT doc_id,
+           cast(length(text) as bigint) AS n_bytes,
+           cast((length(text) - 1) // 97 + 1 as bigint) AS n_invalid,
+           cast(length(text) - ((length(text) - 1) // 97 + 1)
+                as bigint) AS n_valid_chars,
+           false AS is_valid
+    FROM documents
+    """,
+)
+def q_text_utf8_validate(spark, sf_dir):
+    """UTF-8 validation over deliberately corrupted payloads — the
+    mojibake gate a crawl pipeline runs before trusting any charset
+    label: every 97th byte of the (pure-ASCII, verified) text is
+    replaced with 0xFF, and a REAL table-free UTF-8 state machine
+    (operators/containers.utf8_scan: overlong/surrogate/>U+10FFFF
+    rejection, Unicode maximal-subpart resync) counts valid scalar
+    values and invalid sequences. The oracle predicts both counts in
+    closed form from the text length: positions 0, 97, 194, ... are
+    invalid, every other byte is one ASCII scalar. The DFA's full
+    branch coverage (truncation, surrogates, overlongs) is pinned by
+    tests/test_containers.py against python's own codec.
+
+    Scale: zero-shuffle mapInPandas; validation is a linear scan per
+    payload inside the Arrow batch."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_bytes": [], "n_invalid": [],
+                   "n_valid_chars": [], "is_valid": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = bytearray(text.encode())
+                for p in range(0, len(raw), 97):
+                    raw[p] = 0xFF
+                valid, invalid = utf8_scan(bytes(raw))
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(len(raw))
+                out["n_invalid"].append(invalid)
+                out["n_valid_chars"].append(valid)
+                out["is_valid"].append(invalid == 0)
+            yield pd.DataFrame(out)
+
+    return d.select("doc_id", "text").mapInPandas(
+        run, schema=("doc_id bigint, n_bytes bigint, n_invalid bigint, "
+                     "n_valid_chars bigint, is_valid boolean"))

@@ -988,8 +988,9 @@ def q_multimodal_decode_png(spark, sf_dir):
     c0 + (w-1)/2 + (h-1)/2 — a dyadic rational that double arithmetic
     represents exactly on both engines, so any unfilter slip (wrong
     left/up reference, Paeth tie-break, stride bug) breaks the value
-    hash. Interlaced/16-bit/palette PNGs raise NotImplementedError
-    (honest-stub policy).
+    hash. Palette, 16-bit, and Adam7 variants are real decode paths
+    with their own queries (round 6); alpha color types and sub-byte
+    depths raise NotImplementedError (honest-stub policy).
 
     Scale: identical shape to q_multimodal_decode — zero shuffle,
     Arrow-streamed mapInPandas, decode parallelism == partitions."""

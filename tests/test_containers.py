@@ -1,0 +1,116 @@
+"""Crawl-container operators (operators/containers.py): TAR writer/
+walker cross-checked against stdlib tarfile in BOTH directions,
+mixed-codec decompression round-trips, and the UTF-8 DFA
+branch-covered against python's own codec (maximal-subpart
+replacement counting)."""
+
+from __future__ import annotations
+
+import io
+import tarfile
+
+import pytest
+
+from challenge8_movies_etl_spark.operators.containers import (
+    compress_payload,
+    decode_tar,
+    encode_tar,
+    sniff_decompress,
+    utf8_scan,
+)
+
+
+def test_codec_roundtrip_and_sniff():
+    data = b"the quick brown fox " * 50
+    for codec in ("gzip", "bz2", "xz"):
+        buf = compress_payload(data, codec)
+        got_codec, got = sniff_decompress(buf)
+        assert (got_codec, got) == (codec, data)
+    with pytest.raises(NotImplementedError, match="decompressor"):
+        sniff_decompress(b"\x00\x01\x02\x03\x04\x05")
+
+
+def test_gzip_integrity_trailer_checked():
+    buf = bytearray(compress_payload(b"payload bytes here", "gzip"))
+    buf[-5] ^= 0xFF  # corrupt CRC32/ISIZE trailer
+    with pytest.raises(Exception):
+        sniff_decompress(bytes(buf))
+
+
+def test_tar_roundtrip_ours():
+    members = [("a/b.txt", b"hello"), ("c.bin", b"\x00" * 600),
+               ("empty.txt", b""), ("exact.txt", b"x" * 512)]
+    assert decode_tar(encode_tar(members)) == members
+
+
+def test_tar_ours_readable_by_stdlib():
+    members = [("doc1/part0.txt", b"en" * 5), ("doc1/part1.txt", b"fr" * 10)]
+    tf = tarfile.open(fileobj=io.BytesIO(encode_tar(members)))
+    got = [(m.name, tf.extractfile(m).read()) for m in tf.getmembers()]
+    assert got == members
+
+
+def test_tar_stdlib_readable_by_ours():
+    bio = io.BytesIO()
+    with tarfile.open(fileobj=bio, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, content in [("x.txt", b"abc"), ("y/z.txt", b"d" * 700)]:
+            info = tarfile.TarInfo(name)
+            info.size = len(content)
+            tf.addfile(info, io.BytesIO(content))
+    got = decode_tar(bio.getvalue())
+    assert got == [("x.txt", b"abc"), ("y/z.txt", b"d" * 700)]
+
+
+def test_tar_checksum_corruption_detected():
+    buf = bytearray(encode_tar([("f.txt", b"data")]))
+    buf[0] ^= 0xFF  # flip a name byte -> checksum mismatch
+    with pytest.raises(ValueError, match="checksum"):
+        decode_tar(bytes(buf))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_tar(encode_tar([("f.txt", b"data" * 200)])[:512 + 100])
+
+
+def _python_counts(raw: bytes) -> tuple[int, int]:
+    """Twin via python's codec: valid scalars + replacement count
+    under errors='replace' (python implements maximal subpart)."""
+    s = raw.decode("utf-8", errors="replace")
+    inv = s.count("�") - raw.decode().count("�") \
+        if b"\xef\xbf\xbd" in raw else s.count("�")
+    return len(s) - inv, inv
+
+
+@pytest.mark.parametrize("raw", [
+    b"plain ascii",
+    "héllo wörld".encode(),
+    "日本語テキスト".encode(),
+    "emoji 🎉 and 𝔘𝔫𝔦𝔠𝔬𝔡𝔢".encode(),
+    b"",
+    b"\xff",                      # invalid lead
+    b"\x80\x80",                  # lone continuations
+    b"\xc0\xaf",                  # overlong '/'
+    b"\xc1\xbf",                  # overlong
+    b"\xe0\x80\xaf",              # overlong 3-byte
+    b"\xe0\xa0",                  # truncated 3-byte (valid prefix)
+    b"\xed\xa0\x80",              # surrogate D800
+    b"\xed\x9f\xbf",              # U+D7FF (valid, just below)
+    b"\xf0\x8f\xbf\xbf",          # overlong 4-byte
+    b"\xf0\x90\x80\x80",          # U+10000 (valid)
+    b"\xf4\x8f\xbf\xbf",          # U+10FFFF (valid, max)
+    b"\xf4\x90\x80\x80",          # > U+10FFFF
+    b"\xf5\x80\x80\x80",          # invalid lead F5
+    b"ab\xe2\x82",                # truncated euro at end
+    b"\xe2\x82\xacX\xc3",         # valid euro, then truncated 2-byte
+    b"a\xc3\x28b",                # 2-byte lead + non-continuation
+])
+def test_utf8_scan_matches_python_codec(raw):
+    want = _python_counts(raw)
+    assert utf8_scan(raw) == want, raw
+
+
+def test_utf8_scan_exhaustive_two_bytes():
+    """Every 2-byte sequence: DFA total (valid + invalid-weighted
+    consumption) must agree with python's replace decoding."""
+    for b0 in range(0x80, 0x100):
+        for b1 in (0x00, 0x7F, 0x80, 0x9F, 0xA0, 0xBF, 0xC0, 0xFF):
+            raw = bytes((b0, b1))
+            assert utf8_scan(raw) == _python_counts(raw), raw
