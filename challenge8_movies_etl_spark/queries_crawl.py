@@ -265,3 +265,153 @@ def q_text_utf8_validate(spark, sf_dir):
     return d.select("doc_id", "text").mapInPandas(
         run, schema=("doc_id bigint, n_bytes bigint, n_invalid bigint, "
                      "n_valid_chars bigint, is_valid boolean"))
+
+
+# ---------------------------------------------------------------------------
+# q_quality_gopher — the full Gopher rule battery (Rae et al. 2021)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_quality_gopher",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             length(text) AS n_chars_txt
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             cast(len(toks) as bigint) AS n_words,
+             cast(length(array_to_string(toks, '')) as bigint)
+               AS sum_word_len,
+             cast(len(list_filter(toks,
+                  w -> regexp_full_match(w, '[a-z]+'))) as bigint)
+               AS n_alpha_words,
+             cast(len(list_filter(toks, w -> w = 'the' OR w = 'a'))
+                  as bigint) AS n_stop
+      FROM t
+    )
+    SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_stop,
+           CASE WHEN n_words BETWEEN 50 AND 100000
+                     AND sum_word_len * 1 >= 3 * n_words
+                     AND sum_word_len * 1 <= 10 * n_words
+                     AND n_alpha_words * 5 >= 4 * n_words
+                     AND n_stop >= 2
+                THEN 1 ELSE 0 END AS keep
+    FROM m
+    """,
+)
+def q_quality_gopher(spark, sf_dir):
+    """The named Gopher quality-filter battery (Rae et al. 2021,
+    table A1 — the rule set FineWeb/Dolma descend from), as exact
+    integer cross-multiplications over one token array: word count in
+    [50, 100000], mean word length in [3, 10] (sum_len vs 3n / 10n),
+    alpha-word fraction >= 80% (5·alpha >= 4·n), and >= 2 stopword
+    hits (the fixture lexicon {'the','a'}). Completes the quality
+    family beside q_quality_repetition (the same paper's repetition
+    signals) and q_quality_pipeline (the C4-style composite). The
+    paper's symbol-to-word rule ('#'/'...') is OMITTED: the fixture
+    corpus contains no such symbols, so the rule would be vacuously
+    true and hash-check nothing.
+
+    Scale: array higher-order functions in the scan — row-local,
+    whole-stage codegen, zero shuffle (the explode→groupBy form would
+    shuffle every token of a 100 TB corpus for a per-row answer)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "text", F.split("text", " ").alias("toks"))
+    m = t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        F.length(F.concat_ws("", "toks")).cast("long")
+        .alias("sum_word_len"),
+        F.size(F.filter("toks", lambda w: w.rlike("^[a-z]+$")))
+        .cast("long").alias("n_alpha_words"),
+        F.size(F.filter("toks", lambda w: (w == "the") | (w == "a")))
+        .cast("long").alias("n_stop"),
+    )
+    keep = (F.col("n_words").between(50, 100000)
+            & (F.col("sum_word_len") >= 3 * F.col("n_words"))
+            & (F.col("sum_word_len") <= 10 * F.col("n_words"))
+            & (F.col("n_alpha_words") * 5 >= 4 * F.col("n_words"))
+            & (F.col("n_stop") >= 2))
+    return m.select("doc_id", "n_words", "sum_word_len",
+                    "n_alpha_words", "n_stop",
+                    keep.cast("int").alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# q_html_extract — boilerplate strip (the trafilatura-shaped crawl op)
+# ---------------------------------------------------------------------------
+
+_HTML_WRAP_SQL = (
+    "'<html><head><title>doc ' || cast(doc_id as varchar) "
+    "|| '</title><style>p{margin:0}</style>"
+    "<script>var x=' || cast(doc_id % 7 as varchar) || ';</script>"
+    "</head><body><nav>home | about</nav><p>' "
+    "|| replace(text, ' ', '&#32;') "
+    "|| '</p><footer>&copy; example</footer></body></html>'"
+)
+
+
+@query(
+    "q_html_extract",
+    oracle=f"""
+    WITH pages AS (
+      SELECT doc_id, {_HTML_WRAP_SQL} AS html FROM documents
+    ), stripped AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(
+                 html,
+                 '<script[^>]*>.*?</script>', '', 'gs'),
+               '<style[^>]*>.*?</style>', '', 'gs'),
+               '<[^>]+>', ' ', 'g'),
+               '&#32;|&nbsp;', ' ', 'g')) AS flat
+      FROM pages
+    )
+    SELECT doc_id,
+           regexp_replace(flat, '\\s+', ' ', 'g') AS extracted,
+           md5(regexp_replace(flat, '\\s+', ' ', 'g')) AS digest
+    FROM stripped
+    """,
+)
+def q_html_extract(spark, sf_dir):
+    """HTML boilerplate stripping — the main-content extraction every
+    web-corpus pipeline runs (the regex core of the trafilatura /
+    jusText shape): drop <script>/<style> WITH their contents
+    (dot-matches-newline, non-greedy close), replace remaining tags
+    with spaces, decode the numeric entity the fixture uses, and
+    normalize whitespace. Both engines wrap the text in the identical
+    synthetic page (head/title/style/script/nav/footer chrome +
+    entity-encoded body), so the oracle checks the STRIPPER: a greedy
+    .* or tag-boundary slip leaves chrome in the output and breaks
+    the md5. Output keeps the title,
+    nav, and footer text — tag REMOVAL is boilerplate-agnostic; the
+    content/boilerplate split is the downstream classifier's job
+    (q_quality_*), exactly as in production extractors.
+
+    Scale: a codegen regexp_replace chain in the scan — no shuffle,
+    no python; at 100 TB extraction cost is the scan itself."""
+    d = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p{margin:0}</style><script>var x="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(";</script></head><body><nav>home | about</nav><p>"),
+        F.regexp_replace("text", " ", "&#32;"),
+        F.lit("</p><footer>&copy; example</footer></body></html>"))
+    # two literal patterns, not one with a backreference: the oracle
+    # runs on RE2 (DuckDB), which has no backreferences — keep the
+    # regex dialect intersection on BOTH engines
+    flat = F.trim(F.regexp_replace(F.regexp_replace(F.regexp_replace(
+        F.regexp_replace(
+            html,
+            r"(?s)<script[^>]*>.*?</script>", ""),
+        r"(?s)<style[^>]*>.*?</style>", ""),
+        r"<[^>]+>", " "),
+        r"&#32;|&nbsp;", " "))
+    extracted = F.regexp_replace(flat, r"\s+", " ")
+    return d.select(
+        "doc_id",
+        extracted.alias("extracted"),
+        F.md5(F.encode(extracted, "utf-8")).alias("digest"))
