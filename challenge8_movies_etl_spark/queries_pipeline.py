@@ -1329,3 +1329,82 @@ def q_pps_systematic(spark, sf_dir):
             .select("j", "id", "w", F.col("tot").cast("long")
                     .alias("total_w"))
             .orderBy("j"))
+
+
+# ---------------------------------------------------------------------------
+# q_seq_packing — greedy next-fit sample packing into 512-token bins
+# ---------------------------------------------------------------------------
+
+_PACK_CAP, _PACK_BUCKET = 512, 200
+
+
+@query(
+    "q_seq_packing",
+    oracle=f"""
+    WITH RECURSIVE ord AS (
+      SELECT doc_id, doc_id // {_PACK_BUCKET} AS bucket,
+             cast(len(string_split(text, ' ')) as bigint) AS tl,
+             row_number() OVER (PARTITION BY doc_id // {_PACK_BUCKET}
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    pack AS (
+      SELECT bucket, rn, tl, cast(0 as bigint) AS bin, tl AS fill
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.bucket, o.rn, o.tl,
+             CASE WHEN p.fill + o.tl <= {_PACK_CAP} THEN p.bin
+                  ELSE p.bin + 1 END,
+             CASE WHEN p.fill + o.tl <= {_PACK_CAP} THEN p.fill + o.tl
+                  ELSE o.tl END
+      FROM pack p JOIN ord o
+        ON o.bucket = p.bucket AND o.rn = p.rn + 1
+    )
+    SELECT bucket, bin,
+           cast(count(*) as bigint) AS n_docs,
+           cast(sum(tl) as bigint) AS tok_sum
+    FROM pack GROUP BY bucket, bin
+    """,
+)
+def q_seq_packing(spark, sf_dir):
+    """Greedy next-fit sequence packing — the 'sample packing' step
+    every pretraining pipeline runs to fill fixed-length training
+    sequences: docs are walked in doc_id order within a
+    {_PACK_BUCKET}-doc shard and appended to the current
+    {_PACK_CAP}-token bin until it would overflow, then a new bin
+    opens. Packing is inherently sequential, so it runs per-shard in
+    applyInPandas (input bounded by the shard size, NEVER corpus-
+    sized); the oracle replays the same walk with a recursive CTE.
+    Per-(shard, bin) doc counts and token sums are hash-checked —
+    any off-by-one in the overflow rule moves docs across bins.
+
+    Scale: at 100 TB the shard key is the natural file/partition
+    boundary; packing parallelism == shards, each a few hundred rows.
+    One shuffle on the shard key, linear work inside."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        (F.col("doc_id") / _PACK_BUCKET).cast("long").alias("bucket"),
+        F.size(F.split("text", " ")).cast("long").alias("tl"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fill, cur = [], 0, 0
+        for tl in pdf["tl"]:
+            if fill + tl <= _PACK_CAP:
+                fill += tl
+            else:
+                cur += 1
+                fill = tl
+            bins.append(cur)
+        pdf["bin"] = bins
+        g = (pdf.groupby("bin", as_index=False)
+             .agg(n_docs=("tl", "size"), tok_sum=("tl", "sum")))
+        g.insert(0, "bucket", pdf["bucket"].iloc[0])
+        return g[["bucket", "bin", "n_docs", "tok_sum"]]
+
+    return (base.groupBy("bucket")
+            .applyInPandas(pack, "bucket bigint, bin bigint, "
+                                 "n_docs bigint, tok_sum bigint"))
