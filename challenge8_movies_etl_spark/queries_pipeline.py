@@ -1367,12 +1367,13 @@ _PACK_CAP, _PACK_BUCKET = 512, 200
     """,
 )
 def q_seq_packing(spark, sf_dir):
-    """Greedy next-fit sequence packing — the 'sample packing' step
-    every pretraining pipeline runs to fill fixed-length training
-    sequences: docs are walked in doc_id order within a
-    {_PACK_BUCKET}-doc shard and appended to the current
-    {_PACK_CAP}-token bin until it would overflow, then a new bin
-    opens. Packing is inherently sequential, so it runs per-shard in
+    """Greedy next-fit sequence packing — the BOUNDARY-RESPECTING
+    'sample packing' mode (no document straddles a bin; the
+    complement of q_pack_sequences' concat-then-chunk layout where
+    straddling is allowed and bin assignment is a pure prefix-sum):
+    docs are walked in doc_id order within a {_PACK_BUCKET}-doc shard
+    and appended to the current {_PACK_CAP}-token bin until the NEXT
+    doc would overflow, then a new bin opens. Packing is inherently sequential, so it runs per-shard in
     applyInPandas (input bounded by the shard size, NEVER corpus-
     sized); the oracle replays the same walk with a recursive CTE.
     Per-(shard, bin) doc counts and token sums are hash-checked —
