@@ -102,6 +102,12 @@ EXTRA = [
     "q_huber_regression",
     "q_decision_stump",
     "q_dtw_distance",
+    # round-6 wave: crawl front door (mixed-codec decompress, codegen
+    # HTML strip), palette-PNG decode, per-shard sequence packing
+    "q_text_decompress",
+    "q_html_extract",
+    "q_multimodal_decode_palette",
+    "q_seq_packing",
 ]
 
 

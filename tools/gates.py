@@ -78,6 +78,11 @@ SHAPE = {
     "q_huber_regression": "q_graph_pagerank",  # fixed-iteration passes
     "q_decision_stump": "q_join_multi_5way",   # unpivot + windows
     "q_dtw_distance": "q_multimodal_decode",   # pandas DP kernel
+    # round-6 wave
+    "q_text_decompress": "q_multimodal_decode",  # Arrow python codecs
+    "q_html_extract": "q_text_sentiment",        # codegen regex chain
+    "q_multimodal_decode_palette": "q_multimodal_decode",
+    "q_seq_packing": "q_multimodal_decode",      # shard applyInPandas
 }
 
 
