@@ -56,7 +56,20 @@ UDF_SURFACE = {"q_udf_scalar", "q_udaf_grouped", "q_udtf",
                "q_burst_detect",  # applyInPandas DP on bounded series
                "q_dtw_distance",  # applyInPandas DP on bounded pairs
                "q_image_phash",  # Arrow DCT pHash surface (ninth wave)
-               "q_audio_resample"}  # Arrow decode + boxcar decimation
+               "q_audio_resample",  # Arrow decode + boxcar decimation
+               # round-6 declared Arrow surfaces (codec long tail +
+               # crawl front door + PAV boundary check + packing)
+               "q_multimodal_decode_palette",  # PLTE expansion decode
+               "q_multimodal_decode_png16",  # 16-bit PNG decode
+               "q_multimodal_decode_adam7",  # interlaced decode+probes
+               "q_multimodal_decode_chroma422",  # 4:2:2/4:4:0 decode
+               "q_audio_decode_float",  # IEEE-float32 WAV decode
+               "q_audio_decode_mulaw",  # G.711 companding decode
+               "q_text_decompress",  # gzip/bz2/xz sniff-decompress
+               "q_archive_extract",  # ustar walk
+               "q_text_utf8_validate",  # UTF-8 maximal-subpart DFA
+               "q_isotonic_check",  # applyInPandas PAV boundary blocks
+               "q_seq_packing"}  # per-shard next-fit applyInPandas
 
 
 def audit(spark, qid, fn, sf_dir):
