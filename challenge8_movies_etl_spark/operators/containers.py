@@ -26,14 +26,18 @@ import zlib
 
 def compress_payload(data: bytes, codec: str) -> bytes:
     """Compress with a real container format (not bare deflate):
-    gzip (RFC 1952 header + CRC32 + ISIZE), bz2, or xz."""
+    gzip (RFC 1952 header + CRC32 + ISIZE), bz2, or xz. Fast presets
+    (bz2 level 1, xz preset 0) — the fixture ENCODE step is test
+    scaffolding, not the operator under measure; the decode path is
+    identical at any level, and default xz preset 6 alone was 1.9x the
+    whole query's bench gate (BENCH r6)."""
     if codec == "gzip":
-        co = zlib.compressobj(wbits=31)
+        co = zlib.compressobj(level=1, wbits=31)
         return co.compress(data) + co.flush()
     if codec == "bz2":
-        return bz2.compress(data)
+        return bz2.compress(data, compresslevel=1)
     if codec == "xz":
-        return lzma.compress(data, format=lzma.FORMAT_XZ)
+        return lzma.compress(data, format=lzma.FORMAT_XZ, preset=0)
     raise ValueError(f"unknown codec {codec}")
 
 
