@@ -463,3 +463,64 @@ def q_variant_json(spark, sf_dir):
             .groupBy("k_decade")
             .agg(F.count("*").alias("n"),
                  F.sum("k").alias("k_sum")))
+
+
+@query(
+    "q_array_setops",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(string_split(text, ' ')) AS a
+      FROM documents WHERE doc_id % 10 = 0
+    ), pair AS (
+      SELECT x.doc_id,
+             x.a AS a,
+             (SELECT y.a FROM t y WHERE y.doc_id = x.doc_id + 10) AS b
+      FROM t x
+      WHERE EXISTS (SELECT 1 FROM t y WHERE y.doc_id = x.doc_id + 10)
+    )
+    SELECT doc_id,
+           cast(len(list_intersect(a, b)) as bigint) AS n_common,
+           array_to_string(list_sort(list_intersect(a, b)), ',')
+             AS common_sorted,
+           cast(len(list_distinct(list_concat(a, b))) as bigint)
+             AS n_union,
+           cast(len(list_filter(a, w -> NOT list_contains(b, w)))
+             as bigint) AS n_only_a,
+           list_position(list_sort(a), 'the') > 0 AS has_the,
+           cast(list_position(list_sort(a), 'the') as bigint) AS the_pos
+    FROM pair
+    """,
+)
+def q_array_setops(spark, sf_dir):
+    """Array set-operation battery — union/intersect/except/sort/
+    position as Catalyst expressions over vocabularies of ADJACENT
+    documents (self-join on doc_id+10, broadcast-sized after the %10
+    filter): the set-algebra surface the dedup/decontamination
+    operators build on, declared so the driver checks the primitives
+    themselves. Intersections are emitted both as counts and as a
+    sorted serialized list (scalar-only output contract); positions
+    are over the SORTED array because engine-native vocabulary order
+    differs.
+
+    Scale: one self-equi-join on a filtered slice, then pure codegen
+    array expressions — no explode, no token shuffle."""
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") % 10 == 0))
+    t = d.select("doc_id",
+                 F.array_distinct(F.split("text", " ")).alias("a"))
+    other = t.select((F.col("doc_id") - 10).alias("doc_id"),
+                     F.col("a").alias("b"))
+    pair = t.join(other, "doc_id")
+    inter = F.array_intersect("a", "b")
+    return pair.select(
+        "doc_id",
+        F.size(inter).cast("long").alias("n_common"),
+        F.concat_ws(",", F.array_sort(inter)).alias("common_sorted"),
+        F.size(F.array_distinct(F.array_union("a", "b"))).cast("long")
+        .alias("n_union"),
+        F.size(F.array_except("a", "b")).cast("long").alias("n_only_a"),
+        (F.array_position(F.array_sort("a"), "the") > 0)
+        .alias("has_the"),
+        F.array_position(F.array_sort("a"), "the").cast("long")
+        .alias("the_pos"))
