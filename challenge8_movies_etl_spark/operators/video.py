@@ -31,13 +31,16 @@ def encode_y4m(width: int, height: int,
                chroma: str = "420jpeg",
                rate: "tuple[int, int]" = (25, 1)) -> bytes:
     """Minimal-but-correct YUV4MPEG2 writer: uniform (y, cb, cr)
-    frames at C420jpeg (2x2-subsampled chroma; even dims required) or
-    C444."""
+    frames at C420jpeg (2x2-subsampled chroma; even dims required),
+    C422 (horizontal-only subsample; even width required), or C444."""
     if chroma.startswith("420") and (width % 2 or height % 2):
         raise ValueError("C420 needs even dimensions")
+    if chroma == "422" and width % 2:
+        raise ValueError("C422 needs even width")
     head = (f"YUV4MPEG2 W{width} H{height} "
             f"F{rate[0]}:{rate[1]} Ip A1:1 C{chroma}\n").encode()
     cw, ch = ((width // 2, height // 2) if chroma.startswith("420")
+              else (width // 2, height) if chroma == "422"
               else (width, height))
     out = [head]
     for y, cb, cr in frames:
@@ -70,6 +73,8 @@ def decode_y4m(buf: bytes) -> tuple[int, int, str, list]:
         raise ValueError("missing W/H in stream header")
     if chroma.startswith("420"):
         cw, ch = width // 2, height // 2
+    elif chroma == "422":
+        cw, ch = width // 2, height  # horizontal-only subsample
     elif chroma == "444":
         cw, ch = width, height
     else:

@@ -42,12 +42,28 @@ def test_frame_stride_not_shifted():
 def test_refusals():
     with pytest.raises(NotImplementedError):
         decode_y4m(b"RIFF not a y4m stream\n")
-    with pytest.raises(NotImplementedError):  # 4:2:2 layout not built
-        decode_y4m(b"YUV4MPEG2 W4 H4 C422\nFRAME\n" + b"\x00" * 32)
+    with pytest.raises(NotImplementedError):  # C410 layout not built
+        decode_y4m(b"YUV4MPEG2 W4 H4 C410\nFRAME\n" + b"\x00" * 32)
     with pytest.raises(ValueError):  # truncated frame payload
         decode_y4m(b"YUV4MPEG2 W4 H4 C444\nFRAME\n" + b"\x00" * 10)
     with pytest.raises(ValueError):  # odd dims cannot carry C420
         encode_y4m(3, 3, [(0, 0, 0)], "420jpeg")
+    with pytest.raises(ValueError):  # odd width cannot carry C422
+        encode_y4m(3, 3, [(0, 0, 0)], "422")
+
+
+def test_c422_roundtrip():
+    """Round 6: C422 (horizontal-only chroma subsample) is a real
+    layout — plane sizes w/2 x h, frames walk correctly."""
+    buf = encode_y4m(6, 3, [(10, 20, 30), (40, 50, 60)], "422")
+    w, h, chroma, frames = decode_y4m(buf)
+    assert (w, h, chroma) == (6, 3, "422")
+    assert len(frames) == 2
+    for (yv, cbv, crv), (y, cb, cr) in zip(
+            [(10, 20, 30), (40, 50, 60)], frames):
+        assert y.shape == (3, 6) and (y == yv).all()
+        assert cb.shape == (3, 3) and (cb == cbv).all()
+        assert cr.shape == (3, 3) and (cr == crv).all()
 
 
 def test_scene_cuts_hand_built_clip(spark):
