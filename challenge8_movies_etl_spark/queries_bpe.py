@@ -200,3 +200,138 @@ def q_bpe_apply(spark, sf_dir):
         F.round(F.sum(nch * F.col("n")).cast("double")
                 / F.sum(F.size(toks) * F.col("n")), 4)
         .alias("chars_per_token"))
+
+
+# ---------------------------------------------------------------------------
+# q_unigram_segment — unigram-LM (SentencePiece-style) min-cost
+# segmentation with exact integer costs
+# ---------------------------------------------------------------------------
+
+_UNI_BI = ("th", "he", "er", "in", "an", "re", "on", "at", "or",
+           "ar", "ta", "st")
+_UNI_TRI = ("the", "ing", "ter", "row", "sca")
+_UNI_INF = 1_000_000_000
+
+
+def _uni_cost(piece: str) -> int:
+    if len(piece) == 1:
+        return 60
+    if piece in _UNI_BI:
+        return 90
+    if piece in _UNI_TRI:
+        return 100
+    return _UNI_INF
+
+
+def unigram_min_cost(w: str) -> int:
+    """Viterbi/DP min segmentation cost of one word under the fixed
+    integer-cost piece vocabulary (pieces up to 3 chars). Pure python
+    twin shared by the Spark UDF and the tests; the oracle unrolls the
+    identical recurrence in static SQL."""
+    L = len(w)
+    dp = [0] + [_UNI_INF] * L
+    for k in range(1, L + 1):
+        best = _UNI_INF
+        for j in (1, 2, 3):
+            if j <= k:
+                c = dp[k - j] + _uni_cost(w[k - j:k])
+                if c < best:
+                    best = c
+        dp[k] = best
+    return dp[L]
+
+
+def _uni_cost_sql(expr: str) -> str:
+    bis = ", ".join(f"'{p}'" for p in _UNI_BI)
+    tris = ", ".join(f"'{p}'" for p in _UNI_TRI)
+    return (f"CASE WHEN length({expr}) = 1 THEN 60 "
+            f"WHEN {expr} IN ({bis}) THEN 90 "
+            f"WHEN {expr} IN ({tris}) THEN 100 "
+            f"ELSE {_UNI_INF} END")
+
+
+def _unigram_oracle(max_len: int = 8) -> str:
+    """Unroll the DP over positions 1..max_len as lateral column
+    aliases (the corpus' longest token is 8 chars — asserted in the
+    twin test). dp_k = min over j=1..3 of dp_(k-j) + cost(piece)."""
+    cols = []
+    for k in range(1, max_len + 1):
+        terms = []
+        for j in (1, 2, 3):
+            if j > k:
+                continue
+            prev = f"dp{k - j}" if k - j else "0"
+            guard = f"{k} <= L"
+            piece = f"substr(w, {k - j + 1}, {j})"
+            terms.append(f"CASE WHEN {guard} THEN {prev} + "
+                         f"{_uni_cost_sql(piece)} ELSE {_UNI_INF} END")
+        cols.append(f"least({', '.join(terms)}) AS dp{k}")
+    dpcols = ",\n             ".join(cols)
+    final = " ".join(f"WHEN {k} THEN dp{k}"
+                     for k in range(1, max_len + 1))
+    return f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    dw AS (SELECT DISTINCT w FROM words),
+    dp AS (
+      SELECT w, length(w) AS L,
+             {dpcols}
+      FROM dw
+    ),
+    costs AS (
+      SELECT w, CASE L {final} END AS wcost FROM dp
+    )
+    SELECT doc_id,
+           cast(count(*) as bigint) AS n_words,
+           cast(sum(wcost) as bigint) AS seg_cost,
+           cast(max(wcost) as bigint) AS max_word_cost
+    FROM words JOIN costs USING (w)
+    GROUP BY doc_id
+    """
+
+
+@query("q_unigram_segment", oracle=_unigram_oracle())
+def q_unigram_segment(spark, sf_dir):
+    """Unigram-LM tokenizer inference (the SentencePiece segmentation
+    mode, Kudo 2018) — completes the tokenizer family's third
+    algorithm beside BPE (merge replay) and WordPiece (greedy longest
+    match): each word is segmented by GLOBAL min total piece cost via
+    Viterbi DP, which greedy matching gets wrong whenever a locally
+    longest piece blocks a cheaper split. Costs are fixed integers
+    (chars 60, common bigrams 90, trigrams 100 — the integer analogue
+    of -log p), so the min cost is exact and the per-doc cost totals
+    hash-check; the oracle unrolls the identical recurrence as eight
+    static SQL columns over the distinct-word table (the min COST is
+    unique even when the argmin path ties, so no tie-break leaks in).
+
+    Scale: the DP runs once per DISTINCT word (a dict-cached python
+    pass inside Arrow batches), then broadcast-joins back to the
+    corpus — at 100 TB the vocabulary table is the small side and the
+    per-token work is a hash lookup, exactly how production
+    tokenizers amortize."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id",
+                     F.explode(F.split("text", " ")).alias("w"))
+
+    def seg(batches):
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            costs = []
+            for w in pdf["w"]:
+                c = cache.get(w)
+                if c is None:
+                    c = cache[w] = unigram_min_cost(w)
+                costs.append(c)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "wcost": costs})
+
+    per_word = words.mapInPandas(
+        seg, schema="doc_id bigint, wcost bigint")
+    return (per_word.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_words"),
+                 F.sum("wcost").cast("long").alias("seg_cost"),
+                 F.max("wcost").cast("long").alias("max_word_cost")))

@@ -57,3 +57,47 @@ def test_bpe_merge_counts_nonincreasing(spark):
     assert len({(r["t1"], r["t2"]) for r in rows}) == 5
     for r in rows:
         assert r["merged"] == r["t1"] + r["t2"]
+
+
+def test_unigram_min_cost_brute_force():
+    """DP equals exhaustive enumeration over every segmentation for
+    all words up to length 6 over a 3-letter alphabet (covers every
+    piece-boundary interaction), and differs from greedy longest-match
+    where a locally longest piece blocks a cheaper split."""
+    from itertools import product
+
+    from challenge8_movies_etl_spark.queries_bpe import (
+        _uni_cost, unigram_min_cost)
+
+    def brute(w):
+        if not w:
+            return 0
+        best = 10**12
+        for j in (1, 2, 3):
+            if j <= len(w):
+                best = min(best, _uni_cost(w[:j]) + brute(w[j:]))
+        return best
+
+    for m in range(1, 7):
+        for tup in product("the", repeat=m):
+            w = "".join(tup)
+            assert unigram_min_cost(w) == brute(w), w
+
+    # 'ather': greedy eats 'at'(90)+'he'(90)+'r'(60)=240; optimal is
+    # 'a'(60)+'the'(100)+'r'(60)=220
+    assert unigram_min_cost("ather") == 220
+
+
+def test_unigram_oracle_precondition_max_word_len():
+    """The SQL oracle unrolls the DP to 8 positions; pin the corpus
+    precondition that no token exceeds 8 chars (at the smoke scale;
+    the sf0.01/0.1 sweeps enforce it end-to-end via the hash)."""
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+    con = duckdb.connect()
+    (mx,) = con.execute(
+        f"SELECT max(length(w)) FROM (SELECT unnest(string_split("
+        f"text, ' ')) AS w FROM read_parquet("
+        f"'{SF_SMOKE}/documents.parquet'))").fetchone()
+    assert mx <= 8
