@@ -187,3 +187,26 @@ def scene_cuts(media: DataFrame, threshold: int = 64) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=SCENE_SCHEMA)
+
+
+def synthesize_videos_422(docs: DataFrame) -> DataFrame:
+    """Round 6: per-doc Y4M payloads at C422 (horizontal-only chroma
+    subsample — the broadcast/capture interchange layout) so the
+    w/2 x h plane geometry is walked end to end; same closed-form
+    frame colors as synthesize_videos."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 2 * (d % 8 + 1), d % 7 + 1  # odd heights legal
+                n = 3 + d % 5
+                frames = [((d * 7 + i * 31) % 256,
+                           (d * 13 + i * 17) % 256,
+                           (d * 19 + i * 23) % 256) for i in range(n)]
+                payloads.append(encode_y4m(w, h, frames, "422"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="doc_id bigint, payload binary")

@@ -107,3 +107,49 @@ def q_video_scenecut(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     media = video.synthesize_videos(d)
     return video.scene_cuts(media)
+
+
+@query(
+    "q_video_chroma422",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id,
+             2 * (doc_id % 8 + 1) AS width,
+             doc_id % 7 + 1 AS height,
+             3 + doc_id % 5 AS n
+      FROM documents WHERE doc_id % 5 = 2
+    ), f AS (
+      SELECT doc_id, width, height,
+             unnest(generate_series(0, n - 1)) AS i
+      FROM params
+    )
+    SELECT doc_id, i AS frame_idx, width, height,
+           '422' AS chroma,
+           round(cast((doc_id * 7 + i * 31) % 256 as double), 4)
+             AS mean_y,
+           round(cast((doc_id * 13 + i * 17) % 256 as double), 4)
+             AS mean_cb,
+           round(cast((doc_id * 19 + i * 23) % 256 as double), 4)
+             AS mean_cr
+    FROM f WHERE i % 2 = 0
+    """,
+)
+def q_video_chroma422(spark, sf_dir):
+    """REAL C422 Y4M decode (round 6: the interchange chroma layout
+    q_video_framestats' C420/C444 rotation didn't walk): chroma
+    planes are w/2 x h — subsampled horizontally only, so ODD frame
+    heights are legal (the fixture uses them, which C420 cannot) and
+    any decoder that reuses the 2x2 plane size reads misaligned
+    frames and breaks every subsequent mean.
+
+    Scale: identical to q_video_framestats — zero shuffle,
+    Arrow-streamed, frame fan-out inside the executor batch."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 2)
+    media = video.synthesize_videos_422(d)
+    feats = video.frame_stats(media, every=2)
+    return feats.select(
+        "doc_id", "frame_idx", "width", "height", "chroma",
+        F.round("mean_y", 4).alias("mean_y"),
+        F.round("mean_cb", 4).alias("mean_cb"),
+        F.round("mean_cr", 4).alias("mean_cr"))
