@@ -415,3 +415,92 @@ def q_html_extract(spark, sf_dir):
         "doc_id",
         extracted.alias("extracted"),
         F.md5(F.encode(extracted, "utf-8")).alias("digest"))
+
+
+# ---------------------------------------------------------------------------
+# q_pii_luhn — checksum-verified account-number detection
+# ---------------------------------------------------------------------------
+
+def _luhn_terms_sql(col: str) -> str:
+    """Sum of Luhn-folded digits of a 12-digit string: every 2nd digit
+    from the RIGHT (positions 1,3,..,11 here) doubles, minus 9 when
+    the double exceeds 9. Static unroll — identical text runs on both
+    engines."""
+    terms = []
+    for i in range(1, 13):
+        d = f"cast(substr({col}, {i}, 1) as bigint)"
+        if i % 2 == 1:  # distance from right is even -> doubled
+            terms.append(f"(2 * {d} - CASE WHEN {d} >= 5 THEN 9 "
+                         f"ELSE 0 END)")
+        else:
+            terms.append(d)
+    return " + ".join(terms)
+
+
+_LUHN_B0 = _luhn_terms_sql("base || '0'")
+_LUHN_ACCT = _luhn_terms_sql("acct")
+
+@query(
+    "q_pii_luhn",
+    oracle=f"""
+    WITH synth AS (
+      SELECT o_orderkey,
+             lpad(cast((o_orderkey * 1009) % 100000000000 as varchar),
+                  11, '0') AS base
+      FROM orders
+    ), carded AS (
+      SELECT o_orderkey,
+             base || cast(
+               CASE WHEN o_orderkey % 2 = 0
+                    THEN (10 - ({_LUHN_B0}) % 10) % 10
+                    ELSE ((10 - ({_LUHN_B0}) % 10) % 10 + 5) % 10
+               END as varchar) AS acct
+      FROM synth
+    )
+    SELECT o_orderkey, acct,
+           ({_LUHN_ACCT}) % 10 = 0 AS is_valid,
+           cast(({_LUHN_ACCT}) % 10 as bigint) AS residue
+    FROM carded
+    """,
+)
+def q_pii_luhn(spark, sf_dir):
+    """Checksum-verified PII detection — the gate that separates real
+    account/card numbers from random digit strings before redaction
+    (regex alone over-fires; production PII scrubbers verify the Luhn
+    checksum first): 12-digit candidates are synthesized per order —
+    even keys get the CORRECT Luhn check digit, odd keys a +5-shifted
+    (always wrong) one — and the VALIDATOR recomputes the folded
+    digit sum on both engines as a statically-unrolled pure-integer
+    expression. is_valid must be exactly (o_orderkey even); any fold
+    slip (doubling parity off by one, missing -9 carry) breaks every
+    row.
+
+    Scale: pure codegen digit arithmetic in the scan — no shuffle, no
+    python, no regex."""
+    o = load_table(spark, sf_dir, "orders")
+    base = F.lpad(((F.col("o_orderkey") * 1009) % 100000000000)
+                  .cast("string"), 11, "0")
+
+    def luhn_sum(col):
+        total = F.lit(0)
+        for i in range(1, 13):
+            d = F.substring(col, i, 1).cast("long")
+            if i % 2 == 1:
+                total = total + (2 * d
+                                 - F.when(d >= 5, 9).otherwise(0))
+            else:
+                total = total + d
+        return total
+
+    base0 = F.concat(base, F.lit("0"))
+    true_digit = (10 - luhn_sum(base0) % 10) % 10
+    digit = F.when(F.col("o_orderkey") % 2 == 0, true_digit) \
+             .otherwise((true_digit + 5) % 10)
+    carded = o.select(
+        "o_orderkey",
+        F.concat(base, digit.cast("string")).alias("acct"))
+    s = luhn_sum(F.col("acct"))
+    return carded.select(
+        "o_orderkey", "acct",
+        (s % 10 == 0).alias("is_valid"),
+        (s % 10).cast("long").alias("residue"))

@@ -114,3 +114,30 @@ def test_utf8_scan_exhaustive_two_bytes():
         for b1 in (0x00, 0x7F, 0x80, 0x9F, 0xA0, 0xBF, 0xC0, 0xFF):
             raw = bytes((b0, b1))
             assert utf8_scan(raw) == _python_counts(raw), raw
+
+
+def test_pii_luhn_matches_reference_convention(spark):
+    """The 12-digit static unroll must implement the standard Luhn
+    convention (double every 2nd digit from the RIGHT): cross-check
+    is_valid against a pure-python reference on the query's own
+    output, and pin that exactly the even orderkeys validate."""
+    from challenge8_movies_etl_spark.registry import QUERIES, load_all
+    from tests.conftest import SF_SMOKE
+    load_all()
+
+    def luhn_ok(s):
+        total = 0
+        for i, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if i % 2 == 1:
+                d = d * 2 - (9 if d >= 5 else 0)
+            total += d
+        return total % 10 == 0
+
+    rows = QUERIES["q_pii_luhn"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert len(r["acct"]) == 12
+        assert r["is_valid"] == luhn_ok(r["acct"])
+        assert r["is_valid"] == (r["o_orderkey"] % 2 == 0)
+        assert (r["residue"] == 0) == r["is_valid"]
