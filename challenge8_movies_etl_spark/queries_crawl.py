@@ -504,3 +504,80 @@ def q_pii_luhn(spark, sf_dir):
         "o_orderkey", "acct",
         (s % 10 == 0).alias("is_valid"),
         (s % 10).cast("long").alias("residue"))
+
+
+# ---------------------------------------------------------------------------
+# q_blocklist_match — Aho-Corasick multi-pattern blocklist filter
+# ---------------------------------------------------------------------------
+
+# none of these is self-bordered (no proper prefix == suffix), so
+# non-overlapping counts (the oracle's replace() arithmetic) equal the
+# automaton's overlap-inclusive counts
+_BLOCK_PATTERNS = ("scan", "slow", "join", "merge", "spark",
+                   "dup", "vector", "stream")
+
+
+def _pat_count_sql(p: str) -> str:
+    return (f"(length(text) - length(replace(text, '{p}', '')))"
+            f" // {len(p)}")
+
+
+@query(
+    "q_blocklist_match",
+    oracle=f"""
+    WITH counts AS (
+      SELECT doc_id,
+             {", ".join(f"cast({_pat_count_sql(p)} as bigint) AS c{i}"
+                        for i, p in enumerate(_BLOCK_PATTERNS))}
+      FROM documents
+    )
+    SELECT doc_id,
+           {" + ".join(f"c{i}" for i in range(len(_BLOCK_PATTERNS)))}
+             AS n_hits,
+           {" + ".join(f"CASE WHEN c{i} > 0 THEN 1 ELSE 0 END"
+                       for i in range(len(_BLOCK_PATTERNS)))}
+             AS n_patterns_hit,
+           greatest({", ".join(f"c{i}"
+                               for i in range(len(_BLOCK_PATTERNS)))})
+             AS max_pattern_hits
+    FROM counts
+    """,
+)
+def q_blocklist_match(spark, sf_dir):
+    """Multi-pattern blocklist matching via a REAL Aho-Corasick
+    automaton (goto/fail/output links, operators/containers.py) — the
+    badwords/contamination filter shape: at production blocklist size
+    (10^4-10^5 patterns) a regex alternation or per-pattern scan pays
+    O(patterns) per document, while the automaton pays O(len(text))
+    regardless, which is the only shape that survives 100 TB. The
+    automaton is built ONCE per task and streamed over Arrow batches;
+    the oracle recomputes per-pattern counts with replace()
+    arithmetic (the fixture patterns have no self-borders, so
+    non-overlapping replace counts equal the automaton's
+    overlap-inclusive counts — pinned by the automaton unit tests
+    with genuinely overlapping patterns).
+
+    Scale: zero shuffle; per-doc output is three integers."""
+    import pandas as pd
+
+    from .operators.containers import AhoCorasick
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ac = AhoCorasick(list(_BLOCK_PATTERNS))
+        for pdf in batches:
+            out = {"doc_id": [], "n_hits": [], "n_patterns_hit": [],
+                   "max_pattern_hits": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                counts = ac.count(text)
+                out["doc_id"].append(doc_id)
+                out["n_hits"].append(sum(counts))
+                out["n_patterns_hit"].append(
+                    sum(1 for c in counts if c))
+                out["max_pattern_hits"].append(max(counts))
+            yield pd.DataFrame(out)
+
+    return d.select("doc_id", "text").mapInPandas(
+        run, schema=("doc_id bigint, n_hits bigint, "
+                     "n_patterns_hit bigint, max_pattern_hits bigint"))

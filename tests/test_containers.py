@@ -141,3 +141,22 @@ def test_pii_luhn_matches_reference_convention(spark):
         assert r["is_valid"] == luhn_ok(r["acct"])
         assert r["is_valid"] == (r["o_orderkey"] % 2 == 0)
         assert (r["residue"] == 0) == r["is_valid"]
+
+
+def test_aho_corasick_classic_and_overlaps():
+    """The textbook 'ushers' case plus genuinely overlapping and
+    nested patterns — the cases replace()-arithmetic oracles CANNOT
+    express, pinning that the automaton itself is correct (the query
+    fixture then restricts to self-border-free patterns where both
+    counting conventions coincide)."""
+    from challenge8_movies_etl_spark.operators.containers import (
+        AhoCorasick)
+    ac = AhoCorasick(["he", "she", "his", "hers"])
+    assert ac.count("ushers") == [1, 1, 0, 1]
+    # overlapping self-bordered pattern: 'aaaa' holds THREE 'aa'
+    assert AhoCorasick(["aa"]).count("aaaa") == [3]
+    # nested patterns both fire at the same end position
+    assert AhoCorasick(["abc", "bc", "c"]).count("xabc") == [1, 1, 1]
+    # no false fires across failure transitions
+    assert AhoCorasick(["ab", "ba"]).count("aba") == [1, 1]
+    assert AhoCorasick(["x"]).count("") == [0]
