@@ -71,7 +71,8 @@ UDF_SURFACE = {"q_udf_scalar", "q_udaf_grouped", "q_udtf",
                "q_isotonic_check",  # applyInPandas PAV boundary blocks
                "q_seq_packing",  # per-shard next-fit applyInPandas
                "q_unigram_segment",  # per-distinct-word Viterbi DP
-               "q_video_chroma422"}  # Arrow C422 Y4M decode surface
+               "q_video_chroma422",  # Arrow C422 Y4M decode surface
+               "q_blocklist_match"}  # Aho-Corasick automaton surface
 
 
 def audit(spark, qid, fn, sf_dir):
