@@ -59,7 +59,7 @@ def decode_wav_pcm16(buf: bytes) -> tuple[int, int, np.ndarray]:
     not little-endian PCM16 — the honest-stub policy: never fake
     features for a format we cannot actually decode."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
-        raise NotImplementedError("not a RIFF/WAVE stream")
+        raise ValueError("not a RIFF/WAVE stream")
     pos, end = 12, 8 + struct.unpack("<I", buf[4:8])[0]
     rate = n_ch = None
     samples = None
@@ -76,13 +76,13 @@ def decode_wav_pcm16(buf: bytes) -> tuple[int, int, np.ndarray]:
                     f"(format tag {tag}, {bits}-bit)")
         elif cid == b"data":
             if rate is None:
-                raise NotImplementedError("data chunk before fmt")
+                raise ValueError("data chunk before fmt")
             samples = np.frombuffer(body, dtype="<i2")
         # unknown chunks (LIST, fact, ...) are skipped; chunks are
         # word-aligned so odd sizes carry a pad byte
         pos += 8 + size + (size & 1)
     if samples is None:
-        raise NotImplementedError("no data chunk in WAVE stream")
+        raise ValueError("no data chunk in WAVE stream")
     return rate, n_ch, samples[::n_ch].astype(np.int64)
 
 
@@ -122,6 +122,45 @@ _ULAW_TABLE = np.array([_ulaw_decode(c) for c in range(256)],
                        dtype=np.int64)
 
 
+def _alaw_encode(x: int) -> int:
+    """G.711 A-law compress one linear sample (int16 range) to a code
+    byte — the ITU segment encoder over the 13-bit domain with the
+    0x55 alternate-bit inversion. Decode outputs ±8·(2m+1) (segment
+    0) round-trip exactly; the fixture signals live there."""
+    x >>= 3  # 16-bit -> the 13-bit A-law domain
+    if x >= 0:
+        mask = 0xD5
+    else:
+        mask = 0x55
+        x = -x - 1
+    # segment ends are 0x1F, 0x3F, 0x7F, ..., 0xFFF — i.e. seg is
+    # how far x's magnitude overflows 5 bits
+    seg = max(0, x.bit_length() - 5)
+    if seg >= 8:
+        return 0x7F ^ mask
+    shift = 1 if seg < 2 else seg
+    return ((seg << 4) | ((x >> shift) & 0x0F)) ^ mask
+
+
+def _alaw_decode(c: int) -> int:
+    """G.711 A-law expand one code byte to the linear sample (16-bit
+    domain; sign bit SET means positive, per the spec)."""
+    c ^= 0x55
+    t = (c & 0x0F) << 4
+    seg = (c & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if c & 0x80 else -t
+
+
+_ALAW_TABLE = np.array([_alaw_decode(c) for c in range(256)],
+                       dtype=np.int64)
+
+
 def encode_wav_float32(rate: int, channels: list[np.ndarray]) -> bytes:
     """RIFF/WAVE writer for IEEE float32 (format tag 3): 18-byte fmt
     with cbSize=0 plus the fact chunk real float WAVs carry — so a
@@ -140,6 +179,23 @@ def encode_wav_float32(rate: int, channels: list[np.ndarray]) -> bytes:
     body = (b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"fact" + struct.pack("<I", len(fact)) + fact
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_alaw(rate: int, channels: list[np.ndarray]) -> bytes:
+    """RIFF/WAVE writer for G.711 A-law (format tag 6, 8-bit codes):
+    linear int samples are companded through the real encoder."""
+    n_ch = len(channels)
+    n = len(channels[0])
+    inter = np.empty(n * n_ch, dtype=np.uint8)
+    for c, ch in enumerate(channels):
+        inter[c::n_ch] = np.array([_alaw_encode(int(x)) for x in ch],
+                                  dtype=np.uint8)
+    data = inter.tobytes()
+    fmt = struct.pack("<HHIIHHH", 6, n_ch, rate, rate * n_ch, n_ch, 8, 0)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", 4) + struct.pack("<I", n)
             + b"data" + struct.pack("<I", len(data)) + data)
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -164,13 +220,14 @@ def encode_wav_mulaw(rate: int, channels: list[np.ndarray]) -> bytes:
 def decode_wav(buf: bytes) -> tuple[int, int, int, np.ndarray]:
     """General RIFF/WAVE parse → (format_tag, sample_rate, n_channels,
     channel-0 samples). Tags: 1 = PCM16 (int64 samples), 3 = IEEE
-    float32 (float64 samples), 7 = G.711 mu-law (int64 samples
-    expanded through the real companding table). Anything else —
-    ADPCM, a-law, extensible — raises NotImplementedError (honest-stub
-    policy). Chunk walk is word-aligned and skips unknown chunks
-    (LIST, fact, ...)."""
+    float32 (float64 samples), 6 = G.711 A-law and 7 = G.711 mu-law
+    (int64 samples expanded through the real companding tables).
+    Anything else — ADPCM, extensible — raises NotImplementedError
+    (honest-stub policy); structural corruption (bad magic, missing
+    or misordered chunks) raises ValueError. Chunk walk is
+    word-aligned and skips unknown chunks (LIST, fact, ...)."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
-        raise NotImplementedError("not a RIFF/WAVE stream")
+        raise ValueError("not a RIFF/WAVE stream")
     pos, end = 12, 8 + struct.unpack("<I", buf[4:8])[0]
     tag = rate = n_ch = bits = None
     raw = None
@@ -181,21 +238,24 @@ def decode_wav(buf: bytes) -> tuple[int, int, int, np.ndarray]:
         if cid == b"fmt ":
             tag, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH",
                                                         body[:16])
-            if (tag, bits) not in ((1, 16), (3, 32), (7, 8)):
+            if (tag, bits) not in ((1, 16), (3, 32), (6, 8), (7, 8)):
                 raise NotImplementedError(
                     f"WAV format tag {tag} at {bits}-bit not decodable "
-                    "without codecs (PCM16 / IEEE-float32 / mu-law only)")
+                    "without codecs (PCM16 / IEEE-float32 / G.711 "
+                    "A-law / mu-law only)")
         elif cid == b"data":
             if tag is None:
-                raise NotImplementedError("data chunk before fmt")
+                raise ValueError("data chunk before fmt")
             raw = body
         pos += 8 + size + (size & 1)
     if raw is None or tag is None:
-        raise NotImplementedError("no data chunk in WAVE stream")
+        raise ValueError("no data chunk in WAVE stream")
     if tag == 1:
         s = np.frombuffer(raw, dtype="<i2")[::n_ch].astype(np.int64)
     elif tag == 3:
         s = np.frombuffer(raw, dtype="<f4")[::n_ch].astype(np.float64)
+    elif tag == 6:  # A-law: expand through the real G.711 table
+        s = _ALAW_TABLE[np.frombuffer(raw, dtype=np.uint8)[::n_ch]]
     else:  # mu-law: expand codes through the real G.711 table
         s = _ULAW_TABLE[np.frombuffer(raw, dtype=np.uint8)[::n_ch]]
     return tag, rate, n_ch, s
@@ -453,6 +513,63 @@ def decode_audio_features_mulaw(media: DataFrame) -> DataFrame:
                 if tag != 7:
                     raise NotImplementedError(
                         f"expected mu-law WAV, got tag {tag}")
+                a = np.abs(s)
+                out["doc_id"].append(doc_id)
+                out["fmt_tag"].append(tag)
+                out["sample_rate"].append(rate)
+                out["channels"].append(n_ch)
+                out["n_samples"].append(len(s))
+                out["peak"].append(int(a.max()))
+                out["sum_abs"].append(int(a.sum()))
+                out["zero_cross"].append(int((s[1:] * s[:-1] < 0).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=MULAW_SCHEMA)
+
+
+def synthesize_audio_alaw(docs: DataFrame) -> DataFrame:
+    """Deterministic G.711 A-law WAV payloads (format tag 6 — round
+    7, completing G.711 beside the round-6 mu-law path): channel-0
+    samples are ±(16·((i·k) mod 16) + 8) with alternating sign —
+    segment-0 A-law representable points (8·(2m+1)), so compress→
+    expand through the REAL companding law is lossless for them and
+    the oracle recomputes integer features in closed form with no
+    companding table on its side. A wrong 0x55 inversion, segment
+    shift, or sign convention (A-law's sign bit SET means positive)
+    lands off the grid and breaks peak/sum_abs."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 40 + d % 53
+                k = d % 5 + 1
+                i = np.arange(n, dtype=np.int64)
+                sign = np.where(i % 2 == 0, 1, -1)
+                chans = [sign * (16 * ((i * k) % 16) + 8)]
+                if d % 2:
+                    chans.append(sign * (16 * ((i * (k + 1)) % 16) + 8))
+                payloads.append(encode_wav_alaw(8000, chans))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="doc_id bigint, payload binary")
+
+
+def decode_audio_features_alaw(media: DataFrame) -> DataFrame:
+    """A-law feature extractor — all-integer output like the mu-law
+    twin, so the value hash needs no float discipline at all."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "fmt_tag", "sample_rate",
+                                   "channels", "n_samples", "peak",
+                                   "sum_abs", "zero_cross")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                tag, rate, n_ch, s = decode_wav(bytes(payload))
+                if tag != 6:
+                    raise NotImplementedError(
+                        f"expected A-law WAV, got tag {tag}")
                 a = np.abs(s)
                 out["doc_id"].append(doc_id)
                 out["fmt_tag"].append(tag)

@@ -404,3 +404,64 @@ def q_audio_decode_mulaw(spark, sf_dir):
     return feats.select(
         "doc_id", "fmt_tag", "sample_rate", "channels", "n_samples",
         "peak", "sum_abs", "zero_cross")
+
+
+@query(
+    "q_audio_decode_alaw",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id,
+             40 + doc_id % 53 AS n,
+             1 + doc_id % 2 AS channels,
+             doc_id % 5 + 1 AS k
+      FROM documents WHERE doc_id % 4 = 2
+    ), samples AS (
+      SELECT doc_id, n, channels,
+             unnest(generate_series(0, n - 1)) AS i,
+             k
+      FROM params
+    ), sig AS (
+      SELECT doc_id, n, channels,
+             (CASE WHEN i % 2 = 0 THEN 1 ELSE -1 END)
+               * (16 * ((i * k) % 16) + 8) AS s,
+             lag((CASE WHEN i % 2 = 0 THEN 1 ELSE -1 END)
+                 * (16 * ((i * k) % 16) + 8))
+               OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM samples
+    )
+    SELECT doc_id,
+           6 AS fmt_tag,
+           8000 AS sample_rate,
+           channels,
+           n AS n_samples,
+           cast(max(abs(s)) as bigint) AS peak,
+           cast(sum(abs(s)) as bigint) AS sum_abs,
+           cast(coalesce(sum(CASE WHEN s * prev < 0 THEN 1 END), 0)
+                as bigint) AS zero_cross
+    FROM sig
+    GROUP BY doc_id, channels, n
+    """,
+)
+def q_audio_decode_alaw(spark, sf_dir):
+    """REAL G.711 A-law WAV decode (format tag 6 — round 7,
+    completing G.711 beside the round-6 mu-law path): fixture signals
+    are ±(16·((i·k) mod 16)+8) with alternating sign — segment-0
+    values that lie exactly on the A-law quantizer grid (decode
+    outputs 8·(2m+1)), so compress→expand through the REAL companding
+    law is lossless for them and the oracle recomputes all-integer
+    features (peak, sum|s|, zero crossings) from the closed form with
+    no companding table on its side. A wrong 0x55 alternate-bit
+    inversion, a segment shift, or the inverted sign convention
+    (A-law sign bit SET means positive — the opposite reading of
+    mu-law's) lands off the grid and breaks peak/sum_abs; a
+    de-interleave stride slip pulls channel-1 codes into channel 0.
+
+    Scale: identical shape to q_audio_decode — zero shuffle,
+    Arrow-batched mapInPandas."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 2)
+    media = audio.synthesize_audio_alaw(d)
+    feats = audio.decode_audio_features_alaw(media)
+    return feats.select(
+        "doc_id", "fmt_tag", "sample_rate", "channels", "n_samples",
+        "peak", "sum_abs", "zero_cross")

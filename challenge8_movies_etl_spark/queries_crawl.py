@@ -220,13 +220,17 @@ def q_archive_extract(spark, sf_dir):
 @query(
     "q_text_utf8_validate",
     oracle="""
-    SELECT doc_id,
-           cast(length(text) as bigint) AS n_bytes,
-           cast((length(text) - 1) // 97 + 1 as bigint) AS n_invalid,
-           cast(length(text) - ((length(text) - 1) // 97 + 1)
-                as bigint) AS n_valid_chars,
-           false AS is_valid
-    FROM documents
+    WITH n AS (
+      SELECT doc_id, cast(length(text) as bigint) AS n_bytes,
+             CASE WHEN length(text) = 0 THEN 0
+                  ELSE (length(text) - 1) // 97 + 1 END AS n_inv
+      FROM documents
+    )
+    SELECT doc_id, n_bytes,
+           cast(n_inv as bigint) AS n_invalid,
+           cast(n_bytes - n_inv as bigint) AS n_valid_chars,
+           n_inv = 0 AS is_valid
+    FROM n
     """,
 )
 def q_text_utf8_validate(spark, sf_dir):

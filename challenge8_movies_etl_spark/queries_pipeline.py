@@ -1393,8 +1393,11 @@ def q_seq_packing(spark, sf_dir):
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
         bins, fill, cur = [], 0, 0
-        for tl in pdf["tl"]:
-            if fill + tl <= _PACK_CAP:
+        for i, tl in enumerate(pdf["tl"]):
+            # first doc is unconditionally bin 0 (even if tl > cap),
+            # matching the oracle CTE's anchor row — an oversized
+            # leading doc must not open bin 1 on an empty bin 0
+            if i == 0 or fill + tl <= _PACK_CAP:
                 fill += tl
             else:
                 cur += 1

@@ -36,7 +36,9 @@ def test_list_chunk_is_walked_not_assumed():
 
 
 def test_refuses_non_riff_and_non_pcm():
-    with pytest.raises(NotImplementedError):
+    # corruption (bad magic) is ValueError per the repo convention;
+    # NotImplementedError is reserved for valid-but-unsupported formats
+    with pytest.raises(ValueError):
         decode_wav_pcm16(b"OggS" + b"\x00" * 40)
     # a float-format (tag 3) WAV must refuse, not fake features
     buf = bytearray(encode_wav_pcm16(8000,
@@ -179,3 +181,59 @@ def test_decode_wav_refuses_unknown_tags():
     buf = b"RIFF" + struct.pack("<I", len(body)) + body
     with pytest.raises(NotImplementedError, match="format tag 2"):
         decode_wav(buf)
+
+
+def test_alaw_companding_grid_and_bounds():
+    import numpy as np
+    from challenge8_movies_etl_spark.operators.audio import (
+        _ALAW_TABLE, _alaw_decode, _alaw_encode, decode_wav,
+        encode_wav_alaw)
+    # segment-0 grid ±8·(2m+1) round-trips exactly
+    for m in range(16):
+        for v in (16 * m + 8, -(16 * m + 8)):
+            assert _alaw_decode(_alaw_encode(v)) == v
+    # off-grid: error bounded by the segment step (half-step rounding
+    # is not guaranteed by the ITU segment search; a full step is)
+    for x in range(-32768, 32768, 331):
+        y = _alaw_decode(_alaw_encode(x))
+        seg = max(0, ((abs(x) >> 3).bit_length()) - 5)
+        assert abs(y - x) <= (16 << seg), (x, y, seg)
+    # WAV round-trip on grid values incl. stereo de-interleave
+    s = np.array([8, -24, 136, -248, 8], dtype=np.int64)
+    tag, rate, ch, out = decode_wav(encode_wav_alaw(8000, [s]))
+    assert (tag, rate, ch) == (6, 8000, 1) and (out == s).all()
+    tag, _, ch, out = decode_wav(encode_wav_alaw(8000, [s, s * 0]))
+    assert (tag, ch) == (6, 2) and (out == s).all()
+    # decode table is the true inverse image of the encoder on codes
+    assert _ALAW_TABLE.shape == (256,)
+    assert int(_ALAW_TABLE.max()) > 0 > int(_ALAW_TABLE.min())
+
+
+def test_wav_corruption_is_valueerror_not_refusal():
+    import struct
+
+    import numpy as np
+    import pytest
+    from challenge8_movies_etl_spark.operators.audio import (
+        decode_wav, decode_wav_pcm16, encode_wav_pcm16)
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS" + b"\x00" * 40)
+    # data chunk before fmt → structural corruption → ValueError
+    body = (b"WAVE" + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    buf = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError):
+        decode_wav(buf)
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(buf)
+    # no data chunk at all → ValueError
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    buf = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError):
+        decode_wav(buf)
+    # valid-but-unsupported stays NotImplementedError
+    good = bytearray(encode_wav_pcm16(
+        8000, [np.array([1, 2], dtype=np.int64)]))
+    good[20:22] = (2).to_bytes(2, "little")  # ADPCM
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(good))
