@@ -1,8 +1,9 @@
-"""Crawl-container operators (round 6): the byte-level plumbing a
+"""Crawl-container operators (rounds 6-7): the byte-level plumbing a
 web-corpus ingest runs BEFORE any text analysis — mixed-codec
-decompression (gzip / bz2 / xz, all real stdlib decoders), ustar TAR
-archive walking (the WARC-adjacent "many records in one blob" shape),
-and a real table-free UTF-8 validation state machine with Unicode
+decompression (gzip / bz2 / xz stdlib decoders + zstd via the ctypes
+libzstd binding), ustar TAR archive walking, REAL WARC/1.0 record
+parsing (ISO 28500 — the actual Common-Crawl front door), and a real
+table-free UTF-8 validation state machine with Unicode
 maximal-subpart resync (W3C/WHATWG replacement policy).
 
 All three run as Arrow-batched mapInPandas over binary payloads —
@@ -26,7 +27,8 @@ import zlib
 
 def compress_payload(data: bytes, codec: str) -> bytes:
     """Compress with a real container format (not bare deflate):
-    gzip (RFC 1952 header + CRC32 + ISIZE), bz2, or xz. Fast presets
+    gzip (RFC 1952 header + CRC32 + ISIZE), bz2, xz, or zstd
+    (ctypes libzstd binding, operators/zstd_codec.py). Fast presets
     (bz2 level 1, xz preset 0) — the fixture ENCODE step is test
     scaffolding, not the operator under measure; the decode path is
     identical at any level, and default xz preset 6 alone was 1.9x the
@@ -38,6 +40,9 @@ def compress_payload(data: bytes, codec: str) -> bytes:
         return bz2.compress(data, compresslevel=1)
     if codec == "xz":
         return lzma.compress(data, format=lzma.FORMAT_XZ, preset=0)
+    if codec == "zstd":
+        from .zstd_codec import zstd_compress
+        return zstd_compress(data, level=1)
     raise ValueError(f"unknown codec {codec}")
 
 
@@ -52,8 +57,12 @@ def sniff_decompress(buf: bytes) -> tuple[str, bytes]:
         return "bz2", bz2.decompress(buf)
     if buf[:6] == b"\xfd7zXZ\x00":
         return "xz", lzma.decompress(buf, format=lzma.FORMAT_XZ)
+    if buf[:4] == b"\x28\xb5\x2f\xfd":
+        from .zstd_codec import zstd_decompress
+        return "zstd", zstd_decompress(buf)
     raise NotImplementedError(
-        "no decompressor for this payload (gzip/bz2/xz supported)")
+        "no decompressor for this payload (gzip/bz2/xz/zstd "
+        "supported)")
 
 
 # ---------------------------------------------------------------------------
@@ -238,3 +247,94 @@ class AhoCorasick:
             for idx in self.out[s]:
                 counts[idx] += 1
         return counts
+
+
+# ---------------------------------------------------------------------------
+# WARC/1.0 records (ISO 28500) — the actual crawl-ingest front door
+# ---------------------------------------------------------------------------
+
+_WARC_MANDATORY = ("WARC-Type", "WARC-Record-ID", "WARC-Date",
+                   "Content-Length")
+
+
+def encode_warc(records: list[tuple[str, str | None, bytes]],
+                date: str = "2026-01-01T00:00:00Z") -> bytes:
+    """Minimal-but-correct WARC/1.0 writer (ISO 28500 framing): per
+    record a ``WARC/1.0`` version line, the four mandatory named
+    headers (WARC-Type, WARC-Record-ID, WARC-Date, Content-Length)
+    plus WARC-Target-URI when given, a blank CRLF line, exactly
+    Content-Length payload octets, and the two-CRLF record separator.
+    Record IDs are deterministic (md5 of type+uri+payload) so
+    fixtures are reproducible."""
+    import hashlib
+    out = bytearray()
+    for rec_type, uri, payload in records:
+        rid = hashlib.md5(
+            rec_type.encode() + (uri or "").encode() + payload
+        ).hexdigest()
+        out += b"WARC/1.0\r\n"
+        out += b"WARC-Type: " + rec_type.encode() + b"\r\n"
+        out += (b"WARC-Record-ID: <urn:uuid:" + rid.encode() + b">\r\n")
+        out += b"WARC-Date: " + date.encode() + b"\r\n"
+        if uri is not None:
+            out += b"WARC-Target-URI: " + uri.encode() + b"\r\n"
+        out += b"Content-Length: %d\r\n" % len(payload)
+        out += b"\r\n"
+        out += payload
+        out += b"\r\n\r\n"
+    return bytes(out)
+
+
+def decode_warc(buf: bytes) -> list[tuple[str, str | None, bytes]]:
+    """Walk concatenated WARC records → [(type, target_uri, payload)].
+    Enforces the ISO 28500 framing a 100 TB crawl reader must trust:
+    the version line must be WARC/1.0 or WARC/1.1, the four mandatory
+    headers must be present, the payload is sliced by Content-Length
+    (never by scanning for a sentinel — payloads may contain
+    anything), and the two-CRLF record separator must follow.
+    ValueError on any corruption (honest-corruption policy: a framing
+    slip silently misattributes every later payload, so fail loudly)."""
+    out: list[tuple[str, str | None, bytes]] = []
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        eol = buf.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError(f"missing CRLF after version line at {pos}")
+        version = buf[pos:eol]
+        if version not in (b"WARC/1.0", b"WARC/1.1"):
+            raise ValueError(f"bad WARC version line at {pos}: "
+                             f"{version[:20]!r}")
+        pos = eol + 2
+        headers: dict[str, str] = {}
+        while True:
+            eol = buf.find(b"\r\n", pos)
+            if eol < 0:
+                raise ValueError("truncated WARC header block")
+            line = buf[pos:eol]
+            pos = eol + 2
+            if not line:
+                break
+            key, sep, val = line.partition(b":")
+            if not sep:
+                raise ValueError(f"malformed WARC header line {line!r}")
+            headers[key.strip().decode()] = val.strip().decode()
+        for h in _WARC_MANDATORY:
+            if h not in headers:
+                raise ValueError(f"missing mandatory WARC header {h}")
+        try:
+            clen = int(headers["Content-Length"])
+        except ValueError:
+            raise ValueError("non-integer Content-Length") from None
+        if clen < 0 or pos + clen + 4 > n:
+            raise ValueError("truncated WARC payload")
+        payload = buf[pos:pos + clen]
+        pos += clen
+        if buf[pos:pos + 4] != b"\r\n\r\n":
+            raise ValueError(
+                "missing two-CRLF record separator (Content-Length "
+                "does not frame the payload)")
+        pos += 4
+        out.append((headers["WARC-Type"],
+                    headers.get("WARC-Target-URI"), payload))
+    return out

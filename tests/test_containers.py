@@ -160,3 +160,78 @@ def test_aho_corasick_classic_and_overlaps():
     # no false fires across failure transitions
     assert AhoCorasick(["ab", "ba"]).count("aba") == [1, 1]
     assert AhoCorasick(["x"]).count("") == [0]
+
+
+def test_warc_roundtrip_and_framing():
+    from challenge8_movies_etl_spark.operators.containers import (
+        decode_warc, encode_warc)
+    recs = [("warcinfo", None, b"software: mvetl\r\n"),
+            ("response", "https://e.com/a", b"payload with\r\n\r\nCRLFs"),
+            ("request", "https://e.com/a", b""),
+            ("response", "https://e.com/b", b"x" * 1000)]
+    blob = encode_warc(recs)
+    assert decode_warc(blob) == recs
+    # payload containing the record separator must NOT split a record
+    # (Content-Length framing, not sentinel scanning)
+    assert decode_warc(encode_warc(
+        [("response", "u", b"\r\n\r\nWARC/1.0\r\n\r\n")]))[0][2] \
+        == b"\r\n\r\nWARC/1.0\r\n\r\n"
+
+
+def test_warc_refuses_malformed_records():
+    import pytest
+    from challenge8_movies_etl_spark.operators.containers import (
+        decode_warc, encode_warc)
+    blob = encode_warc([("response", "https://e.com/a", b"0123456789")])
+    with pytest.raises(ValueError, match="version"):
+        decode_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+    with pytest.raises(ValueError, match="version"):
+        decode_warc(blob[1:])  # mid-stream resync is not a thing
+    with pytest.raises(ValueError, match="mandatory"):
+        decode_warc(blob.replace(b"WARC-Date", b"X-Date", 1))
+    with pytest.raises(ValueError, match="separator|truncated"):
+        decode_warc(blob.replace(b"Content-Length: 10",
+                                 b"Content-Length: 9", 1))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_warc(blob[:-6])
+    with pytest.raises(ValueError, match="Content-Length"):
+        decode_warc(blob.replace(b"Content-Length: 10",
+                                 b"Content-Length: ten", 1))
+    with pytest.raises(ValueError, match="header"):
+        decode_warc(blob.replace(b"WARC-Date:", b"WARC-Date ", 1))
+
+
+def test_zstd_binding_roundtrip_and_interop():
+    import shutil
+    import subprocess
+
+    import pytest
+    from challenge8_movies_etl_spark.operators.containers import (
+        compress_payload, sniff_decompress)
+    from challenge8_movies_etl_spark.operators.zstd_codec import (
+        ZSTD_MAGIC, zstd_available, zstd_compress, zstd_decompress)
+    if not zstd_available():
+        pytest.skip("no libzstd on this host (refusal path is "
+                    "exercised by the NotImplementedError contract)")
+    data = b"crawl shard payload " * 500
+    frame = zstd_compress(data)
+    assert frame[:4] == ZSTD_MAGIC
+    assert zstd_decompress(frame) == data
+    assert zstd_decompress(zstd_compress(b"")) == b""
+    codec, out = sniff_decompress(compress_payload(data, "zstd"))
+    assert (codec, out) == ("zstd", data)
+    with pytest.raises(ValueError):
+        zstd_decompress(b"not a zstd frame")
+    # interop with the reference implementation when the CLI exists:
+    # our frames must decode there; streamed (no pledged content
+    # size) and multi-frame inputs must decode here
+    if shutil.which("zstd"):
+        cli = subprocess.run(["zstd", "-d", "-c"], input=frame,
+                             capture_output=True)
+        assert cli.stdout == data
+        streamed = subprocess.run(["zstd", "-c"], input=data,
+                                  capture_output=True).stdout
+        assert zstd_decompress(streamed) == data
+        assert zstd_decompress(streamed + streamed) == data + data
+        with pytest.raises(ValueError):
+            zstd_decompress(streamed[:-3])
