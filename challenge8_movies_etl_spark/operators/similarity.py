@@ -246,3 +246,70 @@ ELEM_SPARK_P_SELF = "cast(element_at(embedding, {i}) as double)"
 ELEM_DUCK_E = "cast(e.embedding[{i}] as double)"
 ELEM_DUCK_P = "cast(probe.p[{i}] as double)"
 ELEM_DUCK_P_SELF = "cast(embedding[{i}] as double)"
+
+
+def ivf_check_sql(probe_id: int = 0, k: int = 10, n_cells: int = 8,
+                  n_probe_cells: int = 3, dims: int = DIMS) -> str:
+    """DuckDB replication of the ENTIRE ivf_topk pipeline (round 7 —
+    the companion that converts q_similarity_ann from rows-only to
+    hash-checked): centroid selection (lowest-vec_id), decimal-exact
+    vector→centroid assignment with ivf_topk's exact tie-breaks
+    (max cc, then max cent_id — the struct-max order), probe-cell
+    ranking (pc desc, cent_id asc), candidate filtering, and the
+    final rounded-cosine top-k — plus the exact brute-force top-k for
+    the per-row `hit` flag. Every cosine uses the same
+    decimal(18,10)-exact reduction as cosine_col, so both engines see
+    identical doubles and make identical comparisons."""
+    def dsum(x: str, y: str) -> str:
+        return (f"cast(sum(cast(cast({x}[gs.i] as double) * "
+                f"cast({y}[gs.i] as double) as {DEC_SIM})) as double)")
+
+    rng = f"range(1, {dims + 1}) gs(i)"
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cent_emb
+      FROM embeddings ORDER BY vec_id LIMIT {n_cells}
+    ), probe AS (
+      SELECT embedding AS p FROM embeddings WHERE vec_id = {probe_id}
+    ), cc AS (
+      SELECT e.vec_id, c.cent_id,
+             {dsum('e.embedding', 'c.cent_emb')}
+               / sqrt({dsum('e.embedding', 'e.embedding')}
+                      * {dsum('c.cent_emb', 'c.cent_emb')}) AS cc
+      FROM embeddings e, cents c, {rng}
+      GROUP BY e.vec_id, c.cent_id
+    ), best AS (
+      SELECT vec_id, cent_id AS cell FROM cc
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                ORDER BY cc DESC, cent_id DESC) = 1
+    ), pc AS (
+      SELECT c.cent_id,
+             {dsum('c.cent_emb', 'probe.p')}
+               / sqrt({dsum('c.cent_emb', 'c.cent_emb')}
+                      * {dsum('probe.p', 'probe.p')}) AS pc
+      FROM cents c, probe, {rng}
+      GROUP BY c.cent_id
+    ), cells AS (
+      SELECT cent_id AS cell FROM pc
+      ORDER BY pc DESC, cent_id LIMIT {n_probe_cells}
+    ), allcos AS (
+      SELECT e.vec_id,
+             round({dsum('e.embedding', 'probe.p')}
+               / sqrt({dsum('e.embedding', 'e.embedding')}
+                      * {dsum('probe.p', 'probe.p')}), 4) AS cos
+      FROM embeddings e, probe, {rng}
+      WHERE e.vec_id <> {probe_id}
+      GROUP BY e.vec_id
+    ), ann AS (
+      SELECT a.vec_id, a.cos
+      FROM allcos a
+      JOIN best USING (vec_id)
+      JOIN cells USING (cell)
+      ORDER BY a.cos DESC, a.vec_id LIMIT {k}
+    ), exact AS (
+      SELECT vec_id FROM allcos ORDER BY cos DESC, vec_id LIMIT {k}
+    )
+    SELECT ann.vec_id, ann.cos,
+           (exact.vec_id IS NOT NULL) AS hit
+    FROM ann LEFT JOIN exact USING (vec_id)
+    """

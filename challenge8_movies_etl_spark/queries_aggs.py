@@ -533,3 +533,173 @@ def q_hll_intersection(spark, sf_dir):
         .alias("est_b"),
         F.expr(est).alias("est_overlap"))
         .orderBy("type_a", "type_b"))
+
+
+# ---------------------------------------------------------------------------
+# Round 7: hash-checked companions for the rows-only sketch family
+# (the q_embed_pca_check / q_isotonic_check pattern, VERDICT r6 item 4):
+# each pins an engine-independent derived invariant — the exact twin's
+# values (hash-checked outright) plus the sketch's documented error
+# bound as a boolean the oracle states as literal true. A sketch
+# regression flips the boolean and breaks the value hash.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_percentile_check",
+    oracle="""
+    SELECT l_returnflag,
+           cast(count(*) as bigint) AS n,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_exact,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_exact,
+           true AS p50_ok, true AS p90_ok, true AS p99_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentile_check(spark, sf_dir):
+    """Hash-checked companion of q_percentile_approx (rows-only by
+    design: the KLL-style sketch layout is engine-specific). The
+    engine-independent invariant: percentile_approx(accuracy=10000)
+    bounds rank error at n/10000, which on these smooth fixture
+    distributions translates to well under 2% relative value error vs
+    the exact interpolated percentile (the bound
+    tests/test_operators.py has pinned since round 4). This query
+    emits the exact percentiles themselves (hash-checked — Spark
+    percentile() and DuckDB quantile_cont share the interpolation
+    definition, proven by q_percentiles) plus the within-bound
+    booleans, whose oracle value is literal true: a sketch regression
+    flips a boolean and fails the hash.
+
+    Scale: the approx arm is the one that runs at 100 TB (mergeable,
+    map-side-combinable); the exact arm is the eval harness and runs
+    on a sampled slice there — the check's pattern stays."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = F.expr("percentile_approx(l_extendedprice, "
+                "array(0.5, 0.9, 0.99), 10000)")
+    pe = F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
+    g = (li.groupBy("l_returnflag")
+         .agg(F.count("*").alias("n"), pa.alias("pa"), pe.alias("pe")))
+
+    def ok(i: int):
+        return (F.abs(F.col("pa")[i] - F.col("pe")[i])
+                / F.col("pe")[i] < 0.02)
+
+    return g.select(
+        "l_returnflag", "n",
+        F.round(F.col("pe")[0], 4).alias("p50_exact"),
+        F.round(F.col("pe")[1], 4).alias("p90_exact"),
+        F.round(F.col("pe")[2], 4).alias("p99_exact"),
+        ok(0).alias("p50_ok"), ok(1).alias("p90_ok"),
+        ok(2).alias("p99_ok"))
+
+
+@query(
+    "q_sketch_reagg_check",
+    oracle="""
+    SELECT n_regionkey,
+           cast(count(DISTINCT c_custkey) as bigint) AS exact_customers,
+           true AS within_5pct
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_regionkey
+    """,
+)
+def q_sketch_reagg_check(spark, sf_dir):
+    """Hash-checked companion of q_agg_sketch_reagg (rows-only by
+    design: DataSketches HLL_4 binaries are engine-specific). The
+    invariant: the region estimate obtained by MERGING nation sketches
+    (hll_union_agg — one pass over the fact table, ever) stays within
+    5% of the exact region distinct (HLL default lgK=12 → ~1.6% RSE;
+    5% is the bound tests/test_timeseries.py pins). Emits the exact
+    per-region count (hash-checked against DuckDB's exact DISTINCT)
+    and the bound boolean (oracle: literal true).
+
+    Scale: the exact arm here is per-nation countDistinct rolled up by
+    sum (customers belong to exactly one nation), so even the check
+    query never runs a region-wide distinct over raw rows."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per_nation = (c.groupBy("c_nationkey")
+                  .agg(F.expr("hll_sketch_agg(c_custkey)").alias("sk"),
+                       F.countDistinct("c_custkey").alias("exact_nation")))
+    with_region = per_nation.join(
+        F.broadcast(n.select("n_nationkey", "n_regionkey")),
+        per_nation.c_nationkey == F.col("n_nationkey"))
+    agg = (with_region.groupBy("n_regionkey")
+           .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+                .alias("approx"),
+                F.sum("exact_nation").cast("long")
+                .alias("exact_customers")))
+    return agg.select(
+        "n_regionkey", "exact_customers",
+        (F.abs(F.col("approx") - F.col("exact_customers"))
+         / F.col("exact_customers") <= 0.05).alias("within_5pct"))
+
+
+@query(
+    "q_hll_intersection_check",
+    oracle="""
+    WITH users AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), sizes AS (
+      SELECT event_type, cast(count(*) as bigint) AS n
+      FROM users GROUP BY event_type
+    ), overlap AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             cast(count(*) as bigint) AS exact_overlap
+      FROM users a JOIN users b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+           sa.n AS exact_a, sb.n AS exact_b,
+           cast(coalesce(o.exact_overlap, 0) as bigint) AS exact_overlap,
+           true AS within_bound
+    FROM sizes sa
+    JOIN sizes sb ON sa.event_type < sb.event_type
+    LEFT JOIN overlap o
+      ON o.type_a = sa.event_type AND o.type_b = sb.event_type
+    """,
+)
+def q_hll_intersection_check(spark, sf_dir):
+    """Hash-checked companion of q_hll_intersection (rows-only by
+    design: sketch estimates are engine-specific). The invariant: the
+    inclusion-exclusion overlap estimate (est(A)+est(B)−est(A∪B) from
+    HLL(14) sketches, ~0.4% RSE compounded across three estimates)
+    stays within max(5% of (|A|+|B|), 10) of the exact distinct
+    intersection — the tests/test_operators.py bound. Emits the exact
+    cohort sizes and exact overlap (hash-checked — plain DISTINCT
+    arithmetic on both engines) plus the bound boolean (oracle:
+    literal true) for every cohort pair including zero-overlap ones.
+
+    Scale: the exact arm is a distinct-user self-join — the thing the
+    sketch path exists to avoid; at 100 TB it runs on a sampled slice
+    as the eval harness while the sketch path serves."""
+    e = load_table(spark, sf_dir, "events")
+    users = e.select("event_type", "user_id").distinct()
+    sizes = users.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"))
+    ua = users.select(F.col("event_type").alias("type_a"), "user_id")
+    ub = users.select(F.col("event_type").alias("type_b"), "user_id")
+    overlap = (ua.join(ub, "user_id")
+               .filter(F.col("type_a") < F.col("type_b"))
+               .groupBy("type_a", "type_b")
+               .agg(F.count("*").cast("long").alias("exact_overlap")))
+    sa = sizes.select(F.col("event_type").alias("type_a"),
+                      F.col("n").alias("exact_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"),
+                      F.col("n").alias("exact_b"))
+    grid = sa.join(sb, F.col("type_a") < F.col("type_b"))
+    est = q_hll_intersection(spark, sf_dir).select(
+        "type_a", "type_b", "est_overlap")
+    return (grid
+            .join(overlap, ["type_a", "type_b"], "left")
+            .join(est, ["type_a", "type_b"])
+            .select(
+                "type_a", "type_b", "exact_a", "exact_b",
+                F.coalesce("exact_overlap", F.lit(0)).cast("long")
+                .alias("exact_overlap"),
+                (F.abs(F.col("est_overlap")
+                       - F.coalesce("exact_overlap", F.lit(0)))
+                 <= F.greatest(0.05 * (F.col("exact_a")
+                                       + F.col("exact_b")),
+                               F.lit(10.0))).alias("within_bound")))
