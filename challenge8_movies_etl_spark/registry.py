@@ -64,36 +64,41 @@ def query(name: str, oracle: str | None = None):
 # a driver row, then the remaining never-driver-sampled queries in registry
 # order.  DRIVER_COVERAGE.md tracks the sampled/never-sampled ledger.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-6 rotation (DRIVER_COVERAGE.md): the r5 red first (the
-    # scalar-output fix must be driver-confirmed), then the queries
-    # whose semantics changed this round (welch /1000 cut, friedman/
-    # cronbach complete-blocks guard, the new hash-checked isotonic
-    # boundary companion), then the never-driver-sampled mass in
-    # VERDICT r5 priority order: the ninth wave (classical inference,
-    # pHash, point-in-polygon), the codec/tokenizer/PQ families, and
-    # the heaviest eighth-wave members.
-    "q_array_hof",          # r5 err (non-scalar output), serialized r6
-    "q_isotonic_check",     # new hash-checked PAV boundary companion
-    "q_isotonic_pav",       # rows-only by design; re-sample beside it
-    "q_welch_ttest", "q_friedman", "q_cronbach_alpha",  # r6-touched
-    # --- ninth wave: classical inference / graph descriptive ---
-    "q_anova_oneway", "q_kruskal_wallis", "q_levene_bf", "q_fdr_bh",
-    "q_signflip_test", "q_hodges_lehmann", "q_survival_logrank",
-    "q_granger_causality", "q_ljung_box", "q_sax_encode", "q_cusum",
-    "q_query_likelihood", "q_zipf_slope", "q_bigram_entropy",
-    "q_knn_classify", "q_mixture_temperature", "q_embed_drift",
-    "q_image_phash", "q_audio_resample", "q_point_in_polygon",
-    "q_brier_murphy", "q_schema_profile", "q_graph_clustering_coeff",
-    "q_graph_assortativity", "q_graph_modularity",
-    # --- codec / tokenizer / PQ / substring-dedup families ---
-    "q_multimodal_decode_png", "q_multimodal_decode_progressive",
-    "q_audio_decode", "q_audio_vad", "q_audio_pitch",
-    "q_video_framestats", "q_video_scenecut",
-    "q_bpe_train", "q_bpe_apply",
-    "q_pq_encode", "q_pq_ann", "q_pq_recall", "q_ivfpq_ann",
-    "q_dedup_substring", "q_dedup_substring_pairs", "q_corpus_pipeline",
-    # --- heaviest eighth-wave members ---
-    "q_graph_sssp", "q_dtw_distance", "q_holtwinters",
+    # round-7 rotation (DRIVER_COVERAGE.md; VERDICT r6 item 1): no
+    # reds exist, so the front is (a) queries NEW or semantics-
+    # changed in round 7 (WARC, zstd 4-codec rotation, A-law, the
+    # four sketch companions, the seq-packing first-bin and utf8
+    # empty-text fixes), then (b) the never-driver-sampled mass in
+    # VERDICT r6 priority order: the round-6 crawl wave first, the
+    # unigram tokenizer + palette PNG, the causal/experimentation
+    # family, then codec/graph/eval/stream never-sampled members.
+    # --- (a) round-7 new / changed ---
+    "q_warc_extract", "q_text_decompress", "q_audio_decode_alaw",
+    "q_percentile_check", "q_sketch_reagg_check",
+    "q_hll_intersection_check", "q_similarity_ann_check",
+    "q_seq_packing", "q_text_utf8_validate",
+    # --- (b) round-6 crawl wave (never sampled) ---
+    "q_url_parse", "q_archive_extract", "q_quality_gopher",
+    "q_html_extract", "q_pii_luhn", "q_blocklist_match",
+    # --- tokenizer / palette (never sampled) ---
+    "q_unigram_segment", "q_multimodal_decode_palette",
+    # --- causal / experimentation family (never sampled) ---
+    "q_diff_in_diff", "q_attribution_shapley", "q_cuped",
+    "q_uplift_qini", "q_propensity_match", "q_iv_wald",
+    "q_regression_discontinuity", "q_offpolicy_ips", "q_offpolicy_dr",
+    "q_dbscan", "q_decision_stump",
+    # --- codec tails (never sampled) ---
+    "q_multimodal_decode_chroma422", "q_multimodal_decode_png16",
+    "q_multimodal_decode_adam7", "q_audio_decode_float",
+    "q_audio_decode_mulaw", "q_video_chroma422",
+    # --- graph / topic / weak-supervision (never sampled) ---
+    "q_graph_components", "q_graph_label_prop", "q_graph_kcore",
+    "q_graph_hits", "q_topic_nmf", "q_weak_supervision",
+    # --- calibration / eval metrics (never sampled) ---
+    "q_calibration_ece", "q_conformal_threshold", "q_roc_auc",
+    "q_average_precision", "q_rouge_n", "q_mrr", "q_mcnemar_test",
+    # --- streaming / curation heavies (never sampled) ---
+    "q_stream_topk", "q_stream_backfill", "q_coverage_select",
 )
 
 
