@@ -61,44 +61,96 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     assert sorted(r["event_id"] for r in out) == [1, 2, 3]
 
 
-def _protobuf_available() -> bool:
-    # transformWithStateInPandas' driver worker speaks protobuf to the
-    # JVM state server; the container lacks the python protobuf package
-    # (no pip installs allowed), so the run crashes with
-    # "ImportError: cannot import name 'descriptor' from google.protobuf".
+def _protobuf_source() -> str | None:
+    """Where a python protobuf runtime can come from on this host.
+
+    transformWithStateInPandas' driver worker speaks protobuf to the
+    JVM state server. The container has no python protobuf package and
+    pip installs are not allowed, but the host's google-cloud-sdk
+    ships the pure-python runtime (public BSD-licensed Google code).
+    Returns "site" when importable directly, a staging-source path
+    when the SDK copy exists, else None (→ honest skip)."""
     try:
         from google.protobuf import descriptor  # noqa: F401
-        return True
+        return "site"
     except ImportError:
-        return False
+        pass
+    import os
+    sdk = ("/usr/lib/google-cloud-sdk/platform/google_appengine"
+           "/google/protobuf")
+    return sdk if os.path.isdir(sdk) else None
 
 
 import pytest
 
 
-@pytest.mark.skipif(not _protobuf_available(), reason=(
-    "transformWithStateInPandas requires the python protobuf package, "
-    "absent from this container; operator surface kept real in "
-    "streaming/stateful.py, equivalence runs where protobuf exists"))
-def test_transform_with_state_counter(spark):
+@pytest.mark.skipif(_protobuf_source() is None, reason=(
+    "transformWithStateInPandas requires a python protobuf runtime; "
+    "none is importable and no host copy exists to stage"))
+def test_transform_with_state_counter(tmp_path):
     """transformWithStateInPandas (Spark 4 successor API) computes the
-    same per-user running counter as the batch aggregate."""
-    from challenge8_movies_etl_spark.streaming.stateful import (
-        running_user_counter_tws,
-    )
+    same per-user running counter as the batch aggregate.
 
-    stream = replay_events_stream(spark, SF_SMOKE)
-    counted = running_user_counter_tws(stream)
-    name = f"tws_{uuid.uuid4().hex[:8]}"
-    q = (counted.writeStream.outputMode("update")
-         .format("memory").queryName(name)
-         .trigger(availableNow=True).start())
-    q.awaitTermination(180)
-    got = {r["user_id"]: (r["n_events"], r["last_ts"])
-           for r in spark.table(name).collect()}
-    e = load_table(spark, SF_SMOKE, "events")
-    want = {r["user_id"]: (r["n"], r["last_ts"])
-            for r in e.groupBy("user_id")
-            .agg(F.count("*").alias("n"), F.max("ts").alias("last_ts"))
-            .collect()}
-    assert got == want and len(got) > 0
+    Runs in a SUBPROCESS with its own SparkSession because the shared
+    pytest session can't provide what tws needs: (1) a PYTHONPATH
+    carrying the staged protobuf runtime (the state-server worker is
+    launched by the JVM, whose env is frozen at first-session start),
+    (2) protobuf's official TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK
+    escape hatch (pyspark's pb2 gencode is 6.33, the host runtime
+    6.32-dev — one minor apart, compatible for these messages), and
+    (3) the RocksDB state store provider (tws uses multiple column
+    families, unsupported by the default HDFS-backed provider)."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    src = _protobuf_source()
+    env = dict(os.environ)
+    env["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+    if src != "site":
+        stage = tmp_path / "pbvendor"
+        (stage / "google").mkdir(parents=True)
+        shutil.copytree(src, stage / "google" / "protobuf",
+                        ignore=shutil.ignore_patterns("blaze-out"))
+        (stage / "google" / "__init__.py").write_text(
+            "__path__ = __import__('pkgutil')"
+            ".extend_path(__path__, __name__)\n")
+        env["PYTHONPATH"] = (str(stage) + os.pathsep
+                             + env.get("PYTHONPATH", ""))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = f"""
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession, functions as F
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.sql.streaming.stateStore.providerClass",
+                 "org.apache.spark.sql.execution.streaming.state."
+                 "RocksDBStateStoreProvider")
+         .getOrCreate())
+from challenge8_movies_etl_spark.streaming.stateful import (
+    running_user_counter_tws)
+from challenge8_movies_etl_spark.streaming.replay import (
+    replay_events_stream)
+from challenge8_movies_etl_spark.sources.fixtures import load_table
+stream = replay_events_stream(spark, {SF_SMOKE!r})
+q = (running_user_counter_tws(stream).writeStream
+     .outputMode("update").format("memory").queryName("tws_eq")
+     .trigger(availableNow=True).start())
+q.awaitTermination(240)
+got = sorted((r["user_id"], r["n_events"], str(r["last_ts"]))
+             for r in spark.table("tws_eq").collect())
+e = load_table(spark, {SF_SMOKE!r}, "events")
+want = sorted((r["user_id"], r["n"], str(r["last_ts"]))
+              for r in e.groupBy("user_id")
+              .agg(F.count("*").alias("n"), F.max("ts").alias("last_ts"))
+              .collect())
+assert got == want and len(got) > 0, (got[:3], want[:3])
+print("TWS_EQUIVALENCE_OK", len(got))
+"""
+    proc = subprocess.run([sys.executable, "-c", script], env=env,
+                          capture_output=True, text=True, timeout=420)
+    assert "TWS_EQUIVALENCE_OK" in proc.stdout, (
+        proc.stdout[-2000:], proc.stderr[-4000:])
