@@ -108,6 +108,16 @@ EXTRA = [
     "q_html_extract",
     "q_multimodal_decode_palette",
     "q_seq_packing",
+    # round-7 wave: WARC record parsing + zstd (inside
+    # q_text_decompress), A-law audio, and the four sketch-companion
+    # checks (exact twin + bound booleans; the ANN one runs both the
+    # IVF and brute-force arms)
+    "q_warc_extract",
+    "q_warcgz_extract",
+    "q_audio_decode_alaw",
+    "q_similarity_ann_check",
+    "q_percentile_check",
+    "q_hll_intersection_check",
 ]
 
 

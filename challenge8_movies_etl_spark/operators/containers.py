@@ -338,3 +338,49 @@ def decode_warc(buf: bytes) -> list[tuple[str, str | None, bytes]]:
         out.append((headers["WARC-Type"],
                     headers.get("WARC-Target-URI"), payload))
     return out
+
+
+def encode_warc_gz(records: list[tuple[str, str | None, bytes]],
+                   date: str = "2026-01-01T00:00:00Z") -> bytes:
+    """Member-per-record .warc.gz (the layout Common Crawl actually
+    ships): each WARC record is compressed as its OWN complete gzip
+    member and the members are concatenated — the property that lets
+    a reader fetch one record by (offset, length) from a 1 GB shard
+    without decompressing the prefix. RFC 1952 explicitly defines
+    multi-member streams; writers that gzip the whole file as one
+    member break random access, so the decoder REFUSES that shape."""
+    out = bytearray()
+    for rec in records:
+        co = zlib.compressobj(level=1, wbits=31)
+        member = encode_warc([rec], date=date)
+        out += co.compress(member) + co.flush()
+    return bytes(out)
+
+
+def decode_warc_gz(buf: bytes) -> list[tuple[str, str | None, bytes]]:
+    """Walk a member-per-record .warc.gz: inflate one gzip member at
+    a time (zlib verifies each member's CRC32+ISIZE trailer), parse
+    exactly one WARC record from it, resync at the next member via
+    unused_data. ValueError if a member holds != 1 record (the
+    whole-file-gzip shape that silently kills random access) or on
+    any framing corruption."""
+    out: list[tuple[str, str | None, bytes]] = []
+    rest = buf
+    while rest:
+        do = zlib.decompressobj(wbits=31)
+        try:
+            member = do.decompress(rest)
+            member += do.flush()
+        except zlib.error as exc:
+            raise ValueError(f"bad gzip member in warc.gz: {exc}") \
+                from None
+        recs = decode_warc(member)
+        if len(recs) != 1:
+            raise ValueError(
+                f"warc.gz member holds {len(recs)} records; the "
+                "member-per-record contract requires exactly 1")
+        out.extend(recs)
+        if do.unused_data == rest:
+            raise ValueError("gzip member consumed no bytes")
+        rest = do.unused_data
+    return out

@@ -235,3 +235,28 @@ def test_zstd_binding_roundtrip_and_interop():
         assert zstd_decompress(streamed + streamed) == data + data
         with pytest.raises(ValueError):
             zstd_decompress(streamed[:-3])
+
+
+def test_warc_gz_member_per_record():
+    import gzip
+
+    import pytest
+    from challenge8_movies_etl_spark.operators.containers import (
+        decode_warc_gz, encode_warc, encode_warc_gz)
+    recs = [("warcinfo", None, b"software: mvetl\r\n"),
+            ("response", "https://e.com/a", b"hello"),
+            ("response", "https://e.com/b", b"x" * 2000)]
+    blob = encode_warc_gz(recs)
+    assert decode_warc_gz(blob) == recs
+    # each member independently decodable = random access works:
+    # the second member starts where member 1's deflate stream ends
+    import zlib
+    do = zlib.decompressobj(wbits=31)
+    do.decompress(blob); do.flush()
+    assert decode_warc_gz(do.unused_data) == recs[1:]
+    # whole-file gzip (all records in ONE member) must be refused
+    mono = gzip.compress(encode_warc(recs))
+    with pytest.raises(ValueError, match="member-per-record"):
+        decode_warc_gz(mono)
+    with pytest.raises(ValueError, match="gzip"):
+        decode_warc_gz(b"\x1f\x8b" + b"\x00" * 20)

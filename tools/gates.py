@@ -83,6 +83,13 @@ SHAPE = {
     "q_html_extract": "q_text_sentiment",        # codegen regex chain
     "q_multimodal_decode_palette": "q_multimodal_decode",
     "q_seq_packing": "q_multimodal_decode",      # shard applyInPandas
+    # round-7 wave
+    "q_warc_extract": "q_multimodal_decode",     # Arrow python parse
+    "q_warcgz_extract": "q_multimodal_decode",   # gzip member walk
+    "q_audio_decode_alaw": "q_multimodal_decode",
+    "q_similarity_ann_check": "q_similarity_topk",  # both ANN arms
+    "q_percentile_check": "q_agg_hash",          # two percentile aggs
+    "q_hll_intersection_check": "q_join_multi_5way",  # distinct join
 }
 
 
