@@ -114,6 +114,7 @@ EXTRA = [
     # IVF and brute-force arms)
     "q_warc_extract",
     "q_warcgz_extract",
+    "q_warc_cdx_fetch",
     "q_audio_decode_alaw",
     "q_similarity_ann_check",
     "q_percentile_check",

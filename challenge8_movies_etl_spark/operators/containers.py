@@ -384,3 +384,111 @@ def decode_warc_gz(buf: bytes) -> list[tuple[str, str | None, bytes]]:
             raise ValueError("gzip member consumed no bytes")
         rest = do.unused_data
     return out
+
+
+def warc_gz_index(buf: bytes) -> list[tuple[int, int, str | None]]:
+    """CDX-style member index over a member-per-record .warc.gz:
+    [(offset, length, target_uri)] per gzip member, WITHOUT inflating
+    payload bodies ahead of need — offsets come from zlib's
+    unused_data boundary walk, exactly how a CDX indexer rides the
+    gzip member structure. The returned (offset, length) slices are
+    independently decodable (the random-access contract)."""
+    out: list[tuple[int, int, str | None]] = []
+    rest = buf
+    pos = 0
+    while rest:
+        do = zlib.decompressobj(wbits=31)
+        try:
+            member = do.decompress(rest) + do.flush()
+        except zlib.error as exc:
+            raise ValueError(f"bad gzip member at {pos}: {exc}") from None
+        recs = decode_warc(member)
+        if len(recs) != 1:
+            raise ValueError("warc.gz member holds != 1 record")
+        used = len(rest) - len(do.unused_data)
+        if used == 0:
+            raise ValueError("gzip member consumed no bytes")
+        out.append((pos, used, recs[0][1]))
+        pos += used
+        rest = do.unused_data
+    return out
+
+
+def parse_robots(text: str) -> list[tuple[list[str], list[tuple[str, str]], int | None]]:
+    """Parse robots.txt into groups per RFC 9309: each group is
+    (user_agents, [(rule, path_prefix)...], crawl_delay). Rules keep
+    file order; agent names are lowercased (matching is
+    case-insensitive). Lines outside any group and unknown directives
+    are ignored, comments stripped at '#'."""
+    groups: list[tuple[list[str], list[tuple[str, str]], int | None]] = []
+    agents: list[str] = []
+    rules: list[tuple[str, str]] = []
+    delay: int | None = None
+    open_group = False  # True once a rule line followed the agents
+
+    def flush():
+        nonlocal agents, rules, delay, open_group
+        if agents:
+            groups.append((agents, rules, delay))
+        agents, rules, delay, open_group = [], [], None, False
+
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, val = line.partition(":")
+        if not sep:
+            continue
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if open_group:
+                flush()
+            agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            open_group = True
+            rules.append((key, val))
+        elif key == "crawl-delay":
+            open_group = True
+            try:
+                delay = int(val)
+            except ValueError:
+                pass
+    flush()
+    return groups
+
+
+def robots_decision(groups, agent: str, path: str) -> tuple[bool, int | None]:
+    """RFC 9309 evaluation: select the group whose user-agent token is
+    the LONGEST prefix-token match for `agent` (exact product token
+    beats '*'; '*' is the fallback), then apply the longest-path-match
+    rule among that group's allow/disallow lines — ties go to allow;
+    an empty Disallow matches nothing; no matching rule ⇒ allowed.
+    Returns (allowed, crawl_delay_of_selected_group)."""
+    agent = agent.lower()
+    best_group = None
+    best_spec = -1
+    for agents, rules, delay in groups:
+        for a in agents:
+            if a == "*":
+                spec = 0
+            elif agent.startswith(a):
+                spec = len(a)
+            else:
+                continue
+            if spec > best_spec:
+                best_spec = spec
+                best_group = (rules, delay)
+    if best_group is None:
+        return True, None
+    rules, delay = best_group
+    verdict, best_len = True, -1
+    for rule, prefix in rules:
+        if prefix == "":
+            continue  # empty pattern matches nothing
+        if path.startswith(prefix):
+            ln = len(prefix)
+            if ln > best_len or (ln == best_len and rule == "allow"):
+                best_len = ln
+                verdict = (rule == "allow")
+    return verdict, delay

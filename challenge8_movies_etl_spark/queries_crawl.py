@@ -746,3 +746,155 @@ def q_warcgz_extract(spark, sf_dir):
     return dec.select(
         "doc_id", "n_records", "payload_bytes",
         F.md5(F.encode("resp_concat", "utf-8")).alias("resp_digest"))
+
+
+@query(
+    "q_warc_cdx_fetch",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, lang, 1 + doc_id % 3 AS m FROM documents
+    )
+    SELECT doc_id,
+           cast(m + 1 as bigint) AS n_members,
+           'https://example.com/doc' || cast(doc_id as varchar)
+             || '/p' || cast(m - 1 as varchar) AS fetched_uri,
+           cast(10 * m as bigint) AS fetched_bytes,
+           md5(repeat(lang, 5 * m)) AS fetched_digest
+    FROM params
+    """,
+)
+def q_warc_cdx_fetch(spark, sf_dir):
+    """CDX-style random access into .warc.gz (round 7): build the
+    member index [(offset, length, uri)] by riding gzip member
+    boundaries (zlib unused_data walk — no payload inflation during
+    indexing), then FETCH exactly one record — the last response —
+    by slicing payload[offset : offset+length] and inflating that
+    slice alone, exactly what a 100 TB archive reader does with a CDX
+    row and an HTTP Range request. The fetched record's URI, size,
+    and md5 are closed-form in (doc_id, lang); a wrong member
+    boundary, a cumulative-offset slip, or a non-self-contained
+    member breaks the hash. Proves the member-per-record layout's
+    random-access contract end-to-end, not just full-scan decode
+    (q_warcgz_extract).
+
+    Scale: zero-shuffle Arrow-batched mapInPandas; at 100 TB the
+    index is built once per shard and persisted — every later fetch
+    touches `length` compressed bytes, never the shard prefix."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .operators.containers import encode_warc_gz
+        for pdf in batches:
+            payloads = []
+            for doc_id, lang in zip(pdf["doc_id"], pdf["lang"]):
+                did = int(doc_id)
+                m = 1 + did % 3
+                recs = [("warcinfo", None, b"software: mvetl\r\n")]
+                recs += [("response",
+                          f"https://example.com/doc{did}/p{j}",
+                          (lang * (5 * (j + 1))).encode())
+                         for j in range(m)]
+                payloads.append(encode_warc_gz(recs))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .operators.containers import decode_warc_gz, warc_gz_index
+        for pdf in batches:
+            out = {"doc_id": [], "n_members": [], "fetched_uri": [],
+                   "fetched_bytes": [], "fetched_text": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                blob = bytes(payload)
+                idx = warc_gz_index(blob)
+                off, length, uri = idx[-1]  # last response member
+                # random access: decode ONLY the sliced member
+                (rtype, ruri, rpayload), = decode_warc_gz(
+                    blob[off:off + length])
+                if (ruri, rtype) != (uri, "response"):
+                    raise ValueError("CDX fetch mismatch")
+                out["doc_id"].append(doc_id)
+                out["n_members"].append(len(idx))
+                out["fetched_uri"].append(ruri)
+                out["fetched_bytes"].append(len(rpayload))
+                out["fetched_text"].append(rpayload.decode())
+            yield pd.DataFrame(out)
+
+    media = d.select("doc_id", "lang").mapInPandas(
+        pack, schema="doc_id bigint, payload binary")
+    dec = media.mapInPandas(
+        fetch, schema=("doc_id bigint, n_members bigint, "
+                       "fetched_uri string, fetched_bytes bigint, "
+                       "fetched_text string"))
+    return dec.select(
+        "doc_id", "n_members", "fetched_uri", "fetched_bytes",
+        F.md5(F.encode("fetched_text", "utf-8")).alias("fetched_digest"))
+
+
+@query(
+    "q_robots_decide",
+    oracle="""
+    SELECT doc_id,
+           (doc_id % 7 <> doc_id % 40) AS bot_probe_allowed,
+           true AS bot_root_allowed,
+           (doc_id % 3 = doc_id % 5) AS star_private_allowed,
+           cast(1 + doc_id % 5 as bigint) AS star_delay
+    FROM documents
+    """,
+)
+def q_robots_decide(spark, sf_dir):
+    """robots.txt politeness gate (RFC 9309 — round 7, the crawl
+    front door's admission control): per doc a robots.txt is
+    synthesized with a '*' group (Disallow /private/ with one Allow
+    carve-out and a Crawl-delay) and a product-token group for
+    'mvetlbot' (Disallow /p/<doc_id%40>/ inside Allow /p/), then a
+    REAL parser (group splitting at rule→agent transitions, comment
+    stripping, case-insensitive agent tokens) and the RFC evaluator
+    (longest agent-token group selection, longest-path-match rule
+    with allow-tie, empty-Disallow-matches-nothing) decide four
+    data-dependent probes whose outcomes are closed-form in doc_id:
+    the bot probing /p/<doc_id%7>/x is blocked exactly when
+    doc_id%7 == doc_id%40 (longest match flips to the Disallow), and
+    the '*' agent probing /private/ok<doc_id%3>/f passes exactly when
+    the carve-out dir <doc_id%5> coincides. A group-boundary,
+    specificity-order, or tie-break slip flips decisions and breaks
+    the hash.
+
+    Scale: zero-shuffle mapInPandas — robots evaluation is per-host
+    metadata riding the same partition as the URLs it gates."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .operators.containers import parse_robots, robots_decision
+        for pdf in batches:
+            out = {"doc_id": [], "bot_probe_allowed": [],
+                   "bot_root_allowed": [], "star_private_allowed": [],
+                   "star_delay": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                txt = (
+                    "# synthetic robots\n"
+                    "User-agent: *\n"
+                    "Disallow: /private/\n"
+                    f"Allow: /private/ok{did % 5}/\n"
+                    f"Crawl-delay: {1 + did % 5}\n"
+                    "\n"
+                    "User-agent: MvEtlBot\n"
+                    f"Disallow: /p/{did % 40}/\n"
+                    "Allow: /p/\n")
+                g = parse_robots(txt)
+                probe, _ = robots_decision(
+                    g, "mvetlbot/2.1", f"/p/{did % 7}/x")
+                root, _ = robots_decision(g, "mvetlbot/2.1", "/p/other")
+                priv, delay = robots_decision(
+                    g, "genericbot", f"/private/ok{did % 3}/f")
+                out["doc_id"].append(doc_id)
+                out["bot_probe_allowed"].append(probe)
+                out["bot_root_allowed"].append(root)
+                out["star_private_allowed"].append(priv)
+                out["star_delay"].append(delay)
+            yield pd.DataFrame(out)
+
+    return d.select("doc_id").mapInPandas(
+        run, schema=("doc_id bigint, bot_probe_allowed boolean, "
+                     "bot_root_allowed boolean, "
+                     "star_private_allowed boolean, star_delay bigint"))

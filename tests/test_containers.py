@@ -260,3 +260,60 @@ def test_warc_gz_member_per_record():
         decode_warc_gz(mono)
     with pytest.raises(ValueError, match="gzip"):
         decode_warc_gz(b"\x1f\x8b" + b"\x00" * 20)
+
+
+def test_warc_gz_index_random_access():
+    from challenge8_movies_etl_spark.operators.containers import (
+        decode_warc_gz, encode_warc_gz, warc_gz_index)
+    recs = [("warcinfo", None, b"info"),
+            ("response", "https://e.com/a", b"A" * 100),
+            ("request", "https://e.com/a", b""),
+            ("response", "https://e.com/b", b"B" * 3000)]
+    blob = encode_warc_gz(recs)
+    idx = warc_gz_index(blob)
+    assert [u for _, _, u in idx] == [None, "https://e.com/a",
+                                      "https://e.com/a",
+                                      "https://e.com/b"]
+    # offsets tile the blob exactly
+    assert idx[0][0] == 0
+    for (o1, l1, _), (o2, _, _) in zip(idx, idx[1:]):
+        assert o1 + l1 == o2
+    assert idx[-1][0] + idx[-1][1] == len(blob)
+    # every member decodes standalone from its slice
+    for (off, ln, uri), want in zip(idx, recs):
+        got, = decode_warc_gz(blob[off:off + ln])
+        assert got == want
+
+
+def test_robots_rfc9309_semantics():
+    from challenge8_movies_etl_spark.operators.containers import (
+        parse_robots, robots_decision)
+    txt = ("# example\n"
+           "User-agent: *\n"
+           "Disallow: /private/\n"
+           "Allow: /private/ok1/\n"
+           "Crawl-delay: 3\n"
+           "\n"
+           "User-agent: MvEtlBot\n"
+           "Disallow: /p/12/\n"
+           "Allow: /p/\n")
+    g = parse_robots(txt)
+    assert len(g) == 2
+    # product-token group beats '*' for the named bot (case-insens.)
+    assert robots_decision(g, "MVETLBOT/1.0", "/p/12/x") == (False, None)
+    assert robots_decision(g, "mvetlbot/1.0", "/p/13/x") == (True, None)
+    # '*' group: longest match + carve-out + delay
+    assert robots_decision(g, "otherbot", "/private/ok1/f") == (True, 3)
+    assert robots_decision(g, "otherbot", "/private/x") == (False, 3)
+    assert robots_decision(g, "otherbot", "/public") == (True, 3)
+    # longest-match tie goes to allow
+    g2 = parse_robots("User-agent: *\nDisallow: /a/\nAllow: /a/\n")
+    assert robots_decision(g2, "x", "/a/b") == (True, None)
+    # empty Disallow matches nothing; no groups ⇒ allowed
+    g3 = parse_robots("User-agent: *\nDisallow:\n")
+    assert robots_decision(g3, "x", "/anything") == (True, None)
+    assert robots_decision([], "x", "/anything") == (True, None)
+    # consecutive User-agent lines share ONE group (RFC 9309 §2.1)
+    g4 = parse_robots("User-agent: a\nUser-agent: b\nDisallow: /x/\n")
+    assert len(g4) == 1
+    assert robots_decision(g4, "b", "/x/1") == (False, None)
