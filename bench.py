@@ -115,6 +115,7 @@ EXTRA = [
     "q_warc_extract",
     "q_warcgz_extract",
     "q_warc_cdx_fetch",
+    "q_http_dechunk",
     "q_audio_decode_alaw",
     "q_similarity_ann_check",
     "q_percentile_check",

@@ -492,3 +492,77 @@ def robots_decision(groups, agent: str, path: str) -> tuple[bool, int | None]:
                 best_len = ln
                 verdict = (rule == "allow")
     return verdict, delay
+
+
+def parse_http_response(raw: bytes) -> tuple[int, dict[str, str], bytes]:
+    """Parse an HTTP/1.1 response as stored inside a WARC response
+    record: status line, header block (case-insensitive names, first
+    value wins), then the body — dechunked per RFC 9112 §7.1 when
+    Transfer-Encoding: chunked (hex size line [+ extensions], chunk
+    bytes, CRLF, ... , 0-chunk, trailer section), else sliced by
+    Content-Length, else the remainder. ValueError on framing
+    corruption (bad status line, malformed chunk size, chunk
+    overrun)."""
+    head, sep, rest = raw.partition(b"\r\n\r\n")
+    if not sep:
+        raise ValueError("no header/body separator in HTTP response")
+    lines = head.split(b"\r\n")
+    parts = lines[0].split(None, 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        raise ValueError(f"bad HTTP status line {lines[0][:40]!r}")
+    try:
+        status = int(parts[1])
+    except ValueError:
+        raise ValueError("non-integer HTTP status") from None
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        k, s2, v = line.partition(b":")
+        if not s2:
+            raise ValueError(f"malformed HTTP header {line!r}")
+        headers.setdefault(k.strip().decode().lower(),
+                           v.strip().decode())
+    te = headers.get("transfer-encoding", "").lower()
+    if te == "chunked":
+        body = bytearray()
+        pos = 0
+        while True:
+            eol = rest.find(b"\r\n", pos)
+            if eol < 0:
+                raise ValueError("truncated chunk-size line")
+            size_tok = rest[pos:eol].split(b";", 1)[0].strip()
+            try:
+                n = int(size_tok, 16)
+            except ValueError:
+                raise ValueError(
+                    f"bad chunk size {size_tok[:16]!r}") from None
+            pos = eol + 2
+            if n == 0:
+                break  # trailer section ignored
+            if pos + n + 2 > len(rest):
+                raise ValueError("chunk overruns payload")
+            body += rest[pos:pos + n]
+            if rest[pos + n:pos + n + 2] != b"\r\n":
+                raise ValueError("missing CRLF after chunk data")
+            pos += n + 2
+        return status, headers, bytes(body)
+    if "content-length" in headers:
+        n = int(headers["content-length"])
+        if n > len(rest):
+            raise ValueError("Content-Length overruns payload")
+        return status, headers, rest[:n]
+    return status, headers, rest
+
+
+def encode_http_chunked(status: int, headers: list[tuple[str, str]],
+                        body: bytes, chunk_size: int) -> bytes:
+    """Emit an HTTP/1.1 response with chunked transfer coding —
+    chunk-size lines in lowercase hex, final 0-chunk, empty trailer."""
+    out = bytearray(b"HTTP/1.1 %d OK\r\n" % status)
+    for k, v in headers:
+        out += f"{k}: {v}\r\n".encode()
+    out += b"Transfer-Encoding: chunked\r\n\r\n"
+    for i in range(0, len(body), chunk_size):
+        chunk = body[i:i + chunk_size]
+        out += b"%x\r\n" % len(chunk) + chunk + b"\r\n"
+    out += b"0\r\n\r\n"
+    return bytes(out)

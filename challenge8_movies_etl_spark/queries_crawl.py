@@ -898,3 +898,123 @@ def q_robots_decide(spark, sf_dir):
         run, schema=("doc_id bigint, bot_probe_allowed boolean, "
                      "bot_root_allowed boolean, "
                      "star_private_allowed boolean, star_delay bigint"))
+
+
+@query(
+    "q_url_frontier",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'src' || cast(doc_id % 20 as varchar) || '.example.com'
+               AS host,
+             doc_id % 100 AS priority,
+             1 + doc_id % 20 % 5 AS delay_s
+      FROM documents
+    )
+    SELECT doc_id, host,
+           cast(row_number() OVER w - 1 as bigint) AS fetch_slot,
+           cast((row_number() OVER w - 1) * delay_s as bigint)
+             AS fetch_at_s
+    FROM urls
+    WINDOW w AS (PARTITION BY host
+                 ORDER BY priority DESC, doc_id)
+    """,
+)
+def q_url_frontier(spark, sf_dir):
+    """Polite crawl-frontier scheduling (round 7): URLs are bucketed
+    by host (the politeness domain), ordered by priority with a
+    deterministic tie-break, and each gets a fetch slot and an
+    absolute fetch time slot×crawl_delay — the scheduling kernel of
+    a distributed fetcher that must never hit one host concurrently.
+    One window over the host partition; both engines replay the
+    identical ranking.
+
+    Scale: the host hash IS the shuffle key — at 100 TB the frontier
+    partitions by host exactly as the fetcher fleet does, so
+    scheduling never needs a global sort; per-host state is a row
+    counter."""
+    from pyspark.sql import Window as W
+    d = load_table(spark, sf_dir, "documents")
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        (F.col("doc_id") % 100).alias("priority"),
+        (1 + F.col("doc_id") % 20 % 5).alias("delay_s"))
+    w = W.partitionBy("host").orderBy(F.col("priority").desc(), "doc_id")
+    rn = F.row_number().over(w) - 1
+    return urls.select(
+        "doc_id", "host",
+        rn.cast("long").alias("fetch_slot"),
+        (rn * F.col("delay_s")).cast("long").alias("fetch_at_s"))
+
+
+@query(
+    "q_http_dechunk",
+    oracle="""
+    SELECT doc_id,
+           200 AS status,
+           'text/plain' AS content_type,
+           cast(length(text) as bigint) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    """,
+)
+def q_http_dechunk(spark, sf_dir):
+    """The FULL crawl-record stack (round 7): each doc's text is
+    served as an HTTP/1.1 response with chunked transfer coding
+    (RFC 9112 §7.1 — hex size lines, per-chunk CRLFs, 0-chunk
+    terminator; chunk size varies per doc, 16 + doc_id%49, so
+    boundaries land everywhere), wrapped in a WARC/1.0 response
+    record, gzip'd member-per-record — exactly the bytes Common Crawl
+    stores. The reader reverses all three layers: member inflate →
+    WARC Content-Length framing → HTTP header parse + dechunk — and
+    the QUERY md5s the reassembled body against the oracle's md5 of
+    the original text. A slip in ANY layer (chunk-size hex, CRLF
+    accounting, WARC separator, gzip member boundary) breaks the
+    digest.
+
+    Scale: zero-shuffle Arrow-batched mapInPandas — the per-shard
+    ingest decode path, parallelism == partitions."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .operators.containers import (encode_http_chunked,
+                                           encode_warc_gz)
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(doc_id)
+                http = encode_http_chunked(
+                    200, [("Content-Type", "text/plain")],
+                    text.encode(), chunk_size=16 + did % 49)
+                payloads.append(encode_warc_gz(
+                    [("response",
+                      f"https://example.com/doc{did}", http)]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .operators.containers import (decode_warc_gz,
+                                           parse_http_response)
+        for pdf in batches:
+            out = {"doc_id": [], "status": [], "content_type": [],
+                   "body": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                (_, _, http), = decode_warc_gz(bytes(payload))
+                status, hdrs, body = parse_http_response(http)
+                out["doc_id"].append(doc_id)
+                out["status"].append(status)
+                out["content_type"].append(hdrs["content-type"])
+                out["body"].append(body.decode())
+            yield pd.DataFrame(out)
+
+    media = d.select("doc_id", "text").mapInPandas(
+        pack, schema="doc_id bigint, payload binary")
+    dec = media.mapInPandas(
+        unpack, schema=("doc_id bigint, status int, "
+                        "content_type string, body string"))
+    return dec.select(
+        "doc_id", "status", "content_type",
+        F.length("body").cast("long").alias("n_bytes"),
+        F.md5(F.encode("body", "utf-8")).alias("digest"))

@@ -74,7 +74,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # family, then codec/graph/eval/stream never-sampled members.
     # --- (a) round-7 new / changed ---
     "q_warc_extract", "q_warcgz_extract", "q_warc_cdx_fetch",
-    "q_robots_decide", "q_text_decompress", "q_audio_decode_alaw",
+    "q_robots_decide", "q_http_dechunk", "q_url_frontier",
+    "q_text_decompress", "q_audio_decode_alaw",
     "q_percentile_check", "q_sketch_reagg_check",
     "q_hll_intersection_check", "q_similarity_ann_check",
     "q_seq_packing", "q_text_utf8_validate",
@@ -97,7 +98,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_graph_hits", "q_topic_nmf", "q_weak_supervision",
     # --- calibration / eval metrics (never sampled) ---
     "q_calibration_ece", "q_conformal_threshold", "q_roc_auc",
-    "q_average_precision", "q_rouge_n", "q_mrr", "q_mcnemar_test",
+    "q_average_precision", "q_rouge_n",
     # (q_stream_topk / q_stream_backfill / q_coverage_select wait for
     # the r8 front — the round-7 crawl additions took their slots)
 )

@@ -317,3 +317,38 @@ def test_robots_rfc9309_semantics():
     g4 = parse_robots("User-agent: a\nUser-agent: b\nDisallow: /x/\n")
     assert len(g4) == 1
     assert robots_decision(g4, "b", "/x/1") == (False, None)
+
+
+def test_http_chunked_roundtrip_and_refusals():
+    import pytest
+    from challenge8_movies_etl_spark.operators.containers import (
+        encode_http_chunked, parse_http_response)
+    body = b"abcdefghij" * 37
+    raw = encode_http_chunked(200, [("Content-Type", "text/html")],
+                              body, chunk_size=64)
+    status, hdrs, got = parse_http_response(raw)
+    assert (status, got) == (200, body)
+    assert hdrs["content-type"] == "text/html"
+    # chunk-size lines may carry extensions; sizes are hex
+    raw2 = raw.replace(b"40\r\n", b"40;ext=1\r\n", 1)
+    assert parse_http_response(raw2)[2] == body
+    # content-length path
+    cl = (b"HTTP/1.1 404 Not Found\r\nContent-Length: 5\r\n\r\n"
+          b"hellogarbage")
+    assert parse_http_response(cl) == (
+        404, {"content-length": "5"}, b"hello")
+    # corruption refusals
+    with pytest.raises(ValueError, match="status"):
+        parse_http_response(b"ICY 200 OK\r\n\r\nx")
+    with pytest.raises(ValueError, match="chunk size"):
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"zz\r\nhi\r\n0\r\n\r\n")
+    with pytest.raises(ValueError, match="CRLF"):
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"2\r\nhiXX0\r\n\r\n")
+    with pytest.raises(ValueError, match="overrun"):
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"ff\r\nshort\r\n0\r\n\r\n")

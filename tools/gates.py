@@ -87,6 +87,7 @@ SHAPE = {
     "q_warc_extract": "q_multimodal_decode",     # Arrow python parse
     "q_warcgz_extract": "q_multimodal_decode",   # gzip member walk
     "q_warc_cdx_fetch": "q_multimodal_decode",   # index + slice fetch
+    "q_http_dechunk": "q_multimodal_decode",     # 3-layer record stack
     "q_audio_decode_alaw": "q_multimodal_decode",
     "q_similarity_ann_check": "q_similarity_topk",  # both ANN arms
     "q_percentile_check": "q_agg_hash",          # two percentile aggs
