@@ -1018,3 +1018,74 @@ def q_http_dechunk(spark, sf_dir):
         "doc_id", "status", "content_type",
         F.length("body").cast("long").alias("n_bytes"),
         F.md5(F.encode("body", "utf-8")).alias("digest"))
+
+
+@query(
+    "q_xml_sitemap",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 1 + doc_id % 3 AS m FROM documents
+    ), urls AS (
+      SELECT doc_id, m, gs.j,
+             'https://example.com/doc' || cast(doc_id as varchar)
+               || '/p' || cast(gs.j as varchar) AS loc,
+             (doc_id + gs.j) % 10 AS prio10
+      FROM params, generate_series(0, 2) gs(j) WHERE gs.j < m
+    )
+    SELECT doc_id,
+           cast(m as bigint) AS n_urls,
+           min(loc) AS first_loc,
+           max(loc) AS last_loc,
+           cast(sum(prio10) as bigint) AS prio10_sum,
+           '2026-0' || cast(1 + doc_id % 9 as varchar) || '-11'
+             AS lastmod0
+    FROM urls GROUP BY doc_id, m
+    """,
+)
+def q_xml_sitemap(spark, sf_dir):
+    """Sitemap XML ingestion via Spark's BUILT-IN from_xml (round 7 —
+    the XML surface the registry lacked; sitemaps are how a crawler
+    discovers URLs before the frontier ever schedules them): per doc
+    a sitemaps.org urlset with 1 + doc_id%3 <url> entries (loc /
+    lastmod / priority) is synthesized, parsed JVM-side by from_xml
+    into ARRAY<STRUCT>, exploded, and aggregated. Priorities are
+    carried as integer tenths (prio10) so the sum is exact on both
+    engines; the oracle regenerates the entries in closed form — a
+    repeated-element grouping, namespace-handling, or explode slip
+    changes counts/locs and breaks the hash.
+
+    Scale: from_xml is a codegen'd JVM expression — no python, no
+    shuffle before the per-doc rollup (map-side combinable)."""
+    d = load_table(spark, sf_dir, "documents")
+    m = (1 + F.col("doc_id") % 3).cast("int")
+
+    def mk(j):
+        return F.concat(
+            F.lit("<url><loc>https://example.com/doc"),
+            F.col("doc_id").cast("string"), F.lit("/p"),
+            j.cast("string"), F.lit("</loc><lastmod>2026-0"),
+            (1 + F.col("doc_id") % 9).cast("string"),
+            F.lit("-11</lastmod><priority>0."),
+            ((F.col("doc_id") + j) % 10).cast("string"),
+            F.lit("</priority></url>"))
+    xml = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>'
+              '<urlset xmlns="http://www.sitemaps.org/schemas/'
+              'sitemap/0.9">'),
+        F.array_join(F.transform(F.sequence(F.lit(0), m - 1), mk),
+                     ""),
+        F.lit("</urlset>"))
+    parsed = d.select(
+        "doc_id",
+        F.from_xml(xml, "url ARRAY<STRUCT<loc: STRING, "
+                        "lastmod: STRING, priority: DOUBLE>>")
+        .alias("p"))
+    u = parsed.select(
+        "doc_id", F.explode("p.url").alias("u"))
+    return (u.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_urls"),
+                 F.min("u.loc").alias("first_loc"),
+                 F.max("u.loc").alias("last_loc"),
+                 F.sum(F.round(F.col("u.priority") * 10).cast("long"))
+                 .alias("prio10_sum"),
+                 F.first("u.lastmod").alias("lastmod0")))
