@@ -1175,11 +1175,33 @@ def q_dbscan(spark, sf_dir):
     unchanged); components run iteration-capped pointer hops on the
     core-core edge list; everything else is group-bys on the
     |V|-sized neighbor relation."""
+    from functools import reduce
+
     from .operators.cluster import connected_components
     from .operators.kmeans import DEC_D
 
     e = load_table(spark, sf_dir, "embeddings")
-    a, b = e.alias("a"), e.alias("b")
+    # sf1.0 scale fix (SCALE_RUN r7): the original zip_with/aggregate
+    # distance is a CodegenFallback — interpreted per PAIR inside the
+    # broadcast join, which also inherited the scan's ~4 partitions,
+    # so the 40 M-pair eps-graph serialized onto a few cores for tens
+    # of minutes. Two-phase replacement with IDENTICAL results (the
+    # oracle is unchanged): (1) a whole-stage-codegen 64-term DOUBLE
+    # prefilter with a safety margin that dwarfs the worst summation
+    # + per-term-rounding error (~3e-9; margin 1e-5), then (2) the
+    # original exact-decimal reduction re-verifies only the ~|E|
+    # survivors. The explicit repartition restores pair-pass
+    # parallelism.
+    a = e.repartition(32, "vec_id").alias("a")
+    b = e.alias("b")
+
+    def dim_dd(i: int):
+        x = F.element_at(F.col("a.embedding"), i).cast("double")
+        y = F.element_at(F.col("b.embedding"), i).cast("double")
+        return (x - y) * (x - y)
+
+    dd2 = reduce(lambda acc, i: acc + dim_dd(i), range(2, 65),
+                 dim_dd(1))
     term = F.zip_with(
         F.col("a.embedding"), F.col("b.embedding"),
         lambda x, y: F.round((x.cast("double") - y.cast("double"))
@@ -1189,6 +1211,7 @@ def q_dbscan(spark, sf_dir):
                      lambda acc, x: (acc + x).cast(DEC_D))
     neigh = (a.join(b, (F.col("a.label") == F.col("b.label"))
                     & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .filter(dd2 <= float(_DB_EPS2) + 1e-5)  # codegen prefilter
              .select(F.col("a.vec_id").alias("va"),
                      F.col("b.vec_id").alias("vb"),
                      d2.alias("d2"))
