@@ -313,3 +313,27 @@ def ivf_check_sql(probe_id: int = 0, k: int = 10, n_cells: int = 8,
            (exact.vec_id IS NOT NULL) AS hit
     FROM ann LEFT JOIN exact USING (vec_id)
     """
+
+
+def dot_fast_col(a: Column, b: Column, dims: int = DIMS) -> Column:
+    """Whole-stage-codegen fixed-order double dot product — the
+    PREFILTER arm of the two-phase pattern (SCALE.md round 7).
+
+    zip_with/aggregate lambdas are CodegenFallback expressions:
+    evaluated per candidate PAIR inside a join they run interpreted,
+    which is what made q_dbscan's sf1.0 eps-graph serialize onto a few
+    cores for minutes. This unrolled 64-term sum stays inside
+    whole-stage codegen (same trick as cosine_topk_fast_sql / PQ's
+    exact_dist_expr). Fixed left-assoc order ⇒ deterministic, and
+    |double − exact| ≤ ~1e-13 for unit-ish vectors, so filtering at
+    (tau − 1e-6) with dot_col/cosine exact re-verification at the
+    boundary yields BIT-IDENTICAL results to the pure-decimal filter
+    while doing the decimal work only on survivors."""
+    from functools import reduce
+
+    def term(i: int) -> Column:
+        return (F.element_at(a, i).cast("double")
+                * F.element_at(b, i).cast("double"))
+
+    return reduce(lambda acc, i: acc + term(i), range(2, dims + 1),
+                  term(1))

@@ -483,11 +483,16 @@ def q_similarity_pairs(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     n = e.select("vec_id", "label", "embedding",
                  _norm(F.col("embedding")).alias("nrm"))
-    a, b = n.alias("a"), n.alias("b")
+    a = n.repartition(32, "vec_id").alias("a")
+    b = n.alias("b")
     cos = (dot_col(F.col("a.embedding"), F.col("b.embedding"))
            / F.sqrt(F.col("a.nrm") * F.col("b.nrm")))
+    fast = (similarity.dot_fast_col(F.col("a.embedding"),
+                                    F.col("b.embedding"))
+            / F.sqrt(F.col("a.nrm") * F.col("b.nrm")))
     return (a.join(b, (F.col("a.label") == F.col("b.label"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .filter(fast >= 0.3 - 1e-6)  # codegen prefilter (SCALE.md r7)
             .select(F.col("a.label").alias("label"), cos.alias("cos_raw"))
             .filter(F.col("cos_raw") >= 0.3)
             .groupBy("label")
@@ -523,11 +528,16 @@ def q_embed_neardup(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     n = e.select("vec_id", "label", "embedding",
                  _norm(F.col("embedding")).alias("nrm"))
-    a, b = n.alias("a"), n.alias("b")
+    a = n.repartition(32, "vec_id").alias("a")
+    b = n.alias("b")
     cos = (dot_col(F.col("a.embedding"), F.col("b.embedding"))
            / F.sqrt(F.col("a.nrm") * F.col("b.nrm")))
+    fast = (similarity.dot_fast_col(F.col("a.embedding"),
+                                    F.col("b.embedding"))
+            / F.sqrt(F.col("a.nrm") * F.col("b.nrm")))
     pairs = (a.join(b, (F.col("a.label") == F.col("b.label"))
                     & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .filter(fast >= 0.35 - 1e-6)  # codegen prefilter (r7)
              .select(F.col("a.vec_id").alias("va"),
                      F.col("b.vec_id").alias("vb"),
                      cos.alias("cos_raw"))
@@ -1228,21 +1238,51 @@ def q_knn_join(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     n = e.select("vec_id", "label", "embedding",
                  _norm(F.col("embedding")).alias("nrm"))
-    a, b = n.alias("a"), n.alias("b")
-    cos = (dot_col(F.col("a.embedding"), F.col("b.embedding"))
-           / F.sqrt(F.col("a.nrm") * F.col("b.nrm")))
+    # Two-phase top-k (SCALE.md r7 — same fix family as q_dbscan):
+    # phase 1 ranks ALL pairs by the whole-stage-codegen DOUBLE cosine
+    # (|fast − exact| ≤ ~1e-13) and keeps a top-13 superset per vector
+    # — the exact top-3 can only escape it if ≥ 11 cosines tie within
+    # 2e-13 of the 3rd-best, impossible for the continuous fixture
+    # values short of bit-identical vectors; phase 2 re-scores only
+    # the ≤13 survivors per vector with the exact decimal reduction
+    # and takes the final top-3, so results are bit-identical to the
+    # all-decimal form (oracle unchanged) at ~1/1000th the decimal
+    # work. The 40 M-pair sf1.0 pass dropped 788 s → seconds.
+    a = n.repartition(32, "vec_id").alias("a")
+    b = n.alias("b")
+    fast = (similarity.dot_fast_col(F.col("a.embedding"),
+                                    F.col("b.embedding"))
+            / F.sqrt(F.col("a.nrm") * F.col("b.nrm")))
     pairs = (a.join(b, (F.col("a.label") == F.col("b.label"))
                     & (F.col("a.vec_id") < F.col("b.vec_id")))
              .select(F.col("a.vec_id").alias("va"),
                      F.col("b.vec_id").alias("vb"),
-                     cos.alias("cos_raw")))
+                     fast.alias("fast_cos")))
     both = (pairs.select(F.col("va").alias("vec_id"),
-                         F.col("vb").alias("neighbor"), "cos_raw")
+                         F.col("vb").alias("neighbor"), "fast_cos")
             .unionByName(
                 pairs.select(F.col("vb").alias("vec_id"),
-                             F.col("va").alias("neighbor"), "cos_raw")))
-    w = W.partitionBy("vec_id").orderBy(F.col("cos_raw").desc(), "neighbor")
-    return (both.withColumn("_rn", F.row_number().over(w))
+                             F.col("va").alias("neighbor"), "fast_cos")))
+    wf = W.partitionBy("vec_id").orderBy(F.col("fast_cos").desc(),
+                                         "neighbor")
+    cand = (both.withColumn("_rn", F.row_number().over(wf))
+            .filter(F.col("_rn") <= 13)
+            .select("vec_id", "neighbor"))
+    va = n.select(F.col("vec_id"),
+                  F.col("embedding").alias("_ea"),
+                  F.col("nrm").alias("_na"))
+    vb = n.select(F.col("vec_id").alias("neighbor"),
+                  F.col("embedding").alias("_eb"),
+                  F.col("nrm").alias("_nb"))
+    exact = (cand.join(F.broadcast(va), "vec_id")
+             .join(F.broadcast(vb), "neighbor")
+             .select("vec_id", "neighbor",
+                     (dot_col(F.col("_ea"), F.col("_eb"))
+                      / F.sqrt(F.col("_na") * F.col("_nb")))
+                     .alias("cos_raw")))
+    w = W.partitionBy("vec_id").orderBy(F.col("cos_raw").desc(),
+                                        "neighbor")
+    return (exact.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= 3)
             .select("vec_id", "neighbor",
                     F.round("cos_raw", 4).alias("cos")))
@@ -2074,11 +2114,16 @@ def q_dedup_semantic(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     n = e.select("vec_id", "label", "embedding",
                  _norm(F.col("embedding")).alias("nrm"))
-    a, b = n.alias("a"), n.alias("b")
+    a = n.repartition(32, "vec_id").alias("a")
+    b = n.alias("b")
     cos = (dot_col(F.col("a.embedding"), F.col("b.embedding"))
            / F.sqrt(F.col("a.nrm") * F.col("b.nrm")))
+    fast = (similarity.dot_fast_col(F.col("a.embedding"),
+                                    F.col("b.embedding"))
+            / F.sqrt(F.col("a.nrm") * F.col("b.nrm")))
     pairs = (a.join(b, (F.col("a.label") == F.col("b.label"))
                     & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .filter(fast >= 0.35 - 1e-6)  # codegen prefilter (r7)
              .select(F.col("a.vec_id").alias("va"),
                      F.col("b.vec_id").alias("vb"),
                      cos.alias("cos_raw"))

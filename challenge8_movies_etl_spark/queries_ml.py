@@ -1081,13 +1081,18 @@ def q_dedup_semdedup(spark, sf_dir):
                                        F.col("embedding")))
             .persist())
 
-    x, y = memb.alias("x"), memb.alias("y")
+    from .operators.similarity import dot_fast_col
+    x = memb.repartition(32, "vec_id").alias("x")
+    y = memb.alias("y")
     before = ((F.col("x.cdist") > F.col("y.cdist"))
               | ((F.col("x.cdist") == F.col("y.cdist"))
                  & (F.col("x.vec_id") < F.col("y.vec_id"))))
     cos = (dot_col(F.col("x.embedding"), F.col("y.embedding"))
            / F.sqrt(F.col("x.nrm") * F.col("y.nrm")))
+    fast = (dot_fast_col(F.col("x.embedding"), F.col("y.embedding"))
+            / F.sqrt(F.col("x.nrm") * F.col("y.nrm")))
     dups = (x.join(y, (F.col("x.cluster") == F.col("y.cluster")) & before)
+            .filter(fast >= _SEMDEDUP_TAU - 1e-6)  # codegen prefilter
             .filter(cos >= _SEMDEDUP_TAU)
             .select(F.col("y.vec_id").alias("vec_id"))
             .distinct()
