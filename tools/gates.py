@@ -89,7 +89,13 @@ SHAPE = {
     "q_warc_cdx_fetch": "q_multimodal_decode",   # index + slice fetch
     "q_http_dechunk": "q_multimodal_decode",     # 3-layer record stack
     "q_audio_decode_alaw": "q_multimodal_decode",
-    "q_similarity_ann_check": "q_similarity_topk",  # both ANN arms
+    # ann_check chains ~8 small stages (centroid pick -> decimal
+    # assignment -> cell rank -> candidate scan -> two top-k arms
+    # -> check join); at sf0.1 its cost is stage-count overhead,
+    # not data volume (measured: the decimal assignment and its
+    # codegen-fast twin both ~2s cold) - the iterative-stage
+    # profile pagerank's gate represents, not single-arm topk
+    "q_similarity_ann_check": "q_graph_pagerank",
     "q_percentile_check": "q_agg_hash",          # two percentile aggs
     "q_hll_intersection_check": "q_join_multi_5way",  # distinct join
 }
