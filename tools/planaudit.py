@@ -72,7 +72,15 @@ UDF_SURFACE = {"q_udf_scalar", "q_udaf_grouped", "q_udtf",
                "q_seq_packing",  # per-shard next-fit applyInPandas
                "q_unigram_segment",  # per-distinct-word Viterbi DP
                "q_video_chroma422",  # Arrow C422 Y4M decode surface
-               "q_blocklist_match"}  # Aho-Corasick automaton surface
+               "q_blocklist_match",  # Aho-Corasick automaton surface
+               # round-7 declared Arrow surfaces (the real crawl
+               # record stack + G.711 A-law)
+               "q_warc_extract",  # WARC/1.0 record walk
+               "q_warcgz_extract",  # member-per-record .warc.gz
+               "q_warc_cdx_fetch",  # CDX index + slice fetch
+               "q_http_dechunk",  # WARC+HTTP chunked 3-layer stack
+               "q_robots_decide",  # RFC 9309 parse + evaluate
+               "q_audio_decode_alaw"}  # G.711 A-law companding decode
 
 
 def audit(spark, qid, fn, sf_dir):
