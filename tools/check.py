@@ -85,6 +85,11 @@ def main() -> int:
     ap.add_argument("--json", metavar="PATH",
                     help="also write results as JSON (LOCAL_CORRECTNESS "
                     "record format)")
+    ap.add_argument("--plain-session", action="store_true",
+                    help="build a BARE SparkSession (no engine configs) "
+                    "like the driver harness does — the pre-flight that "
+                    "catches conf-dependent behavior before the driver "
+                    "samples a query")
     ap.add_argument("qids", nargs="*")
     args = ap.parse_args()
     if args.both_scales:
@@ -92,6 +97,8 @@ def main() -> int:
         for sf_dir, suffix in (("/root/testdata/sf0.01", ""),
                                ("/root/testdata/sf0.1", "_sf01")):
             argv = [sys.argv[0], "--sf", sf_dir, *args.qids]
+            if args.plain_session:
+                argv.insert(1, "--plain-session")
             if args.json:
                 base = args.json.removesuffix(".json")
                 argv[1:1] = ["--json", f"{base}{suffix}.json"]
@@ -104,8 +111,15 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
-    from challenge8_movies_etl_spark.session import get_spark
-    spark = get_spark("oracle-check")
+    if args.plain_session:
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[8]")
+                 .appName("oracle-check-plain")
+                 .config("spark.ui.enabled", "false")
+                 .getOrCreate())
+    else:
+        from challenge8_movies_etl_spark.session import get_spark
+        spark = get_spark("oracle-check")
 
     con = duckdb.connect()
     for t in TABLES:
