@@ -611,3 +611,153 @@ def q_query_likelihood(spark, sf_dir):
             .selectExpr("doc_id", f"{part} AS ql_score")
             .orderBy(F.desc("ql_score"), "doc_id")
             .limit(20))
+
+
+_PRF_FB = 10    # feedback depth (top-k of the first pass)
+_PRF_T = 3      # expansion terms
+_PRF_BETA = 0.5  # Rocchio weight for expansion terms
+
+
+@query(
+    "q_prf_expansion",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS dl,
+             {_tf_duck('fast')} AS tf_fast,
+             {_tf_duck('slow')} AS tf_slow
+      FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             cast(sum(cast(dl AS {DEC})) AS double) / count(*) AS avgdl,
+             sum(CASE WHEN tf_fast > 0 THEN 1 ELSE 0 END) AS df_fast,
+             sum(CASE WHEN tf_slow > 0 THEN 1 ELSE 0 END) AS df_slow
+      FROM d
+    ),
+    fb AS (
+      SELECT doc_id, text, dl,
+             round({_bm25_part('tf_fast', _IDF.format(t='fast'))}
+                   + {_bm25_part('tf_slow', _IDF.format(t='slow'))}, 4)
+               AS score
+      FROM d CROSS JOIN stats
+      WHERE tf_fast + tf_slow > 0
+      ORDER BY score DESC, doc_id LIMIT {_PRF_FB}
+    ),
+    fbtf AS (
+      SELECT fb.doc_id, fb.dl, fb.score, t.term, count(*) AS tf
+      FROM fb, unnest(string_split(fb.text, ' ')) AS t(term)
+      GROUP BY 1, 2, 3, 4
+    ),
+    cand AS (
+      SELECT term,
+             cast(sum(cast(round(tf * score / dl, 8) AS {DEC}))
+                  AS double) AS w
+      FROM fbtf WHERE term NOT IN ('fast', 'slow')
+      GROUP BY term
+      ORDER BY w DESC, term LIMIT {_PRF_T}
+    ),
+    expterms AS (
+      SELECT 'fast' AS term, 1.0 AS wq
+      UNION ALL SELECT 'slow', 1.0
+      UNION ALL SELECT term, {_PRF_BETA} FROM cand
+    ),
+    tdf AS (
+      SELECT t.term, count(DISTINCT d.doc_id) AS df
+      FROM d, unnest(string_split(d.text, ' ')) AS t(term)
+      WHERE t.term IN (SELECT term FROM expterms)
+      GROUP BY t.term
+    ),
+    alltf AS (
+      SELECT d.doc_id, d.dl, t.term, count(*) AS tf
+      FROM d, unnest(string_split(d.text, ' ')) AS t(term)
+      WHERE t.term IN (SELECT term FROM expterms)
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           round(cast(sum(cast(round(
+             wq * (ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * ({_K1} + 1.0))
+                   / (tf + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl))),
+             8) AS {DEC})) AS double), 4) AS prf_score
+    FROM alltf
+    JOIN expterms USING (term)
+    JOIN tdf USING (term)
+    CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY prf_score DESC, doc_id LIMIT {_PRF_FB}
+    """,
+)
+def q_prf_expansion(spark, sf_dir):
+    """Pseudo-relevance-feedback query expansion (Rocchio/RM3 — round
+    7, completing the retrieval family's second pass): BM25 pass 1 for
+    {fast, slow} takes the top-10 as the feedback set; each
+    non-query term is weighted by the relevance-model estimate
+    Σ_d tf·score/dl over the feedback docs (each addend rounded 8dp →
+    exact decimal sum, order-independent); the top-3 expansion
+    terms join the query at Rocchio β=0.5; pass 2 scores every
+    doc against the expanded 5-term query — per-term BM25 parts share
+    one expression tree with the oracle, each part rounded 8dp before
+    the decimal per-doc sum so the data-dependent term set can never
+    introduce order-dependent float drift. Fully relational on BOTH
+    engines (the expansion terms are discovered, not hardcoded), so
+    the whole two-pass pipeline is value-hash-checked.
+
+    Scale: pass 1 is the q_bm25 shape (scan + 1-row broadcast +
+    TakeOrdered); term discovery explodes only the 10 feedback
+    docs; pass 2 explodes the corpus once filtered to the 5-term
+    broadcast set (semi-join pushes into the scan) with one map-side-
+    combinable per-doc rollup. No inverted index, no corpus shuffle
+    beyond the final 5-term tf rollup."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        F.expr("size(split(text, ' '))").alias("dl"),
+        F.expr(_tf("fast")).alias("tf_fast"),
+        F.expr(_tf("slow")).alias("tf_slow"))
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.col("dl").cast(DEC)).cast("double") / F.count("*"))
+        .alias("avgdl"),
+        F.sum(F.when(F.col("tf_fast") > 0, 1).otherwise(0))
+        .alias("df_fast"),
+        F.sum(F.when(F.col("tf_slow") > 0, 1).otherwise(0))
+        .alias("df_slow"))
+    fb = (d.crossJoin(F.broadcast(stats))
+          .where(F.col("tf_fast") + F.col("tf_slow") > 0)
+          .select("doc_id", "text", "dl", F.round(
+              F.expr(_bm25_part("tf_fast", _IDF.format(t="fast")))
+              + F.expr(_bm25_part("tf_slow", _IDF.format(t="slow"))),
+              4).alias("score"))
+          .orderBy(F.desc("score"), "doc_id").limit(_PRF_FB))
+    fbtf = (fb.select("doc_id", "dl", "score",
+                      F.explode(F.split("text", " ")).alias("term"))
+            .groupBy("doc_id", "dl", "score", "term")
+            .agg(F.count("*").alias("tf")))
+    cand = (fbtf.filter(~F.col("term").isin("fast", "slow"))
+            .groupBy("term")
+            .agg(F.sum(F.round(F.col("tf") * F.col("score")
+                               / F.col("dl"), 8).cast(DEC))
+                 .cast("double").alias("w"))
+            .orderBy(F.desc("w"), "term").limit(_PRF_T))
+    expterms = (cand.select("term", F.lit(_PRF_BETA).alias("wq"))
+                .unionByName(fb.sparkSession.createDataFrame(
+                    [("fast", 1.0), ("slow", 1.0)], "term string, wq double")))
+    corpus_tf = (d.select("doc_id", "dl",
+                          F.explode(F.split("text", " ")).alias("term"))
+                 .join(F.broadcast(expterms), "term")
+                 .groupBy("doc_id", "dl", "term", "wq")
+                 .agg(F.count("*").alias("tf")))
+    tdf = (corpus_tf.groupBy("term")
+           .agg(F.countDistinct("doc_id").alias("df")))
+    part = (F.expr(
+        f"ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) "
+        f"* (tf * ({_K1} + 1.0)) "
+        f"/ (tf + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl))"))
+    return (corpus_tf
+            .join(F.broadcast(tdf), "term")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(F.round(
+                F.sum(F.round(F.col("wq") * part, 8).cast(DEC))
+                .cast("double"), 4).alias("prf_score"))
+            .orderBy(F.desc("prf_score"), "doc_id").limit(_PRF_FB))
