@@ -1089,3 +1089,47 @@ def q_xml_sitemap(spark, sf_dir):
                  F.sum(F.round(F.col("u.priority") * 10).cast("long"))
                  .alias("prio10_sum"),
                  F.first("u.lastmod").alias("lastmod0")))
+
+
+@query(
+    "q_json_quarantine",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+                ELSE 'doc' || cast(doc_id as varchar) END AS title,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+                ELSE cast(length(text) as bigint) END AS n,
+           (doc_id % 13 = 0) AS quarantined
+    FROM documents
+    """,
+)
+def q_json_quarantine(spark, sf_dir):
+    """PERMISSIVE-mode JSON ingest with corrupt-record quarantine —
+    the §2.A ragged-JSON surface as a first-class hash-checked query
+    (previously pinned only by tests/test_sources.py): every 13th
+    doc's JSON line is truncated mid-string (a real wire corruption),
+    from_json(PERMISSIVE) yields a null struct for exactly those rows,
+    and the query emits the parsed fields plus the quarantine flag the
+    dead-letter path routes on. The oracle predicts the partition of
+    good/corrupt rows in closed form — a parser that silently
+    null-fills good rows or 'repairs' bad ones breaks the hash.
+
+    Scale: from_json is a codegen'd JVM expression in the scan — no
+    shuffle, no python; the quarantine split is a predicate, so the
+    dead-letter write is a partition-pruned second sink, never a
+    second parse."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit('{"title": "doc'), F.col("doc_id").cast("string"),
+        F.lit('", "n": '), F.length("text").cast("string"),
+        F.lit("}"))
+    corrupted = F.when(F.col("doc_id") % 13 == 0,
+                       F.substring(payload, 1, 12)).otherwise(payload)
+    parsed = d.select(
+        "doc_id",
+        F.from_json(corrupted, "title string, n bigint").alias("j"))
+    return parsed.select(
+        "doc_id",
+        F.col("j.title").alias("title"),
+        F.col("j.n").alias("n"),
+        F.col("j.title").isNull().alias("quarantined"))

@@ -1412,3 +1412,116 @@ def q_seq_packing(spark, sf_dir):
     return (base.groupBy("bucket")
             .applyInPandas(pack, "bucket bigint, bin bigint, "
                                  "n_docs bigint, tok_sum bigint"))
+
+
+_DOREMI_ORACLE = """
+WITH per AS (
+  SELECT source, cast(count(*) as bigint) AS n_docs,
+         cast(sum(cast(len(string_split(text, ' ')) as decimal(30,10)))
+              as double) / count(*) AS avg_dl
+  FROM documents GROUP BY source
+),
+ex AS (
+  SELECT source, n_docs,
+         round(avg_dl / 100.0, 6) AS excess,
+         cast(round(exp(round(avg_dl / 100.0, 6)), 8)
+              as decimal(20,8)) AS e
+  FROM per
+),
+z AS (SELECT cast(sum(e) as decimal(30,8)) AS zsum FROM ex)
+SELECT source, n_docs, excess,
+       round(cast(e as double) / cast(zsum as double), 6) + 0.0
+         AS weight
+FROM ex CROSS JOIN z
+ORDER BY source
+"""
+
+
+@query("q_doremi_reweight", oracle=_DOREMI_ORACLE)
+def q_doremi_reweight(spark, sf_dir):
+    """DoReMi-style domain reweighting (Xie et al. 2023 — round 7):
+    one multiplicative-weights step of the Group-DRO update that
+    DoReMi's proxy run iterates — from uniform domain weights,
+    w'_i ∝ exp(η·excess_i) with η=1, where the per-domain excess loss
+    is a deterministic fixture proxy (mean token count / 100; in
+    production the proxy model's per-domain excess log-loss lands in
+    the same column). The normalized mixture is what the 100 TB
+    sampling job consumes (cf. q_domain_mix's uniform cap and
+    q_mixture_temperature's sqrt-temperature rungs on the same
+    ladder).
+
+    Hash discipline: the mean is an exact decimal sum / count; excess
+    rounds 6dp; exp() rounds 8dp into decimal so the normalizer is an
+    exact order-free sum; final weights round 6dp with the −0.0 guard.
+
+    Scale: groupBy(source) collapses the corpus to |domains| rows;
+    the update is dim-sized arithmetic — iterating it (the full
+    DoReMi loop) costs one corpus pass per round for fresh losses,
+    nothing more."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum(F.size(F.split("text", " ")).cast("decimal(30,10)"))
+         .cast("double") / F.count("*")).alias("avg_dl"))
+    ex = per.select(
+        "source", "n_docs",
+        F.round(F.col("avg_dl") / 100.0, 6).alias("excess"),
+        F.round(F.exp(F.round(F.col("avg_dl") / 100.0, 6)), 8)
+        .cast("decimal(20,8)").alias("e"))
+    z = ex.agg(F.sum("e").cast("decimal(30,8)").alias("zsum"))
+    return (ex.crossJoin(F.broadcast(z))
+            .select("source", "n_docs", "excess",
+                    (F.round(F.col("e").cast("double")
+                             / F.col("zsum").cast("double"), 6) + 0.0)
+                    .alias("weight"))
+            .orderBy("source"))
+
+
+@query(
+    "q_distinct_ngrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT source,
+             array_to_string(list_slice(t, gs.i, gs.i + 1), ' ')
+               AS gram
+      FROM toks, generate_series(1, 99) gs(i)
+      WHERE gs.i + 1 <= len(t)
+    )
+    SELECT source,
+           cast(count(*) as bigint) AS n_bigrams,
+           cast(count(DISTINCT gram) as bigint) AS n_distinct,
+           round(cast(count(DISTINCT gram) as double) / count(*), 6)
+             AS distinct_2
+    FROM grams GROUP BY source
+    """,
+)
+def q_distinct_ngrams(spark, sf_dir):
+    """Distinct-n diversity (Li et al. 2016's distinct-2 — round 7):
+    per source, the ratio of unique word bigrams to total bigrams —
+    the standard mode-collapse / repetition diagnostic run over
+    generated or scraped corpora before training on them (a synthetic
+    corpus with distinct-2 ≪ natural text is an immediate red flag).
+    Complements q_quality_repetition (within-doc top-gram share) with
+    the ACROSS-corpus diversity view.
+
+    Scale: bigram generation is a higher-order-function projection in
+    the scan; the distinct ride Expand inside one per-source
+    aggregation (map-side combinable). At 100 TB swap the exact
+    distinct for approx_count_distinct — same query shape."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "source",
+        F.explode(F.expr(
+            "transform(sequence(1, size(split(text,' ')) - 1), "
+            "i -> concat_ws(' ', slice(split(text,' '), i, 2)))"))
+        .alias("gram"))
+    return (grams.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_bigrams"),
+                 F.countDistinct("gram").cast("long")
+                 .alias("n_distinct"),
+                 F.round(F.countDistinct("gram").cast("double")
+                         / F.count("*"), 6).alias("distinct_2")))

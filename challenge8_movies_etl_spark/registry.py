@@ -75,7 +75,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- (a) round-7 new / changed ---
     "q_warc_extract", "q_warcgz_extract", "q_warc_cdx_fetch",
     "q_robots_decide", "q_http_dechunk", "q_url_frontier",
-    "q_xml_sitemap", "q_prf_expansion",
+    "q_xml_sitemap", "q_prf_expansion", "q_doremi_reweight",
+    "q_distinct_ngrams", "q_json_quarantine",
     "q_text_decompress", "q_audio_decode_alaw",
     "q_percentile_check", "q_sketch_reagg_check",
     "q_hll_intersection_check", "q_similarity_ann_check",
@@ -96,9 +97,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_audio_decode_mulaw", "q_video_chroma422",
     # --- graph / topic / weak-supervision (never sampled) ---
     "q_graph_components", "q_graph_label_prop", "q_graph_kcore",
-    "q_graph_hits", "q_topic_nmf", "q_weak_supervision",
+    "q_topic_nmf", "q_weak_supervision",
     # --- calibration / eval metrics (never sampled) ---
-    "q_calibration_ece", "q_conformal_threshold", "q_roc_auc",
+    "q_calibration_ece", "q_conformal_threshold",
     # (q_stream_topk / q_stream_backfill / q_coverage_select wait for
     # the r8 front — the round-7 crawl additions took their slots)
 )
