@@ -94,7 +94,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- codec tails (never sampled) ---
     "q_multimodal_decode_chroma422", "q_multimodal_decode_png16",
     "q_multimodal_decode_adam7", "q_audio_decode_float",
-    "q_audio_decode_mulaw", "q_video_chroma422",
+    "q_audio_decode_mulaw",
     # --- graph / topic / weak-supervision (never sampled) ---
     "q_graph_components", "q_graph_label_prop", "q_graph_kcore",
     "q_topic_nmf", "q_weak_supervision",
