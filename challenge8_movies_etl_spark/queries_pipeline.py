@@ -1525,3 +1525,133 @@ def q_distinct_ngrams(spark, sf_dir):
                  .alias("n_distinct"),
                  F.round(F.countDistinct("gram").cast("double")
                          / F.count("*"), 6).alias("distinct_2")))
+
+
+_BATCH_B = 8  # docs per batch
+
+
+@query(
+    "q_batch_padding",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             row_number() OVER (ORDER BY len(string_split(text, ' ')),
+                                doc_id) - 1 AS rk
+      FROM documents
+    ),
+    batches AS (
+      SELECT rk // {_BATCH_B} AS batch_id,
+             cast(count(*) as bigint) AS n_docs,
+             cast(max(dl) as bigint) AS max_len,
+             cast(sum(dl) as bigint) AS tok_sum
+      FROM ranked GROUP BY 1
+    )
+    SELECT batch_id, n_docs, max_len, tok_sum,
+           cast(n_docs * max_len - tok_sum as bigint) AS padding,
+           round(1.0 - cast(tok_sum as double) / (n_docs * max_len), 6)
+             AS waste
+    FROM batches
+    """,
+)
+def q_batch_padding(spark, sf_dir):
+    """Length-bucketed dynamic batching audit (round 7): docs are
+    sorted by token length (tie doc_id), grouped into fixed batches
+    of 8, and each batch reports its padded size (n·max_len), real
+    token mass, and padding waste — the quantity length-bucketing
+    exists to minimize (random batching on this fixture wastes ~40%;
+    sorted batching a few %). The decision artifact a training-run
+    dataloader consumes, next to q_seq_packing's bin-packing and
+    q_pack_sequences' concat-chunk layouts.
+
+    Scale: one global sort by length (the same sort a range
+    partitioner does) then a map-side batch rollup; at 100 TB the
+    sort is the standard exchange and batches stay partition-local."""
+    from pyspark.sql import Window as W
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl"))
+    rk = F.row_number().over(W.orderBy("dl", "doc_id")) - 1
+    ranked = d.select("doc_id", "dl", rk.alias("rk"))
+    b = (ranked.groupBy((F.col("rk") / _BATCH_B).cast("long")
+                        .alias("batch_id"))
+         .agg(F.count("*").cast("long").alias("n_docs"),
+              F.max("dl").cast("long").alias("max_len"),
+              F.sum("dl").cast("long").alias("tok_sum")))
+    return b.select(
+        "batch_id", "n_docs", "max_len", "tok_sum",
+        (F.col("n_docs") * F.col("max_len") - F.col("tok_sum"))
+        .cast("long").alias("padding"),
+        F.round(1.0 - F.col("tok_sum").cast("double")
+                / (F.col("n_docs") * F.col("max_len")), 6)
+        .alias("waste"))
+
+
+@query(
+    "q_preference_pairs",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(text, ' '),
+                             x -> x = 'fast')) AS pos,
+             len(list_filter(string_split(text, ' '),
+                             x -> x = 'slow')) AS neg,
+             len(string_split(text, ' ')) AS dl
+      FROM documents
+    ),
+    graded AS (
+      SELECT doc_id, source,
+             cast(pos - neg as bigint) AS reward,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY pos - neg DESC, doc_id) AS rk
+      FROM scored WHERE dl >= 10
+    )
+    SELECT a.source,
+           a.doc_id AS chosen_id, b.doc_id AS rejected_id,
+           a.reward AS chosen_reward, b.reward AS rejected_reward,
+           cast(a.reward - b.reward as bigint) AS margin
+    FROM graded a JOIN graded b
+      ON a.source = b.source AND b.rk = a.rk + 1
+    WHERE a.reward > b.reward
+    """,
+)
+def q_preference_pairs(spark, sf_dir):
+    """RLHF preference-pair assembly (round 7): per prompt group
+    (source stands in for the prompt), responses are ranked by a
+    deterministic reward proxy (sentiment-lexicon hit balance:
+    #fast − #slow), and ADJACENT-rank pairs with a strictly positive
+    margin become (chosen, rejected) training rows — the
+    adjacent-pairing policy that maximizes pair count without the
+    O(n²) all-pairs blowup and keeps margins local (the DPO/RM data
+    prep shape). Short responses (<10 tokens) are dropped first, as a
+    real pipeline gates degenerate completions before pairing.
+
+    Scale: one window per group + a self-join on (group, rank) —
+    both shuffle on the group key the data is already bucketed by in
+    a real prompt-grouped layout; pair volume is n−1 per group,
+    never quadratic."""
+    from pyspark.sql import Window as W
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = d.select(
+        "doc_id", "source",
+        F.size(F.filter(toks, lambda x: x == "fast")).alias("pos"),
+        F.size(F.filter(toks, lambda x: x == "slow")).alias("neg"),
+        F.size(toks).alias("dl"))
+    graded = (scored.filter(F.col("dl") >= 10)
+              .select("doc_id", "source",
+                      (F.col("pos") - F.col("neg")).cast("long")
+                      .alias("reward"))
+              .withColumn("rk", F.row_number().over(
+                  W.partitionBy("source")
+                  .orderBy(F.desc("reward"), "doc_id"))))
+    a = graded.alias("a")
+    b = graded.alias("b")
+    return (a.join(b, (F.col("a.source") == F.col("b.source"))
+                   & (F.col("b.rk") == F.col("a.rk") + 1))
+            .filter(F.col("a.reward") > F.col("b.reward"))
+            .select(F.col("a.source").alias("source"),
+                    F.col("a.doc_id").alias("chosen_id"),
+                    F.col("b.doc_id").alias("rejected_id"),
+                    F.col("a.reward").alias("chosen_reward"),
+                    F.col("b.reward").alias("rejected_reward"),
+                    (F.col("a.reward") - F.col("b.reward"))
+                    .cast("long").alias("margin")))
