@@ -1655,3 +1655,73 @@ def q_preference_pairs(spark, sf_dir):
                     F.col("b.reward").alias("rejected_reward"),
                     (F.col("a.reward") - F.col("b.reward"))
                     .cast("long").alias("margin")))
+
+
+_LOOP_SUFFIX = " loopx loopy loopz" * 6  # injected degenerate tail
+
+
+@query(
+    "q_loop_detect",
+    oracle=f"""
+    WITH built AS (
+      SELECT doc_id,
+             string_split(CASE WHEN doc_id % 7 = 0
+                  THEN text || '{_LOOP_SUFFIX}' ELSE text END, ' ') AS t
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, t, len(t) AS l FROM built
+    )
+    SELECT doc_id,
+           cast(l - coalesce(list_max(list_filter(range(1, l + 1),
+                  i -> t[i] <> t[l])), 0) as bigint) AS run1,
+           cast(coalesce(list_min(list_filter(range(1, 11),
+                  k -> l < 3 * k
+                       OR t[l - 3 * k + 1 : l - 3 * k + 3]
+                          <> t[l - 2 : l])), 11) - 1 as bigint) AS rep3,
+           (l - coalesce(list_max(list_filter(range(1, l + 1),
+                  i -> t[i] <> t[l])), 0) >= 3
+            OR coalesce(list_min(list_filter(range(1, 11),
+                  k -> l < 3 * k
+                       OR t[l - 3 * k + 1 : l - 3 * k + 3]
+                          <> t[l - 2 : l])), 11) - 1 >= 3)
+             AS has_loop
+    FROM m
+    """,
+)
+def q_loop_detect(spark, sf_dir):
+    """Degenerate-generation loop detection (round 7) — the gate a
+    pipeline ingesting MODEL-GENERATED text runs before training on
+    it: per doc, (a) run1 = the trailing run length of the final
+    token (token-level degeneration) and (b) rep3 = how many times
+    the final 3-gram repeats consecutively at the tail (phrase-level
+    loops, capped at 10); has_loop fires at ≥3 of either. Every 7th
+    doc gets a six-fold repeated out-of-vocabulary 3-gram appended
+    (the fabricated block can never extend accidentally), while
+    natural token stutters in the random text are detected — and
+    hash-agreed — by both engines running the SAME array-lambda
+    logic, not a closed-form assumption.
+
+    Scale: per-row array expressions in the scan — zero shuffle,
+    zero python; cost linear in tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat("text", F.lit(_LOOP_SUFFIX)))
+        .otherwise(F.col("text")), " ")
+    m = d.select("doc_id", t.alias("t"), F.size(t).alias("l"))
+    last = F.element_at("t", F.col("l"))
+    brk = F.filter(F.sequence(F.lit(1), F.col("l")),
+                   lambda i: F.element_at("t", i) != last)
+    run1 = (F.col("l") - F.coalesce(F.array_max(brk), F.lit(0)))
+    block = F.slice("t", F.col("l") - 2, 3)
+    bad_k = F.filter(
+        F.sequence(F.lit(1), F.lit(10)),
+        lambda k: (F.col("l") < 3 * k)
+        | (F.slice("t", F.col("l") - 3 * k + 1, 3) != block))
+    rep3 = F.coalesce(F.array_min(bad_k), F.lit(11)) - 1
+    return m.select(
+        "doc_id",
+        run1.cast("long").alias("run1"),
+        rep3.cast("long").alias("rep3"),
+        ((run1 >= 3) | (rep3 >= 3)).alias("has_loop"))

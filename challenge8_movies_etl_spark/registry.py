@@ -77,7 +77,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_robots_decide", "q_http_dechunk", "q_url_frontier",
     "q_xml_sitemap", "q_prf_expansion", "q_doremi_reweight",
     "q_distinct_ngrams", "q_json_quarantine", "q_batch_padding",
-    "q_preference_pairs",
+    "q_preference_pairs", "q_loop_detect",
     "q_text_decompress", "q_audio_decode_alaw",
     "q_percentile_check", "q_sketch_reagg_check",
     "q_hll_intersection_check", "q_similarity_ann_check",
@@ -94,7 +94,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dbscan", "q_decision_stump",
     # --- codec tails (never sampled) ---
     "q_multimodal_decode_chroma422", "q_multimodal_decode_png16",
-    "q_multimodal_decode_adam7",
     # --- graph / topic / weak-supervision (never sampled) ---
     "q_graph_components", "q_graph_label_prop", "q_graph_kcore",
     "q_topic_nmf", "q_weak_supervision",
