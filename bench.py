@@ -220,26 +220,33 @@ def main() -> None:
         "calib_note": "see BASELINE.md 'Calibration' — normalize vs recorded values on host drift",
     }))
     # Line 2 (LAST, compact): the driver's tail capture keeps only the
-    # final ~2000 chars of stdout, so the full line above got truncated
+    # final 2000 chars of stdout, so the full line above got truncated
     # to "parsed": null in BENCH_r05.json once the registry outgrew it.
-    # This second line repeats the load-bearing fields — headline total,
-    # the explicitly-gated BASELINE.md rows, calibration — and is kept
-    # small enough (<~1.5 kB) to always survive the tail capture intact.
-    gate_rows = HEADLINE + ["q_graph_pagerank", "q_dedup_containment",
-                            "q_multimodal_decode", "q_mmr_rerank"]
-    print(json.dumps({
-        "metric": "headline_total_best_of_3",
-        "value": total,
-        "unit": "sec",
-        "queries": {q: timings[q] for q in gate_rows if q in timings},
-        "queries_best_median": {q: stats[q] for q in gate_rows
-                                if q in stats},
-        "sf": sf,
-        "calib_1core_sec": calib1,
-        "calib_spark_sec": calibs,
-        "compact": True,
-        "n_benched": len(timings),
-    }, separators=(",", ":")))
+    # This second line must let gates.py evaluate EVERY benched row
+    # from the driver file alone (VERDICT r7 item 5 — r7's compact
+    # line carried only 12/60 rows), so best/median pairs are packed
+    # into one space-separated string, 'q_' prefix stripped:
+    # "agg_hash:0.375:0.415 ...". 3 decimals, dropping to 2 if the
+    # line would outgrow the 2000-char tail budget.
+    def qbm_line(dp: int) -> str:
+        packed = " ".join(
+            f"{q[2:] if q.startswith('q_') else q}"
+            f":{best:.{dp}f}:{med:.{dp}f}"
+            for q, (best, med) in stats.items())
+        return json.dumps({
+            "metric": "headline_total_best_of_3",
+            "value": total,
+            "unit": "sec",
+            "qbm": packed,
+            "sf": sf,
+            "calib_spark_sec": calibs,
+            "compact": True,
+            "n_benched": len(timings),
+        }, separators=(",", ":"))
+    line = qbm_line(3)
+    if len(line) > 1900:
+        line = qbm_line(2)
+    print(line)
 
 
 if __name__ == "__main__":

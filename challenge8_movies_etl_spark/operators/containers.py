@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import bz2
 import lzma
+import re
 import struct
 import zlib
 
@@ -458,36 +459,63 @@ def parse_robots(text: str) -> list[tuple[list[str], list[tuple[str, str]], int 
     return groups
 
 
+def _robots_rule_matches(pattern: str, path: str) -> bool:
+    """RFC 9309 §2.2.3 path-pattern match: '*' matches any character
+    sequence (including '/'), a TRAILING '$' anchors the match at the
+    end of the path ('$' elsewhere is a literal octet, matching the
+    google/robotstxt reference behavior). Patterns without special
+    characters are plain prefix matches."""
+    if "*" not in pattern and not pattern.endswith("$"):
+        return path.startswith(pattern)
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = ".*".join(re.escape(p) for p in body.split("*"))
+    if not anchored:
+        rx += ".*"
+    return re.fullmatch(rx, path) is not None
+
+
+def _robots_agent_spec(ua_token: str, agent: str) -> int:
+    """Specificity of a group's user-agent token for `agent`:
+    -1 no match, 0 for '*', else the token length (longest
+    prefix-token match wins; exact product token beats '*')."""
+    if ua_token == "*":
+        return 0
+    return len(ua_token) if agent.startswith(ua_token) else -1
+
+
 def robots_decision(groups, agent: str, path: str) -> tuple[bool, int | None]:
-    """RFC 9309 evaluation: select the group whose user-agent token is
-    the LONGEST prefix-token match for `agent` (exact product token
-    beats '*'; '*' is the fallback), then apply the longest-path-match
-    rule among that group's allow/disallow lines — ties go to allow;
-    an empty Disallow matches nothing; no matching rule ⇒ allowed.
-    Returns (allowed, crawl_delay_of_selected_group)."""
+    """RFC 9309 evaluation: find the MOST SPECIFIC user-agent token
+    that matches `agent` (longest prefix-token match; exact product
+    token beats '*'; '*' is the fallback), MERGE the rules of every
+    group carrying that token (§2.2.1: multiple groups naming the
+    same agent combine), then apply the longest-path-match rule among
+    the merged allow/disallow lines — pattern length is the
+    specificity, '*'/'$' per §2.2.3 via _robots_rule_matches, ties go
+    to allow; an empty Disallow matches nothing; no matching rule ⇒
+    allowed. Returns (allowed, crawl_delay) where crawl_delay is the
+    first delay declared among the merged groups in file order
+    (Crawl-delay is a de-facto extension with no RFC merge rule)."""
     agent = agent.lower()
-    best_group = None
-    best_spec = -1
-    for agents, rules, delay in groups:
-        for a in agents:
-            if a == "*":
-                spec = 0
-            elif agent.startswith(a):
-                spec = len(a)
-            else:
-                continue
-            if spec > best_spec:
-                best_spec = spec
-                best_group = (rules, delay)
-    if best_group is None:
+    best_spec = max((_robots_agent_spec(a, agent)
+                     for agents, _, _ in groups for a in agents),
+                    default=-1)
+    if best_spec < 0:
         return True, None
-    rules, delay = best_group
+    merged: list[tuple[str, str]] = []
+    delay: int | None = None
+    for agents, rules, d in groups:
+        if any(_robots_agent_spec(a, agent) == best_spec
+               for a in agents):
+            merged.extend(rules)
+            if delay is None and d is not None:
+                delay = d
     verdict, best_len = True, -1
-    for rule, prefix in rules:
-        if prefix == "":
+    for rule, pattern in merged:
+        if pattern == "":
             continue  # empty pattern matches nothing
-        if path.startswith(prefix):
-            ln = len(prefix)
+        if _robots_rule_matches(pattern, path):
+            ln = len(pattern)
             if ln > best_len or (ln == best_len and rule == "allow"):
                 best_len = ln
                 verdict = (rule == "allow")
@@ -521,8 +549,24 @@ def parse_http_response(raw: bytes) -> tuple[int, dict[str, str], bytes]:
             raise ValueError(f"malformed HTTP header {line!r}")
         headers.setdefault(k.strip().decode().lower(),
                            v.strip().decode())
-    te = headers.get("transfer-encoding", "").lower()
-    if te == "chunked":
+    # RFC 9112 §6.1: Transfer-Encoding is a comma-separated list of
+    # codings applied in order, so they must be REVERSED on receipt
+    # and 'chunked' must be the final one. The old exact-equality test
+    # silently returned still-chunked bytes for 'gzip, chunked'
+    # (ADVICE r7); now: dechunk, then undo the remaining codings
+    # (identity/gzip via zlib), NotImplementedError for codings we
+    # cannot undo rather than returning mis-coded bytes.
+    te_raw = headers.get("transfer-encoding", "")
+    codings = [c.strip().lower() for c in te_raw.split(",") if c.strip()]
+    if codings and codings[-1] != "chunked":
+        raise NotImplementedError(
+            f"Transfer-Encoding {te_raw!r} without final 'chunked' "
+            "(length delimited by connection close) is not supported")
+    for coding in codings[:-1]:
+        if coding not in ("identity", "gzip", "x-gzip"):
+            raise NotImplementedError(
+                f"transfer coding {coding!r} is not supported")
+    if codings:
         body = bytearray()
         pos = 0
         while True:
@@ -544,7 +588,16 @@ def parse_http_response(raw: bytes) -> tuple[int, dict[str, str], bytes]:
             if rest[pos + n:pos + n + 2] != b"\r\n":
                 raise ValueError("missing CRLF after chunk data")
             pos += n + 2
-        return status, headers, bytes(body)
+        payload = bytes(body)
+        for coding in reversed(codings[:-1]):
+            if coding in ("gzip", "x-gzip"):
+                try:
+                    payload = zlib.decompress(payload, wbits=31)
+                except zlib.error as exc:
+                    raise ValueError(
+                        f"bad gzip transfer coding: {exc}") from None
+            # 'identity' is a no-op (validated above)
+        return status, headers, payload
     if "content-length" in headers:
         n = int(headers["content-length"])
         if n > len(rest):

@@ -324,11 +324,18 @@ def dot_fast_col(a: Column, b: Column, dims: int = DIMS) -> Column:
     which is what made q_dbscan's sf1.0 eps-graph serialize onto a few
     cores for minutes. This unrolled 64-term sum stays inside
     whole-stage codegen (same trick as cosine_topk_fast_sql / PQ's
-    exact_dist_expr). Fixed left-assoc order ⇒ deterministic, and
-    |double − exact| ≤ ~1e-13 for unit-ish vectors, so filtering at
-    (tau − 1e-6) with dot_col/cosine exact re-verification at the
-    boundary yields BIT-IDENTICAL results to the pure-decimal filter
-    while doing the decimal work only on survivors."""
+    exact_dist_expr). Fixed left-assoc order ⇒ deterministic. The
+    deviation vs the exact arm is NOT double-summation error alone:
+    dot_col quantizes each per-term product to decimal(18,10), so
+    |double − exact| can reach ~dims·5e-11 ≈ 3e-9 for dims=64
+    (decimal per-term rounding dominates; pure double summation would
+    be ~1e-13). Any prefilter/tie margin built on this function must
+    cover the ~1e-8-per-64-terms decimal-quantization bound — the
+    shipped margins (1e-6 prefilter slack, 1e-5 eps guard) dominate
+    it comfortably, so filtering at (tau − 1e-6) with dot_col/cosine
+    exact re-verification at the boundary yields BIT-IDENTICAL
+    results to the pure-decimal filter while doing the decimal work
+    only on survivors."""
     from functools import reduce
 
     def term(i: int) -> Column:

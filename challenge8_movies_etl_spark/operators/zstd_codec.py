@@ -51,6 +51,19 @@ def _load() -> ctypes.CDLL:
         lib.ZSTD_getFrameContentSize.restype = ctypes.c_ulonglong
         lib.ZSTD_getFrameContentSize.argtypes = [
             ctypes.c_void_p, ctypes.c_size_t]
+        lib.ZSTD_findFrameCompressedSize.restype = ctypes.c_size_t
+        lib.ZSTD_findFrameCompressedSize.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t]
+        lib.ZSTD_createCCtx.restype = ctypes.c_void_p
+        lib.ZSTD_freeCCtx.argtypes = [ctypes.c_void_p]
+        lib.ZSTD_CCtx_setParameter.restype = ctypes.c_size_t
+        lib.ZSTD_CCtx_setParameter.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+        lib.ZSTD_compressStream2.restype = ctypes.c_size_t
+        lib.ZSTD_compressStream2.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int]
+        lib.ZSTD_CStreamOutSize.restype = ctypes.c_size_t
         lib.ZSTD_createDCtx.restype = ctypes.c_void_p
         lib.ZSTD_freeDCtx.argtypes = [ctypes.c_void_p]
         lib.ZSTD_DStreamOutSize.restype = ctypes.c_size_t
@@ -91,18 +104,72 @@ def zstd_compress(data: bytes, level: int = 1) -> bytes:
     return dst.raw[:n]
 
 
+def zstd_compress_stream(data: bytes, level: int = 1) -> bytes:
+    """Compress via the streaming API WITHOUT pledging the content
+    size into the frame header — the frame shape the zstd CLI on
+    stdin and most crawl-shard writers emit (header says
+    content-size-unknown, so decoders must take the streaming path).
+    Exists so fixtures and tests exercise that real-world shape;
+    zstd_compress() remains the pledged-size fast path."""
+    lib = _load()
+    cctx = lib.ZSTD_createCCtx()
+    if not cctx:
+        raise MemoryError("ZSTD_createCCtx failed")
+    try:
+        # ZSTD_c_compressionLevel = 100 (zstd.h public enum value)
+        rc = lib.ZSTD_CCtx_setParameter(cctx, 100, level)
+        if lib.ZSTD_isError(rc):
+            raise ValueError(f"ZSTD_CCtx_setParameter error {rc}")
+        # ZSTD_c_contentSizeFlag = 200: off, so the header pledges no
+        # content size even though we hand zstd the whole input in one
+        # ZSTD_e_end call (otherwise it would write the size anyway
+        # and decoders would never exercise their streaming path)
+        rc = lib.ZSTD_CCtx_setParameter(cctx, 200, 0)
+        if lib.ZSTD_isError(rc):
+            raise ValueError(f"ZSTD_CCtx_setParameter error {rc}")
+        out_cap = lib.ZSTD_CStreamOutSize()
+        chunk = ctypes.create_string_buffer(out_cap)
+        src = ctypes.create_string_buffer(data, len(data))
+        ib = _InBuffer(ctypes.cast(src, ctypes.c_void_p), len(data), 0)
+        pieces = []
+        while True:
+            ob = _OutBuffer(ctypes.cast(chunk, ctypes.c_void_p),
+                            out_cap, 0)
+            # ZSTD_e_end = 2: one-pass flush+finish loop
+            ret = lib.ZSTD_compressStream2(
+                cctx, ctypes.byref(ob), ctypes.byref(ib), 2)
+            if lib.ZSTD_isError(ret):
+                raise ValueError(f"ZSTD_compressStream2 error {ret}")
+            pieces.append(chunk.raw[:ob.pos])
+            if ret == 0:
+                return b"".join(pieces)
+    finally:
+        lib.ZSTD_freeCCtx(cctx)
+
+
 def zstd_decompress(buf: bytes) -> bytes:
-    """Decompress zstd frame(s). Fast path: single frame with the
-    content size pledged in the header (our encoder writes it) →
-    one-shot ZSTD_decompress into an exact buffer. Fallback for
-    streamed frames without a pledged size (zstd CLI on stdin, many
-    crawl writers): ZSTD_decompressStream chunk loop — also handles
-    multi-frame concatenation, which real .zst shards use."""
+    """Decompress zstd frame(s). Fast path: a SINGLE frame spanning
+    the whole buffer with its content size pledged in the header (our
+    zstd_compress writes it) → one-shot ZSTD_decompress into an exact
+    buffer. Everything else — streamed frames without a pledged size
+    (zstd CLI on stdin, many crawl writers) and multi-frame
+    concatenation (real .zst shards), including a pledged first frame
+    with more frames behind it — takes the ZSTD_decompressStream
+    loop. ADVICE r7: the fast path is gated on
+    ZSTD_findFrameCompressedSize(frame 1) == len(buf), because
+    ZSTD_getFrameContentSize reports frame 1 ONLY and one-shotting a
+    concatenation into a frame-1-sized buffer fails dstSize_tooSmall;
+    and the streaming loop keeps flushing after input is exhausted
+    while the previous call both returned nonzero and filled the
+    output chunk exactly (zstd.h: output.pos == output.size can leave
+    decoded bytes buffered inside the DCtx needing another call)."""
     lib = _load()
     size = lib.ZSTD_getFrameContentSize(buf, len(buf))
     if size == _CONTENTSIZE_ERROR:
         raise ValueError("not a zstd frame (or corrupt frame header)")
-    if size != _CONTENTSIZE_UNKNOWN:
+    frame1 = lib.ZSTD_findFrameCompressedSize(buf, len(buf))
+    single = (not lib.ZSTD_isError(frame1)) and frame1 == len(buf)
+    if size != _CONTENTSIZE_UNKNOWN and single:
         dst = ctypes.create_string_buffer(size) if size else b""
         n = lib.ZSTD_decompress(dst, size, buf, len(buf))
         if lib.ZSTD_isError(n):
@@ -117,8 +184,7 @@ def zstd_decompress(buf: bytes) -> bytes:
         src = ctypes.create_string_buffer(buf, len(buf))
         ib = _InBuffer(ctypes.cast(src, ctypes.c_void_p), len(buf), 0)
         pieces = []
-        ret = None
-        while ib.pos < ib.size:
+        while True:
             ob = _OutBuffer(ctypes.cast(chunk, ctypes.c_void_p),
                             out_cap, 0)
             ret = lib.ZSTD_decompressStream(
@@ -127,7 +193,12 @@ def zstd_decompress(buf: bytes) -> bytes:
                 raise ValueError(
                     f"ZSTD_decompressStream error code {ret}")
             pieces.append(chunk.raw[:ob.pos])
-        if ret not in (0, None):
+            if ib.pos < ib.size:
+                continue          # more input to feed
+            if ret == 0:
+                break             # clean frame boundary at input end
+            if ob.pos == ob.size:
+                continue          # chunk filled exactly — flush DCtx
             raise ValueError("truncated zstd stream")
         return b"".join(pieces)
     finally:

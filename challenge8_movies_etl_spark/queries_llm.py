@@ -1240,9 +1240,11 @@ def q_knn_join(spark, sf_dir):
                  _norm(F.col("embedding")).alias("nrm"))
     # Two-phase top-k (SCALE.md r7 — same fix family as q_dbscan):
     # phase 1 ranks ALL pairs by the whole-stage-codegen DOUBLE cosine
-    # (|fast − exact| ≤ ~1e-13) and keeps a top-13 superset per vector
+    # (|fast − exact| ≤ ~3e-9: the exact arm's per-term decimal(18,10)
+    # quantization dominates — see dot_fast_col — not the ~1e-13
+    # double summation error) and keeps a top-13 superset per vector
     # — the exact top-3 can only escape it if ≥ 11 cosines tie within
-    # 2e-13 of the 3rd-best, impossible for the continuous fixture
+    # ~6e-9 of the 3rd-best, impossible for the continuous fixture
     # values short of bit-identical vectors; phase 2 re-scores only
     # the ≤13 survivors per vector with the exact decimal reduction
     # and takes the final top-3, so results are bit-identical to the

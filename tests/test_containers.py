@@ -352,3 +352,111 @@ def test_http_chunked_roundtrip_and_refusals():
         parse_http_response(
             b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
             b"ff\r\nshort\r\n0\r\n\r\n")
+
+
+def test_zstd_multiframe_and_streaming_boundaries():
+    """ADVICE r7 regression cases: (1) multi-frame input whose FIRST
+    frame pledges a content size must not one-shot into a frame-1-
+    sized buffer; (2) the streaming loop must keep flushing when a
+    128 KiB output chunk fills exactly with bytes still buffered in
+    the DCtx."""
+    import pytest
+    from challenge8_movies_etl_spark.operators.zstd_codec import (
+        zstd_available, zstd_compress, zstd_compress_stream,
+        zstd_decompress)
+    if not zstd_available():
+        pytest.skip("no libzstd on this host")
+    a = b"frame-one " * 400
+    b = b"frame-two " * 700
+    # pledged + pledged concatenation (both headers carry sizes)
+    assert zstd_decompress(zstd_compress(a) + zstd_compress(b)) == a + b
+    # pledged first frame + unknown-size second frame
+    assert zstd_decompress(
+        zstd_compress(a) + zstd_compress_stream(b)) == a + b
+    # unknown-size frames force the streaming path; sweep sizes around
+    # exact multiples of the 128 KiB DStream chunk (the flush edge)
+    cap = 128 * 1024
+    for n in (0, 1, cap - 1, cap, cap + 1, 2 * cap, 2 * cap + 7):
+        data = bytes(range(256)) * (n // 256) + bytes(range(n % 256))
+        frame = zstd_compress_stream(data)
+        assert zstd_decompress(frame) == data
+        # header pledges nothing ⇒ this really took the streaming path
+        from challenge8_movies_etl_spark.operators import zstd_codec
+        lib = zstd_codec._load()
+        assert (lib.ZSTD_getFrameContentSize(frame, len(frame))
+                == zstd_codec._CONTENTSIZE_UNKNOWN)
+    # truncated unknown-size stream still refuses
+    f = zstd_compress_stream(b"x" * 50_000)
+    with pytest.raises(ValueError, match="zstd"):
+        zstd_decompress(f[:-4])
+
+
+def test_robots_wildcards_and_group_merging():
+    """RFC 9309 §2.2.3 '*'/'$' patterns and §2.2.1 merging of every
+    group naming the same most-specific agent (ADVICE r7)."""
+    from challenge8_movies_etl_spark.operators.containers import (
+        parse_robots, robots_decision)
+    txt = ("User-agent: *\n"
+           "Disallow: /*.gif$\n"
+           "Disallow: /cgi/*/raw\n"
+           "Allow: /cgi/pub/raw\n"
+           "Disallow: /tmp$\n")
+    g = parse_robots(txt)
+    # trailing $ anchors; '*' spans '/' too
+    assert robots_decision(g, "bot", "/pics/cat.gif") == (False, None)
+    assert robots_decision(g, "bot", "/pics/cat.gif?x=1") == (True, None)
+    assert robots_decision(g, "bot", "/cgi/a/b/raw") == (False, None)
+    assert robots_decision(g, "bot", "/cgi/pub/raw") == (True, None)
+    assert robots_decision(g, "bot", "/tmp") == (False, None)
+    assert robots_decision(g, "bot", "/tmp/") == (True, None)
+    # '$' elsewhere is a literal octet
+    g2 = parse_robots("User-agent: *\nDisallow: /a$b\n")
+    assert robots_decision(g2, "bot", "/a$bc") == (False, None)
+    assert robots_decision(g2, "bot", "/ab") == (True, None)
+    # two groups naming the same agent MERGE (rules from both apply)
+    g3 = parse_robots("User-agent: mvetlbot\nDisallow: /x/\n\n"
+                      "User-agent: other\nDisallow: /\n\n"
+                      "User-agent: mvetlbot\nDisallow: /y/\n"
+                      "Crawl-delay: 7\n")
+    assert robots_decision(g3, "mvetlbot/1.0", "/x/1") == (False, 7)
+    assert robots_decision(g3, "mvetlbot/1.0", "/y/1") == (False, 7)
+    assert robots_decision(g3, "mvetlbot/1.0", "/z") == (True, 7)
+    # crawl-delay = first declared in file order among merged groups
+    g4 = parse_robots("User-agent: a\nCrawl-delay: 2\nDisallow: /q\n\n"
+                      "User-agent: a\nCrawl-delay: 9\n")
+    assert robots_decision(g4, "a", "/q") == (False, 2)
+
+
+def test_http_transfer_coding_lists():
+    """RFC 9112 §6.1 coding lists (ADVICE r7): 'gzip, chunked' must
+    dechunk THEN gunzip; non-final-chunked and unknown codings refuse
+    loudly instead of returning mis-coded bytes."""
+    import zlib
+
+    import pytest
+    from challenge8_movies_etl_spark.operators.containers import (
+        parse_http_response)
+    body = b"the quick brown fox " * 100
+    gz = zlib.compress(body, 6, wbits=31)
+    chunks = b"".join(b"%x\r\n%s\r\n" % (len(gz[i:i + 64]),
+                                         gz[i:i + 64])
+                      for i in range(0, len(gz), 64)) + b"0\r\n\r\n"
+    raw = (b"HTTP/1.1 200 OK\r\n"
+           b"Transfer-Encoding: gzip, chunked\r\n\r\n" + chunks)
+    status, hdrs, got = parse_http_response(raw)
+    assert (status, got) == (200, body)
+    # identity is a no-op member of the list
+    raw_id = raw.replace(b"gzip, chunked", b"identity, gzip, chunked")
+    assert parse_http_response(raw_id)[2] == body
+    with pytest.raises(NotImplementedError, match="final 'chunked'"):
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip\r\n\r\n" + gz)
+    with pytest.raises(NotImplementedError, match="not supported"):
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\n"
+            b"Transfer-Encoding: br, chunked\r\n\r\n0\r\n\r\n")
+    with pytest.raises(ValueError, match="gzip"):
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\n"
+            b"Transfer-Encoding: gzip, chunked\r\n\r\n"
+            b"3\r\nnot\r\n0\r\n\r\n")

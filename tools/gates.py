@@ -102,7 +102,19 @@ SHAPE = {
 
 
 def main() -> int:
-    path = Path(sys.argv[1] if len(sys.argv) > 1 else "BENCH_r04.json")
+    if len(sys.argv) > 1 and not sys.argv[1].startswith("--"):
+        path = Path(sys.argv[1])
+    else:
+        # bare invocation: newest BENCH_r*.json by mtime (a stale
+        # hard-coded default once reported a long-resolved round-4
+        # breach — ADVICE r7 / VERDICT r7 item 4)
+        cands = sorted(Path(".").glob("BENCH_r*.json"),
+                       key=lambda p: p.stat().st_mtime)
+        if not cands:
+            print("ERROR: no BENCH_r*.json found")
+            return 2
+        path = cands[-1]
+        print(f"(defaulting to newest bench file: {path})")
     use_best = "--strict-best" in sys.argv
     b = json.loads(path.read_text())
     # Driver BENCH_r{N}.json wraps the bench stdout under "parsed" —
@@ -112,7 +124,7 @@ def main() -> int:
     # captured tail (bench.py prints a compact summary line LAST for
     # exactly this reason).
     b = b.get("parsed") or b
-    if "queries" not in b and "tail" in b:
+    if "queries" not in b and "qbm" not in b and "tail" in b:
         recovered = None
         for line in str(b["tail"]).splitlines():
             line = line.strip()
@@ -129,9 +141,15 @@ def main() -> int:
             # of the payload, so they usually survive — regex them out.
             import re
             tail = str(b["tail"])
-            m = re.search(r'"queries_best_median":\s*(\{.*?\})\s*,\s*"sf"',
-                          tail, re.DOTALL)
             c = re.search(r'"calib_spark_sec":\s*([0-9.]+)', tail)
+            qm = re.search(r'"qbm":"([^"]*)"', tail)
+            if qm:
+                recovered = {"qbm": qm.group(1)}
+                if c:
+                    recovered["calib_spark_sec"] = float(c.group(1))
+            m = (None if qm else
+                 re.search(r'"queries_best_median":\s*(\{.*?\})\s*,\s*"sf"',
+                           tail, re.DOTALL))
             if m:
                 try:
                     recovered = {"queries_best_median": json.loads(m.group(1))}
@@ -146,8 +164,17 @@ def main() -> int:
         print(f"(recovered compact payload from {path} tail)")
         b = recovered
     k = max(1.0, b.get("calib_spark_sec", CALIB_REF) / CALIB_REF)
-    stats = b.get("queries_best_median") or {
-        q: [v, v] for q, v in b["queries"].items()}
+    if "qbm" in b:
+        # round-8 compact packing: "name:best:median ..." with the
+        # 'q_' prefix stripped (see bench.py) — carries EVERY benched
+        # row inside the driver's 2000-char tail budget
+        stats = {}
+        for tok in str(b["qbm"]).split():
+            name, best, med = tok.rsplit(":", 2)
+            stats["q_" + name] = [float(best), float(med)]
+    else:
+        stats = b.get("queries_best_median") or {
+            q: [v, v] for q, v in b["queries"].items()}
     print(f"calibration k = {k:.2f} (calib_spark "
           f"{b.get('calib_spark_sec')} vs {CALIB_REF} reference)")
     print(f"{'query':28} {'best':>7} {'median':>7} {'gate':>7} "
