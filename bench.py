@@ -120,6 +120,9 @@ EXTRA = [
     "q_similarity_ann_check",
     "q_percentile_check",
     "q_hll_intersection_check",
+    # round-8 wave: WET/WAT derivation (the heavy crawl-derive rows)
+    "q_wet_extract",
+    "q_wat_extract",
 ]
 
 

@@ -619,3 +619,68 @@ def encode_http_chunked(status: int, headers: list[tuple[str, str]],
         out += b"%x\r\n" % len(chunk) + chunk + b"\r\n"
     out += b"0\r\n\r\n"
     return bytes(out)
+
+
+def html_to_text(html: str) -> str:
+    """The WET converter's text extraction (the regex core shared
+    with q_html_extract): drop <script>/<style> WITH their contents,
+    replace remaining tags with spaces, decode the two entities the
+    fixtures use, collapse whitespace, trim. Boilerplate-agnostic tag
+    removal — content/boilerplate classification is a downstream
+    concern, exactly as in Common Crawl's WET generation."""
+    flat = re.sub(r"<script[^>]*>.*?</script>", "", html,
+                  flags=re.DOTALL | re.IGNORECASE)
+    flat = re.sub(r"<style[^>]*>.*?</style>", "", flat,
+                  flags=re.DOTALL | re.IGNORECASE)
+    flat = re.sub(r"<[^>]+>", " ", flat)
+    flat = re.sub(r"&#32;|&nbsp;", " ", flat)
+    return re.sub(r"\s+", " ", flat).strip()
+
+
+def derive_wet(warc_blob: bytes) -> bytes:
+    """Derive a WET blob (the text-only Common Crawl distribution)
+    from a WARC blob: for every `response` record, parse the stored
+    HTTP response (dechunk / un-transfer-code per RFC 9112), extract
+    plain text from the HTML body, and emit a `conversion` record
+    with the same WARC-Target-URI; a leading warcinfo record marks
+    the derivation. Framing in and out is real ISO 28500 — a WET
+    consumer (decode_warc) reads the output unchanged."""
+    out: list[tuple[str, str | None, bytes]] = [
+        ("warcinfo", None, b"software: mvetl-wet\r\n")]
+    for rec_type, uri, payload in decode_warc(warc_blob):
+        if rec_type != "response":
+            continue
+        status, headers, body = parse_http_response(payload)
+        ctype = headers.get("content-type", "")
+        if status != 200 or not ctype.startswith("text/html"):
+            continue
+        text = html_to_text(body.decode("utf-8", errors="replace"))
+        out.append(("conversion", uri, text.encode()))
+    return encode_warc(out)
+
+
+def derive_wat(warc_blob: bytes) -> bytes:
+    """Derive a WAT blob (the metadata sidecar Common Crawl ships
+    beside each WARC): one `metadata` record per source record whose
+    payload is a compact JSON envelope — record type, target URI,
+    and for response records the parsed HTTP status / content type /
+    decoded body length. Key order is sorted and separators compact
+    so envelopes are byte-deterministic across writers."""
+    import json
+    out: list[tuple[str, str | None, bytes]] = []
+    for rec_type, uri, payload in decode_warc(warc_blob):
+        env: dict[str, object] = {
+            "content_length": len(payload),
+            "content_type": None,
+            "status": None,
+            "uri": uri,
+        }
+        if rec_type == "response":
+            status, headers, body = parse_http_response(payload)
+            env["status"] = status
+            env["content_type"] = headers.get("content-type")
+            env["content_length"] = len(body)
+        out.append(("metadata", uri,
+                    json.dumps(env, sort_keys=True,
+                               separators=(",", ":")).encode()))
+    return encode_warc(out)

@@ -460,3 +460,58 @@ def test_http_transfer_coding_lists():
             b"HTTP/1.1 200 OK\r\n"
             b"Transfer-Encoding: gzip, chunked\r\n\r\n"
             b"3\r\nnot\r\n0\r\n\r\n")
+
+
+def test_wet_wat_derivation():
+    """WET keeps only 200 text/html responses as conversion records
+    (through real chunked / gzip,chunked HTTP framing); WAT describes
+    EVERY record with a byte-deterministic JSON envelope."""
+    import json
+    import zlib
+
+    from challenge8_movies_etl_spark.operators.containers import (
+        decode_warc, derive_wat, derive_wet, encode_http_chunked,
+        encode_warc, html_to_text)
+    html = b"<html><head><title>T</title><script>x=1</script></head>" \
+           b"<body><p>hello &#32;world</p></body></html>"
+    ok = encode_http_chunked(200, [("Content-Type", "text/html")],
+                             html, 32)
+    gz = zlib.compress(html, 1, wbits=31)
+    chunks = b"".join(b"%x\r\n%s\r\n" % (len(gz[i:i + 32]),
+                                         gz[i:i + 32])
+                      for i in range(0, len(gz), 32)) + b"0\r\n\r\n"
+    okgz = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Transfer-Encoding: gzip, chunked\r\n\r\n" + chunks)
+    png = encode_http_chunked(200, [("Content-Type", "image/png")],
+                              b"\x89PNG...", 32)
+    nf = (b"HTTP/1.1 404 Not Found\r\nContent-Length: 4\r\n\r\ngone")
+    src = encode_warc([
+        ("warcinfo", None, b"software: t\r\n"),
+        ("response", "https://e.com/a", ok),
+        ("response", "https://e.com/b", okgz),
+        ("response", "https://e.com/img", png),   # non-html: filtered
+        ("request", "https://e.com/a", b"GET / HTTP/1.1\r\n\r\n"),
+        ("response", "https://e.com/nf", nf),     # 404: filtered
+    ])
+    wet = decode_warc(derive_wet(src))
+    assert [t for t, _, _ in wet] == ["warcinfo", "conversion",
+                                      "conversion"]
+    assert [u for _, u, _ in wet[1:]] == ["https://e.com/a",
+                                          "https://e.com/b"]
+    assert wet[1][2] == wet[2][2] == b"T hello world"
+    assert html_to_text(html.decode()) == "T hello world"
+    wat = decode_warc(derive_wat(src))
+    assert len(wat) == 6 and all(t == "metadata" for t, _, _ in wat)
+    envs = [json.loads(p) for _, _, p in wat]
+    assert envs[0] == {"content_length": 13, "content_type": None,
+                       "status": None, "uri": None}
+    assert envs[1]["status"] == 200
+    assert envs[1]["content_length"] == len(html)
+    assert envs[2]["content_length"] == len(html)  # gunzipped length
+    assert envs[3]["content_type"] == "image/png"
+    assert envs[4]["status"] is None               # request record
+    assert envs[5] == {"content_length": 4, "content_type": None,
+                       "status": 404, "uri": "https://e.com/nf"}
+    # envelopes are byte-deterministic: sorted keys, compact seps
+    assert wat[5][2] == (b'{"content_length":4,"content_type":null,'
+                         b'"status":404,"uri":"https://e.com/nf"}')

@@ -98,6 +98,10 @@ SHAPE = {
     "q_similarity_ann_check": "q_graph_pagerank",
     "q_percentile_check": "q_agg_hash",          # two percentile aggs
     "q_hll_intersection_check": "q_join_multi_5way",  # distinct join
+    # round-8 wave: pack → HTTP frame → derive → re-walk, all python
+    # codec-ladder work like the multimodal decode stack
+    "q_wet_extract": "q_multimodal_decode",
+    "q_wat_extract": "q_multimodal_decode",
 }
 
 
