@@ -464,3 +464,21 @@ def test_random_projection_broadcasts_sign_matrix(spark):
     p = plan(spark, "q_embed_random_projection")
     assert "BroadcastExchange" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_plan_knn_join_switchover():
+    """plan_knn_join (round 8): every driver fixture scale resolves
+    to the exact pair join (so the q_knn_join oracle checks exact
+    semantics), the sf1.0 decade resolves to IVF blocking with
+    n_cells ~ sqrt(N)."""
+    from challenge8_movies_etl_spark.plans.similarity_planner import (
+        plan_knn_join)
+    # fixture scales: 500 / 500 / 2000 vectors, 10 labels
+    for n in (500, 2000):
+        p = plan_knn_join(n, 10)
+        assert p.strategy == "exact_pairs"
+        assert p.est_pairs == n * n // 20
+    big = plan_knn_join(20_000, 10)
+    assert big.strategy == "ivf_blocked"
+    assert big.n_cells == 141           # ~sqrt(20000)
+    assert plan_knn_join(0, 0).strategy == "exact_pairs"
