@@ -64,43 +64,46 @@ def query(name: str, oracle: str | None = None):
 # a driver row, then the remaining never-driver-sampled queries in registry
 # order.  DRIVER_COVERAGE.md tracks the sampled/never-sampled ledger.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-7 rotation (DRIVER_COVERAGE.md; VERDICT r6 item 1): no
-    # reds exist, so the front is (a) queries NEW or semantics-
-    # changed in round 7 (WARC, zstd 4-codec rotation, A-law, the
-    # four sketch companions, the seq-packing first-bin and utf8
-    # empty-text fixes), then (b) the never-driver-sampled mass in
-    # VERDICT r6 priority order: the round-6 crawl wave first, the
-    # unigram tokenizer + palette PNG, the causal/experimentation
-    # family, then codec/graph/eval/stream never-sampled members.
-    # --- (a) round-7 new / changed ---
-    "q_warc_extract", "q_warcgz_extract", "q_warc_cdx_fetch",
-    "q_robots_decide", "q_http_dechunk", "q_url_frontier",
-    "q_xml_sitemap", "q_prf_expansion", "q_doremi_reweight",
-    "q_distinct_ngrams", "q_json_quarantine", "q_batch_padding",
-    "q_preference_pairs", "q_loop_detect",
-    "q_text_decompress", "q_audio_decode_alaw",
-    "q_percentile_check", "q_sketch_reagg_check",
-    "q_hll_intersection_check", "q_similarity_ann_check",
-    "q_seq_packing", "q_text_utf8_validate",
-    # --- (b) round-6 crawl wave (never sampled) ---
-    "q_url_parse", "q_archive_extract", "q_quality_gopher",
-    "q_html_extract", "q_pii_luhn", "q_blocklist_match",
-    # --- tokenizer / palette (never sampled) ---
-    "q_unigram_segment", "q_multimodal_decode_palette",
-    # --- causal / experimentation family (never sampled) ---
-    "q_diff_in_diff", "q_attribution_shapley", "q_cuped",
-    "q_uplift_qini", "q_propensity_match", "q_iv_wald",
-    "q_regression_discontinuity", "q_offpolicy_ips", "q_offpolicy_dr",
-    "q_dbscan", "q_decision_stump",
-    # --- codec tails (never sampled) ---
-    "q_multimodal_decode_chroma422", "q_multimodal_decode_png16",
-    # --- graph / topic / weak-supervision (never sampled) ---
-    "q_graph_components", "q_graph_label_prop", "q_graph_kcore",
-    "q_topic_nmf", "q_weak_supervision",
-    # --- calibration / eval metrics (never sampled) ---
-    "q_calibration_ece", "q_conformal_threshold",
-    # (q_stream_topk / q_stream_backfill / q_coverage_select wait for
-    # the r8 front — the round-7 crawl additions took their slots)
+    # round-8 rotation (DRIVER_COVERAGE.md; VERDICT r7 item 1): no
+    # reds exist after r7, so the front is (a) the four queries NEW
+    # in round 8 (WET/WAT derivation, RFC 9309 wildcard evaluation,
+    # robots-aware frontier composition — the changed-code queries
+    # q_robots_decide / q_http_dechunk / q_text_decompress /
+    # q_knn_join were driver-green in earlier rounds, are unchanged
+    # in RESULT at every fixture scale, and their new code paths are
+    # better covered by the new qids + unit tests, so their slots go
+    # to union growth), then (b) 46 never-driver-sampled queries in
+    # VERDICT r7 priority order: ML/two-phase siblings and late-r5
+    # waves first, then streaming/layout, retrieval-eval metrics,
+    # codec tails, graph, curation/search.
+    # --- (a) round-8 new ---
+    "q_wet_extract", "q_wat_extract",
+    "q_robots_wildcard", "q_frontier_robots",
+    # --- (b1) ML / two-phase siblings (never sampled) ---
+    "q_dedup_semdedup", "q_naive_bayes", "q_ridge_2feat",
+    "q_logistic_train", "q_crossval_ols", "q_outlier_isoforest",
+    "q_label_noise", "q_spatial_knn",
+    # --- (b2) streaming / layout / pysource (never sampled) ---
+    "q_stream_topk", "q_stream_backfill", "q_stream_late_data",
+    "q_stream_update_mode", "q_observe_metrics",
+    "q_partitioned_pruned_scan", "q_join_bucketed", "q_bitmap_index",
+    "q_cogroup_asof", "q_pysource_scan", "q_pysource_stream",
+    # --- (b3) retrieval / eval metrics (never sampled) ---
+    "q_matryoshka_recall", "q_mrr", "q_roc_auc",
+    "q_average_precision", "q_rouge_n", "q_agreement_metrics",
+    "q_mcnemar_test",
+    # --- (b4) codec tails (never sampled) ---
+    "q_audio_decode_float", "q_audio_decode_mulaw",
+    "q_video_chroma422", "q_multimodal_decode_adam7",
+    # --- (b5) graph (never sampled) ---
+    "q_graph_hits", "q_graph_random_walks", "q_graph_betweenness",
+    "q_graph_closeness", "q_graph_link_predict",
+    "q_graph_degree_dist", "q_textrank_keywords",
+    # --- (b6) curation / search / misc (never sampled) ---
+    "q_coverage_select", "q_erasure_purge", "q_t_closeness",
+    "q_mmr_rerank", "q_hard_negatives", "q_inverted_index",
+    "q_token_count_bpe", "q_dedup_threshold_curve",
+    "q_quantile_normalize",
 )
 
 

@@ -9,7 +9,10 @@ the driver fixtures (profiled via DuckDB over sf0.1: uniform 30-word
 document vocabulary + rare 'dup', unit-norm 64-d embeddings with 10
 labels, 1..7 lineitems per order, the same flag/priority/segment
 value sets). Determinism comes from xxhash64 of (row id, salt) — no
-RNG, so regeneration is reproducible bit-for-bit.
+RNG, so regeneration is reproducible bit-for-bit. Round 8: the
+document vocabulary grows by Heaps' law (V ∝ N^0.5, anchored at the
+30 words observed at sf0.1) so dedup-family slopes measure the
+operators, not a fixed-vocab collision artifact (VERDICT r7 item 3).
 
 Usage: python tools/scalegen.py [--sf 1.0] [--out /tmp/scale_sf1]
 Then:  python tools/scalerun.py --dirs /root/testdata/sf0.1,/tmp/scale_sf1
@@ -181,15 +184,24 @@ def gen_all(spark: SparkSession, sf: float, out: Path,
             '{"k": %d}', _pick(F.col("event_id"), 28, 100))
         .alias("props")), "events")
 
-    # documents: 10..100 words uniform from the 30-word vocab,
-    # 'dup' injected at the observed ~1/600 token rate
+    # documents: 10..100 words per doc, 'dup' injected at the
+    # observed ~1/600 token rate. Vocabulary follows HEAPS' LAW
+    # (V ∝ N^0.5 — VERDICT r7 item 3): at k=1 exactly the 30 words
+    # profiled from sf0.1, one decade up ~95 words (30·√10), so the
+    # shingle/n-gram collision rate falls with corpus growth the way
+    # real text's does instead of the fixed-vocab fixture's
+    # quadratic candidate-pair blowup. Capped at 600 (the dup-slot
+    # modulus) — reached ~3 decades up, far past what this host can
+    # hold anyway.
     n_doc = int(5000 * k)
+    n_vocab = min(600, max(30, int(30 * k ** 0.5)))
+    vocab = VOCAB + [f"hw{i:03d}" for i in range(n_vocab - 30)]
     d = _ids(spark, n_doc, "doc_id")
     widx = F.pmod(
         F.xxhash64("doc_id", F.col("i"), F.lit(29)), F.lit(601))
     word = (F.when(widx >= 600, F.lit("dup"))
-            .otherwise(F.array(*[F.lit(w) for w in VOCAB])[
-                F.pmod(widx, F.lit(30)).cast("int")]))
+            .otherwise(F.array(*[F.lit(w) for w in vocab])[
+                F.pmod(widx, F.lit(n_vocab)).cast("int")]))
     docs = (d.select(
         "doc_id",
         F.explode(F.sequence(
