@@ -258,7 +258,7 @@ _WARC_MANDATORY = ("WARC-Type", "WARC-Record-ID", "WARC-Date",
                    "Content-Length")
 
 
-def encode_warc(records: list[tuple[str, str | None, bytes]],
+def encode_warc(records: list[tuple],
                 date: str = "2026-01-01T00:00:00Z") -> bytes:
     """Minimal-but-correct WARC/1.0 writer (ISO 28500 framing): per
     record a ``WARC/1.0`` version line, the four mandatory named
@@ -266,10 +266,15 @@ def encode_warc(records: list[tuple[str, str | None, bytes]],
     plus WARC-Target-URI when given, a blank CRLF line, exactly
     Content-Length payload octets, and the two-CRLF record separator.
     Record IDs are deterministic (md5 of type+uri+payload) so
-    fixtures are reproducible."""
+    fixtures are reproducible. Records are (type, uri, payload) or
+    (type, uri, payload, extra_headers) — the 4-tuple form carries
+    additional named headers (WARC-Profile, WARC-Payload-Digest,
+    WARC-Refers-To-Target-URI for revisit records, ISO 28500 §6.7)."""
     import hashlib
     out = bytearray()
-    for rec_type, uri, payload in records:
+    for rec in records:
+        rec_type, uri, payload = rec[0], rec[1], rec[2]
+        extra: dict[str, str] = rec[3] if len(rec) > 3 else {}
         rid = hashlib.md5(
             rec_type.encode() + (uri or "").encode() + payload
         ).hexdigest()
@@ -279,6 +284,8 @@ def encode_warc(records: list[tuple[str, str | None, bytes]],
         out += b"WARC-Date: " + date.encode() + b"\r\n"
         if uri is not None:
             out += b"WARC-Target-URI: " + uri.encode() + b"\r\n"
+        for k, v in extra.items():
+            out += k.encode() + b": " + v.encode() + b"\r\n"
         out += b"Content-Length: %d\r\n" % len(payload)
         out += b"\r\n"
         out += payload
@@ -295,7 +302,15 @@ def decode_warc(buf: bytes) -> list[tuple[str, str | None, bytes]]:
     anything), and the two-CRLF record separator must follow.
     ValueError on any corruption (honest-corruption policy: a framing
     slip silently misattributes every later payload, so fail loudly)."""
-    out: list[tuple[str, str | None, bytes]] = []
+    return [(h["WARC-Type"], h.get("WARC-Target-URI"), p)
+            for h, p in decode_warc_headers(buf)]
+
+
+def decode_warc_headers(buf: bytes) -> list[tuple[dict[str, str], bytes]]:
+    """Full-fidelity WARC walk → [(headers, payload)] with every named
+    header preserved (decode_warc's 3-tuple view is derived from
+    this). Same framing enforcement and corruption policy."""
+    out: list[tuple[dict[str, str], bytes]] = []
     pos = 0
     n = len(buf)
     while pos < n:
@@ -336,8 +351,7 @@ def decode_warc(buf: bytes) -> list[tuple[str, str | None, bytes]]:
                 "missing two-CRLF record separator (Content-Length "
                 "does not frame the payload)")
         pos += 4
-        out.append((headers["WARC-Type"],
-                    headers.get("WARC-Target-URI"), payload))
+        out.append((headers, payload))
     return out
 
 
@@ -683,4 +697,41 @@ def derive_wat(warc_blob: bytes) -> bytes:
         out.append(("metadata", uri,
                     json.dumps(env, sort_keys=True,
                                separators=(",", ":")).encode()))
+    return encode_warc(out)
+
+
+_REVISIT_PROFILE = "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+
+
+def warc_revisit_dedup(warc_blob: bytes) -> bytes:
+    """Within-shard payload dedup via WARC `revisit` records (ISO
+    28500 §6.7.2, the identical-payload-digest profile Common Crawl
+    and Heritrix write): walk the shard, digest every response
+    payload (sha256 hex — the digest algorithm is a writer choice
+    recorded in WARC-Payload-Digest's prefix), keep the FIRST
+    response per digest, and rewrite later duplicates as empty-body
+    `revisit` records carrying WARC-Profile, WARC-Payload-Digest,
+    and WARC-Refers-To-Target-URI pointing at the kept copy.
+    Non-response records pass through unchanged. The shard is the
+    dedup scope (per-task state at 100 TB); cross-shard dedup is the
+    downstream exact-dedup join's job."""
+    import hashlib
+    out: list[tuple] = []
+    seen: dict[str, str] = {}  # digest -> first target URI
+    for headers, payload in decode_warc_headers(warc_blob):
+        rec_type = headers["WARC-Type"]
+        uri = headers.get("WARC-Target-URI")
+        if rec_type != "response":
+            out.append((rec_type, uri, payload))
+            continue
+        digest = "sha256:" + hashlib.sha256(payload).hexdigest()
+        if digest not in seen:
+            seen[digest] = uri or ""
+            out.append((rec_type, uri, payload))
+        else:
+            out.append(("revisit", uri, b"", {
+                "WARC-Profile": _REVISIT_PROFILE,
+                "WARC-Payload-Digest": digest,
+                "WARC-Refers-To-Target-URI": seen[digest],
+            }))
     return encode_warc(out)

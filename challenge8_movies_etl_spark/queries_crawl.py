@@ -1508,3 +1508,172 @@ def q_frontier_robots(spark, sf_dir):
         "doc_id", "host",
         rn.cast("long").alias("fetch_slot"),
         (rn * F.col("delay_s")).cast("long").alias("fetch_at_s"))
+
+
+# ---------------------------------------------------------------------------
+# q_warc_revisit — ISO 28500 §6.7.2 identical-payload-digest dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_warc_revisit",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, lang, 2 + doc_id % 3 AS m FROM documents
+    )
+    SELECT doc_id,
+           cast(m + 1 as bigint) AS n_records,
+           cast(2 as bigint) AS n_kept,
+           cast(m - 2 as bigint) AS n_revisit,
+           cast(CASE m WHEN 2 THEN 0 WHEN 3 THEN 3 * length(lang)
+                ELSE 8 * length(lang) END as bigint) AS saved_octets,
+           md5(CASE WHEN m >= 3 THEN
+                 'https://example.com/doc' || cast(doc_id as varchar)
+                 || '/p0' || 'sha256:' || sha256(repeat(lang, 3))
+               ELSE '' END
+               || CASE WHEN m >= 4 THEN
+                 'https://example.com/doc' || cast(doc_id as varchar)
+                 || '/p1' || 'sha256:' || sha256(repeat(lang, 5))
+               ELSE '' END) AS ref_digest
+    FROM params
+    """,
+)
+def q_warc_revisit(spark, sf_dir):
+    """WARC revisit-record payload dedup (round 8 — ISO 28500 §6.7.2,
+    the identical-payload-digest profile Heritrix and Common Crawl
+    write): per doc a shard holds m = 2 + doc_id%3 responses whose
+    payloads alternate between two values, warc_revisit_dedup rewrites
+    later duplicates as empty-body `revisit` records carrying
+    WARC-Profile / WARC-Payload-Digest / WARC-Refers-To-Target-URI,
+    and the query re-reads the DEDUPED shard reporting kept/revisit
+    counts, octets saved, and an md5 over each revisit's
+    (refers-to-URI ‖ sha256 payload digest) — the oracle recomputes
+    the sha256 digests itself, so a digest, ordering, or
+    first-occurrence slip breaks the hash.
+
+    Scale: the shard is the dedup scope — per-task state, zero
+    shuffle; cross-shard dedup is the downstream exact-dedup join."""
+    import hashlib
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .operators.containers import encode_warc
+        for pdf in batches:
+            payloads = []
+            for doc_id, lang in zip(pdf["doc_id"], pdf["lang"]):
+                did = int(doc_id)
+                m = 2 + did % 3
+                recs = [("warcinfo", None, b"software: mvetl\r\n")]
+                recs += [("response",
+                          f"https://example.com/doc{did}/p{j}",
+                          (lang * (3 + 2 * (j % 2))).encode())
+                         for j in range(m)]
+                payloads.append(encode_warc(recs))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    def dedup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .operators.containers import (decode_warc_headers,
+                                           warc_revisit_dedup)
+        for pdf in batches:
+            out = {"doc_id": [], "n_records": [], "n_kept": [],
+                   "n_revisit": [], "saved_octets": [],
+                   "ref_digest": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                recs = decode_warc_headers(
+                    warc_revisit_dedup(bytes(payload)))
+                kept = [(h, p) for h, p in recs
+                        if h["WARC-Type"] == "response"]
+                rev = [h for h, _ in recs
+                       if h["WARC-Type"] == "revisit"]
+                # octets saved = the original payload sizes of the
+                # revisits; recover them from the kept copy each
+                # revisit's digest points at (a real consumer's move)
+                by_digest = {
+                    "sha256:" + hashlib.sha256(p).hexdigest(): len(p)
+                    for _, p in kept}
+                saved = sum(by_digest[h["WARC-Payload-Digest"]]
+                            for h in rev)
+                ref = "".join(h["WARC-Refers-To-Target-URI"]
+                              + h["WARC-Payload-Digest"] for h in rev)
+                out["doc_id"].append(doc_id)
+                out["n_records"].append(len(recs))
+                out["n_kept"].append(len(kept))
+                out["n_revisit"].append(len(rev))
+                out["saved_octets"].append(saved)
+                out["ref_digest"].append(
+                    hashlib.md5(ref.encode()).hexdigest())
+            yield pd.DataFrame(out)
+
+    media = d.select("doc_id", "lang").mapInPandas(
+        pack, schema="doc_id bigint, payload binary")
+    return media.mapInPandas(
+        dedup, schema=("doc_id bigint, n_records bigint, "
+                       "n_kept bigint, n_revisit bigint, "
+                       "saved_octets bigint, ref_digest string"))
+
+
+# ---------------------------------------------------------------------------
+# q_url_canonicalize — crawl-dedup URL normalization
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_url_canonicalize",
+    oracle="""
+    SELECT doc_id,
+           'https://www.example.com/p/' || cast(doc_id % 40 as varchar)
+             || '/?a=' || cast(doc_id % 3 as varchar)
+             || '&b=' || cast(doc_id % 5 as varchar) AS canon_url,
+           cast(count(*) OVER (
+             PARTITION BY doc_id % 40, doc_id % 3, doc_id % 5)
+             as bigint) AS n_dupes
+    FROM documents
+    """,
+)
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (round 8 — the crawl-dedup front end
+    every frontier runs before digesting): lowercase scheme and host,
+    strip the scheme's default port, collapse duplicate path slashes,
+    drop tracking parameters (utm_*), SORT the surviving query
+    parameters, drop the fragment. The fixture URL is maximally messy
+    (uppercase scheme+host, :443 on https, //p//, utm_source, unsorted
+    params, #frag); the oracle states the canonical form CLOSED-FORM,
+    so Spark's canonicalizer must actually perform every step — then
+    both engines count per-canonical-key duplicates over the same
+    window (the dedup payoff).
+
+    Scale: pure JVM expression work in the scan (regexp extracts +
+    array sort — no python, no shuffle); the window shuffles on the
+    canonical key exactly as the downstream dedup join would."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example.COM:443//p//"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit("/?b="), (F.col("doc_id") % 5).cast("string"),
+        F.lit("&utm_source=x&a="), (F.col("doc_id") % 3).cast("string"),
+        F.lit("#frag"))
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
+    host = F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/:?#]+)", 1))
+    port = F.regexp_extract(url, r"^[A-Za-z]+://[^/:?#]+:(\d+)", 1)
+    default = ((scheme == "https") & (port == "443")) | \
+              ((scheme == "http") & (port == "80")) | (port == "")
+    path = F.regexp_replace(
+        F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+        "/{2,}", "/")
+    qstr = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.array_sort(F.filter(
+        F.split(qstr, "&"),
+        lambda p: ~p.startswith("utm_") & (p != F.lit(""))))
+    canon = F.concat(
+        scheme, F.lit("://"), host,
+        F.when(default, F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+        path,
+        F.when(F.size(params) > 0,
+               F.concat(F.lit("?"), F.array_join(params, "&")))
+        .otherwise(F.lit("")))
+    out = d.select("doc_id", canon.alias("canon_url"))
+    from pyspark.sql import Window as W
+    return out.select(
+        "doc_id", "canon_url",
+        F.count("*").over(W.partitionBy("canon_url"))
+        .cast("long").alias("n_dupes"))

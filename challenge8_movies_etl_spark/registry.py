@@ -79,6 +79,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- (a) round-8 new ---
     "q_wet_extract", "q_wat_extract",
     "q_robots_wildcard", "q_frontier_robots",
+    "q_warc_revisit", "q_url_canonicalize",
     # --- (b1) ML / two-phase siblings (never sampled) ---
     "q_dedup_semdedup", "q_naive_bayes", "q_ridge_2feat",
     "q_logistic_train", "q_crossval_ols", "q_outlier_isoforest",
@@ -102,8 +103,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- (b6) curation / search / misc (never sampled) ---
     "q_coverage_select", "q_erasure_purge", "q_t_closeness",
     "q_mmr_rerank", "q_hard_negatives", "q_inverted_index",
-    "q_token_count_bpe", "q_dedup_threshold_curve",
-    "q_quantile_normalize",
+    "q_token_count_bpe",
+    # (q_dedup_threshold_curve / q_quantile_normalize yielded their
+    # slots to the late round-8 additions; they lead the r9 queue)
 )
 
 

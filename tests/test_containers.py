@@ -515,3 +515,38 @@ def test_wet_wat_derivation():
     # envelopes are byte-deterministic: sorted keys, compact seps
     assert wat[5][2] == (b'{"content_length":4,"content_type":null,'
                          b'"status":404,"uri":"https://e.com/nf"}')
+
+
+def test_warc_revisit_dedup():
+    """ISO 28500 §6.7.2: later responses with an identical payload
+    digest become empty-body revisit records pointing at the FIRST
+    kept copy; non-response records pass through; the output is a
+    valid WARC."""
+    import hashlib
+
+    from challenge8_movies_etl_spark.operators.containers import (
+        decode_warc_headers, encode_warc, warc_revisit_dedup)
+    src = encode_warc([
+        ("warcinfo", None, b"software: t\r\n"),
+        ("response", "https://e.com/a", b"AAAA"),
+        ("response", "https://e.com/b", b"BB"),
+        ("response", "https://e.com/a2", b"AAAA"),   # dup of /a
+        ("request", "https://e.com/a", b"GET /"),
+        ("response", "https://e.com/a3", b"AAAA"),   # dup of /a
+    ])
+    recs = decode_warc_headers(warc_revisit_dedup(src))
+    types = [h["WARC-Type"] for h, _ in recs]
+    assert types == ["warcinfo", "response", "response", "revisit",
+                     "request", "revisit"]
+    dig = "sha256:" + hashlib.sha256(b"AAAA").hexdigest()
+    for h, p in recs:
+        if h["WARC-Type"] != "revisit":
+            continue
+        assert p == b"" and h["Content-Length"] == "0"
+        assert h["WARC-Payload-Digest"] == dig
+        assert h["WARC-Refers-To-Target-URI"] == "https://e.com/a"
+        assert h["WARC-Profile"].endswith("identical-payload-digest")
+    # 4-tuple extra headers survive an encode->decode roundtrip
+    blob = encode_warc([("revisit", "u", b"", {"X-K": "v1"})])
+    (h, p), = decode_warc_headers(blob)
+    assert h["X-K"] == "v1" and p == b""
