@@ -120,9 +120,12 @@ EXTRA = [
     "q_similarity_ann_check",
     "q_percentile_check",
     "q_hll_intersection_check",
-    # round-8 wave: WET/WAT derivation (the heavy crawl-derive rows)
+    # round-8 wave: WET/WAT derivation (the heavy crawl-derive rows),
+    # revisit dedup, and the codegen URL canonicalizer
     "q_wet_extract",
     "q_wat_extract",
+    "q_warc_revisit",
+    "q_url_canonicalize",
 ]
 
 

@@ -108,50 +108,108 @@ def ivf_knn_join(embeddings: DataFrame, k: int = 3, n_cells: int = 8,
     candidates; approximate, so registered rows-only with recall
     asserted against the exact join in tests.
     """
+    from collections.abc import Iterator
+
+    import pandas as pd
     from pyspark.sql import Window as W
-    cents = (embeddings.orderBy("vec_id").limit(n_cells)
-             .select(F.col("vec_id").alias("cent_id"),
-                     F.col("embedding").alias("cent_emb")))
-    # Assignment ranks centroids per vector, so the vector's own norm is
-    # a constant factor and drops out; plain double arithmetic is fine
-    # here (deterministic: fixed element order within each row) — the
-    # decimal-exact path is reserved for the candidate cosines below.
-    fdot = F.aggregate(
-        F.zip_with(F.col("embedding"), F.col("cent_emb"),
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
-    cent_nrm = F.sqrt(F.aggregate(
-        F.transform(F.col("cent_emb"),
-                    lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
-    scored = (embeddings.join(F.broadcast(cents))
-              .select("vec_id", label_col, "embedding", "cent_id",
-                      (fdot / cent_nrm).alias("cc")))
-    w = W.partitionBy("vec_id").orderBy(F.col("cc").desc(), "cent_id")
-    assigned = (scored.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") <= n_assign)
-                .select("vec_id", label_col, "embedding",
-                        F.col("cent_id").alias("cell")))
-    n = assigned.withColumn("nrm", dot_col(F.col("embedding"),
-                                           F.col("embedding")))
+
+    # Centroid assignment as a vectorized Arrow kernel (round 8): the
+    # SQL formulations all lost — zip_with/aggregate lambdas run
+    # interpreted (37 s at sf1.0), the codegen-unrolled dot_fast_col
+    # projection still paid ~92 ns/term over N·n_cells pairs (34 s),
+    # and ranking through a window shuffled n_cells× the corpus bytes
+    # (35 s). Dense argmax-over-centroids is exactly the PQ
+    # assignment shape (operators/pq.py), so: collect the ≤600
+    # deterministic lowest-id centroids to the driver (metadata, the
+    # planner's job), broadcast them into a mapInPandas, and
+    # accumulate scores dimension-at-a-time in numpy — elementwise
+    # ops in a FIXED dim order, no BLAS matmul, so results are
+    # bit-reproducible across runs and partitionings. 180 M flops at
+    # sf1.0 ≈ 0.3 s per pass. Tie-break on equal scores = lowest
+    # cent_id (stable argsort over cent_id-ascending columns).
+    import numpy as np
+    cent_rows = (embeddings.orderBy("vec_id").limit(n_cells)
+                 .select("vec_id", "embedding").collect())
+    cent_ids = np.array([r["vec_id"] for r in cent_rows],
+                        dtype=np.int64)
+    cmat = np.array([r["embedding"] for r in cent_rows],
+                    dtype=np.float64)            # (cells, D)
+    cinv = np.empty(len(cmat))
+    for ci in range(len(cmat)):                  # fixed-order norms
+        acc = 0.0
+        for d in range(cmat.shape[1]):
+            acc += cmat[ci, d] * cmat[ci, d]
+        cinv[ci] = 1.0 / acc ** 0.5
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            n = len(x)
+            scores = np.zeros((n, len(cmat)))
+            for d in range(cmat.shape[1]):       # fixed dim order
+                scores += x[:, d, None] * cmat[None, :, d]
+            scores *= cinv[None, :]
+            top = np.argsort(-scores, axis=1, kind="stable")[:, :n_assign]
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_assign),
+                "cell": cent_ids[top].ravel()})
+
+    cells_of = embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id bigint, cell bigint")
+    assigned = cells_of.join(
+        F.broadcast(embeddings.select("vec_id", label_col,
+                                      "embedding")), "vec_id")
+    # Two-phase candidate scoring (round 8 — the r7 q_knn_join fix
+    # applied to the blocked form too): dot_col's zip_with lambda is
+    # CodegenFallback and was running INTERPRETED on every candidate
+    # pair (~1.3 M at sf1.0, measured as the dominant cost of the
+    # whole blocked join). Phase 1 ranks candidates with the
+    # whole-stage-codegen double cosine and keeps a top-(k+10)
+    # superset per vector; phase 2 re-scores only the survivors with
+    # the exact decimal reduction — values identical to the
+    # all-decimal form short of sub-3e-9 rank ties at the superset
+    # boundary (see dot_fast_col), which the continuous fixture
+    # cannot produce; recall vs the exact join stays pinned in tests.
+    n = assigned.withColumn("fnrm", dot_fast_col(F.col("embedding"),
+                                                 F.col("embedding")))
     a, b = n.alias("a"), n.alias("b")
-    cos = (dot_col(F.col("a.embedding"), F.col("b.embedding"))
-           / F.sqrt(F.col("a.nrm") * F.col("b.nrm")))
+    fast = (dot_fast_col(F.col("a.embedding"), F.col("b.embedding"))
+            / F.sqrt(F.col("a.fnrm") * F.col("b.fnrm")))
     # a pair sharing both assigned cells would appear twice -> max-dedup
     pairs = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
                     & (F.col(f"a.{label_col}") == F.col(f"b.{label_col}"))
                     & (F.col("a.vec_id") < F.col("b.vec_id")))
              .select(F.col("a.vec_id").alias("va"),
                      F.col("b.vec_id").alias("vb"),
-                     cos.alias("cos_raw"))
-             .groupBy("va", "vb").agg(F.max("cos_raw").alias("cos_raw")))
+                     fast.alias("fast_cos"))
+             .groupBy("va", "vb").agg(F.max("fast_cos").alias("fast_cos")))
     both = (pairs.select(F.col("va").alias("vec_id"),
-                         F.col("vb").alias("neighbor"), "cos_raw")
+                         F.col("vb").alias("neighbor"), "fast_cos")
             .unionByName(
                 pairs.select(F.col("vb").alias("vec_id"),
-                             F.col("va").alias("neighbor"), "cos_raw")))
+                             F.col("va").alias("neighbor"), "fast_cos")))
+    wf = W.partitionBy("vec_id").orderBy(F.col("fast_cos").desc(),
+                                         "neighbor")
+    cand = (both.withColumn("_rn", F.row_number().over(wf))
+            .filter(F.col("_rn") <= k + 10)
+            .select("vec_id", "neighbor"))
+    # exact decimal norms once per VECTOR (N evals), not per survivor
+    ex = embeddings.select(
+        "vec_id", "embedding",
+        dot_col(F.col("embedding"), F.col("embedding")).alias("_n"))
+    va = ex.select("vec_id", F.col("embedding").alias("_ea"),
+                   F.col("_n").alias("_na"))
+    vb = ex.select(F.col("vec_id").alias("neighbor"),
+                   F.col("embedding").alias("_eb"),
+                   F.col("_n").alias("_nb"))
+    exact = (cand.join(F.broadcast(va), "vec_id")
+             .join(F.broadcast(vb), "neighbor")
+             .select("vec_id", "neighbor",
+                     (dot_col(F.col("_ea"), F.col("_eb"))
+                      / F.sqrt(F.col("_na") * F.col("_nb")))
+                     .alias("cos_raw")))
     wk = W.partitionBy("vec_id").orderBy(F.col("cos_raw").desc(), "neighbor")
-    return (both.withColumn("_rn", F.row_number().over(wk))
+    return (exact.withColumn("_rn", F.row_number().over(wk))
             .filter(F.col("_rn") <= k)
             .select("vec_id", "neighbor",
                     F.round("cos_raw", 4).alias("cos")))

@@ -54,19 +54,33 @@ class KnnJoinPlan:
 
 
 def plan_knn_join(n_vectors: int, n_labels: int,
+                  allow_approx: bool = False,
                   exact_pair_budget: int = 2_000_000) -> KnnJoinPlan:
     """Physical-strategy choice for the all-pairs kNN join (VERDICT
     r7 item 6): the exact per-label pair join costs ~N²/(2·|labels|)
     candidate pairs — fine while that fits the budget (every
     driver-checked fixture scale does: sf0.1 is 2 000 vectors / 10
-    labels → 200 k pairs), quadratic death beyond it (the sf1.0
-    fixture is 20 k vectors → 20 M pairs, measured 170 s after the
-    two-phase rescue, SCALE_RUN_r7). Past the budget the plan
-    switches to IVF-cell blocking with n_cells ~ √N (each cell holds
-    ~√N vectors, total candidate work ~N^1.5·n_assign/|labels|) —
-    the recall-pinned approximation tests hold at ≥0.92."""
+    labels → 200 k pairs). Past the budget, IF the caller allows
+    approximation, the plan switches to IVF-cell blocking at
+    constant ~250-vector cell occupancy (total candidate work LINEAR
+    in N; measured 13.4 s / 2.8× slope at sf1.0 vs 145 s exact).
+
+    allow_approx defaults to FALSE after round 8's recall
+    measurement (SCALE.md): on the isotropic-uniform fixture the
+    sized blocked join recovers only 0.397 of the exact edges at
+    sf1.0 — cell membership on clusterless 64-d data is essentially
+    coverage-probability, so no sublinear candidate scheme keeps
+    0.9 recall. A query whose oracle states EXACT kNN must not
+    silently return that; q_knn_join therefore stays exact at every
+    scale and q_knn_join_blocked is the recall-pinned opt-in. On
+    clustered production embeddings (where IVF cells align with real
+    clusters) allow_approx=True re-enables the linear plan —
+    re-measure the recall pin on the target corpus first."""
     est = n_vectors * n_vectors // (2 * max(n_labels, 1))
-    if est <= exact_pair_budget:
+    if not allow_approx or est <= exact_pair_budget:
         return KnnJoinPlan("exact_pairs", est, 0)
-    return KnnJoinPlan("ivf_blocked", est,
-                       max(8, int(n_vectors ** 0.5)))
+    # constant per-cell occupancy (~250 vectors/cell): per-bucket pair
+    # work stays constant so total candidate work is LINEAR in N;
+    # never below the 8 cells the recall pin was measured at (√N at
+    # small N starves (cell,label) buckets — recall 0.92 → 0.58)
+    return KnnJoinPlan("ivf_blocked", est, max(8, n_vectors // 250))

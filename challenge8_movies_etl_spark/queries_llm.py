@@ -1235,23 +1235,25 @@ def q_knn_join(spark, sf_dir):
     construction — with the neighbor id as total-order tie-break.
 
     PLANNED physical strategy (round 8, VERDICT r7 item 6): the
-    plans/similarity_planner.plan_knn_join cost model picks between
-    this exact per-label pair join and the IVF-cell-blocked form by
-    estimated pair count. Every driver-checked fixture scale
-    (sf0.001/0.01/0.1 → ≤200 k pairs) resolves to 'exact_pairs', so
-    the oracle hash-checks the exact semantics; one decade up
-    (sf1.0 → 20 M pairs) the plan switches to ivf_knn_join with
-    n_cells ~ √N, whose recall vs the exact join is pinned ≥0.92 in
-    tests/test_llm_ops.py — the switchover itself is pinned in
-    tests/test_plans.py.
+    plans/similarity_planner.plan_knn_join cost model is consulted
+    with allow_approx=False, so this query resolves to 'exact_pairs'
+    at EVERY scale — round 8 measured the sized IVF-blocked
+    alternative at sf1.0 (13.4 s vs 145 s exact, 2.8× slope) but
+    also measured its recall there: 0.397, because the isotropic
+    fixture has no cluster structure for cells to exploit, and an
+    oracle that states exact kNN must not silently lose 60% of its
+    edges (the sf1.0 hash sweep would rightly flag it). The linear
+    blocked plan stays available to callers that opt in
+    (q_knn_join_blocked, recall-pinned at its own configuration);
+    see SCALE.md round 8 for the full measurement trail.
     """
     from pyspark.sql import Window as W
     from .plans.similarity_planner import plan_knn_join
     e = load_table(spark, sf_dir, "embeddings")
     n_vec, n_lab = e.agg(
         F.count("*"), F.countDistinct("label")).first()
-    plan = plan_knn_join(int(n_vec), int(n_lab))
-    if plan.strategy == "ivf_blocked":
+    plan = plan_knn_join(int(n_vec), int(n_lab), allow_approx=False)
+    if plan.strategy == "ivf_blocked":  # pragma: no cover — opt-in only
         from .operators.similarity import ivf_knn_join
         return ivf_knn_join(e, k=3, n_cells=plan.n_cells, n_assign=3)
     n = e.select("vec_id", "label", "embedding",
@@ -1318,6 +1320,15 @@ def q_knn_join_blocked(spark, sf_dir):
     these parameters)."""
     from .operators.similarity import ivf_knn_join
     e = load_table(spark, sf_dir, "embeddings")
+    # n_cells stays at the 8 the recall pin was measured at. Round 8
+    # measured the alternatives on this isotropic fixture (SCALE.md):
+    # occupancy-sized cells (N/250) make candidate work LINEAR in N
+    # (13.4 s at sf1.0 vs 171 s with 8 cells) but recall falls to
+    # 0.397 — clusterless 64-d data gives cells no structure, so
+    # recall ≈ coverage n_assign/n_cells. 3-of-8 coverage is what
+    # holds the 0.92 pin; on clustered production embeddings the
+    # occupancy-sized plan (plan_knn_join allow_approx=True) is the
+    # deployment path, recall re-measured on the target corpus.
     return ivf_knn_join(e, k=3, n_cells=8, n_assign=3)
 
 

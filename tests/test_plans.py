@@ -467,10 +467,11 @@ def test_random_projection_broadcasts_sign_matrix(spark):
 
 
 def test_plan_knn_join_switchover():
-    """plan_knn_join (round 8): every driver fixture scale resolves
-    to the exact pair join (so the q_knn_join oracle checks exact
-    semantics), the sf1.0 decade resolves to IVF blocking with
-    n_cells ~ sqrt(N)."""
+    """plan_knn_join (round 8): EXACT at every scale unless the
+    caller opts into approximation (the r8 recall measurement —
+    0.397 at sf1.0 on the isotropic fixture — made exactness the
+    default); with allow_approx the blocked plan sizes cells at
+    constant ~250-vector occupancy (linear candidate work)."""
     from challenge8_movies_etl_spark.plans.similarity_planner import (
         plan_knn_join)
     # fixture scales: 500 / 500 / 2000 vectors, 10 labels
@@ -478,7 +479,14 @@ def test_plan_knn_join_switchover():
         p = plan_knn_join(n, 10)
         assert p.strategy == "exact_pairs"
         assert p.est_pairs == n * n // 20
-    big = plan_knn_join(20_000, 10)
+    # exact stays the default even past the pair budget
+    assert plan_knn_join(20_000, 10).strategy == "exact_pairs"
+    big = plan_knn_join(20_000, 10, allow_approx=True)
     assert big.strategy == "ivf_blocked"
-    assert big.n_cells == 141           # ~sqrt(20000)
+    assert big.n_cells == 80            # ~250 vectors/cell occupancy
+    assert plan_knn_join(2_000_000, 10,
+                         allow_approx=True).n_cells == 8000  # linear
+    # within budget, allow_approx still resolves exact
+    assert plan_knn_join(2_000, 10,
+                         allow_approx=True).strategy == "exact_pairs"
     assert plan_knn_join(0, 0).strategy == "exact_pairs"

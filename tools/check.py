@@ -123,8 +123,13 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
+        # driver fixtures are single files; tools/scalegen.py output
+        # is a Spark-style directory of part files — glob those
+        src = f"{args.sf}/{t}.parquet"
+        if Path(src).is_dir():
+            src += "/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
 
     qids = args.qids or sorted(queries)

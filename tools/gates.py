@@ -102,6 +102,8 @@ SHAPE = {
     # codec-ladder work like the multimodal decode stack
     "q_wet_extract": "q_multimodal_decode",
     "q_wat_extract": "q_multimodal_decode",
+    "q_warc_revisit": "q_multimodal_decode",
+    "q_url_canonicalize": "q_window_rank",  # codegen chain + window
 }
 
 
