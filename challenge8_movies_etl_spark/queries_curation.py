@@ -1023,8 +1023,12 @@ _COVER_ROUNDS = 5
 def _cover_oracle() -> str:
     """Unroll the greedy rounds: pick the doc with the most uncovered
     bigrams (ties to the lowest doc_id), remove its bigrams, repeat."""
+    # MATERIALIZED is load-bearing (round-8 sf1.0 sweep): each round
+    # references its predecessor 3× (scan, NOT-IN subquery, pick), so
+    # un-materialized CTEs re-evaluate the whole chain ~3^rounds times
+    # — fine at 275 k tokens, runaway at the sf1.0 decade's 2.7 M.
     parts = ["""
-WITH toks0 AS (
+WITH toks0 AS MATERIALIZED (
   SELECT DISTINCT doc_id,
          t[i] || ' ' || t[i + 1] AS tok
   FROM (SELECT doc_id, string_split(text, ' ') AS t,
@@ -1034,12 +1038,12 @@ WITH toks0 AS (
     prev = "toks0"
     for r in range(1, _COVER_ROUNDS + 1):
         parts.append(f""",
-p{r} AS (
+p{r} AS MATERIALIZED (
   SELECT doc_id, count(*) AS gain
   FROM {prev} GROUP BY doc_id
   ORDER BY gain DESC, doc_id LIMIT 1
 ),
-toks{r} AS (
+toks{r} AS MATERIALIZED (
   SELECT t.doc_id, t.tok FROM {prev} t
   WHERE t.tok NOT IN (SELECT tok FROM {prev}
                       WHERE doc_id = (SELECT doc_id FROM p{r}))

@@ -481,7 +481,8 @@ def q_variant_json(spark, sf_dir):
     )
     SELECT doc_id,
            cast(len(list_intersect(a, b)) as bigint) AS n_common,
-           array_to_string(list_sort(list_intersect(a, b)), ',')
+           coalesce(
+             array_to_string(list_sort(list_intersect(a, b)), ','), '')
              AS common_sorted,
            cast(len(list_distinct(list_concat(a, b))) as bigint)
              AS n_union,
@@ -501,7 +502,11 @@ def q_array_setops(spark, sf_dir):
     themselves. Intersections are emitted both as counts and as a
     sorted serialized list (scalar-only output contract); positions
     are over the SORTED array because engine-native vocabulary order
-    differs.
+    differs. The serialized empty intersection is '' on BOTH sides —
+    Spark concat_ws returns '' for an empty array but DuckDB
+    array_to_string returns NULL, so the oracle coalesces (caught by
+    the round-8 sf1.0 hash sweep: the Heaps-vocab fixture is the
+    first scale where adjacent documents can be fully disjoint).
 
     Scale: one self-equi-join on a filtered slice, then pure codegen
     array expressions — no explode, no token shuffle."""
