@@ -1665,3 +1665,87 @@ def q_url_canonicalize(spark, sf_dir):
         "doc_id", "canon_url",
         F.count("*").over(W.partitionBy("canon_url"))
         .cast("long").alias("n_dupes"))
+
+
+# ---------------------------------------------------------------------------
+# q_recrawl_schedule — page change-rate estimation for recrawl priority
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_recrawl_schedule",
+    oracle="""
+    WITH visits AS (
+      SELECT user_id % 25 AS page, ts, event_id,
+             CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS changed
+      FROM events
+    ), gaps AS (
+      SELECT page, changed,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY page ORDER BY ts, event_id) AS gap_us
+      FROM visits
+    ), agg AS (
+      SELECT page,
+             count(*) AS n_gaps,
+             sum(changed) AS n_changes,
+             sum(gap_us) AS sum_gap_us
+      FROM gaps WHERE gap_us IS NOT NULL
+      GROUP BY page
+    )
+    SELECT page,
+           cast(n_gaps as bigint) AS n_gaps,
+           cast(n_changes as bigint) AS n_changes,
+           round(cast(sum_gap_us as double) / n_gaps / 1e6, 4)
+             AS mean_gap_s,
+           round(-ln((n_gaps - n_changes + 0.5) / (n_gaps + 0.5))
+                 * 3600.0 * 1e6 * n_gaps / cast(sum_gap_us as double), 4)
+             AS lambda_per_hour
+    FROM agg ORDER BY page
+    """,
+)
+def q_recrawl_schedule(spark, sf_dir):
+    """Recrawl scheduling: estimate each page's Poisson change rate
+    from a revisit history of binary change observations and rank pages
+    for refresh. Uses the Cho & Garcia-Molina (2003) MLE-corrected
+    estimator for changes observed at (roughly regular) intervals:
+    lambda_hat = -ln((n - X + 0.5) / (n + 0.5)) / mean_gap, where n =
+    revisit gaps, X = gaps where the page had changed — the +0.5
+    continuity correction keeps the estimator finite when X = n. Pages
+    are synthesized from events (page = user_id bucket, change flag =
+    deterministic event_id predicate); gaps come from one lag() per
+    page ordered by (ts, event_id).
+
+    Exactness: n/X/gap sums are exact bigints (epoch microseconds);
+    mean gap is one division rounded 4dp; lambda is genuinely-float
+    ln math rounded 4dp.
+
+    Scale: one shuffle on page for the lag window, then a map-side-
+    combined groupBy on the same key (no second shuffle — the window
+    output is already hash-partitioned by page). A real frontier holds
+    billions of URLs: same plan, page = URL, both steps stay keyed."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+    visits = e.select(
+        (F.col("user_id") % 25).alias("page"), "ts", "event_id",
+        (F.col("event_id") % 3 == 0).cast("int").alias("changed"))
+    wpage = W.partitionBy("page").orderBy("ts", "event_id")
+    gaps = visits.select(
+        "page", "changed",
+        (F.unix_micros("ts")
+         - F.lag(F.unix_micros("ts")).over(wpage)).alias("gap_us"))
+    agg = (gaps.filter(F.col("gap_us").isNotNull())
+           .groupBy("page")
+           .agg(F.count("*").alias("n_gaps"),
+                F.sum("changed").alias("n_changes"),
+                F.sum("gap_us").alias("sum_gap_us")))
+    lam = (-F.log((F.col("n_gaps") - F.col("n_changes") + 0.5)
+                  / (F.col("n_gaps") + 0.5))
+           * 3600.0 * 1e6 * F.col("n_gaps")
+           / F.col("sum_gap_us").cast("double"))
+    return (agg.select(
+        "page",
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+        F.col("n_changes").cast("long").alias("n_changes"),
+        F.round(F.col("sum_gap_us").cast("double") / F.col("n_gaps")
+                / 1e6, 4).alias("mean_gap_s"),
+        F.round(lam, 4).alias("lambda_per_hour"))
+        .orderBy("page"))

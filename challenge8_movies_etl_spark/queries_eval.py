@@ -2897,3 +2897,152 @@ def q_mcnemar_test(spark, sf_dir):
         .cast("double") / (F.col("b") + F.col("c"))).otherwise(0.0)
     return cm.select("b", "c", "both_right", "both_wrong",
                      (F.round(chi2, 6) + 0.0).alias("chi2_mcnemar"))
+
+
+# ---------------------------------------------------------------------------
+# q_bleu — corpus-level BLEU-2 with brevity penalty
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_bleu",
+    oracle="""
+    WITH paired AS (
+      SELECT source, doc_id AS pid,
+             string_split(text, ' ') AS ct,
+             string_split(lead(text) OVER (PARTITION BY source
+                                           ORDER BY doc_id), ' ') AS rt
+      FROM documents
+    ), pr AS (
+      SELECT * FROM paired WHERE rt IS NOT NULL
+    ), grams AS (
+      SELECT source, pid, 1 AS n, ct AS cg, rt AS rg FROM pr
+      UNION ALL
+      SELECT source, pid, 2 AS n,
+             list_transform(range(1, greatest(len(ct), 1)),
+                            i -> ct[i] || ' ' || ct[i + 1]) AS cg,
+             list_transform(range(1, greatest(len(rt), 1)),
+                            i -> rt[i] || ' ' || rt[i + 1]) AS rg
+      FROM pr
+    ), cc AS (
+      SELECT source, pid, n, u.g AS g, count(*) AS c
+      FROM grams, unnest(cg) AS u(g)
+      GROUP BY source, pid, n, u.g
+    ), rc AS (
+      SELECT pid, n, u.g AS g, count(*) AS c
+      FROM grams, unnest(rg) AS u(g)
+      GROUP BY pid, n, u.g
+    ), ov AS (
+      SELECT cc.source, cc.n,
+             sum(least(cc.c, coalesce(rc.c, 0))) AS clipped,
+             sum(cc.c) AS total
+      FROM cc LEFT JOIN rc
+        ON cc.pid = rc.pid AND cc.n = rc.n AND cc.g = rc.g
+      GROUP BY cc.source, cc.n
+    ), lens AS (
+      SELECT source, count(*) AS n_pairs,
+             sum(len(ct)) AS cand_tokens,
+             sum(len(rt)) AS ref_tokens
+      FROM pr GROUP BY source
+    ), ps AS (
+      SELECT source,
+             max(CASE WHEN n = 1 THEN clipped END) AS c1,
+             max(CASE WHEN n = 1 THEN total END) AS t1,
+             max(CASE WHEN n = 2 THEN clipped END) AS c2,
+             max(CASE WHEN n = 2 THEN total END) AS t2
+      FROM ov GROUP BY source
+    )
+    SELECT lens.source, n_pairs,
+           cast(cand_tokens as bigint) AS cand_tokens,
+           cast(ref_tokens as bigint) AS ref_tokens,
+           round(cast(c1 as double) / t1, 6) AS p1,
+           round(cast(c2 as double) / t2, 6) AS p2,
+           CASE WHEN coalesce(c1, 0) = 0 OR coalesce(c2, 0) = 0
+                     OR cand_tokens = 0 THEN 0.0
+                ELSE round(
+                  exp(least(0.0, 1.0 - cast(ref_tokens as double)
+                                       / cand_tokens))
+                  * exp(0.5 * (ln(cast(c1 as double) / t1)
+                               + ln(cast(c2 as double) / t2))), 4)
+           END AS bleu2
+    FROM lens JOIN ps ON lens.source = ps.source
+    ORDER BY lens.source
+    """,
+)
+def q_bleu(spark, sf_dir):
+    """Corpus-level BLEU-2 (Papineni et al. 2002) per source — the
+    canonical MT/generation metric: modified (clipped) n-gram precision
+    p_n = sum_pairs sum_g min(c_cand, c_ref) / sum_pairs |cand grams|
+    pooled at CORPUS level (not mean-of-pairs — the corpus pooling is
+    what makes BLEU robust to short segments), geometric mean over
+    n=1,2, times the brevity penalty exp(min(0, 1 - ref_len/cand_len)).
+    Pairs are candidate=doc, reference=successor doc within source
+    (the repo's deterministic stand-in, same pairing as q_rouge_n). A
+    source with zero clipped overlap at either order scores 0 (the
+    standard corpus-BLEU zero, not a smoothed variant).
+
+    Exactness: clipped counts and token totals are exact bigints; p1/p2
+    are one IEEE division each rounded at 6dp; bleu2 is genuinely-float
+    ln/exp math rounded at 4dp per the hash conventions.
+
+    Scale: gram counting is explode -> map-side-combined groupBy per
+    (pair, gram); the clip join is keyed (pid, n, gram) — never
+    doc x doc; the corpus pool is a per-source re-aggregation of
+    already-tiny per-(source, n) partials. Same 100 TB shape as
+    q_rouge_n: pair by an explicit key, everything else unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    wsrc = W.partitionBy("source").orderBy("doc_id")
+    paired = (d.select("source", F.col("doc_id").alias("pid"),
+                       F.split("text", " ").alias("ct"),
+                       F.split(F.lead("text").over(wsrc), " ").alias("rt"))
+              .filter(F.col("rt").isNotNull()))
+
+    def bigrams(name: str):
+        return F.expr(
+            f"zip_with(slice({name}, 1, greatest(size({name}) - 1, 0)),"
+            f" slice({name}, 2, greatest(size({name}) - 1, 0)),"
+            " (a, b) -> concat(a, ' ', b))")
+
+    grams = (paired.select("source", "pid", F.lit(1).alias("n"),
+                           F.col("ct").alias("cg"), F.col("rt").alias("rg"))
+             .unionByName(paired.select(
+                 "source", "pid", F.lit(2).alias("n"),
+                 bigrams("ct").alias("cg"), bigrams("rt").alias("rg"))))
+    cc = (grams.select("source", "pid", "n", F.explode("cg").alias("g"))
+          .groupBy("source", "pid", "n", "g")
+          .agg(F.count("*").alias("c")))
+    rc = (grams.select("pid", "n", F.explode("rg").alias("g"))
+          .groupBy("pid", "n", "g").agg(F.count("*").alias("c"))
+          .withColumnsRenamed({"pid": "rpid", "n": "rn", "g": "rg",
+                               "c": "rc"}))
+    ov = (cc.join(rc, (F.col("pid") == F.col("rpid"))
+                  & (F.col("n") == F.col("rn"))
+                  & (F.col("g") == F.col("rg")), "left")
+          .groupBy("source", "n")
+          .agg(F.sum(F.least("c", F.coalesce("rc", F.lit(0))))
+               .cast("long").alias("clipped"),
+               F.sum("c").cast("long").alias("total")))
+    lens = (paired.groupBy("source")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.sum(F.size("ct")).cast("long").alias("cand_tokens"),
+                 F.sum(F.size("rt")).cast("long").alias("ref_tokens")))
+    ps = (ov.groupBy("source")
+          .agg(F.max(F.when(F.col("n") == 1, F.col("clipped"))).alias("c1"),
+               F.max(F.when(F.col("n") == 1, F.col("total"))).alias("t1"),
+               F.max(F.when(F.col("n") == 2, F.col("clipped"))).alias("c2"),
+               F.max(F.when(F.col("n") == 2, F.col("total"))).alias("t2")))
+    p1 = F.col("c1").cast("double") / F.col("t1")
+    p2 = F.col("c2").cast("double") / F.col("t2")
+    bp = F.exp(F.least(F.lit(0.0),
+                       1.0 - F.col("ref_tokens").cast("double")
+                       / F.col("cand_tokens")))
+    bleu = F.when((F.coalesce("c1", F.lit(0)) == 0)
+                  | (F.coalesce("c2", F.lit(0)) == 0)
+                  | (F.col("cand_tokens") == 0), 0.0).otherwise(
+        F.round(bp * F.exp(0.5 * (F.log(p1) + F.log(p2))), 4))
+    return (lens.join(ps, "source")
+            .select("source", "n_pairs", "cand_tokens", "ref_tokens",
+                    F.round(p1, 6).alias("p1"),
+                    F.round(p2, 6).alias("p2"),
+                    bleu.alias("bleu2"))
+            .orderBy("source"))

@@ -335,3 +335,192 @@ def q_partitioned_pruned_scan(spark, sf_dir):
                  F.round(F.sum(F.col("value").cast("decimal(30,10)")), 4)
                   .cast("double").alias("sum_value"))
             .orderBy("day"))
+
+
+# ---------------------------------------------------------------------------
+# q_deletion_vectors — merge-on-read positional deletes
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_deletion_vectors",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey // 1000 AS file_id,
+             o_orderkey % 1000 AS pos,
+             o_totalprice
+      FROM orders
+    ), dv AS (
+      SELECT file_id, pos FROM base WHERE (file_id * 1000 + pos) % 7 = 3
+      UNION
+      SELECT file_id, pos FROM base WHERE (file_id * 1000 + pos) % 11 = 5
+    ), live AS (
+      SELECT base.* FROM base
+      LEFT JOIN dv ON base.file_id = dv.file_id AND base.pos = dv.pos
+      WHERE dv.pos IS NULL
+    ), per_file AS (
+      SELECT file_id, count(*) AS n_rows FROM base GROUP BY file_id
+    ), del_file AS (
+      SELECT file_id, count(*) AS n_deleted FROM dv GROUP BY file_id
+    )
+    SELECT per_file.file_id,
+           cast(n_rows as bigint) AS n_rows,
+           cast(coalesce(n_deleted, 0) as bigint) AS n_deleted,
+           cast(n_rows - coalesce(n_deleted, 0) as bigint)
+             AS surviving_rows,
+           cast(round(sum(cast(live.o_totalprice as decimal(30,10))), 2)
+                as double) AS surviving_total
+    FROM per_file
+    LEFT JOIN del_file ON per_file.file_id = del_file.file_id
+    LEFT JOIN live ON per_file.file_id = live.file_id
+    GROUP BY per_file.file_id, n_rows, n_deleted
+    ORDER BY per_file.file_id
+    """,
+)
+def q_deletion_vectors(spark, sf_dir):
+    """Merge-on-read positional deletes (Iceberg v2 / Delta deletion
+    vectors): base rows live in immutable files addressed by
+    (file_id, position); delete commits write only (file_id, pos)
+    tombstone sets; readers apply the UNION of all delete vectors as
+    an anti-join at scan time — no base-file rewrite. Two commits are
+    synthesized from orderkey predicates; the query reports per file
+    the base count, the merged delete-vector cardinality (duplicates
+    across commits collapse — a row deleted twice dies once), and the
+    surviving row count and totalprice sum a merge-on-read scan
+    returns.
+
+    Scale: this is THE lakehouse delete mechanism at 100 TB — deleting
+    0.1% of rows costs writing 0.1% positions, not rewriting files.
+    The read-side anti-join is keyed (file_id, pos) and the delete
+    side is tiny -> broadcast; per-file aggregation reuses the
+    file_id key. In a real table the vectors are roaring bitmaps in
+    file footers; relationally the semantics are exactly this UNION +
+    anti-join, which is what Spark's Iceberg/Delta readers compile
+    to."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        (F.col("o_orderkey") / 1000).cast("bigint").alias("file_id"),
+        (F.col("o_orderkey") % 1000).alias("pos"),
+        "o_totalprice", "o_orderkey")
+    dv = (base.filter(F.col("o_orderkey") % 7 == 3)
+          .select("file_id", "pos")
+          .union(base.filter(F.col("o_orderkey") % 11 == 5)
+                 .select("file_id", "pos"))
+          .distinct())
+    live = base.join(F.broadcast(dv), ["file_id", "pos"], "left_anti")
+    per_file = base.groupBy("file_id").agg(F.count("*").alias("n_rows"))
+    del_file = dv.groupBy("file_id").agg(F.count("*").alias("n_deleted"))
+    surv = (live.groupBy("file_id")
+            .agg(F.round(F.sum(F.col("o_totalprice")
+                               .cast("decimal(30,10)")), 2)
+                 .cast("double").alias("surviving_total")))
+    return (per_file
+            .join(del_file, "file_id", "left")
+            .join(surv, "file_id", "left")
+            .select("file_id",
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    F.coalesce("n_deleted", F.lit(0)).cast("long")
+                    .alias("n_deleted"),
+                    (F.col("n_rows") - F.coalesce("n_deleted", F.lit(0)))
+                    .cast("long").alias("surviving_rows"),
+                    "surviving_total")
+            .orderBy("file_id"))
+
+
+# ---------------------------------------------------------------------------
+# q_hilbert_layout — Hilbert-curve file layout (Z-order's tighter sibling)
+# ---------------------------------------------------------------------------
+
+_HIL_N = 16  # 16x16 grid (4 curve levels)
+
+
+def _hilbert_stage(s: int, n: int) -> list[str]:
+    """One xy2d level as simultaneous dialect-portable SQL expressions
+    over columns (x, y, d): quadrant id 3*rx + ry - 2*rx*ry is the
+    arithmetic identity for (3*rx) XOR ry on bits (DuckDB has no infix
+    XOR), and the rotation flips with n-1 then swaps, exactly the
+    classic iterative formulation."""
+    rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+    return [
+        f"d + {s * s} * (3 * {rx} + {ry} - 2 * {rx} * {ry}) AS d",
+        f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1"
+        f" THEN {n - 1} - y ELSE y END) ELSE x END AS x",
+        f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1"
+        f" THEN {n - 1} - x ELSE x END) ELSE y END AS y",
+    ]
+
+
+def _hilbert_duck_ctes(n: int) -> str:
+    ctes, prev = [], "b"
+    s, lvl = n // 2, 0
+    while s > 0:
+        cur = f"h{lvl}"
+        ctes.append(
+            f"{cur} AS (SELECT o_orderkey, x0, y0, "
+            + ", ".join(_hilbert_stage(s, n)) + f" FROM {prev})")
+        prev, s, lvl = cur, s // 2, lvl + 1
+    return ", ".join(ctes), prev
+
+
+_HIL_CTES, _HIL_LAST = _hilbert_duck_ctes(_HIL_N)
+
+
+@query(
+    "q_hilbert_layout",
+    oracle=f"""
+    WITH b AS (
+      SELECT o_orderkey,
+             o_custkey % {_HIL_N} AS x0,
+             (datediff('day', DATE '1992-01-01',
+                       cast(o_orderdate as date)) // 256) % {_HIL_N} AS y0,
+             o_custkey % {_HIL_N} AS x,
+             (datediff('day', DATE '1992-01-01',
+                       cast(o_orderdate as date)) // 256) % {_HIL_N} AS y,
+             0 AS d
+      FROM orders
+    ), {_HIL_CTES}
+    SELECT d // {_HIL_N} AS file_id, count(*) AS n_rows,
+           min(x0) AS min_cb, max(x0) AS max_cb,
+           min(y0) AS min_db, max(y0) AS max_db
+    FROM {_HIL_LAST} GROUP BY d // {_HIL_N}
+    ORDER BY file_id
+    """,
+)
+def q_hilbert_layout(spark, sf_dir):
+    """Hilbert-curve file layout — the clustering Delta OPTIMIZE and
+    Iceberg use when Z-order's diagonal jumps cost too much: map each
+    (customer bucket, 256-day order-date band) grid cell to its
+    Hilbert index via the classic iterative xy2d (one rotate-and-
+    accumulate stage per curve level, 4 levels for a 16x16 grid),
+    range-partition rows into files of 16 consecutive curve positions,
+    and report each file's (min,max) envelope on both dimensions.
+    Unlike Morton order, consecutive Hilbert positions are always
+    grid-adjacent (no diagonal discontinuities), so file envelopes are
+    tighter on average — the property tests/test_layout_ops.py pins
+    against a reference implementation. Both engines run the IDENTICAL
+    unrolled stage expressions (a shared generator renders the SQL),
+    all integer CASE/mask arithmetic inside whole-stage codegen.
+
+    Scale: zero-shuffle per-row integer math plus one partial agg for
+    the envelopes, the same shape as q_zorder_layout; at 100 TB the
+    writer range-partitions on the curve index it just computed."""
+    o = load_table(spark, sf_dir, "orders")
+    day = ((F.datediff(F.col("o_orderdate").cast("date"),
+                       F.lit("1992-01-01").cast("date"))
+            / F.lit(256)).cast("bigint") % _HIL_N)
+    df = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % _HIL_N).alias("x0"), day.alias("y0"),
+        (F.col("o_custkey") % _HIL_N).alias("x"), day.alias("y"),
+        F.lit(0).alias("d"))
+    s = _HIL_N // 2
+    while s > 0:
+        df = df.selectExpr("o_orderkey", "x0", "y0",
+                           *_hilbert_stage(s, _HIL_N))
+        s //= 2
+    return (df.groupBy((F.col("d") / _HIL_N).cast("bigint")
+                       .alias("file_id"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.min("x0").alias("min_cb"), F.max("x0").alias("max_cb"),
+                 F.min("y0").alias("min_db"), F.max("y0").alias("max_db"))
+            .orderBy("file_id"))

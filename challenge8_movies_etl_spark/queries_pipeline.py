@@ -1725,3 +1725,127 @@ def q_loop_detect(spark, sf_dir):
         run1.cast("long").alias("run1"),
         rep3.cast("long").alias("rep3"),
         ((run1 >= 3) | (rep3 >= 3)).alias("has_loop"))
+
+
+# ---------------------------------------------------------------------------
+# q_token_budget_mix — epoch-capped domain mixing (waterfilling)
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET_X = 2   # total training budget = 2x corpus tokens
+_MIX_MAX_EPOCHS = 3  # no domain repeats more than 3 epochs
+
+
+@query(
+    "q_token_budget_mix",
+    oracle=f"""
+    WITH dom AS (
+      SELECT source,
+             sum(len(string_split(text, ' '))) AS toks,
+             1 + cast(substr(source, 4) as bigint) % 5 AS w
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT sum(toks) * {_MIX_BUDGET_X} AS budget, sum(w) AS wsum
+      FROM dom
+    ), r1 AS (
+      SELECT dom.*, budget, {_MIX_MAX_EPOCHS} * toks AS cap,
+             cast(w as double) * budget / wsum AS a
+      FROM dom, tot
+    ), s1 AS (
+      SELECT sum(CASE WHEN a >= cap THEN cap END) AS capped_toks,
+             sum(CASE WHEN a < cap THEN w END) AS w2
+      FROM r1
+    ), r2 AS (
+      SELECT r1.*,
+             CASE WHEN a >= cap THEN cast(cap as double)
+                  ELSE cast(w as double)
+                       * (budget - coalesce(capped_toks, 0)) / w2
+             END AS a2
+      FROM r1, s1
+    ), s2 AS (
+      SELECT sum(CASE WHEN a2 >= cap THEN cap END) AS capped_toks,
+             sum(CASE WHEN a2 < cap THEN w END) AS w3
+      FROM r2
+    ), r3 AS (
+      SELECT r2.*,
+             CASE WHEN a2 >= cap THEN cast(cap as double)
+                  ELSE cast(w as double)
+                       * (budget - coalesce(s2.capped_toks, 0)) / w3
+             END AS a3
+      FROM r2, s2
+    )
+    SELECT source,
+           cast(toks as bigint) AS corpus_tokens,
+           cast(w as bigint) AS weight,
+           CASE WHEN a3 >= cap THEN 1 ELSE 0 END AS capped,
+           round(a3, 4) AS alloc_tokens,
+           round(a3 / toks, 4) AS epochs
+    FROM r3 ORDER BY source
+    """,
+)
+def q_token_budget_mix(spark, sf_dir):
+    """Epoch-capped domain mixing — the token-budget allocation step of
+    an LLM pre-training data pipeline: given per-domain corpus sizes
+    T_i, target sampling weights w_i, and a total budget B = 2x corpus
+    tokens, allocate alloc_i = w_i/W * B but never let any domain
+    exceed 3 epochs (alloc_i <= 3*T_i); excess from capped domains is
+    redistributed proportionally among the uncapped ones. The
+    redistribution is the standard waterfilling iteration run a FIXED
+    2 extra rounds (enough for the fixture's weight spread; a fixed
+    iteration count keeps the op deterministic and SQL-expressible —
+    both engines run the identical unrolled rounds, so a not-fully-
+    converged corner would still hash-match and shows up as capped=0
+    with epochs > 3 in review).
+
+    Exactness: token counts, weights, caps, and capped-token sums are
+    exact bigints; each round's allocation is one double mul/div chain
+    from exact operands (bit-identical across engines); rounding only
+    at output (4dp).
+
+    Scale: per-domain aggregation is one map-side-combined groupBy;
+    the waterfilling rounds operate on the DOMAIN table (tens of rows
+    at any corpus size) via broadcast scalars — the 100 TB cost is the
+    one pass that counts tokens, which rides the same scan every other
+    corpus statistic uses."""
+    d = load_table(spark, sf_dir, "documents")
+    dom = (d.groupBy("source")
+           .agg(F.sum(F.size(F.split("text", " "))).alias("toks"))
+           .withColumn(
+               "w", 1 + F.substring("source", 4, 10).cast("bigint") % 5))
+    tot = dom.agg((F.sum("toks") * _MIX_BUDGET_X).alias("budget"),
+                  F.sum("w").alias("wsum"))
+    r1 = (dom.crossJoin(F.broadcast(tot))
+          .withColumn("cap", F.lit(_MIX_MAX_EPOCHS) * F.col("toks"))
+          .withColumn("a", F.col("w").cast("double") * F.col("budget")
+                      / F.col("wsum")))
+    s1 = r1.agg(
+        F.sum(F.when(F.col("a") >= F.col("cap"), F.col("cap")))
+        .alias("capped_toks"),
+        F.sum(F.when(F.col("a") < F.col("cap"), F.col("w"))).alias("w2"))
+    r2 = (r1.crossJoin(F.broadcast(s1))
+          .withColumn("a2", F.when(
+              F.col("a") >= F.col("cap"), F.col("cap").cast("double"))
+              .otherwise(F.col("w").cast("double")
+                         * (F.col("budget")
+                            - F.coalesce("capped_toks", F.lit(0)))
+                         / F.col("w2")))
+          .drop("capped_toks"))
+    s2 = r2.agg(
+        F.sum(F.when(F.col("a2") >= F.col("cap"), F.col("cap")))
+        .alias("capped_toks"),
+        F.sum(F.when(F.col("a2") < F.col("cap"), F.col("w"))).alias("w3"))
+    r3 = (r2.crossJoin(F.broadcast(s2))
+          .withColumn("a3", F.when(
+              F.col("a2") >= F.col("cap"), F.col("cap").cast("double"))
+              .otherwise(F.col("w").cast("double")
+                         * (F.col("budget")
+                            - F.coalesce("capped_toks", F.lit(0)))
+                         / F.col("w3"))))
+    return (r3.select(
+        "source",
+        F.col("toks").cast("long").alias("corpus_tokens"),
+        F.col("w").cast("long").alias("weight"),
+        F.when(F.col("a3") >= F.col("cap"), 1).otherwise(0)
+        .cast("int").alias("capped"),
+        F.round("a3", 4).alias("alloc_tokens"),
+        F.round(F.col("a3") / F.col("toks"), 4).alias("epochs"))
+        .orderBy("source"))

@@ -761,3 +761,79 @@ def q_prf_expansion(spark, sf_dir):
                 F.sum(F.round(F.col("wq") * part, 8).cast(DEC))
                 .cast("double"), 4).alias("prf_score"))
             .orderBy(F.desc("prf_score"), "doc_id").limit(_PRF_FB))
+
+
+# ---------------------------------------------------------------------------
+# q_snippet_extract — query-biased snippet (best keyword window)
+# ---------------------------------------------------------------------------
+
+_SNIP_W = 8  # snippet window length in tokens
+
+
+@query(
+    "q_snippet_extract",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ct FROM documents
+    ), pos AS (
+      SELECT doc_id, ct, u.i - 1 AS p,
+             CASE WHEN ct[u.i] IN ('fast', 'slow', 'spark') THEN 1 ELSE 0
+               END AS hit
+      FROM toks, unnest(range(1, len(ct) + 1)) AS u(i)
+    ), scored AS (
+      SELECT doc_id, ct, p,
+             sum(hit) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN CURRENT ROW
+                            AND {_SNIP_W - 1} FOLLOWING) AS win_hits,
+             sum(hit) OVER (PARTITION BY doc_id) AS total_hits
+      FROM pos
+    ), best AS (
+      SELECT doc_id, ct, p, win_hits, total_hits,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY win_hits DESC, p) AS rn
+      FROM scored
+    )
+    SELECT doc_id,
+           cast(p as bigint) AS best_pos,
+           cast(win_hits as bigint) AS win_hits,
+           cast(total_hits as bigint) AS total_hits,
+           array_to_string(ct[(p + 1):(p + {_SNIP_W})], ' ') AS snippet
+    FROM best WHERE rn = 1 AND total_hits > 0
+    """,
+)
+def q_snippet_extract(spark, sf_dir):
+    """Query-biased snippet extraction (search-result highlighting):
+    for each document containing at least one query term, pick the
+    {w}-token window with the most query-term hits (earliest window on
+    ties) and emit it as the snippet — the classic dynamic-teaser step
+    every search UI runs after ranking. Expressed relationally:
+    posexplode -> per-position forward-looking ROWS window sum -> one
+    row_number() argmax per doc with the deterministic (score desc,
+    pos asc) tie-break -> slice the token array back into text.
+
+    Scale: everything is partitioned by doc_id — the explode, both
+    window sums, and the argmax shuffle once on doc_id and never cross
+    documents; the window frame is O(w) per row with constant state.
+    At 100 TB, snippets run on the top-k *retrieved* set, not the
+    corpus — the plan is identical, bounded by k * doc_len rows."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("ct"))
+    pos = toks.select(
+        "doc_id", "ct",
+        F.posexplode("ct").alias("p", "tok")).withColumn(
+        "hit", F.col("tok").isin("fast", "slow", "spark").cast("int"))
+    wfwd = (W.partitionBy("doc_id").orderBy("p")
+            .rowsBetween(W.currentRow, _SNIP_W - 1))
+    scored = pos.select(
+        "doc_id", "ct", "p",
+        F.sum("hit").over(wfwd).alias("win_hits"),
+        F.sum("hit").over(W.partitionBy("doc_id")).alias("total_hits"))
+    wrank = W.partitionBy("doc_id").orderBy(F.desc("win_hits"), "p")
+    best = scored.withColumn("rn", F.row_number().over(wrank))
+    return (best.filter((F.col("rn") == 1) & (F.col("total_hits") > 0))
+            .select("doc_id",
+                    F.col("p").cast("long").alias("best_pos"),
+                    F.col("win_hits").cast("long").alias("win_hits"),
+                    F.col("total_hits").cast("long").alias("total_hits"),
+                    F.concat_ws(" ", F.slice("ct", F.col("p") + 1, _SNIP_W))
+                    .alias("snippet")))

@@ -994,3 +994,39 @@ def test_query_likelihood_matches_python_twin(spark):
     assert [d for _, d in got] == [d for _, d in expect]
     for (gs, _), (es, _) in zip(got, expect):
         assert abs(gs - es) < 1e-9
+
+
+def test_bleu_matches_hand_computation(spark):
+    """Corpus BLEU-2 on a crafted two-pair corpus, checked against the
+    textbook computation (clipping, corpus pooling, brevity penalty)."""
+    import math
+
+    from challenge8_movies_etl_spark.queries_eval import q_bleu
+
+    # source s: pair1 cand="a b c d" ref="a b x d", pair2 cand="a a" ref="a"
+    d = spark.createDataFrame(
+        [(0, "a b c d", "s"), (1, "a b x d", "s")],
+        "doc_id long, text string, source string")
+    d = d.unionByName(spark.createDataFrame(
+        [(2, "a a", "t"), (3, "a", "t")],
+        "doc_id long, text string, source string"))
+    d.createOrReplaceTempView("documents")  # not used; direct call below
+    import challenge8_movies_etl_spark.queries_eval as qe
+    orig = qe.load_table
+    qe.load_table = lambda sp, sf, name: d
+    try:
+        rows = {r["source"]: r for r in q_bleu(spark, "ignored").collect()}
+    finally:
+        qe.load_table = orig
+    # source s: pairing is lead within source -> one pair (0 -> 1).
+    # p1 = |{a,b,d}| / 4 = 0.75 ; bigrams cand {ab,bc,cd} ref {ab,bx,xd}
+    # -> p2 = 1/3 ; lens equal -> BP = 1.
+    s = rows["s"]
+    assert s["n_pairs"] == 1 and s["cand_tokens"] == 4
+    assert s["p1"] == 0.75 and s["p2"] == round(1 / 3, 6)
+    assert s["bleu2"] == round(math.sqrt(0.75 * (1 / 3)), 4)
+    # source t: cand "a a" vs ref "a": clipped unigram = min(2,1)=1,
+    # p1=1/2; cand bigram {aa} has no ref bigram -> p2=0 -> bleu2=0,
+    # despite BP = exp(1 - 1/2) being finite.
+    t = rows["t"]
+    assert t["p2"] == 0.0 and t["bleu2"] == 0.0

@@ -110,3 +110,56 @@ def test_partitioned_scan_actually_prunes(spark):
     # the data filters must NOT re-check event_type row-wise: pruning
     # happened at the directory level
     assert df.count() > 0
+
+
+def _hilbert_xy2d_ref(n: int, x: int, y: int) -> int:
+    """Reference iterative xy2d (independent of the SQL generator)."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_stages_match_reference_bijectively(spark):
+    """The shared SQL stage generator (which BOTH engines run, so a
+    generator bug would hash-match) must agree with an independent
+    Python xy2d on every cell of the 16x16 grid — and be a bijection
+    onto 0..255."""
+    from challenge8_movies_etl_spark.queries_incremental import (
+        _HIL_N, _hilbert_stage)
+
+    grid = spark.createDataFrame(
+        [(x, y, x, y, 0) for x in range(_HIL_N) for y in range(_HIL_N)],
+        "x0 int, y0 int, x int, y int, d int")
+    s = _HIL_N // 2
+    while s > 0:
+        grid = grid.selectExpr("x0", "y0", *_hilbert_stage(s, _HIL_N))
+        s //= 2
+    got = {(r["x0"], r["y0"]): r["d"] for r in grid.collect()}
+    assert sorted(got.values()) == list(range(_HIL_N * _HIL_N))
+    for (x, y), d in got.items():
+        assert d == _hilbert_xy2d_ref(_HIL_N, x, y), (x, y)
+
+
+def test_hilbert_consecutive_positions_are_grid_adjacent():
+    """THE Hilbert property (Morton lacks it): consecutive curve
+    positions differ by exactly one grid step — this is what makes
+    file envelopes tight in both dimensions."""
+    from challenge8_movies_etl_spark.queries_incremental import _HIL_N
+
+    d2xy = {}
+    for x in range(_HIL_N):
+        for y in range(_HIL_N):
+            d2xy[_hilbert_xy2d_ref(_HIL_N, x, y)] = (x, y)
+    for d in range(_HIL_N * _HIL_N - 1):
+        (x1, y1), (x2, y2) = d2xy[d], d2xy[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1

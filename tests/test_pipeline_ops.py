@@ -324,3 +324,42 @@ def test_capture_recapture_bounds(spark):
     assert r["m"] <= min(r["n1"], r["n2"])
     # Chapman estimate is at least the larger single-window count
     assert r["chapman_estimate"] >= max(r["n1"], r["n2"]) - 1
+
+
+def test_token_budget_mix_respects_caps_and_budget(spark):
+    """No domain exceeds max epochs (+ float round tolerance); the
+    total allocation stays within the budget; capped flags match the
+    epoch cap exactly."""
+    from challenge8_movies_etl_spark.queries_pipeline import (
+        _MIX_BUDGET_X, _MIX_MAX_EPOCHS, q_token_budget_mix)
+    from tests.conftest import SF_SMOKE
+
+    rows = q_token_budget_mix(spark, SF_SMOKE).collect()
+    assert rows
+    corpus = sum(r["corpus_tokens"] for r in rows)
+    alloc = sum(r["alloc_tokens"] for r in rows)
+    assert alloc <= _MIX_BUDGET_X * corpus + 1e-4
+    for r in rows:
+        assert r["epochs"] <= _MIX_MAX_EPOCHS + 1e-6
+        assert r["capped"] == (1 if r["epochs"] >= _MIX_MAX_EPOCHS - 1e-6
+                               else 0)
+
+
+def test_deletion_vectors_counts_are_consistent(spark):
+    """surviving = n_rows - n_deleted per file; the merged vector never
+    double-counts a row deleted by both commits; totals reconcile with
+    a direct filter of the base table."""
+    from challenge8_movies_etl_spark.queries_incremental import (
+        q_deletion_vectors)
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = q_deletion_vectors(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["surviving_rows"] == r["n_rows"] - r["n_deleted"]
+        assert 0 <= r["n_deleted"] <= r["n_rows"]
+    o = load_table(spark, SF_SMOKE, "orders").collect()
+    live = [x for x in o
+            if x["o_orderkey"] % 7 != 3 and x["o_orderkey"] % 11 != 5]
+    assert sum(r["surviving_rows"] for r in rows) == len(live)

@@ -167,3 +167,21 @@ def test_inverted_index_matches_python_twin(spark):
         assert r["cf"] == sum(c for _, c in post)
         head = ",".join(f"{d}:{c}" for d, c in post[:10])
         assert r["postings_head"] == head
+
+
+def test_snippet_window_picks_densest_earliest(spark):
+    """The snippet must be the earliest max-hit window and contain a
+    query term; win_hits <= total_hits; snippet length <= window."""
+    from challenge8_movies_etl_spark.queries_search import (
+        _SNIP_W, q_snippet_extract)
+    from tests.conftest import SF_SMOKE
+
+    rows = q_snippet_extract(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        toks = r["snippet"].split(" ")
+        assert len(toks) <= _SNIP_W
+        assert r["win_hits"] <= r["total_hits"]
+        assert r["win_hits"] >= 1
+        assert sum(t in ("fast", "slow", "spark") for t in toks) \
+            == r["win_hits"]
