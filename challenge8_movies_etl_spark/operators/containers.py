@@ -735,3 +735,101 @@ def warc_revisit_dedup(warc_blob: bytes) -> bytes:
                 "WARC-Refers-To-Target-URI": seen[digest],
             }))
     return encode_warc(out)
+
+
+# ---------------------------------------------------------------------------
+# ZIP container (PKWARE APPNOTE structure: local headers, central
+# directory, EOCD — stored and deflate members)
+# ---------------------------------------------------------------------------
+
+# Fixed DOS timestamp (2024-01-01 00:00:00) keeps archives byte-
+# deterministic across runs.
+_ZIP_DOS_DATE = ((2024 - 1980) << 9) | (1 << 5) | 1
+_ZIP_DOS_TIME = 0
+
+
+def encode_zip(members: list[tuple[str, bytes, str]]) -> bytes:
+    """Write a ZIP archive: per member a local file header + payload
+    (method 'stored' or 'deflate' — deflate is the raw stream,
+    RFC 1951, via zlib wbits=-15), then the central directory and the
+    end-of-central-directory record. CRC-32 and both sizes go in the
+    local header directly (no data descriptors), so the archive is
+    randomly accessible from the central directory alone."""
+    out = bytearray()
+    central = bytearray()
+    for name, content, method in members:
+        mid = {"stored": 0, "deflate": 8}[method]
+        if mid == 8:
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            payload = co.compress(content) + co.flush()
+        else:
+            payload = content
+        crc = zlib.crc32(content) & 0xFFFFFFFF
+        nb = name.encode()
+        offset = len(out)
+        local = struct.pack(
+            "<IHHHHHIIIHH", 0x04034B50, 20, 0, mid,
+            _ZIP_DOS_TIME, _ZIP_DOS_DATE, crc,
+            len(payload), len(content), len(nb), 0)
+        out += local + nb + payload
+        central += struct.pack(
+            "<IHHHHHHIIIHHHHHII", 0x02014B50, 20, 20, 0, mid,
+            _ZIP_DOS_TIME, _ZIP_DOS_DATE, crc,
+            len(payload), len(content), len(nb), 0, 0, 0, 0, 0,
+            offset) + nb
+    cd_offset = len(out)
+    out += central
+    out += struct.pack("<IHHHHIIH", 0x06054B50, 0, 0,
+                       len(members), len(members),
+                       len(central), cd_offset, 0)
+    return bytes(out)
+
+
+def decode_zip(buf: bytes) -> list[tuple[str, str, bytes]]:
+    """Walk a ZIP archive the correct way — locate the EOCD record by
+    scanning backwards (a trailing archive comment may displace it up
+    to 64 KiB), then iterate the central directory and random-access
+    each member through its local header (re-reading the LOCAL name/
+    extra lengths, which legitimately differ from the central copy).
+    Verifies each member's CRC-32 and uncompressed size. Returns
+    (name, method, content). ValueError on structural corruption or a
+    CRC mismatch; NotImplementedError on a valid-but-unsupported
+    compression method or encrypted member (general-purpose bit 0)."""
+    eocd = buf.rfind(b"PK\x05\x06", max(0, len(buf) - 65557))
+    if eocd < 0 or eocd + 22 > len(buf):
+        raise ValueError("zip: no end-of-central-directory record")
+    (_, _, _, _, n_total, cd_size, cd_offset, _) = struct.unpack(
+        "<IHHHHIIH", buf[eocd:eocd + 22])
+    if cd_offset + cd_size > len(buf):
+        raise ValueError("zip: central directory out of range")
+    out: list[tuple[str, str, bytes]] = []
+    pos = cd_offset
+    for _ in range(n_total):
+        if buf[pos:pos + 4] != b"PK\x01\x02":
+            raise ValueError("zip: bad central directory signature")
+        (_, _, _, flags, mid, _, _, crc, csize, usize, nlen, xlen, clen,
+         _, _, _, offset) = struct.unpack("<IHHHHHHIIIHHHHHII",
+                                          buf[pos:pos + 46])
+        name = buf[pos + 46:pos + 46 + nlen].decode()
+        pos += 46 + nlen + xlen + clen
+        if flags & 0x1:
+            raise NotImplementedError("zip: encrypted member")
+        if buf[offset:offset + 4] != b"PK\x03\x04":
+            raise ValueError("zip: bad local header signature")
+        lnlen, lxlen = struct.unpack("<HH", buf[offset + 26:offset + 30])
+        start = offset + 30 + lnlen + lxlen
+        if start + csize > len(buf):
+            raise ValueError("zip: truncated member payload")
+        payload = buf[start:start + csize]
+        if mid == 0:
+            content = payload
+        elif mid == 8:
+            content = zlib.decompressobj(-15).decompress(payload)
+        else:
+            raise NotImplementedError(f"zip: compression method {mid}")
+        if len(content) != usize:
+            raise ValueError(f"zip: {name}: size mismatch")
+        if (zlib.crc32(content) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"zip: {name}: CRC-32 mismatch")
+        out.append((name, "stored" if mid == 0 else "deflate", content))
+    return out

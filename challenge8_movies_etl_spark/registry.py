@@ -143,6 +143,7 @@ def load_all() -> None:
     from . import queries_substring  # noqa: F401
     from . import queries_nmf  # noqa: F401
     from . import queries_crawl  # noqa: F401
+    from . import queries_formats  # noqa: F401
 
     front = [n for n in _DRIVER_PRIORITY if n in QUERIES]
     rest = [n for n in QUERIES if n not in set(front)]
