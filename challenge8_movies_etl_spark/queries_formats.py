@@ -237,3 +237,240 @@ def q_image_exif(spark, sf_dir):
         schema="doc_id bigint, byte_order string, width bigint, "
                "height bigint, make string, taken_at string, "
                "orientation bigint, exposure_den bigint, iso bigint")
+
+
+# ---------------------------------------------------------------------------
+# q_protobuf_extract — protobuf wire-format decode with unknown-field skip
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_protobuf_extract",
+    oracle="""
+    SELECT doc_id,
+           500 - doc_id % 1000 AS delta,
+           lang,
+           cast(n_chars as double) + 0.5 AS score,
+           doc_id % 10 + doc_id % 100 + doc_id % 1000 AS tag_sum,
+           cast(3 as bigint) AS n_tags,
+           doc_id * 1000003 + 7 AS hash64,
+           doc_id % 50 AS sub_a,
+           source AS sub_b,
+           CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS n_unknown
+    FROM documents
+    """,
+)
+def q_protobuf_extract(spark, sf_dir):
+    """Protocol-Buffers wire-format ingestion — the log-interchange
+    format event pipelines actually emit: per document a DocMeta
+    message is serialized (varint int64, ZigZag sint64 crossing zero,
+    length-delimited string, IEEE double as fixed64, PACKED repeated
+    int32, a nested sub-message, and — on every third doc — a field
+    absent from the reader's schema) and decoded by the spec-driven
+    wire parser (operators/proto.py). n_unknown counts the skipped
+    unknown fields: the forward-compatibility semantics (old reader,
+    newer writer) are part of the checked contract, not just a
+    tolerated accident. The oracle recomputes every field's closed
+    form relationally."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .operators.proto import decode_docmeta, encode_docmeta
+        for pdf in batches:
+            out = {"doc_id": [], "delta": [], "lang": [], "score": [],
+                   "tag_sum": [], "n_tags": [], "hash64": [],
+                   "sub_a": [], "sub_b": [], "n_unknown": []}
+            for doc_id, lang, source, n_chars in zip(
+                    pdf["doc_id"], pdf["lang"], pdf["source"],
+                    pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                blob = encode_docmeta(
+                    id=doc_id,
+                    delta=500 - doc_id % 1000,
+                    lang=lang,
+                    score=n_chars + 0.5,
+                    tags=[doc_id % 10, doc_id % 100, doc_id % 1000],
+                    hash64=doc_id * 1000003 + 7,
+                    sub_a=doc_id % 50,
+                    sub_b=source,
+                    unknown7=(b"future" if doc_id % 3 == 0 else None))
+                rec = decode_docmeta(blob)
+                out["doc_id"].append(rec["id"])
+                out["delta"].append(rec["delta"])
+                out["lang"].append(rec["lang"])
+                out["score"].append(rec["score"])
+                out["tag_sum"].append(sum(rec["tags"]))
+                out["n_tags"].append(len(rec["tags"]))
+                out["hash64"].append(rec["hash64"])
+                out["sub_a"].append(rec["sub_a"])
+                out["sub_b"].append(rec["sub_b"])
+                out["n_unknown"].append(rec["n_unknown"])
+            yield pd.DataFrame(out)
+
+    return d.select("doc_id", "lang", "source", "n_chars").mapInPandas(
+        roundtrip,
+        schema="doc_id bigint, delta bigint, lang string, score double, "
+               "tag_sum bigint, n_tags bigint, hash64 bigint, "
+               "sub_a bigint, sub_b string, n_unknown int")
+
+
+# ---------------------------------------------------------------------------
+# q_cbor_extract — CBOR envelope decode with shortest-form length pin
+# ---------------------------------------------------------------------------
+
+def _cbor_extra_sql(v: str) -> str:
+    """Closed-form extra argument bytes for a shortest-form CBOR uint."""
+    return (f"(CASE WHEN {v} < 24 THEN 0 WHEN {v} < 256 THEN 1 "
+            f"WHEN {v} < 65536 THEN 2 WHEN {v} < 4294967296 THEN 4 "
+            f"ELSE 8 END)")
+
+
+@query(
+    "q_cbor_extract",
+    oracle=f"""
+    SELECT doc_id,
+           lang,
+           n_chars AS n,
+           cast(doc_id % 16 as double) + 0.5 AS f16,
+           cast(n_chars as double) + 0.1 AS dbl,
+           doc_id % 5 AS tag0,
+           -(doc_id % 7) - 1 AS tag1,
+           CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS ok,
+           1
+           + 3 + 1 + {_cbor_extra_sql("doc_id")}
+           + 5 + 1 + strlen(lang)
+           + 2 + 1 + {_cbor_extra_sql("n_chars")}
+           + 4 + 3
+           + 4 + 9
+           + 5 + 1 + 1 + 1
+           + 3 + 1
+           AS nbytes
+    FROM documents
+    """,
+)
+def q_cbor_extract(spark, sf_dir):
+    """CBOR envelope ingestion (RFC 8949 — the binary JSON of IoT and
+    COSE pipelines): per document a 7-key map {id, lang, n, f16, dbl,
+    tags, ok} is encoded with preferred serialization — shortest-form
+    integer arguments, half-precision for floats that survive the
+    round-trip (doc_id%16 + 0.5 always fits float16), double for those
+    that don't (n_chars + 0.1 never does), a mixed uint/negint array —
+    and decoded by operators/cbor.py (appendix-A vector-tested). The
+    nbytes column is the SERIALIZED SIZE recomputed in closed form by
+    the oracle: a hash match therefore pins not just the values but
+    the shortest-form encoding rules byte for byte."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .operators.cbor import decode, encode
+        for pdf in batches:
+            out = {"doc_id": [], "lang": [], "n": [], "f16": [],
+                   "dbl": [], "tag0": [], "tag1": [], "ok": [],
+                   "nbytes": []}
+            for doc_id, lang, n_chars in zip(
+                    pdf["doc_id"], pdf["lang"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                blob = encode({
+                    "id": doc_id, "lang": lang, "n": n_chars,
+                    "f16": doc_id % 16 + 0.5,
+                    "dbl": n_chars + 0.1,
+                    "tags": [doc_id % 5, -(doc_id % 7) - 1],
+                    "ok": doc_id % 2 == 0})
+                rec = decode(blob)
+                out["doc_id"].append(rec["id"])
+                out["lang"].append(rec["lang"])
+                out["n"].append(rec["n"])
+                out["f16"].append(rec["f16"])
+                out["dbl"].append(rec["dbl"])
+                out["tag0"].append(rec["tags"][0])
+                out["tag1"].append(rec["tags"][1])
+                out["ok"].append(1 if rec["ok"] else 0)
+                out["nbytes"].append(len(blob))
+            yield pd.DataFrame(out)
+
+    return d.select("doc_id", "lang", "n_chars").mapInPandas(
+        roundtrip,
+        schema="doc_id bigint, lang string, n bigint, f16 double, "
+               "dbl double, tag0 bigint, tag1 bigint, ok int, "
+               "nbytes bigint")
+
+
+# ---------------------------------------------------------------------------
+# q_gif_decode — GIF/LZW decode with interlace de-scrambling pin
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_gif_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             8 + doc_id % 5 AS w,
+             8 + doc_id % 3 AS h,
+             doc_id % 2 AS inter
+      FROM documents
+    ), px AS (
+      SELECT doc_id, w, h, inter,
+             (u.x + v.y * 7 + doc_id) % 4 AS idx,
+             u.x + w * v.y AS p
+      FROM dims,
+           unnest(range(0, w)) AS u(x),
+           unnest(range(0, h)) AS v(y)
+    )
+    SELECT doc_id,
+           cast(w as bigint) AS width,
+           cast(h as bigint) AS height,
+           cast(inter as int) AS interlaced,
+           cast(w * h as bigint) AS n_pixels,
+           cast(sum(idx) as bigint) AS sum_idx,
+           cast(sum(idx * p) as bigint) AS wsum_idx,
+           CASE WHEN inter = 1
+                THEN 'doc-' || cast(doc_id as varchar) END AS comment
+    FROM px GROUP BY doc_id, w, h, inter
+    """,
+)
+def q_gif_decode(spark, sf_dir):
+    """GIF decode — the remaining classic web image container, and the
+    repo's only LZW codec (variable-width codes, LSB-first packing,
+    clear/EOI, dictionary growth; operators/gif.py): per document a
+    paletted GIF is written (odd docs interlaced GIF89a with a COMMENT
+    extension, even docs plain GIF87a) and decoded back to row-major
+    indices. wsum_idx is the POSITION-weighted index sum — under the
+    4-pass interlace the rows are stored in scrambled order, so this
+    column only matches the oracle's closed form if de-interlacing
+    restored every row to its true y; sum_idx alone would match even
+    with rows permuted. The comment column pins extension-block
+    parsing (and is NULL where the 87a file has none)."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .operators.gif import decode_gif, encode_gif
+        pal = [(10, 20, 5), (50, 50, 30), (90, 80, 55), (130, 110, 80)]
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "interlaced": [], "n_pixels": [], "sum_idx": [],
+                   "wsum_idx": [], "comment": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 5, 8 + doc_id % 3
+                inter = doc_id % 2 == 1
+                idx = bytes((x + y * 7 + doc_id) % 4
+                            for y in range(h) for x in range(w))
+                rec = decode_gif(encode_gif(
+                    w, h, pal, idx, interlace=inter,
+                    comment=f"doc-{doc_id}" if inter else None))
+                got = rec["indices"]
+                out["doc_id"].append(doc_id)
+                out["width"].append(rec["width"])
+                out["height"].append(rec["height"])
+                out["interlaced"].append(1 if rec["interlaced"] else 0)
+                out["n_pixels"].append(len(got))
+                out["sum_idx"].append(sum(got))
+                out["wsum_idx"].append(
+                    sum(v * p for p, v in enumerate(got)))
+                out["comment"].append(rec["comment"])
+            yield pd.DataFrame(out)
+
+    return d.select("doc_id").mapInPandas(
+        roundtrip,
+        schema="doc_id bigint, width bigint, height bigint, "
+               "interlaced int, n_pixels bigint, sum_idx bigint, "
+               "wsum_idx bigint, comment string")

@@ -172,3 +172,138 @@ def test_exif_unsupported_field_type_raises_not_implemented():
     struct.pack_into("<H", blob, at, 13)  # type 13: not a TIFF 6.0 type
     with pytest.raises(NotImplementedError, match="field type"):
         parse_exif(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# Protobuf wire format
+# ---------------------------------------------------------------------------
+
+def test_protobuf_spec_vectors():
+    """The canonical examples from the protobuf encoding docs:
+    field 1 = varint 150 -> 08 96 01; field 2 = string "testing" ->
+    12 07 74 65 73 74 69 6e 67."""
+    from challenge8_movies_etl_spark.operators.proto import (
+        encode_fields, encode_varint, parse_message)
+
+    assert encode_fields([(1, 0, 150)]) == bytes.fromhex("089601")
+    assert encode_fields([(2, 2, b"testing")]) == \
+        bytes.fromhex("120774657374696e67")
+    assert encode_varint(300) == bytes.fromhex("ac02")
+    m = parse_message(bytes.fromhex("089601"))
+    assert m == {1: [(0, 150)]}
+
+
+def test_protobuf_zigzag_and_unknown_field_skip():
+    from challenge8_movies_etl_spark.operators.proto import (
+        decode_docmeta, encode_docmeta, unzigzag, zigzag)
+
+    for n in (0, -1, 1, -2, 2, 2147483647, -2147483648, 2**62, -2**62):
+        assert unzigzag(zigzag(n)) == n, n
+    blob = encode_docmeta(id=1, delta=-5, lang="en", score=1.5,
+                          tags=[1, 2], hash64=2**63 + 17, sub_a=3,
+                          sub_b="s", unknown7=b"future-field")
+    rec = decode_docmeta(blob)
+    assert rec["delta"] == -5 and rec["n_unknown"] == 1
+    assert rec["hash64"] == 2**63 + 17  # unsigned fixed64 top bit
+
+
+def test_protobuf_corruption_and_groups():
+    from challenge8_movies_etl_spark.operators.proto import parse_message
+
+    with pytest.raises(ValueError, match="truncated"):
+        parse_message(bytes.fromhex("0896"))  # varint cut short
+    with pytest.raises(ValueError, match="truncated"):
+        parse_message(bytes.fromhex("120774657374"))  # LEN cut short
+    with pytest.raises(NotImplementedError, match="group"):
+        parse_message(bytes.fromhex("0b"))  # field 1, SGROUP
+
+
+# ---------------------------------------------------------------------------
+# CBOR
+# ---------------------------------------------------------------------------
+
+def test_cbor_rfc8949_appendix_a_vectors():
+    from challenge8_movies_etl_spark.operators.cbor import decode, encode
+
+    vectors = [
+        (0, "00"), (24, "1818"), (1000000, "1a000f4240"),
+        (-1, "20"), (-1000, "3903e7"),
+        (1.1, "fb3ff199999999999a"), (1.5, "f93e00"),
+        (65504.0, "f97bff"), (100000.0, "fa47c35000"),
+        (5.960464477539063e-08, "f90001"),
+        (False, "f4"), (True, "f5"), (None, "f6"),
+        ("IETF", "6449455446"), ("ü", "62c3bc"),
+    ]
+    for v, hexs in vectors:
+        assert encode(v).hex() == hexs, v
+        back = decode(bytes.fromhex(hexs))
+        assert back == v and type(back) is type(v), v
+    assert encode([1, [2, 3], [4, 5]]).hex() == "8301820203820405"
+    assert encode({"a": 1, "b": [2, 3]}).hex() == "a26161016162820203"
+    assert encode(float("inf")).hex() == "f97c00"
+    assert encode(float("nan")).hex() == "f97e00"
+
+
+def test_cbor_rejects_what_it_does_not_support():
+    from challenge8_movies_etl_spark.operators.cbor import decode
+
+    with pytest.raises(NotImplementedError, match="indefinite"):
+        decode(bytes.fromhex("5f42010243030405ff"))
+    with pytest.raises(NotImplementedError, match="tag"):
+        decode(bytes.fromhex("c074323031332d30332d32315432303a30343a30305a"))
+    with pytest.raises(ValueError, match="trailing"):
+        decode(bytes.fromhex("0000"))
+    with pytest.raises(ValueError, match="truncated"):
+        decode(bytes.fromhex("19"))
+
+
+# ---------------------------------------------------------------------------
+# GIF
+# ---------------------------------------------------------------------------
+
+_PAL = [(10, 20, 5), (50, 50, 30), (90, 80, 55), (130, 110, 80)]
+
+
+def test_gif_roundtrip_plain_and_interlaced():
+    from challenge8_movies_etl_spark.operators.gif import (
+        decode_gif, encode_gif)
+
+    for w, h, inter in [(8, 8, False), (13, 9, True), (64, 33, True)]:
+        idx = bytes((x * 7 + y * 3) % 4
+                    for y in range(h) for x in range(w))
+        rec = decode_gif(encode_gif(w, h, _PAL, idx, interlace=inter,
+                                    comment="c" if inter else None))
+        assert rec["indices"] == idx
+        assert rec["interlaced"] == inter
+        assert rec["palette"][:4] == _PAL
+
+
+def test_gif_lzw_dictionary_reset_path():
+    """An image large and varied enough to hit 4096 table entries
+    forces the CLEAR-code reset mid-stream."""
+    import hashlib
+
+    from challenge8_movies_etl_spark.operators.gif import (
+        decode_gif, encode_gif)
+
+    big = bytes(hashlib.md5(bytes([i % 251, i % 17])).digest()[0] % 4
+                for i in range(400 * 300))
+    rec = decode_gif(encode_gif(400, 300, _PAL, big))
+    assert rec["indices"] == big
+
+
+def test_gif_corruption_classes():
+    from challenge8_movies_etl_spark.operators.gif import (
+        decode_gif, encode_gif)
+
+    idx = bytes((x) % 4 for x in range(64))
+    buf = bytearray(encode_gif(8, 8, _PAL, idx))
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"JIF87a" + bytes(buf[6:]))
+    with pytest.raises(ValueError, match="truncated|EOI"):
+        decode_gif(bytes(buf[:-10]))
+    # local-color-table flag on the image descriptor -> unsupported
+    at = buf.find(b"\x2c")
+    buf[at + 9] |= 0x80
+    with pytest.raises(NotImplementedError, match="local color"):
+        decode_gif(bytes(buf))
