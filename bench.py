@@ -126,6 +126,18 @@ EXTRA = [
     "q_wat_extract",
     "q_warc_revisit",
     "q_url_canonicalize",
+    # round-8 second wave: interchange formats (ZIP/Avro/GIF/protobuf/
+    # CBOR/EXIF Arrow codec chains), corpus BLEU (gram join), snippet
+    # windows, merge-on-read deletes
+    "q_zip_extract",
+    "q_avro_extract",
+    "q_gif_decode",
+    "q_protobuf_extract",
+    "q_cbor_extract",
+    "q_image_exif",
+    "q_bleu",
+    "q_snippet_extract",
+    "q_deletion_vectors",
 ]
 
 

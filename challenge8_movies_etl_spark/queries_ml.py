@@ -1974,3 +1974,203 @@ def q_ljung_box(spark, sf_dir):
         (F.round(F.col("n").cast("double") * (F.col("n") + 2)
                  * t3.cast("double"), 6) + 0.0).alias("q_stat"))
         .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# q_adaboost_stumps — boosted decision stumps with exact integer weights
+# ---------------------------------------------------------------------------
+
+_ADA_GRID_SQL = """
+    SELECT f.feature, t.thr, p.pol
+    FROM (VALUES ('e0'), ('e1')) AS f(feature),
+         (VALUES (cast(-0.15 as double)), (cast(-0.05 as double)),
+                 (cast(0.0 as double)), (cast(0.05 as double)),
+                 (cast(0.15 as double))) AS t(thr),
+         (VALUES (1), (-1)) AS p(pol)
+"""
+
+_ADA_MISS = """(CASE WHEN (CASE WHEN g.feature = 'e0' THEN p.e0
+                           ELSE p.e1 END) > g.thr
+                     THEN g.pol ELSE -g.pol END) <> p.y"""
+
+
+@query(
+    "q_adaboost_stumps",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id, embedding[1] AS e0, embedding[2] AS e1,
+             CASE WHEN embedding[1] + embedding[2] > 0
+                  THEN 1 ELSE -1 END AS y
+      FROM embeddings
+    ),
+    grid AS ({_ADA_GRID_SQL}),
+    err1 AS (
+      SELECT g.feature, g.thr, g.pol,
+             sum(CASE WHEN {_ADA_MISS} THEN 1 ELSE 0 END) AS e,
+             count(*) AS s
+      FROM pts p, grid g GROUP BY g.feature, g.thr, g.pol
+    ),
+    best1 AS (SELECT * FROM err1 ORDER BY e, feature, thr, pol LIMIT 1),
+    w2 AS (
+      SELECT p.vec_id, p.e0, p.e1, p.y,
+             CASE WHEN {_ADA_MISS} THEN g.s - g.e ELSE g.e END AS w
+      FROM pts p, best1 g
+    ),
+    err2 AS (
+      SELECT g.feature, g.thr, g.pol,
+             sum(CASE WHEN {_ADA_MISS} THEN p.w ELSE 0 END) AS e,
+             sum(p.w) AS s
+      FROM w2 p, grid g GROUP BY g.feature, g.thr, g.pol
+    ),
+    best2 AS (SELECT * FROM err2 ORDER BY e, feature, thr, pol LIMIT 1),
+    w3 AS (
+      SELECT p.vec_id, p.e0, p.e1, p.y,
+             p.w * (CASE WHEN {_ADA_MISS} THEN g.s - g.e ELSE g.e END)
+               AS w
+      FROM w2 p, best2 g
+    ),
+    err3 AS (
+      SELECT g.feature, g.thr, g.pol,
+             sum(CASE WHEN {_ADA_MISS} THEN cast(p.w as hugeint)
+                      ELSE cast(0 as hugeint) END) AS e,
+             sum(cast(p.w as hugeint)) AS s
+      FROM w3 p, grid g GROUP BY g.feature, g.thr, g.pol
+    ),
+    best3 AS (SELECT * FROM err3 ORDER BY e, feature, thr, pol LIMIT 1),
+    rounds AS (
+      SELECT 1 AS t, feature, thr, pol,
+             cast(e as double) / cast(s as double) AS err FROM best1
+      UNION ALL
+      SELECT 2, feature, thr, pol,
+             cast(e as double) / cast(s as double) FROM best2
+      UNION ALL
+      SELECT 3, feature, thr, pol,
+             cast(e as double) / cast(s as double) FROM best3
+    ),
+    alphas AS (
+      SELECT t, feature, thr, pol, err,
+             round(0.5 * ln((1.0 - err) / err), 4) AS alpha
+      FROM rounds
+    ),
+    votes AS (
+      SELECT p.vec_id, p.y,
+             sum(cast(a.alpha as decimal(18,4))
+                 * (CASE WHEN (CASE WHEN a.feature = 'e0' THEN p.e0
+                               ELSE p.e1 END) > a.thr
+                         THEN a.pol ELSE -a.pol END)) AS margin
+      FROM pts p, alphas a GROUP BY p.vec_id, p.y
+    ),
+    acc AS (
+      SELECT sum(CASE WHEN (CASE WHEN margin >= 0 THEN 1 ELSE -1 END)
+                       = y THEN 1 ELSE 0 END) AS n_correct,
+             count(*) AS n FROM votes
+    )
+    SELECT a.t AS round, a.feature, a.thr AS threshold,
+           a.pol AS polarity, round(a.err, 6) AS err, a.alpha,
+           cast(acc.n_correct as bigint) AS ensemble_correct,
+           cast(acc.n as bigint) AS n_points
+    FROM alphas a, acc ORDER BY a.t
+    """,
+)
+def q_adaboost_stumps(spark, sf_dir):
+    """AdaBoost.M1 over decision stumps — the repo's first ENSEMBLE
+    learner: 3 boosting rounds over a 20-stump hypothesis grid (2
+    embedding features x 5 thresholds x 2 polarities), label y =
+    sign(e0 + e1). The textbook algorithm keeps multiplicative exp-
+    weights; those are irrational and their float sums are summation-
+    order-dependent, which would break the cross-engine hash. Instead
+    the weights stay EXACT INTEGERS via the equivalent unnormalized
+    reweight: after a round with integer error mass E of total S,
+    correct points multiply by E and errors by S-E (both sides of the
+    split then carry equal mass E*(S-E) — the same 50/50 rebalance
+    exp-weights achieve, up to the global factor AdaBoost normalizes
+    away). Weighted errors are exact integer aggregates at every round
+    (128-bit in round 3: w <= S1*S2 ~ 1e17 summed over N points), so
+    stump selection is an exact argmin with a deterministic tiebreak —
+    no float comparison anywhere in the training path. alpha_t =
+    0.5*ln((1-err)/err) appears only as 4dp-rounded OUTPUT, and the
+    ensemble vote sums the rounded alphas as exact decimals, so the
+    final sign is deterministic too.
+
+    Scale: each round is one broadcast cross-join of points x 20
+    stumps into a map-side-combined agg (the classic distributed-
+    boosting shape: candidate splits broadcast, sufficient statistics
+    reduced); the reweight is a per-row expression. T rounds = T scans
+    — no iterative shuffle growth, no driver-side data."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("e0"),
+        F.element_at("embedding", 2).cast("double").alias("e1"),
+        F.when(F.element_at("embedding", 1).cast("double")
+               + F.element_at("embedding", 2).cast("double") > 0, 1)
+        .otherwise(-1).alias("y"))
+    grid = spark.createDataFrame(
+        [(f, t, p) for f in ("e0", "e1")
+         for t in (-0.15, -0.05, 0.0, 0.05, 0.15)
+         for p in (1, -1)],
+        "feature string, thr double, pol int")
+
+    fval = F.when(F.col("feature") == "e0", F.col("e0")) \
+        .otherwise(F.col("e1"))
+    h = F.when(fval > F.col("thr"), F.col("pol")) \
+        .otherwise(-F.col("pol"))
+    miss = (h != F.col("y")).cast("int")
+
+    def round_t(wdf, wcol):
+        """One boosting round: exact weighted errors, deterministic
+        argmin, returns (best-stump 1-row df, joined miss flags)."""
+        x = wdf.crossJoin(F.broadcast(grid))
+        err = (x.groupBy("feature", "thr", "pol")
+               .agg(F.sum(miss * F.col(wcol).cast("decimal(38,0)"))
+                    .alias("e"),
+                    F.sum(F.col(wcol).cast("decimal(38,0)")).alias("s")))
+        best = err.orderBy("e", "feature", "thr", "pol").limit(1)
+        joined = (wdf.crossJoin(F.broadcast(best))
+                  .withColumn("miss", miss)
+                  .withColumn("w_next",
+                              F.col(wcol)
+                              * F.when(F.col("miss") == 1,
+                                       F.col("s") - F.col("e"))
+                              .otherwise(F.col("e"))))
+        return best, joined
+
+    w1 = pts.withColumn("w", F.lit(1).cast("long"))
+    best1, j1 = round_t(w1, "w")
+    w2 = j1.select("vec_id", "e0", "e1", "y",
+                   F.col("w_next").cast("long").alias("w"))
+    best2, j2 = round_t(w2, "w")
+    w3 = j2.select("vec_id", "e0", "e1", "y",
+                   F.col("w_next").cast("decimal(38,0)").alias("w"))
+    best3, _ = round_t(w3, "w")
+
+    rounds = None
+    for t, b in ((1, best1), (2, best2), (3, best3)):
+        r = b.select(F.lit(t).alias("round"), "feature",
+                     F.col("thr").alias("threshold"),
+                     F.col("pol").alias("polarity"),
+                     (F.col("e").cast("double")
+                      / F.col("s").cast("double")).alias("err"))
+        rounds = r if rounds is None else rounds.unionByName(r)
+    alphas = rounds.withColumn(
+        "alpha", F.round(0.5 * F.log((1.0 - F.col("err"))
+                                     / F.col("err")), 4))
+    av = (pts.crossJoin(F.broadcast(alphas))
+          .select("vec_id", "y",
+                  (F.col("alpha").cast("decimal(18,4)")
+                   * F.when(fval > F.col("threshold"),
+                            F.col("polarity"))
+                   .otherwise(-F.col("polarity"))).alias("vote"))
+          .groupBy("vec_id", "y")
+          .agg(F.sum("vote").alias("margin")))
+    acc = av.agg(
+        F.sum(F.when(
+            F.when(F.col("margin") >= 0, 1).otherwise(-1)
+            == F.col("y"), 1).otherwise(0)).cast("long")
+        .alias("ensemble_correct"),
+        F.count("*").cast("long").alias("n_points"))
+    return (alphas.crossJoin(F.broadcast(acc))
+            .select("round", "feature", "threshold", "polarity",
+                    F.round("err", 6).alias("err"), "alpha",
+                    "ensemble_correct", "n_points")
+            .orderBy("round"))

@@ -2193,3 +2193,114 @@ def q_inequality_indices(spark, sf_dir):
                              6) + 0.0).alias("hhi"),
                     (F.round(F.col("cmax").cast("double") / F.col("n"),
                              6) + 0.0).alias("top_share")))
+
+
+# ---------------------------------------------------------------------------
+# q_tost_equivalence — two one-sided tests (equivalence testing)
+# ---------------------------------------------------------------------------
+
+_TOST_DELTA_MILLI = 2000  # equivalence margin: ±2.0 value units
+
+
+@query(
+    "q_tost_equivalence",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_type,
+             cast(cast(round(value, 3) * 1000 as decimal(7,0)) as bigint)
+               AS xi
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    g AS (
+      SELECT event_type,
+             cast(count(*) as bigint) AS n,
+             cast(sum(xi) as bigint) AS s1,
+             cast(sum(xi * xi) as bigint) AS s2
+      FROM x GROUP BY event_type
+    ),
+    p AS (
+      SELECT max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+             max(CASE WHEN event_type = 'click' THEN s1 END) AS sa1,
+             max(CASE WHEN event_type = 'click' THEN s2 END) AS sa2,
+             max(CASE WHEN event_type = 'view' THEN n END) AS n2,
+             max(CASE WHEN event_type = 'view' THEN s1 END) AS sb1,
+             max(CASE WHEN event_type = 'view' THEN s2 END) AS sb2
+      FROM g
+    ),
+    c AS (
+      SELECT n1, n2,
+             cast(sa1 as double) / n1 - cast(sb1 as double) / n2 AS md,
+             sqrt(((cast(sa2 as double) - cast(sa1 as double) * sa1 / n1)
+                   / (n1 - 1)) / n1
+                  + ((cast(sb2 as double) - cast(sb1 as double) * sb1 / n2)
+                     / (n2 - 1)) / n2) AS se
+      FROM p
+    )
+    SELECT n1, n2,
+           round(md / 1000.0, 4) + 0.0 AS mean_diff,
+           round((md + {_TOST_DELTA_MILLI}) / se, 4) + 0.0 AS t_lower,
+           round(({_TOST_DELTA_MILLI} - md) / se, 4) + 0.0 AS t_upper,
+           CASE WHEN (md + {_TOST_DELTA_MILLI}) / se > 1.6449
+                 AND ({_TOST_DELTA_MILLI} - md) / se > 1.6449
+                THEN 1 ELSE 0 END AS equivalent
+    FROM c
+    """,
+)
+def q_tost_equivalence(spark, sf_dir):
+    """TOST equivalence test (Schuirmann's two one-sided tests) between
+    click and view mean values with margin ±2.0 — the procedure A/B
+    platforms run to declare two variants EQUIVALENT, which a plain
+    t-test can never do (failing to reject H0 is not evidence of
+    equality). Both one-sided statistics share q_welch_ttest's exact
+    milli-unit sufficient statistics; equivalence holds iff BOTH
+    t_lower = (d+δ)/se and t_upper = (δ-d)/se clear the one-sided
+    normal critical value 1.6449 (df is in the thousands here, where
+    t ≈ z). The decision column is computed from the unrounded
+    statistics — bit-identical across engines because every operand
+    and operation order matches.
+
+    Scale: one filtered scan into five exact bigint sufficient
+    statistics (map-side combined), then scalar math — the same
+    100 TB shape as every sufficient-statistics test in this module."""
+    e = load_table(spark, sf_dir, "events")
+    x = (e.filter(F.col("event_type").isin("click", "view"))
+         .select("event_type",
+                 F.round(F.col("value"), 3).cast("decimal(7,3)")
+                 .cast("double").alias("v")))
+    x = x.select("event_type",
+                 (F.col("v") * 1000).cast("decimal(7,0)").cast("bigint")
+                 .alias("xi"))
+    g = (x.groupBy("event_type")
+         .agg(F.count("*").cast("long").alias("n"),
+              F.sum("xi").cast("long").alias("s1"),
+              F.sum(F.col("xi") * F.col("xi")).cast("long").alias("s2")))
+    p = g.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("n")))
+        .alias("n1"),
+        F.max(F.when(F.col("event_type") == "click", F.col("s1")))
+        .alias("sa1"),
+        F.max(F.when(F.col("event_type") == "click", F.col("s2")))
+        .alias("sa2"),
+        F.max(F.when(F.col("event_type") == "view", F.col("n")))
+        .alias("n2"),
+        F.max(F.when(F.col("event_type") == "view", F.col("s1")))
+        .alias("sb1"),
+        F.max(F.when(F.col("event_type") == "view", F.col("s2")))
+        .alias("sb2"))
+    md = (F.col("sa1").cast("double") / F.col("n1")
+          - F.col("sb1").cast("double") / F.col("n2"))
+    se = F.sqrt(
+        ((F.col("sa2").cast("double")
+          - F.col("sa1").cast("double") * F.col("sa1") / F.col("n1"))
+         / (F.col("n1") - 1)) / F.col("n1")
+        + ((F.col("sb2").cast("double")
+            - F.col("sb1").cast("double") * F.col("sb1") / F.col("n2"))
+           / (F.col("n2") - 1)) / F.col("n2"))
+    d = float(_TOST_DELTA_MILLI)
+    return p.select(
+        "n1", "n2",
+        (F.round(md / 1000.0, 4) + 0.0).alias("mean_diff"),
+        (F.round((md + d) / se, 4) + 0.0).alias("t_lower"),
+        (F.round((d - md) / se, 4) + 0.0).alias("t_upper"),
+        F.when(((md + d) / se > 1.6449) & ((d - md) / se > 1.6449), 1)
+        .otherwise(0).alias("equivalent"))

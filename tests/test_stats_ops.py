@@ -706,3 +706,44 @@ def test_friedman_cronbach_unbalanced_panel_uses_complete_blocks(
     assert abs(got["alpha"] - round(a_want, 6)) < 1e-9
     o = con.execute(ORACLE["q_cronbach_alpha"]).fetchone()
     assert o[0] == k and abs(o[1] - got["alpha"]) < 1e-12
+
+
+def test_adaboost_matches_reference_exp_weight_implementation(spark):
+    """The integer-weight reweight must pick the SAME stump sequence
+    and errors as a textbook exp-weight AdaBoost run in pure Python on
+    the same points (the integer trick is a global-rescale equivalence
+    — this pins it)."""
+    import math
+
+    from challenge8_movies_etl_spark.queries_ml import q_adaboost_stumps
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = q_adaboost_stumps(spark, SF_SMOKE).collect()
+    assert [r["round"] for r in rows] == [1, 2, 3]
+
+    pts = [(float(r["embedding"][0]), float(r["embedding"][1]))
+           for r in load_table(spark, SF_SMOKE, "embeddings")
+           .select("embedding").collect()]
+    ys = [1 if e0 + e1 > 0 else -1 for e0, e1 in pts]
+    grid = [(f, t, p) for f in (0, 1)
+            for t in (-0.15, -0.05, 0.0, 0.05, 0.15) for p in (1, -1)]
+    w = [1.0] * len(pts)
+    for r in rows:
+        best = None
+        for f, t, p in grid:
+            e = sum(wi for wi, xy, y in zip(w, pts, ys)
+                    if (p if xy[f] > t else -p) != y)
+            key = (e / sum(w), f, t, p)
+            if best is None or key < best:
+                best = key
+        err, f, t, p = best
+        assert (r["feature"], r["threshold"], r["polarity"]) == \
+            (f"e{f}", t, p), r["round"]
+        assert abs(r["err"] - err) < 1e-6, r["round"]
+        assert r["err"] < 0.5  # weak learnability on this label
+        alpha = 0.5 * math.log((1 - err) / err)
+        assert abs(r["alpha"] - alpha) < 1e-4
+        w = [wi * math.exp(-alpha * y * (p if xy[f] > t else -p))
+             for wi, xy, y in zip(w, pts, ys)]
+    assert rows[0]["ensemble_correct"] > 0.8 * rows[0]["n_points"]

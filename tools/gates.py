@@ -104,6 +104,19 @@ SHAPE = {
     "q_wat_extract": "q_multimodal_decode",
     "q_warc_revisit": "q_multimodal_decode",
     "q_url_canonicalize": "q_window_rank",  # codegen chain + window
+    # round-8 second wave: Arrow codec chains share the multimodal
+    # decode profile; BLEU is a gram-keyed join like the dedup family;
+    # snippets are one window pass; deletion vectors a broadcast
+    # anti-join + agg
+    "q_zip_extract": "q_multimodal_decode",
+    "q_avro_extract": "q_multimodal_decode",
+    "q_gif_decode": "q_multimodal_decode",
+    "q_protobuf_extract": "q_multimodal_decode",
+    "q_cbor_extract": "q_multimodal_decode",
+    "q_image_exif": "q_multimodal_decode",
+    "q_bleu": "q_join_multi_5way",
+    "q_snippet_extract": "q_window_rank",
+    "q_deletion_vectors": "q_agg_hash",
 }
 
 
