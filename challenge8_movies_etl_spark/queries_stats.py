@@ -2304,3 +2304,97 @@ def q_tost_equivalence(spark, sf_dir):
         (F.round((d - md) / se, 4) + 0.0).alias("t_upper"),
         F.when(((md + d) / se > 1.6449) & ((d - md) / se > 1.6449), 1)
         .otherwise(0).alias("equivalent"))
+
+
+# ---------------------------------------------------------------------------
+# q_sprt — Wald's sequential probability ratio test
+# ---------------------------------------------------------------------------
+
+# H0: p = 0.4 vs H1: p = 0.6 on x = (value > 10); alpha = beta = 0.05
+# -> log bounds ln(19) and -ln(19); per-observation increments
+# ln(p1/p0) and ln(q1/q0) are the only floats, applied to exact counts.
+_SPRT_LO, _SPRT_HI = "(-ln(19.0))", "ln(19.0)"
+_SPRT_INC1, _SPRT_INC0 = "ln(0.6 / 0.4)", "ln(0.4 / 0.6)"
+
+
+@query(
+    "q_sprt",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type, ts, event_id,
+             CASE WHEN value > 10 THEN 1 ELSE 0 END AS x
+      FROM events
+    ),
+    walk AS (
+      SELECT event_type,
+             row_number() OVER w AS n,
+             sum(x) OVER w AS k
+      FROM obs
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    crossed AS (
+      SELECT event_type, n, k,
+             k * {_SPRT_INC1} + (n - k) * {_SPRT_INC0} AS llr
+      FROM walk
+    ),
+    hits AS (
+      SELECT event_type, n, k, llr,
+             CASE WHEN llr >= {_SPRT_HI} THEN 'accept_h1'
+                  WHEN llr <= {_SPRT_LO} THEN 'accept_h0' END AS decision,
+             row_number() OVER (PARTITION BY event_type ORDER BY n)
+               AS rn
+      FROM crossed
+      WHERE llr >= {_SPRT_HI} OR llr <= {_SPRT_LO}
+    )
+    SELECT event_type, decision,
+           cast(n as bigint) AS n_at_decision,
+           cast(k as bigint) AS successes,
+           round(llr, 4) + 0.0 AS llr
+    FROM hits WHERE rn = 1 ORDER BY event_type
+    """,
+)
+def q_sprt(spark, sf_dir):
+    """Wald's SPRT — the sequential test streaming experimentation
+    platforms run instead of fixed-horizon t-tests: per event_type the
+    observations arrive in (ts, event_id) order, the log-likelihood
+    ratio for H1: p=0.6 vs H0: p=0.4 on x = (value > 10) accumulates,
+    and the test STOPS at the first crossing of ±ln((1-β)/α) = ±ln 19
+    (α = β = 0.05). The walk is LLR(n) = k·ln(p1/p0) + (n-k)·ln(q1/q0)
+    with (n, k) exact window counts, so each LLR is two float
+    multiplies of exact integers in identical operand order — the
+    crossing row is deterministic across engines, and the first-
+    crossing argmin is an exact row_number over n.
+
+    Scale: one shuffle on event_type for the ordered window, then a
+    filtered argmin on the same key — the sequential semantics cost
+    nothing extra; at 100 TB the partition key is the experiment id
+    and each arm's walk stays within its partition."""
+    e = load_table(spark, sf_dir, "events")
+    wseq = (W.partitionBy("event_type").orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    walk = e.select(
+        "event_type",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy("ts", "event_id"))
+        .alias("n"),
+        F.sum(F.when(F.col("value") > 10, 1).otherwise(0)).over(wseq)
+        .alias("k"))
+    inc1, inc0 = F.expr(_SPRT_INC1), F.expr(_SPRT_INC0)
+    hi, lo = F.expr(_SPRT_HI), F.expr(_SPRT_LO)
+    crossed = walk.select(
+        "event_type", "n", "k",
+        (F.col("k") * inc1 + (F.col("n") - F.col("k")) * inc0)
+        .alias("llr"))
+    hits = (crossed.filter((F.col("llr") >= hi) | (F.col("llr") <= lo))
+            .withColumn("decision",
+                        F.when(F.col("llr") >= hi, "accept_h1")
+                        .otherwise("accept_h0"))
+            .withColumn("rn", F.row_number().over(
+                W.partitionBy("event_type").orderBy("n"))))
+    return (hits.filter(F.col("rn") == 1)
+            .select("event_type", "decision",
+                    F.col("n").cast("long").alias("n_at_decision"),
+                    F.col("k").cast("long").alias("successes"),
+                    (F.round("llr", 4) + 0.0).alias("llr"))
+            .orderBy("event_type"))
