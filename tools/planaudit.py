@@ -80,7 +80,22 @@ UDF_SURFACE = {"q_udf_scalar", "q_udaf_grouped", "q_udtf",
                "q_warc_cdx_fetch",  # CDX index + slice fetch
                "q_http_dechunk",  # WARC+HTTP chunked 3-layer stack
                "q_robots_decide",  # RFC 9309 parse + evaluate
-               "q_audio_decode_alaw"}  # G.711 A-law companding decode
+               "q_audio_decode_alaw",  # G.711 A-law companding decode
+               # round-8 declared Arrow surfaces: WET/WAT derivation,
+               # revisit dedup, RFC 9309 wildcard matching (python
+               # pattern engine), robots-aware frontier composition,
+               # and the interchange-format codec wave
+               "q_wet_extract", "q_wat_extract", "q_warc_revisit",
+               "q_robots_wildcard", "q_frontier_robots",
+               "q_zip_extract",  # ZIP central-directory walk
+               "q_avro_extract",  # Avro OCF decode
+               "q_protobuf_extract",  # protobuf wire-format decode
+               "q_cbor_extract",  # CBOR RFC 8949 decode
+               "q_image_exif",  # TIFF/EXIF IFD walk
+               "q_gif_decode",  # GIF LZW + interlace decode
+               # knn planner's Arrow centroid-assignment kernel
+               # (operators/pq.py fixed-order numpy path)
+               "q_knn_join_blocked"}
 
 
 def audit(spark, qid, fn, sf_dir):
