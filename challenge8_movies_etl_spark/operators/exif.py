@@ -41,48 +41,48 @@ def build_exif(*, big_endian: bool, width: int, height: int, make: str,
     make_b = make.encode() + b"\x00"
     dt_b = datetime.encode() + b"\x00"
 
-    def entry(tag: int, typ: int, count: int, payload: bytes) -> bytes:
-        head = struct.pack(e + "HHI", tag, typ, count)
-        if len(payload) <= 4:
-            return head + payload.ljust(4, b"\x00")
-        return head  # caller appends offset later
-
+    # TIFF 6.0 value rule: payloads of <= 4 bytes live INLINE in the
+    # entry; only longer ones go to the value area behind an offset
+    # (the hypothesis roundtrip caught a writer that offset short
+    # ASCII values — readers then misparse the offset as data).
     # IFD0: width, height, make, orientation, datetime, exifptr (6)
     ifd0_at = 8
     n0 = 6
     ifd0_end = ifd0_at + 2 + 12 * n0 + 4
-    make_at = ifd0_end
-    dt_at = make_at + len(make_b)
-    exif_at = dt_at + len(dt_b)
-    n1 = 2
-    exif_end = exif_at + 2 + 12 * n1 + 4
-    expo_at = exif_end
+    area = bytearray()
 
-    def full(tag: int, typ: int, count: int, inline: bytes | None,
-             offset: int | None) -> bytes:
+    def place(payload: bytes) -> int:
+        at = ifd0_end + len(area)
+        area.extend(payload)
+        return at
+
+    def full(tag: int, typ: int, count: int, payload: bytes) -> bytes:
         head = struct.pack(e + "HHI", tag, typ, count)
-        if inline is not None:
-            return head + inline.ljust(4, b"\x00")
-        return head + struct.pack(e + "I", offset)
+        if len(payload) <= 4:
+            return head + payload.ljust(4, b"\x00")
+        return head + struct.pack(e + "I", place(payload))
 
     ifd0 = struct.pack(e + "H", n0)
-    ifd0 += full(TAG_WIDTH, 4, 1, struct.pack(e + "I", width), None)
-    ifd0 += full(TAG_HEIGHT, 4, 1, struct.pack(e + "I", height), None)
-    ifd0 += full(TAG_MAKE, 2, len(make_b), None, make_at)
-    ifd0 += full(TAG_ORIENTATION, 3, 1,
-                 struct.pack(e + "H", orientation), None)
-    ifd0 += full(TAG_DATETIME, 2, len(dt_b), None, dt_at)
-    ifd0 += full(TAG_EXIF_IFD, 4, 1, struct.pack(e + "I", exif_at), None)
+    ifd0 += full(TAG_WIDTH, 4, 1, struct.pack(e + "I", width))
+    ifd0 += full(TAG_HEIGHT, 4, 1, struct.pack(e + "I", height))
+    ifd0 += full(TAG_MAKE, 2, len(make_b), make_b)
+    ifd0 += full(TAG_ORIENTATION, 3, 1, struct.pack(e + "H", orientation))
+    ifd0 += full(TAG_DATETIME, 2, len(dt_b), dt_b)
+    exif_at = ifd0_end + len(area)
+    ifd0 += full(TAG_EXIF_IFD, 4, 1, struct.pack(e + "I", exif_at))
     ifd0 += struct.pack(e + "I", 0)  # no IFD1
 
+    n1 = 2
+    expo_at = exif_at + 2 + 12 * n1 + 4
     exif = struct.pack(e + "H", n1)
-    exif += full(TAG_EXPOSURE, 5, 1, None, expo_at)
-    exif += full(TAG_ISO, 3, 1, struct.pack(e + "H", iso), None)
+    exif += struct.pack(e + "HHI", TAG_EXPOSURE, 5, 1)
+    exif += struct.pack(e + "I", expo_at)
+    exif += full(TAG_ISO, 3, 1, struct.pack(e + "H", iso))
     exif += struct.pack(e + "I", 0)
 
     tiff = struct.pack(e + "2sHI", b"MM" if big_endian else b"II",
                        42, ifd0_at)
-    tiff += ifd0 + make_b + dt_b + exif
+    tiff += ifd0 + bytes(area) + exif
     tiff += struct.pack(e + "II", *exposure)
     return b"Exif\x00\x00" + tiff
 

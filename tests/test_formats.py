@@ -307,3 +307,116 @@ def test_gif_corruption_classes():
     buf[at + 9] |= 0x80
     with pytest.raises(NotImplementedError, match="local color"):
         decode_gif(bytes(buf))
+
+
+# ---------------------------------------------------------------------------
+# Property tests: random-input roundtrips for every round-8 codec
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 10 ** 6), st.binary(max_size=80)),
+                min_size=0, max_size=6))
+def test_zip_roundtrip_property(members):
+    named = [(f"m{i}_{n}", c, "deflate" if (i + n) % 2 else "stored")
+             for i, (n, c) in enumerate(members)]
+    got = decode_zip(encode_zip(named))
+    assert [(n, c) for n, _, c in got] == [(n, c) for n, c, _ in named]
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.fixed_dictionaries({
+    "rid": st.integers(-2 ** 62, 2 ** 62),
+    "name": st.text(max_size=20),
+    "value": st.floats(allow_nan=False, width=64)}),
+    max_size=12),
+    st.sampled_from(["null", "deflate"]),
+    st.integers(1, 4))
+def test_avro_roundtrip_property(recs, codec, bs):
+    _, got_codec, got = decode_ocf(encode_ocf(_SCHEMA, recs, codec,
+                                              block_size=bs))
+    assert got == recs and got_codec == codec
+
+
+_CBOR_SCALAR = st.one_of(
+    st.integers(-2 ** 63, 2 ** 64 - 1), st.text(max_size=12),
+    st.binary(max_size=12), st.booleans(), st.none(),
+    st.floats(width=64))
+
+_CBOR_VALUE = st.recursive(
+    _CBOR_SCALAR,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(max_size=6), children, max_size=4)),
+    max_leaves=12)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_CBOR_VALUE)
+def test_cbor_roundtrip_property(v):
+    import math
+
+    from challenge8_movies_etl_spark.operators.cbor import decode, encode
+
+    got = decode(encode(v))
+
+    def eq(a, b):
+        if isinstance(a, float) or isinstance(b, float):
+            return (math.isnan(a) and math.isnan(b)) or a == b
+        if isinstance(a, list):
+            return len(a) == len(b) and all(map(eq, a, b))
+        if isinstance(a, dict):
+            return a.keys() == b.keys() and \
+                all(eq(a[k], b[k]) for k in a)
+        return a == b and type(a) is type(b)
+
+    assert eq(got, v)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 30), st.booleans(),
+       st.integers(0, 2 ** 31))
+def test_gif_roundtrip_property(w, h, inter, seed):
+    import hashlib
+
+    from challenge8_movies_etl_spark.operators.gif import (
+        decode_gif, encode_gif)
+
+    idx = bytes(hashlib.md5(f"{seed}-{i}".encode()).digest()[0] % 4
+                for i in range(w * h))
+    rec = decode_gif(encode_gif(w, h, _PAL, idx, interlace=inter))
+    assert rec["indices"] == idx and rec["interlaced"] == inter
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(0, 2 ** 62), st.integers(-2 ** 62, 2 ** 62),
+       st.text(max_size=10), st.floats(allow_nan=False, width=64),
+       st.lists(st.integers(0, 2 ** 31), max_size=5),
+       st.integers(0, 2 ** 64 - 1))
+def test_protobuf_roundtrip_property(pid, delta, lang, score, tags, h64):
+    from challenge8_movies_etl_spark.operators.proto import (
+        decode_docmeta, encode_docmeta)
+
+    rec = decode_docmeta(encode_docmeta(
+        id=pid, delta=delta, lang=lang, score=score, tags=tags,
+        hash64=h64, sub_a=7, sub_b="s"))
+    assert rec["id"] == pid and rec["delta"] == delta
+    assert rec["lang"] == lang and rec["score"] == score
+    assert rec["tags"] == tags and rec["hash64"] == h64
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.booleans(), st.integers(1, 2 ** 31), st.integers(1, 2 ** 31),
+       st.text(st.characters(min_codepoint=32, max_codepoint=126),
+               max_size=16),
+       st.integers(1, 8), st.integers(1, 2 ** 31), st.integers(1, 65535))
+def test_exif_roundtrip_property(be, w, h, make, orient, den, iso):
+    tags = parse_exif(build_exif(
+        big_endian=be, width=w, height=h, make=make,
+        datetime="2024:01:02 03:04:05", orientation=orient,
+        exposure=(1, den), iso=iso))
+    assert tags[TAG_WIDTH] == w and tags[TAG_MAKE] == make
+    assert tags[TAG_EXPOSURE] == (1, den)
