@@ -14,6 +14,7 @@ Exit 1 if any query breaches 2x its normalized gate.
 from __future__ import annotations
 
 import json
+import re
 import sys
 from pathlib import Path
 
@@ -124,11 +125,18 @@ def main() -> int:
     if len(sys.argv) > 1 and not sys.argv[1].startswith("--"):
         path = Path(sys.argv[1])
     else:
-        # bare invocation: newest BENCH_r*.json by mtime (a stale
-        # hard-coded default once reported a long-resolved round-4
-        # breach — ADVICE r7 / VERDICT r7 item 4)
+        # bare invocation: latest BENCH_r*.json by ROUND NUMBER, with
+        # mtime as tiebreak only — a checkout or driver rewrite gives
+        # every round file the same mtime, under which a pure-mtime
+        # pick resolved to round 3 and reported its long-fixed breach
+        # (same failure class as the ADVICE r7 / VERDICT r7 item-4
+        # hard-coded default)
+        def round_no(p: Path) -> int:
+            m = re.search(r"BENCH_r(\d+)", p.name)
+            return int(m.group(1)) if m else -1
+
         cands = sorted(Path(".").glob("BENCH_r*.json"),
-                       key=lambda p: p.stat().st_mtime)
+                       key=lambda p: (round_no(p), p.stat().st_mtime))
         if not cands:
             print("ERROR: no BENCH_r*.json found")
             return 2
@@ -158,7 +166,6 @@ def main() -> int:
             # Last resort: the tail truncated the line START (r5). The
             # queries_best_median map and calib fields sit at the END
             # of the payload, so they usually survive — regex them out.
-            import re
             tail = str(b["tail"])
             c = re.search(r'"calib_spark_sec":\s*([0-9.]+)', tail)
             qm = re.search(r'"qbm":"([^"]*)"', tail)
