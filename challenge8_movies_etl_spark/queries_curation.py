@@ -1581,3 +1581,77 @@ def q_survival_logrank(spark, sf_dir):
                     (F.round((F.col("o1") - e1d) * (F.col("o1") - e1d)
                              / F.col("v").cast("double"), 6) + 0.0)
                     .alias("chi2")))
+
+
+# ---------------------------------------------------------------------------
+# q_randomized_response — local differential privacy (Warner's RR)
+# ---------------------------------------------------------------------------
+
+# keep probability p = 3/4 -> epsilon = ln(p/(1-p)) = ln 3 local DP
+_RR_SEED = ":rr8"
+
+
+@query(
+    "q_randomized_response",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS b,
+             CASE WHEN (cast(('0x' || substr(md5(cast(event_id as varchar)
+                        || '{_RR_SEED}'), 1, 6)) as bigint) % 4) < 3
+                  THEN 1 ELSE 0 END AS keep
+      FROM events
+    ),
+    rep AS (
+      SELECT event_id, b, keep,
+             CASE WHEN keep = 1 THEN b ELSE 1 - b END AS r
+      FROM obs
+    )
+    SELECT count(*) AS n,
+           cast(sum(b) as bigint) AS n_true,
+           cast(sum(r) as bigint) AS n_reported,
+           round(cast(sum(r) as double) / count(*), 6) AS reported_rate,
+           round((cast(sum(r) as double) / count(*) - 0.25) / 0.5, 6)
+             AS debiased_rate,
+           round(cast(sum(b) as double) / count(*), 6) AS true_rate
+    FROM rep
+    """,
+)
+def q_randomized_response(spark, sf_dir):
+    """Warner's randomized response — LOCAL differential privacy, the
+    mechanism each data contributor applies before the collector sees
+    anything (the central-DP q_dp_* family adds noise AFTER exact
+    aggregation; RR is the other trust model). Each event reports its
+    true bit b = (event_type = 'click') with probability p = 3/4 and
+    the flipped bit otherwise — epsilon = ln(p/(1-p)) = ln 3 per
+    report — and the collector debiases the observed rate with the
+    standard inverse (rate - (1-p)) / (2p - 1). The coin is an
+    md5-seeded uniform (the reproducible-release discipline of
+    q_dp_noisy_counts), so both engines flip identically and the
+    debiased estimate is hash-checkable; true_rate ships alongside so
+    the test suite can pin |debiased - true| against the RR sampling
+    bound.
+
+    Scale: one scan into exact bit sums — the flip is a per-row
+    expression, the aggregate map-side combines; at 100 TB the
+    mechanism runs where the data lives (that is the POINT of local
+    DP) and only the two counters shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    b = (F.col("event_type") == "click").cast("int")
+    keep = (F.conv(F.substring(
+        F.md5(F.concat(F.col("event_id").cast("string"),
+                       F.lit(_RR_SEED))), 1, 6), 16, 10)
+        .cast("bigint") % 4 < 3).cast("int")
+    rep = e.select(b.alias("b"), keep.alias("keep")) \
+        .withColumn("r", F.when(F.col("keep") == 1, F.col("b"))
+                    .otherwise(1 - F.col("b")))
+    return rep.agg(
+        F.count("*").alias("n"),
+        F.sum("b").cast("long").alias("n_true"),
+        F.sum("r").cast("long").alias("n_reported"),
+        F.round(F.sum("r").cast("double") / F.count("*"), 6)
+        .alias("reported_rate"),
+        F.round((F.sum("r").cast("double") / F.count("*") - 0.25) / 0.5,
+                6).alias("debiased_rate"),
+        F.round(F.sum("b").cast("double") / F.count("*"), 6)
+        .alias("true_rate"))

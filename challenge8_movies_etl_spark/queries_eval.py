@@ -3046,3 +3046,116 @@ def q_bleu(spark, sf_dir):
                     F.round(p2, 6).alias("p2"),
                     bleu.alias("bleu2"))
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# q_successive_halving — hyperband-style budgeted model selection
+# ---------------------------------------------------------------------------
+
+# 27 configs, eta=3: rungs evaluate 27@1 -> 9@3 -> 3@9 epochs.
+_SH_SEED = ":sh8"
+
+
+def _sh_score_sql(cfg: str, rung: str) -> str:
+    """Deterministic 'validation score' in exact integer basis points:
+    a config-quality term (md5 of the config id) plus a rung-local
+    fluctuation an order of magnitude smaller — good configs mostly
+    stay good, so halving is meaningful but not trivial."""
+    q = (f"(cast(('0x' || substr(md5(cast({cfg} as varchar) "
+         f"|| '{_SH_SEED}'), 1, 6)) as bigint) % 5000)")
+    n = (f"(cast(('0x' || substr(md5(cast({cfg} as varchar) || ':' "
+         f"|| cast({rung} as varchar) || '{_SH_SEED}'), 1, 6)) "
+         f"as bigint) % 500)")
+    return f"({q} + {n} + 100 * {rung})"
+
+
+@query(
+    "q_successive_halving",
+    oracle=f"""
+    WITH cfgs AS (
+      SELECT u.c AS cfg FROM (SELECT 1) one,
+             unnest(range(0, 27)) AS u(c)
+    ),
+    r0 AS (
+      SELECT cfg, 0 AS rung, 1 AS budget,
+             {_sh_score_sql("cfg", "0")} AS score,
+             row_number() OVER (ORDER BY {_sh_score_sql("cfg", "0")}
+                                DESC, cfg) AS rk
+      FROM cfgs
+    ),
+    r1 AS (
+      SELECT cfg, 1 AS rung, 3 AS budget,
+             {_sh_score_sql("cfg", "1")} AS score,
+             row_number() OVER (ORDER BY {_sh_score_sql("cfg", "1")}
+                                DESC, cfg) AS rk
+      FROM r0 WHERE rk <= 9
+    ),
+    r2 AS (
+      SELECT cfg, 2 AS rung, 9 AS budget,
+             {_sh_score_sql("cfg", "2")} AS score,
+             row_number() OVER (ORDER BY {_sh_score_sql("cfg", "2")}
+                                DESC, cfg) AS rk
+      FROM r1 WHERE rk <= 3
+    ),
+    allr AS (
+      SELECT * FROM r0 UNION ALL SELECT * FROM r1
+      UNION ALL SELECT * FROM r2
+    )
+    SELECT rung, budget,
+           count(*) AS n_configs,
+           cast(sum(budget) as bigint) AS epochs_spent,
+           max(CASE WHEN rk = 1 THEN cfg END) AS best_cfg,
+           max(CASE WHEN rk = 1 THEN score END) AS best_score
+    FROM allr GROUP BY rung, budget ORDER BY rung
+    """,
+)
+def q_successive_halving(spark, sf_dir):
+    """Successive halving (the inner loop of Hyperband) — budgeted
+    hyperparameter selection as pure relational algebra: 27 configs
+    evaluate at 1 epoch, the top 9 advance to 3 epochs, the top 3 to
+    9 epochs (eta = 3), every promotion an exact integer-score argmax
+    with a deterministic tiebreak. Scores are md5-seeded basis points
+    (config quality + a rung-local fluctuation one order smaller), so
+    the rung tables are hash-checkable and the schedule spends
+    27 + 27 + 27 epochs total — the log-factor-of-grid cost that makes
+    SH the standard large-scale tuner. The sf fixture is not consumed
+    (the config grid IS the data); at 100 TB each 'evaluation' is a
+    training job keyed by cfg and the promotion logic is this exact
+    window-rank shape over the results table.
+
+    Exactness: integer scores, integer ranks, no floats anywhere."""
+    cfgs = spark.range(27).select(F.col("id").cast("int").alias("cfg"))
+
+    def score(rung: int):
+        q = (F.conv(F.substring(
+            F.md5(F.concat(F.col("cfg").cast("string"),
+                           F.lit(_SH_SEED))), 1, 6), 16, 10)
+            .cast("bigint") % 5000)
+        n = (F.conv(F.substring(
+            F.md5(F.concat(F.col("cfg").cast("string"), F.lit(":"),
+                           F.lit(str(rung)), F.lit(_SH_SEED))), 1, 6),
+            16, 10).cast("bigint") % 500)
+        return q + n + 100 * rung
+
+    wdesc = W.orderBy(F.desc("score"), "cfg")
+    rungs = []
+    cur = cfgs
+    for rung, (budget, keep) in enumerate(((1, 9), (3, 3), (9, None))):
+        r = (cur.select("cfg", F.lit(rung).alias("rung"),
+                        F.lit(budget).alias("budget"),
+                        score(rung).alias("score"))
+             .withColumn("rk", F.row_number().over(wdesc)))
+        rungs.append(r)
+        if keep is not None:
+            cur = r.filter(F.col("rk") <= keep).select("cfg")
+    allr = rungs[0]
+    for r in rungs[1:]:
+        allr = allr.unionByName(r)
+    return (allr.groupBy("rung", "budget")
+            .agg(F.count("*").alias("n_configs"),
+                 F.sum("budget").cast("long").alias("epochs_spent"),
+                 F.max(F.when(F.col("rk") == 1, F.col("cfg")))
+                 .alias("best_cfg"),
+                 F.max(F.when(F.col("rk") == 1, F.col("score")))
+                 .alias("best_score"))
+            .orderBy("rung"))

@@ -474,3 +474,90 @@ def q_gif_decode(spark, sf_dir):
         schema="doc_id bigint, width bigint, height bigint, "
                "interlaced int, n_pixels bigint, sum_idx bigint, "
                "wsum_idx bigint, comment string")
+
+
+# ---------------------------------------------------------------------------
+# q_parquet_footer_stats — physical row-group stats vs logical oracle
+# ---------------------------------------------------------------------------
+
+_FOOTER_RG = 100         # rows per row group in the controlled write
+_FOOTER_PRED = 49.5      # predicate: l_quantity >= 49.5
+
+
+@query(
+    "q_parquet_footer_stats",
+    oracle=f"""
+    WITH sub AS (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+      FROM lineitem WHERE l_orderkey % 20 = 3
+    )
+    SELECT (rn - 1) // {_FOOTER_RG} AS row_group_id,
+           count(*) AS n_rows,
+           min(l_orderkey) AS min_orderkey,
+           max(l_orderkey) AS max_orderkey,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           CASE WHEN max(l_quantity) < {_FOOTER_PRED} THEN 1 ELSE 0 END
+             AS pruned
+    FROM sub GROUP BY (rn - 1) // {_FOOTER_RG}
+    ORDER BY row_group_id
+    """,
+)
+def q_parquet_footer_stats(spark, sf_dir):
+    """Parquet row-group footer statistics — the metadata a scan
+    planner reads BEFORE touching any data page. A deterministic
+    lineitem subset is written as a parquet file with CONTROLLED
+    {rg}-row row groups in a total order, then the PHYSICAL footer is
+    walked with pyarrow's metadata API: per row group the row count,
+    l_orderkey/l_quantity min-max statistics, and the pruning decision
+    for ``l_quantity >= 49.5`` (skip any group whose max falls short —
+    the zone-map skip q_zonemap_prune models logically, here taken
+    from real footer bytes). The ORACLE never sees the file: it
+    recomputes each group's aggregates relationally from the same
+    total order — physical statistics written by one parquet
+    implementation must equal the logical truth computed by another
+    engine, which pins the writer's stats, the reader's decoding, and
+    the row-group framing all at once.
+
+    Scale: footer walking is O(row_groups) METADATA work, exactly what
+    Spark's own ParquetScan does at planning time. The controlled
+    single-file write pins boundaries for the oracle; a 100 TB table
+    writes distributed (spark.write with parquet.block.size) and each
+    footer is read where its file lives (binaryFile + pyarrow, one
+    task per footer), with the same per-group output shape feeding
+    split pruning."""
+    import hashlib
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sub = (li.filter(F.col("l_orderkey") % 20 == 3)
+           .select("l_orderkey", "l_linenumber", "l_quantity")
+           .orderBy("l_orderkey", "l_linenumber"))
+    pdf = sub.toPandas()
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = Path("spark-warehouse") / f"footer_stats_{tag}.parquet"
+    path.parent.mkdir(exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   path, row_group_size=_FOOTER_RG)
+
+    f = pq.ParquetFile(path)
+    rows = []
+    for g in range(f.num_row_groups):
+        rg = f.metadata.row_group(g)
+        stats = {rg.column(i).path_in_schema: rg.column(i).statistics
+                 for i in range(rg.num_columns)}
+        mx_q = stats["l_quantity"].max
+        rows.append((g, rg.num_rows,
+                     int(stats["l_orderkey"].min),
+                     int(stats["l_orderkey"].max),
+                     float(stats["l_quantity"].min), float(mx_q),
+                     1 if mx_q < _FOOTER_PRED else 0))
+    return spark.createDataFrame(
+        rows,
+        "row_group_id bigint, n_rows bigint, min_orderkey bigint, "
+        "max_orderkey bigint, min_qty double, max_qty double, "
+        "pruned int").orderBy("row_group_id")
