@@ -1749,3 +1749,80 @@ def q_recrawl_schedule(spark, sf_dir):
                 / 1e6, 4).alias("mean_gap_s"),
         F.round(lam, 4).alias("lambda_per_hour"))
         .orderBy("page"))
+
+
+# ---------------------------------------------------------------------------
+# q_geoip_lookup — longest-prefix CIDR range join
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_geoip_lookup",
+    oracle="""
+    WITH blocks AS (
+      SELECT n_nationkey,
+             n_name,
+             n_nationkey * 2097152 AS lo,
+             n_nationkey * 2097152 + (CASE WHEN n_nationkey % 3 = 0
+                  THEN 2097151 ELSE 1048575 END) AS hi
+      FROM nation
+    ),
+    hits AS (
+      SELECT e.event_id,
+             (cast(('0x' || substr(md5(cast(e.event_id as varchar)
+                   || ':ip8'), 1, 8)) as bigint) % 52428800) AS ip
+      FROM events e
+    ),
+    joined AS (
+      SELECT h.event_id, h.ip, b.n_name,
+             row_number() OVER (PARTITION BY h.event_id
+                                ORDER BY b.lo DESC) AS rk
+      FROM hits h JOIN blocks b ON h.ip BETWEEN b.lo AND b.hi
+    )
+    SELECT n_name AS region,
+           count(*) AS n_events,
+           min(ip) AS min_ip,
+           max(ip) AS max_ip
+    FROM joined WHERE rk = 1
+    GROUP BY n_name ORDER BY region
+    """,
+)
+def q_geoip_lookup(spark, sf_dir):
+    """GeoIP-style CIDR block lookup — the crawl-ops join that maps a
+    request IP into its registry block: 25 address blocks (one per
+    nation, /11-or-/12-sized so coverage varies), event IPs are
+    md5-seeded uniforms over the space, and each IP takes the
+    LONGEST-PREFIX match (highest block base that contains it — the
+    actual routing-table rule, expressed as one row_number over the
+    containing blocks). The block table is tiny at any corpus size ->
+    broadcast range join, never a shuffle of the event side; the
+    per-region rollup map-side combines.
+
+    Exactness: integer block bounds, integer md5-derived IPs, integer
+    counts — no floats anywhere."""
+    from pyspark.sql import Window as W
+
+    n = load_table(spark, sf_dir, "nation")
+    e = load_table(spark, sf_dir, "events")
+    blocks = n.select(
+        "n_nationkey", "n_name",
+        (F.col("n_nationkey") * 2097152).alias("lo"),
+        (F.col("n_nationkey") * 2097152
+         + F.when(F.col("n_nationkey") % 3 == 0, 2097151)
+         .otherwise(1048575)).alias("hi"))
+    hits = e.select(
+        "event_id",
+        (F.conv(F.substring(
+            F.md5(F.concat(F.col("event_id").cast("string"),
+                           F.lit(":ip8"))), 1, 8), 16, 10)
+         .cast("bigint") % 52428800).alias("ip"))
+    joined = (hits.join(F.broadcast(blocks),
+                        (F.col("ip") >= F.col("lo"))
+                        & (F.col("ip") <= F.col("hi")))
+              .withColumn("rk", F.row_number().over(
+                  W.partitionBy("event_id").orderBy(F.desc("lo")))))
+    return (joined.filter(F.col("rk") == 1)
+            .groupBy(F.col("n_name").alias("region"))
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ip").alias("min_ip"),
+                 F.max("ip").alias("max_ip"))
+            .orderBy("region"))
