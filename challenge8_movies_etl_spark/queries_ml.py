@@ -2135,13 +2135,19 @@ def q_adaboost_stumps(spark, sf_dir):
                               .otherwise(F.col("e"))))
         return best, joined
 
+    # localCheckpoint per round truncates the lineage (the established
+    # iterative idiom here — queries_graph.py): without it each round's
+    # jobs re-execute every PRIOR round's aggregation, turning T scans
+    # into ~T^2/2.
     w1 = pts.withColumn("w", F.lit(1).cast("long"))
     best1, j1 = round_t(w1, "w")
-    w2 = j1.select("vec_id", "e0", "e1", "y",
-                   F.col("w_next").cast("long").alias("w"))
+    w2 = (j1.select("vec_id", "e0", "e1", "y",
+                    F.col("w_next").cast("long").alias("w"))
+          .localCheckpoint(eager=True))
     best2, j2 = round_t(w2, "w")
-    w3 = j2.select("vec_id", "e0", "e1", "y",
-                   F.col("w_next").cast("decimal(38,0)").alias("w"))
+    w3 = (j2.select("vec_id", "e0", "e1", "y",
+                    F.col("w_next").cast("decimal(38,0)").alias("w"))
+          .localCheckpoint(eager=True))
     best3, _ = round_t(w3, "w")
 
     rounds = None
