@@ -524,3 +524,105 @@ def q_hilbert_layout(spark, sf_dir):
                  F.min("x0").alias("min_cb"), F.max("x0").alias("max_cb"),
                  F.min("y0").alias("min_db"), F.max("y0").alias("max_db"))
             .orderBy("file_id"))
+
+
+# ---------------------------------------------------------------------------
+# q_bitemporal_asof — valid-time x transaction-time point query
+# ---------------------------------------------------------------------------
+
+_BT_VALID = "DATE '1995-06-30'"   # as-of valid date (what was true)
+_BT_TX = "DATE '1995-07-31'"      # as-of tx date (what we knew then)
+
+
+@query(
+    "q_bitemporal_asof",
+    oracle=f"""
+    WITH versions AS (
+      SELECT o_orderkey, o_orderstatus,
+             cast(o_totalprice as decimal(15,2)) AS price,
+             cast(o_orderdate as date) AS valid_from,
+             cast(o_orderdate as date)
+               + to_days(cast(o_orderkey % 30 as int)) AS recorded_at,
+             0 AS version
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus,
+             cast(o_totalprice as decimal(15,2)) + 10,
+             cast(o_orderdate as date),
+             cast(o_orderdate as date)
+               + to_days(cast(o_orderkey % 30 + 45 as int)),
+             1
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    visible AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY o_orderkey
+                                ORDER BY recorded_at DESC, version DESC)
+               AS rk
+      FROM versions
+      WHERE valid_from <= {_BT_VALID} AND recorded_at <= {_BT_TX}
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           cast(sum(CASE WHEN version = 1 THEN 1 ELSE 0 END) as bigint)
+             AS n_corrected,
+           cast(round(sum(cast(price as decimal(30,10))), 2) as double)
+             AS total_price
+    FROM visible WHERE rk = 1
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q_bitemporal_asof(spark, sf_dir):
+    """Bitemporal point query — the two-axis time travel a regulated
+    warehouse needs and one-dimensional SCD2 cannot answer: "as of
+    VALID date June 30 (what was true of the business), using only
+    facts RECORDED by July 31 (what the system knew)". The version
+    store carries (valid_from, recorded_at) per row — every order has
+    its original booking and every fifth order a later price
+    correction recorded ~45 days after booking. The reader filters
+    both axes, then takes the LATEST-RECORDED visible version per key
+    (one row_number with a deterministic (recorded_at, version)
+    tiebreak). n_corrected counts keys whose correction had already
+    become visible by the transaction cutoff — the column that
+    separates bitemporal semantics from a plain snapshot.
+
+    Scale: the version union is a scan-level expression (no join);
+    visibility is a pushed-down double filter; the per-key argmax is
+    one shuffle on o_orderkey and the rollup map-side combines. At
+    100 TB the version store is partitioned by recorded_at month, so
+    the tx-time filter prunes partitions before any read."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(15,2)").alias("price"),
+        F.col("o_orderdate").cast("date").alias("valid_from"),
+        F.date_add(F.col("o_orderdate").cast("date"),
+                   (F.col("o_orderkey") % 30).cast("int"))
+        .alias("recorded_at"),
+        F.lit(0).alias("version"))
+    corr = (o.filter(F.col("o_orderkey") % 5 == 0)
+            .select("o_orderkey", "o_orderstatus",
+                    (F.col("o_totalprice").cast("decimal(15,2)") + 10)
+                    .alias("price"),
+                    F.col("o_orderdate").cast("date").alias("valid_from"),
+                    F.date_add(F.col("o_orderdate").cast("date"),
+                               (F.col("o_orderkey") % 30 + 45).cast("int"))
+                    .alias("recorded_at"),
+                    F.lit(1).alias("version")))
+    from pyspark.sql import Window as W
+    visible = (base.unionByName(corr)
+               .filter((F.col("valid_from") <= F.lit("1995-06-30")
+                        .cast("date"))
+                       & (F.col("recorded_at") <= F.lit("1995-07-31")
+                          .cast("date")))
+               .withColumn("rk", F.row_number().over(
+                   W.partitionBy("o_orderkey")
+                   .orderBy(F.desc("recorded_at"), F.desc("version")))))
+    return (visible.filter(F.col("rk") == 1)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.when(F.col("version") == 1, 1).otherwise(0))
+                 .cast("long").alias("n_corrected"),
+                 F.round(F.sum(F.col("price").cast("decimal(30,10)")), 2)
+                 .cast("double").alias("total_price"))
+            .orderBy("o_orderstatus"))
