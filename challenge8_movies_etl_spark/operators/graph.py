@@ -23,6 +23,8 @@ connected_components.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -132,7 +134,7 @@ def pagerank_oracle_sql(edges_cte: str, iterations: int = 5,
     for i in range(1, iterations + 1):
         prev = "r0" if i == 1 else f"r{i-1}"
         steps.append(f"""
-    r{i} AS (
+    r{i} AS MATERIALIZED (
       SELECT e.dst AS node,
              cast(round(cast({teleport} as double) / max(nn.n_nodes)
                         + cast({damping} as double)
@@ -146,16 +148,25 @@ def pagerank_oracle_sql(edges_cte: str, iterations: int = 5,
       CROSS JOIN nn
       GROUP BY e.dst
     )""")
+    # MATERIALIZED throughout: DuckDB v1.0 inlines CTEs, so the
+    # unrolled iteration chain re-evaluates `edges` (and every earlier
+    # rank table) at each expansion level — measured 233 s at sf0.1 on
+    # q_graph_pagerank before materialization. Materialization cannot
+    # change results, only evaluation strategy.
+    edges_cte = re.sub(r"^(\s*edges)\s+AS\s+\(",
+                       r"\1 AS MATERIALIZED (", edges_cte, count=1,
+                       flags=re.M)
     return f"""
     WITH {edges_cte},
-    outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
-    nodes AS (
+    outdeg AS MATERIALIZED (
+      SELECT src, count(*) AS d FROM edges GROUP BY 1),
+    nodes AS MATERIALIZED (
       SELECT src AS node FROM edges
       UNION
       SELECT dst FROM edges
     ),
-    nn AS (SELECT count(*) AS n_nodes FROM nodes),
-    r0 AS (
+    nn AS MATERIALIZED (SELECT count(*) AS n_nodes FROM nodes),
+    r0 AS MATERIALIZED (
       SELECT node,
              cast(round(cast(1.0 as double) / nn.n_nodes, 10) as {DEC_PR})
                AS rank

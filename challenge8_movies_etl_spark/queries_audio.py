@@ -143,33 +143,33 @@ def q_audio_vad(spark, sf_dir):
 @query(
     "q_audio_pitch",
     oracle="""
-    WITH params AS (
+    WITH params AS MATERIALIZED (
       SELECT doc_id,
              50 + doc_id % 97 AS n,
              doc_id % 11 + 1 AS k,
              1000 * (doc_id % 7 + 1) AS amp
       FROM documents
-    ), sig AS (
+    ), sig AS MATERIALIZED (
       SELECT doc_id, n,
              unnest(generate_series(0, n - 1)) AS i,
              k, amp
       FROM params
-    ), s AS (
+    ), s AS MATERIALIZED (
       SELECT doc_id, i, cast((i * k) % (2 * amp) - amp as bigint) AS v
       FROM sig
-    ), ac AS (
+    ), ac AS MATERIALIZED (
       SELECT a.doc_id, l.lag,
              cast(sum(a.v * b.v) as bigint) AS ac
       FROM (SELECT unnest(generate_series(1, 20)) AS lag) l
       CROSS JOIN s a
       JOIN s b ON b.doc_id = a.doc_id AND b.i = a.i + l.lag
       GROUP BY a.doc_id, l.lag
-    ), best AS (
+    ), best AS MATERIALIZED (
       SELECT doc_id, lag, ac,
              row_number() OVER (PARTITION BY doc_id
                                 ORDER BY ac DESC, lag) AS rk
       FROM ac
-    ), energy AS (
+    ), energy AS MATERIALIZED (
       SELECT doc_id, cast(sum(v * v) as bigint) AS energy
       FROM s GROUP BY doc_id
     )

@@ -251,37 +251,40 @@ def _uni_cost_sql(expr: str) -> str:
 
 
 def _unigram_oracle(max_len: int = 8) -> str:
-    """Unroll the DP over positions 1..max_len as lateral column
-    aliases (the corpus' longest token is 8 chars — asserted in the
-    twin test). dp_k = min over j=1..3 of dp_(k-j) + cost(piece)."""
-    cols = []
+    """Unroll the DP over positions 1..max_len as CHAINED MATERIALIZED
+    CTEs, one per position (the corpus' longest token is 8 chars —
+    asserted in the twin test): dp_k = min over j=1..3 of dp_(k-j) +
+    cost(piece). Lateral column aliases would read nicer, but DuckDB
+    expands them by SUBSTITUTION — a 3-branch recurrence over 8 levels
+    becomes a ~3^8-leaf expression tree per row (measured: the whole
+    check 3m37s at sf0.1; sub-second after this rewrite). Each CTE is
+    MATERIALIZED because a single-reference inline would re-substitute
+    the previous level three times and rebuild the same blowup."""
+    ctes = ["d0 AS MATERIALIZED (SELECT w, length(w) AS L FROM dw)"]
     for k in range(1, max_len + 1):
         terms = []
         for j in (1, 2, 3):
             if j > k:
                 continue
             prev = f"dp{k - j}" if k - j else "0"
-            guard = f"{k} <= L"
             piece = f"substr(w, {k - j + 1}, {j})"
-            terms.append(f"CASE WHEN {guard} THEN {prev} + "
+            terms.append(f"CASE WHEN {k} <= L THEN {prev} + "
                          f"{_uni_cost_sql(piece)} ELSE {_UNI_INF} END")
-        cols.append(f"least({', '.join(terms)}) AS dp{k}")
-    dpcols = ",\n             ".join(cols)
+        ctes.append(
+            f"d{k} AS MATERIALIZED (SELECT *, "
+            f"least({', '.join(terms)}) AS dp{k} FROM d{k - 1})")
     final = " ".join(f"WHEN {k} THEN dp{k}"
                      for k in range(1, max_len + 1))
+    chain = ",\n    ".join(ctes)
     return f"""
-    WITH words AS (
+    WITH words AS MATERIALIZED (
       SELECT doc_id, unnest(string_split(text, ' ')) AS w
       FROM documents
     ),
-    dw AS (SELECT DISTINCT w FROM words),
-    dp AS (
-      SELECT w, length(w) AS L,
-             {dpcols}
-      FROM dw
-    ),
-    costs AS (
-      SELECT w, CASE L {final} END AS wcost FROM dp
+    dw AS MATERIALIZED (SELECT DISTINCT w FROM words),
+    {chain},
+    costs AS MATERIALIZED (
+      SELECT w, CASE L {final} END AS wcost FROM d{max_len}
     )
     SELECT doc_id,
            cast(count(*) as bigint) AS n_words,

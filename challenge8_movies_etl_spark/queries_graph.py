@@ -76,7 +76,7 @@ WITH ps AS (
   SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
 ),
 np AS (SELECT count(DISTINCT l_partkey) AS n_parts FROM ps),
-e AS (
+e AS MATERIALIZED (
   SELECT a.l_suppkey AS u, b.l_suppkey AS v
   FROM ps a JOIN ps b
     ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
@@ -88,7 +88,7 @@ deg AS (
     SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
   ) GROUP BY node
 ),
-o AS (
+o AS MATERIALIZED (
   SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
               THEN e.u ELSE e.v END AS s,
          CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
@@ -99,7 +99,7 @@ o AS (
   JOIN deg du ON du.node = e.u
   JOIN deg dv ON dv.node = e.v
 ),
-tri AS (
+tri AS MATERIALIZED (
   SELECT o1.s AS a, o1.t AS b, o2.t AS c
   FROM o o1
   JOIN o o2 ON o1.s = o2.s
@@ -1248,7 +1248,7 @@ deg AS (
     SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
   ) GROUP BY node
 ),
-o AS (
+o AS MATERIALIZED (
   SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
               THEN e.u ELSE e.v END AS s,
          CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
@@ -1259,7 +1259,7 @@ o AS (
   JOIN deg du ON du.node = e.u
   JOIN deg dv ON dv.node = e.v
 ),
-tri AS (
+tri AS MATERIALIZED (
   SELECT o1.s AS a, o1.t AS b, o2.t AS c
   FROM o o1
   JOIN o o2 ON o1.s = o2.s

@@ -1123,8 +1123,8 @@ WITH RECURSIVE d2 AS (
        range(1, 65) gs(i)
   GROUP BY 1, 2
 ),
-neigh AS (SELECT va, vb FROM d2 WHERE d2 <= {_DB_EPS2}),
-sym AS (
+neigh AS MATERIALIZED (SELECT va, vb FROM d2 WHERE d2 <= {_DB_EPS2}),
+sym AS MATERIALIZED (
   SELECT va AS u, vb AS v FROM neigh
   UNION ALL
   SELECT vb, va FROM neigh

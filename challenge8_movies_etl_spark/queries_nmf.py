@@ -44,18 +44,18 @@ _D8 = "decimal(18,8)"
 def _nmf_oracle() -> str:
     comps = list(range(_NMF_K))
     parts = [f"""
-WITH v AS (
+WITH v AS MATERIALIZED (
   SELECT doc_id AS d, tok AS t, cast(count(*) as bigint) AS v
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         FROM documents)
   GROUP BY 1, 2
 ),
-comps AS (SELECT unnest(range({_NMF_K})) AS c),
-w0 AS (
+comps AS MATERIALIZED (SELECT unnest(range({_NMF_K})) AS c),
+w0 AS MATERIALIZED (
   SELECT d, c, cast(1 + ((d * 31 + c * 17) % 7) / 10.0 as {_D8}) AS w
   FROM (SELECT DISTINCT d FROM v) CROSS JOIN comps
 ),
-h0 AS (
+h0 AS MATERIALIZED (
   SELECT c, t,
          cast(1 + ((ascii(substr(t, 1, 1)) * 13 + c * 29) % 5) / 10.0
               as {_D8}) AS h
@@ -64,26 +64,26 @@ h0 AS (
     pw, ph = "w0", "h0"
     for i in range(1, _NMF_ITERS + 1):
         parts.append(f""",
-hnum{i} AS (
+hnum{i} AS MATERIALIZED (
   SELECT w.c, v.t,
          sum(cast(w.w as decimal(20,8)) * cast(v.v as decimal(10,0))) AS num
   FROM v JOIN {pw} w ON w.d = v.d
   GROUP BY 1, 2
 ),
-wtw{i} AS (
+wtw{i} AS MATERIALIZED (
   SELECT a.c AS ca, b.c AS cb,
          cast(round(cast(sum(cast(a.w as decimal(20,8)) * b.w)
                          as double), 8) as {_D8}) AS g
   FROM {pw} a JOIN {pw} b ON a.d = b.d
   GROUP BY 1, 2
 ),
-hden{i} AS (
+hden{i} AS MATERIALIZED (
   SELECT g.ca AS c, h.t,
          sum(cast(g.g as decimal(20,8)) * h.h) AS den
   FROM wtw{i} g JOIN {ph} h ON h.c = g.cb
   GROUP BY 1, 2
 ),
-h{i} AS (
+h{i} AS MATERIALIZED (
   SELECT h.c, h.t,
          cast(round(cast(h.h as double) * cast(n.num as double)
                     / cast(d.den as double), 8) as {_D8}) AS h
@@ -91,26 +91,26 @@ h{i} AS (
   JOIN hnum{i} n ON n.c = h.c AND n.t = h.t
   JOIN hden{i} d ON d.c = h.c AND d.t = h.t
 ),
-wnum{i} AS (
+wnum{i} AS MATERIALIZED (
   SELECT v.d, h.c,
          sum(cast(h.h as decimal(20,8)) * cast(v.v as decimal(10,0))) AS num
   FROM v JOIN h{i} h ON h.t = v.t
   GROUP BY 1, 2
 ),
-hht{i} AS (
+hht{i} AS MATERIALIZED (
   SELECT a.c AS ca, b.c AS cb,
          cast(round(cast(sum(cast(a.h as decimal(20,8)) * b.h)
                          as double), 8) as {_D8}) AS g
   FROM h{i} a JOIN h{i} b ON a.t = b.t
   GROUP BY 1, 2
 ),
-wden{i} AS (
+wden{i} AS MATERIALIZED (
   SELECT w.d, g.ca AS c,
          sum(cast(g.g as decimal(20,8)) * w.w) AS den
   FROM {pw} w JOIN hht{i} g ON g.cb = w.c
   GROUP BY 1, 2
 ),
-w{i} AS (
+w{i} AS MATERIALIZED (
   SELECT w.d, w.c,
          cast(round(cast(w.w as double) * cast(n.num as double)
                     / cast(d.den as double), 8) as {_D8}) AS w
@@ -120,11 +120,11 @@ w{i} AS (
 )""")
         pw, ph = f"w{i}", f"h{i}"
     parts.append(f""",
-mass AS (
+mass AS MATERIALIZED (
   SELECT c, round(cast(sum(w) as double), 6) AS doc_mass
   FROM {pw} GROUP BY c
 ),
-top AS (
+top AS MATERIALIZED (
   SELECT c, t, h,
          row_number() OVER (PARTITION BY c ORDER BY h DESC, t) AS rnk
   FROM {ph}

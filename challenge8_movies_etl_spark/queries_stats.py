@@ -569,9 +569,13 @@ def _threshold_curve_oracle() -> str:
     rows = "\n  UNION ALL\n".join(
         f"  SELECT {t} AS tau, np_{i} AS n_pairs, nd_{i} AS n_dropped"
         f" FROM agg" for i, t in enumerate(_CURVE_TAUS))
+    # agg is referenced once per threshold by the curve UNION — without
+    # MATERIALIZED, DuckDB v1.0 inlines it and re-runs the quadratic
+    # paircos scan 5x (the q_coverage_select exponential-CTE class;
+    # observed live as a multi-hour stall in the sf1.0 sweep)
     return f"""
     WITH {_PAIR_COS_CTE},
-    agg AS (
+    agg AS MATERIALIZED (
       SELECT {per_tau}
       FROM paircos
     ),
