@@ -164,9 +164,8 @@ def q_stream_replay_tumbling(spark, sf_dir):
          .format("memory").queryName(name)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(120)
-    if q.isActive:
-        q.stop()
+    from .streaming.replay import drain
+    drain(q)
     return spark.table(name)
 
 
@@ -184,7 +183,7 @@ def q_stream_join_static(spark, sf_dir):
     broadcast-small or cached is the operational rule), held to the
     batch-join oracle. The streaming planner needs no state for
     stream-static inner joins — each batch joins independently."""
-    from .streaming.replay import replay_events_stream
+    from .streaming.replay import drain, replay_events_stream
     stream = replay_events_stream(spark, sf_dir)
     dim = (load_table(spark, sf_dir, "customer")
            .select("c_custkey", "c_mktsegment"))
@@ -195,9 +194,7 @@ def q_stream_join_static(spark, sf_dir):
          .writeStream.outputMode("append")
          .format("memory").queryName(name)
          .trigger(availableNow=True).start())
-    q.awaitTermination(180)
-    if q.isActive:
-        q.stop()
+    drain(q)
     return spark.table(name)
 
 
@@ -215,7 +212,7 @@ def q_stream_stream_join(spark, sf_dir):
     store evict — the non-negotiable 100 TB requirement for
     stream-stream joins). Replayed rows are identical on both sides,
     so the oracle is the batch self-join."""
-    from .streaming.replay import replay_events_stream
+    from .streaming.replay import drain, replay_events_stream
     left = (replay_events_stream(spark, sf_dir)
             .withWatermark("ts", "1 hour"))
     right = (replay_events_stream(spark, sf_dir)
@@ -243,9 +240,7 @@ def q_stream_stream_join(spark, sf_dir):
              .trigger(availableNow=True).start())
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
-    q.awaitTermination(180)
-    if q.isActive:
-        q.stop()
+    drain(q)
     return spark.table(name)
 
 
@@ -263,7 +258,7 @@ def q_stream_stateful_counter(spark, sf_dir):
     after replaying the fixture equals the batch aggregate. One
     availableNow batch → the update-mode memory sink holds exactly the
     final state snapshot."""
-    from .streaming.replay import replay_events_stream
+    from .streaming.replay import drain, replay_events_stream
     from .streaming.stateful import running_user_counter
     stream = replay_events_stream(spark, sf_dir)
     name = f"stateful_{uuid.uuid4().hex[:8]}"
@@ -271,9 +266,7 @@ def q_stream_stateful_counter(spark, sf_dir):
          .writeStream.outputMode("update")
          .format("memory").queryName(name)
          .trigger(availableNow=True).start())
-    q.awaitTermination(180)
-    if q.isActive:
-        q.stop()
+    drain(q)
     return spark.table(name)
 
 
@@ -347,7 +340,7 @@ def q_stream_backfill(spark, sf_dir):
     MERGE INTO the serving table keyed on event_id."""
     from pyspark.sql import Window as W
 
-    from .streaming.replay import replay_events_stream
+    from .streaming.replay import drain, replay_events_stream
 
     cutoff = F.lit("2024-01-15").cast("date")
     batch_hist = (load_table(spark, sf_dir, "events")
@@ -362,9 +355,7 @@ def q_stream_backfill(spark, sf_dir):
          .writeStream.outputMode("append")
          .format("memory").queryName(name)
          .trigger(availableNow=True).start())
-    q.awaitTermination(180)
-    if q.isActive:
-        q.stop()
+    drain(q)
     streamed = spark.table(name)
 
     merged = batch_hist.unionByName(streamed)
@@ -489,9 +480,8 @@ def q_stream_late_data(spark, sf_dir):
          .option("checkpointLocation", str(root / "ckpt"))
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(180)
-    if q.isActive:
-        q.stop()
+    from .streaming.replay import drain
+    drain(q)
     return spark.table(qname).orderBy("window_start")
 
 
@@ -569,9 +559,8 @@ def q_stream_update_mode(spark, sf_dir):
          .format("memory").queryName(qname)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(180)
-    if q.isActive:
-        q.stop()
+    from .streaming.replay import drain
+    drain(q)
     # the sink-side upsert: last (= max, counts are monotone) update
     # per key is the window's final state
     final = (spark.table(qname)

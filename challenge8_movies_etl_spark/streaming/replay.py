@@ -41,12 +41,44 @@ def chunked_load(stream_df: DataFrame, write_batch: Callable[[DataFrame, int], N
 
 def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events fixture with the TIMESTAMP(NANOS)
-    repair applied — the shared entry point for replay tests."""
+    repair applied — the shared entry point for replay tests.
+
+    Layout-aware: the driver fixtures store events.parquet as a single
+    FILE inside sf_dir (stream sf_dir with a pathGlobFilter — the file
+    source rejects a file as basePath), while Spark-written fixtures
+    (tools/scalegen.py sf1.0) store it as a DIRECTORY of part files
+    (stream the directory; the glob filter would match no part file
+    and SILENTLY deliver zero rows — the sf1.0 sweep caught exactly
+    that as a q_stream_backfill hash-fail)."""
+    import os
+
     from ..session import apply_required_conf
     from ..sources.fixtures import repair_events_ts
     apply_required_conf(spark)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return repair_events_ts(
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir))
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(raw_schema)
+    if os.path.isdir(path):
+        stream = reader.parquet(path)
+    else:
+        stream = reader.option("pathGlobFilter", "events.parquet") \
+            .parquet(sf_dir)
+    return repair_events_ts(stream)
+
+
+def drain(query, timeout: int = 1800) -> None:
+    """Wait for an availableNow replay to terminate, RAISING on
+    timeout instead of returning control with a partially-filled sink.
+
+    The previous idiom (`q.awaitTermination(180); if q.isActive:
+    q.stop()`) silently truncated: at sf1.0 under load the backfill
+    replay outlived 180 s, the memory table came back EMPTY, and the
+    reconciliation query returned plausible-but-wrong counts (caught
+    by the sf1.0 oracle sweep — q_stream_backfill hash-fail). An
+    exactly-once contract must fail loudly when the stream did not
+    drain, never report partial results as complete."""
+    if not query.awaitTermination(timeout):
+        query.stop()
+        raise RuntimeError(
+            f"stream replay {query.name!r} did not drain within "
+            f"{timeout}s — refusing to read a partial sink")
