@@ -8,12 +8,15 @@ than the rank vector. Fixed iteration count (not convergence polling)
 keeps the job count deterministic and the results bit-identical to the
 unrolled-CTE SQL oracle.
 
-Numeric discipline (functions/hashsafe.py rationale): per-edge
-contribution = round(rank/outdeg, 10) is a scalar IEEE op — identical
-on any engine; the per-node reduction sums those contributions as
-decimal(20,10) — exact, order-independent; the damped update is again
-scalar double math rounded back to 10dp. No step depends on partition
-or scan order, so a 1000-executor run hashes identically to local[1].
+Numeric discipline (functions/hashsafe.py rationale): the whole
+iteration is EXACT INTEGER arithmetic in units of 1e-10 — per-edge
+contribution round_half_up(rank/outdeg) as (2r + d) div (2d), the
+per-node reduction an exact bigint sum (order-independent), and the
+damped update with damping as an exact rational. No decimal->double
+conversion anywhere (the old decimal/double form differed by 1 ulp
+between engines — caught by the round-8 sf1.0 hash sweep). No step
+depends on partition or scan order, so a 1000-executor run hashes
+identically to local[1].
 
 At 100 TB: ranks are |V|-sized, edges |E|-sized; each round is an
 equi-join edges ⋈ ranks (shuffle on node id) + map-side-combinable
@@ -97,51 +100,81 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     # broadcast branch this count is also the single action that fills
     # the edges/deg caches.
     n_nodes = nodes.count()
-    ranks = nodes.select(
-        "node",
-        F.round(F.lit(1.0) / F.lit(n_nodes), 10).cast(DEC_PR).alias("rank"))
+    # PURE INTEGER iteration in units of 1e-10 (round 8): the previous
+    # form quantized each step to decimal(20,10) but routed the damped
+    # update through `cast(sum as double)` — decimal->double conversion
+    # and the subsequent round() differ by 1 ulp between engines, which
+    # the sf1.0 hash sweep exposed as a last-decimal rank flip. With
+    # damping as an exact rational (Fraction of its decimal string) and
+    # round-half-up expressed as (2a + b) div (2b), every step is exact
+    # bigint arithmetic — bit-identical on ANY engine by construction.
+    from fractions import Fraction
+
+    scale = 10 ** 10
+    dfrac = Fraction(str(damping))
+    dnum, dden = dfrac.numerator, dfrac.denominator
+    tnum, tden = (1 - dfrac).numerator, (1 - dfrac).denominator
+    t_int = ((2 * tnum * scale + tden * n_nodes)
+             // (2 * tden * n_nodes))
+    r0_int = (2 * scale + n_nodes) // (2 * n_nodes)
+    # long literals: r0 fits int32, but 2*r in the contrib expression
+    # then wraps 32-bit — cast the seed (and the teleport term below)
+    # to bigint explicitly
+    ranks = nodes.select("node", F.lit(r0_int).cast("long").alias("r"))
     for i in range(iterations):
         if broadcast_ranks:
             ranks = F.broadcast(ranks)
         contrib = (ranks.join(edges_d, ranks.node == edges_d.src)
                    .select(F.col("dst"),
-                           F.round(F.col("rank").cast("double") / F.col("d"),
-                                   10).cast(DEC_PR).alias("contrib")))
+                           F.expr("(2 * r + d) div (2 * d)")
+                           .alias("contrib")))
         ranks = (contrib.groupBy(F.col("dst").alias("node"))
                  .agg(F.sum("contrib").alias("s"))
                  .select("node",
-                         F.round(F.lit(1.0 - damping) / F.lit(n_nodes)
-                                 + F.lit(damping)
-                                 * F.col("s").cast("double"), 10)
-                         .cast(DEC_PR).alias("rank")))
+                         (F.lit(t_int).cast("long")
+                          + F.expr(f"(2 * {dnum} * s + {dden}) "
+                                   f"div (2 * {dden})")).alias("r")))
         # short fixed-k runs stay one lazy plan (each eager
         # materialization costs a scheduled job — measured slower than
         # the lineage it saves below ~6 rounds); long convergence loops
         # bound lineage growth at this cadence
         if (i + 1) % checkpoint_every == 0 and i != iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    return ranks.select(
+        "node",
+        F.expr("cast(cast(r as decimal(20,0))"
+               " * cast(0.0000000001 as decimal(11,10))"
+               f" as {DEC_PR})").alias("rank"))
 
 
 def pagerank_oracle_sql(edges_cte: str, iterations: int = 5,
                         damping: float = 0.85) -> str:
     """The DuckDB twin of :func:`pagerank`: the fixed iteration loop
     unrolled into chained CTEs (aggregates are not allowed inside a
-    recursive CTE term), with the identical scalar/decimal expression
-    tree at every step."""
-    teleport = 1.0 - damping
+    recursive CTE term), mirroring the operator's PURE INTEGER
+    formulation — units of 1e-10, damping as an exact rational, and
+    round-half-up as (2a + b) // (2b) — so both engines compute
+    identical bigints at every step (no decimal->double conversion
+    anywhere; see the operator comment for the 1-ulp divergence the
+    sf1.0 sweep caught in the old decimal/double form). The final CTE
+    r{{N}} exposes the decimal(20,10) ``rank`` callers consume."""
+    from fractions import Fraction
+
+    scale = 10 ** 10
+    dfrac = Fraction(str(damping))
+    dnum, dden = dfrac.numerator, dfrac.denominator
+    tnum, tden = (1 - dfrac).numerator, (1 - dfrac).denominator
     steps = []
     for i in range(1, iterations + 1):
-        prev = "r0" if i == 1 else f"r{i-1}"
+        prev = "ri0" if i == 1 else f"ri{i-1}"
         steps.append(f"""
-    r{i} AS MATERIALIZED (
+    ri{i} AS MATERIALIZED (
       SELECT e.dst AS node,
-             cast(round(cast({teleport} as double) / max(nn.n_nodes)
-                        + cast({damping} as double)
-                          * cast(sum(cast(round(cast({prev}.rank as double)
-                                               / od.d, 10)
-                                         as {DEC_PR})) as double), 10)
-                  as {DEC_PR}) AS rank
+             (2 * {tnum} * {scale} + {tden} * max(nn.n_nodes))
+               // (2 * {tden} * max(nn.n_nodes))
+             + (2 * {dnum}
+                * sum((2 * {prev}.r + od.d) // (2 * od.d))
+                + {dden}) // (2 * {dden}) AS r
       FROM {prev}
       JOIN edges e ON e.src = {prev}.node
       JOIN outdeg od ON od.src = {prev}.node
@@ -166,12 +199,18 @@ def pagerank_oracle_sql(edges_cte: str, iterations: int = 5,
       SELECT dst FROM edges
     ),
     nn AS MATERIALIZED (SELECT count(*) AS n_nodes FROM nodes),
-    r0 AS MATERIALIZED (
+    ri0 AS MATERIALIZED (
       SELECT node,
-             cast(round(cast(1.0 as double) / nn.n_nodes, 10) as {DEC_PR})
-               AS rank
+             (2 * {scale} + nn.n_nodes) // (2 * nn.n_nodes) AS r
       FROM nodes CROSS JOIN nn
-    ),{','.join(steps)}
+    ),{','.join(steps)},
+    r{iterations} AS MATERIALIZED (
+      SELECT node,
+             cast(cast(r as decimal(20,0))
+                  * cast(0.0000000001 as decimal(11,10))
+                  as {DEC_PR}) AS rank
+      FROM ri{iterations}
+    )
     """
 
 

@@ -213,33 +213,46 @@ WITH RECURSIVE daily AS (
 idx AS (
   SELECT row_number() OVER (ORDER BY d) AS t,
          cast(d as string) AS day,
-         cast(x as double) AS x
+         cast(x as decimal(20,6)) AS x
   FROM daily
 ),
 holt AS (
   SELECT t, day, x,
-         round(x, 6) AS lvl,
-         cast(0.0 as double) AS trd
+         x AS lvl,
+         cast(0 as decimal(20,6)) AS trd
   FROM idx WHERE t = 1
   UNION ALL
   SELECT s.t, s.day, s.x,
-         round(0.3 * s.x + 0.7 * (h.lvl + h.trd), 6) AS lvl,
-         round(0.1 * (round(0.3 * s.x + 0.7 * (h.lvl + h.trd), 6)
-                      - h.lvl)
-               + 0.9 * h.trd, 6) AS trd
+         cast(round(cast('0.3' as decimal(2,1)) * s.x
+                    + cast('0.7' as decimal(2,1)) * (h.lvl + h.trd), 6)
+              as decimal(20,6)) AS lvl,
+         cast(round(cast('0.1' as decimal(2,1))
+                    * (cast(round(cast('0.3' as decimal(2,1)) * s.x
+                                  + cast('0.7' as decimal(2,1))
+                                    * (h.lvl + h.trd), 6)
+                            as decimal(20,6)) - h.lvl)
+                    + cast('0.9' as decimal(2,1)) * h.trd, 6)
+              as decimal(20,6)) AS trd
   FROM holt h JOIN idx s ON s.t = h.t + 1
 )
-SELECT t, day, x, lvl,
-       trd + 0.0 AS trd,
-       round(lvl + trd, 6) + 0.0 AS forecast_next
+SELECT t, day, cast(x as double) + 0.0 AS x,
+       cast(lvl as double) AS lvl,
+       cast(trd as double) + 0.0 AS trd,
+       cast(cast(lvl + trd as decimal(20,6)) as double) AS forecast_next
 FROM holt
 ORDER BY t DESC
 LIMIT 10
 """
-# `+ 0.0` on trd/forecast_next normalizes IEEE sign-of-zero: even with
-# IDENTICAL SQL text on both engines, DuckDB's round() preserves -0.0
-# while Spark's (BigDecimal) emits +0.0 — the q_embed_covariance r4
-# hazard class applies to same-text queries too.
+# EXACT DECIMAL recursion (round 8): the old form quantized each step
+# with round(double, 6), but the step's true value is a 7dp decimal —
+# one time in ten it sits EXACTLY on the 6dp half boundary, where
+# Spark (BigDecimal HALF_UP on the binary expansion) and DuckDB
+# (multiply + nearbyint) disagree on the same double; the sf1.0 sweep
+# caught the flip compounding down the longer series. With
+# decimal(2,1) literals and decimal state, every step is exact decimal
+# arithmetic and both engines' round() is decimal HALF_UP — identical
+# by construction. (x is cast back to double for the output contract;
+# integers convert exactly.)
 
 
 @query("q_holt_smoothing", oracle=_HOLT_SQL)

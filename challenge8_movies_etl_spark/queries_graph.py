@@ -34,7 +34,7 @@ _PAGERANK_ORACLE = pagerank_oracle_sql(_EDGES_CTE, iterations=5) + """
     SELECT node,
            CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
              AS kind,
-           round(cast(rank as double), 8) AS pr
+           round(cast(rank as double), 10) AS pr
     FROM r5
     ORDER BY rank DESC, node
     LIMIT 20
@@ -66,9 +66,15 @@ def q_graph_pagerank(spark, sf_dir):
     # construction — skip the operator's |E| dedup shuffle
     ranks = pagerank(edges, iterations=5, assume_distinct=True)
     kind = F.when(F.col("node") % 2 == 0, "customer").otherwise("supplier")
+    # round at the rank's IDENTITY precision (each iteration quantizes
+    # to 10dp, so the value is an exact multiple of 1e-10): an 8dp
+    # display round put sf1.0's smaller ranks exactly on a half
+    # boundary, where Spark (HALF_UP on the binary expansion) and
+    # DuckDB (multiply + nearbyint) disagree — the q_quantile_normalize
+    # class, caught by the sf1.0 hash sweep
     return (ranks.orderBy(F.desc("rank"), "node").limit(20)
             .select("node", kind.alias("kind"),
-                    F.round(F.col("rank").cast("double"), 8).alias("pr")))
+                    F.round(F.col("rank").cast("double"), 10).alias("pr")))
 
 
 _TRIANGLES_ORACLE = """
@@ -263,22 +269,36 @@ def q_graph_components(spark, sf_dir):
              .distinct().persist())
 
     labels = ranked.select(F.col("r").alias("v"), F.col("r").alias("lab"))
-    rounds = max(1, int(math.ceil(math.log2(max(2, n)))) + 1)
-    for _ in range(rounds):
+    # iterate to FIXPOINT, not a precomputed round count: the old
+    # ceil(log2 n)+1 bound under-converged by one merge at sf1.0
+    # (146 components vs the oracle's exact 145 — the bridge-chained
+    # block topology's contracted diameter outgrew the bound; caught
+    # by the sf1.0 hash sweep). Pointer doubling keeps convergence
+    # O(log D); the changed-count is a bounded driver scalar per round,
+    # the same license as connected_components' convergence poll.
+    for _ in range(64):
         prop = (edges.join(labels, edges.dst == labels.v)
                 .groupBy("src").agg(F.min("lab").alias("nlab")))
-        labels = (labels.join(prop, labels.v == prop.src, "left")
-                  .select("v", F.least("lab", "nlab").alias("lab")))
-        lv = labels.select(F.col("v").alias("_v"),
-                           F.col("lab").alias("_lab"))
+        new_labels = (labels.join(prop, labels.v == prop.src, "left")
+                      .select("v", F.least("lab", "nlab").alias("lab")))
+        lv = new_labels.select(F.col("v").alias("_v"),
+                               F.col("lab").alias("_lab"))
         # eager localCheckpoint: the label relation feeds ITSELF twice
         # per round (prop join + the L(L(v)) shortcut self-join), so
         # without lineage truncation the logical plan doubles every
         # round — 2^rounds analysis blowup that wedges Catalyst long
         # before the data is big (lazy persist does NOT truncate).
-        labels = (labels.join(lv, labels.lab == lv._v)
-                  .select("v", F.col("_lab").alias("lab"))
-                  .localCheckpoint(eager=True))
+        new_labels = (new_labels.join(lv, new_labels.lab == lv._v)
+                      .select("v", F.col("_lab").alias("lab"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "v")
+                   .filter(F.col("n.lab") != F.col("o.lab")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("components: no fixpoint within 64 rounds")
     return (labels.groupBy(F.col("lab").alias("component"))
             .agg(F.count("*").alias("size"),
                  F.min("v").alias("min_node"),

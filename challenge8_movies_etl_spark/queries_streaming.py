@@ -143,16 +143,12 @@ def q_stream_replay_tumbling(spark, sf_dir):
     (file/kafka) and RocksDB state store; complete-mode memory sink
     here is the bounded-replay harness form.
     """
-    from .session import apply_required_conf
-    apply_required_conf(spark)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the file stream source wants a directory; glob down to events
-    stream = (spark.readStream.schema(raw_schema)
-              .option("pathGlobFilter", "events.parquet")
-              .parquet(sf_dir))
-    # same ts repair as the batch loader (nanos-bigint or NTZ → TIMESTAMP)
-    from .sources.fixtures import repair_events_ts
-    stream = repair_events_ts(stream)
+    # shared layout-aware source (an inline copy of the old
+    # pathGlobFilter read delivered ZERO rows on directory-layout
+    # fixtures — the sf1.0 sweep caught it here after the shared
+    # helper was already fixed)
+    from .streaming.replay import replay_events_stream
+    stream = replay_events_stream(spark, sf_dir)
     agg = (stream.withWatermark("ts", "10 minutes")
            .groupBy(F.window("ts", "1 hour"), "event_type")
            .count()

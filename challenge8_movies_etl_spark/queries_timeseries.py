@@ -1342,7 +1342,9 @@ def q_dtw_distance(spark, sf_dir):
 # at t-1, so the recursion is bit-identical everywhere. newlvl must be
 # inlined wherever it feeds trend/seasonal updates — recursive SELECTs
 # cannot reference their own computed columns laterally.
-_HW_NEWLVL = "round(0.3 * (s.x - h.s1) + 0.7 * (h.lvl + h.trd), 6)"
+_HW_NEWLVL = ("cast(round(cast('0.3' as decimal(2,1)) * (s.x - h.s1)"
+              " + cast('0.7' as decimal(2,1)) * (h.lvl + h.trd), 6)"
+              " as decimal(20,6))")
 _HW_SQL = f"""
 WITH RECURSIVE daily AS (
   SELECT cast(ts as date) AS d, count(*) AS x
@@ -1351,35 +1353,50 @@ WITH RECURSIVE daily AS (
 idx AS (
   SELECT row_number() OVER (ORDER BY d) AS t,
          cast(d as string) AS day,
-         cast(x as double) AS x
+         cast(x as decimal(20,6)) AS x
   FROM daily
 ),
 hw AS (
   SELECT t, day, x,
-         round(x, 6) AS lvl,
-         cast(0.0 as double) AS trd,
-         cast(0.0 as double) AS s1, cast(0.0 as double) AS s2,
-         cast(0.0 as double) AS s3, cast(0.0 as double) AS s4,
-         cast(0.0 as double) AS s5, cast(0.0 as double) AS s6,
-         cast(0.0 as double) AS s7
+         x AS lvl,
+         cast(0 as decimal(20,6)) AS trd,
+         cast(0 as decimal(20,6)) AS s1, cast(0 as decimal(20,6)) AS s2,
+         cast(0 as decimal(20,6)) AS s3, cast(0 as decimal(20,6)) AS s4,
+         cast(0 as decimal(20,6)) AS s5, cast(0 as decimal(20,6)) AS s6,
+         cast(0 as decimal(20,6)) AS s7
   FROM idx WHERE t = 1
   UNION ALL
   SELECT s.t, s.day, s.x,
          {_HW_NEWLVL} AS lvl,
-         round(0.1 * ({_HW_NEWLVL} - h.lvl) + 0.9 * h.trd, 6) AS trd,
+         cast(round(cast('0.1' as decimal(2,1))
+                    * ({_HW_NEWLVL} - h.lvl)
+                    + cast('0.9' as decimal(2,1)) * h.trd, 6)
+              as decimal(20,6)) AS trd,
          h.s2 AS s1, h.s3 AS s2, h.s4 AS s3, h.s5 AS s4,
          h.s6 AS s5, h.s7 AS s6,
-         round(0.2 * (s.x - {_HW_NEWLVL}) + 0.8 * h.s1, 6) AS s7
+         cast(round(cast('0.2' as decimal(2,1))
+                    * (s.x - {_HW_NEWLVL})
+                    + cast('0.8' as decimal(2,1)) * h.s1, 6)
+              as decimal(20,6)) AS s7
   FROM hw h JOIN idx s ON s.t = h.t + 1
 )
-SELECT t, day, x, lvl,
-       trd + 0.0 AS trd,
-       s7 + 0.0 AS season_new,
-       round(lvl + trd + s1, 6) + 0.0 AS forecast_next
+SELECT t, day, cast(x as double) + 0.0 AS x,
+       cast(lvl as double) AS lvl,
+       cast(trd as double) + 0.0 AS trd,
+       cast(s7 as double) + 0.0 AS season_new,
+       cast(cast(lvl + trd + s1 as decimal(20,6)) as double) + 0.0
+         AS forecast_next
 FROM hw
 ORDER BY t DESC
 LIMIT 10
 """
+# EXACT DECIMAL recursion (round 8, the q_holt_smoothing fix applied
+# to the triple smoother): round(double, 6) put one step in ten
+# exactly on the 6dp half boundary where the engines' double rounding
+# disagrees — decimal(2,1) literals and decimal(20,6) state make every
+# step exact decimal HALF_UP on both engines. Outputs cast to double
+# at the edge (trailing-zero decimal rendering differs between
+# engines' canonicalizers).
 
 
 @query("q_holtwinters", oracle=_HW_SQL)

@@ -436,17 +436,27 @@ def test_holtwinters_python_twin_and_seasonal_learning(spark):
         (r["d"], r["x"]) for r in
         e.groupBy(F.col("ts").cast("date").alias("d"))
         .agg(F.count("*").alias("x")).collect())
-    xs = [float(x) for _, x in daily]
-    lvl, trd = round(xs[0], 6), 0.0
-    seas = [0.0] * 7
-    states = [(1, lvl, trd, list(seas))]
+    # mirror the query's EXACT DECIMAL recursion (round 8): per-step
+    # 6dp HALF_UP quantization of exact decimal state — python's
+    # float round() (binary + half-even) diverges on half boundaries
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def q6(v):
+        return v.quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+
+    A, B, C = Decimal("0.3"), Decimal("0.1"), Decimal("0.2")
+    xs = [Decimal(int(x)) for _, x in daily]
+    lvl, trd = q6(xs[0]), Decimal(0)
+    seas = [Decimal(0)] * 7
+    states = [(1, float(lvl), float(trd), [float(v) for v in seas])]
     for t, x in enumerate(xs[1:], start=2):
-        nl = round(0.3 * (x - seas[0]) + 0.7 * (lvl + trd), 6)
-        trd = round(0.1 * (nl - lvl) + 0.9 * trd, 6)
-        snew = round(0.2 * (x - nl) + 0.8 * seas[0], 6)
+        nl = q6(A * (x - seas[0]) + (1 - A) * (lvl + trd))
+        trd = q6(B * (nl - lvl) + (1 - B) * trd)
+        snew = q6(C * (x - nl) + (1 - C) * seas[0])
         seas = seas[1:] + [snew]
         lvl = nl
-        states.append((t, lvl, trd, list(seas)))
+        states.append((t, float(lvl), float(trd),
+                       [float(v) for v in seas]))
     rows = q_holtwinters(spark, SF_SMOKE).collect()
     assert len(rows) == 10
     by_t = {s[0]: s for s in states}
@@ -455,8 +465,9 @@ def test_holtwinters_python_twin_and_seasonal_learning(spark):
         assert r["lvl"] == lvl_e
         assert r["trd"] == trd_e + 0.0
         assert r["season_new"] == seas_e[-1] + 0.0
-        assert r["forecast_next"] == round(
-            lvl_e + trd_e + seas_e[0], 6) + 0.0
+        assert r["forecast_next"] == float(
+            q6(Decimal(str(lvl_e)) + Decimal(str(trd_e))
+               + Decimal(str(seas_e[0])))) + 0.0
     # 30 days = 4+ weeks: the learned seasonal queue isn't all-zero
     final = by_t[len(xs)][3]
     assert any(abs(s) > 1e-9 for s in final)
