@@ -269,36 +269,45 @@ def q_graph_components(spark, sf_dir):
              .distinct().persist())
 
     labels = ranked.select(F.col("r").alias("v"), F.col("r").alias("lab"))
-    # iterate to FIXPOINT, not a precomputed round count: the old
-    # ceil(log2 n)+1 bound under-converged by one merge at sf1.0
-    # (146 components vs the oracle's exact 145 — the bridge-chained
-    # block topology's contracted diameter outgrew the bound; caught
-    # by the sf1.0 hash sweep). Pointer doubling keeps convergence
-    # O(log D); the changed-count is a bounded driver scalar per round,
-    # the same license as connected_components' convergence poll.
-    for _ in range(64):
-        prop = (edges.join(labels, edges.dst == labels.v)
-                .groupBy("src").agg(F.min("lab").alias("nlab")))
-        new_labels = (labels.join(prop, labels.v == prop.src, "left")
+    # CHUNKED rounds with convergence polls: the original
+    # ceil(log2 n)+1 bound under-merged at sf1.0 (146 vs 145
+    # components — caught by the sf1.0 hash sweep), and measurement
+    # showed the straggler labels crawl the contracted bridge chain at
+    # O(D), not O(log D) (neighbor-min + L(L(v)) halving is NOT a
+    # proven-logarithmic CC algorithm; 2 movers remained after 24
+    # rounds). So: run log2(n)-sized chunks of rounds, poll the
+    # would-any-label-move predicate BETWEEN chunks (one count job per
+    # chunk instead of per round), and RAISE at the cap — convergence
+    # is verified, never assumed, and under-convergence is loud.
+    chunk = max(4, int(math.ceil(math.log2(max(2, n)))))
+    converged = False
+    for _ in range(12):
+        for _ in range(chunk):
+            prop = (edges.join(labels, edges.dst == labels.v)
+                    .groupBy("src").agg(F.min("lab").alias("nlab")))
+            labels = (labels.join(prop, labels.v == prop.src, "left")
                       .select("v", F.least("lab", "nlab").alias("lab")))
-        lv = new_labels.select(F.col("v").alias("_v"),
+            lv = labels.select(F.col("v").alias("_v"),
                                F.col("lab").alias("_lab"))
-        # eager localCheckpoint: the label relation feeds ITSELF twice
-        # per round (prop join + the L(L(v)) shortcut self-join), so
-        # without lineage truncation the logical plan doubles every
-        # round — 2^rounds analysis blowup that wedges Catalyst long
-        # before the data is big (lazy persist does NOT truncate).
-        new_labels = (new_labels.join(lv, new_labels.lab == lv._v)
+            # eager localCheckpoint: the label relation feeds ITSELF
+            # twice per round (prop join + the L(L(v)) shortcut), so
+            # without lineage truncation the logical plan doubles
+            # every round — 2^rounds analysis blowup that wedges
+            # Catalyst long before the data is big.
+            labels = (labels.join(lv, labels.lab == lv._v)
                       .select("v", F.col("_lab").alias("lab"))
                       .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "v")
-                   .filter(F.col("n.lab") != F.col("o.lab")).count())
-        labels = new_labels
-        if changed == 0:
+        still = (edges.join(labels, edges.dst == labels.v)
+                 .groupBy("src").agg(F.min("lab").alias("nlab"))
+                 .join(labels, F.col("src") == labels.v)
+                 .filter(F.col("nlab") < F.col("lab")).count())
+        if still == 0:
+            converged = True
             break
-    else:
-        raise RuntimeError("components: no fixpoint within 64 rounds")
+    if not converged:
+        raise RuntimeError(
+            f"components: labels still moving after {12 * chunk} "
+            "rounds — raise the cap")
     return (labels.groupBy(F.col("lab").alias("component"))
             .agg(F.count("*").alias("size"),
                  F.min("v").alias("min_node"),
