@@ -269,45 +269,46 @@ def q_graph_components(spark, sf_dir):
              .distinct().persist())
 
     labels = ranked.select(F.col("r").alias("v"), F.col("r").alias("lab"))
-    # CHUNKED rounds with convergence polls: the original
-    # ceil(log2 n)+1 bound under-merged at sf1.0 (146 vs 145
-    # components — caught by the sf1.0 hash sweep), and measurement
-    # showed the straggler labels crawl the contracted bridge chain at
-    # O(D), not O(log D) (neighbor-min + L(L(v)) halving is NOT a
-    # proven-logarithmic CC algorithm; 2 movers remained after 24
-    # rounds). So: run log2(n)-sized chunks of rounds, poll the
-    # would-any-label-move predicate BETWEEN chunks (one count job per
-    # chunk instead of per round), and RAISE at the cap — convergence
-    # is verified, never assumed, and under-convergence is loud.
-    chunk = max(4, int(math.ceil(math.log2(max(2, n)))))
-    converged = False
-    for _ in range(12):
-        for _ in range(chunk):
-            prop = (edges.join(labels, edges.dst == labels.v)
-                    .groupBy("src").agg(F.min("lab").alias("nlab")))
-            labels = (labels.join(prop, labels.v == prop.src, "left")
-                      .select("v", F.least("lab", "nlab").alias("lab")))
+    # Neighbor-min propagation with FULL pointer compression per
+    # round: one L(v) <- min(L(neighbors), L(v)) step, then an inner
+    # jumping loop L <- L(L) iterated to ITS fixpoint (labels form a
+    # forest rooted at component minima; compression flattens every
+    # tree to depth 1, so the next propagation moves the minimum a
+    # full compressed-tree hop, not one edge). The original
+    # ceil(log2 n)+1 single-shortcut bound under-merged at sf1.0
+    # (146 vs the exact fixpoint oracle's 145 — caught by the sf1.0
+    # hash sweep; stragglers crawled the contracted bridge chain at
+    # O(D)). Convergence is VERIFIED by the would-any-label-move poll,
+    # and both loops raise loudly at their caps.
+    for _outer in range(24):
+        prop = (edges.join(labels, edges.dst == labels.v)
+                .groupBy("src").agg(F.min("lab").alias("nlab")))
+        labels = (labels.join(prop, labels.v == prop.src, "left")
+                  .select("v", F.least("lab", "nlab").alias("lab"))
+                  .localCheckpoint(eager=True))
+        for _inner in range(32):
             lv = labels.select(F.col("v").alias("_v"),
                                F.col("lab").alias("_lab"))
-            # eager localCheckpoint: the label relation feeds ITSELF
-            # twice per round (prop join + the L(L(v)) shortcut), so
-            # without lineage truncation the logical plan doubles
-            # every round — 2^rounds analysis blowup that wedges
-            # Catalyst long before the data is big.
-            labels = (labels.join(lv, labels.lab == lv._v)
+            jumped = (labels.join(lv, labels.lab == lv._v)
                       .select("v", F.col("_lab").alias("lab"))
                       .localCheckpoint(eager=True))
+            moved = (jumped.alias("n").join(labels.alias("o"), "v")
+                     .filter(F.col("n.lab") != F.col("o.lab")).count())
+            labels = jumped
+            if moved == 0:
+                break
+        else:
+            raise RuntimeError("components: compression did not "
+                               "converge in 32 jumps")
         still = (edges.join(labels, edges.dst == labels.v)
                  .groupBy("src").agg(F.min("lab").alias("nlab"))
                  .join(labels, F.col("src") == labels.v)
                  .filter(F.col("nlab") < F.col("lab")).count())
         if still == 0:
-            converged = True
             break
-    if not converged:
-        raise RuntimeError(
-            f"components: labels still moving after {12 * chunk} "
-            "rounds — raise the cap")
+    else:
+        raise RuntimeError("components: labels still moving after 24 "
+                           "compressed rounds — raise the cap")
     return (labels.groupBy(F.col("lab").alias("component"))
             .agg(F.count("*").alias("size"),
                  F.min("v").alias("min_node"),
