@@ -228,26 +228,28 @@ FROM comp GROUP BY lab ORDER BY component
 
 @query("q_graph_components", oracle=_CC_ORACLE)
 def q_graph_components(spark, sf_dir):
-    """Connected components via label propagation WITH pointer doubling
-    (each round: neighbor-min prop, then the L(v) <- L(L(v)) shortcut)
-    — convergence in O(log D) rounds instead of O(D), the property
-    that makes components tractable on billion-edge graphs (the
-    small-star/large-star idea of Kiveris et al., "Connected
-    Components in MapReduce and Beyond", SoCC'14). The graph is a
-    deterministic rank-derived block-ring + sparse-bridge topology (offset 77, coprime to the block size so bridges never degenerate to self-loops at round node counts)
-    (dense ranks via row_number, so the closed form holds under ANY
+    """Connected components via the large-star/small-star alternation
+    of Kiveris et al., "Connected Components in MapReduce and Beyond"
+    (SoCC'14) — O(log n) rounds of edge-relation contraction, the
+    property that makes components tractable on billion-edge graphs.
+    The graph is a deterministic rank-derived block-ring +
+    sparse-bridge topology (offset 77, coprime to the block size so
+    bridges never degenerate to self-loops at round node counts;
+    dense ranks via row_number, so the closed form holds under ANY
     fixture key distribution); the oracle computes the exact
     fixpoint by recursive-CTE reachability — so the component labels,
     sizes, and extents of an ITERATIVE distributed algorithm are
     value-hash-checked against a declarative ground truth.
 
-    Scale: rounds = ceil(log2 n) + 1 (n collected once, a bounded
-    scalar like pagerank's node count); each round is two keyed
-    equi-joins on the n-sized label relation, persisted per round to
-    keep lineage flat. At 100 TB the same loop runs on the edge list
-    partitioned by src — no step is ever quadratic."""
-    import math
-
+    Scale: each round is two groupBy-min aggregations (map-side
+    combined) plus keyed joins over the EDGE relation — work is
+    O(|E|) per round and the round count is logarithmic in n,
+    independent of component diameter. This replaces the round-8
+    pointer-doubling loop that crawled the contracted bridge chain at
+    O(D) and failed to converge at sf1.0. Per-round localCheckpoint
+    keeps lineage flat (the >100-round chain overflowed Catalyst's
+    BigInteger stats). At 100 TB the same loop runs on the edge list
+    partitioned by u — no step is ever quadratic."""
     c = load_table(spark, sf_dir, "customer")
     from pyspark.sql import Window as W
     ranked = (c.filter(F.col("c_custkey") % 10 == 0)
@@ -268,47 +270,75 @@ def q_graph_components(spark, sf_dir):
                                   F.col("src").alias("dst")))
              .distinct().persist())
 
-    labels = ranked.select(F.col("r").alias("v"), F.col("r").alias("lab"))
-    # Neighbor-min propagation with FULL pointer compression per
-    # round: one L(v) <- min(L(neighbors), L(v)) step, then an inner
-    # jumping loop L <- L(L) iterated to ITS fixpoint (labels form a
-    # forest rooted at component minima; compression flattens every
-    # tree to depth 1, so the next propagation moves the minimum a
-    # full compressed-tree hop, not one edge). The original
-    # ceil(log2 n)+1 single-shortcut bound under-merged at sf1.0
-    # (146 vs the exact fixpoint oracle's 145 — caught by the sf1.0
-    # hash sweep; stragglers crawled the contracted bridge chain at
-    # O(D)). Convergence is VERIFIED by the would-any-label-move poll,
-    # and both loops raise loudly at their caps.
-    for _outer in range(24):
-        prop = (edges.join(labels, edges.dst == labels.v)
-                .groupBy("src").agg(F.min("lab").alias("nlab")))
-        labels = (labels.join(prop, labels.v == prop.src, "left")
-                  .select("v", F.least("lab", "nlab").alias("lab"))
-                  .localCheckpoint(eager=True))
-        for _inner in range(32):
-            lv = labels.select(F.col("v").alias("_v"),
-                               F.col("lab").alias("_lab"))
-            jumped = (labels.join(lv, labels.lab == lv._v)
-                      .select("v", F.col("_lab").alias("lab"))
-                      .localCheckpoint(eager=True))
-            moved = (jumped.alias("n").join(labels.alias("o"), "v")
-                     .filter(F.col("n.lab") != F.col("o.lab")).count())
-            labels = jumped
-            if moved == 0:
-                break
-        else:
-            raise RuntimeError("components: compression did not "
-                               "converge in 32 jumps")
-        still = (edges.join(labels, edges.dst == labels.v)
-                 .groupBy("src").agg(F.min("lab").alias("nlab"))
-                 .join(labels, F.col("src") == labels.v)
-                 .filter(F.col("nlab") < F.col("lab")).count())
-        if still == 0:
+    # Large-star / small-star alternation (Kiveris et al., "Connected
+    # Components in MapReduce and Beyond", SoCC'14). Each round is two
+    # neighborhood-min contractions over the EDGE relation itself:
+    #   large-star(u): m = min(N(u) ∪ {u}); re-point every strictly
+    #     larger neighbor at m — emit (v, m) for v ∈ N(u), v > u;
+    #   small-star(u): over edges oriented large→small, m = min(N(u));
+    #     emit (v, m) for v ∈ N(u)\{m} plus (u, m).
+    # Both preserve connectivity, monotonically shrink a potential
+    # function, and converge to a star forest rooted at component
+    # minima in O(log n) alternations — this replaces the round-8
+    # polled pointer-doubling loop whose straggler crawl along the
+    # contracted bridge chain was O(D) (it did not converge at sf1.0
+    # within its 24-round cap, and >100 chained rounds overflowed
+    # Catalyst's BigInteger stats). Each round is edge-set-sized keyed
+    # aggregation + join work with map-side combine — no step depends
+    # on component diameter, so the same loop runs on a 100 TB edge
+    # list partitioned by u.
+
+    def _large_star(e):
+        sym = e.union(e.select(F.col("v").alias("u"),
+                               F.col("u").alias("v")))
+        mn = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        return (sym.join(mn, "u")
+                .withColumn("m", F.least("mv", "u"))
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .distinct())
+
+    def _small_star(e):
+        d = (e.select(F.greatest("u", "v").alias("u"),
+                      F.least("u", "v").alias("v"))
+             .filter(F.col("u") != F.col("v")).distinct())
+        mn = d.groupBy("u").agg(F.min("v").alias("m"))
+        kids = (d.join(mn, "u").filter(F.col("v") != F.col("m"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        return kids.union(mn.select("u", F.col("m").alias("v"))).distinct()
+
+    cur = (edges.select(F.greatest(F.col("src"), F.col("dst")).alias("u"),
+                        F.least(F.col("src"), F.col("dst")).alias("v"))
+           .filter(F.col("u") != F.col("v"))
+           .distinct().localCheckpoint(eager=True))
+    for _round in range(50):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        changed = (nxt.subtract(cur).union(cur.subtract(nxt))).count()
+        prev, cur = cur, nxt
+        prev.unpersist()
+        if changed == 0:
             break
     else:
-        raise RuntimeError("components: labels still moving after 24 "
-                           "compressed rounds — raise the cap")
+        raise RuntimeError("components: star alternation did not "
+                           "converge in 50 rounds — raise the cap")
+    # At the fixpoint `cur` is a star forest (u → component minimum);
+    # minima themselves carry no outgoing edge, so label them with
+    # their own id via the left join over the full node set.
+    labels = (ranked.select(F.col("r").alias("v"))
+              .join(cur.select(F.col("u").alias("v"),
+                               F.col("v").alias("root")), "v", "left")
+              .select("v", F.coalesce("root", "v").alias("lab"))
+              .localCheckpoint(eager=True))
+    # Loud convergence invariant retained from the round-8 rewrite:
+    # one neighbor-min propagation step over the ORIGINAL edges must
+    # not be able to lower any label at a true fixpoint.
+    still = (edges.join(labels, edges.dst == labels.v)
+             .groupBy("src").agg(F.min("lab").alias("nlab"))
+             .join(labels, F.col("src") == labels.v)
+             .filter(F.col("nlab") < F.col("lab")).count())
+    if still != 0:
+        raise RuntimeError("components: star-forest fixpoint is not a "
+                           "label fixpoint — algorithm bug")
     return (labels.groupBy(F.col("lab").alias("component"))
             .agg(F.count("*").alias("size"),
                  F.min("v").alias("min_node"),

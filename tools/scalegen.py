@@ -55,7 +55,8 @@ def _ids(spark: SparkSession, n: int, name: str = "id") -> DataFrame:
 
 
 def gen_all(spark: SparkSession, sf: float, out: Path,
-            base: str = "/root/testdata/sf0.1") -> None:
+            base: str = "/root/testdata/sf0.1",
+            sparse_vocab: bool = False) -> None:
     k = sf / 0.1  # row multiplier vs the profiled base
     out.mkdir(parents=True, exist_ok=True)
 
@@ -202,6 +203,19 @@ def gen_all(spark: SparkSession, sf: float, out: Path,
     word = (F.when(widx >= 600, F.lit("dup"))
             .otherwise(F.array(*[F.lit(w) for w in vocab])[
                 F.pmod(widx, F.lit(n_vocab)).cast("int")]))
+    if sparse_vocab:
+        # Sparse-vocabulary mode (VERDICT r8 item 4): a realistic
+        # Heaps type count (V = 2000·√k — thousands of types, not
+        # ~95) so per-term document frequencies are LOW and the
+        # Bayardo et al. 2007 prefix filter has the sparsity it
+        # exploits in real corpora. Same dup-slot rate; synthetic
+        # word ids from an independent hash (widx only spans 0..600).
+        n_sparse = max(2000, int(2000 * k ** 0.5))
+        word = (F.when(widx >= 600, F.lit("dup"))
+                .otherwise(F.format_string(
+                    "w%06d",
+                    F.pmod(F.xxhash64("doc_id", F.col("i"), F.lit(35)),
+                           F.lit(n_sparse)).cast("int"))))
     docs = (d.select(
         "doc_id",
         F.explode(F.sequence(
@@ -221,6 +235,26 @@ def gen_all(spark: SparkSession, sf: float, out: Path,
                      _pick(F.col("doc_id"), 32, 20).cast("string"))
             .alias("source"),
             F.length("text").cast("long").alias("n_chars")))
+    # Controlled duplicate injection (VERDICT r8 item 5): 2% of
+    # documents are duplicates of their immediate predecessor — 1%
+    # exact copies (doc_id % 100 == 1) and 1% near-duplicates with a
+    # single token appended (doc_id % 100 == 51) — so the dedup
+    # family's VERIFY stage processes a nonzero, scale-proportional
+    # final pair count at every sf instead of only exercising the
+    # candidate/prefilter machinery (SCALE_RUN_r8 big_rows=0).
+    pred = docs.select(F.col("doc_id").alias("_sid"),
+                       F.col("text").alias("_stext"))
+    docs = (docs.join(pred, docs.doc_id - 1 == pred._sid, "left")
+            .select(
+                "doc_id",
+                F.when((F.col("doc_id") % 100 == 1)
+                       & F.col("_stext").isNotNull(), F.col("_stext"))
+                .when((F.col("doc_id") % 100 == 51)
+                      & F.col("_stext").isNotNull(),
+                      F.concat(F.col("_stext"), F.lit(" dup")))
+                .otherwise(F.col("text")).alias("text"),
+                "lang", "source")
+            .withColumn("n_chars", F.length("text").cast("long")))
     write(docs, "documents")
 
     # embeddings: unit-norm 64-d float vectors, 10 labels
@@ -244,8 +278,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=1.0)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--sparse-vocab", action="store_true",
+                    help="realistic Heaps type count (thousands) for "
+                         "the documents table — the prefix-filter "
+                         "fixture (VERDICT r8 item 4)")
     args = ap.parse_args()
-    out = Path(args.out or f"/tmp/scale_sf{args.sf:g}")
+    out = Path(args.out or f"/tmp/scale_sf{args.sf:g}"
+               + ("_sparse" if args.sparse_vocab else ""))
     spark = (SparkSession.builder.master("local[16]")
              .appName("scalegen")
              .config("spark.sql.shuffle.partitions", "32")
@@ -253,7 +292,7 @@ def main() -> None:
              .config("spark.driver.memory", "24g")
              .getOrCreate())
     t0 = time.perf_counter()
-    gen_all(spark, args.sf, out)
+    gen_all(spark, args.sf, out, sparse_vocab=args.sparse_vocab)
     print(f"sf{args.sf:g} fixtures at {out} "
           f"in {time.perf_counter()-t0:.0f}s")
 
