@@ -120,12 +120,18 @@ def decode_record(buf: bytes, pos: int,
         elif t == "bytes":
             rec[name], pos = _dec_sized(buf, pos)
         elif t == "boolean":
+            if pos + 1 > len(buf):
+                raise ValueError("avro: truncated record")
             rec[name] = buf[pos] != 0
             pos += 1
         elif t == "double":
+            if pos + 8 > len(buf):
+                raise ValueError("avro: truncated record")
             rec[name] = struct.unpack_from("<d", buf, pos)[0]
             pos += 8
         elif t == "float":
+            if pos + 4 > len(buf):
+                raise ValueError("avro: truncated record")
             rec[name] = struct.unpack_from("<f", buf, pos)[0]
             pos += 4
     return rec, pos

@@ -51,7 +51,18 @@ def build_exif(*, big_endian: bool, width: int, height: int, make: str,
     ifd0_end = ifd0_at + 2 + 12 * n0 + 4
     area = bytearray()
 
+    area_frozen = False
+
     def place(payload: bytes) -> int:
+        # Layout guard: once exif_at is computed, the IFD0 value area
+        # is FROZEN — a later >4-byte payload appended here would
+        # silently shift the Exif IFD past its recorded offset.
+        # Currently unreachable (every post-freeze entry is <= 4
+        # bytes: EXIF pointer LONG, ISO SHORT), asserted so a future
+        # tag addition fails loudly instead of corrupting the blob.
+        assert not area_frozen, \
+            "exif: value area frozen after exif_at — give the Exif " \
+            "IFD its own value area for >4-byte payloads"
         at = ifd0_end + len(area)
         area.extend(payload)
         return at
@@ -69,6 +80,7 @@ def build_exif(*, big_endian: bool, width: int, height: int, make: str,
     ifd0 += full(TAG_ORIENTATION, 3, 1, struct.pack(e + "H", orientation))
     ifd0 += full(TAG_DATETIME, 2, len(dt_b), dt_b)
     exif_at = ifd0_end + len(area)
+    area_frozen = True
     ifd0 += full(TAG_EXIF_IFD, 4, 1, struct.pack(e + "I", exif_at))
     ifd0 += struct.pack(e + "I", 0)  # no IFD1
 

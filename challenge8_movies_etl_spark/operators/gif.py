@@ -68,6 +68,20 @@ def lzw_compress(indices: bytes, min_code_size: int) -> bytes:
         prev = bytes([b])
     if prev:
         emit(table[prev], width)
+        # Phantom-entry width check (giflib convention): the decoder
+        # appends a table entry after EVERY data code — including this
+        # final one, which the encoder follows with no add — and
+        # widens when its table reaches 1<<width. EOI must therefore
+        # be emitted at the widened width when that post-final append
+        # lands exactly on the boundary (next_code here equals the
+        # decoder's post-append table size, since the encoder is one
+        # add behind after the flush emit). Guarded to data codes
+        # that are NOT the first since a CLEAR (the decoder only
+        # appends when it has a prev) — unreachable for
+        # min_code_size >= 2 but exact for the public function.
+        if (next_code > eoi + 1 and next_code == (1 << width)
+                and width < 12):
+            width += 1
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)
@@ -196,14 +210,20 @@ def decode_gif(buf: bytes) -> dict:
         if block == 0x3B:
             raise ValueError("gif: trailer before image data")
         if block == 0x21:
+            if pos >= len(buf):
+                raise ValueError("gif: truncated extension block")
             label = buf[pos]
             pos += 1
             parts = bytearray()
             while True:
+                if pos >= len(buf):
+                    raise ValueError("gif: truncated extension block")
                 n = buf[pos]
                 pos += 1
                 if n == 0:
                     break
+                if pos + n > len(buf):
+                    raise ValueError("gif: truncated extension block")
                 parts += buf[pos:pos + n]
                 pos += n
             if label == 0xFE:

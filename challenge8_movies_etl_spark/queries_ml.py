@@ -2025,7 +2025,8 @@ _ADA_MISS = """(CASE WHEN (CASE WHEN g.feature = 'e0' THEN p.e0
     best2 AS (SELECT * FROM err2 ORDER BY e, feature, thr, pol LIMIT 1),
     w3 AS (
       SELECT p.vec_id, p.e0, p.e1, p.y,
-             p.w * (CASE WHEN {_ADA_MISS} THEN g.s - g.e ELSE g.e END)
+             cast(p.w as hugeint)
+               * (CASE WHEN {_ADA_MISS} THEN g.s - g.e ELSE g.e END)
                AS w
       FROM w2 p, best2 g
     ),
@@ -2085,7 +2086,9 @@ def q_adaboost_stumps(spark, sf_dir):
     split then carry equal mass E*(S-E) — the same 50/50 rebalance
     exp-weights achieve, up to the global factor AdaBoost normalizes
     away). Weighted errors are exact integer aggregates at every round
-    (128-bit in round 3: w <= S1*S2 ~ 1e17 summed over N points), so
+    (128-bit in round 3: w <= S1*S2 ~ N^3, cast to hugeint BEFORE the
+    round-3 product so the int64 multiply can't overflow on a larger
+    fixture — ADVICE r8 — then summed over N points), so
     stump selection is an exact argmin with a deterministic tiebreak —
     no float comparison anywhere in the training path. alpha_t =
     0.5*ln((1-err)/err) appears only as 4dp-rounded OUTPUT, and the

@@ -391,6 +391,36 @@ def test_gif_roundtrip_property(w, h, inter, seed):
     assert rec["indices"] == idx and rec["interlaced"] == inter
 
 
+def test_gif_lzw_eoi_boundary_regression():
+    """Pinned falsifying example (hypothesis w=1,h=13,seed=0, round-8
+    verdict): the decoder's phantom table append after the FINAL data
+    code lands exactly on len(table) == 1<<width, so it widens before
+    reading EOI; the encoder must apply the same phantom-entry width
+    check before emitting EOI or the decoder reads EOI at width+1 and
+    raises 'LZW stream truncated before EOI'."""
+    from challenge8_movies_etl_spark.operators.gif import (
+        lzw_compress, lzw_decompress)
+
+    px = bytes([3, 2, 3, 0, 3, 1, 1, 1, 2, 1, 2, 1, 2])
+    assert lzw_decompress(lzw_compress(px, 2), 2, len(px)) == px
+
+
+def test_gif_lzw_reset_tail_boundary():
+    """Tail-boundary audit mirrored onto the 4096-reset path: long
+    low-entropy streams that cross multiple CLEAR resets and end at
+    assorted offsets past the reset must roundtrip (the phantom-entry
+    check is guarded to codes that are not the first since a CLEAR)."""
+    from challenge8_movies_etl_spark.operators.gif import (
+        lzw_compress, lzw_decompress)
+
+    import hashlib
+    base = bytes(hashlib.md5(f"t-{i}".encode()).digest()[0] % 4
+                 for i in range(30000))
+    for tail in (0, 1, 2, 3, 7, 29, 311):
+        px = base[:20000 + tail]
+        assert lzw_decompress(lzw_compress(px, 2), 2, len(px)) == px
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.integers(0, 2 ** 62), st.integers(-2 ** 62, 2 ** 62),
        st.text(max_size=10), st.floats(allow_nan=False, width=64),
