@@ -1792,15 +1792,17 @@ def q_geoip_lookup(spark, sf_dir):
     nation, /11-or-/12-sized so coverage varies), event IPs are
     md5-seeded uniforms over the space, and each IP takes the
     LONGEST-PREFIX match (highest block base that contains it — the
-    actual routing-table rule, expressed as one row_number over the
-    containing blocks). The block table is tiny at any corpus size ->
-    broadcast range join, never a shuffle of the event side; the
-    per-region rollup map-side combines.
+    actual routing-table rule, expressed as a per-event max_by over
+    the containing blocks). The block table is tiny at any corpus
+    size -> broadcast range join, never a shuffle of the event side;
+    the per-event argmax is a groupBy(max_by) so it PARTIAL-AGGREGATES
+    below the exchange (VERDICT r8 item 7 — the previous
+    event_id-partitioned row_number shuffled the full hit set with no
+    map-side combine), and the per-region rollup map-side combines
+    too.
 
     Exactness: integer block bounds, integer md5-derived IPs, integer
     counts — no floats anywhere."""
-    from pyspark.sql import Window as W
-
     n = load_table(spark, sf_dir, "nation")
     e = load_table(spark, sf_dir, "events")
     blocks = n.select(
@@ -1815,14 +1817,13 @@ def q_geoip_lookup(spark, sf_dir):
             F.md5(F.concat(F.col("event_id").cast("string"),
                            F.lit(":ip8"))), 1, 8), 16, 10)
          .cast("bigint") % 52428800).alias("ip"))
-    joined = (hits.join(F.broadcast(blocks),
-                        (F.col("ip") >= F.col("lo"))
-                        & (F.col("ip") <= F.col("hi")))
-              .withColumn("rk", F.row_number().over(
-                  W.partitionBy("event_id").orderBy(F.desc("lo")))))
-    return (joined.filter(F.col("rk") == 1)
-            .groupBy(F.col("n_name").alias("region"))
+    joined = hits.join(F.broadcast(blocks),
+                       (F.col("ip") >= F.col("lo"))
+                       & (F.col("ip") <= F.col("hi")))
+    best = (joined.groupBy("event_id")
+            .agg(F.max_by(F.struct("n_name", "ip"), "lo").alias("b")))
+    return (best.groupBy(F.col("b.n_name").alias("region"))
             .agg(F.count("*").alias("n_events"),
-                 F.min("ip").alias("min_ip"),
-                 F.max("ip").alias("max_ip"))
+                 F.min("b.ip").alias("min_ip"),
+                 F.max("b.ip").alias("max_ip"))
             .orderBy("region"))

@@ -64,48 +64,40 @@ def query(name: str, oracle: str | None = None):
 # a driver row, then the remaining never-driver-sampled queries in registry
 # order.  DRIVER_COVERAGE.md tracks the sampled/never-sampled ledger.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-8 rotation (DRIVER_COVERAGE.md; VERDICT r7 item 1): no
-    # reds exist after r7, so the front is (a) the four queries NEW
-    # in round 8 (WET/WAT derivation, RFC 9309 wildcard evaluation,
-    # robots-aware frontier composition — the changed-code queries
-    # q_robots_decide / q_http_dechunk / q_text_decompress /
-    # q_knn_join were driver-green in earlier rounds, are unchanged
-    # in RESULT at every fixture scale, and their new code paths are
-    # better covered by the new qids + unit tests, so their slots go
-    # to union growth), then (b) 46 never-driver-sampled queries in
-    # VERDICT r7 priority order: ML/two-phase siblings and late-r5
-    # waves first, then streaming/layout, retrieval-eval metrics,
-    # codec tails, graph, curation/search.
-    # --- (a) round-8 new ---
-    "q_wet_extract", "q_wat_extract",
-    "q_robots_wildcard", "q_frontier_robots",
-    "q_warc_revisit", "q_url_canonicalize",
-    # --- (b1) ML / two-phase siblings (never sampled) ---
-    "q_dedup_semdedup", "q_naive_bayes", "q_ridge_2feat",
-    "q_logistic_train", "q_crossval_ols", "q_outlier_isoforest",
-    "q_label_noise", "q_spatial_knn",
-    # --- (b2) streaming / layout / pysource (never sampled) ---
-    "q_stream_topk", "q_stream_backfill", "q_stream_late_data",
-    "q_stream_update_mode", "q_observe_metrics",
-    "q_partitioned_pruned_scan", "q_join_bucketed", "q_bitmap_index",
-    "q_cogroup_asof", "q_pysource_scan", "q_pysource_stream",
-    # --- (b3) retrieval / eval metrics (never sampled) ---
-    "q_matryoshka_recall", "q_mrr", "q_roc_auc",
-    "q_average_precision", "q_rouge_n", "q_agreement_metrics",
-    "q_mcnemar_test",
-    # --- (b4) codec tails (never sampled) ---
-    "q_audio_decode_float", "q_audio_decode_mulaw",
-    "q_video_chroma422", "q_multimodal_decode_adam7",
-    # --- (b5) graph (never sampled) ---
-    "q_graph_hits", "q_graph_random_walks", "q_graph_betweenness",
-    "q_graph_closeness", "q_graph_link_predict",
-    "q_graph_degree_dist", "q_textrank_keywords",
-    # --- (b6) curation / search / misc (never sampled) ---
-    "q_coverage_select", "q_erasure_purge", "q_t_closeness",
-    "q_mmr_rerank", "q_hard_negatives", "q_inverted_index",
-    "q_token_count_bpe",
-    # (q_dedup_threshold_curve / q_quantile_normalize yielded their
-    # slots to the late round-8 additions; they lead the r9 queue)
+    # round-9 rotation (DRIVER_COVERAGE.md; VERDICT r8 item 3): no
+    # reds exist after r8 (50/50 green), so all 50 slots go to
+    # never-driver-sampled queries from the 84-strong pool (the r8
+    # verdict corrected DRIVER_COVERAGE's 82 miscount), in VERDICT
+    # r8 priority order: (a) the two queries that lost their r8
+    # slots to late additions, (b) the 20 round-8 post-rotation
+    # registrations (interchange-format wave, crawl/eval/pipeline
+    # additions, ML/stats close wave — q_geoip_lookup carries the
+    # round-9 map-side-combine rewrite, so its first driver row
+    # exercises the new plan), then (c) 28 of the r7
+    # stats/timeseries/analytics tail in registry order. The 34
+    # remaining never-sampled queue for r10, closing the union at
+    # the r10 rotation.
+    # --- (a) lost their r8 slots ---
+    "q_dedup_threshold_curve", "q_quantile_normalize",
+    # --- (b) round-8 post-rotation registrations ---
+    "q_recrawl_schedule", "q_bleu", "q_snippet_extract",
+    "q_token_budget_mix", "q_deletion_vectors", "q_hilbert_layout",
+    "q_zip_extract", "q_avro_extract", "q_protobuf_extract",
+    "q_cbor_extract", "q_image_exif", "q_gif_decode",
+    "q_adaboost_stumps", "q_tost_equivalence", "q_sprt",
+    "q_parquet_footer_stats", "q_randomized_response",
+    "q_successive_halving", "q_geoip_lookup", "q_bitemporal_asof",
+    # --- (c) r7 stats/timeseries/analytics tail, registry order ---
+    "q_chao1_richness", "q_embed_random_projection",
+    "q_pps_systematic", "q_attribution_linear", "q_cohort_ltv",
+    "q_skyline", "q_weighted_percentile", "q_temporal_join",
+    "q_gaps_islands", "q_markov_attribution", "q_huber_regression",
+    "q_capture_recapture", "q_seasonal_decompose", "q_mann_kendall",
+    "q_kendall_tau", "q_theil_sen", "q_spearman_corr",
+    "q_haar_wavelet", "q_ohlc_bars", "q_max_drawdown",
+    "q_runs_test", "q_poisson_dispersion", "q_burst_detect",
+    "q_array_setops", "q_table_fingerprint", "q_k_anonymity",
+    "q_agg_string", "q_shuffle_deterministic",
 )
 
 
