@@ -2273,9 +2273,34 @@ def q_tfidf_cosine_pairs(spark, sf_dir):
     hot), with decimal-exact reductions so the scores hash-match.
 
     Scale: idf needs one |vocab|-row aggregate; norms one |docs|-row
-    aggregate; the pair join shuffles (term, doc, weight) postings —
-    at 100 TB add the max_df valve (hot terms carry ~zero idf weight,
-    so dropping them from the join loses ~nothing of the score)."""
+    aggregate. The pair computation is PLANNED (VERDICT r8 item 4):
+    on sparse real vocabularies the prefix filter (Chaudhuri/Ganti/
+    Kaushik ICDE'06; Bayardo/Ma/Srikant "Scaling Up All Pairs
+    Similarity Search", WWW'07) indexes only each doc's head under a
+    GLOBAL term order (ascending df, tie term — rarest-first, so
+    prefix postings are the SHORTEST lists and idf puts the weight
+    mass in the head) — the minimal head whose remaining tail has
+    l2 norm < t. With a global order the filter is SYMMETRIC: for
+    any pair with cos >= t the two prefixes must share a term (if
+    P(x) and P(y) are disjoint, every shared term sorts after the
+    shorter prefix's boundary, i.e. lies in that doc's tail, so
+    cos = x_tail·y <= ||x_tail|| < t) — so candidates come from the
+    prefix-vs-prefix self-join, quadratically smaller than
+    prefix-vs-full on low-similarity corpora, and only candidate
+    pairs are exactly verified. The
+    filter is LOSSLESS (a 1e-6 threshold margin covers the float
+    tail-norm computation), so the quadratic-twin oracle is unchanged
+    and the hash check doubles as the losslessness test. The planner
+    valve is the measured prefix shrink ratio |prefix|/|postings|
+    (two bounded counts on persisted frames): below 0.5 the filtered
+    plan runs (sparse corpora — prefixes are a vanishing fraction as
+    df falls, the df-bound that makes this near-linear); above it the
+    direct partial-aggregated posting join is cheaper (dense fixture:
+    candidates ~ all co-occurring pairs, and materializing the
+    distinct candidate set just adds a shuffle). At 100 TB real
+    vocabularies are Heaps-sparse, so the prefix path is the default
+    in practice; hot terms additionally carry ~zero idf weight, so a
+    max_df valve composes for adversarial skew."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id",
                    F.explode(F.split("text", " ")).alias("term"))
@@ -2285,15 +2310,54 @@ def q_tfidf_cosine_pairs(spark, sf_dir):
     stats = tf.select(F.countDistinct("doc_id").alias("n"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     w = (tf.join(dfreq, "term").crossJoin(F.broadcast(stats))
-         .select("doc_id", "term",
+         .select("doc_id", "term", "df",
                  (F.col("tf") * F.log((F.col("n") + 1.0)
                                       / (F.col("df") + 1.0))).alias("w")))
-    w = w.persist()
     nrm = (w.groupBy("doc_id")
            .agg(F.sqrt(F.sum((F.col("w") * F.col("w")).cast(DEC))
                        .cast("double")).alias("nrm")))
     u = (w.join(nrm, "doc_id")
-         .select("doc_id", "term", (F.col("w") / F.col("nrm")).alias("u")))
+         .select("doc_id", "term", "df",
+                 (F.col("w") / F.col("nrm")).alias("u"))
+         .persist())
+
+    t = 0.9
+    # Global term order = (df asc, term asc): tail2 is the l2 mass of
+    # the doc's common-term tail; keep a posting in the prefix index
+    # while the tail STARTING at it still reaches t (1e-6 margin
+    # covers the float tail-norm computation, so the filter is
+    # lossless and the unchanged quadratic oracle doubles as the
+    # losslessness check).
+    win = (W.partitionBy("doc_id").orderBy("df", "term")
+           .rowsBetween(W.currentRow, W.unboundedFollowing))
+    tail2 = (F.sum((F.col("u") * F.col("u")).cast(DEC)).over(win)
+             .cast("double"))
+    prefix = (u.withColumn("_t2", tail2)
+              .filter(F.col("_t2") >= (t - 1e-6) ** 2)
+              .select("doc_id", "term").persist())
+    n_post = u.count()
+    n_pre = prefix.count()
+
+    if n_pre < 0.5 * n_post:
+        # Sparse corpus: symmetric prefix-vs-prefix candidates +
+        # exact verify of candidate pairs only.
+        cand = (prefix.alias("p").join(prefix.alias("q"), "term")
+                .filter(F.col("p.doc_id") < F.col("q.doc_id"))
+                .select(F.col("p.doc_id").alias("doc_a"),
+                        F.col("q.doc_id").alias("doc_b"))
+                .distinct())
+        av = (cand.join(u.alias("a"), F.col("a.doc_id") == F.col("doc_a"))
+              .select("doc_a", "doc_b", F.col("a.term").alias("_term"),
+                      F.col("a.u").alias("ua")))
+        return (av.join(u.alias("b"),
+                        (F.col("b.doc_id") == F.col("doc_b"))
+                        & (F.col("b.term") == F.col("_term")))
+                .groupBy("doc_a", "doc_b")
+                .agg(F.sum((F.col("ua") * F.col("b.u")).cast(DEC))
+                     .cast("double").alias("_c"))
+                .filter(F.col("_c") >= t)
+                .select("doc_a", "doc_b", F.round("_c", 4).alias("cos")))
+
     a, b = u.alias("ua"), u.alias("ub")
     return (a.join(b, (F.col("ua.term") == F.col("ub.term"))
                    & (F.col("ua.doc_id") < F.col("ub.doc_id")))
@@ -2301,7 +2365,7 @@ def q_tfidf_cosine_pairs(spark, sf_dir):
                      F.col("ub.doc_id").alias("doc_b"))
             .agg(F.sum((F.col("ua.u") * F.col("ub.u")).cast(DEC))
                  .cast("double").alias("_c"))
-            .filter(F.col("_c") >= 0.9)
+            .filter(F.col("_c") >= t)
             .select("doc_a", "doc_b", F.round("_c", 4).alias("cos")))
 
 
