@@ -626,3 +626,242 @@ def q_bitemporal_asof(spark, sf_dir):
                  F.round(F.sum(F.col("price").cast("decimal(30,10)")), 2)
                  .cast("double").alias("total_price"))
             .orderBy("o_orderstatus"))
+
+
+# ---------------------------------------------------------------------------
+# q_time_travel_read — snapshot-isolation reads over an append + DV log
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_time_travel_read",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey // 1000 AS file_id,
+             o_orderkey % 1000 AS pos,
+             o_orderkey, o_totalprice,
+             0 AS added_at
+      FROM orders
+    ),
+    appended AS (
+      SELECT 100000 + o_orderkey // 1000 AS file_id,
+             o_orderkey % 1000 AS pos,
+             o_orderkey, o_totalprice * 2 AS o_totalprice,
+             2 AS added_at
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    rows_all AS (
+      SELECT * FROM base UNION ALL SELECT * FROM appended
+    ),
+    dv AS (
+      SELECT file_id, pos, 1 AS deleted_at FROM base
+      WHERE o_orderkey % 7 = 3
+      UNION ALL
+      SELECT file_id, pos, 3 FROM rows_all WHERE o_orderkey % 11 = 5
+    ),
+    first_del AS (
+      SELECT file_id, pos, min(deleted_at) AS deleted_at
+      FROM dv GROUP BY 1, 2
+    ),
+    lifetimed AS (
+      SELECT r.*, coalesce(d.deleted_at, 1000000) AS deleted_at
+      FROM rows_all r
+      LEFT JOIN first_del d
+        ON r.file_id = d.file_id AND r.pos = d.pos
+    ),
+    snapshots AS (
+      SELECT unnest(range(0, 4)) AS snapshot_id
+    )
+    SELECT s.snapshot_id,
+           cast(count(*) as bigint) AS n_live_rows,
+           cast(count(DISTINCT l.file_id) as bigint) AS n_live_files,
+           cast(round(sum(cast(l.o_totalprice as decimal(30,10))), 2)
+                as double) AS total_price
+    FROM snapshots s
+    JOIN lifetimed l
+      ON l.added_at <= s.snapshot_id AND l.deleted_at > s.snapshot_id
+    GROUP BY s.snapshot_id
+    ORDER BY s.snapshot_id
+    """,
+)
+def q_time_travel_read(spark, sf_dir):
+    """Snapshot-isolation time-travel reads over a lakehouse commit
+    log (VERDICT r8 item 8 — the composition of q_deletion_vectors'
+    merge-on-read positional deletes with versioned visibility):
+    commit 0 writes the base files, commit 1 a deletion vector,
+    commit 2 appends new files (a price-doubled reprocess of every
+    10th order), commit 3 a second DV that also reaches the appended
+    files. A read AS OF snapshot s sees exactly the rows whose adding
+    commit is <= s and whose earliest tombstone (if any) is > s —
+    Iceberg/Delta time travel compiled to its relational core. The
+    query audits all four snapshots at once: live row count, live
+    file count, and the exact decimal total the reader would return.
+
+    Scale: per-row visibility is an interval [added_at, deleted_at)
+    computed ONCE via one keyed left join against the min-aggregated
+    tombstone set (never one anti-join per snapshot); the snapshot
+    axis is a 4-row broadcast range join, and the rollup map-side
+    combines. At 100 TB the manifest prunes files by added_at before
+    any data read — the same added_at <= s predicate this plan pushes
+    into the scan."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        (F.col("o_orderkey") / 1000).cast("bigint").alias("file_id"),
+        (F.col("o_orderkey") % 1000).alias("pos"),
+        "o_orderkey", "o_totalprice",
+        F.lit(0).alias("added_at"))
+    appended = (o.filter(F.col("o_orderkey") % 10 == 0)
+                .select((100000 + F.col("o_orderkey") / 1000)
+                        .cast("bigint").alias("file_id"),
+                        (F.col("o_orderkey") % 1000).alias("pos"),
+                        "o_orderkey",
+                        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+                        F.lit(2).alias("added_at")))
+    rows_all = base.unionByName(appended)
+    dv = (base.filter(F.col("o_orderkey") % 7 == 3)
+          .select("file_id", "pos", F.lit(1).alias("deleted_at"))
+          .unionByName(
+              rows_all.filter(F.col("o_orderkey") % 11 == 5)
+              .select("file_id", "pos", F.lit(3).alias("deleted_at"))))
+    first_del = (dv.groupBy("file_id", "pos")
+                 .agg(F.min("deleted_at").alias("deleted_at")))
+    lifetimed = (rows_all
+                 .join(F.broadcast(first_del), ["file_id", "pos"], "left")
+                 .withColumn("deleted_at",
+                             F.coalesce("deleted_at", F.lit(1000000))))
+    snapshots = spark.range(0, 4).select(
+        F.col("id").cast("bigint").alias("snapshot_id"))
+    return (F.broadcast(snapshots)
+            .join(lifetimed,
+                  (F.col("added_at") <= F.col("snapshot_id"))
+                  & (F.col("deleted_at") > F.col("snapshot_id")))
+            .groupBy("snapshot_id")
+            .agg(F.count("*").cast("long").alias("n_live_rows"),
+                 F.countDistinct("file_id").cast("long")
+                 .alias("n_live_files"),
+                 F.round(F.sum(F.col("o_totalprice")
+                               .cast("decimal(30,10)")), 2)
+                 .cast("double").alias("total_price"))
+            .orderBy("snapshot_id"))
+
+
+# ---------------------------------------------------------------------------
+# q_hilbert_recluster — incremental re-clustering decisions (OPTIMIZE plan)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_hilbert_recluster",
+    oracle=f"""
+    WITH b AS (
+      SELECT o_orderkey,
+             o_custkey % {_HIL_N} AS x0,
+             (datediff('day', DATE '1992-01-01',
+                       cast(o_orderdate as date)) // 256) % {_HIL_N} AS y0,
+             o_custkey % {_HIL_N} AS x,
+             (datediff('day', DATE '1992-01-01',
+                       cast(o_orderdate as date)) // 256) % {_HIL_N} AS y,
+             0 AS d
+      FROM orders
+    ), {_HIL_CTES},
+    placed AS (
+      SELECT o_orderkey, d,
+             CASE WHEN o_orderkey % 10 = 0
+                  THEN 1000 + (o_orderkey // 10) % 4
+                  ELSE d // {_HIL_N} END AS file_id
+      FROM {_HIL_LAST}
+    ),
+    env AS (
+      SELECT file_id, count(*) AS n_rows,
+             min(d) AS min_d, max(d) AS max_d
+      FROM placed GROUP BY file_id
+    ),
+    ov AS (
+      SELECT a.file_id,
+             count(*) AS n_overlaps
+      FROM env a JOIN env b
+        ON a.file_id != b.file_id
+       AND a.min_d <= b.max_d AND b.min_d <= a.max_d
+      GROUP BY a.file_id
+    )
+    SELECT env.file_id,
+           cast(n_rows as bigint) AS n_rows,
+           cast(max_d - min_d as bigint) AS d_span,
+           cast(coalesce(n_overlaps, 0) as bigint) AS n_overlaps,
+           coalesce(n_overlaps, 0) >= 2
+             OR max_d - min_d >= {2 * _HIL_N} AS rewrite,
+           cast(CASE WHEN coalesce(n_overlaps, 0) >= 2
+                       OR max_d - min_d >= {2 * _HIL_N}
+                     THEN coalesce(n_overlaps, 0) * n_rows
+                     ELSE 0 END as bigint) AS priority
+    FROM env LEFT JOIN ov ON env.file_id = ov.file_id
+    ORDER BY env.file_id
+    """,
+)
+def q_hilbert_recluster(spark, sf_dir):
+    """Incremental re-clustering decisions over the Hilbert layout
+    (VERDICT r8 item 8 — q_hilbert_layout proves the curve bijection;
+    THIS is its 100 TB use): after appends land, every 10th order
+    sits in one of four arrival-ordered overflow files instead of its
+    curve position, so file envelopes on the Hilbert index start to
+    overlap — exactly the degradation Delta OPTIMIZE / Iceberg
+    rewrite_data_files watches. The planner computes each file's
+    curve envelope [min_d, max_d], counts envelope overlaps via the
+    standard interval self-join, and flags for rewrite any file with
+    >= 2 overlapping neighbors or a curve span >= 2 grid rows;
+    priority = overlaps x rows ranks the rewrite queue so the
+    maintenance budget goes where a rewrite buys the most scan
+    pruning back.
+
+    Scale: envelopes are one map-side-combined aggregate per file —
+    the planner's input is FILE COUNT-sized, not row-count-sized, so
+    the overlap self-join runs on metadata (thousands of rows at
+    100 TB) exactly like a manifest-level planner; the curve index
+    itself is the same zero-shuffle integer stage pipeline as
+    q_hilbert_layout."""
+    o = load_table(spark, sf_dir, "orders")
+    day = ((F.datediff(F.col("o_orderdate").cast("date"),
+                       F.lit("1992-01-01").cast("date"))
+            / F.lit(256)).cast("bigint") % _HIL_N)
+    df = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % _HIL_N).alias("x0"), day.alias("y0"),
+        (F.col("o_custkey") % _HIL_N).alias("x"), day.alias("y"),
+        F.lit(0).alias("d"))
+    s = _HIL_N // 2
+    while s > 0:
+        df = df.selectExpr("o_orderkey", "x0", "y0",
+                           *_hilbert_stage(s, _HIL_N))
+        s //= 2
+    placed = df.select(
+        "o_orderkey", "d",
+        F.when(F.col("o_orderkey") % 10 == 0,
+               1000 + (F.col("o_orderkey") / 10).cast("bigint") % 4)
+        .otherwise((F.col("d") / _HIL_N).cast("bigint"))
+        .alias("file_id"))
+    env = (placed.groupBy("file_id")
+           .agg(F.count("*").alias("n_rows"),
+                F.min("d").alias("min_d"), F.max("d").alias("max_d"))
+           .persist())
+    ov = (env.alias("a").join(
+            env.select(F.col("file_id").alias("_f"),
+                       F.col("min_d").alias("_lo"),
+                       F.col("max_d").alias("_hi")),
+            (F.col("a.file_id") != F.col("_f"))
+            & (F.col("a.min_d") <= F.col("_hi"))
+            & (F.col("_lo") <= F.col("a.max_d")))
+          .groupBy("a.file_id")
+          .agg(F.count("*").alias("n_overlaps")))
+    rewrite = (F.coalesce("n_overlaps", F.lit(0)) >= 2) | \
+        (F.col("max_d") - F.col("min_d") >= 2 * _HIL_N)
+    return (env.join(ov, "file_id", "left")
+            .select("file_id",
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    (F.col("max_d") - F.col("min_d")).cast("long")
+                    .alias("d_span"),
+                    F.coalesce("n_overlaps", F.lit(0)).cast("long")
+                    .alias("n_overlaps"),
+                    rewrite.alias("rewrite"),
+                    F.when(rewrite,
+                           F.coalesce("n_overlaps", F.lit(0))
+                           * F.col("n_rows"))
+                    .otherwise(0).cast("long").alias("priority"))
+            .orderBy("file_id"))
