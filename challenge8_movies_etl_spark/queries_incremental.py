@@ -865,3 +865,132 @@ def q_hilbert_recluster(spark, sf_dir):
                            * F.col("n_rows"))
                     .otherwise(0).cast("long").alias("priority"))
             .orderBy("file_id"))
+
+
+# ---------------------------------------------------------------------------
+# q_vacuum_plan — snapshot-expire / physical-delete planning
+# ---------------------------------------------------------------------------
+
+_VAC_RETAIN = 2  # snapshots >= this id are still readable (time travel)
+
+
+@query(
+    "q_vacuum_plan",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey // 1000 AS file_id,
+             o_orderkey % 1000 AS pos,
+             o_orderkey, 0 AS added_at
+      FROM orders
+    ),
+    appended AS (
+      SELECT 100000 + o_orderkey // 1000 AS file_id,
+             o_orderkey % 1000 AS pos,
+             o_orderkey, 2 AS added_at
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    rows_all AS (
+      SELECT * FROM base UNION ALL SELECT * FROM appended
+    ),
+    dv AS (
+      SELECT file_id, pos, 1 AS deleted_at FROM base
+      WHERE o_orderkey % 7 = 3
+      UNION ALL
+      SELECT file_id, pos, 3 FROM rows_all WHERE o_orderkey % 11 = 5
+    ),
+    first_del AS (
+      SELECT file_id, pos, min(deleted_at) AS deleted_at
+      FROM dv GROUP BY 1, 2
+    ),
+    lifetimed AS (
+      SELECT r.file_id, r.added_at,
+             coalesce(d.deleted_at, 1000000) AS deleted_at
+      FROM rows_all r
+      LEFT JOIN first_del d
+        ON r.file_id = d.file_id AND r.pos = d.pos
+    ),
+    per_file AS (
+      SELECT file_id,
+             min(added_at) AS added_at,
+             count(*) AS n_rows,
+             max(deleted_at) AS last_death,
+             sum(CASE WHEN deleted_at <= {_VAC_RETAIN}
+                      THEN 1 ELSE 0 END) AS n_dead_by_retain
+      FROM lifetimed GROUP BY file_id
+    )
+    SELECT
+      cast(count(*) as bigint) AS n_files,
+      cast(sum(CASE WHEN last_death <= {_VAC_RETAIN} THEN 1 ELSE 0 END)
+           as bigint) AS n_vacuumable,
+      cast(sum(CASE WHEN last_death <= {_VAC_RETAIN} THEN n_rows
+               ELSE 0 END) as bigint) AS rows_reclaimed,
+      cast(sum(CASE WHEN last_death > {_VAC_RETAIN}
+                     AND n_dead_by_retain * 2 > n_rows
+               THEN 1 ELSE 0 END) as bigint) AS n_rewrite_candidates,
+      cast(sum(CASE WHEN last_death > {_VAC_RETAIN}
+               THEN n_dead_by_retain ELSE 0 END) as bigint)
+        AS tombstones_carried
+    FROM per_file
+    """,
+)
+def q_vacuum_plan(spark, sf_dir):
+    """VACUUM / snapshot-expire planning over the same commit log as
+    q_time_travel_read — the third leg of the lakehouse maintenance
+    triad (read: time travel; cluster: q_hilbert_recluster; reclaim:
+    THIS). With snapshots >= 2 still readable, a data file is
+    physically deletable only when EVERY row in it was tombstoned at
+    or before the retention horizon (last_death <= 2 — no retained
+    snapshot can see it); files that survive but carry a majority of
+    retained-horizon tombstones are rewrite candidates (merge-on-read
+    is paying an anti-join for more than half the file), and the
+    plan also totals the tombstones the reader must keep carrying.
+    One-row summary: files audited, files vacuumable, rows reclaimed,
+    rewrite candidates, tombstones carried.
+
+    Scale: the whole plan is manifest-sized — per-row lifetimes
+    reduce to per-file (min added, max death, dead count) in one
+    map-side-combined aggregate, then a one-row rollup; nothing
+    downstream of the scan is row-count-sized. This is exactly the
+    metadata pass Delta VACUUM DRY RUN / Iceberg expire_snapshots
+    runs before touching storage."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        (F.col("o_orderkey") / 1000).cast("bigint").alias("file_id"),
+        (F.col("o_orderkey") % 1000).alias("pos"),
+        "o_orderkey", F.lit(0).alias("added_at"))
+    appended = (o.filter(F.col("o_orderkey") % 10 == 0)
+                .select((100000 + F.col("o_orderkey") / 1000)
+                        .cast("bigint").alias("file_id"),
+                        (F.col("o_orderkey") % 1000).alias("pos"),
+                        "o_orderkey", F.lit(2).alias("added_at")))
+    rows_all = base.unionByName(appended)
+    dv = (base.filter(F.col("o_orderkey") % 7 == 3)
+          .select("file_id", "pos", F.lit(1).alias("deleted_at"))
+          .unionByName(
+              rows_all.filter(F.col("o_orderkey") % 11 == 5)
+              .select("file_id", "pos", F.lit(3).alias("deleted_at"))))
+    first_del = (dv.groupBy("file_id", "pos")
+                 .agg(F.min("deleted_at").alias("deleted_at")))
+    lifetimed = (rows_all
+                 .join(F.broadcast(first_del), ["file_id", "pos"], "left")
+                 .select("file_id", "added_at",
+                         F.coalesce("deleted_at", F.lit(1000000))
+                         .alias("deleted_at")))
+    per_file = (lifetimed.groupBy("file_id")
+                .agg(F.min("added_at").alias("added_at"),
+                     F.count("*").alias("n_rows"),
+                     F.max("deleted_at").alias("last_death"),
+                     F.sum(F.when(F.col("deleted_at") <= _VAC_RETAIN, 1)
+                           .otherwise(0)).alias("n_dead_by_retain")))
+    vac = F.col("last_death") <= _VAC_RETAIN
+    return per_file.agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum(F.when(vac, 1).otherwise(0)).cast("long")
+        .alias("n_vacuumable"),
+        F.sum(F.when(vac, F.col("n_rows")).otherwise(0)).cast("long")
+        .alias("rows_reclaimed"),
+        F.sum(F.when((~vac) & (F.col("n_dead_by_retain") * 2
+                               > F.col("n_rows")), 1).otherwise(0))
+        .cast("long").alias("n_rewrite_candidates"),
+        F.sum(F.when(~vac, F.col("n_dead_by_retain")).otherwise(0))
+        .cast("long").alias("tombstones_carried"))
