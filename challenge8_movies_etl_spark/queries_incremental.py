@@ -994,3 +994,94 @@ def q_vacuum_plan(spark, sf_dir):
         .cast("long").alias("n_rewrite_candidates"),
         F.sum(F.when(~vac, F.col("n_dead_by_retain")).otherwise(0))
         .cast("long").alias("tombstones_carried"))
+
+
+# ---------------------------------------------------------------------------
+# q_partition_evolution — planning across evolved partition specs
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_partition_evolution",
+    oracle="""
+    WITH placed AS (
+      SELECT o_orderkey,
+             CASE WHEN cast(o_orderdate as date) < DATE '1995-01-01'
+                  THEN 0 ELSE 1 END AS spec_id,
+             CASE WHEN cast(o_orderdate as date) < DATE '1995-01-01'
+                  THEN cast(year(cast(o_orderdate as date)) as varchar)
+                  ELSE strftime(cast(o_orderdate as date), '%Y-%m')
+             END AS part,
+             cast(o_orderdate as date) AS d
+      FROM orders
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN spec_id = 0
+                  THEN year(d) BETWEEN 1994 AND 1995
+                  ELSE part BETWEEN '1995-01' AND '1995-03'
+                   OR part BETWEEN '1994-06' AND '1994-12'
+             END AS scanned,
+             d BETWEEN DATE '1994-06-01' AND DATE '1995-03-31'
+               AS matching
+      FROM placed
+    )
+    SELECT spec_id,
+           cast(count(DISTINCT part) as bigint) AS n_partitions,
+           cast(count(DISTINCT CASE WHEN scanned THEN part END)
+                as bigint) AS n_scanned_partitions,
+           cast(sum(CASE WHEN scanned THEN 1 ELSE 0 END) as bigint)
+             AS rows_scanned,
+           cast(sum(CASE WHEN matching THEN 1 ELSE 0 END) as bigint)
+             AS rows_matching,
+           cast(sum(CASE WHEN scanned AND NOT matching THEN 1 ELSE 0 END)
+                as bigint) AS rows_wasted
+    FROM flagged GROUP BY spec_id ORDER BY spec_id
+    """,
+)
+def q_partition_evolution(spark, sf_dir):
+    """Partition-spec evolution (Iceberg v2 semantics): data written
+    before 1995 sits under spec 0 (partitioned by YEAR), later data
+    under spec 1 (by MONTH) — the table carries both layouts forever,
+    and a planner must prune EACH file under the spec it was written
+    with. For the predicate orderdate IN [1994-06-01, 1995-03-31],
+    spec-0 files prune only to year granularity (all of 1994 scans —
+    five months of it wasted), spec-1 files prune to the exact three
+    months. The audit reports, per spec: partition count, partitions
+    scanned, rows scanned vs rows actually matching, and the wasted
+    rows — the read-amplification number that tells an operator when
+    a legacy-spec rewrite pays for itself.
+
+    Scale: pruning decisions are pure partition-value expressions
+    (manifest-level, no data read in a real table); here they are
+    scan-level codegen CASEs and one map-side-combined rollup per
+    spec. The 100 TB lesson is the point: spec evolution means old
+    files keep coarse pruning — this query quantifies exactly what
+    that costs."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    spec = F.when(d < F.lit("1995-01-01").cast("date"), 0).otherwise(1)
+    part = (F.when(spec == 0, F.year(d).cast("string"))
+            .otherwise(F.date_format(d, "yyyy-MM")))
+    placed = o.select("o_orderkey", spec.alias("spec_id"),
+                      part.alias("part"), d.alias("d"))
+    scanned = (F.when(F.col("spec_id") == 0,
+                      F.year("d").between(1994, 1995))
+               .otherwise(F.col("part").between("1995-01", "1995-03")
+                          | F.col("part").between("1994-06", "1994-12")))
+    matching = F.col("d").between(F.lit("1994-06-01").cast("date"),
+                                  F.lit("1995-03-31").cast("date"))
+    return (placed
+            .withColumn("scanned", scanned)
+            .withColumn("matching", matching)
+            .groupBy("spec_id")
+            .agg(F.countDistinct("part").cast("long")
+                 .alias("n_partitions"),
+                 F.countDistinct(F.when(F.col("scanned"), F.col("part")))
+                 .cast("long").alias("n_scanned_partitions"),
+                 F.sum(F.when(F.col("scanned"), 1).otherwise(0))
+                 .cast("long").alias("rows_scanned"),
+                 F.sum(F.when(F.col("matching"), 1).otherwise(0))
+                 .cast("long").alias("rows_matching"),
+                 F.sum(F.when(F.col("scanned") & ~F.col("matching"), 1)
+                       .otherwise(0)).cast("long").alias("rows_wasted"))
+            .orderBy("spec_id"))

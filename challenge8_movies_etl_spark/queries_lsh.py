@@ -151,3 +151,136 @@ def q_embed_lsh(spark, sf_dir):
                    .alias("cos")))
     return (ver.filter(F.col("cos") >= _TAU)
             .orderBy(F.desc("cos"), "va", "vb").limit(20))
+
+
+# ---------------------------------------------------------------------------
+# q_minhash_band_tuning — choose (bands, rows) for a MinHash-LSH deploy
+# ---------------------------------------------------------------------------
+
+_BT_CONFIGS = [(8, 16), (16, 8), (32, 4), (64, 2)]  # b x r = 128
+
+
+def _p_candidate(b: int, r: int, s: float) -> float:
+    """S-curve P(candidate) = 1 - (1 - s^r)^b, rounded to 6dp. Both
+    engines consume these PYTHON-precomputed constants as literals —
+    the grid is 4 configs x 10 similarity deciles, so no pow() ever
+    runs inside either engine and there is zero cross-engine float
+    risk."""
+    return round(1.0 - (1.0 - s ** r) ** b, 6)
+
+
+_BT_GRID = [(b, r, bk, _p_candidate(b, r, (bk + 0.5) / 10))
+            for b, r in _BT_CONFIGS for bk in range(10)]
+
+_BT_GRID_SQL = "VALUES " + ", ".join(
+    f"({b}, {r}, {bk}, {p!r})" for b, r, bk, p in _BT_GRID)
+
+
+@query(
+    "q_minhash_band_tuning",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE text != ''
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS da, count(*) AS i
+      FROM tok a JOIN tok b
+        ON a.term = b.term AND b.doc_id = a.doc_id + 1
+      GROUP BY 1
+    ),
+    pairs AS (
+      SELECT sa.doc_id AS da,
+             coalesce(i.i, 0) AS i,
+             sa.n + sb.n - coalesce(i.i, 0) AS u
+      FROM sz sa JOIN sz sb ON sb.doc_id = sa.doc_id + 1
+      LEFT JOIN inter i ON i.da = sa.doc_id
+    ),
+    hist AS (
+      SELECT least(9, (10 * i) // u) AS bk, count(*) AS cnt
+      FROM pairs GROUP BY 1
+    ),
+    grid(b, r, bk, p) AS ({_BT_GRID_SQL})
+    SELECT g.b AS bands, g.r AS rows_per_band,
+           cast(round(sum(cast(h.cnt as decimal(28,6))
+                          * cast(g.p as decimal(10,6))), 4) as double)
+             + 0.0 AS exp_candidates,
+           cast(round(sum(CASE WHEN g.bk < 8
+                     THEN cast(h.cnt as decimal(28,6))
+                          * cast(g.p as decimal(10,6))
+                     ELSE 0 END), 4) as double) + 0.0 AS exp_fp,
+           cast(round(sum(CASE WHEN g.bk >= 8
+                     THEN cast(h.cnt as decimal(28,6))
+                          * (1 - cast(g.p as decimal(10,6)))
+                     ELSE 0 END), 4) as double) + 0.0 AS exp_fn,
+           cast(sum(CASE WHEN g.bk >= 8 THEN h.cnt ELSE 0 END)
+                as bigint) AS n_true_pairs
+    FROM grid g JOIN hist h ON g.bk = h.bk
+    GROUP BY g.b, g.r ORDER BY g.b
+    """,
+)
+def q_minhash_band_tuning(spark, sf_dir):
+    """MinHash-LSH banding tuner — the decision an operator makes
+    BEFORE spending a 100 TB dedup pass: with a 128-row signature,
+    which (bands x rows) factorization best matches the 0.8 Jaccard
+    target? The corpus supplies the evidence: exact token-set
+    Jaccards of adjacent-id document pairs (a deterministic linear
+    probe that includes the injected duplicate pairs), bucketed into
+    similarity deciles by INTEGER arithmetic (10·|∩| // |∪|); the
+    S-curve P(candidate) = 1-(1-s^r)^b is evaluated in Python on the
+    decile midpoints and shipped to BOTH engines as the same 40
+    rounded literals, so no engine ever runs pow(). Per config the
+    report gives expected candidate volume, expected false positives
+    (candidates below the 0.8 decile), expected false negatives
+    (missed true pairs), and the true-pair mass — read it as: small b
+    = cheap but leaky, large b = tight recall but candidate-heavy.
+
+    Scale: the probe is one self-join on (term, id+1) — linear in
+    corpus size, never all-pairs; the histogram is 10 rows and the
+    tuning join is 40 x 10 literals. The decision this emits is what
+    bounds the REAL minhash pass (q_dedup_minhash) at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (d.filter(F.col("text") != "")
+           .select("doc_id", F.explode(F.split("text", " "))
+                   .alias("term"))
+           .distinct())
+    sz = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (tok.alias("a")
+             .join(tok.alias("b"),
+                   (F.col("a.term") == F.col("b.term"))
+                   & (F.col("b.doc_id") == F.col("a.doc_id") + 1))
+             .groupBy(F.col("a.doc_id").alias("da"))
+             .agg(F.count("*").alias("i")))
+    pairs = (sz.alias("sa")
+             .join(sz.alias("sb"),
+                   F.col("sb.doc_id") == F.col("sa.doc_id") + 1)
+             .join(inter, F.col("da") == F.col("sa.doc_id"), "left")
+             .select(F.coalesce("i", F.lit(0)).alias("i"),
+                     (F.col("sa.n") + F.col("sb.n")
+                      - F.coalesce("i", F.lit(0))).alias("u")))
+    hist = (pairs.groupBy(F.least(F.lit(9), (10 * F.col("i"))
+                                  .cast("bigint") / F.col("u"))
+                          .cast("bigint").alias("bk"))
+            .agg(F.count("*").alias("cnt")))
+    grid = spark.createDataFrame(
+        _BT_GRID, "b int, r int, bk bigint, p double")
+    pd = F.col("p").cast("decimal(10,6)")
+    cnt = F.col("cnt").cast("decimal(28,6)")
+    return (F.broadcast(grid).join(hist, "bk")
+            .groupBy(F.col("b").alias("bands"),
+                     F.col("r").alias("rows_per_band"))
+            .agg((F.round(F.sum(cnt * pd), 4).cast("double") + 0.0)
+                 .alias("exp_candidates"),
+                 (F.round(F.sum(F.when(F.col("bk") < 8, cnt * pd)
+                                .otherwise(F.lit(0)
+                                           .cast("decimal(28,6)"))), 4)
+                  .cast("double") + 0.0).alias("exp_fp"),
+                 (F.round(F.sum(F.when(F.col("bk") >= 8,
+                                       cnt * (1 - pd))
+                                .otherwise(F.lit(0)
+                                           .cast("decimal(28,6)"))), 4)
+                  .cast("double") + 0.0).alias("exp_fn"),
+                 F.sum(F.when(F.col("bk") >= 8, F.col("cnt"))
+                       .otherwise(0)).cast("long").alias("n_true_pairs"))
+            .orderBy("bands"))
