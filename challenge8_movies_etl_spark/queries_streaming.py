@@ -566,3 +566,65 @@ def q_stream_update_mode(spark, sf_dir):
             .agg(F.count("*").alias("n_windows"),
                  F.sum("n").alias("n_events"),
                  F.max("n").alias("peak_window")))
+
+
+@query(
+    "q_stream_outer_join",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events)
+    SELECT a.event_id, a.user_id, b.event_type AS matched_type
+    FROM events a
+    LEFT JOIN events b
+      ON b.event_id = a.event_id AND b.event_id % 3 = 0
+    CROSS JOIN mx
+    WHERE b.event_id IS NOT NULL OR a.ts < mx.m - INTERVAL 2 HOUR
+    """,
+)
+def q_stream_outer_join(spark, sf_dir):
+    """LEFT OUTER stream-stream join — the semantics q_stream_stream_
+    join's inner variant cannot show: an unmatched left row emits its
+    null-extended result ONLY when the event-time watermark passes the
+    last instant a match could still arrive (ts + the join window's
+    +1h bound). Under an availableNow replay the final no-data
+    micro-batch advances the watermark to max_ts - 1h and flushes
+    expired state, so rows with ts < max_ts - 2h emit null-matches
+    while unmatched rows inside the final two hours remain in state
+    forever-unemitted — the oracle encodes exactly that visibility
+    rule (empirically pinned at sf0.001: 664 of 666 unmatched emitted,
+    the two held rows inside the horizon). The right stream keeps only
+    event_id % 3 = 0, so two thirds of the left exercises the
+    null-emission path; all inner matches emit regardless.
+
+    Scale: outer stream-stream joins REQUIRE the watermark + time-
+    range condition (this is what lets the state store evict — state
+    is bounded by 2h of stream volume per key, not by stream length);
+    at 100 TB the join keys shard across state-store instances frozen
+    at the shuffle-partition count, which this query sizes explicitly
+    like its inner sibling."""
+    from .streaming.replay import drain, replay_events_stream
+    left = (replay_events_stream(spark, sf_dir)
+            .withWatermark("ts", "1 hour"))
+    right = (replay_events_stream(spark, sf_dir)
+             .filter(F.col("event_id") % 3 == 0)
+             .select(F.col("event_id").alias("r_event_id"),
+                     F.col("ts").alias("r_ts"),
+                     F.col("event_type").alias("matched_type"))
+             .withWatermark("r_ts", "1 hour"))
+    joined = (left.join(
+        right,
+        (F.col("event_id") == F.col("r_event_id"))
+        & (F.col("r_ts") >= F.col("ts") - F.expr("interval 1 hour"))
+        & (F.col("r_ts") <= F.col("ts") + F.expr("interval 1 hour")),
+        "left_outer")
+        .select("event_id", "user_id", "matched_type"))
+    name = f"sojoin_{uuid.uuid4().hex[:8]}"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (joined.writeStream.outputMode("append")
+             .format("memory").queryName(name)
+             .trigger(availableNow=True).start())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    drain(q)
+    return spark.table(name)
