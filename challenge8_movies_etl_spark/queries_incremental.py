@@ -1085,3 +1085,93 @@ def q_partition_evolution(spark, sf_dir):
                  F.sum(F.when(F.col("scanned") & ~F.col("matching"), 1)
                        .otherwise(0)).cast("long").alias("rows_wasted"))
             .orderBy("spec_id"))
+
+
+# ---------------------------------------------------------------------------
+# q_wap_branch — write-audit-publish branch isolation
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_wap_branch",
+    oracle="""
+    WITH commits AS (
+      SELECT 0 AS commit_id, 'main' AS branch, TRUE AS published
+      UNION ALL SELECT 1, 'audit', FALSE
+      UNION ALL SELECT 2, 'audit', FALSE
+      UNION ALL SELECT 3, 'main', TRUE
+    ),
+    data_rows AS (
+      SELECT o_orderkey, o_totalprice, 0 AS commit_id FROM orders
+      UNION ALL
+      SELECT o_orderkey + 200000000, o_totalprice, 1
+      FROM orders WHERE o_orderkey % 4 = 0
+      UNION ALL
+      SELECT o_orderkey + 400000000, o_totalprice, 2
+      FROM orders WHERE o_orderkey % 4 = 1
+      UNION ALL
+      SELECT o_orderkey + 600000000, o_totalprice, 3
+      FROM orders WHERE o_orderkey % 4 = 2
+    ),
+    readers AS (
+      SELECT 'main' AS reader UNION ALL SELECT 'audit'
+    )
+    SELECT r.reader,
+           cast(count(*) as bigint) AS n_rows,
+           cast(count(DISTINCT d.commit_id) as bigint) AS n_commits,
+           cast(round(sum(cast(d.o_totalprice as decimal(30,10))), 2)
+                as double) AS total_price
+    FROM readers r
+    JOIN data_rows d ON TRUE
+    JOIN commits c ON c.commit_id = d.commit_id
+    WHERE c.published OR c.branch = r.reader
+    GROUP BY r.reader ORDER BY r.reader
+    """,
+)
+def q_wap_branch(spark, sf_dir):
+    """Write-audit-publish (WAP) branch reads — the Iceberg/Delta
+    pattern that lets a pipeline STAGE data invisibly, audit it, and
+    publish atomically: commits 1-2 land on the 'audit' branch
+    (unpublished), commit 3 is a published main write that raced past
+    the audit. A branch reader sees published commits PLUS its own
+    branch's staged commits; the main reader sees published only —
+    so the audit reader's totals preview exactly what a fast-forward
+    publish would make everyone see, while main remains unpolluted by
+    unaudited data. Output: per reader, row count, commit count, and
+    the exact decimal total each isolation level returns.
+
+    Scale: branch visibility is a commit-metadata predicate — the
+    commits relation is catalog-sized (4 rows here, thousands at
+    100 TB) and broadcasts; data rows carry only their commit_id, so
+    isolation costs one broadcast-hash semi-predicate at scan time,
+    never a data rewrite. This is the audit gate a 100 TB ingest runs
+    every batch through before its quality checks sign off."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def slice_(mod, off, cid):
+        return (o.filter(F.col("o_orderkey") % 4 == mod)
+                .select((F.col("o_orderkey") + off).alias("o_orderkey"),
+                        "o_totalprice", F.lit(cid).alias("commit_id")))
+
+    data = (o.select("o_orderkey", "o_totalprice",
+                     F.lit(0).alias("commit_id"))
+            .unionByName(slice_(0, 200000000, 1))
+            .unionByName(slice_(1, 400000000, 2))
+            .unionByName(slice_(2, 600000000, 3)))
+    commits = spark.createDataFrame(
+        [(0, "main", True), (1, "audit", False),
+         (2, "audit", False), (3, "main", True)],
+        "commit_id int, branch string, published boolean")
+    readers = spark.createDataFrame([("main",), ("audit",)],
+                                    "reader string")
+    return (data.join(F.broadcast(commits), "commit_id")
+            .join(F.broadcast(readers),
+                  F.col("published") | (F.col("branch")
+                                        == F.col("reader")))
+            .groupBy("reader")
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.countDistinct("commit_id").cast("long")
+                 .alias("n_commits"),
+                 F.round(F.sum(F.col("o_totalprice")
+                               .cast("decimal(30,10)")), 2)
+                 .cast("double").alias("total_price"))
+            .orderBy("reader"))
