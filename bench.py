@@ -138,6 +138,17 @@ EXTRA = [
     "q_bleu",
     "q_snippet_extract",
     "q_deletion_vectors",
+    # round-9 wave: lakehouse maintenance triad + spec evolution +
+    # branch isolation, prefix-filtered sparse all-pairs, watermarked
+    # outer stream-stream join, LSH banding planner
+    "q_time_travel_read",
+    "q_vacuum_plan",
+    "q_hilbert_recluster",
+    "q_partition_evolution",
+    "q_wap_branch",
+    "q_tfidf_cosine_pairs",
+    "q_stream_outer_join",
+    "q_minhash_band_tuning",
 ]
 
 

@@ -118,6 +118,19 @@ SHAPE = {
     "q_bleu": "q_join_multi_5way",
     "q_snippet_extract": "q_window_rank",
     "q_deletion_vectors": "q_agg_hash",
+    # round-9 wave: lakehouse maintenance is broadcast joins + rollups
+    # (agg-shaped); spec evolution is a pure codegen rollup; the
+    # prefix-filtered all-pairs and the banding planner are
+    # posting-join shaped; the outer stream-stream join carries the
+    # stateful-join profile of the session-window row
+    "q_time_travel_read": "q_agg_hash",
+    "q_vacuum_plan": "q_agg_hash",
+    "q_hilbert_recluster": "q_agg_hash",
+    "q_partition_evolution": "q_agg_hash",
+    "q_wap_branch": "q_agg_hash",
+    "q_tfidf_cosine_pairs": "q_dedup_containment",
+    "q_stream_outer_join": "q_session_window",
+    "q_minhash_band_tuning": "q_join_multi_5way",
 }
 
 
