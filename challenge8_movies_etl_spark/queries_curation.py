@@ -1655,3 +1655,88 @@ def q_randomized_response(spark, sf_dir):
                 6).alias("debiased_rate"),
         F.round(F.sum("b").cast("double") / F.count("*"), 6)
         .alias("true_rate"))
+
+
+# ---------------------------------------------------------------------------
+# q_curriculum_order — difficulty-ordered, language-stratified batches
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_curriculum_order",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             n_chars * 1000 + len(string_split(text, ' '))
+               AS difficulty
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, difficulty,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY difficulty, doc_id) - 1
+               AS r_in_lang,
+             dense_rank() OVER (ORDER BY lang) - 1 AS lang_idx,
+             count(DISTINCT lang) OVER () AS n_langs
+      FROM scored
+    ),
+    placed AS (
+      SELECT *,
+             (r_in_lang * n_langs + lang_idx) // 256 AS batch_id
+      FROM ranked
+    )
+    SELECT batch_id,
+           cast(count(*) as bigint) AS n_docs,
+           cast(count(DISTINCT lang) as bigint) AS n_langs_present,
+           cast(min(difficulty) as bigint) AS min_difficulty,
+           cast(max(difficulty) as bigint) AS max_difficulty,
+           cast(sum(cast(difficulty as decimal(28,0))) as bigint)
+             AS difficulty_mass
+    FROM placed GROUP BY batch_id ORDER BY batch_id
+    """,
+)
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum data ordering — the training-data op between mixing
+    and packing: feed the model easy documents first, hard ones later,
+    WITHOUT letting any batch collapse to a single language. Difficulty
+    is an integer proxy (n_chars·1000 + token count — longer, denser
+    docs sort later); the curriculum ranks each doc within its
+    language by difficulty, then round-robin-interleaves the language
+    streams (global position = within-lang rank × n_langs + lang
+    index) and cuts batches of 256. Easy batches come first, every
+    batch keeps the language mix, and the whole ordering is a pure
+    function of the corpus — rerunnable, shardable, no RNG. The audit
+    reports per batch: size, languages present, difficulty envelope,
+    and exact difficulty mass (the monotone-trend column a training
+    engineer eyeballs before launch).
+
+    Scale: one window per language partition (shuffle keyed by lang)
+    plus integer arithmetic — no global sort of the corpus is ever
+    materialized; at 100 TB the batch assignment is a write-side
+    range-partition on the computed position, the same shape as the
+    zorder/hilbert writers."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+    scored = d.select(
+        "doc_id", "lang",
+        (F.col("n_chars") * 1000
+         + F.size(F.split("text", " "))).alias("difficulty"))
+    ranked = scored.select(
+        "doc_id", "lang", "difficulty",
+        (F.row_number().over(W.partitionBy("lang")
+                             .orderBy("difficulty", "doc_id")) - 1)
+        .alias("r_in_lang"),
+        (F.dense_rank().over(W.orderBy("lang")) - 1).alias("lang_idx"))
+    n_langs = scored.select(F.countDistinct("lang")).collect()[0][0]
+    placed = ranked.withColumn(
+        "batch_id",
+        ((F.col("r_in_lang") * n_langs + F.col("lang_idx"))
+         / 256).cast("bigint"))
+    return (placed.groupBy("batch_id")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.countDistinct("lang").cast("long")
+                 .alias("n_langs_present"),
+                 F.min("difficulty").cast("long").alias("min_difficulty"),
+                 F.max("difficulty").cast("long").alias("max_difficulty"),
+                 F.sum(F.col("difficulty").cast("decimal(28,0)"))
+                 .cast("long").alias("difficulty_mass"))
+            .orderBy("batch_id"))
