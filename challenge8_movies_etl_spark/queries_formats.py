@@ -561,3 +561,93 @@ def q_parquet_footer_stats(spark, sf_dir):
         "row_group_id bigint, n_rows bigint, min_orderkey bigint, "
         "max_orderkey bigint, min_qty double, max_qty double, "
         "pruned int").orderBy("row_group_id")
+
+
+# ---------------------------------------------------------------------------
+# q_rle_bitpack — parquet RLE/bit-packed hybrid roundtrip + framing pin
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_rle_bitpack",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id,
+             1 + doc_id % 14 AS run_len,
+             (1 + doc_id % 14) * (10 + doc_id % 5) AS n
+      FROM documents
+    ),
+    vals AS (
+      SELECT doc_id, run_len, n, i.i AS i,
+             (doc_id + i.i // run_len) % 8 AS v
+      FROM params, unnest(range(0, n)) AS i(i)
+    )
+    SELECT p.doc_id,
+           cast(p.n as bigint) AS n_values,
+           cast(CASE WHEN p.run_len >= 8
+                     THEN p.n // p.run_len ELSE 0 END as bigint)
+             AS n_rle_runs,
+           cast(CASE WHEN p.run_len >= 8 THEN 2 * (p.n // p.run_len)
+                     ELSE 1 + 3 * ((p.n + 7) // 8) END as bigint)
+             AS nbytes,
+           cast(sum((v.i + 1) * v.v) % 1000003 as bigint) AS checksum
+    FROM params p JOIN vals v ON v.doc_id = p.doc_id
+    GROUP BY p.doc_id, p.n, p.run_len
+    ORDER BY p.doc_id
+    """,
+)
+def q_rle_bitpack(spark, sf_dir):
+    """Parquet RLE/bit-packed hybrid encoding (operators/rle.py — the
+    byte format under every Parquet definition level and dictionary
+    index) exercised through BOTH framing paths and value-hash-pinned:
+    each document synthesizes a 3-bit value sequence with run length
+    1 + doc_id % 14, so documents split between the RLE regime (runs
+    >= 8: the writer emits one 2-byte RLE run per value run) and the
+    bit-packed regime (runs < 8: one hybrid run of ceil(n/8) 3-byte
+    groups behind a 1-byte header). The Spark side ENCODES with the
+    real greedy writer, DECODES back, raises on any roundtrip
+    mismatch, and reports the decoded checksum plus the encoded byte
+    count — the oracle recomputes the checksum from the closed-form
+    sequence AND the byte count from the framing rules, so the
+    encoder's run/group decisions (not just the decoder) are
+    value-checked cross-engine.
+
+    Scale: the codec runs as an Arrow-batched mapInPandas over
+    scan-local data — zero shuffle before the final doc-keyed
+    aggregate, the q_multimodal_decode envelope. At 100 TB this is
+    the hot loop of every columnar scan; keeping it correct at the
+    byte level is what the framing pin buys."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .operators.rle import rle_bp_decode, rle_bp_encode
+        for pdf in batches:
+            out = {"doc_id": [], "n_values": [], "n_rle_runs": [],
+                   "nbytes": [], "checksum": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                run_len = 1 + doc_id % 14
+                n = run_len * (10 + doc_id % 5)
+                vals = [(doc_id + i // run_len) % 8 for i in range(n)]
+                blob = rle_bp_encode(vals, 3)
+                got = rle_bp_decode(blob, 3, n)
+                if got != vals:
+                    raise ValueError("rle: roundtrip mismatch")
+                out["doc_id"].append(doc_id)
+                out["n_values"].append(n)
+                out["n_rle_runs"].append(n // run_len
+                                         if run_len >= 8 else 0)
+                out["nbytes"].append(len(blob))
+                out["checksum"].append(
+                    sum((i + 1) * v for i, v in enumerate(vals))
+                    % 1000003)
+            yield pd.DataFrame(out)
+
+    return (d.select("doc_id").mapInPandas(
+        roundtrip,
+        schema="doc_id bigint, n_values bigint, n_rle_runs bigint, "
+               "nbytes bigint, checksum bigint")
+        .orderBy("doc_id"))

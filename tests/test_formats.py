@@ -450,3 +450,52 @@ def test_exif_roundtrip_property(be, w, h, make, orient, den, iso):
         exposure=(1, den), iso=iso))
     assert tags[TAG_WIDTH] == w and tags[TAG_MAKE] == make
     assert tags[TAG_EXPOSURE] == (1, den)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.integers(0, 7), max_size=400), st.integers(0, 2 ** 31))
+def test_rle_bitpack_roundtrip_property(vals, seed):
+    """Arbitrary 3-bit sequences roundtrip through the hybrid codec —
+    including run boundaries straddling the >=8 RLE switch and
+    zero-padding in the final bit-packed group."""
+    from challenge8_movies_etl_spark.operators.rle import (
+        rle_bp_decode, rle_bp_encode)
+
+    import hashlib
+    extra = [hashlib.md5(f"{seed}-{i}".encode()).digest()[0] % 8
+             for i in range(seed % 17)]
+    v = vals + extra
+    assert rle_bp_decode(rle_bp_encode(v, 3), 3, len(v)) == v
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(0, 2 ** 20 - 1), max_size=100))
+def test_rle_bitpack_wide_width(vals):
+    from challenge8_movies_etl_spark.operators.rle import (
+        rle_bp_decode, rle_bp_encode)
+
+    assert rle_bp_decode(rle_bp_encode(vals, 20), 20, len(vals)) == vals
+
+
+def test_rle_bitpack_framing_and_errors():
+    from challenge8_movies_etl_spark.operators.rle import (
+        rle_bp_decode, rle_bp_encode)
+
+    import pytest
+
+    # pure RLE regime: runs of 10 -> 2 bytes per run at width 3
+    v = [1] * 10 + [2] * 10
+    blob = rle_bp_encode(v, 3)
+    assert len(blob) == 4 and rle_bp_decode(blob, 3, 20) == v
+    # pure bit-packed regime: 12 values -> header + 2 groups x 3 bytes
+    v = [i % 8 for i in range(12)]
+    blob = rle_bp_encode(v, 3)
+    assert len(blob) == 7 and rle_bp_decode(blob, 3, 12) == v
+    # corruption taxonomy: every truncation raises ValueError
+    for cut in range(len(blob)):
+        with pytest.raises(ValueError):
+            rle_bp_decode(blob[:cut], 3, 12)
+    with pytest.raises(ValueError):
+        rle_bp_decode(blob + b"\x00", 3, 12)  # trailing bytes
+    with pytest.raises(ValueError):
+        rle_bp_encode([8], 3)  # value exceeds bit_width
