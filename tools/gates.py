@@ -128,9 +128,9 @@ SHAPE = {
     "q_hilbert_recluster": "q_agg_hash",
     "q_partition_evolution": "q_agg_hash",
     "q_wap_branch": "q_agg_hash",
-    "q_tfidf_cosine_pairs": "q_dedup_containment",
-    "q_stream_outer_join": "q_session_window",
     "q_minhash_band_tuning": "q_join_multi_5way",
+    "q_curriculum_order": "q_window_rank",
+    "q_rle_bitpack": "q_multimodal_decode",
 }
 
 

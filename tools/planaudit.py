@@ -30,7 +30,7 @@ STREAMING = {"q_stream_replay_tumbling", "q_stream_join_static",
              "q_stream_stream_join", "q_stream_stateful_counter",
              "q_stream_dedup", "q_stream_backfill",
              "q_stream_late_data", "q_pysource_stream",
-             "q_stream_update_mode"}
+             "q_stream_update_mode", "q_stream_outer_join"}
 # the mandated row-wise UDF surface — PythonUDF/Arrow eval expected
 UDF_SURFACE = {"q_udf_scalar", "q_udaf_grouped", "q_udtf",
                "q_multimodal_meta", "q_multimodal_framesample",
@@ -93,6 +93,7 @@ UDF_SURFACE = {"q_udf_scalar", "q_udaf_grouped", "q_udtf",
                "q_cbor_extract",  # CBOR RFC 8949 decode
                "q_image_exif",  # TIFF/EXIF IFD walk
                "q_gif_decode",  # GIF LZW + interlace decode
+               "q_rle_bitpack",  # parquet RLE/bit-packed hybrid codec
                # knn planner's Arrow centroid-assignment kernel
                # (operators/pq.py fixed-order numpy path)
                "q_knn_join_blocked"}
