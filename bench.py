@@ -154,6 +154,7 @@ EXTRA = [
     "q_minhash_band_tuning",
     "q_curriculum_order",
     "q_rle_bitpack",
+    "q_delta_binary_packed",
 ]
 
 

@@ -651,3 +651,97 @@ def q_rle_bitpack(spark, sf_dir):
         schema="doc_id bigint, n_values bigint, n_rle_runs bigint, "
                "nbytes bigint, checksum bigint")
         .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# q_delta_binary_packed — parquet delta encoding roundtrip + framing pin
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_delta_binary_packed",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id,
+             1 + 32 * (3 + doc_id % 6) AS n,
+             doc_id % 50 AS v0,
+             1 + doc_id % 3 AS step
+      FROM documents
+    ),
+    vals AS (
+      SELECT doc_id, n, i.i AS i,
+             v0 + step * i.i + (i.i % 2) AS v
+      FROM params, unnest(range(0, n)) AS i(i)
+    ),
+    sized AS (
+      SELECT doc_id, n,
+             least(128, n - 1) AS b1,
+             n - 1 - least(128, n - 1) AS b2
+      FROM params
+    )
+    SELECT p.doc_id,
+           cast(p.n as bigint) AS n_values,
+           cast(4 + (CASE WHEN p.n < 128 THEN 1 ELSE 2 END)
+                + (1 + 4 + 8 * ((s.b1 + 31) // 32))
+                + (CASE WHEN s.b2 > 0
+                        THEN 1 + 4 + 8 * ((s.b2 + 31) // 32)
+                        ELSE 0 END) as bigint) AS nbytes,
+           cast(sum((v.i + 1) * v.v) % 1000003 as bigint) AS checksum
+    FROM params p
+    JOIN sized s ON s.doc_id = p.doc_id
+    JOIN vals v ON v.doc_id = p.doc_id
+    GROUP BY p.doc_id, p.n, s.b1, s.b2
+    ORDER BY p.doc_id
+    """,
+)
+def q_delta_binary_packed(spark, sf_dir):
+    """Parquet DELTA_BINARY_PACKED (operators/delta_bp.py — the
+    encoding under INT32/INT64 timestamp and key columns) exercised
+    through its block/miniblock framing and value-hash-pinned: each
+    document synthesizes a monotone sequence v_i = v0 + step·i +
+    (i % 2) whose deltas alternate step±1, so every occupied
+    miniblock packs 2-bit adjusted deltas around the per-block
+    minimum while empty trailing miniblocks carry width-0 bytes and
+    no payload — both the single-block (n-1 <= 128) and two-block
+    shapes occur across the corpus. The Spark side encodes with the
+    real writer (128-value blocks, 4 miniblocks of 32), decodes back,
+    raises on any roundtrip mismatch, and reports the encoded byte
+    count, which the oracle recomputes from the framing rules in
+    closed form — pinning the writer's block splits, width bytes and
+    zigzag headers cross-engine, not just the reader.
+
+    Scale: same envelope as q_rle_bitpack — Arrow-batched mapInPandas
+    over scan-local data, zero shuffle before the doc-keyed
+    aggregate; together the two queries cover both Parquet integer
+    encodings a 100 TB columnar scan decodes in its inner loop."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .operators.delta_bp import delta_bp_decode, delta_bp_encode
+        for pdf in batches:
+            out = {"doc_id": [], "n_values": [], "nbytes": [],
+                   "checksum": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 1 + 32 * (3 + doc_id % 6)
+                v0, step = doc_id % 50, 1 + doc_id % 3
+                vals = [v0 + step * i + (i % 2) for i in range(n)]
+                blob = delta_bp_encode(vals)
+                if delta_bp_decode(blob) != vals:
+                    raise ValueError("delta_bp: roundtrip mismatch")
+                out["doc_id"].append(doc_id)
+                out["n_values"].append(n)
+                out["nbytes"].append(len(blob))
+                out["checksum"].append(
+                    sum((i + 1) * v for i, v in enumerate(vals))
+                    % 1000003)
+            yield pd.DataFrame(out)
+
+    return (d.select("doc_id").mapInPandas(
+        roundtrip,
+        schema="doc_id bigint, n_values bigint, nbytes bigint, "
+               "checksum bigint")
+        .orderBy("doc_id"))

@@ -499,3 +499,41 @@ def test_rle_bitpack_framing_and_errors():
         rle_bp_decode(blob + b"\x00", 3, 12)  # trailing bytes
     with pytest.raises(ValueError):
         rle_bp_encode([8], 3)  # value exceeds bit_width
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.integers(-2 ** 40, 2 ** 40), max_size=300),
+       st.integers(0, 2 ** 31))
+def test_delta_bp_roundtrip_property(vals, seed):
+    """Arbitrary int64 sequences roundtrip — negative deltas, block
+    boundaries at 128, partial miniblocks, empty input."""
+    from challenge8_movies_etl_spark.operators.delta_bp import (
+        delta_bp_decode, delta_bp_encode)
+
+    import hashlib
+    extra = [int.from_bytes(hashlib.md5(f"{seed}-{i}".encode())
+                            .digest()[:4], "big") - 2 ** 31
+             for i in range(seed % 9)]
+    v = vals + extra
+    assert delta_bp_decode(delta_bp_encode(v)) == v
+
+
+def test_delta_bp_framing_and_errors():
+    from challenge8_movies_etl_spark.operators.delta_bp import (
+        delta_bp_decode, delta_bp_encode)
+
+    import pytest
+
+    # constant deltas -> all widths 0, no miniblock payload at all
+    v = list(range(0, 500, 5))
+    blob = delta_bp_encode(v)
+    assert delta_bp_decode(blob) == v
+    # header(2+1+1+1) + ceil(99/128)=1 block x (1 zigzag + 4 widths)
+    assert len(blob) == 5 + 5
+    for cut in range(1, len(blob)):
+        with pytest.raises(ValueError):
+            delta_bp_decode(blob[:cut])
+    with pytest.raises(ValueError):
+        delta_bp_decode(blob + b"\x00")
+    assert delta_bp_decode(delta_bp_encode([])) == []
+    assert delta_bp_decode(delta_bp_encode([-7])) == [-7]

@@ -131,6 +131,7 @@ SHAPE = {
     "q_minhash_band_tuning": "q_join_multi_5way",
     "q_curriculum_order": "q_window_rank",
     "q_rle_bitpack": "q_multimodal_decode",
+    "q_delta_binary_packed": "q_multimodal_decode",
 }
 
 

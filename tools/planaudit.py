@@ -94,6 +94,7 @@ UDF_SURFACE = {"q_udf_scalar", "q_udaf_grouped", "q_udtf",
                "q_image_exif",  # TIFF/EXIF IFD walk
                "q_gif_decode",  # GIF LZW + interlace decode
                "q_rle_bitpack",  # parquet RLE/bit-packed hybrid codec
+               "q_delta_binary_packed",  # parquet delta codec surface
                # knn planner's Arrow centroid-assignment kernel
                # (operators/pq.py fixed-order numpy path)
                "q_knn_join_blocked"}
