@@ -1590,11 +1590,21 @@ def q_tfidf(spark, sf_dir):
              cast(round(ln(cast(cnt as double) / cast(total as double)), 6)
                   as decimal(18,6)) AS logp6
       FROM vocab CROSS JOIN tot
+    ),
+    summed AS (
+      SELECT t.doc_id AS doc_id, count(*) AS n_tokens,
+             cast(sum(l.logp6 * 1000000) as bigint) AS s6
+      FROM toks t JOIN logp l USING (term)
+      GROUP BY 1
     )
-    SELECT t.doc_id AS doc_id, count(*) AS n_tokens,
-           round(cast(sum(l.logp6) as double) / count(*), 4) AS avg_logp
-    FROM toks t JOIN logp l USING (term)
-    GROUP BY 1
+    SELECT doc_id, n_tokens,
+           cast(CASE WHEN s6 >= 0
+                THEN (2 * s6 * 10000 + n_tokens * 1000000)
+                     // (2 * n_tokens * 1000000)
+                ELSE -((2 * (-s6) * 10000 + n_tokens * 1000000)
+                       // (2 * n_tokens * 1000000)) END as double)
+             / 10000.0 AS avg_logp
+    FROM summed
     """,
 )
 def q_lm_score(spark, sf_dir):
@@ -1604,8 +1614,13 @@ def q_lm_score(spark, sf_dir):
     gibberish or wrong-language doc scores far below the mode). The
     vocabulary is corpus-global but vocab-sized, so it broadcasts; the
     per-doc score is one explode + one groupBy(doc_id). Log-probs are
-    rounded to 6dp and summed as exact decimals, so the per-doc mean is
-    order-independent bit-for-bit."""
+    rounded to 6dp and summed as exact decimals, and the 4dp mean is
+    computed by EXACT INTEGER half-away-from-zero division — the r9
+    sf1.0 sweep caught a doc whose true mean sat exactly on the 4dp
+    half boundary (-4.555050), where Spark's decimal HALF_UP and
+    DuckDB's double round() disagree; integer arithmetic makes the
+    half case identical on both engines (the q_holt_smoothing
+    discipline applied to a quotient)."""
     d = load_table(spark, sf_dir, "documents")
     toks = (d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
             .filter(F.col("term") != ""))
@@ -1617,11 +1632,20 @@ def q_lm_score(spark, sf_dir):
                                   / F.col("total").cast("double")), 6)
                     .cast("decimal(18,6)").alias("logp6")))
     # same rationale as q_tfidf: vocab-sized relation, AQE chooses
-    return (toks.join(logp, "term")
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("n_tokens"),
-                 F.round(F.sum("logp6").cast("double") / F.count("*"), 4)
-                 .alias("avg_logp")))
+    summed = (toks.join(logp, "term")
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_tokens"),
+                   F.sum((F.col("logp6") * 1000000).cast("long"))
+                   .alias("s6")))
+    avg4 = F.expr(
+        "CASE WHEN s6 >= 0 THEN"
+        " (2 * s6 * 10000 + n_tokens * 1000000)"
+        " DIV (2 * n_tokens * 1000000)"
+        " ELSE -((2 * (-s6) * 10000 + n_tokens * 1000000)"
+        " DIV (2 * n_tokens * 1000000)) END")
+    return summed.select(
+        "doc_id", "n_tokens",
+        (avg4.cast("double") / 10000.0).alias("avg_logp"))
 
 
 @query(
