@@ -448,3 +448,41 @@ def ngram_containment_pairs(docs: DataFrame, id_col: str, block_col: str,
     return (both.filter(F.col("_cont") >= tau)
             .select("src_doc", "dst_doc",
                     F.round("_cont", 4).alias("cont")))
+
+
+def lsh_candidate_pairs_incremental(docs: DataFrame, id_col: str,
+                                    shingle_col: str, is_new,
+                                    n_hashes: int = 16, bands: int = 4,
+                                    portable: bool = False) -> DataFrame:
+    """Incremental banded LSH: candidates are band-bucket matches with
+    AT LEAST ONE side in the new batch — the probe side carries only
+    the new docs' bands, so old-vs-old pairs (the overwhelming mass of
+    a mature corpus) are never materialized. This is the 100 TB dedup
+    economics: a daily crawl batch probes the standing band index at
+    cost O(|new| + collisions), not O(|corpus|^2). ``is_new`` is a
+    boolean Column over ``docs``. Returns canonical (id_a < id_b)
+    pairs, deduplicated across bands."""
+    rows = n_hashes // bands
+    sig = docs.select(id_col, is_new.alias("_new"), minhash_signature(
+        F.col(shingle_col), n_hashes, portable=portable).alias("sig"))
+    banded = sig.select(
+        id_col, "_new",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[
+                    F.element_at("sig", b * rows + r + 1).cast("string")
+                    for r in range(rows)
+                ])).alias("bucket"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select(id_col, "_new", "bb.band", "bb.bucket")
+    probe = banded.filter(F.col("_new")).select(
+        F.col(id_col).alias("_nid"), "band", "bucket")
+    return (probe.join(banded,
+                       ["band", "bucket"])
+            .filter(F.col("_nid") != F.col(id_col))
+            .select(F.least("_nid", F.col(id_col)).alias("id_a"),
+                    F.greatest("_nid", F.col(id_col)).alias("id_b"))
+            .distinct())

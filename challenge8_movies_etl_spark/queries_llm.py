@@ -2925,3 +2925,61 @@ def q_similarity_ann_check(spark, sf_dir):
     return (ann.join(F.broadcast(exact), "vec_id", "left")
             .select("vec_id", "cos",
                     F.coalesce("hit", F.lit(False)).alias("hit")))
+
+
+_MINHASH_INC_ORACLE = _MINHASH_ORACLE.replace(
+    """    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )""",
+    """    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+    )""").replace(
+    """    SELECT c.id_a, c.id_b,""",
+    """    SELECT c.id_a, c.id_b,
+           CASE WHEN c.id_a % 5 = 0 AND c.id_b % 5 = 0
+                THEN 'new-new' ELSE 'new-old' END AS pair_type,""")
+
+
+@query("q_dedup_incremental", oracle=_MINHASH_INC_ORACLE)
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental MinHash-LSH dedup — the mode a 100 TB corpus
+    actually runs: a new ingest batch (every 5th doc here) probes the
+    standing band index, so candidates are new-vs-corpus and
+    new-vs-new ONLY; the old-vs-old mass (already deduplicated in
+    prior runs) is never re-joined
+    (operators/dedup.py:lsh_candidate_pairs_incremental — the probe
+    side of the band equi-join carries only the batch's bands).
+    Candidates verify by exact bigram Jaccard >= 0.2, tagged new-old
+    (batch doc duplicates the standing corpus — droppable) vs new-new
+    (intra-batch duplicate — keep one). Same portable md5 minhash as
+    q_dedup_minhash_portable, so the full pipeline — signatures,
+    bands, incremental candidate rule, verified pairs — is
+    value-hash-checked.
+
+    Scale: batch cost is O(|new| bands + collisions), independent of
+    corpus size for the probe side; the standing index at 100 TB is a
+    bucketed table the batch's shuffle joins against — the same plan
+    this query compiles to."""
+    d = load_table(spark, sf_dir, "documents")
+    from .operators.dedup import lsh_candidate_pairs_incremental
+    g = (d.select("doc_id", word_ngrams(F.col("text"), 2).alias("g"))
+         .persist())
+    cand = lsh_candidate_pairs_incremental(
+        g, "doc_id", "g", F.col("doc_id") % 5 == 0,
+        n_hashes=16, bands=4, portable=True)
+    ga = g.select(F.col("doc_id").alias("id_a"), F.col("g").alias("g_a"))
+    gb = g.select(F.col("doc_id").alias("id_b"), F.col("g").alias("g_b"))
+    return (cand.join(ga, "id_a").join(gb, "id_b")
+            .select("id_a", "id_b",
+                    F.when((F.col("id_a") % 5 == 0)
+                           & (F.col("id_b") % 5 == 0), "new-new")
+                    .otherwise("new-old").alias("pair_type"),
+                    F.round(jaccard(F.col("g_a"), F.col("g_b")), 4)
+                    .alias("jac"))
+            .filter(F.col("jac") >= 0.2)
+            .orderBy("id_a", "id_b"))
