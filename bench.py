@@ -155,6 +155,7 @@ EXTRA = [
     "q_curriculum_order",
     "q_rle_bitpack",
     "q_delta_binary_packed",
+    "q_dedup_incremental",
 ]
 
 
