@@ -1502,3 +1502,68 @@ def q_capture_recapture(spark, sf_dir):
     return s.select("n1", "n2", "m", "observed",
                     (F.round(chapman, 2) + 0.0)
                     .alias("chapman_estimate"))
+
+
+# ---------------------------------------------------------------------------
+# q_cep_pattern — MATCH_RECOGNIZE-style sequence pattern detection
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_cep_pattern",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substring(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS s,
+             count(*) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           cast(length(s) as bigint) AS seq_len,
+           cast(len(regexp_extract_all(s, 'v[cs]*p')) as bigint)
+             AS n_conversions,
+           cast(len(regexp_extract_all(s, 'e+')) as bigint)
+             AS n_error_bursts,
+           cast(coalesce(nullif(strpos(s, 'vp'), 0), -1) as bigint)
+             AS first_direct_pos
+    FROM seq
+    ORDER BY user_id
+    """,
+)
+def q_cep_pattern(spark, sf_dir):
+    """Complex-event-processing pattern match — the MATCH_RECOGNIZE /
+    Flink-CEP capability expressed relationally: each user's event
+    history (deterministically ordered by ts, event_id) collapses to
+    an initials string (v=view c=click p=purchase s=signup e=error),
+    and sequence patterns become regexes over it — non-overlapping
+    conversion funnels 'v[cs]*p' (view, any clicks/signups, purchase),
+    error bursts 'e+', and the position of the first direct
+    view→purchase. The regexes stay in the Java∩RE2 subset (character
+    classes and quantifiers only) so both engines count identically.
+
+    Scale: one shuffle keyed by user_id into an ordered
+    collect + linear regex scans — per-user state is the sequence
+    string, the same envelope as q_sessionize/q_funnel; at 100 TB the
+    ordered collapse is the standard sessionized-sequence
+    materialization every CEP engine builds before pattern matching,
+    and a streaming deployment holds it as keyed state."""
+    e = load_table(spark, sf_dir, "events")
+    seq = (e.groupBy("user_id")
+           .agg(F.count("*").alias("n_events"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct(
+                            "ts", "event_id",
+                            F.substring("event_type", 1, 1)
+                            .alias("c")))),
+                        lambda s: s["c"]), "").alias("s")))
+    return (seq.select(
+        "user_id", "n_events",
+        F.length("s").cast("long").alias("seq_len"),
+        F.regexp_count("s", F.lit("v[cs]*p")).cast("long")
+        .alias("n_conversions"),
+        F.regexp_count("s", F.lit("e+")).cast("long")
+        .alias("n_error_bursts"),
+        F.when(F.instr("s", "vp") > 0, F.instr("s", "vp"))
+        .otherwise(-1).cast("long").alias("first_direct_pos"))
+        .orderBy("user_id"))
