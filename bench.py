@@ -156,6 +156,7 @@ EXTRA = [
     "q_rle_bitpack",
     "q_delta_binary_packed",
     "q_dedup_incremental",
+    "q_cep_pattern",
 ]
 
 

@@ -135,6 +135,7 @@ SHAPE = {
     # portable-md5 minhash probe + exact verify: the co-count dedup
     # profile (measured 6.6-6.9 s warm at sf0.1 vs the 8.98 gate)
     "q_dedup_incremental": "q_dedup_containment",
+    "q_cep_pattern": "q_agg_hash",
 }
 
 
