@@ -654,3 +654,30 @@ def test_chao1_matches_python_twin(spark):
     assert abs(r["chao1"] - round(chao1, 4)) < 1e-9
     assert r["chao1"] >= d  # estimator never shrinks observed richness
     assert 0.0 <= r["coverage_good_turing"] <= 1.0
+
+
+def test_incremental_lsh_never_emits_old_old_pairs(spark):
+    """The incremental probe's defining invariant: every candidate
+    pair carries at least one NEW member (old-vs-old mass is never
+    materialized), and its new-involving candidates equal the full
+    band join's new-involving subset — the incremental plan loses
+    nothing a full re-run would find."""
+    from challenge8_movies_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_incremental,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    g = d.select("doc_id", word_ngrams(F.col("text"), 2).alias("g"))
+    is_new = F.col("doc_id") % 5 == 0
+    inc = {(r["id_a"], r["id_b"])
+           for r in lsh_candidate_pairs_incremental(
+               g, "doc_id", "g", is_new, portable=True).collect()}
+    assert inc, "fixture produced no incremental candidates"
+    for a, b in inc:
+        assert a % 5 == 0 or b % 5 == 0, (a, b)
+    full = {(r["id_a"], r["id_b"])
+            for r in lsh_candidate_pairs(
+                g, "doc_id", "g", portable=True).collect()}
+    full_new = {(a, b) for a, b in full if a % 5 == 0 or b % 5 == 0}
+    assert inc == full_new

@@ -29,7 +29,7 @@ QUERIES_UNDER_TEST = [
     "q_coverage_select",     # greedy submodular, driver-held vocab
     "q_dbscan",              # label-blocked eps-graph
     "q_graph_pagerank",      # fixed-iteration O(|E|)/round
-    "q_graph_components",    # pointer doubling, O(log D) rounds
+    "q_graph_components",    # large-star/small-star, O(log n) rounds
     "q_corpus_pipeline",     # end-to-end curation funnel
     "q_topic_nmf",           # fixed-iteration algebra
     "q_decision_stump",      # cumulative-window Gini per feature
