@@ -1488,7 +1488,7 @@ def q_doremi_reweight(spark, sf_dir):
       SELECT source,
              array_to_string(list_slice(t, gs.i, gs.i + 1), ' ')
                AS gram
-      FROM toks, generate_series(1, 99) gs(i)
+      FROM toks, generate_series(1, 99999) gs(i)
       WHERE gs.i + 1 <= len(t)
     )
     SELECT source,
