@@ -122,6 +122,14 @@ def main() -> int:
         spark = get_spark("oracle-check")
 
     con = duckdb.connect()
+    # Bound the oracle engine: an unbounded DuckDB materializing a
+    # quadratic intermediate OOM-killed the r9 sf1.0 sweep at 102 GB
+    # anon-rss (q_join_asof_nearest's inequality join) — cap memory
+    # and give it a DISK temp dir so heavy oracles spill instead of
+    # taking the process (and the whole sweep) down.
+    con.execute("SET memory_limit='40GB'")
+    Path("/root/spill/duckdb_tmp").mkdir(parents=True, exist_ok=True)
+    con.execute("SET temp_directory='/root/spill/duckdb_tmp'")
     for t in TABLES:
         # driver fixtures are single files; tools/scalegen.py output
         # is a Spark-style directory of part files — glob those
