@@ -264,11 +264,21 @@ lp AS (
                        / cast(n1 + vocab as double)), 6)
               as decimal(18,6)) AS logp6
   FROM c2 JOIN c1 ON c2.w1 = c1.w1 CROSS JOIN v
+),
+summed AS (
+  SELECT b.doc_id, count(*) AS n_bigrams,
+         cast(sum(lp.logp6 * 1000000) as bigint) AS s6
+  FROM big b JOIN lp ON b.w1 = lp.w1 AND b.w2 = lp.w2
+  GROUP BY 1
 )
-SELECT b.doc_id, count(*) AS n_bigrams,
-       round(cast(sum(lp.logp6) as double) / count(*), 4) AS avg_logp
-FROM big b JOIN lp ON b.w1 = lp.w1 AND b.w2 = lp.w2
-GROUP BY 1
+SELECT doc_id, n_bigrams,
+       cast(CASE WHEN s6 >= 0
+            THEN (2 * s6 * 10000 + n_bigrams * 1000000)
+                 // (2 * n_bigrams * 1000000)
+            ELSE -((2 * (-s6) * 10000 + n_bigrams * 1000000)
+                   // (2 * n_bigrams * 1000000)) END as double)
+         / 10000.0 AS avg_logp
+FROM summed
 """
 
 
@@ -305,11 +315,24 @@ def q_ngram_lm(spark, sf_dir):
                                 / (F.col("n1") + F.col("vocab"))
                                 .cast("double")), 6)
                   .cast("decimal(18,6)").alias("logp6")))
-    return (big.join(lp, ["w1", "w2"])
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("n_bigrams"),
-                 F.round(F.sum("logp6").cast("double") / F.count("*"), 4)
-                 .alias("avg_logp")))
+    summed = (big.join(lp, ["w1", "w2"])
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_bigrams"),
+                   F.sum((F.col("logp6") * 1000000).cast("long"))
+                   .alias("s6")))
+    # exact integer half-away-from-zero mean (the q_lm_score fix —
+    # both engines' 4dp rounding of a double quotient disagree when
+    # the true rational sits exactly on the half boundary, which the
+    # r9 sf1.0 sweep caught here too)
+    avg4 = F.expr(
+        "CASE WHEN s6 >= 0 THEN"
+        " (2 * s6 * 10000 + n_bigrams * 1000000)"
+        " DIV (2 * n_bigrams * 1000000)"
+        " ELSE -((2 * (-s6) * 10000 + n_bigrams * 1000000)"
+        " DIV (2 * n_bigrams * 1000000)) END")
+    return summed.select(
+        "doc_id", "n_bigrams",
+        (avg4.cast("double") / 10000.0).alias("avg_logp"))
 
 
 # ---------------------------------------------------------------------------
