@@ -157,6 +157,7 @@ EXTRA = [
     "q_delta_binary_packed",
     "q_dedup_incremental",
     "q_cep_pattern",
+    "q_proximity_rank",
 ]
 
 

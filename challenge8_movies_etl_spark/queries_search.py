@@ -837,3 +837,79 @@ def q_snippet_extract(spark, sf_dir):
                     F.col("total_hits").cast("long").alias("total_hits"),
                     F.concat_ws(" ", F.slice("ct", F.col("p") + 1, _SNIP_W))
                     .alias("snippet")))
+
+
+# ---------------------------------------------------------------------------
+# q_proximity_rank — min-window proximity ranking (phrase-nearness)
+# ---------------------------------------------------------------------------
+
+_PROX_TERMS = ("join", "hash", "scan")
+
+
+@query(
+    "q_proximity_rank",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, gs.i AS pos, t[gs.i] AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS t
+            FROM documents) d
+      JOIN range(1, 100000) gs(i) ON gs.i <= len(t)
+    ),
+    spans AS (
+      SELECT a.doc_id,
+             min(greatest(a.pos, b.pos, c.pos)
+                 - least(a.pos, b.pos, c.pos) + 1) AS min_span,
+             count(DISTINCT a.pos) AS n_t1,
+             count(DISTINCT b.pos) AS n_t2,
+             count(DISTINCT c.pos) AS n_t3
+      FROM tok a
+      JOIN tok b ON b.doc_id = a.doc_id AND b.w = '{_PROX_TERMS[1]}'
+      JOIN tok c ON c.doc_id = a.doc_id AND c.w = '{_PROX_TERMS[2]}'
+      WHERE a.w = '{_PROX_TERMS[0]}'
+      GROUP BY a.doc_id
+    )
+    SELECT doc_id, cast(min_span as bigint) AS min_span,
+           cast(n_t1 as bigint) AS n_t1,
+           cast(n_t2 as bigint) AS n_t2,
+           cast(n_t3 as bigint) AS n_t3
+    FROM spans
+    ORDER BY min_span, doc_id
+    LIMIT 20
+    """,
+)
+def q_proximity_rank(spark, sf_dir):
+    """Proximity (min-window) ranking — the positional-IR rung above
+    q_bm25's bag-of-words scoring: for the query terms {join, hash,
+    scan}, each document containing ALL three is scored by the
+    smallest token window covering one occurrence of each (the
+    phrase-nearness signal MATCH_PHRASE / proximity boosts use), with
+    per-term occurrence counts alongside; top-20 by (span, doc_id).
+    The occurrence-combination join is per-document and bounded by
+    per-term occurrence counts (a few each in any real corpus) —
+    never corpus-quadratic; exact integer spans, so the cut is
+    deterministic on both engines.
+
+    Scale: positions come from one posexplode in the scan (the same
+    positional-posting shape every proximity-scoring engine stores);
+    the per-doc combination join is doc-keyed and co-partitioned; the
+    final cut is TakeOrderedAndProject. At 100 TB the query-term
+    filter prunes the posting scan before any join."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.posexplode(F.split("text", " "))
+                   .alias("pos", "w"))
+    t1 = (tok.filter(F.col("w") == _PROX_TERMS[0])
+          .select("doc_id", F.col("pos").alias("p1")))
+    t2 = (tok.filter(F.col("w") == _PROX_TERMS[1])
+          .select(F.col("doc_id").alias("d2"), F.col("pos").alias("p2")))
+    t3 = (tok.filter(F.col("w") == _PROX_TERMS[2])
+          .select(F.col("doc_id").alias("d3"), F.col("pos").alias("p3")))
+    spans = (t1.join(t2, F.col("doc_id") == F.col("d2"))
+             .join(t3, F.col("doc_id") == F.col("d3"))
+             .groupBy("doc_id")
+             .agg((F.min(F.greatest("p1", "p2", "p3")
+                         - F.least("p1", "p2", "p3")) + 1)
+                  .cast("long").alias("min_span"),
+                  F.countDistinct("p1").cast("long").alias("n_t1"),
+                  F.countDistinct("p2").cast("long").alias("n_t2"),
+                  F.countDistinct("p3").cast("long").alias("n_t3")))
+    return spans.orderBy("min_span", "doc_id").limit(20)

@@ -136,6 +136,7 @@ SHAPE = {
     # profile (measured 6.6-6.9 s warm at sf0.1 vs the 8.98 gate)
     "q_dedup_incremental": "q_dedup_containment",
     "q_cep_pattern": "q_agg_hash",
+    "q_proximity_rank": "q_join_multi_5way",
 }
 
 
