@@ -64,40 +64,34 @@ def query(name: str, oracle: str | None = None):
 # a driver row, then the remaining never-driver-sampled queries in registry
 # order.  DRIVER_COVERAGE.md tracks the sampled/never-sampled ledger.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-9 rotation (DRIVER_COVERAGE.md; VERDICT r8 item 3): no
-    # reds exist after r8 (50/50 green), so all 50 slots go to
-    # never-driver-sampled queries from the 84-strong pool (the r8
-    # verdict corrected DRIVER_COVERAGE's 82 miscount), in VERDICT
-    # r8 priority order: (a) the two queries that lost their r8
-    # slots to late additions, (b) the 20 round-8 post-rotation
-    # registrations (interchange-format wave, crawl/eval/pipeline
-    # additions, ML/stats close wave — q_geoip_lookup carries the
-    # round-9 map-side-combine rewrite, so its first driver row
-    # exercises the new plan), then (c) 28 of the r7
-    # stats/timeseries/analytics tail in registry order. The 34
-    # remaining never-sampled queue for r10, closing the union at
-    # the r10 rotation.
-    # --- (a) lost their r8 slots ---
-    "q_dedup_threshold_curve", "q_quantile_normalize",
-    # --- (b) round-8 post-rotation registrations ---
-    "q_recrawl_schedule", "q_bleu", "q_snippet_extract",
-    "q_token_budget_mix", "q_deletion_vectors", "q_hilbert_layout",
-    "q_zip_extract", "q_avro_extract", "q_protobuf_extract",
-    "q_cbor_extract", "q_image_exif", "q_gif_decode",
-    "q_adaboost_stumps", "q_tost_equivalence", "q_sprt",
-    "q_parquet_footer_stats", "q_randomized_response",
-    "q_successive_halving", "q_geoip_lookup", "q_bitemporal_asof",
-    # --- (c) r7 stats/timeseries/analytics tail, registry order ---
-    "q_chao1_richness", "q_embed_random_projection",
-    "q_pps_systematic", "q_attribution_linear", "q_cohort_ltv",
-    "q_skyline", "q_weighted_percentile", "q_temporal_join",
-    "q_gaps_islands", "q_markov_attribution", "q_huber_regression",
-    "q_capture_recapture", "q_seasonal_decompose", "q_mann_kendall",
-    "q_kendall_tau", "q_theil_sen", "q_spearman_corr",
-    "q_haar_wavelet", "q_ohlc_bars", "q_max_drawdown",
-    "q_runs_test", "q_poisson_dispersion", "q_burst_detect",
-    "q_array_setops", "q_table_fingerprint", "q_k_anonymity",
-    "q_agg_string", "q_shuffle_deterministic",
+    # round-10 rotation (DRIVER_COVERAGE.md; VERDICT r9 item 2): no
+    # reds exist after r9 (50/50 green, driver union 407/454), so the
+    # front-50 takes ALL 47 remaining never-driver-sampled queries —
+    # the r7/r8 stats+timeseries tail plus the round-9 wave
+    # (lakehouse maintenance, CEP, proximity, parquet integer codecs,
+    # incremental LSH) — closing the driver union at 454/454. The
+    # last 3 slots go to the least-recently-sampled queries (last
+    # driver row: round 1), starting the steady-state re-confirm
+    # cycle the rotation policy's rule 4 describes.
+    # --- (a) the 47 never-driver-sampled, registry order ---
+    "q_dedup_incremental", "q_proximity_rank", "q_time_travel_read",
+    "q_hilbert_recluster", "q_vacuum_plan", "q_partition_evolution",
+    "q_wap_branch", "q_cep_pattern", "q_stream_outer_join",
+    "q_sql_pivot", "q_spatial_geohash", "q_pacf",
+    "q_mutual_information", "q_kmv_distinct", "q_feature_hashing",
+    "q_dp_noisy_counts", "q_benford", "q_gini_concentration",
+    "q_target_encode", "q_rfm_segment", "q_l_diversity",
+    "q_survival_km", "q_changepoint", "q_seasonal_dow",
+    "q_robust_scale", "q_rake_keywords", "q_survival_nelson_aalen",
+    "q_curriculum_order", "q_chisq_independence", "q_expectations",
+    "q_bootstrap_ci", "q_event_ngrams", "q_mannwhitney_u",
+    "q_xi_correlation", "q_partial_corr", "q_chisq_residuals",
+    "q_effect_size", "q_inequality_indices", "q_corpus_divergence",
+    "q_sql_window", "q_anomaly_seasonal", "q_audience_overlap",
+    "q_funnel_windowed", "q_slo_burn_rate", "q_minhash_band_tuning",
+    "q_rle_bitpack", "q_delta_binary_packed",
+    # --- (b) least-recently-sampled (r1), re-confirm cycle ---
+    "q_agg_hash", "q_agg_distinct", "q_agg_stats",
 )
 
 

@@ -90,6 +90,17 @@ def main() -> int:
                     "like the driver harness does — the pre-flight that "
                     "catches conf-dependent behavior before the driver "
                     "samples a query")
+    ap.add_argument("--fixture-override", action="append", default=[],
+                    metavar="QID=DIR",
+                    help="run QID (Spark AND oracle) against DIR instead "
+                    "of --sf. Exists for the one documented case where "
+                    "the DENSE scalegen fixture makes a query's OUTPUT "
+                    "itself quadratic (q_tfidf_cosine_pairs at sf1.0: "
+                    "95-type vocabulary → every doc pairs with half the "
+                    "corpus) while the realistic sparse-vocab fixture "
+                    "exercises the same operator tractably — the "
+                    "override turns the r9 'not_run' exclusion into a "
+                    "standing hash-checked row (VERDICT r9 item 4)")
     ap.add_argument("qids", nargs="*")
     args = ap.parse_args()
     if args.both_scales:
@@ -140,14 +151,36 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
 
+    overrides: dict[str, str] = {}
+    for spec in args.fixture_override:
+        oqid, _, odir = spec.partition("=")
+        if not odir or not Path(odir).is_dir():
+            print(f"fixture-override {spec!r}: dir missing, ignored")
+            continue
+        overrides[oqid] = odir
+    override_cons: dict[str, duckdb.DuckDBPyConnection] = {}
+    for odir in set(overrides.values()):
+        ocon = duckdb.connect()
+        ocon.execute("SET memory_limit='40GB'")
+        ocon.execute("SET temp_directory='/root/spill/duckdb_tmp'")
+        for t in TABLES:
+            src = f"{odir}/{t}.parquet"
+            if Path(src).is_dir():
+                src += "/*.parquet"
+            ocon.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+        override_cons[odir] = ocon
+
     qids = args.qids or sorted(queries)
     results: dict[str, dict] = {}
     n_pass = n_fail = n_rows_only = 0
     failures: list[str] = []
     for qid in qids:
         t0 = time.time()
+        q_sf = overrides.get(qid, args.sf)
+        q_con = override_cons.get(overrides.get(qid, ""), con)
         try:
-            sdf = queries[qid](spark, args.sf)
+            sdf = queries[qid](spark, q_sf)
             spd = sdf.toPandas()
         except Exception as exc:  # noqa: BLE001
             n_fail += 1
@@ -163,7 +196,7 @@ def main() -> int:
                   f"[{time.time()-t0:.2f}s]")
             continue
         try:
-            opd = con.execute(oracles[qid]).df()
+            opd = q_con.execute(oracles[qid]).df()
         except Exception as exc:  # noqa: BLE001
             n_fail += 1
             failures.append(qid)
@@ -189,7 +222,11 @@ def main() -> int:
         else:
             n_pass += 1
             results[qid] = {"status": "pass", "rows": len(srows)}
-            print(f"PASS  {qid}: {len(srows)} rows [{time.time()-t0:.2f}s]")
+            if qid in overrides:
+                results[qid]["fixture"] = overrides[qid]
+            print(f"PASS  {qid}: {len(srows)} rows [{time.time()-t0:.2f}s]"
+                  + (f" (fixture: {overrides[qid]})"
+                     if qid in overrides else ""))
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only"
           + (f"  FAILURES: {failures}" if failures else ""))
