@@ -34,11 +34,45 @@ def dsum(col: Column | str, alias: str, nd: int = 4) -> Column:
     return F.round(F.sum(_c(col).cast(DEC)).cast("double"), nd).alias(alias)
 
 
-def davg(col: Column | str, alias: str, nd: int = 4) -> Column:
-    """Order-independent average: exact decimal sum / count, in double."""
-    c = _c(col)
-    return F.round(
-        F.sum(c.cast(DEC)).cast("double") / F.count(c), nd
+def davg(col: Column | str, alias: str, nd: int = 4,
+         gdp: int | None = None) -> Column:
+    """Order-independent average: exact decimal sum / count, in double.
+
+    ``gdp`` (granularity decimal places) engages the EXACT path: when
+    the summands live on a 10^-gdp lattice (money in cents → gdp=2,
+    integer quantities → gdp=0), the true mean is the rational
+    S/(10^gdp·C) and CAN sit exactly on a round(·, nd) half boundary
+    (needs only 200·S_cents = odd·C at gdp=2/nd=4) — where Spark's
+    BigDecimal HALF_UP over the double's binary expansion and DuckDB's
+    double nearbyint disagree. The r9 sf1.0 sweep caught this class
+    twice (q_lm_score, q_ngram_lm); the fix is the same exact integer
+    half-away-from-zero division, applied here to the shared helper so
+    every coarse-lattice mean in the registry is boundary-proof
+    (VERDICT r9 item 3). With ``gdp=None`` the summands are
+    full-precision doubles quantized at 10dp by the decimal cast; a
+    boundary hit then needs S ≡ odd·500000·C at the 10th digit —
+    adjudicated per-site in SCALE.md's quotient table.
+
+    Overflow headroom on the exact path: the tie formula's largest
+    term is 2·|S|·10^(gdp+nd); at sf1.0 the biggest grouped money sum
+    is ~3e12 cents → ~6e16, three decades inside int64.
+    """
+    if gdp is None:
+        c = _c(col)
+        return F.round(
+            F.sum(c.cast(DEC)).cast("double") / F.count(c), nd
+        ).alias(alias)
+    if not isinstance(col, str):
+        raise ValueError("davg(gdp=...) exact path takes a column NAME")
+    g, p = 10 ** gdp, 10 ** nd
+    s = f"sum(cast(cast({col} as decimal(24,{gdp})) * {g} as bigint))"
+    cnt = f"count({col})"
+    # integer half-away-from-zero: sign(S) * ((2|S|·p + C·g) DIV (2·C·g))
+    return F.expr(
+        f"cast(CASE WHEN {s} >= 0"
+        f" THEN (2 * {s} * {p} + {cnt} * {g}) DIV (2 * {cnt} * {g})"
+        f" ELSE -((2 * -{s} * {p} + {cnt} * {g}) DIV (2 * {cnt} * {g}))"
+        f" END as double) / {p}"
     ).alias(alias)
 
 
@@ -48,7 +82,17 @@ def sql_dsum(expr: str, alias: str, nd: int = 4) -> str:
             f" AS {alias}")
 
 
-def sql_davg(expr: str, alias: str, nd: int = 4) -> str:
-    """DuckDB-side twin of :func:`davg`."""
-    return (f"round(cast(sum(cast(({expr}) as {DEC})) as double)"
-            f" / count({expr}), {nd}) AS {alias}")
+def sql_davg(expr: str, alias: str, nd: int = 4,
+             gdp: int | None = None) -> str:
+    """DuckDB-side twin of :func:`davg` (incl. the exact ``gdp`` path;
+    DuckDB ``//`` on positive bigints == Spark ``DIV``)."""
+    if gdp is None:
+        return (f"round(cast(sum(cast(({expr}) as {DEC})) as double)"
+                f" / count({expr}), {nd}) AS {alias}")
+    g, p = 10 ** gdp, 10 ** nd
+    s = f"sum(cast(cast(({expr}) as decimal(24,{gdp})) * {g} as bigint))"
+    cnt = f"count({expr})"
+    return (f"cast(CASE WHEN {s} >= 0"
+            f" THEN (2 * {s} * {p} + {cnt} * {g}) // (2 * {cnt} * {g})"
+            f" ELSE -((2 * -{s} * {p} + {cnt} * {g}) // (2 * {cnt} * {g}))"
+            f" END as double) / {p} AS {alias}")

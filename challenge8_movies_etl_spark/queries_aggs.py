@@ -27,9 +27,9 @@ EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
            {sql_dsum('l_extendedprice', 'sum_base_price')},
            {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
            {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
-           {sql_davg('l_quantity', 'avg_qty')},
-           {sql_davg('l_extendedprice', 'avg_price')},
-           {sql_davg('l_discount', 'avg_disc')},
+           {sql_davg('l_quantity', 'avg_qty', gdp=0)},
+           {sql_davg('l_extendedprice', 'avg_price', gdp=2)},
+           {sql_davg('l_discount', 'avg_disc', gdp=2)},
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -57,9 +57,9 @@ def q_agg_hash(spark, sf_dir):
             dsum("l_extendedprice", "sum_base_price"),
             dsum(disc_price, "sum_disc_price"),
             dsum(charge, "sum_charge"),
-            davg("l_quantity", "avg_qty"),
-            davg("l_extendedprice", "avg_price"),
-            davg("l_discount", "avg_disc"),
+            davg("l_quantity", "avg_qty", gdp=0),
+            davg("l_extendedprice", "avg_price", gdp=2),
+            davg("l_discount", "avg_disc", gdp=2),
             F.count("*").alias("count_order"),
         )
     )
@@ -99,7 +99,7 @@ def q_agg_distinct(spark, sf_dir):
     SELECT c_mktsegment,
            round(min(c_acctbal), 4) + 0.0 AS min_bal,
            round(max(c_acctbal), 4) AS max_bal,
-           {sql_davg('c_acctbal', 'avg_bal')},
+           {sql_davg('c_acctbal', 'avg_bal', gdp=2)},
            round(sqrt(greatest(
              (cast(sum(cast(c_acctbal * c_acctbal as {DEC})) as double)
               - cast(sum(cast(c_acctbal as {DEC})) as double) ^ 2 / count(c_acctbal))
@@ -136,7 +136,7 @@ def q_agg_stats(spark, sf_dir):
     return c.groupBy("c_mktsegment").agg(
         F.round(F.min(x), 4).alias("min_bal"),
         F.round(F.max(x), 4).alias("max_bal"),
-        davg(x, "avg_bal"),
+        davg("c_acctbal", "avg_bal", gdp=2),
         F.round(F.sqrt(var), 4).alias("stddev_bal"),
         F.round(var, 4).alias("var_bal"),
         n.alias("n"),
