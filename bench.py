@@ -285,6 +285,29 @@ def main() -> None:
     if len(line) > 1900:
         line = qbm_line(2)
     print(line)
+    # Line 3 (FINAL, guaranteed short): the r9 registry outgrew even
+    # the compact line (85 rows ≈ 2,200 chars), so the driver's
+    # last-2000-chars capture cut the line START — losing the
+    # '"qbm":"' marker and the 8 §2 headline rows, and gates.py exited
+    # 2 on the driver's own artifact (VERDICT r9 item 1). This line
+    # carries ONLY the headline-8 best/median + calibration +
+    # n_benched (~400 chars), so it ALWAYS survives the tail capture
+    # whole; gates.py reads it first and then harvests whatever
+    # complete name:best:median tokens remain of the truncated qbm
+    # line above for the non-headline rows.
+    print(json.dumps({
+        "metric": "headline_total_best_of_3",
+        "value": total,
+        "unit": "sec",
+        "gate8": " ".join(
+            f"{q[2:]}:{stats[q][0]:.3f}:{stats[q][1]:.3f}"
+            for q in HEADLINE if q in stats),
+        "sf": sf,
+        "calib_spark_sec": calibs,
+        "compact": True,
+        "final": True,
+        "n_benched": len(timings),
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -172,6 +172,7 @@ def main() -> int:
     b = b.get("parsed") or b
     if "queries" not in b and "qbm" not in b and "tail" in b:
         recovered = None
+        finals = None
         for line in str(b["tail"]).splitlines():
             line = line.strip()
             if line.startswith("{") and line.endswith("}"):
@@ -179,20 +180,29 @@ def main() -> int:
                     cand = json.loads(line)
                 except json.JSONDecodeError:
                     continue
-                if "queries" in cand:
+                if "queries" in cand or "qbm" in cand:
                     recovered = cand
+                elif "gate8" in cand:
+                    # bench.py's guaranteed-short FINAL line (r9 fix):
+                    # headline-8 rows + calib always survive the
+                    # driver's 2000-char tail capture whole
+                    finals = cand
+        tail = str(b["tail"])
         if recovered is None:
-            # Last resort: the tail truncated the line START (r5). The
-            # queries_best_median map and calib fields sit at the END
-            # of the payload, so they usually survive — regex them out.
-            tail = str(b["tail"])
+            # The tail truncated the qbm line's START (r5, r9): the
+            # '"qbm":"' marker is gone but the line's surviving middle
+            # still holds complete space-separated name:best:median
+            # tokens — harvest them whole (a front-clipped partial
+            # token is rejected by requiring a preceding space/quote).
             c = re.search(r'"calib_spark_sec":\s*([0-9.]+)', tail)
-            qm = re.search(r'"qbm":"([^"]*)"', tail)
-            if qm:
-                recovered = {"qbm": qm.group(1)}
+            toks = re.findall(
+                r'(?:(?<=\s)|(?<="))([a-z][a-z0-9_]*:\d+\.\d+:\d+\.\d+)'
+                r'(?=[\s"])', tail)
+            if toks:
+                recovered = {"qbm": " ".join(dict.fromkeys(toks))}
                 if c:
                     recovered["calib_spark_sec"] = float(c.group(1))
-            m = (None if qm else
+            m = (None if toks else
                  re.search(r'"queries_best_median":\s*(\{.*?\})\s*,\s*"sf"',
                            tail, re.DOTALL))
             if m:
@@ -202,11 +212,22 @@ def main() -> int:
                         recovered["calib_spark_sec"] = float(c.group(1))
                 except json.JSONDecodeError:
                     recovered = None
+        if finals is not None:
+            # merge: the final line's headline-8 rows + calib are
+            # authoritative; harvested qbm tokens widen coverage
+            merged = dict.fromkeys(
+                (recovered or {}).get("qbm", "").split())
+            merged.update(dict.fromkeys(str(finals["gate8"]).split()))
+            finals["qbm"] = " ".join(merged)
+            recovered = finals
         if recovered is None:
             print(f"ERROR: {path} has no parsed payload and no "
                   "recoverable JSON line in its tail")
             return 2
-        print(f"(recovered compact payload from {path} tail)")
+        print(f"(recovered compact payload from {path} tail"
+              + (f"; {len(recovered.get('qbm', '').split())}"
+                 f"/{recovered.get('n_benched', '?')} benched rows"
+                 if "qbm" in recovered else "") + ")")
         b = recovered
     k = max(1.0, b.get("calib_spark_sec", CALIB_REF) / CALIB_REF)
     if "qbm" in b:
