@@ -110,6 +110,11 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str, shingle_col: str,
     small block; the quadratic step is per-bucket only. Returns
     (id_a, id_b) with id_a < id_b, deduplicated across bands.
     """
+    if n_hashes % bands:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must divide evenly into bands "
+            f"({bands}): {n_hashes % bands} trailing signature "
+            "positions would be silently ignored")
     rows = n_hashes // bands
     sig = docs.select(id_col, minhash_signature(
         F.col(shingle_col), n_hashes, portable=portable).alias("sig"))
@@ -462,6 +467,14 @@ def lsh_candidate_pairs_incremental(docs: DataFrame, id_col: str,
     cost O(|new| + collisions), not O(|corpus|^2). ``is_new`` is a
     boolean Column over ``docs``. Returns canonical (id_a < id_b)
     pairs, deduplicated across bands."""
+    if n_hashes % bands:
+        # a silent floor here would drop trailing signature positions
+        # and flatten the S-curve without any signal (ADVICE r9); the
+        # full-corpus lsh_candidate_pairs has the same contract
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must divide evenly into bands "
+            f"({bands}): {n_hashes % bands} trailing signature "
+            "positions would be silently ignored")
     rows = n_hashes // bands
     sig = docs.select(id_col, is_new.alias("_new"), minhash_signature(
         F.col(shingle_col), n_hashes, portable=portable).alias("sig"))

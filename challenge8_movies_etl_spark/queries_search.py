@@ -849,11 +849,23 @@ _PROX_TERMS = ("join", "hash", "scan")
 @query(
     "q_proximity_rank",
     oracle=f"""
-    WITH tok AS (
+    WITH guard AS (
+      /* the position enumeration below is capped while the Spark
+         side's posexplode is unbounded; a 100k-token document would
+         silently diverge cross-engine (ADVICE r9, same latent class
+         as the q_distinct_ngrams r9 catch) - so the oracle REFUSES
+         loudly instead of dropping positions */
+      SELECT CASE WHEN max(len(string_split(text, ' '))) >= 100000
+             THEN error('q_proximity_rank oracle position cap 100000 exceeded by fixture')
+             ELSE 1 END AS ok
+      FROM documents
+    ),
+    tok AS (
       SELECT doc_id, gs.i AS pos, t[gs.i] AS w
       FROM (SELECT doc_id, string_split(text, ' ') AS t
             FROM documents) d
       JOIN range(1, 100000) gs(i) ON gs.i <= len(t)
+      JOIN guard ON guard.ok = 1
     ),
     spans AS (
       SELECT a.doc_id,

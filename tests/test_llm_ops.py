@@ -681,3 +681,22 @@ def test_incremental_lsh_never_emits_old_old_pairs(spark):
                 g, "doc_id", "g", portable=True).collect()}
     full_new = {(a, b) for a, b in full if a % 5 == 0 or b % 5 == 0}
     assert inc == full_new
+
+
+def test_lsh_banding_must_divide_evenly():
+    """ADVICE r9: rows = n_hashes // bands silently dropped trailing
+    signature positions on a non-divisible config, flattening the
+    S-curve with no signal — both the full and incremental banders
+    must refuse loudly (the check fires before any DataFrame use)."""
+    import pytest
+
+    from challenge8_movies_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_incremental,
+    )
+
+    with pytest.raises(ValueError, match="divide evenly"):
+        lsh_candidate_pairs(None, "doc_id", "g", n_hashes=16, bands=5)
+    with pytest.raises(ValueError, match="divide evenly"):
+        lsh_candidate_pairs_incremental(
+            None, "doc_id", "g", None, n_hashes=10, bands=4)
