@@ -64,15 +64,24 @@ def davg(col: Column | str, alias: str, nd: int = 4,
         ).alias(alias)
     if not isinstance(col, str):
         raise ValueError("davg(gdp=...) exact path takes a column NAME")
-    g, p = 10 ** gdp, 10 ** nd
-    s = f"sum(cast(cast({col} as decimal(24,{gdp})) * {g} as bigint))"
+    g = 10 ** gdp
+    # reduced tie formula (divide numerator and denominator by
+    # 10^min(gdp,nd)): d >= 0 → (2·S·10^d + C) DIV (2·C);
+    # d < 0 → (2·S + C·10^-d) DIV (2·C·10^-d). The sum accumulates in
+    # decimal(38,0) (Spark) / hugeint (DuckDB) so the scaled-integer
+    # arithmetic never overflows at any realistic corpus size.
+    d = nd - gdp
+    s = (f"sum(cast(cast({col} as decimal(28,{gdp})) * {g}"
+         f" as decimal(30,0)))")
     cnt = f"count({col})"
-    # integer half-away-from-zero: sign(S) * ((2|S|·p + C·g) DIV (2·C·g))
+    num_pos = (f"(2 * {s} * {10 ** d} + {cnt})" if d >= 0
+               else f"(2 * {s} + {cnt} * {10 ** -d})")
+    num_neg = (f"(2 * -{s} * {10 ** d} + {cnt})" if d >= 0
+               else f"(2 * -{s} + {cnt} * {10 ** -d})")
+    den = f"(2 * {cnt})" if d >= 0 else f"(2 * {cnt} * {10 ** -d})"
     return F.expr(
-        f"cast(CASE WHEN {s} >= 0"
-        f" THEN (2 * {s} * {p} + {cnt} * {g}) DIV (2 * {cnt} * {g})"
-        f" ELSE -((2 * -{s} * {p} + {cnt} * {g}) DIV (2 * {cnt} * {g}))"
-        f" END as double) / {p}"
+        f"cast(CASE WHEN {s} >= 0 THEN {num_pos} DIV {den}"
+        f" ELSE -({num_neg} DIV {den}) END as double) / {10 ** nd}"
     ).alias(alias)
 
 
@@ -89,10 +98,16 @@ def sql_davg(expr: str, alias: str, nd: int = 4,
     if gdp is None:
         return (f"round(cast(sum(cast(({expr}) as {DEC})) as double)"
                 f" / count({expr}), {nd}) AS {alias}")
-    g, p = 10 ** gdp, 10 ** nd
-    s = f"sum(cast(cast(({expr}) as decimal(24,{gdp})) * {g} as bigint))"
+    g = 10 ** gdp
+    d = nd - gdp
+    s = (f"sum(cast(cast(({expr}) as decimal(28,{gdp})) * {g}"
+         f" as bigint))")  # DuckDB sum(bigint) accumulates in hugeint
     cnt = f"count({expr})"
-    return (f"cast(CASE WHEN {s} >= 0"
-            f" THEN (2 * {s} * {p} + {cnt} * {g}) // (2 * {cnt} * {g})"
-            f" ELSE -((2 * -{s} * {p} + {cnt} * {g}) // (2 * {cnt} * {g}))"
-            f" END as double) / {p} AS {alias}")
+    num_pos = (f"(2 * {s} * {10 ** d} + {cnt})" if d >= 0
+               else f"(2 * {s} + {cnt} * {10 ** -d})")
+    num_neg = (f"(2 * -{s} * {10 ** d} + {cnt})" if d >= 0
+               else f"(2 * -{s} + {cnt} * {10 ** -d})")
+    den = f"(2 * {cnt})" if d >= 0 else f"(2 * {cnt} * {10 ** -d})"
+    return (f"cast(CASE WHEN {s} >= 0 THEN {num_pos} // {den}"
+            f" ELSE -({num_neg} // {den}) END as double) / {10 ** nd}"
+            f" AS {alias}")

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from .functions.hashsafe import dsum
+from .functions.hashsafe import dsum, davg, sql_davg
 from .registry import query
 from .sources.fixtures import load_table
 
@@ -1324,7 +1324,7 @@ def q_huber_regression(spark, sf_dir):
 
 @query(
     "q_cuped",
-    oracle="""
+    oracle=f"""
     WITH per_user AS (
       SELECT user_id, cast(user_id % 2 as integer) AS variant,
              cast(sum(CASE WHEN date_part('day', ts) <= 15
@@ -1357,10 +1357,8 @@ def q_huber_regression(spark, sf_dir):
       FROM per_user, params
     )
     SELECT variant, cast(count(*) as bigint) AS n_users,
-           round(cast(sum(cast(y as decimal(30,10))) as double)
-                 / count(*), 4) AS mean_y,
-           round(cast(sum(cast(y_adj as decimal(30,10))) as double)
-                 / count(*), 4) AS mean_y_adj,
+           {sql_davg('y', 'mean_y', gdp=2)},
+           {sql_davg('y_adj', 'mean_y_adj', gdp=8)},
            round((cast(sum(cast(round(y * y, 6) as decimal(30,10)))
                        as double)
                   - cast(sum(cast(y as decimal(30,10))) as double)
@@ -1433,10 +1431,12 @@ def q_cuped(spark, sf_dir):
 
     return (adjusted.groupBy("variant")
             .agg(F.count("*").alias("n_users"),
-                 F.round(F.sum(F.col("y").cast(dec)).cast("double")
-                         / F.count("*"), 4).alias("mean_y"),
-                 F.round(F.sum(F.col("y_adj").cast(dec)).cast("double")
-                         / F.count("*"), 4).alias("mean_y_adj"),
+                 # exact integer half-away means (VERDICT r9 item 3):
+                 # y sums 2dp event values (per-user DEC sums stay on
+                 # the 1e-2 lattice) and y_adj is round(.,8) → 1e-8
+                 # lattice; both quotients can hit 4dp half boundaries
+                 davg("y", "mean_y", gdp=2),
+                 davg("y_adj", "mean_y_adj", gdp=8),
                  var_of("y", "var_y"),
                  var_of("y_adj", "var_y_adj"))
             .orderBy("variant"))

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .functions.hashsafe import DEC
+
 from .registry import query
 from .sources.fixtures import load_table
 
@@ -37,23 +37,23 @@ _LABEL = f"CASE WHEN (event_id * 7919) % 1000 < {_P_NUM} THEN 1 ELSE 0 END"
     oracle=f"""
     WITH scored AS (
       SELECT ({_P_NUM}) // 100 AS bin,
-             cast({_P_NUM} as double) / 1000.0 AS p,
+             ({_P_NUM}) AS k,
              {_LABEL} AS label
       FROM events
     ),
     per_bin AS (
-      SELECT bin, count(*) AS n_events,
-             cast(sum(cast(p as {DEC})) as double) / count(*) AS conf_raw,
-             cast(sum(label) as double) / count(*) AS acc_raw
+      SELECT bin, count(*) AS n, sum(k) AS sk, sum(label) AS sl,
+             abs(1000 * sum(label) - sum(k)) AS d
       FROM scored GROUP BY bin
     )
-    SELECT bin, n_events,
-           round(conf_raw, 8) AS confidence,
-           round(acc_raw, 8) AS accuracy,
-           round(abs(acc_raw - conf_raw), 8) AS gap,
-           round(cast(sum(cast(n_events * abs(acc_raw - conf_raw)
-                               as {DEC})) OVER () as double)
-                 / sum(n_events) OVER (), 8) AS ece
+    SELECT bin, cast(n as bigint) AS n_events,
+           cast((2 * sk * 100000 + n) // (2 * n) as double) / 1e8
+             AS confidence,
+           cast((2 * sl * 100000000 + n) // (2 * n) as double) / 1e8
+             AS accuracy,
+           cast((2 * d * 100000 + n) // (2 * n) as double) / 1e8 AS gap,
+           cast((2 * sum(d) OVER () * 100000 + sum(n) OVER ())
+                // (2 * sum(n) OVER ()) as double) / 1e8 AS ece
     FROM per_bin
     ORDER BY bin
     """,
@@ -66,32 +66,39 @@ def q_calibration_ece(spark, sf_dir):
 
     Scale: one shuffle on the 10-value bin key (map-side combine does
     almost all the work), then a 10-row window — the ECE of a 100 TB
-    eval set costs exactly one aggregation pass. The window's
-    cross-bin sum runs through decimal so the 10-term reduction is
-    order-independent (hashsafe discipline)."""
+    eval set costs exactly one aggregation pass. Every reported value
+    is EXACT INTEGER arithmetic (VERDICT r9 item 3): p's numerator and
+    the 0/1 labels are integers, so confidence = K/(1000n), accuracy =
+    L/n, gap = |1000L-K|/(1000n) and the n-weighted ece =
+    Σ|1000L-K| / (1000·N) are all rationals rounded at 8dp by integer
+    half-away-from-zero division — no decimal sum, no double quotient,
+    no half-boundary exposure on either engine."""
     e = load_table(spark, sf_dir, "events")
     num = F.col("event_id") % 1000
     scored = e.select(
         (num / F.lit(100)).cast("bigint").alias("bin"),
-        (num.cast("double") / F.lit(1000.0)).alias("p"),
+        num.alias("k"),
         F.when((F.col("event_id") * 7919) % 1000 < num, 1)
          .otherwise(0).alias("label"))
     per_bin = (scored.groupBy("bin")
-               .agg(F.count("*").alias("n_events"),
-                    (F.sum(F.col("p").cast(DEC)).cast("double")
-                     / F.count("*")).alias("conf_raw"),
-                    (F.sum("label").cast("double")
-                     / F.count("*")).alias("acc_raw")))
-    w = Window.partitionBy()
-    gap_raw = F.abs(F.col("acc_raw") - F.col("conf_raw"))
+               .agg(F.count("*").alias("n"),
+                    F.sum("k").alias("sk"),
+                    F.sum("label").alias("sl"))
+               .withColumn("d", F.abs(1000 * F.col("sl") - F.col("sk"))))
+
+    def r8(num_expr: str, den: str = "n") -> F.Column:
+        return F.expr(
+            f"cast((2 * {num_expr} + {den}) DIV (2 * {den})"
+            f" as double) / 1e8")
+
     return (per_bin.select(
-        "bin", "n_events",
-        F.round("conf_raw", 8).alias("confidence"),
-        F.round("acc_raw", 8).alias("accuracy"),
-        F.round(gap_raw, 8).alias("gap"),
-        F.round(F.sum((F.col("n_events") * gap_raw).cast(DEC)).over(w)
-                 .cast("double") / F.sum("n_events").over(w), 8)
-         .alias("ece"))
+        "bin", F.col("n").cast("long").alias("n_events"),
+        r8("sk * 100000").alias("confidence"),
+        r8("sl * 100000000").alias("accuracy"),
+        r8("d * 100000").alias("gap"),
+        F.expr(
+            "cast((2 * sum(d) over () * 100000 + sum(n) over ())"
+            " DIV (2 * sum(n) over ()) as double) / 1e8").alias("ece"))
         .orderBy("bin"))
 
 

@@ -19,6 +19,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .registry import query
+from .functions.hashsafe import davg, sql_davg
 from .sources.fixtures import load_table
 
 # ---------------------------------------------------------------------------
@@ -160,11 +161,10 @@ def q_table_fingerprint(spark, sf_dir):
 # q_k_anonymity — quasi-identifier suppression
 # ---------------------------------------------------------------------------
 
-_KANON_ORACLE = """
+_KANON_ORACLE = f"""
 WITH g AS (
   SELECT c_nationkey, c_mktsegment, count(*) AS n,
-         round(cast(sum(cast(c_acctbal as decimal(30,10))) as double)
-               / count(*), 4) AS avg_bal
+         {sql_davg('c_acctbal', 'avg_bal', gdp=2)}
   FROM customer GROUP BY 1, 2
 )
 SELECT cast(c_nationkey as varchar) AS nation, c_mktsegment AS segment,
@@ -173,8 +173,12 @@ FROM g WHERE n >= 10
 UNION ALL
 SELECT '*' AS nation, '*' AS segment,
        cast(sum(n) as bigint) AS n,
-       round(cast(sum(cast(avg_bal * n as decimal(30,10))) as double)
-             / sum(n), 4) AS avg_bal
+       cast(CASE WHEN sum(cast(avg_bal * n as decimal(30,10))) >= 0
+            THEN (2 * cast(sum(cast(avg_bal * n as decimal(30,10))) * 10000
+                           as bigint) + sum(n)) // (2 * sum(n))
+            ELSE -((2 * -cast(sum(cast(avg_bal * n as decimal(30,10))) * 10000
+                              as bigint) + sum(n)) // (2 * sum(n)))
+            END as double) / 10000 AS avg_bal
 FROM g WHERE n < 10
 HAVING count(*) > 0
 """
@@ -192,19 +196,28 @@ def q_k_anonymity(spark, sf_dir):
     Scale: one groupBy over the dimension table; the suppressed resid
     is an aggregate of the already-aggregated group relation."""
     c = load_table(spark, sf_dir, "customer")
+    # both means go through exact integer half-away-from-zero division
+    # (VERDICT r9 item 3): stage 1 averages 2dp money (boundary hits
+    # need only 200*S_cents = odd*C), and stage 2's weighted mean of
+    # 4dp stage-1 means over small n lives on a 1e-4 lattice — the
+    # per-row (avg_bal * n) double is within n*ulp < 5e-11 of the
+    # exact 4dp product, so the decimal(30,10) cast recovers it
+    # exactly and the bigint T4 below is the exact scaled numerator.
     g = (c.groupBy("c_nationkey", "c_mktsegment")
          .agg(F.count("*").alias("n"),
-              F.round(F.sum(F.col("c_acctbal").cast("decimal(30,10)"))
-                      .cast("double") / F.count("*"), 4).alias("avg_bal"))
+              davg("c_acctbal", "avg_bal", gdp=2))
          ).persist()
     kept = g.filter(F.col("n") >= 10).select(
         F.col("c_nationkey").cast("string").alias("nation"),
         F.col("c_mktsegment").alias("segment"), "n", "avg_bal")
+    _t4 = "cast(sum(cast(avg_bal * n as decimal(30,10))) * 10000 as bigint)"
     supp = (g.filter(F.col("n") < 10)
             .agg(F.sum("n").alias("n"),
-                 F.round(F.sum((F.col("avg_bal") * F.col("n"))
-                               .cast("decimal(30,10)")).cast("double")
-                         / F.sum("n"), 4).alias("avg_bal"),
+                 F.expr(
+                     f"cast(CASE WHEN {_t4} >= 0"
+                     f" THEN (2 * {_t4} + sum(n)) DIV (2 * sum(n))"
+                     f" ELSE -((2 * -{_t4} + sum(n)) DIV (2 * sum(n)))"
+                     f" END as double) / 10000").alias("avg_bal"),
                  F.count("*").alias("_g"))
             .filter(F.col("_g") > 0)
             .select(F.lit("*").alias("nation"), F.lit("*").alias("segment"),
