@@ -544,7 +544,13 @@ def q_sql_correlated_avg(spark, sf_dir):
     100 TB (a per-row subquery execution would be O(rows) scans).
     l_quantity is integer-valued, so sum/count is exact in double on
     both engines and the 0.2x threshold comparison cannot drift; the
-    outer revenue sum uses the decimal reduction."""
+    outer revenue sum uses the decimal reduction.
+
+    Quotient-rounding adjudication (VERDICT r9 item 3, SCALE.md
+    table): avg_yearly = S_cents/(100*7) rounded at 4dp can never sit
+    on a half boundary — a tie requires 200*S_cents = 7*(2m+1), an
+    even left side equal to an odd right side. Boundary-unreachable by
+    parity; no rewrite needed."""
     for t in ("lineitem", "part"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_CORR_AVG_Q17_SQL)

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from .functions.hashsafe import davg, sql_davg
 from .registry import query
 from .sources.fixtures import load_table
 
@@ -933,8 +934,17 @@ def _cluster_quality_oracle() -> str:
     ),
     cents AS (
       SELECT label, dim,
-             cast(round(cast(sum(cast(v as {DEC})) as double)
-                        / count(*), 6) as decimal(12,6)) AS c
+             cast(cast(CASE WHEN sum(cast(cast(v as decimal(27,10))
+                                         * 10000000000 as bigint)) >= 0
+               THEN (2 * sum(cast(cast(v as decimal(27,10))
+                                  * 10000000000 as bigint))
+                     + count(*) * 10000)
+                    // (2 * count(*) * 10000)
+               ELSE -((2 * -sum(cast(cast(v as decimal(27,10))
+                                     * 10000000000 as bigint))
+                       + count(*) * 10000)
+                      // (2 * count(*) * 10000)) END as double) / 1e6
+                  as decimal(12,6)) AS c
       FROM elems GROUP BY 1, 2
     ),
     dists AS (
@@ -976,10 +986,19 @@ def q_cluster_quality(spark, sf_dir):
         F.posexplode("embedding").alias("dim0", "vf")) \
         .select("label", "vec_id", (F.col("dim0") + 1).alias("dim"),
                 F.col("vf").cast("double").alias("v"))
+    # exact integer 6dp centroid mean (VERDICT r9 item 3): the 10dp
+    # decimal sum over count can sit on a 6dp half boundary (needs
+    # S = odd*5000*C), so both engines round by integer DIV instead
+    _s10 = ("sum(cast(cast(v as decimal(27,10))"
+            " * 10000000000 as decimal(30,0)))")
     cents = (elems.groupBy("label", "dim")
-             .agg(F.round(F.sum(F.col("v").cast(DEC)).cast("double")
-                          / F.count("*"), 6)
-                  .cast("decimal(12,6)").alias("c")))
+             .agg(F.expr(
+                 f"cast(cast(CASE WHEN {_s10} >= 0"
+                 f" THEN (2 * {_s10} + count(*) * 10000)"
+                 f" DIV (2 * count(*) * 10000)"
+                 f" ELSE -((2 * -{_s10} + count(*) * 10000)"
+                 f" DIV (2 * count(*) * 10000)) END as double) / 1e6"
+                 " as decimal(12,6))").alias("c")))
     diff = F.col("v") - F.col("c").cast("double")
     dists = (elems.join(cents, ["label", "dim"])
              .groupBy("label", "vec_id")
@@ -1293,10 +1312,12 @@ _CV_Y = "value * 3.0 + (event_id % 7)"  # deterministic target
     SELECT p.fold, c.n_train, c.n_test,
            round(c.slope, 6) + 0.0 AS slope,
            round(c.icept, 6) + 0.0 AS intercept,
-           round(cast(sum(cast((p.y - c.icept - c.slope * p.x)
-                               * (p.y - c.icept - c.slope * p.x)
-                               as decimal(30,10))) as double)
-                 / c.n_test, 6) AS test_mse
+           cast((2 * sum(cast(cast((p.y - c.icept - c.slope * p.x)
+                                    * (p.y - c.icept - c.slope * p.x)
+                                    as decimal(27,10))
+                               * 10000000000 as bigint))
+                 + c.n_test * 10000)
+                // (2 * c.n_test * 10000) as double) / 1e6 AS test_mse
     FROM pts p JOIN coefs c ON p.fold = c.fold
     GROUP BY p.fold, c.n_train, c.n_test, c.slope, c.icept
     ORDER BY p.fold
@@ -1350,8 +1371,16 @@ def q_crossval_ols(spark, sf_dir):
     resid = F.col("y") - F.col("icept") - F.col("slope") * F.col("x")
     return (pts.join(F.broadcast(coefs), "fold")
             .groupBy("fold", "n_train", "n_test", "slope", "icept")
-            .agg(F.round(F.sum((resid * resid).cast(DEC)).cast("double")
-                         / F.first("n_test"), 6).alias("test_mse"))
+            .agg(F.expr(
+                # exact integer 6dp mean of the 10dp-quantized squared
+                # residuals (nonnegative, so no sign branch needed) —
+                # VERDICT r9 item 3
+                "cast((2 * sum(cast(cast((y - icept - slope * x)"
+                " * (y - icept - slope * x) as decimal(27,10))"
+                " * 10000000000 as decimal(30,0)))"
+                " + first(n_test) * 10000)"
+                " DIV (2 * first(n_test) * 10000) as double) / 1e6")
+                 .alias("test_mse"))
             .select("fold", "n_train", "n_test",
                     (F.round("slope", 6) + 0.0).alias("slope"),
                     (F.round("icept", 6) + 0.0).alias("intercept"),
@@ -1494,11 +1523,8 @@ _IPS_SYNTH = f"""
     )
     SELECT ctx, count(*) AS n,
            cast(sum(reward) as bigint) AS logged_reward,
-           round(cast(sum(cast(w * reward as decimal(30,10)))
-                      as double) / count(*), 6) AS ips_value,
-           round(cast(sum(cast(least(w, 3.0) * reward
-                               as decimal(30,10)))
-                      as double) / count(*), 6) AS clipped_ips
+           {sql_davg('w * reward', 'ips_value', nd=6, gdp=10)},
+           {sql_davg('least(w, 3.0) * reward', 'clipped_ips', nd=6, gdp=10)}
     FROM rewarded GROUP BY ctx ORDER BY ctx
     """,
 )
@@ -1536,17 +1562,17 @@ def q_offpolicy_ips(spark, sf_dir):
         F.when(F.col("logged_arm") == target,
                F.lit(1.0) / F.col("propensity"))
          .otherwise(0.0).alias("w"))
-    DECS = "decimal(30,10)"
-    return (rewarded.groupBy("ctx")
+    # exact integer 6dp means over the 10dp-quantized weighted rewards
+    # (VERDICT r9 item 3): the decimal(30,10) sum / count quotient can
+    # sit on a 6dp half boundary (S = odd*5000*C)
+    wr = rewarded.withColumn(
+        "wr", F.col("w") * F.col("reward")).withColumn(
+        "cwr", F.least(F.col("w"), F.lit(3.0)) * F.col("reward"))
+    return (wr.groupBy("ctx")
             .agg(F.count("*").alias("n"),
                  F.sum("reward").alias("logged_reward"),
-                 F.round(F.sum((F.col("w") * F.col("reward"))
-                               .cast(DECS)).cast("double")
-                         / F.count("*"), 6).alias("ips_value"),
-                 F.round(F.sum((F.least(F.col("w"), F.lit(3.0))
-                                * F.col("reward")).cast(DECS))
-                         .cast("double") / F.count("*"), 6)
-                  .alias("clipped_ips"))
+                 davg("wr", "ips_value", nd=6, gdp=10),
+                 davg("cwr", "clipped_ips", nd=6, gdp=10))
             .orderBy("ctx"))
 
 
@@ -2192,8 +2218,7 @@ def q_regression_discontinuity(spark, sf_dir):
     ),
     qhat AS (
       SELECT ctx, logged_arm AS arm,
-             round(cast(sum(cast(reward as decimal(30,10))) as double)
-                   / count(*), 10) AS q
+             {sql_davg('reward', 'q', nd=10, gdp=0)}
       FROM rewarded GROUP BY ctx, logged_arm
     ),
     terms AS (
@@ -2204,8 +2229,7 @@ def q_regression_discontinuity(spark, sf_dir):
       JOIN qhat qt ON qt.ctx = r.ctx AND qt.arm = r.ctx % 3
     )
     SELECT ctx, count(*) AS n,
-           round(cast(sum(cast(t as decimal(30,10))) as double)
-                 / count(*), 6) + 0.0 AS dr_value
+           {sql_davg('t', 'dr_value', nd=6, gdp=10)}
     FROM terms GROUP BY ctx ORDER BY ctx
     """,
 )
@@ -2244,9 +2268,11 @@ def q_offpolicy_dr(spark, sf_dir):
         F.when(F.col("logged_arm") == target,
                F.lit(1.0) / F.col("propensity"))
          .otherwise(0.0).alias("w"))
+    # q and dr_value are exact integer half-away-from-zero rounds
+    # (VERDICT r9 item 3): reward is integer and t is 10dp-rounded,
+    # so both quotients are boundary-exposed rationals
     qhat = (rewarded.groupBy("ctx", F.col("logged_arm").alias("arm"))
-            .agg(F.round(F.sum(F.col("reward").cast(DECS))
-                         .cast("double") / F.count("*"), 10).alias("q")))
+            .agg(davg("reward", "q", nd=10, gdp=0)))
     qa = qhat.select(F.col("ctx").alias("qa_ctx"),
                      F.col("arm").alias("qa_arm"), F.col("q").alias("q_a"))
     qt = qhat.select(F.col("ctx").alias("qt_ctx"),
@@ -2265,8 +2291,7 @@ def q_offpolicy_dr(spark, sf_dir):
                      .alias("t")))
     return (terms.groupBy("ctx")
             .agg(F.count("*").alias("n"),
-                 (F.round(F.sum(F.col("t").cast(DECS)).cast("double")
-                          / F.count("*"), 6) + 0.0).alias("dr_value"))
+                 davg("t", "dr_value", nd=6, gdp=10))
             .orderBy("ctx"))
 
 

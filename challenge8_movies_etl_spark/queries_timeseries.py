@@ -594,9 +594,12 @@ def q_outlier_iqr(spark, sf_dir):
     )
     SELECT user_id,
            count(*) AS n_segments,
-           round(cast(sum(cast((value + v_next) * 0.5 * gap_us
-                               AS {DEC})) AS double)
-                 / cast(sum(gap_us) AS double), 4) AS twa_value
+           cast((100 * sum((cast(cast(value as decimal(12,2)) * 100
+                                 as bigint)
+                            + cast(cast(v_next as decimal(12,2)) * 100
+                                   as bigint)) * gap_us)
+                 + sum(gap_us))
+                // (2 * sum(gap_us)) as double) / 1e4 AS twa_value
     FROM seg WHERE gap_us IS NOT NULL AND gap_us > 0
     GROUP BY 1
     """,
@@ -618,14 +621,24 @@ def q_time_weighted_avg(spark, sf_dir):
         F.lead("value").over(w).alias("v_next"),
         (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"))
         .alias("gap_us"))
+    # exact integer trapezoid (VERDICT r9 item 3): values are 2dp, so
+    # the true summand is (v1c + v2c) * gap_us / 200 in cents —
+    # accumulated as exact integers (decimal(38,0), never a double
+    # product whose 10dp cast can't recover the lattice for large
+    # gaps), and the 4dp mean rounds by integer DIV: with S = sum of
+    # (v1c+v2c)*gap_us and G = sum(gap_us), twa = S/(200 G) and
+    # round4 = (100 S + G) DIV (2 G) — values are nonnegative, so no
+    # sign branch.
     return (seg.where(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
             .groupBy("user_id")
             .agg(F.count("*").alias("n_segments"),
-                 F.round(
-                     F.sum(((F.col("value") + F.col("v_next")) * 0.5
-                            * F.col("gap_us")).cast(DEC)).cast("double")
-                     / F.sum("gap_us").cast("double"), 4)
-                 .alias("twa_value")))
+                 F.expr(
+                     "cast((100 * sum(cast("
+                     "(cast(cast(value as decimal(12,2)) * 100 as bigint)"
+                     " + cast(cast(v_next as decimal(12,2)) * 100"
+                     "        as bigint)) * gap_us as decimal(30,0)))"
+                     " + sum(gap_us)) DIV (2 * sum(gap_us))"
+                     " as double) / 1e4").alias("twa_value")))
 
 
 @query(

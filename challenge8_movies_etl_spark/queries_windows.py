@@ -80,6 +80,13 @@ def q_window_running(spark, sf_dir):
 
     Frames: unboundedPreceding..current and -2..current. Decimal
     accumulation inside both frames (see module docstring).
+
+    Quotient-rounding adjudication (VERDICT r9 item 3, SCALE.md
+    table): moving_avg3 divides a cents-lattice frame sum by C in
+    {1,2,3}; a 4dp half boundary requires 200*S_cents = (2m+1)*C,
+    impossible for every frame size (C=1,3: even = odd; C=2: reduces
+    to 100*S_cents odd, again even = odd). Boundary-unreachable by
+    parity; no rewrite needed.
     """
     o = load_table(spark, sf_dir, "orders")
     w = (W.partitionBy("o_custkey")
