@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import uuid
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .operators.scd import scd2_apply, upsert
@@ -1182,3 +1183,283 @@ def q_wap_branch(spark, sf_dir):
                                .cast("decimal(30,10)")), 2)
                  .cast("double").alias("total_price"))
             .orderBy("reader"))
+
+
+# ---------------------------------------------------------------------------
+# q_merge_upsert — MERGE INTO materialization over the DV machinery
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey AS k,
+             cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)
+               AS price_c,
+             o_orderkey // 1000 AS file_id
+      FROM orders
+    ),
+    source AS (
+      SELECT o_orderkey AS k,
+             (cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)
+              * 11) // 10 AS price_c,
+             CASE WHEN o_orderkey % 21 = 0 THEN 'delete'
+                  ELSE 'upsert' END AS op
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey + 300000000 AS k,
+             cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)
+               AS price_c,
+             'upsert' AS op
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    merged AS (
+      SELECT coalesce(t.k, s.k) AS k,
+             t.file_id,
+             CASE WHEN t.k IS NULL THEN 'insert'
+                  WHEN s.k IS NULL THEN 'unchanged'
+                  WHEN s.op = 'delete' THEN 'delete'
+                  ELSE 'update' END AS action,
+             CASE WHEN t.k IS NULL THEN s.price_c
+                  WHEN s.k IS NULL THEN t.price_c
+                  WHEN s.op = 'delete' THEN NULL
+                  ELSE s.price_c END AS out_c
+      FROM target t FULL OUTER JOIN source s ON t.k = s.k
+    )
+    SELECT action,
+           cast(count(*) as bigint) AS n_rows,
+           cast(count(DISTINCT file_id) as bigint) AS n_files_touched,
+           cast(cast(sum(out_c) as double) / 100 as double)
+             AS total_price
+    FROM merged GROUP BY action ORDER BY action
+    """,
+)
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO materialization (Delta/Iceberg row-level semantics)
+    over the same synthesized file layout as q_time_travel_read: the
+    source batch UPDATEs every third order to an 11/10 price (exact
+    integer cents — never a 1.1 double multiply), DELETEs the %21
+    subset (WHEN MATCHED AND cond THEN DELETE), and INSERTs a new-key
+    batch (%13, shifted key space). The audit reports, per merge
+    action (insert/update/delete/unchanged): row count, distinct
+    target files touched — the number that becomes deletion-vector +
+    rewrite fan-out in a real commit — and the resulting exact price
+    mass (NULL for deletes, whose rows leave the table).
+
+    Scale: MERGE is ONE keyed full-outer shuffle join between target
+    and source (never per-row lookups); at 100 TB the join key is the
+    table's clustering key, so the shuffle co-partitions with the
+    file layout and each task emits its file's deletion vector +
+    rewritten rows locally. The action rollup map-side combines.
+    Cites Delta Lake MERGE semantics (public docs); no reference
+    analog — engine scope."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr(
+        "cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)")
+    target = o.select(F.col("o_orderkey").alias("k"),
+                      cents.alias("price_c"),
+                      (F.col("o_orderkey") / 1000).cast("bigint")
+                      .alias("file_id"))
+    upd = (o.filter(F.col("o_orderkey") % 3 == 0)
+           .select(F.col("o_orderkey").alias("k"),
+                   F.expr("(cast(cast(o_totalprice as decimal(12,2))"
+                          " * 100 as bigint) * 11) DIV 10")
+                   .alias("price_c"),
+                   F.when(F.col("o_orderkey") % 21 == 0, "delete")
+                   .otherwise("upsert").alias("op")))
+    ins = (o.filter(F.col("o_orderkey") % 13 == 0)
+           .select((F.col("o_orderkey") + 300000000).alias("k"),
+                   cents.alias("price_c"),
+                   F.lit("upsert").alias("op")))
+    source = upd.unionByName(ins)
+    t, s = target.alias("t"), source.alias("s")
+    merged = (t.join(s, F.col("t.k") == F.col("s.k"), "full_outer")
+              .select(
+                  F.coalesce("t.k", "s.k").alias("k"),
+                  "t.file_id",
+                  F.when(F.col("t.k").isNull(), "insert")
+                  .when(F.col("s.k").isNull(), "unchanged")
+                  .when(F.col("s.op") == "delete", "delete")
+                  .otherwise("update").alias("action"),
+                  F.when(F.col("t.k").isNull(), F.col("s.price_c"))
+                  .when(F.col("s.k").isNull(), F.col("t.price_c"))
+                  .when(F.col("s.op") == "delete", F.lit(None))
+                  .otherwise(F.col("s.price_c")).alias("out_c")))
+    return (merged.groupBy("action")
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.countDistinct("file_id").cast("long")
+                 .alias("n_files_touched"),
+                 (F.sum("out_c").cast("double") / 100)
+                 .cast("double").alias("total_price"))
+            .orderBy("action"))
+
+
+# ---------------------------------------------------------------------------
+# q_optimize_binpack — small-file bin-packing over the commit log
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 256_000  # target compacted size (synthetic bytes)
+_COMPACT_SMALL = 64_000    # files under this are compaction candidates
+
+
+@query(
+    "q_optimize_binpack",
+    oracle=f"""
+    WITH files AS (
+      SELECT o_orderkey // 1000 AS file_id,
+             0 AS part_id,
+             count(*) * 400 AS bytes
+      FROM orders GROUP BY 1
+      UNION ALL
+      SELECT 100000 + o_orderkey // 50 AS file_id,
+             1 AS part_id,
+             count(*) * 400 AS bytes
+      FROM orders WHERE o_orderkey % 10 = 0 GROUP BY 1
+    ),
+    small AS (
+      SELECT *,
+             sum(bytes) OVER (PARTITION BY part_id
+                              ORDER BY bytes DESC, file_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM files WHERE bytes < {_COMPACT_SMALL}
+    ),
+    binned AS (
+      SELECT part_id, file_id, bytes,
+             cast((cum - 1) // {_COMPACT_TARGET} as bigint) AS bin_id
+      FROM small
+    )
+    SELECT part_id, bin_id,
+           cast(count(*) as bigint) AS n_files,
+           cast(sum(bytes) as bigint) AS bin_bytes,
+           cast(min(file_id) as bigint) AS first_file,
+           cast(max(file_id) as bigint) AS last_file
+    FROM binned GROUP BY part_id, bin_id
+    ORDER BY part_id, bin_id
+    """,
+)
+def q_optimize_binpack(spark, sf_dir):
+    """Small-file compaction planning (OPTIMIZE bin-packing): the file
+    inventory carries one healthy base layout plus a small-file spray
+    (the %10 append stream split 20x finer), and the planner packs
+    every under-threshold file into ~target-sized rewrite bins. The
+    packing is the deterministic sorted-greedy form: within a
+    partition, files order by (bytes DESC, file_id) and a running
+    cumulative sum assigns bin_id = (cum-1) DIV target — reproducible
+    on any engine, no first-fit iteration. Per bin: file count, byte
+    mass, and the file-id envelope the rewrite task would claim.
+    Composes the q_vacuum_plan / q_hilbert_recluster maintenance
+    battery: vacuum deletes dead files, Hilbert reorders hot ones,
+    this packs the fragments.
+
+    Scale: the input is MANIFEST-sized (one row per file, never data
+    rows); one window per table partition orders the small-file list.
+    At 100 TB with millions of files this is still a few hundred MB of
+    metadata — the same planner input every real lakehouse OPTIMIZE
+    reads. The greedy-by-size packing wastes at most one target-size
+    of slack per bin vs optimal (classic FFD bound), which is the
+    accepted trade for a single-pass distributed plan."""
+    o = load_table(spark, sf_dir, "orders")
+    base = (o.groupBy((F.col("o_orderkey") / 1000).cast("bigint")
+                      .alias("file_id"))
+            .agg((F.count("*") * 400).alias("bytes"))
+            .select("file_id", F.lit(0).alias("part_id"), "bytes"))
+    spray = (o.filter(F.col("o_orderkey") % 10 == 0)
+             .groupBy((100000 + F.col("o_orderkey") / 50).cast("bigint")
+                      .alias("file_id"))
+             .agg((F.count("*") * 400).alias("bytes"))
+             .select("file_id", F.lit(1).alias("part_id"), "bytes"))
+    files = base.unionByName(spray)
+    w = (W.partitionBy("part_id").orderBy(F.desc("bytes"), "file_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    small = (files.filter(F.col("bytes") < _COMPACT_SMALL)
+             .withColumn("cum", F.sum("bytes").over(w))
+             .withColumn("bin_id",
+                         F.expr(f"(cum - 1) DIV {_COMPACT_TARGET}")))
+    return (small.groupBy("part_id", "bin_id")
+            .agg(F.count("*").cast("long").alias("n_files"),
+                 F.sum("bytes").cast("long").alias("bin_bytes"),
+                 F.min("file_id").cast("long").alias("first_file"),
+                 F.max("file_id").cast("long").alias("last_file"))
+            .orderBy("part_id", "bin_id"))
+
+
+# ---------------------------------------------------------------------------
+# q_schema_evolution_read — field-id column mapping across snapshots
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_schema_evolution_read",
+    oracle="""
+    WITH rows_all AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 4 = 0 THEN 2 ELSE 1 END
+               AS file_schema_v,
+             cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)
+               AS f5_c,
+             o_orderkey % 10 AS f7_old,
+             o_orderkey % 5 AS f9_new
+      FROM orders
+    ),
+    resolved AS (
+      SELECT file_schema_v,
+             f5_c AS amount_c,
+             CASE WHEN file_schema_v = 2 THEN f9_new END AS priority,
+             CASE WHEN file_schema_v = 2 THEN f5_c END AS name_match_c
+      FROM rows_all
+    )
+    SELECT file_schema_v,
+           cast(count(*) as bigint) AS n_rows,
+           cast(cast(sum(amount_c) as double) / 100 as double)
+             AS amount_sum,
+           cast(count(priority) as bigint) AS n_priority_readable,
+           cast(cast(coalesce(sum(name_match_c), 0) as double) / 100
+                as double) AS name_matched_sum
+    FROM resolved GROUP BY file_schema_v ORDER BY file_schema_v
+    """,
+)
+def q_schema_evolution_read(spark, sf_dir):
+    """Schema-evolution reads by FIELD ID (Iceberg v2 column mapping):
+    v1 files store the money column as `price` (field id 5) and an
+    integer `priority` (field id 7); schema v2 RENAMES field 5 to
+    `amount`, DROPS field 7, and re-adds a column NAMED `priority`
+    under a NEW field id 9. A correct reader resolves columns by field
+    id: `amount` maps onto v1's field 5 (every row readable), while
+    the re-added `priority` matches NO v1 field — old files read NULL,
+    never the dropped field-7 values. The audit reports, per file
+    schema version: rows, the field-id-resolved amount sum, how many
+    rows expose the new priority (only v2), and the NAME-matched sum a
+    naive reader would get (0 for v1 files — the silent data loss this
+    mapping exists to prevent). Composes q_partition_evolution: specs
+    evolve pruning, schemas evolve projection.
+
+    Scale: column mapping is a pure manifest/metadata rewrite of the
+    read schema — zero data movement; here it compiles to codegen
+    CASEs in the scan and one map-side-combined rollup. At 100 TB the
+    point survives verbatim: renames and drops never rewrite data
+    files."""
+    o = load_table(spark, sf_dir, "orders")
+    rows_all = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 4 == 0, 2).otherwise(1)
+        .alias("file_schema_v"),
+        F.expr("cast(cast(o_totalprice as decimal(12,2)) * 100"
+               " as bigint)").alias("f5_c"),
+        (F.col("o_orderkey") % 10).alias("f7_old"),
+        (F.col("o_orderkey") % 5).alias("f9_new"))
+    resolved = rows_all.select(
+        "file_schema_v",
+        F.col("f5_c").alias("amount_c"),
+        F.when(F.col("file_schema_v") == 2, F.col("f9_new"))
+        .alias("priority"),
+        F.when(F.col("file_schema_v") == 2, F.col("f5_c"))
+        .alias("name_match_c"))
+    return (resolved.groupBy("file_schema_v")
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 (F.sum("amount_c").cast("double") / 100)
+                 .cast("double").alias("amount_sum"),
+                 F.count("priority").cast("long")
+                 .alias("n_priority_readable"),
+                 (F.coalesce(F.sum("name_match_c"), F.lit(0))
+                  .cast("double") / 100)
+                 .cast("double").alias("name_matched_sum"))
+            .orderBy("file_schema_v"))
