@@ -132,13 +132,17 @@ def main() -> int:
         from challenge8_movies_etl_spark.session import get_spark
         spark = get_spark("oracle-check")
 
+    import os
+
     con = duckdb.connect()
     # Bound the oracle engine: an unbounded DuckDB materializing a
     # quadratic intermediate OOM-killed the r9 sf1.0 sweep at 102 GB
     # anon-rss (q_join_asof_nearest's inequality join) — cap memory
     # and give it a DISK temp dir so heavy oracles spill instead of
-    # taking the process (and the whole sweep) down.
-    con.execute("SET memory_limit='40GB'")
+    # taking the process (and the whole sweep) down. Tunable via env
+    # so two half-registry sweeps can co-exist inside host RAM.
+    oracle_mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "40GB")
+    con.execute(f"SET memory_limit='{oracle_mem}'")
     Path("/root/spill/duckdb_tmp").mkdir(parents=True, exist_ok=True)
     con.execute("SET temp_directory='/root/spill/duckdb_tmp'")
     for t in TABLES:
@@ -161,7 +165,7 @@ def main() -> int:
     override_cons: dict[str, duckdb.DuckDBPyConnection] = {}
     for odir in set(overrides.values()):
         ocon = duckdb.connect()
-        ocon.execute("SET memory_limit='40GB'")
+        ocon.execute(f"SET memory_limit='{oracle_mem}'")
         ocon.execute("SET temp_directory='/root/spill/duckdb_tmp'")
         for t in TABLES:
             src = f"{odir}/{t}.parquet"
