@@ -158,6 +158,12 @@ EXTRA = [
     "q_dedup_incremental",
     "q_cep_pattern",
     "q_proximity_rank",
+    # round-10 wave: MERGE materialization (keyed full-outer join),
+    # OPTIMIZE bin-packing (manifest-sized window), field-id schema
+    # evolution reads (pure codegen rollup)
+    "q_merge_upsert",
+    "q_optimize_binpack",
+    "q_schema_evolution_read",
 ]
 
 

@@ -137,6 +137,12 @@ SHAPE = {
     "q_dedup_incremental": "q_dedup_containment",
     "q_cep_pattern": "q_agg_hash",
     "q_proximity_rank": "q_join_multi_5way",
+    # round-10 wave: MERGE is one keyed full-outer shuffle join
+    # (5way-join profile); bin-packing and schema-evolution reads are
+    # agg-shaped rollups
+    "q_merge_upsert": "q_join_multi_5way",
+    "q_optimize_binpack": "q_agg_hash",
+    "q_schema_evolution_read": "q_agg_hash",
 }
 
 
