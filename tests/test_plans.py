@@ -527,3 +527,32 @@ def test_components_star_contraction_partial_aggregates(spark):
     combine), the property that keeps each round O(|E|) at scale."""
     p = plan(spark, "q_graph_components")
     assert "partial_min" in p or "partial_count" in p, p
+
+
+def test_merge_upsert_single_keyed_join(spark):
+    """MERGE materializes as ONE keyed shuffle join — never a nested
+    loop or cartesian fan-out (the 100 TB contract in the docstring)."""
+    p = plan(spark, "q_merge_upsert")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "FullOuter" in p, p
+
+
+def test_optimize_binpack_manifest_sized_window(spark):
+    """Bin-packing plans over the per-file manifest aggregate; the
+    window runs AFTER the file rollup (rows = files, never data rows)
+    and the whole plan needs only a handful of exchanges."""
+    p = plan(spark, "q_optimize_binpack")
+    assert "Window" in p, p
+    assert n_shuffles(p) <= 5, p
+
+
+def test_schema_evolution_read_prunes_and_single_rollup(spark):
+    """Field-id mapping is pure projection: the scan reads only the
+    two source columns and the audit is one map-side-combined rollup
+    (one shuffle)."""
+    p = plan(spark, "q_schema_evolution_read")
+    assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" \
+        in p, p
+    assert "partial_count" in p or "partial_sum" in p, p
+    assert n_shuffles(p) <= 2, p
