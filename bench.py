@@ -164,6 +164,7 @@ EXTRA = [
     "q_merge_upsert",
     "q_optimize_binpack",
     "q_schema_evolution_read",
+    "q_late_arriving_dim",
 ]
 
 

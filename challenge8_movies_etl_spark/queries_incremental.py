@@ -1463,3 +1463,94 @@ def q_schema_evolution_read(spark, sf_dir):
                   .cast("double") / 100)
                  .cast("double").alias("name_matched_sum"))
             .orderBy("file_schema_v"))
+
+
+# ---------------------------------------------------------------------------
+# q_late_arriving_dim — inferred members + reconciliation audit
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_late_arriving_dim",
+    oracle="""
+    WITH dim_batch1 AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+      WHERE c_custkey % 7 <> 0
+    ),
+    dim_batch2 AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+      WHERE c_custkey % 7 = 0 AND c_custkey % 3 = 0
+    ),
+    facts AS (
+      SELECT o_custkey AS k,
+             cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)
+               AS price_c
+      FROM orders
+    ),
+    resolved AS (
+      SELECT f.k, f.price_c,
+             CASE WHEN d1.c_custkey IS NOT NULL THEN 'matched'
+                  WHEN d2.c_custkey IS NOT NULL THEN 'reconciled'
+                  ELSE 'inferred' END AS status,
+             coalesce(d1.c_mktsegment, d2.c_mktsegment, 'UNKNOWN')
+               AS segment
+      FROM facts f
+      LEFT JOIN dim_batch1 d1 ON d1.c_custkey = f.k
+      LEFT JOIN dim_batch2 d2 ON d2.c_custkey = f.k
+    )
+    SELECT status, segment,
+           cast(count(*) as bigint) AS n_facts,
+           cast(count(DISTINCT k) as bigint) AS n_keys,
+           cast(cast(sum(price_c) as double) / 100 as double)
+             AS price_mass
+    FROM resolved GROUP BY status, segment
+    ORDER BY status, segment
+    """,
+)
+def q_late_arriving_dim(spark, sf_dir):
+    """Late-arriving dimension handling (Kimball inferred members):
+    fact rows can reference dimension keys the dim feed has not
+    delivered yet. Batch 1 of the dim is missing every %7 key; batch 2
+    later delivers the %3 subset of those. The loader keeps the facts
+    (never drops or stalls them), attaches an inferred 'UNKNOWN'
+    member for unresolved keys, and the audit reports the three
+    states a warehouse operator tracks: matched (on first load),
+    reconciled (inferred member later replaced by the real row), and
+    still-inferred (the data-quality backlog), each with fact count,
+    distinct keys, and exact price mass in integer cents.
+
+    Scale: two keyed left joins against dimension tables (broadcast at
+    any realistic dim/fact ratio — AQE decides, no hint) and one
+    map-side-combined rollup; the fact table is scanned once. At
+    100 TB the inferred-member pattern is exactly what keeps the fact
+    pipeline non-blocking while dim feeds lag. Composes q_scd2 (the
+    reconciliation becomes a type-2 version chain when history
+    matters)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    d1 = (c.filter(F.col("c_custkey") % 7 != 0)
+          .select(F.col("c_custkey").alias("k1"),
+                  F.col("c_mktsegment").alias("seg1")))
+    d2 = (c.filter((F.col("c_custkey") % 7 == 0)
+                   & (F.col("c_custkey") % 3 == 0))
+          .select(F.col("c_custkey").alias("k2"),
+                  F.col("c_mktsegment").alias("seg2")))
+    facts = o.select(
+        F.col("o_custkey").alias("k"),
+        F.expr("cast(cast(o_totalprice as decimal(12,2)) * 100"
+               " as bigint)").alias("price_c"))
+    resolved = (facts
+                .join(d1, facts.k == d1.k1, "left")
+                .join(d2, facts.k == d2.k2, "left")
+                .select(
+                    "k", "price_c",
+                    F.when(F.col("k1").isNotNull(), "matched")
+                    .when(F.col("k2").isNotNull(), "reconciled")
+                    .otherwise("inferred").alias("status"),
+                    F.coalesce("seg1", "seg2", F.lit("UNKNOWN"))
+                    .alias("segment")))
+    return (resolved.groupBy("status", "segment")
+            .agg(F.count("*").cast("long").alias("n_facts"),
+                 F.countDistinct("k").cast("long").alias("n_keys"),
+                 (F.sum("price_c").cast("double") / 100)
+                 .cast("double").alias("price_mass"))
+            .orderBy("status", "segment"))

@@ -143,6 +143,7 @@ SHAPE = {
     "q_merge_upsert": "q_join_multi_5way",
     "q_optimize_binpack": "q_agg_hash",
     "q_schema_evolution_read": "q_agg_hash",
+    "q_late_arriving_dim": "q_agg_hash",
 }
 
 
