@@ -165,6 +165,7 @@ EXTRA = [
     "q_optimize_binpack",
     "q_schema_evolution_read",
     "q_late_arriving_dim",
+    "q_pii_redaction",
 ]
 
 

@@ -1749,3 +1749,100 @@ def q_curriculum_order(spark, sf_dir):
                  F.sum(F.col("difficulty").cast("decimal(28,0)"))
                  .cast("long").alias("difficulty_mass"))
             .orderBy("batch_id"))
+
+
+# ---------------------------------------------------------------------------
+# q_pii_redaction — regex PII scrubbing with a redaction audit
+# ---------------------------------------------------------------------------
+
+# Java regex (Spark) and RE2 (DuckDB) agree on this restricted
+# character-class-only dialect — no backrefs, no lookaround.
+_PII_EMAIL = r"[A-Za-z0-9]+@[A-Za-z0-9.]+\.com"
+_PII_PHONE = r"\+1-555-[0-9]{4}"
+
+
+@query(
+    "q_pii_redaction",
+    oracle=f"""
+    WITH synth AS (
+      /* deterministic PII is appended to every document from doc_id
+         so both engines construct bit-identical inputs: one email,
+         and a phone for every third doc */
+      SELECT doc_id, source,
+             text || ' contact user' || cast(doc_id as varchar)
+                  || '@ex' || cast(doc_id % 97 as varchar) || '.com'
+                  || CASE WHEN doc_id % 3 = 0
+                     THEN ' tel +1-555-' || lpad(cast(doc_id % 10000
+                                                      as varchar), 4, '0')
+                     ELSE '' END AS text_pii
+      FROM documents
+    ),
+    red AS (
+      SELECT doc_id, source, text_pii,
+             regexp_replace(
+               regexp_replace(text_pii, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS text_red,
+             len(regexp_extract_all(text_pii, '{_PII_EMAIL}'))
+               AS n_emails,
+             len(regexp_extract_all(text_pii, '{_PII_PHONE}'))
+               AS n_phones
+      FROM synth
+    )
+    SELECT source,
+           cast(count(*) as bigint) AS n_docs,
+           cast(sum(n_emails) as bigint) AS total_emails,
+           cast(sum(n_phones) as bigint) AS total_phones,
+           cast(count(CASE WHEN n_emails + n_phones > 0 THEN 1 END)
+                as bigint) AS docs_with_pii,
+           cast(sum(len(text_pii) - len(text_red)) as bigint)
+             AS chars_removed
+    FROM red GROUP BY source ORDER BY source
+    """,
+)
+def q_pii_redaction(spark, sf_dir):
+    """PII redaction audit — the compliance pass a training corpus
+    runs before release: regex detectors (email, NANP-style phone)
+    replace matches with typed placeholders, and the audit reports
+    per source: documents scanned, matches per detector, documents
+    carrying any PII, and exactly how many characters the redaction
+    removed (placeholder accounting — the number a DPO asks for).
+    Deterministic PII is synthesized into every document from doc_id
+    so both engines scrub bit-identical inputs; the detector dialect
+    is restricted to character classes (no backrefs/lookaround), the
+    subset on which Spark's Java regex and DuckDB's RE2 agree.
+
+    Scale: pure per-row codegen string work in the scan (regexp_*
+    compile once per task) + one map-side-combined rollup — zero
+    shuffles beyond the final 5-group agg; a 100 TB corpus scrubs at
+    scan speed. Real deployments chain more detectors (IBAN, SSN,
+    addresses) onto the same shape; cf. the C4/RefinedWeb cleaning
+    recipes (public papers)."""
+    d = load_table(spark, sf_dir, "documents")
+    text_pii = F.expr(
+        "text || ' contact user' || cast(doc_id as string)"
+        " || '@ex' || cast(doc_id % 97 as string) || '.com'"
+        " || CASE WHEN doc_id % 3 = 0"
+        " THEN ' tel +1-555-' || lpad(cast(doc_id % 10000 as string),"
+        " 4, '0') ELSE '' END")
+    synth = d.select("doc_id", "source", text_pii.alias("text_pii"))
+    red = synth.select(
+        "source", "text_pii",
+        F.regexp_replace(
+            F.regexp_replace("text_pii", _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>").alias("text_red"),
+        # SQL string literals eat one backslash layer — escape for expr
+        F.size(F.expr("regexp_extract_all(text_pii, '"
+                      + _PII_EMAIL.replace("\\", "\\\\") + "', 0)"))
+        .alias("n_emails"),
+        F.size(F.expr("regexp_extract_all(text_pii, '"
+                      + _PII_PHONE.replace("\\", "\\\\") + "', 0)"))
+        .alias("n_phones"))
+    return (red.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_emails").cast("long").alias("total_emails"),
+                 F.sum("n_phones").cast("long").alias("total_phones"),
+                 F.count(F.when(F.col("n_emails") + F.col("n_phones") > 0,
+                                1)).cast("long").alias("docs_with_pii"),
+                 F.sum(F.length("text_pii") - F.length("text_red"))
+                 .cast("long").alias("chars_removed"))
+            .orderBy("source"))

@@ -144,6 +144,7 @@ SHAPE = {
     "q_optimize_binpack": "q_agg_hash",
     "q_schema_evolution_read": "q_agg_hash",
     "q_late_arriving_dim": "q_agg_hash",
+    "q_pii_redaction": "q_text_sentiment",
 }
 
 
