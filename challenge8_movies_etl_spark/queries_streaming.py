@@ -628,3 +628,70 @@ def q_stream_outer_join(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     drain(q)
     return spark.table(name)
+
+
+@query(
+    "q_stream_cdc_apply",
+    oracle="""
+    WITH ops AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_id % 10 = 9 THEN 'D'
+                  WHEN event_id % 3 = 0 THEN 'U'
+                  ELSE 'I' END AS op,
+             cast(cast(value as decimal(12,2)) * 100 as bigint) AS v_c
+      FROM events
+    ),
+    last AS (
+      SELECT user_id, op, v_c,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM ops
+    )
+    SELECT o.user_id,
+           l.op <> 'D' AS is_live,
+           CASE WHEN l.op <> 'D' THEN cast(l.v_c as double) / 100
+                END AS final_value,
+           cast(count(*) as bigint) AS n_ops,
+           cast(sum(CASE WHEN o.op = 'D' THEN 1 ELSE 0 END) as bigint)
+             AS n_deletes
+    FROM ops o
+    JOIN last l ON l.user_id = o.user_id AND l.rk = 1
+    GROUP BY o.user_id, l.op, l.v_c
+    """,
+)
+def q_stream_cdc_apply(spark, sf_dir):
+    """CDC changelog materialization through the REAL streaming
+    machinery (streaming/stateful.py:cdc_apply): the event stream is
+    reinterpreted as a per-user insert/update/delete changelog
+    (op derived deterministically from event_id), a custom
+    applyInPandasWithState operator folds each key's ops in event
+    order — a delete clears the live row, a later insert re-creates
+    it — and the update-mode memory sink holds the final materialized
+    snapshot: liveness, the last value (exact integer cents), op and
+    delete counts per key. The DuckDB oracle is the batch
+    last-writer-wins equivalent, so the STATEFUL STREAMING operator's
+    state machine is value-hash-checked against declarative SQL.
+
+    Scale: state is one fixed-size tuple per live key (the same
+    footprint a Delta/Hudi CDC apply keeps); ordering relies on the
+    per-key ordered-changelog contract every CDC feed (Kafka
+    key-partitioning, Debezium) provides, so no global sort exists
+    anywhere. At 100 TB/day this is the standing ingest topology:
+    key-partitioned changelog → stateful apply → compacting sink."""
+    from .streaming.replay import drain, replay_events_stream
+    from .streaming.stateful import cdc_apply
+    stream = replay_events_stream(spark, sf_dir)
+    ops = stream.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_id") % 10 == 9, "D")
+        .when(F.col("event_id") % 3 == 0, "U")
+        .otherwise("I").alias("op"),
+        F.expr("cast(cast(value as decimal(12,2)) * 100 as bigint)")
+        .alias("v_c"))
+    name = f"cdc_{uuid.uuid4().hex[:8]}"
+    q = (cdc_apply(ops)
+         .writeStream.outputMode("update")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    drain(q)
+    return spark.table(name)

@@ -99,3 +99,66 @@ def running_user_counter_tws(stream_df: DataFrame) -> DataFrame:
                 outputMode="Update",
                 timeMode="None",
             ))
+
+
+CDC_OUTPUT_SCHEMA = ("user_id bigint, is_live boolean, "
+                     "final_value double, n_ops bigint, n_deletes bigint")
+CDC_STATE_SCHEMA = ("live int, v_c bigint, n bigint, d bigint, "
+                    "last_us bigint, last_eid bigint")
+
+
+def _cdc_update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    # Order-INDEPENDENT fold: the live row is last-writer-wins by the
+    # changelog's logical order (ts, event_id), carried in state — not
+    # by arrival order. Arrow hands a group's rows as multiple chunks
+    # whose boundaries ignore event time (the sf1.0 fixture's file is
+    # not ts-sorted, which broke the first arrival-order version of
+    # this fold), and real CDC consumers face the same interleaving
+    # across micro-batches; tracking (last_us, last_eid) makes the
+    # materialized row identical under ANY delivery order.
+    live, v_c, n, d, last_us, last_eid = (
+        state.get if state.exists else (0, 0, 0, 0, -1, -1))
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        n += len(pdf)
+        d += int((pdf["op"] == "D").sum())
+        ts_us = (pdf["ts"].astype("datetime64[ns]").astype("int64")
+                 // 1000)
+        eid = pdf["event_id"].astype("int64")
+        i = ts_us.reset_index(drop=True)
+        j = eid.reset_index(drop=True)
+        top = max(range(len(pdf)), key=lambda r: (i[r], j[r]))
+        if (int(i[top]), int(j[top])) > (last_us, last_eid):
+            last_us, last_eid = int(i[top]), int(j[top])
+            op = pdf["op"].reset_index(drop=True)[top]
+            if op == "D":
+                live, v_c = 0, 0
+            else:
+                live, v_c = 1, int(pdf["v_c"].reset_index(drop=True)[top])
+    state.update((live, v_c, n, d, last_us, last_eid))
+    yield pd.DataFrame({
+        "user_id": [key[0]],
+        "is_live": [bool(live)],
+        "final_value": [v_c / 100.0 if live else None],
+        "n_ops": [n],
+        "n_deletes": [d],
+    })
+
+
+def cdc_apply(stream_df: DataFrame) -> DataFrame:
+    """CDC changelog materialization as a custom stateful operator:
+    per key, fold insert/update/delete ops in event order; state holds
+    the live row (integer cents — exact) plus op/delete counters, and
+    each micro-batch emits the updated snapshot (a delete emits a
+    tombstone row, which a sink compacts away). Expects columns
+    (user_id, ts, event_id, op, v_c)."""
+    return (stream_df
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _cdc_update,
+                outputStructType=CDC_OUTPUT_SCHEMA,
+                stateStructType=CDC_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))

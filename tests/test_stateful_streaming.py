@@ -154,3 +154,51 @@ print("TWS_EQUIVALENCE_OK", len(got))
                           capture_output=True, text=True, timeout=420)
     assert "TWS_EQUIVALENCE_OK" in proc.stdout, (
         proc.stdout[-2000:], proc.stderr[-4000:])
+
+
+def test_cdc_fold_is_delivery_order_independent():
+    """The CDC materializer's live row is last-writer-wins by
+    (ts, event_id) carried in state — NOT arrival order. Arrow chunk
+    boundaries ignore event time (the sf1.0 fixture file is not
+    ts-sorted, which broke the arrival-order first version), so the
+    fold must produce the identical snapshot under any permutation of
+    chunk delivery."""
+    import pandas as pd
+
+    from challenge8_movies_etl_spark.streaming.stateful import _cdc_update
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    rows = pd.DataFrame({
+        "ts": pd.to_datetime([3, 1, 5, 2, 4], unit="s"),
+        "event_id": [30, 10, 50, 20, 40],
+        "op": ["U", "I", "D", "U", "U"],
+        "v_c": [300, 100, 0, 200, 400],
+    })
+    # final op by event time is the t=5 DELETE regardless of chunking
+    import itertools
+    snapshots = []
+    for perm in itertools.permutations(range(0, 5, 2)):  # 3 chunkings
+        chunks = [rows.iloc[i:i + 2] for i in range(0, 5, 2)]
+        order = [chunks[k // 2] for k in perm]
+        st = FakeState()
+        out = list(_cdc_update((7,), iter(order), st))[0]
+        snapshots.append((bool(out["is_live"][0]),
+                          out["final_value"][0],
+                          int(out["n_ops"][0]),
+                          int(out["n_deletes"][0])))
+    assert len(set(map(str, snapshots))) == 1, snapshots
+    live, val, n, d = snapshots[0]
+    assert live is False and n == 5 and d == 1, snapshots[0]
+    assert val is None or val != val  # NULL/NaN after the delete

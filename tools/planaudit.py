@@ -30,7 +30,8 @@ STREAMING = {"q_stream_replay_tumbling", "q_stream_join_static",
              "q_stream_stream_join", "q_stream_stateful_counter",
              "q_stream_dedup", "q_stream_backfill",
              "q_stream_late_data", "q_pysource_stream",
-             "q_stream_update_mode", "q_stream_outer_join"}
+             "q_stream_update_mode", "q_stream_outer_join",
+             "q_stream_cdc_apply"}
 # the mandated row-wise UDF surface — PythonUDF/Arrow eval expected
 UDF_SURFACE = {"q_udf_scalar", "q_udaf_grouped", "q_udtf",
                "q_multimodal_meta", "q_multimodal_framesample",
