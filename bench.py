@@ -166,6 +166,9 @@ EXTRA = [
     "q_schema_evolution_read",
     "q_late_arriving_dim",
     "q_pii_redaction",
+    "q_chunk_overlap",
+    "q_rrf_fusion",
+    "q_span_corruption",
 ]
 
 

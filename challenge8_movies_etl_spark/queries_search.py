@@ -925,3 +925,98 @@ def q_proximity_rank(spark, sf_dir):
                   F.countDistinct("p2").cast("long").alias("n_t2"),
                   F.countDistinct("p3").cast("long").alias("n_t3")))
     return spans.orderBy("min_span", "doc_id").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# q_rrf_fusion — reciprocal-rank fusion of two ranking signals
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+
+
+@query(
+    "q_rrf_fusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             n_chars,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id)
+               AS r_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_tok DESC, doc_id)
+               AS r_tokens
+      FROM scored
+    ),
+    fused AS (
+      SELECT doc_id, source, r_chars, r_tokens,
+             cast(round(1.0 / ({_RRF_K} + r_chars), 8)
+                  as decimal(18,8))
+             + cast(round(1.0 / ({_RRF_K} + r_tokens), 8)
+                    as decimal(18,8)) AS rrf
+      FROM ranked
+    ),
+    cut AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY rrf DESC, doc_id)
+                  AS rank_final
+      FROM fused
+    )
+    SELECT source, doc_id,
+           cast(r_chars as bigint) AS r_chars,
+           cast(r_tokens as bigint) AS r_tokens,
+           cast(rrf as double) AS rrf_score,
+           cast(rank_final as bigint) AS rank_final
+    FROM cut WHERE rank_final <= 3
+    ORDER BY source, rank_final
+    """,
+)
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09): two ranking
+    signals over each source's documents (char mass, token count —
+    standing in for BM25 vs embedding retrieval) fuse by
+    score = Σ 1/(k + rank), k=60, and the top-3 fused docs per source
+    survive. Ranks are integers with doc_id tie-breaks; each
+    reciprocal term is rounded to 8dp and summed as exact decimals, so
+    the fused order is bit-identical on both engines; the final cut
+    re-ranks by (score DESC, doc_id).
+
+    Scale: every window partitions by source (never an unpartitioned
+    global sort — the q_curriculum_order ADVICE class); in a real
+    retrieval stack the inputs are per-query top-k lists, which bound
+    the fusion to k rows per signal regardless of corpus size — this
+    per-source form is that same shape with source as the query key.
+    Two keyed exchanges (both windows share the source partitioning),
+    one filter."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+    scored = d.select(
+        "doc_id", "source", "n_chars",
+        F.size(F.split("text", " ")).alias("n_tok"))
+    ws = W.partitionBy("source")
+    ranked = scored.select(
+        "doc_id", "source",
+        F.row_number().over(ws.orderBy(F.desc("n_chars"), "doc_id"))
+        .alias("r_chars"),
+        F.row_number().over(ws.orderBy(F.desc("n_tok"), "doc_id"))
+        .alias("r_tokens"))
+    rrf = (F.round(1.0 / (_RRF_K + F.col("r_chars")), 8)
+           .cast("decimal(18,8)")
+           + F.round(1.0 / (_RRF_K + F.col("r_tokens")), 8)
+           .cast("decimal(18,8)"))
+    fused = ranked.withColumn("rrf", rrf)
+    cut = fused.withColumn(
+        "rank_final",
+        F.row_number().over(ws.orderBy(F.desc("rrf"), "doc_id")))
+    return (cut.filter(F.col("rank_final") <= 3)
+            .select("source", "doc_id",
+                    F.col("r_chars").cast("long").alias("r_chars"),
+                    F.col("r_tokens").cast("long").alias("r_tokens"),
+                    F.col("rrf").cast("double").alias("rrf_score"),
+                    F.col("rank_final").cast("long").alias("rank_final"))
+            .orderBy("source", "rank_final"))

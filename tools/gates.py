@@ -145,6 +145,9 @@ SHAPE = {
     "q_schema_evolution_read": "q_agg_hash",
     "q_late_arriving_dim": "q_agg_hash",
     "q_pii_redaction": "q_text_sentiment",
+    "q_chunk_overlap": "q_agg_hash",
+    "q_rrf_fusion": "q_window_rank",
+    "q_span_corruption": "q_text_sentiment",
 }
 
 
