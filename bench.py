@@ -169,6 +169,7 @@ EXTRA = [
     "q_chunk_overlap",
     "q_rrf_fusion",
     "q_span_corruption",
+    "q_negative_sampling",
 ]
 
 

@@ -339,3 +339,34 @@ def test_logrank_matches_python_twin(spark):
     assert abs(out["e1"] - round(e1, 4)) < 1e-9
     assert abs(out["v"] - round(v, 4)) < 1e-9
     assert abs(out["chi2"] - round((o1 - e1) ** 2 / v, 6)) < 1e-5
+
+
+def test_span_corruption_spans_never_overlap(spark):
+    """The slot-grid + in-slot-offset placement must make mask spans
+    disjoint for every document (the property the masked-token count
+    relies on — an overlap would double-count)."""
+    from challenge8_movies_etl_spark.registry import QUERIES, load_all
+    from challenge8_movies_etl_spark.sources.fixtures import load_table
+    from pyspark.sql import functions as F
+
+    load_all()
+    d = load_table(spark, SF_SMOKE, "documents")
+    planned = d.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")
+    ).selectExpr("doc_id", "n", "greatest(1, n DIV 20) AS n_spans"
+                 ).selectExpr("doc_id", "n", "n_spans",
+                              "n DIV n_spans AS sw")
+    spans = planned.select(
+        "doc_id", "n", "sw",
+        F.explode(F.expr("sequence(0, n_spans - 1)")).alias("si"),
+    ).withColumn(
+        "start",
+        F.expr("si * sw + ((doc_id * 2654435761 + (si + 1) * 40503)"
+               " % 1000003) % greatest(1, sw - 3 + 1)"),
+    ).withColumn("fin", F.expr("start + least(3, sw, n - start)"))
+    # each span lives inside its own slot: start >= si*sw and
+    # end <= (si+1)*sw (except possibly the last slot's tail clamp)
+    bad = spans.filter(
+        (F.col("start") < F.col("si") * F.col("sw"))
+        | (F.col("fin") > (F.col("si") + 1) * F.col("sw"))).count()
+    assert bad == 0

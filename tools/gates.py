@@ -148,6 +148,7 @@ SHAPE = {
     "q_chunk_overlap": "q_agg_hash",
     "q_rrf_fusion": "q_window_rank",
     "q_span_corruption": "q_text_sentiment",
+    "q_negative_sampling": "q_text_sentiment",
 }
 
 
