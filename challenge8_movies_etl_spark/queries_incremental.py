@@ -821,7 +821,17 @@ def q_hilbert_recluster(spark, sf_dir):
     the overlap self-join runs on metadata (thousands of rows at
     100 TB) exactly like a manifest-level planner; the curve index
     itself is the same zero-shuffle integer stage pipeline as
-    q_hilbert_layout."""
+    q_hilbert_layout.
+
+    Known plan property: Catalyst collapses the log2(N) unrolled
+    Hilbert stages into ONE projection whose generated method exceeds
+    the JVM's 64 KB limit — whole-stage codegen logs 'Code grows
+    beyond 64 KB' and Spark falls back to the interpreted projection
+    for that stage (spark.sql.codegen.fallback, default on; results
+    identical, sweep-verified at four scales). At production scale the
+    fix is a checkpoint barrier every few stages so each codegen
+    region stays under the limit; at fixture scale the interpreted
+    stage costs <1 s and the contortion isn't worth it."""
     o = load_table(spark, sf_dir, "orders")
     day = ((F.datediff(F.col("o_orderdate").cast("date"),
                        F.lit("1992-01-01").cast("date"))
