@@ -170,6 +170,7 @@ EXTRA = [
     "q_rrf_fusion",
     "q_span_corruption",
     "q_negative_sampling",
+    "q_cohens_kappa",
 ]
 
 

@@ -149,6 +149,7 @@ SHAPE = {
     "q_rrf_fusion": "q_window_rank",
     "q_span_corruption": "q_text_sentiment",
     "q_negative_sampling": "q_text_sentiment",
+    "q_cohens_kappa": "q_agg_hash",
 }
 
 
