@@ -171,6 +171,7 @@ EXTRA = [
     "q_span_corruption",
     "q_negative_sampling",
     "q_cohens_kappa",
+    "q_entity_resolution",
 ]
 
 

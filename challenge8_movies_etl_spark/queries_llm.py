@@ -3056,3 +3056,91 @@ def q_negative_sampling(spark, sf_dir):
                     F.expr("cast((2 * w6 * 1000000 + s) DIV (2 * s)"
                            " as double) / 1e6").alias("p_sample"))
             .orderBy(F.desc("cnt"), "term").limit(20))
+
+
+# ---------------------------------------------------------------------------
+# q_entity_resolution — blocked record linkage with edit-distance verify
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_entity_resolution",
+    oracle="""
+    WITH clean AS (
+      SELECT c_custkey AS rec_id, c_name AS name, c_nationkey AS nat
+      FROM customer
+    ),
+    dirty AS (
+      /* every fifth record gets a dirty twin: the 10th character (a
+         leading zero of the numeric part - asserted '0' fixture-wide)
+         is dropped, so edit distance to the source is exactly 1 and
+         the last-4-digit blocking key is preserved */
+      SELECT c_custkey + 100000000 AS rec_id,
+             substr(c_name, 1, 9) || substr(c_name, 11) AS name,
+             c_nationkey AS nat
+      FROM customer WHERE c_custkey % 5 = 0
+    ),
+    recs AS (
+      SELECT *, right(name, 4) AS blk FROM clean
+      UNION ALL
+      SELECT *, right(name, 4) AS blk FROM dirty
+    ),
+    cand AS (
+      SELECT a.nat, a.rec_id AS id_a, b.rec_id AS id_b,
+             levenshtein(a.name, b.name) AS dist
+      FROM recs a JOIN recs b
+        ON a.nat = b.nat AND a.blk = b.blk AND a.rec_id < b.rec_id
+    )
+    SELECT nat,
+           cast(count(*) as bigint) AS n_candidates,
+           cast(sum(CASE WHEN dist <= 2 THEN 1 ELSE 0 END) as bigint)
+             AS n_matches,
+           cast(min(dist) as bigint) AS min_dist,
+           cast(max(dist) as bigint) AS max_dist
+    FROM cand GROUP BY nat ORDER BY nat
+    """,
+)
+def q_entity_resolution(spark, sf_dir):
+    """Entity resolution (record linkage) — the structured-data twin
+    of document dedup: records block on (nation, last-4-of-name), the
+    per-block self-join emits candidate pairs, and Levenshtein
+    distance ≤ 2 verifies matches (both engines implement the same
+    Wagner-Fischer distance — parity asserted by this query's hash).
+    Dirty twins are synthesized for every fifth customer by dropping
+    the name's 10th character (a leading zero, so distance is exactly
+    1 and the twin co-blocks with its source). The audit reports, per
+    nation: candidate volume, verified matches, and the distance
+    envelope — candidates vs matches IS the blocking-quality readout
+    (precision of the cheap key before the expensive verify).
+
+    Scale: the self-join key (nat, blk) bounds every block to
+    name-suffix collisions (~n/10^4 per nation), so pair volume is
+    sum-of-squares over SMALL blocks — never corpus-quadratic; the
+    verify is per-pair scalar work inside codegen, and the rollup
+    map-side combines. The same plan at 100 TB swaps the block key
+    for phonetic/sorted-neighborhood keys; cf. the q_dedup_* ladder
+    for the unstructured side."""
+    c = load_table(spark, sf_dir, "customer")
+    clean = c.select(F.col("c_custkey").alias("rec_id"),
+                     F.col("c_name").alias("name"),
+                     F.col("c_nationkey").alias("nat"))
+    dirty = (c.filter(F.col("c_custkey") % 5 == 0)
+             .select((F.col("c_custkey") + 100000000).alias("rec_id"),
+                     F.expr("substr(c_name, 1, 9) || substr(c_name, 11)")
+                     .alias("name"),
+                     F.col("c_nationkey").alias("nat")))
+    recs = (clean.unionByName(dirty)
+            .withColumn("blk", F.expr("right(name, 4)")))
+    a, b = recs.alias("a"), recs.alias("b")
+    cand = (a.join(b, (F.col("a.nat") == F.col("b.nat"))
+                   & (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col("a.rec_id") < F.col("b.rec_id")))
+            .select(F.col("a.nat").alias("nat"),
+                    F.levenshtein(F.col("a.name"), F.col("b.name"))
+                    .alias("dist")))
+    return (cand.groupBy("nat")
+            .agg(F.count("*").cast("long").alias("n_candidates"),
+                 F.sum(F.when(F.col("dist") <= 2, 1).otherwise(0))
+                 .cast("long").alias("n_matches"),
+                 F.min("dist").cast("long").alias("min_dist"),
+                 F.max("dist").cast("long").alias("max_dist"))
+            .orderBy("nat"))

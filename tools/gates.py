@@ -150,6 +150,7 @@ SHAPE = {
     "q_span_corruption": "q_text_sentiment",
     "q_negative_sampling": "q_text_sentiment",
     "q_cohens_kappa": "q_agg_hash",
+    "q_entity_resolution": "q_join_multi_5way",
 }
 
 
