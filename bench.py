@@ -172,6 +172,7 @@ EXTRA = [
     "q_negative_sampling",
     "q_cohens_kappa",
     "q_entity_resolution",
+    "q_consistent_hash_reshard",
 ]
 
 

@@ -1855,3 +1855,117 @@ def q_token_budget_mix(spark, sf_dir):
         F.round("a3", 4).alias("alloc_tokens"),
         F.round(F.col("a3") / F.col("toks"), 4).alias("epochs"))
         .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# q_consistent_hash_reshard — mod vs ring resharding movement audit
+# ---------------------------------------------------------------------------
+
+_CH_OLD, _CH_NEW, _CH_REPLICAS = 8, 12, 16  # vnodes per shard
+
+
+@query(
+    "q_consistent_hash_reshard",
+    oracle=f"""
+    WITH keys AS (
+      SELECT doc_id,
+             (doc_id * 2654435761) % 1000003 AS kh
+      FROM documents
+    ),
+    ring AS (
+      SELECT s.i AS shard, r.j AS vnode,
+             ((s.i * 40503 + r.j * 69621) * 2654435761) % 1000003
+               AS pos
+      FROM range(0, {_CH_NEW}) s(i), range(0, {_CH_REPLICAS}) r(j)
+    ),
+    assign AS (
+      SELECT k.doc_id, k.kh,
+             (k.doc_id * 2654435761) % {_CH_OLD} AS mod_old,
+             (k.doc_id * 2654435761) % {_CH_NEW} AS mod_new,
+             min(CASE WHEN g.pos >= k.kh THEN g.pos END) AS succ_all,
+             min(CASE WHEN g.pos >= k.kh AND g.shard < {_CH_OLD}
+                      THEN g.pos END) AS succ_old,
+             min(g.pos) AS wrap_all,
+             min(CASE WHEN g.shard < {_CH_OLD} THEN g.pos END)
+               AS wrap_old
+      FROM keys k CROSS JOIN ring g
+      GROUP BY k.doc_id, k.kh
+    ),
+    placed AS (
+      SELECT doc_id, mod_old, mod_new,
+             coalesce(succ_old, wrap_old) AS ring_pos_old,
+             coalesce(succ_all, wrap_all) AS ring_pos_new
+      FROM assign
+    )
+    SELECT cast(count(*) as bigint) AS n_keys,
+           cast(sum(CASE WHEN mod_old <> mod_new THEN 1 ELSE 0 END)
+                as bigint) AS moved_mod,
+           cast(sum(CASE WHEN ring_pos_old <> ring_pos_new
+                    THEN 1 ELSE 0 END) as bigint) AS moved_ring,
+           cast((2 * sum(CASE WHEN mod_old <> mod_new THEN 1 ELSE 0
+                         END) * 10000 + count(*))
+                // (2 * count(*)) as double) / 1e4 AS mod_move_rate,
+           cast((2 * sum(CASE WHEN ring_pos_old <> ring_pos_new
+                         THEN 1 ELSE 0 END) * 10000 + count(*))
+                // (2 * count(*)) as double) / 1e4 AS ring_move_rate
+    FROM placed
+    """,
+)
+def q_consistent_hash_reshard(spark, sf_dir):
+    """Resharding movement audit — the ops question behind scaling a
+    sharded 100 TB corpus from 8 to 12 shards: naive `hash mod N`
+    placement moves ~1 − 1/lcm-ish of ALL keys (every key whose
+    residue changes), while a consistent-hash ring (16 vnodes/shard,
+    multiplicative integer hashes — engine-portable, no RNG) moves
+    only the keys whose ring successor changed, ~new/(old+new) of the
+    corpus. Old placement = successor among the original 8 shards'
+    vnodes; new placement = successor over all 12; a moved key is one
+    whose successor vnode changed. Movement rates are exact integer
+    4dp rationals (VERDICT r9 item 3 discipline).
+
+    Scale: the ring is shard-count-sized (192 vnodes) and broadcasts;
+    the per-key successor is a broadcast join + min-aggregate (at
+    100 TB you'd compile the sorted ring into a codegen binary-search
+    expression — same semantics, zero joins). The audit's two numbers
+    are exactly the data-movement bill a resharding plan quotes."""
+    d = load_table(spark, sf_dir, "documents")
+    keys = d.select(
+        "doc_id",
+        ((F.col("doc_id") * 2654435761) % 1000003).alias("kh"),
+        ((F.col("doc_id") * 2654435761) % _CH_OLD).alias("mod_old"),
+        ((F.col("doc_id") * 2654435761) % _CH_NEW).alias("mod_new"))
+    ring = spark.range(_CH_NEW).selectExpr("id AS shard").join(
+        spark.range(_CH_REPLICAS).selectExpr("id AS vnode"))
+    ring = ring.select(
+        "shard", "vnode",
+        (((F.col("shard") * 40503 + F.col("vnode") * 69621)
+          * 2654435761) % 1000003).alias("pos"))
+    assign = (keys.crossJoin(F.broadcast(ring))
+              .groupBy("doc_id", "kh", "mod_old", "mod_new")
+              .agg(F.min(F.when(F.col("pos") >= F.col("kh"),
+                                F.col("pos"))).alias("succ_all"),
+                   F.min(F.when((F.col("pos") >= F.col("kh"))
+                                & (F.col("shard") < _CH_OLD),
+                                F.col("pos"))).alias("succ_old"),
+                   F.min("pos").alias("wrap_all"),
+                   F.min(F.when(F.col("shard") < _CH_OLD,
+                                F.col("pos"))).alias("wrap_old")))
+    placed = assign.select(
+        "mod_old", "mod_new",
+        F.coalesce("succ_old", "wrap_old").alias("ring_pos_old"),
+        F.coalesce("succ_all", "wrap_all").alias("ring_pos_new"))
+    moved_mod = F.sum(F.when(F.col("mod_old") != F.col("mod_new"), 1)
+                      .otherwise(0))
+    moved_ring = F.sum(F.when(F.col("ring_pos_old")
+                              != F.col("ring_pos_new"), 1).otherwise(0))
+    return placed.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        moved_mod.cast("long").alias("moved_mod"),
+        moved_ring.cast("long").alias("moved_ring"),
+        F.expr("cast((2 * sum(CASE WHEN mod_old <> mod_new THEN 1"
+               " ELSE 0 END) * 10000 + count(*)) DIV (2 * count(*))"
+               " as double) / 1e4").alias("mod_move_rate"),
+        F.expr("cast((2 * sum(CASE WHEN ring_pos_old <> ring_pos_new"
+               " THEN 1 ELSE 0 END) * 10000 + count(*))"
+               " DIV (2 * count(*)) as double) / 1e4")
+        .alias("ring_move_rate"))

@@ -151,6 +151,7 @@ SHAPE = {
     "q_negative_sampling": "q_text_sentiment",
     "q_cohens_kappa": "q_agg_hash",
     "q_entity_resolution": "q_join_multi_5way",
+    "q_consistent_hash_reshard": "q_agg_hash",
 }
 
 
