@@ -173,6 +173,7 @@ EXTRA = [
     "q_cohens_kappa",
     "q_entity_resolution",
     "q_consistent_hash_reshard",
+    "q_temporal_decay",
 ]
 
 

@@ -2019,3 +2019,84 @@ def q_span_corruption(spark, sf_dir):
                      " DIV (2 * sum(CASE WHEN si = 0 THEN n ELSE 0 END))"
                      " as double) / 1e4").alias("corruption_rate"))
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# q_temporal_decay — recency-weighted sampling mass (exact 2^-k)
+# ---------------------------------------------------------------------------
+
+_DECAY_HL_DAYS = 7   # half-life: weight halves every 7 days
+_DECAY_SCALE = 33    # weights as integers 2^(33-k); k>33 underflows to 0
+
+
+@query(
+    "q_temporal_decay",
+    oracle=f"""
+    WITH anchor AS (SELECT max(ts) AS mx FROM events),
+    aged AS (
+      SELECT event_type,
+             date_diff('day', cast(ts as date), cast(mx as date))
+               // {_DECAY_HL_DAYS} AS k
+      FROM events, anchor
+    ),
+    weighted AS (
+      SELECT event_type, k,
+             CASE WHEN k <= {_DECAY_SCALE}
+                  THEN cast(1 as bigint) << ({_DECAY_SCALE} - k)
+                  ELSE 0 END AS w
+      FROM aged
+    )
+    SELECT event_type,
+           cast(count(*) as bigint) AS n_events,
+           cast(sum(w) as bigint) AS weight_mass,
+           cast((2 * sum(w) * 10000
+                 + count(*) * {2 ** _DECAY_SCALE})
+                // (2 * count(*) * {2 ** _DECAY_SCALE}) as double)
+             / 1e4 AS effective_fraction
+    FROM weighted GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_temporal_decay(spark, sf_dir):
+    """Recency-weighted sampling mass — the freshness prior a
+    continuously-crawled corpus applies when drawing training batches:
+    each record's weight halves every {_DECAY_HL_DAYS} days of age
+    (anchored at the corpus max timestamp — no wall clock, so the
+    result is a pure function of the fixture). Weights are EXACT
+    integers 2^(33-k) (never a pow() or a float decay: 2^-k cast to
+    decimal(30,10) would underflow to zero past k=33 SILENTLY — here
+    the cutoff is explicit), and the per-type effective fraction
+    (weight mass / full-weight mass) is the exact integer 4dp
+    rational. An operator reads it as: this slice contributes X% of
+    its raw size under the freshness prior.
+
+    Scale: one 1-row max aggregate broadcast back, per-row integer
+    arithmetic, one map-side rollup. At 100 TB the anchor comes from
+    the table's max-ts statistics (manifest-level) and nothing else
+    changes."""
+    e = load_table(spark, sf_dir, "events")
+    anchor = e.agg(F.max("ts").alias("mx"))
+    aged = (e.crossJoin(F.broadcast(anchor))
+            .select("event_type",
+                    F.expr(f"datediff(cast(mx as date), cast(ts as date))"
+                           f" DIV {_DECAY_HL_DAYS}").alias("k")))
+    weighted = aged.withColumn(
+        "w",
+        F.expr(f"CASE WHEN k <= {_DECAY_SCALE}"
+               f" THEN shiftleft(cast(1 as bigint),"
+               f"                cast({_DECAY_SCALE} - k as int))"
+               f" ELSE cast(0 as bigint) END"))
+    full = 2 ** _DECAY_SCALE
+    return (weighted.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.sum("w").cast("long").alias("weight_mass"),
+                 # decimal(38,0) arithmetic: 2*mass*1e4 exceeds int64
+                 # at sf1.0 (the sweep caught the silent wraparound as
+                 # a negative fraction; DuckDB auto-promotes to
+                 # hugeint, Spark needs the explicit cast)
+                 F.expr(f"cast((2 * cast(sum(w) as decimal(38,0))"
+                        f" * 10000 + cast(count(*) as decimal(38,0))"
+                        f" * {full})"
+                        f" DIV (2 * cast(count(*) as decimal(38,0))"
+                        f" * {full}) as double) / 1e4")
+                 .alias("effective_fraction"))
+            .orderBy("event_type"))
