@@ -174,6 +174,7 @@ EXTRA = [
     "q_entity_resolution",
     "q_consistent_hash_reshard",
     "q_temporal_decay",
+    "q_sorted_neighborhood",
 ]
 
 

@@ -153,6 +153,7 @@ SHAPE = {
     "q_entity_resolution": "q_join_multi_5way",
     "q_consistent_hash_reshard": "q_agg_hash",
     "q_temporal_decay": "q_agg_hash",
+    "q_sorted_neighborhood": "q_join_multi_5way",
 }
 
 
