@@ -3007,9 +3007,15 @@ def q_dedup_incremental(spark, sf_dir):
     weighted AS (
       /* c^0.75 computed as sqrt(c * sqrt(c)): sqrt is correctly
          rounded by IEEE-754 on BOTH engines while pow() is libm-
-         dependent — the q_minhash_band_tuning no-pow discipline */
+         dependent — the q_minhash_band_tuning no-pow discipline.
+         The 6dp quantization goes THROUGH decimal(18,6): a double
+         round() result can land at j-eps (cnt=41 does), and
+         double->bigint truncates on Spark but rounds on DuckDB;
+         decimal casts round HALF_UP identically on both engines
+         and the decimal*1e6 multiply is exact (r10 ADVICE). */
       SELECT term, cnt,
-             cast(round(sqrt(cnt * sqrt(cnt)), 6) * 1000000 as bigint)
+             cast(cast(round(sqrt(cnt * sqrt(cnt)), 6)
+                       as decimal(18,6)) * 1000000 as bigint)
                AS w6
       FROM vocab
     ),
@@ -3047,8 +3053,8 @@ def q_negative_sampling(spark, sf_dir):
     vocab = toks.groupBy("term").agg(F.count("*").alias("cnt"))
     weighted = vocab.withColumn(
         "w6",
-        F.expr("cast(round(sqrt(cnt * sqrt(cnt)), 6) * 1000000"
-               " as bigint)"))
+        F.expr("cast(cast(round(sqrt(cnt * sqrt(cnt)), 6)"
+               " as decimal(18,6)) * 1000000 as bigint)"))
     tot = weighted.agg(F.sum("w6").alias("s"))
     return (weighted.crossJoin(F.broadcast(tot))
             .select("term", F.col("cnt").cast("long").alias("cnt"),

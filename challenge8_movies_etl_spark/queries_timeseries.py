@@ -633,10 +633,14 @@ def q_time_weighted_avg(spark, sf_dir):
             .groupBy("user_id")
             .agg(F.count("*").alias("n_segments"),
                  F.expr(
+                     # the cents sum is cast to decimal BEFORE the
+                     # gap multiply so the product itself is decimal —
+                     # an int64 product would silently wrap for gaps
+                     # beyond ~2^63/(2*max_cents) (r10 ADVICE)
                      "cast((100 * sum(cast("
                      "(cast(cast(value as decimal(12,2)) * 100 as bigint)"
                      " + cast(cast(v_next as decimal(12,2)) * 100"
-                     "        as bigint)) * gap_us as decimal(30,0)))"
+                     "        as bigint)) as decimal(30,0)) * gap_us)"
                      " + sum(gap_us)) DIV (2 * sum(gap_us))"
                      " as double) / 1e4").alias("twa_value")))
 

@@ -41,3 +41,29 @@ def test_missing_override_dir_is_ignored_loudly():
                "q_agg_distinct")
     assert "dir missing, ignored" in out, out
     assert "PASS  q_agg_distinct" in out, out
+
+
+def _run_expect_fail(*args: str) -> str:
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "check.py"), *args],
+        capture_output=True, text=True, cwd=str(REPO), timeout=600)
+    assert proc.returncode == 2, proc.stdout + proc.stderr
+    return proc.stdout + proc.stderr
+
+
+def test_mistyped_override_qid_errors_loudly():
+    # r10 ADVICE item 4: a mistyped QID with a valid dir used to be
+    # stored and silently never applied — it must now exit 2 loudly
+    out = _run_expect_fail(
+        "--sf", "/root/testdata/sf0.001",
+        "--fixture-override", "q_agg_distnict=/root/testdata/sf0.01",
+        "q_agg_distinct")
+    assert "unknown query id" in out, out
+
+
+def test_override_qid_outside_requested_set_errors_loudly():
+    out = _run_expect_fail(
+        "--sf", "/root/testdata/sf0.001",
+        "--fixture-override", "q_agg_distinct=/root/testdata/sf0.01",
+        "q_scan_project")
+    assert "not" in out and "--qids" in out, out

@@ -105,3 +105,60 @@ def test_full_payload_still_preferred(tmp_path):
     artifact = {"parsed": json.loads(stdout.splitlines()[0])}
     rc, out = _run_gates(artifact, tmp_path)
     assert rc == 0, out
+
+
+def test_parsed_is_final_line_r10_shape(tmp_path):
+    """The r10 driver artifact: `parsed` = the guaranteed-short FINAL
+    line (gate8, no queries/qbm) because that is the last JSON line in
+    the truncated tail. gates.py r10 crashed with KeyError('queries')
+    here — `b = b.get('parsed') or b` replaced the dict BEFORE the
+    tail-recovery branch, which then skipped for lack of a 'tail' key
+    (VERDICT r10 item 1). The fix must keep the OUTER tail for the
+    qbm harvest AND treat parsed as the authoritative finals line."""
+    stdout = _fake_bench_stdout(460)
+    final_line = json.loads(stdout.splitlines()[-1])
+    artifact = {"n": 460, "rc": 0, "cpus": 32, "sf": 0.1,
+                "tail": stdout[-2000:], "parsed": final_line}
+    rc, out = _run_gates(artifact, tmp_path)
+    assert rc == 0, out
+    for q in HEADLINE8:
+        assert q in out, f"{q} missing from gate output:\n{out}"
+    # coverage widened beyond the 8 via the outer tail's qbm remnants
+    assert "q_extra_" in out
+
+
+def test_parsed_is_final_line_without_tail(tmp_path):
+    """Degenerate r10 shape with no outer tail at all: the gate8 rows
+    alone must still gate-check (exit 0), not crash."""
+    stdout = _fake_bench_stdout(460)
+    final_line = json.loads(stdout.splitlines()[-1])
+    artifact = {"parsed": final_line}
+    rc, out = _run_gates(artifact, tmp_path)
+    assert rc == 0, out
+    for q in HEADLINE8:
+        assert q in out, f"{q} missing from gate output:\n{out}"
+
+
+def test_recovered_map_payload_merges_with_finals(tmp_path):
+    """r10 ADVICE item 3: when the tail's recoverable line carries a
+    queries_best_median MAP (not qbm tokens) alongside the finals
+    line, the map rows must widen coverage, not be discarded."""
+    stats = {f"q_extra_{i:03d}": [0.101, 0.111] for i in range(6)}
+    for j, q in enumerate(HEADLINE8):
+        stats[q] = [0.2 + j / 100, 0.21 + j / 100]
+    qbm_map_line = json.dumps({
+        "metric": "headline_total_best_of_3", "value": 1.0,
+        "unit": "sec", "queries_best_median": stats, "sf": 0.1,
+        "calib_spark_sec": 0.252})
+    final_line = json.dumps({
+        "metric": "headline_total_best_of_3", "value": 1.0,
+        "unit": "sec",
+        "gate8": " ".join(f"{q[2:]}:{stats[q][0]:.3f}:{stats[q][1]:.3f}"
+                          for q in HEADLINE8),
+        "sf": 0.1, "calib_spark_sec": 0.252, "final": True,
+        "n_benched": len(stats)}, separators=(",", ":"))
+    artifact = {"parsed": None,
+                "tail": qbm_map_line + "\n" + final_line + "\n"}
+    rc, out = _run_gates(artifact, tmp_path)
+    assert rc == 0, out
+    assert "q_extra_000" in out, out

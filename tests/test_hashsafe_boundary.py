@@ -116,3 +116,41 @@ def test_tie_formula_on_exact_boundaries():
             else:
                 got = (2 * s + c * 10 ** -d) // (2 * c * 10 ** -d)
             assert got == 2, (gdp, nd, s, got)  # round(1.5-like) -> 2
+
+
+def test_negative_sampling_w6_quantize_cross_engine(spark):
+    """r10 ADVICE item 1: w6 = round(sqrt(c*sqrt(c)),6)*1e6 cast
+    straight from double to bigint diverges cross-engine — Spark
+    TRUNCATES double→bigint while DuckDB ROUNDS, and for cnt=41 the
+    double product is 16202718.999999998 (j−ε). The fix routes the 6dp
+    quantization through decimal(18,6), whose cast rounds HALF_UP
+    identically on both engines and whose ×1e6 multiply is exact.
+    This test pins the divergent class: the OLD form must disagree on
+    cnt=41 (documenting the hazard) and the NEW form must agree on
+    every count in the battery, including 41."""
+    import duckdb
+
+    counts = [1, 2, 7, 13, 29, 41, 97, 100, 1000, 4096, 65537]
+    old = ("cast(round(sqrt(c * sqrt(c)), 6) * 1000000 as bigint)")
+    new = ("cast(cast(round(sqrt(c * sqrt(c)), 6) as decimal(18,6))"
+           " * 1000000 as bigint)")
+    sdf = spark.createDataFrame([(c,) for c in counts], "c long")
+    s_old = {r["c"]: r["w"] for r in
+             sdf.selectExpr("c", f"{old} AS w").collect()}
+    s_new = {r["c"]: r["w"] for r in
+             sdf.selectExpr("c", f"{new} AS w").collect()}
+    con = duckdb.connect()
+    d_old, d_new = {}, {}
+    for c in counts:
+        d_old[c] = con.execute(
+            f"SELECT {old} FROM (SELECT {c}::bigint AS c)").fetchone()[0]
+        d_new[c] = con.execute(
+            f"SELECT {new} FROM (SELECT {c}::bigint AS c)").fetchone()[0]
+    # the motivating hazard: old form disagrees at cnt=41
+    assert s_old[41] != d_old[41], (
+        "cnt=41 no longer diverges on this host: "
+        f"spark={s_old[41]} duck={d_old[41]} — if libm changed, "
+        "re-verify the whole class")
+    # the fix: decimal-quantized form agrees everywhere
+    for c in counts:
+        assert s_new[c] == d_new[c], (c, s_new[c], d_new[c])

@@ -161,6 +161,17 @@ def main() -> int:
         if not odir or not Path(odir).is_dir():
             print(f"fixture-override {spec!r}: dir missing, ignored")
             continue
+        # a mistyped QID with a valid dir would be stored and silently
+        # never applied (r10 ADVICE item 4) — fail loudly instead
+        if oqid not in queries:
+            print(f"ERROR: fixture-override {spec!r}: unknown query id "
+                  f"{oqid!r} (not in the registry)")
+            return 2
+        if args.qids and oqid not in args.qids:
+            print(f"ERROR: fixture-override {spec!r}: {oqid!r} is not "
+                  f"in the requested --qids set, override would never "
+                  f"apply")
+            return 2
         overrides[oqid] = odir
     override_cons: dict[str, duckdb.DuckDBPyConnection] = {}
     for odir in set(overrides.values()):

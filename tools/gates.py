@@ -157,6 +157,18 @@ SHAPE = {
 }
 
 
+def _qbm_tokens(payload: dict) -> list[str]:
+    """Normalize any recovered bench payload to compact qbm tokens
+    (`name:best:median`, 'q_' prefix stripped) so the finals-merge can
+    widen coverage regardless of which shape survived the tail."""
+    if "qbm" in payload:
+        return str(payload["qbm"]).split()
+    bm = payload.get("queries_best_median") or {
+        q: [v, v] for q, v in payload.get("queries", {}).items()}
+    return [f"{q[2:] if q.startswith('q_') else q}:{b}:{m}"
+            for q, (b, m) in bm.items()]
+
+
 def main() -> int:
     if len(sys.argv) > 1 and not sys.argv[1].startswith("--"):
         path = Path(sys.argv[1])
@@ -179,17 +191,25 @@ def main() -> int:
         path = cands[-1]
         print(f"(defaulting to newest bench file: {path})")
     use_best = "--strict-best" in sys.argv
-    b = json.loads(path.read_text())
+    outer = json.loads(path.read_text())
     # Driver BENCH_r{N}.json wraps the bench stdout under "parsed" —
     # which is sometimes literally null (r5: the single JSON line
-    # outgrew the driver's 2000-char tail capture), so `or b`, then
+    # outgrew the driver's 2000-char tail capture), so `or outer`, then
     # fall back to recovering the last complete JSON line from the
     # captured tail (bench.py prints a compact summary line LAST for
     # exactly this reason).
-    b = b.get("parsed") or b
+    b = outer.get("parsed") or outer
+    finals = None
+    if "queries" not in b and "qbm" not in b and "gate8" in b:
+        # r10 artifact shape (VERDICT r10 item 1): `parsed` IS the
+        # guaranteed-short FINAL line (gate8 + headline, no qbm).
+        # Keep it as the authoritative finals and go back to the
+        # OUTER dict so its `tail` can still widen coverage with
+        # harvested qbm tokens.
+        finals = b
+        b = outer
     if "queries" not in b and "qbm" not in b and "tail" in b:
         recovered = None
-        finals = None
         for line in str(b["tail"]).splitlines():
             line = line.strip()
             if line.startswith("{") and line.endswith("}"):
@@ -197,9 +217,10 @@ def main() -> int:
                     cand = json.loads(line)
                 except json.JSONDecodeError:
                     continue
-                if "queries" in cand or "qbm" in cand:
+                if ("queries" in cand or "qbm" in cand
+                        or "queries_best_median" in cand):
                     recovered = cand
-                elif "gate8" in cand:
+                elif "gate8" in cand and finals is None:
                     # bench.py's guaranteed-short FINAL line (r9 fix):
                     # headline-8 rows + calib always survive the
                     # driver's 2000-char tail capture whole
@@ -231,11 +252,16 @@ def main() -> int:
                     recovered = None
         if finals is not None:
             # merge: the final line's headline-8 rows + calib are
-            # authoritative; harvested qbm tokens widen coverage
-            merged = dict.fromkeys(
-                (recovered or {}).get("qbm", "").split())
+            # authoritative; harvested rows widen coverage. A recovered
+            # payload may carry qbm tokens OR a queries/
+            # queries_best_median map (r10 ADVICE: the map form was
+            # silently discarded here) — normalize either to tokens.
+            merged = dict.fromkeys(_qbm_tokens(recovered or {}))
             merged.update(dict.fromkeys(str(finals["gate8"]).split()))
             finals["qbm"] = " ".join(merged)
+            if ("calib_spark_sec" not in finals and recovered
+                    and "calib_spark_sec" in recovered):
+                finals["calib_spark_sec"] = recovered["calib_spark_sec"]
             recovered = finals
         if recovered is None:
             print(f"ERROR: {path} has no parsed payload and no "
@@ -246,6 +272,12 @@ def main() -> int:
                  f"/{recovered.get('n_benched', '?')} benched rows"
                  if "qbm" in recovered else "") + ")")
         b = recovered
+    elif finals is not None and "queries" not in b and "qbm" not in b:
+        # parsed was the finals line but the outer dict has no tail to
+        # harvest: the gate8 rows alone are still a valid payload
+        finals["qbm"] = " ".join(
+            dict.fromkeys(str(finals["gate8"]).split()))
+        b = finals
     k = max(1.0, b.get("calib_spark_sec", CALIB_REF) / CALIB_REF)
     if "qbm" in b:
         # round-8 compact packing: "name:best:median ..." with the
