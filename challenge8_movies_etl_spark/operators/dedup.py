@@ -499,3 +499,62 @@ def lsh_candidate_pairs_incremental(docs: DataFrame, id_col: str,
             .select(F.least("_nid", F.col(id_col)).alias("id_a"),
                     F.greatest("_nid", F.col(id_col)).alias("id_b"))
             .distinct())
+
+
+def sorted_neighborhood_pairs(ranked: DataFrame, window: int,
+                              key_col: str = "nat",
+                              rank_col: str = "rn") -> DataFrame:
+    """Sorted-neighborhood candidate pairs over a pre-ranked frame —
+    each record pairs with its next `window - 1` sort neighbors within
+    `key_col`, via a BUCKETED band join (VERDICT r10 item 2).
+
+    A bare equi-join on `key_col` with the rank band as a post-join
+    filter enumerates each key's full intra-key cross product — O(n²)
+    executed work per key even though candidate OUTPUT is O(n·w). Here
+    the equi-key is the fine-grained `(key, rank DIV w)` bucket: the
+    band [rn+1, rn+w-1] spans exactly the probe row's own bucket and
+    the next one, so each probe row is exploded into those two bucket
+    probes and the join enumerates at most 2w build rows per probe
+    row BEFORE the band filter — executed work O(n·w), matching the
+    output bound. A (band-satisfying) pair can match in only one
+    bucket probe (the build row's bucket is unique), so no dedup pass
+    is needed.
+
+    Returns columns: `key_col`, a_rn, b_rn, a_name, b_name (plus any
+    extra columns prefixed a_/b_ from `extra_cols`). Requires `ranked`
+    to carry `key_col`, `rank_col`, and `name`.
+    """
+    w = int(window)
+    probe = ranked.select(
+        F.col(key_col),
+        F.col(rank_col).alias("a_rn"),
+        F.col("name").alias("a_name"),
+        F.explode(F.array(
+            F.expr(f"{rank_col} DIV {w}"),
+            F.expr(f"{rank_col} DIV {w} + 1"))).alias("_bkt"))
+    build = ranked.select(
+        F.col(key_col),
+        F.col(rank_col).alias("b_rn"),
+        F.col("name").alias("b_name"),
+        F.expr(f"{rank_col} DIV {w}").alias("_bkt"))
+    return (probe.join(build, [key_col, "_bkt"])
+            .filter((F.col("b_rn") > F.col("a_rn"))
+                    & (F.col("b_rn") <= F.col("a_rn") + w - 1))
+            .drop("_bkt"))
+
+
+def sorted_neighborhood_enumeration(ranked: DataFrame, window: int,
+                                    key_col: str = "nat",
+                                    rank_col: str = "rn") -> int:
+    """Count of rows the bucketed band join ENUMERATES before the band
+    filter — the cost gate for sorted_neighborhood_pairs' linearity
+    claim (must be ≤ 2·w·n; a nat-only equi-key would be Σ n_k²)."""
+    w = int(window)
+    probe = ranked.select(
+        F.col(key_col),
+        F.explode(F.array(
+            F.expr(f"{rank_col} DIV {w}"),
+            F.expr(f"{rank_col} DIV {w} + 1"))).alias("_bkt"))
+    build = ranked.select(
+        F.col(key_col), F.expr(f"{rank_col} DIV {w}").alias("_bkt"))
+    return probe.join(build, [key_col, "_bkt"]).count()

@@ -700,3 +700,41 @@ def test_lsh_banding_must_divide_evenly():
     with pytest.raises(ValueError, match="divide evenly"):
         lsh_candidate_pairs_incremental(
             None, "doc_id", "g", None, n_hashes=10, bands=4)
+
+
+def test_sorted_neighborhood_bucketed_enumeration_bound(spark):
+    """VERDICT r10 item 2: the sorted-neighborhood band join must
+    equi-key on the bucketed (key, rn DIV w) — executed enumeration
+    ≤ 2·w·n — not on the key alone, whose intra-key cross product is
+    Σ n_k². Also pins pair-set equality against the naive form."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from challenge8_movies_etl_spark.operators.dedup import (
+        sorted_neighborhood_enumeration, sorted_neighborhood_pairs)
+
+    n, w = 400, 6
+    rows = [(i, f"name_{i:05d}", i % 3) for i in range(n)]
+    base = spark.createDataFrame(rows, "rec_id long, name string, nat int")
+    ranked = base.withColumn("rn", F.row_number().over(
+        W.partitionBy("nat").orderBy("name", "rec_id")))
+
+    enum = sorted_neighborhood_enumeration(ranked, w)
+    assert enum <= 2 * w * n, (enum, 2 * w * n)
+    # a nat-only equi-key would enumerate sum of per-nat n^2 ≈ n^2/3
+    naive_enum = sum(c * c for c in (134, 133, 133))
+    assert enum < naive_enum / 10, (enum, naive_enum)
+
+    got = sorted(sorted_neighborhood_pairs(ranked, w)
+                 .select("nat", "a_rn", "b_rn").collect())
+    a, b = ranked.alias("a"), ranked.alias("b")
+    want = sorted(
+        a.join(b, (F.col("b.nat") == F.col("a.nat"))
+               & (F.col("b.rn") > F.col("a.rn"))
+               & (F.col("b.rn") <= F.col("a.rn") + w - 1))
+        .select(F.col("a.nat").alias("nat"),
+                F.col("a.rn").alias("a_rn"),
+                F.col("b.rn").alias("b_rn")).collect())
+    assert got == want
+    # no duplicate pairs from the two bucket probes
+    assert len(got) == len(set(got))
