@@ -64,34 +64,36 @@ def query(name: str, oracle: str | None = None):
 # a driver row, then the remaining never-driver-sampled queries in registry
 # order.  DRIVER_COVERAGE.md tracks the sampled/never-sampled ledger.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-10 rotation (DRIVER_COVERAGE.md; VERDICT r9 item 2): no
-    # reds exist after r9 (50/50 green, driver union 407/454), so the
-    # front-50 takes ALL 47 remaining never-driver-sampled queries —
-    # the r7/r8 stats+timeseries tail plus the round-9 wave
-    # (lakehouse maintenance, CEP, proximity, parquet integer codecs,
-    # incremental LSH) — closing the driver union at 454/454. The
-    # last 3 slots go to the least-recently-sampled queries (last
-    # driver row: round 1), starting the steady-state re-confirm
-    # cycle the rotation policy's rule 4 describes.
-    # --- (a) the 47 never-driver-sampled, registry order ---
-    "q_dedup_incremental", "q_proximity_rank", "q_time_travel_read",
-    "q_hilbert_recluster", "q_vacuum_plan", "q_partition_evolution",
-    "q_wap_branch", "q_cep_pattern", "q_stream_outer_join",
-    "q_sql_pivot", "q_spatial_geohash", "q_pacf",
-    "q_mutual_information", "q_kmv_distinct", "q_feature_hashing",
-    "q_dp_noisy_counts", "q_benford", "q_gini_concentration",
-    "q_target_encode", "q_rfm_segment", "q_l_diversity",
-    "q_survival_km", "q_changepoint", "q_seasonal_dow",
-    "q_robust_scale", "q_rake_keywords", "q_survival_nelson_aalen",
-    "q_curriculum_order", "q_chisq_independence", "q_expectations",
-    "q_bootstrap_ci", "q_event_ngrams", "q_mannwhitney_u",
-    "q_xi_correlation", "q_partial_corr", "q_chisq_residuals",
-    "q_effect_size", "q_inequality_indices", "q_corpus_divergence",
-    "q_sql_window", "q_anomaly_seasonal", "q_audience_overlap",
-    "q_funnel_windowed", "q_slo_burn_rate", "q_minhash_band_tuning",
-    "q_rle_bitpack", "q_delta_binary_packed",
-    # --- (b) least-recently-sampled (r1), re-confirm cycle ---
-    "q_agg_hash", "q_agg_distinct", "q_agg_stats",
+    # round-11 rotation (DRIVER_COVERAGE.md; VERDICT r10 item 2 /
+    # What's-missing item 1): no reds exist after r10 (50/50 green,
+    # driver union 454/469), so the front-50 takes (a) the 15
+    # round-10 registrations the pinned r10 rotation never reached —
+    # each hash-green at sf0.001/0.01/0.1/1.0 locally — closing the
+    # driver union at 469/469-as-of-r10; then (b) any round-11
+    # registrations (never-sampled by construction); then (c) the
+    # least-recently-sampled rows (last driver row: round 1) in
+    # registry order, continuing the steady-state re-confirm cycle
+    # (rule 4) begun in r10 with q_agg_hash/distinct/stats.
+    # --- (a) the 15 never-driver-sampled r10 registrations ---
+    "q_negative_sampling", "q_entity_resolution",
+    "q_sorted_neighborhood", "q_rrf_fusion",
+    "q_consistent_hash_reshard", "q_merge_upsert",
+    "q_optimize_binpack", "q_schema_evolution_read",
+    "q_late_arriving_dim", "q_stream_cdc_apply", "q_pii_redaction",
+    "q_chunk_overlap", "q_span_corruption", "q_temporal_decay",
+    "q_cohens_kappa",
+    # --- (b) round-11 registrations (inserted as they land) ---
+    # --- (c) least-recently-sampled (r1), re-confirm cycle ---
+    "q_agg_approx", "q_rollup", "q_cube", "q_grouping_sets",
+    "q_pivot", "q_unpivot", "q_agg_collect", "q_agg_bool",
+    "q_percentiles", "q_scan_project", "q_filter_pred",
+    "q_conditional_fill", "q_cast_funcs", "q_null_ratio", "q_topk",
+    "q_union_all", "q_intersect", "q_except", "q_distinct",
+    "q_dropdup_key", "q_value_counts", "q_try_cast", "q_dollar_parse",
+    "q_date_multiformat", "q_runtime_parse", "q_string_funcs",
+    "q_regex_extract", "q_json_extract", "q_array_explode",
+    "q_map_funcs", "q_datetime_funcs", "q_join_inner",
+    "q_join_broadcast", "q_join_left", "q_join_multi_5way",
 )
 
 
