@@ -738,3 +738,43 @@ def test_sorted_neighborhood_bucketed_enumeration_bound(spark):
     assert got == want
     # no duplicate pairs from the two bucket probes
     assert len(got) == len(set(got))
+
+
+def test_er_corruption_is_phonetically_silent(spark):
+    """q_er_clusters' fixture invariants: every dropped-vowel
+    corruption is Levenshtein distance exactly 1 (chain distance 2
+    clean→t2) and ALWAYS silent under the consonant-skeleton phonetic
+    key — so the ph arm blocks the whole triangle together. The
+    first-generation drop also preserves the right-6 suffix (it lands
+    in the first word), but the SECOND drop can fall inside the
+    suffix window — the test asserts that failure mode exists, since
+    it is exactly the recall gap the phonetic arm covers."""
+    from pyspark.sql import functions as F
+
+    from challenge8_movies_etl_spark.queries_llm import (
+        _er_drop_vowel_sql, _er_surname_sql)
+
+    keys = spark.range(0, 2000).selectExpr("id AS k")
+    sur = _er_surname_sql("k")
+    d1 = _er_drop_vowel_sql(sur)
+    frame = keys.selectExpr(
+        f"{sur} AS nm0", f"{d1} AS nm1").selectExpr(
+        "nm0", "nm1", _er_drop_vowel_sql("nm1") + " AS nm2")
+    frame = frame.cache()
+    bad = frame.filter(
+        (F.levenshtein("nm0", "nm1") != 1)
+        | (F.levenshtein("nm1", "nm2") != 1)
+        | (F.levenshtein("nm0", "nm2") != 2)
+        | (F.expr("regexp_replace(nm0, '[aeiou]', '')")
+           != F.expr("regexp_replace(nm1, '[aeiou]', '')"))
+        | (F.expr("regexp_replace(nm1, '[aeiou]', '')")
+           != F.expr("regexp_replace(nm2, '[aeiou]', '')"))
+        | (F.expr("right(nm0, 6)") != F.expr("right(nm1, 6)")))
+    assert bad.count() == 0, bad.limit(5).collect()
+    # the suffix arm's documented recall gap: some second-generation
+    # drops land inside the right-6 window, so ONLY the phonetic arm
+    # co-blocks those t1-t2 / clean-t2 pairs
+    n_sfx_miss = frame.filter(
+        F.expr("right(nm1, 6)") != F.expr("right(nm2, 6)")).count()
+    assert n_sfx_miss > 0
+    frame.unpersist()
