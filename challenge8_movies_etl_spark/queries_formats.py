@@ -489,7 +489,8 @@ _FOOTER_PRED = 49.5      # predicate: l_quantity >= 49.5
     oracle=f"""
     WITH sub AS (
       SELECT l_orderkey, l_linenumber, l_quantity,
-             row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+             row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+                                l_quantity) AS rn
       FROM lineitem WHERE l_orderkey % 20 = 3
     )
     SELECT (rn - 1) // {_FOOTER_RG} AS row_group_id,
@@ -552,8 +553,18 @@ def q_parquet_footer_stats(spark, sf_dir):
     # pass 1: range-partition into the total order and take the
     # per-partition row counts (ascending partition ids == ascending
     # key ranges, so cumulative counts are global offsets)
-    s = (sub.repartitionByRange(32, "l_orderkey", "l_linenumber")
-         .sortWithinPartitions("l_orderkey", "l_linenumber")
+    # the sort key carries ALL THREE projected columns: (l_orderkey,
+    # l_linenumber) is NOT unique in this fixture, and a bucketing
+    # keyed on an ambiguous order diverges from the oracle's
+    # row_number when scan order differs (caught by the r11
+    # tools/perturb.py sweep on its first run). With the full
+    # projection in the key, remaining ties are fully identical rows
+    # — interchangeable across any boundary, so per-group multisets
+    # are content-deterministic.
+    s = (sub.repartitionByRange(32, "l_orderkey", "l_linenumber",
+                                "l_quantity")
+         .sortWithinPartitions("l_orderkey", "l_linenumber",
+                               "l_quantity")
          .withColumn("_pid", F.spark_partition_id()))
     s.persist()
     counts = {r["_pid"]: r["cnt"] for r in
@@ -591,7 +602,8 @@ def q_parquet_footer_stats(spark, sf_dir):
     def _write_slice(key, pdf):
         import pandas as pd
         fid = int(key[0])
-        slice_pdf = (pdf.sort_values(["l_orderkey", "l_linenumber"])
+        slice_pdf = (pdf.sort_values(
+            ["l_orderkey", "l_linenumber", "l_quantity"])
                      .drop(columns=["_file_id"]))
         pq.write_table(
             pa.Table.from_pandas(slice_pdf, preserve_index=False),
