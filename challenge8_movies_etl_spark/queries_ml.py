@@ -2219,3 +2219,109 @@ def q_adaboost_stumps(spark, sf_dir):
                     F.round("err", 6).alias("err"), "alpha",
                     "ensemble_correct", "n_points")
             .orderBy("round"))
+
+
+# ---------------------------------------------------------------------------
+# q_cms_heavy_hitters — Count-Min sketch with linear (additive) merge
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256  # first md5 byte — no modulo needed
+
+
+@query(
+    "q_cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tok AS (SELECT lang, term FROM toks WHERE term <> ''),
+    rows_j AS (SELECT unnest(range(0, {_CMS_DEPTH})) AS j),
+    partial AS (
+      /* per-LANG partial sketches: depth x width counters */
+      SELECT t.lang, r.j,
+             cast(('0x' || substr(md5('cms' || cast(r.j as string)
+                                       || ':' || t.term), 1, 2))
+                  as integer) AS bucket,
+             count(*) AS c
+      FROM tok t, rows_j r
+      GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      /* CMS is a LINEAR sketch: the global structure is the
+         counter-wise SUM of the per-lang partials */
+      SELECT j, bucket, sum(c) AS c FROM partial GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT term, count(*) AS cnt FROM tok GROUP BY term
+    ),
+    top10 AS (
+      SELECT term, cnt FROM truth ORDER BY cnt DESC, term LIMIT 10
+    ),
+    probes AS (
+      SELECT t.term, t.cnt, r.j,
+             cast(('0x' || substr(md5('cms' || cast(r.j as string)
+                                       || ':' || t.term), 1, 2))
+                  as integer) AS bucket
+      FROM top10 t, rows_j r
+    ),
+    est AS (
+      SELECT p.term, p.cnt, min(m.c) AS est
+      FROM probes p JOIN merged m
+        ON m.j = p.j AND m.bucket = p.bucket
+      GROUP BY 1, 2
+    )
+    SELECT term,
+           cast(cnt as bigint) AS true_cnt,
+           cast(est as bigint) AS est_cnt,
+           cast(est - cnt as bigint) AS overestimate
+    FROM est ORDER BY true_cnt DESC, term
+    """,
+)
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) — the mergeable
+    heavy-hitter frequency structure missing from the sketch family
+    beside KMV (q_kmv_distinct), HLL (q_hll_intersection) and MinHash
+    (q_minhash_reagg). Depth {d} independent md5-derived hash rows x
+    width {w} counters; every token increments one counter per row;
+    estimate(term) = min over rows — always >= truth (one-sided
+    error), with overestimate = collision mass. The merge story is
+    the point: CMS is LINEAR, so per-lang partial sketches sum
+    counter-wise into the global sketch — exactly the two-level
+    rollup 1000 executors run (partition sketches -> global), shown
+    here by building ONLY per-lang partials and estimating from their
+    sum. md5 keys both engines identically (portable-hash house
+    rule), so the sketch, the estimates, and the per-term collision
+    overestimates all value-hash-match exactly; true counts ride
+    along to pin the error actually made.
+
+    Scale: one explode + a groupBy on (lang, depth, bucket) whose
+    result is at most |langs| x {d} x {w} rows regardless of corpus
+    size (map-side combined), then probes touch {d} counters per
+    queried term. The sketch never grows with the data — the whole
+    reason it exists at 100 TB."""
+    d_ = load_table(spark, sf_dir, "documents")
+    tok = (d_.select("lang", F.explode(F.split("text", " ")).alias("term"))
+           .filter(F.col("term") != ""))
+    js = F.array(*[F.lit(j) for j in range(_CMS_DEPTH)])
+    bucket = F.conv(F.substring(
+        F.md5(F.concat(F.lit("cms"), F.col("j").cast("string"),
+                       F.lit(":"), F.col("term"))), 1, 2),
+        16, 10).cast("int")
+    partial = (tok.withColumn("j", F.explode(js))
+               .groupBy("lang", "j", bucket.alias("bucket"))
+               .agg(F.count("*").alias("c")))
+    merged = partial.groupBy("j", "bucket").agg(F.sum("c").alias("c"))
+    truth = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    top10 = truth.orderBy(F.desc("cnt"), "term").limit(10)
+    probes = top10.withColumn("j", F.explode(js)) \
+                  .withColumn("bucket", bucket)
+    est = (probes.join(merged, ["j", "bucket"])
+           .groupBy("term", "cnt").agg(F.min("c").alias("est")))
+    return (est.selectExpr(
+        "term",
+        "cast(cnt as bigint) AS true_cnt",
+        "cast(est as bigint) AS est_cnt",
+        "cast(est - cnt as bigint) AS overestimate")
+        .orderBy(F.desc("true_cnt"), "term"))
