@@ -2325,3 +2325,112 @@ def q_cms_heavy_hitters(spark, sf_dir):
         "cast(est as bigint) AS est_cnt",
         "cast(est - cnt as bigint) AS overestimate")
         .orderBy(F.desc("true_cnt"), "term"))
+
+
+# ---------------------------------------------------------------------------
+# q_quantile_sketch_merge — mergeable log-bucket histogram quantiles
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_quantile_sketch_merge",
+    oracle="""
+    WITH lens AS (
+      SELECT lang, length(text) + 1 AS x FROM documents
+    ),
+    partial AS (
+      /* per-LANG partial histograms over power-of-two buckets:
+         b = floor(log2(x)) + 1 via the binary-string length */
+      SELECT lang, length(bin(x)) AS b, count(*) AS cnt
+      FROM lens GROUP BY 1, 2
+    ),
+    merged AS (SELECT b, sum(cnt) AS cnt FROM partial GROUP BY b),
+    cum AS (
+      SELECT b, cnt,
+             sum(cnt) OVER (ORDER BY b) AS cum_cnt
+      FROM merged
+    ),
+    n AS (SELECT count(*) AS n_docs FROM lens),
+    ranks AS (
+      SELECT p, (p * n.n_docs + 99) // 100 AS rk, n.n_docs
+      FROM (SELECT unnest([50, 90, 99]) AS p), n
+    ),
+    est AS (
+      SELECT r.p, r.rk, r.n_docs,
+             min(c.b) AS b_hit
+      FROM ranks r JOIN cum c ON c.cum_cnt >= r.rk
+      GROUP BY 1, 2, 3
+    ),
+    vhist AS (SELECT x, count(*) AS cnt FROM lens GROUP BY x),
+    vcum AS (
+      SELECT x, sum(cnt) OVER (ORDER BY x) AS cum_cnt FROM vhist
+    ),
+    exact AS (
+      SELECT e.p, e.n_docs,
+             cast(power(2, e.b_hit) as bigint) - 2 AS est_len_bound,
+             min(v.x) - 1 AS exact_len
+      FROM est e JOIN vcum v ON v.cum_cnt >= e.rk
+      GROUP BY 1, 2, 3
+    )
+    SELECT p,
+           cast(n_docs as bigint) AS n_docs,
+           cast(est_len_bound as bigint) AS est_len_bound,
+           cast(exact_len as bigint) AS exact_len,
+           cast(est_len_bound - exact_len as bigint) AS overshoot
+    FROM exact ORDER BY p
+    """,
+)
+def q_quantile_sketch_merge(spark, sf_dir):
+    """Mergeable QUANTILE sketch — the t-digest/GK-class rung of the
+    sketch family (beside the CMS frequency sketch and the KMV/HLL
+    cardinality sketches), in its deterministic fixed-boundary form:
+    per-lang PARTIAL histograms over power-of-two length buckets
+    (b = floor(log2(x))+1 via length(bin(x)) — identical on both
+    engines, no float log), merged by counter ADDITION (like CMS, a
+    linear structure), then the p50/p90/p99 upper BOUNDS read off the
+    cumulative walk. The estimate is one-sided (bucket upper bound >=
+    true order statistic); the exact discrete quantile — the value at
+    rank ceil(p*n/100), well-defined regardless of tie order — rides
+    along to pin the error the sketch actually makes, and the rank is
+    computed by exact integer ceil division (no float p*n).
+
+    Scale: the partial relation is at most |langs| x 64 rows whatever
+    the corpus size; merge is a 64-row sum; the exact twin walks a
+    cumulative over the VALUE histogram (distinct lengths, bounded by
+    the value domain — no global row sort anywhere). At 100 TB the
+    sketch path alone serves monitoring dashboards; the exact twin
+    exists for the oracle discipline."""
+    from pyspark.sql import Window as W
+    d_ = load_table(spark, sf_dir, "documents")
+    lens = d_.selectExpr("lang", "length(text) + 1 AS x")
+    partial = (lens.selectExpr("lang", "length(bin(x)) AS b")
+               .groupBy("lang", "b").agg(F.count("*").alias("cnt")))
+    merged = partial.groupBy("b").agg(F.sum("cnt").alias("cnt"))
+    cum = merged.select(
+        "b", "cnt", F.sum("cnt").over(W.orderBy("b")).alias("cum_cnt"))
+    n_docs = lens.count()  # 1-value aggregate (bounded driver data)
+    ranks = spark.createDataFrame(
+        [(p, (p * n_docs + 99) // 100, n_docs) for p in (50, 90, 99)],
+        "p int, rk bigint, n_docs bigint")
+    est = (ranks.join(cum, cum.cum_cnt >= ranks.rk)
+           .groupBy("p", "rk", "n_docs").agg(F.min("b").alias("b_hit")))
+    # exact discrete quantile WITHOUT a global row sort: cumulative
+    # over the VALUE histogram (distinct doc lengths are bounded by
+    # the value domain, like the 64-bucket sketch walk — never a
+    # single-partition window over the corpus)
+    vhist = lens.groupBy("x").agg(F.count("*").alias("cnt"))
+    vcum = vhist.select(
+        "x", F.sum("cnt").over(W.orderBy("x")).alias("cum_cnt"))
+    exact = (est.join(vcum, vcum.cum_cnt >= est.rk)
+             .groupBy("p", "n_docs", "b_hit")
+             .agg(F.min("x").alias("x_min"))
+             .selectExpr("p", "n_docs",
+                         "cast(power(2, b_hit) as bigint) - 2"
+                         " AS est_len_bound",
+                         "x_min - 1 AS exact_len"))
+    return (exact.selectExpr(
+        "p",
+        "cast(n_docs as bigint) AS n_docs",
+        "cast(est_len_bound as bigint) AS est_len_bound",
+        "cast(exact_len as bigint) AS exact_len",
+        "cast(est_len_bound - exact_len as bigint) AS overshoot")
+        .orderBy("p"))
