@@ -175,6 +175,11 @@ EXTRA = [
     "q_consistent_hash_reshard",
     "q_temporal_decay",
     "q_sorted_neighborhood",
+    # round-11 wave
+    "q_er_clusters",
+    "q_cms_heavy_hitters",
+    "q_quantile_sketch_merge",
+    "q_parquet_footer_stats",
 ]
 
 

@@ -154,6 +154,14 @@ SHAPE = {
     "q_consistent_hash_reshard": "q_agg_hash",
     "q_temporal_decay": "q_agg_hash",
     "q_sorted_neighborhood": "q_join_multi_5way",
+    # round-11 wave: ER clusters run iterative component joins
+    # (pagerank profile); the two sketches are agg-shaped rollups;
+    # footer stats is a controlled write + metadata walk (decode
+    # profile is the closest Arrow-python-task shape)
+    "q_er_clusters": "q_graph_pagerank",
+    "q_cms_heavy_hitters": "q_agg_hash",
+    "q_quantile_sketch_merge": "q_agg_hash",
+    "q_parquet_footer_stats": "q_multimodal_decode",
 }
 
 
