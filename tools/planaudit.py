@@ -98,7 +98,12 @@ UDF_SURFACE = {"q_udf_scalar", "q_udaf_grouped", "q_udtf",
                "q_delta_binary_packed",  # parquet delta codec surface
                # knn planner's Arrow centroid-assignment kernel
                # (operators/pq.py fixed-order numpy path)
-               "q_knn_join_blocked"}
+               "q_knn_join_blocked",
+               # round-11: distributed footer walk — binaryFile +
+               # pyarrow metadata API (one task per footer) is
+               # necessarily a Python/Arrow surface, plus the aligned
+               # slice writer (VERDICT r10 item 5)
+               "q_parquet_footer_stats"}
 
 
 def audit(spark, qid, fn, sf_dir):
