@@ -134,7 +134,6 @@ def main() -> int:
 
     import os
 
-    con = duckdb.connect()
     # Bound the oracle engine: an unbounded DuckDB materializing a
     # quadratic intermediate OOM-killed the r9 sf1.0 sweep at 102 GB
     # anon-rss (q_join_asof_nearest's inequality join) — cap memory
@@ -142,18 +141,23 @@ def main() -> int:
     # taking the process (and the whole sweep) down. Tunable via env
     # so two half-registry sweeps can co-exist inside host RAM.
     oracle_mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "40GB")
-    con.execute(f"SET memory_limit='{oracle_mem}'")
     Path("/root/spill/duckdb_tmp").mkdir(parents=True, exist_ok=True)
-    con.execute("SET temp_directory='/root/spill/duckdb_tmp'")
-    for t in TABLES:
-        # driver fixtures are single files; tools/scalegen.py output
-        # is a Spark-style directory of part files — glob those
-        src = f"{args.sf}/{t}.parquet"
-        if Path(src).is_dir():
-            src += "/*.parquet"
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
-        )
+
+    def _build_con(sf_root: str) -> duckdb.DuckDBPyConnection:
+        c = duckdb.connect()
+        c.execute(f"SET memory_limit='{oracle_mem}'")
+        c.execute("SET temp_directory='/root/spill/duckdb_tmp'")
+        for t in TABLES:
+            # driver fixtures are single files; tools/scalegen.py
+            # output is a Spark-style directory of part files — glob
+            src = f"{sf_root}/{t}.parquet"
+            if Path(src).is_dir():
+                src += "/*.parquet"
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+        return c
+
+    con = _build_con(args.sf)
 
     overrides: dict[str, str] = {}
     for spec in args.fixture_override:
@@ -173,18 +177,8 @@ def main() -> int:
                   f"apply")
             return 2
         overrides[oqid] = odir
-    override_cons: dict[str, duckdb.DuckDBPyConnection] = {}
-    for odir in set(overrides.values()):
-        ocon = duckdb.connect()
-        ocon.execute(f"SET memory_limit='{oracle_mem}'")
-        ocon.execute("SET temp_directory='/root/spill/duckdb_tmp'")
-        for t in TABLES:
-            src = f"{odir}/{t}.parquet"
-            if Path(src).is_dir():
-                src += "/*.parquet"
-            ocon.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
-        override_cons[odir] = ocon
+    override_cons: dict[str, duckdb.DuckDBPyConnection] = {
+        odir: _build_con(odir) for odir in set(overrides.values())}
 
     qids = args.qids or sorted(queries)
     results: dict[str, dict] = {}
@@ -218,6 +212,24 @@ def main() -> int:
             results[qid] = {"status": "fail",
                             "err": f"DuckDB {type(exc).__name__}: {exc}"}
             print(f"FAIL  {qid}: DuckDB error: {type(exc).__name__}: {exc}")
+            if "OutOfMemory" in type(exc).__name__ or "Memory" in str(exc):
+                # an over-cap oracle leaves the shared connection's
+                # buffer pool full — every later oracle then OOMs in a
+                # false-FAIL cascade (r11: q_ivfpq_ann poisoned three
+                # perturbation sweeps this way). Rebuild the poisoned
+                # connection so one heavy oracle costs ONE row, not
+                # the rest of the sweep.
+                try:
+                    q_con.close()
+                except Exception:  # noqa: BLE001
+                    pass
+                fresh = _build_con(q_sf)
+                if q_sf in override_cons:
+                    override_cons[q_sf] = fresh
+                else:
+                    con = fresh
+                print(f"      (rebuilt DuckDB connection after OOM "
+                      f"on {qid})")
             continue
         scols, srows = canon_frame(spd)
         ocols, orows = canon_frame(opd)
