@@ -143,9 +143,20 @@ def main() -> int:
     oracle_mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "40GB")
     Path("/root/spill/duckdb_tmp").mkdir(parents=True, exist_ok=True)
 
+    # optional oracle thread cap: one list-heavy oracle (q_ivfpq_ann
+    # over a many-small-file fixture) was measured allocating ~60k
+    # mmaps — at 32 threads it crosses the kernel's
+    # vm.max_map_count=65530 ceiling and the PROCESS segfaults (r11:
+    # three perturbation sweeps died there). 8 threads stays under
+    # the ceiling; set SPARK_GRAFT_ORACLE_THREADS for hostile-physics
+    # sweeps, leave unset for full-speed oracles.
+    oracle_threads = os.environ.get("SPARK_GRAFT_ORACLE_THREADS")
+
     def _build_con(sf_root: str) -> duckdb.DuckDBPyConnection:
         c = duckdb.connect()
         c.execute(f"SET memory_limit='{oracle_mem}'")
+        if oracle_threads:
+            c.execute(f"SET threads={int(oracle_threads)}")
         c.execute("SET temp_directory='/root/spill/duckdb_tmp'")
         for t in TABLES:
             # driver fixtures are single files; tools/scalegen.py
