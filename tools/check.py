@@ -242,6 +242,31 @@ def main() -> int:
                 print(f"      (rebuilt DuckDB connection after OOM "
                       f"on {qid})")
             continue
+        # proactive map-count guard: a list-heavy oracle can leave tens
+        # of thousands of mmaps cached in the DuckDB buffer pool; the
+        # check.py process ALSO hosts the py4j/pyarrow driver side, so
+        # at vm.max_map_count (65530) the next thread-stack mmap fails
+        # and the whole process dies with std::system_error (r11:
+        # q_ivfpq_ann over the perturbed fixture, measured 60k maps).
+        # Rebuilding the connection releases the pool maps.
+        try:
+            n_maps = sum(1 for _ in open("/proc/self/maps"))
+        except OSError:
+            n_maps = 0
+        if n_maps > 40_000:
+            try:
+                q_con.close()
+            except Exception:  # noqa: BLE001
+                pass
+            fresh = _build_con(q_sf)
+            if q_sf in override_cons:
+                override_cons[q_sf] = fresh
+            else:
+                con = fresh
+            q_con = fresh
+            print(f"      (rebuilt DuckDB connection: process map "
+                  f"count {n_maps} neared vm.max_map_count after "
+                  f"{qid})")
         scols, srows = canon_frame(spd)
         ocols, orows = canon_frame(opd)
         msg = None
