@@ -180,6 +180,7 @@ EXTRA = [
     "q_cms_heavy_hitters",
     "q_quantile_sketch_merge",
     "q_parquet_footer_stats",
+    "q_wer_cer",
 ]
 
 

@@ -3296,3 +3296,169 @@ def q_cohens_kappa(spark, sf_dir):
         "  -cast((2 * -num * 1000000 + den) DIV (2 * den) as double)"
         "   / 1e6 END AS kappa",
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q_wer_cer — word/character error rate against a synthesized hypothesis
+# ---------------------------------------------------------------------------
+
+_WER_TOPK = 93  # printable ASCII 33..125 for in-vocab words; 126='~' OOV
+
+
+@query(
+    "q_wer_cer",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    toks AS (
+      SELECT d.doc_id, d.lang, gs.i AS pos, d.t[gs.i] AS word
+      FROM docs d JOIN range(1, 100000) gs(i) ON gs.i <= len(d.t)
+      WHERE d.t[gs.i] <> ''
+    ),
+    vocab AS (
+      SELECT word, row_number() OVER (ORDER BY count(*) DESC, word)
+               AS rnk
+      FROM toks GROUP BY word
+    ),
+    enc AS (
+      SELECT word,
+             CASE WHEN rnk <= {_WER_TOPK}
+                  THEN chr(cast(32 + rnk as integer))
+                  ELSE chr(126) END AS c
+      FROM vocab
+    ),
+    hyp_toks AS (
+      /* deterministic ASR-style corruption: every 7th word dropped,
+         every 11th substituted with 'the' */
+      SELECT doc_id, lang, pos,
+             CASE WHEN pos % 11 = 0 THEN 'the' ELSE word END AS word
+      FROM toks WHERE pos % 7 <> 0
+    ),
+    ref_s AS (
+      SELECT t.doc_id, t.lang,
+             string_agg(e.c, '' ORDER BY t.pos) AS s,
+             count(*) AS n_words
+      FROM toks t JOIN enc e ON e.word = t.word
+      GROUP BY 1, 2
+    ),
+    hyp_s AS (
+      SELECT h.doc_id, string_agg(e.c, '' ORDER BY h.pos) AS s
+      FROM hyp_toks h JOIN enc e ON e.word = h.word
+      GROUP BY 1
+    ),
+    per_doc AS (
+      SELECT r.lang, r.n_words,
+             levenshtein(r.s, coalesce(h.s, '')) AS w_edits,
+             substr(d2.text, 1, 120) AS ref_p,
+             substr((SELECT string_agg(word, ' ' ORDER BY pos)
+                     FROM hyp_toks hh WHERE hh.doc_id = r.doc_id),
+                    1, 120) AS hyp_p
+      FROM ref_s r
+      LEFT JOIN hyp_s h ON h.doc_id = r.doc_id
+      JOIN documents d2 ON d2.doc_id = r.doc_id
+    )
+    SELECT lang,
+           cast(count(*) as bigint) AS n_docs,
+           cast(sum(n_words) as bigint) AS ref_words,
+           cast(sum(w_edits) as bigint) AS word_edits,
+           cast((2 * sum(w_edits) * 10000 + sum(n_words))
+                // (2 * sum(n_words)) as double) / 1e4 AS wer,
+           cast(sum(length(ref_p)) as bigint) AS ref_chars,
+           cast(sum(levenshtein(ref_p, coalesce(hyp_p, '')))
+                as bigint) AS char_edits,
+           cast((2 * sum(levenshtein(ref_p, coalesce(hyp_p, '')))
+                   * 10000 + sum(length(ref_p)))
+                // (2 * sum(length(ref_p))) as double) / 1e4 AS cer
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def q_wer_cer(spark, sf_dir):
+    """Word and character error rate — the ASR/translation evaluation
+    pair completing the eval family (BLEU/ROUGE/NDCG/MRR/kappa exist;
+    WER/CER did not). A hypothesis transcript is synthesized per
+    document by deterministic corruption (every 7th word dropped,
+    every 11th substituted), then scored against the reference.
+
+    WER needs WORD-level Levenshtein, which neither engine has — both
+    only align characters. The classic reduction: encode each word as
+    one character and run character Levenshtein on the encodings. The
+    alphabet must stay single-byte ASCII because DuckDB's levenshtein
+    counts BYTES while Spark's counts CODEPOINTS (measured: chr(2000)
+    substitution scores 3 vs 1) — so the encoding is a CLOSED
+    top-{k} vocabulary (frequency rank -> printable ASCII) with OOV
+    folded to '~', the standard closed-vocab scoring practice. CER is
+    computed directly on a bounded 120-char prefix (fixture text is
+    ASCII, so byte==codepoint parity holds; the bound keeps the DP
+    quadratic cell count per doc constant). Both rates are exact
+    half-away-from-zero integer divisions at 4dp.
+
+    Scale: one explode, a vocab-sized rank (Heaps-bounded), two
+    ordered string_aggs per doc (keyed agg, map-side combined), one
+    O(len^2)-bounded DP per doc inside codegen, one per-lang rollup.
+    Embarrassingly parallel over documents."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (d.select("doc_id", "lang",
+                     F.posexplode(F.split("text", " "))
+                     .alias("pos0", "word"))
+            .filter(F.col("word") != "")
+            .select("doc_id", "lang",
+                    (F.col("pos0") + 1).alias("pos"), "word"))
+    vocab = (toks.groupBy("word").agg(F.count("*").alias("cnt"))
+             .select("word", F.row_number().over(
+                 W.orderBy(F.desc("cnt"), "word")).alias("rnk")))
+    enc = vocab.select(
+        "word",
+        F.when(F.col("rnk") <= _WER_TOPK,
+               F.expr("chr(32 + rnk)")).otherwise(F.lit("~")).alias("c"))
+    hyp_toks = (toks.filter(F.col("pos") % 7 != 0)
+                .select("doc_id", "lang", "pos",
+                        F.when(F.col("pos") % 11 == 0, F.lit("the"))
+                        .otherwise(F.col("word")).alias("word")))
+
+    def _agg_str(t, out):
+        return (t.join(F.broadcast(enc), "word")
+                .groupBy("doc_id")
+                .agg(F.array_join(F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"]), "").alias(out)))
+
+    ref_meta = toks.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_words"))
+    ref_s = _agg_str(toks, "ref_enc")
+    hyp_s = _agg_str(hyp_toks, "hyp_enc")
+    hyp_txt = hyp_toks.groupBy("doc_id").agg(
+        F.array_join(F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "word"))),
+            lambda s: s["word"]), " ").alias("hyp_text"))
+    per_doc = (ref_meta
+               .join(ref_s, "doc_id")
+               .join(hyp_s, "doc_id", "left")
+               .join(hyp_txt, "doc_id", "left")
+               .join(d.select("doc_id",
+                              F.expr("substr(text, 1, 120)")
+                              .alias("ref_p")), "doc_id")
+               .select(
+                   "lang", "n_words",
+                   F.levenshtein("ref_enc",
+                                 F.coalesce("hyp_enc", F.lit("")))
+                   .alias("w_edits"),
+                   "ref_p",
+                   F.expr("substr(coalesce(hyp_text, ''), 1, 120)")
+                   .alias("hyp_p")))
+    return (per_doc.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_words").cast("long").alias("ref_words"),
+                 F.sum("w_edits").cast("long").alias("word_edits"),
+                 F.expr("cast((2 * sum(w_edits) * 10000 + sum(n_words))"
+                        " DIV (2 * sum(n_words)) as double) / 1e4")
+                 .alias("wer"),
+                 F.sum(F.length("ref_p")).cast("long")
+                 .alias("ref_chars"),
+                 F.sum(F.levenshtein("ref_p", "hyp_p")).cast("long")
+                 .alias("char_edits"),
+                 F.expr("cast((2 * sum(levenshtein(ref_p, hyp_p))"
+                        " * 10000 + sum(length(ref_p)))"
+                        " DIV (2 * sum(length(ref_p))) as double) / 1e4")
+                 .alias("cer"))
+            .orderBy("lang"))

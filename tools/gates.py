@@ -162,6 +162,7 @@ SHAPE = {
     "q_cms_heavy_hitters": "q_agg_hash",
     "q_quantile_sketch_merge": "q_agg_hash",
     "q_parquet_footer_stats": "q_multimodal_decode",
+    "q_wer_cer": "q_text_sentiment",  # codegen string DP + rollup
 }
 
 
