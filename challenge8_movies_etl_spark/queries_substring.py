@@ -54,8 +54,14 @@ poss AS (
   FROM toks
 ),
 grams AS (
+  /* 60-bit md5-derived gram keys (the md5_hash60 house pattern):
+     only digests ever shuffle or compare, and 8-byte ints beat
+     32-char strings through every exchange. A truncation collision
+     is ~n^2/2^60 AND identical on both engines (same digest fn),
+     so the hash gate is unaffected. */
   SELECT doc_id, n_tokens, i - 1 AS pos,
-         md5(array_to_string(t[i:i+{K - 1}], ' ')) AS h
+         cast(('0x' || substr(md5(array_to_string(t[i:i+{K - 1}], ' ')),
+                              1, 15)) as bigint) AS h
   FROM poss
 )"""
 
@@ -67,7 +73,8 @@ def _grams(spark, sf_dir):
             .filter(F.size("t") >= K))
     gexpr = F.expr(
         f"transform(sequence(0, size(t) - {K}),"
-        f" i -> md5(array_join(slice(t, i + 1, {K}), ' ')))")
+        f" i -> cast(conv(substring(md5(array_join("
+        f"slice(t, i + 1, {K}), ' ')), 1, 15), 16, 10) as bigint))")
     return toks.select(
         "doc_id", F.size("t").cast("long").alias("n_tokens"),
         F.posexplode(gexpr).alias("pos", "h"))
@@ -75,11 +82,15 @@ def _grams(spark, sf_dir):
 
 _SUBSTR_ORACLE = f"""
 WITH {_GRAMS_CTE},
-dup AS (
-  SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2
-),
 dpos AS (
-  SELECT g.doc_id, g.n_tokens, g.pos FROM grams g JOIN dup USING (h)
+  /* >= 2 distinct docs iff min(doc_id) != max(doc_id) over the gram
+     key — ONE pass over grams, no groupBy + semi-join re-walk */
+  SELECT doc_id, n_tokens, pos FROM (
+    SELECT doc_id, n_tokens, pos,
+           min(doc_id) OVER (PARTITION BY h) AS d0,
+           max(doc_id) OVER (PARTITION BY h) AS d1
+    FROM grams
+  ) WHERE d0 <> d1
 ),
 mark AS (
   SELECT doc_id, n_tokens, pos,
@@ -119,18 +130,22 @@ def q_dedup_substring(spark, sf_dir):
     "cut these spans out of the training set", exactly the Lee et al.
     ExactSubstr policy.
 
-    Scale: one generator (no shuffle) -> one gram-keyed group-by with
-    map-side partial distinct -> one semi-join on the same key (AQE
-    plans it broadcast when the duplicated-gram set is small, the
-    common case) -> one doc-keyed window + two stacked doc-keyed
-    group-bys sharing a single exchange.  Only 16-byte digests ever
-    shuffle; gram text dies inside the generator's project."""
+    Scale: one generator (no shuffle) -> ONE gram-keyed exchange where
+    the cross-document predicate is the window identity
+    "min(doc_id) != max(doc_id) over h" -> one doc-keyed window + two
+    stacked doc-keyed group-bys sharing a single exchange.  The r10
+    shape (groupBy h + semi-join back) walked the generator TWICE and
+    shuffled the gram stream twice; profiled at sf1.0 the second walk
+    + shuffle was ~60% of the wall (SCALE.md r11), and the window
+    identity deletes both for the same exact dup set.  Only 8-byte
+    60-bit digests ever shuffle; gram text dies inside the
+    generator's project."""
     grams = _grams(spark, sf_dir)
-    dup = (grams.groupBy("h")
-           .agg(F.countDistinct("doc_id").alias("nd"))
-           .filter(F.col("nd") >= 2)
-           .select("h"))
-    dpos = (grams.join(dup, "h", "left_semi")
+    wh = W.partitionBy("h")
+    dpos = (grams
+            .withColumn("d0", F.min("doc_id").over(wh))
+            .withColumn("d1", F.max("doc_id").over(wh))
+            .filter(F.col("d0") != F.col("d1"))
             .select("doc_id", "n_tokens", "pos"))
     w = W.partitionBy("doc_id").orderBy("pos")
     brk = F.when(F.col("pos") - F.lag("pos").over(w) <= K,
