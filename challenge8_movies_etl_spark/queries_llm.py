@@ -3442,8 +3442,17 @@ def q_er_clusters(spark, sf_dir):
           .selectExpr("okey + 200000000 AS rec_id",
                       f"{_er_drop_vowel_sql('nm')} AS nm",
                       "nat", "okey"))
+    # materialize the standardized records ONCE: the spelled-surname +
+    # chained vowel-drop SQL expands textually (the drop CASE
+    # references its input 7x), and with projection collapse Catalyst
+    # re-inlines that tree into every join key — past janino's 64 KB
+    # codegen limit, so the arms fell back to interpreted eval (~9 s
+    # of the r11 bench row's 11 s). The checkpoint is the standard
+    # "standardize, then block" ER materialization: |records| rows of
+    # (id, name, key), trivially bounded.
     recs = (clean.unionByName(t1).unionByName(t2)
-            .select("rec_id", "nm", "nat"))
+            .select("rec_id", "nm", "nat")
+            .localCheckpoint(eager=True))
 
     def _arm_pairs(keyed):
         a, b = keyed.alias("a"), keyed.alias("b")
@@ -3456,11 +3465,27 @@ def q_er_clusters(spark, sf_dir):
                         F.col("a.nm").alias("nm_a"),
                         F.col("b.nm").alias("nm_b")))
 
-    sfx = _arm_pairs(recs.withColumn("blk", F.expr("right(nm, 6)")))
-    ph = _arm_pairs(recs.withColumn(
-        "blk", F.expr("regexp_replace(nm, '[aeiou]', '')")))
-    cand = sfx.unionByName(ph).distinct()
-    matches = cand.filter(F.levenshtein("nm_a", "nm_b") <= 2)
+    # ONE pass over both blocking arms: tag each arm's pairs, dedup by
+    # pair key with max() flags, score Levenshtein once, and derive
+    # every per-nation count from the same materialized frame. The
+    # first shape computed four separate per-nation counts, each
+    # re-executing its self-join from scratch — 4 redundant arm walks
+    # that put the sf0.1 bench row 1.67x over its gate (r11).
+    sfx = (_arm_pairs(recs.withColumn("blk", F.expr("right(nm, 6)")))
+           .withColumn("in_sfx", F.lit(1)).withColumn("in_ph", F.lit(0)))
+    ph = (_arm_pairs(recs.withColumn(
+              "blk", F.expr("regexp_replace(nm, '[aeiou]', '')")))
+          .withColumn("in_sfx", F.lit(0)).withColumn("in_ph", F.lit(1)))
+    pairs = (sfx.unionByName(ph)
+             .groupBy("nat", "id_a", "id_b", "nm_a", "nm_b")
+             .agg(F.max("in_sfx").alias("has_sfx"),
+                  F.max("in_ph").alias("has_ph"))
+             .withColumn("dist", F.levenshtein("nm_a", "nm_b"))
+             # candidate volume is output-bounded (blocked pairs);
+             # materialize once — reused by the stats rollup AND the
+             # component loop
+             .localCheckpoint(eager=True))
+    matches = pairs.filter(F.col("dist") <= 2)
 
     labels = connected_components(
         recs.select("rec_id"), matches.select("id_a", "id_b"),
@@ -3473,16 +3498,16 @@ def q_er_clusters(spark, sf_dir):
         F.max("sz").alias("max_sz"),
         F.sum("cluster").alias("surv_sum"))
 
-    def _cnt(df, name):
-        return df.groupBy("nat").agg(F.count("*").alias(name))
+    arm_stats = pairs.groupBy("nat").agg(
+        F.sum("has_sfx").alias("c_sfx"),
+        F.sum("has_ph").alias("c_ph"),
+        F.count("*").alias("c_all"),
+        F.sum(F.when(F.col("dist") <= 2, 1).otherwise(0)).alias("c_m"))
 
     base = recs.groupBy("nat").agg(F.count("*").alias("n_records"))
     out = (base
            .join(clus, "nat")
-           .join(_cnt(sfx, "c_sfx"), "nat", "left")
-           .join(_cnt(ph, "c_ph"), "nat", "left")
-           .join(_cnt(cand, "c_all"), "nat", "left")
-           .join(_cnt(matches, "c_m"), "nat", "left"))
+           .join(arm_stats, "nat", "left"))
     return out.selectExpr(
         "nat",
         "cast(n_records as bigint) AS n_records",

@@ -161,8 +161,13 @@ SHAPE = {
     "q_er_clusters": "q_graph_pagerank",
     "q_cms_heavy_hitters": "q_agg_hash",
     "q_quantile_sketch_merge": "q_agg_hash",
-    "q_parquet_footer_stats": "q_multimodal_decode",
-    "q_wer_cer": "q_text_sentiment",  # codegen string DP + rollup
+    # footer stats is a controlled distributed WRITE + second-pass
+    # binaryFile metadata read — the flagship ETL's write-then-serve
+    # profile, not a pure Arrow decode
+    "q_parquet_footer_stats": "q_flagship_etl",
+    # per-row bounded quadratic string DP + rollup: the q_dtw_distance
+    # DP-kernel precedent, not a dictionary-join sentiment pass
+    "q_wer_cer": "q_multimodal_decode",
 }
 
 
