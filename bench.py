@@ -181,6 +181,7 @@ EXTRA = [
     "q_quantile_sketch_merge",
     "q_parquet_footer_stats",
     "q_wer_cer",
+    "q_view_maintenance",
 ]
 
 

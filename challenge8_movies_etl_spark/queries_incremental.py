@@ -1564,3 +1564,88 @@ def q_late_arriving_dim(spark, sf_dir):
                  (F.sum("price_c").cast("double") / 100)
                  .cast("double").alias("price_mass"))
             .orderBy("status", "segment"))
+
+
+# ---------------------------------------------------------------------------
+# q_view_maintenance — incremental maintenance of a materialized aggregate
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_view_maintenance",
+    oracle="""
+    /* ground truth: recompute the view over base + delta from scratch.
+       The Spark side NEVER rescans base rows — it merges the two
+       partial-aggregate states — so a hash match proves the
+       maintenance algebra exact. */
+    SELECT o_orderpriority AS priority,
+           cast(count(*) as bigint) AS n_orders,
+           cast(sum(cast(cast(o_totalprice as decimal(14,2)) * 100
+                         as bigint)) as bigint) AS total_cents,
+           min(o_orderdate) AS first_date,
+           max(o_orderdate) AS last_date,
+           cast((2 * sum(cast(cast(o_totalprice as decimal(14,2)) * 100
+                              as bigint)) * 100 + count(*))
+                // (2 * count(*)) as double) / 1e4 AS avg_price4
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_view_maintenance(spark, sf_dir):
+    """Incremental view maintenance — keep a materialized aggregate
+    current under an insert batch WITHOUT rescanning the base, the
+    capability behind every lakehouse materialized view / streaming
+    rollup. The fixture splits orders into a 90% base (the standing
+    view's input) and a 10% delta (the arriving batch); the view is a
+    per-priority (count, sum-of-cents, min/max date) state. The
+    maintained result is view(base) ⊕ view(delta) — a full-outer
+    merge of the two partial states combining count-by-sum,
+    sum-by-sum, min-by-least, max-by-greatest — and the derived
+    average is computed FROM the maintained sums by exact integer
+    division (avg is not itself mergeable; its sufficient statistics
+    are — the same algebra that makes Spark's own partial aggregation
+    correct, here surfaced as a user-level maintenance contract; cf.
+    q_quantile_sketch_merge for the non-algebraic-aggregate route).
+    The oracle recomputes from scratch over base ∪ delta, so the hash
+    match proves the maintenance exact.
+
+    Scale: the merge touches |view| rows (one per group), never the
+    100 TB base — maintenance cost is O(delta + view), the entire
+    point. Both arms are ordinary grouped aggregates with map-side
+    combine."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = ("cast(cast(o_totalprice as decimal(14,2)) * 100"
+             " as bigint)")
+
+    def view_state(df):
+        return (df.groupBy(F.col("o_orderpriority").alias("priority"))
+                .agg(F.count("*").alias("cnt"),
+                     F.sum(F.expr(cents)).alias("cents"),
+                     F.min("o_orderdate").alias("d_min"),
+                     F.max("o_orderdate").alias("d_max")))
+
+    base_view = view_state(o.filter(F.col("o_orderkey") % 10 != 0))
+    delta_view = view_state(o.filter(F.col("o_orderkey") % 10 == 0))
+    b, d_ = base_view.alias("b"), delta_view.alias("d")
+    merged = (b.join(d_, F.col("b.priority") == F.col("d.priority"),
+                     "full_outer")
+              .select(
+                  F.coalesce("b.priority", "d.priority").alias("priority"),
+                  (F.coalesce("b.cnt", F.lit(0))
+                   + F.coalesce("d.cnt", F.lit(0))).alias("cnt"),
+                  (F.coalesce("b.cents", F.lit(0))
+                   + F.coalesce("d.cents", F.lit(0))).alias("cents"),
+                  F.least("b.d_min", "d.d_min").alias("d_min_raw"),
+                  F.greatest("b.d_max", "d.d_max").alias("d_max_raw"),
+                  F.coalesce("b.d_min", "d.d_min").alias("d_min_fb"),
+                  F.coalesce("b.d_max", "d.d_max").alias("d_max_fb")))
+    return (merged.selectExpr(
+        "priority",
+        "cast(cnt as bigint) AS n_orders",
+        "cast(cents as bigint) AS total_cents",
+        # least/greatest are null if EITHER side is null — fall back
+        # to the surviving side for groups present in only one state
+        "coalesce(d_min_raw, d_min_fb) AS first_date",
+        "coalesce(d_max_raw, d_max_fb) AS last_date",
+        "cast((2 * cents * 100 + cnt) DIV (2 * cnt) as double) / 1e4"
+        " AS avg_price4")
+        .orderBy("priority"))

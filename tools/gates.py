@@ -168,6 +168,7 @@ SHAPE = {
     # per-row bounded quadratic string DP + rollup: the q_dtw_distance
     # DP-kernel precedent, not a dictionary-join sentiment pass
     "q_wer_cer": "q_multimodal_decode",
+    "q_view_maintenance": "q_agg_hash",  # two grouped aggs + tiny merge
 }
 
 
