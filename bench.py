@@ -182,6 +182,7 @@ EXTRA = [
     "q_parquet_footer_stats",
     "q_wer_cer",
     "q_view_maintenance",
+    "q_fifo_allocation",
 ]
 
 

@@ -1649,3 +1649,139 @@ def q_view_maintenance(spark, sf_dir):
         "cast((2 * cents * 100 + cnt) DIV (2 * cnt) as double) / 1e4"
         " AS avg_price4")
         .orderBy("priority"))
+
+
+# ---------------------------------------------------------------------------
+# q_fifo_allocation — FIFO lot matching via cumulative-interval intersection
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_fifo_allocation",
+    oracle="""
+    WITH supply AS (
+      /* three deterministic supply lots per part, FIFO order j */
+      SELECT p_partkey AS pk, j.j AS lot_id,
+             10 + (p_partkey * 7 + j.j) % 50 AS qty
+      FROM part, (SELECT unnest([1, 2, 3]) AS j) j
+    ),
+    s_iv AS (
+      SELECT pk, lot_id, qty,
+             sum(qty) OVER (PARTITION BY pk ORDER BY lot_id)
+               - qty AS lo,
+             sum(qty) OVER (PARTITION BY pk ORDER BY lot_id) AS hi
+      FROM supply
+    ),
+    demand AS (
+      SELECT l_partkey AS pk, l_orderkey, l_linenumber,
+             cast(l_quantity as bigint) AS qty,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY l_orderkey, l_linenumber)
+               AS seq
+      FROM lineitem
+    ),
+    d_iv AS (
+      SELECT pk, seq, qty,
+             sum(qty) OVER (PARTITION BY pk ORDER BY seq) - qty AS lo,
+             sum(qty) OVER (PARTITION BY pk ORDER BY seq) AS hi
+      FROM demand
+    ),
+    alloc AS (
+      SELECT d.pk, d.seq, s.lot_id,
+             least(d.hi, s.hi) - greatest(d.lo, s.lo) AS qty
+      FROM d_iv d JOIN s_iv s
+        ON s.pk = d.pk AND s.lo < d.hi AND d.lo < s.hi
+    ),
+    per_part AS (
+      SELECT pk,
+             count(*) AS n_allocations,
+             sum(qty) AS allocated,
+             count(DISTINCT lot_id) AS lots_touched
+      FROM alloc GROUP BY pk
+    ),
+    totals AS (
+      SELECT pk, sum(qty) AS demanded FROM demand GROUP BY pk
+    )
+    SELECT t.pk AS partkey,
+           cast(t.demanded as bigint) AS demanded_qty,
+           cast(coalesce(p.allocated, 0) as bigint) AS allocated_qty,
+           cast(t.demanded - coalesce(p.allocated, 0) as bigint)
+             AS unfilled_qty,
+           cast(coalesce(p.n_allocations, 0) as bigint)
+             AS n_allocations,
+           cast(coalesce(p.lots_touched, 0) as bigint) AS lots_touched
+    FROM totals t LEFT JOIN per_part p ON p.pk = t.pk
+    ORDER BY t.pk LIMIT 20
+    """,
+)
+def q_fifo_allocation(spark, sf_dir):
+    """FIFO inventory allocation — match each part's demand stream
+    (lineitems in order arrival order) against its supply lots in
+    first-in-first-out order, the canonical warehouse/ledger matching
+    problem that naive SQL can only express as a per-row cursor. The
+    set-based algebra: cumulative sums turn both streams into
+    half-open INTERVALS on the part's consumption axis ([lo, hi) per
+    lot, [lo, hi) per demand), and FIFO matching IS interval
+    intersection — a per-part range join where each overlap allocates
+    least(hi)-greatest(lo) units. Three deterministic supply lots per
+    part are synthesized from the part key; the readout per part is
+    demanded/allocated/unfilled quantity plus allocation-fragment and
+    lots-touched counts (top 20 parts by key). All-integer output.
+
+    The same cumulative-interval trick powers q_dedup_substring's
+    span union and q_seq_packing's shard fitting; here it replaces an
+    inherently sequential-looking business process with two keyed
+    windows and one range join.
+
+    Scale: both cumsums are PART-keyed windows (never global); the
+    range join's equi-key is the part, so each part intersects only
+    its own ~3 lots x its own demands — work is O(demand + output),
+    and the per-part rollup map-side combines. At 100 TB the axis is
+    unbounded but intervals stay per-key local; skewed parts shard by
+    the same salting valve as every keyed join here."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    supply = (p.selectExpr("p_partkey AS pk")
+              .withColumn("lot_id", F.explode(F.array(
+                  F.lit(1), F.lit(2), F.lit(3))))
+              .selectExpr("pk", "lot_id",
+                          "10 + (pk * 7 + lot_id) % 50 AS qty"))
+    ws = W.partitionBy("pk").orderBy("lot_id")
+    s_iv = (supply
+            .withColumn("hi", F.sum("qty").over(ws))
+            .withColumn("lo", F.col("hi") - F.col("qty")))
+    demand = (li.selectExpr("l_partkey AS pk", "l_orderkey",
+                            "l_linenumber",
+                            "cast(l_quantity as bigint) AS qty")
+              .withColumn("seq", F.row_number().over(
+                  W.partitionBy("pk").orderBy("l_orderkey",
+                                              "l_linenumber"))))
+    wd = W.partitionBy("pk").orderBy("seq")
+    d_iv = (demand
+            .withColumn("hi", F.sum("qty").over(wd))
+            .withColumn("lo", F.col("hi") - F.col("qty")))
+    a, s = d_iv.alias("d"), s_iv.alias("s")
+    alloc = (a.join(s, (F.col("s.pk") == F.col("d.pk"))
+                    & (F.col("s.lo") < F.col("d.hi"))
+                    & (F.col("d.lo") < F.col("s.hi")))
+             .select(F.col("d.pk").alias("pk"),
+                     F.col("s.lot_id").alias("lot_id"),
+                     (F.least("d.hi", "s.hi")
+                      - F.greatest("d.lo", "s.lo")).alias("qty")))
+    per_part = alloc.groupBy("pk").agg(
+        F.count("*").alias("n_allocations"),
+        F.sum("qty").alias("allocated"),
+        F.countDistinct("lot_id").alias("lots_touched"))
+    totals = demand.groupBy("pk").agg(F.sum("qty").alias("demanded"))
+    return (totals.join(per_part, "pk", "left")
+            .selectExpr(
+                "pk AS partkey",
+                "cast(demanded as bigint) AS demanded_qty",
+                "cast(coalesce(allocated, 0) as bigint)"
+                " AS allocated_qty",
+                "cast(demanded - coalesce(allocated, 0) as bigint)"
+                " AS unfilled_qty",
+                "cast(coalesce(n_allocations, 0) as bigint)"
+                " AS n_allocations",
+                "cast(coalesce(lots_touched, 0) as bigint)"
+                " AS lots_touched")
+            .orderBy("partkey").limit(20))

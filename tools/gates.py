@@ -169,6 +169,7 @@ SHAPE = {
     # DP-kernel precedent, not a dictionary-join sentiment pass
     "q_wer_cer": "q_multimodal_decode",
     "q_view_maintenance": "q_agg_hash",  # two grouped aggs + tiny merge
+    "q_fifo_allocation": "q_join_multi_5way",  # keyed range join
 }
 
 
