@@ -1567,3 +1567,81 @@ def q_cep_pattern(spark, sf_dir):
         F.when(F.instr("s", "vp") > 0, F.instr("s", "vp"))
         .otherwise(-1).cast("long").alias("first_direct_pos"))
         .orderBy("user_id"))
+
+
+# ---------------------------------------------------------------------------
+# q_skyline — 2-D Pareto frontier via one sort + strict range frame
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_skyline",
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag AS grp,
+             cast(cast(l_extendedprice as decimal(14,2)) * 100
+                  as bigint) AS price_c,
+             cast(l_quantity as bigint) AS qty
+      FROM lineitem
+    ),
+    marked AS (
+      SELECT grp, price_c, qty,
+             max(qty) OVER (PARTITION BY grp ORDER BY price_c
+                            RANGE BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS m_cheaper,
+             max(qty) OVER (PARTITION BY grp, price_c) AS m_same
+      FROM pts
+    ),
+    sky AS (
+      SELECT * FROM marked
+      WHERE (m_cheaper IS NULL OR m_cheaper < qty) AND m_same = qty
+    )
+    SELECT grp,
+           cast(count(*) as bigint) AS n_skyline,
+           cast(min(price_c) as bigint) AS cheapest_c,
+           cast(max(qty) as bigint) AS max_qty,
+           cast(sum(price_c) as bigint) AS skyline_price_mass,
+           cast(sum(qty) as bigint) AS skyline_qty_mass
+    FROM sky GROUP BY grp ORDER BY grp
+    """,
+)
+def q_skyline(spark, sf_dir):
+    """2-D skyline (Pareto frontier) per group — the rows no other row
+    dominates (cheaper AND at-least-as-big, or same price AND strictly
+    bigger), the classic multi-criteria operator behind 'best
+    price/quantity offers'. The naive formulation is a quadratic
+    NOT-EXISTS self-join; in two dimensions it collapses to ONE keyed
+    sort: a point is on the frontier iff its quantity exceeds the max
+    quantity over all STRICTLY cheaper points (a range frame ending at
+    1 PRECEDING over integer cents — exact strictness, both engines)
+    and no same-price point beats it (a per-(group, price) max).
+    Duplicate frontier points both survive (dominance is strict), so
+    the count is deterministic. All-integer output.
+
+    Scale: two window passes over the same part-keyed sort — the
+    standard one-exchange windowed shape; no self-join exists to go
+    quadratic. The d-dimensional general case needs the
+    block-nested-loop skyline (divide-and-merge); 2-D is exactly
+    where the sort identity makes it free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.selectExpr(
+        "l_returnflag AS grp",
+        "cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint)"
+        " AS price_c",
+        "cast(l_quantity as bigint) AS qty")
+    w_cheaper = (W.partitionBy("grp").orderBy("price_c")
+                 .rangeBetween(W.unboundedPreceding, -1))
+    w_same = W.partitionBy("grp", "price_c")
+    marked = (pts
+              .withColumn("m_cheaper", F.max("qty").over(w_cheaper))
+              .withColumn("m_same", F.max("qty").over(w_same)))
+    sky = marked.filter(
+        (F.col("m_cheaper").isNull() | (F.col("m_cheaper") < F.col("qty")))
+        & (F.col("m_same") == F.col("qty")))
+    return (sky.groupBy("grp")
+            .agg(F.count("*").cast("long").alias("n_skyline"),
+                 F.min("price_c").cast("long").alias("cheapest_c"),
+                 F.max("qty").cast("long").alias("max_qty"),
+                 F.sum("price_c").cast("long")
+                 .alias("skyline_price_mass"),
+                 F.sum("qty").cast("long").alias("skyline_qty_mass"))
+            .orderBy("grp"))
