@@ -184,6 +184,7 @@ EXTRA = [
     "q_view_maintenance",
     "q_fifo_allocation",
     "q_skyline",
+    "q_reciprocal_best",
 ]
 
 

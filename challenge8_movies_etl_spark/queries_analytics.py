@@ -1645,3 +1645,105 @@ def q_skyline(spark, sf_dir):
                  .alias("skyline_price_mass"),
                  F.sum("qty").cast("long").alias("skyline_qty_mass"))
             .orderBy("grp"))
+
+
+# ---------------------------------------------------------------------------
+# q_reciprocal_best — mutual nearest-neighbor matching (RBH)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_reciprocal_best",
+    oracle="""
+    WITH pairs AS (
+      SELECT c.c_nationkey AS nat, c.c_custkey AS ck, s.s_suppkey AS sk,
+             cast(abs(cast(c.c_acctbal as decimal(12,2)) * 100
+                      - cast(s.s_acctbal as decimal(12,2)) * 100)
+                  as bigint) AS dist_c
+      FROM customer c JOIN supplier s
+        ON s.s_nationkey = c.c_nationkey
+    ),
+    best_c AS (
+      SELECT nat, ck, sk FROM (
+        SELECT nat, ck, sk,
+               row_number() OVER (PARTITION BY ck
+                                  ORDER BY dist_c, sk) AS rn
+        FROM pairs
+      ) WHERE rn = 1
+    ),
+    best_s AS (
+      SELECT nat, ck, sk FROM (
+        SELECT nat, ck, sk,
+               row_number() OVER (PARTITION BY sk
+                                  ORDER BY dist_c, ck) AS rn
+        FROM pairs
+      ) WHERE rn = 1
+    ),
+    mutual AS (
+      SELECT bc.nat, bc.ck, bc.sk
+      FROM best_c bc JOIN best_s bs ON bs.ck = bc.ck AND bs.sk = bc.sk
+    )
+    SELECT n.nat,
+           cast(coalesce(m.n_mutual, 0) as bigint) AS n_mutual,
+           cast(n.n_cust as bigint) AS n_customers,
+           cast(coalesce(m.ck_sum, 0) as bigint) AS matched_cust_sum,
+           cast(coalesce(m.sk_sum, 0) as bigint) AS matched_supp_sum
+    FROM (SELECT c_nationkey AS nat, count(*) AS n_cust
+          FROM customer GROUP BY 1) n
+    LEFT JOIN (SELECT nat, count(*) AS n_mutual, sum(ck) AS ck_sum,
+                      sum(sk) AS sk_sum
+               FROM mutual GROUP BY nat) m ON m.nat = n.nat
+    ORDER BY n.nat
+    """,
+)
+def q_reciprocal_best(spark, sf_dir):
+    """Reciprocal best match — mutual nearest neighbors between two
+    entity sets (the bioinformatics 'reciprocal best hit' and the
+    conservative auto-link rule in record linkage: propose a match
+    ONLY when each side is the other's top candidate). Customers and
+    suppliers block on nation; affinity is exact integer cents
+    distance between account balances; each side takes its rank-1
+    partner under a deterministic (distance, key) tie-break, and the
+    mutual join keeps agreeing pairs. Per nation: mutual-match count
+    against customer volume, plus matched-key checksums that pin
+    WHICH pairs matched. All-integer output.
+
+    Scale: candidate volume is the per-block cross product — the
+    blocking key bounds it exactly as in q_entity_resolution (here
+    |customers| x |suppliers| per nation, suppliers being the small
+    dimension); both rank-1 passes are keyed windows over that same
+    blocked relation (one exchange each), and the mutual join is an
+    equi-join on the composite pair key. Swap the block key for a
+    coarse quantized-balance band to cut candidates further at 100 TB
+    — the plan shape is unchanged."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    pairs = (c.join(s, c.c_nationkey == s.s_nationkey)
+             .selectExpr(
+                 "c_nationkey AS nat", "c_custkey AS ck",
+                 "s_suppkey AS sk",
+                 "cast(abs(cast(c_acctbal as decimal(12,2)) * 100"
+                 " - cast(s_acctbal as decimal(12,2)) * 100) as bigint)"
+                 " AS dist_c"))
+    best_c = (pairs.withColumn("rn", F.row_number().over(
+                  W.partitionBy("ck").orderBy("dist_c", "sk")))
+              .filter("rn = 1").select("nat", "ck", "sk"))
+    best_s = (pairs.withColumn("rn", F.row_number().over(
+                  W.partitionBy("sk").orderBy("dist_c", "ck")))
+              .filter("rn = 1").select("nat", "ck", "sk"))
+    mutual = best_c.join(best_s.select("ck", "sk"), ["ck", "sk"])
+    m_agg = mutual.groupBy("nat").agg(
+        F.count("*").alias("n_mutual"),
+        F.sum("ck").alias("ck_sum"),
+        F.sum("sk").alias("sk_sum"))
+    n_agg = c.groupBy(F.col("c_nationkey").alias("nat")).agg(
+        F.count("*").alias("n_cust"))
+    return (n_agg.join(m_agg, "nat", "left")
+            .selectExpr(
+                "nat",
+                "cast(coalesce(n_mutual, 0) as bigint) AS n_mutual",
+                "cast(n_cust as bigint) AS n_customers",
+                "cast(coalesce(ck_sum, 0) as bigint)"
+                " AS matched_cust_sum",
+                "cast(coalesce(sk_sum, 0) as bigint)"
+                " AS matched_supp_sum")
+            .orderBy("nat"))

@@ -85,7 +85,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- (b) round-11 registrations (inserted as they land) ---
     "q_er_clusters", "q_cms_heavy_hitters", "q_quantile_sketch_merge",
     "q_wer_cer", "q_view_maintenance", "q_fifo_allocation",
-    "q_skyline",
+    "q_skyline", "q_reciprocal_best",
     # --- (c) least-recently-sampled (r1), re-confirm cycle ---
     "q_agg_approx", "q_rollup", "q_cube", "q_grouping_sets",
     "q_pivot", "q_unpivot", "q_agg_collect", "q_agg_bool",
