@@ -183,7 +183,7 @@ EXTRA = [
     "q_wer_cer",
     "q_view_maintenance",
     "q_fifo_allocation",
-    "q_skyline",
+    "q_skyline_grouped",
     "q_reciprocal_best",
 ]
 

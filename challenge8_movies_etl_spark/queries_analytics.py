@@ -1570,11 +1570,11 @@ def q_cep_pattern(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q_skyline — 2-D Pareto frontier via one sort + strict range frame
+# q_skyline_grouped — per-group 2-D Pareto frontier (grouped variant)
 # ---------------------------------------------------------------------------
 
 @query(
-    "q_skyline",
+    "q_skyline_grouped",
     oracle="""
     WITH pts AS (
       SELECT l_returnflag AS grp,
@@ -1604,11 +1604,13 @@ def q_cep_pattern(spark, sf_dir):
     FROM sky GROUP BY grp ORDER BY grp
     """,
 )
-def q_skyline(spark, sf_dir):
+def q_skyline_grouped(spark, sf_dir):
     """2-D skyline (Pareto frontier) per group — the rows no other row
     dominates (cheaper AND at-least-as-big, or same price AND strictly
     bigger), the classic multi-criteria operator behind 'best
-    price/quantity offers'. The naive formulation is a quadratic
+    price/quantity offers' — the per-GROUP companion of q_skyline's
+    global customer frontier (same sort-filter-skyline identity,
+    partitioned by return flag over lineitem points). The naive formulation is a quadratic
     NOT-EXISTS self-join; in two dimensions it collapses to ONE keyed
     sort: a point is on the frontier iff its quantity exceeds the max
     quantity over all STRICTLY cheaper points (a range frame ending at

@@ -41,10 +41,13 @@ def query(name: str, oracle: str | None = None):
     the DuckDB oracle SQL when the semantics are SQL-expressible (omit →
     the driver records a weaker rows-only check)."""
     def deco(fn):
-        if name in QUERIES and QUERIES[name].__module__ != fn.__module__:
-            # a silent overwrite across modules re-defines an already-
-            # shipped qid's semantics (bit us in round 4: a new module
-            # re-registered q_markov_transitions over the round-2 one)
+        if name in QUERIES:
+            # a silent overwrite re-defines an already-shipped qid's
+            # semantics (round 4: a new module re-registered
+            # q_markov_transitions; round 11: a SAME-module duplicate
+            # of q_skyline slipped past the old cross-module-only
+            # check and replaced the shipped query until the r10-vs-
+            # live registry diff caught it) — any duplicate is a bug
             raise ValueError(
                 f"query {name!r} already registered by "
                 f"{QUERIES[name].__module__}; duplicate in {fn.__module__}")
@@ -85,7 +88,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- (b) round-11 registrations (inserted as they land) ---
     "q_er_clusters", "q_cms_heavy_hitters", "q_quantile_sketch_merge",
     "q_wer_cer", "q_view_maintenance", "q_fifo_allocation",
-    "q_skyline", "q_reciprocal_best",
+    "q_skyline_grouped", "q_reciprocal_best",
     # --- (c) least-recently-sampled (r1), re-confirm cycle ---
     "q_agg_approx", "q_rollup", "q_cube", "q_grouping_sets",
     "q_pivot", "q_unpivot", "q_agg_collect", "q_agg_bool",

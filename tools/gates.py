@@ -170,7 +170,7 @@ SHAPE = {
     "q_wer_cer": "q_multimodal_decode",
     "q_view_maintenance": "q_agg_hash",  # two grouped aggs + tiny merge
     "q_fifo_allocation": "q_join_multi_5way",  # keyed range join
-    "q_skyline": "q_window_rank",  # one keyed sort, two windows
+    "q_skyline_grouped": "q_window_rank",  # one keyed sort, two windows
     "q_reciprocal_best": "q_join_multi_5way",  # blocked rank-1 joins
 }
 
