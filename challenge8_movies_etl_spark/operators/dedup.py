@@ -478,6 +478,16 @@ def lsh_candidate_pairs_incremental(docs: DataFrame, id_col: str,
     rows = n_hashes // bands
     sig = docs.select(id_col, is_new.alias("_new"), minhash_signature(
         F.col(shingle_col), n_hashes, portable=portable).alias("sig"))
+    # Materialize the band index ONCE (bands rows of (id, flag, band,
+    # 32-char bucket) per doc — the "standing band index" a production
+    # incremental dedup keeps on disk). Without this the probe side
+    # (filtered+renamed, so NOT exchange-reusable against the build
+    # side) re-executes the whole minhash pipeline — n_hashes md5
+    # evaluations per shingle, the dominant cost — a second time
+    # (plan-verified: 32 conv(substring(md5 ...)) pipelines before,
+    # 16 after). Wall-clock at sf0.1 moves only ~1.0-1.15x because
+    # the duplicate subtrees ran in parallel on idle cores; the CPU
+    # halving is the 100 TB win (optimization round r11).
     banded = sig.select(
         id_col, "_new",
         F.explode(F.array(*[
@@ -490,7 +500,8 @@ def lsh_candidate_pairs_incremental(docs: DataFrame, id_col: str,
             )
             for b in range(bands)
         ])).alias("bb"),
-    ).select(id_col, "_new", "bb.band", "bb.bucket")
+    ).select(id_col, "_new", "bb.band", "bb.bucket").localCheckpoint(
+        eager=True)
     probe = banded.filter(F.col("_new")).select(
         F.col(id_col).alias("_nid"), "band", "bucket")
     return (probe.join(banded,

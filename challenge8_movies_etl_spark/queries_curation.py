@@ -1108,14 +1108,23 @@ def q_coverage_select(spark, sf_dir):
                 [(t,) for t in sorted(covered)], "tok string")
             cand = (cand.join(F.broadcast(cov_df), "tok", "left_anti")
                     .filter(~F.col("doc_id").isin(picked_ids)))
-        top = (cand.groupBy("doc_id").agg(F.count("*").alias("gain"))
-               .orderBy(F.desc("gain"), "doc_id").limit(1).collect())[0]
-        picks.append((r, int(top.doc_id), int(top.gain)))
-        picked_ids.append(int(top.doc_id))
-        covered.update(
-            row.tok for row in
-            toks.filter(F.col("doc_id") == top.doc_id)
-                .select("tok").collect())
+        # ONE action per round: the winner's (doc_id, gain) rides along
+        # on every row of its token set via a broadcast join against
+        # the 1-row argmax, so the pick and the covered-token fetch
+        # share a single job (the old shape ran a second filtered scan
+        # of `toks` per round to collect the winner's tokens). Wall-
+        # clock-neutral at sf0.1 (the cached filtered scan was cheap);
+        # the point is one driver roundtrip and one relation pass per
+        # round when the token relation no longer fits cache at scale
+        # (optimization round r11).
+        top1 = (cand.groupBy("doc_id").agg(F.count("*").alias("gain"))
+                .orderBy(F.desc("gain"), "doc_id").limit(1))
+        rows = (toks.join(F.broadcast(top1), "doc_id")
+                .select("doc_id", "gain", "tok").collect())
+        doc_id, gain = int(rows[0].doc_id), int(rows[0].gain)
+        picks.append((r, doc_id, gain))
+        picked_ids.append(doc_id)
+        covered.update(row.tok for row in rows)
     out = spark.createDataFrame(picks, "round int, doc_id long, gain long")
     return out.select(
         "round", "doc_id", "gain",

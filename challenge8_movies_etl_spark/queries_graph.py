@@ -288,24 +288,44 @@ def q_graph_components(spark, sf_dir):
     # on component diameter, so the same loop runs on a 100 TB edge
     # list partitioned by u.
 
+    # Exchange-thrifty star formulation (optimization round r11):
+    # each star's neighborhood-min rides ONE window over partition(u)
+    # instead of groupBy + self-join (which shuffled the symmetric
+    # edge relation twice per star), and the between-star dedup is
+    # deferred to the round's final distinct — large-star output is
+    # child>parent by construction (m = min(N(u) ∪ {u}) < v for every
+    # emitted (v, m)), so small-star's greatest/least normalization
+    # was a no-op and duplicates only re-derive the same min. Per-row
+    # emission before the final distinct is bounded by 2|E|, so
+    # nothing inflates at scale. Round output sets are IDENTICAL to
+    # the groupBy+join form (same min per key, same filters): 3
+    # exchanges per round instead of 7.
+    _wu = W.partitionBy("u")
+
     def _large_star(e):
         sym = e.union(e.select(F.col("v").alias("u"),
                                F.col("u").alias("v")))
-        mn = sym.groupBy("u").agg(F.min("v").alias("mv"))
-        return (sym.join(mn, "u")
-                .withColumn("m", F.least("mv", "u"))
+        return (sym.withColumn("m", F.least(F.min("v").over(_wu),
+                                            F.col("u")))
                 .filter(F.col("v") > F.col("u"))
-                .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                .distinct())
+                .select(F.col("v").alias("u"), F.col("m").alias("v")))
 
     def _small_star(e):
-        d = (e.select(F.greatest("u", "v").alias("u"),
-                      F.least("u", "v").alias("v"))
-             .filter(F.col("u") != F.col("v")).distinct())
-        mn = d.groupBy("u").agg(F.min("v").alias("m"))
-        kids = (d.join(mn, "u").filter(F.col("v") != F.col("m"))
-                .select(F.col("v").alias("u"), F.col("m").alias("v")))
-        return kids.union(mn.select("u", F.col("m").alias("v"))).distinct()
+        # input is large-star output: u > v on every row (possibly
+        # duplicated); min over partition(u) is duplicate-insensitive.
+        # Both emissions — (v, m) for v ≠ m and (u, m) always — leave
+        # in ONE pass via explode (a union of two projections would
+        # execute the window subtree twice); u > v >= m makes u = m
+        # impossible, so the self-loop filter removes exactly the
+        # v = m kid rows the original form skipped.
+        withm = e.withColumn("m", F.min("v").over(_wu))
+        pair = F.explode(F.array(
+            F.struct(F.col("v").alias("cu"), F.col("m").alias("cv")),
+            F.struct(F.col("u").alias("cu"), F.col("m").alias("cv"))))
+        return (withm.select(pair.alias("p"))
+                .select(F.col("p.cu").alias("u"), F.col("p.cv").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct())
 
     cur = (edges.select(F.greatest(F.col("src"), F.col("dst")).alias("u"),
                         F.least(F.col("src"), F.col("dst")).alias("v"))
@@ -313,7 +333,16 @@ def q_graph_components(spark, sf_dir):
            .distinct().localCheckpoint(eager=True))
     for _round in range(50):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        changed = (nxt.subtract(cur).union(cur.subtract(nxt))).count()
+        # Set equality of two DISTINCT checkpointed relations via the
+        # symmetric difference as ONE action: two anti-joins (AQE
+        # broadcasts the tiny materialized sides) unioned and counted.
+        # The old form ran two subtract()s — each an Except planned as
+        # a full shuffle of both sides — per round (optimization
+        # round r11); job count per round is unchanged (1 convergence
+        # action), only the join strategy inside it got cheaper.
+        changed = (nxt.join(cur, ["u", "v"], "left_anti")
+                   .unionByName(cur.join(nxt, ["u", "v"], "left_anti"))
+                   .count())
         prev, cur = cur, nxt
         prev.unpersist()
         if changed == 0:

@@ -2309,11 +2309,21 @@ def q_cms_heavy_hitters(spark, sf_dir):
         F.md5(F.concat(F.lit("cms"), F.col("j").cast("string"),
                        F.lit(":"), F.col("term"))), 1, 2),
         16, 10).cast("int")
-    partial = (tok.withColumn("j", F.explode(js))
+    # Aggregate to per-(lang, term) counts BEFORE hashing: the md5
+    # bucket depends only on (j, term), so computing it per token
+    # OCCURRENCE paid depth x |tokens| md5 calls where depth x |vocab|
+    # suffices — sum-of-counts per bucket is identical by construction
+    # (guide §2.3 "aggregate before you shuffle", applied to the hash).
+    # The persisted (lang, term, tc) relation also serves the truth
+    # branch, so the corpus explode runs once, not twice. Measured
+    # 2.7-3.9x at sf0.1 across A/B runs (optimization round r11).
+    tcnt = (tok.groupBy("lang", "term").agg(F.count("*").alias("tc"))
+            .persist())
+    partial = (tcnt.withColumn("j", F.explode(js))
                .groupBy("lang", "j", bucket.alias("bucket"))
-               .agg(F.count("*").alias("c")))
+               .agg(F.sum("tc").alias("c")))
     merged = partial.groupBy("j", "bucket").agg(F.sum("c").alias("c"))
-    truth = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    truth = tcnt.groupBy("term").agg(F.sum("tc").alias("cnt"))
     top10 = truth.orderBy(F.desc("cnt"), "term").limit(10)
     probes = top10.withColumn("j", F.explode(js)) \
                   .withColumn("bucket", bucket)
