@@ -227,27 +227,44 @@ def ivf_topk(embeddings: DataFrame, probe_id: int, k: int = 10,
     fraction to ~n_probe_cells/n_cells of the corpus. Same contract as
     brute_force_topk but approximate → registered rows-only.
     """
-    cents = (embeddings.orderBy("vec_id").limit(n_cells)
+    # Per-vector self-norm ONCE (optimization round r11): cosine_col
+    # per (vector, centroid) re-reduced BOTH self-norms for every pair
+    # — 3 exact-decimal 64-dim folds x N x n_cells where one fold per
+    # vector + one per centroid suffices. The division below keeps the
+    # exact operand order of cosine_col (dot(a,b) / sqrt(n_a * n_b)),
+    # so every double — and therefore every assignment, tie-break and
+    # top-k cut — is bit-identical to the previous form (the
+    # q_similarity_ann_check oracle replicates these values in SQL).
+    ex = embeddings.select(
+        "vec_id", "embedding",
+        dot_col(F.col("embedding"), F.col("embedding")).alias("_n"))
+    cents = (ex.orderBy("vec_id").limit(n_cells)
              .select(F.col("vec_id").alias("cent_id"),
-                     F.col("embedding").alias("cent_emb")))
+                     F.col("embedding").alias("cent_emb"),
+                     F.col("_n").alias("_cn")))
     # assign every vector to its nearest centroid
-    assigned = (embeddings.join(F.broadcast(cents))
-                .select("vec_id", "embedding", "cent_id",
-                        cosine_col(F.col("embedding"),
-                                   F.col("cent_emb")).alias("cc")))
+    assigned = (ex.join(F.broadcast(cents))
+                .select("vec_id", "embedding", "_n", "cent_id",
+                        (dot_col(F.col("embedding"), F.col("cent_emb"))
+                         / F.sqrt(F.col("_n") * F.col("_cn"))).alias("cc")))
+    # _n rides BEHIND (cc, cent_id) in the struct: cent_id is unique
+    # within each vec_id group, so the max never compares past it and
+    # the added field cannot change the argmax
     best = (assigned.groupBy("vec_id")
-            .agg(F.max(F.struct("cc", "cent_id", "embedding")).alias("b"))
+            .agg(F.max(F.struct("cc", "cent_id", "embedding", "_n"))
+                 .alias("b"))
             .select("vec_id", F.col("b.cent_id").alias("cell"),
-                    F.col("b.embedding").alias("embedding")))
-    probe_cells = (best.filter(F.col("vec_id") == probe_id)
-                   .select(F.col("cell").alias("probe_cell")))
+                    F.col("b.embedding").alias("embedding"),
+                    F.col("b._n").alias("_n")))
     # probe its own cell plus the centroid-nearest cells
-    probe_emb = (embeddings.filter(F.col("vec_id") == probe_id)
-                 .select(F.col("embedding").alias("probe_emb")))
+    probe_emb = (ex.filter(F.col("vec_id") == probe_id)
+                 .select(F.col("embedding").alias("probe_emb"),
+                         F.col("_n").alias("_pn")))
     cell_rank = (cents.join(F.broadcast(probe_emb))
                  .select("cent_id",
-                         cosine_col(F.col("cent_emb"),
-                                    F.col("probe_emb")).alias("pc"))
+                         (dot_col(F.col("cent_emb"), F.col("probe_emb"))
+                          / F.sqrt(F.col("_cn") * F.col("_pn")))
+                         .alias("pc"))
                  .orderBy(F.col("pc").desc(), F.col("cent_id"))
                  .limit(n_probe_cells)
                  .select(F.col("cent_id").alias("cell")))
@@ -255,8 +272,10 @@ def ivf_topk(embeddings: DataFrame, probe_id: int, k: int = 10,
         F.col("vec_id") != probe_id)
     scored = (cand.join(F.broadcast(probe_emb))
               .select("vec_id",
-                      F.round(cosine_col(F.col("embedding"),
-                                         F.col("probe_emb")), 4).alias("cos")))
+                      F.round(dot_col(F.col("embedding"),
+                                      F.col("probe_emb"))
+                              / F.sqrt(F.col("_n") * F.col("_pn")), 4)
+                      .alias("cos")))
     return scored.orderBy(F.col("cos").desc(), F.col("vec_id")).limit(k)
 
 
