@@ -27,6 +27,7 @@ from .operators.dedup import (
     word_ngrams,
 )
 from .operators.similarity import brute_force_topk, cosine_col, dot_col, ivf_topk
+from .session import fanout_partitions
 from .operators.text import (
     BPE_ISH,
     EN_STOPWORDS,
@@ -483,7 +484,7 @@ def q_similarity_pairs(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     n = e.select("vec_id", "label", "embedding",
                  _norm(F.col("embedding")).alias("nrm"))
-    a = n.repartition(32, "vec_id").alias("a")
+    a = n.repartition(fanout_partitions(spark), "vec_id").alias("a")
     b = n.alias("b")
     cos = (dot_col(F.col("a.embedding"), F.col("b.embedding"))
            / F.sqrt(F.col("a.nrm") * F.col("b.nrm")))
@@ -528,7 +529,7 @@ def q_embed_neardup(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     n = e.select("vec_id", "label", "embedding",
                  _norm(F.col("embedding")).alias("nrm"))
-    a = n.repartition(32, "vec_id").alias("a")
+    a = n.repartition(fanout_partitions(spark), "vec_id").alias("a")
     b = n.alias("b")
     cos = (dot_col(F.col("a.embedding"), F.col("b.embedding"))
            / F.sqrt(F.col("a.nrm") * F.col("b.nrm")))
@@ -1270,7 +1271,7 @@ def q_knn_join(spark, sf_dir):
     # and takes the final top-3, so results are bit-identical to the
     # all-decimal form (oracle unchanged) at ~1/1000th the decimal
     # work. The 40 M-pair sf1.0 pass dropped 788 s → seconds.
-    a = n.repartition(32, "vec_id").alias("a")
+    a = n.repartition(fanout_partitions(spark), "vec_id").alias("a")
     b = n.alias("b")
     fast = (similarity.dot_fast_col(F.col("a.embedding"),
                                     F.col("b.embedding"))
@@ -2169,7 +2170,7 @@ def q_dedup_semantic(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     n = e.select("vec_id", "label", "embedding",
                  _norm(F.col("embedding")).alias("nrm"))
-    a = n.repartition(32, "vec_id").alias("a")
+    a = n.repartition(fanout_partitions(spark), "vec_id").alias("a")
     b = n.alias("b")
     cos = (dot_col(F.col("a.embedding"), F.col("b.embedding"))
            / F.sqrt(F.col("a.nrm") * F.col("b.nrm")))

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from .registry import query
 from .functions.hashsafe import davg, sql_davg
 from .sources.fixtures import load_table
+from .session import fanout_partitions
 
 # ---------------------------------------------------------------------------
 # q_acf — autocorrelation of the daily event-count series
@@ -1118,7 +1119,7 @@ def q_dedup_semdedup(spark, sf_dir):
             .persist())
 
     from .operators.similarity import dot_fast_col
-    x = memb.repartition(32, "vec_id").alias("x")
+    x = memb.repartition(fanout_partitions(spark), "vec_id").alias("x")
     y = memb.alias("y")
     before = ((F.col("x.cdist") > F.col("y.cdist"))
               | ((F.col("x.cdist") == F.col("y.cdist"))
@@ -1233,7 +1234,7 @@ def q_dbscan(spark, sf_dir):
     # original exact-decimal reduction re-verifies only the ~|E|
     # survivors. The explicit repartition restores pair-pass
     # parallelism.
-    a = e.repartition(32, "vec_id").alias("a")
+    a = e.repartition(fanout_partitions(spark), "vec_id").alias("a")
     b = e.alias("b")
 
     def dim_dd(i: int):

@@ -103,3 +103,16 @@ def apply_required_conf(spark: SparkSession) -> None:
             spark.conf.set(k, v)
         except Exception:  # static conf on this build — builder path set it
             pass
+
+def fanout_partitions(spark: SparkSession) -> int:
+    """Scale-adaptive explicit-repartition width for operators that
+    fan a small scan out across cores (pair joins over few input
+    splits, mapInPandas decode chains): the session's default
+    parallelism — local[N] gives N; on a cluster, the total executor
+    cores. Replaces hard-coded repartition(32) constants that were
+    tuned to local[32] (the driver also benches at lower core counts,
+    and a cluster wants a matching fan-out, not 32).
+    Repartition width never changes query RESULTS here — every
+    consumer is a hash/equi-join, per-row transform, or key-partitioned
+    aggregation; it only sets task granularity."""
+    return spark.sparkContext.defaultParallelism
