@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import fanout_partitions
+
 # ---------------------------------------------------------------------------
 # signatures
 # ---------------------------------------------------------------------------
@@ -369,8 +371,12 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str, block_col: str,
     # shingling feeds three branches (sizes + both posting sides);
     # persist so the split→ngram→distinct pipeline runs once, not
     # three times (same license as q_dedup_minhash's gram persist —
-    # measured 15.6 s → ~5 s at sf0.1, shingling was 6.7 s/pass)
-    docs = docs.persist()
+    # measured 15.6 s → ~5 s at sf0.1, shingling was 6.7 s/pass).
+    # The repartition fans the single-row-group fixture scan out of
+    # its one partition before shingling + posting explode
+    # (optimization round r11).
+    docs = docs.repartition(
+        fanout_partitions(docs.sparkSession), id_col).persist()
     co, exact = _co_count_pairs(docs, id_col, block_col, shingle_col,
                                 max_df=max_df)
     sizes = docs.select(F.col(id_col), F.size(shingle_col).alias("sz"))
@@ -417,8 +423,10 @@ def ngram_containment_pairs(docs: DataFrame, id_col: str, block_col: str,
     re-verification, recall documented + tested. Returns
     (src_doc, dst_doc, cont) with cont = |src∩dst| / |src| rounded 4dp.
     """
-    # see ngram_jaccard_pairs: shingling runs once, not three times
-    docs = docs.persist()
+    # see ngram_jaccard_pairs: shingling runs once, not three times,
+    # fanned out of the single scan partition (optimization round r11)
+    docs = docs.repartition(
+        fanout_partitions(docs.sparkSession), id_col).persist()
     co, exact = _co_count_pairs(docs, id_col, block_col, shingle_col,
                                 max_df=max_df)
     if exact:

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from .functions.hashsafe import dsum, davg, sql_davg
 from .registry import query
 from .sources.fixtures import load_table
+from .session import fanout_partitions
 
 
 @query(
@@ -1255,12 +1256,16 @@ def q_huber_regression(spark, sf_dir):
     per-round math."""
     e = load_table(spark, sf_dir, "events")
     DECS = "decimal(30,10)"
+    # round-robin fan-out before the persist: the single-row-group
+    # events scan otherwise serializes all five decimal aggregation
+    # passes onto one core; exact decimal sums are order-independent
+    # (optimization round r11)
     obs = e.select(
         (F.col("event_id") % 50).alias("x"),
         (3.0 + 2.0 * (F.col("event_id") % 50)
          + (F.col("value") - 50.0) / 10.0
          + F.when(F.col("event_id") % 37 == 0, 80.0).otherwise(0.0))
-        .alias("y")).persist()
+        .alias("y")).repartition(fanout_partitions(spark)).persist()
     s0 = obs.agg(
         F.count("*").alias("n"),
         F.sum("x").cast("double").alias("sx"),

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from .registry import query
 from .sources.fixtures import load_table
+from .session import fanout_partitions
 
 N_MERGES = 5
 
@@ -89,6 +90,9 @@ def q_bpe_train(spark, sf_dir):
     five-stage CTE chain, so the learned TABLE — pairs, merged tokens,
     and weighted counts — is value-hash-checked end to end."""
     d = load_table(spark, sf_dir, "documents")
+    # fan the single-row-group scan out before tokenize + partial agg
+    # (optimization round r11)
+    d = d.repartition(fanout_partitions(spark), "doc_id")
     words = (d.select(F.explode(F.split("text", " ")).alias("w"))
              .filter(F.col("w").rlike("^[a-z]+$"))
              .groupBy("w").agg(F.count("*").alias("n")))
@@ -162,6 +166,9 @@ def q_bpe_apply(spark, sf_dir):
     Scale: identical to q_bpe_train + one final map-side-combined
     aggregate over the |vocab|-sized dict."""
     d = load_table(spark, sf_dir, "documents")
+    # fan the single-row-group scan out before tokenize + partial agg
+    # (optimization round r11)
+    d = d.repartition(fanout_partitions(spark), "doc_id")
     words = (d.select(F.explode(F.split("text", " ")).alias("w"))
              .filter(F.col("w").rlike("^[a-z]+$"))
              .groupBy("w").agg(F.count("*").alias("n")))

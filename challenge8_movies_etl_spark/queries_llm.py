@@ -224,7 +224,11 @@ def _minhash_lsh_verified(spark, sf_dir, portable: bool):
     # lazy, and the cached relation is a few MB — LRU eviction handles
     # it. At scale this is a persist-to-disk checkpoint of the shingle
     # table, the standard shape for multi-pass dedup.
-    g = (d.select("doc_id", word_ngrams(F.col("text"), 2).alias("g"))
+    # fan the single-row-group scan out before shingling: one scan
+    # partition would serialize the n_hashes-per-shingle signature
+    # hashing onto one core (optimization round r11)
+    g = (d.repartition(fanout_partitions(spark), "doc_id")
+         .select("doc_id", word_ngrams(F.col("text"), 2).alias("g"))
          .persist())
     cand = lsh_candidate_pairs(g, "doc_id", "g", n_hashes=16, bands=4,
                                portable=portable)
@@ -2540,6 +2544,9 @@ def q_corpus_pipeline(spark, sf_dir):
     )
 
     d = load_table(spark, sf_dir, "documents")
+    # fan-out before the per-doc text measures and the 3-gram explode
+    # (single-row-group scan — optimization round r11)
+    d = d.repartition(fanout_partitions(spark), "doc_id")
     base = d.select(
         "doc_id", "text", "source", "n_chars",
         token_count(F.col("text")).alias("n_tok"),
@@ -2974,7 +2981,12 @@ def q_dedup_incremental(spark, sf_dir):
     # would accumulate across a 450-query sweep session (ADVICE r9).
     # The three consumers re-derive it from the pruned parquet scan;
     # Catalyst reuses the identical subplan exchanges where it can.
-    g = d.select("doc_id", word_ngrams(F.col("text"), 2).alias("g"))
+    # fan-out before shingling (one scan partition otherwise
+    # serializes the 16-md5-per-shingle signature pass onto one core;
+    # the identical exchange is reused by all three g consumers —
+    # optimization round r11: 6.3 s -> measured below)
+    g = (d.repartition(fanout_partitions(spark), "doc_id")
+         .select("doc_id", word_ngrams(F.col("text"), 2).alias("g")))
     cand = lsh_candidate_pairs_incremental(
         g, "doc_id", "g", F.col("doc_id") % 5 == 0,
         n_hashes=16, bands=4, portable=True)

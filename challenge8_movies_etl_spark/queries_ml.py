@@ -531,7 +531,13 @@ def q_kmeans(spark, sf_dir):
     (map-side-combined); the driver holds nothing beyond the k x d
     centroid matrix. Output: per-cluster size + final centroid norm."""
     e = load_table(spark, sf_dir, "embeddings")
-    vecs = e.select("vec_id", "embedding")
+    # fan the single-row-group scan out BEFORE the assignment folds:
+    # the fixture parquet is one row group = one scan partition, so
+    # the exact-decimal distance reductions (interpreted zip_with/
+    # aggregate, the per-row heavy step) otherwise run on ONE core
+    # (optimization round r11)
+    vecs = (e.repartition(fanout_partitions(spark), "vec_id")
+            .select("vec_id", "embedding"))
     init_rows = (vecs.orderBy("vec_id").limit(4)
                  .select("embedding").collect())
     init = [[float(x) for x in r["embedding"]] for r in init_rows]
@@ -972,11 +978,17 @@ def q_logistic_train(spark, sf_dir):
     the executors, and nothing is ever quadratic. At 100 TB you'd
     persist `feat` columnar once and reuse it across passes."""
     li = load_table(spark, sf_dir, "lineitem")
+    # round-robin fan-out before the persist: lineitem scans as 3
+    # single-row-group partitions, which serialized every Newton
+    # pass's sigmoid + exact-decimal reduction onto 3 cores
+    # (optimization round r11). Row order cannot matter: the decimal
+    # sums are exact and order-independent.
     feat = li.select(
         F.round((F.col("l_quantity") - 25) / 25, 4)
         .cast("decimal(8,4)").alias("xd"),
         F.when(F.col("l_extendedprice") % 100 < 2 * F.col("l_quantity"), 1)
-        .otherwise(0).alias("y")).persist()
+        .otherwise(0).alias("y")).repartition(
+            fanout_partitions(spark)).persist()
 
     def p_col(b0: float, b1: float):
         z = F.lit(b0) + F.lit(b1) * F.col("xd").cast("double")
@@ -1102,7 +1114,13 @@ def q_dedup_semdedup(spark, sf_dir):
     from .operators.kmeans import assign_clusters, kmeans
 
     e = load_table(spark, sf_dir, "embeddings")
-    vecs = e.select("vec_id", "embedding")
+    # fan the single-row-group scan out BEFORE the assignment folds:
+    # the fixture parquet is one row group = one scan partition, so
+    # the exact-decimal distance reductions (interpreted zip_with/
+    # aggregate, the per-row heavy step) otherwise run on ONE core
+    # (optimization round r11)
+    vecs = (e.repartition(fanout_partitions(spark), "vec_id")
+            .select("vec_id", "embedding"))
     init_rows = (vecs.orderBy("vec_id").limit(4)
                  .select("embedding").collect())
     init = [[float(x) for x in r["embedding"]] for r in init_rows]

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from .functions.hashsafe import DEC
 from .registry import query
 from .sources.fixtures import load_table
+from .session import fanout_partitions
 
 # BM25 hyperparameters (Robertson/Okapi defaults).
 _K1 = 1.2
@@ -404,8 +405,11 @@ def q_mmr_rerank(spark, sf_dir):
 
     lam, mu = float(_MMR_LAMBDA), float(_MMR_MU)
     e = load_table(spark, sf_dir, "embeddings")
-    n = e.select("vec_id", "embedding",
-                 _norm(F.col("embedding")).alias("nrm"))
+    # fan the single-row-group scan out before the per-(vector, probe)
+    # exact-decimal relevance folds (optimization round r11)
+    n = (e.repartition(fanout_partitions(spark), "vec_id")
+         .select("vec_id", "embedding",
+                 _norm(F.col("embedding")).alias("nrm")))
     probes = (n.filter(F.col("vec_id") < 4)
               .select(F.col("vec_id").alias("probe_id"),
                       F.col("embedding").alias("pe"),

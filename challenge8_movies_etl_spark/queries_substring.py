@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from .registry import query
 from .sources.fixtures import load_table
+from .session import fanout_partitions
 
 K = 8          # minimum duplicated-run length, in tokens
 _MAX_DF = 10   # pair-attribution valve: grams in more docs are boilerplate
@@ -69,7 +70,11 @@ grams AS (
 def _grams(spark, sf_dir):
     """(doc_id, n_tokens, pos, h) for every word-level K-gram."""
     d = load_table(spark, sf_dir, "documents")
-    toks = (d.select("doc_id", F.split("text", " ").alias("t"))
+    # fan the single-row-group scan out: the per-gram md5 digests are
+    # the dominant per-row cost and otherwise run on one core
+    # (optimization round r11)
+    toks = (d.repartition(fanout_partitions(spark), "doc_id")
+            .select("doc_id", F.split("text", " ").alias("t"))
             .filter(F.size("t") >= K))
     gexpr = F.expr(
         f"transform(sequence(0, size(t) - {K}),"
