@@ -22,11 +22,21 @@ from pyspark.sql import functions as F
 
 def connected_components(nodes: DataFrame, edges: DataFrame,
                          id_col: str = "id", src: str = "src",
-                         dst: str = "dst", max_iter: int = 25) -> DataFrame:
+                         dst: str = "dst", max_iter: int = 25,
+                         broadcast_labels: bool = True) -> DataFrame:
     """Label every node with the min node id reachable from it.
 
     nodes: one column ``id_col``; edges: ``src``/``dst`` (undirected —
     both directions generated here). Returns (id, cluster).
+
+    broadcast_labels: ship the label vector to the edge partitions each
+    round so the materialized edge relation is never re-shuffled — one
+    exchange per round (the neighbor-min groupBy) instead of three
+    (same license and same caveat as operators/graph.pagerank's
+    broadcast_ranks: the label vector is sized by EDGE-TOUCHED nodes —
+    a dup-pair component relation, small next to the corpus — and for
+    a web-scale touched set pass False to get the shuffle join back).
+    Optimization round r11.
     """
     # Materialize the edge list ONCE — upstream edge generation is
     # typically an expensive similarity join, and without this the loop
@@ -43,9 +53,12 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     labels = touched.select("id", F.col("id").alias("cluster"))
     for _ in range(max_iter):
         # each node adopts min(own label, neighbors' labels)
-        neighbor_min = (both.join(labels, both.b == labels.id)
+        lab_side = F.broadcast(labels) if broadcast_labels else labels
+        neighbor_min = (both.join(lab_side, both.b == labels.id)
                         .groupBy(F.col("a").alias("id"))
                         .agg(F.min("cluster").alias("nbr_min")))
+        if broadcast_labels:
+            neighbor_min = F.broadcast(neighbor_min)
         # Carry the previous label THROUGH the checkpoint so the
         # convergence test is a cheap filter-count on materialized
         # rows. The old shape re-joined new labels against old labels
