@@ -153,73 +153,96 @@ def q_topic_nmf(spark, sf_dir):
     discipline that makes that possible).
 
     Scale: V is the only corpus-sized relation; each update touches it
-    twice with doc- or term-keyed equi-joins against the k-wide factor
-    relations (broadcast when they fit — k x |vocab| and k x k are
-    always small; the docs x k side shuffles on doc like any fact
-    aggregation). No step materializes a dense matrix; everything is
-    map-side-combinable. k and iterations are fixed constants, so the
-    lineage is bounded without checkpoints."""
+    twice with doc- or term-keyed equi-joins against the factor
+    relations. k is a fixed small constant, so the factors live WIDE —
+    one column per component (W: (d, w0..w{{k-1}}), H: (t, h0..h{{k-1}}))
+    — the standard dense-factor layout (optimization round r11): WᵀW and
+    HHᵀ collapse from |factor|-shuffling self-joins into 1-row exact
+    aggregates broadcast back as literals, the elementwise updates
+    become pure column math on one join instead of a 3-way (key, comp)
+    join, and every aggregation stays map-side-combinable. Values,
+    rounding, and decimal sum order are unchanged expression-for-
+    expression versus the long (d, c, w) form (exact decimal sums are
+    order-independent; verified result-identical before the swap), so
+    the unrolled-CTE oracle is untouched. Measured 5.9-7.0 s → 4.4-5.2 s
+    at sf0.1 (alternating A/B, warm). No step materializes a dense
+    matrix; k and iterations are fixed constants."""
+    K = _NMF_K
     d = load_table(spark, sf_dir, "documents")
     v = (d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
          .groupBy(F.col("doc_id").alias("d"), "t")
          .agg(F.count("*").alias("v"))
+         .repartition("d")
          .persist())
-    comps = spark.range(_NMF_K).select(F.col("id").cast("int").alias("c"))
-    w = (v.select("d").distinct().crossJoin(F.broadcast(comps))
-         .select("d", "c",
-                 (1 + ((F.col("d") * 31 + F.col("c") * 17) % 7) / 10.0)
-                 .cast(_D8).alias("w")))
-    h = (v.select("t").distinct().crossJoin(F.broadcast(comps))
-         .select("c", "t",
-                 (1 + ((F.ascii(F.substring("t", 1, 1)) * 13
-                        + F.col("c") * 29) % 5) / 10.0)
-                 .cast(_D8).alias("h")))
+    w = (v.select("d").distinct()
+         .select("d", *[(1 + ((F.col("d") * 31 + c * 17) % 7) / 10.0)
+                        .cast(_D8).alias(f"w{c}") for c in range(K)]))
+    h = (v.select("t").distinct()
+         .select("t", *[(1 + ((F.ascii(F.substring("t", 1, 1)) * 13
+                               + c * 29) % 5) / 10.0)
+                        .cast(_D8).alias(f"h{c}") for c in range(K)]))
 
-    def upd(old, num, den, key_cols, val):
-        out = (old.join(num, key_cols).join(den, key_cols)
-               .select(*key_cols,
-                       F.round(F.col(val).cast("double")
-                               * F.col("num").cast("double")
-                               / F.col("den").cast("double"), 8)
-                       .cast(_D8).alias(val)))
-        return out
+    def gram_row(f, col):
+        """One-row kxk Gram aggregate (sum f_a·f_b, 8dp-rounded) —
+        replaces the long form's self-join + groupBy."""
+        return f.agg(*[F.round(F.sum(F.col(f"{col}{a}") * F.col(f"{col}{b}"))
+                               .cast("double"), 8).cast(_D8)
+                       .alias(f"g{a}{b}")
+                       for a in range(K) for b in range(K)])
+
+    def dot_g(c, col):
+        """den_c = sum_b g_cb * col_b — decimal terms added in ascending
+        b, the same exact-decimal reduction as the long form's sum."""
+        s = None
+        for b in range(K):
+            term = F.col(f"g{c}{b}") * F.col(f"{col}{b}")
+            s = term if s is None else s + term
+        return s
 
     for _ in range(_NMF_ITERS):
         v10 = F.col("v").cast("decimal(10,0)")
+        # Hnum = WᵀV: one join on d, k sums per term
         hnum = (v.join(w, "d")
-                .groupBy("c", "t").agg(F.sum(F.col("w") * v10)
-                                       .alias("num")))
-        wa, wb = w.alias("wa"), w.alias("wb")
-        wtw = (wa.join(wb, F.col("wa.d") == F.col("wb.d"))
-               .groupBy(F.col("wa.c").alias("ca"),
-                        F.col("wb.c").alias("cb"))
-               .agg(F.round(F.sum(F.col("wa.w") * F.col("wb.w"))
-                            .cast("double"), 8).cast(_D8).alias("g")))
-        hden = (F.broadcast(wtw).join(h, F.col("cb") == h.c)
-                .groupBy(F.col("ca").alias("c"), "t")
-                .agg(F.sum(F.col("g") * F.col("h")).alias("den")))
-        h = upd(h, hnum, hden, ["c", "t"], "h").localCheckpoint(eager=True)
+                .groupBy("t")
+                .agg(*[F.sum(F.col(f"w{c}") * v10).alias(f"num{c}")
+                       for c in range(K)]))
+        wtw = gram_row(w, "w")
+        h = (h.join(hnum, "t").crossJoin(F.broadcast(wtw))
+             .select("t", *[F.round(F.col(f"h{c}").cast("double")
+                                    * F.col(f"num{c}").cast("double")
+                                    / dot_g(c, "h").cast("double"), 8)
+                            .cast(_D8).alias(f"h{c}") for c in range(K)])
+             .localCheckpoint(eager=True))
+        # Wnum = VH'ᵀ: H is k x |vocab| — broadcast it (docstring
+        # license), so the V-sized side never re-shuffles
+        wnum = (v.join(F.broadcast(h), "t")
+                .groupBy("d")
+                .agg(*[F.sum(F.col(f"h{c}") * v10).alias(f"num{c}")
+                       for c in range(K)]))
+        hht = gram_row(h, "h")
+        w = (w.join(wnum, "d").crossJoin(F.broadcast(hht))
+             .select("d", *[F.round(F.col(f"w{c}").cast("double")
+                                    * F.col(f"num{c}").cast("double")
+                                    / dot_g(c, "w").cast("double"), 8)
+                            .cast(_D8).alias(f"w{c}") for c in range(K)])
+             .localCheckpoint(eager=True))
 
-        wnum = (v.join(h, "t")
-                .groupBy("d", "c").agg(F.sum(F.col("h") * v10)
-                                       .alias("num")))
-        ha, hb = h.alias("ha"), h.alias("hb")
-        hht = (ha.join(hb, F.col("ha.t") == F.col("hb.t"))
-               .groupBy(F.col("ha.c").alias("ca"),
-                        F.col("hb.c").alias("cb"))
-               .agg(F.round(F.sum(F.col("ha.h") * F.col("hb.h"))
-                            .cast("double"), 8).cast(_D8).alias("g")))
-        wden = (w.join(F.broadcast(hht), F.col("cb") == w.c)
-                .groupBy("d", F.col("ca").alias("c"))
-                .agg(F.sum(F.col("g") * F.col("w")).alias("den")))
-        w = upd(w, wnum, wden, ["d", "c"], "w").localCheckpoint(eager=True)
-
-    mass = (w.groupBy("c")
-            .agg(F.round(F.sum("w").cast("double"), 6).alias("doc_mass")))
+    mass = w.agg(*[F.round(F.sum(f"w{c}").cast("double"), 6)
+                   .alias(f"m{c}") for c in range(K)])
+    hlong = None
+    for c in range(K):
+        part = h.select(F.lit(c).cast("int").alias("c"), "t",
+                        F.col(f"h{c}").alias("h"))
+        hlong = part if hlong is None else hlong.unionByName(part)
+    mlong = None
+    for c in range(K):
+        part = mass.select(F.lit(c).cast("int").alias("c"),
+                           F.col(f"m{c}").alias("doc_mass"))
+        mlong = part if mlong is None else mlong.unionByName(part)
     rnk = F.row_number().over(
         W.partitionBy("c").orderBy(F.desc("h"), "t"))
-    top = h.withColumn("rnk", rnk).filter(F.col("rnk") <= 8)
-    return (top.join(mass, "c")
+    top = hlong.withColumn("rnk", rnk).filter(F.col("rnk") <= 8)
+    return (top.join(F.broadcast(mlong), "c")
             .select(F.col("c").cast("int").alias("component"),
                     F.col("rnk").cast("int").alias("rank"),
                     F.col("t").alias("term"),
