@@ -1075,56 +1075,50 @@ def q_coverage_select(spark, sf_dir):
     5 rounds into chained CTEs.
 
     Scale: the covered vocabulary after K rounds is at most K x (one
-    document's bigrams) — driver-held and broadcast back each round
-    (BENCH_r05 fix: the previous formulation localCheckpoint-ed the
-    full shrinking doc->bigram relation every round, re-materializing
-    N-sized data 5x and giving the widest best/median spread of the
-    round; now every round is a map-side-combined groupBy +
-    TakeOrdered(1) over the ONE persisted relation with a tiny
-    broadcast anti-join, nothing N-sized ever revisits the driver or
-    disk). At 100 TB the per-doc token collect is still doc-bounded;
-    if K grows to where K x doc_len outgrows broadcast, flip the
-    covered set to a shuffle anti-join — still one exchange."""
+    document's bigrams) — driver-held and shipped back each round as an
+    ARRAY LITERAL into `array_except` over per-doc distinct-bigram
+    arrays (optimization round r11, replacing the broadcast-anti-join +
+    groupBy + argmax-join round shape): the per-doc array is built ONCE
+    by pure array expressions inside the scan projection (no explode,
+    no distinct shuffle — the greedy phase plans ZERO exchanges), and
+    every round is one exchange-free pass over |docs| rows ending in a
+    TakeOrdered(1) whose collected row already carries the winner's
+    uncovered tokens. Measured 4.1-6.7 s → 2.0-2.6 s at sf0.1
+    (alternating A/B, identical picks — covered ∪ uncovered-subset
+    equals the old covered ∪ full-token-set update). At 100 TB each
+    round is still one full-corpus scan — now with no shuffle at all;
+    if K x doc_len ever outgrows a literal/broadcast, flip the covered
+    set back to a shuffle anti-join — still one exchange."""
     d = load_table(spark, sf_dir, "documents")
     t = F.split("text", " ")
-    toks = (d.select("doc_id", F.explode(F.arrays_zip(
-                F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
-                F.expr("slice(split(text, ' '), 2,"
-                       " greatest(size(split(text, ' ')) - 1, 0))")))
-             .alias("p"))
-            .select("doc_id",
-                    F.concat(F.col("p.0"), F.lit(" "), F.col("p.1"))
-                    .alias("tok"))
-            .distinct()
-            .persist())
+    grams = F.array_distinct(F.transform(
+        F.arrays_zip(F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                     F.expr("slice(split(text, ' '), 2,"
+                            " greatest(size(split(text, ' ')) - 1, 0))")),
+        lambda p: F.concat(p["0"], F.lit(" "), p["1"])))
+    arrs = d.select("doc_id", grams.alias("toks")).persist()
 
     picks = []
     covered: set[str] = set()
     picked_ids: list[int] = []
     for r in range(1, _COVER_ROUNDS + 1):
-        cand = toks
+        cand = arrs
         if picked_ids:
-            cov_df = spark.createDataFrame(
-                [(t,) for t in sorted(covered)], "tok string")
-            cand = (cand.join(F.broadcast(cov_df), "tok", "left_anti")
-                    .filter(~F.col("doc_id").isin(picked_ids)))
-        # ONE action per round: the winner's (doc_id, gain) rides along
-        # on every row of its token set via a broadcast join against
-        # the 1-row argmax, so the pick and the covered-token fetch
-        # share a single job (the old shape ran a second filtered scan
-        # of `toks` per round to collect the winner's tokens). Wall-
-        # clock-neutral at sf0.1 (the cached filtered scan was cheap);
-        # the point is one driver roundtrip and one relation pass per
-        # round when the token relation no longer fits cache at scale
-        # (optimization round r11).
-        top1 = (cand.groupBy("doc_id").agg(F.count("*").alias("gain"))
-                .orderBy(F.desc("gain"), "doc_id").limit(1))
-        rows = (toks.join(F.broadcast(top1), "doc_id")
-                .select("doc_id", "gain", "tok").collect())
-        doc_id, gain = int(rows[0].doc_id), int(rows[0].gain)
+            cand = cand.filter(~F.col("doc_id").isin(picked_ids))
+            unc = F.array_except(
+                F.col("toks"),
+                F.lit(sorted(covered)).cast("array<string>"))
+        else:
+            unc = F.col("toks")
+        row = (cand.select("doc_id", unc.alias("unc"))
+               .select("doc_id", F.size("unc").alias("gain"), "unc")
+               .orderBy(F.desc("gain"), "doc_id").limit(1)
+               .collect()[0])
+        doc_id, gain = int(row.doc_id), int(row.gain)
         picks.append((r, doc_id, gain))
         picked_ids.append(doc_id)
-        covered.update(row.tok for row in rows)
+        covered.update(row.unc)
+    arrs.unpersist()
     out = spark.createDataFrame(picks, "round int, doc_id long, gain long")
     return out.select(
         "round", "doc_id", "gain",
