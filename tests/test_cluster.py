@@ -293,3 +293,34 @@ def test_kmv_distinct_merge_is_union_and_error_bounded(spark):
     for g, r in rows.items():
         if r["exact_distinct"] >= _KMV_K:
             assert r["rel_err"] < 2.5 / (_KMV_K ** 0.5)
+
+
+def test_components_long_chain_converges_via_observed_rounds(spark):
+    """The convergence count rides the round's checkpoint as an observed
+    metric (optimization r11); a diameter-7 chain forces 8 propagation
+    rounds, so a wrong observed 'changed' would stop early and split the
+    component — this pins the multi-round path end to end."""
+    from challenge8_movies_etl_spark.operators.cluster import (
+        connected_components,
+    )
+    n = 8
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    # one chain 7-6-5-...-0: min-label needs diameter rounds to reach 7
+    edges = spark.createDataFrame(
+        [(i + 1, i) for i in range(n - 1)], "src bigint, dst bigint")
+    got = {r["id"]: r["cluster"]
+           for r in connected_components(nodes, edges).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_components_broadcast_labels_off_matches(spark):
+    from challenge8_movies_etl_spark.operators.cluster import (
+        connected_components,
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id bigint")
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 1), (4, 5)], "src bigint, dst bigint")
+    got = {r["id"]: r["cluster"]
+           for r in connected_components(
+               nodes, edges, broadcast_labels=False).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4}
