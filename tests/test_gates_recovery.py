@@ -34,8 +34,36 @@ HEADLINE8 = [
 ]
 
 
-def _fake_bench_stdout(n_rows: int) -> str:
-    """Render bench.py's 3-line stdout shape for a huge registry."""
+def _qbf_line(stats: dict, total: float) -> str:
+    """Mirror bench.py's r12 front-coded FINAL line exactly."""
+    b36 = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+    def render(div: int, qv: str) -> str:
+        toks, prev = [], ""
+        for name in sorted(q[2:] for q in stats):
+            lcp = 0
+            while (lcp < min(len(prev), len(name), 35)
+                   and prev[lcp] == name[lcp]):
+                lcp += 1
+            v = round(stats["q_" + name][0] * 100) // div
+            toks.append(f"{b36[lcp]}{name[lcp:]}:{v}")
+            prev = name
+        return json.dumps({
+            "metric": "headline_total_best_of_3", "value": total,
+            "unit": "sec", "qbf": " ".join(toks), "qv": qv,
+            "sf": 0.1, "calib_spark_sec": 0.252, "compact": True,
+            "final": True, "n_benched": len(stats),
+        }, separators=(",", ":"))
+
+    line = render(1, "cs")
+    if len(line) > 1985:
+        line = render(10, "ds")
+    return line if len(line) <= 1985 else ""
+
+
+def _fake_bench_stdout(n_rows: int, qbf: bool = True) -> str:
+    """Render bench.py's stdout shape (4 lines since r12) for a huge
+    registry; qbf=False reproduces the r10/r11 3-line shape."""
     stats = {f"q_extra_{i:03d}": [0.101 + i / 1e4, 0.111 + i / 1e4]
              for i in range(n_rows - len(HEADLINE8))}
     for j, q in enumerate(HEADLINE8):
@@ -64,7 +92,12 @@ def _fake_bench_stdout(n_rows: int) -> str:
         "sf": 0.1, "calib_spark_sec": 0.252, "compact": True,
         "final": True, "n_benched": len(stats),
     }, separators=(",", ":"))
-    return "\n".join([full, qbm, final]) + "\n"
+    lines = [full, qbm, final]
+    if qbf:
+        fl = _qbf_line(stats, total)
+        if fl:
+            lines.append(fl)
+    return "\n".join(lines) + "\n"
 
 
 def _run_gates(artifact: dict, tmp_path: Path) -> tuple[int, str]:
@@ -137,6 +170,40 @@ def test_parsed_is_final_line_without_tail(tmp_path):
     assert rc == 0, out
     for q in HEADLINE8:
         assert q in out, f"{q} missing from gate output:\n{out}"
+
+
+def test_qbf_final_line_recovers_full_registry(tmp_path):
+    """r11 VERDICT item 2: at 108 benched rows NO plain-token packing
+    fits the driver's 2000-char tail, so bench.py now prints a
+    front-coded FINAL line carrying every row. Simulated at the real
+    registry size: gates.py must recover 108/108 rows from the tail
+    alone."""
+    stdout = _fake_bench_stdout(108)
+    last = json.loads(stdout.splitlines()[-1])
+    assert "qbf" in last, "108-row registry must fit the qbf line"
+    artifact = {"n": 108, "rc": 0, "cpus": 32, "sf": 0.1,
+                "tail": stdout[-2000:], "parsed": last}
+    rc, out = _run_gates(artifact, tmp_path)
+    assert rc == 0, out
+    for q in HEADLINE8:
+        assert q in out, f"{q} missing from gate output:\n{out}"
+    n_rows = sum(1 for i in range(100) if f"q_extra_{i:03d}" in out)
+    assert n_rows == 100, f"only {n_rows}/100 extra rows recovered:\n{out}"
+    # decoded values survive the centisecond round-trip (0.101 -> 0.10)
+    assert "q_extra_000" in out
+
+
+def test_qbf_only_parsed_without_tail(tmp_path):
+    """Degenerate shape: parsed = the qbf line, no outer tail. All
+    rows must still gate-check from the front-coded payload alone."""
+    stdout = _fake_bench_stdout(108)
+    last = json.loads(stdout.splitlines()[-1])
+    artifact = {"parsed": last}
+    rc, out = _run_gates(artifact, tmp_path)
+    assert rc == 0, out
+    for q in HEADLINE8:
+        assert q in out
+    assert "q_extra_099" in out
 
 
 def test_recovered_map_payload_merges_with_finals(tmp_path):

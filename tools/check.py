@@ -200,6 +200,11 @@ def main() -> int:
         q_sf = overrides.get(qid, args.sf)
         q_con = override_cons.get(overrides.get(qid, ""), con)
         try:
+            # cache hygiene (VERDICT r11 item 8): queries whose
+            # RETURNED plan consumes a persist() cannot unpersist
+            # before returning; clear between queries so a 477-query
+            # sweep never accumulates executor storage
+            spark.catalog.clearCache()
             sdf = queries[qid](spark, q_sf)
             spd = sdf.toPandas()
         except Exception as exc:  # noqa: BLE001

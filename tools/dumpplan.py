@@ -1,9 +1,9 @@
-"""Dump .explain("formatted") for named queries to plans/r11/.
+"""Dump .explain("formatted") for named queries to plans/r12/.
 
 Usage: python tools/dumpplan.py [--suffix before|after] [--sf DIR] qid ...
 
-Writes plans/r11/<qid>_<suffix>.txt — the optimization-round evidence
-files (the judge checks plan claims in OPTIMIZATION_r11.md against
+Writes plans/r12/<qid>_<suffix>.txt — the optimization-round evidence
+files (the judge checks plan claims in OPTIMIZATION_r12.md against
 these). Iterative queries (driver-orchestrated loops) dump the plan of
 the RETURNED frame only; that is the honest visible plan, and the loop
 structure is documented in the query docstring.
@@ -33,7 +33,7 @@ def main() -> int:
 
     load_all()
     spark = get_spark("dumpplan")
-    out_dir = REPO / "plans" / "r11"
+    out_dir = REPO / "plans" / "r12"
     out_dir.mkdir(parents=True, exist_ok=True)
     for qid in args.qids:
         if qid not in QUERIES:

@@ -187,6 +187,31 @@ def _qbm_tokens(payload: dict) -> list[str]:
             for q, (b, m) in bm.items()]
 
 
+_B36 = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+
+def _decode_qbf(payload: dict) -> dict[str, list[float]]:
+    """Decode bench.py's r12 front-coded FINAL line: rows sorted by
+    stripped name, each token = <base36 lcp-with-previous-name char>
+    <name suffix>:<best as integer centiseconds ("qv":"cs") or
+    deciseconds ("ds")>. Best-only by design (the full best/median
+    record is on bench stdout lines 1-2, which outgrow the driver's
+    2000-char tail at 108 rows); median falls back to best here and is
+    overridden wherever a richer source survived the tail."""
+    mul = 0.1 if payload.get("qv") == "ds" else 0.01
+    stats: dict[str, list[float]] = {}
+    prev = ""
+    for tok in str(payload["qbf"]).split():
+        head, _, v = tok.rpartition(":")
+        if not head or head[0] not in _B36 or not v.isdigit():
+            continue  # damaged token (should not happen: line is short)
+        name = prev[: _B36.index(head[0])] + head[1:]
+        sec = round(int(v) * mul, 3)
+        stats["q_" + name] = [sec, sec]
+        prev = name
+    return stats
+
+
 def main() -> int:
     if len(sys.argv) > 1 and not sys.argv[1].startswith("--"):
         path = Path(sys.argv[1])
@@ -218,6 +243,13 @@ def main() -> int:
     # exactly this reason).
     b = outer.get("parsed") or outer
     finals = None
+    qbf_payload = None
+    if "qbf" in b:
+        # r12 FINAL line (front-coded, all benched rows, best-only)
+        # was the parsed payload; keep the outer dict active so its
+        # tail can still contribute real medians below.
+        qbf_payload = b
+        b = outer
     if "queries" not in b and "qbm" not in b and "gate8" in b:
         # r10 artifact shape (VERDICT r10 item 1): `parsed` IS the
         # guaranteed-short FINAL line (gate8 + headline, no qbm).
@@ -238,6 +270,10 @@ def main() -> int:
                 if ("queries" in cand or "qbm" in cand
                         or "queries_best_median" in cand):
                     recovered = cand
+                elif "qbf" in cand and qbf_payload is None:
+                    # r12 front-coded FINAL line found whole in the
+                    # tail (it is sized to always survive the capture)
+                    qbf_payload = cand
                 elif "gate8" in cand and finals is None:
                     # bench.py's guaranteed-short FINAL line (r9 fix):
                     # headline-8 rows + calib always survive the
@@ -281,6 +317,8 @@ def main() -> int:
                     and "calib_spark_sec" in recovered):
                 finals["calib_spark_sec"] = recovered["calib_spark_sec"]
             recovered = finals
+        if recovered is None and qbf_payload is not None:
+            recovered = {}  # the qbf line alone is a complete payload
         if recovered is None:
             print(f"ERROR: {path} has no parsed payload and no "
                   "recoverable JSON line in its tail")
@@ -296,7 +334,9 @@ def main() -> int:
         finals["qbm"] = " ".join(
             dict.fromkeys(str(finals["gate8"]).split()))
         b = finals
-    k = max(1.0, b.get("calib_spark_sec", CALIB_REF) / CALIB_REF)
+    calib = (b.get("calib_spark_sec")
+             or (qbf_payload or {}).get("calib_spark_sec", CALIB_REF))
+    k = max(1.0, calib / CALIB_REF)
     if "qbm" in b:
         # round-8 compact packing: "name:best:median ..." with the
         # 'q_' prefix stripped (see bench.py) — carries EVERY benched
@@ -307,9 +347,21 @@ def main() -> int:
             stats["q_" + name] = [float(best), float(med)]
     else:
         stats = b.get("queries_best_median") or {
-            q: [v, v] for q, v in b["queries"].items()}
+            q: [v, v] for q, v in b.get("queries", {}).items()}
+    if qbf_payload is not None:
+        # the front-coded FINAL line carries EVERY benched row
+        # (best-only); rows recovered with real medians override it
+        full = _decode_qbf(qbf_payload)
+        n_med = len(stats)
+        full.update(stats)
+        stats = full
+        print(f"(decoded front-coded final line: {len(stats)} rows, "
+              f"{n_med} with tail-recovered medians)")
+    if not stats:
+        print(f"ERROR: {path} carries no per-query rows")
+        return 2
     print(f"calibration k = {k:.2f} (calib_spark "
-          f"{b.get('calib_spark_sec')} vs {CALIB_REF} reference)")
+          f"{calib} vs {CALIB_REF} reference)")
     print(f"{'query':28} {'best':>7} {'median':>7} {'gate':>7} "
           f"{'ratio':>6}  verdict")
     breaches = []
