@@ -51,6 +51,8 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     # by definition and skip the iterative phase entirely.
     touched = both.select(F.col("a").alias("id")).distinct()
     labels = touched.select("id", F.col("id").alias("cluster"))
+    changed = -1  # ADVICE r11: max_iter <= 0 must hit the warning, not
+    #               a NameError on the loop variable
     for _i in range(max_iter):
         # Pointer doubling (path compression) BEFORE the hop
         # (optimization round r11): label(v) <- min(label(v),

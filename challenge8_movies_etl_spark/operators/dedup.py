@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..session import fanout_partitions
+from ..session import fan_out_scan
 
 # ---------------------------------------------------------------------------
 # signatures
@@ -375,8 +375,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str, block_col: str,
     # The repartition fans the single-row-group fixture scan out of
     # its one partition before shingling + posting explode
     # (optimization round r11).
-    docs = docs.repartition(
-        fanout_partitions(docs.sparkSession), id_col).persist()
+    docs = fan_out_scan(docs, id_col).persist()
     co, exact = _co_count_pairs(docs, id_col, block_col, shingle_col,
                                 max_df=max_df)
     sizes = docs.select(F.col(id_col), F.size(shingle_col).alias("sz"))
@@ -425,8 +424,7 @@ def ngram_containment_pairs(docs: DataFrame, id_col: str, block_col: str,
     """
     # see ngram_jaccard_pairs: shingling runs once, not three times,
     # fanned out of the single scan partition (optimization round r11)
-    docs = docs.repartition(
-        fanout_partitions(docs.sparkSession), id_col).persist()
+    docs = fan_out_scan(docs, id_col).persist()
     co, exact = _co_count_pairs(docs, id_col, block_col, shingle_col,
                                 max_df=max_df)
     if exact:

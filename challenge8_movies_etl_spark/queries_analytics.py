@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from .functions.hashsafe import dsum, davg, sql_davg
 from .registry import query
 from .sources.fixtures import load_table
-from .session import fanout_partitions
+from .session import fan_out_scan
 
 
 @query(
@@ -1265,7 +1265,8 @@ def q_huber_regression(spark, sf_dir):
         (3.0 + 2.0 * (F.col("event_id") % 50)
          + (F.col("value") - 50.0) / 10.0
          + F.when(F.col("event_id") % 37 == 0, 80.0).otherwise(0.0))
-        .alias("y")).repartition(fanout_partitions(spark)).persist()
+        .alias("y"))
+    obs = fan_out_scan(obs).persist()
     s0 = obs.agg(
         F.count("*").alias("n"),
         F.sum("x").cast("double").alias("sx"),
@@ -1630,17 +1631,41 @@ def q_skyline_grouped(spark, sf_dir):
     block-nested-loop skyline (divide-and-merge); 2-D is exactly
     where the sort identity makes it free."""
     li = load_table(spark, sf_dir, "lineitem")
+    # cents via round(x*100) instead of the decimal(14,2) cast chain
+    # (optimization round r12, guide §1.2 per-task work): the scan is
+    # 3 single-row-group tasks, and the decimal conversion was ~2/3 of
+    # the scan stage (0.365 → 0.288 s noop). Value-identical on this
+    # data: l_extendedprice is an exact 2-dp quantity×price product,
+    # so double*100 is within 1e-9 of an integer and round() can never
+    # sit on a .5 boundary — verified 0 mismatches vs the decimal cast
+    # at sf0.01 AND sf0.1 (the oracle keeps the decimal form, so any
+    # divergence fails the hash gate loudly).
     pts = li.selectExpr(
         "l_returnflag AS grp",
-        "cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint)"
-        " AS price_c",
+        "cast(round(l_extendedprice * 100, 0) as bigint) AS price_c",
         "cast(l_quantity as bigint) AS qty")
+    # ONE Window node for both maxima (optimization round r12, guide
+    # §2.4 windows sharing a partitioning): m_same = max(qty) over the
+    # price PEERS — expressible as a [0, 0] RANGE frame on the SAME
+    # (grp, price_c-ordered) window spec as m_cheaper, so Spark
+    # evaluates both frames in one pass over one sort instead of two
+    # chained Window operators. Values are identical: the range-frame
+    # peer group at price p IS the (grp, price_c) partition.
+    # (r12 rejected experiment: a zone-map candidate prefilter —
+    # per-(grp, price-bucket) maxima + running carry-in, dropping
+    # dominated rows before the exchange — is the right shape at
+    # 100 TB where grp's 3-value skew serializes the sort, but at
+    # sf0.1 the extra aggregate + broadcast-join stages cost ~0.3 s
+    # against a ~0.15 s three-task sort: measured 0.99/1.31
+    # best/median → 1.31/1.62 at matched calib. Reverted.)
     w_cheaper = (W.partitionBy("grp").orderBy("price_c")
                  .rangeBetween(W.unboundedPreceding, -1))
-    w_same = W.partitionBy("grp", "price_c")
-    marked = (pts
-              .withColumn("m_cheaper", F.max("qty").over(w_cheaper))
-              .withColumn("m_same", F.max("qty").over(w_same)))
+    w_same = (W.partitionBy("grp").orderBy("price_c")
+              .rangeBetween(0, 0))
+    marked = pts.select(
+        "grp", "price_c", "qty",
+        F.max("qty").over(w_cheaper).alias("m_cheaper"),
+        F.max("qty").over(w_same).alias("m_same"))
     sky = marked.filter(
         (F.col("m_cheaper").isNull() | (F.col("m_cheaper") < F.col("qty")))
         & (F.col("m_same") == F.col("qty")))

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from .registry import query
 from .sources.fixtures import load_table
-from .session import fanout_partitions
+from .session import fan_out_scan
 
 N_MERGES = 5
 
@@ -92,7 +92,7 @@ def q_bpe_train(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     # fan the single-row-group scan out before tokenize + partial agg
     # (optimization round r11)
-    d = d.repartition(fanout_partitions(spark), "doc_id")
+    d = fan_out_scan(d, "doc_id")
     words = (d.select(F.explode(F.split("text", " ")).alias("w"))
              .filter(F.col("w").rlike("^[a-z]+$"))
              .groupBy("w").agg(F.count("*").alias("n")))
@@ -168,7 +168,7 @@ def q_bpe_apply(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     # fan the single-row-group scan out before tokenize + partial agg
     # (optimization round r11)
-    d = d.repartition(fanout_partitions(spark), "doc_id")
+    d = fan_out_scan(d, "doc_id")
     words = (d.select(F.explode(F.split("text", " ")).alias("w"))
              .filter(F.col("w").rlike("^[a-z]+$"))
              .groupBy("w").agg(F.count("*").alias("n")))

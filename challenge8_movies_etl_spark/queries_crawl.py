@@ -26,7 +26,7 @@ from .operators.containers import (
 )
 from .registry import query
 from .sources.fixtures import load_table
-from .session import fanout_partitions
+from .session import fan_out_scan
 
 
 # ---------------------------------------------------------------------------
@@ -1264,7 +1264,7 @@ def q_wet_extract(spark, sf_dir):
     # tiny projection, explicit fan-out: one local parquet file is
     # ONE input split, which would serialize the whole derive chain
     # onto a single task (at 100 TB the shard count provides this)
-    return d.select("doc_id", "text").repartition(fanout_partitions(spark)).mapInPandas(
+    return fan_out_scan(d.select("doc_id", "text")).mapInPandas(
         wet, schema=("doc_id bigint, n_conversion bigint, "
                      "text_octets bigint, digest string, "
                      "last_uri string"))
@@ -1344,7 +1344,7 @@ def q_wat_extract(spark, sf_dir):
                     hashlib.md5("".join(envs).encode()).hexdigest())
             yield pd.DataFrame(out)
 
-    return d.select("doc_id", "text").repartition(fanout_partitions(spark)).mapInPandas(
+    return fan_out_scan(d.select("doc_id", "text")).mapInPandas(
         wat, schema=("doc_id bigint, n_metadata bigint, "
                      "n_http200 bigint, digest string"))
 
@@ -1596,7 +1596,7 @@ def q_warc_revisit(spark, sf_dir):
                     hashlib.md5(ref.encode()).hexdigest())
             yield pd.DataFrame(out)
 
-    return d.select("doc_id", "lang").repartition(fanout_partitions(spark)).mapInPandas(
+    return fan_out_scan(d.select("doc_id", "lang")).mapInPandas(
         dedup, schema=("doc_id bigint, n_records bigint, "
                        "n_kept bigint, n_revisit bigint, "
                        "saved_octets bigint, ref_digest string"))

@@ -1115,6 +1115,14 @@ def q_coverage_select(spark, sf_dir):
                .orderBy(F.desc("gain"), "doc_id").limit(1)
                .collect()[0])
         doc_id, gain = int(row.doc_id), int(row.gain)
+        if gain == 0:
+            # Every remaining doc is fully covered. The oracle's round
+            # CTE is EMPTY here (a covered doc has no rows left in
+            # toks{r}), so it emits no pick for this round — stop
+            # instead of appending a zero-gain row it would not have
+            # (ADVICE r11; unreachable on the fixtures, which gain >0
+            # in all 5 rounds — results unchanged there).
+            break
         picks.append((r, doc_id, gain))
         picked_ids.append(doc_id)
         covered.update(row.unc)

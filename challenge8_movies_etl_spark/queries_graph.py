@@ -348,6 +348,11 @@ def q_graph_components(spark, sf_dir):
     cur_ck = cur  # materialized handle (cur itself may become a projection)
     for _round in range(50):
         obs = Observation(f"star_round_{_round}")
+        # (r12 rejected experiment: TWO alternations per checkpoint job
+        # — halving the job count — measured 3.79/3.87 best/median →
+        # 4.09/11.05 at matched calib; the doubled 6-exchange plan per
+        # job was slower and far noisier than the per-round jobs it
+        # saved. Reverted to one alternation per job.)
         nxt_ck = (_small_star(_large_star(cur))
                   .join(cur.select("u", "v", F.lit(1).alias("_old")),
                         ["u", "v"], "left")
@@ -566,6 +571,9 @@ def q_graph_label_prop(spark, sf_dir):
                                        F.col("c").alias("dst")))
              .persist())
     labels = label_propagation(edges, iterations=_LPA_ITER)
+    # labels is checkpointed every round inside the operator — the
+    # returned rollup never re-reads edges (VERDICT r11 item 8)
+    edges.unpersist()
     parity = F.col("node") % 2
     return (labels.groupBy(F.col("label").alias("community"))
             .agg(F.count("*").alias("size"),
@@ -866,6 +874,9 @@ def q_graph_sssp(spark, sf_dir):
         dist = (dist.unionByName(cand)
                 .groupBy("node").agg(F.min("dist").alias("dist"))
                 .localCheckpoint(eager=True))
+    # the final dist is checkpointed — the returned sort never re-reads
+    # edges, so release the |E| cache (VERDICT r11 item 8)
+    edges.unpersist()
     return dist.orderBy("node")
 
 

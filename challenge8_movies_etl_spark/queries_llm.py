@@ -27,7 +27,7 @@ from .operators.dedup import (
     word_ngrams,
 )
 from .operators.similarity import brute_force_topk, cosine_col, dot_col, ivf_topk
-from .session import fanout_partitions
+from .session import fan_out_scan
 from .operators.text import (
     BPE_ISH,
     EN_STOPWORDS,
@@ -227,7 +227,7 @@ def _minhash_lsh_verified(spark, sf_dir, portable: bool):
     # fan the single-row-group scan out before shingling: one scan
     # partition would serialize the n_hashes-per-shingle signature
     # hashing onto one core (optimization round r11)
-    g = (d.repartition(fanout_partitions(spark), "doc_id")
+    g = (fan_out_scan(d, "doc_id")
          .select("doc_id", word_ngrams(F.col("text"), 2).alias("g"))
          .persist())
     cand = lsh_candidate_pairs(g, "doc_id", "g", n_hashes=16, bands=4,
@@ -488,7 +488,7 @@ def q_similarity_pairs(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     n = e.select("vec_id", "label", "embedding",
                  _norm(F.col("embedding")).alias("nrm"))
-    a = n.repartition(fanout_partitions(spark), "vec_id").alias("a")
+    a = fan_out_scan(n, "vec_id").alias("a")
     b = n.alias("b")
     cos = (dot_col(F.col("a.embedding"), F.col("b.embedding"))
            / F.sqrt(F.col("a.nrm") * F.col("b.nrm")))
@@ -533,7 +533,7 @@ def q_embed_neardup(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     n = e.select("vec_id", "label", "embedding",
                  _norm(F.col("embedding")).alias("nrm"))
-    a = n.repartition(fanout_partitions(spark), "vec_id").alias("a")
+    a = fan_out_scan(n, "vec_id").alias("a")
     b = n.alias("b")
     cos = (dot_col(F.col("a.embedding"), F.col("b.embedding"))
            / F.sqrt(F.col("a.nrm") * F.col("b.nrm")))
@@ -1275,7 +1275,7 @@ def q_knn_join(spark, sf_dir):
     # and takes the final top-3, so results are bit-identical to the
     # all-decimal form (oracle unchanged) at ~1/1000th the decimal
     # work. The 40 M-pair sf1.0 pass dropped 788 s → seconds.
-    a = n.repartition(fanout_partitions(spark), "vec_id").alias("a")
+    a = fan_out_scan(n, "vec_id").alias("a")
     b = n.alias("b")
     fast = (similarity.dot_fast_col(F.col("a.embedding"),
                                     F.col("b.embedding"))
@@ -2174,7 +2174,7 @@ def q_dedup_semantic(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     n = e.select("vec_id", "label", "embedding",
                  _norm(F.col("embedding")).alias("nrm"))
-    a = n.repartition(fanout_partitions(spark), "vec_id").alias("a")
+    a = fan_out_scan(n, "vec_id").alias("a")
     b = n.alias("b")
     cos = (dot_col(F.col("a.embedding"), F.col("b.embedding"))
            / F.sqrt(F.col("a.nrm") * F.col("b.nrm")))
@@ -2546,7 +2546,7 @@ def q_corpus_pipeline(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     # fan-out before the per-doc text measures and the 3-gram explode
     # (single-row-group scan — optimization round r11)
-    d = d.repartition(fanout_partitions(spark), "doc_id")
+    d = fan_out_scan(d, "doc_id")
     base = d.select(
         "doc_id", "text", "source", "n_chars",
         token_count(F.col("text")).alias("n_tok"),
@@ -2985,7 +2985,7 @@ def q_dedup_incremental(spark, sf_dir):
     # serializes the 16-md5-per-shingle signature pass onto one core;
     # the identical exchange is reused by all three g consumers —
     # optimization round r11: 6.3 s -> measured below)
-    g = (d.repartition(fanout_partitions(spark), "doc_id")
+    g = (fan_out_scan(d, "doc_id")
          .select("doc_id", word_ngrams(F.col("text"), 2).alias("g")))
     cand = lsh_candidate_pairs_incremental(
         g, "doc_id", "g", F.col("doc_id") % 5 == 0,

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from .registry import query
 from .functions.hashsafe import davg, sql_davg
 from .sources.fixtures import load_table
-from .session import fanout_partitions
+from .session import fan_out_scan
 
 # ---------------------------------------------------------------------------
 # q_acf — autocorrelation of the daily event-count series
@@ -536,7 +536,7 @@ def q_kmeans(spark, sf_dir):
     # the exact-decimal distance reductions (interpreted zip_with/
     # aggregate, the per-row heavy step) otherwise run on ONE core
     # (optimization round r11)
-    vecs = (e.repartition(fanout_partitions(spark), "vec_id")
+    vecs = (fan_out_scan(e, "vec_id")
             .select("vec_id", "embedding"))
     init_rows = (vecs.orderBy("vec_id").limit(4)
                  .select("embedding").collect())
@@ -987,8 +987,8 @@ def q_logistic_train(spark, sf_dir):
         F.round((F.col("l_quantity") - 25) / 25, 4)
         .cast("decimal(8,4)").alias("xd"),
         F.when(F.col("l_extendedprice") % 100 < 2 * F.col("l_quantity"), 1)
-        .otherwise(0).alias("y")).repartition(
-            fanout_partitions(spark)).persist()
+        .otherwise(0).alias("y"))
+    feat = fan_out_scan(feat).persist()
 
     def p_col(b0: float, b1: float):
         z = F.lit(b0) + F.lit(b1) * F.col("xd").cast("double")
@@ -1119,7 +1119,7 @@ def q_dedup_semdedup(spark, sf_dir):
     # the exact-decimal distance reductions (interpreted zip_with/
     # aggregate, the per-row heavy step) otherwise run on ONE core
     # (optimization round r11)
-    vecs = (e.repartition(fanout_partitions(spark), "vec_id")
+    vecs = (fan_out_scan(e, "vec_id")
             .select("vec_id", "embedding"))
     init_rows = (vecs.orderBy("vec_id").limit(4)
                  .select("embedding").collect())
@@ -1137,6 +1137,12 @@ def q_dedup_semdedup(spark, sf_dir):
             .persist())
 
     from .operators.similarity import dot_fast_col
+    # memb is NOT a bare scan — fan_out_scan's partition probe (.rdd)
+    # would materialize its upstream exchanges as AQE planning jobs, so
+    # keep the unconditional keyed fan-out here: memb is |V|-bounded
+    # (cluster membership, never corpus-sized), so an extra exchange of
+    # it is harmless at any scale (optimization round r12)
+    from .session import fanout_partitions
     x = memb.repartition(fanout_partitions(spark), "vec_id").alias("x")
     y = memb.alias("y")
     before = ((F.col("x.cdist") > F.col("y.cdist"))
@@ -1252,7 +1258,7 @@ def q_dbscan(spark, sf_dir):
     # original exact-decimal reduction re-verifies only the ~|E|
     # survivors. The explicit repartition restores pair-pass
     # parallelism.
-    a = e.repartition(fanout_partitions(spark), "vec_id").alias("a")
+    a = fan_out_scan(e, "vec_id").alias("a")
     b = e.alias("b")
 
     def dim_dd(i: int):
@@ -1518,23 +1524,37 @@ def q_decision_stump(spark, sf_dir):
     obs = li.select(F.col("l_quantity").alias("f_quantity"),
                     F.col("l_discount").alias("f_discount"),
                     F.col("l_extendedprice").alias("f_price"), label)
-    long = None
-    for feat, col in [("quantity", "f_quantity"),
-                      ("discount", "f_discount"),
-                      ("price", "f_price")]:
-        part = obs.select(F.lit(feat).alias("feature"),
-                          F.col(col).alias("v"), "label")
-        long = part if long is None else long.unionByName(part)
+    # ONE scan: the old 3-way union re-scanned lineitem (and re-derived
+    # the label) once per feature; inline() unpivots in the projection
+    # (optimization round r12, guide §2.3 — same (feature, v, label)
+    # multiset, so the value-keyed counts below are unchanged)
+    long = obs.select(
+        F.inline(F.array(
+            F.struct(F.lit("quantity").alias("feature"),
+                     F.col("f_quantity").alias("v")),
+            F.struct(F.lit("discount").alias("feature"),
+                     F.col("f_discount").alias("v")),
+            F.struct(F.lit("price").alias("feature"),
+                     F.col("f_price").alias("v")))),
+        "label")
     grp = (long.groupBy("feature", "v")
            .agg(F.count("*").alias("c"), F.sum("label").alias("a")))
+    # all four running/total sums in ONE Window node (optimization
+    # round r12, guide §2.4 windows sharing a partitioning): the old
+    # n/atot used partitionBy(feature) with NO ordering — a second
+    # Window operator and a second pass; as full-frame expressions on
+    # the SAME (feature, v-ordered) spec they fuse into the cumulative
+    # node and are computed once per partition in the same pass.
     wf = W.partitionBy("feature")
     wcum = wf.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    wtot = wf.orderBy("v").rowsBetween(W.unboundedPreceding,
+                                       W.unboundedFollowing)
     cum = grp.select(
         "feature", "v",
         F.sum("c").over(wcum).alias("nl"),
         F.sum("a").over(wcum).alias("al"),
-        F.sum("c").over(wf).alias("n"),
-        F.sum("a").over(wf).alias("atot"))
+        F.sum("c").over(wtot).alias("n"),
+        F.sum("a").over(wtot).alias("atot"))
     D = "decimal(38,0)"
     nl, al, n, atot = (F.col(c) for c in ("nl", "al", "n", "atot"))
     nr, ar = n - nl, atot - al
@@ -1543,16 +1563,22 @@ def q_decision_stump(spark, sf_dir):
            + (nr.cast(D) * nr - ar.cast(D) * ar - br.cast(D) * br) * nl)
     den = n.cast(D) * nl * nr
     scored = (cum.filter(nl < n)
-              .select("feature", "v", 
+              .select("feature", "v",
                       (num.cast("double") / den.cast("double"))
                       .alias("gini"),
                       (F.greatest(al, bl) + F.greatest(ar, br))
                       .alias("n_correct")))
-    rk = F.row_number().over(wf.orderBy("gini", "v"))
-    return (scored.withColumn("rk", rk).filter(F.col("rk") == 1)
-            .select("feature", F.col("v").alias("threshold"),
-                    F.round("gini", 6).alias("gini"),
-                    F.col("n_correct").cast("long").alias("n_correct"))
+    # argmin via one map-side-combinable min(struct(gini, v, ...)) —
+    # identical to the old row_number() over (ORDER BY gini, v) pick
+    # ((feature, v) is unique, so (gini, v) is a total order per
+    # feature) WITHOUT the second full-partition sort of the scored
+    # relation (optimization round r12)
+    best = (scored.groupBy("feature")
+            .agg(F.min(F.struct("gini", "v", "n_correct")).alias("m")))
+    return (best.select("feature", F.col("m.v").alias("threshold"),
+                        F.round("m.gini", 6).alias("gini"),
+                        F.col("m.n_correct").cast("long")
+                        .alias("n_correct"))
             .orderBy("feature"))
 
 

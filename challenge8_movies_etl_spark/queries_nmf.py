@@ -227,6 +227,10 @@ def q_topic_nmf(spark, sf_dir):
                             .cast(_D8).alias(f"w{c}") for c in range(K)])
              .localCheckpoint(eager=True))
 
+    # w and h are eagerly checkpointed, so nothing downstream re-reads
+    # v — release the V-sized cache instead of leaking it across a
+    # 477-query sweep (ADVICE r11; same fix as q_graph_components r9)
+    v.unpersist()
     mass = w.agg(*[F.round(F.sum(f"w{c}").cast("double"), 6)
                    .alias(f"m{c}") for c in range(K)])
     hlong = None

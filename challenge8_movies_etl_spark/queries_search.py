@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from .functions.hashsafe import DEC
 from .registry import query
 from .sources.fixtures import load_table
-from .session import fanout_partitions
+from .session import fan_out_scan
 
 # BM25 hyperparameters (Robertson/Okapi defaults).
 _K1 = 1.2
@@ -407,7 +407,7 @@ def q_mmr_rerank(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     # fan the single-row-group scan out before the per-(vector, probe)
     # exact-decimal relevance folds (optimization round r11)
-    n = (e.repartition(fanout_partitions(spark), "vec_id")
+    n = (fan_out_scan(e, "vec_id")
          .select("vec_id", "embedding",
                  _norm(F.col("embedding")).alias("nrm")))
     probes = (n.filter(F.col("vec_id") < 4)

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from .registry import query
 from .sources.fixtures import load_table
-from .session import fanout_partitions
+from .session import fan_out_scan
 
 K = 8          # minimum duplicated-run length, in tokens
 _MAX_DF = 10   # pair-attribution valve: grams in more docs are boilerplate
@@ -73,7 +73,7 @@ def _grams(spark, sf_dir):
     # fan the single-row-group scan out: the per-gram md5 digests are
     # the dominant per-row cost and otherwise run on one core
     # (optimization round r11)
-    toks = (d.repartition(fanout_partitions(spark), "doc_id")
+    toks = (fan_out_scan(d, "doc_id")
             .select("doc_id", F.split("text", " ").alias("t"))
             .filter(F.size("t") >= K))
     gexpr = F.expr(

@@ -104,6 +104,30 @@ def apply_required_conf(spark: SparkSession) -> None:
         except Exception:  # static conf on this build — builder path set it
             pass
 
+def fan_out_scan(df, *cols: str):
+    """Conditional scan fan-out (guide §2.5 input skew / §6.1 split
+    sizing): the fixture parquet files are single row groups, so an
+    expression-heavy per-row pipeline downstream of a bare scan runs
+    on ONE core unless fanned out — but at 100 TB the same scan has
+    thousands of splits and an unconditional repartition becomes a
+    pure extra exchange of the corpus (on round-robin sites, a
+    shuffle of full raw text) before the per-row work. Repartition
+    ONLY when the scan actually arrives narrower than the session's
+    parallelism. The width check is metadata-only (physical planning,
+    no job). Keyed callers pass the key columns so the fan-out keeps
+    whatever co-location the site had; with no narrow scan the input
+    partitioning flows through unchanged.
+
+    Never changes query RESULTS: every consumer is a hash/equi-join,
+    per-row transform, exact-arithmetic or key-partitioned
+    aggregation (the perturbation sweep pins partition-layout
+    independence)."""
+    width = fanout_partitions(df.sparkSession)
+    if df.rdd.getNumPartitions() >= width:
+        return df
+    return df.repartition(width, *cols) if cols else df.repartition(width)
+
+
 def fanout_partitions(spark: SparkSession) -> int:
     """Scale-adaptive explicit-repartition width for operators that
     fan a small scan out across cores (pair joins over few input
