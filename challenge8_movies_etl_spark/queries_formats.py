@@ -599,55 +599,52 @@ def q_parquet_footer_stats(spark, sf_dir):
         "l_orderkey bigint, l_linenumber int, l_quantity double, "
         "_file_id bigint")
 
+    # write + footer walk fused into ONE task per file (optimization
+    # round r12, guide §1.2 remove redundant actions / §2.5 task
+    # balance): the old shape ran a write-barrier count() job, then a
+    # binaryFile re-scan and a THIRD python stage to parse the footers
+    # — per timed repetition that was one extra job, one extra
+    # full-file read, and one extra python-worker fan-up, and the
+    # driver artifact showed a 1.37 s best / 3.20 s median straggler
+    # spread (VERDICT r11 item 3). Each writer task now re-reads the
+    # PHYSICAL footer of the file it just wrote (pq.read_metadata on
+    # the on-disk bytes — the stats still come from real parquet
+    # footer bytes produced by the controlled write, and at 100 TB
+    # this is exactly stats-collection-at-write locality: the footer
+    # is parsed on the node that holds it). Output rows identical.
     def _write_slice(key, pdf):
         import pandas as pd
         fid = int(key[0])
         slice_pdf = (pdf.sort_values(
             ["l_orderkey", "l_linenumber", "l_quantity"])
                      .drop(columns=["_file_id"]))
+        path = out_dir / f"part_{fid:05d}.parquet"
         pq.write_table(
             pa.Table.from_pandas(slice_pdf, preserve_index=False),
-            out_dir / f"part_{fid:05d}.parquet", row_group_size=rg_rows)
-        return pd.DataFrame({"file_id": [fid],
-                             "n_rows": [len(slice_pdf)]})
+            path, row_group_size=rg_rows)
+        meta = pq.read_metadata(path)  # physical footer, from disk
+        out = []
+        for g in range(meta.num_row_groups):
+            rgm = meta.row_group(g)
+            stats = {rgm.column(i).path_in_schema:
+                     rgm.column(i).statistics
+                     for i in range(rgm.num_columns)}
+            mx_q = stats["l_quantity"].max
+            out.append((fid * groups_per_file + g, rgm.num_rows,
+                        int(stats["l_orderkey"].min),
+                        int(stats["l_orderkey"].max),
+                        float(stats["l_quantity"].min),
+                        float(mx_q),
+                        1 if mx_q < _FOOTER_PRED else 0))
+        return pd.DataFrame(out, columns=[
+            "row_group_id", "n_rows", "min_orderkey",
+            "max_orderkey", "min_qty", "max_qty", "pruned"])
 
-    written = (with_file.groupBy("_file_id")
-               .applyInPandas(_write_slice,
-                              "file_id bigint, n_rows bigint"))
-    written.count()  # materialize the distributed write barrier
-    s.unpersist()
-
-    # footer walk: one task per file, metadata only
-    def _walk_footers(batches):
-        import pandas as pd
-        for pdf in batches:
-            out = []
-            for path_str, content in zip(pdf["path"], pdf["content"]):
-                fid = int(Path(path_str).stem.split("_")[1])
-                meta = pq.ParquetFile(pa.BufferReader(content)).metadata
-                for g in range(meta.num_row_groups):
-                    rgm = meta.row_group(g)
-                    stats = {rgm.column(i).path_in_schema:
-                             rgm.column(i).statistics
-                             for i in range(rgm.num_columns)}
-                    mx_q = stats["l_quantity"].max
-                    out.append((fid * groups_per_file + g, rgm.num_rows,
-                                int(stats["l_orderkey"].min),
-                                int(stats["l_orderkey"].max),
-                                float(stats["l_quantity"].min),
-                                float(mx_q),
-                                1 if mx_q < _FOOTER_PRED else 0))
-            yield pd.DataFrame(out, columns=[
-                "row_group_id", "n_rows", "min_orderkey",
-                "max_orderkey", "min_qty", "max_qty", "pruned"])
-
-    footers = spark.read.format("binaryFile").load(
-        str(out_dir / "*.parquet"))
-    return (footers.select("path", "content")
-            .mapInPandas(_walk_footers,
-                         "row_group_id bigint, n_rows bigint, "
-                         "min_orderkey bigint, max_orderkey bigint, "
-                         "min_qty double, max_qty double, pruned int")
+    return (with_file.groupBy("_file_id")
+            .applyInPandas(_write_slice,
+                           "row_group_id bigint, n_rows bigint, "
+                           "min_orderkey bigint, max_orderkey bigint, "
+                           "min_qty double, max_qty double, pruned int")
             .orderBy("row_group_id"))
 
 

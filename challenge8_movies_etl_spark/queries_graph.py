@@ -846,7 +846,17 @@ def q_graph_sssp(spark, sf_dir):
     |V|. No per-round growth: the union re-aggregates to one row per
     node before the next join."""
     li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select("l_partkey", "l_suppkey").distinct()
+    # ps is read by BOTH sides of the self-join — without the persist
+    # the 591k-row distinct executed twice per run (optimization round
+    # r12, guide §5; ~0.7-1.0 s). Both caches are released at the end:
+    # the relaxation loop's eager checkpoints run inside this function,
+    # so by return nothing re-reads them.
+    # (r12 rejected experiment: building the pairs via groupBy(part)
+    # .collect_set + in-array pair generation — this fixture averages
+    # 29.5 suppliers/part, so the 8.5M-pair explosion through
+    # non-codegen array transforms measured 6.8 s vs 3.9 end-to-end.
+    # The codegen self-join + partial agg wins on dense parts.)
+    ps = li.select("l_partkey", "l_suppkey").distinct().persist()
     a, b = ps.alias("a"), ps.alias("b")
     pairs = (a.join(b, (F.col("a.l_partkey") == F.col("b.l_partkey"))
                     & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
@@ -875,8 +885,9 @@ def q_graph_sssp(spark, sf_dir):
                 .groupBy("node").agg(F.min("dist").alias("dist"))
                 .localCheckpoint(eager=True))
     # the final dist is checkpointed — the returned sort never re-reads
-    # edges, so release the |E| cache (VERDICT r11 item 8)
+    # edges or ps, so release both caches (VERDICT r11 item 8)
     edges.unpersist()
+    ps.unpersist()
     return dist.orderBy("node")
 
 
