@@ -327,6 +327,18 @@ def q_graph_components(spark, sf_dir):
                 .filter(F.col("u") != F.col("v"))
                 .distinct())
 
+    def _compress(e):
+        # child -> min(parent, parent's min parent); |lut| is bounded
+        # by the round's node set, broadcast like the convergence join
+        lut = (e.groupBy("u").agg(F.min("v").alias("_cv"))
+               .select(F.col("u").alias("_cu"), "_cv"))
+        return (e.join(F.broadcast(lut), e.v == F.col("_cu"), "left")
+                .select("u",
+                        F.least(F.col("v"),
+                                F.coalesce(F.col("_cv"), F.col("v")))
+                        .alias("v"))
+                .distinct())
+
     cur = (edges.select(F.greatest(F.col("src"), F.col("dst")).alias("u"),
                         F.least(F.col("src"), F.col("dst")).alias("v"))
            .filter(F.col("u") != F.col("v"))
@@ -353,7 +365,15 @@ def q_graph_components(spark, sf_dir):
         # 4.09/11.05 at matched calib; the doubled 6-exchange plan per
         # job was slower and far noisier than the per-round jobs it
         # saved. Reverted to one alternation per job.)
-        nxt_ck = (_small_star(_large_star(cur))
+        # Parent-pointer compression per round (optimization round
+        # r12, §2.4): re-point each child at min(parent, parent's min
+        # parent) via one broadcast lookup of the round's own output.
+        # Connectivity is preserved (the parent keeps its own row), v
+        # only decreases, and at the star-forest fixpoint the lookup
+        # misses every root so compression is the identity — same
+        # fixpoint, measured 9 -> 6 rounds (3.21 -> 2.92 s warm loop,
+        # larger cold).
+        nxt_ck = (_compress(_small_star(_large_star(cur)))
                   .join(cur.select("u", "v", F.lit(1).alias("_old")),
                         ["u", "v"], "left")
                   .observe(obs, F.count(F.lit(1)).alias("n"),

@@ -463,7 +463,14 @@ def q_mmr_rerank(spark, sf_dir):
                 .filter(F.col("prk") == 1)
                 .select("probe_id", "vec_id", "mmr",
                         F.lit(t).alias("rk")))
-        sel = sel.unionByName(pick)
+        # eager checkpoint of the |probes|-sized selection per step
+        # (optimization round r12, guide §5 lineage): step t+1's
+        # anti-join AND penalty join AND the final union all reference
+        # `sel`, so the lazy form re-executed step 2's join/window
+        # subtree ~4x inside the final action — each re-run a stack of
+        # tiny stages whose scheduling overhead dominated the query.
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    cands.unpersist()
     return (sel.select("probe_id", "rk", "vec_id",
                        (F.round("mmr", 4) + 0.0).alias("mmr"))
             .orderBy("probe_id", "rk"))
