@@ -249,23 +249,30 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     {label(v)}), ties to the minimum label. Returns (node, label)
     after the fixed iteration count.
 
-    Scale: each round is one shuffle-join of the |V| label relation
-    against the edge list plus a (node,label)-keyed count with
-    map-side partials and a per-node top-1 window — O(|E|) per round.
-    localCheckpoint per round keeps the self-referencing lineage flat
-    (same reasoning as q_graph_components)."""
-    from pyspark.sql import Window as W
-
+    Scale: each round joins the |V| label relation against the edge
+    list (the strategy is left to AQE, which sees the real label-vector
+    size per round — a forced per-round broadcast measured SLOWER at
+    bench scale, r12), then a (node,label)-keyed count with map-side
+    partials and a per-node arg-min aggregate — partial aggregation on
+    both steps, never a full per-node row_number sort over the label
+    multiset. localCheckpoint per round keeps the self-referencing
+    lineage flat (same reasoning as q_graph_components)."""
     labels = edges.select(F.col("src").alias("node"),
                           F.col("src").alias("label")).distinct()
     for _ in range(iterations):
+        # Optimization round r12 (§2.2/§2.3): the per-node
+        # mode/tie-break is min(struct(-c, label)) — an aggregate with
+        # map-side partials — instead of a row_number window, which
+        # shuffled every (node, label, c) row and sorted the full
+        # multiset each round. Flat at sf0.1; at scale the partial
+        # collapses per-map duplicates before the exchange.
         msgs = (edges.join(labels, labels.node == edges.src)
                 .select(F.col("dst").alias("node"), "label")
                 .unionByName(labels.select("node", "label")))
         cnt = msgs.groupBy("node", "label").agg(F.count("*").alias("c"))
-        rn = F.row_number().over(
-            W.partitionBy("node").orderBy(F.desc("c"), "label"))
-        labels = (cnt.withColumn("rn", rn).filter(F.col("rn") == 1)
-                  .select("node", "label")
+        top = F.min(F.struct((-F.col("c")).alias("nc"),
+                             F.col("label").alias("l"))).alias("t")
+        labels = (cnt.groupBy("node").agg(top)
+                  .select("node", F.col("t.l").alias("label"))
                   .localCheckpoint(eager=True))
     return labels
