@@ -1277,10 +1277,16 @@ def q_huber_regression(spark, sf_dir):
     b1_0 = F.round((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
                    / (F.col("n") * F.col("sxx")
                       - F.col("sx") * F.col("sx")), 10)
+    # Eagerly checkpoint the 1-row coefficient frames (optimization
+    # round r12, §5 lineage): lazily, the OLS seed ran TWICE (ols
+    # output row + round-1 chain seed) and the final coef's whole
+    # IRLS chain TWICE more (hub's left side + inside dw's broadcast)
+    # — ~9 sequential passes over the cached obs where the algorithm
+    # needs 5. Each checkpoint materializes one row.
     coef = s0.select(
         b1_0.alias("b1"),
         F.round((F.col("sy") - b1_0 * F.col("sx")) / F.col("n"), 10)
-        .alias("b0"))
+        .alias("b0")).localCheckpoint(eager=True)
     ols = coef
     for _ in range(_HUBER_ITERS):
         r = F.col("y") - F.col("b0") - F.col("b1") * F.col("x")
@@ -1306,6 +1312,7 @@ def q_huber_regression(spark, sf_dir):
             b1k.alias("b1"),
             F.round((F.col("swy") - b1k * F.col("swx")) / F.col("sw"),
                     10).alias("b0"))
+    coef = coef.localCheckpoint(eager=True)
     rfin = F.col("y") - F.col("b0") - F.col("b1") * F.col("x")
     dw = (obs.crossJoin(F.broadcast(coef))
           .filter(F.abs(rfin) > 5.0)

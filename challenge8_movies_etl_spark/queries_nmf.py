@@ -233,16 +233,17 @@ def q_topic_nmf(spark, sf_dir):
     v.unpersist()
     mass = w.agg(*[F.round(F.sum(f"w{c}").cast("double"), 6)
                    .alias(f"m{c}") for c in range(K)])
-    hlong = None
-    for c in range(K):
-        part = h.select(F.lit(c).cast("int").alias("c"), "t",
-                        F.col(f"h{c}").alias("h"))
-        hlong = part if hlong is None else hlong.unionByName(part)
-    mlong = None
-    for c in range(K):
-        part = mass.select(F.lit(c).cast("int").alias("c"),
-                           F.col(f"m{c}").alias("doc_mass"))
-        mlong = part if mlong is None else mlong.unionByName(part)
+    # wide-to-long via ONE explode-of-structs pass (ADVICE r11 item 3):
+    # the union-of-K-projections form duplicated the mass aggregate
+    # (and the h scan) K times — no subtree reuse across union branches
+    hlong = (h.select(F.explode(F.array(*[
+        F.struct(F.lit(c).cast("int").alias("c"), F.col("t"),
+                 F.col(f"h{c}").alias("h")) for c in range(K)])).alias("p"))
+        .select("p.*"))
+    mlong = (mass.select(F.explode(F.array(*[
+        F.struct(F.lit(c).cast("int").alias("c"),
+                 F.col(f"m{c}").alias("doc_mass")) for c in range(K)]))
+        .alias("p")).select("p.*"))
     rnk = F.row_number().over(
         W.partitionBy("c").orderBy(F.desc("h"), "t"))
     top = hlong.withColumn("rnk", rnk).filter(F.col("rnk") <= 8)
