@@ -2553,14 +2553,6 @@ def q_corpus_pipeline(spark, sf_dir):
         F.size(F.array_distinct(F.split("text", " "))).cast("bigint")
         .alias("n_dist"),
         stopword_count(F.col("text")).alias("n_stop")).persist()
-    dedup = (base.withColumn(
-        "rn", F.row_number().over(W.partitionBy("text").orderBy("doc_id")))
-        .filter(F.col("rn") == 1).drop("rn"))
-    lang = dedup.filter(
-        F.col("n_stop").cast("double") / F.col("n_tok") >= 0.05)
-    qual = lang.filter(
-        quality_score(F.col("n_tok"), F.col("n_dist"),
-                      F.col("n_chars"), F.col("n_stop")) >= 0.9).persist()
 
     grams = base.select(
         "doc_id", "source",
@@ -2570,21 +2562,45 @@ def q_corpus_pipeline(spark, sf_dir):
     contaminated = (grams.filter(F.col("source") != "src0")
                     .join(F.broadcast(bench), "gram")
                     .select("doc_id").distinct())
-    clean = (qual.filter(F.col("source") != "src0")
-             .join(contaminated, "doc_id", "left_anti"))
 
-    def stage(name, df):
-        return df.agg(F.lit(name).alias("stage"),
-                      F.count("*").alias("n_docs"),
-                      F.sum("n_tok").cast("bigint").alias("n_tokens"))
+    # One funnel pass (optimization round r12, §1.2/§2.3): the
+    # union-of-5-stage-aggregates shape re-executed the text-keyed
+    # dedup window 3x and scanned the cached base 5x (no subtree reuse
+    # across union branches). Survival of each stage is a cumulative
+    # per-doc predicate, so compute all flags in ONE window pass, mark
+    # contamination with one left join against the (tiny) contaminated
+    # id set, and fold the whole funnel into a single conditional
+    # aggregation whose 1 row explodes into the 5 stage rows. Stage
+    # semantics (and the standalone-query equivalences) are unchanged.
+    is_d = F.row_number().over(
+        W.partitionBy("text").orderBy("doc_id")) == 1
+    lang_ok = F.col("n_stop").cast("double") / F.col("n_tok") >= 0.05
+    qual_ok = quality_score(F.col("n_tok"), F.col("n_dist"),
+                            F.col("n_chars"), F.col("n_stop")) >= 0.9
+    flags = (base.withColumn("s2", is_d)
+             .withColumn("s3", F.col("s2") & lang_ok)
+             .withColumn("s4", F.col("s3") & qual_ok)
+             .join(contaminated.withColumn("_ct", F.lit(1)),
+                   "doc_id", "left")
+             .withColumn("s5", F.col("s4") & (F.col("source") != "src0")
+                         & F.col("_ct").isNull()))
 
-    parts = [stage("1_input", base), stage("2_dedup", dedup),
-             stage("3_langid", lang), stage("4_quality", qual),
-             stage("5_decontaminated", clean)]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    def cnt(flag):
+        n = (F.count(F.when(flag, 1)) if flag is not None
+             else F.count("*")).cast("bigint")
+        t = (F.sum(F.when(flag, F.col("n_tok"))) if flag is not None
+             else F.sum("n_tok")).cast("bigint")
+        return n, t
+    names = ["1_input", "2_dedup", "3_langid", "4_quality",
+             "5_decontaminated"]
+    sums = [cnt(None)] + [cnt(F.col(f"s{i}")) for i in range(2, 6)]
+    row = flags.agg(*[e.alias(f"x{i}{j}") for i, (a, b)
+                      in enumerate(sums) for j, e in ((0, a), (1, b))])
+    return (row.select(F.explode(F.array(*[
+        F.struct(F.lit(names[i]).alias("stage"),
+                 F.col(f"x{i}0").alias("n_docs"),
+                 F.col(f"x{i}1").alias("n_tokens"))
+        for i in range(5)])).alias("p")).select("p.*"))
 
 
 @query(
