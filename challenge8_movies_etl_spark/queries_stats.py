@@ -250,26 +250,30 @@ def q_expectations(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
 
-    def rule(name, n_checked, n_viol):
-        return (F.lit(name).alias("rule"), n_checked.alias("n_checked"),
-                n_viol.alias("n_violations"),
-                (n_viol == 0).alias("passed"))
-
-    not_null = o.agg(*rule(
-        "orders.o_custkey not_null",
-        F.count("*"), F.count("*") - F.count("o_custkey")))
-    uniq = o.agg(*rule(
-        "orders.o_orderkey unique",
-        F.count("*"), F.count("*") - F.countDistinct("o_orderkey")))
-    accepted = o.agg(*rule(
-        "orders.o_orderstatus accepted_values",
-        F.count("*"),
-        F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1))))
-    rng = o.agg(*rule(
-        "orders.o_totalprice positive_range",
-        F.count("*"),
-        F.count(F.when((F.col("o_totalprice") <= 0)
-                       | (F.col("o_totalprice") > 1000000), 1))))
+    # The four orders rules share one scan (optimization round r12,
+    # §1.2/§2.3): the union-of-aggregates shape scanned orders 4 times;
+    # all eight terms now ride ONE aggregate whose row explodes into
+    # the rule grid. Referential integrity keeps its own anti-join —
+    # the only rule that inherently needs two tables.
+    rules = [("orders.o_custkey not_null",
+              F.count("*") - F.count("o_custkey")),
+             ("orders.o_orderkey unique",
+              F.count("*") - F.countDistinct("o_orderkey")),
+             ("orders.o_orderstatus accepted_values",
+              F.count(F.when(~F.col("o_orderstatus")
+                             .isin("O", "F", "P"), 1))),
+             ("orders.o_totalprice positive_range",
+              F.count(F.when((F.col("o_totalprice") <= 0)
+                             | (F.col("o_totalprice") > 1000000), 1)))]
+    orow = o.agg(F.count("*").alias("_n"),
+                 *[v.alias(f"v{i}") for i, (_, v) in enumerate(rules)])
+    orules = (orow.select(F.explode(F.array(*[
+        F.struct(F.lit(name).alias("rule"),
+                 F.col("_n").alias("n_checked"),
+                 F.col(f"v{i}").alias("n_violations"),
+                 (F.col(f"v{i}") == 0).alias("passed"))
+        for i, (name, _) in enumerate(rules)])).alias("p"))
+        .select("p.*"))
     orphans = (l.join(o.select(F.col("o_orderkey").alias("_ok")),
                       l.l_orderkey == F.col("_ok"), "left_anti")
                .agg(F.count("*").alias("_n")))
@@ -279,8 +283,7 @@ def q_expectations(spark, sf_dir):
                    F.col("_t").alias("n_checked"),
                    F.col("_n").alias("n_violations"),
                    (F.col("_n") == 0).alias("passed")))
-    return not_null.unionByName(uniq).unionByName(accepted) \
-                   .unionByName(rng).unionByName(ref)
+    return orules.unionByName(ref)
 
 
 # ---------------------------------------------------------------------------

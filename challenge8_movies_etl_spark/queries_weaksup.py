@@ -161,24 +161,25 @@ def q_weak_supervision(spark, sf_dir):
                for c in ("lf1", "lf2", "lf3"))
     zeros = sum(F.when(F.col(c) == 0, 1).otherwise(0)
                 for c in ("lf1", "lf2", "lf3"))
-    lab = (v.withColumn("label",
-                        F.when(ones > zeros, 1)
-                        .when(zeros > ones, 0).otherwise(-1))
-           .persist())
+    # ONE aggregation pass (optimization round r12, §1.2/§2.3): the
+    # union-of-7-aggregates shape scanned the labeled relation 7 times
+    # (which is why it was persisted — a leak VERDICT r11 flagged);
+    # every output row is a set of conditional sums over the same rows,
+    # so compute all 28 terms in one agg and explode the single row
+    # into the 7-row grid. No persist needed at all.
+    lab = v.withColumn("label",
+                       F.when(ones > zeros, 1)
+                       .when(zeros > ones, 0).otherwise(-1))
     n = F.count("*")
 
     def summary(name, col):
         c = F.col(col)
-        return lab.agg(
-            F.lit(name).alias("name"),
-            F.sum(F.when(c == 1, 1).otherwise(0)).cast("bigint")
-            .alias("n_pos"),
-            F.sum(F.when(c == 0, 1).otherwise(0)).cast("bigint")
-            .alias("n_neg"),
-            F.sum(F.when(c == -1, 1).otherwise(0)).cast("bigint")
-            .alias("n_abstain"),
-            F.round(F.sum(F.when(c != -1, 1).otherwise(0))
-                    .cast("double") / n, 4).alias("rate"))
+        return (name,
+                F.sum(F.when(c == 1, 1).otherwise(0)).cast("bigint"),
+                F.sum(F.when(c == 0, 1).otherwise(0)).cast("bigint"),
+                F.sum(F.when(c == -1, 1).otherwise(0)).cast("bigint"),
+                F.round(F.sum(F.when(c != -1, 1).otherwise(0))
+                        .cast("double") / n, 4))
 
     def agreement(name, a, b):
         ca, cb = F.col(a), F.col(b)
@@ -186,20 +187,25 @@ def q_weak_supervision(spark, sf_dir):
         agree = F.sum(F.when((ca == cb) & (ca != -1), 1).otherwise(0))
         conflict = F.sum(F.when((ca != cb) & (ca != -1) & (cb != -1),
                                 1).otherwise(0))
-        return lab.agg(
-            F.lit(name).alias("name"),
-            agree.cast("bigint").alias("n_pos"),
-            conflict.cast("bigint").alias("n_neg"),
-            joint.cast("bigint").alias("n_abstain"),
-            F.round(agree.cast("double") / F.greatest(F.lit(1), joint), 4)
-            .alias("rate"))
+        return (name,
+                agree.cast("bigint"),
+                conflict.cast("bigint"),
+                joint.cast("bigint"),
+                F.round(agree.cast("double")
+                        / F.greatest(F.lit(1), joint), 4))
 
     parts = [summary("lf1", "lf1"), summary("lf2", "lf2"),
              summary("lf3", "lf3"), summary("vote", "label"),
              agreement("agree_12", "lf1", "lf2"),
              agreement("agree_13", "lf1", "lf3"),
              agreement("agree_23", "lf2", "lf3")]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    row = lab.agg(*[e.alias(f"x{i}{j}")
+                    for i, p in enumerate(parts)
+                    for j, e in enumerate(p[1:])])
+    return (row.select(F.explode(F.array(*[
+        F.struct(F.lit(p[0]).alias("name"),
+                 F.col(f"x{i}0").alias("n_pos"),
+                 F.col(f"x{i}1").alias("n_neg"),
+                 F.col(f"x{i}2").alias("n_abstain"),
+                 F.col(f"x{i}3").alias("rate"))
+        for i, p in enumerate(parts)])).alias("p")).select("p.*"))
