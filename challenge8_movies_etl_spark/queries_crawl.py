@@ -136,10 +136,12 @@ def q_text_decompress(spark, sf_dir):
                 out["decoded"].append(data.decode())
             yield pd.DataFrame(out)
 
-    media = d.select("doc_id", "text").mapInPandas(
-        pack, schema="doc_id bigint, payload binary")
-    dec = media.mapInPandas(
-        unpack, schema="doc_id bigint, codec string, decoded string")
+    # ONE fused mapInPandas + scan fan-out (optimization round r12,
+    # guide §4): the chained form Arrow-shipped every compressed
+    # payload Python->JVM->Python between the two stages
+    dec = fan_out_scan(d.select("doc_id", "text")).mapInPandas(
+        lambda b: unpack(pack(b)),
+        schema="doc_id bigint, codec string, decoded string")
     return dec.select(
         "doc_id", "codec",
         F.length("decoded").cast("long").alias("n_chars"),
@@ -209,12 +211,13 @@ def q_archive_extract(spark, sf_dir):
                     "".join(c[:2].decode() for _, c in members))
             yield pd.DataFrame(out)
 
-    media = d.select("doc_id", "lang").mapInPandas(
-        pack, schema="doc_id bigint, payload binary")
-    return media.mapInPandas(
-        walk, schema=("doc_id bigint, n_members bigint, "
-                      "total_bytes bigint, last_name string, "
-                      "head_concat string"))
+    # ONE fused mapInPandas + scan fan-out (r12, guide §4 — see
+    # q_text_decompress)
+    return fan_out_scan(d.select("doc_id", "lang")).mapInPandas(
+        lambda b: walk(pack(b)),
+        schema=("doc_id bigint, n_members bigint, "
+                "total_bytes bigint, last_name string, "
+                "head_concat string"))
 
 
 # ---------------------------------------------------------------------------
@@ -669,12 +672,13 @@ def q_warc_extract(spark, sf_dir):
                     "".join(p[:2].decode() for _, p in resp))
             yield pd.DataFrame(out)
 
-    media = d.select("doc_id", "lang").mapInPandas(
-        pack, schema="doc_id bigint, payload binary")
-    return media.mapInPandas(
-        walk, schema=("doc_id bigint, n_records bigint, "
-                      "n_response bigint, payload_bytes bigint, "
-                      "last_uri string, head_concat string"))
+    # ONE fused mapInPandas + scan fan-out (r12, guide §4 — see
+    # q_text_decompress)
+    return fan_out_scan(d.select("doc_id", "lang")).mapInPandas(
+        lambda b: walk(pack(b)),
+        schema=("doc_id bigint, n_records bigint, "
+                "n_response bigint, payload_bytes bigint, "
+                "last_uri string, head_concat string"))
 
 
 @query(
@@ -739,11 +743,12 @@ def q_warcgz_extract(spark, sf_dir):
                     p for t, _, p in recs if t == "response").decode())
             yield pd.DataFrame(out)
 
-    media = d.select("doc_id", "lang").mapInPandas(
-        pack, schema="doc_id bigint, payload binary")
-    dec = media.mapInPandas(
-        walk, schema=("doc_id bigint, n_records bigint, "
-                      "payload_bytes bigint, resp_concat string"))
+    # ONE fused mapInPandas + scan fan-out (r12, guide §4 — see
+    # q_text_decompress)
+    dec = fan_out_scan(d.select("doc_id", "lang")).mapInPandas(
+        lambda b: walk(pack(b)),
+        schema=("doc_id bigint, n_records bigint, "
+                "payload_bytes bigint, resp_concat string"))
     return dec.select(
         "doc_id", "n_records", "payload_bytes",
         F.md5(F.encode("resp_concat", "utf-8")).alias("resp_digest"))
@@ -820,12 +825,13 @@ def q_warc_cdx_fetch(spark, sf_dir):
                 out["fetched_text"].append(rpayload.decode())
             yield pd.DataFrame(out)
 
-    media = d.select("doc_id", "lang").mapInPandas(
-        pack, schema="doc_id bigint, payload binary")
-    dec = media.mapInPandas(
-        fetch, schema=("doc_id bigint, n_members bigint, "
-                       "fetched_uri string, fetched_bytes bigint, "
-                       "fetched_text string"))
+    # ONE fused mapInPandas + scan fan-out (r12, guide §4 — see
+    # q_text_decompress)
+    dec = fan_out_scan(d.select("doc_id", "lang")).mapInPandas(
+        lambda b: fetch(pack(b)),
+        schema=("doc_id bigint, n_members bigint, "
+                "fetched_uri string, fetched_bytes bigint, "
+                "fetched_text string"))
     return dec.select(
         "doc_id", "n_members", "fetched_uri", "fetched_bytes",
         F.md5(F.encode("fetched_text", "utf-8")).alias("fetched_digest"))
@@ -1010,11 +1016,12 @@ def q_http_dechunk(spark, sf_dir):
                 out["body"].append(body.decode())
             yield pd.DataFrame(out)
 
-    media = d.select("doc_id", "text").mapInPandas(
-        pack, schema="doc_id bigint, payload binary")
-    dec = media.mapInPandas(
-        unpack, schema=("doc_id bigint, status int, "
-                        "content_type string, body string"))
+    # ONE fused mapInPandas + scan fan-out (r12, guide §4 — see
+    # q_text_decompress)
+    dec = fan_out_scan(d.select("doc_id", "text")).mapInPandas(
+        lambda b: unpack(pack(b)),
+        schema=("doc_id bigint, status int, "
+                "content_type string, body string"))
     return dec.select(
         "doc_id", "status", "content_type",
         F.length("body").cast("long").alias("n_bytes"),
